@@ -1,0 +1,74 @@
+"""Shared tokenizer column expressions.
+
+Reference semantics (``/root/reference/master.py:58-62``):
+  1. split on any whitespace (``str.split()``)
+  2. lowercase
+  3. delete every char matching ``[\\W_]+`` from the token -- punctuation is
+     removed, NOT a split point (``Don't`` -> ``dont``, ``quick-brown`` ->
+     ``quickbrown``); digits survive.
+
+Two deliberate deviations, pinned here as the single source of truth:
+
+* The character class is the explicit ASCII ``[^0-9a-z]`` (applied after
+  lowercasing) rather than Python's unicode-aware ``\\W``.  Java regex,
+  RE2 (DuckDB) and Python all agree on this class, so the Spark plan and
+  the DuckDB oracle tokenize identically (SURVEY.md §7 risk (b)).
+* Tokens that clean to the empty string are dropped.  The reference counts
+  them but its streaming group-by restarts the group on every empty key
+  (``MapReduce.py:147``, SURVEY.md §4 defect 6) -- the behavior was a bug,
+  not a contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Applied AFTER lower(); deletes everything that is not [0-9a-z].
+TOKEN_CLEAN_RE = "[^0-9a-z]"
+# str.split() splits on any whitespace run.
+TOKEN_SPLIT_RE = r"\s+"
+
+# DuckDB fragments for the same pipeline, used by oracle SQL builders.
+DUCKDB_TOKENIZE = (
+    "regexp_replace(lower(__tok), '[^0-9a-z]', '', 'g')"
+)
+
+
+def clean_token(col: Column) -> Column:
+    """lower + strip non-alphanumerics (reference O3+O4 as one expression)."""
+    return F.regexp_replace(F.lower(col), TOKEN_CLEAN_RE, "")
+
+
+def tokenize(text: Column) -> Column:
+    """text -> array<string> of cleaned, non-empty tokens (O2-O4)."""
+    return F.filter(
+        F.transform(F.split(text, TOKEN_SPLIT_RE), clean_token),
+        lambda w: w != F.lit(""),
+    )
+
+
+def tokens_df(documents: DataFrame, doc_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """documents(doc, text) -> one row per token with lineage (O1-O5).
+
+    The reference materializes this list on the master and chunks it by
+    hand (``master.py:54-84``, dropping ``len % map_num`` trailing tokens);
+    here it is a distributed project+explode that never touches the driver.
+    """
+    return documents.select(
+        F.col(doc_col),
+        F.explode(tokenize(F.col(text_col))).alias("word"),
+    )
+
+
+def duckdb_tokens_sql(doc_col: str = "doc_id", text_col: str = "text", table: str = "documents") -> str:
+    """DuckDB SQL producing the identical (doc, word) token stream."""
+    return f"""
+        SELECT {doc_col},
+               regexp_replace(lower(tok), '[^0-9a-z]', '', 'g') AS word
+        FROM (
+            SELECT {doc_col}, unnest(regexp_split_to_array({text_col}, '\\s+')) AS tok
+            FROM {table}
+        )
+        WHERE regexp_replace(lower(tok), '[^0-9a-z]', '', 'g') <> ''
+    """

@@ -1,0 +1,141 @@
+"""Reference-parity queries: word count and inverted document index.
+
+The reference implements these as a full MapReduce pipeline (tokenize on
+the master -> chunk -> map workers -> centralized hash partition + sort on
+one node -> streaming sort-group reduce -> text sink; SURVEY.md §2 O1-O15,
+``/root/reference/MapReduce.py:25-49`` for the map/reduce fns).  In Spark
+each collapses to a handful of declarative ops, and crucially gains
+**map-side partial aggregation** -- the reference has no combiner, so every
+token crosses the network; here `groupBy.count` emits one partial row per
+(partition, word) before the shuffle, which is the difference between
+shuffling O(tokens) and O(distinct words) at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import duckdb_tokens_sql, tokens_df
+from ..sources import load_table
+
+
+def word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT word, SUM(cnt) GROUP BY word -- cross-document totals.
+
+    Parity: ``map_wc``/``reduce_wc`` (``MapReduce.py:25-30,42-49``).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return tokens_df(docs).groupBy("word").agg(F.count("*").alias("cnt"))
+
+
+def word_count_oracle() -> str:
+    return f"""
+        SELECT word, count(*) AS cnt
+        FROM ({duckdb_tokens_sql()}) t
+        GROUP BY word
+    """
+
+
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted document index, flat relational form: (word, doc_id, cnt).
+
+    Parity: ``map_id``/``reduce_id`` (``MapReduce.py:32-41``) -- the
+    reference's ``{doc: count}`` accumulator is exactly a nested GROUP BY
+    (word, doc); the flat form is the canonical, order-insensitive result.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        tokens_df(docs)
+        .groupBy("word", "doc_id")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def inverted_index_oracle() -> str:
+    return f"""
+        SELECT word, doc_id, cnt
+        FROM (
+            SELECT word, doc_id, count(*) AS cnt
+            FROM ({duckdb_tokens_sql()}) t
+            GROUP BY word, doc_id
+        )
+    """
+
+
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index, one row per word with a canonical postings string
+    ``"doc:cnt,doc:cnt,..."`` sorted by doc_id.
+
+    This is the reference's per-word ``{doc: count}`` map rendered in a
+    deterministic order (its dict key order was hash-seed-dependent,
+    SURVEY.md §4 defect 8).  A string, not MapType, so the DuckDB oracle
+    hashes it identically.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = (
+        tokens_df(docs)
+        .groupBy("word", "doc_id")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        per_doc.groupBy("word")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "cnt"))),
+                    lambda s: F.concat_ws(":", s["doc_id"], s["cnt"]),
+                ),
+                ",",
+            ).alias("postings"),
+            F.sum("cnt").alias("total_cnt"),
+        )
+    )
+
+
+def inverted_index_postings_oracle() -> str:
+    return f"""
+        SELECT word,
+               string_agg(doc_id || ':' || cnt, ',' ORDER BY doc_id) AS postings,
+               CAST(sum(cnt) AS BIGINT) AS total_cnt
+        FROM (
+            SELECT word, doc_id, count(*) AS cnt
+            FROM ({duckdb_tokens_sql()}) t
+            GROUP BY word, doc_id
+        )
+        GROUP BY word
+    """
+
+
+def inverted_index_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index in the reference's native shape: word -> map<doc,cnt>.
+
+    MapType hashes nondeterministically across engines, so this variant is
+    exercised by unit tests (order-insensitive) rather than the SQL oracle;
+    `inverted_index_postings` is the oracle-checked canonical form.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        tokens_df(docs)
+        .groupBy("word", "doc_id")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("word")
+        .agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("doc_id", "cnt")))
+            ).alias("postings_map")
+        )
+    )
+
+
+def reference_text_sink(df: DataFrame) -> DataFrame:
+    """Demo utility: render (word, cnt) rows as the reference's text-sink
+    lines ``"<word> - [<value>]"`` (``KeyValueStore.py:27-32``).  The
+    reference's bare-value last-line quirk (``MapReduce.py:158-159``,
+    SURVEY.md §4 defect 7) is a bug, not reproduced.
+    """
+    cols = df.columns
+    value = F.col(cols[1])
+    return df.select(
+        F.concat(F.col(cols[0]), F.lit(" - ["), value.cast("string"), F.lit("]")).alias("line")
+    )

@@ -1,0 +1,45 @@
+"""The declared query surface.
+
+This registry is the Spark-native successor of the reference's UDF
+registries ``MAPPER_FUNCTIONS`` / ``REDUCER_FUNCTIONS``
+(``/root/reference/MapReduce.py:51-52``) -- queries addressed by name,
+pluggable by adding an entry.  Each entry pairs a DataFrame builder
+``(spark, sf_dir) -> DataFrame`` with (where SQL-expressible) a DuckDB
+oracle string over the same parquet tables.
+
+Column-name contract: every computed column is aliased identically in the
+Spark plan and the oracle SQL -- the driver's comparator sorts columns by
+name before hashing values.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import wordcount
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, fn: QueryFn, oracle: str | None) -> None:
+    QUERIES[name] = fn
+    if oracle is not None:
+        ORACLES[name] = oracle
+
+
+# --- reference parity (SURVEY.md §2, M0/M1) ---------------------------------
+_register("wordcount", wordcount.word_count, wordcount.word_count_oracle())
+_register("inverted_index", wordcount.inverted_index, wordcount.inverted_index_oracle())
+_register(
+    "inverted_index_postings",
+    wordcount.inverted_index_postings,
+    wordcount.inverted_index_postings_oracle(),
+)
+# MapType result: unit-tested order-insensitively, no SQL oracle (driver
+# records a rows-only check).
+_register("inverted_index_map", wordcount.inverted_index_map, None)

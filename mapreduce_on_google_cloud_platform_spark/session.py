@@ -1,0 +1,51 @@
+"""SparkSession construction tuned for this engine.
+
+Local mode is a correctness harness; the configuration is written for the
+real target -- a multi-executor cluster scanning ~100 TB of parquet:
+
+* AQE on (runtime partition coalescing, skew-join splitting) so declared
+  shuffle counts are starting points, not destiny.
+* Shuffle partitions sized to cores locally; on a cluster this should be
+  2-3x total executor cores (AQE coalesces the excess).
+* Session timezone pinned to UTC so event-time semantics are stable and
+  oracle-comparable (DuckDB timestamps are UTC-naive).
+* Arrow enabled for every pandas interchange (Pandas UDFs, toPandas).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(app_name: str = "mapreduce_gcp_spark", *, cpus: int | None = None) -> SparkSession:
+    """Build (or reuse) the tuned session.
+
+    Replaces the reference's hand-rolled cluster bring-up
+    (``master.py:91-146``: 4 e2-medium GCE VMs + a single-process pickle
+    KV store as the shuffle medium) with Spark's own cluster manager and
+    peer-to-peer shuffle.
+    """
+    n = cpus or default_parallelism()
+    builder = (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(n))
+        .config("spark.default.parallelism", str(n))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
