@@ -1,0 +1,601 @@
+"""Relational core: the declared query surface Spark provides "for free".
+
+The reference has NO filters, joins, windows, sorts, or set ops
+(SURVEY.md §2 "explicitly absent") -- its entire surface is one
+tokenize+group pipeline.  Per SURVEY.md §7 M2 these operators are part of
+the new engine's declared surface, each expressed as a declarative
+DataFrame plan (Catalyst does pushdown/pruning/join-selection) with a
+DuckDB oracle.
+
+Scale posture, applied throughout:
+* dimension tables (region/nation) joined with explicit ``F.broadcast`` --
+  at any SF they are tiny, and a broadcast join removes the shuffle of the
+  fact side entirely;
+* fact-fact joins (orders x lineitem, customer x orders) are left to
+  Catalyst's sort-merge + AQE (skew-split, partition coalescing);
+* aggregates use map-side partial aggregation (automatic for groupBy.agg);
+* every filter is a plain column predicate so it pushes into the parquet
+  scan (verified via .explain in tests/test_plans.py);
+* money math is DECIMAL(18,2)-exact (functions/portable.py) so parallel
+  execution order can never change a result bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.portable import (
+    SQL_CHARGE,
+    SQL_REVENUE,
+    charge_expr,
+    dec,
+    money_sum,
+    revenue_expr,
+    sql_money_sum,
+)
+from ..sources import load_table
+
+# ---------------------------------------------------------------------------
+# Q1: pricing summary (TPC-H Q1 shape): scan-filter-aggregate, 8 aggregates
+# ---------------------------------------------------------------------------
+
+Q1_CUTOFF = "1998-09-02"
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= Q1_CUTOFF)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            money_sum(dec("l_quantity")).alias("sum_qty"),
+            money_sum(dec("l_extendedprice")).alias("sum_base_price"),
+            money_sum(revenue_expr()).alias("sum_disc_price"),
+            money_sum(charge_expr()).alias("sum_charge"),
+            (F.sum(dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(dec("l_extendedprice")).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            (F.sum(dec("l_discount")).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q1_ORACLE = f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_money_sum('l_quantity')} AS sum_qty,
+           {sql_money_sum('l_extendedprice')} AS sum_base_price,
+           CAST(sum({SQL_REVENUE}) AS DOUBLE) AS sum_disc_price,
+           CAST(sum({SQL_CHARGE}) AS DOUBLE) AS sum_charge,
+           {sql_money_sum('l_quantity')} / count(*) AS avg_qty,
+           {sql_money_sum('l_extendedprice')} / count(*) AS avg_price,
+           {sql_money_sum('l_discount')} / count(*) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF}'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+# ---------------------------------------------------------------------------
+# Q3: shipping priority (customer x orders x lineitem, group, top-10)
+# ---------------------------------------------------------------------------
+
+Q3_SEGMENT = "BUILDING"
+Q3_DATE = "1998-01-01"
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == Q3_SEGMENT
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < Q3_DATE)
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > Q3_DATE)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderpriority")
+        .agg(money_sum(revenue_expr()).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_ORACLE = f"""
+    SELECT l_orderkey, o_orderpriority,
+           CAST(sum({SQL_REVENUE}) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = '{Q3_SEGMENT}'
+      AND o_orderdate < TIMESTAMP '{Q3_DATE}'
+      AND l_shipdate  > TIMESTAMP '{Q3_DATE}'
+    GROUP BY l_orderkey, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+"""
+
+# ---------------------------------------------------------------------------
+# Q5: regional supplier revenue (6-way join incl. broadcast dims)
+# ---------------------------------------------------------------------------
+
+Q5_REGION = "ASIA"
+
+
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == Q5_REGION)
+    nation = load_table(spark, sf_dir, "nation")
+    # region/nation are O(10) rows at every SF: broadcast, no shuffle.
+    nations = F.broadcast(
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(nations, F.col("s_nationkey") == nations.n_nationkey)
+        .groupBy("n_name")
+        .agg(money_sum(revenue_expr()).alias("revenue"))
+    )
+
+
+Q5_ORACLE = f"""
+    SELECT n_name, CAST(sum({SQL_REVENUE}) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = '{Q5_REGION}' AND c_nationkey = s_nationkey
+    GROUP BY n_name
+"""
+
+# ---------------------------------------------------------------------------
+# Window functions
+# ---------------------------------------------------------------------------
+
+
+def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by total price (rank window, deterministic
+    tiebreak on o_orderkey)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", F.col("rn").cast("int").alias("rn"))
+    )
+
+
+TOP_ORDERS_ORACLE = """
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+    )
+    WHERE rn <= 3
+"""
+
+
+def running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative spend per customer in order-date order (running-sum window,
+    decimal-exact frame so parallelism can't perturb the double)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(dec("o_totalprice")).over(w).cast("double").alias("running_spend"),
+        F.lag("o_totalprice").over(
+            Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        ).alias("prev_price"),
+    )
+
+
+RUNNING_SPEND_ORACLE = """
+    SELECT o_custkey, o_orderkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS running_spend,
+           lag(o_totalprice) OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey) AS prev_price
+    FROM orders
+"""
+
+# ---------------------------------------------------------------------------
+# Aggregation variants
+# ---------------------------------------------------------------------------
+
+
+def customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order stats joined back to broadcast nation dim."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    stats = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        money_sum(dec("o_totalprice")).alias("total_spend"),
+        F.min("o_totalprice").alias("min_order"),
+        F.max("o_totalprice").alias("max_order"),
+    )
+    return (
+        stats.join(customer, stats.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .select("c_custkey", "c_name", "n_name", "n_orders", "total_spend", "min_order", "max_order")
+    )
+
+
+CUSTOMER_STATS_ORACLE = """
+    SELECT c_custkey, c_name, n_name, n_orders, total_spend, min_order, max_order
+    FROM (
+        SELECT o_custkey,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,
+               min(o_totalprice) AS min_order,
+               max(o_totalprice) AS max_order
+        FROM orders GROUP BY o_custkey
+    ) s
+    JOIN customer ON s.o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+"""
+
+
+def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery pattern: orders pricier than their customer's
+    average, decorrelated into an aggregate + self-join (what Catalyst's
+    RewriteCorrelatedScalarSubquery produces anyway)."""
+    orders = load_table(spark, sf_dir, "orders")
+    avgs = orders.groupBy("o_custkey").agg(
+        (F.sum(dec("o_totalprice")).cast("double") / F.count(F.lit(1))).alias("avg_price")
+    )
+    o2 = load_table(spark, sf_dir, "orders")
+    return (
+        o2.join(avgs, "o_custkey")
+        .filter(F.col("o_totalprice") > F.col("avg_price"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "avg_price")
+    )
+
+
+ABOVE_AVG_ORACLE = """
+    SELECT o_orderkey, o_custkey, o_totalprice, avg_price
+    FROM orders
+    JOIN (
+        SELECT o_custkey AS k,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)/count(*) AS avg_price
+        FROM orders GROUP BY o_custkey
+    ) a ON o_custkey = a.k
+    WHERE o_totalprice > avg_price
+"""
+
+
+def supplier_part_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) per group (expands to a two-level aggregate --
+    partial distinct on the mappers, the reference shuffles raw rows)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_suppkey").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+SUPPLIER_DISTINCT_ORACLE = """
+    SELECT l_suppkey,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_orderkey) AS n_orders,
+           count(*) AS n_lines
+    FROM lineitem GROUP BY l_suppkey
+"""
+
+
+def rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(returnflag, linestatus) with grand total; rollup nulls are
+    surfaced as 'ALL' so the result has no engine-specific null encoding."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            money_sum(revenue_expr()).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "revenue",
+            "n_lines",
+        )
+    )
+
+
+ROLLUP_ORACLE = f"""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           CAST(sum({SQL_REVENUE}) AS DOUBLE) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+# ---------------------------------------------------------------------------
+# Semi / anti joins, set operations
+# ---------------------------------------------------------------------------
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join: customers who never placed an urgent order (the testdata
+    gives every customer at least one order, so the unfiltered variant would
+    be a trivially-empty check)."""
+    customer = load_table(spark, sf_dir, "customer")
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return customer.join(
+        urgent, customer.c_custkey == urgent.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+NO_ORDERS_ORACLE = """
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+"""
+
+HIGH_VALUE_CUT = 400_000.0
+
+
+def high_value_customers_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > HIGH_VALUE_CUT
+    )
+    return customer.join(
+        big, customer.c_custkey == big.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+HIGH_VALUE_ORACLE = f"""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > {HIGH_VALUE_CUT})
+"""
+
+
+def segment_priority_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION over customer-key sets: BUILDING-segment
+    customers vs customers with an urgent order, tagged by membership."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    building = customer.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    urgent = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+    both = building.intersect(urgent).withColumn("membership", F.lit("both"))
+    b_only = building.exceptAll(urgent).distinct().withColumn(
+        "membership", F.lit("building_only")
+    )
+    u_only = urgent.exceptAll(building).withColumn(
+        "membership", F.lit("urgent_only")
+    )
+    return both.unionByName(b_only).unionByName(u_only)
+
+
+SETOPS_ORACLE = """
+    WITH building AS (
+        SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    ), urgent AS (
+        SELECT DISTINCT o_custkey AS custkey FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+    )
+    SELECT custkey, 'both' AS membership FROM (
+        SELECT custkey FROM building INTERSECT SELECT custkey FROM urgent)
+    UNION ALL
+    SELECT custkey, 'building_only' AS membership FROM (
+        SELECT custkey FROM building EXCEPT SELECT custkey FROM urgent)
+    UNION ALL
+    SELECT custkey, 'urgent_only' AS membership FROM (
+        SELECT custkey FROM urgent EXCEPT SELECT custkey FROM building)
+"""
+
+# ---------------------------------------------------------------------------
+# Scalar function suites
+# ---------------------------------------------------------------------------
+
+
+def part_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/math scalar library over part -- all JVM-side built-ins (no
+    Python in the row path), every expression portable to DuckDB."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").cast("int").alias("name_len"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_extract("p_brand", "([0-9]+)", 1).cast("int").alias("brand_num"),
+        F.reverse(F.col("p_name")).alias("name_rev"),
+        (F.col("p_size") % 7).cast("int").alias("size_mod7"),
+        (F.col("p_size") * F.col("p_size")).cast("bigint").alias("size_sq"),
+        F.round(F.col("p_retailprice") * 100).cast("bigint").alias("retail_cents"),
+        F.floor(F.col("p_retailprice") / 100).cast("bigint").alias("price_bucket"),
+        F.when(F.col("p_size") > 25, "large")
+        .when(F.col("p_size") > 10, "medium")
+        .otherwise("small")
+        .alias("size_class"),
+    )
+
+
+PART_SCALAR_ORACLE = """
+    SELECT p_partkey,
+           upper(p_name) AS name_upper,
+           CAST(length(p_name) AS INTEGER) AS name_len,
+           substring(p_name, 1, 5) AS name_prefix,
+           concat_ws('|', p_brand, p_type) AS brand_type,
+           CAST(regexp_extract(p_brand, '([0-9]+)', 1) AS INTEGER) AS brand_num,
+           reverse(p_name) AS name_rev,
+           CAST(p_size % 7 AS INTEGER) AS size_mod7,
+           CAST(p_size * p_size AS BIGINT) AS size_sq,
+           CAST(round(p_retailprice * 100) AS BIGINT) AS retail_cents,
+           CAST(floor(p_retailprice / 100) AS BIGINT) AS price_bucket,
+           CASE WHEN p_size > 25 THEN 'large'
+                WHEN p_size > 10 THEN 'medium'
+                ELSE 'small' END AS size_class
+    FROM part
+"""
+
+
+def orders_date_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar + aggregate suite: month buckets, extracts, datediff."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.year("o_orderdate").cast("int").alias("yr"),
+            F.month("o_orderdate").cast("int").alias("mo"),
+            F.quarter("o_orderdate").cast("int").alias("qtr"),
+            F.dayofweek("o_orderdate").cast("int").alias("dow"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+            dec("o_totalprice").alias("price_dec"),
+        )
+        .groupBy("yr", "mo")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("price_dec").cast("double").alias("revenue"),
+            F.min("order_day").alias("first_day"),
+            F.countDistinct("qtr").alias("n_quarters"),
+        )
+    )
+
+
+ORDERS_DATE_ORACLE = """
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+           CAST(month(o_orderdate) AS INTEGER) AS mo,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           min(strftime(o_orderdate, '%Y-%m-%d')) AS first_day,
+           count(DISTINCT CAST(quarter(o_orderdate) AS INTEGER)) AS n_quarters
+    FROM orders
+    GROUP BY 1, 2
+"""
+
+# ---------------------------------------------------------------------------
+# Semi-structured: JSON props on events; pivot
+# ---------------------------------------------------------------------------
+
+
+def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction (get_json_object) + aggregate per event type."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.select("event_type", k.alias("k"), dec("value").alias("v"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+            F.sum("v").cast("double").alias("sum_value"),
+        )
+    )
+
+
+EVENTS_JSON_ORACLE = """
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY event_type
+"""
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event counts per user into one column per event type."""
+    ev = load_table(spark, sf_dir, "events")
+    pivoted = (
+        ev.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in EVENT_TYPES],
+    )
+
+
+PIVOT_ORACLE = """
+    SELECT user_id,
+           count(*) FILTER (event_type = 'click')    AS n_click,
+           count(*) FILTER (event_type = 'error')    AS n_error,
+           count(*) FILTER (event_type = 'purchase') AS n_purchase,
+           count(*) FILTER (event_type = 'signup')   AS n_signup,
+           count(*) FILTER (event_type = 'view')     AS n_view
+    FROM events
+    GROUP BY user_id
+"""
+
+# ---------------------------------------------------------------------------
+# Global sort / top-k
+# ---------------------------------------------------------------------------
+
+
+def global_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-10 orders by price (TakeOrderedAndProject: per-partition
+    top-k then a single k-row merge on the driver -- no global sort)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+GLOBAL_TOPK_ORACLE = """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+"""
+
+
+RELATIONAL_QUERIES: list[tuple[str, object, str]] = [
+    ("q1_pricing_summary", q1_pricing_summary, Q1_ORACLE),
+    ("q3_shipping_priority", q3_shipping_priority, Q3_ORACLE),
+    ("q5_region_revenue", q5_region_revenue, Q5_ORACLE),
+    ("top_orders_per_customer", top_orders_per_customer, TOP_ORDERS_ORACLE),
+    ("running_customer_spend", running_customer_spend, RUNNING_SPEND_ORACLE),
+    ("customer_order_stats", customer_order_stats, CUSTOMER_STATS_ORACLE),
+    ("orders_above_customer_avg", orders_above_customer_avg, ABOVE_AVG_ORACLE),
+    ("supplier_part_distinct", supplier_part_distinct, SUPPLIER_DISTINCT_ORACLE),
+    ("rollup_sales", rollup_sales, ROLLUP_ORACLE),
+    ("customers_without_orders", customers_without_orders, NO_ORDERS_ORACLE),
+    ("high_value_customers_semi", high_value_customers_semi, HIGH_VALUE_ORACLE),
+    ("segment_priority_setops", segment_priority_setops, SETOPS_ORACLE),
+    ("part_scalar_suite", part_scalar_suite, PART_SCALAR_ORACLE),
+    ("orders_date_suite", orders_date_suite, ORDERS_DATE_ORACLE),
+    ("events_json_stats", events_json_stats, EVENTS_JSON_ORACLE),
+    ("event_type_pivot", event_type_pivot, PIVOT_ORACLE),
+    ("global_topk_orders", global_topk_orders, GLOBAL_TOPK_ORACLE),
+]

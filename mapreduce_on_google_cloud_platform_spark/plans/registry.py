@@ -18,7 +18,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators import wordcount
+from ..operators import relational, wordcount
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -43,3 +43,7 @@ _register(
 # MapType result: unit-tested order-insensitively, no SQL oracle (driver
 # records a rows-only check).
 _register("inverted_index_map", wordcount.inverted_index_map, None)
+
+# --- relational core (SURVEY.md §7 M2) --------------------------------------
+for _name, _fn, _oracle in relational.RELATIONAL_QUERIES:
+    _register(_name, _fn, _oracle)
