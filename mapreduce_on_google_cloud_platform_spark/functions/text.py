@@ -61,6 +61,57 @@ def tokens_df(documents: DataFrame, doc_col: str = "doc_id", text_col: str = "te
     )
 
 
+def shingles(tokens: Column, n: int = 3) -> Column:
+    """array of n-word shingles (overlapping token windows joined by ' ').
+
+    Guarded so short docs yield an empty array -- Spark's ``sequence(1, k)``
+    with k < 1 would generate a *descending* sequence, not an empty one.
+    """
+    idx = F.sequence(F.lit(1), F.size(tokens) - (n - 1))
+    win = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(tokens, i + k) for k in range(n)]
+        ),
+    )
+    return F.when(F.size(tokens) >= n, win).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def shingles_df(documents: DataFrame, n: int = 3) -> DataFrame:
+    """documents -> distinct (doc_id, sh) shingle rows."""
+    return (
+        documents.select(
+            "doc_id", F.explode(shingles(tokenize(F.col("text")), n)).alias("sh")
+        )
+        .distinct()
+    )
+
+
+# DuckDB CTEs producing the identical token-array / distinct-shingle stream.
+DUCKDB_TOKS_CTE = """
+    toks AS (
+        SELECT doc_id,
+               list_filter(
+                   list_transform(regexp_split_to_array(text, '\\s+'),
+                                  t -> regexp_replace(lower(t), '[^0-9a-z]', '', 'g')),
+                   x -> x <> '') AS ts
+        FROM documents
+    )
+"""
+
+DUCKDB_SHINGLES_CTE = (
+    DUCKDB_TOKS_CTE
+    + """,
+    shing AS (
+        SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS sh
+        FROM toks, unnest(range(1, len(ts) - 1)) t(i)
+    )
+"""
+)
+
+
 def duckdb_tokens_sql(doc_col: str = "doc_id", text_col: str = "text", table: str = "documents") -> str:
     """DuckDB SQL producing the identical (doc, word) token stream."""
     return f"""

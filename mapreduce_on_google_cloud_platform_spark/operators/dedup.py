@@ -1,0 +1,466 @@
+"""Deduplication suite for large-scale training-data pipelines.
+
+Five strategies over the ``documents`` / ``embeddings`` tables, each a
+``queries()`` entry with a DuckDB oracle that replicates the *same
+deterministic algorithm* (portable md5 hashing, functions/hashing.py), so
+approximate methods still hash-match exactly:
+
+* exact           -- md5 of normalized content, hash group-by
+* n-gram Jaccard  -- shingle inverted-index join + exact set similarity
+* MinHash LSH     -- 16 min-hashes, 8 bands x 2 rows, candidate join,
+                     exact-Jaccard verification of candidates
+* SimHash         -- 32-bit frequency-weighted signature; near-pairs via
+                     4-bit band join with a *provable* recall guarantee
+                     (hamming <= 7 across 8 bands leaves >=1 band intact)
+* embedding cosine -- exact near-dup pairs over array<float> embeddings
+
+Scale posture (100 TB): every pipeline is shuffle-on-key (shingle / band /
+hash bucket) with map-side partial aggregation; nothing is quadratic
+except the declared-exact ``dedup_embedding_pairs`` (its scale path is the
+banded/IVF variants in operators/similarity.py).  At petabyte scale the
+shingle join wants a stop-shingle cap (drop shingles present in > K docs:
+they contribute candidates, not similarity); left off here because it
+changes declared semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import (
+    BITS16,
+    HEX_DIGITS,
+    MINHASH_BANDS,
+    NUM_MINHASHES,
+    SIMHASH_BANDS,
+    SIMHASH_BITS,
+)
+from ..functions.text import (
+    DUCKDB_SHINGLES_CTE,
+    DUCKDB_TOKS_CTE,
+    shingles_df,
+    tokens_df,
+)
+from ..functions.vectors import as_double, cosine, sql_cosine
+from ..sources import load_table
+
+JACCARD_THRESHOLD = 0.2  # chosen to be non-trivial on the synthetic corpus
+HAMMING_MAX = 7          # recall-exact for 8 bands of 4 bits (pigeonhole)
+COSINE_NEAR_DUP = 0.4    # non-trivial on the synthetic embeddings
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def _norm_text(col: Column) -> Column:
+    return F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: md5 over whitespace-normalized lowercase text,
+    keep the smallest doc_id per group.  One shuffle on the hash; the
+    winner-pick is a plain min aggregate (no window needed)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.md5(_norm_text(F.col("text"))).alias("content_hash"), "doc_id"
+        )
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+DEDUP_EXACT_ORACLE = """
+    SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS content_hash,
+           min(doc_id) AS keep_doc_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+"""
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard (exact set similarity via shingle inverted index)
+# ---------------------------------------------------------------------------
+
+
+def _pair_jaccard(sh: DataFrame) -> DataFrame:
+    """distinct (doc_id, sh) -> (doc_a, doc_b, n_common, n_union, jaccard).
+
+    Inverted-index join: only docs sharing >=1 shingle ever meet, so the
+    candidate space is data-sparse, not O(n^2)."""
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, F.col("a.sh") == F.col("b.sh"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            (F.col("sa.n") + F.col("sb.n") - F.col("n_common")).alias("n_union"),
+            (
+                F.col("n_common").cast("double")
+                / (F.col("sa.n") + F.col("sb.n") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return _pair_jaccard(shingles_df(docs)).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    )
+
+
+NGRAM_JACCARD_ORACLE = f"""
+    WITH {DUCKDB_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, count(*) AS n FROM shing GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM shing a JOIN shing b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_common,
+           sa.n + sb.n - n_common AS n_union,
+           CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
+"""
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+
+def _minhash_bands(sh: DataFrame) -> DataFrame:
+    """distinct (doc_id, sh) -> (doc_id, band, band_key).
+
+    k=16 portable min-hashes (lexicographic min of md5('mh<i>:'||sh)),
+    grouped into 8 bands of 2; the band key is the md5 of the band's
+    concatenated signature rows."""
+    seeded = sh.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(NUM_MINHASHES - 1))).alias("seed"),
+        "sh",
+    ).select(
+        "doc_id",
+        "seed",
+        F.md5(F.concat(F.lit("mh"), F.col("seed"), F.lit(":"), F.col("sh"))).alias("h"),
+    )
+    sig = (
+        seeded.groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("mh"))
+        .groupBy("doc_id")
+        .pivot("seed", list(range(NUM_MINHASHES)))
+        .agg(F.first("mh"))
+    )
+    rows_per_band = NUM_MINHASHES // MINHASH_BANDS
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col(str(b * rows_per_band + r))
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(MINHASH_BANDS)
+        ]
+    )
+    return sig.select(
+        "doc_id", F.explode(band_structs).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup detection: band-bucket join proposes candidate
+    pairs, exact Jaccard (computed only for candidates) verifies them.
+
+    At 100 TB this is THE dedup plan: the only wide exchanges are
+    shuffle-on-shingle (signatures) and shuffle-on-band-key (candidates);
+    verification touches candidate docs only, never all pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles_df(docs)
+    bands = _minhash_bands(sh)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key")),
+        )
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    jac = _pair_jaccard(sh)
+    return (
+        cand.join(jac, ["doc_a", "doc_b"])
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def _minhash_oracle() -> str:
+    rows_per_band = NUM_MINHASHES // MINHASH_BANDS
+    mh_cols = ",\n               ".join(
+        f"min(CASE WHEN seed = {i} THEN h END) AS mh{i}"
+        for i in range(NUM_MINHASHES)
+    )
+    band_selects = "\n        UNION ALL\n".join(
+        f"        SELECT doc_id, {b} AS band, md5("
+        + " || '|' || ".join(
+            f"mh{b * rows_per_band + r}" for r in range(rows_per_band)
+        )
+        + ") AS band_key FROM sig"
+        for b in range(MINHASH_BANDS)
+    )
+    return f"""
+    WITH {DUCKDB_SHINGLES_CTE},
+    seeded AS (
+        SELECT doc_id, i AS seed, md5('mh' || i || ':' || sh) AS h
+        FROM shing, unnest(range(0, {NUM_MINHASHES})) t(i)
+    ),
+    sig AS (
+        SELECT doc_id,
+               {mh_cols}
+        FROM seeded GROUP BY doc_id
+    ),
+    bands AS (
+{band_selects}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shing GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM shing a JOIN shing b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT cand.doc_a, cand.doc_b,
+           CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+    FROM cand
+    JOIN pairs ON cand.doc_a = pairs.doc_a AND cand.doc_b = pairs.doc_b
+    JOIN sizes sa ON cand.doc_a = sa.doc_id
+    JOIN sizes sb ON cand.doc_b = sb.doc_id
+    WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
+"""
+
+
+MINHASH_LSH_ORACLE = _minhash_oracle()
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def _simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash): 32-bit frequency-weighted SimHash.
+
+    Bit j of a token is extracted from its md5 hex prefix via pure string
+    ops (hex digit -> position in '0123456789abcdef' -> bit from a 64-char
+    0/1 lookup string) so DuckDB computes the identical signature without
+    any integer-hex builtin."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok_counts = (
+        tokens_df(docs).groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    per_bit = (
+        tok_counts.select(
+            "doc_id",
+            "cnt",
+            F.substring(F.md5("word"), 1, SIMHASH_BITS // 4).alias("hex8"),
+            F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("j"),
+        )
+        .select(
+            "doc_id",
+            "j",
+            (
+                F.col("cnt")
+                * (
+                    2
+                    * F.expr(
+                        f"CAST(substring('{BITS16}',"
+                        f" (instr('{HEX_DIGITS}', substring(hex8, CAST(floor(j/4) AS INT) + 1, 1)) - 1) * 4"
+                        f" + (j % 4) + 1, 1) AS INT)"
+                    )
+                    - 1
+                )
+            ).alias("contrib"),
+        )
+        .groupBy("doc_id", "j")
+        .agg(F.sum("contrib").alias("s"))
+    )
+    return per_bit.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("CAST(power(2, j) AS BIGINT)")).otherwise(
+                F.lit(0)
+            )
+        ).alias("simhash")
+    )
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _simhash_signatures(spark, sf_dir)
+
+
+SIMHASH_SIG_CTE = f"""
+    {DUCKDB_TOKS_CTE},
+    tok_counts AS (
+        SELECT doc_id, w AS word, count(*) AS cnt
+        FROM toks, unnest(ts) t(w)
+        GROUP BY 1, 2
+    ),
+    per_bit AS (
+        SELECT doc_id, j,
+               sum(cnt * (2 * CAST(substring('{BITS16}',
+                   (instr('{HEX_DIGITS}', substring(substring(md5(word), 1, {SIMHASH_BITS // 4}),
+                                                    CAST(floor(j/4) AS INT) + 1, 1)) - 1) * 4
+                   + (j % 4) + 1, 1) AS INT) - 1)) AS s
+        FROM tok_counts, unnest(range(0, {SIMHASH_BITS})) t(j)
+        GROUP BY 1, 2
+    ),
+    sig AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN s > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END) AS BIGINT)
+                   AS simhash
+        FROM per_bit GROUP BY doc_id
+    )
+"""
+
+SIMHASH_ORACLE = f"""
+    WITH {SIMHASH_SIG_CTE}
+    SELECT doc_id, simhash FROM sig
+"""
+
+
+def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance <= {HAMMING_MAX}.
+
+    Scale path: band join on 8x 4-bit chunks -- by pigeonhole, <= 7
+    differing bits leave at least one chunk equal, so the banded join has
+    PERFECT recall at this threshold and the oracle can be the brute-force
+    definition. Shuffles on (band, chunk-value); never all-pairs."""
+    sig = _simhash_signatures(spark, sf_dir)
+    chunks = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(
+                            f"CAST(floor(simhash / CAST(power(2, {4 * b}) AS BIGINT)) AS BIGINT) % 16"
+                        ).alias("chunk"),
+                    )
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bc"),
+    ).select("doc_id", "simhash", F.col("bc.band").alias("band"), F.col("bc.chunk").alias("chunk"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk")),
+        )
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).cast("int").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= HAMMING_MAX)
+    )
+
+
+SIMHASH_PAIRS_ORACLE = f"""
+    WITH {SIMHASH_SIG_CTE}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+"""
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding near-dup pairs (cosine >= {COSINE_NEAR_DUP}).
+
+    Declared-exact, hence all-pairs: O(n^2) by definition. The 100 TB
+    path is operators/similarity.py (IVF-pruned search); this query is the
+    ground-truth oracle for it. Cosines are sequential-fold doubles --
+    bit-identical to the DuckDB oracle (functions/vectors.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.alias("a")
+    b = emb.alias("b")
+    cos = cosine(
+        as_double(F.col("a.embedding")), as_double(F.col("b.embedding"))
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= COSINE_NEAR_DUP)
+    )
+
+
+EMBEDDING_PAIRS_ORACLE = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {sql_cosine('a.v', 'b.v')} AS cos_sim
+    FROM e a, e b
+    WHERE a.vec_id < b.vec_id
+      AND {sql_cosine('a.v', 'b.v')} >= {COSINE_NEAR_DUP}
+"""
+
+
+DEDUP_QUERIES: list[tuple[str, object, str | None]] = [
+    ("dedup_exact", dedup_exact, DEDUP_EXACT_ORACLE),
+    ("dedup_ngram_jaccard", dedup_ngram_jaccard, NGRAM_JACCARD_ORACLE),
+    ("dedup_minhash_lsh", dedup_minhash_lsh, MINHASH_LSH_ORACLE),
+    ("dedup_simhash", dedup_simhash, SIMHASH_ORACLE),
+    ("simhash_near_pairs", simhash_near_pairs, SIMHASH_PAIRS_ORACLE),
+    ("dedup_embedding_pairs", dedup_embedding_pairs, EMBEDDING_PAIRS_ORACLE),
+]

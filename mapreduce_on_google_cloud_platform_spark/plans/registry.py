@@ -18,7 +18,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators import relational, wordcount
+from ..operators import dedup, relational, wordcount
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -46,4 +46,8 @@ _register("inverted_index_map", wordcount.inverted_index_map, None)
 
 # --- relational core (SURVEY.md §7 M2) --------------------------------------
 for _name, _fn, _oracle in relational.RELATIONAL_QUERIES:
+    _register(_name, _fn, _oracle)
+
+# --- dedup suite (north star: training-data pipeline ops) -------------------
+for _name, _fn, _oracle in dedup.DEDUP_QUERIES:
     _register(_name, _fn, _oracle)

@@ -1,0 +1,80 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduce_on_google_cloud_platform_spark.operators.dedup import (
+    DEDUP_QUERIES,
+    HAMMING_MAX,
+)
+from mapreduce_on_google_cloud_platform_spark.plans import ORACLES, QUERIES
+
+from .conftest import SF_ORACLE, SF_SMOKE
+from .oracle import assert_matches_oracle
+
+NAMES = [name for name, _, _ in DEDUP_QUERIES]
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_oracle_parity_smoke(spark, name):
+    assert_matches_oracle(QUERIES[name](spark, SF_SMOKE), ORACLES[name], SF_SMOKE)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", NAMES)
+def test_oracle_parity_sf001(spark, name):
+    assert_matches_oracle(QUERIES[name](spark, SF_ORACLE), ORACLES[name], SF_ORACLE)
+
+
+def test_near_dup_results_non_trivial(spark):
+    """Thresholds were chosen so the synthetic corpus actually produces
+    near-dup pairs -- guard against a trivially-empty (hence trivially
+    matching) check."""
+    assert QUERIES["dedup_ngram_jaccard"](spark, SF_ORACLE).count() > 0
+    assert QUERIES["dedup_embedding_pairs"](spark, SF_ORACLE).count() > 0
+
+
+def test_minhash_is_subset_of_exact_jaccard(spark):
+    """LSH output must be a subset of the exact-Jaccard pairs (banding can
+    only lose candidates, never invent similarity)."""
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["dedup_ngram_jaccard"](spark, SF_SMOKE).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["dedup_minhash_lsh"](spark, SF_SMOKE).collect()
+    }
+    assert lsh <= exact
+
+
+def test_simhash_band_join_recall_exact(spark):
+    """The 8x4-bit band join must find EVERY pair at hamming <= HAMMING_MAX
+    (pigeonhole guarantee) -- compare against brute force in Spark."""
+    from mapreduce_on_google_cloud_platform_spark.operators.dedup import (
+        _simhash_signatures,
+    )
+
+    sig = _simhash_signatures(spark, SF_SMOKE)
+    a, b = sig.alias("a"), sig.alias("b")
+    brute = {
+        (r.doc_a, r.doc_b)
+        for r in (
+            a.crossJoin(b)
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.bit_count(
+                    F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+                ).alias("hamming"),
+            )
+            .filter(F.col("hamming") <= HAMMING_MAX)
+            .collect()
+        )
+    }
+    banded = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["simhash_near_pairs"](spark, SF_SMOKE).collect()
+    }
+    assert banded == brute
