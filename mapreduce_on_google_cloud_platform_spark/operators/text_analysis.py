@@ -1,0 +1,257 @@
+"""Text-analysis operators for training-data curation.
+
+Four declared queries over ``documents``, all pure JVM-side column
+expressions (no Python in the row path) with exact DuckDB twins:
+
+* ``text_langid``          -- stopword-hit language ID heuristic
+* ``text_quality_score``   -- length/stopword/character-class metrics
+* ``token_count_stats``    -- whitespace + BPE-ish regex token counts
+* ``doc_fingerprint``      -- md5 + 31-polynomial rolling hash
+
+Numeric discipline: every ratio is a SINGLE double division of exact
+integers (never a sum of doubles), so parallel execution order cannot
+perturb a result; group-level rollups aggregate the integer components,
+not the per-doc doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import DUCKDB_TOKS_CTE, tokenize
+from ..sources import load_table
+
+# Tiny per-language stopword lists (heuristic demo -- the corpus is
+# synthetic; what matters is that Spark and the oracle agree exactly).
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to"],
+    "de": ["der", "die", "das", "und", "ein"],
+    "es": ["el", "la", "de", "y", "un"],
+    "fr": ["le", "les", "et", "des", "une"],
+}
+LANGS = list(STOPWORDS)  # priority order for argmax ties
+
+
+def _hits(tokens: Column, words: list[str]) -> Column:
+    lits = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(lits, t)))
+
+
+def _sql_hits(ts: str, words: list[str]) -> str:
+    lst = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    return f"len(list_filter({ts}, x -> list_contains({lst}, x)))"
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: per-language stopword hit counts, argmax with
+    fixed priority order on ties, 'unknown' when nothing hits."""
+    docs = load_table(spark, sf_dir, "documents")
+    ts = tokenize(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        *[_hits(ts, STOPWORDS[lang]).cast("bigint").alias(f"s_{lang}") for lang in LANGS],
+    )
+    s = {lang: F.col(f"s_{lang}") for lang in LANGS}
+    pred = F.when(sum(s.values(), F.lit(0)) == 0, "unknown")
+    for i, lang in enumerate(LANGS):
+        cond = None
+        for other in LANGS[i + 1 :]:
+            c = s[lang] >= s[other]
+            cond = c if cond is None else (cond & c)
+        pred = pred.when(cond if cond is not None else F.lit(True), lang)
+    return scored.select(
+        "doc_id", pred.alias("lang_pred"), *[f"s_{lang}" for lang in LANGS]
+    )
+
+
+def _langid_oracle() -> str:
+    hit_cols = ",\n           ".join(
+        f"CAST({_sql_hits('ts', STOPWORDS[lang])} AS BIGINT) AS s_{lang}"
+        for lang in LANGS
+    )
+    total = " + ".join(f"s_{lang}" for lang in LANGS)
+    cases = []
+    for i, lang in enumerate(LANGS):
+        conds = [f"s_{lang} >= s_{o}" for o in LANGS[i + 1 :]]
+        cases.append(
+            f"WHEN {' AND '.join(conds)} THEN '{lang}'" if conds else f"ELSE '{lang}'"
+        )
+    case_sql = "\n                WHEN " + f"{total} = 0 THEN 'unknown'\n                " + "\n                ".join(cases)
+    return f"""
+    WITH {DUCKDB_TOKS_CTE},
+    scored AS (
+        SELECT doc_id,
+           {hit_cols}
+        FROM toks
+    )
+    SELECT doc_id,
+           CASE {case_sql}
+           END AS lang_pred,
+           {', '.join(f's_{lang}' for lang in LANGS)}
+    FROM scored
+"""
+
+
+LANGID_ORACLE = _langid_oracle()
+
+EN_STOPS = STOPWORDS["en"]
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality metrics: every ratio is one double division of
+    exact integer counts; the composite score is a fixed linear form."""
+    docs = load_table(spark, sf_dir, "documents")
+    ts = tokenize(F.col("text"))
+    base = docs.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.size(ts).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(ts)).cast("bigint").alias("n_distinct"),
+        F.aggregate(
+            F.transform(ts, lambda t: F.length(t).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("sum_token_len"),
+        _hits(ts, EN_STOPS).cast("bigint").alias("stop_hits"),
+        F.length(F.regexp_replace(F.lower("text"), "[^a-z]", "")).cast("bigint").alias("n_alpha"),
+    )
+    avg_len = F.col("sum_token_len").cast("double") / F.col("n_tokens")
+    stop_ratio = F.col("stop_hits").cast("double") / F.col("n_tokens")
+    distinct_ratio = F.col("n_distinct").cast("double") / F.col("n_tokens")
+    alpha_ratio = F.col("n_alpha").cast("double") / F.col("n_chars")
+    return base.select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        "n_distinct",
+        avg_len.alias("avg_token_len"),
+        stop_ratio.alias("stop_ratio"),
+        distinct_ratio.alias("distinct_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+        (0.3 * stop_ratio + 0.4 * distinct_ratio + 0.3 * alpha_ratio).alias("quality"),
+    )
+
+
+QUALITY_ORACLE = f"""
+    WITH {DUCKDB_TOKS_CTE},
+    base AS (
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(len(ts) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(ts)) AS BIGINT) AS n_distinct,
+               CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        list_transform(ts, t -> CAST(length(t) AS BIGINT))),
+                    (a, x) -> a + x) AS BIGINT) AS sum_token_len,
+               CAST({_sql_hits('ts', EN_STOPS)} AS BIGINT) AS stop_hits,
+               CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS BIGINT) AS n_alpha
+        FROM toks JOIN documents USING (doc_id)
+    )
+    SELECT doc_id, n_chars, n_tokens, n_distinct,
+           CAST(sum_token_len AS DOUBLE) / n_tokens AS avg_token_len,
+           CAST(stop_hits AS DOUBLE) / n_tokens AS stop_ratio,
+           CAST(n_distinct AS DOUBLE) / n_tokens AS distinct_ratio,
+           CAST(n_alpha AS DOUBLE) / n_chars AS alpha_ratio,
+           0.3 * (CAST(stop_hits AS DOUBLE) / n_tokens)
+         + 0.4 * (CAST(n_distinct AS DOUBLE) / n_tokens)
+         + 0.3 * (CAST(n_alpha AS DOUBLE) / n_chars) AS quality
+    FROM base
+"""
+
+# BPE-ish word-piece pattern: runs of letters, runs of digits, single symbol
+BPE_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def token_count_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways (whitespace split, BPE-ish regex pieces,
+    bytes/4 estimate) -- the standard cheap size signals for data curation,
+    rolled up per source with integer-exact ratios."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source",
+        F.size(tokenize(F.col("text"))).cast("bigint").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(BPE_RE), 0)).cast("bigint").alias("regex_tokens"),
+        F.octet_length("text").cast("bigint").alias("n_bytes"),
+        F.ceil(F.octet_length("text") / 4.0).cast("bigint").alias("est_bpe_tokens"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ws_tokens").alias("total_ws_tokens"),
+        F.sum("regex_tokens").alias("total_regex_tokens"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.sum("est_bpe_tokens").alias("total_est_bpe"),
+        (F.sum("n_bytes").cast("double") / F.sum("ws_tokens")).alias("bytes_per_token"),
+    )
+
+
+TOKEN_COUNT_ORACLE = f"""
+    WITH per_doc AS (
+        SELECT source,
+               CAST(len(list_filter(list_transform(regexp_split_to_array(text, '\\s+'),
+                        t -> regexp_replace(lower(t), '[^0-9a-z]', '', 'g')),
+                        x -> x <> '')) AS BIGINT) AS ws_tokens,
+               CAST(len(regexp_extract_all(lower(text), '{BPE_RE}')) AS BIGINT) AS regex_tokens,
+               CAST(strlen(text) AS BIGINT) AS n_bytes,
+               CAST(ceil(strlen(text) / 4.0) AS BIGINT) AS est_bpe_tokens
+        FROM documents
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(ws_tokens) AS BIGINT) AS total_ws_tokens,
+           CAST(sum(regex_tokens) AS BIGINT) AS total_regex_tokens,
+           CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+           CAST(sum(est_bpe_tokens) AS BIGINT) AS total_est_bpe,
+           CAST(sum(n_bytes) AS DOUBLE) / sum(ws_tokens) AS bytes_per_token
+    FROM per_doc
+    GROUP BY source
+"""
+
+ROLLING_MOD = 1_000_000_007
+ROLLING_MULT = 31
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints: md5 of normalized text + a 31-polynomial
+    rolling hash over character codes (mod 1e9+7), the classic
+    Rabin-Karp-style fingerprint, computed as a sequential fold."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length(norm)),
+        lambda i: F.ascii(F.substring(norm, i, F.lit(1))).cast("bigint"),
+    )
+    rolling = F.aggregate(
+        codes,
+        F.lit(0).cast("bigint"),
+        lambda acc, c: (acc * ROLLING_MULT + c) % ROLLING_MOD,
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("md5_hex"),
+        rolling.alias("rolling_hash"),
+    )
+
+
+FINGERPRINT_ORACLE = f"""
+    WITH norm AS (
+        SELECT doc_id,
+               regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS nt
+        FROM documents
+    )
+    SELECT doc_id,
+           md5(nt) AS md5_hex,
+           list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                   list_transform(generate_series(1, length(nt)),
+                                  i -> CAST(ascii(substring(nt, i, 1)) AS BIGINT))),
+               (acc, c) -> (acc * {ROLLING_MULT} + c) % {ROLLING_MOD}) AS rolling_hash
+    FROM norm
+"""
+
+
+TEXT_ANALYSIS_QUERIES: list[tuple[str, object, str | None]] = [
+    ("text_langid", text_langid, LANGID_ORACLE),
+    ("text_quality_score", text_quality_score, QUALITY_ORACLE),
+    ("token_count_stats", token_count_stats, TOKEN_COUNT_ORACLE),
+    ("doc_fingerprint", doc_fingerprint, FINGERPRINT_ORACLE),
+]

@@ -18,7 +18,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators import dedup, relational, wordcount
+from ..operators import dedup, relational, similarity, text_analysis, wordcount
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -50,4 +50,12 @@ for _name, _fn, _oracle in relational.RELATIONAL_QUERIES:
 
 # --- dedup suite (north star: training-data pipeline ops) -------------------
 for _name, _fn, _oracle in dedup.DEDUP_QUERIES:
+    _register(_name, _fn, _oracle)
+
+# --- similarity search -------------------------------------------------------
+for _name, _fn, _oracle in similarity.SIMILARITY_QUERIES:
+    _register(_name, _fn, _oracle)
+
+# --- text analysis -----------------------------------------------------------
+for _name, _fn, _oracle in text_analysis.TEXT_ANALYSIS_QUERIES:
     _register(_name, _fn, _oracle)
