@@ -1,0 +1,173 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Pattern for image/audio/video at 100 TB: the payload is an opaque
+``BinaryType`` column that stays zipped through the pipeline (never
+parsed by the engine), while all filtering/routing happens on cheap typed
+metadata columns (format, dims, bytes, checksums) -- so partition pruning
+and predicate pushdown keep working even though the payload is a blob.
+
+The container has no image/audio codecs, so the decode step is STUBBED:
+``decode_image_batch`` raises ``NotImplementedError`` unless the real
+codec import succeeds, and the tested path uses ``_fake_decode`` -- a
+deterministic byte-level "decoder" with the exact Arrow/mapInPandas batch
+shape a real one would have.  The Spark-side plumbing (schema, batching,
+partitioning) is real and tested; only the codec call is fake.
+
+The testdata has no binary table, so payloads are synthesized from
+``documents.text`` (utf-8 bytes) -- which also makes the metadata query
+DuckDB-checkable end-to-end.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+
+# typed metadata the engine routes on; payload stays opaque
+MEDIA_SCHEMA = (
+    "doc_id bigint, media_type string, fmt string, width int, height int, "
+    "n_bytes bigint, payload binary"
+)
+
+FEATURE_SCHEMA = (
+    "doc_id bigint, n_bytes bigint, mean_byte double, max_byte int, "
+    "hist_0 bigint, hist_1 bigint, hist_2 bigint, hist_3 bigint"
+)
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> media rows: binary payload + deterministic typed
+    metadata (stand-in for image dims etc.)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.lit("image").alias("media_type"),
+        F.when(F.col("doc_id") % 3 == 0, "png").otherwise("jpeg").alias("fmt"),
+        (64 + F.col("doc_id") % 192).cast("int").alias("width"),
+        (64 + (F.col("doc_id") * 7) % 192).cast("int").alias("height"),
+        F.octet_length("text").cast("bigint").alias("n_bytes"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+
+
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-side stats per format -- the payload column is never opened
+    (only length + checksum, both computable without decode)."""
+    media = media_table(spark, sf_dir)
+    return (
+        media.select(
+            "fmt",
+            "n_bytes",
+            "width",
+            "height",
+            F.md5("payload").alias("payload_md5"),
+        )
+        .groupBy("fmt")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.max("width").alias("max_width"),
+            F.max("height").alias("max_height"),
+            F.min("payload_md5").alias("min_md5"),
+        )
+    )
+
+
+MULTIMODAL_METADATA_ORACLE = """
+    WITH media AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,
+               CAST(64 + doc_id % 192 AS INTEGER) AS width,
+               CAST(64 + (doc_id * 7) % 192 AS INTEGER) AS height,
+               CAST(strlen(text) AS BIGINT) AS n_bytes,
+               md5(text) AS payload_md5
+        FROM documents
+    )
+    SELECT fmt,
+           count(*) AS n_media,
+           CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+           max(width) AS max_width,
+           max(height) AS max_height,
+           min(payload_md5) AS min_md5
+    FROM media
+    GROUP BY fmt
+"""
+
+
+def _fake_decode(payload: bytes) -> "object":
+    """Deterministic stand-in for a codec: bytes -> uint8 'pixel' array."""
+    import numpy as np
+
+    return np.frombuffer(payload, dtype=np.uint8)
+
+
+def decode_image_batch(payloads):
+    """Real decode hook.  The v1 container ships no codecs; a deployment
+    with PIL installed gets real decoding, everything else fails loudly
+    rather than silently producing fake features."""
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - no codec in container
+        raise NotImplementedError(
+            "image decode requires a codec library (PIL) not present in "
+            "this environment; use the _fake_decode-backed feature path"
+        ) from exc
+    raise NotImplementedError("real codec path not wired in v1")
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over binary payloads via mapInPandas: Arrow-batched
+    iterator of pandas DataFrames in, feature rows out.  This is the real
+    100 TB shape -- per-partition batches, no driver involvement, payload
+    bytes touched exactly once."""
+    import pandas as pd
+
+    media = media_table(spark, sf_dir).select("doc_id", "payload")
+
+    def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
+        for pdf in batches:
+            feats = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px = _fake_decode(bytes(payload))
+                hist = np.bincount(px >> 6, minlength=4)
+                feats.append(
+                    (
+                        doc_id,
+                        len(px),
+                        float(px.mean()) if len(px) else 0.0,
+                        int(px.max()) if len(px) else 0,
+                        int(hist[0]),
+                        int(hist[1]),
+                        int(hist[2]),
+                        int(hist[3]),
+                    )
+                )
+            yield pd.DataFrame(
+                feats,
+                columns=[
+                    "doc_id",
+                    "n_bytes",
+                    "mean_byte",
+                    "max_byte",
+                    "hist_0",
+                    "hist_1",
+                    "hist_2",
+                    "hist_3",
+                ],
+            )
+
+    return media.mapInPandas(extract, schema=FEATURE_SCHEMA)
+
+
+MULTIMODAL_QUERIES: list[tuple[str, object, str | None]] = [
+    ("multimodal_metadata", multimodal_metadata, MULTIMODAL_METADATA_ORACLE),
+    # mapInPandas feature extraction: Python-side decode, no SQL oracle ->
+    # rows-only driver check + pytest value assertions.
+    ("multimodal_features", multimodal_features, None),
+]

@@ -18,7 +18,15 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators import dedup, relational, similarity, text_analysis, wordcount
+from ..operators import (
+    dedup,
+    multimodal,
+    relational,
+    similarity,
+    text_analysis,
+    wordcount,
+)
+from ..streaming import STREAMING_QUERIES
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -58,4 +66,12 @@ for _name, _fn, _oracle in similarity.SIMILARITY_QUERIES:
 
 # --- text analysis -----------------------------------------------------------
 for _name, _fn, _oracle in text_analysis.TEXT_ANALYSIS_QUERIES:
+    _register(_name, _fn, _oracle)
+
+# --- event-time windowing (batch twins of the streaming plans) ---------------
+for _name, _fn, _oracle in STREAMING_QUERIES:
+    _register(_name, _fn, _oracle)
+
+# --- multimodal binary columns ------------------------------------------------
+for _name, _fn, _oracle in multimodal.MULTIMODAL_QUERIES:
     _register(_name, _fn, _oracle)

@@ -1,0 +1,3 @@
+from .windows import STREAMING_QUERIES
+
+__all__ = ["STREAMING_QUERIES"]

@@ -1,0 +1,75 @@
+from __future__ import annotations
+
+import pytest
+
+from mapreduce_on_google_cloud_platform_spark.plans import ORACLES, QUERIES
+from mapreduce_on_google_cloud_platform_spark.streaming import STREAMING_QUERIES
+from mapreduce_on_google_cloud_platform_spark.streaming.windows import (
+    streaming_session_query,
+    streaming_tumbling_query,
+)
+
+from .conftest import SF_ORACLE, SF_SMOKE
+from .oracle import assert_matches_oracle
+
+NAMES = [name for name, _, _ in STREAMING_QUERIES]
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_oracle_parity_smoke(spark, name):
+    assert_matches_oracle(QUERIES[name](spark, SF_SMOKE), ORACLES[name], SF_SMOKE)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", NAMES)
+def test_oracle_parity_sf001(spark, name):
+    assert_matches_oracle(QUERIES[name](spark, SF_ORACLE), ORACLES[name], SF_ORACLE)
+
+
+@pytest.mark.slow
+def test_streaming_tumbling_equals_batch(spark):
+    """Run the REAL Structured Streaming pipeline (readStream -> watermark ->
+    window agg -> memory sink) to completion and compare with the batch twin."""
+    stream = streaming_tumbling_query(spark, SF_SMOKE)
+    q = (
+        stream.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("stream_tumbling")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            tuple(r) for r in spark.sql("SELECT * FROM stream_tumbling").collect()
+        )
+    finally:
+        q.stop()
+    want = sorted(
+        tuple(r) for r in QUERIES["tumbling_window_events"](spark, SF_SMOKE).collect()
+    )
+    assert got == want
+
+
+@pytest.mark.slow
+def test_streaming_session_window_runs(spark):
+    """Native session_window streaming plan: sessions must cover every event
+    and respect the gap (compared against the batch lag+cumsum session count)."""
+    stream = streaming_session_query(spark, SF_SMOKE)
+    q = (
+        stream.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("stream_sessions")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql(
+            "SELECT user_id, session_start_us, n_events FROM stream_sessions"
+        ).collect()
+    finally:
+        q.stop()
+    batch = QUERIES["session_windows_users"](spark, SF_SMOKE).collect()
+    # identical session starts and sizes per user
+    assert sorted((r.user_id, r.session_start_us, r.n_events) for r in got) == sorted(
+        (r.user_id, r.session_start_us, r.n_events) for r in batch
+    )
