@@ -1,0 +1,84 @@
+#!/usr/bin/env python3
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {"<name>": sec, ...}, "sf": <sf>}
+
+Each query is forced through the noop sink (full materialization of every
+output row -- count() would let Catalyst prune work).  Timings exclude
+session bootstrap.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    # reference parity
+    "wordcount",
+    "inverted_index_postings",
+    # relational core
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "top_orders_per_customer",
+    "supplier_part_distinct",
+    "orders_above_customer_avg",
+    # dedup
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "simhash_near_pairs",
+    "dedup_embedding_pairs",
+    # similarity
+    "ann_topk_bruteforce",
+    "ann_ivf_topk",
+    # text analysis
+    "text_quality_score",
+    "doc_fingerprint",
+    # event-time windows
+    "tumbling_window_events",
+    "session_windows_users",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from mapreduce_on_google_cloud_platform_spark.plans import QUERIES
+    from mapreduce_on_google_cloud_platform_spark.session import get_spark
+
+    spark = get_spark("bench")
+
+    # warm the JVM/codegen once on a trivial plan so query timings measure
+    # the work, not first-stage setup
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_runtime",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -80,11 +80,27 @@ def shingles(tokens: Column, n: int = 3) -> Column:
 
 
 def shingles_df(documents: DataFrame, n: int = 3) -> DataFrame:
-    """documents -> distinct (doc_id, sh) shingle rows."""
+    """documents -> distinct (doc_id, sh) shingle rows.
+
+    Relational formulation: posexplode tokens once, then lead() windows
+    build each n-gram.  The array-expression form (explode(shingles(
+    tokenize(text)))) inlines the tokenize chain into every element_at --
+    Catalyst re-evaluates it per element, measured 26s for 5k docs vs ~2s
+    for this plan.  One shuffle on doc_id; all expressions codegen."""
+    from pyspark.sql import Window
+
+    toks = documents.select(
+        "doc_id", F.posexplode(tokenize(F.col("text"))).alias("pos", "word")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.col("word")] + [F.lead("word", k).over(w) for k in range(1, n)]
     return (
-        documents.select(
-            "doc_id", F.explode(shingles(tokenize(F.col("text")), n)).alias("sh")
+        toks.select(
+            "doc_id",
+            *[lead.alias(f"_w{k}") for k, lead in enumerate(leads)],
         )
+        .filter(F.col(f"_w{n-1}").isNotNull())
+        .select("doc_id", F.concat_ws(" ", *[f"_w{k}" for k in range(n)]).alias("sh"))
         .distinct()
     )
 

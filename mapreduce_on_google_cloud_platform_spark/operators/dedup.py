@@ -42,7 +42,12 @@ from ..functions.text import (
     shingles_df,
     tokens_df,
 )
-from ..functions.vectors import as_double, cosine, sql_cosine
+from ..functions.vectors import (
+    SQL_NORMALIZED_CTE,
+    flat_dot,
+    flat_normalized,
+    sql_dot,
+)
 from ..sources import load_table
 
 JACCARD_THRESHOLD = 0.2  # chosen to be non-trivial on the synthetic corpus
@@ -93,6 +98,7 @@ def _pair_jaccard(sh: DataFrame) -> DataFrame:
 
     Inverted-index join: only docs sharing >=1 shingle ever meet, so the
     candidate space is data-sparse, not O(n^2)."""
+    sh = sh.persist()  # consumed by sizes + both join sides
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -155,18 +161,25 @@ def _minhash_bands(sh: DataFrame) -> DataFrame:
 
     k=16 portable min-hashes (lexicographic min of md5('mh<i>:'||sh)),
     grouped into 8 bands of 2; the band key is the md5 of the band's
-    concatenated signature rows."""
-    seeded = sh.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(NUM_MINHASHES - 1))).alias("seed"),
+    concatenated signature rows.
+
+    Hash the DICTIONARY, not the occurrences: md5 is computed once per
+    distinct shingle string (the vocabulary is far smaller than the
+    corpus) and joined back to (doc, shingle) rows -- at sf0.1 this cut
+    the md5 count ~20x, and at 100 TB it is the difference between
+    hashing the corpus and hashing the vocabulary."""
+    uniq = sh.select("sh").distinct()
+    seeded = uniq.select(
         "sh",
+        F.explode(F.sequence(F.lit(0), F.lit(NUM_MINHASHES - 1))).alias("seed"),
     ).select(
-        "doc_id",
+        "sh",
         "seed",
         F.md5(F.concat(F.lit("mh"), F.col("seed"), F.lit(":"), F.col("sh"))).alias("h"),
     )
     sig = (
-        seeded.groupBy("doc_id", "seed")
+        sh.join(seeded, "sh")
+        .groupBy("doc_id", "seed")
         .agg(F.min("h").alias("mh"))
         .groupBy("doc_id")
         .pivot("seed", list(range(NUM_MINHASHES)))
@@ -203,8 +216,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle-on-shingle (signatures) and shuffle-on-band-key (candidates);
     verification touches candidate docs only, never all pairs."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = shingles_df(docs)
-    bands = _minhash_bands(sh)
+    # persist every subplan referenced from more than one branch: Spark has
+    # no cross-branch common-subexpression reuse, so an unpersisted `bands`
+    # would be recomputed for BOTH sides of its self-join (and `cand` for
+    # each of its three consumers) -- measured 8x slower without these.
+    sh = shingles_df(docs).persist()
+    bands = _minhash_bands(sh).persist()
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -217,8 +234,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .distinct()
+        .persist()
     )
-    jac = _pair_jaccard(sh)
+    # exact-Jaccard verification for CANDIDATES ONLY: semi-join the shingle
+    # table down to candidate docs before intersecting, so verification
+    # cost scales with candidates, not with every shingle-sharing pair.
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh_cand = sh.join(cand_docs, "doc_id", "left_semi")
+    jac = _pair_jaccard(sh_cand)
     return (
         cand.join(jac, ["doc_a", "doc_b"])
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
@@ -294,31 +321,34 @@ def _simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok_counts = (
         tokens_df(docs).groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("cnt"))
     )
-    per_bit = (
-        tok_counts.select(
-            "doc_id",
-            "cnt",
+    # hash the dictionary, not the occurrences: the per-bit +-1 value of a
+    # word is computed once for each DISTINCT word and joined back
+    word_bits = (
+        tok_counts.select("word")
+        .distinct()
+        .select(
+            "word",
             F.substring(F.md5("word"), 1, SIMHASH_BITS // 4).alias("hex8"),
             F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("j"),
         )
         .select(
-            "doc_id",
+            "word",
             "j",
             (
-                F.col("cnt")
-                * (
-                    2
-                    * F.expr(
-                        f"CAST(substring('{BITS16}',"
-                        f" (instr('{HEX_DIGITS}', substring(hex8, CAST(floor(j/4) AS INT) + 1, 1)) - 1) * 4"
-                        f" + (j % 4) + 1, 1) AS INT)"
-                    )
-                    - 1
+                2
+                * F.expr(
+                    f"CAST(substring('{BITS16}',"
+                    f" (instr('{HEX_DIGITS}', substring(hex8, CAST(floor(j/4) AS INT) + 1, 1)) - 1) * 4"
+                    f" + (j % 4) + 1, 1) AS INT)"
                 )
-            ).alias("contrib"),
+                - 1
+            ).alias("sgn"),
         )
+    )
+    per_bit = (
+        tok_counts.join(F.broadcast(word_bits), "word")
         .groupBy("doc_id", "j")
-        .agg(F.sum("contrib").alias("s"))
+        .agg(F.sum(F.col("cnt") * F.col("sgn")).alias("s"))
     )
     return per_bit.groupBy("doc_id").agg(
         F.sum(
@@ -370,7 +400,7 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     differing bits leave at least one chunk equal, so the banded join has
     PERFECT recall at this threshold and the oracle can be the brute-force
     definition. Shuffles on (band, chunk-value); never all-pairs."""
-    sig = _simhash_signatures(spark, sf_dir)
+    sig = _simhash_signatures(spark, sf_dir).persist()  # both self-join sides
     chunks = sig.select(
         "doc_id",
         "simhash",
@@ -403,8 +433,10 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
             ).cast("int").alias("hamming"),
         )
-        .distinct()
+        # filter BEFORE distinct: the hamming predicate is per-row cheap,
+        # the distinct is a shuffle -- shrink what gets shuffled
         .filter(F.col("hamming") <= HAMMING_MAX)
+        .distinct()
     )
 
 
@@ -426,33 +458,37 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Declared-exact, hence all-pairs: O(n^2) by definition. The 100 TB
     path is operators/similarity.py (IVF-pruned search); this query is the
-    ground-truth oracle for it. Cosines are sequential-fold doubles --
-    bit-identical to the DuckDB oracle (functions/vectors.py)."""
+    ground-truth oracle for it.  Vectors are unit-normalized ONCE (O(n),
+    flat-column representation: vectors.flat_normalized) so each pair is
+    a single fully-codegen'd scalar dot product; arithmetic order is
+    identical to the oracle's list_reduce, results bit-equal."""
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.alias("a")
-    b = emb.alias("b")
-    cos = cosine(
-        as_double(F.col("a.embedding")), as_double(F.col("b.embedding"))
-    )
+    en = flat_normalized(emb).persist()
+    a = en.alias("a")
+    b = en.alias("b")
+    # broadcast one side: CartesianProductExec is RDD-based (no codegen);
+    # BroadcastNestedLoopJoin keeps the dot-product stage in codegen.
+    # (Declared-exact all-pairs; at corpus scale this query's job is to be
+    # the ground truth for the IVF/banded paths, run on samples.)
     return (
-        a.crossJoin(b)
+        a.crossJoin(F.broadcast(b))
         .filter(F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            cos.alias("cos_sim"),
+            flat_dot("a.x", "b.x").alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= COSINE_NEAR_DUP)
     )
 
 
 EMBEDDING_PAIRS_ORACLE = f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    WITH {SQL_NORMALIZED_CTE}
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           {sql_cosine('a.v', 'b.v')} AS cos_sim
-    FROM e a, e b
+           {sql_dot('a.vn', 'b.vn')} AS cos_sim
+    FROM en a, en b
     WHERE a.vec_id < b.vec_id
-      AND {sql_cosine('a.v', 'b.v')} >= {COSINE_NEAR_DUP}
+      AND {sql_dot('a.vn', 'b.vn')} >= {COSINE_NEAR_DUP}
 """
 
 

@@ -14,9 +14,11 @@ Two declared operators:
   DuckDB oracle replicates the identical algorithm, so results still
   hash-match exactly.
 
-All cosine math is the sequential-fold form (functions/vectors.py):
-bit-identical across engines, verified -- rank ties are broken by vec_id,
-so top-k selection is fully deterministic.
+Representation: vectors are unit-normalized once into 64 flat double
+columns (vectors.flat_normalized) -- every cosine is then a single
+whole-stage-codegen scalar dot product.  Arithmetic order matches the
+oracle's sequential list_reduce exactly (bit-identical doubles); rank
+ties break on vec_id, so top-k selection is fully deterministic.
 """
 
 from __future__ import annotations
@@ -24,7 +26,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import as_double, cosine, sql_cosine
+from ..functions.vectors import (
+    SQL_NORMALIZED_CTE,
+    flat_dot,
+    flat_normalized,
+    flat_renamed,
+    sql_dot,
+)
 from ..sources import load_table
 
 K_NEIGHBORS = 10
@@ -34,24 +42,26 @@ NPROBE = 2
 
 
 def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit-normalized flat-column vectors, persisted: the O(n) normalize
+    pass is paid once, every downstream pair stage codegens."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    return flat_normalized(emb).persist()
 
 
 def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-K_NEIGHBORS for every QUERY_STRIDE-th vector."""
-    emb = _embeddings(spark, sf_dir)
-    queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    en = _embeddings(spark, sf_dir)
+    queries = flat_renamed(
+        en.filter(F.col("vec_id") % QUERY_STRIDE == 0), "vec_id", "q_id", "x", "qx"
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
-        emb.crossJoin(F.broadcast(queries))
+        en.crossJoin(F.broadcast(queries))
         .filter(F.col("vec_id") != F.col("q_id"))
         .select(
             "q_id",
             F.col("vec_id").alias("neighbor_id"),
-            cosine(F.col("qv"), F.col("v")).alias("cos_sim"),
+            flat_dot("qx", "x").alias("cos_sim"),
         )
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= K_NEIGHBORS)
@@ -59,12 +69,12 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ANN_BRUTEFORCE_ORACLE = f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % {QUERY_STRIDE} = 0),
+    WITH {SQL_NORMALIZED_CTE},
+    q AS (SELECT vec_id AS q_id, vn AS qv FROM en WHERE vec_id % {QUERY_STRIDE} = 0),
     scored AS (
-        SELECT q_id, e.vec_id AS neighbor_id,
-               {sql_cosine('qv', 'e.v')} AS cos_sim
-        FROM q, e WHERE e.vec_id <> q_id
+        SELECT q_id, en.vec_id AS neighbor_id,
+               {sql_dot('qv', 'en.vn')} AS cos_sim
+        FROM q, en WHERE en.vec_id <> q_id
     )
     SELECT q_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank
     FROM (
@@ -82,46 +92,37 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the centroid table is tiny and broadcast twice (assignment
     pass + probe pass); the corpus is scanned once to build cell
-    assignments (shuffle on cell_id only), and the search join hits
+    assignments (shuffle on cell only), and the search join touches
     |queries| x NPROBE cells instead of the whole corpus."""
-    emb = _embeddings(spark, sf_dir)
+    en = _embeddings(spark, sf_dir)
     cents = F.broadcast(
-        emb.filter(F.col("vec_id") % CENTROID_STRIDE == 0).select(
-            F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+        flat_renamed(
+            en.filter(F.col("vec_id") % CENTROID_STRIDE == 0),
+            "vec_id", "cent_id", "x", "cx",
         )
     )
 
     # assignment: every vector -> nearest centroid (tie: smallest cent_id)
     aw = Window.partitionBy("vec_id").orderBy(F.desc("c_sim"), F.asc("cent_id"))
     assign = (
-        emb.crossJoin(cents)
-        .select(
-            "vec_id",
-            "v",
-            "cent_id",
-            cosine(F.col("v"), F.col("cv")).alias("c_sim"),
-        )
+        en.crossJoin(cents)
+        .withColumn("c_sim", flat_dot("x", "cx"))
         .withColumn("arn", F.row_number().over(aw))
         .filter(F.col("arn") == 1)
-        .select("vec_id", "v", F.col("cent_id").alias("cell"))
+        .select("vec_id", F.col("cent_id").alias("cell"), *[f"x{i}" for i in range(64)])
     )
 
     # probe: every query -> NPROBE nearest centroids
-    queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    queries = flat_renamed(
+        en.filter(F.col("vec_id") % QUERY_STRIDE == 0), "vec_id", "q_id", "x", "qx"
     )
     pw = Window.partitionBy("q_id").orderBy(F.desc("p_sim"), F.asc("cent_id"))
     probes = (
         queries.crossJoin(cents)
-        .select(
-            "q_id",
-            "qv",
-            "cent_id",
-            cosine(F.col("qv"), F.col("cv")).alias("p_sim"),
-        )
+        .withColumn("p_sim", flat_dot("qx", "cx"))
         .withColumn("prn", F.row_number().over(pw))
         .filter(F.col("prn") <= NPROBE)
-        .select("q_id", "qv", F.col("cent_id").alias("cell"))
+        .select("q_id", F.col("cent_id").alias("cell"), *[f"qx{i}" for i in range(64)])
     )
 
     # search only the probed cells
@@ -132,7 +133,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "q_id",
             F.col("vec_id").alias("neighbor_id"),
-            cosine(F.col("qv"), F.col("v")).alias("cos_sim"),
+            flat_dot("qx", "x").alias("cos_sim"),
         )
         .distinct()
         .withColumn("rank", F.row_number().over(rw).cast("int"))
@@ -141,31 +142,31 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ANN_IVF_ORACLE = f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    cents AS (SELECT vec_id AS cent_id, v AS cv FROM e
+    WITH {SQL_NORMALIZED_CTE},
+    cents AS (SELECT vec_id AS cent_id, vn AS cv FROM en
               WHERE vec_id % {CENTROID_STRIDE} = 0),
     assign AS (
-        SELECT vec_id, v, cent_id AS cell FROM (
-            SELECT e.vec_id, e.v, cent_id,
-                   row_number() OVER (PARTITION BY e.vec_id
-                                      ORDER BY {sql_cosine('e.v', 'cv')} DESC,
+        SELECT vec_id, vn, cent_id AS cell FROM (
+            SELECT en.vec_id, en.vn, cent_id,
+                   row_number() OVER (PARTITION BY en.vec_id
+                                      ORDER BY {sql_dot('en.vn', 'cv')} DESC,
                                                cent_id) AS arn
-            FROM e, cents
+            FROM en, cents
         ) WHERE arn = 1
     ),
-    q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % {QUERY_STRIDE} = 0),
+    q AS (SELECT vec_id AS q_id, vn AS qv FROM en WHERE vec_id % {QUERY_STRIDE} = 0),
     probes AS (
         SELECT q_id, qv, cent_id AS cell FROM (
             SELECT q_id, qv, cent_id,
                    row_number() OVER (PARTITION BY q_id
-                                      ORDER BY {sql_cosine('qv', 'cv')} DESC,
+                                      ORDER BY {sql_dot('qv', 'cv')} DESC,
                                                cent_id) AS prn
             FROM q, cents
         ) WHERE prn <= {NPROBE}
     ),
     scored AS (
         SELECT DISTINCT q_id, assign.vec_id AS neighbor_id,
-               {sql_cosine('qv', 'assign.v')} AS cos_sim
+               {sql_dot('qv', 'assign.vn')} AS cos_sim
         FROM probes JOIN assign USING (cell)
         WHERE assign.vec_id <> q_id
     )

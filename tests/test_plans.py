@@ -1,0 +1,84 @@
+"""Physical-plan audits: the 100 TB posture is a property of the PLAN,
+not the result.  These tests pin the plan shapes that matter at scale so
+a refactor can't silently regress them (e.g. a filter that stops pushing
+into the parquet scan, or a dim join that stops broadcasting)."""
+
+from __future__ import annotations
+
+import pytest
+
+from mapreduce_on_google_cloud_platform_spark.plans import QUERIES
+
+from .conftest import SF_SMOKE
+
+
+def plan_of(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_SMOKE)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_q1_filter_pushdown_and_pruning(spark):
+    plan = plan_of(spark, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: the scan must not read unused columns like l_orderkey
+    scan = plan[plan.index("ReadSchema") :].splitlines()[0]
+    assert "l_orderkey" not in scan and "l_partkey" not in scan
+
+
+def test_q1_partial_aggregation(spark):
+    """Map-side partial agg is exactly what the reference lacked (no
+    combiner, SURVEY.md §4): every group-by must show a partial pass."""
+    plan = plan_of(spark, "q1_pricing_summary")
+    assert "partial_" in plan or "Partial" in plan
+
+
+def test_q5_broadcasts_dimensions(spark):
+    plan = plan_of(spark, "q5_region_revenue")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_wordcount_partial_agg_and_pruning(spark):
+    """The tokenize Generate is HOF-based (no codegen, acceptable: cost is
+    per token either way); what must hold is (a) map-side partial counts
+    before the single exchange -- the combiner the reference never had --
+    and (b) the scan reading ONLY the text column."""
+    import re
+
+    plan = plan_of(spark, "wordcount")
+    assert "partial_count" in plan
+    # formatted explain lists each operator twice (tree + detail): count
+    # the detail headers
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+    scan = plan[plan.index("ReadSchema") :].splitlines()[0]
+    assert "text" in scan and "doc_id" not in scan
+
+
+def test_topk_avoids_global_sort(spark):
+    """global top-10 must plan as TakeOrderedAndProject (per-partition
+    top-k + driver merge), never a full global Sort+Exchange."""
+    plan = plan_of(spark, "global_topk_orders")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_semi_anti_join_operators(spark):
+    assert "LeftSemi" in plan_of(spark, "high_value_customers_semi")
+    assert "LeftAnti" in plan_of(spark, "customers_without_orders")
+
+
+def test_ann_bruteforce_broadcasts_queries(spark):
+    """The query side (small) must broadcast; the corpus side must NOT
+    shuffle for the scoring pass."""
+    plan = plan_of(spark, "ann_topk_bruteforce")
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q1_pricing_summary", "q3_shipping_priority", "tumbling_window_events"],
+)
+def test_no_python_udf_in_relational_paths(spark, name):
+    """Relational/window operators must stay JVM-side (no Python eval)."""
+    plan = plan_of(spark, name)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
