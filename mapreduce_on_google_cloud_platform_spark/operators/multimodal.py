@@ -131,10 +131,18 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import numpy as np
 
+        # Self-contained twin of _fake_decode: referencing the module-level
+        # function would make cloudpickle serialize the closure BY REFERENCE
+        # to this package, which executors can't import unless the repo is on
+        # their PYTHONPATH (it isn't when the driver runs from elsewhere).
+        # Worker-executed closures must capture everything by value.
+        def fake_decode(payload: bytes):
+            return np.frombuffer(payload, dtype=np.uint8)
+
         for pdf in batches:
             feats = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                px = _fake_decode(bytes(payload))
+                px = fake_decode(bytes(payload))
                 hist = np.bincount(px >> 6, minlength=4)
                 feats.append(
                     (

@@ -7,6 +7,9 @@ expressions (no Python in the row path) with exact DuckDB twins:
 * ``text_quality_score``   -- length/stopword/character-class metrics
 * ``token_count_stats``    -- whitespace + BPE-ish regex token counts
 * ``doc_fingerprint``      -- md5 + 31-polynomial rolling hash
+* ``text_tfidf``           -- per-(doc, term) tf-idf, cross-engine-stable idf
+* ``text_bigrams``         -- corpus bigram frequencies via posexplode+lead
+* ``text_sentiment``       -- lexicon polarity hits + exact-ratio score
 
 Numeric discipline: every ratio is a SINGLE double division of exact
 integers (never a sum of doubles), so parallel execution order cannot
@@ -20,7 +23,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.text import DUCKDB_TOKS_CTE, tokenize
+from ..functions.text import DUCKDB_TOKS_CTE, tokenize, tokens_df
 from ..sources import load_table
 
 # Tiny per-language stopword lists (heuristic demo -- the corpus is
@@ -257,9 +260,168 @@ FINGERPRINT_ORACLE = f"""
 """
 
 
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(doc, term) tf-idf over the whole corpus.
+
+    Classic two-aggregate formulation: tf = count per (doc, word) and
+    df = docs-containing-word are both map-side-combinable shuffles; the
+    corpus size joins in as a broadcast scalar.  At 100 TB the vocabulary
+    table (word, df) is orders of magnitude smaller than the token stream,
+    so the final tf<-join->idf is the only wide join and AQE can broadcast
+    its small side.
+
+    Cross-engine float discipline: JVM ``Math.log`` and DuckDB ``ln``
+    disagree in the last ulp (~8% of inputs, measured), so the idf is
+    squashed through DECIMAL(18,9) -- both engines round the ulp-apart
+    values to the same 9-decimal quantum -- cast back to double (exact),
+    and only then scaled by tf (double multiply is exactly rounded, so
+    identical operands give identical products).  A decimal*int multiply
+    would NOT work: decimal(18,9)*bigint overflows Spark's precision-38
+    cap and silently drops scale.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tf = tokens_df(docs).groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("word").agg(F.count("*").alias("df_docs"))
+    n_docs = docs.select(F.countDistinct("doc_id").alias("n_docs"))
+    idf = dfreq.crossJoin(F.broadcast(n_docs)).select(
+        "word",
+        "df_docs",
+        F.log((F.col("n_docs") + 1).cast("double") / (F.col("df_docs") + 1))
+        .cast("decimal(18,9)")
+        .alias("_idf9"),
+    )
+    return tf.join(idf, "word").select(
+        "doc_id",
+        "word",
+        "tf",
+        "df_docs",
+        (F.col("_idf9").cast("double") * F.col("tf")).alias("tfidf"),
+    )
+
+
+TFIDF_ORACLE = f"""
+    WITH {DUCKDB_TOKS_CTE},
+    tok AS (SELECT doc_id, unnest(ts) AS word FROM toks),
+    tf AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY 1, 2),
+    dfq AS (SELECT word, count(*) AS df_docs FROM tf GROUP BY 1),
+    nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.word, tf.tf, dfq.df_docs,
+           CAST(CAST(ln(CAST(nd.n_docs + 1 AS DOUBLE) / (dfq.df_docs + 1))
+                     AS DECIMAL(18,9)) AS DOUBLE) * tf.tf AS tfidf
+    FROM tf JOIN dfq USING (word) CROSS JOIN nd
+"""
+
+
+def text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram frequencies (n-gram language statistics).
+
+    posexplode + lead() window, NOT array indexing -- element_at over the
+    inlined tokenize chain re-runs the tokenizer per element (SCALING.md
+    pitfall 1).  One shuffle on doc_id for the window, one combinable
+    shuffle for the count."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(tokenize(F.col("text"))).alias("pos", "word")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = toks.select(
+        "doc_id",
+        F.col("word").alias("w1"),
+        F.lead("word", 1).over(w).alias("w2"),
+    ).filter(F.col("w2").isNotNull())
+    return (
+        pairs.groupBy("w1", "w2")
+        .agg(
+            F.count("*").alias("occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("occurrences") >= 2)
+        .select(
+            F.concat_ws(" ", "w1", "w2").alias("bigram"),
+            "occurrences",
+            "n_docs",
+        )
+    )
+
+
+BIGRAMS_ORACLE = f"""
+    WITH {DUCKDB_TOKS_CTE},
+    pairs AS (
+        SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+        FROM toks, unnest(range(1, len(ts))) t(i)
+    )
+    SELECT w1 || ' ' || w2 AS bigram,
+           count(*) AS occurrences,
+           count(DISTINCT doc_id) AS n_docs
+    FROM pairs
+    GROUP BY 1
+    HAVING count(*) >= 2
+"""
+
+# Lexicons drawn from the synthetic corpus vocabulary so hits are non-trivial
+# (the real value is the operator shape: literal-array membership scans,
+# integer hit counts, one exact division for the score).
+POS_WORDS = ["fast", "small", "merge"]
+NEG_WORDS = ["slow", "big", "dup"]
+
+
+def text_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon sentiment: integer hit counts per polarity, score =
+    (pos - neg) / (pos + neg) as a single exact-int division, sign label."""
+    docs = load_table(spark, sf_dir, "documents")
+    ts = tokenize(F.col("text"))
+    base = docs.select(
+        "doc_id",
+        _hits(ts, POS_WORDS).cast("bigint").alias("pos_hits"),
+        _hits(ts, NEG_WORDS).cast("bigint").alias("neg_hits"),
+    )
+    total = F.col("pos_hits") + F.col("neg_hits")
+    score = F.when(total == 0, F.lit(0.0)).otherwise(
+        (F.col("pos_hits") - F.col("neg_hits")).cast("double") / total
+    )
+    return base.select(
+        "doc_id",
+        "pos_hits",
+        "neg_hits",
+        score.alias("sentiment"),
+        F.when(score > 0, "positive")
+        .when(score < 0, "negative")
+        .otherwise("neutral")
+        .alias("label"),
+    )
+
+
+SENTIMENT_ORACLE = f"""
+    WITH {DUCKDB_TOKS_CTE},
+    base AS (
+        SELECT doc_id,
+               CAST({_sql_hits('ts', POS_WORDS)} AS BIGINT) AS pos_hits,
+               CAST({_sql_hits('ts', NEG_WORDS)} AS BIGINT) AS neg_hits
+        FROM toks
+    ),
+    scored AS (
+        SELECT doc_id, pos_hits, neg_hits,
+               CASE WHEN pos_hits + neg_hits = 0 THEN 0.0
+                    ELSE CAST(pos_hits - neg_hits AS DOUBLE) / (pos_hits + neg_hits)
+               END AS sentiment
+        FROM base
+    )
+    SELECT doc_id, pos_hits, neg_hits, sentiment,
+           CASE WHEN sentiment > 0 THEN 'positive'
+                WHEN sentiment < 0 THEN 'negative'
+                ELSE 'neutral' END AS label
+    FROM scored
+"""
+
+
 TEXT_ANALYSIS_QUERIES: list[tuple[str, object, str | None]] = [
     ("text_langid", text_langid, LANGID_ORACLE),
     ("text_quality_score", text_quality_score, QUALITY_ORACLE),
     ("token_count_stats", token_count_stats, TOKEN_COUNT_ORACLE),
     ("doc_fingerprint", doc_fingerprint, FINGERPRINT_ORACLE),
+    ("text_tfidf", text_tfidf, TFIDF_ORACLE),
+    ("text_bigrams", text_bigrams, BIGRAMS_ORACLE),
+    ("text_sentiment", text_sentiment, SENTIMENT_ORACLE),
 ]

@@ -39,3 +39,43 @@ def test_langid_covers_all_docs(spark):
     n_docs = df.count()
     assert n_docs > 0
     assert df.filter("lang_pred IS NULL").count() == 0
+
+
+def test_tfidf_idf_monotone(spark):
+    # a term appearing in every doc must score no higher than a rarer term
+    # with the same tf (idf is monotone-decreasing in df)
+    rows = QUERIES["text_tfidf"](spark, SF_SMOKE).collect()
+    assert rows
+    by_tf = {}
+    for r in rows:
+        by_tf.setdefault(r.tf, []).append(r)
+    checked = 0
+    for tf, grp in by_tf.items():
+        grp = sorted(grp, key=lambda r: r.df_docs)
+        for a, b in zip(grp, grp[1:]):
+            if a.df_docs < b.df_docs:
+                assert a.tfidf >= b.tfidf
+                checked += 1
+    assert checked > 0
+
+
+def test_sentiment_label_sign(spark):
+    for r in QUERIES["text_sentiment"](spark, SF_SMOKE).collect():
+        if r.pos_hits > r.neg_hits:
+            assert r.label == "positive"
+        elif r.pos_hits < r.neg_hits:
+            assert r.label == "negative"
+        else:
+            assert r.label == "neutral" and r.sentiment == 0.0
+
+
+def test_bigrams_bounded_by_tokens(spark):
+    # total bigram occurrences (incl. the count<2 tail it filters) can't
+    # exceed token count; spot-check the declared output is non-empty and
+    # every bigram is two cleaned tokens
+    rows = QUERIES["text_bigrams"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows[:50]:
+        w1, w2 = r.bigram.split(" ")
+        assert w1 and w2
+        assert r.occurrences >= 2 and 1 <= r.n_docs <= r.occurrences
