@@ -23,6 +23,7 @@ from ..operators import (
     multimodal,
     relational,
     similarity,
+    temporal,
     text_analysis,
     wordcount,
 )
@@ -66,6 +67,10 @@ for _name, _fn, _oracle in similarity.SIMILARITY_QUERIES:
 
 # --- text analysis -----------------------------------------------------------
 for _name, _fn, _oracle in text_analysis.TEXT_ANALYSIS_QUERIES:
+    _register(_name, _fn, _oracle)
+
+# --- temporal joins (as-of, range) ------------------------------------------
+for _name, _fn, _oracle in temporal.TEMPORAL_QUERIES:
     _register(_name, _fn, _oracle)
 
 # --- event-time windowing (batch twins of the streaming plans) ---------------
