@@ -1,0 +1,159 @@
+"""Distribution statistics and deterministic sampling.
+
+North-star curation ops (nothing like them exists in the reference --
+SURVEY.md §2 lists no aggregates beyond SUM): a data pipeline needs
+distribution summaries to size joins/partitions and samples to eyeball
+or hold out data, and both must be reproducible across runs and engines.
+
+* ``quantile_summary`` -- exact interpolated quantiles per group.
+  Spark's ``percentile`` and DuckDB's ``quantile_cont`` share the
+  definition (index = p*(n-1), linear interpolation) and match
+  bit-for-bit on this data (verified).  Exact percentile is a full sort
+  per group -- fine for bounded group counts; the 100 TB path is
+  ``percentile_approx`` (GK sketch, mergeable, one pass), surfaced in
+  ``sketch_summary`` below because approx answers are engine-specific.
+
+* ``sample_stratified`` -- deterministic 1/16 Bernoulli sample per
+  stratum: keep rows whose ``md5(key)`` starts with '0'.  Hash-based
+  sampling is the only kind that is stable across engines, runs, AND
+  cluster sizes (Spark's ``sample()`` is seed+partitioning dependent);
+  it also composes: the same predicate picks the same rows on any
+  engine, so hold-out sets stay aligned between systems.
+
+* ``sample_topk_per_group`` -- "first k by md5 order" per stratum: a
+  deterministic stand-in for reservoir sampling whose witness set is
+  reproducible (md5 of a unique key is a total order).  Plain
+  row_number window, one shuffle on the stratum key.
+
+* ``sketch_summary`` (rows-only; no SQL oracle by design) -- the scale
+  path: HLL++ ``approx_count_distinct`` and GK ``percentile_approx``
+  next to their exact twins, with error asserted in unit tests.  Sketch
+  outputs are engine-specific so a DuckDB hash-match is impossible --
+  the driver records the weaker rows-only check for exactly this entry.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+
+QS = (0.25, 0.5, 0.75, 0.95)
+
+
+def quantile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group quantiles of lineitem quantity and price."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count("*").alias("n_rows")]
+    for q in QS:
+        tag = str(int(q * 100))
+        aggs.append(F.expr(f"percentile(l_quantity, {q})").alias(f"qty_p{tag}"))
+        aggs.append(F.expr(f"percentile(l_extendedprice, {q})").alias(f"price_p{tag}"))
+    return li.groupBy("l_returnflag").agg(*aggs)
+
+
+def _quantile_oracle() -> str:
+    cols = []
+    for q in QS:
+        tag = str(int(q * 100))
+        cols.append(f"quantile_cont(l_quantity, {q}) AS qty_p{tag}")
+        cols.append(f"quantile_cont(l_extendedprice, {q}) AS price_p{tag}")
+    return f"""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           {", ".join(cols)}
+    FROM lineitem
+    GROUP BY l_returnflag
+"""
+
+
+QUANTILE_ORACLE = _quantile_oracle()
+
+# Keep a row iff the first hex digit of md5(key) is '0' (exact 1/16 rate).
+_SAMPLE_HEX = "0"
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 1/16 sample of orders per priority + scaled estimate."""
+    orders = load_table(spark, sf_dir, "orders")
+    sampled = orders.filter(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1) == _SAMPLE_HEX
+    )
+    return sampled.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_sampled"),
+        (F.count("*") * 16).alias("est_total"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sampled_revenue"),
+    )
+
+
+SAMPLE_STRATIFIED_ORACLE = f"""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_sampled,
+           CAST(count(*) * 16 AS BIGINT) AS est_total,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sampled_revenue
+    FROM orders
+    WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '{_SAMPLE_HEX}'
+    GROUP BY o_orderpriority
+"""
+
+SAMPLE_K = 5
+
+
+def sample_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First k orders per priority in md5-of-key order (reproducible
+    reservoir stand-in); md5 of the unique key gives a total order so the
+    witness set is unambiguous on any engine."""
+    orders = load_table(spark, sf_dir, "orders")
+    keyed = orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.md5(F.col("o_orderkey").cast("string")).alias("_h"),
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("_h")
+    return (
+        keyed.select("*", F.row_number().over(w).alias("pick_rank"))
+        .filter(F.col("pick_rank") <= SAMPLE_K)
+        .drop("_h")
+    )
+
+
+SAMPLE_TOPK_ORACLE = f"""
+    SELECT o_orderkey, o_orderpriority, o_totalprice, pick_rank
+    FROM (
+        SELECT o_orderkey, o_orderpriority, o_totalprice,
+               CAST(row_number() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY md5(CAST(o_orderkey AS VARCHAR))
+               ) AS INTEGER) AS pick_rank
+        FROM orders
+    )
+    WHERE pick_rank <= {SAMPLE_K}
+"""
+
+
+def sketch_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch scale path beside exact twins: HLL++ distinct
+    users and GK median per event type.  One pass, fixed memory per
+    sketch, map-side combinable -- this is what replaces the exact forms
+    at 100 TB.  Engine-specific outputs => rows-only driver check; error
+    bounds are asserted in tests/test_statistics.py."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.expr("percentile(value, 0.5)").alias("exact_p50"),
+        F.percentile_approx("value", 0.5, 10000).alias("approx_p50"),
+    )
+
+
+STATISTICS_QUERIES: list[tuple[str, object, str | None]] = [
+    ("quantile_summary", quantile_summary, QUANTILE_ORACLE),
+    ("sample_stratified", sample_stratified, SAMPLE_STRATIFIED_ORACLE),
+    ("sample_topk_per_group", sample_topk_per_group, SAMPLE_TOPK_ORACLE),
+    # sketches are engine-specific by nature: rows-only check, see docstring
+    ("sketch_summary", sketch_summary, None),
+]

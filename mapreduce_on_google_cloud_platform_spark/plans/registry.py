@@ -23,6 +23,7 @@ from ..operators import (
     multimodal,
     relational,
     similarity,
+    statistics,
     temporal,
     text_analysis,
     wordcount,
@@ -67,6 +68,10 @@ for _name, _fn, _oracle in similarity.SIMILARITY_QUERIES:
 
 # --- text analysis -----------------------------------------------------------
 for _name, _fn, _oracle in text_analysis.TEXT_ANALYSIS_QUERIES:
+    _register(_name, _fn, _oracle)
+
+# --- distribution statistics + deterministic sampling ------------------------
+for _name, _fn, _oracle in statistics.STATISTICS_QUERIES:
     _register(_name, _fn, _oracle)
 
 # --- temporal joins (as-of, range) ------------------------------------------

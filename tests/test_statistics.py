@@ -1,0 +1,65 @@
+from __future__ import annotations
+
+import pytest
+
+from mapreduce_on_google_cloud_platform_spark.operators.statistics import (
+    SAMPLE_K,
+    STATISTICS_QUERIES,
+)
+from mapreduce_on_google_cloud_platform_spark.plans import ORACLES, QUERIES
+
+from .conftest import SF_ORACLE, SF_SMOKE
+from .oracle import assert_matches_oracle
+
+ORACLE_NAMES = [name for name, _, o in STATISTICS_QUERIES if o is not None]
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_oracle_parity_smoke(spark, name):
+    assert_matches_oracle(QUERIES[name](spark, SF_SMOKE), ORACLES[name], SF_SMOKE)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_oracle_parity_sf001(spark, name):
+    assert_matches_oracle(QUERIES[name](spark, SF_ORACLE), ORACLES[name], SF_ORACLE)
+
+
+def test_quantiles_ordered(spark):
+    for r in QUERIES["quantile_summary"](spark, SF_SMOKE).collect():
+        assert r.qty_p25 <= r.qty_p50 <= r.qty_p75 <= r.qty_p95
+        assert r.price_p25 <= r.price_p50 <= r.price_p75 <= r.price_p95
+
+
+def test_sample_rate_plausible(spark):
+    # 1/16 hash sample: across all strata the total draw is binomial;
+    # just assert it's nonempty and nowhere near the full table
+    rows = QUERIES["sample_stratified"](spark, SF_SMOKE).collect()
+    assert rows
+    from mapreduce_on_google_cloud_platform_spark.sources import load_table
+
+    total = load_table(spark, SF_SMOKE, "orders").count()
+    n = sum(r.n_sampled for r in rows)
+    assert 0 < n < total / 4
+    for r in rows:
+        assert r.est_total == 16 * r.n_sampled
+
+
+def test_topk_sample_exactly_k(spark):
+    rows = QUERIES["sample_topk_per_group"](spark, SF_SMOKE).collect()
+    assert rows
+    per_group: dict[str, list[int]] = {}
+    for r in rows:
+        per_group.setdefault(r.o_orderpriority, []).append(r.pick_rank)
+    for ranks in per_group.values():
+        assert sorted(ranks) == list(range(1, min(SAMPLE_K, len(ranks)) + 1))
+
+
+def test_sketch_error_bounds(spark):
+    rows = QUERIES["sketch_summary"](spark, SF_ORACLE).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.approx_users - r.exact_users) <= max(3, 0.1 * r.exact_users)
+        # GK sketch at accuracy 10000 on ~2k rows per group is near-exact;
+        # allow a loose band around the true median
+        assert abs(r.approx_p50 - r.exact_p50) <= 0.05 * max(1.0, abs(r.exact_p50))
