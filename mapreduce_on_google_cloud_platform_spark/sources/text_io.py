@@ -1,0 +1,45 @@
+"""Raw text-file source and formatted text sink (reference I/O parity).
+
+The reference's only source is a list of UTF-8 text files read whole and
+tokenized single-threaded on the master (``/root/reference/master.py:54-64``,
+SURVEY.md §2 O1); its only sink is "<key> - <value>" lines appended to one
+KV-store blob (``KeyValueStore.py:27-32``, O15/O16).  Here:
+
+* the scan is ``spark.read.text(wholetext=True)`` -- Spark plans one task
+  per file, so ingest fans out across executors instead of serializing
+  through a driver loop, and ``input_file_name()`` supplies the lineage
+  column the reference threads by hand;
+* the sink is a distributed ``df.write.text`` of the formatted lines --
+  every partition writes its own part file; nothing funnels through a
+  single blob/process the way the reference's final.txt did.
+
+Columns match the ``documents`` table contract (``doc``/``text``) so every
+text operator (tokenizer, wordcount, dedup, quality) runs unchanged on
+files or parquet.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_text_documents(
+    spark: SparkSession, paths: str | list[str], doc_col: str = "doc"
+) -> DataFrame:
+    """Whole-file text scan -> (doc, text); doc = basename, as in the
+    reference's ``(word, file)`` lineage pairs (``master.py:62``)."""
+    df = spark.read.text(paths, wholetext=True)
+    return df.select(
+        F.regexp_extract(F.input_file_name(), r"([^/]+?)(\.txt)?$", 1).alias(doc_col),
+        F.col("value").alias("text"),
+    )
+
+
+def write_reference_text(lines: DataFrame, path: str) -> None:
+    """Write a one-string-column DataFrame as text part files (the Spark
+    shape of the reference's final.txt collect, ``master.py:205-213``)."""
+    cols = lines.columns
+    lines.select(F.col(cols[0]).cast("string").alias("value")).write.mode(
+        "overwrite"
+    ).text(path)
