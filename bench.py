@@ -41,6 +41,13 @@ HEADLINE = [
     # text analysis
     "text_quality_score",
     "doc_fingerprint",
+    "text_tfidf",
+    # temporal joins
+    "asof_join_purchase_view",
+    "range_join_purchase_views_1h",
+    # statistics + sampling
+    "quantile_summary",
+    "sample_stratified",
     # event-time windows
     "tumbling_window_events",
     "session_windows_users",

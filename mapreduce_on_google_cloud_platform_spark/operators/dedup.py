@@ -31,7 +31,9 @@ from pyspark.sql import functions as F
 from ..functions.hashing import (
     BITS16,
     HEX_DIGITS,
+    MINHASH_AB,
     MINHASH_BANDS,
+    MINHASH_P,
     NUM_MINHASHES,
     SIMHASH_BANDS,
     SIMHASH_BITS,
@@ -159,31 +161,34 @@ NGRAM_JACCARD_ORACLE = f"""
 def _minhash_bands(sh: DataFrame) -> DataFrame:
     """distinct (doc_id, sh) -> (doc_id, band, band_key).
 
-    k=16 portable min-hashes (lexicographic min of md5('mh<i>:'||sh)),
-    grouped into 8 bands of 2; the band key is the md5 of the band's
-    concatenated signature rows.
+    k=16 universal-hash min-hashes (functions/hashing.py: one md5 per
+    DICTIONARY entry reduced mod P, then 16 affine lanes of pure int64
+    arithmetic), grouped into 8 bands of 2; the band key is the md5 of
+    the band's concatenated signature values.
 
-    Hash the DICTIONARY, not the occurrences: md5 is computed once per
-    distinct shingle string (the vocabulary is far smaller than the
-    corpus) and joined back to (doc, shingle) rows -- at sf0.1 this cut
-    the md5 count ~20x, and at 100 TB it is the difference between
-    hashing the corpus and hashing the vocabulary."""
+    Two scale properties: (a) hash the dictionary, not the occurrences --
+    md5 runs once per distinct shingle string and joins back to the
+    (doc, shingle) rows, so hashing cost tracks the vocabulary, not the
+    corpus; (b) the lanes are flat int columns, so the signature
+    aggregation is one groupBy with 16 partial mins (map-side combined),
+    no seed explode, no pivot, and the shuffle carries 16 ints per row
+    instead of 16 (seed, hex-string) rows."""
     uniq = sh.select("sh").distinct()
-    seeded = uniq.select(
+    h = (
+        F.conv(F.substring(F.md5(F.col("sh")), 1, 15), 16, 10).cast("bigint")
+        % MINHASH_P
+    )
+    dict_df = uniq.select(
         "sh",
-        F.explode(F.sequence(F.lit(0), F.lit(NUM_MINHASHES - 1))).alias("seed"),
-    ).select(
-        "sh",
-        "seed",
-        F.md5(F.concat(F.lit("mh"), F.col("seed"), F.lit(":"), F.col("sh"))).alias("h"),
+        *[
+            ((F.lit(a) * h + F.lit(b)) % MINHASH_P).alias(f"mh{i}")
+            for i, (a, b) in enumerate(MINHASH_AB)
+        ],
     )
     sig = (
-        sh.join(seeded, "sh")
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("mh"))
+        sh.join(dict_df, "sh")
         .groupBy("doc_id")
-        .pivot("seed", list(range(NUM_MINHASHES)))
-        .agg(F.first("mh"))
+        .agg(*[F.min(f"mh{i}").alias(f"mh{i}") for i in range(NUM_MINHASHES)])
     )
     rows_per_band = NUM_MINHASHES // MINHASH_BANDS
     band_structs = F.array(
@@ -194,7 +199,7 @@ def _minhash_bands(sh: DataFrame) -> DataFrame:
                     F.concat_ws(
                         "|",
                         *[
-                            F.col(str(b * rows_per_band + r))
+                            F.col(f"mh{b * rows_per_band + r}")
                             for r in range(rows_per_band)
                         ],
                     )
@@ -256,27 +261,29 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _minhash_oracle() -> str:
     rows_per_band = NUM_MINHASHES // MINHASH_BANDS
     mh_cols = ",\n               ".join(
-        f"min(CASE WHEN seed = {i} THEN h END) AS mh{i}"
-        for i in range(NUM_MINHASHES)
+        f"min(({a} * h + {b}) % {MINHASH_P}) AS mh{i}"
+        for i, (a, b) in enumerate(MINHASH_AB)
     )
     band_selects = "\n        UNION ALL\n".join(
         f"        SELECT doc_id, {b} AS band, md5("
         + " || '|' || ".join(
-            f"mh{b * rows_per_band + r}" for r in range(rows_per_band)
+            f"CAST(mh{b * rows_per_band + r} AS VARCHAR)"
+            for r in range(rows_per_band)
         )
         + ") AS band_key FROM sig"
         for b in range(MINHASH_BANDS)
     )
     return f"""
     WITH {DUCKDB_SHINGLES_CTE},
-    seeded AS (
-        SELECT doc_id, i AS seed, md5('mh' || i || ':' || sh) AS h
-        FROM shing, unnest(range(0, {NUM_MINHASHES})) t(i)
+    dict AS (
+        SELECT sh, ('0x' || substr(md5(sh), 1, 15))::BIGINT % {MINHASH_P} AS h
+        FROM (SELECT DISTINCT sh FROM shing)
     ),
     sig AS (
         SELECT doc_id,
                {mh_cols}
-        FROM seeded GROUP BY doc_id
+        FROM shing JOIN dict USING (sh)
+        GROUP BY doc_id
     ),
     bands AS (
 {band_selects}
