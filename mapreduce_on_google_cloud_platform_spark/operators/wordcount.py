@@ -37,6 +37,34 @@ def word_count_oracle() -> str:
     """
 
 
+def word_count_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word count through an explicit two-stage salted aggregation:
+    partial counts on (word, salt) with salt = pmod(xxhash64(doc, word), 16),
+    then the final sum on word alone.
+
+    Identical result to ``word_count`` (same oracle) -- the point is the
+    PLAN: when one key dominates (a stop-word at 100 TB), a single
+    groupBy leaves one reducer holding the hot key's entire partial
+    stream; the salt splits that key 16 ways in stage one so no single
+    task sees more than ~1/16th of it.  This is the manual fallback when
+    AQE's skew handling can't apply (skewed *aggregation*, not join).
+    Salt choice must be a function of the ROW (not rand()) so the plan
+    stays deterministic and re-runnable.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_df(docs)
+    salted = toks.select(
+        "word",
+        F.pmod(F.xxhash64("doc_id", "word"), F.lit(16)).alias("_salt"),
+    )
+    return (
+        salted.groupBy("word", "_salt")
+        .agg(F.count("*").alias("_partial"))
+        .groupBy("word")
+        .agg(F.sum("_partial").cast("bigint").alias("cnt"))
+    )
+
+
 def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted document index, flat relational form: (word, doc_id, cnt).
 

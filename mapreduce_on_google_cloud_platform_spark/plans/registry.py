@@ -44,6 +44,8 @@ def _register(name: str, fn: QueryFn, oracle: str | None) -> None:
 
 # --- reference parity (SURVEY.md §2, M0/M1) ---------------------------------
 _register("wordcount", wordcount.word_count, wordcount.word_count_oracle())
+# same semantics/oracle as wordcount; declared for its skew-safe plan shape
+_register("wordcount_salted", wordcount.word_count_salted, wordcount.word_count_oracle())
 _register("inverted_index", wordcount.inverted_index, wordcount.inverted_index_oracle())
 _register(
     "inverted_index_postings",

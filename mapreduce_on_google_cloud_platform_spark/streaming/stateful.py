@@ -1,0 +1,115 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``.
+
+The built-in windowed aggregations (windows.py) cover time-bucketed
+state; this is the escape hatch for operators whose state logic Spark
+has no built-in for -- per-key accumulators with arbitrary Python
+transition functions (SURVEY.md §7: custom stateful streaming ops).
+
+Demo operator: per-user running totals (event count + value sum + last
+event time), emitted in ``update`` mode each micro-batch.  The state
+transition is associative, so the pytest check replays the same data as
+a plain batch aggregation and the final per-user rows must agree --
+the standard way to validate a stateful stream without an oracle that
+can consume streams.
+
+Scale posture: state lives in the state store keyed by user_id (size ~
+|active keys|, not |events|); an Arrow batch crosses the Python boundary
+once per key per micro-batch.  A production variant adds a timeout
+(``GroupStateTimeout.ProcessingTimeTimeout``) to expire idle keys --
+without one, state grows with the key universe forever.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from .windows import _events_stream_dir
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+        StructField("last_us", LongType()),
+    ]
+)
+
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+        StructField("last_us", LongType()),
+    ]
+)
+
+
+def streaming_user_totals_query(spark: SparkSession, sf_dir: str):
+    """readStream -> groupBy(user_id) -> applyInPandasWithState running
+    totals.  Returns the unstarted streaming DataFrame (caller attaches a
+    sink); ``update`` output mode emits each touched key per batch."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+
+    # Self-contained closure (captures nothing module-level): executors
+    # unpickle it without importing this package.
+    def update_totals(key, pdfs, state):
+        import pandas as pd
+
+        (user_id,) = key
+        n, total, last = (
+            state.get if state.exists else (0, 0.0, 0)
+        )
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            last = max(last, int(pdf["us"].max()))
+        state.update((n, total, last))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "total_value": [total],
+                "last_us": [last],
+            }
+        )
+
+    return (
+        spark.readStream.schema(static.schema)
+        .parquet(_events_stream_dir(sf_dir))
+        .select(
+            "user_id",
+            "value",
+            F.expr("ts div 1000").alias("us"),  # int64 nanos -> micros, exact
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update_totals,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def batch_user_totals(spark: SparkSession, sf_dir: str):
+    """The batch twin the stream's final state must agree with."""
+    from ..sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("total_value"),
+        F.max(F.unix_micros("ts")).alias("last_us"),
+    )

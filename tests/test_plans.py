@@ -82,3 +82,46 @@ def test_no_python_udf_in_relational_paths(spark, name):
     """Relational/window operators must stay JVM-side (no Python eval)."""
     plan = plan_of(spark, name)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_asof_join_is_single_shuffle_no_join(spark):
+    """The MERGE formulation's whole point: union + one window, no join
+    node, exactly one exchange (on user_id)."""
+    import re
+
+    plan = plan_of(spark, "asof_join_purchase_view")
+    assert "Join" not in plan  # no SortMergeJoin/BroadcastHashJoin/...
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+    assert "Window" in plan
+
+
+def test_range_join_keeps_equi_key(spark):
+    """The band predicate must ride the user_id equi-join (hash/merge),
+    never degrade to a nested-loop over the cross product."""
+    plan = plan_of(spark, "range_join_purchase_views_1h")
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "partial_count" in plan or "Partial" in plan
+
+
+def test_tfidf_partial_aggs_and_pruned_scan(spark):
+    plan = plan_of(spark, "text_tfidf")
+    assert "partial_count" in plan
+    scan = plan[plan.index("ReadSchema") :].splitlines()[0]
+    assert "text" in scan and "lang" not in scan and "source" not in scan
+
+
+def test_sample_pushes_nothing_python(spark):
+    plan = plan_of(spark, "sample_stratified")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_" in plan or "Partial" in plan
+
+
+def test_salted_wordcount_two_stage(spark):
+    """The salted variant must show BOTH aggregation rounds (word,_salt
+    then word) with partial passes — i.e. the hot key is split before any
+    single reducer sees it."""
+    import re
+
+    plan = plan_of(spark, "wordcount_salted")
+    assert "partial_count" in plan and "partial_sum" in plan
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 2

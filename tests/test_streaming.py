@@ -73,3 +73,41 @@ def test_streaming_session_window_runs(spark):
     assert sorted((r.user_id, r.session_start_us, r.n_events) for r in got) == sorted(
         (r.user_id, r.session_start_us, r.n_events) for r in batch
     )
+
+
+@pytest.mark.slow
+def test_stateful_user_totals_matches_batch(spark):
+    """Custom stateful operator (applyInPandasWithState): run the stream to
+    completion; the FINAL state per user (update-mode memory sink keeps every
+    emission; take the last per user) must equal the batch aggregation."""
+    from mapreduce_on_google_cloud_platform_spark.streaming.stateful import (
+        batch_user_totals,
+        streaming_user_totals_query,
+    )
+
+    stream = streaming_user_totals_query(spark, SF_SMOKE)
+    q = (
+        stream.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stream_user_totals")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM stream_user_totals").collect()
+    finally:
+        q.stop()
+    # update mode re-emits a key each batch it's touched; the final emission
+    # per key carries the complete state
+    final = {}
+    for r in rows:
+        final[r.user_id] = (r.n_events, r.total_value, r.last_us)
+    want = {
+        r.user_id: (r.n_events, r.total_value, r.last_us)
+        for r in batch_user_totals(spark, SF_SMOKE).collect()
+    }
+    assert set(final) == set(want)
+    for uid, (n, total, last) in want.items():
+        gn, gtotal, glast = final[uid]
+        assert gn == n and glast == last
+        assert abs(gtotal - total) < 1e-6 * max(1.0, abs(total))

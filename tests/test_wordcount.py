@@ -11,7 +11,8 @@ from .oracle import assert_matches_oracle
 
 
 @pytest.mark.parametrize(
-    "name", ["wordcount", "inverted_index", "inverted_index_postings"]
+    "name",
+    ["wordcount", "wordcount_salted", "inverted_index", "inverted_index_postings"],
 )
 def test_oracle_parity(spark, name):
     assert_matches_oracle(QUERIES[name](spark, SF_SMOKE), ORACLES[name], SF_SMOKE)
