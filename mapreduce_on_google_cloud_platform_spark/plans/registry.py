@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ..operators import (
     dedup,
     multimodal,
+    pipeline,
     relational,
     similarity,
     statistics,
@@ -70,6 +71,10 @@ for _name, _fn, _oracle in similarity.SIMILARITY_QUERIES:
 
 # --- text analysis -----------------------------------------------------------
 for _name, _fn, _oracle in text_analysis.TEXT_ANALYSIS_QUERIES:
+    _register(_name, _fn, _oracle)
+
+# --- composed curation pipeline ----------------------------------------------
+for _name, _fn, _oracle in pipeline.PIPELINE_QUERIES:
     _register(_name, _fn, _oracle)
 
 # --- distribution statistics + deterministic sampling ------------------------

@@ -36,6 +36,24 @@ def read_text_documents(
     )
 
 
+DOCUMENTS_DDL = "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+
+
+def read_documents_any(
+    spark: SparkSession, path: str, fmt: str = "parquet"
+) -> DataFrame:
+    """documents-shaped table from any columnar/row format Spark reads
+    (parquet, csv, json, orc).  The explicit schema matters twice over at
+    scale: csv/json infer-schema triggers a full extra pass over the
+    data, and inferred types can drift per partition sample."""
+    reader = spark.read.format(fmt).schema(DOCUMENTS_DDL)
+    if fmt == "csv":
+        reader = reader.option("header", "true").option("multiLine", "true").option(
+            "escape", '"'
+        )
+    return reader.load(path)
+
+
 def write_reference_text(lines: DataFrame, path: str) -> None:
     """Write a one-string-column DataFrame as text part files (the Spark
     shape of the reference's final.txt collect, ``master.py:205-213``)."""

@@ -101,3 +101,23 @@ def test_sink_roundtrip(spark, tmp_path):
     for body in BOOKS.values():
         golden.update(_pure_python_tokens(body))
     assert lines == {f"{w} - [{c}]" for w, c in golden.items()}
+
+
+def test_read_documents_csv_and_json_roundtrip(spark, tmp_path):
+    from mapreduce_on_google_cloud_platform_spark.sources import load_table
+    from mapreduce_on_google_cloud_platform_spark.sources.text_io import (
+        read_documents_any,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    want = {(r.doc_id, r.text) for r in docs.collect()}
+
+    csv_dir = str(tmp_path / "docs_csv")
+    docs.write.option("header", "true").option("escape", '"').csv(csv_dir)
+    got_csv = {(r.doc_id, r.text) for r in read_documents_any(spark, csv_dir, "csv").collect()}
+    assert got_csv == want
+
+    json_dir = str(tmp_path / "docs_json")
+    docs.write.json(json_dir)
+    got_json = {(r.doc_id, r.text) for r in read_documents_any(spark, json_dir, "json").collect()}
+    assert got_json == want
