@@ -580,6 +580,74 @@ GLOBAL_TOPK_ORACLE = """
 """
 
 
+def cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(priority, status): all four grouping combinations in one pass
+    (Spark expands grouping sets map-side; one shuffle for all strata).
+    Nulls surfaced as 'ALL', as in rollup_sales."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            money_sum(dec("o_totalprice")).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "revenue",
+            "n_orders",
+        )
+    )
+
+
+CUBE_ORACLE = """
+    SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+           coalesce(o_orderstatus, 'ALL') AS status,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)
+"""
+
+
+def window_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ranking/distribution window family in one declared query:
+    rank, dense_rank, ntile, percent_rank, cume_dist, lag, lead per
+    customer ordered by (o_orderdate, o_orderkey) -- the key tiebreak
+    makes every function deterministic (a date-only order would make
+    lag/lead depend on shuffle arrival order).  One shuffle + one sort,
+    all seven functions evaluated in a single Window operator."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("prank"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.lag("o_orderkey", 1).over(w).alias("prev_key"),
+        F.lead("o_orderkey", 1).over(w).alias("next_key"),
+    )
+
+
+WINDOW_SUITE_ORACLE = """
+    SELECT o_custkey, o_orderkey,
+           CAST(rank() OVER w AS INTEGER) AS rnk,
+           CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+           percent_rank() OVER w AS prank,
+           cume_dist() OVER w AS cdist,
+           lag(o_orderkey, 1) OVER w AS prev_key,
+           lead(o_orderkey, 1) OVER w AS next_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
 RELATIONAL_QUERIES: list[tuple[str, object, str]] = [
     ("q1_pricing_summary", q1_pricing_summary, Q1_ORACLE),
     ("q3_shipping_priority", q3_shipping_priority, Q3_ORACLE),
@@ -590,6 +658,8 @@ RELATIONAL_QUERIES: list[tuple[str, object, str]] = [
     ("orders_above_customer_avg", orders_above_customer_avg, ABOVE_AVG_ORACLE),
     ("supplier_part_distinct", supplier_part_distinct, SUPPLIER_DISTINCT_ORACLE),
     ("rollup_sales", rollup_sales, ROLLUP_ORACLE),
+    ("cube_sales", cube_sales, CUBE_ORACLE),
+    ("window_function_suite", window_function_suite, WINDOW_SUITE_ORACLE),
     ("customers_without_orders", customers_without_orders, NO_ORDERS_ORACLE),
     ("high_value_customers_semi", high_value_customers_semi, HIGH_VALUE_ORACLE),
     ("segment_priority_setops", segment_priority_setops, SETOPS_ORACLE),

@@ -82,3 +82,35 @@ def test_bucketed_join_matches_plain_join(spark, bucketed_pair):
     got = {(r.o_orderpriority, r.n, r.rev) for r in _joined(spark).collect()}
     want = {(r.o_orderpriority, r.n, r.rev) for r in plain.collect()}
     assert got == want
+
+
+def test_compaction_file_count_and_pruning_layout(spark, tmp_path):
+    """Compaction must hit the computed file count, preserve every row, and
+    (with sort_col) give each file a disjoint key range so min/max stats
+    prune."""
+    import glob
+
+    from mapreduce_on_google_cloud_platform_spark.sources.compaction import compact
+
+    src = f"{SF_SMOKE}/lineitem.parquet"
+    dst = str(tmp_path / "lineitem_compacted")
+    # force a multi-file layout with a tiny target
+    n = compact(spark, src, dst, target_bytes=64 * 1024, sort_col="l_orderkey")
+    files = glob.glob(f"{dst}/part-*.parquet")
+    assert len(files) == n > 1
+
+    orig = spark.read.parquet(src)
+    comp = spark.read.parquet(dst)
+    assert comp.count() == orig.count()
+
+    # disjoint ranges: per-file min/max of the sort key must not overlap
+    from pyspark.sql import functions as F
+
+    ranges = sorted(
+        (r.lo, r.hi)
+        for r in comp.groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("l_orderkey").alias("lo"), F.max("l_orderkey").alias("hi"))
+        .collect()
+    )
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2
