@@ -1,0 +1,71 @@
+"""Robustness checks: randomized tokenizer equivalence and error paths.
+
+The tokenizer is the single most load-bearing shared expression (every
+text operator and every DuckDB oracle builds on it), so beyond the fixed
+FIXTURES.md cases it gets a randomized differential test: one seeded
+corpus of adversarial strings, tokenized by Spark and by an independent
+pure-Python implementation of the spec, must agree exactly.
+"""
+
+from __future__ import annotations
+
+import random
+import re
+import string
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduce_on_google_cloud_platform_spark.functions.text import tokenize
+from mapreduce_on_google_cloud_platform_spark.sources import load_table
+
+ALPHABET = (
+    string.ascii_letters
+    + string.digits
+    + string.punctuation
+    + " \t\n\réß中Ж "  # accents, CJK, Cyrillic: must be stripped
+)
+
+
+def _pure_python_tokens(text: str) -> list[str]:
+    out = []
+    for tok in text.split():
+        w = re.sub(r"[^0-9a-z]", "", tok.lower())
+        if w:
+            out.append(w)
+    return out
+
+
+def test_tokenizer_randomized_differential(spark):
+    rng = random.Random(20260813)
+    rows = []
+    for i in range(300):
+        n = rng.randint(0, 60)
+        rows.append((i, "".join(rng.choice(ALPHABET) for _ in range(n))))
+    # plus targeted edge shapes
+    rows += [
+        (1000, ""),
+        (1001, "   "),
+        (1002, "---"),
+        (1003, "don't stop-me now_42"),
+        (1004, "\tmixed\nwhite\r\nspace  runs"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = {
+        r.doc_id: list(r.toks)
+        for r in df.select("doc_id", tokenize(F.col("text")).alias("toks")).collect()
+    }
+    for doc_id, text in rows:
+        assert got[doc_id] == _pure_python_tokens(text), (doc_id, text)
+
+
+def test_unknown_table_raises_keyerror(spark):
+    with pytest.raises(KeyError):
+        load_table(spark, "/root/testdata/sf0.001", "nonexistent_table")
+
+
+def test_missing_sf_dir_raises_cleanly(spark):
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    with pytest.raises(AnalysisException):
+        load_table(spark, "/root/testdata/sf_nope", "orders").collect()
