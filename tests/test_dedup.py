@@ -78,3 +78,30 @@ def test_simhash_band_join_recall_exact(spark):
         for r in QUERIES["simhash_near_pairs"](spark, SF_SMOKE).collect()
     }
     assert banded == brute
+
+
+def test_dedup_clusters_consistent_with_pairs(spark):
+    """Cluster labels must close the pair relation: every near-dup pair
+    shares a cluster, every cluster id is the member-min doc_id, and
+    exactly one canonical doc exists per cluster."""
+    labels = {
+        r.doc_id: (r.cluster_id, r.cluster_size, r.is_canonical)
+        for r in QUERIES["dedup_clusters"](spark, SF_SMOKE).collect()
+    }
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["simhash_near_pairs"](spark, SF_SMOKE).collect()
+    ]
+    assert pairs, "threshold should produce pairs on the synthetic corpus"
+    for a, b in pairs:
+        assert labels[a][0] == labels[b][0], (a, b)
+    from collections import defaultdict
+
+    members = defaultdict(list)
+    for doc, (cid, _, _) in labels.items():
+        members[cid].append(doc)
+    for cid, docs in members.items():
+        assert cid == min(docs)
+        assert sum(1 for d in docs if labels[d][2]) == 1
+        assert all(labels[d][1] == len(docs) for d in docs)
+    assert sum(len(v) for v in members.values()) == len(labels)
