@@ -142,7 +142,123 @@ RANGE_JOIN_ORACLE = """
 """
 
 
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regularize the event stream onto an hourly grid per event type:
+    hours with no events appear with ``n_events = 0`` and a NULL hourly
+    value, and ``filled_value`` carries the last observed hourly sum
+    forward (the resample + ffill every time-series feature pipeline
+    needs).
+
+    Plan shape: one aggregation of the raw stream to (type, hour), then a
+    generated spine — ``sequence()`` over the global [min, max] hour
+    crossed with the distinct types — LEFT-joins the aggregate.  The
+    spine's size is types x hours regardless of event volume, so at
+    100 TB it is negligible next to the stream and broadcast-joins
+    against the hourly aggregate; the only full-data pass is the first
+    partial-aggregated groupBy.  The forward fill is one window per type
+    over the *spine-sized* table, never over raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "event_type",
+            F.date_trunc("hour", "ts").alias("hr"),
+            F.col("value").cast("decimal(18,2)").alias("v"),
+        )
+        .groupBy("event_type", "hr")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("v").cast("double").alias("hr_value"),
+        )
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    types = ev.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hr"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return spine.join(hourly, ["event_type", "hr"], "left").select(
+        "event_type",
+        "hr",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        "hr_value",
+        F.last("hr_value", ignorenulls=True).over(w).alias("filled_value"),
+    )
+
+
+GAP_FILL_ORACLE = """
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hr,
+               count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS hr_value
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT date_trunc('hour', min(ts)) AS lo,
+               date_trunc('hour', max(ts)) AS hi
+        FROM events
+    ),
+    spine AS (
+        SELECT t.event_type, g.hr
+        FROM (SELECT DISTINCT event_type FROM events) t
+        CROSS JOIN (
+            SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+            FROM bounds
+        ) g
+    )
+    SELECT s.event_type, s.hr,
+           coalesce(h.n_events, 0) AS n_events,
+           h.hr_value AS hr_value,
+           last_value(h.hr_value IGNORE NULLS) OVER (
+               PARTITION BY s.event_type ORDER BY s.hr
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+    FROM spine s
+    LEFT JOIN hourly h ON s.event_type = h.event_type AND s.hr = h.hr
+"""
+
+
+def scd2_user_event_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension build: each event becomes a
+    validity interval ``[valid_from, valid_to)`` per user, closed by the
+    user's next event (``lead``), with the latest event left open
+    (``is_current``).  This is the standard change-stream -> history-table
+    transform; one shuffle on user_id, one sort, every interval emitted
+    by a single window pass (no self-join against "the next row")."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+        (F.unix_micros(nxt) - F.unix_micros("ts")).alias("duration_us"),
+    )
+
+
+SCD2_ORACLE = """
+    SELECT user_id, event_id, event_type,
+           ts AS valid_from,
+           lead(ts) OVER w AS valid_to,
+           lead(ts) OVER w IS NULL AS is_current,
+           epoch_us(lead(ts) OVER w) - epoch_us(ts) AS duration_us
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 TEMPORAL_QUERIES: list[tuple[str, object, str | None]] = [
     ("asof_join_purchase_view", asof_join_purchase_view, ASOF_ORACLE),
     ("range_join_purchase_views_1h", range_join_purchase_views_1h, RANGE_JOIN_ORACLE),
+    ("events_gap_fill", events_gap_fill, GAP_FILL_ORACLE),
+    ("scd2_user_event_intervals", scd2_user_event_intervals, SCD2_ORACLE),
 ]

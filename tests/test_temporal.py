@@ -70,3 +70,49 @@ def test_range_join_counts_bounded_by_total_views(spark):
         assert 0 <= r.n_views_1h <= views_per_user.get(r.user_id, 0)
         if r.n_views_1h == 0:
             assert r.view_value_1h is None
+
+
+def test_gap_fill_spine_dense_and_filled(spark):
+    """The hourly spine must be contiguous per type (no missing hours),
+    gaps must appear as n_events=0 with a carried-forward filled_value,
+    and filled_value must equal the most recent non-null hr_value."""
+    rows = QUERIES["events_gap_fill"](spark, SF_SMOKE).collect()
+    assert rows
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    assert any(r.n_events == 0 for r in rows), "spine should contain gaps"
+    for evt, rs in by_type.items():
+        rs.sort(key=lambda r: r.hr)
+        for a, b in zip(rs, rs[1:]):
+            assert (b.hr - a.hr).total_seconds() == 3600, (evt, a.hr, b.hr)
+        last = None
+        for r in rs:
+            if r.hr_value is not None:
+                assert r.n_events > 0
+                last = r.hr_value
+            else:
+                assert r.n_events == 0
+            assert r.filled_value == last
+
+
+def test_scd2_intervals_tile_per_user(spark):
+    """Per user: intervals are disjoint, adjacent (valid_to == next
+    valid_from), and exactly one interval is open/current."""
+    rows = QUERIES["scd2_user_event_intervals"](spark, SF_SMOKE).collect()
+    assert rows
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for uid, rs in by_user.items():
+        rs.sort(key=lambda r: r.valid_from)
+        assert sum(1 for r in rs if r.is_current) == 1
+        assert rs[-1].is_current and rs[-1].valid_to is None
+        for a, b in zip(rs, rs[1:]):
+            assert a.valid_to == b.valid_from, uid
+            delta = b.valid_from - a.valid_from
+            assert a.duration_us == (
+                delta.days * 86_400_000_000
+                + delta.seconds * 1_000_000
+                + delta.microseconds
+            )
