@@ -53,6 +53,12 @@ HEADLINE = [
     # event-time windows
     "tumbling_window_events",
     "session_windows_users",
+    # TPC-H-shaped additions
+    "q4_order_priority",
+    "q18_large_orders",
+    # time-series regularization
+    "events_gap_fill",
+    "scd2_user_event_intervals",
 ]
 
 

@@ -648,6 +648,147 @@ WINDOW_SUITE_ORACLE = """
 """
 
 
+# ---------------------------------------------------------------------------
+# TPC-H-shaped additions: Q4 / Q13 / Q18 patterns, grouping sets
+# ---------------------------------------------------------------------------
+
+Q4_LATE_DAYS = 60
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders having >=1 lineitem shipped more than
+    {Q4_LATE_DAYS} days after the order date, counted by priority.  The
+    EXISTS becomes a left-semi join with a compound (equi + inequality)
+    condition: the equi-key keeps it a hash/sort-merge semi join, the
+    date inequality rides along as the join residual, and each order is
+    counted once no matter how many late lines it has."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (
+            li.l_shipdate
+            > orders.o_orderdate + F.expr(f"INTERVAL {Q4_LATE_DAYS} DAYS")
+        ),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+Q4_ORACLE = f"""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL {Q4_LATE_DAYS} DAY
+    )
+    GROUP BY o_orderpriority
+"""
+
+
+def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: histogram of customers by order count, INCLUDING
+    zero-order customers — the left outer join is the point (an inner
+    join silently drops the zero bucket).  Two aggregations, both
+    map-side partial; the second one's input is customer-sized."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    counts = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return counts.groupBy("n_orders").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+Q13_ORACLE = """
+    SELECT n_orders, count(*) AS n_customers
+    FROM (
+        SELECT c_custkey, count(o_orderkey) AS n_orders
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey
+    )
+    GROUP BY n_orders
+"""
+
+Q18_MIN_QTY = 300.0
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total lineitem quantity exceeds
+    {Q18_MIN_QTY}, joined back to orders + customer.  The HAVING filter
+    runs on the aggregate BEFORE the joins, so only the few qualifying
+    orderkeys (p99 of sum_qty is ~262 on this data) reach the join — at
+    100 TB the qualifying set is broadcast-sized under AQE."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(money_sum(dec("l_quantity")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > Q18_MIN_QTY)
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "sum_qty",
+        )
+    )
+
+
+Q18_ORACLE = f"""
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
+    FROM (
+        SELECT l_orderkey, {sql_money_sum('l_quantity')} AS sum_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING {sql_money_sum('l_quantity')} > {Q18_MIN_QTY}
+    ) big
+    JOIN orders   ON big.l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS ((flag, status), (status), ()) — a set rollup/cube
+    cannot express (it has no (status)-only stratum without the (flag)
+    one).  Declared through the engine's SQL entry point: the same
+    Catalyst plan as the DataFrame API, one expand + one shuffle for all
+    three strata."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("gs_lineitem")
+    return spark.sql(
+        f"""
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               CAST(sum({SQL_REVENUE}) AS DOUBLE) AS revenue,
+               count(*) AS n_lines
+        FROM gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+        """
+    )
+
+
+GROUPING_SETS_ORACLE = f"""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           CAST(sum({SQL_REVENUE}) AS DOUBLE) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+"""
+
+
 RELATIONAL_QUERIES: list[tuple[str, object, str]] = [
     ("q1_pricing_summary", q1_pricing_summary, Q1_ORACLE),
     ("q3_shipping_priority", q3_shipping_priority, Q3_ORACLE),
@@ -668,4 +809,8 @@ RELATIONAL_QUERIES: list[tuple[str, object, str]] = [
     ("events_json_stats", events_json_stats, EVENTS_JSON_ORACLE),
     ("event_type_pivot", event_type_pivot, PIVOT_ORACLE),
     ("global_topk_orders", global_topk_orders, GLOBAL_TOPK_ORACLE),
+    ("q4_order_priority", q4_order_priority, Q4_ORACLE),
+    ("q13_customer_order_distribution", q13_customer_order_distribution, Q13_ORACLE),
+    ("q18_large_orders", q18_large_orders, Q18_ORACLE),
+    ("grouping_sets_sales", grouping_sets_sales, GROUPING_SETS_ORACLE),
 ]
