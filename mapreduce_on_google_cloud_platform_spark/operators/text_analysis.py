@@ -20,7 +20,7 @@ not the per-doc doubles.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import DUCKDB_TOKS_CTE, tokenize, tokens_df
@@ -416,7 +416,94 @@ SENTIMENT_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Normalization / cleaning: adjacent-repeat collapse + stopword strip
+# ---------------------------------------------------------------------------
+
+
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rewrite each document as cleaned text: tokenize (the shared
+    reference tokenizer), collapse ADJACENT repeated tokens ("a a the" ->
+    "a the" — stutter from OCR/scrape artifacts), then drop English
+    stopwords; emit the rebuilt text plus audit counts.  The
+    repeat-vs-previous test runs BEFORE stopword removal so two repeats
+    separated by a stopword stay distinct occurrences.
+
+    Plan: posexplode once, one lag() window per doc for adjacency, and
+    ONE groupBy that computes all counts AND reassembles the text —
+    ``collect_list`` of (pos, word) structs sorted by ``array_sort``
+    (struct order = field order, pos first), so reassembly is
+    shuffle-arrival-order-proof.  The collected list is bounded by
+    document length — fine for documents, the wrong plan for unbounded
+    groups."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(tokenize(F.col("text"))).alias("pos", "word")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    stops = F.array(*[F.lit(s) for s in EN_STOPS])
+    flagged = toks.select(
+        "doc_id",
+        "pos",
+        "word",
+        (F.lag("word").over(w).isNull() | (F.col("word") != F.lag("word").over(w))).alias(
+            "not_repeat"
+        ),
+    ).select(
+        "doc_id",
+        "pos",
+        "word",
+        "not_repeat",
+        (F.col("not_repeat") & ~F.array_contains(stops, F.col("word"))).alias("keep"),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(~F.col("not_repeat"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_repeats_removed"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("keep"), F.struct("pos", "word"))
+                    )
+                ),
+                lambda s: s["word"],
+            ),
+        ).alias("clean_text"),
+    )
+
+
+_SQL_STOPS = ", ".join(f"'{s}'" for s in EN_STOPS)
+
+NORMALIZE_ORACLE = f"""
+    WITH {DUCKDB_TOKS_CTE},
+    tok AS (
+        SELECT doc_id, i AS pos, ts[i] AS word,
+               (i = 1 OR ts[i] <> ts[i-1]) AS not_repeat
+        FROM toks, unnest(range(1, len(ts) + 1)) t(i)
+    ),
+    flagged AS (
+        SELECT doc_id, pos, word, not_repeat,
+               (not_repeat AND word NOT IN ({_SQL_STOPS})) AS keep
+        FROM tok
+    )
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           CAST(sum(CASE WHEN NOT not_repeat THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_repeats_removed,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           coalesce(string_agg(CASE WHEN keep THEN word END, ' ' ORDER BY pos), '')
+               AS clean_text
+    FROM flagged
+    GROUP BY doc_id
+"""
+
+
 TEXT_ANALYSIS_QUERIES: list[tuple[str, object, str | None]] = [
+    ("text_normalize", text_normalize, NORMALIZE_ORACLE),
     ("text_langid", text_langid, LANGID_ORACLE),
     ("text_quality_score", text_quality_score, QUALITY_ORACLE),
     ("token_count_stats", token_count_stats, TOKEN_COUNT_ORACLE),

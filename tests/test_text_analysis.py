@@ -79,3 +79,20 @@ def test_bigrams_bounded_by_tokens(spark):
         w1, w2 = r.bigram.split(" ")
         assert w1 and w2
         assert r.occurrences >= 2 and 1 <= r.n_docs <= r.occurrences
+
+
+def test_text_normalize_properties(spark):
+    """clean_text must contain exactly n_kept tokens, no stopwords, and no
+    adjacent repeats that were present pre-stopword-removal."""
+    from mapreduce_on_google_cloud_platform_spark.operators.text_analysis import (
+        EN_STOPS,
+    )
+
+    rows = QUERIES["text_normalize"](spark, SF_SMOKE).collect()
+    assert rows
+    assert any(r.n_repeats_removed > 0 for r in rows)
+    for r in rows:
+        toks = r.clean_text.split() if r.clean_text else []
+        assert len(toks) == r.n_kept
+        assert not set(toks) & set(EN_STOPS)
+        assert r.n_kept + r.n_repeats_removed <= r.n_tokens
