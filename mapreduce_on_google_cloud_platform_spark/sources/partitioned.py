@@ -1,0 +1,72 @@
+"""Hive-style partitioned layout: directory pruning for time/category scans.
+
+The complement of bucketing.py: bucketing pre-pays JOIN shuffles, while
+directory partitioning pre-pays FILTER scans.  A table written as
+``path/event_date=2024-01-05/part-*.parquet`` lets any query with a
+predicate on the partition column skip whole directories at planning
+time — at 100 TB with daily partitions, a one-day query reads ~1/365th
+of the bytes and the scan's ``PartitionFilters`` (not a post-scan
+filter) is what proves it (asserted in tests/test_partitioned.py).
+
+Two pruning modes, both exercised by the tests:
+
+* **Static**: the predicate is a literal (``event_date = '2024-01-05'``)
+  — pruned during logical planning, unmatched directories are never
+  listed.
+* **Dynamic (DPP)**: the predicate arrives through a join against a
+  filtered dimension (``JOIN dates_dim ON ... WHERE dim.is_weekend``) —
+  Catalyst inserts a ``dynamicpruningexpression`` that evaluates the dim
+  side first and broadcasts the surviving partition keys into the fact
+  scan at runtime.  This is the mechanism that makes star-schema date
+  filtering cheap without literal predicates.  Caveat (test-pinned): the
+  rule's selectivity heuristic only recognizes comparison/IN/LIKE
+  predicates on the dim — filtering on a bare boolean column silently
+  disables DPP; model dim flags as categorical values, not booleans.
+
+Layout guidance encoded as defaults:
+
+* partition by LOW-cardinality, ALWAYS-filtered columns (dates,
+  regions); a high-cardinality partition column (user_id) creates
+  millions of tiny directories and kills the file listing;
+* combine with in-file sorting or bucketing for secondary keys;
+* repartition by the partition column before writing, otherwise every
+  task writes a file into every partition directory (tasks x partitions
+  small files — the classic mistake this module's writer avoids).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: Sequence[str]
+) -> None:
+    """Write ``df`` as hive-partitioned parquet at ``path``.
+
+    Repartitions on the partition columns first so each output directory
+    is written by (at most) one task — without this, a 200-task write
+    into 365 date directories produces 73k small files."""
+    (
+        df.repartition(*[F.col(c) for c in partition_cols])
+        .write.mode("overwrite")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+
+
+def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
+    """Read a partitioned layout (partition columns come back as real
+    columns, typed by partition-dir discovery)."""
+    return spark.read.parquet(path)
+
+
+def events_by_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table with its natural partition column attached."""
+    from .tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.withColumn("event_date", F.to_date("ts"))
