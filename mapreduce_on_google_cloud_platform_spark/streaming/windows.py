@@ -230,8 +230,46 @@ def streaming_session_query(spark: SparkSession, sf_dir: str):
     return stream
 
 
+def user_event_type_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming dedup: the distinct (user, type) set.
+    DISTINCT on a projected subset plans as a two-level hash aggregate
+    (partial distinct map-side — only unique pairs cross the network)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select("user_id", "event_type").distinct()
+
+
+USER_EVENT_DISTINCT_ORACLE = """
+    SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
+def streaming_dedup_query(spark: SparkSession, sf_dir: str):
+    """Streaming exact-dedup: readStream -> watermark ->
+    ``dropDuplicates`` on (user_id, event_type) — the continuous-ingest
+    form of operators/dedup.py's exact dedup, i.e. an exactly-once
+    projection of an at-least-once feed.  Each key's first arrival is
+    emitted immediately (append mode); later duplicates hit the state
+    store and vanish.  The watermark bounds state: keys older than the
+    horizon are dropped, so state size ~ |keys seen within the
+    watermark|, not |events|.  pytest compares the emitted key set with
+    the batch DISTINCT twin."""
+    import os
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return (
+        spark.readStream.schema(static.schema)
+        .parquet(_events_stream_dir(sf_dir))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+
+
 STREAMING_QUERIES: list[tuple[str, object, str | None]] = [
     ("tumbling_window_events", tumbling_window_events, TUMBLING_ORACLE),
     ("sliding_window_events", sliding_window_events, SLIDING_ORACLE),
     ("session_windows_users", session_windows_users, SESSION_ORACLE),
+    ("user_event_type_distinct", user_event_type_distinct, USER_EVENT_DISTINCT_ORACLE),
 ]

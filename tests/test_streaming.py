@@ -111,3 +111,34 @@ def test_stateful_user_totals_matches_batch(spark):
         gn, gtotal, glast = final[uid]
         assert gn == n and glast == last
         assert abs(gtotal - total) < 1e-6 * max(1.0, abs(total))
+
+
+@pytest.mark.slow
+def test_streaming_dedup_matches_batch_distinct(spark):
+    """Streaming dropDuplicates must emit exactly the batch DISTINCT key
+    set (each key once, no duplicates, none missing)."""
+    from mapreduce_on_google_cloud_platform_spark.streaming.windows import (
+        streaming_dedup_query,
+    )
+
+    stream = streaming_dedup_query(spark, SF_SMOKE)
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_dedup")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = [
+            (r.user_id, r.event_type)
+            for r in spark.sql("SELECT * FROM stream_dedup").collect()
+        ]
+    finally:
+        q.stop()
+    assert len(got) == len(set(got)), "streaming dedup emitted duplicates"
+    want = {
+        (r.user_id, r.event_type)
+        for r in QUERIES["user_event_type_distinct"](spark, SF_SMOKE).collect()
+    }
+    assert set(got) == want
