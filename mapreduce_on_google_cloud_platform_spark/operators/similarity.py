@@ -32,6 +32,7 @@ from ..functions.vectors import (
     flat_normalized,
     flat_renamed,
     sql_dot,
+    sql_norm,
 )
 from ..sources import load_table
 
@@ -180,7 +181,54 @@ ANN_IVF_ORACLE = f"""
 """
 
 
+def embedding_vector_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function library over the embedding column: size, L1/L2
+    norms, min/max, argmax position, positive-component count, head
+    slice — the per-vector feature/diagnostic pass a vector pipeline
+    runs before indexing.  All reductions are unrolled left-associated
+    chains (codegen + the exact IEEE order of the oracle's sequential
+    list_reduce); structural ops use the native array built-ins."""
+    from ..functions.vectors import DIM, as_double, norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = as_double(F.col("embedding"))
+    l1 = F.lit(0.0)
+    for i in range(DIM):
+        l1 = l1 + F.abs(F.element_at(v, i + 1))
+    head4 = F.lit(0.0)
+    for i in range(4):
+        head4 = head4 + F.element_at(v, i + 1)
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("int").alias("dim"),
+        norm(v).alias("l2_norm"),
+        l1.alias("l1_norm"),
+        F.array_max(v).alias("v_max"),
+        F.array_min(v).alias("v_min"),
+        F.array_position(v, F.array_max(v)).cast("int").alias("argmax_pos"),
+        F.size(F.filter(v, lambda x: x > F.lit(0.0))).cast("int").alias("n_pos"),
+        head4.alias("head4_sum"),
+    )
+
+
+VECTOR_SUITE_ORACLE = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT vec_id,
+           CAST(len(v) AS INTEGER) AS dim,
+           {sql_norm('v')} AS l2_norm,
+           list_reduce(list_transform(generate_series(1, 64), i -> abs(v[i])),
+                       (x, y) -> x + y) AS l1_norm,
+           list_max(v) AS v_max,
+           list_min(v) AS v_min,
+           CAST(list_position(v, list_max(v)) AS INTEGER) AS argmax_pos,
+           CAST(len(list_filter(v, x -> x > 0.0)) AS INTEGER) AS n_pos,
+           v[1] + v[2] + v[3] + v[4] AS head4_sum
+    FROM e
+"""
+
+
 SIMILARITY_QUERIES: list[tuple[str, object, str | None]] = [
     ("ann_topk_bruteforce", ann_topk_bruteforce, ANN_BRUTEFORCE_ORACLE),
     ("ann_ivf_topk", ann_ivf_topk, ANN_IVF_ORACLE),
+    ("embedding_vector_suite", embedding_vector_suite, VECTOR_SUITE_ORACLE),
 ]
