@@ -227,8 +227,192 @@ VECTOR_SUITE_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# K-means codebook training (deterministic Lloyd's, exact cross-engine)
+# ---------------------------------------------------------------------------
+
+KMEANS_ITERS = 3
+QUANT_SCALE = 1_000_000  # fixed-point: q = floor(v * 1e6 + 0.5)
+
+
+def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{KMEANS_ITERS} fixed Lloyd iterations over the embeddings; returns
+    the final (vec_id, cluster_id, dist) assignment.  This trains the
+    codebook the IVF plan serves (``ann_ivf_topk``'s stride centroids are
+    iteration 0 of exactly this loop).
+
+    Floating-point k-means is NOT reproducible across engines or
+    partitionings (centroid means sum doubles in execution order), so
+    every quantity here is exact until the final comparison:
+
+    * components quantized ONCE to fixed point: ``q = floor(v*1e6 + 0.5)``
+      (floor of an identically-rounded double — no HALF_UP/HALF_EVEN
+      engine ambiguity);
+    * centroids kept as rational (sum, count) pairs — never divided;
+    * squared distance to centroid c scaled by ``n_c^2``:
+      ``sum_i (q_i*n_c - s_ci)^2`` in DECIMAL(38,0) (Spark) / HUGEINT
+      (DuckDB) — exact integers, order-free;
+    * the only doubles are one cast + one division per (vector,
+      centroid), both correctly-rounded functions of exact integers, so
+      argmin (tie-broken on cluster_id) is bit-deterministic anywhere.
+
+    Scale: vectors ride flat int64 columns (no arrays); each iteration is
+    one broadcast of the k-row codebook + one shuffle for the argmin
+    groupBy + one for the re-sum — the textbook distributed k-means
+    round.  Iterations are lineage-truncated like dedup_clusters."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from ..functions.vectors import DIM, as_double
+
+    def _chain(terms):
+        acc = terms[0]
+        for t in terms[1:]:
+            acc = acc + t
+        return acc
+
+    v = as_double(F.col("embedding"))
+    qcols = [
+        F.floor(F.element_at(v, i + 1) * QUANT_SCALE + F.lit(0.5))
+        .cast("bigint")
+        .alias(f"q{i}")
+        for i in range(DIM)
+    ]
+    # Q2 = sum_i q_i^2 (int64-safe: |q| <= ~1e6 -> Q2 <= 64e12)
+    vectors = (
+        emb.select("vec_id", *qcols)
+        .select(
+            "*",
+            _chain([F.col(f"q{i}") * F.col(f"q{i}") for i in range(DIM)]).alias("qq"),
+        )
+        .persist()
+    )
+
+    DEC = "decimal(38,0)"
+
+    def _with_ss(df: DataFrame) -> DataFrame:
+        # S2 = sum_i s_i^2: s_i <= |q|max * n, so the squares need wide
+        # integers -- DECIMAL(38,0), computed once per centroid (k rows).
+        sq = [
+            F.col(f"s{i}").cast("decimal(19,0)") * F.col(f"s{i}").cast("decimal(19,0)")
+            for i in range(DIM)
+        ]
+        return df.select("*", _chain(sq).cast(DEC).alias("ss"))
+
+    centroids = _with_ss(
+        vectors.filter(F.col("vec_id") % CENTROID_STRIDE == 0).select(
+            F.col("vec_id").alias("cluster_id"),
+            F.lit(1).cast("bigint").alias("n"),
+            *[F.col(f"q{i}").alias(f"s{i}") for i in range(DIM)],
+        )
+    ).localCheckpoint()
+
+    # dist*n^2 = n^2*Q2 - 2n*<q,s> + S2 (algebraically = sum_i (q_i*n - s_i)^2,
+    # identical integer because every step is exact).  The per-pair hot loop
+    # is <q,s>: a pure int64 dot product (codegen); the three wide-decimal
+    # ops run once per pair, not once per dimension.  int64 bound: <q,s> <=
+    # 64 * qmax^2 * n ~ 6.4e13 * n -- safe to n ~ 1e5 members; beyond that,
+    # lift the cross term to DECIMAL too.
+    cross = _chain([F.col(f"q{i}") * F.col(f"s{i}") for i in range(DIM)])
+    n2 = (F.col("n") * F.col("n")).cast(DEC)
+    dist_expr = (
+        (
+            n2 * F.col("qq").cast(DEC)
+            - (F.lit(2) * F.col("n")).cast(DEC) * cross.cast(DEC)
+            + F.col("ss")
+        ).cast("double")
+        / (F.col("n") * F.col("n")).cast("double")
+    )
+
+    assign = None
+    for _ in range(KMEANS_ITERS):
+        scored = vectors.crossJoin(F.broadcast(centroids)).select(
+            "vec_id", "cluster_id", dist_expr.alias("dist")
+        )
+        assign = (
+            scored.groupBy("vec_id")
+            .agg(F.min(F.struct("dist", "cluster_id")).alias("m"))
+            .select(
+                "vec_id",
+                F.col("m.cluster_id").alias("cluster_id"),
+                F.col("m.dist").alias("dist"),
+            )
+        )
+        centroids = _with_ss(
+            vectors.join(assign, "vec_id")
+            .groupBy("cluster_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[F.sum(f"q{i}").alias(f"s{i}") for i in range(DIM)],
+            )
+        ).localCheckpoint()
+    return assign
+
+
+def _kmeans_oracle() -> str:
+    dim, scale, stride = 64, QUANT_SCALE, CENTROID_STRIDE
+    parts = [
+        f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (
+        SELECT vec_id, i AS d,
+               CAST(floor(v[i] * {scale} + 0.5) AS BIGINT) AS qv
+        FROM e, unnest(generate_series(1, {dim})) t(i)
+    ),
+    q2 AS (SELECT vec_id, CAST(sum(qv * qv) AS BIGINT) AS qq
+           FROM q GROUP BY vec_id),
+    cn0 AS (SELECT vec_id AS cluster_id, CAST(1 AS BIGINT) AS n
+            FROM e WHERE vec_id % {stride} = 0),
+    cs0 AS (SELECT vec_id AS cluster_id, d, qv AS s
+            FROM q WHERE vec_id % {stride} = 0)"""
+    ]
+    for it in range(1, KMEANS_ITERS + 1):
+        p = it - 1
+        parts.append(
+            f""",
+    ss{p} AS (SELECT cluster_id, sum(CAST(s AS HUGEINT) * s) AS ss
+              FROM cs{p} GROUP BY cluster_id),
+    sc{it} AS (
+        SELECT x.vec_id, x.cluster_id,
+               CAST(CAST(cn.n AS HUGEINT) * cn.n * q2.qq
+                    - 2 * CAST(cn.n AS HUGEINT) * x.xp
+                    + ss.ss AS DOUBLE)
+                 / CAST(cn.n * cn.n AS DOUBLE) AS dist
+        FROM (
+            SELECT q.vec_id, cs.cluster_id,
+                   CAST(sum(q.qv * cs.s) AS BIGINT) AS xp
+            FROM q JOIN cs{p} cs ON q.d = cs.d
+            GROUP BY 1, 2
+        ) x
+        JOIN cn{p} cn ON x.cluster_id = cn.cluster_id
+        JOIN ss{p} ss ON x.cluster_id = ss.cluster_id
+        JOIN q2 ON x.vec_id = q2.vec_id
+    ),
+    a{it} AS (
+        SELECT vec_id, cluster_id, dist
+        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY dist, cluster_id) AS rn
+              FROM sc{it})
+        WHERE rn = 1
+    ),
+    cn{it} AS (SELECT cluster_id, count(*) AS n FROM a{it} GROUP BY cluster_id),
+    cs{it} AS (
+        SELECT a.cluster_id, q.d, CAST(sum(q.qv) AS BIGINT) AS s
+        FROM a{it} a JOIN q USING (vec_id)
+        GROUP BY 1, 2
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT vec_id, cluster_id, dist FROM a{KMEANS_ITERS}"""
+    )
+    return "".join(parts)
+
+
+KMEANS_ORACLE = _kmeans_oracle()
+
+
 SIMILARITY_QUERIES: list[tuple[str, object, str | None]] = [
     ("ann_topk_bruteforce", ann_topk_bruteforce, ANN_BRUTEFORCE_ORACLE),
     ("ann_ivf_topk", ann_ivf_topk, ANN_IVF_ORACLE),
     ("embedding_vector_suite", embedding_vector_suite, VECTOR_SUITE_ORACLE),
+    ("kmeans_assign", kmeans_assign, KMEANS_ORACLE),
 ]

@@ -52,3 +52,63 @@ def test_ivf_recall_vs_bruteforce(spark):
     }
     recall = len(brute & ivf) / len(brute)
     assert recall > 0.2, f"IVF recall@{K_NEIGHBORS} suspiciously low: {recall:.2f}"
+
+
+def test_kmeans_matches_numpy_reference(spark):
+    """Independent third implementation: quantized Lloyd's in numpy with
+    the same init/tie-break rules must produce the identical assignment
+    (catches errors a shared-SQL-shape oracle could mirror)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from mapreduce_on_google_cloud_platform_spark.operators.similarity import (
+        CENTROID_STRIDE,
+        KMEANS_ITERS,
+        QUANT_SCALE,
+    )
+
+    t = pq.read_table(f"{SF_SMOKE}/embeddings.parquet")
+    vec_ids = np.array(t["vec_id"])
+    v = np.array([np.asarray(x, dtype=np.float64) for x in t["embedding"].to_pylist()])
+    q = np.floor(v * QUANT_SCALE + 0.5).astype(np.int64)
+
+    mask = vec_ids % CENTROID_STRIDE == 0
+    cids = vec_ids[mask].astype(np.int64)
+    sums = q[mask].astype(object)  # python ints: exact wide arithmetic
+    ns = np.ones(len(cids), dtype=np.int64)
+    assign = None
+    for _ in range(KMEANS_ITERS):
+        best = {}
+        for vid, qv in zip(vec_ids, q):
+            qq = int(np.dot(qv, qv))
+            cands = []
+            for c in range(len(cids)):
+                n = int(ns[c])
+                s = sums[c]
+                xp = int(np.dot(qv, s.astype(np.int64)))
+                ss = sum(int(x) * int(x) for x in s)
+                dist = float(n * n * qq - 2 * n * xp + ss) / float(n * n)
+                cands.append((dist, int(cids[c])))
+            best[int(vid)] = min(cands)
+        assign = best
+        members = {}
+        for vid, (_, cid) in best.items():
+            members.setdefault(cid, []).append(vid)
+        cids = np.array(sorted(members), dtype=np.int64)
+        idx = {int(v): i for i, v in enumerate(vec_ids)}
+        sums = np.array(
+            [
+                np.sum(q[[idx[m] for m in members[int(c)]]].astype(object), axis=0)
+                for c in cids
+            ],
+            dtype=object,
+        )
+        ns = np.array([len(members[int(c)]) for c in cids], dtype=np.int64)
+
+    got = {
+        r.vec_id: (r.dist, r.cluster_id)
+        for r in QUERIES["kmeans_assign"](spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(assign)
+    for vid in got:
+        assert got[vid] == assign[vid], (vid, got[vid], assign[vid])
