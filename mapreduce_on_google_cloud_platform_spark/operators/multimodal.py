@@ -173,9 +173,128 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.mapInPandas(extract, schema=FEATURE_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# Resize (1 -> 1) and frame sampling (1 -> N): the remaining media-edge shapes
+# ---------------------------------------------------------------------------
+
+RESIZE_N = 64           # target sample count per payload
+FRAME_BYTES = 128       # "frame" size within a payload
+FRAME_HOP = 256         # sample a frame every HOP bytes
+
+RESIZE_SCHEMA = "doc_id bigint, n_in bigint, n_out bigint, resized_md5 string"
+FRAME_SCHEMA = (
+    "doc_id bigint, frame_idx int, frame_md5 string, frame_head string"
+)
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic "resize": evenly strided downsample of each payload
+    to at most RESIZE_N samples (stride = ceil(n/RESIZE_N)) — the same
+    batch shape a real thumbnailer has (Arrow in, one row out per
+    payload, payload touched once).  A real deployment swaps the strided
+    byte pick for a codec resize behind ``decode_image_batch``; because
+    the fake decode is byte-level and the payloads are ASCII, this one
+    is exactly DuckDB-checkable, which pins the plumbing (batching,
+    schema, per-row independence) with a full value oracle rather than a
+    rows-only check."""
+    import pandas as pd
+
+    media = media_table(spark, sf_dir).select("doc_id", "payload")
+
+    def resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import hashlib
+
+        out_n = RESIZE_N
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                n = len(b)
+                stride = (n + out_n - 1) // out_n if n else 1
+                sampled = b[::stride] if n else b
+                rows.append(
+                    (doc_id, n, len(sampled), hashlib.md5(sampled).hexdigest())
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_in", "n_out", "resized_md5"]
+            )
+
+    return media.mapInPandas(resize, schema=RESIZE_SCHEMA)
+
+
+MULTIMODAL_RESIZE_ORACLE = f"""
+    WITH d AS (
+        SELECT doc_id, text, length(text) AS n,
+               CAST(ceil(length(text) / {RESIZE_N}.0) AS BIGINT) AS stride
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_in,
+           CAST(len(range(0, n, stride)) AS BIGINT) AS n_out,
+           md5(list_aggregate(
+               list_transform(range(0, n, stride),
+                              i -> substring(text, CAST(i + 1 AS INTEGER), 1)),
+               'string_agg', '')) AS resized_md5
+    FROM d
+"""
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: treat each payload as a byte stream of
+    FRAME_BYTES-sized frames and emit every (FRAME_HOP/FRAME_BYTES)-th
+    full frame — the 1 -> N fan-out shape of video frame extraction
+    (mapInPandas yields multiple rows per input row; short payloads
+    yield zero).  Emits a checksum + head preview per frame, so the
+    oracle can verify every sampled byte without carrying blobs."""
+    import pandas as pd
+
+    media = media_table(spark, sf_dir).select("doc_id", "payload")
+
+    def frames(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import hashlib
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                for idx, off in enumerate(
+                    range(0, len(b) - FRAME_BYTES + 1, FRAME_HOP)
+                ):
+                    chunk = b[off : off + FRAME_BYTES]
+                    rows.append(
+                        (
+                            doc_id,
+                            idx,
+                            hashlib.md5(chunk).hexdigest(),
+                            chunk[:8].decode("ascii", "replace"),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "frame_md5", "frame_head"]
+            )
+
+    return media.mapInPandas(frames, schema=FRAME_SCHEMA)
+
+
+MULTIMODAL_FRAME_ORACLE = f"""
+    SELECT doc_id,
+           CAST(i AS INTEGER) AS frame_idx,
+           md5(substring(text, CAST(i * {FRAME_HOP} + 1 AS INTEGER), {FRAME_BYTES}))
+               AS frame_md5,
+           substring(text, CAST(i * {FRAME_HOP} + 1 AS INTEGER), 8) AS frame_head
+    FROM documents,
+         unnest(range(0, greatest(0,
+             CAST(floor((length(text) - {FRAME_BYTES}) / {FRAME_HOP}.0) AS BIGINT) + 1)))
+         t(i)
+"""
+
+
 MULTIMODAL_QUERIES: list[tuple[str, object, str | None]] = [
     ("multimodal_metadata", multimodal_metadata, MULTIMODAL_METADATA_ORACLE),
     # mapInPandas feature extraction: Python-side decode, no SQL oracle ->
     # rows-only driver check + pytest value assertions.
     ("multimodal_features", multimodal_features, None),
+    ("multimodal_resize", multimodal_resize, MULTIMODAL_RESIZE_ORACLE),
+    ("multimodal_frame_sample", multimodal_frame_sample, MULTIMODAL_FRAME_ORACLE),
 ]

@@ -68,3 +68,37 @@ def test_real_decode_is_explicitly_stubbed():
     """The codec-less container must fail loudly, not fake-decode silently."""
     with pytest.raises(NotImplementedError):
         decode_image_batch([b"\x89PNG"])
+
+
+@pytest.mark.parametrize("name", ["multimodal_resize", "multimodal_frame_sample"])
+def test_media_edge_ops_oracle_parity(spark, name):
+    assert_matches_oracle(QUERIES[name](spark, SF_SMOKE), ORACLES[name], SF_SMOKE)
+
+
+def test_frame_sample_fan_out_shape(spark):
+    """1 -> N semantics: docs shorter than one frame emit nothing, frame
+    indexes are dense from 0, every frame hash corresponds to the right
+    byte slice."""
+    import hashlib
+
+    from mapreduce_on_google_cloud_platform_spark.operators.multimodal import (
+        FRAME_BYTES,
+        FRAME_HOP,
+        media_table,
+    )
+
+    frames = {}
+    for r in QUERIES["multimodal_frame_sample"](spark, SF_SMOKE).collect():
+        frames.setdefault(r.doc_id, []).append((r.frame_idx, r.frame_md5))
+    payloads = {
+        r.doc_id: bytes(r.payload)
+        for r in media_table(spark, SF_SMOKE).select("doc_id", "payload").collect()
+    }
+    assert any(len(v) > 1 for v in frames.values()), "expect multi-frame docs"
+    for doc_id, b in payloads.items():
+        want = [
+            hashlib.md5(b[off : off + FRAME_BYTES]).hexdigest()
+            for off in range(0, len(b) - FRAME_BYTES + 1, FRAME_HOP)
+        ]
+        got = [h for _, h in sorted(frames.get(doc_id, []))]
+        assert got == want, doc_id
