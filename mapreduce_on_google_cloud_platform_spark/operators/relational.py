@@ -760,6 +760,59 @@ Q18_ORACLE = f"""
 """
 
 
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between distinct nation pairs per
+    year.  Two independent broadcast joins against the tiny nation dim
+    (one through supplier, one through customer) ride the single
+    fact-fact sort-merge spine; the cross-nation inequality is a cheap
+    post-join residual, never a join key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n_supp = F.broadcast(
+        nation.select(
+            F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    n_cust = F.broadcast(
+        nation.select(
+            F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+        )
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(n_supp, F.col("s_nationkey") == F.col("sn_key"))
+        .join(n_cust, F.col("c_nationkey") == F.col("cn_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(money_sum(revenue_expr()).alias("volume"))
+    )
+
+
+Q7_ORACLE = f"""
+    SELECT sn.n_name AS supp_nation,
+           cn.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INTEGER) AS l_year,
+           CAST(sum({SQL_REVENUE}) AS DOUBLE) AS volume
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    WHERE sn.n_name <> cn.n_name
+    GROUP BY 1, 2, 3
+"""
+
+
 def grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS ((flag, status), (status), ()) — a set rollup/cube
     cannot express (it has no (status)-only stratum without the (flag)
@@ -810,6 +863,7 @@ RELATIONAL_QUERIES: list[tuple[str, object, str]] = [
     ("event_type_pivot", event_type_pivot, PIVOT_ORACLE),
     ("global_topk_orders", global_topk_orders, GLOBAL_TOPK_ORACLE),
     ("q4_order_priority", q4_order_priority, Q4_ORACLE),
+    ("q7_nation_volume", q7_nation_volume, Q7_ORACLE),
     ("q13_customer_order_distribution", q13_customer_order_distribution, Q13_ORACLE),
     ("q18_large_orders", q18_large_orders, Q18_ORACLE),
     ("grouping_sets_sales", grouping_sets_sales, GROUPING_SETS_ORACLE),

@@ -69,3 +69,24 @@ def test_missing_sf_dir_raises_cleanly(spark):
 
     with pytest.raises(AnalysisException):
         load_table(spark, "/root/testdata/sf_nope", "orders").collect()
+
+
+@pytest.mark.parametrize(
+    "name", ["kmeans_assign", "dedup_minhash_lsh", "quantile_summary", "q1_pricing_summary"]
+)
+def test_shuffle_partition_invariance(spark, name):
+    """SURVEY §5: results must be invariant to parallelism degrees.  The
+    queries most exposed to execution-order effects (iterative argmin,
+    LSH banding, exact quantiles, decimal money sums) must return
+    identical rows under a different shuffle-partition count."""
+    from mapreduce_on_google_cloud_platform_spark.plans import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    base = sorted(tuple(r) for r in QUERIES[name](spark, sf).collect())
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "5")
+    try:
+        alt = sorted(tuple(r) for r in QUERIES[name](spark, sf).collect())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+    assert base == alt
