@@ -71,9 +71,34 @@ def main() -> None:
 
     spark = get_spark("bench")
 
-    # warm the JVM/codegen once on a trivial plan so query timings measure
-    # the work, not first-stage setup
-    spark.range(1000).selectExpr("sum(id)").collect()
+    # warm the JVM once on the common plan shapes (parquet scan, hash agg,
+    # window, broadcast join) at the smallest SF, so per-query timings
+    # measure the work, not first-use codegen/classloading of each
+    # operator template -- the first headline query was otherwise charged
+    # ~4s of session bootstrap that belongs to no plan
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from mapreduce_on_google_cloud_platform_spark.sources import load_table
+
+    warm_sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, warm_sf, "documents")
+    orders = load_table(spark, warm_sf, "orders")
+    (
+        docs.select(F.explode(F.split("text", r"\s+")).alias("t"))
+        .groupBy("t")
+        .count()
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    (
+        orders.join(F.broadcast(orders.limit(10).select("o_orderkey")), "o_orderkey")
+        .select(F.row_number().over(Window.partitionBy("o_custkey").orderBy("o_orderkey")).alias("rn"))
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

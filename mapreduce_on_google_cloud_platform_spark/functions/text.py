@@ -54,10 +54,38 @@ def tokens_df(documents: DataFrame, doc_col: str = "doc_id", text_col: str = "te
     The reference materializes this list on the master and chunks it by
     hand (``master.py:54-84``, dropping ``len % map_num`` trailing tokens);
     here it is a distributed project+explode that never touches the driver.
-    """
-    return documents.select(
-        F.col(doc_col),
-        F.explode(tokenize(F.col(text_col))).alias("word"),
+
+    Formulation: explode the raw whitespace split FIRST, then clean/filter
+    the exploded column with scalar expressions.  Identical semantics to
+    ``explode(tokenize(...))`` but the scalar form stays inside
+    whole-stage codegen, while transform/filter lambdas run interpreted
+    (SCALING.md pitfall 1) and cost ~4x on the first compile."""
+    return (
+        documents.select(
+            F.col(doc_col),
+            F.explode(F.split(F.col(text_col), TOKEN_SPLIT_RE)).alias("_tok"),
+        )
+        .select(F.col(doc_col), clean_token(F.col("_tok")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+
+
+def tokens_with_pos(documents: DataFrame, doc_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Like ``tokens_df`` but keeps each token's ORDER key: ``pos`` is the
+    index in the raw whitespace split, so it is sparse where tokens
+    cleaned to empty were dropped — callers must treat it as an ordering,
+    not a dense 0..n-1 index (windows ordered by pos see exactly the
+    cleaned token sequence).  Same scalar-after-posexplode formulation as
+    tokens_df, for the same codegen reason."""
+    return (
+        documents.select(
+            F.col(doc_col),
+            F.posexplode(F.split(F.col(text_col), TOKEN_SPLIT_RE)).alias(
+                "pos", "_tok"
+            ),
+        )
+        .select(F.col(doc_col), "pos", clean_token(F.col("_tok")).alias("word"))
+        .filter(F.col("word") != "")
     )
 
 
@@ -89,9 +117,7 @@ def shingles_df(documents: DataFrame, n: int = 3) -> DataFrame:
     for this plan.  One shuffle on doc_id; all expressions codegen."""
     from pyspark.sql import Window
 
-    toks = documents.select(
-        "doc_id", F.posexplode(tokenize(F.col("text"))).alias("pos", "word")
-    )
+    toks = tokens_with_pos(documents)
     w = Window.partitionBy("doc_id").orderBy("pos")
     leads = [F.col("word")] + [F.lead("word", k).over(w) for k in range(1, n)]
     return (

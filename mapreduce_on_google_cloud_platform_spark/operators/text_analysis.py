@@ -23,7 +23,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import DUCKDB_TOKS_CTE, tokenize, tokens_df
+from ..functions.text import DUCKDB_TOKS_CTE, tokenize, tokens_df, tokens_with_pos
 from ..sources import load_table
 
 # Tiny per-language stopword lists (heuristic demo -- the corpus is
@@ -322,9 +322,7 @@ def text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.posexplode(tokenize(F.col("text"))).alias("pos", "word")
-    )
+    toks = tokens_with_pos(docs)
     w = Window.partitionBy("doc_id").orderBy("pos")
     pairs = toks.select(
         "doc_id",
@@ -437,9 +435,7 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     document length — fine for documents, the wrong plan for unbounded
     groups."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.posexplode(tokenize(F.col("text"))).alias("pos", "word")
-    )
+    toks = tokens_with_pos(docs)
     w = Window.partitionBy("doc_id").orderBy("pos")
     stops = F.array(*[F.lit(s) for s in EN_STOPS])
     flagged = toks.select(
