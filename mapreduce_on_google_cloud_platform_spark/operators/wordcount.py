@@ -16,7 +16,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.text import duckdb_tokens_sql, tokens_df
+from ..functions.text import (
+    DUCKDB_TOKS_CTE,
+    duckdb_tokens_sql,
+    tokens_df,
+    tokens_with_pos,
+)
 from ..sources import load_table
 
 
@@ -132,6 +137,50 @@ def inverted_index_postings_oracle() -> str:
             GROUP BY word, doc_id
         )
         GROUP BY word
+    """
+
+
+def inverted_index_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional inverted index: (word, doc) -> occurrence count, first
+    position, and the full comma-joined position list (1-based, dense
+    over the cleaned token stream) — what phrase/proximity search needs
+    beyond the reference's count-only postings (``MapReduce.py:32-41``).
+
+    One window pass densifies the sparse raw-split order key into token
+    ordinals, then a single groupBy builds every posting; the position
+    list is order-proofed by sorting the collected array, never by
+    relying on shuffle arrival order.  Postings length is bounded by
+    per-document occurrences (not corpus size), so collect_list is safe
+    at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    toks = tokens_with_pos(docs)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    dense = toks.select(
+        "doc_id", "word", F.row_number().over(w).alias("p")
+    )
+    return dense.groupBy("word", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.min("p").cast("int").alias("first_pos"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("p")), lambda p: p.cast("string")
+            ),
+            ",",
+        ).alias("positions"),
+    )
+
+
+def inverted_index_positional_oracle() -> str:
+    return f"""
+        WITH {DUCKDB_TOKS_CTE}
+        SELECT ts[i] AS word, doc_id,
+               count(*) AS n_occurrences,
+               CAST(min(i) AS INTEGER) AS first_pos,
+               string_agg(CAST(i AS VARCHAR), ',' ORDER BY i) AS positions
+        FROM toks, unnest(range(1, len(ts) + 1)) t(i)
+        GROUP BY 1, 2
     """
 
 

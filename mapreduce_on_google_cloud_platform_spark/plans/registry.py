@@ -53,6 +53,11 @@ _register(
     wordcount.inverted_index_postings,
     wordcount.inverted_index_postings_oracle(),
 )
+_register(
+    "inverted_index_positional",
+    wordcount.inverted_index_positional,
+    wordcount.inverted_index_positional_oracle(),
+)
 # MapType result: unit-tested order-insensitively, no SQL oracle (driver
 # records a rows-only check).
 _register("inverted_index_map", wordcount.inverted_index_map, None)

@@ -12,7 +12,13 @@ from .oracle import assert_matches_oracle
 
 @pytest.mark.parametrize(
     "name",
-    ["wordcount", "wordcount_salted", "inverted_index", "inverted_index_postings"],
+    [
+        "wordcount",
+        "wordcount_salted",
+        "inverted_index",
+        "inverted_index_postings",
+        "inverted_index_positional",
+    ],
 )
 def test_oracle_parity(spark, name):
     assert_matches_oracle(QUERIES[name](spark, SF_SMOKE), ORACLES[name], SF_SMOKE)
