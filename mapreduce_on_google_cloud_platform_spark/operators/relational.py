@@ -842,6 +842,126 @@ GROUPING_SETS_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Cohort retention (self-derived dimension + two-level aggregation)
+# ---------------------------------------------------------------------------
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort analysis: customers grouped by first-order month,
+    then order activity counted per (cohort_month, order_month).  The
+    cohort dimension is derived from the fact itself with one min()
+    aggregate (customer-sized, AQE-broadcastable back onto the fact);
+    months ride as 'yyyy-MM' strings so the grouping key is
+    engine-portable."""
+    orders = load_table(spark, sf_dir, "orders")
+    month = F.date_format("o_orderdate", "yyyy-MM")
+    firsts = orders.groupBy("o_custkey").agg(
+        F.min(month).alias("cohort_month")
+    )
+    return (
+        orders.join(firsts, "o_custkey")
+        .groupBy("cohort_month", month.alias("order_month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_active_customers"),
+        )
+    )
+
+
+COHORT_ORACLE = """
+    WITH firsts AS (
+        SELECT o_custkey, min(strftime(o_orderdate, '%Y-%m')) AS cohort_month
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT cohort_month,
+           strftime(o_orderdate, '%Y-%m') AS order_month,
+           count(*) AS n_orders,
+           count(DISTINCT o_custkey) AS n_active_customers
+    FROM orders JOIN firsts USING (o_custkey)
+    GROUP BY 1, 2
+"""
+
+FUNNEL_WINDOW_MIN = 60
+
+
+def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence funnel: per day, how many views converted to a purchase
+    by the same user within {FUNNEL_WINDOW_MIN} minutes.  The
+    view->purchase match is the as-of MERGE formulation in reverse
+    (union both streams, one window per user carrying the NEXT purchase
+    time backward) — one shuffle, zero join nodes, so the funnel scales
+    like a sort, not like a views x purchases join.  Conversion ratio is
+    a single double division of two exact counts."""
+    events = load_table(spark, sf_dir, "events")
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("is_view"),
+        F.lit(None).cast("timestamp").alias("p_ts"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("is_view"),
+        F.col("ts").alias("p_ts"),
+    )
+    # purchases order BEFORE views at equal ts (is_view asc) => a purchase
+    # at the exact view timestamp counts as a conversion (<= bound).
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_view")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    merged = views.unionByName(purchases).select(
+        "*", F.first("p_ts", ignorenulls=True).over(w).alias("next_purchase_ts")
+    )
+    per_view = merged.filter(F.col("is_view") == 1).select(
+        F.to_date("ts").alias("day"),
+        (
+            F.col("next_purchase_ts").isNotNull()
+            & (
+                F.unix_micros("next_purchase_ts") - F.unix_micros("ts")
+                <= FUNNEL_WINDOW_MIN * 60 * 1_000_000
+            )
+        ).cast("int").alias("converted"),
+    )
+    return per_view.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_views"),
+        F.sum("converted").cast("bigint").alias("n_converted"),
+        (F.sum("converted").cast("double") / F.count(F.lit(1))).alias(
+            "conversion_rate"
+        ),
+    )
+
+
+FUNNEL_ORACLE = f"""
+    WITH v AS (
+        SELECT user_id, ts FROM events WHERE event_type = 'view'
+    ),
+    p AS (
+        SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    per_view AS (
+        SELECT CAST(v.ts AS DATE) AS day,
+               CASE WHEN EXISTS (
+                   SELECT 1 FROM p
+                   WHERE p.user_id = v.user_id
+                     AND p.ts >= v.ts
+                     AND epoch_us(p.ts) - epoch_us(v.ts)
+                         <= {FUNNEL_WINDOW_MIN * 60 * 1_000_000}
+               ) THEN 1 ELSE 0 END AS converted
+        FROM v
+    )
+    SELECT day,
+           count(*) AS n_views,
+           CAST(sum(converted) AS BIGINT) AS n_converted,
+           CAST(sum(converted) AS DOUBLE) / count(*) AS conversion_rate
+    FROM per_view
+    GROUP BY day
+"""
+
+
 RELATIONAL_QUERIES: list[tuple[str, object, str]] = [
     ("q1_pricing_summary", q1_pricing_summary, Q1_ORACLE),
     ("q3_shipping_priority", q3_shipping_priority, Q3_ORACLE),
@@ -867,4 +987,6 @@ RELATIONAL_QUERIES: list[tuple[str, object, str]] = [
     ("q13_customer_order_distribution", q13_customer_order_distribution, Q13_ORACLE),
     ("q18_large_orders", q18_large_orders, Q18_ORACLE),
     ("grouping_sets_sales", grouping_sets_sales, GROUPING_SETS_ORACLE),
+    ("cohort_retention", cohort_retention, COHORT_ORACLE),
+    ("event_funnel_conversion", event_funnel_conversion, FUNNEL_ORACLE),
 ]
