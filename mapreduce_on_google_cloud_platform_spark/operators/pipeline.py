@@ -93,6 +93,107 @@ CURATION_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Data-quality audit: the validation pass before any pipeline consumes a drop
+# ---------------------------------------------------------------------------
+
+
+def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per table with the standard ingest checks: row count,
+    null counts on key columns, domain violations, and referential
+    orphans (lineitems whose order does not exist, orders whose customer
+    does not exist — anti-join counts).  Shape: each table is audited in
+    one partial-aggregated pass; the orphan checks are the only joins
+    and they are key-only anti joins.  A real deployment runs this per
+    ingest batch and alerts on any nonzero violation column."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    customer = load_table(spark, sf_dir, "customer")
+
+    def count_if(cond) -> F.Column:
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+
+    o_audit = orders.agg(
+        F.lit("orders").alias("table_name"),
+        F.count(F.lit(1)).alias("n_rows"),
+        count_if(F.col("o_custkey").isNull()).alias("null_keys"),
+        count_if(F.col("o_totalprice") <= 0).alias("domain_violations"),
+    )
+    l_audit = lineitem.agg(
+        F.lit("lineitem").alias("table_name"),
+        F.count(F.lit(1)).alias("n_rows"),
+        count_if(F.col("l_orderkey").isNull()).alias("null_keys"),
+        count_if(
+            (F.col("l_quantity") <= 0)
+            | (F.col("l_discount") < 0)
+            | (F.col("l_discount") > 1)
+        ).alias("domain_violations"),
+    )
+    c_audit = customer.agg(
+        F.lit("customer").alias("table_name"),
+        F.count(F.lit(1)).alias("n_rows"),
+        count_if(F.col("c_name").isNull()).alias("null_keys"),
+        count_if(F.col("c_nationkey") < 0).alias("domain_violations"),
+    )
+    li_orphans = (
+        lineitem.select("l_orderkey")
+        .join(orders.select("o_orderkey"), lineitem.l_orderkey == orders.o_orderkey, "left_anti")
+        .agg(
+            F.lit("lineitem").alias("table_name"),
+            F.count(F.lit(1)).alias("orphans"),
+        )
+    )
+    o_orphans = (
+        orders.select("o_custkey")
+        .join(customer.select("c_custkey"), orders.o_custkey == customer.c_custkey, "left_anti")
+        .agg(
+            F.lit("orders").alias("table_name"),
+            F.count(F.lit(1)).alias("orphans"),
+        )
+    )
+    c_orphans = customer.agg(
+        F.lit("customer").alias("table_name"), F.lit(0).cast("bigint").alias("orphans")
+    )
+    audits = o_audit.unionByName(l_audit).unionByName(c_audit)
+    orphans = li_orphans.unionByName(o_orphans).unionByName(c_orphans)
+    return audits.join(orphans, "table_name")
+
+
+DATA_QUALITY_ORACLE = """
+    WITH audits AS (
+        SELECT 'orders' AS table_name, count(*) AS n_rows,
+               CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_keys,
+               CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS domain_violations
+        FROM orders
+        UNION ALL
+        SELECT 'lineitem', count(*),
+               CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(sum(CASE WHEN l_quantity <= 0 OR l_discount < 0 OR l_discount > 1
+                             THEN 1 ELSE 0 END) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'customer', count(*),
+               CAST(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(sum(CASE WHEN c_nationkey < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM customer
+    ),
+    orphans AS (
+        SELECT 'lineitem' AS table_name,
+               (SELECT count(*) FROM lineitem
+                WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)) AS orphans
+        UNION ALL
+        SELECT 'orders',
+               (SELECT count(*) FROM orders
+                WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey))
+        UNION ALL
+        SELECT 'customer', CAST(0 AS BIGINT)
+    )
+    SELECT table_name, n_rows, null_keys, domain_violations, orphans
+    FROM audits JOIN orphans USING (table_name)
+"""
+
+
 PIPELINE_QUERIES: list[tuple[str, object, str | None]] = [
     ("curation_pipeline", curation_pipeline, CURATION_ORACLE),
+    ("data_quality_audit", data_quality_audit, DATA_QUALITY_ORACLE),
 ]

@@ -33,3 +33,32 @@ def test_funnel_monotone(spark):
         assert 0.0 <= r.kept_ratio <= 1.0
         if r.n_kept > 0:
             assert r.tokens_kept > 0
+
+
+def test_data_quality_audit_detects_orphans(spark, tmp_path):
+    """On a doctored drop (half the orders deleted, one customer removed)
+    the audit must count the induced referential orphans — proving the
+    checks detect, not just report zero on clean data."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    doctored = tmp_path / "doctored"
+    doctored.mkdir()
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        shutil.copy(f"{SF_SMOKE}/{t}.parquet", doctored / f"{t}.parquet")
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    kept = orders.filter(F.col("o_orderkey") % 2 == 0)
+    kept.write.mode("overwrite").parquet(str(doctored / "orders.parquet"))
+    out = {
+        r.table_name: r
+        for r in QUERIES["data_quality_audit"](spark, str(doctored)).collect()
+    }
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    expect_orphans = (
+        li.join(kept, li.l_orderkey == kept.o_orderkey, "left_anti").count()
+    )
+    assert out["lineitem"].orphans == expect_orphans > 0
+    assert out["orders"].n_rows == kept.count()
+    assert out["customer"].orphans == 0
