@@ -59,6 +59,13 @@ HEADLINE = [
     # time-series regularization
     "events_gap_fill",
     "scd2_user_event_intervals",
+    # iterative multi-pass operators
+    "dedup_clusters",
+    "kmeans_assign",
+    # pipelines
+    "cohort_retention",
+    "event_funnel_conversion",
+    "data_quality_audit",
 ]
 
 
