@@ -1,0 +1,43 @@
+"""ORC round-trip: lossless for every schema type, pushdown intact."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduce_on_google_cloud_platform_spark.sources import load_table
+from mapreduce_on_google_cloud_platform_spark.sources.formats import (
+    read_orc,
+    write_orc,
+)
+
+from .conftest import SF_SMOKE
+
+
+@pytest.mark.parametrize("table", ["events", "embeddings", "orders"])
+def test_orc_round_trip_lossless(spark, table, tmp_path):
+    """Timestamps, doubles, strings, float arrays must survive
+    parquet -> ORC -> read unchanged."""
+    src = load_table(spark, SF_SMOKE, table)
+    path = str(tmp_path / f"{table}_orc")
+    write_orc(src, path)
+    back = read_orc(spark, path)
+    assert back.schema == src.schema
+    a = sorted(map(str, src.collect()))
+    b = sorted(map(str, back.collect()))
+    assert a == b
+
+
+def test_orc_scan_pushes_predicates(spark, tmp_path):
+    path = str(tmp_path / "orders_orc")
+    write_orc(load_table(spark, SF_SMOKE, "orders"), path)
+    df = read_orc(spark, path).filter(F.col("o_totalprice") > 100000.0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "o_totalprice" in plan.split(
+        "PushedFilters: ["
+    )[1].split("]")[0]
+    # column pruning: only the two selected columns in ReadSchema
+    read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "o_orderkey" in read_schema and "o_orderpriority" not in read_schema
