@@ -400,7 +400,9 @@ SIMHASH_ORACLE = f"""
 """
 
 
-def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def simhash_near_pairs(
+    spark: SparkSession, sf_dir: str, hamming_max: int = HAMMING_MAX
+) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance <= {HAMMING_MAX}.
 
     Scale path: band join on 8x 4-bit chunks -- by pigeonhole, <= 7
@@ -442,7 +444,7 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # filter BEFORE distinct: the hamming predicate is per-row cheap,
         # the distinct is a shuffle -- shrink what gets shuffled
-        .filter(F.col("hamming") <= HAMMING_MAX)
+        .filter(F.col("hamming") <= hamming_max)
         .distinct()
     )
 
@@ -506,7 +508,9 @@ EMBEDDING_PAIRS_ORACLE = f"""
 CC_MAX_ITERS = 25  # >= graph diameter; near-dup clusters are shallow
 
 
-def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_clusters(
+    spark: SparkSession, sf_dir: str, hamming_max: int = HAMMING_MAX
+) -> DataFrame:
     """Connected components over the SimHash near-dup graph: every document
     labeled with its cluster's minimum doc_id, plus cluster size and a
     canonical-winner flag.  This is the step that turns pairwise near-dup
@@ -532,7 +536,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     map->partition->reduce of ``/root/reference/master.py:42-213``); this
     operator exists because one MapReduce pass cannot close a transitive
     relation."""
-    pairs = simhash_near_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = simhash_near_pairs(spark, sf_dir, hamming_max).select("doc_a", "doc_b")
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     edges = pairs.unionByName(
         pairs.select(

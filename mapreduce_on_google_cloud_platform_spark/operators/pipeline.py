@@ -193,7 +193,129 @@ DATA_QUALITY_ORACLE = """
 """
 
 
+# ---------------------------------------------------------------------------
+# Training-data prep: normalize -> gate -> cluster-canonical dedup -> report
+# ---------------------------------------------------------------------------
+
+PREP_MIN_KEPT = 20   # survive the gate with >= this many clean tokens
+PREP_HAMMING = 1     # near-dup criterion for the drop decision: on this
+                     # topically-uniform synthetic corpus hamming <= 7 links
+                     # ~everything into one mega-cluster (correct for
+                     # dedup_clusters' declared semantics, useless as a drop
+                     # rule), so the PIPELINE deduplicates at <= 1
+
+
+def training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation pass over the new operator set, composed:
+
+    1. normalize (text_normalize): repeat collapse + stopword strip,
+       yielding per-doc clean-token counts;
+    2. gate: n_kept >= PREP_MIN_KEPT;
+    3. dedup: keep only each near-dup cluster's canonical document
+       (dedup_clusters over the SimHash graph — the member with the
+       minimum doc_id represents the cluster);
+    4. report per source: docs in, gated, kept canonicals, clean tokens
+       kept, kept ratio (one exact-int division).
+
+    Gate and canonical flags are evaluated independently and combined,
+    so the funnel is monotone (kept implies gated) and the whole report
+    is a single pass over the flag table.  The iterative cluster stage
+    runs once over the corpus; everything downstream is one join by
+    doc_id — at 100 TB the label table is doc_id-sized, joined
+    shuffle-on-key against the normalize signals."""
+    from .dedup import dedup_clusters
+    from .text_analysis import text_normalize
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    norm = text_normalize(spark, sf_dir).select("doc_id", "n_kept")
+    clusters = dedup_clusters(spark, sf_dir, hamming_max=PREP_HAMMING).select(
+        "doc_id", "is_canonical"
+    )
+    gated = F.col("n_kept") >= PREP_MIN_KEPT
+    flags = (
+        docs.join(norm, "doc_id")
+        .join(clusters, "doc_id")
+        .select(
+            "source",
+            "n_kept",
+            gated.alias("gated"),
+            (gated & F.col("is_canonical")).alias("kept"),
+        )
+    )
+    return flags.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs_in"),
+        F.sum(F.when(F.col("gated"), 1).otherwise(0)).cast("bigint").alias("n_gated"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("bigint").alias("n_kept_docs"),
+        F.sum(F.when(F.col("kept"), F.col("n_kept")).otherwise(0))
+        .cast("bigint")
+        .alias("clean_tokens"),
+        (
+            F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("kept_ratio"),
+    )
+
+
+def _training_prep_oracle() -> str:
+    from .dedup import SIMHASH_SIG_CTE
+    from .text_analysis import EN_STOPS
+
+    stops = ", ".join(f"'{s}'" for s in EN_STOPS)
+    return f"""
+    WITH RECURSIVE {SIMHASH_SIG_CTE},
+    near AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {PREP_HAMMING}
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM near
+        UNION ALL
+        SELECT doc_b AS a, doc_a AS b FROM near
+    ),
+    reach(node, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT edges.b, reach.r FROM reach JOIN edges ON reach.node = edges.a
+    ),
+    comp AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node),
+    tok AS (
+        SELECT doc_id, i AS pos, ts[i] AS word,
+               (i = 1 OR ts[i] <> ts[i-1]) AS not_repeat
+        FROM toks, unnest(range(1, len(ts) + 1)) t(i)
+    ),
+    norm AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN not_repeat AND word NOT IN ({stops})
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        FROM tok GROUP BY doc_id
+    ),
+    flags AS (
+        SELECT d.source,
+               n.n_kept,
+               (n.n_kept >= {PREP_MIN_KEPT}) AS gated,
+               (n.n_kept >= {PREP_MIN_KEPT} AND c.doc_id = c.cluster_id) AS kept
+        FROM documents d
+        JOIN norm n USING (doc_id)
+        JOIN comp c USING (doc_id)
+    )
+    SELECT source,
+           count(*) AS docs_in,
+           CAST(sum(CASE WHEN gated THEN 1 ELSE 0 END) AS BIGINT) AS n_gated,
+           CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_docs,
+           CAST(sum(CASE WHEN kept THEN n_kept ELSE 0 END) AS BIGINT) AS clean_tokens,
+           CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+               AS kept_ratio
+    FROM flags
+    GROUP BY source
+"""
+
+
+TRAINING_PREP_ORACLE = _training_prep_oracle()
+
+
 PIPELINE_QUERIES: list[tuple[str, object, str | None]] = [
     ("curation_pipeline", curation_pipeline, CURATION_ORACLE),
     ("data_quality_audit", data_quality_audit, DATA_QUALITY_ORACLE),
+    ("training_data_prep", training_data_prep, TRAINING_PREP_ORACLE),
 ]

@@ -8,21 +8,18 @@ from .conftest import SF_ORACLE, SF_SMOKE
 from .oracle import assert_matches_oracle
 
 
-def test_oracle_parity_smoke(spark):
-    assert_matches_oracle(
-        QUERIES["curation_pipeline"](spark, SF_SMOKE),
-        ORACLES["curation_pipeline"],
-        SF_SMOKE,
-    )
+PIPELINE_NAMES = ["curation_pipeline", "data_quality_audit", "training_data_prep"]
+
+
+@pytest.mark.parametrize("name", PIPELINE_NAMES)
+def test_oracle_parity_smoke(spark, name):
+    assert_matches_oracle(QUERIES[name](spark, SF_SMOKE), ORACLES[name], SF_SMOKE)
 
 
 @pytest.mark.slow
-def test_oracle_parity_sf001(spark):
-    assert_matches_oracle(
-        QUERIES["curation_pipeline"](spark, SF_ORACLE),
-        ORACLES["curation_pipeline"],
-        SF_ORACLE,
-    )
+@pytest.mark.parametrize("name", PIPELINE_NAMES)
+def test_oracle_parity_sf001(spark, name):
+    assert_matches_oracle(QUERIES[name](spark, SF_ORACLE), ORACLES[name], SF_ORACLE)
 
 
 def test_funnel_monotone(spark):
@@ -62,3 +59,14 @@ def test_data_quality_audit_detects_orphans(spark, tmp_path):
     assert out["lineitem"].orphans == expect_orphans > 0
     assert out["orders"].n_rows == kept.count()
     assert out["customer"].orphans == 0
+
+
+def test_training_prep_funnel_monotone(spark):
+    """docs_in >= n_gated >= n_kept_docs per source, and the pipeline
+    actually drops near-dups (kept < gated somewhere)."""
+    rows = QUERIES["training_data_prep"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.docs_in >= r.n_gated >= r.n_kept_docs >= 0
+        assert abs(r.kept_ratio - r.n_kept_docs / r.docs_in) < 1e-12
+    assert any(r.n_kept_docs < r.n_gated for r in rows)
