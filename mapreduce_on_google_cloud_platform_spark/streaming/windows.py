@@ -267,9 +267,88 @@ def streaming_dedup_query(spark: SparkSession, sf_dir: str):
     )
 
 
+def user_tier_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic static user dimension (the testdata has no user
+    table): tier derived from user_id.  Stands in for any broadcastable
+    enrichment dim."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.when(F.col("user_id") % 10 == 0, "vip")
+            .when(F.col("user_id") % 3 == 0, "plus")
+            .otherwise("basic")
+            .alias("tier"),
+        )
+    )
+
+
+def enriched_purchases_by_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-static enrichment: purchase totals per
+    user tier after joining the (broadcastable) user dim."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    dim = user_tier_dim(spark, sf_dir)
+    return (
+        purchases.join(F.broadcast(dim), "user_id")
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(dec("value")).cast("double").alias("purchase_value"),
+        )
+    )
+
+
+ENRICHED_TIER_ORACLE = """
+    WITH dim AS (
+        SELECT DISTINCT user_id,
+               CASE WHEN user_id % 10 = 0 THEN 'vip'
+                    WHEN user_id % 3 = 0 THEN 'plus'
+                    ELSE 'basic' END AS tier
+        FROM events
+    )
+    SELECT tier,
+           count(*) AS n_purchases,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS purchase_value
+    FROM events JOIN dim USING (user_id)
+    WHERE event_type = 'purchase'
+    GROUP BY tier
+"""
+
+
+def streaming_enrichment_query(spark: SparkSession, sf_dir: str):
+    """Stream-static join: the streaming side is the event feed, the
+    static side is the user dim — Spark broadcasts the static side into
+    every micro-batch (no state store involvement for the join itself;
+    only the downstream agg keeps state).  This is the standard
+    enrichment shape: dims refresh by swapping the static table between
+    restarts, while the stream never stops."""
+    import os
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    dim = user_tier_dim(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .parquet(_events_stream_dir(sf_dir))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(dim), "user_id")
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(dec("value")).cast("double").alias("purchase_value"),
+        )
+    )
+    return stream
+
+
 STREAMING_QUERIES: list[tuple[str, object, str | None]] = [
     ("tumbling_window_events", tumbling_window_events, TUMBLING_ORACLE),
     ("sliding_window_events", sliding_window_events, SLIDING_ORACLE),
     ("session_windows_users", session_windows_users, SESSION_ORACLE),
     ("user_event_type_distinct", user_event_type_distinct, USER_EVENT_DISTINCT_ORACLE),
+    ("enriched_purchases_by_tier", enriched_purchases_by_tier, ENRICHED_TIER_ORACLE),
 ]

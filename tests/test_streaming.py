@@ -142,3 +142,32 @@ def test_streaming_dedup_matches_batch_distinct(spark):
         for r in QUERIES["user_event_type_distinct"](spark, SF_SMOKE).collect()
     }
     assert set(got) == want
+
+
+@pytest.mark.slow
+def test_streaming_enrichment_matches_batch(spark):
+    """Stream-static join: streaming result (complete mode) must equal
+    the batch twin exactly."""
+    from mapreduce_on_google_cloud_platform_spark.streaming.windows import (
+        streaming_enrichment_query,
+    )
+
+    stream = streaming_enrichment_query(spark, SF_SMOKE)
+    q = (
+        stream.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("stream_enrich")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            tuple(r) for r in spark.sql("SELECT * FROM stream_enrich").collect()
+        )
+    finally:
+        q.stop()
+    want = sorted(
+        tuple(r)
+        for r in QUERIES["enriched_purchases_by_tier"](spark, SF_SMOKE).collect()
+    )
+    assert got == want and got
