@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.portable import (
+    DEC,
     SQL_CHARGE,
     SQL_REVENUE,
     charge_expr,
@@ -962,6 +963,271 @@ FUNNEL_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Q6: forecast revenue change (TPC-H Q6 shape): pure scan-filter-aggregate.
+# Every predicate is a plain column comparison, so all four push into the
+# parquet scan; no shuffle at all (single-stage partial+final agg).
+# ---------------------------------------------------------------------------
+
+Q6_START = "1996-01-01"
+Q6_END = "1997-01-01"
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= Q6_START)
+            & (F.col("l_shipdate") < Q6_END)
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            money_sum(dec("l_extendedprice") * dec("l_discount")).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+Q6_ORACLE = f"""
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '{Q6_START}'
+      AND l_shipdate <  TIMESTAMP '{Q6_END}'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+"""
+
+# ---------------------------------------------------------------------------
+# Q10: returned-item reporting (TPC-H Q10 shape): customer x orders x
+# lineitem fact joins + broadcast nation dim, top-20 by lost revenue.
+# ---------------------------------------------------------------------------
+
+Q10_START = "1996-01-01"
+Q10_END = "1996-07-01"
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= Q10_START) & (F.col("o_orderdate") < Q10_END)
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(money_sum(revenue_expr()).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_ORACLE = f"""
+    SELECT c_custkey, c_name, c_acctbal, n_name,
+           CAST(sum({SQL_REVENUE}) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '{Q10_START}'
+      AND o_orderdate <  TIMESTAMP '{Q10_END}'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+"""
+
+# ---------------------------------------------------------------------------
+# Q12: shipping-delay distribution (TPC-H Q12 shape, adapted: the testdata
+# lineitem has no shipmode/commitdate, so the bucketing predicate is the
+# ship-vs-order-date lag).  Conditional aggregation over an equi-join;
+# datediff is exact integer day arithmetic in both engines.
+# ---------------------------------------------------------------------------
+
+Q12_LAG_DAYS = 60
+
+
+def q12_shipping_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    lag = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.when(lag > Q12_LAG_DAYS, 1).otherwise(0)).alias("late_lines"),
+            F.sum(F.when(lag <= Q12_LAG_DAYS, 1).otherwise(0)).alias("prompt_lines"),
+            F.max(lag).alias("max_lag_days"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+Q12_ORACLE = f"""
+    SELECT o_orderpriority,
+           CAST(sum(CASE WHEN datediff('day', o_orderdate, l_shipdate)
+                              > {Q12_LAG_DAYS} THEN 1 ELSE 0 END) AS BIGINT)
+               AS late_lines,
+           CAST(sum(CASE WHEN datediff('day', o_orderdate, l_shipdate)
+                              <= {Q12_LAG_DAYS} THEN 1 ELSE 0 END) AS BIGINT)
+               AS prompt_lines,
+           CAST(max(datediff('day', o_orderdate, l_shipdate)) AS INTEGER)
+               AS max_lag_days
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""
+
+# ---------------------------------------------------------------------------
+# Q14: promo revenue share (TPC-H Q14 shape): conditional aggregate ratio
+# over a part x lineitem join.  Both sums are decimal-exact; the single
+# final double division is the only inexact step, identical in both engines.
+# ---------------------------------------------------------------------------
+
+Q14_START = "1996-06-01"
+Q14_END = "1996-09-01"
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= Q14_START) & (F.col("l_shipdate") < Q14_END)
+    )
+    part = load_table(spark, sf_dir, "part")
+    promo = F.when(F.col("p_type") == "PROMO", revenue_expr()).otherwise(
+        F.lit(0).cast(DEC)
+    )
+    joined = li.join(part, li.l_partkey == part.p_partkey)
+    return joined.agg(
+        (
+            F.lit(100.0)
+            * F.sum(promo).cast("double")
+            / F.sum(revenue_expr()).cast("double")
+        ).alias("promo_revenue_pct"),
+        money_sum(revenue_expr()).alias("total_revenue"),
+    )
+
+
+Q14_ORACLE = f"""
+    SELECT 100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN {SQL_REVENUE}
+                                 ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                 / CAST(sum({SQL_REVENUE}) AS DOUBLE) AS promo_revenue_pct,
+           CAST(sum({SQL_REVENUE}) AS DOUBLE) AS total_revenue
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '{Q14_START}'
+      AND l_shipdate <  TIMESTAMP '{Q14_END}'
+"""
+
+# ---------------------------------------------------------------------------
+# Q17: small-quantity-order revenue (TPC-H Q17 shape): correlated subquery
+# "quantity < 0.2 * avg(quantity) per part" decorrelated into a per-part
+# aggregate joined back to lineitem.  The threshold comparison is kept
+# EXACT by clearing denominators: qty < sum/(5*cnt)  <=>  qty100*5*cnt <
+# sum100 in integer arithmetic (quantities are 2-decimal), so no float
+# boundary can flip a row between engines.
+# ---------------------------------------------------------------------------
+
+Q17_BRAND = "Brand#13"
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == Q17_BRAND)
+    li = load_table(spark, sf_dir, "lineitem")
+    qty100 = (dec("l_quantity") * 100).cast("bigint")
+    li_parts = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "l_partkey", "l_quantity", "l_extendedprice", qty100.alias("qty100")
+    )
+    per_part = li_parts.groupBy("l_partkey").agg(
+        F.sum("qty100").alias("sum_qty100"), F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        li_parts.join(per_part, "l_partkey")
+        .filter(F.col("qty100") * 5 * F.col("cnt") < F.col("sum_qty100"))
+        .agg(
+            (F.sum(dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
+                "avg_yearly"
+            ),
+            F.count(F.lit(1)).alias("n_small_lines"),
+        )
+    )
+
+
+Q17_ORACLE = f"""
+    WITH li_parts AS (
+        SELECT l_partkey, l_extendedprice,
+               CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS qty100
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_brand = '{Q17_BRAND}'
+    ),
+    per_part AS (
+        SELECT l_partkey, CAST(sum(qty100) AS BIGINT) AS sum_qty100,
+               count(*) AS cnt
+        FROM li_parts GROUP BY l_partkey
+    )
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+               AS avg_yearly,
+           count(*) AS n_small_lines
+    FROM li_parts JOIN per_part USING (l_partkey)
+    WHERE qty100 * 5 * cnt < sum_qty100
+"""
+
+# ---------------------------------------------------------------------------
+# Q19: disjunctive predicate revenue (TPC-H Q19 shape): an OR of three
+# brand/size/quantity conjunctions over a part x lineitem join.  Catalyst
+# extracts the common sub-predicates for pushdown (CNF conversion) and the
+# join stays an equi-join with the disjunction as a residual filter.
+# ---------------------------------------------------------------------------
+
+
+def _q19_branch(brand: str, size_hi: int, qty_lo: int, qty_hi: int):
+    return (
+        (F.col("p_brand") == brand)
+        & (F.col("p_size") >= 1)
+        & (F.col("p_size") <= size_hi)
+        & (F.col("l_quantity") >= qty_lo)
+        & (F.col("l_quantity") <= qty_hi)
+    )
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(
+            _q19_branch("Brand#1", 10, 1, 20)
+            | _q19_branch("Brand#2", 20, 5, 30)
+            | _q19_branch("Brand#13", 30, 10, 40)
+        )
+        .agg(
+            money_sum(revenue_expr()).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+Q19_ORACLE = f"""
+    SELECT CAST(sum({SQL_REVENUE}) AS DOUBLE) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1'  AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#2'  AND p_size BETWEEN 1 AND 20
+           AND l_quantity BETWEEN 5 AND 30)
+       OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 30
+           AND l_quantity BETWEEN 10 AND 40)
+"""
+
+
 RELATIONAL_QUERIES: list[tuple[str, object, str]] = [
     ("q1_pricing_summary", q1_pricing_summary, Q1_ORACLE),
     ("q3_shipping_priority", q3_shipping_priority, Q3_ORACLE),
@@ -989,4 +1255,10 @@ RELATIONAL_QUERIES: list[tuple[str, object, str]] = [
     ("grouping_sets_sales", grouping_sets_sales, GROUPING_SETS_ORACLE),
     ("cohort_retention", cohort_retention, COHORT_ORACLE),
     ("event_funnel_conversion", event_funnel_conversion, FUNNEL_ORACLE),
+    ("q6_forecast_revenue", q6_forecast_revenue, Q6_ORACLE),
+    ("q10_returned_items", q10_returned_items, Q10_ORACLE),
+    ("q12_shipping_delay", q12_shipping_delay, Q12_ORACLE),
+    ("q14_promo_revenue", q14_promo_revenue, Q14_ORACLE),
+    ("q17_small_quantity_revenue", q17_small_quantity_revenue, Q17_ORACLE),
+    ("q19_disjunctive_revenue", q19_disjunctive_revenue, Q19_ORACLE),
 ]
