@@ -1228,6 +1228,392 @@ Q19_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Q2: min-cost supplier per part (TPC-H Q2 shape, adapted: the testdata has
+# no partsupp, so "cost" is each supplier's total lineitem revenue for the
+# part).  Per-group min decorrelated as a window min over the EXACT decimal
+# aggregate, then equality-selected -- ties keep all qualifying suppliers,
+# which is deterministic, unlike an arbitrary first-row pick.
+# ---------------------------------------------------------------------------
+
+Q2_SIZE_LIMIT = 10
+
+
+def q2_min_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") < Q2_SIZE_LIMIT)
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    per = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(revenue_expr()).alias("rev_dec"))
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        per.withColumn("min_rev", F.min("rev_dec").over(w))
+        .filter(F.col("rev_dec") == F.col("min_rev"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("l_suppkey").alias("s_suppkey"),
+            "s_name",
+            F.col("rev_dec").cast("double").alias("supplier_revenue"),
+        )
+    )
+
+
+Q2_ORACLE = f"""
+    WITH per AS (
+        SELECT l_partkey, l_suppkey, sum({SQL_REVENUE}) AS rev
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_size < {Q2_SIZE_LIMIT}
+        GROUP BY l_partkey, l_suppkey
+    ),
+    m AS (SELECT l_partkey, min(rev) AS min_rev FROM per GROUP BY l_partkey)
+    SELECT per.l_partkey AS p_partkey, l_suppkey AS s_suppkey, s_name,
+           CAST(rev AS DOUBLE) AS supplier_revenue
+    FROM per
+    JOIN m USING (l_partkey)
+    JOIN supplier ON l_suppkey = s_suppkey
+    WHERE rev = min_rev
+"""
+
+# ---------------------------------------------------------------------------
+# Q8: national market share (TPC-H Q8 shape): one nation's share of a
+# region's yearly revenue.  Exercises a 6-way join with TWO roles for the
+# nation dim (customer side and supplier side) via DataFrame aliases; both
+# dim joins broadcast.  Share = exact-decimal conditional sum over exact
+# total, one final double division.
+# ---------------------------------------------------------------------------
+
+Q8_REGION = "ASIA"
+Q8_NATION = "NATION_5"
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    n_cust = load_table(spark, sf_dir, "nation").alias("nc")
+    n_supp = load_table(spark, sf_dir, "nation").alias("ns")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == Q8_REGION)
+    rev = revenue_expr()
+    national = F.when(F.col("ns.n_name") == Q8_NATION, rev).otherwise(
+        F.lit(0).cast(DEC)
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n_cust), cust.c_nationkey == F.col("nc.n_nationkey"))
+        .join(F.broadcast(region), F.col("nc.n_regionkey") == region.r_regionkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n_supp), supp.s_nationkey == F.col("ns.n_nationkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (F.sum(national).cast("double") / F.sum(rev).cast("double")).alias(
+                "mkt_share"
+            ),
+            money_sum(rev).alias("region_revenue"),
+        )
+        .orderBy("o_year")
+    )
+
+
+Q8_ORACLE = f"""
+    SELECT CAST(extract(year FROM o_orderdate) AS INTEGER) AS o_year,
+           CAST(sum(CASE WHEN ns.n_name = '{Q8_NATION}' THEN {SQL_REVENUE}
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+               / CAST(sum({SQL_REVENUE}) AS DOUBLE) AS mkt_share,
+           CAST(sum({SQL_REVENUE}) AS DOUBLE) AS region_revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation nc ON c_nationkey = nc.n_nationkey
+    JOIN region ON nc.n_regionkey = r_regionkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ns ON s_nationkey = ns.n_nationkey
+    WHERE r_name = '{Q8_REGION}'
+    GROUP BY o_year
+    ORDER BY o_year
+"""
+
+# ---------------------------------------------------------------------------
+# Q9: product-line revenue by supplier nation and order year (TPC-H Q9
+# shape, adapted: no partsupp supplycost, so the measure is revenue).  The
+# part filter is a substring LIKE -- not sargable as a range, but still
+# pushed to the scan as a parquet row-group filter.
+# ---------------------------------------------------------------------------
+
+Q9_PART_PATTERN = "%widget%"
+
+
+def q9_widget_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like(Q9_PART_PATTERN)
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(money_sum(revenue_expr()).alias("revenue"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+Q9_ORACLE = f"""
+    SELECT n_name AS nation,
+           CAST(extract(year FROM o_orderdate) AS INTEGER) AS o_year,
+           CAST(sum({SQL_REVENUE}) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '{Q9_PART_PATTERN}'
+    GROUP BY 1, 2
+    ORDER BY 1, 2 DESC
+"""
+
+# ---------------------------------------------------------------------------
+# Q11: revenue concentration (TPC-H Q11 shape): suppliers holding more than
+# 0.1% of total revenue.  The global total is a 1-row aggregate broadcast
+# into a cross join; the threshold comparison stays in exact decimals
+# (rev * 1000 > total) so no float boundary exists.
+# ---------------------------------------------------------------------------
+
+Q11_PER_MILLE = 1000
+
+
+def q11_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_suppkey").agg(F.sum(revenue_expr()).alias("rev_dec"))
+    total = per.agg(F.sum("rev_dec").alias("total_dec"))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .filter(F.col("rev_dec") * Q11_PER_MILLE > F.col("total_dec"))
+        .select(
+            F.col("l_suppkey").alias("s_suppkey"),
+            F.col("rev_dec").cast("double").alias("supplier_revenue"),
+        )
+        .orderBy(F.desc("supplier_revenue"), F.asc("s_suppkey"))
+    )
+
+
+Q11_ORACLE = f"""
+    WITH per AS (
+        SELECT l_suppkey, sum({SQL_REVENUE}) AS rev
+        FROM lineitem GROUP BY l_suppkey
+    ),
+    t AS (SELECT sum(rev) AS total FROM per)
+    SELECT l_suppkey AS s_suppkey, CAST(rev AS DOUBLE) AS supplier_revenue
+    FROM per, t
+    WHERE rev * {Q11_PER_MILLE} > total
+    ORDER BY supplier_revenue DESC, s_suppkey
+"""
+
+# ---------------------------------------------------------------------------
+# Q15: top supplier (TPC-H Q15 shape): suppliers whose quarterly revenue
+# equals the global max.  Exact decimal aggregates make the equality
+# deterministic (the original query's correlated max over a view).
+# ---------------------------------------------------------------------------
+
+Q15_START = "1996-01-01"
+Q15_END = "1996-04-01"
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= Q15_START) & (F.col("l_shipdate") < Q15_END)
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    per = li.groupBy("l_suppkey").agg(F.sum(revenue_expr()).alias("rev_dec"))
+    mx = per.agg(F.max("rev_dec").alias("max_dec"))
+    return (
+        per.crossJoin(F.broadcast(mx))
+        .filter(F.col("rev_dec") == F.col("max_dec"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select(
+            F.col("l_suppkey").alias("s_suppkey"),
+            "s_name",
+            F.col("rev_dec").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+Q15_ORACLE = f"""
+    WITH per AS (
+        SELECT l_suppkey, sum({SQL_REVENUE}) AS rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '{Q15_START}'
+          AND l_shipdate <  TIMESTAMP '{Q15_END}'
+        GROUP BY l_suppkey
+    )
+    SELECT l_suppkey AS s_suppkey, s_name, CAST(rev AS DOUBLE) AS total_revenue
+    FROM per
+    JOIN supplier ON l_suppkey = s_suppkey
+    WHERE rev = (SELECT max(rev) FROM per)
+"""
+
+# ---------------------------------------------------------------------------
+# Q16: supplier diversity per part attribute (TPC-H Q16 shape, adapted:
+# part-supplier pairs come from lineitem, and the excluded-supplier
+# subquery is "account balance below par" instead of the complaints
+# comment).  NOT IN decorrelates to a broadcast anti-join; COUNT(DISTINCT)
+# runs as a two-phase expand+agg.
+# ---------------------------------------------------------------------------
+
+Q16_EXCLUDE_BRAND = "Brand#1"
+Q16_MIN_BAL = 1000
+
+
+def q16_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") != Q16_EXCLUDE_BRAND
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    lowbal = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < Q16_MIN_BAL)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(lowbal), li.l_suppkey == lowbal.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+Q16_ORACLE = f"""
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> '{Q16_EXCLUDE_BRAND}'
+      AND l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < {Q16_MIN_BAL}
+      )
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+# ---------------------------------------------------------------------------
+# Q20: heavy shippers (TPC-H Q20 shape): suppliers who moved more than a
+# threshold quantity of one brand's parts in a year, selected via a
+# LEFT SEMI join against the qualifying aggregate (the original's nested
+# IN-subquery chain).  Quantity threshold compared in exact decimals.
+# ---------------------------------------------------------------------------
+
+Q20_BRAND = "Brand#13"
+Q20_START = "1996-01-01"
+Q20_END = "1997-01-01"
+Q20_MIN_QTY = 50
+
+
+def q20_heavy_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == Q20_BRAND)
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= Q20_START) & (F.col("l_shipdate") < Q20_END)
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    qualifying = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum(dec("l_quantity")).alias("qty_dec"))
+        .filter(F.col("qty_dec") > Q20_MIN_QTY)
+    )
+    return (
+        supp.join(qualifying, supp.s_suppkey == qualifying.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name", "s_acctbal")
+        .orderBy("s_suppkey")
+    )
+
+
+Q20_ORACLE = f"""
+    SELECT s_suppkey, s_name, s_acctbal
+    FROM supplier
+    WHERE s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_brand = '{Q20_BRAND}'
+          AND l_shipdate >= TIMESTAMP '{Q20_START}'
+          AND l_shipdate <  TIMESTAMP '{Q20_END}'
+        GROUP BY l_suppkey
+        HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > {Q20_MIN_QTY}
+    )
+    ORDER BY s_suppkey
+"""
+
+# ---------------------------------------------------------------------------
+# Q22: idle rich customers (TPC-H Q22 shape, adapted: grouping key is the
+# market segment, and "no orders" is scoped to the most recent year so the
+# anti-join branch actually fires on the testdata).  The above-average
+# threshold is cleared to integers (bal100 * n > sum100) so the comparison
+# is exact in both engines; the averaged population is positive balances.
+# ---------------------------------------------------------------------------
+
+Q22_RECENT = "2001-01-01"
+
+
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    bal100 = (dec("c_acctbal") * 100).cast("bigint")
+    pos = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(
+            F.sum(bal100).alias("sum100"),
+            F.count(F.lit(1)).alias("n_pos"),
+        )
+    )
+    recent_orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= Q22_RECENT
+    )
+    return (
+        cust.join(recent_orders, cust.c_custkey == recent_orders.o_custkey, "left_anti")
+        .withColumn("bal100", bal100)
+        .crossJoin(F.broadcast(pos))
+        .filter(F.col("bal100") * F.col("n_pos") > F.col("sum100"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            money_sum(dec("c_acctbal")).alias("total_acctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+Q22_ORACLE = f"""
+    WITH pos AS (
+        SELECT CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT))
+                    AS BIGINT) AS sum100,
+               count(*) AS n_pos
+        FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_mktsegment,
+           count(*) AS n_customers,
+           {sql_money_sum('c_acctbal')} AS total_acctbal
+    FROM customer, pos
+    WHERE CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) * n_pos > sum100
+      AND NOT EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey
+            AND o_orderdate >= TIMESTAMP '{Q22_RECENT}'
+      )
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+"""
+
+
 RELATIONAL_QUERIES: list[tuple[str, object, str]] = [
     ("q1_pricing_summary", q1_pricing_summary, Q1_ORACLE),
     ("q3_shipping_priority", q3_shipping_priority, Q3_ORACLE),
@@ -1261,4 +1647,12 @@ RELATIONAL_QUERIES: list[tuple[str, object, str]] = [
     ("q14_promo_revenue", q14_promo_revenue, Q14_ORACLE),
     ("q17_small_quantity_revenue", q17_small_quantity_revenue, Q17_ORACLE),
     ("q19_disjunctive_revenue", q19_disjunctive_revenue, Q19_ORACLE),
+    ("q2_min_revenue_supplier", q2_min_revenue_supplier, Q2_ORACLE),
+    ("q8_market_share", q8_market_share, Q8_ORACLE),
+    ("q9_widget_nation_revenue", q9_widget_nation_revenue, Q9_ORACLE),
+    ("q11_revenue_concentration", q11_revenue_concentration, Q11_ORACLE),
+    ("q15_top_supplier", q15_top_supplier, Q15_ORACLE),
+    ("q16_supplier_diversity", q16_supplier_diversity, Q16_ORACLE),
+    ("q20_heavy_shippers", q20_heavy_shippers, Q20_ORACLE),
+    ("q22_idle_rich_customers", q22_idle_rich_customers, Q22_ORACLE),
 ]
