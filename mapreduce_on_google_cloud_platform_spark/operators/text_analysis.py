@@ -23,7 +23,14 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import DUCKDB_TOKS_CTE, tokenize, tokens_df, tokens_with_pos
+from ..functions.text import (
+    DUCKDB_SHINGLES_CTE,
+    DUCKDB_TOKS_CTE,
+    shingles_df,
+    tokenize,
+    tokens_df,
+    tokens_with_pos,
+)
 from ..sources import load_table
 
 # Tiny per-language stopword lists (heuristic demo -- the corpus is
@@ -498,6 +505,127 @@ NORMALIZE_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Train/eval contamination detection: for each held-out document, the
+# fraction of its distinct 3-gram shingles that also occur anywhere in the
+# training split.  This is the standard pre-training hygiene check (does my
+# eval set leak into the training corpus?) expressed as one shuffle-on-
+# shingle left join: eval shingles probe a train-side DISTINCT shingle set.
+#
+# 100 TB posture: both sides are distinct-reduced before the join (the
+# train side globally, the eval side per doc via shingles_df), so the join
+# keys are the shingle vocabulary, not the token stream.  For web-scale
+# corpora add a stop-shingle cap (drop shingles in > K train docs) -- same
+# note as dedup.py's inverted-index join.
+# ---------------------------------------------------------------------------
+
+EVAL_MOD = 5  # doc_id % 5 == 0 -> the held-out eval split (~20%)
+
+
+def contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles_df(docs)
+    eval_sh = sh.filter(F.col("doc_id") % EVAL_MOD == 0)
+    train_sh = (
+        sh.filter(F.col("doc_id") % EVAL_MOD != 0)
+        .select("sh")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        eval_sh.join(train_sh, "sh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_contaminated"),
+        )
+        .withColumn(
+            "contamination_rate",
+            F.col("n_contaminated").cast("double") / F.col("n_shingles").cast("double"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+CONTAMINATION_ORACLE = f"""
+    WITH {DUCKDB_SHINGLES_CTE},
+    eval_sh AS (
+        SELECT doc_id, sh FROM shing WHERE doc_id % {EVAL_MOD} = 0
+    ),
+    train_sh AS (
+        SELECT DISTINCT sh FROM shing WHERE doc_id % {EVAL_MOD} <> 0
+    )
+    SELECT e.doc_id,
+           count(*) AS n_shingles,
+           CAST(sum(CASE WHEN t.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_contaminated,
+           CAST(sum(CASE WHEN t.sh IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+               / count(*) AS contamination_rate
+    FROM eval_sh e
+    LEFT JOIN train_sh t ON e.sh = t.sh
+    GROUP BY e.doc_id
+    ORDER BY e.doc_id
+"""
+
+# ---------------------------------------------------------------------------
+# PII-style redaction: scrub emails, long digit runs, and a configured
+# sensitive-vocabulary class from every document; report per-doc match
+# counts and the md5 of the redacted text (compact cross-engine witness
+# that the rewritten strings are byte-identical).  All three patterns are
+# in the portable regex subset (Java regex = RE2 semantics here); the
+# synthetic corpus only exercises the vocabulary class, the email/number
+# patterns are the real-world path.
+# ---------------------------------------------------------------------------
+
+PII_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_NUM_RE = r"[0-9]{3,}"
+PII_TERM_RE = r"\b(customer|key|query)\b"
+
+
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>"),
+            PII_NUM_RE,
+            "<NUM>",
+        ),
+        PII_TERM_RE,
+        "<X>",
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(text, F.lit(PII_EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count(text, F.lit(PII_NUM_RE)).cast("bigint").alias("n_digit_runs"),
+        F.regexp_count(text, F.lit(PII_TERM_RE)).cast("bigint").alias("n_sensitive"),
+        F.length(redacted).alias("redacted_len"),
+        F.md5(redacted).alias("redacted_md5"),
+    ).orderBy("doc_id")
+
+
+PII_ORACLE = rf"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS BIGINT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(text, '{PII_NUM_RE}')) AS BIGINT)
+               AS n_digit_runs,
+           CAST(len(regexp_extract_all(text, '{PII_TERM_RE}')) AS BIGINT)
+               AS n_sensitive,
+           CAST(length(
+               regexp_replace(regexp_replace(regexp_replace(text,
+                   '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{PII_NUM_RE}', '<NUM>', 'g'),
+                   '{PII_TERM_RE}', '<X>', 'g')) AS INTEGER) AS redacted_len,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+                   '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{PII_NUM_RE}', '<NUM>', 'g'),
+                   '{PII_TERM_RE}', '<X>', 'g')) AS redacted_md5
+    FROM documents
+    ORDER BY doc_id
+"""
+
+
 TEXT_ANALYSIS_QUERIES: list[tuple[str, object, str | None]] = [
     ("text_normalize", text_normalize, NORMALIZE_ORACLE),
     ("text_langid", text_langid, LANGID_ORACLE),
@@ -507,4 +635,6 @@ TEXT_ANALYSIS_QUERIES: list[tuple[str, object, str | None]] = [
     ("text_tfidf", text_tfidf, TFIDF_ORACLE),
     ("text_bigrams", text_bigrams, BIGRAMS_ORACLE),
     ("text_sentiment", text_sentiment, SENTIMENT_ORACLE),
+    ("contamination_overlap", contamination_overlap, CONTAMINATION_ORACLE),
+    ("pii_redaction", pii_redaction, PII_ORACLE),
 ]
