@@ -125,3 +125,48 @@ def test_salted_wordcount_two_stage(spark):
     plan = plan_of(spark, "wordcount_salted")
     assert "partial_count" in plan and "partial_sum" in plan
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 2
+
+
+def test_q6_no_join_single_exchange_full_pushdown(spark):
+    """Q6 is the pure pushdown benchmark: every predicate must reach the
+    parquet scan and the whole query is one partial+final agg pair."""
+    import re
+
+    plan = plan_of(spark, "q6_forecast_revenue")
+    assert "Join" not in plan
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_shipdate" in plan
+    assert "GreaterThanOrEqual(l_discount" in plan
+    assert "LessThan(l_quantity" in plan
+
+
+def test_q10_broadcast_dim_and_topk(spark):
+    """nation must broadcast and the top-20 must plan as
+    TakeOrderedAndProject, never a global Sort+Exchange."""
+    plan = plan_of(spark, "q10_returned_items")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q19_disjunction_pushed_to_both_scans(spark):
+    """The OR-of-conjunctions must be CNF-extracted so a residual
+    disjunction reaches BOTH the lineitem and part scans as a pushed
+    filter (not evaluated only post-join)."""
+    plan = plan_of(spark, "q19_disjunctive_revenue")
+    assert plan.count("Or(Or(") >= 2
+
+
+def test_q16_not_in_plans_as_broadcast_anti_join(spark):
+    """The NOT IN exclusion subquery must decorrelate to a broadcast
+    LeftAnti hash join (tiny excluded-supplier set), never a per-row
+    subquery or a shuffled anti join of the fact side."""
+    plan = plan_of(spark, "q16_supplier_diversity")
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+
+
+def test_q20_in_subquery_plans_as_semi_join(spark):
+    """The qualifying-supplier IN-subquery must plan as LeftSemi: the
+    supplier table is probed once, no duplicate expansion."""
+    plan = plan_of(spark, "q20_heavy_shippers")
+    assert "LeftSemi" in plan
