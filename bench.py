@@ -59,6 +59,13 @@ HEADLINE = [
     # time-series regularization
     "events_gap_fill",
     "scd2_user_event_intervals",
+    # TPC-H pattern completion round
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q8_market_share",
+    # curation hygiene
+    "contamination_overlap",
+    "pii_redaction",
     # iterative multi-pass operators
     "dedup_clusters",
     "kmeans_assign",
