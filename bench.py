@@ -38,6 +38,7 @@ HEADLINE = [
     # similarity
     "ann_topk_bruteforce",
     "ann_ivf_topk",
+    "ann_lsh_topk",
     # text analysis
     "text_quality_score",
     "doc_fingerprint",

@@ -410,9 +410,114 @@ def _kmeans_oracle() -> str:
 KMEANS_ORACLE = _kmeans_oracle()
 
 
+# ---------------------------------------------------------------------------
+# Random-hyperplane (sign) LSH ANN -- the other classic scale path next to
+# IVF: hash every vector to a bucket via the sign pattern of LSH_PLANES
+# fixed +-1 hyperplane projections, then search only within the query's
+# bucket.  One signature pass over the corpus (no training), one
+# shuffle-on-bucket equi-join for the search; candidates per query are
+# ~n / 2^planes.  Recall is tunable by planes (fewer planes = bigger
+# buckets); a multi-probe variant would also search buckets at Hamming
+# distance 1 from the query signature.
+#
+# Determinism: hyperplane weights are a fixed LCG-derived +-1 matrix baked
+# into BOTH the Spark plan and the oracle SQL, and each projection is the
+# same left-associated double fold as flat_dot, so the sign decisions are
+# bit-identical across engines.
+# ---------------------------------------------------------------------------
+
+LSH_PLANES = 6
+
+
+def _lsh_weights(planes: int = LSH_PLANES, dim: int = 64) -> list[list[int]]:
+    """Deterministic +-1 hyperplanes from a fixed 31-bit LCG (bit 16)."""
+    state = 123456789
+    rows = []
+    for _ in range(planes):
+        row = []
+        for _ in range(dim):
+            state = (1103515245 * state + 12345) % (1 << 31)
+            row.append(1 if (state >> 16) & 1 else -1)
+        rows.append(row)
+    return rows
+
+
+LSH_W = _lsh_weights()
+
+
+def _lsh_bucket_col(prefix: str) -> Column:
+    bucket = F.lit(0)
+    for p, row in enumerate(LSH_W):
+        acc = F.lit(0.0)
+        for i, wgt in enumerate(row):
+            acc = acc + F.lit(float(wgt)) * F.col(f"{prefix}{i}")
+        bucket = bucket + F.when(acc > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+def _lsh_bucket_sql(vec: str) -> str:
+    planes = []
+    for p, row in enumerate(LSH_W):
+        terms = " + ".join(
+            f"({float(w):.1f})*{vec}[{i + 1}]" for i, w in enumerate(row)
+        )
+        planes.append(f"CASE WHEN (0.0 + {terms}) > 0 THEN {1 << p} ELSE 0 END")
+    return "0 + " + " + ".join(planes)
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    en = _embeddings(spark, sf_dir)
+    # persist() is a hard optimizer barrier, not just a cache: without it
+    # Catalyst re-inlines the ~800-node signature expression into every
+    # downstream projection/join reference and the optimizer itself blows
+    # the driver heap.  With it, the signature pass runs once and the rest
+    # of the plan sees `bucket` as a plain attribute -- which is also the
+    # right 100 TB shape (hash the corpus once, then join).
+    sig = en.withColumn("bucket", _lsh_bucket_col("x")).persist()
+    queries = sig.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("q_id"),
+        "bucket",
+        *[F.col(f"x{i}").alias(f"qx{i}") for i in range(64)],
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        queries.join(sig, "bucket")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            flat_dot("qx", "x").alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= K_NEIGHBORS)
+    )
+
+
+ANN_LSH_ORACLE = f"""
+    WITH {SQL_NORMALIZED_CTE},
+    sig AS (SELECT vec_id, vn, {_lsh_bucket_sql('vn')} AS bucket FROM en),
+    q AS (SELECT vec_id AS q_id, vn AS qv, bucket FROM sig
+          WHERE vec_id % {QUERY_STRIDE} = 0),
+    scored AS (
+        SELECT q_id, s.vec_id AS neighbor_id,
+               {sql_dot('qv', 's.vn')} AS cos_sim
+        FROM q JOIN sig s USING (bucket)
+        WHERE s.vec_id <> q_id
+    )
+    SELECT q_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    WHERE rank <= {K_NEIGHBORS}
+"""
+
+
 SIMILARITY_QUERIES: list[tuple[str, object, str | None]] = [
     ("ann_topk_bruteforce", ann_topk_bruteforce, ANN_BRUTEFORCE_ORACLE),
     ("ann_ivf_topk", ann_ivf_topk, ANN_IVF_ORACLE),
+    ("ann_lsh_topk", ann_lsh_topk, ANN_LSH_ORACLE),
     ("embedding_vector_suite", embedding_vector_suite, VECTOR_SUITE_ORACLE),
     ("kmeans_assign", kmeans_assign, KMEANS_ORACLE),
 ]
