@@ -314,8 +314,97 @@ def _training_prep_oracle() -> str:
 TRAINING_PREP_ORACLE = _training_prep_oracle()
 
 
+# ---------------------------------------------------------------------------
+# MERGE / upsert (SCD1 snapshot maintenance): apply a CDC batch to a base
+# snapshot in one pass.  Base = each customer's latest order before the
+# cutoff; changes = each customer's latest order after it, applied as
+# UPDATE/INSERT (status O/P) or DELETE (status F).  Expressed as a single
+# full-outer join on the merge key -- the engine-agnostic MERGE plan (what
+# Delta/Iceberg MERGE INTO compiles to when the change set isn't tiny).
+#
+# At 100 TB: one shuffle of each side on the merge key; if the CDC batch
+# is small relative to the snapshot, broadcast it and skip the snapshot
+# shuffle entirely.  The window dedup of each side is the same
+# shuffle-on-key, so AQE coalesces the exchanges.
+# ---------------------------------------------------------------------------
+
+MERGE_CUTOFF = "2001-01-01"
+
+
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    base = (
+        orders.filter(F.col("o_orderdate") < MERGE_CUTOFF)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    )
+    chg = (
+        orders.filter(F.col("o_orderdate") >= MERGE_CUTOFF)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.col("o_orderkey").alias("c_orderkey"),
+            F.col("o_orderdate").alias("c_orderdate"),
+            F.col("o_totalprice").alias("c_totalprice"),
+            F.col("o_orderstatus").alias("c_status"),
+        )
+    )
+    return (
+        base.join(chg, base.o_custkey == chg.c_custkey, "full_outer")
+        .filter(F.col("c_status").isNull() | (F.col("c_status") != "F"))
+        .select(
+            F.coalesce("o_custkey", "c_custkey").alias("custkey"),
+            F.coalesce("c_orderkey", "o_orderkey").alias("orderkey"),
+            F.coalesce("c_orderdate", "o_orderdate").alias("orderdate"),
+            F.coalesce("c_totalprice", "o_totalprice").alias("totalprice"),
+            F.when(F.col("c_custkey").isNull(), F.lit("kept"))
+            .when(F.col("o_custkey").isNull(), F.lit("inserted"))
+            .otherwise(F.lit("updated"))
+            .alias("merge_op"),
+        )
+        .orderBy("custkey")
+    )
+
+
+MERGE_UPSERT_ORACLE = f"""
+    WITH rb AS (
+        SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate DESC, o_orderkey DESC)
+                   AS rn
+        FROM orders WHERE o_orderdate < TIMESTAMP '{MERGE_CUTOFF}'
+    ),
+    base AS (SELECT * FROM rb WHERE rn = 1),
+    rc AS (
+        SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice, o_orderstatus,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate DESC, o_orderkey DESC)
+                   AS rn
+        FROM orders WHERE o_orderdate >= TIMESTAMP '{MERGE_CUTOFF}'
+    ),
+    chg AS (SELECT * FROM rc WHERE rn = 1)
+    SELECT coalesce(base.o_custkey, chg.o_custkey) AS custkey,
+           coalesce(chg.o_orderkey, base.o_orderkey) AS orderkey,
+           coalesce(chg.o_orderdate, base.o_orderdate) AS orderdate,
+           coalesce(chg.o_totalprice, base.o_totalprice) AS totalprice,
+           CASE WHEN chg.o_custkey IS NULL THEN 'kept'
+                WHEN base.o_custkey IS NULL THEN 'inserted'
+                ELSE 'updated' END AS merge_op
+    FROM base
+    FULL JOIN chg ON base.o_custkey = chg.o_custkey
+    WHERE chg.o_orderstatus IS NULL OR chg.o_orderstatus <> 'F'
+    ORDER BY custkey
+"""
+
+
 PIPELINE_QUERIES: list[tuple[str, object, str | None]] = [
     ("curation_pipeline", curation_pipeline, CURATION_ORACLE),
+    ("merge_upsert_orders", merge_upsert_orders, MERGE_UPSERT_ORACLE),
     ("data_quality_audit", data_quality_audit, DATA_QUALITY_ORACLE),
     ("training_data_prep", training_data_prep, TRAINING_PREP_ORACLE),
 ]

@@ -1229,6 +1229,30 @@ Q19_ORACLE = f"""
 
 
 # ---------------------------------------------------------------------------
+# UNPIVOT: melt the per-user event-count matrix back to long form -- the
+# inverse of event_type_pivot, via the native unpivot operator (a Generate
+# node, no shuffle: purely row-local expansion).
+# ---------------------------------------------------------------------------
+
+
+def unpivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pivoted = event_type_pivot(spark, sf_dir)
+    return pivoted.unpivot(
+        ["user_id"],
+        [f"n_{t}" for t in EVENT_TYPES],
+        "event_type",
+        "n_events",
+    )
+
+
+UNPIVOT_ORACLE = f"""
+    WITH p AS ({PIVOT_ORACLE})
+    SELECT user_id, event_type, n_events
+    FROM (UNPIVOT p ON {", ".join(f"n_{t}" for t in EVENT_TYPES)}
+          INTO NAME event_type VALUE n_events)
+"""
+
+# ---------------------------------------------------------------------------
 # Q2: min-cost supplier per part (TPC-H Q2 shape, adapted: the testdata has
 # no partsupp, so "cost" is each supplier's total lineitem revenue for the
 # part).  Per-group min decorrelated as a window min over the EXACT decimal
@@ -1655,4 +1679,5 @@ RELATIONAL_QUERIES: list[tuple[str, object, str]] = [
     ("q16_supplier_diversity", q16_supplier_diversity, Q16_ORACLE),
     ("q20_heavy_shippers", q20_heavy_shippers, Q20_ORACLE),
     ("q22_idle_rich_customers", q22_idle_rich_customers, Q22_ORACLE),
+    ("unpivot_event_counts", unpivot_event_counts, UNPIVOT_ORACLE),
 ]

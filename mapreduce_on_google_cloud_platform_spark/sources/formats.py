@@ -25,3 +25,16 @@ def write_orc(df: DataFrame, path: str) -> None:
 
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
+
+
+def read_parquet_evolved(spark: SparkSession, *paths: str) -> DataFrame:
+    """Read parquet written under an evolving schema as one DataFrame.
+
+    ``mergeSchema`` unions the footers of every file: columns added in
+    newer writes surface as nullable everywhere, older files null-fill
+    them.  This is the long-lived-table reality at 100 TB -- a dataset
+    written over months gains columns, and re-writing history to
+    backfill is off the table.  Costs one footer read per file at
+    planning (not a data scan); pushdown/pruning on common columns is
+    unaffected (pinned in tests/test_formats.py)."""
+    return spark.read.option("mergeSchema", "true").parquet(*paths)

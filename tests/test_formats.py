@@ -41,3 +41,40 @@ def test_orc_scan_pushes_predicates(spark, tmp_path):
     # column pruning: only the two selected columns in ReadSchema
     read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
     assert "o_orderkey" in read_schema and "o_orderpriority" not in read_schema
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """A table written under an evolving schema reads as one DataFrame:
+    new columns are null-filled for old files, and predicate pushdown on
+    a common column still reaches every scan."""
+    from mapreduce_on_google_cloud_platform_spark.sources.formats import (
+        read_parquet_evolved,
+    )
+
+    v1 = str(tmp_path / "v1")
+    v2 = str(tmp_path / "v2")
+    orders = load_table(spark, SF_SMOKE, "orders")
+    orders.select("o_orderkey", "o_custkey").write.parquet(v1)
+    orders.select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    ).write.parquet(v2)
+
+    merged = read_parquet_evolved(spark, v1, v2)
+    assert set(merged.columns) == {"o_orderkey", "o_custkey", "o_totalprice"}
+
+    n_orders = orders.count()
+    assert merged.count() == 2 * n_orders
+    # old files null-fill the evolved column; new files carry it
+    assert merged.filter(F.col("o_totalprice").isNull()).count() == n_orders
+
+    # pushdown on a common column survives schema merging
+    plan = (
+        merged.filter(F.col("o_orderkey") == 1)
+        ._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    )
+    assert "EqualTo(o_orderkey,1)" in plan
