@@ -171,3 +171,30 @@ def test_streaming_enrichment_matches_batch(spark):
         for r in QUERIES["enriched_purchases_by_tier"](spark, SF_SMOKE).collect()
     )
     assert got == want and got
+
+
+@pytest.mark.slow
+def test_foreachbatch_snapshot_merge_converges(spark, tmp_path):
+    """Stream the purchase events in 4 micro-batches through the
+    foreachBatch MERGE; the final versioned snapshot must equal the batch
+    latest-purchase-per-user twin, and multiple batches must actually
+    have been folded (i.e. the merge ran incrementally, not once)."""
+    from mapreduce_on_google_cloud_platform_spark.streaming.incremental import (
+        purchase_snapshot_latest,
+        run_snapshot_maintenance,
+    )
+
+    snap_dir, n_batches = run_snapshot_maintenance(
+        spark, SF_SMOKE, str(tmp_path)
+    )
+    assert n_batches >= 2
+
+    got = sorted(
+        (r.user_id, r.event_id, r.ts, r.value)
+        for r in spark.read.parquet(snap_dir).collect()
+    )
+    want = sorted(
+        (r.user_id, r.event_id, r.ts, r.value)
+        for r in purchase_snapshot_latest(spark, SF_SMOKE).collect()
+    )
+    assert got == want
