@@ -97,3 +97,9 @@ for _name, _fn, _oracle in STREAMING_QUERIES:
 # --- multimodal binary columns ------------------------------------------------
 for _name, _fn, _oracle in multimodal.MULTIMODAL_QUERIES:
     _register(_name, _fn, _oracle)
+
+# --- SQL-text surface: identical ANSI text on Spark and DuckDB ---------------
+from .sql_surface import SQL_SURFACE_QUERIES  # noqa: E402  (avoids circular import)
+
+for _name, _fn, _oracle in SQL_SURFACE_QUERIES:
+    _register(_name, _fn, _oracle)
