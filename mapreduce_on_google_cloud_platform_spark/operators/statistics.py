@@ -161,10 +161,113 @@ def sketch_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Fixed-width histogram: the distribution profile a pipeline sizes its
+# partitions/joins from.  Bin edges are FIXED literals (not data-derived
+# min/max) so the result is stable under appends and identical across
+# engines: bin = floor(value / width) is the same IEEE division+floor in
+# both.  One combinable shuffle on (event_type, bin).
+# ---------------------------------------------------------------------------
+
+HIST_WIDTH = 50.0  # events.value spans [0, ~500) -> ~10 live bins
+
+
+def histogram_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bin_col = F.floor(F.col("value") / HIST_WIDTH).cast("bigint")
+    return (
+        ev.groupBy("event_type", bin_col.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("bin_lo", F.col("bin") * HIST_WIDTH)
+        .orderBy("event_type", "bin")
+    )
+
+
+HISTOGRAM_ORACLE = f"""
+    SELECT event_type,
+           CAST(floor(value / {HIST_WIDTH}) AS BIGINT) AS bin,
+           count(*) AS n,
+           CAST(floor(value / {HIST_WIDTH}) AS BIGINT) * {HIST_WIDTH} AS bin_lo
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+"""
+
+# ---------------------------------------------------------------------------
+# Pearson correlation with exact components: corr(o_totalprice, c_acctbal)
+# per market segment.  Never uses either engine's corr() (their internal
+# accumulation orders differ); instead the sufficient statistics
+# (n, Sx, Sy, Sxy, Sxx, Syy) are exact sums over INTEGER CENTS
+# (correlation is scale-invariant, so x,y are multiplied by 100), each
+# cast to double once, and the closed-form combination is the identical
+# double expression in both engines.  Cents matter: a scale-4 decimal sum
+# (price*balance keeps 4 decimals) casts to double through a 10^-4
+# scaling that DuckDB rounds differently from Spark in the last ulp;
+# scale-0 decimals cast exactly the same way in both.
+# ---------------------------------------------------------------------------
+
+
+def price_balance_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    x = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("decimal(14,0)")
+    y = (F.col("c_acctbal").cast("decimal(18,2)") * 100).cast("decimal(14,0)")
+    joined = orders.join(cust, orders.o_custkey == cust.c_custkey)
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return agg.select(
+        "c_mktsegment",
+        F.col("n").cast("bigint").alias("n_orders"),
+        corr.alias("price_balance_corr"),
+    ).orderBy("c_mktsegment")
+
+
+CORRELATION_ORACLE = """
+    WITH cents AS (
+        SELECT c_mktsegment,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS DECIMAL(14,0)) AS x,
+               CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100
+                    AS DECIMAL(14,0)) AS y
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    s AS (
+        SELECT c_mktsegment,
+               CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(x) AS DOUBLE) AS sx,
+               CAST(sum(y) AS DOUBLE) AS sy,
+               CAST(sum(x * y) AS DOUBLE) AS sxy,
+               CAST(sum(x * x) AS DOUBLE) AS sxx,
+               CAST(sum(y * y) AS DOUBLE) AS syy
+        FROM cents
+        GROUP BY c_mktsegment
+    )
+    SELECT c_mktsegment,
+           CAST(n AS BIGINT) AS n_orders,
+           (n * sxy - sx * sy)
+               / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+               AS price_balance_corr
+    FROM s
+    ORDER BY c_mktsegment
+"""
+
+
 STATISTICS_QUERIES: list[tuple[str, object, str | None]] = [
     ("quantile_summary", quantile_summary, QUANTILE_ORACLE),
     ("sample_stratified", sample_stratified, SAMPLE_STRATIFIED_ORACLE),
     ("sample_topk_per_group", sample_topk_per_group, SAMPLE_TOPK_ORACLE),
     # sketches are engine-specific by nature: rows-only check, see docstring
     ("sketch_summary", sketch_summary, None),
+    ("histogram_event_values", histogram_event_values, HISTOGRAM_ORACLE),
+    ("price_balance_correlation", price_balance_correlation, CORRELATION_ORACLE),
 ]
