@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from ..functions.text import (
     DUCKDB_SHINGLES_CTE,
     DUCKDB_TOKS_CTE,
+    duckdb_tokens_sql,
     shingles_df,
     tokenize,
     tokens_df,
@@ -626,6 +627,88 @@ PII_ORACLE = rf"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Token-ID encoding: the transform every LLM training pipeline ends with.
+# vocab_table assigns dense ids by (frequency desc, word) -- the standard
+# frequency-ranked vocabulary, deterministic because the tie-break is
+# total.  vocab_encode_documents replaces each document's token stream
+# with its id sequence (an array<bigint> per doc, order = token order).
+#
+# Scale shape: the vocab is a global aggregate + dense_rank (one
+# shuffle + one small window over |vocab| rows, NOT the token stream);
+# encoding is a broadcast-able join of the token stream against the
+# vocab, then a per-doc sort-free reassembly via array_sort over
+# (pos, id) structs -- no window over the token stream needed.
+# ---------------------------------------------------------------------------
+
+
+def vocab_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_df(docs)
+    freq = toks.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    w = Window.orderBy(F.desc("freq"), F.asc("word"))
+    return freq.withColumn("token_id", F.dense_rank().over(w).cast("bigint")).select(
+        "token_id", "word", "freq"
+    )
+
+
+VOCAB_ORACLE = f"""
+    WITH tok AS ({duckdb_tokens_sql()}),
+    freq AS (SELECT word, count(*) AS freq FROM tok GROUP BY word)
+    SELECT CAST(dense_rank() OVER (ORDER BY freq DESC, word) AS BIGINT)
+               AS token_id,
+           word, freq
+    FROM freq
+"""
+
+
+def vocab_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_with_pos(docs)
+    vocab = vocab_table(spark, sf_dir).select("word", "token_id")
+    return (
+        toks.join(F.broadcast(vocab), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "token_id"))),
+                lambda s: s.token_id,
+            ).alias("token_ids"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+VOCAB_ENCODE_ORACLE = f"""
+    WITH tok AS (
+        SELECT doc_id, pos,
+               regexp_replace(lower(t.tok), '[^0-9a-z]', '', 'g') AS word
+        FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(text, '\\s+')) AS tok,
+                   generate_subscripts(regexp_split_to_array(text, '\\s+'), 1)
+                       - 1 AS pos
+            FROM documents
+        ) t
+        WHERE regexp_replace(lower(t.tok), '[^0-9a-z]', '', 'g') <> ''
+    ),
+    freq AS (SELECT word, count(*) AS freq FROM tok GROUP BY word),
+    vocab AS (
+        SELECT word,
+               CAST(dense_rank() OVER (ORDER BY freq DESC, word) AS BIGINT)
+                   AS token_id
+        FROM freq
+    )
+    SELECT doc_id,
+           array_agg(token_id ORDER BY pos) AS token_ids,
+           count(*) AS n_tokens
+    FROM tok JOIN vocab USING (word)
+    GROUP BY doc_id
+    ORDER BY doc_id
+"""
+
+
 TEXT_ANALYSIS_QUERIES: list[tuple[str, object, str | None]] = [
     ("text_normalize", text_normalize, NORMALIZE_ORACLE),
     ("text_langid", text_langid, LANGID_ORACLE),
@@ -637,4 +720,6 @@ TEXT_ANALYSIS_QUERIES: list[tuple[str, object, str | None]] = [
     ("text_sentiment", text_sentiment, SENTIMENT_ORACLE),
     ("contamination_overlap", contamination_overlap, CONTAMINATION_ORACLE),
     ("pii_redaction", pii_redaction, PII_ORACLE),
+    ("vocab_table", vocab_table, VOCAB_ORACLE),
+    ("vocab_encode_documents", vocab_encode_documents, VOCAB_ENCODE_ORACLE),
 ]
