@@ -67,6 +67,10 @@ HEADLINE = [
     # curation hygiene
     "contamination_overlap",
     "pii_redaction",
+    "vocab_encode_documents",
+    # ETL merge + correlation
+    "merge_upsert_orders",
+    "price_balance_correlation",
     # iterative multi-pass operators
     "dedup_clusters",
     "kmeans_assign",
