@@ -290,8 +290,45 @@ MULTIMODAL_FRAME_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Binary-content dedup: exact duplicate detection over the OPAQUE payload
+# column -- group on (md5, n_bytes) computed without decoding, keep the
+# smallest doc_id.  The multimodal twin of dedup.dedup_exact: at 100 TB
+# the md5 streams over each blob once at scan time and the shuffle
+# carries only (hash, id) pairs, never the payloads.
+# ---------------------------------------------------------------------------
+
+
+def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = media_table(spark, sf_dir)
+    return (
+        media.select(
+            F.md5("payload").alias("content_md5"), "n_bytes", "doc_id", "fmt"
+        )
+        .groupBy("content_md5", "n_bytes")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("fmt").alias("n_formats"),
+        )
+    )
+
+
+MULTIMODAL_DEDUP_ORACLE = """
+    SELECT md5(text) AS content_md5,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           min(doc_id) AS keep_doc_id,
+           count(*) AS n_copies,
+           CAST(count(DISTINCT CASE WHEN doc_id % 3 = 0 THEN 'png'
+                                    ELSE 'jpeg' END) AS BIGINT) AS n_formats
+    FROM documents
+    GROUP BY 1, 2
+"""
+
+
 MULTIMODAL_QUERIES: list[tuple[str, object, str | None]] = [
     ("multimodal_metadata", multimodal_metadata, MULTIMODAL_METADATA_ORACLE),
+    ("multimodal_dedup", multimodal_dedup, MULTIMODAL_DEDUP_ORACLE),
     # mapInPandas feature extraction: Python-side decode, no SQL oracle ->
     # rows-only driver check + pytest value assertions.
     ("multimodal_features", multimodal_features, None),

@@ -465,20 +465,19 @@ def _lsh_bucket_sql(vec: str) -> str:
     return "0 + " + " + ".join(planes)
 
 
-def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _lsh_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus + bucket signature, persisted.  persist() is a hard
+    optimizer barrier, not just a cache: without it Catalyst re-inlines
+    the ~800-node signature expression into every downstream
+    projection/join reference and the optimizer itself blows the driver
+    heap.  With it, the signature pass runs once and the rest of the
+    plan sees `bucket` as a plain attribute -- which is also the right
+    100 TB shape (hash the corpus once, then join)."""
     en = _embeddings(spark, sf_dir)
-    # persist() is a hard optimizer barrier, not just a cache: without it
-    # Catalyst re-inlines the ~800-node signature expression into every
-    # downstream projection/join reference and the optimizer itself blows
-    # the driver heap.  With it, the signature pass runs once and the rest
-    # of the plan sees `bucket` as a plain attribute -- which is also the
-    # right 100 TB shape (hash the corpus once, then join).
-    sig = en.withColumn("bucket", _lsh_bucket_col("x")).persist()
-    queries = sig.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
-        F.col("vec_id").alias("q_id"),
-        "bucket",
-        *[F.col(f"x{i}").alias(f"qx{i}") for i in range(64)],
-    )
+    return en.withColumn("bucket", _lsh_bucket_col("x")).persist()
+
+
+def _lsh_search(sig: DataFrame, queries: DataFrame) -> DataFrame:
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
         queries.join(sig, "bucket")
@@ -491,6 +490,36 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= K_NEIGHBORS)
     )
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = _lsh_signatures(spark, sf_dir)
+    queries = sig.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("q_id"),
+        "bucket",
+        *[F.col(f"x{i}").alias(f"qx{i}") for i in range(64)],
+    )
+    return _lsh_search(sig, queries)
+
+
+def ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe variant: each query also searches the LSH_PLANES
+    buckets at Hamming distance 1 from its signature (one sign bit
+    flipped) -- the standard recall knob that trades planes+1 probe
+    joins for not shrinking the buckets.  Probe buckets are distinct
+    values, so each (query, candidate) pair meets at most once and no
+    dedup is needed before ranking."""
+    sig = _lsh_signatures(spark, sf_dir)
+    probes = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(LSH_PLANES)],
+    )
+    queries = sig.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.explode(probes).alias("bucket"),
+        *[F.col(f"x{i}").alias(f"qx{i}") for i in range(64)],
+    )
+    return _lsh_search(sig, queries)
 
 
 ANN_LSH_ORACLE = f"""
@@ -514,10 +543,40 @@ ANN_LSH_ORACLE = f"""
 """
 
 
+ANN_LSH_MULTIPROBE_ORACLE = f"""
+    WITH {SQL_NORMALIZED_CTE},
+    sig AS (SELECT vec_id, vn, {_lsh_bucket_sql('vn')} AS bucket FROM en),
+    q AS (
+        SELECT q_id, qv, probe AS bucket
+        FROM (
+            SELECT vec_id AS q_id, vn AS qv,
+                   unnest([bucket,
+                           {", ".join(f"xor(bucket, {1 << p})" for p in range(LSH_PLANES))}])
+                       AS probe
+            FROM sig WHERE vec_id % {QUERY_STRIDE} = 0
+        )
+    ),
+    scored AS (
+        SELECT q_id, s.vec_id AS neighbor_id,
+               {sql_dot('qv', 's.vn')} AS cos_sim
+        FROM q JOIN sig s USING (bucket)
+        WHERE s.vec_id <> q_id
+    )
+    SELECT q_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    WHERE rank <= {K_NEIGHBORS}
+"""
+
+
 SIMILARITY_QUERIES: list[tuple[str, object, str | None]] = [
     ("ann_topk_bruteforce", ann_topk_bruteforce, ANN_BRUTEFORCE_ORACLE),
     ("ann_ivf_topk", ann_ivf_topk, ANN_IVF_ORACLE),
     ("ann_lsh_topk", ann_lsh_topk, ANN_LSH_ORACLE),
+    ("ann_lsh_multiprobe_topk", ann_lsh_multiprobe_topk, ANN_LSH_MULTIPROBE_ORACLE),
     ("embedding_vector_suite", embedding_vector_suite, VECTOR_SUITE_ORACLE),
     ("kmeans_assign", kmeans_assign, KMEANS_ORACLE),
 ]
