@@ -1229,6 +1229,52 @@ Q19_ORACLE = f"""
 
 
 # ---------------------------------------------------------------------------
+# Time-RANGE window frame: trailing 1-hour rolling aggregates per user --
+# the frame is defined by the ORDER-BY VALUE (epoch seconds), not row
+# offsets, so rows with sparse/bursty timestamps aggregate correctly.
+# Complements the rowsBetween frames in window_function_suite.  One
+# shuffle on user_id; frame state is bounded by the hour, not history.
+# ---------------------------------------------------------------------------
+
+ROLLING_WINDOW_SEC = 3600
+
+
+def rolling_1h_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ts_sec = (F.unix_micros("ts") / 1_000_000).cast("bigint")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_sec")
+        .rangeBetween(-(ROLLING_WINDOW_SEC - 1), 0)
+    )
+    return (
+        ev.withColumn("ts_sec", ts_sec)
+        .select(
+            "event_id",
+            "user_id",
+            "ts_sec",
+            F.count(F.lit(1)).over(w).alias("n_events_1h"),
+            F.sum(dec("value")).over(w).cast("double").alias("sum_value_1h"),
+        )
+        .orderBy("event_id")
+    )
+
+
+ROLLING_ORACLE = f"""
+    SELECT event_id, user_id,
+           CAST(epoch_us(ts) // 1000000 AS BIGINT) AS ts_sec,
+           count(*) OVER w AS n_events_1h,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+               AS sum_value_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY CAST(epoch_us(ts) // 1000000 AS BIGINT)
+                 RANGE BETWEEN {ROLLING_WINDOW_SEC - 1} PRECEDING
+                           AND CURRENT ROW)
+    ORDER BY event_id
+"""
+
+# ---------------------------------------------------------------------------
 # UNPIVOT: melt the per-user event-count matrix back to long form -- the
 # inverse of event_type_pivot, via the native unpivot operator (a Generate
 # node, no shuffle: purely row-local expansion).
@@ -1680,4 +1726,5 @@ RELATIONAL_QUERIES: list[tuple[str, object, str]] = [
     ("q20_heavy_shippers", q20_heavy_shippers, Q20_ORACLE),
     ("q22_idle_rich_customers", q22_idle_rich_customers, Q22_ORACLE),
     ("unpivot_event_counts", unpivot_event_counts, UNPIVOT_ORACLE),
+    ("rolling_1h_user_value", rolling_1h_user_value, ROLLING_ORACLE),
 ]

@@ -78,3 +78,50 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
         )
     )
     assert "EqualTo(o_orderkey,1)" in plan
+
+
+def test_range_sorted_layout_disjoint_file_ranges(spark, tmp_path):
+    """write_range_sorted must produce files whose sort-column ranges are
+    DISJOINT (so min/max footer stats skip whole files for range
+    predicates), and a range filter must still push into the scan."""
+    import pyarrow.parquet as pq
+
+    from mapreduce_on_google_cloud_platform_spark.sources.sorted_layout import (
+        read_sorted,
+        write_range_sorted,
+    )
+
+    out = str(tmp_path / "li_sorted")
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    write_range_sorted(li, out, "l_shipdate", n_files=4)
+
+    import glob
+
+    ranges = []
+    for f in sorted(glob.glob(f"{out}/*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.names.index("l_shipdate")
+        los, his = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            los.append(st.min)
+            his.append(st.max)
+        ranges.append((min(los), max(his)))
+    assert len(ranges) >= 3  # range partitioner may merge tiny ranges
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges {hi1} > {lo2}"
+
+    # round-trip completeness + pushdown on the sort column
+    back = read_sorted(spark, out)
+    assert back.count() == li.count()
+    plan = (
+        back.filter(F.col("l_shipdate") >= "1999-01-01")
+        ._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    )
+    assert "GreaterThanOrEqual(l_shipdate" in plan
