@@ -170,3 +170,51 @@ def test_q20_in_subquery_plans_as_semi_join(spark):
     supplier table is probed once, no duplicate expansion."""
     plan = plan_of(spark, "q20_heavy_shippers")
     assert "LeftSemi" in plan
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark):
+    """Runtime row-level filtering: with a selective build side, Spark
+    injects a bloom filter (might_contain over xxhash64) into the
+    probe-side scan so most lineitem rows die before the join shuffle --
+    a first-class 100 TB lever next to DPP.  Thresholds are lowered so
+    the rule fires at test scale; configs are restored afterwards."""
+    from mapreduce_on_google_cloud_platform_spark.sources import load_table
+
+    from .conftest import SF_SMOKE
+
+    import pyspark.sql.functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {}
+    for k, v in confs.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        orders = load_table(spark, SF_SMOKE, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load_table(spark, SF_SMOKE, "lineitem")
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "might_contain" in plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
