@@ -326,9 +326,59 @@ MULTIMODAL_DEDUP_ORACLE = """
 """
 
 
+# ---------------------------------------------------------------------------
+# Fixed-size payload chunking: split each opaque blob into CHUNK_BYTES
+# pieces with ordinals -- the row shape audio/video processing needs
+# (each chunk becomes an independent unit of decode/inference work, so
+# a 4 GB video fans out across tasks instead of pinning one).  Pure
+# engine-side byte slicing: sequence + explode + substring on the
+# BinaryType column, no Python in the row path.  The oracle slices the
+# source text instead -- the corpus is pure ASCII, so character and
+# byte offsets coincide and the md5s must agree.
+# ---------------------------------------------------------------------------
+
+CHUNK_BYTES = 64
+
+
+def multimodal_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = media_table(spark, sf_dir)
+    n_chunks = F.ceil(F.col("n_bytes") / F.lit(float(CHUNK_BYTES))).cast("bigint")
+    chunk = F.expr(f"substring(payload, chunk_idx * {CHUNK_BYTES} + 1, {CHUNK_BYTES})")
+    return (
+        media.select(
+            "doc_id",
+            "payload",
+            F.explode(F.sequence(F.lit(0).cast("bigint"), n_chunks - 1)).alias(
+                "chunk_idx"
+            ),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.md5(chunk).alias("chunk_md5"),
+            F.length(chunk).cast("int").alias("chunk_bytes"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+MULTIMODAL_CHUNK_ORACLE = f"""
+    SELECT doc_id, i AS chunk_idx,
+           md5(substring(text, CAST(i * {CHUNK_BYTES} + 1 AS BIGINT),
+                         {CHUNK_BYTES})) AS chunk_md5,
+           CAST(strlen(substring(text, CAST(i * {CHUNK_BYTES} + 1 AS BIGINT),
+                                 {CHUNK_BYTES})) AS INTEGER) AS chunk_bytes
+    FROM documents,
+         unnest(range(0, CAST(ceil(strlen(text) / {CHUNK_BYTES}.0) AS BIGINT)))
+             t(i)
+    ORDER BY doc_id, chunk_idx
+"""
+
+
 MULTIMODAL_QUERIES: list[tuple[str, object, str | None]] = [
     ("multimodal_metadata", multimodal_metadata, MULTIMODAL_METADATA_ORACLE),
     ("multimodal_dedup", multimodal_dedup, MULTIMODAL_DEDUP_ORACLE),
+    ("multimodal_chunk", multimodal_chunk, MULTIMODAL_CHUNK_ORACLE),
     # mapInPandas feature extraction: Python-side decode, no SQL oracle ->
     # rows-only driver check + pytest value assertions.
     ("multimodal_features", multimodal_features, None),

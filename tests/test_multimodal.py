@@ -70,7 +70,15 @@ def test_real_decode_is_explicitly_stubbed():
         decode_image_batch([b"\x89PNG"])
 
 
-@pytest.mark.parametrize("name", ["multimodal_resize", "multimodal_frame_sample"])
+@pytest.mark.parametrize(
+    "name",
+    [
+        "multimodal_resize",
+        "multimodal_frame_sample",
+        "multimodal_dedup",
+        "multimodal_chunk",
+    ],
+)
 def test_media_edge_ops_oracle_parity(spark, name):
     assert_matches_oracle(QUERIES[name](spark, SF_SMOKE), ORACLES[name], SF_SMOKE)
 
