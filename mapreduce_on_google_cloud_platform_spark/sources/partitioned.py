@@ -64,6 +64,35 @@ def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def overwrite_partitions_dynamic(
+    df: DataFrame, path: str, partition_cols: Sequence[str]
+) -> None:
+    """Overwrite ONLY the partitions present in ``df``, leaving every
+    other directory untouched -- the idempotent daily-backfill pattern
+    (re-run one day without clobbering the year).  Uses dynamic
+    partition-overwrite mode, set per-write and restored, so normal
+    overwrites elsewhere keep replacing whole tables."""
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    try:
+        old = spark.conf.get(key)
+    except Exception:
+        old = None
+    spark.conf.set(key, "dynamic")
+    try:
+        (
+            df.repartition(*[F.col(c) for c in partition_cols])
+            .write.mode("overwrite")
+            .partitionBy(*partition_cols)
+            .parquet(path)
+        )
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+
 def events_by_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events table with its natural partition column attached."""
     from .tables import load_table

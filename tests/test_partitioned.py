@@ -121,3 +121,45 @@ def test_writer_one_file_per_partition(spark, events_path):
     files = read_partitioned(spark, events_path).inputFiles()
     per_dir = Counter(f.rsplit("/", 1)[0] for f in files)
     assert per_dir and all(n == 1 for n in per_dir.values()), per_dir
+
+
+def test_dynamic_partition_overwrite_touches_only_written_days(spark, tmp_path):
+    """Rewriting one day with overwrite_partitions_dynamic must replace
+    that directory and leave every other partition byte-identical -- the
+    idempotent daily-backfill contract (a plain overwrite would wipe the
+    table)."""
+    from mapreduce_on_google_cloud_platform_spark.sources.partitioned import (
+        events_by_date,
+        overwrite_partitions_dynamic,
+        read_partitioned,
+        write_partitioned,
+    )
+
+    path = str(tmp_path / "events_by_date")
+    ev = events_by_date(spark, SF_SMOKE)
+    write_partitioned(ev, path, ["event_date"])
+
+    day = ev.select(F.min("event_date").alias("d")).collect()[0].d
+    before_other = (
+        read_partitioned(spark, path).filter(F.col("event_date") != day).count()
+    )
+
+    # backfill: re-write ONE day with a marker mutation (value + 1000)
+    patch = ev.filter(F.col("event_date") == day).withColumn(
+        "value", F.col("value") + 1000
+    )
+    overwrite_partitions_dynamic(patch, path, ["event_date"])
+
+    after = read_partitioned(spark, path)
+    assert after.filter(F.col("event_date") != day).count() == before_other
+    # the patched day fully replaced (all values carry the marker)
+    assert (
+        after.filter((F.col("event_date") == day) & (F.col("value") < 1000)).count()
+        == 0
+    )
+    assert after.filter(F.col("event_date") == day).count() == patch.count()
+    # conf restored
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode").lower()
+        != "dynamic"
+    )

@@ -218,3 +218,29 @@ def test_runtime_bloom_filter_prunes_probe_side(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_shuffle_hash_join_hint_is_honored(spark):
+    """Join-strategy hints are part of the tuning surface: when a side is
+    too big to broadcast but small enough to hash per-partition, the
+    SHUFFLE_HASH hint must replace sort-merge (saving both sides' sorts).
+    """
+    from mapreduce_on_google_cloud_platform_spark.sources import load_table
+
+    from .conftest import SF_SMOKE
+
+    orders = load_table(spark, SF_SMOKE, "orders").hint("shuffle_hash")
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey).select("o_custkey")
+        plan = j._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "ShuffledHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -198,3 +198,63 @@ def test_foreachbatch_snapshot_merge_converges(spark, tmp_path):
         for r in purchase_snapshot_latest(spark, SF_SMOKE).collect()
     )
     assert got == want
+
+
+@pytest.mark.slow
+def test_watermark_drops_late_rows_in_append_mode(spark, tmp_path):
+    """The watermark contract itself: after the watermark advances, a row
+    older than (watermark - window) must be DROPPED, while on-time
+    windows finalize and append.  Drives two explicit micro-batches so
+    the watermark position between them is deterministic."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    in_dir = str(tmp_path / "in")
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(i, t0 + dt.timedelta(minutes=m)) for i, m in rows],
+            "event_id long, ts timestamp",
+        )
+
+    # batch 1: 10:00 .. 10:59 -> watermark after it: 10:59 - 5min = 10:54
+    mk([(i, i) for i in range(60)]).coalesce(1).write.mode("append").parquet(in_dir)
+
+    schema = spark.read.parquet(in_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+        .withWatermark("ts", "5 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("late_drop_check")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: one LATE row (9:00, window end 09:10 << watermark 10:54)
+        # and one on-time row (11:30) that pushes the watermark forward so
+        # every 10:xx window finalizes.
+        mk([(1000, -60), (1001, 90)]).coalesce(1).write.mode("append").parquet(
+            in_dir
+        )
+        q.processAllAvailable()
+        mk([(2000, 180)]).coalesce(1).write.mode("append").parquet(in_dir)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    out = {r.ws: r.n for r in spark.sql("SELECT * FROM late_drop_check").collect()}
+    # the late 09:00 row must NOT have produced a window
+    assert t0 - dt.timedelta(minutes=60) not in out
+    # every on-time 10:xx window finalized with its full count
+    for m in range(0, 60, 10):
+        assert out[t0 + dt.timedelta(minutes=m)] == 10
