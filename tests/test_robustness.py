@@ -72,7 +72,21 @@ def test_missing_sf_dir_raises_cleanly(spark):
 
 
 @pytest.mark.parametrize(
-    "name", ["kmeans_assign", "dedup_minhash_lsh", "quantile_summary", "q1_pricing_summary"]
+    "name",
+    [
+        "kmeans_assign",
+        "dedup_minhash_lsh",
+        "quantile_summary",
+        "q1_pricing_summary",
+        # session additions most exposed to partitioning: window-merge
+        # MERGE, broadcast-total thresholds, signature bucketing,
+        # per-doc array reassembly, correlation components
+        "merge_upsert_orders",
+        "q11_revenue_concentration",
+        "ann_lsh_multiprobe_topk",
+        "vocab_encode_documents",
+        "price_balance_correlation",
+    ],
 )
 def test_shuffle_partition_invariance(spark, name):
     """SURVEY §5: results must be invariant to parallelism degrees.  The
