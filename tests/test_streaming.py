@@ -258,3 +258,49 @@ def test_watermark_drops_late_rows_in_append_mode(spark, tmp_path):
     # every on-time 10:xx window finalized with its full count
     for m in range(0, 60, 10):
         assert out[t0 + dt.timedelta(minutes=m)] == 10
+
+
+@pytest.mark.slow
+def test_stream_stream_interval_join_matches_batch(spark):
+    """Drain the purchase x view stream-stream interval join and compare
+    the emitted (purchase, view) pairs against the static inner join with
+    the identical condition."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_on_google_cloud_platform_spark.sources import load_table
+    from mapreduce_on_google_cloud_platform_spark.streaming.joins import (
+        streaming_purchase_view_join_query,
+    )
+
+    q = (
+        streaming_purchase_view_join_query(spark, SF_SMOKE)
+        .writeStream.format("memory")
+        .queryName("ss_join_check")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.event_id, r.v_id)
+        for r in spark.sql("SELECT * FROM ss_join_check").collect()
+    }
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("v_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+    )
+    cond = (
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("v_ts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("v_ts") <= F.col("ts"))
+    )
+    want = {
+        (r.event_id, r.v_id) for r in p.join(v, cond, "inner").collect()
+    }
+    assert got == want and len(want) > 0
