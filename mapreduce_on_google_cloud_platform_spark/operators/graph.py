@@ -1,0 +1,129 @@
+"""Graph analytics over the near-dup evidence graph: fixed-point PageRank.
+
+Second iterative operator next to ``dedup.dedup_clusters`` (connected
+components): rank documents by their centrality in the n-gram-Jaccard
+near-duplicate graph -- high-rank nodes are the "template" documents a
+curation pass should inspect first (boilerplate hubs duplicate into many
+others).
+
+Determinism contract (same discipline as kmeans_assign): ranks are
+FIXED-POINT BIGINT micro-units, every update is integer arithmetic
+(`div` floor division in Spark, `//` in DuckDB), so any partitioning,
+engine, or iteration order yields bit-identical ranks.  The damping
+update is
+
+    r' = (15 * SCALE) div 100  +  (85 * sum_in(r div deg)) div 100
+
+over the symmetrized edge list; PR_ITERS is fixed so the DuckDB oracle
+is the same recurrence unrolled.
+
+Scale shape: per iteration one shuffle-on-src join (edges x ranks x deg)
+and one partial-aggregated groupBy on dst -- identical movement to one
+large-star round.  Nodes outside any edge are excluded (their rank is
+the uniform base; carrying them adds nothing).  For many iterations add
+lineage truncation per round like dedup_clusters; 3 rounds doesn't need
+it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import DUCKDB_SHINGLES_CTE, shingles_df
+from ..sources import load_table
+from .dedup import JACCARD_THRESHOLD, _pair_jaccard
+
+PR_SCALE = 10**12
+PR_ITERS = 3
+
+
+def neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = (
+        _pair_jaccard(shingles_df(docs))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+    )
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .persist()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
+    ranks = deg.select(F.col("src").alias("doc_id"), F.lit(PR_SCALE).alias("r"))
+    base = 15 * PR_SCALE // 100
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.doc_id)
+            .join(deg, "src")
+            .select(F.col("dst"), F.expr("r div deg").alias("c"))
+        )
+        ranks = (
+            contrib.groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+            .select(
+                F.col("dst").alias("doc_id"),
+                (F.lit(base) + F.expr("(85 * s) div 100")).alias("r"),
+            )
+        )
+    return (
+        ranks.join(deg, ranks.doc_id == deg.src)
+        .select("doc_id", F.col("r").alias("pagerank_fp"), "deg")
+        .orderBy(F.desc("pagerank_fp"), F.asc("doc_id"))
+    )
+
+
+def _unrolled_oracle() -> str:
+    base = 15 * PR_SCALE // 100
+    its = []
+    prev = "r0"
+    for k in range(1, PR_ITERS + 1):
+        its.append(
+            f"""
+    it{k} AS (
+        SELECT e.dst AS doc_id,
+               CAST({base} + (85 * sum(r.r // d.deg)) // 100 AS BIGINT) AS r
+        FROM edges e
+        JOIN {prev} r ON e.src = r.doc_id
+        JOIN deg d ON e.src = d.src
+        GROUP BY e.dst
+    )"""
+        )
+        prev = f"it{k}"
+    return f"""
+    WITH {DUCKDB_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, count(*) AS n FROM shing GROUP BY doc_id),
+    jpairs AS (
+        SELECT doc_a, doc_b
+        FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+            FROM shing a JOIN shing b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common)
+              >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM jpairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM jpairs
+    ),
+    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+    r0 AS (SELECT src AS doc_id, CAST({PR_SCALE} AS BIGINT) AS r FROM deg),
+    {",".join(its)}
+    SELECT r.doc_id, r.r AS pagerank_fp, d.deg
+    FROM it{PR_ITERS} r JOIN deg d ON r.doc_id = d.src
+    ORDER BY pagerank_fp DESC, doc_id
+"""
+
+
+PAGERANK_ORACLE = _unrolled_oracle()
+
+GRAPH_QUERIES: list[tuple[str, object, str | None]] = [
+    ("neardup_pagerank", neardup_pagerank, PAGERANK_ORACLE),
+]

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..operators import (
     dedup,
+    graph,
     multimodal,
     pipeline,
     relational,
@@ -68,6 +69,10 @@ for _name, _fn, _oracle in relational.RELATIONAL_QUERIES:
 
 # --- dedup suite (north star: training-data pipeline ops) -------------------
 for _name, _fn, _oracle in dedup.DEDUP_QUERIES:
+    _register(_name, _fn, _oracle)
+
+# --- graph analytics over the near-dup evidence graph ------------------------
+for _name, _fn, _oracle in graph.GRAPH_QUERIES:
     _register(_name, _fn, _oracle)
 
 # --- similarity search -------------------------------------------------------

@@ -1,0 +1,39 @@
+"""Fixed-point PageRank over the near-dup graph: oracle parity + sanity."""
+
+from __future__ import annotations
+
+import pytest
+
+from mapreduce_on_google_cloud_platform_spark.operators.graph import (
+    GRAPH_QUERIES,
+    PR_SCALE,
+)
+from mapreduce_on_google_cloud_platform_spark.plans import ORACLES, QUERIES
+
+from .conftest import SF_ORACLE, SF_SMOKE
+from .oracle import assert_matches_oracle
+
+NAMES = [name for name, _, _ in GRAPH_QUERIES]
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_oracle_parity_smoke(spark, name):
+    assert_matches_oracle(QUERIES[name](spark, SF_SMOKE), ORACLES[name], SF_SMOKE)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", NAMES)
+def test_oracle_parity_sf001(spark, name):
+    assert_matches_oracle(QUERIES[name](spark, SF_ORACLE), ORACLES[name], SF_ORACLE)
+
+
+def test_pagerank_mass_and_hub_ordering(spark):
+    """Sanity on the semantics, not just cross-engine agreement: ranks
+    stay within the damping fixed-point bounds, and the top-ranked node
+    has at least median degree (hubs rise)."""
+    rows = QUERIES["neardup_pagerank"](spark, SF_SMOKE).collect()
+    assert rows, "near-dup graph unexpectedly empty"
+    for r in rows:
+        assert 0 < r.pagerank_fp < 10 * PR_SCALE
+    degs = sorted(r.deg for r in rows)
+    assert rows[0].deg >= degs[len(degs) // 2]
