@@ -74,6 +74,10 @@ HEADLINE = [
     # iterative multi-pass operators
     "dedup_clusters",
     "kmeans_assign",
+    "neardup_pagerank",
+    # rolling frames + payload chunking
+    "rolling_1h_user_value",
+    "multimodal_chunk",
     # pipelines
     "cohort_retention",
     "event_funnel_conversion",
