@@ -54,6 +54,23 @@ def read_documents_any(
     return reader.load(path)
 
 
+def read_documents_json_tolerant(spark: SparkSession, path: str) -> DataFrame:
+    """PERMISSIVE jsonl read with corrupt-record capture: malformed lines
+    become rows with every data column null and the raw line preserved in
+    ``_corrupt_record``, instead of failing the job.  The quarantine
+    pattern for 100 TB ingest -- one bad line in a billion must not kill
+    the batch, and the quarantined rows keep enough to debug/replay
+    (filter ``_corrupt_record IS NOT NULL`` to a side table)."""
+    schema = DOCUMENTS_DDL + ", _corrupt_record STRING"
+    return (
+        spark.read.format("json")
+        .schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .load(path)
+    )
+
+
 def write_reference_text(lines: DataFrame, path: str) -> None:
     """Write a one-string-column DataFrame as text part files (the Spark
     shape of the reference's final.txt collect, ``master.py:205-213``)."""

@@ -24,6 +24,8 @@ from mapreduce_on_google_cloud_platform_spark.sources import (
     write_reference_text,
 )
 
+from .conftest import SF_SMOKE
+
 BOOKS = {
     "FlyingFish": "The quick-brown FOX jumps!  Don't stop; 42 times 42.\n--- END ---",
     "JekyllHyde": "It was the BEST of times,\nit was the worst of times.\nDon't.",
@@ -121,3 +123,47 @@ def test_read_documents_csv_and_json_roundtrip(spark, tmp_path):
     docs.write.json(json_dir)
     got_json = {(r.doc_id, r.text) for r in read_documents_any(spark, json_dir, "json").collect()}
     assert got_json == want
+
+
+def test_json_tolerant_read_quarantines_malformed_lines(spark, tmp_path):
+    """One malformed line must neither fail the read nor disappear: it
+    surfaces as an all-null row carrying the raw text in _corrupt_record
+    while the good lines parse normally."""
+    from mapreduce_on_google_cloud_platform_spark.sources.text_io import (
+        read_documents_json_tolerant,
+    )
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "good one", "lang": "en", "source": "s", "n_chars": 8}\n'
+        '{"doc_id": 2, "text": "also fine", "lang": "en", "source": "s", "n_chars": 9}\n'
+        "{not json at all\n"
+    )
+    df = read_documents_json_tolerant(spark, str(p))
+    rows = df.collect()
+    assert len(rows) == 3
+    bad = [r for r in rows if r._corrupt_record is not None]
+    good = [r for r in rows if r._corrupt_record is None]
+    assert len(bad) == 1 and bad[0].doc_id is None
+    assert bad[0]._corrupt_record.startswith("{not json")
+    assert sorted(r.doc_id for r in good) == [1, 2]
+
+
+def test_parquet_codec_round_trip(spark, tmp_path):
+    """Sink completeness: snappy/zstd/gzip parquet all round-trip
+    losslessly and actually apply their codec (checked in the footer)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from mapreduce_on_google_cloud_platform_spark.sources import load_table
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    n = orders.count()
+    for codec in ["snappy", "zstd", "gzip"]:
+        out = str(tmp_path / codec)
+        orders.write.option("compression", codec).parquet(out)
+        assert spark.read.parquet(out).count() == n
+        f = glob.glob(f"{out}/*.parquet")[0]
+        used = pq.ParquetFile(f).metadata.row_group(0).column(0).compression
+        assert used.lower() == codec.lower()
