@@ -244,3 +244,25 @@ def test_shuffle_hash_join_hint_is_honored(spark):
         assert "SortMergeJoin" not in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+@pytest.mark.slow
+def test_no_row_at_a_time_python_anywhere(spark):
+    """Global invariant over the WHOLE registry: no oracle-checked query
+    may contain a row-at-a-time Python UDF (BatchEvalPython).  Arrow-
+    batched Python (ArrowEvalPython / mapInPandas) is allowed only in
+    the declared rows-only multimodal/fingerprint paths."""
+    from mapreduce_on_google_cloud_platform_spark.plans import ORACLES, QUERIES
+
+    arrow_ok = {"doc_fingerprint", "multimodal_features", "multimodal_resize",
+                "multimodal_frame_sample"}
+    for name, fn in QUERIES.items():
+        plan = fn(spark, SF_SMOKE)._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python"
+        if name in ORACLES and name not in arrow_ok:
+            assert "ArrowEvalPython" not in plan, f"{name}: unexpected Python"
+        spark.catalog.clearCache()
