@@ -1229,6 +1229,58 @@ Q19_ORACLE = f"""
 
 
 # ---------------------------------------------------------------------------
+# Relational division ("for all"): customers with at least one order in
+# EVERY year of the window -- the classic universally-quantified pattern,
+# decorrelated to countDistinct(year) == |years| (one aggregate, no
+# nested NOT EXISTS pair).
+# ---------------------------------------------------------------------------
+
+DIVISION_START_YEAR = 1996
+DIVISION_END_YEAR = 2000
+_DIVISION_N_YEARS = DIVISION_END_YEAR - DIVISION_START_YEAR + 1
+
+
+def loyal_customers_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    yr = F.year("o_orderdate")
+    per = (
+        orders.filter(
+            (yr >= DIVISION_START_YEAR) & (yr <= DIVISION_END_YEAR)
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.countDistinct(yr).alias("n_years"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .filter(F.col("n_years") == _DIVISION_N_YEARS)
+    )
+    return (
+        per.join(cust, per.o_custkey == cust.c_custkey)
+        .select(
+            F.col("c_custkey").alias("custkey"), "c_mktsegment", "n_orders"
+        )
+        .orderBy("custkey")
+    )
+
+
+DIVISION_ORACLE = f"""
+    SELECT o_custkey AS custkey, c_mktsegment, n_orders
+    FROM (
+        SELECT o_custkey,
+               count(DISTINCT extract(year FROM o_orderdate)) AS n_years,
+               count(*) AS n_orders
+        FROM orders
+        WHERE extract(year FROM o_orderdate)
+              BETWEEN {DIVISION_START_YEAR} AND {DIVISION_END_YEAR}
+        GROUP BY o_custkey
+    )
+    JOIN customer ON o_custkey = c_custkey
+    WHERE n_years = {_DIVISION_N_YEARS}
+    ORDER BY custkey
+"""
+
+# ---------------------------------------------------------------------------
 # Time-RANGE window frame: trailing 1-hour rolling aggregates per user --
 # the frame is defined by the ORDER-BY VALUE (epoch seconds), not row
 # offsets, so rows with sparse/bursty timestamps aggregate correctly.
@@ -1727,4 +1779,5 @@ RELATIONAL_QUERIES: list[tuple[str, object, str]] = [
     ("q22_idle_rich_customers", q22_idle_rich_customers, Q22_ORACLE),
     ("unpivot_event_counts", unpivot_event_counts, UNPIVOT_ORACLE),
     ("rolling_1h_user_value", rolling_1h_user_value, ROLLING_ORACLE),
+    ("loyal_customers_division", loyal_customers_division, DIVISION_ORACLE),
 ]

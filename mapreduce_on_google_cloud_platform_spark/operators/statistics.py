@@ -262,6 +262,70 @@ CORRELATION_ORACLE = """
 """
 
 
+# ---------------------------------------------------------------------------
+# Winsorization: clip each group's values at its own [p01, p99] -- the
+# standard outlier treatment before a training-data pipeline normalizes a
+# numeric feature.  Per group: one percentile aggregate (same interpolated
+# definition as quantile_summary, verified bit-equal to quantile_cont),
+# broadcast-joined back, then integer clip counters and a decimal-exact
+# sum of the clipped column.
+# ---------------------------------------------------------------------------
+
+WINSOR_LO = 0.01
+WINSOR_HI = 0.99
+
+
+def winsorize_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.expr(f"percentile(value, {WINSOR_LO})").alias("lo"),
+        F.expr(f"percentile(value, {WINSOR_HI})").alias("hi"),
+    )
+    clipped = F.when(F.col("value") < F.col("lo"), F.col("lo")).when(
+        F.col("value") > F.col("hi"), F.col("hi")
+    ).otherwise(F.col("value"))
+    return (
+        ev.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("value") < F.col("lo"), 1).otherwise(0)).alias(
+                "n_clipped_low"
+            ),
+            F.sum(F.when(F.col("value") > F.col("hi"), 1).otherwise(0)).alias(
+                "n_clipped_high"
+            ),
+            F.sum(clipped.cast("decimal(18,6)")).cast("double").alias(
+                "winsorized_sum"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+WINSORIZE_ORACLE = f"""
+    WITH b AS (
+        SELECT event_type,
+               quantile_cont(value, {WINSOR_LO}) AS lo,
+               quantile_cont(value, {WINSOR_HI}) AS hi
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clipped_low,
+           CAST(sum(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clipped_high,
+           CAST(sum(CAST(CASE WHEN value < lo THEN lo
+                              WHEN value > hi THEN hi
+                              ELSE value END AS DECIMAL(18,6))) AS DOUBLE)
+               AS winsorized_sum
+    FROM events JOIN b USING (event_type)
+    GROUP BY event_type
+    ORDER BY event_type
+"""
+
+
 STATISTICS_QUERIES: list[tuple[str, object, str | None]] = [
     ("quantile_summary", quantile_summary, QUANTILE_ORACLE),
     ("sample_stratified", sample_stratified, SAMPLE_STRATIFIED_ORACLE),
@@ -270,4 +334,5 @@ STATISTICS_QUERIES: list[tuple[str, object, str | None]] = [
     ("sketch_summary", sketch_summary, None),
     ("histogram_event_values", histogram_event_values, HISTOGRAM_ORACLE),
     ("price_balance_correlation", price_balance_correlation, CORRELATION_ORACLE),
+    ("winsorize_event_values", winsorize_event_values, WINSORIZE_ORACLE),
 ]
