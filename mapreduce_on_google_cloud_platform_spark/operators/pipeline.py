@@ -402,9 +402,160 @@ MERGE_UPSERT_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Corpus release pipeline -- the full LLM-data release flow composed from
+# this round's hygiene operators, as ONE declared plan:
+#
+#   1. redact   : PII scrub chain (emails / digit runs / sensitive vocab);
+#   2. split    : train = doc_id % EVAL_MOD != 0 (eval never ships);
+#   3. gate     : >= RELEASE_MIN_TOKS clean tokens;
+#   4. dedup    : one winner (min doc_id) per redacted-content md5;
+#   5. decontam : drop winners sharing > half their 3-gram shingles with
+#                 the eval split (exact integer predicate 2*hits > n_sh);
+#   6. report   : per-source funnel (in / gated / winners / released /
+#                 released tokens) -- every count an integer.
+#
+# Scale: one token pass, one shingle pass, one shuffle on the content
+# hash, one shuffle-on-shingle join against the distinct eval vocabulary
+# (broadcastable), and a final combinable per-source rollup.
+# ---------------------------------------------------------------------------
+
+RELEASE_MIN_TOKS = 40
+
+
+def corpus_release_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import shingles_df, tokens_df
+    from .text_analysis import (
+        EVAL_MOD,
+        PII_EMAIL_RE,
+        PII_NUM_RE,
+        PII_TERM_RE,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), PII_EMAIL_RE, "<EMAIL>"),
+            PII_NUM_RE,
+            "<NUM>",
+        ),
+        PII_TERM_RE,
+        "<X>",
+    )
+    ntoks = tokens_df(docs).groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_toks"))
+    train = (
+        docs.select("doc_id", "source", F.md5(redacted).alias("rmd5"))
+        .join(ntoks, "doc_id", "left")
+        .withColumn("n_toks", F.coalesce("n_toks", F.lit(0)))
+        .filter(F.col("doc_id") % EVAL_MOD != 0)
+    )
+    gated = train.filter(F.col("n_toks") >= RELEASE_MIN_TOKS)
+    winners = gated.groupBy("rmd5").agg(F.min("doc_id").alias("doc_id"))
+
+    sh = shingles_df(docs)
+    eval_sh = (
+        sh.filter(F.col("doc_id") % EVAL_MOD == 0)
+        .select("sh")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    cont = (
+        sh.join(winners, "doc_id", "left_semi")
+        .join(eval_sh, "sh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("hits"),
+        )
+    )
+    released = cont.filter(2 * F.col("hits") <= F.col("n_sh")).select("doc_id")
+
+    flags = (
+        train.join(winners.select("doc_id", F.lit(True).alias("w")), "doc_id", "left")
+        .join(released.withColumn("rel", F.lit(True)), "doc_id", "left")
+        .select(
+            "source",
+            "n_toks",
+            (F.col("n_toks") >= RELEASE_MIN_TOKS).alias("g"),
+            F.coalesce("w", F.lit(False)).alias("w"),
+            F.coalesce("rel", F.lit(False)).alias("rel"),
+        )
+    )
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs_in"),
+            F.sum(F.when(F.col("g"), 1).otherwise(0)).cast("bigint").alias("n_gated"),
+            F.sum(F.when(F.col("w"), 1).otherwise(0)).cast("bigint").alias("n_winners"),
+            F.sum(F.when(F.col("rel"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_released"),
+            F.sum(F.when(F.col("rel"), F.col("n_toks")).otherwise(0))
+            .cast("bigint")
+            .alias("tokens_released"),
+        )
+        .orderBy("source")
+    )
+
+
+def _release_oracle() -> str:
+    from ..functions.text import DUCKDB_SHINGLES_CTE
+    from .text_analysis import EVAL_MOD, PII_EMAIL_RE, PII_NUM_RE, PII_TERM_RE
+
+    red = (
+        "regexp_replace(regexp_replace(regexp_replace(text, "
+        f"'{PII_EMAIL_RE}', '<EMAIL>', 'g'), "
+        f"'{PII_NUM_RE}', '<NUM>', 'g'), "
+        f"'{PII_TERM_RE}', '<X>', 'g')"
+    )
+    return f"""
+    WITH {DUCKDB_SHINGLES_CTE},
+    ntoks AS (SELECT doc_id, len(ts) AS n_toks FROM toks),
+    train AS (
+        SELECT d.doc_id, d.source, md5({red}) AS rmd5,
+               coalesce(n_toks, 0) AS n_toks
+        FROM documents d LEFT JOIN ntoks USING (doc_id)
+        WHERE d.doc_id % {EVAL_MOD} <> 0
+    ),
+    gated AS (SELECT * FROM train WHERE n_toks >= {RELEASE_MIN_TOKS}),
+    winners AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY rmd5),
+    eval_sh AS (
+        SELECT DISTINCT sh FROM shing WHERE doc_id % {EVAL_MOD} = 0
+    ),
+    cont AS (
+        SELECT s.doc_id, count(*) AS n_sh,
+               sum(CASE WHEN e.sh IS NOT NULL THEN 1 ELSE 0 END) AS hits
+        FROM shing s
+        JOIN winners w ON s.doc_id = w.doc_id
+        LEFT JOIN eval_sh e ON s.sh = e.sh
+        GROUP BY s.doc_id
+    ),
+    released AS (SELECT doc_id FROM cont WHERE 2 * hits <= n_sh)
+    SELECT source,
+           count(*) AS docs_in,
+           CAST(sum(CASE WHEN n_toks >= {RELEASE_MIN_TOKS} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_gated,
+           CAST(sum(CASE WHEN w.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_winners,
+           CAST(sum(CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_released,
+           CAST(sum(CASE WHEN r.doc_id IS NOT NULL THEN n_toks ELSE 0 END)
+                AS BIGINT) AS tokens_released
+    FROM train t
+    LEFT JOIN winners w ON t.doc_id = w.doc_id
+    LEFT JOIN released r ON t.doc_id = r.doc_id
+    GROUP BY source
+    ORDER BY source
+"""
+
+
+RELEASE_ORACLE = _release_oracle()
+
+
 PIPELINE_QUERIES: list[tuple[str, object, str | None]] = [
     ("curation_pipeline", curation_pipeline, CURATION_ORACLE),
     ("merge_upsert_orders", merge_upsert_orders, MERGE_UPSERT_ORACLE),
+    ("corpus_release_pipeline", corpus_release_pipeline, RELEASE_ORACLE),
     ("data_quality_audit", data_quality_audit, DATA_QUALITY_ORACLE),
     ("training_data_prep", training_data_prep, TRAINING_PREP_ORACLE),
 ]
