@@ -79,6 +79,7 @@ HEADLINE = [
     "rolling_1h_user_value",
     "multimodal_chunk",
     # pipelines
+    "corpus_release_pipeline",
     "cohort_retention",
     "event_funnel_conversion",
     "data_quality_audit",
