@@ -94,6 +94,65 @@ ASOF_ORACLE = """
 """
 
 
+def asof_forward_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of: the earliest view strictly AFTER each purchase --
+    the other direction of the as-of pair (feature pipelines need both:
+    backward for "state at event time", forward for "next outcome").
+    Same MERGE formulation, scanned in descending time; at equal ts the
+    probe sorts FIRST so a same-timestamp view is excluded (strict >)."""
+    events = load_table(spark, sf_dir, "events")
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("is_probe"),
+        F.col("event_id").alias("v_id"),
+        F.col("ts").alias("v_ts"),
+        F.lit(None).cast("bigint").alias("p_id"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("is_probe"),
+        F.lit(None).cast("bigint").alias("v_id"),
+        F.lit(None).cast("timestamp").alias("v_ts"),
+        F.col("event_id").alias("p_id"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), F.col("is_probe").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = views.unionByName(purchases).select(
+        "*",
+        F.last("v_id", ignorenulls=True).over(w).alias("next_view_event_id"),
+        F.last("v_ts", ignorenulls=True).over(w).alias("next_view_ts"),
+    )
+    return merged.filter(F.col("is_probe") == 1).select(
+        F.col("p_id").alias("event_id"),
+        "user_id",
+        "ts",
+        "next_view_event_id",
+        "next_view_ts",
+        (F.unix_micros("next_view_ts") - F.unix_micros("ts")).alias("gap_us"),
+    )
+
+
+ASOF_FORWARD_ORACLE = """
+    WITH p AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    v AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+    )
+    SELECT p.event_id, p.user_id, p.ts,
+           v.event_id AS next_view_event_id,
+           v.ts AS next_view_ts,
+           epoch_us(v.ts) - epoch_us(p.ts) AS gap_us
+    FROM p ASOF LEFT JOIN v
+      ON p.user_id = v.user_id AND v.ts > p.ts
+"""
+
+
 def range_join_purchase_views_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per purchase: count + value sum of same-user views in the prior hour."""
     events = load_table(spark, sf_dir, "events")
@@ -258,6 +317,7 @@ SCD2_ORACLE = """
 
 TEMPORAL_QUERIES: list[tuple[str, object, str | None]] = [
     ("asof_join_purchase_view", asof_join_purchase_view, ASOF_ORACLE),
+    ("asof_forward_purchase_view", asof_forward_purchase_view, ASOF_FORWARD_ORACLE),
     ("range_join_purchase_views_1h", range_join_purchase_views_1h, RANGE_JOIN_ORACLE),
     ("events_gap_fill", events_gap_fill, GAP_FILL_ORACLE),
     ("scd2_user_event_intervals", scd2_user_event_intervals, SCD2_ORACLE),
