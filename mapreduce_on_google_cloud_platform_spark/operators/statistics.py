@@ -326,6 +326,46 @@ WINSORIZE_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Custom aggregate via Arrow GROUPED_AGG pandas_udf: per-group geometric
+# mean.  The one vectorized-Python surface the engine hadn't exercised
+# (mapInPandas and applyInPandasWithState live elsewhere): a whole group's
+# column arrives as ONE pandas Series per Arrow batch and reduces
+# Python-side.  Declared rows-only (no SQL oracle): log-sum reduction
+# order makes the float engine-specific; the pytest twin checks against
+# numpy within 1e-9 instead.  Use ONLY when the aggregate genuinely has
+# no built-in/exact formulation -- and never in a hot path when
+# exp(avg(ln(x))) as JVM expressions would do.
+# ---------------------------------------------------------------------------
+
+
+def geomean_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.functions import PandasUDFType
+
+    @F.pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def geomean(v: pd.Series) -> float:
+        return float(np.exp(np.log(v.to_numpy()).mean()))
+
+    # a GROUPED_AGG udf cannot mix with JVM aggregates in one agg();
+    # group size therefore also goes through the pandas path
+    @F.pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def group_n(v: pd.Series) -> int:
+        return len(v)
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            group_n("value").alias("n"),
+            geomean("value").alias("geomean_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 STATISTICS_QUERIES: list[tuple[str, object, str | None]] = [
     ("quantile_summary", quantile_summary, QUANTILE_ORACLE),
     ("sample_stratified", sample_stratified, SAMPLE_STRATIFIED_ORACLE),
@@ -335,4 +375,6 @@ STATISTICS_QUERIES: list[tuple[str, object, str | None]] = [
     ("histogram_event_values", histogram_event_values, HISTOGRAM_ORACLE),
     ("price_balance_correlation", price_balance_correlation, CORRELATION_ORACLE),
     ("winsorize_event_values", winsorize_event_values, WINSORIZE_ORACLE),
+    # Arrow GROUPED_AGG path: engine-specific float reduction -> rows-only
+    ("geomean_event_value", geomean_event_value, None),
 ]

@@ -63,3 +63,30 @@ def test_sketch_error_bounds(spark):
         # GK sketch at accuracy 10000 on ~2k rows per group is near-exact;
         # allow a loose band around the true median
         assert abs(r.approx_p50 - r.exact_p50) <= 0.05 * max(1.0, abs(r.exact_p50))
+
+
+def test_geomean_grouped_agg_matches_numpy(spark):
+    """The GROUPED_AGG pandas_udf path, value-checked against a direct
+    numpy computation per group (rows-only in the driver contract; this
+    is its correctness gate)."""
+    import math
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from mapreduce_on_google_cloud_platform_spark.plans import QUERIES
+
+    from .conftest import SF_SMOKE
+
+    got = {
+        r.event_type: (r.n, r.geomean_value)
+        for r in QUERIES["geomean_event_value"](spark, SF_SMOKE).collect()
+    }
+    t = pq.read_table(f"{SF_SMOKE}/events.parquet").to_pandas()
+    t = t[t.value > 0]
+    for et, grp in t.groupby("event_type"):
+        n, gm = got[et]
+        assert n == len(grp)
+        assert math.isclose(
+            gm, float(np.exp(np.log(grp.value.to_numpy()).mean())), rel_tol=1e-9
+        )
