@@ -621,8 +621,58 @@ DEDUP_CLUSTERS_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Fuzzy matching via blocking + edit distance: the classic entity-
+# resolution shape.  All-pairs levenshtein is O(n^2); a BLOCKING KEY
+# (here brand+type) turns it into an equi-join whose quadratic cost is
+# per block, not per table -- the same candidate-sparsification idea as
+# the shingle inverted index, for typo-distance instead of set overlap.
+# Both engines implement the identical integer DP, so the distances are
+# exactly comparable.
+# ---------------------------------------------------------------------------
+
+FUZZY_MAX_DIST = 3
+
+
+def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_type", "p_name"
+    )
+    a, b = part.alias("fa"), part.alias("fb")
+    dist = F.levenshtein(F.col("fa.p_name"), F.col("fb.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("fa.p_brand") == F.col("fb.p_brand"))
+            & (F.col("fa.p_type") == F.col("fb.p_type"))
+            & (F.col("fa.p_partkey") < F.col("fb.p_partkey")),
+        )
+        .filter(dist <= FUZZY_MAX_DIST)
+        .select(
+            F.col("fa.p_partkey").alias("key_a"),
+            F.col("fb.p_partkey").alias("key_b"),
+            F.col("fa.p_name").alias("name_a"),
+            F.col("fb.p_name").alias("name_b"),
+            dist.cast("int").alias("edit_dist"),
+        )
+    )
+
+
+FUZZY_PAIRS_ORACLE = f"""
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_dist
+    FROM part a
+    JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+     AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_DIST}
+"""
+
+
 DEDUP_QUERIES: list[tuple[str, object, str | None]] = [
     ("dedup_exact", dedup_exact, DEDUP_EXACT_ORACLE),
+    ("fuzzy_part_name_pairs", fuzzy_part_name_pairs, FUZZY_PAIRS_ORACLE),
     ("dedup_ngram_jaccard", dedup_ngram_jaccard, NGRAM_JACCARD_ORACLE),
     ("dedup_minhash_lsh", dedup_minhash_lsh, MINHASH_LSH_ORACLE),
     ("dedup_simhash", dedup_simhash, SIMHASH_ORACLE),

@@ -327,6 +327,58 @@ WINSORIZE_ORACLE = f"""
 
 
 # ---------------------------------------------------------------------------
+# Deterministic bootstrap: N_BOOT independent ~1/16 resamples of orders,
+# each selected by an md5 predicate over (orderkey, replicate) -- the
+# hash-sampling discipline of sample_stratified extended to replicate
+# ensembles, so confidence intervals are computable from resamples that
+# are reproducible across engines, runs, and cluster sizes.  The
+# replicate fan-out is a row-local explode (16x rows pre-filter, ~1x
+# post); totals are decimal-exact.
+# ---------------------------------------------------------------------------
+
+N_BOOT = 5
+
+
+def sample_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_totalprice",
+            F.explode(F.sequence(F.lit(0), F.lit(N_BOOT - 1))).alias("replicate"),
+        )
+        .filter(
+            F.md5(F.concat_ws("#", F.col("o_orderkey"), F.col("replicate"))).startswith(
+                "0"
+            )
+        )
+        .groupBy("replicate")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("replicate")
+    )
+
+
+BOOTSTRAP_ORACLE = f"""
+    SELECT replicate,
+           count(*) AS n_sampled,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price
+    FROM (
+        SELECT o_orderkey, o_totalprice, r AS replicate
+        FROM orders, unnest(range(0, {N_BOOT})) t(r)
+        WHERE md5(o_orderkey || '#' || r) LIKE '0%'
+    )
+    GROUP BY replicate
+    ORDER BY replicate
+"""
+
+
+# ---------------------------------------------------------------------------
 # Custom aggregate via Arrow GROUPED_AGG pandas_udf: per-group geometric
 # mean.  The one vectorized-Python surface the engine hadn't exercised
 # (mapInPandas and applyInPandasWithState live elsewhere): a whole group's
@@ -375,6 +427,7 @@ STATISTICS_QUERIES: list[tuple[str, object, str | None]] = [
     ("histogram_event_values", histogram_event_values, HISTOGRAM_ORACLE),
     ("price_balance_correlation", price_balance_correlation, CORRELATION_ORACLE),
     ("winsorize_event_values", winsorize_event_values, WINSORIZE_ORACLE),
+    ("sample_bootstrap", sample_bootstrap, BOOTSTRAP_ORACLE),
     # Arrow GROUPED_AGG path: engine-specific float reduction -> rows-only
     ("geomean_event_value", geomean_event_value, None),
 ]
