@@ -628,6 +628,92 @@ PII_ORACLE = rf"""
 
 
 # ---------------------------------------------------------------------------
+# Bigram-coverage quality score: the language-model-lite fluency signal.
+# A document whose adjacent word pairs rarely occur elsewhere in the
+# corpus is likely noise (shuffled tokens, boilerplate soup); the score
+# is the fraction of a doc's bigram INSTANCES whose bigram occurs in at
+# least MIN_BIGRAM_DF distinct OTHER documents.  Everything is integer
+# until the single final division, so the score is bit-stable -- unlike
+# a log-prob perplexity, whose ln() differs across engines in the last
+# ulp (same reason tf-idf quantizes its idf).
+# ---------------------------------------------------------------------------
+
+MIN_BIGRAM_DF = 2
+
+
+def text_bigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_with_pos(docs)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        toks.select(
+            "doc_id",
+            F.concat_ws(" ", "word", F.lead("word", 1).over(w)).alias("bg"),
+            F.lead("word", 1).over(w).alias("_nxt"),
+        )
+        .filter(F.col("_nxt").isNotNull())
+        .drop("_nxt")
+    )
+    df_counts = (
+        bg.select("doc_id", "bg")
+        .distinct()
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    return (
+        bg.join(df_counts, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.when(F.col("df") >= MIN_BIGRAM_DF + 1, 1).otherwise(0)).alias(
+                "n_covered"
+            ),
+        )
+        .withColumn(
+            "coverage",
+            F.col("n_covered").cast("double") / F.col("n_bigrams").cast("double"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+BIGRAM_COVERAGE_ORACLE = f"""
+    WITH tok AS (
+        SELECT doc_id, pos,
+               regexp_replace(lower(t.tok), '[^0-9a-z]', '', 'g') AS word
+        FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(text, '\\s+')) AS tok,
+                   generate_subscripts(regexp_split_to_array(text, '\\s+'), 1)
+                       - 1 AS pos
+            FROM documents
+        ) t
+        WHERE regexp_replace(lower(t.tok), '[^0-9a-z]', '', 'g') <> ''
+    ),
+    bg AS (
+        SELECT doc_id,
+               word || ' ' || lead(word) OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS bg
+        FROM tok
+        QUALIFY lead(word) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL
+    ),
+    dfc AS (
+        SELECT bg, count(*) AS df
+        FROM (SELECT DISTINCT doc_id, bg FROM bg)
+        GROUP BY bg
+    )
+    SELECT doc_id,
+           count(*) AS n_bigrams,
+           CAST(sum(CASE WHEN df >= {MIN_BIGRAM_DF + 1} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_covered,
+           CAST(sum(CASE WHEN df >= {MIN_BIGRAM_DF + 1} THEN 1 ELSE 0 END)
+                AS DOUBLE) / count(*) AS coverage
+    FROM bg JOIN dfc USING (bg)
+    GROUP BY doc_id
+    ORDER BY doc_id
+"""
+
+# ---------------------------------------------------------------------------
 # Token-ID encoding: the transform every LLM training pipeline ends with.
 # vocab_table assigns dense ids by (frequency desc, word) -- the standard
 # frequency-ranked vocabulary, deterministic because the tie-break is
@@ -722,4 +808,5 @@ TEXT_ANALYSIS_QUERIES: list[tuple[str, object, str | None]] = [
     ("pii_redaction", pii_redaction, PII_ORACLE),
     ("vocab_table", vocab_table, VOCAB_ORACLE),
     ("vocab_encode_documents", vocab_encode_documents, VOCAB_ENCODE_ORACLE),
+    ("text_bigram_coverage", text_bigram_coverage, BIGRAM_COVERAGE_ORACLE),
 ]
