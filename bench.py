@@ -43,6 +43,7 @@ HEADLINE = [
     "text_quality_score",
     "doc_fingerprint",
     "text_tfidf",
+    "text_bigram_coverage",
     # temporal joins
     "asof_join_purchase_view",
     "range_join_purchase_views_1h",
