@@ -572,11 +572,82 @@ ANN_LSH_MULTIPROBE_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Retrieval-quality evaluation: label agreement of the exact top-k.  The
+# embeddings table carries a ground-truth ``label``; a healthy index has
+# neighbors that mostly share their query's label.  Per label: how many
+# of its queries' top-K_NEIGHBORS neighbors agree -- the evaluation
+# harness every similarity deployment needs, expressed as the brute-force
+# top-k joined twice against the (vec_id, label) dim (broadcast; the
+# scored pair table never re-shuffles).  Counts exact, one division.
+# ---------------------------------------------------------------------------
+
+
+def ann_label_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labels = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    topk = ann_topk_bruteforce(spark, sf_dir)
+    q_lab = labels.select(
+        F.col("vec_id").alias("q_id"), F.col("label").alias("q_label")
+    )
+    n_lab = labels.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label")
+    )
+    return (
+        topk.join(F.broadcast(q_lab), "q_id")
+        .join(F.broadcast(n_lab), "neighbor_id")
+        .groupBy("q_label")
+        .agg(
+            F.countDistinct("q_id").alias("n_queries"),
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(
+                F.when(F.col("q_label") == F.col("n_label"), 1).otherwise(0)
+            ).alias("n_label_matches"),
+        )
+        .withColumn(
+            "label_recall",
+            F.col("n_label_matches").cast("double") / F.col("n_pairs").cast("double"),
+        )
+        .orderBy("q_label")
+    )
+
+
+ANN_LABEL_RECALL_ORACLE = f"""
+    WITH {SQL_NORMALIZED_CTE},
+    q AS (SELECT vec_id AS q_id, vn AS qv FROM en WHERE vec_id % {QUERY_STRIDE} = 0),
+    scored AS (
+        SELECT q_id, en.vec_id AS neighbor_id,
+               {sql_dot('qv', 'en.vn')} AS cos_sim
+        FROM q, en WHERE en.vec_id <> q_id
+    ),
+    topk AS (
+        SELECT q_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY q_id
+                                         ORDER BY cos_sim DESC, neighbor_id)
+                          AS rank
+            FROM scored
+        ) WHERE rank <= {K_NEIGHBORS}
+    )
+    SELECT ql.label AS q_label,
+           count(DISTINCT t.q_id) AS n_queries,
+           count(*) AS n_pairs,
+           CAST(sum(CASE WHEN ql.label = nl.label THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_label_matches,
+           CAST(sum(CASE WHEN ql.label = nl.label THEN 1 ELSE 0 END) AS DOUBLE)
+               / count(*) AS label_recall
+    FROM topk t
+    JOIN embeddings ql ON t.q_id = ql.vec_id
+    JOIN embeddings nl ON t.neighbor_id = nl.vec_id
+    GROUP BY ql.label
+    ORDER BY q_label
+"""
+
+
 SIMILARITY_QUERIES: list[tuple[str, object, str | None]] = [
     ("ann_topk_bruteforce", ann_topk_bruteforce, ANN_BRUTEFORCE_ORACLE),
     ("ann_ivf_topk", ann_ivf_topk, ANN_IVF_ORACLE),
     ("ann_lsh_topk", ann_lsh_topk, ANN_LSH_ORACLE),
     ("ann_lsh_multiprobe_topk", ann_lsh_multiprobe_topk, ANN_LSH_MULTIPROBE_ORACLE),
+    ("ann_label_recall", ann_label_recall, ANN_LABEL_RECALL_ORACLE),
     ("embedding_vector_suite", embedding_vector_suite, VECTOR_SUITE_ORACLE),
     ("kmeans_assign", kmeans_assign, KMEANS_ORACLE),
 ]
