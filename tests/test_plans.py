@@ -266,3 +266,29 @@ def test_no_row_at_a_time_python_anywhere(spark):
         if name in ORACLES and name not in arrow_ok:
             assert "ArrowEvalPython" not in plan, f"{name}: unexpected Python"
         spark.catalog.clearCache()
+
+
+def test_aqe_coalesces_shuffle_partitions_at_runtime(spark):
+    """AQE is a load-bearing scale claim (SCALING.md: declared shuffle
+    counts are starting points, not destiny): after execution, a small
+    shuffle must show AQEShuffleRead with fewer partitions than the
+    static spark.sql.shuffle.partitions."""
+    from mapreduce_on_google_cloud_platform_spark.sources import load_table
+
+    from .conftest import SF_SMOKE
+
+    df = load_table(spark, SF_SMOKE, "nation").groupBy("n_regionkey").count()
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "AQEShuffleRead" in executed
+    assert "coalesced" in executed
+
+
+def test_session_factory_contract(spark):
+    """The tuned session settings the whole engine assumes: AQE +
+    coalescing + skew handling on, UTC event-time, Arrow interchange."""
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    assert spark.conf.get("spark.sql.execution.arrow.pyspark.enabled") == "true"
