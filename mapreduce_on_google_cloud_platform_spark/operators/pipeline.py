@@ -403,6 +403,69 @@ MERGE_UPSERT_ORACLE = f"""
 
 
 # ---------------------------------------------------------------------------
+# k-anonymity suppression: the other half of safe data release next to
+# PII redaction.  Quasi-identifier groups (here segment x nation) with
+# fewer than K members re-identify individuals; the report keeps
+# aggregates for compliant groups and collapses every small group into
+# one suppressed row ("*") so the output never exposes a small cell.
+# One combinable shuffle on the quasi-identifier; the suppression is a
+# conditional re-key, not a second pass.
+# ---------------------------------------------------------------------------
+
+K_ANON = 10
+
+
+def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    grouped = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_mktsegment", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).alias("bal_dec"),
+        )
+    )
+    keyed = grouped.select(
+        F.when(F.col("n") >= K_ANON, F.col("c_mktsegment"))
+        .otherwise(F.lit("*"))
+        .alias("segment"),
+        F.when(F.col("n") >= K_ANON, F.col("n_name")).otherwise(F.lit("*")).alias(
+            "nation"
+        ),
+        "n",
+        "bal_dec",
+    )
+    return (
+        keyed.groupBy("segment", "nation")
+        .agg(
+            F.sum("n").alias("n_customers"),
+            F.sum("bal_dec").cast("double").alias("total_acctbal"),
+            F.count(F.lit(1)).cast("bigint").alias("n_cells_merged"),
+        )
+        .orderBy("segment", "nation")
+    )
+
+
+K_ANON_ORACLE = f"""
+    WITH g AS (
+        SELECT c_mktsegment, n_name, count(*) AS n,
+               sum(CAST(c_acctbal AS DECIMAL(18,2))) AS bal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY c_mktsegment, n_name
+    )
+    SELECT CASE WHEN n >= {K_ANON} THEN c_mktsegment ELSE '*' END AS segment,
+           CASE WHEN n >= {K_ANON} THEN n_name ELSE '*' END AS nation,
+           CAST(sum(n) AS BIGINT) AS n_customers,
+           CAST(sum(bal) AS DOUBLE) AS total_acctbal,
+           count(*) AS n_cells_merged
+    FROM g
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # Corpus release pipeline -- the full LLM-data release flow composed from
 # this round's hygiene operators, as ONE declared plan:
 #
@@ -556,6 +619,7 @@ PIPELINE_QUERIES: list[tuple[str, object, str | None]] = [
     ("curation_pipeline", curation_pipeline, CURATION_ORACLE),
     ("merge_upsert_orders", merge_upsert_orders, MERGE_UPSERT_ORACLE),
     ("corpus_release_pipeline", corpus_release_pipeline, RELEASE_ORACLE),
+    ("k_anonymity_report", k_anonymity_report, K_ANON_ORACLE),
     ("data_quality_audit", data_quality_audit, DATA_QUALITY_ORACLE),
     ("training_data_prep", training_data_prep, TRAINING_PREP_ORACLE),
 ]

@@ -8,7 +8,11 @@ from .conftest import SF_ORACLE, SF_SMOKE
 from .oracle import assert_matches_oracle
 
 
-PIPELINE_NAMES = ["curation_pipeline", "data_quality_audit", "training_data_prep"]
+from mapreduce_on_google_cloud_platform_spark.operators.pipeline import (
+    PIPELINE_QUERIES,
+)
+
+PIPELINE_NAMES = [name for name, _, oracle in PIPELINE_QUERIES if oracle]
 
 
 @pytest.mark.parametrize("name", PIPELINE_NAMES)
