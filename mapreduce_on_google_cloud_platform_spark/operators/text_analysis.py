@@ -795,6 +795,124 @@ VOCAB_ENCODE_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Context-window extraction: overlapping fixed-size token windows per
+# document -- how long documents become training samples (window W,
+# stride S, so consecutive samples share W-S tokens of context).  Pure
+# engine-side array math: tokenize once, then sequence+slice fan the
+# token array out row-locally; no shuffle until a downstream consumer
+# groups.  Windows are full-width only (a trailing fragment shorter than
+# W is dropped, matching fixed-shape training batches); docs shorter
+# than W yield no rows.
+# ---------------------------------------------------------------------------
+
+CTX_WINDOW = 50
+CTX_STRIDE = 40
+
+
+def doc_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
+    starts = F.sequence(
+        F.lit(0), ((F.size("toks") - CTX_WINDOW) / CTX_STRIDE).cast("int")
+    )
+    return (
+        toks.filter(F.size("toks") >= CTX_WINDOW)
+        .select("doc_id", "toks", F.explode(starts).alias("win_idx"))
+        .select(
+            "doc_id",
+            "win_idx",
+            F.slice("toks", F.col("win_idx") * CTX_STRIDE + 1, CTX_WINDOW).alias(
+                "window_tokens"
+            ),
+        )
+        .select(
+            "doc_id",
+            "win_idx",
+            F.md5(F.concat_ws(" ", "window_tokens")).alias("window_md5"),
+            F.size("window_tokens").alias("n_tokens"),
+        )
+        .orderBy("doc_id", "win_idx")
+    )
+
+
+DOC_WINDOWS_ORACLE = f"""
+    WITH {DUCKDB_TOKS_CTE}
+    SELECT doc_id, i AS win_idx,
+           md5(array_to_string(ts[i * {CTX_STRIDE} + 1 :
+                                  i * {CTX_STRIDE} + {CTX_WINDOW}], ' '))
+               AS window_md5,
+           CAST({CTX_WINDOW} AS INTEGER) AS n_tokens
+    FROM toks,
+         unnest(range(0, (len(ts) - {CTX_WINDOW}) // {CTX_STRIDE} + 1)) t(i)
+    WHERE len(ts) >= {CTX_WINDOW}
+    ORDER BY doc_id, win_idx
+"""
+
+# ---------------------------------------------------------------------------
+# Token-budget shard packing: assign documents to fixed-budget training
+# shards by cumulative token count in a deterministic order (doc_id) --
+# the pretraining shard-assignment step.  shard = floor((cumsum -
+# n_toks) / BUDGET) (each doc's STARTING offset picks its shard), a
+# single window cumsum; all integers.  A doc longer than the budget
+# still lands in one shard (real packers split it first -- that's
+# doc_token_windows' job).
+#
+# The global cumsum is a single-partition window by definition -- it
+# orders the WHOLE corpus.  The 100 TB form is the classic two-pass
+# prefix sum: cumsum within doc_id ranges, then add each range's offset
+# (one tiny driver-side scan of per-range totals); same result, same
+# integers, no single-partition stage.
+# ---------------------------------------------------------------------------
+
+SHARD_TOKEN_BUDGET = 5000
+
+
+def token_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.size(tokenize(F.col("text"))).alias("n_toks"))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    assigned = toks.select(
+        "doc_id",
+        "n_toks",
+        ((F.sum("n_toks").over(w) - F.col("n_toks")) / SHARD_TOKEN_BUDGET)
+        .cast("bigint")
+        .alias("shard"),
+    )
+    return (
+        assigned.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("shard_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("shard")
+    )
+
+
+PACKING_ORACLE = f"""
+    WITH {DUCKDB_TOKS_CTE},
+    n AS (SELECT doc_id, len(ts) AS n_toks FROM toks),
+    a AS (
+        SELECT doc_id, n_toks,
+               (sum(n_toks) OVER (ORDER BY doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW) - n_toks)
+                   // {SHARD_TOKEN_BUDGET} AS shard
+        FROM n
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           count(*) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS shard_tokens,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc
+    FROM a
+    GROUP BY shard
+    ORDER BY shard
+"""
+
+
 TEXT_ANALYSIS_QUERIES: list[tuple[str, object, str | None]] = [
     ("text_normalize", text_normalize, NORMALIZE_ORACLE),
     ("text_langid", text_langid, LANGID_ORACLE),
@@ -809,4 +927,6 @@ TEXT_ANALYSIS_QUERIES: list[tuple[str, object, str | None]] = [
     ("vocab_table", vocab_table, VOCAB_ORACLE),
     ("vocab_encode_documents", vocab_encode_documents, VOCAB_ENCODE_ORACLE),
     ("text_bigram_coverage", text_bigram_coverage, BIGRAM_COVERAGE_ORACLE),
+    ("doc_token_windows", doc_token_windows, DOC_WINDOWS_ORACLE),
+    ("token_budget_packing", token_budget_packing, PACKING_ORACLE),
 ]
