@@ -403,6 +403,55 @@ MERGE_UPSERT_ORACLE = f"""
 
 
 # ---------------------------------------------------------------------------
+# Incremental aggregate maintenance: merge a precomputed base aggregate
+# with a new batch's partial aggregate instead of rescanning history --
+# the materialized-view refresh pattern.  Works because (count, sum) are
+# MERGEABLE states: re-aggregating the union of two partial tables gives
+# exactly the full recompute (decimal sums make the merge bit-exact in
+# any order).  The oracle IS the full recompute over all rows, proving
+# merge == rescan.  At 100 TB the base partials live as a table; a daily
+# refresh touches one day of data plus a segment-sized merge.
+# ---------------------------------------------------------------------------
+
+INCR_CUTOFF = "2001-01-01"
+
+
+def incremental_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    joined = orders.join(cust, orders.o_custkey == cust.c_custkey)
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("c_mktsegment").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev_dec"),
+        )
+
+    base = partial(joined.filter(F.col("o_orderdate") < INCR_CUTOFF))
+    batch = partial(joined.filter(F.col("o_orderdate") >= INCR_CUTOFF))
+    return (
+        base.unionByName(batch)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("rev_dec").cast("double").alias("total_revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+INCR_ORACLE = """
+    SELECT c_mktsegment,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
 # k-anonymity suppression: the other half of safe data release next to
 # PII redaction.  Quasi-identifier groups (here segment x nation) with
 # fewer than K members re-identify individuals; the report keeps
@@ -620,6 +669,7 @@ PIPELINE_QUERIES: list[tuple[str, object, str | None]] = [
     ("merge_upsert_orders", merge_upsert_orders, MERGE_UPSERT_ORACLE),
     ("corpus_release_pipeline", corpus_release_pipeline, RELEASE_ORACLE),
     ("k_anonymity_report", k_anonymity_report, K_ANON_ORACLE),
+    ("incremental_segment_revenue", incremental_segment_revenue, INCR_ORACLE),
     ("data_quality_audit", data_quality_audit, DATA_QUALITY_ORACLE),
     ("training_data_prep", training_data_prep, TRAINING_PREP_ORACLE),
 ]

@@ -283,6 +283,93 @@ GAP_FILL_ORACLE = """
 """
 
 
+def lag_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecasting feature matrix on the dense hourly grid: per
+    (event_type, hour) the hourly value plus lag-1h, lag-2h, lag-24h and
+    the trailing 3-hour mean -- the standard supervised-learning layout
+    for time series.  Lags are computed on the gap-filled spine (missing
+    hours are exact zero), so a lag crosses gaps correctly instead of
+    skipping to the previous OBSERVED row.  The sums stay decimal until
+    each surfaced column; the 3-hour mean is one double division.  Same
+    scale shape as events_gap_fill: lags ride a window over the
+    spine-sized table, never over raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "event_type",
+            F.date_trunc("hour", "ts").alias("hr"),
+            F.col("value").cast("decimal(18,2)").alias("v"),
+        )
+        .groupBy("event_type", "hr")
+        .agg(F.sum("v").alias("v_dec"))
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    types = ev.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hr"),
+    )
+    dense = spine.join(hourly, ["event_type", "hr"], "left").select(
+        "event_type",
+        "hr",
+        F.coalesce(F.col("v_dec"), F.lit(0).cast("decimal(18,2)")).alias("v_dec"),
+    )
+    w = Window.partitionBy("event_type").orderBy("hr")
+    l1 = F.lag("v_dec", 1).over(w)
+    l2 = F.lag("v_dec", 2).over(w)
+    l24 = F.lag("v_dec", 24).over(w)
+    return dense.select(
+        "event_type",
+        "hr",
+        F.col("v_dec").cast("double").alias("v"),
+        l1.cast("double").alias("lag_1h"),
+        l2.cast("double").alias("lag_2h"),
+        l24.cast("double").alias("lag_24h"),
+        ((F.col("v_dec") + l1 + l2).cast("double") / F.lit(3.0)).alias("ma_3h"),
+    ).orderBy("event_type", "hr")
+
+
+LAG_FEATURES_ORACLE = """
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hr,
+               sum(CAST(value AS DECIMAL(18,2))) AS v_dec
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT date_trunc('hour', min(ts)) AS lo,
+               date_trunc('hour', max(ts)) AS hi
+        FROM events
+    ),
+    spine AS (
+        SELECT t.event_type, g.hr
+        FROM (SELECT DISTINCT event_type FROM events) t
+        CROSS JOIN (
+            SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+            FROM bounds
+        ) g
+    ),
+    dense AS (
+        SELECT s.event_type, s.hr,
+               coalesce(h.v_dec, CAST(0 AS DECIMAL(18,2))) AS v_dec
+        FROM spine s
+        LEFT JOIN hourly h ON s.event_type = h.event_type AND s.hr = h.hr
+    )
+    SELECT event_type, hr,
+           CAST(v_dec AS DOUBLE) AS v,
+           CAST(lag(v_dec, 1) OVER w AS DOUBLE) AS lag_1h,
+           CAST(lag(v_dec, 2) OVER w AS DOUBLE) AS lag_2h,
+           CAST(lag(v_dec, 24) OVER w AS DOUBLE) AS lag_24h,
+           CAST(v_dec + lag(v_dec, 1) OVER w + lag(v_dec, 2) OVER w AS DOUBLE)
+               / 3.0 AS ma_3h
+    FROM dense
+    WINDOW w AS (PARTITION BY event_type ORDER BY hr)
+    ORDER BY event_type, hr
+"""
+
+
 def scd2_user_event_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Type-2 slowly-changing-dimension build: each event becomes a
     validity interval ``[valid_from, valid_to)`` per user, closed by the
@@ -320,5 +407,6 @@ TEMPORAL_QUERIES: list[tuple[str, object, str | None]] = [
     ("asof_forward_purchase_view", asof_forward_purchase_view, ASOF_FORWARD_ORACLE),
     ("range_join_purchase_views_1h", range_join_purchase_views_1h, RANGE_JOIN_ORACLE),
     ("events_gap_fill", events_gap_fill, GAP_FILL_ORACLE),
+    ("lag_feature_matrix", lag_feature_matrix, LAG_FEATURES_ORACLE),
     ("scd2_user_event_intervals", scd2_user_event_intervals, SCD2_ORACLE),
 ]
