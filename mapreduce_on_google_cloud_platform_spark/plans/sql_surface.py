@@ -21,7 +21,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators import relational
+from ..operators import pipeline, relational, statistics
 from ..sources import TABLES, load_table
 
 
@@ -48,6 +48,11 @@ _PORTABLE: list[tuple[str, str]] = [
     ("q15_top_supplier_sql", relational.Q15_ORACLE),
     ("q16_supplier_diversity_sql", relational.Q16_ORACLE),
     ("q20_heavy_shippers_sql", relational.Q20_ORACLE),
+    ("q22_idle_rich_customers_sql", relational.Q22_ORACLE),
+    ("loyal_customers_division_sql", relational.DIVISION_ORACLE),
+    ("k_anonymity_report_sql", pipeline.K_ANON_ORACLE),
+    ("incremental_segment_revenue_sql", pipeline.INCR_ORACLE),
+    ("histogram_event_values_sql", statistics.HISTOGRAM_ORACLE),
 ]
 
 SQL_SURFACE_QUERIES: list[tuple[str, object, str]] = [
