@@ -1,0 +1,173 @@
+"""Join strategies for hostile key distributions and exchange-free layouts.
+
+Two plan shapes the rest of the surface doesn't exercise, each the
+canonical answer to a 100 TB join problem the reference never faced (its
+one shuffle was centralized through a single KV-store process,
+``/root/reference/master.py:176-182``):
+
+* **Salted skew join** (``skew_join_salted``): when one join key holds a
+  constant fraction of a 100 TB fact table, a plain hash shuffle sends
+  that whole fraction to ONE reducer -- the job runs at the speed of its
+  hottest key.  AQE's skew splitting (enabled in ``session.py``) handles
+  this at runtime by splitting oversized partitions, but only for the
+  sort-merge path it can see; the manual salt below is the deterministic,
+  always-available fallback and the same trick ``wordcount_salted`` plays
+  for aggregation.  Big side: salt = pmod(xxhash64(row id), S) -- a
+  function of the row, never rand(), so the plan is re-runnable.  Small
+  side: replicate each row S times (explode over a literal range).  The
+  join key becomes (key, salt): the hot key's rows spread across S tasks,
+  and the result is provably identical to the unsalted join (same oracle).
+
+* **Bucket-colocated join** (``colocated_bucket_join``): pre-shuffled
+  storage.  Both fact tables are written bucketed (and bucket-sorted) on
+  the join key, so the recurring orders x lineitem join reads co-located
+  buckets and plans with NO Exchange and NO Sort on either side -- the
+  write-once shuffle amortizes across every later join on that key.
+  At 100 TB this is the difference between re-shuffling ~100 TB per query
+  and a pure scan-side merge (SURVEY.md §4: the physical mechanisms the
+  reference centralizes, done Spark-native).  Plan pinned in
+  tests/test_plans.py; layout mechanics in ``sources/bucketing.py``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.portable import SQL_REVENUE, dec, money_sum, revenue_expr, sql_money_sum
+from ..sources import load_table
+from ..sources.bucketing import write_bucketed
+
+SALT_BUCKETS = 8
+
+# Events with no logged-in user (anonymous click/view traffic) are
+# attributed to the house account, customer 1 -- a deliberate hot key:
+# ~40% of a 100 TB events table lands on one join key.
+HOUSE_ACCOUNT_TYPES = ("click", "view")
+
+
+def _house_keyed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        F.when(F.col("event_type").isin(*HOUSE_ACCOUNT_TYPES), F.lit(1))
+        .otherwise(F.col("user_id"))
+        .alias("cust_key"),
+        "event_id",
+        "value",
+    )
+
+
+def skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment traffic with anonymous events on the house account,
+    joined through an S-way salted sort-merge join.
+
+    ``hint("merge")`` forces the SMJ path (customer would broadcast at
+    test scale, hiding the shape under test); on a cluster the small
+    side's S-fold replication is pennies next to unsplitting the hot key.
+    """
+    ev = _house_keyed_events(spark, sf_dir).withColumn(
+        "_salt", F.pmod(F.xxhash64("event_id"), F.lit(SALT_BUCKETS))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(SALT_BUCKETS - 1)))
+        )
+        .withColumn("_salt", F.col("_salt").cast("long"))
+    )
+    joined = ev.hint("merge").join(
+        cust,
+        (ev.cust_key == cust.c_custkey) & (ev._salt == cust._salt),
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        money_sum(dec("value")).alias("sum_value"),
+    )
+
+
+def skew_join_salted_oracle() -> str:
+    return f"""
+        SELECT c_mktsegment,
+               count(*) AS n_events,
+               {sql_money_sum("value")} AS sum_value
+        FROM (
+            SELECT CASE WHEN event_type IN ('click', 'view')
+                        THEN 1 ELSE user_id END AS cust_key,
+                   value
+            FROM events
+        ) e
+        JOIN customer c ON c.c_custkey = e.cust_key
+        GROUP BY c_mktsegment
+    """
+
+
+def _bucket_suffix(sf_dir: str) -> str:
+    import hashlib
+
+    return hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+
+
+def ensure_bucketed_order_tables(
+    spark: SparkSession, sf_dir: str, *, num_buckets: int = 16
+) -> tuple[str, str]:
+    """Write orders + lineitem bucketed/sorted on the order key (once per
+    sf_dir; reused across calls).  External-table paths under /tmp keep
+    the layout independent of the caller session's warehouse dir."""
+    sfx = _bucket_suffix(sf_dir)
+    ord_t, li_t = f"orders_bkt_{sfx}", f"lineitem_bkt_{sfx}"
+    root = f"/tmp/spark_graft_buckets_{sfx}"
+    for name, table, key in (
+        ("orders", ord_t, "o_orderkey"),
+        ("lineitem", li_t, "l_orderkey"),
+    ):
+        path = os.path.join(root, table)
+        if spark.catalog.tableExists(table) and os.path.isdir(path):
+            continue
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        df = load_table(spark, sf_dir, name)
+        write_bucketed(
+            df, table, [key], num_buckets, sort_cols=[key], path=path
+        )
+    return ord_t, li_t
+
+
+def colocated_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority revenue over the bucket-colocated orders x lineitem
+    join: both scans are pre-bucketed on the order key, so the SMJ plans
+    with no Exchange and no Sort on either side (pinned in
+    tests/test_plans.py).  Result is layout-independent -- the oracle is
+    the plain join on the raw parquet."""
+    ord_t, li_t = ensure_bucketed_order_tables(spark, sf_dir)
+    orders = spark.table(ord_t)
+    lineitem = spark.table(li_t)
+    # hint("merge"): at test SF orders fits under the broadcast threshold
+    # and Catalyst would pick BHJ, hiding the layout's point; at 100 TB
+    # neither fact side broadcasts, so the hint pins the at-scale plan --
+    # an SMJ whose pre-bucketed, pre-sorted children need no Exchange/Sort.
+    joined = orders.hint("merge").join(
+        lineitem, orders.o_orderkey == lineitem.l_orderkey
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        money_sum(revenue_expr()).alias("revenue"),
+    )
+
+
+def colocated_bucket_join_oracle() -> str:
+    return f"""
+        SELECT o_orderpriority,
+               count(*) AS n_lines,
+               CAST(sum({SQL_REVENUE}) AS DOUBLE) AS revenue
+        FROM orders o
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY o_orderpriority
+    """
+
+
+JOIN_STRATEGY_QUERIES = [
+    ("skew_join_salted", skew_join_salted, skew_join_salted_oracle()),
+    ("colocated_bucket_join", colocated_bucket_join, colocated_bucket_join_oracle()),
+]

@@ -184,12 +184,17 @@ def inverted_index_positional_oracle() -> str:
     """
 
 
-def inverted_index_map(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Inverted index in the reference's native shape: word -> map<doc,cnt>.
+def inverted_index_maptype(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Library form of the inverted index in the reference's native shape:
+    word -> map<doc,cnt> (``MapReduce.py:32-41``'s ``{doc: count}``
+    accumulator as a real MapType column).
 
-    MapType hashes nondeterministically across engines, so this variant is
-    exercised by unit tests (order-insensitive) rather than the SQL oracle;
-    `inverted_index_postings` is the oracle-checked canonical form.
+    Entries are inserted in doc_id order (map_from_entries over a sorted
+    array) so downstream renderings are deterministic, unlike the
+    reference's hash-seed-dependent dict order (SURVEY.md §4 defect 8).
+    Unit-tested order-insensitively; not directly declared to the driver
+    because MapType/array rows are unhashable in pandas-side canonicalizers
+    -- ``inverted_index_map`` below is the declared, hashable rendering.
     """
     docs = load_table(spark, sf_dir, "documents")
     return (
@@ -203,6 +208,36 @@ def inverted_index_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("postings_map")
         )
     )
+
+
+def inverted_index_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared twin of ``inverted_index_maptype``: the same MapType plan,
+    rendered to one canonical JSON string per word for transport.
+
+    The plan genuinely builds the map (map_from_entries over a sorted
+    entry array -- Catalyst does not elide it under to_json), then
+    serializes it, because bare MapType rows crash hash-based comparators
+    (pandas ``factorize`` raises ``unhashable type: 'dict'`` -- the one
+    red row of CORRECTNESS_r01).  Sorted insertion makes the JSON byte-
+    deterministic, so a DuckDB string_agg oracle can match it exactly.
+    """
+    return inverted_index_maptype(spark, sf_dir).select(
+        "word", F.to_json(F.col("postings_map")).alias("postings_json")
+    )
+
+
+def inverted_index_map_oracle() -> str:
+    return f"""
+        SELECT word,
+               '{{' || string_agg('"' || doc_id || '":' || cnt, ',' ORDER BY doc_id) || '}}'
+                   AS postings_json
+        FROM (
+            SELECT word, doc_id, count(*) AS cnt
+            FROM ({duckdb_tokens_sql()}) t
+            GROUP BY word, doc_id
+        )
+        GROUP BY word
+    """
 
 
 def reference_text_sink(df: DataFrame) -> DataFrame:

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ..operators import (
     dedup,
     graph,
+    join_strategies,
     multimodal,
     pipeline,
     relational,
@@ -59,12 +60,20 @@ _register(
     wordcount.inverted_index_positional,
     wordcount.inverted_index_positional_oracle(),
 )
-# MapType result: unit-tested order-insensitively, no SQL oracle (driver
-# records a rows-only check).
-_register("inverted_index_map", wordcount.inverted_index_map, None)
+# Reference-native map shape, rendered as canonical JSON so rows hash
+# (the MapType library form is wordcount.inverted_index_maptype).
+_register(
+    "inverted_index_map",
+    wordcount.inverted_index_map,
+    wordcount.inverted_index_map_oracle(),
+)
 
 # --- relational core (SURVEY.md §7 M2) --------------------------------------
 for _name, _fn, _oracle in relational.RELATIONAL_QUERIES:
+    _register(_name, _fn, _oracle)
+
+# --- join strategies: salted skew join, bucket-colocated join -----------------
+for _name, _fn, _oracle in join_strategies.JOIN_STRATEGY_QUERIES:
     _register(_name, _fn, _oracle)
 
 # --- dedup suite (north star: training-data pipeline ops) -------------------
@@ -108,3 +117,93 @@ from .sql_surface import SQL_SURFACE_QUERIES  # noqa: E402  (avoids circular imp
 
 for _name, _fn, _oracle in SQL_SURFACE_QUERIES:
     _register(_name, _fn, _oracle)
+
+
+# --- driver correctness window ordering --------------------------------------
+# The driver's per-round correctness gate hashes the FIRST 50 registry
+# entries (CORRECTNESS_r01.json == first 50 of registration order), so
+# iteration order is part of the driver contract.  The window below puts
+# one-or-more representatives of EVERY operator family (COVERAGE.md
+# tables) inside the gate -- LLM-pipeline operators ahead of relational
+# variants, which were all driver-green in round 1 and remain covered by
+# tools/sweep.py + pytest.  tests/test_plans.py pins window membership
+# per family so registry growth can't silently push a family dark.
+DRIVER_WINDOW = 50
+
+PRIORITY_WINDOW: tuple[str, ...] = (
+    # reference parity (word count flagship + both inverted-index shapes)
+    "wordcount",
+    "inverted_index",
+    "inverted_index_map",
+    # dedup family -- every variant
+    "dedup_exact",
+    "fuzzy_part_name_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "simhash_near_pairs",
+    "dedup_embedding_pairs",
+    "dedup_clusters",
+    # graph
+    "neardup_pagerank",
+    # similarity family -- every variant
+    "ann_topk_bruteforce",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "ann_lsh_multiprobe_topk",
+    "ann_label_recall",
+    "embedding_vector_suite",
+    "kmeans_assign",
+    # text analysis representatives
+    "text_tfidf",
+    "text_langid",
+    "text_quality_score",
+    "doc_fingerprint",
+    "token_count_stats",
+    "contamination_overlap",
+    "pii_redaction",
+    "vocab_encode_documents",
+    "doc_token_windows",
+    "token_budget_packing",
+    # curation pipelines -- every variant
+    "curation_pipeline",
+    "merge_upsert_orders",
+    "corpus_release_pipeline",
+    "k_anonymity_report",
+    "incremental_segment_revenue",
+    "data_quality_audit",
+    "training_data_prep",
+    # statistics representatives
+    "quantile_summary",
+    "sample_stratified",
+    "histogram_event_values",
+    "winsorize_event_values",
+    # temporal representatives
+    "asof_join_purchase_view",
+    "range_join_purchase_views_1h",
+    "lag_feature_matrix",
+    "scd2_user_event_intervals",
+    # event-time windowing representatives
+    "tumbling_window_events",
+    "session_windows_users",
+    # multimodal representatives
+    "multimodal_chunk",
+    "multimodal_dedup",
+    # join-strategy plan shapes new this round
+    "skew_join_salted",
+    "colocated_bucket_join",
+)
+
+
+def _reorder() -> None:
+    global QUERIES
+    missing = [n for n in PRIORITY_WINDOW if n not in QUERIES]
+    if missing:  # fail loudly at import: a typo here would dark a family
+        raise KeyError(f"PRIORITY_WINDOW names not registered: {missing}")
+    ordered = {n: QUERIES[n] for n in PRIORITY_WINDOW}
+    ordered.update((n, f) for n, f in QUERIES.items() if n not in ordered)
+    QUERIES.clear()
+    QUERIES.update(ordered)
+
+
+_reorder()

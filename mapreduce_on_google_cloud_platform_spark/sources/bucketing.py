@@ -38,9 +38,12 @@ def write_bucketed(
     bucket_cols: Sequence[str],
     num_buckets: int,
     sort_cols: Sequence[str] | None = None,
+    path: str | None = None,
 ) -> None:
     """Persist ``df`` as a catalog table bucketed (and optionally
-    bucket-sorted) on ``bucket_cols``."""
+    bucket-sorted) on ``bucket_cols``.  ``path`` makes it an external
+    table (bucket metadata still lives in the catalog), pinning the
+    files independent of the session's warehouse dir."""
     writer = (
         df.write.mode("overwrite")
         .format("parquet")
@@ -48,6 +51,8 @@ def write_bucketed(
     )
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
+    if path is not None:
+        writer = writer.option("path", path)
     writer.saveAsTable(table)
 
 

@@ -292,3 +292,77 @@ def test_session_factory_contract(spark):
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
     assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
     assert spark.conf.get("spark.sql.execution.arrow.pyspark.enabled") == "true"
+
+
+def test_skew_join_salted_shape(spark):
+    """The salted skew join must (a) stay on the sort-merge path (a
+    broadcast would hide the shape under test), and (b) join on the
+    composite (key, salt) so the hot house-account key spreads across
+    SALT_BUCKETS tasks instead of one."""
+    plan = plan_of(spark, "skew_join_salted")
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "_salt" in plan
+
+
+def test_colocated_bucket_join_no_exchange_no_sort(spark):
+    """Bucket-colocated orders x lineitem: the join itself must add NO
+    Exchange and NO Sort (both sides pre-bucketed AND bucket-sorted on
+    the order key at write time); the only exchange in the whole plan is
+    the final groupBy on o_orderpriority."""
+    import re
+
+    from mapreduce_on_google_cloud_platform_spark.plans import QUERIES
+
+    df = QUERIES["colocated_bucket_join"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "SortMergeJoin" in plan
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, re.M)
+    assert len(exchanges) == 1, f"want only the agg exchange, got {len(exchanges)}"
+    # the join's children must need no per-task sort: bucket sortBy did it
+    smj_pos = plan.index("SortMergeJoin")
+    assert len(re.findall(r"^\(\d+\) Sort", plan[:smj_pos], re.M)) == 0
+    assert "SelectedBucketsCount" in plan
+
+
+def test_driver_window_covers_every_family(spark):
+    """The driver's correctness gate hashes only the first DRIVER_WINDOW
+    registry entries; pin that the window contains representatives of
+    every operator family so registry growth can't push a family dark."""
+    from mapreduce_on_google_cloud_platform_spark.plans.registry import (
+        DRIVER_WINDOW,
+        PRIORITY_WINDOW,
+    )
+
+    names = list(QUERIES)
+    window = set(names[:DRIVER_WINDOW])
+    assert list(names[: len(PRIORITY_WINDOW)]) == list(PRIORITY_WINDOW)
+    families = {
+        "parity": {"wordcount", "inverted_index", "inverted_index_map"},
+        "dedup": {"dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+                  "simhash_near_pairs", "dedup_clusters", "dedup_ngram_jaccard",
+                  "dedup_embedding_pairs", "fuzzy_part_name_pairs"},
+        "graph": {"neardup_pagerank"},
+        "similarity": {"ann_topk_bruteforce", "ann_ivf_topk", "ann_lsh_topk",
+                       "ann_lsh_multiprobe_topk", "ann_label_recall",
+                       "embedding_vector_suite", "kmeans_assign"},
+        "text": {"text_tfidf", "text_langid", "text_quality_score",
+                 "doc_fingerprint", "token_count_stats", "contamination_overlap",
+                 "pii_redaction", "vocab_encode_documents", "doc_token_windows",
+                 "token_budget_packing"},
+        "pipeline": {"curation_pipeline", "merge_upsert_orders",
+                     "corpus_release_pipeline", "k_anonymity_report",
+                     "incremental_segment_revenue", "data_quality_audit",
+                     "training_data_prep"},
+        "statistics": {"quantile_summary", "sample_stratified",
+                       "histogram_event_values", "winsorize_event_values"},
+        "temporal": {"asof_join_purchase_view", "range_join_purchase_views_1h",
+                     "lag_feature_matrix", "scd2_user_event_intervals"},
+        "streaming": {"tumbling_window_events", "session_windows_users"},
+        "multimodal": {"multimodal_chunk", "multimodal_dedup"},
+        "join_strategies": {"skew_join_salted", "colocated_bucket_join"},
+    }
+    for family, members in families.items():
+        assert members <= window, f"family {family} not fully in driver window"

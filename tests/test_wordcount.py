@@ -67,14 +67,31 @@ def test_tokenizer_rules(spark):
     )
 
 
-def test_inverted_index_map_matches_flat(spark):
+def test_inverted_index_maptype_matches_flat(spark):
     flat = QUERIES["inverted_index"](spark, SF_SMOKE).collect()
-    mapped = QUERIES["inverted_index_map"](spark, SF_SMOKE).collect()
+    mapped = wordcount.inverted_index_maptype(spark, SF_SMOKE).collect()
     want = {}
     for r in flat:
         want.setdefault(r.word, {})[r.doc_id] = r.cnt
     got = {r.word: dict(r.postings_map) for r in mapped}
     assert got == want
+
+
+def test_inverted_index_map_json_is_canonical(spark):
+    """The declared query renders the map as byte-deterministic JSON:
+    entries in doc_id order, so equal maps always serialize identically
+    (hashable rows -- the CORRECTNESS_r01 red-row fix)."""
+    import json
+
+    rows = QUERIES["inverted_index_map"](spark, SF_SMOKE).collect()
+    flat = QUERIES["inverted_index"](spark, SF_SMOKE).collect()
+    want = {}
+    for r in flat:
+        want.setdefault(r.word, {})[r.doc_id] = r.cnt
+    for r in rows:
+        parsed = json.loads(r.postings_json)
+        assert parsed == want[r.word]
+        assert list(parsed) == sorted(parsed)  # doc_id-ordered rendering
 
 
 def test_reference_text_sink(spark):
