@@ -462,16 +462,26 @@ SIMHASH_PAIRS_ORACLE = f"""
 # ---------------------------------------------------------------------------
 
 
-def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_embedding_pairs(
+    spark: SparkSession, sf_dir: str, *, max_rows: int | None = None
+) -> DataFrame:
     """Exact embedding near-dup pairs (cosine >= {COSINE_NEAR_DUP}).
 
     Declared-exact, hence all-pairs: O(n^2) by definition. The 100 TB
     path is operators/similarity.py (IVF-pruned search); this query is the
-    ground-truth oracle for it.  Vectors are unit-normalized ONCE (O(n),
-    flat-column representation: vectors.flat_normalized) so each pair is
-    a single fully-codegen'd scalar dot product; arithmetic order is
-    identical to the oracle's list_reduce, results bit-equal."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    ground-truth oracle for it, and ``guards.ensure_sample_scale`` refuses
+    to build the quadratic plan past the sample cap.  Vectors are
+    unit-normalized ONCE (O(n), flat-column representation:
+    vectors.flat_normalized) so each pair is a single fully-codegen'd
+    scalar dot product; arithmetic order is identical to the oracle's
+    list_reduce, results bit-equal."""
+    from .guards import EXACT_PAIRS_MAX_ROWS, ensure_sample_scale
+
+    emb = ensure_sample_scale(
+        load_table(spark, sf_dir, "embeddings"),
+        cap=max_rows if max_rows is not None else EXACT_PAIRS_MAX_ROWS,
+        operator="dedup_embedding_pairs",
+    )
     en = flat_normalized(emb).persist()
     a = en.alias("a")
     b = en.alias("b")

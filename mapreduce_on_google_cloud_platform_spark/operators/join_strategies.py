@@ -110,12 +110,38 @@ def _bucket_suffix(sf_dir: str) -> str:
     return hashlib.md5(sf_dir.encode()).hexdigest()[:8]
 
 
+def _source_fingerprint(src_path: str) -> str:
+    """Cheap content fingerprint of a parquet source: (name, size, mtime)
+    of every data file.  Detects testdata regeneration without reading a
+    byte of data -- the reason this exists is the round-3 incident where
+    regenerated parquet silently diverged from derived state."""
+    import hashlib
+
+    entries = []
+    if os.path.isdir(src_path):
+        for dirpath, _, files in os.walk(src_path):
+            for fn in sorted(files):
+                p = os.path.join(dirpath, fn)
+                st = os.stat(p)
+                entries.append(f"{os.path.relpath(p, src_path)}:{st.st_size}:{st.st_mtime_ns}")
+    else:
+        st = os.stat(src_path)
+        entries.append(f"{os.path.basename(src_path)}:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.sha256("\n".join(entries).encode()).hexdigest()
+
+
 def ensure_bucketed_order_tables(
     spark: SparkSession, sf_dir: str, *, num_buckets: int = 16
 ) -> tuple[str, str]:
     """Write orders + lineitem bucketed/sorted on the order key (once per
     sf_dir; reused across calls).  External-table paths under /tmp keep
-    the layout independent of the caller session's warehouse dir."""
+    the layout independent of the caller session's warehouse dir.
+
+    Reuse is gated on a source fingerprint (``_fingerprint`` marker file
+    beside each bucketed table): if the source parquet was regenerated,
+    the stale layout is rebuilt instead of silently served."""
+    from ..sources.tables import table_path
+
     sfx = _bucket_suffix(sf_dir)
     ord_t, li_t = f"orders_bkt_{sfx}", f"lineitem_bkt_{sfx}"
     root = f"/tmp/spark_graft_buckets_{sfx}"
@@ -124,13 +150,26 @@ def ensure_bucketed_order_tables(
         ("lineitem", li_t, "l_orderkey"),
     ):
         path = os.path.join(root, table)
+        fp_file = os.path.join(root, f"{table}._fingerprint")
+        fp = _source_fingerprint(table_path(sf_dir, name))
         if spark.catalog.tableExists(table) and os.path.isdir(path):
-            continue
+            try:
+                with open(fp_file, encoding="utf-8") as f:
+                    if f.read().strip() == fp:
+                        continue
+            except OSError:
+                pass  # no marker -> treat as stale, rebuild
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
         df = load_table(spark, sf_dir, name)
         write_bucketed(
             df, table, [key], num_buckets, sort_cols=[key], path=path
         )
+        os.makedirs(root, exist_ok=True)
+        with open(fp_file, "w", encoding="utf-8") as f:
+            f.write(fp)
     return ord_t, li_t
 
 

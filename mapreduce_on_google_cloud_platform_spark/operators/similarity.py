@@ -49,8 +49,23 @@ def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flat_normalized(emb).persist()
 
 
-def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-K_NEIGHBORS for every QUERY_STRIDE-th vector."""
+def ann_topk_bruteforce(
+    spark: SparkSession, sf_dir: str, *, max_rows: int | None = None
+) -> DataFrame:
+    """Exact cosine top-K_NEIGHBORS for every QUERY_STRIDE-th vector.
+
+    Ground-truth oracle for the IVF/LSH paths: the corpus-side scan is
+    linear but every query broadcast multiplies it, so
+    ``guards.ensure_sample_scale`` caps the corpus size the same way it
+    caps ``dedup_embedding_pairs`` -- full-corpus serving belongs to
+    ``ann_ivf_topk`` / ``ann_lsh_topk``."""
+    from .guards import EXACT_PAIRS_MAX_ROWS, ensure_sample_scale
+
+    ensure_sample_scale(
+        load_table(spark, sf_dir, "embeddings"),
+        cap=max_rows if max_rows is not None else EXACT_PAIRS_MAX_ROWS,
+        operator="ann_topk_bruteforce",
+    )
     en = _embeddings(spark, sf_dir)
     queries = flat_renamed(
         en.filter(F.col("vec_id") % QUERY_STRIDE == 0), "vec_id", "q_id", "x", "qx"

@@ -749,6 +749,12 @@ VOCAB_ORACLE = f"""
 
 
 def vocab_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The id sequence is rendered as a canonical comma-joined string
+    # rather than array<bigint>: downstream comparison layers (and the
+    # driver's pandas-based canonicalizer) need hashable cells, and the
+    # CSV rendering is byte-identical between Spark and the DuckDB
+    # oracle.  Same treatment that inverted_index_map uses for its map
+    # column.
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens_with_pos(docs)
     vocab = vocab_table(spark, sf_dir).select("word", "token_id")
@@ -756,10 +762,13 @@ def vocab_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.join(F.broadcast(vocab), "word")
         .groupBy("doc_id")
         .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "token_id"))),
-                lambda s: s.token_id,
-            ).alias("token_ids"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "token_id"))),
+                    lambda s: s.token_id,
+                ),
+                ",",
+            ).alias("token_ids_csv"),
             F.count(F.lit(1)).alias("n_tokens"),
         )
         .orderBy("doc_id")
@@ -787,7 +796,8 @@ VOCAB_ENCODE_ORACLE = f"""
         FROM freq
     )
     SELECT doc_id,
-           array_agg(token_id ORDER BY pos) AS token_ids,
+           array_to_string(array_agg(token_id ORDER BY pos), ',')
+               AS token_ids_csv,
            count(*) AS n_tokens
     FROM tok JOIN vocab USING (word)
     GROUP BY doc_id

@@ -55,3 +55,20 @@ def get_spark(app_name: str = "mapreduce_gcp_spark", *, cpus: int | None = None)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def release_caches(spark: SparkSession) -> None:
+    """Drop every cached DataFrame/table in the session.
+
+    THE CACHE CONTRACT: several operators persist mid-plan intermediates
+    that are consumed more than once (``dedup.py`` signature/band tables,
+    ``similarity.py`` normalized vectors, ``graph.py`` edges/degrees).
+    Those DataFrames are returned lazily, so the operator itself cannot
+    unpersist before its caller has acted -- the cache necessarily
+    outlives the call.  Iterative operators that fully consume their
+    intermediates (the connected-components loop) do pair persist with
+    unpersist; for the rest, any harness running many queries in one
+    session (bench.py, tools/sweep.py) calls this between queries, and
+    long-lived user sessions should do the same at natural barriers.
+    """
+    spark.catalog.clearCache()

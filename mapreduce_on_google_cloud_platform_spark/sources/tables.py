@@ -44,16 +44,44 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(table_path(sf_dir, name))
 
 
-def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores ``ts`` as TIMESTAMP(NANOS), which the vectorized
-    parquet reader rejects ([PARQUET_TYPE_ILLEGAL]).  Read nanos as raw int64
-    and truncate to microseconds -- the same resolution DuckDB reads the
-    column at, so event-time results stay oracle-comparable."""
-    from pyspark.sql import functions as F
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize the ``ts`` column to TIMESTAMP whatever the parquet stored.
 
+    Testdata generations have stored ``ts`` three ways: TIMESTAMP(NANOS)
+    (which Spark's vectorized reader either rejects or, with
+    ``spark.sql.legacy.parquet.nanosAsLong``, surfaces as raw int64 nanos),
+    plain ``timestamp[us]`` surfacing as TIMESTAMP_NTZ, and
+    timezone-adjusted ``timestamp[us, UTC]`` surfacing as TIMESTAMP.
+    Branch on what the scan actually produced instead of assuming an
+    encoding; works for batch and streaming DataFrames alike (pure column
+    expressions, no action).  The NTZ->TIMESTAMP cast is value-identical
+    under the session's pinned UTC timezone (session.py), matching the
+    naive timestamps DuckDB reads from the same file."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
+
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, TimestampType):
+        return df
+    if isinstance(ts_type, TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast(TimestampType()))
+    if isinstance(ts_type, LongType):
+        # legacy nanos-as-int64: truncate to micros, the resolution DuckDB
+        # reads at, so event-time results stay oracle-comparable
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    raise TypeError(
+        f"events.ts has unsupported parquet type {ts_type}; expected a "
+        "timestamp or int64-nanos column"
+    )
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-adaptive loader for the ``events`` table (see
+    ``normalize_events_ts``)."""
+    # Keep the legacy conf on so a nanos-encoded file reads as int64 instead
+    # of failing the scan outright; it is a no-op for timestamp[us] files.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(table_path(sf_dir, "events"))
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_events_ts(spark.read.parquet(table_path(sf_dir, "events")))
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -14,22 +14,10 @@ Batch twin: the inner form of ``range_join_purchase_views_1h``
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from .windows import _events_stream_dir
-
-
-def _event_stream(spark: SparkSession, sf_dir: str):
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    static = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    return (
-        spark.readStream.schema(static.schema)
-        .parquet(_events_stream_dir(sf_dir))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+from .windows import events_stream as _event_stream  # noqa: F401 - shared reader
 
 
 def streaming_purchase_view_join_query(spark: SparkSession, sf_dir: str):

@@ -21,7 +21,6 @@ without one, state grows with the key universe forever.
 
 from __future__ import annotations
 
-import os
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
@@ -32,7 +31,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from .windows import _events_stream_dir
+from .windows import events_stream
 
 STATE_SCHEMA = StructType(
     [
@@ -58,9 +57,6 @@ def streaming_user_totals_query(spark: SparkSession, sf_dir: str):
     sink); ``update`` output mode emits each touched key per batch."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    static = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-
     # Self-contained closure (captures nothing module-level): executors
     # unpickle it without importing this package.
     def update_totals(key, pdfs, state):
@@ -85,12 +81,11 @@ def streaming_user_totals_query(spark: SparkSession, sf_dir: str):
         )
 
     return (
-        spark.readStream.schema(static.schema)
-        .parquet(_events_stream_dir(sf_dir))
+        events_stream(spark, sf_dir)
         .select(
             "user_id",
             "value",
-            F.expr("ts div 1000").alias("us"),  # int64 nanos -> micros, exact
+            F.unix_micros("ts").alias("us"),
         )
         .groupBy("user_id")
         .applyInPandasWithState(

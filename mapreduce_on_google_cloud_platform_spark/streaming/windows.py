@@ -175,18 +175,27 @@ def _events_stream_dir(sf_dir: str) -> str:
     return d
 
 
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream twin of the batch events loader: same schema-adaptive
+    ``ts`` normalization (``sources.tables.normalize_events_ts``), so a
+    testdata re-encoding changes ONE function, not every streaming query."""
+    import os
+
+    from ..sources.tables import normalize_events_ts
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return normalize_events_ts(
+        spark.readStream.schema(static.schema).parquet(_events_stream_dir(sf_dir))
+    )
+
+
 def streaming_tumbling_query(spark: SparkSession, sf_dir: str):
     """readStream(parquet) -> watermark -> tumbling agg.  Returns the
     writeStream handle (memory sink, complete mode) -- caller runs
     processAllAvailable() and reads the named table."""
-    import os
-
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    static = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     stream = (
-        spark.readStream.schema(static.schema)
-        .parquet(_events_stream_dir(sf_dir))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        events_stream(spark, sf_dir)
         .withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", f"{TUMBLE_SEC} seconds").alias("w"), "event_type")
         .agg(
@@ -207,14 +216,8 @@ def streaming_session_query(spark: SparkSession, sf_dir: str):
     """Native session_window (streaming-capable state merge) over the same
     gap; batch-executable too, pytest compares it against the lag+cumsum
     sessionization."""
-    import os
-
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    static = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     stream = (
-        spark.readStream.schema(static.schema)
-        .parquet(_events_stream_dir(sf_dir))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        events_stream(spark, sf_dir)
         .withWatermark("ts", "1 hour")
         .groupBy(
             F.session_window("ts", f"{SESSION_GAP_US // 1_000_000} seconds").alias("sw"),
@@ -253,14 +256,8 @@ def streaming_dedup_query(spark: SparkSession, sf_dir: str):
     horizon are dropped, so state size ~ |keys seen within the
     watermark|, not |events|.  pytest compares the emitted key set with
     the batch DISTINCT twin."""
-    import os
-
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    static = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     return (
-        spark.readStream.schema(static.schema)
-        .parquet(_events_stream_dir(sf_dir))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        events_stream(spark, sf_dir)
         .withWatermark("ts", "1 hour")
         .dropDuplicates(["user_id", "event_type"])
         .select("user_id", "event_type")
@@ -325,15 +322,9 @@ def streaming_enrichment_query(spark: SparkSession, sf_dir: str):
     only the downstream agg keeps state).  This is the standard
     enrichment shape: dims refresh by swapping the static table between
     restarts, while the stream never stops."""
-    import os
-
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    static = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     dim = user_tier_dim(spark, sf_dir)
     stream = (
-        spark.readStream.schema(static.schema)
-        .parquet(_events_stream_dir(sf_dir))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        events_stream(spark, sf_dir)
         .filter(F.col("event_type") == "purchase")
         .join(F.broadcast(dim), "user_id")
         .groupBy("tier")

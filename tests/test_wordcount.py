@@ -90,8 +90,10 @@ def test_inverted_index_map_json_is_canonical(spark):
         want.setdefault(r.word, {})[r.doc_id] = r.cnt
     for r in rows:
         parsed = json.loads(r.postings_json)
-        assert parsed == want[r.word]
-        assert list(parsed) == sorted(parsed)  # doc_id-ordered rendering
+        # JSON object keys are strings; compare against stringified doc_ids
+        # and assert numeric (not lexicographic) doc_id ordering.
+        assert parsed == {str(k): v for k, v in want[r.word].items()}
+        assert list(parsed) == sorted(parsed, key=int)  # doc_id-ordered
 
 
 def test_reference_text_sink(spark):
