@@ -511,6 +511,58 @@ EMBEDDING_PAIRS_ORACLE = f"""
 """
 
 
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs, LSH-bucketed: the UNguarded 100 TB path
+    that ``dedup_embedding_pairs`` is the capped ground truth for.
+
+    Candidates are restricted to vectors sharing a random-hyperplane LSH
+    bucket (the same deterministic +-1 planes ``ann_lsh_topk`` serves
+    with, similarity.py): one signature pass over the corpus, then a
+    self-equi-join shuffling on bucket -- per-bucket all-pairs is bounded
+    by bucket size ~ n/2^planes, never global n^2.  Approximate by
+    design (a near-dup pair split across buckets is missed; sign-LSH
+    collision probability is 1 - angle/pi per plane); the oracle
+    replicates the identical bucketing, so results still hash-match
+    exactly, and recall vs the exact oracle is measurable on any capped
+    sample."""
+    from .similarity import _lsh_bucket_col, _lsh_bucket_sql  # shared planes
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    en = flat_normalized(emb)
+    sig = en.withColumn("bucket", _lsh_bucket_col("x")).persist()
+    a = sig.alias("a")
+    b = sig.select(
+        F.col("vec_id").alias("b_vec_id"),
+        F.col("bucket").alias("b_bucket"),
+        *[F.col(f"x{i}").alias(f"bx{i}") for i in range(64)],
+    )
+    return (
+        a.join(b, F.col("a.bucket") == F.col("b_bucket"))
+        .filter(F.col("a.vec_id") < F.col("b_vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b_vec_id").alias("vec_b"),
+            flat_dot("a.x", "bx").alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= COSINE_NEAR_DUP)
+    )
+
+
+def _embedding_lsh_oracle() -> str:
+    from .similarity import _lsh_bucket_sql
+
+    return f"""
+    WITH {SQL_NORMALIZED_CTE},
+    sig AS (
+        SELECT vec_id, vn, ({_lsh_bucket_sql('vn')}) AS bucket FROM en
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {sql_dot('a.vn', 'b.vn')} AS cos_sim
+    FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE {sql_dot('a.vn', 'b.vn')} >= {COSINE_NEAR_DUP}
+"""
+
+
 # ---------------------------------------------------------------------------
 # Cluster resolution: near-dup pairs -> canonical document per cluster
 # ---------------------------------------------------------------------------
@@ -688,5 +740,6 @@ DEDUP_QUERIES: list[tuple[str, object, str | None]] = [
     ("dedup_simhash", dedup_simhash, SIMHASH_ORACLE),
     ("simhash_near_pairs", simhash_near_pairs, SIMHASH_PAIRS_ORACLE),
     ("dedup_embedding_pairs", dedup_embedding_pairs, EMBEDDING_PAIRS_ORACLE),
+    ("dedup_embedding_lsh", dedup_embedding_lsh, _embedding_lsh_oracle()),
     ("dedup_clusters", dedup_clusters, DEDUP_CLUSTERS_ORACLE),
 ]

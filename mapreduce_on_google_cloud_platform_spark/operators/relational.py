@@ -1736,6 +1736,86 @@ Q22_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Q21: suppliers who kept orders waiting (TPC-H Q21 shape, adapted: the
+# synthetic lineitem has no receipt/commit dates, so "late" is the same
+# order-to-ship lag Q12 uses, > Q21_LAG_DAYS).  The original expresses
+# "this supplier was the ONLY late one on a multi-supplier order" as a
+# correlated EXISTS + NOT EXISTS pair -- two extra scans of a 100 TB
+# lineitem.  Spark-first, both collapse into ONE per-order aggregate
+# (distinct suppliers, distinct late suppliers) joined back on the order
+# key: lineitem is read once and shuffled once.  No nation filter (the
+# synthetic nation names are regeneration-unstable); the nation rides in
+# the output instead.
+# ---------------------------------------------------------------------------
+
+Q21_LAG_DAYS = 90
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+
+    lines = li.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > Q21_LAG_DAYS
+        ).alias("late"),
+    )
+    per_order = lines.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    waiting = (
+        lines.filter("late")
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+    )
+    return (
+        waiting.join(F.broadcast(supp), waiting.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )
+
+
+Q21_ORACLE = f"""
+    WITH lines AS (
+        SELECT l.l_orderkey, l.l_suppkey,
+               datediff('day', o.o_orderdate, l.l_shipdate) > {Q21_LAG_DAYS}
+                   AS late
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderstatus = 'F'
+    ),
+    per_order AS (
+        SELECT l_orderkey,
+               count(DISTINCT l_suppkey) AS n_supp,
+               count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late_supp
+        FROM lines GROUP BY l_orderkey
+    )
+    SELECT n_name, s_name, count(*) AS numwait
+    FROM lines
+    JOIN per_order USING (l_orderkey)
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE late AND n_supp > 1 AND n_late_supp = 1
+    GROUP BY n_name, s_name
+    ORDER BY numwait DESC, s_name
+"""
+
+
 RELATIONAL_QUERIES: list[tuple[str, object, str]] = [
     ("q1_pricing_summary", q1_pricing_summary, Q1_ORACLE),
     ("q3_shipping_priority", q3_shipping_priority, Q3_ORACLE),
@@ -1776,6 +1856,7 @@ RELATIONAL_QUERIES: list[tuple[str, object, str]] = [
     ("q15_top_supplier", q15_top_supplier, Q15_ORACLE),
     ("q16_supplier_diversity", q16_supplier_diversity, Q16_ORACLE),
     ("q20_heavy_shippers", q20_heavy_shippers, Q20_ORACLE),
+    ("q21_waiting_suppliers", q21_waiting_suppliers, Q21_ORACLE),
     ("q22_idle_rich_customers", q22_idle_rich_customers, Q22_ORACLE),
     ("unpivot_event_counts", unpivot_event_counts, UNPIVOT_ORACLE),
     ("rolling_1h_user_value", rolling_1h_user_value, ROLLING_ORACLE),

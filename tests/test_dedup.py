@@ -105,3 +105,21 @@ def test_dedup_clusters_consistent_with_pairs(spark):
         assert sum(1 for d in docs if labels[d][2]) == 1
         assert all(labels[d][1] == len(docs) for d in docs)
     assert sum(len(v) for v in members.values()) == len(labels)
+
+
+def test_embedding_lsh_subset_of_exact_pairs(spark):
+    """LSH bucketing can only LOSE pairs relative to the exact all-pairs
+    ground truth, never invent one, and a surviving pair's cosine must be
+    bit-identical to the exact path (same normalize + dot)."""
+    exact = {
+        (r.vec_a, r.vec_b): r.cos_sim
+        for r in QUERIES["dedup_embedding_pairs"](spark, SF_SMOKE).collect()
+    }
+    lsh = {
+        (r.vec_a, r.vec_b): r.cos_sim
+        for r in QUERIES["dedup_embedding_lsh"](spark, SF_SMOKE).collect()
+    }
+    assert lsh, "bucketed path should find pairs on the synthetic corpus"
+    assert set(lsh) <= set(exact)
+    for pair, sim in lsh.items():
+        assert sim == exact[pair]
