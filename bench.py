@@ -35,6 +35,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "simhash_near_pairs",
     "dedup_embedding_pairs",
+    "dedup_embedding_lsh",
     # similarity
     "ann_topk_bruteforce",
     "ann_ivf_topk",
@@ -65,6 +66,7 @@ HEADLINE = [
     "q6_forecast_revenue",
     "q10_returned_items",
     "q8_market_share",
+    "q21_waiting_suppliers",
     # curation hygiene
     "contamination_overlap",
     "pii_redaction",

@@ -274,7 +274,10 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: vectors ride flat int64 columns (no arrays); each iteration is
     one broadcast of the k-row codebook + one shuffle for the argmin
     groupBy + one for the re-sum — the textbook distributed k-means
-    round.  Iterations are lineage-truncated like dedup_clusters."""
+    round.  The codebook (k rows, driver-sized by definition) is
+    collected and rebroadcast each round, which truncates lineage by
+    construction; S2 per centroid is computed driver-side in exact
+    arbitrary-precision ints."""
     emb = load_table(spark, sf_dir, "embeddings")
     from ..functions.vectors import DIM, as_double
 
@@ -303,22 +306,43 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     DEC = "decimal(38,0)"
 
-    def _with_ss(df: DataFrame) -> DataFrame:
-        # S2 = sum_i s_i^2: s_i <= |q|max * n, so the squares need wide
-        # integers -- DECIMAL(38,0), computed once per centroid (k rows).
-        sq = [
-            F.col(f"s{i}").cast("decimal(19,0)") * F.col(f"s{i}").cast("decimal(19,0)")
-            for i in range(DIM)
-        ]
-        return df.select("*", _chain(sq).cast(DEC).alias("ss"))
+    # The codebook is k rows -- driver-sized at any corpus scale (that is
+    # the definition of a codebook).  Each round therefore collects the
+    # exact (n, s_0..s_63) integer sums and rebuilds a literal centroid
+    # DataFrame: S2 is computed in arbitrary-precision Python ints (no
+    # 64-wide decimal codegen in the distributed plan), the per-round
+    # lineage is truncated by construction (no checkpoint machinery), and
+    # the broadcast side is a local relation -- the same collect-and-
+    # rebroadcast round structure distributed k-means classically uses.
+    from decimal import Decimal
 
-    centroids = _with_ss(
-        vectors.filter(F.col("vec_id") % CENTROID_STRIDE == 0).select(
+    cent_schema = (
+        "cluster_id bigint, n bigint, "
+        + ", ".join(f"s{i} bigint" for i in range(DIM))
+        + ", ss decimal(38,0)"
+    )
+
+    def _centroid_df(rows) -> DataFrame:
+        data = [
+            (
+                r["cluster_id"],
+                r["n"],
+                *(r[f"s{i}"] for i in range(DIM)),
+                Decimal(sum(r[f"s{i}"] * r[f"s{i}"] for i in range(DIM))),
+            )
+            for r in rows
+        ]
+        return spark.createDataFrame(data, cent_schema)
+
+    centroids = _centroid_df(
+        vectors.filter(F.col("vec_id") % CENTROID_STRIDE == 0)
+        .select(
             F.col("vec_id").alias("cluster_id"),
             F.lit(1).cast("bigint").alias("n"),
             *[F.col(f"q{i}").alias(f"s{i}") for i in range(DIM)],
         )
-    ).localCheckpoint()
+        .collect()
+    )
 
     # dist*n^2 = n^2*Q2 - 2n*<q,s> + S2 (algebraically = sum_i (q_i*n - s_i)^2,
     # identical integer because every step is exact).  The per-pair hot loop
@@ -338,7 +362,7 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     assign = None
-    for _ in range(KMEANS_ITERS):
+    for it in range(KMEANS_ITERS):
         scored = vectors.crossJoin(F.broadcast(centroids)).select(
             "vec_id", "cluster_id", dist_expr.alias("dist")
         )
@@ -351,14 +375,16 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("m.dist").alias("dist"),
             )
         )
-        centroids = _with_ss(
-            vectors.join(assign, "vec_id")
-            .groupBy("cluster_id")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                *[F.sum(f"q{i}").alias(f"s{i}") for i in range(DIM)],
+        if it < KMEANS_ITERS - 1:  # the final round's update is unused
+            centroids = _centroid_df(
+                vectors.join(assign, "vec_id")
+                .groupBy("cluster_id")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    *[F.sum(f"q{i}").alias(f"s{i}") for i in range(DIM)],
+                )
+                .collect()
             )
-        ).localCheckpoint()
     return assign
 
 
