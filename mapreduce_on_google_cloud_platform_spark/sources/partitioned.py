@@ -93,6 +93,37 @@ def overwrite_partitions_dynamic(
             spark.conf.set(key, old)
 
 
+def compact_partitions(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    partition_cols: Sequence[str],
+    *,
+    max_records_per_file: int = 1_000_000,
+) -> None:
+    """Rewrite a fragmented partitioned layout into few, full-size files.
+
+    The maintenance half of the small-files story: ``write_partitioned``
+    prevents fragmentation on clean writes, but streaming sinks, dynamic
+    partition backfills, and concurrent writers still accrete small
+    files, and at 100 TB the scan's file-listing + per-file open cost
+    eventually dominates the read.  Compaction is one shuffle on the
+    partition columns (each directory rewritten by one task) with
+    ``maxRecordsPerFile`` re-splitting any partition too big for a single
+    file -- so output file count ~= ceil(rows_p / max_records) per
+    partition, independent of how fragmented the input was.  Data is
+    byte-preserved (pure read -> reshuffle -> write; no dedup, no
+    reorder semantics)."""
+    df = spark.read.parquet(src_path)
+    (
+        df.repartition(*[F.col(c) for c in partition_cols])
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy(*partition_cols)
+        .parquet(dst_path)
+    )
+
+
 def events_by_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events table with its natural partition column attached."""
     from .tables import load_table

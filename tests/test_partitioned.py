@@ -163,3 +163,51 @@ def test_dynamic_partition_overwrite_touches_only_written_days(spark, tmp_path):
         spark.conf.get("spark.sql.sources.partitionOverwriteMode").lower()
         != "dynamic"
     )
+
+
+def test_compaction_shrinks_file_count_and_preserves_data(spark, tmp_path):
+    """compact_partitions must collapse a fragmented layout (many small
+    files per partition directory) to ~one file per directory while
+    keeping the row multiset identical."""
+    import glob
+
+    from mapreduce_on_google_cloud_platform_spark.sources.partitioned import (
+        compact_partitions,
+        events_by_date,
+        read_partitioned,
+    )
+
+    frag = str(tmp_path / "fragmented")
+    compacted = str(tmp_path / "compacted")
+    ev = events_by_date(spark, SF_SMOKE)
+    # deliberately fragment: 16 write tasks x every partition directory
+    (
+        ev.repartition(16)
+        .write.mode("overwrite")
+        .partitionBy("event_date")
+        .parquet(frag)
+    )
+
+    def nfiles(root):
+        return len(glob.glob(f"{root}/event_date=*/part-*.parquet"))
+
+    n_dirs = len(glob.glob(f"{frag}/event_date=*"))
+    assert nfiles(frag) > 3 * n_dirs  # fragmentation actually happened
+
+    compact_partitions(spark, frag, compacted, ["event_date"])
+    assert nfiles(compacted) == n_dirs  # one full-size file per directory
+
+    a = sorted(map(tuple, read_partitioned(spark, frag).collect()))
+    b = sorted(map(tuple, read_partitioned(spark, compacted).collect()))
+    assert a == b
+
+    # the max_records knob re-splits oversized partitions
+    resplit = str(tmp_path / "resplit")
+    rows_per_dir = ev.count() // n_dirs
+    compact_partitions(
+        spark, frag, resplit, ["event_date"],
+        max_records_per_file=max(1, rows_per_dir // 3),
+    )
+    assert nfiles(resplit) > n_dirs
+    c = sorted(map(tuple, read_partitioned(spark, resplit).collect()))
+    assert a == c
