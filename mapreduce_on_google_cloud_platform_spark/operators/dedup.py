@@ -608,12 +608,16 @@ def dedup_clusters(
     # Iterate ONLY over nodes that have an edge: singleton documents (the
     # overwhelming majority of a real corpus) never change label, so they
     # are attached after convergence with label = self instead of riding
-    # every round's shuffle.
+    # every round's shuffle.  Initialization fuses the would-be first
+    # propagation round: label_0 = min(self, min neighbor) falls out of
+    # the same groupBy that enumerates the edge-bearing nodes, so the
+    # loop starts one round ahead and the separate DISTINCT pass is gone.
     labels = (
-        edges.select("doc_a")
-        .distinct()
+        edges.groupBy(F.col("doc_a").alias("doc_id"))
+        .agg(F.min("doc_b").alias("nmin"))
         .select(
-            F.col("doc_a").alias("doc_id"), F.col("doc_a").alias("cluster_id")
+            "doc_id",
+            F.least(F.col("doc_id"), F.col("nmin")).alias("cluster_id"),
         )
         .localCheckpoint()
     )
