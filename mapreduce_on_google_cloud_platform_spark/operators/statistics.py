@@ -34,9 +34,10 @@ or hold out data, and both must be reproducible across runs and engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.portable import dec
 from ..sources import load_table
 
 QS = (0.25, 0.5, 0.75, 0.95)
@@ -418,6 +419,68 @@ def geomean_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Leakage-safe train/val/test split: the split key is the GROUP (user),
+# never the row -- rows of one user land in exactly one split by
+# construction, which is the property that keeps eval honest (row-level
+# sampling leaks a user's near-duplicate interactions across splits).
+# Assignment = two md5 hex chars of the user id -> 256 stable buckets,
+# ~80/10/10; a pure row-local function of the key, so the split is
+# identical on any engine, partitioning, cluster size, or re-run, and a
+# later backfill lands each user back in the same split.  One combinable
+# shuffle on (split, event_type) for the report.
+# ---------------------------------------------------------------------------
+
+# Bucket = first two lowercase-hex md5 chars; on exactly-two hex chars
+# lexicographic order IS numeric order, so the thresholds are hex string
+# literals and no engine-specific hex->int conversion exists anywhere.
+SPLIT_TRAIN_MAX_HEX = "cc"  # 0x00-0xcc -> ~80.1%
+SPLIT_VAL_MAX_HEX = "e5"    # 0xcd-0xe5 -> ~9.8%; rest -> test
+
+
+def split_assignment(key) -> Column:
+    """Leakage-safe split label for a grouping key column: a pure
+    row-local function of the key, identical on any engine/partitioning."""
+    h2 = F.substring(F.md5(key.cast("string")), 1, 2)
+    return (
+        F.when(h2 <= SPLIT_TRAIN_MAX_HEX, "train")
+        .when(h2 <= SPLIT_VAL_MAX_HEX, "val")
+        .otherwise("test")
+    )
+
+
+def train_test_split_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select("*", split_assignment(F.col("user_id")).alias("split"))
+        .groupBy("split", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(dec("value")).cast("double").alias("sum_value"),
+        )
+        .orderBy("split", "event_type")
+    )
+
+
+TRAIN_TEST_SPLIT_ORACLE = f"""
+    WITH b AS (
+        SELECT *, substring(md5(CAST(user_id AS VARCHAR)), 1, 2) AS h2
+        FROM events
+    )
+    SELECT CASE WHEN h2 <= '{SPLIT_TRAIN_MAX_HEX}' THEN 'train'
+                WHEN h2 <= '{SPLIT_VAL_MAX_HEX}' THEN 'val'
+                ELSE 'test' END AS split,
+           event_type,
+           count(*) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM b
+    GROUP BY 1, 2
+    ORDER BY split, event_type
+"""
+
+
 STATISTICS_QUERIES: list[tuple[str, object, str | None]] = [
     ("quantile_summary", quantile_summary, QUANTILE_ORACLE),
     ("sample_stratified", sample_stratified, SAMPLE_STRATIFIED_ORACLE),
@@ -428,6 +491,7 @@ STATISTICS_QUERIES: list[tuple[str, object, str | None]] = [
     ("price_balance_correlation", price_balance_correlation, CORRELATION_ORACLE),
     ("winsorize_event_values", winsorize_event_values, WINSORIZE_ORACLE),
     ("sample_bootstrap", sample_bootstrap, BOOTSTRAP_ORACLE),
+    ("train_test_split_events", train_test_split_events, TRAIN_TEST_SPLIT_ORACLE),
     # Arrow GROUPED_AGG path: engine-specific float reduction -> rows-only
     ("geomean_event_value", geomean_event_value, None),
 ]

@@ -90,3 +90,27 @@ def test_geomean_grouped_agg_matches_numpy(spark):
         assert math.isclose(
             gm, float(np.exp(np.log(grp.value.to_numpy()).mean())), rel_tol=1e-9
         )
+
+
+def test_split_assignment_is_leakage_safe(spark):
+    """Every user must land in exactly ONE split (the split is a pure
+    function of user_id), splits must be non-degenerate at smoke scale,
+    and proportions should be in the neighborhood of 80/10/10."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_on_google_cloud_platform_spark.operators.statistics import (
+        split_assignment,
+    )
+    from mapreduce_on_google_cloud_platform_spark.sources import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "user_id", split_assignment(F.col("user_id")).alias("split")
+    )
+    per_user = ev.distinct().groupBy("user_id").count()
+    assert per_user.filter(F.col("count") > 1).count() == 0
+
+    sizes = {r.split: r.n for r in
+             ev.distinct().groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(sizes) == {"train", "val", "test"}
+    total = sum(sizes.values())
+    assert 0.65 <= sizes["train"] / total <= 0.95
