@@ -91,6 +91,10 @@ def test_missing_sf_dir_raises_cleanly(spark):
         "token_budget_packing",
         "lag_feature_matrix",
         "neardup_pagerank",
+        # round 4: bucketed cosine pairs + fused-init label propagation
+        "dedup_embedding_lsh",
+        "q21_waiting_suppliers",
+        "dedup_clusters",
     ],
 )
 def test_shuffle_partition_invariance(spark, name):
