@@ -12,6 +12,11 @@ Sizing uses the table's own on-disk bytes (sum of file sizes via the
 Hadoop FS API -- works for any Hadoop-compatible store, not just
 local disk), so the file count adapts to the data rather than being a
 hand-tuned constant.
+
+For hive-partitioned layouts use
+``sources/partitioned.py::compact_partitions`` instead: it rewrites per
+partition directory (preserving pruning) with ``maxRecordsPerFile``
+re-splitting, where this module targets one flat file set.
 """
 
 from __future__ import annotations

@@ -101,7 +101,11 @@ def compact_partitions(
     *,
     max_records_per_file: int = 1_000_000,
 ) -> None:
-    """Rewrite a fragmented partitioned layout into few, full-size files.
+    """Rewrite a fragmented hive-partitioned layout into few, full-size
+    files per partition directory (the partitioned-table sibling of
+    ``sources/compaction.py::compact``, which size-targets an
+    UNpartitioned table and can range-sort it; this one preserves the
+    directory structure so partition pruning keeps working).
 
     The maintenance half of the small-files story: ``write_partitioned``
     prevents fragmentation on clean writes, but streaming sinks, dynamic
