@@ -563,6 +563,78 @@ def _embedding_lsh_oracle() -> str:
 """
 
 
+def semantic_dedup_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-modality dedup: embedding-LSH candidates verified by exact
+    text Jaccard.
+
+    The realistic production shape -- embeddings give cheap semantic
+    RECALL (bucketed candidates, no quadratic stage), the text gives
+    PRECISION (exact shingle Jaccard computed only for candidate docs,
+    the same verify-candidates-only trick dedup_minhash_lsh plays).
+    Emits every embedding candidate pair with both scores and the
+    confirmation verdict; pairs whose documents share no shingle verify
+    at jaccard 0.0 rather than vanishing, so the output is an audit of
+    the semantic candidates, not a pre-filtered list.  testdata
+    alignment: embeddings.vec_id IS documents.doc_id (1:1)."""
+    cand = dedup_embedding_lsh(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"), "cos_sim"
+    ).persist()
+    docs = load_table(spark, sf_dir, "documents")
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh_cand = shingles_df(docs).join(cand_docs, "doc_id", "left_semi")
+    jac = _pair_jaccard(sh_cand).select("doc_a", "doc_b", "jaccard")
+    return (
+        cand.join(jac, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            "cos_sim",
+            F.coalesce("jaccard", F.lit(0.0)).alias("jaccard"),
+            (F.coalesce("jaccard", F.lit(0.0)) >= JACCARD_THRESHOLD).alias(
+                "text_confirmed"
+            ),
+        )
+    )
+
+
+def _semantic_hybrid_oracle() -> str:
+    from .similarity import _lsh_bucket_sql
+
+    return f"""
+    WITH {SQL_NORMALIZED_CTE},
+    sig AS (
+        SELECT vec_id, vn, ({_lsh_bucket_sql('vn')}) AS bucket FROM en
+    ),
+    cand AS (
+        SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+               {sql_dot('a.vn', 'b.vn')} AS cos_sim
+        FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE {sql_dot('a.vn', 'b.vn')} >= {COSINE_NEAR_DUP}
+    ),
+    {DUCKDB_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, count(*) AS n FROM shing GROUP BY doc_id),
+    jac AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(count(*) AS DOUBLE)
+                 / (min(sa.n) + min(sb.n) - count(*)) AS jaccard
+        FROM shing a
+        JOIN shing b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        JOIN sizes sa ON a.doc_id = sa.doc_id
+        JOIN sizes sb ON b.doc_id = sb.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT c.doc_a, c.doc_b, c.cos_sim,
+           coalesce(j.jaccard, 0.0) AS jaccard,
+           coalesce(j.jaccard, 0.0) >= {JACCARD_THRESHOLD} AS text_confirmed
+    FROM cand c
+    LEFT JOIN jac j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
+"""
+
+
 # ---------------------------------------------------------------------------
 # Cluster resolution: near-dup pairs -> canonical document per cluster
 # ---------------------------------------------------------------------------
@@ -745,5 +817,6 @@ DEDUP_QUERIES: list[tuple[str, object, str | None]] = [
     ("simhash_near_pairs", simhash_near_pairs, SIMHASH_PAIRS_ORACLE),
     ("dedup_embedding_pairs", dedup_embedding_pairs, EMBEDDING_PAIRS_ORACLE),
     ("dedup_embedding_lsh", dedup_embedding_lsh, _embedding_lsh_oracle()),
+    ("semantic_dedup_hybrid", semantic_dedup_hybrid, _semantic_hybrid_oracle()),
     ("dedup_clusters", dedup_clusters, DEDUP_CLUSTERS_ORACLE),
 ]
