@@ -481,6 +481,41 @@ TRAIN_TEST_SPLIT_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Quantile discretization: per-type decile assignment -- the standard
+# feature-engineering binning (equal-frequency, robust to heavy tails
+# where fixed-width histogram bins are not).  ntile is deterministic
+# given a TOTAL order, so the sort key is (value, event_id) -- event_id
+# is unique, the tie-break makes the row->decile map identical on any
+# engine/partitioning.  One shuffle: the per-type sort that the window
+# needs; at 100 TB with few types this wants the two-level trick
+# (percentile_approx bounds broadcast back) -- declared here in its
+# exact form, the approx path is sketch_summary's.
+# ---------------------------------------------------------------------------
+
+N_DECILES = 10
+
+
+def value_decile_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.ntile(N_DECILES).over(w).cast("int").alias("decile"),
+    )
+
+
+VALUE_DECILE_ORACLE = f"""
+    SELECT event_id, event_type, value,
+           CAST(ntile({N_DECILES}) OVER (
+               PARTITION BY event_type ORDER BY value, event_id
+           ) AS INTEGER) AS decile
+    FROM events
+"""
+
+
 STATISTICS_QUERIES: list[tuple[str, object, str | None]] = [
     ("quantile_summary", quantile_summary, QUANTILE_ORACLE),
     ("sample_stratified", sample_stratified, SAMPLE_STRATIFIED_ORACLE),
@@ -492,6 +527,7 @@ STATISTICS_QUERIES: list[tuple[str, object, str | None]] = [
     ("winsorize_event_values", winsorize_event_values, WINSORIZE_ORACLE),
     ("sample_bootstrap", sample_bootstrap, BOOTSTRAP_ORACLE),
     ("train_test_split_events", train_test_split_events, TRAIN_TEST_SPLIT_ORACLE),
+    ("value_decile_features", value_decile_features, VALUE_DECILE_ORACLE),
     # Arrow GROUPED_AGG path: engine-specific float reduction -> rows-only
     ("geomean_event_value", geomean_event_value, None),
 ]
