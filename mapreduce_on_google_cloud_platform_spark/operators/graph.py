@@ -124,6 +124,82 @@ def _unrolled_oracle() -> str:
 
 PAGERANK_ORACLE = _unrolled_oracle()
 
+
+def neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document triangle participation in the near-dup graph -- the
+    local clustering signal: a document whose near-dup neighbors are also
+    near-dups of EACH OTHER sits inside a dense boilerplate clique, not a
+    chain of pairwise coincidences, and is a stronger drop candidate.
+
+    Plan: canonical (a<b) edges; wedges from one self-join on the middle
+    vertex (a<b<c by construction, so each triangle is built exactly
+    once); a LEFT SEMI join against the edge list closes them.  Two
+    shuffle joins + one aggregate, never an all-triples enumeration.  At
+    scale the skew lever is degree-ordered orientation (each edge
+    pointed low->high degree bounds wedge fan-out by sqrt(|E|),
+    Suri-Vassilvitskii's MapReduce triangle trick); id-orientation is
+    kept here because the near-dup graph's degrees are small and the
+    oracle stays a three-line SQL join."""
+    docs = load_table(spark, sf_dir, "documents")
+    e = (
+        _pair_jaccard(shingles_df(docs))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+        .persist()
+    )
+    x, y = e.alias("x"), e.alias("y")
+    wedges = x.join(y, F.col("x.doc_b") == F.col("y.doc_a")).select(
+        F.col("x.doc_a").alias("a"),
+        F.col("x.doc_b").alias("b"),
+        F.col("y.doc_b").alias("c"),
+    )
+    tri = wedges.join(
+        e,
+        (F.col("a") == F.col("doc_a")) & (F.col("c") == F.col("doc_b")),
+        "left_semi",
+    )
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .orderBy(F.desc("n_triangles"), "doc_id")
+    )
+
+
+TRIANGLES_ORACLE = f"""
+    WITH {DUCKDB_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, count(*) AS n FROM shing GROUP BY doc_id),
+    e AS (
+        SELECT doc_a, doc_b
+        FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+            FROM shing a JOIN shing b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common)
+              >= {JACCARD_THRESHOLD}
+    ),
+    tri AS (
+        SELECT x.doc_a AS a, x.doc_b AS b, y.doc_b AS c
+        FROM e x
+        JOIN e y ON x.doc_b = y.doc_a
+        WHERE EXISTS (
+            SELECT 1 FROM e z WHERE z.doc_a = x.doc_a AND z.doc_b = y.doc_b
+        )
+    )
+    SELECT doc_id, count(*) AS n_triangles
+    FROM (
+        SELECT a AS doc_id FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    )
+    GROUP BY doc_id
+    ORDER BY n_triangles DESC, doc_id
+"""
+
 GRAPH_QUERIES: list[tuple[str, object, str | None]] = [
     ("neardup_pagerank", neardup_pagerank, PAGERANK_ORACLE),
+    ("neardup_triangles", neardup_triangles, TRIANGLES_ORACLE),
 ]
