@@ -36,6 +36,7 @@ HEADLINE = [
     "simhash_near_pairs",
     "dedup_embedding_pairs",
     "dedup_embedding_lsh",
+    "semantic_dedup_hybrid",
     # similarity
     "ann_topk_bruteforce",
     "ann_ivf_topk",
@@ -51,6 +52,8 @@ HEADLINE = [
     # statistics + sampling
     "quantile_summary",
     "sample_stratified",
+    "train_test_split_events",
+    "value_decile_features",
     # composed curation pipeline
     "curation_pipeline",
     # event-time windows
@@ -78,6 +81,7 @@ HEADLINE = [
     "dedup_clusters",
     "kmeans_assign",
     "neardup_pagerank",
+    "neardup_triangles",
     # rolling frames + payload chunking
     "rolling_1h_user_value",
     "multimodal_chunk",

@@ -53,6 +53,7 @@ _PORTABLE: list[tuple[str, str]] = [
     ("k_anonymity_report_sql", pipeline.K_ANON_ORACLE),
     ("incremental_segment_revenue_sql", pipeline.INCR_ORACLE),
     ("histogram_event_values_sql", statistics.HISTOGRAM_ORACLE),
+    ("value_decile_features_sql", statistics.VALUE_DECILE_ORACLE),
 ]
 
 SQL_SURFACE_QUERIES: list[tuple[str, object, str]] = [
