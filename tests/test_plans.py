@@ -393,3 +393,42 @@ def test_exact_allpairs_guard_default_cap_sane():
     # big enough for every shipped SF (2k vectors at sf0.1), small enough
     # that the quadratic plan stays tractable
     assert 2_000 < EXACT_PAIRS_MAX_ROWS <= 200_000
+
+
+def test_q21_single_aggregate_replaces_correlated_exists(spark):
+    """Q21's EXISTS / NOT EXISTS pair must stay collapsed into the
+    per-order aggregate: exactly one count-distinct expand over lineitem,
+    partial aggregation present, and no CartesianProduct anywhere."""
+    plan = plan_of(spark, "q21_waiting_suppliers")
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
+    # the per-order distinct-supplier aggregate shuffles on the order key
+    assert "hashpartitioning(l_orderkey" in plan
+
+
+def test_embedding_lsh_joins_on_bucket_not_allpairs(spark):
+    """The bucketed near-dup path must join on the LSH bucket (equi-join)
+    and never fall back to a cartesian/nested-loop all-pairs plan."""
+    plan = plan_of(spark, "dedup_embedding_lsh")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "bucket" in plan
+
+
+def test_semantic_hybrid_verifies_candidates_only(spark):
+    """The text-verification stage must semi-join the shingle table down
+    to candidate docs before the Jaccard join -- verification cost is
+    bounded by candidates, not the corpus."""
+    plan = plan_of(spark, "semantic_dedup_hybrid")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_split_and_decile_stay_single_shuffle_shapes(spark):
+    """train_test_split_events: two-phase distinct aggregate (partial
+    map-side) on a hash-derived label; value_decile_features: one window
+    sort per type, no joins at all."""
+    plan = plan_of(spark, "train_test_split_events")
+    assert "partial_count" in plan and "md5" in plan
+    plan = plan_of(spark, "value_decile_features")
+    assert "ntile" in plan and "Join" not in plan
