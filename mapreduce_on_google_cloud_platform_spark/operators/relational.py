@@ -1741,12 +1741,15 @@ Q22_ORACLE = f"""
 # synthetic lineitem has no receipt/commit dates, so "late" is the same
 # order-to-ship lag Q12 uses, > Q21_LAG_DAYS).  The original expresses
 # "this supplier was the ONLY late one on a multi-supplier order" as a
-# correlated EXISTS + NOT EXISTS pair -- two extra scans of a 100 TB
-# lineitem.  Spark-first, both collapse into ONE per-order aggregate
+# correlated EXISTS + NOT EXISTS pair -- two correlated probes per
+# lineitem row.  Spark-first, both collapse into ONE per-order aggregate
 # (distinct suppliers, distinct late suppliers) joined back on the order
-# key: lineitem is read once and shuffled once.  No nation filter (the
-# synthetic nation names are regeneration-unstable); the nation rides in
-# the output instead.
+# key; the filtered lineitem subplan is scanned twice (column-pruned --
+# cheap) but the only wide exchanges are the per-order aggregate and the
+# join-back, both hash-partitioned on the same order key so the second
+# reuses the first's layout.  No nation filter (the synthetic nation
+# names are regeneration-unstable); the nation rides in the output
+# instead.
 # ---------------------------------------------------------------------------
 
 Q21_LAG_DAYS = 90
