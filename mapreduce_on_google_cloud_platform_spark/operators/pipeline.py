@@ -664,6 +664,87 @@ def _release_oracle() -> str:
 RELEASE_ORACLE = _release_oracle()
 
 
+# ---------------------------------------------------------------------------
+# Domain-mixture sampling: rebalance the corpus language mix by
+# downsampling over-represented languages to target rates (the standard
+# pretraining-mix move: this corpus is ~44% 'en'; halve it, keep the
+# rest).  The sampling decision is a pure row-local function of
+# (lang, doc_id) -- keep iff the first two lowercase-hex md5 chars of
+# 'lang:doc_id' fall below the language's threshold -- so the sample is
+# deterministic, reproducible on any engine/partitioning/cluster size,
+# and a re-run or backfill selects exactly the same documents (the same
+# property train_test_split_events uses for leakage-free splits; on two
+# hex chars lexicographic order IS numeric order, so thresholds are hex
+# literals and no hex->int conversion exists on either engine).
+#
+# Output is the per-language mixture report: docs/chars in, docs/chars
+# kept, achieved rate as one exact-int division.  At 100 TB the filter
+# is a scan-local predicate (no shuffle to decide membership) followed
+# by one combinable shuffle on lang for the report; the sampled rows
+# themselves would stream straight to the sink.
+# ---------------------------------------------------------------------------
+
+# lang -> max two-hex-char bucket kept (inclusive): 'en' ~50% of 256
+# buckets, everything else kept in full.
+MIXTURE_RATES: dict[str, str] = {"en": "7f"}
+MIXTURE_DEFAULT_MAX_HEX = "ff"  # unlisted languages: keep all
+
+
+def _mixture_keep(lang, doc_id) -> object:
+    h2 = F.substring(F.md5(F.concat_ws(":", lang, doc_id.cast("string"))), 1, 2)
+    thr = F.lit(MIXTURE_DEFAULT_MAX_HEX)
+    for lg, mx in MIXTURE_RATES.items():
+        thr = F.when(lang == lg, mx).otherwise(thr)
+    return h2 <= thr
+
+
+def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    kept = F.when(_mixture_keep(F.col("lang"), F.col("doc_id")), 1).otherwise(0)
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+            F.sum(kept).alias("kept_docs"),
+            F.sum(kept * F.col("n_chars")).alias("kept_chars"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_chars",
+            "kept_docs",
+            "kept_chars",
+            (F.col("kept_docs") / F.col("n_docs")).alias("kept_rate"),
+        )
+        .orderBy("lang")
+    )
+
+
+_MIXTURE_THR_SQL = "CASE " + " ".join(
+    f"WHEN lang = '{lg}' THEN '{mx}'" for lg, mx in MIXTURE_RATES.items()
+) + f" ELSE '{MIXTURE_DEFAULT_MAX_HEX}' END"
+
+MIXTURE_ORACLE = f"""
+    WITH flagged AS (
+        SELECT lang, n_chars,
+               CASE WHEN substring(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 2)
+                         <= {_MIXTURE_THR_SQL}
+                    THEN 1 ELSE 0 END AS kept
+        FROM documents
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           sum(n_chars) AS n_chars,
+           sum(kept) AS kept_docs,
+           sum(kept * n_chars) AS kept_chars,
+           sum(kept) / count(*) AS kept_rate
+    FROM flagged
+    GROUP BY lang
+    ORDER BY lang
+"""
+
+
 PIPELINE_QUERIES: list[tuple[str, object, str | None]] = [
     ("curation_pipeline", curation_pipeline, CURATION_ORACLE),
     ("merge_upsert_orders", merge_upsert_orders, MERGE_UPSERT_ORACLE),
@@ -672,4 +753,5 @@ PIPELINE_QUERIES: list[tuple[str, object, str | None]] = [
     ("incremental_segment_revenue", incremental_segment_revenue, INCR_ORACLE),
     ("data_quality_audit", data_quality_audit, DATA_QUALITY_ORACLE),
     ("training_data_prep", training_data_prep, TRAINING_PREP_ORACLE),
+    ("corpus_mixture_sample", corpus_mixture_sample, MIXTURE_ORACLE),
 ]

@@ -420,6 +420,47 @@ def geomean_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# The same aggregate as geomean_event_value but in its scale-path form:
+# exp(avg(ln(x))) as pure JVM expressions.  This is the formulation the
+# GROUPED_AGG docstring above says to prefer in a hot path -- log/sum/count
+# are map-side combinable inside whole-stage codegen, no Python, no Arrow
+# transfer.  Cross-engine determinism: each ln(value) is cast to
+# DECIMAL(25,12) BEFORE summing, so the reduction is exact integer
+# arithmetic and partitioning/summation order cannot perturb it (the
+# module's decimal-sum discipline); the single decimal->double cast,
+# division and exp are then identical given identical inputs, and the
+# final round(6) absorbs last-ulp libm differences between the JVM's
+# Math.exp/log and DuckDB's libm.
+# ---------------------------------------------------------------------------
+
+
+def geomean_event_value_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    log_sum = F.sum(F.log(F.col("value")).cast("decimal(25,12)")).cast("double")
+    n = F.count(F.lit(1))
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            n.alias("n"),
+            F.round(F.exp(log_sum / n), 6).alias("geomean_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+GEOMEAN_EXACT_ORACLE = """
+    SELECT event_type,
+           count(*) AS n,
+           round(exp(CAST(sum(CAST(ln(value) AS DECIMAL(25,12))) AS DOUBLE)
+                     / count(*)), 6) AS geomean_value
+    FROM events
+    WHERE value > 0
+    GROUP BY event_type
+    ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # Leakage-safe train/val/test split: the split key is the GROUP (user),
 # never the row -- rows of one user land in exactly one split by
 # construction, which is the property that keeps eval honest (row-level
@@ -530,4 +571,6 @@ STATISTICS_QUERIES: list[tuple[str, object, str | None]] = [
     ("value_decile_features", value_decile_features, VALUE_DECILE_ORACLE),
     # Arrow GROUPED_AGG path: engine-specific float reduction -> rows-only
     ("geomean_event_value", geomean_event_value, None),
+    # ... and its JVM-expression scale path, exact enough to oracle-check
+    ("geomean_event_value_exact", geomean_event_value_exact, GEOMEAN_EXACT_ORACLE),
 ]

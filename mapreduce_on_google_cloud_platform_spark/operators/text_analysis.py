@@ -923,6 +923,151 @@ PACKING_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Gopher-style repetition quality filter (Rae et al. 2021, "Scaling
+# Language Models", table A1): documents dominated by a few repeated
+# n-grams are boilerplate/spam and get dropped before training.  The
+# published rules are line-based; this corpus has no newlines, so the
+# same statistics are computed over the token stream:
+#
+#   top_unigram_frac  -- most frequent token's share of all tokens
+#   top_bigram_frac   -- most frequent bigram's share of all bigrams
+#   dup_trigram_frac  -- share of trigram occurrences beyond each
+#                        trigram's first (n_trigrams - distinct)/n
+#
+# Plan shape: ONE posexplode of the corpus, lead() windows build the
+# 2/3-grams in the same pass (shuffle on doc_id for the window sort),
+# then three combinable (doc_id, gram)-keyed counts reduced to per-doc
+# maxima and joined back on doc_id -- every join input is already one
+# row per doc.  At 100 TB each aggregation is a partial-agg'd shuffle
+# on the gram key; nothing is quadratic in document size and no token
+# list is ever materialized per row.  Numeric discipline: every ratio
+# is a single double division of exact integers; the keep/drop flag
+# compares those integers cross-multiplied, so the boolean never
+# depends on float rounding at all.
+# ---------------------------------------------------------------------------
+
+# Gopher-ish thresholds, expressed as integer ratios (numerator,
+# denominator) so the flag can be evaluated in exact arithmetic:
+# drop when top_unigram > 20%, top_bigram > 40%, or dup_trigram > 60%.
+REP_TOP_UNIGRAM = (1, 5)
+REP_TOP_BIGRAM = (2, 5)
+REP_DUP_TRIGRAM = (3, 5)
+
+
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_with_pos(docs)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grams = toks.select(
+        "doc_id",
+        F.col("word").alias("w0"),
+        F.lead("word", 1).over(w).alias("w1"),
+        F.lead("word", 2).over(w).alias("w2"),
+    )
+
+    uni = (
+        grams.groupBy("doc_id", "w0")
+        .count()
+        .groupBy("doc_id")
+        .agg(
+            F.sum("count").alias("n_tokens"),
+            F.count(F.lit(1)).alias("distinct_tokens"),
+            F.max("count").alias("top_unigram_n"),
+        )
+    )
+    bi = (
+        grams.filter(F.col("w1").isNotNull())
+        .groupBy("doc_id", "w0", "w1")
+        .count()
+        .groupBy("doc_id")
+        .agg(
+            F.sum("count").alias("n_bigrams"),
+            F.max("count").alias("top_bigram_n"),
+        )
+    )
+    tri = (
+        grams.filter(F.col("w2").isNotNull())
+        .groupBy("doc_id", "w0", "w1", "w2")
+        .count()
+        .groupBy("doc_id")
+        .agg(
+            F.sum("count").alias("n_trigrams"),
+            (F.sum("count") - F.count(F.lit(1))).alias("dup_trigram_n"),
+        )
+    )
+
+    ru_n, ru_d = REP_TOP_UNIGRAM
+    rb_n, rb_d = REP_TOP_BIGRAM
+    rt_n, rt_d = REP_DUP_TRIGRAM
+    joined = uni.join(bi, "doc_id").join(tri, "doc_id")
+    return joined.select(
+        "doc_id",
+        "n_tokens",
+        "distinct_tokens",
+        "top_unigram_n",
+        "n_bigrams",
+        "top_bigram_n",
+        "n_trigrams",
+        "dup_trigram_n",
+        (F.col("top_unigram_n") / F.col("n_tokens")).alias("top_unigram_frac"),
+        (F.col("top_bigram_n") / F.col("n_bigrams")).alias("top_bigram_frac"),
+        (F.col("dup_trigram_n") / F.col("n_trigrams")).alias("dup_trigram_frac"),
+        (
+            (F.col("top_unigram_n") * ru_d > F.col("n_tokens") * ru_n)
+            | (F.col("top_bigram_n") * rb_d > F.col("n_bigrams") * rb_n)
+            | (F.col("dup_trigram_n") * rt_d > F.col("n_trigrams") * rt_n)
+        ).alias("repetitive"),
+    ).orderBy("doc_id")
+
+
+REPETITION_ORACLE = f"""
+    WITH {DUCKDB_TOKS_CTE},
+    uni_g AS (
+        SELECT doc_id, ts[i] AS g, count(*) AS c
+        FROM toks, unnest(range(1, len(ts) + 1)) t(i)
+        GROUP BY 1, 2
+    ),
+    uni AS (
+        SELECT doc_id, sum(c) AS n_tokens, count(*) AS distinct_tokens,
+               max(c) AS top_unigram_n
+        FROM uni_g GROUP BY doc_id
+    ),
+    bi_g AS (
+        SELECT doc_id, ts[i] || ' ' || ts[i+1] AS g, count(*) AS c
+        FROM toks, unnest(range(1, len(ts))) t(i)
+        GROUP BY 1, 2
+    ),
+    bi AS (
+        SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_bigram_n
+        FROM bi_g GROUP BY doc_id
+    ),
+    tri_g AS (
+        SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g,
+               count(*) AS c
+        FROM toks, unnest(range(1, len(ts) - 1)) t(i)
+        GROUP BY 1, 2
+    ),
+    tri AS (
+        SELECT doc_id, sum(c) AS n_trigrams,
+               sum(c) - count(*) AS dup_trigram_n
+        FROM tri_g GROUP BY doc_id
+    )
+    SELECT uni.doc_id, n_tokens, distinct_tokens, top_unigram_n,
+           n_bigrams, top_bigram_n, n_trigrams, dup_trigram_n,
+           top_unigram_n / n_tokens AS top_unigram_frac,
+           top_bigram_n / n_bigrams AS top_bigram_frac,
+           dup_trigram_n / n_trigrams AS dup_trigram_frac,
+           (top_unigram_n * {REP_TOP_UNIGRAM[1]} > n_tokens * {REP_TOP_UNIGRAM[0]}
+            OR top_bigram_n * {REP_TOP_BIGRAM[1]} > n_bigrams * {REP_TOP_BIGRAM[0]}
+            OR dup_trigram_n * {REP_DUP_TRIGRAM[1]} > n_trigrams * {REP_DUP_TRIGRAM[0]}
+           ) AS repetitive
+    FROM uni JOIN bi ON uni.doc_id = bi.doc_id
+             JOIN tri ON uni.doc_id = tri.doc_id
+    ORDER BY uni.doc_id
+"""
+
+
 TEXT_ANALYSIS_QUERIES: list[tuple[str, object, str | None]] = [
     ("text_normalize", text_normalize, NORMALIZE_ORACLE),
     ("text_langid", text_langid, LANGID_ORACLE),
@@ -939,4 +1084,5 @@ TEXT_ANALYSIS_QUERIES: list[tuple[str, object, str | None]] = [
     ("text_bigram_coverage", text_bigram_coverage, BIGRAM_COVERAGE_ORACLE),
     ("doc_token_windows", doc_token_windows, DOC_WINDOWS_ORACLE),
     ("token_budget_packing", token_budget_packing, PACKING_ORACLE),
+    ("text_repetition_filter", text_repetition_filter, REPETITION_ORACLE),
 ]
