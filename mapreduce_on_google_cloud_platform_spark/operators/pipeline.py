@@ -665,6 +665,122 @@ RELEASE_ORACLE = _release_oracle()
 
 
 # ---------------------------------------------------------------------------
+# Snapshot diff (CDC classification): given two versions of a table,
+# report what changed -- the audit/validation pass run before publishing
+# a new data release, and the inverse of merge_upsert_orders above
+# (MERGE applies a change set; diff recovers one).  Two order-book
+# versions are simulated deterministically from the same scan: version A
+# is all orders before SNAP_CUT1; version B extends to SNAP_CUT2, drops
+# a DELETE_HEX md5 bucket of keys, and reprices a REPRICE_HEX bucket by
+# exactly 1.1 (decimal multiply -- exact on both engines, so 'changed'
+# classification never touches a float).  A full-outer join on the key
+# then classifies every row added / removed / changed / unchanged and
+# rolls up counts + decimal-exact revenue per class.
+#
+# Real systems diff a row-digest of the serialized tuple; here the
+# compare is on the typed columns directly, which is the same plan shape
+# (shuffle both sides on the key, compare, combinable rollup) without
+# binding to an engine-specific serialization.  At 100 TB: two scans of
+# the same parquet (Catalyst shares the exchange under AQE when the
+# filters allow), one key shuffle per side, and the report rollup.
+# ---------------------------------------------------------------------------
+
+SNAP_CUT1 = "1997-01-01"
+SNAP_CUT2 = "1997-07-01"
+SNAP_DELETE_HEX = "0"   # first md5 hex char: ~1/16 of keys deleted in B
+SNAP_REPRICE_HEX = "1"  # next bucket: repriced *1.1 in B
+
+
+def _order_key_bucket(key) -> object:
+    return F.substring(F.md5(key.cast("string")), 1, 1)
+
+
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    bucket = _order_key_bucket(F.col("o_orderkey"))
+    base = orders.select(
+        "o_orderkey",
+        "o_orderdate",
+        price.alias("price"),
+        bucket.alias("bucket"),
+    )
+    snap_a = base.filter(F.col("o_orderdate") < SNAP_CUT1).select(
+        "o_orderkey", F.col("price").alias("price_a")
+    )
+    reprice = (F.col("price") * F.lit("1.1").cast("decimal(2,1)")).alias("price_b")
+    snap_b = (
+        base.filter(
+            (F.col("o_orderdate") < SNAP_CUT2)
+            & (F.col("bucket") != SNAP_DELETE_HEX)
+        )
+        .select(
+            "o_orderkey",
+            # branches unify by WIDENING scale (18,2)->(21,3); never a
+            # narrowing cast here, which would round and desync engines
+            F.when(F.col("bucket") == SNAP_REPRICE_HEX, reprice)
+            .otherwise(F.col("price"))
+            .alias("price_b"),
+        )
+    )
+    diff = snap_a.join(snap_b, "o_orderkey", "full_outer").select(
+        F.when(F.col("price_a").isNull(), "added")
+        .when(F.col("price_b").isNull(), "removed")
+        .when(F.col("price_a") != F.col("price_b"), "changed")
+        .otherwise("unchanged")
+        .alias("change_type"),
+        "price_a",
+        "price_b",
+    )
+    return (
+        diff.groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("price_a").cast("double").alias("revenue_a"),
+            F.sum("price_b").cast("double").alias("revenue_b"),
+        )
+        .orderBy("change_type")
+    )
+
+
+SNAPSHOT_DIFF_ORACLE = f"""
+    WITH base AS (
+        SELECT o_orderkey, o_orderdate,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+               substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) AS bucket
+        FROM orders
+    ),
+    snap_a AS (
+        SELECT o_orderkey, price AS price_a FROM base
+        WHERE o_orderdate < '{SNAP_CUT1}'
+    ),
+    snap_b AS (
+        SELECT o_orderkey,
+               CASE WHEN bucket = '{SNAP_REPRICE_HEX}'
+                    THEN price * CAST('1.1' AS DECIMAL(2,1))
+                    ELSE price END AS price_b
+        FROM base
+        WHERE o_orderdate < '{SNAP_CUT2}' AND bucket <> '{SNAP_DELETE_HEX}'
+    ),
+    diff AS (
+        SELECT CASE WHEN price_a IS NULL THEN 'added'
+                    WHEN price_b IS NULL THEN 'removed'
+                    WHEN price_a <> price_b THEN 'changed'
+                    ELSE 'unchanged' END AS change_type,
+               price_a, price_b
+        FROM snap_a FULL OUTER JOIN snap_b USING (o_orderkey)
+    )
+    SELECT change_type,
+           count(*) AS n_orders,
+           CAST(sum(price_a) AS DOUBLE) AS revenue_a,
+           CAST(sum(price_b) AS DOUBLE) AS revenue_b
+    FROM diff
+    GROUP BY change_type
+    ORDER BY change_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # Domain-mixture sampling: rebalance the corpus language mix by
 # downsampling over-represented languages to target rates (the standard
 # pretraining-mix move: this corpus is ~44% 'en'; halve it, keep the
@@ -754,4 +870,5 @@ PIPELINE_QUERIES: list[tuple[str, object, str | None]] = [
     ("data_quality_audit", data_quality_audit, DATA_QUALITY_ORACLE),
     ("training_data_prep", training_data_prep, TRAINING_PREP_ORACLE),
     ("corpus_mixture_sample", corpus_mixture_sample, MIXTURE_ORACLE),
+    ("snapshot_diff_orders", snapshot_diff_orders, SNAPSHOT_DIFF_ORACLE),
 ]

@@ -683,6 +683,109 @@ ANN_LABEL_RECALL_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Scalar int8 quantization of the embedding column -- the standard 4x
+# memory/bandwidth reduction before an ANN index is built (uint8 codes
+# per dimension against global per-dimension min/max).  Everything is
+# exact integer arithmetic on the same 1e-6 fixed-point grid kmeans uses
+# (q = floor(v*1e6 + 0.5), a floor of an identically-rounded double), so
+# codes and error statistics are bit-deterministic on any engine or
+# partitioning:
+#
+#   code = (q - qmin) * 255 intdiv (qmax - qmin)      in 0..255
+#   recon*255 = qmin*255 + code*(qmax - qmin)          (rational, never divided)
+#   abs_err_num = |q*255 - recon*255|                  (exact int)
+#
+# mean/max abs error are reported in value units via single divisions by
+# the exact literal 255e6 = 255 * 1e6.  Plan: posexplode to (dim, q)
+# rows, ONE combinable shuffle on dim for min/max (64 rows out), the
+# 64-row bounds broadcast back, then a second combinable shuffle on dim
+# for the error rollup.  Two linear passes over the corpus -- the
+# unavoidable shape for global-bounds quantization -- and nothing ever
+# concentrates on the driver.
+# ---------------------------------------------------------------------------
+
+
+def _emb_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, dim, q): every embedding component on the exact 1e-6 grid."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v"),
+    ).select(
+        "vec_id",
+        (F.col("dim") + 1).alias("dim"),  # 1-based like the oracle's range()
+        F.floor(F.col("v") * QUANT_SCALE + F.lit(0.5)).alias("q"),
+    )
+
+
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qs = _emb_fixed_point(spark, sf_dir)
+    bounds = qs.groupBy("dim").agg(
+        F.min("q").alias("qmin"), F.max("q").alias("qmax")
+    )
+    joined = qs.join(F.broadcast(bounds), "dim")
+    span = F.col("qmax") - F.col("qmin")
+    # integer floor-division: operands are non-negative, so div == floor
+    code = F.when(span == 0, F.lit(0)).otherwise(
+        F.expr("((q - qmin) * 255) div (qmax - qmin)")
+    )
+    err_num = F.abs(
+        F.col("q") * 255 - (F.col("qmin") * 255 + code * span)
+    )
+    per_dim = (
+        joined.select("dim", "qmin", "qmax", err_num.alias("err_num"))
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.first("qmin").alias("qmin"),
+            F.first("qmax").alias("qmax"),
+            F.sum("err_num").alias("sum_err_num"),
+            F.max("err_num").alias("max_err_num"),
+        )
+    )
+    denom = 255 * QUANT_SCALE
+    return per_dim.select(
+        F.col("dim").cast("int").alias("dim"),
+        "n",
+        (F.col("qmin") / QUANT_SCALE).alias("dim_min"),
+        (F.col("qmax") / QUANT_SCALE).alias("dim_max"),
+        (F.col("sum_err_num") / (F.col("n") * denom)).alias("mean_abs_err"),
+        (F.col("max_err_num") / denom).alias("max_abs_err"),
+    ).orderBy("dim")
+
+
+EMBEDDING_QUANTIZE_ORACLE = f"""
+    WITH qs AS (
+        SELECT vec_id, i AS dim,
+               CAST(floor(CAST(embedding[i] AS DOUBLE) * {QUANT_SCALE} + 0.5)
+                    AS BIGINT) AS q
+        FROM embeddings, unnest(range(1, len(embedding) + 1)) t(i)
+    ),
+    bounds AS (
+        SELECT dim, min(q) AS qmin, max(q) AS qmax FROM qs GROUP BY dim
+    ),
+    coded AS (
+        SELECT qs.dim, qmin, qmax,
+               abs(q * 255 - (qmin * 255 +
+                   (CASE WHEN qmax = qmin THEN 0
+                         ELSE ((q - qmin) * 255) // (qmax - qmin) END)
+                   * (qmax - qmin))) AS err_num
+        FROM qs JOIN bounds ON qs.dim = bounds.dim
+    )
+    SELECT CAST(dim AS INTEGER) AS dim,
+           count(*) AS n,
+           min(qmin) / {QUANT_SCALE} AS dim_min,
+           min(qmax) / {QUANT_SCALE} AS dim_max,
+           CAST(sum(err_num) AS BIGINT) / (count(*) * {255 * QUANT_SCALE})
+               AS mean_abs_err,
+           max(err_num) / {255 * QUANT_SCALE} AS max_abs_err
+    FROM coded
+    GROUP BY dim
+    ORDER BY dim
+"""
+
+
 SIMILARITY_QUERIES: list[tuple[str, object, str | None]] = [
     ("ann_topk_bruteforce", ann_topk_bruteforce, ANN_BRUTEFORCE_ORACLE),
     ("ann_ivf_topk", ann_ivf_topk, ANN_IVF_ORACLE),
@@ -691,4 +794,5 @@ SIMILARITY_QUERIES: list[tuple[str, object, str | None]] = [
     ("ann_label_recall", ann_label_recall, ANN_LABEL_RECALL_ORACLE),
     ("embedding_vector_suite", embedding_vector_suite, VECTOR_SUITE_ORACLE),
     ("kmeans_assign", kmeans_assign, KMEANS_ORACLE),
+    ("embedding_quantize_int8", embedding_quantize_int8, EMBEDDING_QUANTIZE_ORACLE),
 ]

@@ -935,16 +935,18 @@ PACKING_ORACLE = f"""
 #   dup_trigram_frac  -- share of trigram occurrences beyond each
 #                        trigram's first (n_trigrams - distinct)/n
 #
-# Plan shape: ONE posexplode of the corpus, lead() windows build the
-# 2/3-grams in the same pass (shuffle on doc_id for the window sort),
-# then three combinable (doc_id, gram)-keyed counts reduced to per-doc
-# maxima and joined back on doc_id -- every join input is already one
-# row per doc.  At 100 TB each aggregation is a partial-agg'd shuffle
-# on the gram key; nothing is quadratic in document size and no token
-# list is ever materialized per row.  Numeric discipline: every ratio
-# is a single double division of exact integers; the keep/drop flag
-# compares those integers cross-multiplied, so the boolean never
-# depends on float rounding at all.
+# Plan shape -- deliberately SINGLE-PASS: one posexplode of the corpus,
+# lead() windows build the 2/3-grams in the same window pass, and the
+# three gram types are unpivoted into one (doc_id, type, gram) stream
+# (explode of a 3-struct array) so ALL statistics come from one
+# (doc_id, type, gram) count plus one per-doc conditional rollup.  The
+# naive formulation -- separate uni/bi/tri aggregates joined back on
+# doc_id -- reads the corpus three times and pays the window sort twice;
+# this one is 1 scan, 1 window sort, 2 combinable shuffles, 0 joins,
+# which is the difference that matters when the input is 100 TB.
+# Numeric discipline: every ratio is a single double division of exact
+# integers; the keep/drop flag compares those integers cross-multiplied,
+# so the boolean never depends on float rounding at all.
 # ---------------------------------------------------------------------------
 
 # Gopher-ish thresholds, expressed as integer ratios (numerator,
@@ -959,49 +961,60 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens_with_pos(docs)
     w = Window.partitionBy("doc_id").orderBy("pos")
-    grams = toks.select(
+    # window expressions are not allowed inside a generator: materialize
+    # the two lead columns first, then unpivot.  concat_ws SKIPS nulls (a
+    # trailing bigram would silently become its unigram), so incomplete
+    # grams at doc end are nulled explicitly and dropped after the unpivot.
+    leads = toks.select(
         "doc_id",
-        F.col("word").alias("w0"),
+        "word",
         F.lead("word", 1).over(w).alias("w1"),
         F.lead("word", 2).over(w).alias("w2"),
     )
+    grams = leads.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(F.lit("u").alias("t"), F.col("word").alias("g")),
+                F.struct(
+                    F.lit("b").alias("t"),
+                    F.when(
+                        F.col("w1").isNotNull(),
+                        F.concat_ws(" ", "word", "w1"),
+                    ).alias("g"),
+                ),
+                F.struct(
+                    F.lit("t").alias("t"),
+                    F.when(
+                        F.col("w2").isNotNull(),
+                        F.concat_ws(" ", "word", "w1", "w2"),
+                    ).alias("g"),
+                ),
+            )
+        ).alias("x"),
+    ).select("doc_id", F.col("x.t").alias("t"), F.col("x.g").alias("g"))
 
-    uni = (
-        grams.groupBy("doc_id", "w0")
-        .count()
-        .groupBy("doc_id")
-        .agg(
-            F.sum("count").alias("n_tokens"),
-            F.count(F.lit(1)).alias("distinct_tokens"),
-            F.max("count").alias("top_unigram_n"),
-        )
+    counts = (
+        grams.filter(F.col("g").isNotNull()).groupBy("doc_id", "t", "g").count()
     )
-    bi = (
-        grams.filter(F.col("w1").isNotNull())
-        .groupBy("doc_id", "w0", "w1")
-        .count()
-        .groupBy("doc_id")
-        .agg(
-            F.sum("count").alias("n_bigrams"),
-            F.max("count").alias("top_bigram_n"),
-        )
-    )
-    tri = (
-        grams.filter(F.col("w2").isNotNull())
-        .groupBy("doc_id", "w0", "w1", "w2")
-        .count()
-        .groupBy("doc_id")
-        .agg(
-            F.sum("count").alias("n_trigrams"),
-            (F.sum("count") - F.count(F.lit(1))).alias("dup_trigram_n"),
-        )
+    is_u = F.col("t") == "u"
+    is_b = F.col("t") == "b"
+    is_t = F.col("t") == "t"
+    c_if = lambda cond: F.when(cond, F.col("count"))  # noqa: E731
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum(c_if(is_u)).alias("n_tokens"),
+        F.count(c_if(is_u)).alias("distinct_tokens"),
+        F.max(c_if(is_u)).alias("top_unigram_n"),
+        F.sum(c_if(is_b)).alias("n_bigrams"),
+        F.max(c_if(is_b)).alias("top_bigram_n"),
+        F.sum(c_if(is_t)).alias("n_trigrams"),
+        (F.sum(c_if(is_t)) - F.count(c_if(is_t))).alias("dup_trigram_n"),
     )
 
     ru_n, ru_d = REP_TOP_UNIGRAM
     rb_n, rb_d = REP_TOP_BIGRAM
     rt_n, rt_d = REP_DUP_TRIGRAM
-    joined = uni.join(bi, "doc_id").join(tri, "doc_id")
-    return joined.select(
+    return per_doc.select(
         "doc_id",
         "n_tokens",
         "distinct_tokens",
@@ -1062,8 +1075,8 @@ REPETITION_ORACLE = f"""
             OR top_bigram_n * {REP_TOP_BIGRAM[1]} > n_bigrams * {REP_TOP_BIGRAM[0]}
             OR dup_trigram_n * {REP_DUP_TRIGRAM[1]} > n_trigrams * {REP_DUP_TRIGRAM[0]}
            ) AS repetitive
-    FROM uni JOIN bi ON uni.doc_id = bi.doc_id
-             JOIN tri ON uni.doc_id = tri.doc_id
+    FROM uni LEFT JOIN bi ON uni.doc_id = bi.doc_id
+             LEFT JOIN tri ON uni.doc_id = tri.doc_id
     ORDER BY uni.doc_id
 """
 

@@ -432,3 +432,52 @@ def test_split_and_decile_stay_single_shuffle_shapes(spark):
     assert "partial_count" in plan and "md5" in plan
     plan = plan_of(spark, "value_decile_features")
     assert "ntile" in plan and "Join" not in plan
+
+
+def test_repetition_filter_is_single_pass(spark):
+    """The unpivoted formulation: ONE corpus scan feeds all three gram
+    statistics -- no per-gram-type rescan, no join-back on doc_id."""
+    plan = plan_of(spark, "text_repetition_filter")
+    # count scans in the tree section only: the formatted detail section
+    # repeats every node name once more
+    assert plan.split("\n\n")[0].count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "Window" in plan  # the lead() pass that builds 2/3-grams
+
+
+def test_mixture_sample_is_scan_local_predicate(spark):
+    """Membership is decided row-locally (md5 in the project, no shuffle
+    to sample); the only exchanges are the report rollup + final sort."""
+    plan = plan_of(spark, "corpus_mixture_sample")
+    assert "md5" in plan
+    assert "Join" not in plan
+    assert plan.split("\n\n")[0].count("Exchange") <= 2
+
+
+def test_quantize_broadcasts_bounds_not_vectors(spark):
+    """Per-dim bounds (64 rows) broadcast back to the exploded stream;
+    the vector side must never shuffle for the join."""
+    plan = plan_of(spark, "embedding_quantize_int8")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # two linear passes -- bounds pass + error pass -- and nothing more
+    assert plan.split("\n\n")[0].count("Scan parquet") == 2
+
+
+def test_snapshot_diff_pushes_date_filters(spark):
+    """Both snapshot scans must push their date cutoffs into parquet and
+    meet in a single full-outer shuffle join; the rollup partial-aggs."""
+    plan = plan_of(spark, "snapshot_diff_orders")
+    assert "FullOuter" in plan
+    assert plan.count("LessThan(o_orderdate") == 2
+    assert "partial_count" in plan
+
+
+def test_geomean_exact_is_jvm_only_two_phase(spark):
+    """The scale-path geomean: no Python/Arrow evaluation anywhere, the
+    value>0 filter pushed to the scan, decimal log-sum partial-agg'd."""
+    plan = plan_of(spark, "geomean_event_value_exact")
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" not in plan and "AggregateInPandas" not in plan
+    assert "PushedFilters: [IsNotNull(value), GreaterThan(value," in plan
+    assert "partial_" in plan or "Partial" in plan

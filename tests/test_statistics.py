@@ -114,3 +114,18 @@ def test_split_assignment_is_leakage_safe(spark):
     assert set(sizes) == {"train", "val", "test"}
     total = sum(sizes.values())
     assert 0.65 <= sizes["train"] / total <= 0.95
+
+
+def test_geomean_exact_twin_agrees_with_grouped_agg(spark):
+    """The JVM-expression geomean must agree with the GROUPED_AGG pandas
+    path to the twin's declared rounding (1e-6) on every group."""
+    from mapreduce_on_google_cloud_platform_spark.plans import QUERIES
+
+    from .conftest import SF_SMOKE
+
+    udf_rows = {
+        r.event_type: r.geomean_value
+        for r in QUERIES["geomean_event_value"](spark, SF_SMOKE).collect()
+    }
+    for r in QUERIES["geomean_event_value_exact"](spark, SF_SMOKE).collect():
+        assert abs(r.geomean_value - udf_rows[r.event_type]) <= 1e-6

@@ -96,3 +96,33 @@ def test_text_normalize_properties(spark):
         assert len(toks) == r.n_kept
         assert not set(toks) & set(EN_STOPS)
         assert r.n_kept + r.n_repeats_removed <= r.n_tokens
+
+
+def test_repetition_filter_flags_crafted_docs(spark, tmp_path):
+    """A doc that is one token repeated must be flagged; a doc of all
+    distinct tokens must not; a 1-token doc survives with null gram
+    stats (no inner-join drop)."""
+    import pandas as pd
+
+    from mapreduce_on_google_cloud_platform_spark.operators.text_analysis import (
+        text_repetition_filter,
+    )
+
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["spam " * 20, " ".join(f"w{i}" for i in range(40)), "one"],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [100, 200, 3],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    rows = {
+        r.doc_id: r for r in text_repetition_filter(spark, str(tmp_path)).collect()
+    }
+    assert rows[1].repetitive and rows[1].top_unigram_frac == 1.0
+    assert not rows[2].repetitive and rows[2].dup_trigram_frac == 0.0
+    assert rows[3].n_tokens == 1 and rows[3].n_bigrams is None
+    # a 1-token doc IS 100% top-unigram: the filter reports that honestly;
+    # minimum-length gating is the curation pipeline's job (MIN_TOKENS)
+    assert rows[3].repetitive and rows[3].top_unigram_frac == 1.0
