@@ -90,6 +90,14 @@ HEADLINE = [
     "cohort_retention",
     "event_funnel_conversion",
     "data_quality_audit",
+    # curation additions: repetition gate, mixture rebalance, int8 codes,
+    # snapshot CDC, JVM geomean
+    "text_repetition_filter",
+    "corpus_mixture_sample",
+    "embedding_quantize_int8",
+    "snapshot_diff_orders",
+    "geomean_event_value_exact",
+    "ann_int8_topk",
 ]
 
 

@@ -481,3 +481,12 @@ def test_geomean_exact_is_jvm_only_two_phase(spark):
     assert "FlatMapGroupsInPandas" not in plan and "AggregateInPandas" not in plan
     assert "PushedFilters: [IsNotNull(value), GreaterThan(value," in plan
     assert "partial_" in plan or "Partial" in plan
+
+
+def test_int8_topk_broadcasts_queries_and_stays_integer(spark):
+    """The quantized brute-force path: query side broadcast (never a
+    corpus shuffle for the score join), integer zip_with/aggregate score
+    (no float expressions in the ranking)."""
+    plan = plan_of(spark, "ann_int8_topk")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

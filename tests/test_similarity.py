@@ -138,3 +138,24 @@ def test_lsh_multiprobe_recall_dominates_single_probe(spark):
     # anything clearly above zero shows the machinery works, the dominance
     # check above is the real property.
     assert r_multi > 0.03, f"multi-probe LSH recall suspiciously low: {r_multi:.2f}"
+
+
+def test_int8_topk_recall_against_float_groundtruth(spark):
+    """Quantized serving must track the exact float ranking closely:
+    top-10 recall vs ann_topk_bruteforce >= 0.9 averaged over queries
+    (reconstructed-dot scoring measures 0.98 here; the plain centered
+    code-dot that ignores per-dim scale/offset craters to ~0.78 and a
+    broken code layout to ~0.1)."""
+    from mapreduce_on_google_cloud_platform_spark.plans import QUERIES
+
+    from .conftest import SF_SMOKE
+
+    exact: dict[int, set[int]] = {}
+    for r in QUERIES["ann_topk_bruteforce"](spark, SF_SMOKE).collect():
+        exact.setdefault(r.q_id, set()).add(r.neighbor_id)
+    got: dict[int, set[int]] = {}
+    for r in QUERIES["ann_int8_topk"](spark, SF_SMOKE).collect():
+        got.setdefault(r.q_id, set()).add(r.neighbor_id)
+    assert set(got) == set(exact)
+    recalls = [len(got[q] & exact[q]) / len(exact[q]) for q in exact]
+    assert sum(recalls) / len(recalls) >= 0.9
