@@ -98,6 +98,7 @@ HEADLINE = [
     "snapshot_diff_orders",
     "geomean_event_value_exact",
     "ann_int8_topk",
+    "text_unigram_logprob",
 ]
 
 

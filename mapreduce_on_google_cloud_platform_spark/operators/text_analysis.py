@@ -1081,6 +1081,70 @@ REPETITION_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Unigram-LM quality scoring: per-document average negative log
+# probability under the corpus's own unigram distribution -- the
+# perplexity-proxy filter (the cheap stand-in for a KenLM pass) that
+# flags gibberish (rare-token soup scores high) and boilerplate
+# (common-token soup scores low).  p(w) = corpus_freq(w) / corpus_total,
+# so the model "trains" and scores in one plan.
+#
+# Determinism: each token's log p is a double (ln(freq) - ln(total)),
+# cast to DECIMAL(25,12) BEFORE the per-doc sum -- the reduction is
+# exact and partitioning-order-free (the geomean twin's discipline);
+# the final avg divides once and rounds to 1e-6, and perplexity is
+# exp() of that already-rounded double, rounded to 1e-4, absorbing
+# last-ulp libm differences.
+#
+# Scale: one token scan feeds both the frequency table and the scoring
+# join; the frequency join shuffles on word (a vocabulary is NOT
+# assumed broadcastable at 100 TB -- let AQE decide), the 1-row total
+# broadcasts, and the per-doc rollup partial-aggs.
+# ---------------------------------------------------------------------------
+
+
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_df(docs)
+    freq = toks.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").alias("total"))
+    lp = (F.log("c") - F.log("total")).cast("decimal(25,12)")
+    scored = toks.join(freq, "word").crossJoin(F.broadcast(total))
+    nll = -F.sum(lp).cast("double") / F.count(F.lit(1))
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(nll, 6).alias("avg_nll"),
+            F.round(F.exp(F.round(nll, 6)), 4).alias("ppl"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+UNIGRAM_LOGPROB_ORACLE = f"""
+    WITH {DUCKDB_TOKS_CTE},
+    stream AS (
+        SELECT doc_id, ts[i] AS word
+        FROM toks, unnest(range(1, len(ts) + 1)) t(i)
+    ),
+    freq AS (SELECT word, count(*) AS c FROM stream GROUP BY word),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM freq),
+    lps AS (
+        SELECT doc_id,
+               CAST(ln(c) - ln(total) AS DECIMAL(25,12)) AS lp
+        FROM stream JOIN freq USING (word), tot
+    )
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           round(-CAST(sum(lp) AS DOUBLE) / count(*), 6) AS avg_nll,
+           round(exp(round(-CAST(sum(lp) AS DOUBLE) / count(*), 6)), 4) AS ppl
+    FROM lps
+    GROUP BY doc_id
+    ORDER BY doc_id
+"""
+
+
 TEXT_ANALYSIS_QUERIES: list[tuple[str, object, str | None]] = [
     ("text_normalize", text_normalize, NORMALIZE_ORACLE),
     ("text_langid", text_langid, LANGID_ORACLE),
@@ -1098,4 +1162,5 @@ TEXT_ANALYSIS_QUERIES: list[tuple[str, object, str | None]] = [
     ("doc_token_windows", doc_token_windows, DOC_WINDOWS_ORACLE),
     ("token_budget_packing", token_budget_packing, PACKING_ORACLE),
     ("text_repetition_filter", text_repetition_filter, REPETITION_ORACLE),
+    ("text_unigram_logprob", text_unigram_logprob, UNIGRAM_LOGPROB_ORACLE),
 ]

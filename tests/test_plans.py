@@ -490,3 +490,12 @@ def test_int8_topk_broadcasts_queries_and_stays_integer(spark):
     plan = plan_of(spark, "ann_int8_topk")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_unigram_logprob_single_token_scan_shared(spark):
+    """The unigram LM trains and scores in one plan: JVM-only (no
+    Python eval), frequency join NOT forced broadcast (vocabulary size
+    is corpus-dependent), per-doc rollup partial-agg'd."""
+    plan = plan_of(spark, "text_unigram_logprob")
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "partial_count" in plan

@@ -95,6 +95,14 @@ def test_missing_sf_dir_raises_cleanly(spark):
         "dedup_embedding_lsh",
         "q21_waiting_suppliers",
         "dedup_clusters",
+        # round-4 curation additions: decimal log sums, fixed-point
+        # codes, integer top-k ranking, full-outer CDC classification
+        "geomean_event_value_exact",
+        "text_repetition_filter",
+        "embedding_quantize_int8",
+        "ann_int8_topk",
+        "snapshot_diff_orders",
+        "corpus_mixture_sample",
     ],
 )
 def test_shuffle_partition_invariance(spark, name):
