@@ -99,6 +99,7 @@ HEADLINE = [
     "geomean_event_value_exact",
     "ann_int8_topk",
     "text_unigram_logprob",
+    "corpus_zipf_stats",
 ]
 
 

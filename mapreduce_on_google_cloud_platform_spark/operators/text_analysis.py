@@ -1145,6 +1145,89 @@ UNIGRAM_LOGPROB_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Corpus-health report: per-language Zipf/type-token statistics -- the
+# first thing to look at when a crawl slice smells wrong (a collapsed
+# type-token ratio means boilerplate flooding; a vanishing hapax
+# fraction means dedup failed upstream; top-K coverage approaching 1
+# means template text).  Everything is integer counts with single
+# double divisions at the end.  TOP_COVER_K ranks ties by word so the
+# covered-token count is deterministic on any engine.
+#
+# Scale: one token scan, one combinable (lang, word) shuffle, then the
+# per-language rollup + a window rank over the per-language VOCABULARY
+# (not the token stream) -- the sort input is |vocab| rows per
+# language, which is the small side of a text corpus.
+# ---------------------------------------------------------------------------
+
+TOP_COVER_K = 100
+
+
+def corpus_zipf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        F.explode(F.split(F.col("text"), r"\s+")).alias("_tok"),
+    ).select("lang", F.regexp_replace(F.lower("_tok"), "[^0-9a-z]", "").alias("word"))
+    toks = toks.filter(F.col("word") != "")
+    wc = toks.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("word"))
+    ranked = wc.withColumn("rnk", F.row_number().over(w))
+    return (
+        ranked.groupBy("lang")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("vocab_size"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("hapax_count"),
+            F.sum(F.when(F.col("rnk") <= TOP_COVER_K, F.col("c")).otherwise(0)).alias(
+                "topk_tokens"
+            ),
+        )
+        .select(
+            "lang",
+            "n_tokens",
+            "vocab_size",
+            "hapax_count",
+            "topk_tokens",
+            (F.col("vocab_size") / F.col("n_tokens")).alias("type_token_ratio"),
+            (F.col("hapax_count") / F.col("vocab_size")).alias("hapax_frac"),
+            (F.col("topk_tokens") / F.col("n_tokens")).alias("topk_coverage"),
+        )
+        .orderBy("lang")
+    )
+
+
+ZIPF_STATS_ORACLE = f"""
+    WITH stream AS (
+        SELECT lang,
+               regexp_replace(lower(tok), '[^0-9a-z]', '', 'g') AS word
+        FROM (
+            SELECT lang, unnest(regexp_split_to_array(text, '\\s+')) AS tok
+            FROM documents
+        )
+        WHERE regexp_replace(lower(tok), '[^0-9a-z]', '', 'g') <> ''
+    ),
+    wc AS (SELECT lang, word, count(*) AS c FROM stream GROUP BY 1, 2),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY lang
+                                     ORDER BY c DESC, word) AS rnk
+        FROM wc
+    )
+    SELECT lang,
+           sum(c) AS n_tokens,
+           count(*) AS vocab_size,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_count,
+           sum(CASE WHEN rnk <= {TOP_COVER_K} THEN c ELSE 0 END) AS topk_tokens,
+           count(*) / sum(c) AS type_token_ratio,
+           sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) / count(*) AS hapax_frac,
+           sum(CASE WHEN rnk <= {TOP_COVER_K} THEN c ELSE 0 END) / sum(c)
+               AS topk_coverage
+    FROM ranked
+    GROUP BY lang
+    ORDER BY lang
+"""
+
+
 TEXT_ANALYSIS_QUERIES: list[tuple[str, object, str | None]] = [
     ("text_normalize", text_normalize, NORMALIZE_ORACLE),
     ("text_langid", text_langid, LANGID_ORACLE),
@@ -1163,4 +1246,5 @@ TEXT_ANALYSIS_QUERIES: list[tuple[str, object, str | None]] = [
     ("token_budget_packing", token_budget_packing, PACKING_ORACLE),
     ("text_repetition_filter", text_repetition_filter, REPETITION_ORACLE),
     ("text_unigram_logprob", text_unigram_logprob, UNIGRAM_LOGPROB_ORACLE),
+    ("corpus_zipf_stats", corpus_zipf_stats, ZIPF_STATS_ORACLE),
 ]
