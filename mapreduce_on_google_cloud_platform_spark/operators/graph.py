@@ -45,14 +45,20 @@ def neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b")
     )
+    # localCheckpoint (eager), not a lazy persist: the expensive
+    # shingle-join subplan is cut out of the iteration lineage entirely,
+    # so each of the PR_ITERS loop plans is a 3-way join over the tiny
+    # materialized edge list -- small plans, small generated code, no
+    # risk of the jaccard stage ever re-running.  Same cluster caveat as
+    # dedup_clusters: on TB-scale graphs use reliable checkpoints.
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(
             pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
         )
-        .persist()
+        .localCheckpoint()
     )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint()
     ranks = deg.select(F.col("src").alias("doc_id"), F.lit(PR_SCALE).alias("r"))
     base = 15 * PR_SCALE // 100
     for _ in range(PR_ITERS):
@@ -141,11 +147,14 @@ def neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept here because the near-dup graph's degrees are small and the
     oracle stays a three-line SQL join."""
     docs = load_table(spark, sf_dir, "documents")
+    # eager localCheckpoint for the same reason as neardup_pagerank: the
+    # wedge and closure joins reference the edge list three times; cutting
+    # the shingle-join lineage keeps those plans (and their codegen) tiny
     e = (
         _pair_jaccard(shingles_df(docs))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b")
-        .persist()
+        .localCheckpoint()
     )
     x, y = e.alias("x"), e.alias("y")
     wedges = x.join(y, F.col("x.doc_b") == F.col("y.doc_a")).select(

@@ -45,6 +45,12 @@ def get_spark(app_name: str = "mapreduce_gcp_spark", *, cpus: int | None = None)
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # the generated-code cache defaults to 100 classes; a session
+        # serving 140+ distinct declared queries (bench, sweep, a real
+        # multi-tenant cluster) evicts and re-JITs hot plan fragments
+        # mid-workload -- measured as 2-3x in-suite slowdowns on the
+        # iterative operators.  Size it to the query surface.
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
         # static config: catalog tables (bucketed layouts) land outside the
         # repo; on a cluster this is the metastore-managed warehouse path
         .config(
