@@ -100,6 +100,7 @@ HEADLINE = [
     "ann_int8_topk",
     "text_unigram_logprob",
     "corpus_zipf_stats",
+    "value_decile_features_approx",
 ]
 
 

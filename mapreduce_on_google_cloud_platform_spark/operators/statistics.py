@@ -557,6 +557,41 @@ VALUE_DECILE_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# The scale path for decile binning: value_decile_features above is
+# EXACT but pays a full per-type sort (the window ntile) -- at 100 TB
+# that sort is the job.  Here decile BOUNDS come from percentile_approx
+# (a partial-aggregable quantile sketch: one combinable shuffle reduces
+# per-partition sketches to 9 numbers per type), broadcast back, and
+# bin assignment is a scan-local comparison against 9 doubles -- no
+# sort anywhere, one linear pass to learn bounds and one to assign.
+#
+# Declared rows-only: the sketch is engine-specific by construction
+# (DuckDB cannot reproduce Spark's GK boundaries), the same disposition
+# as sketch_summary; the pytest twin checks assignments against the
+# exact ntile path instead (>=99% of rows within one bin).
+# ---------------------------------------------------------------------------
+
+DECILE_SKETCH_ACC = 10_000
+
+
+def value_decile_features_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    probs = [i / N_DECILES for i in range(1, N_DECILES)]
+    bounds = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", probs, DECILE_SKETCH_ACC).alias("bnds")
+    )
+    decile = (
+        F.size(F.filter("bnds", lambda b: F.col("value") > b)) + 1
+    ).cast("int")
+    return ev.join(F.broadcast(bounds), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        decile.alias("decile"),
+    )
+
+
 STATISTICS_QUERIES: list[tuple[str, object, str | None]] = [
     ("quantile_summary", quantile_summary, QUANTILE_ORACLE),
     ("sample_stratified", sample_stratified, SAMPLE_STRATIFIED_ORACLE),
@@ -573,4 +608,6 @@ STATISTICS_QUERIES: list[tuple[str, object, str | None]] = [
     ("geomean_event_value", geomean_event_value, None),
     # ... and its JVM-expression scale path, exact enough to oracle-check
     ("geomean_event_value_exact", geomean_event_value_exact, GEOMEAN_EXACT_ORACLE),
+    # sketch-bounded binning: engine-specific boundaries -> rows-only
+    ("value_decile_features_approx", value_decile_features_approx, None),
 ]

@@ -499,3 +499,12 @@ def test_unigram_logprob_single_token_scan_shared(spark):
     plan = plan_of(spark, "text_unigram_logprob")
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "partial_count" in plan
+
+
+def test_decile_approx_has_no_sort_on_the_event_stream(spark):
+    """The whole point of the sketch path: bounds from a combinable
+    aggregate, broadcast back, NO window/sort over the event stream."""
+    plan = plan_of(spark, "value_decile_features_approx")
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "partial_percentile_approx" in plan or "percentile_approx" in plan

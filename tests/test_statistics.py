@@ -129,3 +129,23 @@ def test_geomean_exact_twin_agrees_with_grouped_agg(spark):
     }
     for r in QUERIES["geomean_event_value_exact"](spark, SF_SMOKE).collect():
         assert abs(r.geomean_value - udf_rows[r.event_type]) <= 1e-6
+
+
+def test_decile_approx_tracks_exact_binning(spark):
+    """The sort-free sketch path must agree with the exact ntile path:
+    every row within one bin, >=99% exactly equal (GK at accuracy 10k on
+    these group sizes is near-exact; a broken bounds join would scatter
+    assignments uniformly)."""
+    from mapreduce_on_google_cloud_platform_spark.plans import QUERIES
+
+    from .conftest import SF_SMOKE
+
+    exact = {
+        r.event_id: r.decile
+        for r in QUERIES["value_decile_features"](spark, SF_SMOKE).collect()
+    }
+    rows = QUERIES["value_decile_features_approx"](spark, SF_SMOKE).collect()
+    assert len(rows) == len(exact)
+    same = sum(1 for r in rows if r.decile == exact[r.event_id])
+    assert all(abs(r.decile - exact[r.event_id]) <= 1 for r in rows)
+    assert same / len(rows) >= 0.99
