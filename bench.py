@@ -101,6 +101,7 @@ HEADLINE = [
     "text_unigram_logprob",
     "corpus_zipf_stats",
     "value_decile_features_approx",
+    "customer_rfm_features",
 ]
 
 

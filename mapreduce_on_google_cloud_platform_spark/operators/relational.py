@@ -1819,6 +1819,99 @@ Q21_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# RFM customer segmentation -- the classic marketing/feature-store
+# scoring pass: recency (days since last order, against the corpus max
+# date so the feature is reproducible from the data alone), frequency
+# (order count), monetary (decimal-exact spend), each quintile-scored
+# with ntile and combined into the 3-digit RFM segment.
+#
+# Scale shape: one combinable shuffle on o_custkey reduces the ORDER
+# stream to one row per customer; the three quintile windows then sort
+# the per-customer AGGREGATE -- dimension cardinality, not fact
+# cardinality.  They are still global (partitionless) sorts by design:
+# quintiles are corpus-global.  When even the customer dimension is too
+# big for one sort, swap ntile for sketch bounds exactly as
+# value_decile_features_approx does for event values.  Every ntile
+# orders by (metric, c_custkey) so the row->score map is deterministic
+# on any engine or partitioning.
+# ---------------------------------------------------------------------------
+
+
+def customer_rfm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        money_sum(dec("o_totalprice")).alias("monetary"),
+    )
+    ref = orders.agg(F.max("o_orderdate").alias("ref_date"))
+    feat = per_cust.crossJoin(F.broadcast(ref)).select(
+        "c_custkey",
+        F.datediff("ref_date", "last_order").alias("recency_days"),
+        "frequency",
+        "monetary",
+    )
+    w_r = Window.orderBy(F.asc("recency_days"), F.asc("c_custkey"))
+    w_f = Window.orderBy(F.desc("frequency"), F.asc("c_custkey"))
+    w_m = Window.orderBy(F.desc("monetary"), F.asc("c_custkey"))
+    scored = feat.select(
+        "*",
+        F.ntile(5).over(w_r).cast("int").alias("r_score"),
+        F.ntile(5).over(w_f).cast("int").alias("f_score"),
+        F.ntile(5).over(w_m).cast("int").alias("m_score"),
+    )
+    return scored.select(
+        "c_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        "r_score",
+        "f_score",
+        "m_score",
+        (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score"))
+        .cast("int")
+        .alias("rfm_segment"),
+    ).orderBy("c_custkey")
+
+
+RFM_ORACLE = """
+    WITH per_cust AS (
+        SELECT o_custkey AS c_custkey,
+               max(o_orderdate) AS last_order,
+               count(*) AS frequency,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS monetary
+        FROM orders
+        GROUP BY o_custkey
+    ),
+    ref AS (SELECT max(o_orderdate) AS ref_date FROM orders),
+    feat AS (
+        SELECT c_custkey,
+               CAST(date_diff('day', last_order, ref_date) AS INTEGER)
+                   AS recency_days,
+               frequency, monetary
+        FROM per_cust, ref
+    ),
+    scored AS (
+        SELECT *,
+               CAST(ntile(5) OVER (ORDER BY recency_days, c_custkey) AS INTEGER)
+                   AS r_score,
+               CAST(ntile(5) OVER (ORDER BY frequency DESC, c_custkey) AS INTEGER)
+                   AS f_score,
+               CAST(ntile(5) OVER (ORDER BY monetary DESC, c_custkey) AS INTEGER)
+                   AS m_score
+        FROM feat
+    )
+    SELECT c_custkey, recency_days, frequency, monetary,
+           r_score, f_score, m_score,
+           CAST(r_score * 100 + f_score * 10 + m_score AS INTEGER)
+               AS rfm_segment
+    FROM scored
+    ORDER BY c_custkey
+"""
+
+
 RELATIONAL_QUERIES: list[tuple[str, object, str]] = [
     ("q1_pricing_summary", q1_pricing_summary, Q1_ORACLE),
     ("q3_shipping_priority", q3_shipping_priority, Q3_ORACLE),
@@ -1864,4 +1957,5 @@ RELATIONAL_QUERIES: list[tuple[str, object, str]] = [
     ("unpivot_event_counts", unpivot_event_counts, UNPIVOT_ORACLE),
     ("rolling_1h_user_value", rolling_1h_user_value, ROLLING_ORACLE),
     ("loyal_customers_division", loyal_customers_division, DIVISION_ORACLE),
+    ("customer_rfm_features", customer_rfm_features, RFM_ORACLE),
 ]

@@ -103,6 +103,8 @@ def test_missing_sf_dir_raises_cleanly(spark):
         "ann_int8_topk",
         "snapshot_diff_orders",
         "corpus_mixture_sample",
+        # triple partitionless ntile with explicit tie-breaks
+        "customer_rfm_features",
     ],
 )
 def test_shuffle_partition_invariance(spark, name):
