@@ -1228,6 +1228,72 @@ ZIPF_STATS_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Bigram conditional log-prob scoring: per-document average of
+# -ln P(w_k | w_{k-1}) with P(b|a) = c(a b) / c(a ·), where c(a ·)
+# counts bigram PREFIX occurrences (so the estimator is a proper
+# conditional MLE and every probability is <= 1).  The word-order
+# complement of text_unigram_logprob: a bag-of-frequent-words document
+# scores well there but poorly here if its transitions are unnatural.
+# Same determinism discipline: each ln(c_ab) - ln(c_a) is decimal-cast
+# before the per-doc sum; single division; round(6); docs with < 2
+# tokens have no transitions and drop out (both engines).
+#
+# Scale: the bigram stream comes from the one lead() window pass; its
+# count table and the prefix-count table are the same combinable
+# aggregate at two key widths; scoring joins shuffle on the bigram key
+# -- nothing is ever quadratic and no model is collected to the driver.
+# ---------------------------------------------------------------------------
+
+
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_with_pos(docs)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        toks.select(
+            "doc_id", "word", F.lead("word", 1).over(w).alias("w1")
+        )
+        .filter(F.col("w1").isNotNull())
+        .select("doc_id", F.col("word").alias("a"), F.col("w1").alias("b"))
+    )
+    c_ab = big.groupBy("a", "b").agg(F.count(F.lit(1)).alias("cab"))
+    c_a = c_ab.groupBy("a").agg(F.sum("cab").alias("ca"))
+    lp = (F.log("cab") - F.log("ca")).cast("decimal(25,12)")
+    scored = big.join(c_ab, ["a", "b"]).join(c_a, "a")
+    nll = -F.sum(lp).cast("double") / F.count(F.lit(1))
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(nll, 6).alias("avg_nll"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+BIGRAM_LOGPROB_ORACLE = f"""
+    WITH {DUCKDB_TOKS_CTE},
+    big AS (
+        SELECT doc_id, ts[i] AS a, ts[i+1] AS b
+        FROM toks, unnest(range(1, len(ts))) t(i)
+    ),
+    c_ab AS (SELECT a, b, count(*) AS cab FROM big GROUP BY a, b),
+    c_a AS (SELECT a, CAST(sum(cab) AS BIGINT) AS ca FROM c_ab GROUP BY a),
+    lps AS (
+        SELECT doc_id,
+               CAST(ln(cab) - ln(ca) AS DECIMAL(25,12)) AS lp
+        FROM big JOIN c_ab USING (a, b) JOIN c_a USING (a)
+    )
+    SELECT doc_id,
+           count(*) AS n_bigrams,
+           round(-CAST(sum(lp) AS DOUBLE) / count(*), 6) AS avg_nll
+    FROM lps
+    GROUP BY doc_id
+    ORDER BY doc_id
+"""
+
+
 TEXT_ANALYSIS_QUERIES: list[tuple[str, object, str | None]] = [
     ("text_normalize", text_normalize, NORMALIZE_ORACLE),
     ("text_langid", text_langid, LANGID_ORACLE),
@@ -1247,4 +1313,5 @@ TEXT_ANALYSIS_QUERIES: list[tuple[str, object, str | None]] = [
     ("text_repetition_filter", text_repetition_filter, REPETITION_ORACLE),
     ("text_unigram_logprob", text_unigram_logprob, UNIGRAM_LOGPROB_ORACLE),
     ("corpus_zipf_stats", corpus_zipf_stats, ZIPF_STATS_ORACLE),
+    ("text_bigram_logprob", text_bigram_logprob, BIGRAM_LOGPROB_ORACLE),
 ]
