@@ -868,11 +868,20 @@ DOC_WINDOWS_ORACLE = f"""
 # still lands in one shard (real packers split it first -- that's
 # doc_token_windows' job).
 #
-# The global cumsum is a single-partition window by definition -- it
-# orders the WHOLE corpus.  The 100 TB form is the classic two-pass
-# prefix sum: cumsum within doc_id ranges, then add each range's offset
-# (one tiny driver-side scan of per-range totals); same result, same
-# integers, no single-partition stage.
+# The naive global cumsum is a single-partition window by definition --
+# it orders the WHOLE corpus.  This is the classic two-pass distributed
+# prefix sum instead: range-partition by doc_id, cumsum WITHIN each
+# range (a partitioned window -- every range sorts in parallel), then
+# add each range's starting offset, computed from a driver-side scan of
+# the per-range totals (one row per range: ~#partitions values, bounded
+# by cluster size, never by data size).  Bit-identical integers to the
+# global cumsum, so the same exact oracle applies -- but no stage ever
+# sees more than one range's rows.
+#
+# The ranged intermediate is persisted: pass 1 (totals) and pass 2 (the
+# partitioned cumsum) must observe the SAME range assignment, and the
+# cache pins the spark_partition_id values between the two jobs.  The
+# session cache contract (session.release_caches) reclaims it.
 # ---------------------------------------------------------------------------
 
 SHARD_TOKEN_BUDGET = 5000
@@ -881,11 +890,48 @@ SHARD_TOKEN_BUDGET = 5000
 def token_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.size(tokenize(F.col("text"))).alias("n_toks"))
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    assigned = toks.select(
+    n_ranges = max(int(spark.sparkContext.defaultParallelism), 1)
+    ranged = (
+        toks.repartitionByRange(n_ranges, "doc_id")
+        .withColumn("rng", F.spark_partition_id())
+        .persist()
+    )
+    # pass 1: per-range token totals -- at most n_ranges rows reach the
+    # driver, so this "collect" is O(cluster), not O(data).
+    totals = sorted(
+        (int(r["rng"]), int(r["t"]))
+        for r in ranged.groupBy("rng").agg(F.sum("n_toks").alias("t")).collect()
+    )
+    offsets: dict[int, int] = {}
+    acc = 0
+    for rng, tot in totals:
+        offsets[rng] = acc
+        acc += tot
+    if offsets:
+        off_col = F.element_at(
+            F.create_map(
+                *[
+                    c
+                    for k, v in offsets.items()
+                    for c in (F.lit(k).cast("int"), F.lit(v).cast("bigint"))
+                ]
+            ),
+            F.col("rng"),
+        )
+    else:
+        off_col = F.lit(0).cast("bigint")
+    # pass 2: cumsum within each range + the broadcast offset == the
+    # exact global running total, computed by 32 parallel sorts of 1/32
+    # of the corpus each instead of one sort of all of it.
+    w_in = (
+        Window.partitionBy("rng")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    assigned = ranged.select(
         "doc_id",
         "n_toks",
-        ((F.sum("n_toks").over(w) - F.col("n_toks")) / SHARD_TOKEN_BUDGET)
+        ((off_col + F.sum("n_toks").over(w_in) - F.col("n_toks")) / SHARD_TOKEN_BUDGET)
         .cast("bigint")
         .alias("shard"),
     )
