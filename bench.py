@@ -102,6 +102,7 @@ HEADLINE = [
     "corpus_zipf_stats",
     "value_decile_features_approx",
     "customer_rfm_features",
+    "customer_rfm_features_approx",
     "text_bigram_logprob",
 ]
 

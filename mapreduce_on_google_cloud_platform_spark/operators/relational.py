@@ -1838,7 +1838,10 @@ Q21_ORACLE = f"""
 # ---------------------------------------------------------------------------
 
 
-def customer_rfm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _rfm_customer_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared R/F/M per-customer aggregate: one combinable shuffle on
+    o_custkey reduces the order stream to dimension cardinality; both the
+    exact (ntile) and sketch-bounded scorers consume this."""
     orders = load_table(spark, sf_dir, "orders")
     per_cust = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
         F.max("o_orderdate").alias("last_order"),
@@ -1846,12 +1849,16 @@ def customer_rfm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         money_sum(dec("o_totalprice")).alias("monetary"),
     )
     ref = orders.agg(F.max("o_orderdate").alias("ref_date"))
-    feat = per_cust.crossJoin(F.broadcast(ref)).select(
+    return per_cust.crossJoin(F.broadcast(ref)).select(
         "c_custkey",
         F.datediff("ref_date", "last_order").alias("recency_days"),
         "frequency",
         "monetary",
     )
+
+
+def customer_rfm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feat = _rfm_customer_metrics(spark, sf_dir)
     w_r = Window.orderBy(F.asc("recency_days"), F.asc("c_custkey"))
     w_f = Window.orderBy(F.desc("frequency"), F.asc("c_custkey"))
     w_m = Window.orderBy(F.desc("monetary"), F.asc("c_custkey"))
@@ -1912,7 +1919,70 @@ RFM_ORACLE = """
 """
 
 
-RELATIONAL_QUERIES: list[tuple[str, object, str]] = [
+# ---------------------------------------------------------------------------
+# The scale path for RFM scoring: customer_rfm_features above is exact
+# but pays three global (partitionless) ntile sorts of the per-customer
+# aggregate -- survivable at dimension cardinality, a single-node
+# bottleneck by construction when customers are billions.  Here quintile
+# BOUNDS come from percentile_approx (a partial-aggregable GK sketch:
+# one combinable pass reduces the whole table to 3x4 numbers), broadcast
+# back, and each score is a scan-local comparison against 4 values -- no
+# sort anywhere.  Same shape as value_decile_features_approx
+# (statistics.py), applied to the three RFM metrics at once.
+#
+# Declared rows-only: the sketch boundaries are engine-specific by
+# construction (DuckDB cannot reproduce Spark's GK sketch), the same
+# disposition as value_decile_features_approx; the pytest twin checks
+# scores against the exact ntile path instead (every score within one
+# quintile, >=99% exactly equal).
+# ---------------------------------------------------------------------------
+
+RFM_SKETCH_ACC = 10_000
+_RFM_QUINTILES_ASC = [i / 5 for i in range(1, 5)]  # .2 .4 .6 .8
+
+
+def customer_rfm_features_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feat = _rfm_customer_metrics(spark, sf_dir)
+    bounds = feat.agg(
+        F.percentile_approx(
+            "recency_days", _RFM_QUINTILES_ASC, RFM_SKETCH_ACC
+        ).alias("r_bnds"),
+        F.percentile_approx(
+            "frequency", _RFM_QUINTILES_ASC, RFM_SKETCH_ACC
+        ).alias("f_bnds"),
+        F.percentile_approx(
+            "monetary", _RFM_QUINTILES_ASC, RFM_SKETCH_ACC
+        ).alias("m_bnds"),
+    )
+    # recency scores ascending (most recent = 1); frequency/monetary score
+    # descending (largest = 1), i.e. 5 minus the ascending bin.
+    r_score = (
+        F.size(F.filter("r_bnds", lambda b: F.col("recency_days") > b)) + 1
+    ).cast("int")
+    f_score = (
+        5 - F.size(F.filter("f_bnds", lambda b: F.col("frequency") > b))
+    ).cast("int")
+    m_score = (
+        5 - F.size(F.filter("m_bnds", lambda b: F.col("monetary") > b))
+    ).cast("int")
+    scored = feat.crossJoin(F.broadcast(bounds)).select(
+        "c_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        r_score.alias("r_score"),
+        f_score.alias("f_score"),
+        m_score.alias("m_score"),
+    )
+    return scored.select(
+        "*",
+        (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score"))
+        .cast("int")
+        .alias("rfm_segment"),
+    ).orderBy("c_custkey")
+
+
+RELATIONAL_QUERIES: list[tuple[str, object, str | None]] = [
     ("q1_pricing_summary", q1_pricing_summary, Q1_ORACLE),
     ("q3_shipping_priority", q3_shipping_priority, Q3_ORACLE),
     ("q5_region_revenue", q5_region_revenue, Q5_ORACLE),
@@ -1958,4 +2028,6 @@ RELATIONAL_QUERIES: list[tuple[str, object, str]] = [
     ("rolling_1h_user_value", rolling_1h_user_value, ROLLING_ORACLE),
     ("loyal_customers_division", loyal_customers_division, DIVISION_ORACLE),
     ("customer_rfm_features", customer_rfm_features, RFM_ORACLE),
+    # sketch-bounded scoring: engine-specific boundaries -> rows-only
+    ("customer_rfm_features_approx", customer_rfm_features_approx, None),
 ]

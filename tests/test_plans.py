@@ -501,6 +501,17 @@ def test_unigram_logprob_single_token_scan_shared(spark):
     assert "partial_count" in plan
 
 
+def test_rfm_approx_has_no_sort_no_window(spark):
+    """The sketch-bounded RFM scale path: quintile bounds from one
+    combinable percentile_approx aggregate, broadcast back (single-row
+    BNLJ), scores as scan-local comparisons -- no window, no global sort
+    of the customer aggregate (VERDICT r4 item #2)."""
+    plan = plan_of(spark, "customer_rfm_features_approx")
+    assert "Window" not in plan  # nb: 'ntile' is a substring of 'percentile'
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "percentile_approx" in plan
+
+
 def test_packing_prefix_sum_has_no_single_partition_stage(spark):
     """token_budget_packing's two-pass prefix sum: the corpus cumsum must
     run as a PARTITIONED window (one sort per doc_id range, all parallel)

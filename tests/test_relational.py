@@ -10,7 +10,7 @@ from mapreduce_on_google_cloud_platform_spark.plans import ORACLES, QUERIES
 from .conftest import SF_ORACLE, SF_SMOKE
 from .oracle import assert_matches_oracle
 
-NAMES = [name for name, _, _ in RELATIONAL_QUERIES]
+NAMES = [name for name, _, o in RELATIONAL_QUERIES if o is not None]
 
 
 @pytest.mark.parametrize("name", NAMES)
@@ -22,3 +22,39 @@ def test_oracle_parity_smoke(spark, name):
 @pytest.mark.parametrize("name", NAMES)
 def test_oracle_parity_sf001(spark, name):
     assert_matches_oracle(QUERIES[name](spark, SF_ORACLE), ORACLES[name], SF_ORACLE)
+
+
+def test_rfm_approx_tracks_exact_scoring(spark):
+    """The sort-free sketch path must agree with the exact ntile path:
+    every score within one quintile; the continuous metric (monetary,
+    ties ~impossible) >=99% exactly equal; and any exact-score
+    disagreement may occur ONLY at a tied metric value -- ntile splits
+    equal values across bins by the c_custkey tie-break (an arbitrary
+    distinction between identical customers), while the sketch bins ties
+    consistently.  A broken bounds join would violate all three."""
+    from collections import Counter
+
+    exact = {
+        r.c_custkey: (r.r_score, r.f_score, r.m_score)
+        for r in QUERIES["customer_rfm_features"](spark, SF_ORACLE).collect()
+    }
+    rows = QUERIES["customer_rfm_features_approx"](spark, SF_ORACLE).collect()
+    assert len(rows) == len(exact)
+    tie_count = {
+        m: Counter(getattr(r, m) for r in rows)
+        for m in ("recency_days", "frequency", "monetary")
+    }
+    m_same = 0
+    for r in rows:
+        e = exact[r.c_custkey]
+        approx = (r.r_score, r.f_score, r.m_score)
+        for (a, b), metric in zip(
+            zip(approx, e), ("recency_days", "frequency", "monetary")
+        ):
+            assert abs(a - b) <= 1, f"{r.c_custkey} {metric}: {a} vs {b}"
+            if a != b:
+                assert tie_count[metric][getattr(r, metric)] > 1, (
+                    f"{r.c_custkey} {metric} disagrees on an untied value"
+                )
+        m_same += approx[2] == e[2]
+    assert m_same / len(rows) >= 0.99
