@@ -145,16 +145,29 @@ def main() -> None:
         .save()
     )
 
+    # median-of-N trials per query: this VM's run-to-run variance (the
+    # same suite has timed 110-164 s across runs) is larger than any
+    # real round-over-round regression, so a single sample chases noise.
+    # The median is the headline (robust to one GC/compilation stall);
+    # per-query minima are also reported as the low-noise floor.
+    trials = max(int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3")), 1)
     timings: dict[str, float] = {}
+    minima: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        # drop persisted subplans (dedup/similarity pipelines cache shared
-        # branches); letting them accumulate across 20+ queries turns the
-        # suite into a memory-pressure benchmark of its own tail
-        spark.catalog.clearCache()
+        samples = []
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+            # drop persisted subplans between trials too (dedup/similarity
+            # pipelines cache shared branches): every sample pays the same
+            # cost, and caches can't accumulate across the 60+ queries into
+            # a memory-pressure benchmark of the suite's own tail
+            spark.catalog.clearCache()
+        samples.sort()
+        timings[name] = round(samples[len(samples) // 2], 3)
+        minima[name] = round(samples[0], 3)
 
     print(
         json.dumps(
@@ -163,6 +176,8 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "queries_min": minima,
+                "trials": trials,
                 "sf": float(sf),
             }
         )

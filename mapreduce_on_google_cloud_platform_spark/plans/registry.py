@@ -130,68 +130,78 @@ for _name, _fn, _oracle in SQL_SURFACE_QUERIES:
 # per family so registry growth can't silently push a family dark.
 DRIVER_WINDOW = 50
 
+# Round-5 rotation (VERDICT r4 item #3): within each family, siblings
+# that banked multiple green driver rounds rotate OUT in favor of
+# members that have never received a per-round driver hash (31 of the
+# 50 below are first-timers; every rotated-out sibling stays covered by
+# tools/sweep.py + pytest oracle parity).  Every family keeps at least
+# one multi-round-green anchor so a systemic regression is still caught
+# by a known-stable query.
 PRIORITY_WINDOW: tuple[str, ...] = (
-    # reference parity (word count flagship + both inverted-index shapes)
+    # reference parity (anchors -- the reference's own two queries)
     "wordcount",
     "inverted_index",
     "inverted_index_map",
-    # dedup family -- every variant
+    # dedup: two anchors + the round-4 scale paths' first hashes
     "dedup_exact",
-    "fuzzy_part_name_pairs",
-    "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
-    "dedup_simhash",
-    "simhash_near_pairs",
-    "dedup_embedding_pairs",
-    "dedup_clusters",
-    # graph
+    "dedup_embedding_lsh",
+    "semantic_dedup_hybrid",
+    # graph: anchor + triangle counting's first hash
     "neardup_pagerank",
-    # similarity family -- every variant
-    "ann_topk_bruteforce",
+    "neardup_triangles",
+    # similarity: two anchors + the int8 pair's first hashes
     "ann_ivf_topk",
-    "ann_lsh_topk",
-    "ann_lsh_multiprobe_topk",
-    "ann_label_recall",
-    "embedding_vector_suite",
     "kmeans_assign",
-    # text analysis representatives
+    "embedding_quantize_int8",
+    "ann_int8_topk",
+    # text analysis: anchors (tfidf, the newly-replanned packing, the
+    # once-red vocab encode) + six first hashes
     "text_tfidf",
-    "text_langid",
-    "text_quality_score",
-    "doc_fingerprint",
-    "token_count_stats",
-    "contamination_overlap",
-    "pii_redaction",
     "vocab_encode_documents",
-    "doc_token_windows",
     "token_budget_packing",
-    # curation pipelines -- every variant
+    "text_repetition_filter",
+    "text_unigram_logprob",
+    "text_bigram_logprob",
+    "corpus_zipf_stats",
+    "vocab_table",
+    "text_sentiment",
+    "text_bigram_coverage",
+    # curation pipelines: two anchors + the round-4 CDC/mixture pair
     "curation_pipeline",
-    "merge_upsert_orders",
-    "corpus_release_pipeline",
-    "k_anonymity_report",
-    "incremental_segment_revenue",
-    "data_quality_audit",
     "training_data_prep",
-    # statistics representatives
+    "corpus_mixture_sample",
+    "snapshot_diff_orders",
+    # statistics: anchor + four first hashes
     "quantile_summary",
-    "sample_stratified",
-    "histogram_event_values",
-    "winsorize_event_values",
-    # temporal representatives
+    "value_decile_features",
+    "geomean_event_value_exact",
+    "train_test_split_events",
+    "sample_topk_per_group",
+    # relational: the two members never hashed by any round
+    "q21_waiting_suppliers",
+    "customer_rfm_features",
+    # temporal: anchor + forward as-of and gap-fill first hashes
     "asof_join_purchase_view",
-    "range_join_purchase_views_1h",
-    "lag_feature_matrix",
-    "scd2_user_event_intervals",
-    # event-time windowing representatives
+    "asof_forward_purchase_view",
+    "events_gap_fill",
+    # event-time windowing: anchor + three first hashes
     "tumbling_window_events",
-    "session_windows_users",
-    # multimodal representatives
-    "multimodal_chunk",
+    "sliding_window_events",
+    "user_event_type_distinct",
+    "enriched_purchases_by_tier",
+    "purchase_snapshot_latest",
+    # multimodal: anchor + metadata/resize first hashes
     "multimodal_dedup",
-    # join-strategy plan shapes new this round
+    "multimodal_metadata",
+    "multimodal_resize",
+    # join-strategy plan shapes (layout-dependent: keep both under gate)
     "skew_join_salted",
     "colocated_bucket_join",
+    # SQL-text surface: first driver hashes for the dialect-portable form
+    "q1_pricing_summary_sql",
+    "k_anonymity_report_sql",
+    "value_decile_features_sql",
 )
 
 

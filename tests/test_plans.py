@@ -341,28 +341,31 @@ def test_driver_window_covers_every_family(spark):
     assert list(names[: len(PRIORITY_WINDOW)]) == list(PRIORITY_WINDOW)
     families = {
         "parity": {"wordcount", "inverted_index", "inverted_index_map"},
-        "dedup": {"dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-                  "simhash_near_pairs", "dedup_clusters", "dedup_ngram_jaccard",
-                  "dedup_embedding_pairs", "fuzzy_part_name_pairs"},
-        "graph": {"neardup_pagerank"},
-        "similarity": {"ann_topk_bruteforce", "ann_ivf_topk", "ann_lsh_topk",
-                       "ann_lsh_multiprobe_topk", "ann_label_recall",
-                       "embedding_vector_suite", "kmeans_assign"},
-        "text": {"text_tfidf", "text_langid", "text_quality_score",
-                 "doc_fingerprint", "token_count_stats", "contamination_overlap",
-                 "pii_redaction", "vocab_encode_documents", "doc_token_windows",
-                 "token_budget_packing"},
-        "pipeline": {"curation_pipeline", "merge_upsert_orders",
-                     "corpus_release_pipeline", "k_anonymity_report",
-                     "incremental_segment_revenue", "data_quality_audit",
-                     "training_data_prep"},
-        "statistics": {"quantile_summary", "sample_stratified",
-                       "histogram_event_values", "winsorize_event_values"},
-        "temporal": {"asof_join_purchase_view", "range_join_purchase_views_1h",
-                     "lag_feature_matrix", "scd2_user_event_intervals"},
-        "streaming": {"tumbling_window_events", "session_windows_users"},
-        "multimodal": {"multimodal_chunk", "multimodal_dedup"},
+        "dedup": {"dedup_exact", "dedup_minhash_lsh", "dedup_embedding_lsh",
+                  "semantic_dedup_hybrid"},
+        "graph": {"neardup_pagerank", "neardup_triangles"},
+        "similarity": {"ann_ivf_topk", "kmeans_assign",
+                       "embedding_quantize_int8", "ann_int8_topk"},
+        "text": {"text_tfidf", "vocab_encode_documents", "token_budget_packing",
+                 "text_repetition_filter", "text_unigram_logprob",
+                 "text_bigram_logprob", "corpus_zipf_stats", "vocab_table",
+                 "text_sentiment", "text_bigram_coverage"},
+        "pipeline": {"curation_pipeline", "training_data_prep",
+                     "corpus_mixture_sample", "snapshot_diff_orders"},
+        "statistics": {"quantile_summary", "value_decile_features",
+                       "geomean_event_value_exact", "train_test_split_events",
+                       "sample_topk_per_group"},
+        "relational": {"q21_waiting_suppliers", "customer_rfm_features"},
+        "temporal": {"asof_join_purchase_view", "asof_forward_purchase_view",
+                     "events_gap_fill"},
+        "streaming": {"tumbling_window_events", "sliding_window_events",
+                      "user_event_type_distinct", "enriched_purchases_by_tier",
+                      "purchase_snapshot_latest"},
+        "multimodal": {"multimodal_dedup", "multimodal_metadata",
+                       "multimodal_resize"},
         "join_strategies": {"skew_join_salted", "colocated_bucket_join"},
+        "sql_surface": {"q1_pricing_summary_sql", "k_anonymity_report_sql",
+                        "value_decile_features_sql"},
     }
     for family, members in families.items():
         assert members <= window, f"family {family} not fully in driver window"
