@@ -106,17 +106,31 @@ def _fake_decode(payload: bytes) -> "object":
 
 
 def decode_image_batch(payloads):
-    """Real decode hook.  The v1 container ships no codecs; a deployment
-    with PIL installed gets real decoding, everything else fails loudly
-    rather than silently producing fake features."""
+    """Real decode hook: probes for a codec library (PIL) at call time.
+
+    Present -> each payload decodes to a flattened uint8 grayscale pixel
+    array (the same shape contract as ``_fake_decode``, so the Arrow
+    plumbing above is identical either way).  Absent (this container
+    ships no codecs) -> loud NotImplementedError rather than silently
+    producing fake features; the declared queries use the deterministic
+    ``_fake_decode`` path explicitly instead.
+    """
     try:
-        from PIL import Image  # noqa: F401
+        from PIL import Image
     except ImportError as exc:  # pragma: no cover - no codec in container
         raise NotImplementedError(
             "image decode requires a codec library (PIL) not present in "
             "this environment; use the _fake_decode-backed feature path"
         ) from exc
-    raise NotImplementedError("real codec path not wired in v1")
+    from io import BytesIO
+
+    import numpy as np
+
+    out = []
+    for payload in payloads:
+        with Image.open(BytesIO(bytes(payload))) as im:
+            out.append(np.asarray(im.convert("L"), dtype=np.uint8).ravel())
+    return out
 
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -732,6 +732,13 @@ def vocab_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens_df(docs)
     freq = toks.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    # The dense_rank window below is global (partitionless) BY DESIGN,
+    # and that is safe only because its input is `freq` -- the
+    # post-aggregation vocabulary, ~1e6 rows even at corpus scale (token
+    # frequencies follow Zipf; the type count grows ~ sqrt of the token
+    # count) -- never the token stream.  tests/test_plans.py pins that
+    # the window consumes the aggregate, so a refactor can't silently
+    # move the rank onto unbounded input.
     w = Window.orderBy(F.desc("freq"), F.asc("word"))
     return freq.withColumn("token_id", F.dense_rank().over(w).cast("bigint")).select(
         "token_id", "word", "freq"
@@ -1072,10 +1079,15 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("top_unigram_n") / F.col("n_tokens")).alias("top_unigram_frac"),
         (F.col("top_bigram_n") / F.col("n_bigrams")).alias("top_bigram_frac"),
         (F.col("dup_trigram_n") / F.col("n_trigrams")).alias("dup_trigram_frac"),
-        (
+        # coalesce: a doc too short to have bi/trigrams makes those terms
+        # NULL and false OR NULL is NULL -- which a downstream
+        # filter(~repetitive) would silently drop.  Too-short-to-judge
+        # means NOT repetitive, as a real boolean, on both engines.
+        F.coalesce(
             (F.col("top_unigram_n") * ru_d > F.col("n_tokens") * ru_n)
             | (F.col("top_bigram_n") * rb_d > F.col("n_bigrams") * rb_n)
-            | (F.col("dup_trigram_n") * rt_d > F.col("n_trigrams") * rt_n)
+            | (F.col("dup_trigram_n") * rt_d > F.col("n_trigrams") * rt_n),
+            F.lit(False),
         ).alias("repetitive"),
     ).orderBy("doc_id")
 
@@ -1117,9 +1129,11 @@ REPETITION_ORACLE = f"""
            top_unigram_n / n_tokens AS top_unigram_frac,
            top_bigram_n / n_bigrams AS top_bigram_frac,
            dup_trigram_n / n_trigrams AS dup_trigram_frac,
-           (top_unigram_n * {REP_TOP_UNIGRAM[1]} > n_tokens * {REP_TOP_UNIGRAM[0]}
-            OR top_bigram_n * {REP_TOP_BIGRAM[1]} > n_bigrams * {REP_TOP_BIGRAM[0]}
-            OR dup_trigram_n * {REP_DUP_TRIGRAM[1]} > n_trigrams * {REP_DUP_TRIGRAM[0]}
+           coalesce(
+               top_unigram_n * {REP_TOP_UNIGRAM[1]} > n_tokens * {REP_TOP_UNIGRAM[0]}
+               OR top_bigram_n * {REP_TOP_BIGRAM[1]} > n_bigrams * {REP_TOP_BIGRAM[0]}
+               OR dup_trigram_n * {REP_DUP_TRIGRAM[1]} > n_trigrams * {REP_DUP_TRIGRAM[0]},
+               false
            ) AS repetitive
     FROM uni LEFT JOIN bi ON uni.doc_id = bi.doc_id
              LEFT JOIN tri ON uni.doc_id = tri.doc_id

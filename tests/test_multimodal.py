@@ -64,10 +64,27 @@ def test_features_batch_shape_and_values(spark):
         )
 
 
-def test_real_decode_is_explicitly_stubbed():
-    """The codec-less container must fail loudly, not fake-decode silently."""
-    with pytest.raises(NotImplementedError):
-        decode_image_batch([b"\x89PNG"])
+def test_real_decode_probes_for_codec():
+    """decode_image_batch probes for PIL at call time: with no codec in
+    the environment it must fail loudly (never fake-decode silently);
+    with one present it must round-trip a real image to flat uint8
+    grayscale pixels -- whichever branch this environment offers is the
+    one exercised."""
+    try:
+        from PIL import Image
+    except ImportError:
+        with pytest.raises(NotImplementedError):
+            decode_image_batch([b"\x89PNG"])
+        return
+
+    from io import BytesIO
+
+    import numpy as np
+
+    buf = BytesIO()
+    Image.frombytes("L", (4, 2), bytes(range(8))).save(buf, format="PNG")
+    (px,) = decode_image_batch([buf.getvalue()])
+    assert px.dtype == np.uint8 and px.tolist() == list(range(8))
 
 
 @pytest.mark.parametrize(

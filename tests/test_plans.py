@@ -504,6 +504,25 @@ def test_unigram_logprob_single_token_scan_shared(spark):
     assert "partial_count" in plan
 
 
+def test_vocab_rank_window_consumes_the_aggregate(spark):
+    """vocab_table's global dense_rank is acceptable ONLY because its
+    input is the post-aggregation vocabulary (bounded, Zipf-limited),
+    never the token stream: in the plan tree the one Window must sit
+    ABOVE a partial-agg'd HashAggregate (its input), so a refactor can't
+    silently move the rank onto unbounded input."""
+    import re
+
+    plan = plan_of(spark, "vocab_table")
+    tree = plan.split("\n\n")[0]
+    assert len(re.findall(r"^\(\d+\) Window", plan, re.M)) == 1
+    assert "partial_count" in plan
+    win_line = next(i for i, l in enumerate(tree.splitlines()) if "Window" in l)
+    agg_line = next(
+        i for i, l in enumerate(tree.splitlines()) if "HashAggregate" in l
+    )
+    assert win_line < agg_line  # parents print above children: window eats agg
+
+
 def test_rfm_approx_has_no_sort_no_window(spark):
     """The sketch-bounded RFM scale path: quintile bounds from one
     combinable percentile_approx aggregate, broadcast back (single-row

@@ -123,3 +123,38 @@ def test_shuffle_partition_invariance(spark, name):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", orig)
     assert base == alt
+
+
+def test_release_caches_empties_the_plan_cache(spark):
+    """THE CACHE CONTRACT (session.release_caches): operators may persist
+    lazily-consumed intermediates (dedup signatures, normalized vectors,
+    the packing range table), so a multi-query harness MUST be able to
+    reclaim everything between queries.  Run the cache-heaviest families'
+    representatives, then assert release_caches leaves the session's
+    CacheManager empty -- an operator that acquires a cache the contract
+    can't release fails here instead of leaking across a long session.
+    (localCheckpoint storage is ContextCleaner-managed, not covered.)"""
+    from mapreduce_on_google_cloud_platform_spark.plans import QUERIES
+    from mapreduce_on_google_cloud_platform_spark.session import release_caches
+
+    from .conftest import SF_SMOKE
+
+    cache_heavy = [
+        "dedup_minhash_lsh",
+        "semantic_dedup_hybrid",
+        "ann_lsh_topk",
+        "kmeans_assign",
+        "token_budget_packing",
+    ]
+    touched_cache = 0
+    for name in cache_heavy:
+        QUERIES[name](spark, SF_SMOKE).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        cm = spark._jsparkSession.sharedState().cacheManager()
+        touched_cache += 0 if cm.isEmpty() else 1
+        release_caches(spark)
+        assert spark._jsparkSession.sharedState().cacheManager().isEmpty(), name
+    # the selection must actually exercise the contract: at least one of
+    # these queries left a cached plan behind before release
+    assert touched_cache >= 1

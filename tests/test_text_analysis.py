@@ -110,11 +110,16 @@ def test_repetition_filter_flags_crafted_docs(spark, tmp_path):
 
     pd.DataFrame(
         {
-            "doc_id": [1, 2, 3],
-            "text": ["spam " * 20, " ".join(f"w{i}" for i in range(40)), "one"],
-            "lang": ["en"] * 3,
-            "source": ["s"] * 3,
-            "n_chars": [100, 200, 3],
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "spam " * 20,
+                " ".join(f"w{i}" for i in range(40)),
+                "one",
+                "two words",
+            ],
+            "lang": ["en"] * 4,
+            "source": ["s"] * 4,
+            "n_chars": [100, 200, 3, 9],
         }
     ).to_parquet(tmp_path / "documents.parquet")
     rows = {
@@ -126,3 +131,8 @@ def test_repetition_filter_flags_crafted_docs(spark, tmp_path):
     # a 1-token doc IS 100% top-unigram: the filter reports that honestly;
     # minimum-length gating is the curation pipeline's job (MIN_TOKENS)
     assert rows[3].repetitive and rows[3].top_unigram_frac == 1.0
+    # the flag is a REAL boolean even where gram terms are NULL (a doc
+    # with no trigrams): false OR NULL would otherwise leak NULL, which
+    # a downstream filter(~repetitive) silently drops
+    assert all(r.repetitive is not None for r in rows.values())
+    assert rows[4].n_trigrams is None and rows[4].repetitive is True
