@@ -104,6 +104,7 @@ HEADLINE = [
     "customer_rfm_features",
     "customer_rfm_features_approx",
     "text_bigram_logprob",
+    "dsir_importance_weights",
 ]
 
 

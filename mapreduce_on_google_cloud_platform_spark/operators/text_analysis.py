@@ -1354,6 +1354,158 @@ BIGRAM_LOGPROB_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# DSIR-style importance weighting (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling"): score every document by
+# how target-domain-like it is, using hashed n-gram bag-of-words models.
+# Features are unigrams + bigrams hashed into 256 buckets (the 2-hex-char
+# md5 prefix IS the bucket id -- identical on Spark and DuckDB, no
+# numeric conversion needed); the "target" is the in-domain slice
+# (lang = 'en' here, a stand-in for e.g. a Wikipedia sample) and the
+# "source" is the whole corpus.  Per-doc log importance weight:
+#
+#   sum over feature occurrences of  ln p_target(b) - ln p_source(b)
+#
+# with Laplace smoothing p(b) = (c_b + 1) / (T + 256).  Docs scoring
+# > 0 look more target-like than the corpus average -- resampling by
+# these weights is the published recipe for tilting a 100 TB crawl
+# toward a domain without training a classifier.
+#
+# Determinism: both model counts are exact integers from one shuffle;
+# each BUCKET's log ratio is one double expression over those integers
+# (bit-identical cross-engine) cast to DECIMAL(25,12) in the 256-row
+# bucket table, so the per-doc sum is an exact decimal reduction --
+# partitioning-order-free -- and the final round(6) absorbs last-ulp
+# libm noise (the unigram-logprob discipline).
+#
+# Scale: one token scan -> one doc_id window (the bigram lead) -> the
+# feature stream; bucket-model aggregation is a 256-group combinable
+# shuffle; the 256-row scored-bucket table broadcast-joins back onto
+# the stream and the per-doc rollup partial-aggs.  Nothing global, no
+# all-pairs, no Python.
+# ---------------------------------------------------------------------------
+
+DSIR_TARGET_LANG = "en"
+DSIR_BUCKETS = 256  # 2 hex chars of md5
+
+
+def _dsir_feature_stream(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, bucket) -- one row per unigram+bigram occurrence,
+    bucket = 2-hex md5 prefix of the gram text."""
+    base = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.posexplode(F.split(F.col("text"), r"\s+")).alias("pos", "_tok"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "pos",
+            F.regexp_replace(F.lower("_tok"), "[^0-9a-z]", "").alias("word"),
+        )
+        .filter(F.col("word") != "")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = base.select(
+        "doc_id", "lang", "word", F.lead("word", 1).over(w).alias("w1")
+    )
+    return (
+        leads.select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.array(
+                    F.substring(F.md5("word"), 1, 2),
+                    F.when(
+                        F.col("w1").isNotNull(),
+                        F.substring(F.md5(F.concat_ws(" ", "word", "w1")), 1, 2),
+                    ),
+                )
+            ).alias("bucket"),
+        )
+        .filter(F.col("bucket").isNotNull())
+    )
+
+
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    feats = _dsir_feature_stream(docs)
+    bc = feats.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("c_s"),
+        F.sum(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
+        ).alias("c_t"),
+    )
+    tot = bc.agg(F.sum("c_s").alias("t_s"), F.sum("c_t").alias("t_t"))
+    lr = (
+        F.log(F.col("c_t") + 1)
+        - F.log(F.col("t_t") + DSIR_BUCKETS)
+        - F.log(F.col("c_s") + 1)
+        + F.log(F.col("t_s") + DSIR_BUCKETS)
+    ).cast("decimal(25,12)")
+    scored_buckets = bc.crossJoin(F.broadcast(tot)).select(
+        "bucket", lr.alias("lr")
+    )
+    weight = F.round(F.sum("lr").cast("double"), 6)
+    return (
+        feats.join(F.broadcast(scored_buckets), "bucket")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            weight.alias("logweight"),
+            (weight > 0).alias("selected"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DSIR_ORACLE = f"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               list_filter(
+                   list_transform(regexp_split_to_array(text, '\\s+'),
+                                  x -> regexp_replace(lower(x),
+                                                      '[^0-9a-z]', '', 'g')),
+                   x -> x <> '') AS ts
+        FROM documents
+    ),
+    feats AS (
+        SELECT doc_id, lang, substring(md5(ts[i]), 1, 2) AS bucket
+        FROM t, unnest(range(1, len(ts) + 1)) u(i)
+        UNION ALL
+        SELECT doc_id, lang,
+               substring(md5(ts[i] || ' ' || ts[i+1]), 1, 2) AS bucket
+        FROM t, unnest(range(1, len(ts))) u(i)
+    ),
+    bc AS (
+        SELECT bucket, count(*) AS c_s,
+               sum(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END)
+                   AS c_t
+        FROM feats GROUP BY bucket
+    ),
+    tot AS (
+        SELECT CAST(sum(c_s) AS BIGINT) AS t_s,
+               CAST(sum(c_t) AS BIGINT) AS t_t
+        FROM bc
+    ),
+    lr AS (
+        SELECT bucket,
+               CAST(ln(c_t + 1) - ln(t_t + {DSIR_BUCKETS})
+                    - ln(c_s + 1) + ln(t_s + {DSIR_BUCKETS})
+                    AS DECIMAL(25,12)) AS lr
+        FROM bc, tot
+    )
+    SELECT doc_id, lang,
+           count(*) AS n_feats,
+           round(CAST(sum(lr) AS DOUBLE), 6) AS logweight,
+           round(CAST(sum(lr) AS DOUBLE), 6) > 0 AS selected
+    FROM feats JOIN lr USING (bucket)
+    GROUP BY doc_id, lang
+    ORDER BY doc_id
+"""
+
+
 TEXT_ANALYSIS_QUERIES: list[tuple[str, object, str | None]] = [
     ("text_normalize", text_normalize, NORMALIZE_ORACLE),
     ("text_langid", text_langid, LANGID_ORACLE),
@@ -1374,4 +1526,5 @@ TEXT_ANALYSIS_QUERIES: list[tuple[str, object, str | None]] = [
     ("text_unigram_logprob", text_unigram_logprob, UNIGRAM_LOGPROB_ORACLE),
     ("corpus_zipf_stats", corpus_zipf_stats, ZIPF_STATS_ORACLE),
     ("text_bigram_logprob", text_bigram_logprob, BIGRAM_LOGPROB_ORACLE),
+    ("dsir_importance_weights", dsir_importance_weights, DSIR_ORACLE),
 ]

@@ -504,6 +504,30 @@ def test_unigram_logprob_single_token_scan_shared(spark):
     assert "partial_count" in plan
 
 
+def test_dsir_broadcasts_bucket_model_and_stays_jvm(spark):
+    """The DSIR scorer: the 256-row scored-bucket model must broadcast
+    back onto the feature stream (the stream never shuffles for the
+    join), the bucket/doc aggregations partial-agg, and nothing drops to
+    Python."""
+    import re
+
+    plan = plan_of(spark, "dsir_importance_weights")
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # every window is the doc_id bigram lead -- nothing partitionless
+    # (the one SinglePartition exchange is the scalar totals aggregate:
+    # map-side partials reduce it to one row per task first)
+    wins = re.findall(r"windowspecdefinition\((\w+)#", plan)
+    assert wins and set(wins) == {"doc_id"}
+    # the model + scoring branches share ONE feature stream at runtime:
+    # AQE must stitch the repeated subtrees back via exchange reuse
+    df = QUERIES["dsir_importance_weights"](spark, SF_SMOKE)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert executed.count("ReusedExchange") >= 2
+
+
 def test_vocab_rank_window_consumes_the_aggregate(spark):
     """vocab_table's global dense_rank is acceptable ONLY because its
     input is the post-aggregation vocabulary (bounded, Zipf-limited),

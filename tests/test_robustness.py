@@ -105,6 +105,8 @@ def test_missing_sf_dir_raises_cleanly(spark):
         "corpus_mixture_sample",
         # triple partitionless ntile with explicit tie-breaks
         "customer_rfm_features",
+        # round 5: decimal log-ratio sums over hashed feature buckets
+        "dsir_importance_weights",
     ],
 )
 def test_shuffle_partition_invariance(spark, name):

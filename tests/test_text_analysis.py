@@ -136,3 +136,20 @@ def test_repetition_filter_flags_crafted_docs(spark, tmp_path):
     # a downstream filter(~repetitive) silently drops
     assert all(r.repetitive is not None for r in rows.values())
     assert rows[4].n_trigrams is None and rows[4].repetitive is True
+
+
+def test_dsir_weights_separate_target_from_source(spark):
+    """Semantic check the oracle can't express: documents in the target
+    slice (lang='en') must be selected at a strictly higher rate than
+    out-of-domain documents -- the entire point of importance weighting."""
+    from mapreduce_on_google_cloud_platform_spark.plans import QUERIES
+
+    from .conftest import SF_SMOKE
+
+    rows = QUERIES["dsir_importance_weights"](spark, SF_SMOKE).collect()
+    en = [r for r in rows if r.lang == "en"]
+    other = [r for r in rows if r.lang != "en"]
+    assert en and other
+    en_rate = sum(r.selected for r in en) / len(en)
+    other_rate = sum(r.selected for r in other) / len(other)
+    assert en_rate > other_rate
