@@ -105,6 +105,7 @@ HEADLINE = [
     "customer_rfm_features_approx",
     "text_bigram_logprob",
     "dsir_importance_weights",
+    "bpe_learn_merges",
 ]
 
 

@@ -1506,6 +1506,104 @@ DSIR_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# BPE merge-rule learning (Sennrich et al. 2016): the tokenizer-training
+# step of every LLM data pipeline.  Start from characters, repeatedly
+# (a) count adjacent symbol pairs across the corpus, (b) merge the most
+# frequent pair everywhere, K times; the output is the learned merge
+# table (rank, left, right, merged, pair_count).
+#
+# The scale trick that makes BPE tractable is that training never needs
+# the token STREAM -- only the word->frequency table (vocabulary
+# cardinality, Zipf-bounded): pair counts are frequency-weighted sums
+# over distinct words.  So: one corpus-wide shuffle builds word counts,
+# then every iteration is (pair explode -> combinable 2-symbol-group
+# aggregate -> a top-1 collect of ONE row -> a map-only greedy re-merge
+# of the symbol arrays).  The iteration-k top-1 probe is a scalar
+# driver collect (the k-means codebook precedent); localCheckpoint
+# truncates the K-deep lineage (the graph.py precedent; swap for
+# reliable checkpoints on a real cluster).
+#
+# Determinism: the winning pair is picked by (count DESC, left ASC,
+# right ASC) -- a total order, so the merge sequence is identical on
+# any partitioning (pinned in the invariance matrix) and is checked
+# symbol-for-symbol against an independent pure-Python BPE in pytest.
+# Declared rows-only: K chained corpus rewrites are not expressible as
+# one SQL statement for the driver's oracle comparator.
+# ---------------------------------------------------------------------------
+
+BPE_MERGES = 8
+
+
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        tokens_df(docs)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(F.split("word", "").alias("syms"), "freq")
+        .localCheckpoint()
+    )
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, BPE_MERGES + 1):
+        pairs = (
+            words.filter(F.size("syms") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.zip_with(
+                        F.slice("syms", 1, F.size("syms") - 1),
+                        F.slice("syms", 2, F.size("syms") - 1),
+                        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        top = pairs.orderBy(F.desc("cnt"), "a", "b").limit(1).collect()
+        if not top:
+            break
+        a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
+        merged = a + b
+        merges.append((rank, a, b, merged, cnt))
+        # greedy left-to-right single-rule re-merge: fold each symbol
+        # array with (out, pending) state -- "aaa" under (a,a) becomes
+        # [aa, a], exactly the reference greedy semantics
+        step = F.aggregate(
+            "syms",
+            F.struct(
+                F.array().cast("array<string>").alias("out"),
+                F.lit(None).cast("string").alias("pend"),
+            ),
+            lambda acc, s: F.when(
+                acc.pend.isNull(), F.struct(acc.out.alias("out"), s.alias("pend"))
+            )
+            .when(
+                (acc.pend == F.lit(a)) & (s == F.lit(b)),
+                F.struct(
+                    F.concat(acc.out, F.array(F.lit(merged))).alias("out"),
+                    F.lit(None).cast("string").alias("pend"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.concat(acc.out, F.array(acc.pend)).alias("out"),
+                    s.alias("pend"),
+                )
+            ),
+            lambda acc: F.when(acc.pend.isNull(), acc.out).otherwise(
+                F.concat(acc.out, F.array(acc.pend))
+            ),
+        )
+        words = words.select(step.alias("syms"), "freq").localCheckpoint()
+    return spark.createDataFrame(
+        merges,
+        "rank: bigint, left: string, right: string, merged: string, "
+        "pair_count: bigint",
+    ).orderBy("rank")
+
+
 TEXT_ANALYSIS_QUERIES: list[tuple[str, object, str | None]] = [
     ("text_normalize", text_normalize, NORMALIZE_ORACLE),
     ("text_langid", text_langid, LANGID_ORACLE),
@@ -1527,4 +1625,6 @@ TEXT_ANALYSIS_QUERIES: list[tuple[str, object, str | None]] = [
     ("corpus_zipf_stats", corpus_zipf_stats, ZIPF_STATS_ORACLE),
     ("text_bigram_logprob", text_bigram_logprob, BIGRAM_LOGPROB_ORACLE),
     ("dsir_importance_weights", dsir_importance_weights, DSIR_ORACLE),
+    # iterative K-round corpus rewrite: not one SQL statement -> rows-only
+    ("bpe_learn_merges", bpe_learn_merges, None),
 ]

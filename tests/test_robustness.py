@@ -105,8 +105,10 @@ def test_missing_sf_dir_raises_cleanly(spark):
         "corpus_mixture_sample",
         # triple partitionless ntile with explicit tie-breaks
         "customer_rfm_features",
-        # round 5: decimal log-ratio sums over hashed feature buckets
+        # round 5: decimal log-ratio sums over hashed feature buckets,
+        # and the iterative merge sequence's total-order tie-break
         "dsir_importance_weights",
+        "bpe_learn_merges",
     ],
 )
 def test_shuffle_partition_invariance(spark, name):

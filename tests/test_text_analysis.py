@@ -10,7 +10,7 @@ from mapreduce_on_google_cloud_platform_spark.plans import ORACLES, QUERIES
 from .conftest import SF_ORACLE, SF_SMOKE
 from .oracle import assert_matches_oracle
 
-NAMES = [name for name, _, _ in TEXT_ANALYSIS_QUERIES]
+NAMES = [name for name, _, o in TEXT_ANALYSIS_QUERIES if o is not None]
 
 
 @pytest.mark.parametrize("name", NAMES)
@@ -153,3 +153,71 @@ def test_dsir_weights_separate_target_from_source(spark):
     en_rate = sum(r.selected for r in en) / len(en)
     other_rate = sum(r.selected for r in other) / len(other)
     assert en_rate > other_rate
+
+
+def _py_bpe_reference(texts: list[str], k: int):
+    """Independent pure-Python BPE on the same tokenizer spec: the
+    differential oracle for bpe_learn_merges."""
+    import re
+    from collections import Counter
+
+    wf = Counter()
+    for t in texts:
+        for tok in t.split():
+            w = re.sub(r"[^0-9a-z]", "", tok.lower())
+            if w:
+                wf[w] += 1
+    words = {tuple(w): f for w, f in wf.items()}
+    merges = []
+    for rank in range(1, k + 1):
+        pc = Counter()
+        for syms, f in words.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += f
+        if not pc:
+            break
+        (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, a, b, a + b, cnt))
+        out = {}
+        for syms, f in words.items():
+            res, pend = [], None
+            for s in syms:
+                if pend is None:
+                    pend = s
+                elif pend == a and s == b:
+                    res.append(a + b)
+                    pend = None
+                else:
+                    res.append(pend)
+                    pend = s
+            if pend is not None:
+                res.append(pend)
+            out[tuple(res)] = out.get(tuple(res), 0) + f
+        words = out
+    return merges
+
+
+def test_bpe_matches_pure_python_reference(spark):
+    """The full learned merge sequence -- ranks, pairs, counts -- must be
+    identical to an independent in-memory BPE over the same documents."""
+    import duckdb
+
+    from mapreduce_on_google_cloud_platform_spark.operators.text_analysis import (
+        BPE_MERGES,
+    )
+    from mapreduce_on_google_cloud_platform_spark.plans import QUERIES
+
+    from .conftest import SF_SMOKE
+
+    texts = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT text FROM '{SF_SMOKE}/documents.parquet'"
+        ).fetchall()
+    ]
+    expected = _py_bpe_reference(texts, BPE_MERGES)
+    got = [
+        (r.rank, r.left, r.right, r.merged, r.pair_count)
+        for r in QUERIES["bpe_learn_merges"](spark, SF_SMOKE).collect()
+    ]
+    assert got == expected
