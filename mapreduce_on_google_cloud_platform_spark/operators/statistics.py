@@ -163,6 +163,91 @@ def sketch_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Datasketches distinct-user profile: per event type, exact distinct
+# users beside Apache Datasketches Theta and HLL estimates, plus an
+# 'ALL' rollup whose HLL figure is produced by MERGING the per-type
+# sketches (hll_union_agg) rather than re-scanning the events -- the
+# two-level partial-aggregate shape that makes sketch counting one pass
+# at 100 TB (each executor sketches its partition; only fixed-size
+# sketch buffers shuffle).
+#
+# Oracle-exactness: both sketch families are EXACT below their retained
+# -entry capacity (Theta keeps raw hashes until 2^lgK nominal entries;
+# Datasketches HLL is in exact coupon-list mode at small n), so at the
+# driver/sweep scale factors every estimate equals the exact count and
+# the query is fully hash-checkable against a plain COUNT(DISTINCT)
+# oracle.  The crossover is the point of the operator: past ~65k
+# distinct users per type (THETA_LGK=16) the same plan degrades to
+# bounded-error estimates with unchanged shape -- pinned in
+# tests/test_statistics.py.
+# ---------------------------------------------------------------------------
+
+THETA_LGK = 16
+HLL_LGK = 20  # coupon (exact) mode to ~2^lgK/4 distinct; 0.4% rel. err past
+
+
+def distinct_users_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("distinct_exact"),
+        F.theta_sketch_estimate(
+            F.theta_sketch_agg("user_id", F.lit(THETA_LGK))
+        ).alias("distinct_theta"),
+        F.hll_sketch_agg("user_id", F.lit(HLL_LGK)).alias("_sk"),
+    )
+    typed = per_type.select(
+        "event_type",
+        "n_events",
+        "distinct_exact",
+        "distinct_theta",
+        F.hll_sketch_estimate("_sk").alias("distinct_hll"),
+    )
+    # 'ALL' row: hll via union of the per-type sketches (no re-scan);
+    # the exact/theta figures need one full-table pass by definition.
+    hll_all = per_type.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias("distinct_hll")
+    )
+    overall = (
+        ev.agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("distinct_exact"),
+            F.theta_sketch_estimate(
+                F.theta_sketch_agg("user_id", F.lit(THETA_LGK))
+            ).alias("distinct_theta"),
+        )
+        .crossJoin(F.broadcast(hll_all))
+        .select(
+            F.lit("ALL").alias("event_type"),
+            "n_events",
+            "distinct_exact",
+            "distinct_theta",
+            "distinct_hll",
+        )
+    )
+    return typed.unionByName(overall).orderBy("event_type")
+
+
+SKETCH_PROFILE_ORACLE = """
+    SELECT event_type,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS distinct_exact,
+           count(DISTINCT user_id) AS distinct_theta,
+           count(DISTINCT user_id) AS distinct_hll
+    FROM events
+    GROUP BY event_type
+    UNION ALL
+    SELECT 'ALL',
+           count(*),
+           count(DISTINCT user_id),
+           count(DISTINCT user_id),
+           count(DISTINCT user_id)
+    FROM events
+    ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # Fixed-width histogram: the distribution profile a pipeline sizes its
 # partitions/joins from.  Bin edges are FIXED literals (not data-derived
 # min/max) so the result is stable under appends and identical across
@@ -598,6 +683,12 @@ STATISTICS_QUERIES: list[tuple[str, object, str | None]] = [
     ("sample_topk_per_group", sample_topk_per_group, SAMPLE_TOPK_ORACLE),
     # sketches are engine-specific by nature: rows-only check, see docstring
     ("sketch_summary", sketch_summary, None),
+    # exact below sketch capacity (see docstring) -> fully oracle-checked
+    (
+        "distinct_users_sketch_profile",
+        distinct_users_sketch_profile,
+        SKETCH_PROFILE_ORACLE,
+    ),
     ("histogram_event_values", histogram_event_values, HISTOGRAM_ORACLE),
     ("price_balance_correlation", price_balance_correlation, CORRELATION_ORACLE),
     ("winsorize_event_values", winsorize_event_values, WINSORIZE_ORACLE),

@@ -867,6 +867,111 @@ DOC_WINDOWS_ORACLE = f"""
 """
 
 # ---------------------------------------------------------------------------
+# Passage-level exact-duplication profile: fingerprint every stride-1
+# run of PASSAGE_WINDOW tokens and find runs that recur in MULTIPLE
+# documents -- the window-granular form of the suffix-array substring
+# dedup used on LLM pretraining corpora (finds shared boilerplate /
+# quoted passages that doc-level MinHash misses because the containing
+# docs differ).  Per doc: how many of its window positions are covered
+# by a cross-doc-duplicated passage, and the resulting contamination
+# ratio/flag.
+#
+# Scale: the window stream is one row per token position (same
+# cardinality as the token explode every text op already pays); windows
+# are built with lead() over (doc_id, pos) -- partitioned, parallel --
+# then one combinable shuffle on the 128-bit fingerprint.  Duplicated
+# fingerprints are a tiny fraction, so the flagging join is
+# broadcast-able in practice; written as a plain semi-join keyed by
+# fingerprint and left to AQE.  All counts integer; one division.
+# ---------------------------------------------------------------------------
+
+PASSAGE_WINDOW = 10
+PASSAGE_DUP_FLAG = 0.2
+
+
+def repeated_passage_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_with_pos(docs)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("word")] + [
+        F.lead("word", k).over(w) for k in range(1, PASSAGE_WINDOW)
+    ]
+    wins = (
+        toks.select(
+            "doc_id",
+            *[p.alias(f"_w{k}") for k, p in enumerate(parts)],
+        )
+        .filter(F.col(f"_w{PASSAGE_WINDOW - 1}").isNotNull())
+        .select(
+            "doc_id",
+            F.md5(
+                F.concat_ws(" ", *[f"_w{k}" for k in range(PASSAGE_WINDOW)])
+            ).alias("fp"),
+        )
+    )
+    dup_fp = (
+        wins.groupBy("fp")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("fp")
+    )
+    per_doc = wins.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_windows"))
+    dup_per_doc = (
+        wins.join(dup_fp, "fp", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup_windows"))
+    )
+    ratio = F.col("n_dup_windows").cast("double") / F.col("n_windows")
+    return (
+        per_doc.join(dup_per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_windows",
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            F.round(F.coalesce(ratio, F.lit(0.0)), 6).alias("passage_dup_ratio"),
+            (
+                F.round(F.coalesce(ratio, F.lit(0.0)), 6) > PASSAGE_DUP_FLAG
+            ).alias("passage_contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+REPEATED_PASSAGE_ORACLE = f"""
+    WITH {DUCKDB_TOKS_CTE},
+    wins AS (
+        SELECT doc_id,
+               md5(array_to_string(ts[i : i + {PASSAGE_WINDOW - 1}], ' '))
+                   AS fp
+        FROM toks,
+             unnest(range(1, len(ts) - {PASSAGE_WINDOW} + 2)) t(i)
+        WHERE len(ts) >= {PASSAGE_WINDOW}
+    ),
+    dup_fp AS (
+        SELECT fp FROM wins GROUP BY fp
+        HAVING count(DISTINCT doc_id) >= 2
+    ),
+    per_doc AS (
+        SELECT doc_id, count(*) AS n_windows FROM wins GROUP BY doc_id
+    ),
+    dup_per_doc AS (
+        SELECT doc_id, count(*) AS n_dup_windows
+        FROM wins SEMI JOIN dup_fp USING (fp)
+        GROUP BY doc_id
+    )
+    SELECT doc_id,
+           n_windows,
+           coalesce(n_dup_windows, 0) AS n_dup_windows,
+           round(coalesce(CAST(n_dup_windows AS DOUBLE) / n_windows, 0.0), 6)
+               AS passage_dup_ratio,
+           round(coalesce(CAST(n_dup_windows AS DOUBLE) / n_windows, 0.0), 6)
+               > {PASSAGE_DUP_FLAG} AS passage_contaminated
+    FROM per_doc LEFT JOIN dup_per_doc USING (doc_id)
+    ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Token-budget shard packing: assign documents to fixed-budget training
 # shards by cumulative token count in a deterministic order (doc_id) --
 # the pretraining shard-assignment step.  shard = floor((cumsum -
@@ -1535,17 +1640,61 @@ DSIR_ORACLE = f"""
 BPE_MERGES = 8
 
 
-def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    words = (
+def _bpe_word_freqs(docs: DataFrame) -> DataFrame:
+    """(word, freq) over the corpus — the Zipf-bounded training table."""
+    return (
         tokens_df(docs)
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
-        .select(F.split("word", "").alias("syms"), "freq")
-        .localCheckpoint()
     )
+
+
+def _bpe_merge_step(a: str, b: str, merged: str):
+    """Map-only greedy left-to-right single-rule re-merge of ``syms``.
+
+    Folds the symbol array with (out, pending) state -- "aaa" under
+    (a,a) becomes [aa, a], exactly the reference greedy semantics.
+    """
+    return F.aggregate(
+        "syms",
+        F.struct(
+            F.array().cast("array<string>").alias("out"),
+            F.lit(None).cast("string").alias("pend"),
+        ),
+        lambda acc, s: F.when(
+            acc.pend.isNull(), F.struct(acc.out.alias("out"), s.alias("pend"))
+        )
+        .when(
+            (acc.pend == F.lit(a)) & (s == F.lit(b)),
+            F.struct(
+                F.concat(acc.out, F.array(F.lit(merged))).alias("out"),
+                F.lit(None).cast("string").alias("pend"),
+            ),
+        )
+        .otherwise(
+            F.struct(
+                F.concat(acc.out, F.array(acc.pend)).alias("out"),
+                s.alias("pend"),
+            )
+        ),
+        lambda acc: F.when(acc.pend.isNull(), acc.out).otherwise(
+            F.concat(acc.out, F.array(acc.pend))
+        ),
+    )
+
+
+def _bpe_learn(word_freqs: DataFrame, n_merges: int = BPE_MERGES) -> list[tuple[int, str, str, str, int]]:
+    """Run the K-round learn loop over a (word, freq) table.
+
+    Returns the merge table [(rank, left, right, merged, pair_count)].
+    Shared by ``bpe_learn_merges`` (which declares the table itself) and
+    ``bpe_encode_documents`` (which applies it to re-encode the corpus).
+    """
+    words = word_freqs.select(
+        F.split("word", "").alias("syms"), "freq"
+    ).localCheckpoint()
     merges: list[tuple[int, str, str, str, int]] = []
-    for rank in range(1, BPE_MERGES + 1):
+    for rank in range(1, n_merges + 1):
         pairs = (
             words.filter(F.size("syms") >= 2)
             .select(
@@ -1567,41 +1716,201 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
         merged = a + b
         merges.append((rank, a, b, merged, cnt))
-        # greedy left-to-right single-rule re-merge: fold each symbol
-        # array with (out, pending) state -- "aaa" under (a,a) becomes
-        # [aa, a], exactly the reference greedy semantics
-        step = F.aggregate(
-            "syms",
-            F.struct(
-                F.array().cast("array<string>").alias("out"),
-                F.lit(None).cast("string").alias("pend"),
-            ),
-            lambda acc, s: F.when(
-                acc.pend.isNull(), F.struct(acc.out.alias("out"), s.alias("pend"))
-            )
-            .when(
-                (acc.pend == F.lit(a)) & (s == F.lit(b)),
-                F.struct(
-                    F.concat(acc.out, F.array(F.lit(merged))).alias("out"),
-                    F.lit(None).cast("string").alias("pend"),
-                ),
-            )
-            .otherwise(
-                F.struct(
-                    F.concat(acc.out, F.array(acc.pend)).alias("out"),
-                    s.alias("pend"),
-                )
-            ),
-            lambda acc: F.when(acc.pend.isNull(), acc.out).otherwise(
-                F.concat(acc.out, F.array(acc.pend))
-            ),
-        )
-        words = words.select(step.alias("syms"), "freq").localCheckpoint()
+        words = words.select(
+            _bpe_merge_step(a, b, merged).alias("syms"), "freq"
+        ).localCheckpoint()
+    return merges
+
+
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    merges = _bpe_learn(_bpe_word_freqs(docs))
     return spark.createDataFrame(
         merges,
         "rank: bigint, left: string, right: string, merged: string, "
         "pair_count: bigint",
     ).orderBy("rank")
+
+
+def bpe_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned BPE merge table to re-encode every document.
+
+    The tokenize->encode step of the pipeline, and the same scale trick
+    as training: the corpus is NEVER re-encoded token-by-token.  The
+    merge rules are applied to the DISTINCT word table (vocabulary
+    cardinality, Zipf-bounded -- K map-only array folds over ~|V| rows),
+    producing word -> encoded-symbol-count; the corpus token stream then
+    just joins on word (shuffle keyed by word, AQE-coalesced) and
+    aggregates per document.  At 100x corpus scale the encode cost grows
+    with the vocabulary, not the token count; the per-doc rollup is the
+    only full-corpus shuffle.
+
+    Output per document: token count, character count of the cleaned
+    tokens, BPE symbol count under the learned merges, and the
+    chars-per-symbol compression ratio (single double division of exact
+    integers).  Declared rows-only for the driver (the merge table comes
+    from the K-round iterative learn loop, not one SQL statement); the
+    encoding itself is checked symbol-for-symbol against an independent
+    pure-Python BPE in pytest.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    word_freqs = _bpe_word_freqs(docs).localCheckpoint()
+    merges = _bpe_learn(word_freqs)
+    vocab = word_freqs.select("word", F.split("word", "").alias("syms"))
+    for _rank, a, b, merged, _cnt in merges:
+        vocab = vocab.select(
+            "word", _bpe_merge_step(a, b, merged).alias("syms")
+        )
+    encoded = vocab.select(
+        "word",
+        F.length("word").alias("n_chars_word"),
+        F.size("syms").alias("n_syms_word"),
+    )
+    return (
+        tokens_df(docs)
+        .join(encoded, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("n_chars_word").alias("n_chars"),
+            F.sum("n_syms_word").alias("n_bpe_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_chars",
+            "n_bpe_tokens",
+            F.round(
+                F.col("n_chars").cast("double") / F.col("n_bpe_tokens"), 6
+            ).alias("chars_per_symbol"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Character-entropy quality signal: Shannon entropy of each document's
+# character distribution over the cleaned token stream.  Near-zero
+# entropy is repeated-character garbage; unusually low entropy is
+# template/boilerplate text; both are standard crawl-filter axes
+# alongside the repetition and logprob gates.
+#
+# Numeric discipline (the logprob/DSIR pattern): per-(doc, char) terms
+# c*ln(c) are cast to DECIMAL(25,12) and summed exactly, so partition
+# order cannot perturb the sum; one double division + one subtraction
+# at the end, converted to bits via an explicit ln(2) literal so both
+# engines evaluate the identical formula (Spark's log2 and DuckDB's
+# log2 are differently-rounded primitives -- avoided).
+#
+# Scale: one token scan, one combinable (doc, char) shuffle (≤ 36
+# groups per doc), one per-doc rollup.  No windows, no driver state.
+# ---------------------------------------------------------------------------
+
+_LN2 = "0.6931471805599453"
+
+
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    chars = tokens_df(docs).select(
+        "doc_id", F.explode(F.split("word", "")).alias("ch")
+    )
+    counts = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    term = (F.col("c") * F.log("c")).cast("decimal(25,12)")
+    n = F.sum("c")
+    ent_bits = (
+        (F.log(n) - F.sum(term).cast("double") / n) / F.lit(float(_LN2))
+    )
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            n.alias("n_chars"),
+            F.count(F.lit(1)).alias("n_distinct_chars"),
+            F.round(ent_bits, 6).alias("char_entropy"),
+            (F.round(ent_bits, 6) < 3.0).alias("low_entropy"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+CHAR_ENTROPY_ORACLE = f"""
+    WITH {DUCKDB_TOKS_CTE},
+    stream AS (
+        SELECT doc_id, ts[i] AS word
+        FROM toks, unnest(range(1, len(ts) + 1)) t(i)
+    ),
+    chars AS (
+        SELECT doc_id, unnest(string_split(word, '')) AS ch FROM stream
+    ),
+    counts AS (
+        SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_chars,
+           count(*) AS n_distinct_chars,
+           round((ln(sum(c))
+                  - CAST(sum(CAST(c * ln(c) AS DECIMAL(25,12))) AS DOUBLE)
+                    / sum(c)) / {_LN2}, 6) AS char_entropy,
+           round((ln(sum(c))
+                  - CAST(sum(CAST(c * ln(c) AS DECIMAL(25,12))) AS DOUBLE)
+                    / sum(c)) / {_LN2}, 6) < 3.0 AS low_entropy
+    FROM counts
+    GROUP BY doc_id
+    ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact corpus heavy hitters: every word whose frequency exceeds 1/K of
+# all tokens -- the stopword/boilerplate-discovery primitive.  The
+# threshold test is pure integer arithmetic (freq * K >= total), so
+# membership is engine-exact; the support ratio is the usual single
+# double division, rounded.
+#
+# Scale: the groupBy is map-side combinable (vocabulary-bounded output)
+# and the corpus total is a broadcast scalar -- no sketch needed: with
+# a support floor of 1/K there are at most K qualifying words, and the
+# candidate table is |vocab| which Zipf keeps far below the token
+# count.  (A Misra-Gries/count-min pass would only pay off if the
+# VOCABULARY itself outgrew executor aggregation, i.e. adversarial
+# non-Zipf keys -- at that point swap the groupBy for
+# partial-summary + merge, same top-level contract.)
+# ---------------------------------------------------------------------------
+
+HEAVY_HITTER_K = 500  # support floor = 1/K of all corpus tokens
+
+
+def heavy_hitter_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    freq = tokens_df(docs).groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    total = freq.agg(F.sum("freq").alias("total"))
+    return (
+        freq.crossJoin(F.broadcast(total))
+        .filter(F.col("freq") * HEAVY_HITTER_K >= F.col("total"))
+        .select(
+            "word",
+            "freq",
+            F.round(F.col("freq").cast("double") / F.col("total"), 6).alias(
+                "support"
+            ),
+        )
+        .orderBy(F.desc("freq"), "word")
+    )
+
+
+HEAVY_HITTER_ORACLE = f"""
+    WITH {DUCKDB_TOKS_CTE},
+    stream AS (
+        SELECT doc_id, ts[i] AS word
+        FROM toks, unnest(range(1, len(ts) + 1)) t(i)
+    ),
+    freq AS (SELECT word, count(*) AS freq FROM stream GROUP BY word),
+    tot AS (SELECT CAST(sum(freq) AS BIGINT) AS total FROM freq)
+    SELECT word, freq,
+           round(CAST(freq AS DOUBLE) / total, 6) AS support
+    FROM freq, tot
+    WHERE freq * {HEAVY_HITTER_K} >= total
+    ORDER BY freq DESC, word
+"""
 
 
 TEXT_ANALYSIS_QUERIES: list[tuple[str, object, str | None]] = [
@@ -1625,6 +1934,16 @@ TEXT_ANALYSIS_QUERIES: list[tuple[str, object, str | None]] = [
     ("corpus_zipf_stats", corpus_zipf_stats, ZIPF_STATS_ORACLE),
     ("text_bigram_logprob", text_bigram_logprob, BIGRAM_LOGPROB_ORACLE),
     ("dsir_importance_weights", dsir_importance_weights, DSIR_ORACLE),
+    ("text_char_entropy", text_char_entropy, CHAR_ENTROPY_ORACLE),
+    ("heavy_hitter_words", heavy_hitter_words, HEAVY_HITTER_ORACLE),
+    (
+        "repeated_passage_windows",
+        repeated_passage_windows,
+        REPEATED_PASSAGE_ORACLE,
+    ),
     # iterative K-round corpus rewrite: not one SQL statement -> rows-only
     ("bpe_learn_merges", bpe_learn_merges, None),
+    # applies the iteratively-learned merge table -> rows-only; encoding
+    # checked against an independent pure-Python BPE in pytest
+    ("bpe_encode_documents", bpe_encode_documents, None),
 ]

@@ -149,3 +149,25 @@ def test_decile_approx_tracks_exact_binning(spark):
     same = sum(1 for r in rows if r.decile == exact[r.event_id])
     assert all(abs(r.decile - exact[r.event_id]) <= 1 for r in rows)
     assert same / len(rows) >= 0.99
+
+
+def test_sketch_profile_exact_regime_and_merge(spark):
+    """distinct_users_sketch_profile: at test scale both sketch families
+    are below capacity (THETA_LGK/HLL_LGK docstring), so every estimate
+    must EQUAL the exact count -- including the 'ALL' row, whose HLL
+    figure comes from merging per-type sketches (hll_union_agg), pinning
+    the two-level partial-aggregate path."""
+    rows = QUERIES["distinct_users_sketch_profile"](spark, SF_SMOKE).collect()
+    assert rows
+    by_type = {r.event_type: r for r in rows}
+    assert "ALL" in by_type
+    for r in rows:
+        assert r.distinct_theta == r.distinct_exact, r.event_type
+        assert r.distinct_hll == r.distinct_exact, r.event_type
+    per_type_max = max(
+        r.distinct_exact for r in rows if r.event_type != "ALL"
+    )
+    assert by_type["ALL"].distinct_exact >= per_type_max
+    assert by_type["ALL"].n_events == sum(
+        r.n_events for r in rows if r.event_type != "ALL"
+    )

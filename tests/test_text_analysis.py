@@ -221,3 +221,103 @@ def test_bpe_matches_pure_python_reference(spark):
         for r in QUERIES["bpe_learn_merges"](spark, SF_SMOKE).collect()
     ]
     assert got == expected
+
+
+def test_bpe_encode_matches_pure_python_reference(spark):
+    """Per-document BPE symbol counts under the learned merges must equal
+    an independent in-memory greedy encode of every token."""
+    import re
+
+    import duckdb
+
+    from mapreduce_on_google_cloud_platform_spark.operators.text_analysis import (
+        BPE_MERGES,
+    )
+    from mapreduce_on_google_cloud_platform_spark.plans import QUERIES
+
+    from .conftest import SF_SMOKE
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF_SMOKE}/documents.parquet'"
+    ).fetchall()
+    merges = _py_bpe_reference([t for _, t in rows], BPE_MERGES)
+
+    def encode(word: str) -> int:
+        syms = list(word)
+        for _rank, a, b, m, _cnt in merges:
+            res, pend = [], None
+            for s in syms:
+                if pend is None:
+                    pend = s
+                elif pend == a and s == b:
+                    res.append(m)
+                    pend = None
+                else:
+                    res.append(pend)
+                    pend = s
+            if pend is not None:
+                res.append(pend)
+            syms = res
+        return len(syms)
+
+    expected = {}
+    for doc_id, text in rows:
+        toks = [
+            w
+            for w in (
+                re.sub(r"[^0-9a-z]", "", t.lower()) for t in text.split()
+            )
+            if w
+        ]
+        if toks:
+            expected[doc_id] = (
+                len(toks),
+                sum(len(w) for w in toks),
+                sum(encode(w) for w in toks),
+            )
+
+    got = {
+        r.doc_id: (r.n_tokens, r.n_chars, r.n_bpe_tokens)
+        for r in QUERIES["bpe_encode_documents"](spark, SF_SMOKE).collect()
+    }
+    assert got == expected
+
+
+def test_char_entropy_bounds(spark):
+    """Entropy is bounded by log2(alphabet): tokens are [0-9a-z], so
+    0 <= H <= log2(36); the flag must restate the rounded comparison."""
+    import math
+
+    rows = QUERIES["text_char_entropy"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.char_entropy <= math.log2(36) + 1e-9
+        assert r.n_distinct_chars <= min(36, r.n_chars)
+        assert r.low_entropy == (r.char_entropy < 3.0)
+
+
+def test_heavy_hitters_support_floor(spark):
+    """Every heavy hitter clears the 1/K support floor; supports are
+    disjoint token shares so they must sum to <= 1."""
+    from mapreduce_on_google_cloud_platform_spark.operators.text_analysis import (
+        HEAVY_HITTER_K,
+    )
+
+    rows = QUERIES["heavy_hitter_words"](spark, SF_SMOKE).collect()
+    assert rows
+    assert len(rows) <= HEAVY_HITTER_K
+    for r in rows:
+        assert r.support >= 1.0 / HEAVY_HITTER_K - 1e-9
+    assert sum(r.support for r in rows) <= 1.0 + 1e-6
+
+
+def test_repeated_passages_bounds_and_symmetry(spark):
+    """A duplicated passage requires >= 2 docs, so the count of docs
+    with n_dup_windows > 0 is 0 or >= 2; ratios are valid fractions."""
+    rows = QUERIES["repeated_passage_windows"](spark, SF_SMOKE).collect()
+    assert rows
+    flagged = [r for r in rows if r.n_dup_windows > 0]
+    assert len(flagged) != 1
+    for r in rows:
+        assert 0 <= r.n_dup_windows <= r.n_windows
+        assert abs(r.passage_dup_ratio - round(r.n_dup_windows / r.n_windows, 6)) < 1e-9
