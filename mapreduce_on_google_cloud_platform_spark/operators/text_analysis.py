@@ -909,17 +909,26 @@ def repeated_passage_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fp"),
         )
     )
+    # The window stream is corpus-token cardinality -- evaluate it ONCE:
+    # collapse to (doc_id, fp, cnt) with a single combinable shuffle and
+    # persist that compact table (one row per distinct passage per doc);
+    # totals, cross-doc fingerprints, and dup coverage all derive from
+    # it.  Reclaimed by the session cache contract (release_caches).
+    grouped = (
+        wins.groupBy("doc_id", "fp").agg(F.count(F.lit(1)).alias("cnt")).persist()
+    )
+    # one row per (doc, fp) => cross-doc multiplicity is a plain count
     dup_fp = (
-        wins.groupBy("fp")
-        .agg(F.count_distinct("doc_id").alias("nd"))
+        grouped.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("nd"))
         .filter(F.col("nd") >= 2)
         .select("fp")
     )
-    per_doc = wins.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_windows"))
+    per_doc = grouped.groupBy("doc_id").agg(F.sum("cnt").alias("n_windows"))
     dup_per_doc = (
-        wins.join(dup_fp, "fp", "left_semi")
+        grouped.join(dup_fp, "fp", "left_semi")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_dup_windows"))
+        .agg(F.sum("cnt").alias("n_dup_windows"))
     )
     ratio = F.col("n_dup_windows").cast("double") / F.col("n_windows")
     return (

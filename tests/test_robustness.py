@@ -149,6 +149,7 @@ def test_release_caches_empties_the_plan_cache(spark):
         "ann_lsh_topk",
         "kmeans_assign",
         "token_budget_packing",
+        "repeated_passage_windows",
     ]
     touched_cache = 0
     for name in cache_heavy:
