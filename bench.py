@@ -106,6 +106,13 @@ HEADLINE = [
     "text_bigram_logprob",
     "dsir_importance_weights",
     "bpe_learn_merges",
+    # round-5 curation additions
+    "bpe_encode_documents",
+    "text_char_entropy",
+    "heavy_hitter_words",
+    "repeated_passage_windows",
+    "distinct_users_sketch_profile",
+    "hybrid_search_rrf",
 ]
 
 

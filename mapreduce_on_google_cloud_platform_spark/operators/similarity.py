@@ -33,6 +33,7 @@ from ..functions.vectors import (
     flat_renamed,
     sql_dot,
     sql_norm,
+    sql_normalize,
 )
 from ..sources import load_table
 
@@ -910,6 +911,203 @@ ANN_INT8_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Hybrid retrieval with reciprocal-rank fusion: "more items like item 0".
+# The keyword arm scores BM25 similarity of every document to the query
+# document's term set; the vector arm scores cosine similarity of every
+# embedding to the query vector; each arm keeps its top ARM_TOPK and the
+# two rank lists fuse by RRF (Cormack et al. 2009): score = sum over
+# arms of 1/(RRF_K + rank).
+#
+# Scale shape: the keyword arm prunes the (doc, term) stream with a
+# BROADCAST semi-join on the query document's terms before any scoring
+# (the stream that survives is |query terms| * df, not the corpus); the
+# vector arm is the ann_topk_bruteforce single-query shape -- broadcast
+# one query vector, one linear map-side scan.  Both arms take their
+# top-K via orderBy().limit() (Spark's TakeOrdered: per-partition
+# heap + driver merge of K*partitions rows -- no global sort shuffle),
+# and the row_number windows then rank ARM_TOPK-row tables, never the
+# corpus.  The fusion join is two K-row lists.
+#
+# Determinism: BM25 per-term scores are identical double expression
+# trees on both engines over exact integers (tf, df, dl, N), cast to
+# DECIMAL(25,12) and summed exactly per doc, then rounded; cosine uses
+# the bit-identical left-fold dot (vectors.py); ranks tie-break on id;
+# RRF is two exact-integer-denominator divisions summed in fixed order.
+# ---------------------------------------------------------------------------
+
+HYBRID_QUERY_ID = 0
+BM25_K1 = 1.2
+BM25_B = 0.75
+RRF_K = 60
+ARM_TOPK = 50
+HYBRID_TOPK = 20
+
+
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens_df
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        tokens_df(docs)
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    doclen = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = doclen.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
+    )
+    qterms = tf.filter(F.col("doc_id") == HYBRID_QUERY_ID).select("word")
+    qtf = tf.join(F.broadcast(qterms), "word")
+    dfreq = qtf.groupBy("word").agg(F.count(F.lit(1)).alias("dfreq"))
+
+    avgdl = F.col("total_len").cast("double") / F.col("n_docs").cast("double")
+    idf = F.log(
+        F.lit(1.0)
+        + ((F.col("n_docs") - F.col("dfreq")).cast("double") + F.lit(0.5))
+        / (F.col("dfreq").cast("double") + F.lit(0.5))
+    )
+    tf_d = F.col("tf").cast("double")
+    term_score = (
+        idf
+        * (tf_d * F.lit(BM25_K1 + 1.0))
+        / (
+            tf_d
+            + F.lit(BM25_K1)
+            * (
+                F.lit(1.0 - BM25_B)
+                + F.lit(BM25_B)
+                * (F.col("dl").cast("double") / avgdl)
+            )
+        )
+    ).cast("decimal(25,12)")
+    kw = (
+        qtf.filter(F.col("doc_id") != HYBRID_QUERY_ID)
+        .join(F.broadcast(dfreq), "word")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(term_score).cast("double"), 6).alias("kw_score"))
+    )
+    kw_top = kw.orderBy(F.desc("kw_score"), "doc_id").limit(ARM_TOPK)
+    kw_rank = kw_top.select(
+        F.col("doc_id").alias("item_id"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("kw_score"), "doc_id"))
+        .alias("kw_rank"),
+    )
+
+    en = _embeddings(spark, sf_dir)
+    q = flat_renamed(
+        en.filter(F.col("vec_id") == HYBRID_QUERY_ID), "vec_id", "q_id", "x", "q"
+    )
+    vec = (
+        en.filter(F.col("vec_id") != HYBRID_QUERY_ID)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", F.round(flat_dot("x", "q"), 6).alias("cos_sim"))
+    )
+    vec_top = vec.orderBy(F.desc("cos_sim"), "vec_id").limit(ARM_TOPK)
+    vec_rank = vec_top.select(
+        F.col("vec_id").alias("item_id"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("cos_sim"), "vec_id"))
+        .alias("vec_rank"),
+    )
+
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(RRF_K) + F.col("kw_rank")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("vec_rank")), F.lit(0.0))
+    return (
+        kw_rank.join(vec_rank, "item_id", "full_outer")
+        .select(
+            "item_id",
+            "kw_rank",
+            "vec_rank",
+            F.round(rrf, 9).alias("rrf_score"),
+        )
+        .orderBy(F.desc("rrf_score"), "item_id")
+        .limit(HYBRID_TOPK)
+    )
+
+
+HYBRID_RRF_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(
+                   list_transform(regexp_split_to_array(text, '\\s+'),
+                                  t -> regexp_replace(lower(t), '[^0-9a-z]', '', 'g')),
+                   x -> x <> '') AS ts
+        FROM documents
+    ),
+    stream AS (
+        SELECT doc_id, ts[i] AS word
+        FROM toks, unnest(range(1, len(ts) + 1)) t(i)
+    ),
+    tf AS (SELECT doc_id, word, count(*) AS tf FROM stream GROUP BY 1, 2),
+    doclen AS (
+        SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id
+    ),
+    stats AS (
+        SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_len
+        FROM doclen
+    ),
+    qterms AS (SELECT word FROM tf WHERE doc_id = {HYBRID_QUERY_ID}),
+    dfreq AS (
+        SELECT word, count(*) AS dfreq
+        FROM tf SEMI JOIN qterms USING (word)
+        GROUP BY word
+    ),
+    kw AS (
+        SELECT doc_id,
+               round(CAST(sum(CAST(
+                   ln(1.0 + (CAST(n_docs - dfreq AS DOUBLE) + 0.5)
+                            / (CAST(dfreq AS DOUBLE) + 0.5))
+                   * (CAST(tf AS DOUBLE) * {BM25_K1 + 1.0})
+                   / (CAST(tf AS DOUBLE)
+                      + {BM25_K1} * ({1.0 - BM25_B}
+                                     + {BM25_B} * (CAST(dl AS DOUBLE)
+                                        / (CAST(total_len AS DOUBLE)
+                                           / CAST(n_docs AS DOUBLE)))))
+               AS DECIMAL(25,12))) AS DOUBLE), 6) AS kw_score
+        FROM tf
+             JOIN dfreq USING (word)
+             JOIN doclen USING (doc_id), stats
+        WHERE doc_id <> {HYBRID_QUERY_ID}
+        GROUP BY doc_id
+    ),
+    kw_rank AS (
+        SELECT doc_id AS item_id,
+               row_number() OVER (ORDER BY kw_score DESC, doc_id) AS kw_rank
+        FROM kw
+        QUALIFY kw_rank <= {ARM_TOPK}
+    ),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    en AS (SELECT vec_id, {{NORM}} AS vn FROM e),
+    q AS (SELECT vn AS qn FROM en WHERE vec_id = {HYBRID_QUERY_ID}),
+    vec AS (
+        SELECT vec_id, round({{DOT}}, 6) AS cos_sim
+        FROM en, q
+        WHERE vec_id <> {HYBRID_QUERY_ID}
+    ),
+    vec_rank AS (
+        SELECT vec_id AS item_id,
+               row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS vec_rank
+        FROM vec
+        QUALIFY vec_rank <= {ARM_TOPK}
+    )
+    SELECT item_id, kw_rank, vec_rank,
+           round(coalesce(1.0 / ({RRF_K} + kw_rank), 0.0)
+                 + coalesce(1.0 / ({RRF_K} + vec_rank), 0.0), 9) AS rrf_score
+    FROM kw_rank FULL JOIN vec_rank USING (item_id)
+    ORDER BY rrf_score DESC, item_id
+    LIMIT {HYBRID_TOPK}
+"""
+
+HYBRID_RRF_ORACLE = HYBRID_RRF_ORACLE.replace(
+    "{NORM}", sql_normalize("v")
+).replace("{DOT}", sql_dot("vn", "qn"))
+
+
 SIMILARITY_QUERIES: list[tuple[str, object, str | None]] = [
     ("ann_topk_bruteforce", ann_topk_bruteforce, ANN_BRUTEFORCE_ORACLE),
     ("ann_ivf_topk", ann_ivf_topk, ANN_IVF_ORACLE),
@@ -920,4 +1118,5 @@ SIMILARITY_QUERIES: list[tuple[str, object, str | None]] = [
     ("kmeans_assign", kmeans_assign, KMEANS_ORACLE),
     ("embedding_quantize_int8", embedding_quantize_int8, EMBEDDING_QUANTIZE_ORACLE),
     ("ann_int8_topk", ann_int8_topk, ANN_INT8_ORACLE),
+    ("hybrid_search_rrf", hybrid_search_rrf, HYBRID_RRF_ORACLE),
 ]

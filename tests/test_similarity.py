@@ -159,3 +159,32 @@ def test_int8_topk_recall_against_float_groundtruth(spark):
     assert set(got) == set(exact)
     recalls = [len(got[q] & exact[q]) / len(exact[q]) for q in exact]
     assert sum(recalls) / len(recalls) >= 0.9
+
+
+def test_hybrid_rrf_ranks_consistent(spark):
+    """RRF output: ranks are within ARM_TOPK, at least one arm ranked
+    every fused item, the score restates 1/(K+rank) fusion exactly, and
+    the list is HYBRID_TOPK items sorted by (score desc, id)."""
+    from mapreduce_on_google_cloud_platform_spark.operators.similarity import (
+        ARM_TOPK,
+        HYBRID_QUERY_ID,
+        HYBRID_TOPK,
+        RRF_K,
+    )
+
+    rows = QUERIES["hybrid_search_rrf"](spark, SF_SMOKE).collect()
+    assert 0 < len(rows) <= HYBRID_TOPK
+    assert len({r.item_id for r in rows}) == len(rows)
+    for r in rows:
+        assert r.item_id != HYBRID_QUERY_ID
+        assert r.kw_rank is not None or r.vec_rank is not None
+        expect = 0.0
+        if r.kw_rank is not None:
+            assert 1 <= r.kw_rank <= ARM_TOPK
+            expect += 1.0 / (RRF_K + r.kw_rank)
+        if r.vec_rank is not None:
+            assert 1 <= r.vec_rank <= ARM_TOPK
+            expect += 1.0 / (RRF_K + r.vec_rank)
+        assert abs(r.rrf_score - round(expect, 9)) < 1e-12
+    scores = [(-r.rrf_score, r.item_id) for r in rows]
+    assert scores == sorted(scores)
