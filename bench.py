@@ -113,6 +113,8 @@ HEADLINE = [
     "repeated_passage_windows",
     "distinct_users_sketch_profile",
     "hybrid_search_rrf",
+    "time_decayed_user_value",
+    "join_key_skew_profile",
 ]
 
 

@@ -1982,6 +1982,72 @@ def customer_rfm_features_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("c_custkey")
 
 
+# ---------------------------------------------------------------------------
+# Join-key skew profile: the diagnostic a pipeline runs BEFORE sizing a
+# big join -- per-key row counts for the prospective join key, the
+# heaviest keys, each key's share of the table, and its skew factor
+# (count / mean count).  A skew factor of ~1 everywhere means a plain
+# hash join partitions evenly; a hot key factor in the hundreds is the
+# signal to salt (join_strategies.skew_join_salted) or rely on AQE skew
+# splitting.  All integer counts; shares/factors are single double
+# divisions of broadcast scalars.  Scale: one map-side-combinable
+# groupBy on the key + TakeOrdered over per-key counts (never a global
+# sort of the fact table).
+# ---------------------------------------------------------------------------
+
+SKEW_PROFILE_TOPK = 10
+
+
+def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    per_key = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("cnt"))
+    stats = per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("total_rows"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    top = per_key.orderBy(F.desc("cnt"), "o_custkey").limit(SKEW_PROFILE_TOPK)
+    return (
+        top.crossJoin(F.broadcast(stats))
+        .select(
+            "o_custkey",
+            "cnt",
+            F.round(
+                F.col("cnt").cast("double") / F.col("total_rows"), 6
+            ).alias("share"),
+            F.round(
+                (F.col("cnt") * F.col("n_keys")).cast("double")
+                / F.col("total_rows"),
+                6,
+            ).alias("skew_factor"),
+            "n_keys",
+            "total_rows",
+            "max_cnt",
+        )
+        .orderBy(F.desc("cnt"), "o_custkey")
+    )
+
+
+SKEW_PROFILE_ORACLE = f"""
+    WITH per_key AS (
+        SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey
+    ),
+    stats AS (
+        SELECT count(*) AS n_keys,
+               CAST(sum(cnt) AS BIGINT) AS total_rows,
+               max(cnt) AS max_cnt
+        FROM per_key
+    )
+    SELECT o_custkey, cnt,
+           round(CAST(cnt AS DOUBLE) / total_rows, 6) AS share,
+           round(CAST(cnt * n_keys AS DOUBLE) / total_rows, 6) AS skew_factor,
+           n_keys, total_rows, max_cnt
+    FROM per_key, stats
+    ORDER BY cnt DESC, o_custkey
+    LIMIT {SKEW_PROFILE_TOPK}
+"""
+
+
 RELATIONAL_QUERIES: list[tuple[str, object, str | None]] = [
     ("q1_pricing_summary", q1_pricing_summary, Q1_ORACLE),
     ("q3_shipping_priority", q3_shipping_priority, Q3_ORACLE),
@@ -2030,4 +2096,5 @@ RELATIONAL_QUERIES: list[tuple[str, object, str | None]] = [
     ("customer_rfm_features", customer_rfm_features, RFM_ORACLE),
     # sketch-bounded scoring: engine-specific boundaries -> rows-only
     ("customer_rfm_features_approx", customer_rfm_features_approx, None),
+    ("join_key_skew_profile", join_key_skew_profile, SKEW_PROFILE_ORACLE),
 ]

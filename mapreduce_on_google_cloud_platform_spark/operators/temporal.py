@@ -402,6 +402,57 @@ SCD2_ORACLE = """
 """
 
 
+# ---------------------------------------------------------------------------
+# Exponentially time-decayed user value: sum of event values weighted by
+# exp(-age/tau) relative to the corpus watermark (global max ts) -- the
+# classic recency-weighted engagement feature.  Age is exact integer
+# microseconds (difference of epoch_us values against a broadcast scalar
+# watermark); each weighted term value*exp(-age_us/TAU_US) is one
+# identical double expression tree on both engines, cast to
+# DECIMAL(25,12) and summed exactly, so partitioning cannot perturb the
+# result.  Scale: one broadcast scalar + one combinable shuffle on
+# user_id; no windows.
+# ---------------------------------------------------------------------------
+
+DECAY_TAU_US = 7 * 86400 * 1_000_000  # one-week e-folding time
+
+
+def time_decayed_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.portable import dec
+
+    ev = load_table(spark, sf_dir, "events")
+    wm = ev.agg(F.max(F.unix_micros("ts")).alias("wm_us"))
+    age_us = F.col("wm_us") - F.unix_micros(F.col("ts"))
+    term = (
+        F.col("value") * F.exp(-(age_us.cast("double")) / F.lit(float(DECAY_TAU_US)))
+    ).cast("decimal(25,12)")
+    return (
+        ev.crossJoin(F.broadcast(wm))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
+            F.round(F.sum(term).cast("double"), 6).alias("decayed_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+DECAYED_VALUE_ORACLE = f"""
+    WITH wm AS (SELECT max(epoch_us(ts)) AS wm_us FROM events)
+    SELECT user_id,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           round(CAST(sum(CAST(
+               value * exp(-(CAST(wm_us - epoch_us(ts) AS DOUBLE))
+                           / {float(DECAY_TAU_US)})
+           AS DECIMAL(25,12))) AS DOUBLE), 6) AS decayed_value
+    FROM events, wm
+    GROUP BY user_id
+    ORDER BY user_id
+"""
+
+
 TEMPORAL_QUERIES: list[tuple[str, object, str | None]] = [
     ("asof_join_purchase_view", asof_join_purchase_view, ASOF_ORACLE),
     ("asof_forward_purchase_view", asof_forward_purchase_view, ASOF_FORWARD_ORACLE),
@@ -409,4 +460,5 @@ TEMPORAL_QUERIES: list[tuple[str, object, str | None]] = [
     ("events_gap_fill", events_gap_fill, GAP_FILL_ORACLE),
     ("lag_feature_matrix", lag_feature_matrix, LAG_FEATURES_ORACLE),
     ("scd2_user_event_intervals", scd2_user_event_intervals, SCD2_ORACLE),
+    ("time_decayed_user_value", time_decayed_user_value, DECAYED_VALUE_ORACLE),
 ]

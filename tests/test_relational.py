@@ -58,3 +58,16 @@ def test_rfm_approx_tracks_exact_scoring(spark):
                 )
         m_same += approx[2] == e[2]
     assert m_same / len(rows) >= 0.99
+
+
+def test_skew_profile_shares_and_factor(spark):
+    """Top keys are count-descending; shares/factors restate the integer
+    ratios; max_cnt matches the first row's count."""
+    rows = QUERIES["join_key_skew_profile"](spark, SF_SMOKE).collect()
+    assert rows
+    assert rows[0].cnt == rows[0].max_cnt
+    cnts = [r.cnt for r in rows]
+    assert cnts == sorted(cnts, reverse=True)
+    for r in rows:
+        assert abs(r.share - round(r.cnt / r.total_rows, 6)) < 1e-9
+        assert abs(r.skew_factor - round(r.cnt * r.n_keys / r.total_rows, 6)) < 1e-9

@@ -116,3 +116,13 @@ def test_scd2_intervals_tile_per_user(spark):
                 + delta.seconds * 1_000_000
                 + delta.microseconds
             )
+
+
+def test_decayed_value_bounded_by_total(spark):
+    """exp(-age/tau) weights are in (0, 1], so the decayed sum is
+    positive-bounded by the plain sum whenever all values are >= 0."""
+    rows = QUERIES["time_decayed_user_value"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.decayed_value <= r.total_value + 1e-6
+        assert r.n_events >= 1
