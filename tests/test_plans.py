@@ -581,3 +581,48 @@ def test_decile_approx_has_no_sort_on_the_event_stream(spark):
     assert "Window" not in plan
     assert "BroadcastHashJoin" in plan
     assert "partial_percentile_approx" in plan or "percentile_approx" in plan
+
+
+def test_hybrid_rrf_takes_ordered_and_broadcasts(spark):
+    """hybrid_search_rrf: each arm's top-K must be TakeOrdered (per-
+    partition heap + driver merge), never a global Sort+Exchange of the
+    scored stream; the query-term prune and the scalar stats must ride
+    broadcasts; nothing Python."""
+    plan = plan_of(spark, "hybrid_search_rrf")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastExchange" in plan
+    assert "Python" not in plan
+
+
+def test_skew_profile_takes_ordered_no_global_sort(spark):
+    """join_key_skew_profile: heavy-key selection is TakeOrdered over
+    the per-key aggregate; stats ride a broadcast scalar."""
+    plan = plan_of(spark, "join_key_skew_profile")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_round5_text_ops_are_windowless_jvm_aggregates(spark):
+    """char entropy / heavy hitters / sketch profile / decayed value:
+    pure (partial-agg) groupBy pipelines -- no window operator at all,
+    no Python, map-side combine present."""
+    for name in (
+        "text_char_entropy",
+        "heavy_hitter_words",
+        "distinct_users_sketch_profile",
+        "time_decayed_user_value",
+    ):
+        plan = plan_of(spark, name)
+        assert "Window" not in plan, name
+        assert "Python" not in plan, name
+        assert "partial_" in plan or "Partial" in plan, name
+
+
+def test_repeated_passages_single_window_stream_reuse(spark):
+    """repeated_passage_windows: the lead() window is PARTITIONED by
+    doc_id (parallel), and the corpus-cardinality window stream is
+    collapsed once into the persisted (doc, fp, cnt) table -- the plan
+    must reuse that InMemoryRelation, not re-derive the stream."""
+    plan = plan_of(spark, "repeated_passage_windows")
+    assert "InMemoryTableScan" in plan
+    assert "Python" not in plan
