@@ -919,9 +919,12 @@ ANN_INT8_ORACLE = f"""
 # two rank lists fuse by RRF (Cormack et al. 2009): score = sum over
 # arms of 1/(RRF_K + rank).
 #
-# Scale shape: the keyword arm prunes the (doc, term) stream with a
-# BROADCAST semi-join on the query document's terms before any scoring
-# (the stream that survives is |query terms| * df, not the corpus); the
+# Scale shape: the keyword arm prunes the token stream with a
+# BROADCAST join on the query document's terms BEFORE the wide
+# (doc, term) aggregation -- the only full-corpus shuffle left is the
+# combinable doc-length count keyed by doc_id (BM25's length norm
+# genuinely needs it); the (doc, term) shuffle input is
+# |query terms| * df rows, not the corpus; the
 # vector arm is the ann_topk_bruteforce single-query shape -- broadcast
 # one query vector, one linear map-side scan.  Both arms take their
 # top-K via orderBy().limit() (Spark's TakeOrdered: per-partition
@@ -948,17 +951,23 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import tokens_df
 
     docs = load_table(spark, sf_dir, "documents")
-    tf = (
-        tokens_df(docs)
-        .groupBy("doc_id", "word")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    doclen = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    toks = tokens_df(docs)
+    # Only document LENGTH needs the full token stream, and only keyed
+    # by doc_id (combinable).  The (doc, term) aggregation -- the wide
+    # shuffle -- runs on the stream AFTER the broadcast query-term
+    # prune, so its input is |query terms| x df rows, not the corpus.
+    doclen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     stats = doclen.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
     )
-    qterms = tf.filter(F.col("doc_id") == HYBRID_QUERY_ID).select("word")
-    qtf = tf.join(F.broadcast(qterms), "word")
+    qterms = (
+        toks.filter(F.col("doc_id") == HYBRID_QUERY_ID).select("word").distinct()
+    )
+    qtf = (
+        toks.join(F.broadcast(qterms), "word")
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
     dfreq = qtf.groupBy("word").agg(F.count(F.lit(1)).alias("dfreq"))
 
     avgdl = F.col("total_len").cast("double") / F.col("n_docs").cast("double")
