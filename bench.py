@@ -115,6 +115,7 @@ HEADLINE = [
     "hybrid_search_rrf",
     "time_decayed_user_value",
     "join_key_skew_profile",
+    "pq_adc_topk",
 ]
 
 

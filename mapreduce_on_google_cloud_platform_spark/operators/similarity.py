@@ -912,6 +912,224 @@ ANN_INT8_ORACLE = f"""
 
 
 # ---------------------------------------------------------------------------
+# Product-quantization ANN (Jegou et al. 2011): the third compression
+# point next to int8 scalar quantization (ann_int8_topk) and bucketing
+# (LSH/IVF).  Vectors are split into PQ_M subspaces of PQ_SUBDIM dims;
+# each subvector is encoded as the id of its nearest codebook entry
+# (codebook = the subvectors of every PQ_CENT_STRIDE-th vector -- a
+# deterministic stand-in for a trained codebook, exactly the IVF
+# centroid convention).  Serving is the classic ADC (asymmetric
+# distance) plan: per query, a lookup table of squared distances from
+# each of its subvectors to every codebook entry; a vector's
+# approximate distance is the sum of PQ_M table lookups on its codes.
+#
+# Serving is the production two-stage plan: the ADC scan selects a
+# PQ_SHORTLIST-deep candidate list per query (cheap integer adds over
+# codes), then ONLY the shortlist is re-ranked with the exact cosine --
+# the full-precision vectors are touched for |queries| * PQ_SHORTLIST
+# rows, never the corpus.  (The synthetic embeddings have no low-rank
+# structure for PQ to exploit, so the raw ADC ordering alone recalls
+# only ~0.35 of the exact top-10; the rerank recovers whatever the
+# shortlist covers -- measured in tests -- which is exactly why
+# production PQ always reranks.)
+#
+# Scale shape: encoding is one broadcast of the codebook + one map-side
+# argmin per subspace (a single crossJoin + PQ_M min(struct) aggregates
+# -- the kmeans assignment shape); the ADC scan joins the code table
+# against PQ_M broadcast per-subspace LUT slices -- every join is
+# map-side, no shuffle until the per-query shortlist window.  ADC is
+# exhaustive by design (PQ shrinks the per-pair cost to M integer adds,
+# not the pair count); at 100 TB you compose it with the IVF cell
+# pruning above so only probed cells are scored -- the declared query
+# keeps the exhaustive form the oracle can replicate.
+#
+# Determinism: the kmeans fixed-point trick -- unit-normalized
+# components quantized once to integers (floor(x*1e6+0.5), identical
+# doubles on both engines per vectors.py); every distance is an exact int64 sum
+# of squares (subspace bound: 8 * (2e6)^2 ~ 3.2e13), argmins tie-break
+# on centroid id, ranks on neighbor id.  No doubles anywhere.
+# ---------------------------------------------------------------------------
+
+PQ_M = 16
+PQ_SUBDIM = 4  # PQ_M * PQ_SUBDIM == DIM
+PQ_CENT_STRIDE = 25
+PQ_SHORTLIST = 50  # ADC candidates per query fed to the exact rerank
+
+
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import DIM
+
+    # quantize the UNIT-NORMALIZED vectors: L2 on unit vectors is
+    # monotone in cosine (|a-b|^2 = 2 - 2cos), so PQ's integer L2
+    # ranking approximates the same cosine order the exact/IVF/LSH
+    # queries serve (raw-vector L2 would rank a different metric)
+    en = _embeddings(spark, sf_dir)
+    vectors = en.select(
+        "vec_id",
+        *[
+            F.floor(F.col(f"x{i}") * QUANT_SCALE + F.lit(0.5))
+            .cast("bigint")
+            .alias(f"q{i}")
+            for i in range(DIM)
+        ],
+    ).persist()
+    cents = F.broadcast(
+        vectors.filter(F.col("vec_id") % PQ_CENT_STRIDE == 0).select(
+            F.col("vec_id").alias("cent_id"),
+            *[F.col(f"q{i}").alias(f"c{i}") for i in range(DIM)],
+        )
+    )
+
+    def d2_sub(m: int, a: str, b: str):
+        acc = None
+        for i in range(m * PQ_SUBDIM, (m + 1) * PQ_SUBDIM):
+            t = (F.col(f"{a}{i}") - F.col(f"{b}{i}")) * (
+                F.col(f"{a}{i}") - F.col(f"{b}{i}")
+            )
+            acc = t if acc is None else acc + t
+        return acc
+
+    # encode: one crossJoin, PQ_M independent argmins in a single agg
+    codes = (
+        vectors.crossJoin(cents)
+        .groupBy("vec_id")
+        .agg(
+            *[
+                F.min(
+                    F.struct(
+                        d2_sub(m, "q", "c").alias("d2"),
+                        F.col("cent_id").alias("cid"),
+                    )
+                ).alias(f"a{m}")
+                for m in range(PQ_M)
+            ]
+        )
+        .select(
+            "vec_id",
+            *[F.col(f"a{m}.cid").alias(f"code{m}") for m in range(PQ_M)],
+        )
+    )
+
+    # per-query LUT: squared distance from each query subvector to every
+    # codebook entry (|queries| * |codebook| rows -- serving-cache sized)
+    lut = (
+        vectors.filter(F.col("vec_id") % QUERY_STRIDE == 0)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            *[F.col(f"q{i}").alias(f"q{i}") for i in range(DIM)],
+        )
+        .crossJoin(cents)
+        .select(
+            "q_id",
+            "cent_id",
+            *[d2_sub(m, "q", "c").alias(f"ld{m}") for m in range(PQ_M)],
+        )
+    )
+
+    scored = codes
+    for m in range(PQ_M):
+        slice_m = lut.select(
+            "q_id",
+            F.col("cent_id").alias(f"code{m}"),
+            F.col(f"ld{m}"),
+        )
+        on = [f"code{m}"] if m == 0 else ["q_id", f"code{m}"]
+        scored = scored.join(F.broadcast(slice_m), on)
+    d2pq = None
+    for m in range(PQ_M):
+        d2pq = F.col(f"ld{m}") if d2pq is None else d2pq + F.col(f"ld{m}")
+
+    sw = Window.partitionBy("q_id").orderBy(F.asc("d2pq"), F.asc("neighbor_id"))
+    shortlist = (
+        scored.filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            d2pq.alias("d2pq"),
+        )
+        .withColumn("srn", F.row_number().over(sw))
+        .filter(F.col("srn") <= PQ_SHORTLIST)
+        .select("q_id", "neighbor_id", "d2pq")
+    )
+
+    # exact rerank of the shortlist only: full-precision vectors touched
+    # for |queries| * PQ_SHORTLIST rows
+    nvec = flat_renamed(en, "vec_id", "neighbor_id", "x", "nx")
+    qvec = flat_renamed(en, "vec_id", "q_id", "x", "qx")
+    rw = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        shortlist.join(nvec, "neighbor_id")
+        .join(F.broadcast(qvec), "q_id")
+        .select(
+            "q_id",
+            "neighbor_id",
+            "d2pq",
+            F.round(flat_dot("qx", "nx"), 6).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(rw).cast("int"))
+        .filter(F.col("rank") <= K_NEIGHBORS)
+    )
+
+
+PQ_ADC_ORACLE = f"""
+    WITH {SQL_NORMALIZED_CTE},
+    q AS (
+        SELECT vec_id, i AS d,
+               CAST(floor(vn[i] * {QUANT_SCALE} + 0.5) AS BIGINT) AS qv
+        FROM en, unnest(generate_series(1, 64)) t(i)
+    ),
+    cents AS (
+        SELECT vec_id AS cent_id, d, qv AS cv FROM q
+        WHERE vec_id % {PQ_CENT_STRIDE} = 0
+    ),
+    pairs AS (
+        SELECT q.vec_id, c.cent_id, (q.d - 1) // {PQ_SUBDIM} AS m,
+               CAST(sum((q.qv - c.cv) * (q.qv - c.cv)) AS BIGINT) AS d2
+        FROM q JOIN cents c ON q.d = c.d
+        GROUP BY 1, 2, 3
+    ),
+    codes AS (
+        SELECT vec_id, m, cent_id FROM pairs
+        QUALIFY row_number() OVER (PARTITION BY vec_id, m
+                                   ORDER BY d2, cent_id) = 1
+    ),
+    lut AS (
+        SELECT vec_id AS q_id, m, cent_id, d2 FROM pairs
+        WHERE vec_id % {QUERY_STRIDE} = 0
+    ),
+    scored AS (
+        SELECT l.q_id, c.vec_id AS neighbor_id,
+               CAST(sum(l.d2) AS BIGINT) AS d2pq
+        FROM codes c JOIN lut l ON c.m = l.m AND c.cent_id = l.cent_id
+        WHERE c.vec_id <> l.q_id
+        GROUP BY 1, 2
+    ),
+    shortlist AS (
+        SELECT q_id, neighbor_id, d2pq FROM scored
+        QUALIFY row_number() OVER (PARTITION BY q_id
+                                   ORDER BY d2pq, neighbor_id)
+                <= {PQ_SHORTLIST}
+    ),
+    rerank AS (
+        SELECT s.q_id, s.neighbor_id, s.d2pq,
+               round({{RERANK_DOT}}, 6) AS cos_sim
+        FROM shortlist s
+             JOIN en nv ON nv.vec_id = s.neighbor_id
+             JOIN en qv ON qv.vec_id = s.q_id
+    )
+    SELECT q_id, neighbor_id, d2pq, cos_sim, CAST(rank AS INTEGER) AS rank
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM rerank
+    )
+    WHERE rank <= {K_NEIGHBORS}
+"""
+
+PQ_ADC_ORACLE = PQ_ADC_ORACLE.replace("{RERANK_DOT}", sql_dot("qv.vn", "nv.vn"))
+
+
+# ---------------------------------------------------------------------------
 # Hybrid retrieval with reciprocal-rank fusion: "more items like item 0".
 # The keyword arm scores BM25 similarity of every document to the query
 # document's term set; the vector arm scores cosine similarity of every
@@ -1128,4 +1346,5 @@ SIMILARITY_QUERIES: list[tuple[str, object, str | None]] = [
     ("embedding_quantize_int8", embedding_quantize_int8, EMBEDDING_QUANTIZE_ORACLE),
     ("ann_int8_topk", ann_int8_topk, ANN_INT8_ORACLE),
     ("hybrid_search_rrf", hybrid_search_rrf, HYBRID_RRF_ORACLE),
+    ("pq_adc_topk", pq_adc_topk, PQ_ADC_ORACLE),
 ]

@@ -626,3 +626,13 @@ def test_repeated_passages_single_window_stream_reuse(spark):
     plan = plan_of(spark, "repeated_passage_windows")
     assert "InMemoryTableScan" in plan
     assert "Python" not in plan
+
+
+def test_pq_adc_all_joins_broadcast(spark):
+    """pq_adc_topk: codebook/LUT joins and the rerank's query side are
+    broadcast -- no sort-merge join anywhere; the only shuffles belong
+    to the encode aggregate and the per-query windows."""
+    plan = plan_of(spark, "pq_adc_topk")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "Python" not in plan

@@ -188,3 +188,40 @@ def test_hybrid_rrf_ranks_consistent(spark):
         assert abs(r.rrf_score - round(expect, 9)) < 1e-12
     scores = [(-r.rrf_score, r.item_id) for r in rows]
     assert scores == sorted(scores)
+
+
+def test_pq_adc_rerank_recall_floor(spark):
+    """PQ-ADC shortlist + exact rerank must recover a solid majority of
+    the exact top-10 (the synthetic embeddings have no low-rank
+    structure, so raw ADC alone recalls ~0.35 -- the rerank is what
+    makes PQ servable; floor chosen under the measured 0.72)."""
+    pq = {
+        (r.q_id, r.neighbor_id)
+        for r in QUERIES["pq_adc_topk"](spark, SF_SMOKE).collect()
+    }
+    gt = {
+        (r.q_id, r.neighbor_id)
+        for r in QUERIES["ann_topk_bruteforce"](spark, SF_SMOKE).collect()
+    }
+    assert len(pq & gt) / len(gt) >= 0.6
+
+
+def test_pq_codes_and_ranks_shapes(spark):
+    """Every query returns K_NEIGHBORS ranked rows; approx distances are
+    non-negative ints; rerank order is by exact cosine."""
+    from mapreduce_on_google_cloud_platform_spark.operators.similarity import (
+        K_NEIGHBORS,
+    )
+
+    rows = QUERIES["pq_adc_topk"](spark, SF_SMOKE).collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        assert r.d2pq >= 0
+        assert r.neighbor_id != r.q_id
+        by_q.setdefault(r.q_id, []).append(r)
+    for q, grp in by_q.items():
+        assert len(grp) == K_NEIGHBORS
+        grp.sort(key=lambda r: r.rank)
+        cos = [(-r.cos_sim, r.neighbor_id) for r in grp]
+        assert cos == sorted(cos)
