@@ -108,3 +108,88 @@ def batch_user_totals(spark: SparkSession, sf_dir: str):
         F.sum("value").alias("total_value"),
         F.max(F.unix_micros("ts")).alias("last_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exponentially time-decayed per-user value, incrementally: the streaming
+# twin of operators.temporal.time_decayed_user_value.  State per user is
+# (acc, anchor_us) where acc = sum_i v_i * exp(-(anchor - t_i)/tau)
+# anchored at the largest event time seen for that user.  The re-anchor
+# identity  acc' = acc * exp(-(anchor' - anchor)/tau) + sum_new(...)
+# makes the update ORDER-INDEPENDENT across micro-batches (each event's
+# contribution is fixed by its own timestamp), so no intra- or
+# inter-batch sorting is required -- the per-batch work is one
+# vectorized numpy expression.  The batch query anchors at the GLOBAL
+# watermark T; discounting the stream's per-user (acc, anchor) by
+# exp(-(T - anchor)/tau) must reproduce it -- asserted in pytest.
+# ---------------------------------------------------------------------------
+
+DECAY_STATE_SCHEMA = StructType(
+    [
+        StructField("acc", DoubleType()),
+        StructField("anchor_us", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+DECAY_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("decayed_at_anchor", DoubleType()),
+        StructField("anchor_us", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+
+def streaming_decayed_value_query(spark: SparkSession, sf_dir: str):
+    """readStream -> groupBy(user_id) -> applyInPandasWithState exp-decay
+    accumulator.  Returns the unstarted streaming DataFrame."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..operators.temporal import DECAY_TAU_US
+
+    tau = float(DECAY_TAU_US)
+
+    def update_decay(key, pdfs, state):
+        import numpy as np
+        import pandas as pd
+
+        (user_id,) = key
+        acc, anchor, n = state.get if state.exists else (0.0, 0, 0)
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            new_anchor = max(anchor, int(pdf["us"].max()))
+            if anchor:
+                acc *= float(np.exp(-(new_anchor - anchor) / tau))
+            acc += float(
+                (
+                    pdf["value"].to_numpy()
+                    * np.exp(-(new_anchor - pdf["us"].to_numpy()) / tau)
+                ).sum()
+            )
+            anchor = new_anchor
+            n += len(pdf)
+        state.update((acc, anchor, n))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "decayed_at_anchor": [acc],
+                "anchor_us": [anchor],
+                "n_events": [n],
+            }
+        )
+
+    return (
+        events_stream(spark, sf_dir)
+        .select("user_id", "value", F.unix_micros("ts").alias("us"))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update_decay,
+            outputStructType=DECAY_OUTPUT_SCHEMA,
+            stateStructType=DECAY_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -357,3 +357,48 @@ def test_checkpoint_restart_resumes_without_reprocessing(spark, tmp_path):
     # the first file and no gap (the file sink's transaction log + the
     # source's committed offsets together give exactly-once)
     assert sorted(rows) == list(range(150))
+
+
+@pytest.mark.slow
+def test_stateful_decayed_value_matches_batch_twin(spark):
+    """Incremental exp-decay state: discounting each user's final
+    (acc, anchor) to the global watermark must reproduce the batch
+    time_decayed_user_value (same tau, same per-event contributions --
+    the re-anchor identity makes batch order irrelevant)."""
+    import math
+
+    from mapreduce_on_google_cloud_platform_spark.operators.temporal import (
+        DECAY_TAU_US,
+    )
+    from mapreduce_on_google_cloud_platform_spark.plans import QUERIES
+    from mapreduce_on_google_cloud_platform_spark.streaming.stateful import (
+        streaming_decayed_value_query,
+    )
+
+    stream = streaming_decayed_value_query(spark, SF_SMOKE)
+    q = (
+        stream.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stream_decayed_value")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM stream_decayed_value").collect()
+    finally:
+        q.stop()
+    final = {}
+    for r in rows:  # update mode: last emission per key is complete
+        final[r.user_id] = (r.decayed_at_anchor, r.anchor_us, r.n_events)
+    assert final
+    wm = max(anchor for _, anchor, _ in final.values())
+    batch = {
+        r.user_id: (r.decayed_value, r.n_events)
+        for r in QUERIES["time_decayed_user_value"](spark, SF_SMOKE).collect()
+    }
+    assert set(final) == set(batch)
+    for uid, (acc, anchor, n) in final.items():
+        want_val, want_n = batch[uid]
+        assert n == want_n
+        got = acc * math.exp(-(wm - anchor) / DECAY_TAU_US)
+        assert abs(got - want_val) < 1e-6 * max(1.0, abs(want_val))
