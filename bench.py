@@ -116,6 +116,8 @@ HEADLINE = [
     "time_decayed_user_value",
     "join_key_skew_profile",
     "pq_adc_topk",
+    "doc_pair_passage_overlap",
+    "incremental_dedup_new_docs",
 ]
 
 

@@ -42,6 +42,7 @@ from ..functions.text import (
     DUCKDB_SHINGLES_CTE,
     DUCKDB_TOKS_CTE,
     shingles_df,
+    tokenize,
     tokens_df,
 )
 from ..functions.vectors import (
@@ -808,6 +809,142 @@ FUZZY_PAIRS_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Passage-overlap doc pairs: the weighted companion of ngram-Jaccard --
+# for every document pair sharing at least MIN_SHARED_PASSAGES distinct
+# PASSAGE_WINDOW-token passages, how many distinct passages they share
+# and how many window POSITIONS overlap (sum over shared fingerprints
+# of least(cnt_a, cnt_b)) -- the plagiarism/quotation evidence doc-level
+# MinHash smooths away.  Reuses text_analysis.passage_window_counts:
+# the corpus-cardinality window stream collapses once to (doc, fp, cnt)
+# and pairs come from a self-equi-join ON fp restricted to fingerprints
+# seen in >= 2 docs -- data-sparse like every banding join here, never
+# all-pairs.  A viral boilerplate passage is the skew case: AQE
+# skew-split handles it, and a stop-passage cap (drop fps in > K docs,
+# the dedup stop-shingle note) is the manual fallback.
+# ---------------------------------------------------------------------------
+
+MIN_SHARED_PASSAGES = 2
+
+
+def doc_pair_passage_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text_analysis import passage_window_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    grouped = passage_window_counts(docs)
+    dup_fp = (
+        grouped.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("fp")
+    )
+    cand = grouped.join(dup_fp, "fp", "left_semi")
+    a = cand.select("fp", F.col("doc_id").alias("doc_a"), F.col("cnt").alias("cnt_a"))
+    b = cand.select("fp", F.col("doc_id").alias("doc_b"), F.col("cnt").alias("cnt_b"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_passages"),
+            F.sum(F.least("cnt_a", "cnt_b")).alias("shared_windows"),
+        )
+        .filter(F.col("n_shared_passages") >= MIN_SHARED_PASSAGES)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _passage_overlap_oracle() -> str:
+    from .text_analysis import DUCKDB_PASSAGE_COUNTS_CTE
+
+    return f"""
+    WITH {DUCKDB_PASSAGE_COUNTS_CTE},
+    dup_fp AS (
+        SELECT fp FROM grouped GROUP BY fp HAVING count(*) >= 2
+    ),
+    cand AS (SELECT * FROM grouped SEMI JOIN dup_fp USING (fp))
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           count(*) AS n_shared_passages,
+           CAST(sum(least(a.cnt, b.cnt)) AS BIGINT) AS shared_windows
+    FROM cand a JOIN cand b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= {MIN_SHARED_PASSAGES}
+    ORDER BY doc_a, doc_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# Incremental ingestion dedup: classify an INCOMING batch of documents
+# against an existing BASE corpus -- the admission-control step of a
+# continuously-fed training pipeline (the doc-side analogue of the CDC
+# snapshot diff over orders).  The corpus split is deterministic
+# (doc_id parity stands in for yesterday's snapshot vs today's crawl).
+# Two admission tests, cheapest first: an exact raw-text hash, then a
+# hash of the NORMALIZED token stream (catches whitespace/punctuation
+# revisions of known text).  Both are broadcast-able semi-join probes
+# keyed by hash against base-corpus-sized tables; at 100 TB the base
+# hash set is a bucketed table the incoming batch probes without
+# shuffling the base (join_strategies.colocated_bucket_join's layout).
+# ---------------------------------------------------------------------------
+
+
+def incremental_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    norm_text = F.concat_ws(" ", tokenize(F.col("text")))
+    hashed = docs.select(
+        "doc_id",
+        F.md5("text").alias("h_raw"),
+        F.md5(norm_text).alias("h_norm"),
+    )
+    base = hashed.filter(F.col("doc_id") % 2 == 0)
+    incoming = hashed.filter(F.col("doc_id") % 2 == 1)
+    base_raw = base.select("h_raw").distinct()
+    base_norm = base.select("h_norm").distinct()
+    exact = incoming.join(base_raw, "h_raw", "left_semi").select(
+        "doc_id", F.lit(True).alias("m")
+    )
+    norm = incoming.join(base_norm, "h_norm", "left_semi").select(
+        "doc_id", F.lit(True).alias("m")
+    )
+    return (
+        incoming.join(exact.withColumnRenamed("m", "_e"), "doc_id", "left")
+        .join(norm.withColumnRenamed("m", "_n"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("_e", F.lit(False)).alias("exact_dup_of_base"),
+            F.coalesce("_n", F.lit(False)).alias("normalized_dup_of_base"),
+            (
+                F.coalesce("_e", F.lit(False)) | F.coalesce("_n", F.lit(False))
+            ).alias("rejected"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+INCREMENTAL_DEDUP_ORACLE = """
+    WITH hashed AS (
+        SELECT doc_id,
+               md5(text) AS h_raw,
+               md5(array_to_string(
+                   list_filter(
+                       list_transform(regexp_split_to_array(text, '\\s+'),
+                                      t -> regexp_replace(lower(t),
+                                                          '[^0-9a-z]', '', 'g')),
+                       x -> x <> ''), ' ')) AS h_norm
+        FROM documents
+    ),
+    base AS (SELECT * FROM hashed WHERE doc_id % 2 = 0),
+    inc AS (SELECT * FROM hashed WHERE doc_id % 2 = 1)
+    SELECT doc_id,
+           h_raw IN (SELECT h_raw FROM base) AS exact_dup_of_base,
+           h_norm IN (SELECT h_norm FROM base) AS normalized_dup_of_base,
+           (h_raw IN (SELECT h_raw FROM base)
+            OR h_norm IN (SELECT h_norm FROM base)) AS rejected
+    FROM inc
+    ORDER BY doc_id
+"""
+
+
 DEDUP_QUERIES: list[tuple[str, object, str | None]] = [
     ("dedup_exact", dedup_exact, DEDUP_EXACT_ORACLE),
     ("fuzzy_part_name_pairs", fuzzy_part_name_pairs, FUZZY_PAIRS_ORACLE),
@@ -819,4 +956,6 @@ DEDUP_QUERIES: list[tuple[str, object, str | None]] = [
     ("dedup_embedding_lsh", dedup_embedding_lsh, _embedding_lsh_oracle()),
     ("semantic_dedup_hybrid", semantic_dedup_hybrid, _semantic_hybrid_oracle()),
     ("dedup_clusters", dedup_clusters, DEDUP_CLUSTERS_ORACLE),
+    ("doc_pair_passage_overlap", doc_pair_passage_overlap, _passage_overlap_oracle()),
+    ("incremental_dedup_new_docs", incremental_dedup_new_docs, INCREMENTAL_DEDUP_ORACLE),
 ]

@@ -889,8 +889,15 @@ PASSAGE_WINDOW = 10
 PASSAGE_DUP_FLAG = 0.2
 
 
-def repeated_passage_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+def passage_window_counts(docs: DataFrame) -> DataFrame:
+    """(doc_id, fp, cnt): per-doc counts of each distinct stride-1
+    PASSAGE_WINDOW-token fingerprint.
+
+    The window stream is corpus-token cardinality -- evaluate it ONCE:
+    collapse to (doc_id, fp, cnt) with a single combinable shuffle and
+    persist that compact table (one row per distinct passage per doc).
+    Callers derive totals / cross-doc fingerprints / dup coverage from
+    it; reclaimed by the session cache contract (release_caches)."""
     toks = tokens_with_pos(docs)
     w = Window.partitionBy("doc_id").orderBy("pos")
     parts = [F.col("word")] + [
@@ -909,14 +916,31 @@ def repeated_passage_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fp"),
         )
     )
-    # The window stream is corpus-token cardinality -- evaluate it ONCE:
-    # collapse to (doc_id, fp, cnt) with a single combinable shuffle and
-    # persist that compact table (one row per distinct passage per doc);
-    # totals, cross-doc fingerprints, and dup coverage all derive from
-    # it.  Reclaimed by the session cache contract (release_caches).
-    grouped = (
+    return (
         wins.groupBy("doc_id", "fp").agg(F.count(F.lit(1)).alias("cnt")).persist()
     )
+
+
+# DuckDB CTE producing the identical (doc_id, fp, cnt) table.
+DUCKDB_PASSAGE_COUNTS_CTE = f"""
+    {DUCKDB_TOKS_CTE},
+    wins AS (
+        SELECT doc_id,
+               md5(array_to_string(ts[i : i + {PASSAGE_WINDOW - 1}], ' '))
+                   AS fp
+        FROM toks,
+             unnest(range(1, len(ts) - {PASSAGE_WINDOW} + 2)) t(i)
+        WHERE len(ts) >= {PASSAGE_WINDOW}
+    ),
+    grouped AS (
+        SELECT doc_id, fp, count(*) AS cnt FROM wins GROUP BY doc_id, fp
+    )
+"""
+
+
+def repeated_passage_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    grouped = passage_window_counts(docs)
     # one row per (doc, fp) => cross-doc multiplicity is a plain count
     dup_fp = (
         grouped.groupBy("fp")
@@ -947,25 +971,18 @@ def repeated_passage_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 REPEATED_PASSAGE_ORACLE = f"""
-    WITH {DUCKDB_TOKS_CTE},
-    wins AS (
-        SELECT doc_id,
-               md5(array_to_string(ts[i : i + {PASSAGE_WINDOW - 1}], ' '))
-                   AS fp
-        FROM toks,
-             unnest(range(1, len(ts) - {PASSAGE_WINDOW} + 2)) t(i)
-        WHERE len(ts) >= {PASSAGE_WINDOW}
-    ),
+    WITH {DUCKDB_PASSAGE_COUNTS_CTE},
     dup_fp AS (
-        SELECT fp FROM wins GROUP BY fp
-        HAVING count(DISTINCT doc_id) >= 2
+        SELECT fp FROM grouped GROUP BY fp
+        HAVING count(*) >= 2
     ),
     per_doc AS (
-        SELECT doc_id, count(*) AS n_windows FROM wins GROUP BY doc_id
+        SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_windows
+        FROM grouped GROUP BY doc_id
     ),
     dup_per_doc AS (
-        SELECT doc_id, count(*) AS n_dup_windows
-        FROM wins SEMI JOIN dup_fp USING (fp)
+        SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_dup_windows
+        FROM grouped SEMI JOIN dup_fp USING (fp)
         GROUP BY doc_id
     )
     SELECT doc_id,

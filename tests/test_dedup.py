@@ -123,3 +123,33 @@ def test_embedding_lsh_subset_of_exact_pairs(spark):
     assert set(lsh) <= set(exact)
     for pair, sim in lsh.items():
         assert sim == exact[pair]
+
+
+def test_passage_overlap_consistent_with_dup_windows(spark):
+    """Every doc in an overlap pair must be flagged with dup windows by
+    repeated_passage_windows, and weighted overlap >= distinct overlap."""
+    pairs = QUERIES["doc_pair_passage_overlap"](spark, SF_SMOKE).collect()
+    assert pairs
+    flagged = {
+        r.doc_id
+        for r in QUERIES["repeated_passage_windows"](spark, SF_SMOKE).collect()
+        if r.n_dup_windows > 0
+    }
+    for p in pairs:
+        assert p.doc_a < p.doc_b
+        assert p.doc_a in flagged and p.doc_b in flagged
+        assert p.shared_windows >= p.n_shared_passages
+
+
+def test_incremental_dedup_exact_implies_normalized(spark):
+    """Identical raw text normalizes identically, so every exact dup is
+    also a normalized dup; rejected is the OR of the two flags; only odd
+    (incoming) doc_ids appear."""
+    rows = QUERIES["incremental_dedup_new_docs"](spark, SF_SMOKE).collect()
+    assert rows
+    assert any(r.rejected for r in rows) or True  # presence depends on data
+    for r in rows:
+        assert r.doc_id % 2 == 1
+        if r.exact_dup_of_base:
+            assert r.normalized_dup_of_base
+        assert r.rejected == (r.exact_dup_of_base or r.normalized_dup_of_base)

@@ -109,6 +109,13 @@ def test_missing_sf_dir_raises_cleanly(spark):
         # and the iterative merge sequence's total-order tie-break
         "dsir_importance_weights",
         "bpe_learn_merges",
+        # round 5b: decimal entropy sums, integer ADC argmins + double
+        # rerank, double BM25 trees + rank fusion, decayed decimal sums
+        "text_char_entropy",
+        "pq_adc_topk",
+        "hybrid_search_rrf",
+        "time_decayed_user_value",
+        "repeated_passage_windows",
     ],
 )
 def test_shuffle_partition_invariance(spark, name):
