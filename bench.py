@@ -118,6 +118,8 @@ HEADLINE = [
     "pq_adc_topk",
     "doc_pair_passage_overlap",
     "incremental_dedup_new_docs",
+    "value_distribution_psi",
+    "daily_value_anomalies",
 ]
 
 

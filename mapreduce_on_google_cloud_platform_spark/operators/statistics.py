@@ -280,6 +280,206 @@ HISTOGRAM_ORACLE = f"""
 """
 
 # ---------------------------------------------------------------------------
+# Distribution-drift monitoring -- the checks a production pipeline runs
+# before admitting a new data slice:
+#
+# * ``value_distribution_psi``: population stability index between the
+#   earlier and later half of the event stream (split at the midpoint
+#   of the observed time range), per event type over fixed HIST_WIDTH
+#   value bins.  PSI = sum_bins (p - q) * ln(p / q) with add-one
+#   smoothing over the per-type live-bin count (so empty bins are
+#   defined identically on both engines); industry rule of thumb:
+#   < 0.1 stable, > 0.2 drifted.
+# * ``daily_value_anomalies``: per (event_type, day) value totals
+#   z-scored against that type's across-days distribution.  Sufficient
+#   statistics (n, sum, sum-of-squares) are exact integer CENTS
+#   (price_balance_correlation's discipline, DECIMAL-lifted products),
+#   and z = (n*x - Sx) / sqrt(n*Sxx - Sx^2) -- algebraically identical
+#   to (x - mean) / population-std -- is evaluated as ONE closed-form
+#   double expression over exact integers in both engines.
+#
+# Scale: both are two combinable aggregations (fine bins / days, then
+# the per-type rollup) plus a broadcast of per-type scalars back onto
+# the bounded bin/day table.  No windows, no sorts.
+# ---------------------------------------------------------------------------
+
+PSI_DRIFT_THRESHOLD = 0.2
+ANOMALY_Z = 2.5
+
+
+def value_distribution_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    mid = ev.agg(
+        ((F.min(F.unix_micros("ts")) + F.max(F.unix_micros("ts"))) / 2)
+        .cast("bigint")
+        .alias("mid_us")
+    )
+    binned = (
+        ev.crossJoin(F.broadcast(mid))
+        .select(
+            "event_type",
+            F.floor(F.col("value") / HIST_WIDTH).cast("bigint").alias("bin"),
+            (F.unix_micros("ts") <= F.col("mid_us")).alias("is_base"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(
+            F.sum(F.when(F.col("is_base"), 1).otherwise(0)).alias("base_n"),
+            F.sum(F.when(F.col("is_base"), 0).otherwise(1)).alias("cur_n"),
+        )
+    )
+    totals = binned.groupBy("event_type").agg(
+        F.sum("base_n").alias("base_total"),
+        F.sum("cur_n").alias("cur_total"),
+        F.count(F.lit(1)).alias("n_bins"),
+    )
+    p = (F.col("base_n") + 1).cast("double") / (
+        F.col("base_total") + F.col("n_bins")
+    ).cast("double")
+    q = (F.col("cur_n") + 1).cast("double") / (
+        F.col("cur_total") + F.col("n_bins")
+    ).cast("double")
+    term = ((p - q) * F.log(p / q)).cast("decimal(25,12)")
+    psi = F.round(F.sum(term).cast("double"), 6)
+    return (
+        binned.join(F.broadcast(totals), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n_bins").alias("n_bins"),
+            F.max("base_total").alias("base_n"),
+            F.max("cur_total").alias("cur_n"),
+            psi.alias("psi"),
+            (psi > PSI_DRIFT_THRESHOLD).alias("drifted"),
+        )
+        .orderBy("event_type")
+    )
+
+
+PSI_ORACLE = f"""
+    WITH mid AS (
+        SELECT CAST((min(epoch_us(ts)) + max(epoch_us(ts))) / 2 AS BIGINT)
+               AS mid_us
+        FROM events
+    ),
+    binned AS (
+        SELECT event_type,
+               CAST(floor(value / {HIST_WIDTH}) AS BIGINT) AS bin,
+               sum(CASE WHEN epoch_us(ts) <= mid_us THEN 1 ELSE 0 END)
+                   AS base_n,
+               sum(CASE WHEN epoch_us(ts) <= mid_us THEN 0 ELSE 1 END)
+                   AS cur_n
+        FROM events, mid
+        GROUP BY 1, 2
+    ),
+    totals AS (
+        SELECT event_type,
+               CAST(sum(base_n) AS BIGINT) AS base_total,
+               CAST(sum(cur_n) AS BIGINT) AS cur_total,
+               count(*) AS n_bins
+        FROM binned GROUP BY event_type
+    ),
+    terms AS (
+        SELECT b.event_type, t.n_bins, t.base_total, t.cur_total,
+               CAST(
+                   (CAST(b.base_n + 1 AS DOUBLE)
+                        / CAST(t.base_total + t.n_bins AS DOUBLE)
+                    - CAST(b.cur_n + 1 AS DOUBLE)
+                        / CAST(t.cur_total + t.n_bins AS DOUBLE))
+                   * ln((CAST(b.base_n + 1 AS DOUBLE)
+                         / CAST(t.base_total + t.n_bins AS DOUBLE))
+                        / (CAST(b.cur_n + 1 AS DOUBLE)
+                           / CAST(t.cur_total + t.n_bins AS DOUBLE)))
+               AS DECIMAL(25,12)) AS term
+        FROM binned b JOIN totals t USING (event_type)
+    )
+    SELECT event_type,
+           max(n_bins) AS n_bins,
+           max(base_total) AS base_n,
+           max(cur_total) AS cur_n,
+           round(CAST(sum(term) AS DOUBLE), 6) AS psi,
+           round(CAST(sum(term) AS DOUBLE), 6) > {PSI_DRIFT_THRESHOLD}
+               AS drifted
+    FROM terms
+    GROUP BY event_type
+    ORDER BY event_type
+"""
+
+
+def daily_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("x"),
+        )
+    )
+    DEC = "decimal(38,0)"
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x").cast(DEC) * F.col("x").cast(DEC)).alias("sxx"),
+    )
+    num = (F.col("n_days").cast(DEC) * F.col("x").cast(DEC) - F.col("sx").cast(DEC)).cast(
+        "double"
+    )
+    den = F.sqrt(
+        (
+            F.col("n_days").cast(DEC) * F.col("sxx")
+            - F.col("sx").cast(DEC) * F.col("sx").cast(DEC)
+        ).cast("double")
+    )
+    z = F.round(num / den, 6)
+    return (
+        daily.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            "day",
+            "n_events",
+            F.col("x").alias("value_cents"),
+            z.alias("z"),
+            (F.abs(z) > ANOMALY_Z).alias("is_anomaly"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+DAILY_ANOMALY_ORACLE = f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               count(*) AS n_events,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+        FROM events
+        GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT event_type,
+               count(*) AS n_days,
+               CAST(sum(x) AS BIGINT) AS sx,
+               sum(CAST(x AS HUGEINT) * x) AS sxx
+        FROM daily GROUP BY event_type
+    )
+    SELECT d.event_type, d.day, d.n_events, d.x AS value_cents,
+           round(CAST(CAST(s.n_days AS HUGEINT) * d.x - s.sx AS DOUBLE)
+                 / sqrt(CAST(CAST(s.n_days AS HUGEINT) * s.sxx
+                             - CAST(s.sx AS HUGEINT) * s.sx AS DOUBLE)), 6)
+               AS z,
+           abs(round(CAST(CAST(s.n_days AS HUGEINT) * d.x - s.sx AS DOUBLE)
+                     / sqrt(CAST(CAST(s.n_days AS HUGEINT) * s.sxx
+                                 - CAST(s.sx AS HUGEINT) * s.sx AS DOUBLE)), 6))
+               > {ANOMALY_Z} AS is_anomaly
+    FROM daily d JOIN stats s USING (event_type)
+    ORDER BY event_type, day
+"""
+
+
+
+
+# ---------------------------------------------------------------------------
 # Pearson correlation with exact components: corr(o_totalprice, c_acctbal)
 # per market segment.  Never uses either engine's corr() (their internal
 # accumulation orders differ); instead the sufficient statistics
@@ -690,6 +890,8 @@ STATISTICS_QUERIES: list[tuple[str, object, str | None]] = [
         SKETCH_PROFILE_ORACLE,
     ),
     ("histogram_event_values", histogram_event_values, HISTOGRAM_ORACLE),
+    ("value_distribution_psi", value_distribution_psi, PSI_ORACLE),
+    ("daily_value_anomalies", daily_value_anomalies, DAILY_ANOMALY_ORACLE),
     ("price_balance_correlation", price_balance_correlation, CORRELATION_ORACLE),
     ("winsorize_event_values", winsorize_event_values, WINSORIZE_ORACLE),
     ("sample_bootstrap", sample_bootstrap, BOOTSTRAP_ORACLE),

@@ -171,3 +171,39 @@ def test_sketch_profile_exact_regime_and_merge(spark):
     assert by_type["ALL"].n_events == sum(
         r.n_events for r in rows if r.event_type != "ALL"
     )
+
+
+def test_psi_self_consistency(spark):
+    """PSI is ~0 when base and current halves come from the same
+    generator (the synthetic stream is stationary), and the drifted flag
+    restates the threshold comparison."""
+    from mapreduce_on_google_cloud_platform_spark.operators.statistics import (
+        PSI_DRIFT_THRESHOLD,
+    )
+
+    rows = QUERIES["value_distribution_psi"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.psi >= -1e-9  # PSI is a sum of (p-q)ln(p/q) >= 0 terms
+        assert r.drifted == (r.psi > PSI_DRIFT_THRESHOLD)
+        assert r.base_n + r.cur_n > 0
+
+
+def test_daily_anomaly_zscores_standardized(spark):
+    """Per type: z-scores must average ~0 and flag exactly the |z|
+    threshold exceedances."""
+    from collections import defaultdict
+
+    from mapreduce_on_google_cloud_platform_spark.operators.statistics import (
+        ANOMALY_Z,
+    )
+
+    rows = QUERIES["daily_value_anomalies"](spark, SF_SMOKE).collect()
+    assert rows
+    by_type = defaultdict(list)
+    for r in rows:
+        by_type[r.event_type].append(r)
+        assert r.is_anomaly == (abs(r.z) > ANOMALY_Z)
+    for t, grp in by_type.items():
+        mean_z = sum(r.z for r in grp) / len(grp)
+        assert abs(mean_z) < 1e-3, t
