@@ -120,6 +120,7 @@ HEADLINE = [
     "incremental_dedup_new_docs",
     "value_distribution_psi",
     "daily_value_anomalies",
+    "event_rollup_cascade",
 ]
 
 

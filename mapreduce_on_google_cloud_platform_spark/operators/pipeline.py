@@ -861,6 +861,98 @@ MIXTURE_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Hierarchical rollup cascade (the hypertable/materialized-rollup
+# pattern): hourly aggregates computed ONCE from the event stream, then
+# daily derived FROM the hourly table and weekly FROM the daily table
+# -- never re-scanning raw events.  The hourly aggregate is persisted,
+# so the physical plan for the coarser levels reads the materialized
+# partial (InMemoryTableScan), which is exactly how a time-series store
+# maintains continuous aggregates: each level's input is the bounded
+# output of the level below (dimension x buckets rows, not events).
+# Counts and cents are exact integers, so re-aggregation is lossless by
+# construction.  Cache reclaimed by the session contract.
+# ---------------------------------------------------------------------------
+
+
+def event_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "event_type",
+            F.date_trunc("hour", "ts").alias("bucket_start"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("event_type", "bucket_start")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("value_cents"),
+        )
+        .persist()
+    )
+    daily = (
+        hourly.select(
+            "event_type",
+            F.date_trunc("day", "bucket_start").alias("bucket_start"),
+            "n_events",
+            "value_cents",
+        )
+        .groupBy("event_type", "bucket_start")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("value_cents").alias("value_cents"),
+        )
+    )
+    weekly = (
+        daily.select(
+            "event_type",
+            F.date_trunc("week", "bucket_start").alias("bucket_start"),
+            "n_events",
+            "value_cents",
+        )
+        .groupBy("event_type", "bucket_start")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("value_cents").alias("value_cents"),
+        )
+    )
+    return (
+        hourly.select(F.lit("hour").alias("level"), "*")
+        .unionByName(daily.select(F.lit("day").alias("level"), "*"))
+        .unionByName(weekly.select(F.lit("week").alias("level"), "*"))
+        .orderBy("level", "event_type", "bucket_start")
+    )
+
+
+ROLLUP_CASCADE_ORACLE = """
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS bucket_start,
+               count(*) AS n_events,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS value_cents
+        FROM events GROUP BY 1, 2
+    ),
+    daily AS (
+        SELECT event_type, date_trunc('day', bucket_start) AS bucket_start,
+               CAST(sum(n_events) AS BIGINT) AS n_events,
+               CAST(sum(value_cents) AS BIGINT) AS value_cents
+        FROM hourly GROUP BY 1, 2
+    ),
+    weekly AS (
+        SELECT event_type, date_trunc('week', bucket_start) AS bucket_start,
+               CAST(sum(n_events) AS BIGINT) AS n_events,
+               CAST(sum(value_cents) AS BIGINT) AS value_cents
+        FROM daily GROUP BY 1, 2
+    )
+    SELECT 'hour' AS level, * FROM hourly
+    UNION ALL
+    SELECT 'day', * FROM daily
+    UNION ALL
+    SELECT 'week', * FROM weekly
+    ORDER BY level, event_type, bucket_start
+"""
+
+
 PIPELINE_QUERIES: list[tuple[str, object, str | None]] = [
     ("curation_pipeline", curation_pipeline, CURATION_ORACLE),
     ("merge_upsert_orders", merge_upsert_orders, MERGE_UPSERT_ORACLE),
@@ -871,4 +963,5 @@ PIPELINE_QUERIES: list[tuple[str, object, str | None]] = [
     ("training_data_prep", training_data_prep, TRAINING_PREP_ORACLE),
     ("corpus_mixture_sample", corpus_mixture_sample, MIXTURE_ORACLE),
     ("snapshot_diff_orders", snapshot_diff_orders, SNAPSHOT_DIFF_ORACLE),
+    ("event_rollup_cascade", event_rollup_cascade, ROLLUP_CASCADE_ORACLE),
 ]

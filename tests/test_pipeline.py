@@ -74,3 +74,19 @@ def test_training_prep_funnel_monotone(spark):
         assert r.docs_in >= r.n_gated >= r.n_kept_docs >= 0
         assert abs(r.kept_ratio - r.n_kept_docs / r.docs_in) < 1e-12
     assert any(r.n_kept_docs < r.n_gated for r in rows)
+
+
+def test_rollup_cascade_levels_conserve_totals(spark):
+    """Lossless re-aggregation: every level must conserve per-type event
+    counts and cents exactly."""
+    from collections import defaultdict
+
+    rows = QUERIES["event_rollup_cascade"](spark, SF_SMOKE).collect()
+    assert rows
+    totals = defaultdict(lambda: defaultdict(lambda: [0, 0]))
+    for r in rows:
+        t = totals[r.level][r.event_type]
+        t[0] += r.n_events
+        t[1] += r.value_cents
+    assert set(totals) == {"hour", "day", "week"}
+    assert totals["hour"] == totals["day"] == totals["week"]

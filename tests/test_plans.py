@@ -636,3 +636,14 @@ def test_pq_adc_all_joins_broadcast(spark):
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
     assert "Python" not in plan
+
+
+def test_rollup_cascade_reuses_materialized_hourly(spark):
+    """event_rollup_cascade: all three levels must read the persisted
+    hourly aggregate (one InMemoryTableScan per union branch), so raw
+    events are scanned only by the cache builder.  (The formatted plan
+    re-prints the cache builder's subtree under each InMemoryTableScan,
+    so counting 'Scan parquet' occurrences in the text would be
+    misleading -- the cached relation is still built once.)"""
+    plan = plan_of(spark, "event_rollup_cascade")
+    assert plan.count("InMemoryTableScan") >= 3
