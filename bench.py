@@ -121,6 +121,8 @@ HEADLINE = [
     "value_distribution_psi",
     "daily_value_anomalies",
     "event_rollup_cascade",
+    "copurchase_part_pairs",
+    "negative_sampling_pairs",
 ]
 
 

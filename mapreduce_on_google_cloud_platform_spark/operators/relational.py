@@ -2048,6 +2048,137 @@ SKEW_PROFILE_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Market-basket co-occurrence: part pairs ordered together in the same
+# order at least MIN_COPURCHASE times -- the candidate-generation step
+# of association mining (and the item-item signal a recommender trains
+# on).  Self-equi-join of the order's item set on l_orderkey: the pair
+# fan-out is bounded by items-per-order squared (~7^2 here), never by
+# table size, and the pair aggregate is map-side combinable.  A mega
+# order (thousands of lines) is the skew case -- AQE skew-split, or cap
+# items per order upstream like the dedup stop-shingle note.
+# ---------------------------------------------------------------------------
+
+MIN_COPURCHASE = 3
+
+
+def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders_together"))
+        .filter(F.col("n_orders_together") >= MIN_COPURCHASE)
+        .orderBy(F.desc("n_orders_together"), "part_a", "part_b")
+    )
+
+
+COPURCHASE_ORACLE = f"""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    )
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           count(*) AS n_orders_together
+    FROM items a JOIN items b
+         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING count(*) >= {MIN_COPURCHASE}
+    ORDER BY n_orders_together DESC, part_a, part_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic negative sampling: the contrastive-training companion of
+# the positive (customer, part) interactions.  Positives are the
+# distinct pairs a customer actually ordered; per customer,
+# NEG_PER_CUSTOMER candidate parts are probed by a hash of
+# (custkey, probe index) onto the part-id space, and candidates that
+# collide with a true positive are removed by an anti-join -- so every
+# emitted negative is VERIFIED non-interacted, and the same rows come
+# back on any engine/run/cluster (md5 probes, the sampling discipline
+# used everywhere here).  Scale: candidates are |customers| x K rows
+# (linear), the anti-join shuffles on the (cust, part) key, and the
+# positive set is exactly the interaction table -- no windows, no
+# collect.  (Probes that collide are dropped, not re-drawn: a constant
+# expected deficit ~ positives/parts per probe, the standard trade for
+# a one-pass sampler.)
+# ---------------------------------------------------------------------------
+
+NEG_PER_CUSTOMER = 4
+
+
+def negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    positives = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_custkey").alias("custkey"), F.col("l_partkey").alias("partkey"))
+        .distinct()
+    )
+    n_parts = part.agg(F.max("p_partkey").alias("max_part"))
+    probes = (
+        positives.select("custkey")
+        .distinct()
+        .crossJoin(F.broadcast(n_parts))
+        .select(
+            "custkey",
+            F.explode(
+                F.array(*[F.lit(k) for k in range(NEG_PER_CUSTOMER)])
+            ).alias("probe"),
+            "max_part",
+        )
+        .select(
+            "custkey",
+            "probe",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws("|", F.col("custkey"), F.col("probe"))
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % F.col("max_part")
+                + 1
+            ).alias("partkey"),
+        )
+    )
+    return (
+        probes.join(positives, ["custkey", "partkey"], "left_anti")
+        .select("custkey", "partkey", "probe")
+        .orderBy("custkey", "probe")
+    )
+
+
+NEGATIVE_SAMPLING_ORACLE = f"""
+    WITH positives AS (
+        SELECT DISTINCT o.o_custkey AS custkey, l.l_partkey AS partkey
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    np AS (SELECT max(p_partkey) AS max_part FROM part),
+    probes AS (
+        SELECT custkey, CAST(probe AS INTEGER) AS probe,
+               ('0x' || substring(md5(custkey || '|' || probe), 1, 15))::BIGINT
+                   % max_part + 1 AS partkey
+        FROM (SELECT DISTINCT custkey FROM positives),
+             unnest(range(0, {NEG_PER_CUSTOMER})) t(probe),
+             np
+    )
+    SELECT custkey, partkey, probe
+    FROM probes ANTI JOIN positives USING (custkey, partkey)
+    ORDER BY custkey, probe
+"""
+
+
 RELATIONAL_QUERIES: list[tuple[str, object, str | None]] = [
     ("q1_pricing_summary", q1_pricing_summary, Q1_ORACLE),
     ("q3_shipping_priority", q3_shipping_priority, Q3_ORACLE),
@@ -2097,4 +2228,6 @@ RELATIONAL_QUERIES: list[tuple[str, object, str | None]] = [
     # sketch-bounded scoring: engine-specific boundaries -> rows-only
     ("customer_rfm_features_approx", customer_rfm_features_approx, None),
     ("join_key_skew_profile", join_key_skew_profile, SKEW_PROFILE_ORACLE),
+    ("copurchase_part_pairs", copurchase_part_pairs, COPURCHASE_ORACLE),
+    ("negative_sampling_pairs", negative_sampling_pairs, NEGATIVE_SAMPLING_ORACLE),
 ]

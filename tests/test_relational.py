@@ -71,3 +71,48 @@ def test_skew_profile_shares_and_factor(spark):
     for r in rows:
         assert abs(r.share - round(r.cnt / r.total_rows, 6)) < 1e-9
         assert abs(r.skew_factor - round(r.cnt * r.n_keys / r.total_rows, 6)) < 1e-9
+
+
+def test_copurchase_pairs_canonical_and_thresholded(spark):
+    from mapreduce_on_google_cloud_platform_spark.operators.relational import (
+        MIN_COPURCHASE,
+    )
+
+    rows = QUERIES["copurchase_part_pairs"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.part_a < r.part_b
+        assert r.n_orders_together >= MIN_COPURCHASE
+
+
+def test_negative_samples_never_interacted(spark):
+    """Every emitted negative must be absent from the positive
+    interaction set, with at most NEG_PER_CUSTOMER probes per customer."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_on_google_cloud_platform_spark.operators.relational import (
+        NEG_PER_CUSTOMER,
+    )
+    from mapreduce_on_google_cloud_platform_spark.sources import load_table
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    orders = load_table(spark, SF_SMOKE, "orders")
+    positives = {
+        (r.custkey, r.partkey)
+        for r in li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("l_partkey").alias("partkey"),
+        )
+        .distinct()
+        .collect()
+    }
+    rows = QUERIES["negative_sampling_pairs"](spark, SF_SMOKE).collect()
+    assert rows
+    per_cust = Counter()
+    for r in rows:
+        assert (r.custkey, r.partkey) not in positives
+        per_cust[r.custkey] += 1
+    assert max(per_cust.values()) <= NEG_PER_CUSTOMER
