@@ -123,6 +123,10 @@ HEADLINE = [
     "event_rollup_cascade",
     "copurchase_part_pairs",
     "negative_sampling_pairs",
+    # corpus-wide kNN graph + embedding profiling + one-pass PCA
+    "knn_graph_lsh",
+    "embedding_dim_stats",
+    "pca_power_iteration",
 ]
 
 

@@ -1335,6 +1335,215 @@ HYBRID_RRF_ORACLE = HYBRID_RRF_ORACLE.replace(
 ).replace("{DOT}", sql_dot("vn", "qn"))
 
 
+# ---------------------------------------------------------------------------
+# Corpus-wide approximate k-nearest-neighbor GRAPH -- the primitive under
+# SemDeDup-style semantic pruning, density-based curation, and
+# graph-clustering passes: EVERY vector gets its top-KNN_GRAPH_K cosine
+# neighbors, not just a broadcast query sample.  The query-broadcast ANN
+# plans above cannot express this (broadcasting the whole corpus is the
+# all-pairs join); instead both sides are the LSH signature table and the
+# join is a bucket-equi self-join: shuffle each side once on bucket,
+# score pairs only within a bucket (~n/2^planes candidates per vector),
+# per-vector top-k inside the partitioned rank window.  The left side
+# multi-probes its Hamming-1 buckets (probe values distinct, so each pair
+# meets at most once and no pre-rank dedup is needed) -- recall without
+# shrinking buckets.
+#
+# 100 TB shape: the self-join shuffles the corpus twice on bucket and
+# nothing else; planes scale as ~log2(n / target_bucket_rows), keeping
+# per-bucket work flat as the corpus grows, and AQE's skew split handles
+# a hot bucket (a dense semantic cluster).  Same determinism contract as
+# ann_lsh_*: fixed +-1 hyperplanes, sequential fold dots, vec_id
+# tie-break -- the oracle replays the identical algorithm.
+# ---------------------------------------------------------------------------
+
+KNN_GRAPH_K = 5
+
+
+def knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = _lsh_signatures(spark, sf_dir)
+    probes = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(LSH_PLANES)],
+    )
+    left = sig.select(
+        F.col("vec_id").alias("q_id"),
+        F.explode(probes).alias("bucket"),
+        *[F.col(f"x{i}").alias(f"qx{i}") for i in range(64)],
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        left.join(sig, "bucket")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            F.col("q_id").alias("vec_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            flat_dot("qx", "x").alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= KNN_GRAPH_K)
+    )
+
+
+KNN_GRAPH_ORACLE = f"""
+    WITH {SQL_NORMALIZED_CTE},
+    sig AS (SELECT vec_id, vn, {_lsh_bucket_sql('vn')} AS bucket FROM en),
+    q AS (
+        SELECT q_id, qv, probe AS bucket
+        FROM (
+            SELECT vec_id AS q_id, vn AS qv,
+                   unnest([bucket,
+                           {", ".join(f"xor(bucket, {1 << p})" for p in range(LSH_PLANES))}])
+                       AS probe
+            FROM sig
+        )
+    ),
+    scored AS (
+        SELECT q_id, s.vec_id AS neighbor_id,
+               {sql_dot('qv', 's.vn')} AS cos_sim
+        FROM q JOIN sig s USING (bucket)
+        WHERE s.vec_id <> q_id
+    )
+    SELECT q_id AS vec_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    WHERE rank <= {KNN_GRAPH_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-dimension embedding profile -- the feature-statistics pass every
+# embedding pipeline runs before quantization / whitening / drift checks:
+# count, mean, variance, min, max for each of the 64 dimensions.
+#
+# All statistics are derived from EXACT integer aggregates of the 1e-6
+# fixed-point components (sum, sum-of-squares, min, max -- each
+# map-side-combinable), so the result is bit-deterministic under any
+# partitioning; the only float ops are the final divisions of exact
+# integers, written in the same order in both engines.  Shuffle shape:
+# the exploded (vec_id, dim, q) stream collapses to 64 groups with full
+# partial aggregation -- each map task emits 64 rows regardless of input
+# size, so the reduce side is O(64 * tasks) at any corpus scale.
+# Overflow headroom: |q| <= ~1e6 so q^2 <= ~1e12; int64 holds ~9.2e18,
+# i.e. ~9M rows per dimension before sum(q^2) could overflow -- beyond
+# that, promote the two sums to DECIMAL(38,0) (noted, not needed at any
+# testdata SF).
+# ---------------------------------------------------------------------------
+
+
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qs = _emb_fixed_point(spark, sf_dir)
+    agg = qs.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").alias("sq"),
+        F.sum(F.col("q") * F.col("q")).alias("sqq"),
+        F.min("q").alias("qmin"),
+        F.max("q").alias("qmax"),
+    )
+    mean = F.col("sq").cast("double") / F.col("n") / QUANT_SCALE
+    meansq = F.col("sqq").cast("double") / F.col("n") / (QUANT_SCALE * QUANT_SCALE)
+    return agg.select(
+        F.col("dim").cast("int").alias("dim"),
+        "n",
+        F.round(mean, 9).alias("mean_v"),
+        F.round(meansq - mean * mean, 9).alias("var_v"),
+        (F.col("qmin") / QUANT_SCALE).alias("min_v"),
+        (F.col("qmax") / QUANT_SCALE).alias("max_v"),
+    ).orderBy("dim")
+
+
+DIM_STATS_ORACLE = f"""
+    WITH qs AS (
+        SELECT vec_id, i AS dim,
+               CAST(floor(CAST(embedding[i] AS DOUBLE) * {QUANT_SCALE} + 0.5)
+                    AS BIGINT) AS q
+        FROM embeddings, unnest(range(1, len(embedding) + 1)) t(i)
+    ),
+    agg AS (
+        SELECT dim, count(*) AS n,
+               CAST(sum(q) AS BIGINT) AS sq,
+               CAST(sum(q * q) AS BIGINT) AS sqq,
+               min(q) AS qmin, max(q) AS qmax
+        FROM qs GROUP BY dim
+    )
+    SELECT CAST(dim AS INTEGER) AS dim, n,
+           round(CAST(sq AS DOUBLE) / n / {QUANT_SCALE}, 9) AS mean_v,
+           round(CAST(sqq AS DOUBLE) / n / {QUANT_SCALE * QUANT_SCALE}
+                 - (CAST(sq AS DOUBLE) / n / {QUANT_SCALE})
+                   * (CAST(sq AS DOUBLE) / n / {QUANT_SCALE}), 9) AS var_v,
+           qmin / {QUANT_SCALE} AS min_v,
+           qmax / {QUANT_SCALE} AS max_v
+    FROM agg
+    ORDER BY dim
+"""
+
+
+# ---------------------------------------------------------------------------
+# Distributed PCA top component by power iteration -- the
+# dimensionality-reduction / whitening primitive.  The heavy part is the
+# 64x64 second-moment (Gram) matrix; it is computed in ONE pass over the
+# data as per-Arrow-batch outer products (numpy inside mapInPandas, the
+# same justified-Python category as the rolling-hash fingerprint: dense
+# BLAS the SQL expression layer can't express without a 4096-term
+# aggregate that chokes codegen -- measured 23s vs ~2s for this shape).
+# Each batch emits one flattened 64x64 partial + count + per-dim sums;
+# the driver sums O(batches) tiny rows, centers (cov = G/n - mu mu'),
+# and power-iterates the 64x64 matrix locally -- O(dim^2) per step,
+# microseconds, zero further cluster work.  At 100 TB: one scan, one
+# tiny collect, exactly like kmeans' codebook loop but with a single
+# pass instead of one per iteration.
+#
+# Rows-only declaration: float partial sums are partitioning-ordered, so
+# no bit-exact SQL oracle -- the pytest twin instead re-runs the
+# identical algorithm in numpy and checks direction/eigenvalue
+# agreement, plus the Rayleigh upper-bound vs the exact eigenvalue.
+# ---------------------------------------------------------------------------
+
+PCA_ITERS = 50
+
+
+def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+
+    def gram_batches(batches):
+        for pdf in batches:
+            x = np.array(pdf["embedding"].to_list(), dtype=np.float64)
+            yield pd.DataFrame(
+                {
+                    "n": [len(x)],
+                    "sums": [x.sum(axis=0).tolist()],
+                    "gram": [(x.T @ x).ravel().tolist()],
+                }
+            )
+
+    parts = emb.mapInPandas(
+        gram_batches, "n BIGINT, sums ARRAY<DOUBLE>, gram ARRAY<DOUBLE>"
+    ).collect()
+    n = sum(int(r["n"]) for r in parts)
+    mu = sum(np.array(r["sums"]) for r in parts) / n
+    gram = sum(np.array(r["gram"]).reshape(64, 64) for r in parts)
+    cov = gram / n - np.outer(mu, mu)
+
+    v = np.full(64, 1.0 / 8.0)  # unit start vector, deterministic
+    eig = 0.0
+    for _ in range(PCA_ITERS):
+        s = cov @ v
+        nrm = float(np.sqrt(s @ s))
+        # Rayleigh quotient with unit v: lambda ~= ||cov v||
+        eig = nrm
+        v = s / nrm
+    rows = [(i + 1, float(mu[i]), float(v[i]), eig) for i in range(64)]
+    return spark.createDataFrame(
+        rows, "dim INT, mean_v DOUBLE, loading DOUBLE, eigenvalue DOUBLE"
+    ).orderBy("dim")
+
+
 SIMILARITY_QUERIES: list[tuple[str, object, str | None]] = [
     ("ann_topk_bruteforce", ann_topk_bruteforce, ANN_BRUTEFORCE_ORACLE),
     ("ann_ivf_topk", ann_ivf_topk, ANN_IVF_ORACLE),
@@ -1347,4 +1556,9 @@ SIMILARITY_QUERIES: list[tuple[str, object, str | None]] = [
     ("ann_int8_topk", ann_int8_topk, ANN_INT8_ORACLE),
     ("hybrid_search_rrf", hybrid_search_rrf, HYBRID_RRF_ORACLE),
     ("pq_adc_topk", pq_adc_topk, PQ_ADC_ORACLE),
+    ("knn_graph_lsh", knn_graph_lsh, KNN_GRAPH_ORACLE),
+    ("embedding_dim_stats", embedding_dim_stats, DIM_STATS_ORACLE),
+    # rows-only: float power iteration has no bit-exact SQL oracle; the
+    # pytest twin checks direction/eigenvalue agreement vs numpy.
+    ("pca_power_iteration", pca_power_iteration, None),
 ]
