@@ -127,6 +127,8 @@ HEADLINE = [
     "knn_graph_lsh",
     "embedding_dim_stats",
     "pca_power_iteration",
+    "c4_style_filter",
+    "source_vocab_overlap",
 ]
 
 

@@ -1939,6 +1939,204 @@ HEAVY_HITTER_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# C4-style rule-based hygiene filter (Raffel et al. 2020 "Exploring the
+# Limits of Transfer Learning", appendix C; mean-word-length band from
+# Rae et al. 2021 table A1): the cheap deterministic drop rules every
+# pretraining corpus pass runs BEFORE the expensive dedup/quality
+# models.  Adapted to this newline-free corpus: the per-line rules
+# become per-document rules over the token stream.
+#
+#   too_short      -- fewer than C4_MIN_TOKENS tokens
+#   bad_mean_len   -- mean token length outside [3, 10]
+#   has_blocklist  -- 'lorem ipsum' / 'javascript' / '{' anywhere
+#   low_stopword   -- fewer than C4_MIN_STOP_HITS English stopword hits
+#   non_target_lang-- declared lang is not 'en'
+#   keep           -- none of the above fired
+#
+# Every flag is coalesced to a concrete boolean (no three-valued logic:
+# a doc with zero tokens is too_short=true, bad_mean_len=false) so a
+# downstream filter(keep) can never silently drop NULL-flagged rows.
+# One scan, no shuffle, no UDF -- the 100 TB plan is the sf0.001 plan.
+# ---------------------------------------------------------------------------
+
+C4_MIN_TOKENS = 20
+C4_MEAN_LEN_LO = 3.0
+C4_MEAN_LEN_HI = 10.0
+C4_BLOCKLIST = ["lorem ipsum", "javascript", "{"]
+C4_MIN_STOP_HITS = 2
+
+
+def c4_style_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ts = tokenize(F.col("text"))
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.size(ts).cast("bigint").alias("n_tokens"),
+        F.aggregate(
+            F.transform(ts, lambda t: F.length(t).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("sum_len"),
+        _hits(ts, EN_STOPS).cast("bigint").alias("stop_hits"),
+        F.lower("text").alias("lt"),
+    )
+    mean_len = F.coalesce(
+        F.col("sum_len").cast("double") / F.col("n_tokens"), F.lit(0.0)
+    )
+    block = F.lit(False)
+    for w in C4_BLOCKLIST:
+        block = block | F.col("lt").contains(F.lit(w))
+    too_short = F.col("n_tokens") < C4_MIN_TOKENS
+    bad_mean = (F.col("n_tokens") >= C4_MIN_TOKENS) & (
+        (mean_len < C4_MEAN_LEN_LO) | (mean_len > C4_MEAN_LEN_HI)
+    )
+    low_stop = F.col("stop_hits") < C4_MIN_STOP_HITS
+    non_target = F.col("lang") != "en"
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        F.round(mean_len, 6).alias("mean_token_len"),
+        too_short.alias("too_short"),
+        bad_mean.alias("bad_mean_len"),
+        block.alias("has_blocklist"),
+        low_stop.alias("low_stopword"),
+        non_target.alias("non_target_lang"),
+        (~(too_short | bad_mean | block | low_stop | non_target)).alias("keep"),
+    ).orderBy("doc_id")
+
+
+def _c4_oracle() -> str:
+    block = " OR ".join(
+        f"contains(lower(d.text), '{w}')" for w in C4_BLOCKLIST
+    )
+    mean_len = "coalesce(CAST(sum_len AS DOUBLE) / n_tokens, 0.0)"
+    return f"""
+    WITH {DUCKDB_TOKS_CTE},
+    base AS (
+        SELECT d.doc_id, d.lang, len(ts) AS n_tokens,
+               CAST(coalesce(list_sum(list_transform(ts, x -> length(x))), 0)
+                    AS BIGINT) AS sum_len,
+               CAST({_sql_hits('ts', EN_STOPS)} AS BIGINT) AS stop_hits,
+               ({block}) AS has_blocklist
+        FROM documents d JOIN toks USING (doc_id)
+    )
+    SELECT doc_id, n_tokens,
+           round({mean_len}, 6) AS mean_token_len,
+           n_tokens < {C4_MIN_TOKENS} AS too_short,
+           n_tokens >= {C4_MIN_TOKENS}
+               AND ({mean_len} < {C4_MEAN_LEN_LO}
+                    OR {mean_len} > {C4_MEAN_LEN_HI}) AS bad_mean_len,
+           has_blocklist,
+           stop_hits < {C4_MIN_STOP_HITS} AS low_stopword,
+           lang <> 'en' AS non_target_lang,
+           NOT (n_tokens < {C4_MIN_TOKENS}
+                OR (n_tokens >= {C4_MIN_TOKENS}
+                    AND ({mean_len} < {C4_MEAN_LEN_LO}
+                         OR {mean_len} > {C4_MEAN_LEN_HI}))
+                OR has_blocklist
+                OR stop_hits < {C4_MIN_STOP_HITS}
+                OR lang <> 'en') AS keep
+    FROM base
+    ORDER BY doc_id
+"""
+
+
+C4_FILTER_ORACLE = _c4_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Cross-source vocabulary overlap via MinHash signatures -- the corpus-
+# composition diagnostic (are two crawl sources near-mirrors?) computed
+# WITHOUT ever joining the two vocabularies: each source is reduced to a
+# NUM_MINHASHES-lane minwise signature (functions/hashing.py universal
+# hashes over md5 of the distinct words), and est_jaccard is the lane
+# agreement rate.  Per-source state is O(lanes); the pair comparison is
+# a broadcast self-join of #sources rows.  At 100 TB: one distinct pass
+# over (source, word) -- same cardinality as the vocab build -- one
+# combinable 16-min aggregate per source, then driver-scale pair math.
+# The exact pairwise Jaccard this estimates would cost a vocab-x-vocab
+# join PER PAIR; the signature answer is the only shape that survives
+# hundreds of sources.  Deterministic md5 lanes => the oracle replays
+# the identical estimate, bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import MINHASH_AB, MINHASH_P
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select("source", F.explode(tokenize(F.col("text"))).alias("word"))
+        .distinct()
+    )
+    h = (
+        F.conv(F.substring(F.md5(F.col("word")), 1, 15), 16, 10).cast("bigint")
+        % MINHASH_P
+    )
+    sig = words.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        *[
+            F.min((F.lit(a) * h + F.lit(b)) % MINHASH_P).alias(f"mh{i}")
+            for i, (a, b) in enumerate(MINHASH_AB)
+        ],
+    )
+    a, b = sig.alias("a"), F.broadcast(sig.alias("b"))
+    n_lanes = len(MINHASH_AB)
+    agree = sum(
+        (F.col(f"a.mh{i}") == F.col(f"b.mh{i}")).cast("int") for i in range(n_lanes)
+    )
+    return (
+        a.join(b, F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+            F.col("a.n_words").alias("n_words_a"),
+            F.col("b.n_words").alias("n_words_b"),
+            F.round(agree.cast("double") / n_lanes, 6).alias("est_jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+def _source_overlap_oracle() -> str:
+    from ..functions.hashing import MINHASH_AB, MINHASH_P
+
+    lanes = ",\n               ".join(
+        f"min(({a} * h + {b}) % {MINHASH_P}) AS mh{i}"
+        for i, (a, b) in enumerate(MINHASH_AB)
+    )
+    agree = " + ".join(
+        f"CAST(a.mh{i} = b.mh{i} AS INT)" for i in range(len(MINHASH_AB))
+    )
+    return f"""
+    WITH {DUCKDB_TOKS_CTE},
+    words AS (
+        SELECT DISTINCT d.source, word
+        FROM documents d JOIN toks USING (doc_id), unnest(ts) t(word)
+    ),
+    hashed AS (
+        SELECT source, ('0x' || substr(md5(word), 1, 15))::BIGINT
+                       % {MINHASH_P} AS h
+        FROM words
+    ),
+    sig AS (
+        SELECT source, count(*) AS n_words,
+               {lanes}
+        FROM hashed GROUP BY source
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           a.n_words AS n_words_a, b.n_words AS n_words_b,
+           round(CAST({agree} AS DOUBLE) / {len(MINHASH_AB)}, 6) AS est_jaccard
+    FROM sig a JOIN sig b ON a.source < b.source
+    ORDER BY source_a, source_b
+"""
+
+
+SOURCE_OVERLAP_ORACLE = _source_overlap_oracle()
+
+
 TEXT_ANALYSIS_QUERIES: list[tuple[str, object, str | None]] = [
     ("text_normalize", text_normalize, NORMALIZE_ORACLE),
     ("text_langid", text_langid, LANGID_ORACLE),
@@ -1972,4 +2170,6 @@ TEXT_ANALYSIS_QUERIES: list[tuple[str, object, str | None]] = [
     # applies the iteratively-learned merge table -> rows-only; encoding
     # checked against an independent pure-Python BPE in pytest
     ("bpe_encode_documents", bpe_encode_documents, None),
+    ("c4_style_filter", c4_style_filter, C4_FILTER_ORACLE),
+    ("source_vocab_overlap", source_vocab_overlap, SOURCE_OVERLAP_ORACLE),
 ]

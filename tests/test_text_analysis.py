@@ -321,3 +321,69 @@ def test_repeated_passages_bounds_and_symmetry(spark):
     for r in rows:
         assert 0 <= r.n_dup_windows <= r.n_windows
         assert abs(r.passage_dup_ratio - round(r.n_dup_windows / r.n_windows, 6)) < 1e-9
+
+
+def test_c4_filter_flags_are_never_null_and_keep_is_conjunction(spark):
+    from mapreduce_on_google_cloud_platform_spark.plans import QUERIES
+
+    from .conftest import SF_SMOKE
+
+    rows = QUERIES["c4_style_filter"](spark, SF_SMOKE).collect()
+    assert rows
+    flags = ["too_short", "bad_mean_len", "has_blocklist", "low_stopword",
+             "non_target_lang", "keep"]
+    for r in rows:
+        for f in flags:
+            assert getattr(r, f) is not None, (r.doc_id, f)
+        assert r.keep == (not (r.too_short or r.bad_mean_len or r.has_blocklist
+                               or r.low_stopword or r.non_target_lang))
+    # the synthetic corpus has non-en docs; the lang rule must fire
+    assert any(r.non_target_lang for r in rows)
+    assert any(r.keep for r in rows)
+
+
+def test_source_overlap_estimate_tracks_exact_jaccard(spark):
+    """The 16-lane MinHash estimate is unbiased with std ~= sqrt(J(1-J)/16)
+    <= 0.125; check every pair is within 4 sigma and the mean absolute
+    error is small, against the exact vocab Jaccard from DuckDB."""
+    import duckdb
+
+    from mapreduce_on_google_cloud_platform_spark.plans import QUERIES
+
+    from .conftest import SF_SMOKE
+
+    rows = QUERIES["source_vocab_overlap"](spark, SF_SMOKE).collect()
+    srcs = {r.source_a for r in rows} | {r.source_b for r in rows}
+    assert len(rows) == len(srcs) * (len(srcs) - 1) // 2  # every pair once
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_SMOKE}/documents.parquet'"
+    )
+    # exact Jaccard per pair: |A & B| / |A | B|
+    exact = {}
+    for (pair, inter, na, nb) in con.execute("""
+        WITH words AS (
+            SELECT DISTINCT source,
+                   regexp_replace(lower(t), '[^0-9a-z]', '', 'g') AS word
+            FROM documents, unnest(regexp_split_to_array(text, '\\s+')) u(t)
+            WHERE regexp_replace(lower(t), '[^0-9a-z]', '', 'g') <> ''
+        ),
+        sizes AS (SELECT source, count(*) AS n FROM words GROUP BY source),
+        inter AS (
+            SELECT a.source AS sa, b.source AS sb, count(*) AS i
+            FROM words a JOIN words b ON a.source < b.source AND a.word = b.word
+            GROUP BY 1, 2
+        )
+        SELECT sa || '|' || sb, i, x.n, y.n
+        FROM inter JOIN sizes x ON x.source = sa JOIN sizes y ON y.source = sb
+    """).fetchall():
+        exact[pair] = inter / (na + nb - inter)
+
+    errs = []
+    for r in rows:
+        j = exact.get(f"{r.source_a}|{r.source_b}", 0.0)
+        sigma = max((j * (1 - j) / 16) ** 0.5, 1 / 16)
+        assert abs(r.est_jaccard - j) <= 4 * sigma, (r.source_a, r.source_b, r.est_jaccard, j)
+        errs.append(abs(r.est_jaccard - j))
+    assert sum(errs) / len(errs) < 0.15
