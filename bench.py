@@ -129,6 +129,7 @@ HEADLINE = [
     "pca_power_iteration",
     "c4_style_filter",
     "source_vocab_overlap",
+    "semdedup_clusters",
 ]
 
 

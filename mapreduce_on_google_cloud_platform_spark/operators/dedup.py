@@ -673,18 +673,29 @@ def dedup_clusters(
     relation."""
     pairs = simhash_near_pairs(spark, sf_dir, hamming_max).select("doc_a", "doc_b")
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return _cc_cluster_report(pairs, docs, "doc_id")
+
+
+def _cc_cluster_report(
+    pairs: DataFrame, nodes: DataFrame, id_col: str
+) -> DataFrame:
+    """(pairs(doc_a, doc_b), nodes(id_col)) -> every node labeled with its
+    component's minimum id, component size, and canonical-winner flag.
+
+    Min-label propagation over the symmetrized edge set; shared by the
+    SimHash doc clusters and the embedding-space SemDeDup clusters.
+    Iterates ONLY over nodes that have an edge: singleton nodes (the
+    overwhelming majority of a real corpus) never change label, so they
+    are attached after convergence with label = self instead of riding
+    every round's shuffle.  Initialization fuses the would-be first
+    propagation round: label_0 = min(self, min neighbor) falls out of
+    the same groupBy that enumerates the edge-bearing nodes, so the
+    loop starts one round ahead and the separate DISTINCT pass is gone."""
     edges = pairs.unionByName(
         pairs.select(
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
         )
     ).persist()
-    # Iterate ONLY over nodes that have an edge: singleton documents (the
-    # overwhelming majority of a real corpus) never change label, so they
-    # are attached after convergence with label = self instead of riding
-    # every round's shuffle.  Initialization fuses the would-be first
-    # propagation round: label_0 = min(self, min neighbor) falls out of
-    # the same groupBy that enumerates the edge-bearing nodes, so the
-    # loop starts one round ahead and the separate DISTINCT pass is gone.
     labels = (
         edges.groupBy(F.col("doc_a").alias("doc_id"))
         .agg(F.min("doc_b").alias("nmin"))
@@ -718,17 +729,20 @@ def dedup_clusters(
         prev_sum = new_sum
     edges.unpersist()
     # Attach singletons (no near-dup edge): cluster = self, size 1.
-    full = docs.join(labels, "doc_id", "left").select(
-        "doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id")
+    full = nodes.join(
+        labels, nodes[id_col] == labels["doc_id"], "left"
+    ).select(
+        nodes[id_col].alias(id_col),
+        F.coalesce("cluster_id", nodes[id_col]).alias("cluster_id"),
     )
     sizes = full.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("cluster_size")
     )
     return full.join(sizes, "cluster_id").select(
-        "doc_id",
+        id_col,
         "cluster_id",
         "cluster_size",
-        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+        (F.col(id_col) == F.col("cluster_id")).alias("is_canonical"),
     )
 
 
@@ -945,6 +959,58 @@ INCREMENTAL_DEDUP_ORACLE = """
 """
 
 
+# ---------------------------------------------------------------------------
+# SemDeDup-style embedding-space clusters (Abbas et al. 2023, "SemDeDup:
+# Data-efficient learning at web-scale through semantic deduplication"):
+# connected components over the LSH-bucketed cosine near-dup graph, so
+# every vector gets a semantic-cluster assignment and a keep/drop
+# canonical flag -- the decision layer on top of pairwise embedding
+# evidence, exactly as dedup_clusters is for SimHash text evidence.
+# Same two scale shapes composed: bucketed candidate generation (never
+# all-pairs) + min-label propagation (one join + one combinable groupBy
+# per round, diameter-bounded).
+# ---------------------------------------------------------------------------
+
+
+def semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_embedding_lsh(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    vecs = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    return _cc_cluster_report(pairs, vecs, "vec_id")
+
+
+def _semdedup_clusters_oracle() -> str:
+    from .similarity import _lsh_bucket_sql
+
+    return f"""
+    WITH RECURSIVE {SQL_NORMALIZED_CTE},
+    sig AS (
+        SELECT vec_id, vn, ({_lsh_bucket_sql('vn')}) AS bucket FROM en
+    ),
+    near AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE {sql_dot('a.vn', 'b.vn')} >= {COSINE_NEAR_DUP}
+    ),
+    edges AS (
+        SELECT vec_a AS a, vec_b AS b FROM near
+        UNION ALL
+        SELECT vec_b AS a, vec_a AS b FROM near
+    ),
+    reach(node, r) AS (
+        SELECT vec_id, vec_id FROM embeddings
+        UNION
+        SELECT edges.b, reach.r FROM reach JOIN edges ON reach.node = edges.a
+    ),
+    comp AS (SELECT node AS vec_id, min(r) AS cluster_id FROM reach GROUP BY node)
+    SELECT vec_id, cluster_id,
+           count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+           vec_id = cluster_id AS is_canonical
+    FROM comp
+"""
+
+
 DEDUP_QUERIES: list[tuple[str, object, str | None]] = [
     ("dedup_exact", dedup_exact, DEDUP_EXACT_ORACLE),
     ("fuzzy_part_name_pairs", fuzzy_part_name_pairs, FUZZY_PAIRS_ORACLE),
@@ -958,4 +1024,5 @@ DEDUP_QUERIES: list[tuple[str, object, str | None]] = [
     ("dedup_clusters", dedup_clusters, DEDUP_CLUSTERS_ORACLE),
     ("doc_pair_passage_overlap", doc_pair_passage_overlap, _passage_overlap_oracle()),
     ("incremental_dedup_new_docs", incremental_dedup_new_docs, INCREMENTAL_DEDUP_ORACLE),
+    ("semdedup_clusters", semdedup_clusters, _semdedup_clusters_oracle()),
 ]

@@ -153,3 +153,29 @@ def test_incremental_dedup_exact_implies_normalized(spark):
         if r.exact_dup_of_base:
             assert r.normalized_dup_of_base
         assert r.rejected == (r.exact_dup_of_base or r.normalized_dup_of_base)
+
+
+def test_semdedup_clusters_close_the_pair_relation(spark):
+    """Every LSH near-dup pair must land in one cluster; cluster ids are
+    the component minimum; sizes are consistent with membership."""
+    from mapreduce_on_google_cloud_platform_spark.plans import QUERIES
+
+    from .conftest import SF_SMOKE
+
+    pairs = [
+        (r.vec_a, r.vec_b)
+        for r in QUERIES["dedup_embedding_lsh"](spark, SF_SMOKE).collect()
+    ]
+    rows = QUERIES["semdedup_clusters"](spark, SF_SMOKE).collect()
+    label = {r.vec_id: r.cluster_id for r in rows}
+    for a, b in pairs:
+        assert label[a] == label[b], (a, b)
+    from collections import Counter
+
+    sizes = Counter(label.values())
+    for r in rows:
+        assert r.cluster_size == sizes[r.cluster_id]
+        assert r.cluster_id <= r.vec_id
+        assert r.is_canonical == (r.vec_id == r.cluster_id)
+    # the synthetic corpus has some near-dup structure at this threshold
+    assert any(s > 1 for s in sizes.values())
