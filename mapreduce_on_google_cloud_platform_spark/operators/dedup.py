@@ -155,6 +155,93 @@ NGRAM_JACCARD_ORACLE = f"""
 """
 
 # ---------------------------------------------------------------------------
+# Asymmetric containment: |A n B| / min(|A|,|B|) over shingle sets --
+# catches a short document EMBEDDED in a long one (quoted mail, header
+# boilerplate, excerpted article), which Jaccard structurally misses:
+# a 50-shingle doc inside a 5000-shingle doc has containment 1.0 but
+# Jaccard <= 0.01, far under any near-dup threshold.  Candidates come
+# from the same data-sparse shingle inverted-index join as
+# dedup_ngram_jaccard (only docs sharing a shingle ever meet); the
+# containment orientation (which doc is contained) is decided
+# deterministically by set size with doc_id as tie-break.  Scale note:
+# MinHash bands UNDERestimate containment (they sample the union), so
+# the banded scale path for this operator hashes the SMALLER side's
+# shingles only (one-permutation containment sketch); here the exact
+# inverted-index form is declared, matching the ngram-jaccard family.
+# ---------------------------------------------------------------------------
+
+CONTAINMENT_THRESHOLD = 0.5
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles_df(docs).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, F.col("a.sh") == F.col("b.sh"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    joined = inter.join(sa, F.col("doc_a") == F.col("sa.doc_id")).join(
+        sb, F.col("doc_b") == F.col("sb.doc_id")
+    )
+    a_contained = F.col("sa.n") <= F.col("sb.n")  # tie -> lower doc_id
+    n_contained = F.least(F.col("sa.n"), F.col("sb.n"))
+    containment = F.col("n_common").cast("double") / n_contained
+    return (
+        joined.select(
+            F.when(a_contained, F.col("doc_a")).otherwise(F.col("doc_b")).alias(
+                "doc_contained"
+            ),
+            F.when(a_contained, F.col("doc_b")).otherwise(F.col("doc_a")).alias(
+                "doc_container"
+            ),
+            "n_common",
+            n_contained.alias("n_contained"),
+            F.round(containment, 6).alias("containment"),
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("sa.n") + F.col("sb.n") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+        .orderBy("doc_contained", "doc_container")
+    )
+
+
+CONTAINMENT_ORACLE = f"""
+    WITH {DUCKDB_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, count(*) AS n FROM shing GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM shing a JOIN shing b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    oriented AS (
+        SELECT CASE WHEN sa.n <= sb.n THEN doc_a ELSE doc_b END AS doc_contained,
+               CASE WHEN sa.n <= sb.n THEN doc_b ELSE doc_a END AS doc_container,
+               n_common,
+               least(sa.n, sb.n) AS n_contained,
+               round(CAST(n_common AS DOUBLE) / least(sa.n, sb.n), 6)
+                   AS containment,
+               round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6)
+                   AS jaccard
+        FROM pairs
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+    )
+    SELECT * FROM oriented
+    WHERE containment >= {CONTAINMENT_THRESHOLD}
+    ORDER BY doc_contained, doc_container
+"""
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH banding
 # ---------------------------------------------------------------------------
 
@@ -775,6 +862,101 @@ DEDUP_CLUSTERS_ORACLE = f"""
 
 
 # ---------------------------------------------------------------------------
+# Cluster-survivor selection: the step AFTER clustering that actually
+# deduplicates the corpus -- per near-dup cluster, keep exactly one
+# document (the "keep longest" policy real pipelines default to: most
+# content survives) and account for what was dropped.  Tie-break is
+# fully deterministic: longest n_chars wins, lowest doc_id among equals
+# -- expressed as one combinable min(struct(-n_chars, doc_id)) aggregate
+# per cluster, so the argmax rides the same map-side-partial shuffle as
+# the counts (no window, no second pass over documents).  At 100x the
+# group count is the cluster count (<= corpus size) and every aggregate
+# is partial-aggregable; nothing here adds to the clustering cost.
+# ---------------------------------------------------------------------------
+
+
+def dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clusters = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    chars = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("bigint").alias("n_chars")
+    )
+    joined = clusters.join(chars, "doc_id")
+    best = F.min(
+        F.struct(
+            (-F.col("n_chars")).alias("neg_chars"),
+            F.col("doc_id").alias("d"),
+        )
+    ).alias("best")
+    return (
+        joined.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.sum("n_chars").alias("total_chars"),
+            best,
+        )
+        .select(
+            "cluster_id",
+            "cluster_size",
+            F.col("best.d").alias("kept_doc"),
+            (-F.col("best.neg_chars")).alias("kept_chars"),
+            (F.col("cluster_size") - 1).alias("dropped_docs"),
+            (F.col("total_chars") + F.col("best.neg_chars")).alias(
+                "dropped_chars"
+            ),
+            F.round(
+                (-F.col("best.neg_chars")).cast("double")
+                / F.col("total_chars"),
+                6,
+            ).alias("retained_char_ratio"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+# Same recursive-CTE component closure as DEDUP_CLUSTERS_ORACLE; the
+# survivor is picked by an explicitly-ordered row_number (n_chars DESC,
+# doc_id ASC), the declarative twin of min(struct(-n_chars, doc_id)).
+DEDUP_SURVIVORS_ORACLE = f"""
+    WITH RECURSIVE {SIMHASH_SIG_CTE},
+    near AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM near
+        UNION ALL
+        SELECT doc_b AS a, doc_a AS b FROM near
+    ),
+    reach(node, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT edges.b, reach.r FROM reach JOIN edges ON reach.node = edges.a
+    ),
+    comp AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node),
+    ranked AS (
+        SELECT comp.cluster_id, comp.doc_id, d.n_chars,
+               row_number() OVER (PARTITION BY comp.cluster_id
+                                  ORDER BY d.n_chars DESC, comp.doc_id ASC)
+                   AS rk
+        FROM comp JOIN documents d USING (doc_id)
+    )
+    SELECT cluster_id,
+           count(*) AS cluster_size,
+           CAST(max(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT) AS kept_doc,
+           CAST(max(CASE WHEN rk = 1 THEN n_chars END) AS BIGINT) AS kept_chars,
+           count(*) - 1 AS dropped_docs,
+           CAST(sum(n_chars) - max(CASE WHEN rk = 1 THEN n_chars END)
+                AS BIGINT) AS dropped_chars,
+           round(CAST(max(CASE WHEN rk = 1 THEN n_chars END) AS DOUBLE)
+                 / sum(n_chars), 6) AS retained_char_ratio
+    FROM ranked
+    GROUP BY cluster_id
+    ORDER BY cluster_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Fuzzy matching via blocking + edit distance: the classic entity-
 # resolution shape.  All-pairs levenshtein is O(n^2); a BLOCKING KEY
 # (here brand+type) turns it into an equi-join whose quadratic cost is
@@ -1015,6 +1197,7 @@ DEDUP_QUERIES: list[tuple[str, object, str | None]] = [
     ("dedup_exact", dedup_exact, DEDUP_EXACT_ORACLE),
     ("fuzzy_part_name_pairs", fuzzy_part_name_pairs, FUZZY_PAIRS_ORACLE),
     ("dedup_ngram_jaccard", dedup_ngram_jaccard, NGRAM_JACCARD_ORACLE),
+    ("dedup_containment", dedup_containment, CONTAINMENT_ORACLE),
     ("dedup_minhash_lsh", dedup_minhash_lsh, MINHASH_LSH_ORACLE),
     ("dedup_simhash", dedup_simhash, SIMHASH_ORACLE),
     ("simhash_near_pairs", simhash_near_pairs, SIMHASH_PAIRS_ORACLE),
@@ -1022,6 +1205,7 @@ DEDUP_QUERIES: list[tuple[str, object, str | None]] = [
     ("dedup_embedding_lsh", dedup_embedding_lsh, _embedding_lsh_oracle()),
     ("semantic_dedup_hybrid", semantic_dedup_hybrid, _semantic_hybrid_oracle()),
     ("dedup_clusters", dedup_clusters, DEDUP_CLUSTERS_ORACLE),
+    ("dedup_cluster_survivors", dedup_cluster_survivors, DEDUP_SURVIVORS_ORACLE),
     ("doc_pair_passage_overlap", doc_pair_passage_overlap, _passage_overlap_oracle()),
     ("incremental_dedup_new_docs", incremental_dedup_new_docs, INCREMENTAL_DEDUP_ORACLE),
     ("semdedup_clusters", semdedup_clusters, _semdedup_clusters_oracle()),

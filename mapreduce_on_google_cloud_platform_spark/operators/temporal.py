@@ -453,6 +453,70 @@ DECAYED_VALUE_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Hour-of-week seasonality profile: traffic + value by (day-of-week,
+# hour-of-day) -- the load-shape aggregate behind capacity planning and
+# anomaly baselines.  Both coordinates come from pure UTC epoch
+# arithmetic (1970-01-01 was a Thursday: dow = (days_since_epoch + 4)
+# mod 7, Sunday = 0), NOT from calendar functions, so neither engine's
+# session timezone nor locale-dependent week-start can skew a bucket.
+# share_of_total divides each cell's exact integer count by the exact
+# corpus total (a broadcast one-row scalar).  Scale: one combinable
+# shuffle to 168 groups; partial aggregation reduces every partition to
+# <=168 rows before the exchange.
+# ---------------------------------------------------------------------------
+
+
+def hour_of_week_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.portable import dec
+
+    ev = load_table(spark, sf_dir, "events")
+    epoch = F.unix_timestamp("ts")
+    keyed = ev.select(
+        ((F.floor(epoch / 86400) + 4) % 7).cast("int").alias("dow"),
+        (F.floor(epoch / 3600) % 24).cast("int").alias("hod"),
+        "value",
+    )
+    total = keyed.agg(F.count(F.lit(1)).alias("total_n"))
+    return (
+        keyed.groupBy("dow", "hod")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("sum_value"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "dow",
+            "hod",
+            "n_events",
+            "sum_value",
+            F.round(
+                F.col("n_events").cast("double") / F.col("total_n"), 6
+            ).alias("share_of_total"),
+        )
+        .orderBy("dow", "hod")
+    )
+
+
+HOUR_OF_WEEK_ORACLE = """
+    WITH keyed AS (
+        SELECT CAST((floor(epoch(ts) / 86400) + 4) % 7 AS INTEGER) AS dow,
+               CAST(floor(epoch(ts) / 3600) % 24 AS INTEGER) AS hod,
+               value
+        FROM events
+    ),
+    total AS (SELECT count(*) AS total_n FROM keyed)
+    SELECT dow, hod,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           round(CAST(count(*) AS DOUBLE) / any_value(total_n), 6)
+               AS share_of_total
+    FROM keyed, total
+    GROUP BY dow, hod
+    ORDER BY dow, hod
+"""
+
+
 TEMPORAL_QUERIES: list[tuple[str, object, str | None]] = [
     ("asof_join_purchase_view", asof_join_purchase_view, ASOF_ORACLE),
     ("asof_forward_purchase_view", asof_forward_purchase_view, ASOF_FORWARD_ORACLE),
@@ -461,4 +525,5 @@ TEMPORAL_QUERIES: list[tuple[str, object, str | None]] = [
     ("lag_feature_matrix", lag_feature_matrix, LAG_FEATURES_ORACLE),
     ("scd2_user_event_intervals", scd2_user_event_intervals, SCD2_ORACLE),
     ("time_decayed_user_value", time_decayed_user_value, DECAYED_VALUE_ORACLE),
+    ("hour_of_week_profile", hour_of_week_profile, HOUR_OF_WEEK_ORACLE),
 ]

@@ -998,6 +998,125 @@ REPEATED_PASSAGE_ORACLE = f"""
 
 
 # ---------------------------------------------------------------------------
+# ExactSubstr-style duplicate-span removal profile (Lee et al. 2021,
+# "Deduplicating Training Data Makes Language Models Better"): every
+# stride-1 run of PASSAGE_WINDOW tokens is fingerprinted; for each
+# fingerprint ONE canonical occurrence survives (the globally first by
+# (doc_id, start) -- deterministic) and every other occurrence, intra-
+# or cross-document, marks its token span for removal.  Output is the
+# per-document removal accounting a corpus rewrite would apply: how
+# many token positions sit under a removed span, what fraction
+# survives.
+#
+# Scale: the occurrence stream is corpus-token cardinality built from a
+# doc_id-PARTITIONED lead() window (parallel); the canonical pick is
+# one combinable min(struct(doc_id,start)) groupBy on the fingerprint;
+# only NON-canonical occurrences (a small fraction of a real corpus)
+# pay the xW position explode, and the distinct that merges overlapping
+# spans shuffles on (doc_id, position) -- never wider than the token
+# stream itself.  All counts integer; one final division.
+# ---------------------------------------------------------------------------
+
+
+def exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_with_pos(docs)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("word")] + [
+        F.lead("word", k).over(w) for k in range(1, PASSAGE_WINDOW)
+    ]
+    occ = (
+        toks.select(
+            "doc_id",
+            F.row_number().over(w).alias("s"),  # dense 1-based start
+            *[p.alias(f"_w{k}") for k, p in enumerate(parts)],
+        )
+        .filter(F.col(f"_w{PASSAGE_WINDOW - 1}").isNotNull())
+        .select(
+            "doc_id",
+            "s",
+            F.md5(
+                F.concat_ws(" ", *[f"_w{k}" for k in range(PASSAGE_WINDOW)])
+            ).alias("fp"),
+        )
+        .persist()
+    )
+    canon = occ.groupBy("fp").agg(
+        F.min(F.struct(F.col("doc_id").alias("d"), F.col("s").alias("p"))).alias(
+            "c"
+        )
+    )
+    dup_occ = occ.join(canon, "fp").filter(
+        (F.col("doc_id") != F.col("c.d")) | (F.col("s") != F.col("c.p"))
+    )
+    covered = dup_occ.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("s"), F.col("s") + PASSAGE_WINDOW - 1)
+        ).alias("p"),
+    ).distinct()
+    dropped = covered.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_positions")
+    )
+    per_doc = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens"))
+    return (
+        per_doc.join(dropped, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_dup_positions", F.lit(0)).alias("n_dup_positions"),
+            (
+                F.col("n_tokens") - F.coalesce("n_dup_positions", F.lit(0))
+            ).alias("retained_tokens"),
+            F.round(
+                (
+                    F.col("n_tokens") - F.coalesce("n_dup_positions", F.lit(0))
+                ).cast("double")
+                / F.col("n_tokens"),
+                6,
+            ).alias("retained_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+EXACT_SUBSTRING_ORACLE = f"""
+    WITH {DUCKDB_TOKS_CTE},
+    occ AS (
+        SELECT doc_id, i AS s,
+               md5(array_to_string(ts[i : i + {PASSAGE_WINDOW - 1}], ' '))
+                   AS fp,
+               row_number() OVER (
+                   PARTITION BY
+                       md5(array_to_string(ts[i : i + {PASSAGE_WINDOW - 1}], ' '))
+                   ORDER BY doc_id, i) AS rk
+        FROM toks,
+             unnest(range(1, len(ts) - {PASSAGE_WINDOW} + 2)) t(i)
+        WHERE len(ts) >= {PASSAGE_WINDOW}
+    ),
+    covered AS (
+        SELECT DISTINCT doc_id, p
+        FROM occ, unnest(range(s, s + {PASSAGE_WINDOW})) t(p)
+        WHERE rk >= 2
+    ),
+    dropped AS (
+        SELECT doc_id, count(*) AS n_dup FROM covered GROUP BY doc_id
+    ),
+    -- len > 0 mirrors the Spark side, whose per-doc counts come from the
+    -- exploded token stream (a 0-token doc contributes no rows there)
+    per_doc AS (SELECT doc_id, len(ts) AS n_tokens FROM toks WHERE len(ts) > 0)
+    SELECT per_doc.doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(coalesce(n_dup, 0) AS BIGINT) AS n_dup_positions,
+           CAST(n_tokens - coalesce(n_dup, 0) AS BIGINT) AS retained_tokens,
+           round(CAST(n_tokens - coalesce(n_dup, 0) AS DOUBLE) / n_tokens, 6)
+               AS retained_ratio
+    FROM per_doc LEFT JOIN dropped USING (doc_id)
+    ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Token-budget shard packing: assign documents to fixed-budget training
 # shards by cumulative token count in a deterministic order (doc_id) --
 # the pretraining shard-assignment step.  shard = floor((cumsum -
@@ -2137,6 +2256,138 @@ def _source_overlap_oracle() -> str:
 SOURCE_OVERLAP_ORACLE = _source_overlap_oracle()
 
 
+# ---------------------------------------------------------------------------
+# Tokenizer fertility by language: tokens-per-character for each corpus
+# language -- the standard multilingual-tokenizer health check (a
+# language whose fertility is far above the corpus mean is being
+# shredded into too many pieces and will be under-represented per
+# compute budget).  One combinable groupBy over the documents scan;
+# every per-group number is an exact integer sum until the two final
+# divisions, so parallel execution order cannot perturb the output.
+# At 100x corpus the group count is the language count (bounded, tiny):
+# partial aggregation reduces each partition to |langs| rows before the
+# one shuffle.
+# ---------------------------------------------------------------------------
+
+
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "lang",
+        F.size(tokenize(F.col("text"))).alias("n_toks"),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "total_tokens",
+            "total_chars",
+            F.round(
+                F.col("total_tokens").cast("double") / F.col("total_chars"), 6
+            ).alias("fertility"),
+            F.round(
+                F.col("total_tokens").cast("double") / F.col("n_docs"), 6
+            ).alias("avg_doc_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+FERTILITY_ORACLE = f"""
+    WITH {DUCKDB_TOKS_CTE},
+    per_doc AS (
+        SELECT d.lang, len(t.ts) AS n_toks, d.n_chars
+        FROM documents d JOIN toks t USING (doc_id)
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           round(CAST(sum(n_toks) AS DOUBLE) / sum(n_chars), 6) AS fertility,
+           round(CAST(sum(n_toks) AS DOUBLE) / count(*), 6) AS avg_doc_tokens
+    FROM per_doc
+    GROUP BY lang
+    ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# Power-of-two length-bucket profile: assign each document to the
+# length bucket floor(log2(n_toks)) -- the bucketed-batching layout
+# training loaders use so one batch pads to its bucket's cap rather
+# than the corpus max.  The bucket index is computed with pure integer
+# string ops (number of binary digits minus one) in BOTH engines, so no
+# float log can disagree in the last ulp.  pad_waste_ratio is the
+# fraction of a bucket-capped batch that would be padding if every doc
+# pads to the bucket cap (2^(b+1) - 1): exact integer sums, one final
+# division.  Combinable groupBy; bucket count is ~log2(longest doc),
+# i.e. < 64 groups at any corpus size.
+# ---------------------------------------------------------------------------
+
+
+def length_bucket_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_toks = F.size(tokenize(F.col("text")))
+    bucket = (F.length(F.bin(n_toks.cast("bigint"))) - 1).cast("int")
+    per_doc = docs.select(bucket.alias("bucket"), n_toks.alias("n_toks"))
+    cap = F.pow(F.lit(2.0), (F.col("bucket") + 1).cast("double")).cast("bigint") - 1
+    return (
+        per_doc.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("total_tokens"),
+            F.min("n_toks").alias("min_tokens"),
+            F.max("n_toks").alias("max_tokens"),
+        )
+        .select(
+            "bucket",
+            "n_docs",
+            "total_tokens",
+            "min_tokens",
+            "max_tokens",
+            cap.alias("bucket_cap"),
+            F.round(
+                (F.col("n_docs") * cap - F.col("total_tokens")).cast("double")
+                / (F.col("n_docs") * cap),
+                6,
+            ).alias("pad_waste_ratio"),
+        )
+        .orderBy("bucket")
+    )
+
+
+LENGTH_BUCKET_ORACLE = f"""
+    WITH {DUCKDB_TOKS_CTE},
+    per_doc AS (
+        SELECT CAST(length(printf('%b', len(ts))) - 1 AS INTEGER) AS bucket,
+               len(ts) AS n_toks
+        FROM toks
+    ),
+    g AS (
+        SELECT bucket,
+               count(*) AS n_docs,
+               CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+               CAST(min(n_toks) AS INTEGER) AS min_tokens,
+               CAST(max(n_toks) AS INTEGER) AS max_tokens,
+               CAST(power(2, bucket + 1) AS BIGINT) - 1 AS bucket_cap
+        FROM per_doc
+        GROUP BY bucket
+    )
+    SELECT bucket, n_docs, total_tokens, min_tokens, max_tokens, bucket_cap,
+           round(CAST(n_docs * bucket_cap - total_tokens AS DOUBLE)
+                 / (n_docs * bucket_cap), 6) AS pad_waste_ratio
+    FROM g
+    ORDER BY bucket
+"""
+
+
 TEXT_ANALYSIS_QUERIES: list[tuple[str, object, str | None]] = [
     ("text_normalize", text_normalize, NORMALIZE_ORACLE),
     ("text_langid", text_langid, LANGID_ORACLE),
@@ -2165,6 +2416,7 @@ TEXT_ANALYSIS_QUERIES: list[tuple[str, object, str | None]] = [
         repeated_passage_windows,
         REPEATED_PASSAGE_ORACLE,
     ),
+    ("exact_substring_dedup", exact_substring_dedup, EXACT_SUBSTRING_ORACLE),
     # iterative K-round corpus rewrite: not one SQL statement -> rows-only
     ("bpe_learn_merges", bpe_learn_merges, None),
     # applies the iteratively-learned merge table -> rows-only; encoding
@@ -2172,4 +2424,10 @@ TEXT_ANALYSIS_QUERIES: list[tuple[str, object, str | None]] = [
     ("bpe_encode_documents", bpe_encode_documents, None),
     ("c4_style_filter", c4_style_filter, C4_FILTER_ORACLE),
     ("source_vocab_overlap", source_vocab_overlap, SOURCE_OVERLAP_ORACLE),
+    (
+        "tokenizer_fertility_by_lang",
+        tokenizer_fertility_by_lang,
+        FERTILITY_ORACLE,
+    ),
+    ("length_bucket_profile", length_bucket_profile, LENGTH_BUCKET_ORACLE),
 ]

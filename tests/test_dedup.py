@@ -179,3 +179,52 @@ def test_semdedup_clusters_close_the_pair_relation(spark):
         assert r.is_canonical == (r.vec_id == r.cluster_id)
     # the synthetic corpus has some near-dup structure at this threshold
     assert any(s > 1 for s in sizes.values())
+
+
+def test_containment_dominates_jaccard_and_orients_by_size(spark):
+    """containment >= jaccard algebraically (divide by the smaller set,
+    not the union); the contained doc is never the larger shingle set."""
+    from mapreduce_on_google_cloud_platform_spark.functions.text import shingles_df
+    from mapreduce_on_google_cloud_platform_spark.sources import load_table
+
+    rows = QUERIES["dedup_containment"](spark, SF_ORACLE).collect()
+    assert rows  # threshold chosen to be non-trivial on the corpus
+    sizes = {
+        r.doc_id: r.n
+        for r in shingles_df(load_table(spark, SF_ORACLE, "documents"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert r.containment >= r.jaccard
+        assert r.n_contained == min(sizes[r.doc_contained], sizes[r.doc_container])
+        assert sizes[r.doc_contained] <= sizes[r.doc_container]
+
+
+def test_cluster_survivors_keep_longest_and_account_exactly(spark):
+    """One survivor per cluster; it has the cluster's max n_chars (lowest
+    doc_id among equals); sizes and char sums reconcile with the cluster
+    report."""
+    surv = {r.cluster_id: r for r in QUERIES["dedup_cluster_survivors"](spark, SF_ORACLE).collect()}
+    clusters = QUERIES["dedup_clusters"](spark, SF_ORACLE).collect()
+    import duckdb
+
+    chars = {
+        d: n
+        for d, n in duckdb.sql(
+            f"SELECT doc_id, n_chars FROM read_parquet('{SF_ORACLE}/documents.parquet')"
+        ).fetchall()
+    }
+    by_cluster: dict[int, list[int]] = {}
+    for r in clusters:
+        by_cluster.setdefault(r.cluster_id, []).append(r.doc_id)
+    assert set(surv) == set(by_cluster)
+    for cid, members in by_cluster.items():
+        s = surv[cid]
+        assert s.cluster_size == len(members)
+        best = max(chars[d] for d in members)
+        assert s.kept_chars == best
+        assert s.kept_doc == min(d for d in members if chars[d] == best)
+        assert s.kept_chars + s.dropped_chars == sum(chars[d] for d in members)
+        assert s.dropped_docs == len(members) - 1

@@ -647,3 +647,39 @@ def test_rollup_cascade_reuses_materialized_hourly(spark):
     misleading -- the cached relation is still built once.)"""
     plan = plan_of(spark, "event_rollup_cascade")
     assert plan.count("InMemoryTableScan") >= 3
+
+
+def test_profile_ops_are_windowless_combinable_aggregates(spark):
+    """fertility / length buckets / hour-of-week: single combinable
+    groupBy over the scan (tiny group counts -- |langs|, <64 buckets,
+    168 cells), no window, no Python, partial aggregation present; the
+    scalar total in hour-of-week arrives via a broadcast join, never a
+    shuffle."""
+    for name in (
+        "tokenizer_fertility_by_lang",
+        "length_bucket_profile",
+        "hour_of_week_profile",
+    ):
+        plan = plan_of(spark, name)
+        assert "Window" not in plan, name
+        assert "Python" not in plan, name
+        assert "partial_" in plan or "Partial" in plan, name
+    assert "BroadcastExchange" in plan_of(spark, "hour_of_week_profile")
+
+
+def test_new_dedup_ops_have_no_global_window(spark):
+    """containment / survivors / exact-substring: any window in these
+    plans must be PARTITIONED by doc_id (the parallel shingle/lead
+    pass); a partitionless window over a corpus-cardinality stream
+    would be the single-partition scale-killer the packing replan
+    removed.  No Python anywhere in the row path."""
+    for name in (
+        "dedup_containment",
+        "dedup_cluster_survivors",
+        "exact_substring_dedup",
+    ):
+        plan = plan_of(spark, name)
+        assert "Python" not in plan, name
+        for line in plan.splitlines():
+            if "windowspecdefinition" in line.lower():
+                assert "doc_id" in line, (name, line)

@@ -126,3 +126,18 @@ def test_decayed_value_bounded_by_total(spark):
     for r in rows:
         assert r.decayed_value <= r.total_value + 1e-6
         assert r.n_events >= 1
+
+
+def test_hour_of_week_profile_is_a_probability_partition(spark):
+    from .conftest import SF_SMOKE
+
+    from mapreduce_on_google_cloud_platform_spark.plans import QUERIES
+
+    rows = QUERIES["hour_of_week_profile"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.dow <= 6
+        assert 0 <= r.hod <= 23
+        assert r.n_events > 0
+    # shares partition the event stream (rounding leaves < 1e-3 slack)
+    assert abs(sum(r.share_of_total for r in rows) - 1.0) < 1e-3

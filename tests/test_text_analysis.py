@@ -387,3 +387,74 @@ def test_source_overlap_estimate_tracks_exact_jaccard(spark):
         assert abs(r.est_jaccard - j) <= 4 * sigma, (r.source_a, r.source_b, r.est_jaccard, j)
         errs.append(abs(r.est_jaccard - j))
     assert sum(errs) / len(errs) < 0.15
+
+
+def test_fertility_covers_all_langs_and_is_positive(spark):
+    rows = QUERIES["tokenizer_fertility_by_lang"](spark, SF_SMOKE).collect()
+    assert rows
+    import duckdb
+
+    n_langs, n_docs = duckdb.sql(
+        f"SELECT count(DISTINCT lang), count(*) FROM "
+        f"read_parquet('{SF_SMOKE}/documents.parquet')"
+    ).fetchone()
+    assert len(rows) == n_langs
+    assert sum(r.n_docs for r in rows) == n_docs
+    for r in rows:
+        assert 0.0 < r.fertility <= 1.0  # a token needs >= 1 char
+        assert r.avg_doc_tokens > 0
+
+
+def test_length_buckets_partition_the_corpus(spark):
+    rows = QUERIES["length_bucket_profile"](spark, SF_SMOKE).collect()
+    assert rows
+    import duckdb
+
+    n_docs = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{SF_SMOKE}/documents.parquet')"
+    ).fetchone()[0]
+    assert sum(r.n_docs for r in rows) == n_docs
+    for r in rows:
+        # bucket b holds lengths in [2^b, 2^(b+1) - 1] (bucket 0 also
+        # admits 0-token docs: bin(0) has one digit too)
+        lo = 0 if r.bucket == 0 else 2**r.bucket
+        assert lo <= r.min_tokens <= r.max_tokens <= r.bucket_cap
+        assert 0.0 <= r.pad_waste_ratio < 1.0
+
+
+def test_exact_substring_dedup_crafted_spans(spark, tmp_path):
+    """A 10-token run shared by two docs: the later doc's span is removed,
+    the canonical first occurrence survives; an intra-doc repeat drops
+    only the second occurrence; a no-dup doc retains everything."""
+    import pandas as pd
+
+    from mapreduce_on_google_cloud_platform_spark.operators.text_analysis import (
+        exact_substring_dedup,
+    )
+
+    run = " ".join(f"s{i}" for i in range(10))            # the shared span
+    uniq = lambda p, n: " ".join(f"{p}{i}" for i in range(n))  # noqa: E731
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                f"{run} {uniq('a', 10)}",                  # canonical holder
+                f"{uniq('b', 5)} {run} {uniq('c', 5)}",    # cross-doc dup
+                f"{run} {uniq('d', 2)} {run}",             # also dup (2 spans)
+                uniq("e", 20),                             # clean
+            ],
+            "lang": ["en"] * 4,
+            "source": ["s"] * 4,
+            "n_chars": [1, 1, 1, 1],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    rows = {r.doc_id: r for r in exact_substring_dedup(spark, str(tmp_path)).collect()}
+    assert rows[1].n_dup_positions == 0 and rows[1].retained_ratio == 1.0
+    # doc 2: exactly the 10 span positions are covered
+    assert rows[2].n_tokens == 20 and rows[2].n_dup_positions == 10
+    # doc 3 holds occurrences 2 and 3 of the span fingerprint: both of its
+    # spans are non-canonical (doc 1 is first), so both 10-token spans drop
+    assert rows[3].n_tokens == 22 and rows[3].n_dup_positions == 20
+    assert rows[4].n_dup_positions == 0
+    for r in rows.values():
+        assert r.retained_tokens == r.n_tokens - r.n_dup_positions
