@@ -1144,17 +1144,26 @@ EXACT_SUBSTRING_ORACLE = f"""
 SHARD_TOKEN_BUDGET = 5000
 
 
-def token_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.size(tokenize(F.col("text"))).alias("n_toks"))
+def _doc_start_positions(spark: SparkSession, counts: DataFrame) -> DataFrame:
+    """counts(doc_id, n_toks) -> (doc_id, n_toks, doc_start): each doc's
+    EXCLUSIVE prefix sum of n_toks in global doc_id order -- the two-pass
+    distributed prefix sum shared by token_budget_packing and
+    sequence_pack_tokens.
+
+    pass 1: per-range token totals -- at most n_ranges rows reach the
+    driver, so the collect is O(cluster), not O(data).  pass 2: cumsum
+    within each range (a PARTITIONED window: every range sorts in
+    parallel) + the broadcast range offset == the exact global running
+    total; no stage ever sees more than one range's rows.  The ranged
+    intermediate is persisted because both passes must observe the SAME
+    range assignment (spark_partition_id is only stable across jobs for
+    a cached plan); session.release_caches reclaims it."""
     n_ranges = max(int(spark.sparkContext.defaultParallelism), 1)
     ranged = (
-        toks.repartitionByRange(n_ranges, "doc_id")
+        counts.repartitionByRange(n_ranges, "doc_id")
         .withColumn("rng", F.spark_partition_id())
         .persist()
     )
-    # pass 1: per-range token totals -- at most n_ranges rows reach the
-    # driver, so this "collect" is O(cluster), not O(data).
     totals = sorted(
         (int(r["rng"]), int(r["t"]))
         for r in ranged.groupBy("rng").agg(F.sum("n_toks").alias("t")).collect()
@@ -1177,20 +1186,31 @@ def token_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     else:
         off_col = F.lit(0).cast("bigint")
-    # pass 2: cumsum within each range + the broadcast offset == the
-    # exact global running total, computed by 32 parallel sorts of 1/32
-    # of the corpus each instead of one sort of all of it.
     w_in = (
         Window.partitionBy("rng")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    assigned = ranged.select(
+    return ranged.select(
         "doc_id",
         "n_toks",
-        ((off_col + F.sum("n_toks").over(w_in) - F.col("n_toks")) / SHARD_TOKEN_BUDGET)
-        .cast("bigint")
-        .alias("shard"),
+        (off_col + F.sum("n_toks").over(w_in) - F.col("n_toks")).alias(
+            "doc_start"
+        ),
+    )
+
+
+def token_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.select(
+        "doc_id", F.size(tokenize(F.col("text"))).alias("n_toks")
+    )
+    # each doc's STARTING global offset picks its shard; integer DIV on
+    # the exact prefix sum, bit-identical to the single-window cumsum
+    assigned = _doc_start_positions(spark, counts).select(
+        "doc_id",
+        "n_toks",
+        F.expr(f"doc_start div {SHARD_TOKEN_BUDGET}").alias("shard"),
     )
     return (
         assigned.groupBy("shard")
@@ -1223,6 +1243,91 @@ PACKING_ORACLE = f"""
     FROM a
     GROUP BY shard
     ORDER BY shard
+"""
+
+
+# ---------------------------------------------------------------------------
+# Concat-and-chunk sequence packing: THE LM-pretraining data-prep step
+# -- concatenate every document's token stream in deterministic
+# (doc_id, position) order and cut it into fixed SEQ_LEN training
+# sequences, crossing document boundaries (GPT-style packing; what
+# doc_token_windows does per-doc and token_budget_packing does at
+# whole-doc granularity, this does at TOKEN granularity over the global
+# stream).  Output is one row per training sequence: its exact token
+# count (only the tail sequence may be short), how many documents it
+# spans, their id range, and the md5 of the packed token text -- a
+# content hash a downstream writer can verify shards against.
+#
+# Scale: the global token position is doc_start (from the shared
+# two-pass distributed prefix sum -- O(cluster) driver state, every
+# range cumsums in parallel) + the doc-PARTITIONED row_number; the
+# per-sequence rollup is one shuffle on seq_id whose groups are <=
+# SEQ_LEN rows by construction, so the ordered collect_list is bounded
+# and the corpus-cardinality stream is never globally sorted.
+# ---------------------------------------------------------------------------
+
+SEQ_LEN = 128
+
+
+def sequence_pack_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_with_pos(docs)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    tok = toks.select(
+        "doc_id", "word", (F.row_number().over(w) - 1).alias("rn")
+    )
+    counts = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_toks"))
+    starts = _doc_start_positions(spark, counts).select("doc_id", "doc_start")
+    seq = tok.join(starts, "doc_id").select(
+        "doc_id",
+        "word",
+        (F.col("doc_start") + F.col("rn")).alias("gpos"),
+    )
+    packed = (
+        seq.select(
+            "doc_id", "word", "gpos", F.expr(f"gpos div {SEQ_LEN}").alias("seq_id")
+        )
+        .groupBy("seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("gpos").alias("g"), F.col("word").alias("w"))
+                )
+            ).alias("toks"),
+        )
+    )
+    return packed.select(
+        "seq_id",
+        "n_tokens",
+        "n_docs",
+        "first_doc",
+        "last_doc",
+        F.md5(
+            F.concat_ws(" ", F.transform(F.col("toks"), lambda s: s["w"]))
+        ).alias("seq_md5"),
+    ).orderBy("seq_id")
+
+
+SEQUENCE_PACK_ORACLE = f"""
+    WITH {DUCKDB_TOKS_CTE},
+    stream AS (
+        SELECT doc_id, ts[i] AS word,
+               row_number() OVER (ORDER BY doc_id, i) - 1 AS gpos
+        FROM toks, unnest(range(1, len(ts) + 1)) t(i)
+    )
+    SELECT gpos // {SEQ_LEN} AS seq_id,
+           count(*) AS n_tokens,
+           count(DISTINCT doc_id) AS n_docs,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc,
+           md5(string_agg(word, ' ' ORDER BY gpos)) AS seq_md5
+    FROM stream
+    GROUP BY 1
+    ORDER BY seq_id
 """
 
 
@@ -2404,6 +2509,7 @@ TEXT_ANALYSIS_QUERIES: list[tuple[str, object, str | None]] = [
     ("text_bigram_coverage", text_bigram_coverage, BIGRAM_COVERAGE_ORACLE),
     ("doc_token_windows", doc_token_windows, DOC_WINDOWS_ORACLE),
     ("token_budget_packing", token_budget_packing, PACKING_ORACLE),
+    ("sequence_pack_tokens", sequence_pack_tokens, SEQUENCE_PACK_ORACLE),
     ("text_repetition_filter", text_repetition_filter, REPETITION_ORACLE),
     ("text_unigram_logprob", text_unigram_logprob, UNIGRAM_LOGPROB_ORACLE),
     ("corpus_zipf_stats", corpus_zipf_stats, ZIPF_STATS_ORACLE),

@@ -683,3 +683,17 @@ def test_new_dedup_ops_have_no_global_window(spark):
         for line in plan.splitlines():
             if "windowspecdefinition" in line.lower():
                 assert "doc_id" in line, (name, line)
+
+
+def test_sequence_pack_windows_are_partitioned_only(spark):
+    """sequence_pack_tokens inherits token_budget_packing's scale
+    contract: the global token order comes from the two-pass prefix sum,
+    so every window in the plan is partitioned (doc_id for the dense
+    row_number, rng for the in-range cumsum) -- a partitionless window
+    here would mean the corpus-cardinality stream is sorted on one
+    partition."""
+    plan = plan_of(spark, "sequence_pack_tokens")
+    assert "Python" not in plan
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line.lower():
+            assert "doc_id" in line or "rng" in line, line

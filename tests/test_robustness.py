@@ -116,6 +116,12 @@ def test_missing_sf_dir_raises_cleanly(spark):
         "hybrid_search_rrf",
         "time_decayed_user_value",
         "repeated_passage_windows",
+        # round 5c: the shared two-pass prefix sum (range assignment must
+        # not leak into results) + ordered collect_list inside sequences
+        "sequence_pack_tokens",
+        "token_budget_packing",
+        "dedup_cluster_survivors",
+        "exact_substring_dedup",
     ],
 )
 def test_shuffle_partition_invariance(spark, name):

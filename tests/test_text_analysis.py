@@ -458,3 +458,30 @@ def test_exact_substring_dedup_crafted_spans(spark, tmp_path):
     assert rows[4].n_dup_positions == 0
     for r in rows.values():
         assert r.retained_tokens == r.n_tokens - r.n_dup_positions
+
+
+def test_sequence_pack_covers_stream_exactly(spark):
+    from mapreduce_on_google_cloud_platform_spark.operators.text_analysis import (
+        SEQ_LEN,
+    )
+
+    rows = QUERIES["sequence_pack_tokens"](spark, SF_SMOKE).collect()
+    assert rows
+    import duckdb
+
+    total = duckdb.sql(f"""
+        WITH toks AS (
+          SELECT list_filter(list_transform(
+                     regexp_split_to_array(text, '\\s+'),
+                     t -> regexp_replace(lower(t), '[^0-9a-z]', '', 'g')),
+                 x -> x <> '') AS ts
+          FROM read_parquet('{SF_SMOKE}/documents.parquet')
+        ) SELECT sum(len(ts)) FROM toks""").fetchone()[0]
+    # contiguous ids, exact SEQ_LEN everywhere but the tail, total coverage
+    assert [r.seq_id for r in rows] == list(range(len(rows)))
+    assert all(r.n_tokens == SEQ_LEN for r in rows[:-1])
+    assert 1 <= rows[-1].n_tokens <= SEQ_LEN
+    assert sum(r.n_tokens for r in rows) == total
+    for r in rows:
+        assert 1 <= r.n_docs and r.first_doc <= r.last_doc
+        assert len(r.seq_md5) == 32
