@@ -130,6 +130,15 @@ HEADLINE = [
     "c4_style_filter",
     "source_vocab_overlap",
     "semdedup_clusters",
+    # round-5c curation additions: containment + survivor selection +
+    # span-level dedup + sequence packing + corpus shape profiles
+    "dedup_containment",
+    "dedup_cluster_survivors",
+    "exact_substring_dedup",
+    "sequence_pack_tokens",
+    "tokenizer_fertility_by_lang",
+    "length_bucket_profile",
+    "hour_of_week_profile",
 ]
 
 

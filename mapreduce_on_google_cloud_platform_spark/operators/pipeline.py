@@ -31,9 +31,10 @@ from ..sources import load_table
 MIN_TOKENS = 50
 
 
-def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source curation funnel over the documents table."""
-    docs = load_table(spark, sf_dir, "documents")
+def _curation_flags(docs: DataFrame) -> DataFrame:
+    """documents -> (doc_id, source, n_tokens, content_hash, is_pass,
+    is_kept): the shared length-gate + exact-dedup decision columns
+    behind curation_pipeline and curated_docs_with_observation."""
     norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
     base = docs.select(
         "doc_id",
@@ -42,12 +43,17 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(norm).alias("content_hash"),
     ).withColumn("is_pass", F.col("n_tokens") >= MIN_TOKENS)
     w = Window.partitionBy("content_hash")
-    flagged = base.withColumn(
+    return base.withColumn(
         "keep_id",
         F.min(F.when(F.col("is_pass"), F.col("doc_id"))).over(w),
     ).withColumn(
         "is_kept", F.col("is_pass") & (F.col("doc_id") == F.col("keep_id"))
     )
+
+
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation funnel over the documents table."""
+    flagged = _curation_flags(load_table(spark, sf_dir, "documents"))
     kept_i = F.col("is_kept").cast("bigint")
     return flagged.groupBy("source").agg(
         F.count("*").alias("n_docs_in"),
@@ -60,6 +66,38 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(kept_i).cast("double") / F.count("*")
         ).alias("kept_ratio"),
     )
+
+
+def curated_docs_with_observation(spark: SparkSession, sf_dir: str):
+    """The curation filter as a corpus REWRITE -- returns (kept_docs,
+    Observation): the surviving documents plus df.observe() counters
+    (docs in/pass/kept, tokens kept) accumulated by the SAME job that
+    materializes the output.
+
+    This is the Spark-native pipeline-telemetry primitive: at 100 TB a
+    separate audit count() is a second full scan of the corpus;
+    observe() metrics ride the task results of the job you were already
+    running (internally an AggregatingAccumulator), so the funnel
+    report is free.  Not a registry query -- the DataFrame contract
+    can't carry the side-channel -- the pytest twin reconciles the
+    observed counters against independently-computed counts."""
+    from pyspark.sql import Observation
+
+    flagged = _curation_flags(load_table(spark, sf_dir, "documents"))
+    obs = Observation("curation_funnel")
+    observed = flagged.observe(
+        obs,
+        F.count(F.lit(1)).alias("docs_in"),
+        F.sum(F.col("is_pass").cast("bigint")).alias("docs_pass"),
+        F.sum(F.col("is_kept").cast("bigint")).alias("docs_kept"),
+        F.sum(
+            F.when(F.col("is_kept"), F.col("n_tokens")).otherwise(F.lit(0))
+        ).alias("tokens_kept"),
+    )
+    kept = observed.filter(F.col("is_kept")).select(
+        "doc_id", "source", "n_tokens", "content_hash"
+    )
+    return kept, obs
 
 
 CURATION_ORACLE = f"""

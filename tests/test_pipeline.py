@@ -90,3 +90,26 @@ def test_rollup_cascade_levels_conserve_totals(spark):
         t[1] += r.value_cents
     assert set(totals) == {"hour", "day", "week"}
     assert totals["hour"] == totals["day"] == totals["week"]
+
+
+def test_observed_curation_metrics_match_independent_counts(spark):
+    """df.observe() counters must reconcile exactly with the kept output
+    and with the declared funnel query -- same numbers, zero extra scans."""
+    from mapreduce_on_google_cloud_platform_spark.operators.pipeline import (
+        curated_docs_with_observation,
+    )
+    from mapreduce_on_google_cloud_platform_spark.plans import QUERIES
+
+    from .conftest import SF_SMOKE
+
+    kept, obs = curated_docs_with_observation(spark, SF_SMOKE)
+    rows = kept.collect()  # materializes the job -> metrics available
+    m = obs.get
+    assert m["docs_kept"] == len(rows)
+    assert m["tokens_kept"] == sum(r.n_tokens for r in rows)
+    funnel = QUERIES["curation_pipeline"](spark, SF_SMOKE).collect()
+    assert m["docs_in"] == sum(r.n_docs_in for r in funnel)
+    assert m["docs_pass"] == sum(r.n_pass for r in funnel)
+    assert m["docs_kept"] == sum(r.n_kept for r in funnel)
+    # content_hash dedup really happened in the kept corpus
+    assert len({r.content_hash for r in rows}) == len(rows)
