@@ -139,6 +139,8 @@ HEADLINE = [
     "tokenizer_fertility_by_lang",
     "length_bucket_profile",
     "hour_of_week_profile",
+    "language_sampling_weights",
+    "interarrival_profile",
 ]
 
 

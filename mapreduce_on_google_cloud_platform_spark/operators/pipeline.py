@@ -900,6 +900,75 @@ MIXTURE_ORACLE = f"""
 
 
 # ---------------------------------------------------------------------------
+# Temperature-based language sampling weights (the multilingual
+# pretraining alpha-sampling rule, e.g. mBERT/XLM-R: q_l proportional
+# to p_l^alpha with alpha < 1): flattens the language distribution so
+# low-resource languages are upsampled relative to their raw share.
+# Output per language: raw share p, temperature share q, and the
+# up/downsampling factor q/p a sampler would apply.
+#
+# Numeric discipline: p is one exact-int division (IEEE-deterministic);
+# p^alpha is immediately cast to DECIMAL(25,12) -- truncating well
+# below double precision, so a last-ulp pow() disagreement between
+# engines cannot surface -- and the normalizer Z is an EXACT decimal
+# sum of those terms (order-independent, unlike a double sum).  Scale:
+# two combinable aggregates onto |langs| rows + broadcast scalars; the
+# per-language table is never wider than the language count.
+# ---------------------------------------------------------------------------
+
+SAMPLING_ALPHA = 0.3
+
+
+def language_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = per.agg(F.sum("n_docs").alias("total_docs"))
+    shared = (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn("p", F.col("n_docs") / F.col("total_docs"))
+        .withColumn(
+            "pa",
+            F.pow("p", F.lit(SAMPLING_ALPHA)).cast("decimal(25,12)"),
+        )
+    )
+    z = shared.agg(F.sum("pa").alias("z"))
+    q = F.col("pa").cast("double") / F.col("z").cast("double")
+    return (
+        shared.crossJoin(F.broadcast(z))
+        .select(
+            "lang",
+            "n_docs",
+            F.round("p", 6).alias("raw_share"),
+            F.round(q, 6).alias("temp_share"),
+            F.round(q / F.col("p"), 6).alias("sample_factor"),
+        )
+        .orderBy("lang")
+    )
+
+
+SAMPLING_WEIGHTS_ORACLE = f"""
+    WITH per AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+    tot AS (SELECT sum(n_docs) AS total_docs FROM per),
+    shared AS (
+        SELECT lang, n_docs,
+               CAST(n_docs AS DOUBLE) / total_docs AS p,
+               CAST(pow(CAST(n_docs AS DOUBLE) / total_docs,
+                        {SAMPLING_ALPHA}) AS DECIMAL(25,12)) AS pa
+        FROM per, tot
+    ),
+    z AS (SELECT sum(pa) AS z FROM shared)
+    SELECT lang,
+           n_docs,
+           round(p, 6) AS raw_share,
+           round(CAST(pa AS DOUBLE) / CAST(z AS DOUBLE), 6) AS temp_share,
+           round(CAST(pa AS DOUBLE) / CAST(z AS DOUBLE) / p, 6)
+               AS sample_factor
+    FROM shared, z
+    ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
 # Hierarchical rollup cascade (the hypertable/materialized-rollup
 # pattern): hourly aggregates computed ONCE from the event stream, then
 # daily derived FROM the hourly table and weekly FROM the daily table
@@ -1002,4 +1071,9 @@ PIPELINE_QUERIES: list[tuple[str, object, str | None]] = [
     ("corpus_mixture_sample", corpus_mixture_sample, MIXTURE_ORACLE),
     ("snapshot_diff_orders", snapshot_diff_orders, SNAPSHOT_DIFF_ORACLE),
     ("event_rollup_cascade", event_rollup_cascade, ROLLUP_CASCADE_ORACLE),
+    (
+        "language_sampling_weights",
+        language_sampling_weights,
+        SAMPLING_WEIGHTS_ORACLE,
+    ),
 ]

@@ -517,6 +517,79 @@ HOUR_OF_WEEK_ORACLE = """
 """
 
 
+# ---------------------------------------------------------------------------
+# Inter-arrival time profile: the distribution of per-user gaps between
+# consecutive events, bucketed into power-of-two microsecond ranges --
+# the diagnostic that picks a sessionization timeout (the valley
+# between the intra-session and inter-session modes) and sizes
+# streaming state retention.  The lag() window is PARTITIONED by
+# user_id (parallel); ties on ts are broken by event_id so the gap
+# sequence is deterministic; the bucket index is the integer
+# binary-digit count of (gap_us + 1), exact on both engines (no float
+# log).  One combinable shuffle onto < 64 bucket groups + a broadcast
+# scalar total.
+# ---------------------------------------------------------------------------
+
+
+def interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    gaps = (
+        ev.select(
+            "user_id", (us - F.lag(us).over(w)).alias("gap_us")
+        )
+        .filter(F.col("gap_us").isNotNull())
+    )
+    bucket = (F.length(F.bin(F.col("gap_us") + 1)) - 1).cast("int")
+    keyed = gaps.select(bucket.alias("bucket"), "gap_us")
+    total = keyed.agg(F.count(F.lit(1)).alias("total_n"))
+    return (
+        keyed.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.min("gap_us").alias("min_gap_us"),
+            F.max("gap_us").alias("max_gap_us"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "bucket",
+            "n_gaps",
+            "min_gap_us",
+            "max_gap_us",
+            F.round(F.col("n_gaps").cast("double") / F.col("total_n"), 6).alias(
+                "share"
+            ),
+        )
+        .orderBy("bucket")
+    )
+
+
+INTERARRIVAL_ORACLE = """
+    WITH gaps AS (
+        SELECT CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+                   AS gap_us
+        FROM events
+    ),
+    keyed AS (
+        SELECT CAST(length(printf('%b', gap_us + 1)) - 1 AS INTEGER)
+                   AS bucket,
+               gap_us
+        FROM gaps WHERE gap_us IS NOT NULL
+    ),
+    total AS (SELECT count(*) AS total_n FROM keyed)
+    SELECT bucket,
+           count(*) AS n_gaps,
+           min(gap_us) AS min_gap_us,
+           max(gap_us) AS max_gap_us,
+           round(CAST(count(*) AS DOUBLE) / any_value(total_n), 6) AS share
+    FROM keyed, total
+    GROUP BY bucket
+    ORDER BY bucket
+"""
+
+
 TEMPORAL_QUERIES: list[tuple[str, object, str | None]] = [
     ("asof_join_purchase_view", asof_join_purchase_view, ASOF_ORACLE),
     ("asof_forward_purchase_view", asof_forward_purchase_view, ASOF_FORWARD_ORACLE),
@@ -526,4 +599,5 @@ TEMPORAL_QUERIES: list[tuple[str, object, str | None]] = [
     ("scd2_user_event_intervals", scd2_user_event_intervals, SCD2_ORACLE),
     ("time_decayed_user_value", time_decayed_user_value, DECAYED_VALUE_ORACLE),
     ("hour_of_week_profile", hour_of_week_profile, HOUR_OF_WEEK_ORACLE),
+    ("interarrival_profile", interarrival_profile, INTERARRIVAL_ORACLE),
 ]

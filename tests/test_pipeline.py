@@ -113,3 +113,26 @@ def test_observed_curation_metrics_match_independent_counts(spark):
     assert m["docs_kept"] == sum(r.n_kept for r in funnel)
     # content_hash dedup really happened in the kept corpus
     assert len({r.content_hash for r in rows}) == len(rows)
+
+
+def test_sampling_weights_flatten_the_distribution(spark):
+    """alpha < 1 must compress shares toward uniform: the dominant
+    language's temperature share shrinks, the rarest grows, factors
+    are >1 exactly for below-uniform languages; both share columns
+    are probability vectors."""
+    from mapreduce_on_google_cloud_platform_spark.plans import QUERIES
+
+    from .conftest import SF_SMOKE
+
+    rows = QUERIES["language_sampling_weights"](spark, SF_SMOKE).collect()
+    assert len(rows) >= 2
+    assert abs(sum(r.raw_share for r in rows) - 1.0) < 1e-3
+    assert abs(sum(r.temp_share for r in rows) - 1.0) < 1e-3
+    top = max(rows, key=lambda r: r.raw_share)
+    low = min(rows, key=lambda r: r.raw_share)
+    assert top.temp_share < top.raw_share
+    assert low.temp_share > low.raw_share
+    uniform = 1.0 / len(rows)
+    for r in rows:
+        if abs(r.raw_share - uniform) > 1e-6:
+            assert (r.sample_factor > 1.0) == (r.raw_share < uniform)

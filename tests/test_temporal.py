@@ -141,3 +141,24 @@ def test_hour_of_week_profile_is_a_probability_partition(spark):
         assert r.n_events > 0
     # shares partition the event stream (rounding leaves < 1e-3 slack)
     assert abs(sum(r.share_of_total for r in rows) - 1.0) < 1e-3
+
+
+def test_interarrival_buckets_bound_their_gaps(spark):
+    from .conftest import SF_SMOKE
+
+    from mapreduce_on_google_cloud_platform_spark.plans import QUERIES
+
+    rows = QUERIES["interarrival_profile"](spark, SF_SMOKE).collect()
+    assert rows
+    import duckdb
+
+    n_events, n_users = duckdb.sql(
+        f"SELECT count(*), count(DISTINCT user_id) FROM "
+        f"read_parquet('{SF_SMOKE}/events.parquet')"
+    ).fetchone()
+    # one gap per event except each user's first
+    assert sum(r.n_gaps for r in rows) == n_events - n_users
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-3
+    for r in rows:
+        # bucket b holds gap_us in [2^b - 1, 2^(b+1) - 2]
+        assert 2**r.bucket - 1 <= r.min_gap_us <= r.max_gap_us <= 2 ** (r.bucket + 1) - 2
