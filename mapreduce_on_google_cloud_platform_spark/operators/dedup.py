@@ -400,6 +400,124 @@ def _minhash_oracle() -> str:
 
 MINHASH_LSH_ORACLE = _minhash_oracle()
 
+
+# ---------------------------------------------------------------------------
+# Stop-shingle-capped MinHash-LSH: the petabyte-scale variant the module
+# header describes -- shingles present in MORE than STOP_SHINGLE_MAX_DF
+# documents ("the quick brown"-class boilerplate) contribute candidate
+# pairs quadratically but similarity hardly at all, so production
+# pipelines drop them BEFORE signatures.  Declared as its own query
+# because the cap changes semantics: similarity here is Jaccard over
+# the RARE-shingle sets (both sides filtered consistently), which is
+# what near-dup detection actually wants at scale.  The hot-shingle
+# list is tiny by construction (shingles with df > K), so the exclusion
+# is a broadcast anti-join on the shingle stream -- scan-local, no extra
+# wide shuffle; everything downstream is the standard banded plan.
+# ---------------------------------------------------------------------------
+
+# chosen below the synthetic corpus's max shingle df (7-9) so the cap
+# demonstrably excludes boilerplate at test scale; production corpora
+# would set this orders of magnitude higher (shingles in >10^4 docs)
+STOP_SHINGLE_MAX_DF = 5
+
+
+def dedup_minhash_stopshingle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles_df(docs).persist()
+    hot = (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > STOP_SHINGLE_MAX_DF)
+        .select("sh")
+    )
+    kept = sh.join(F.broadcast(hot), "sh", "left_anti").persist()
+    bands = _minhash_bands(kept).persist()
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key")),
+        )
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+        .persist()
+    )
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    jac = _pair_jaccard(kept.join(cand_docs, "doc_id", "left_semi"))
+    return (
+        cand.join(jac, ["doc_a", "doc_b"])
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def _minhash_stopshingle_oracle() -> str:
+    rows_per_band = NUM_MINHASHES // MINHASH_BANDS
+    mh_cols = ",\n               ".join(
+        f"min(({a} * h + {b}) % {MINHASH_P}) AS mh{i}"
+        for i, (a, b) in enumerate(MINHASH_AB)
+    )
+    band_selects = "\n        UNION ALL\n".join(
+        f"        SELECT doc_id, {b} AS band, md5("
+        + " || '|' || ".join(
+            f"CAST(mh{b * rows_per_band + r} AS VARCHAR)"
+            for r in range(rows_per_band)
+        )
+        + ") AS band_key FROM sig"
+        for b in range(MINHASH_BANDS)
+    )
+    return f"""
+    WITH {DUCKDB_SHINGLES_CTE},
+    hot AS (
+        SELECT sh FROM shing GROUP BY sh
+        HAVING count(*) > {STOP_SHINGLE_MAX_DF}
+    ),
+    kept AS (SELECT * FROM shing ANTI JOIN hot USING (sh)),
+    dict AS (
+        SELECT sh, ('0x' || substr(md5(sh), 1, 15))::BIGINT % {MINHASH_P} AS h
+        FROM (SELECT DISTINCT sh FROM kept)
+    ),
+    sig AS (
+        SELECT doc_id,
+               {mh_cols}
+        FROM kept JOIN dict USING (sh)
+        GROUP BY doc_id
+    ),
+    bands AS (
+{band_selects}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT cand.doc_a, cand.doc_b,
+           CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+    FROM cand
+    JOIN pairs ON cand.doc_a = pairs.doc_a AND cand.doc_b = pairs.doc_b
+    JOIN sizes sa ON cand.doc_a = sa.doc_id
+    JOIN sizes sb ON cand.doc_b = sb.doc_id
+    WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
+"""
+
+
+MINHASH_STOPSHINGLE_ORACLE = _minhash_stopshingle_oracle()
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
@@ -1199,6 +1317,11 @@ DEDUP_QUERIES: list[tuple[str, object, str | None]] = [
     ("dedup_ngram_jaccard", dedup_ngram_jaccard, NGRAM_JACCARD_ORACLE),
     ("dedup_containment", dedup_containment, CONTAINMENT_ORACLE),
     ("dedup_minhash_lsh", dedup_minhash_lsh, MINHASH_LSH_ORACLE),
+    (
+        "dedup_minhash_stopshingle",
+        dedup_minhash_stopshingle,
+        MINHASH_STOPSHINGLE_ORACLE,
+    ),
     ("dedup_simhash", dedup_simhash, SIMHASH_ORACLE),
     ("simhash_near_pairs", simhash_near_pairs, SIMHASH_PAIRS_ORACLE),
     ("dedup_embedding_pairs", dedup_embedding_pairs, EMBEDDING_PAIRS_ORACLE),

@@ -228,3 +228,28 @@ def test_cluster_survivors_keep_longest_and_account_exactly(spark):
         assert s.kept_doc == min(d for d in members if chars[d] == best)
         assert s.kept_chars + s.dropped_chars == sum(chars[d] for d in members)
         assert s.dropped_docs == len(members) - 1
+
+
+def test_stopshingle_cap_actually_excludes_and_still_finds_pairs(spark):
+    """Non-vacuity guard for the capped variant: at test scale some
+    shingles must exceed STOP_SHINGLE_MAX_DF (else the query degenerates
+    to plain MinHash and proves nothing), and the rare-shingle pairs
+    must still be found."""
+    from mapreduce_on_google_cloud_platform_spark.functions.text import shingles_df
+    from mapreduce_on_google_cloud_platform_spark.operators.dedup import (
+        STOP_SHINGLE_MAX_DF,
+    )
+    from mapreduce_on_google_cloud_platform_spark.sources import load_table
+
+    n_hot = (
+        shingles_df(load_table(spark, SF_ORACLE, "documents"))
+        .groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > STOP_SHINGLE_MAX_DF)
+        .count()
+    )
+    assert n_hot > 0
+    rows = QUERIES["dedup_minhash_stopshingle"](spark, SF_ORACLE).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r.jaccard <= 1.0
