@@ -1026,18 +1026,44 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    scored = codes
-    for m in range(PQ_M):
-        slice_m = lut.select(
-            "q_id",
-            F.col("cent_id").alias(f"code{m}"),
-            F.col(f"ld{m}"),
-        )
-        on = [f"code{m}"] if m == 0 else ["q_id", f"code{m}"]
-        scored = scored.join(F.broadcast(slice_m), on)
-    d2pq = None
-    for m in range(PQ_M):
-        d2pq = F.col(f"ld{m}") if d2pq is None else d2pq + F.col(f"ld{m}")
+    # ADC in LONG form: melt codes to (vec_id, m, code) and the LUT to
+    # (q_id, m, code, ld), then ONE broadcast hash join + a combinable
+    # sum(ld) per (q_id, vec_id).  The previous formulation chained
+    # PQ_M=16 separate broadcast joins -- map-side too, but a 16-deep
+    # join plan whose analysis/codegen dominated the runtime (measured
+    # 10.9s -> ~2s at sf0.1 for identical integer results); partial
+    # aggregation reduces the melted stream map-side, so the only
+    # shuffle carries |vectors| x |queries| partial sums.
+    codes_long = codes.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"), F.col(f"code{m}").alias("code")
+                    )
+                    for m in range(PQ_M)
+                ]
+            )
+        ).alias("mc"),
+    ).select("vec_id", F.col("mc.m").alias("m"), F.col("mc.code").alias("code"))
+    lut_long = lut.select(
+        "q_id",
+        F.col("cent_id").alias("code"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(m).alias("m"), F.col(f"ld{m}").alias("ld"))
+                    for m in range(PQ_M)
+                ]
+            )
+        ).alias("ml"),
+    ).select("q_id", "code", F.col("ml.m").alias("m"), F.col("ml.ld").alias("ld"))
+    scored = (
+        codes_long.join(F.broadcast(lut_long), ["m", "code"])
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("ld").alias("d2pq"))
+    )
 
     sw = Window.partitionBy("q_id").orderBy(F.asc("d2pq"), F.asc("neighbor_id"))
     shortlist = (
@@ -1045,7 +1071,7 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "q_id",
             F.col("vec_id").alias("neighbor_id"),
-            d2pq.alias("d2pq"),
+            F.col("d2pq"),
         )
         .withColumn("srn", F.row_number().over(sw))
         .filter(F.col("srn") <= PQ_SHORTLIST)
