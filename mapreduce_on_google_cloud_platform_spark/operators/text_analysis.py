@@ -2362,6 +2362,99 @@ SOURCE_OVERLAP_ORACLE = _source_overlap_oracle()
 
 
 # ---------------------------------------------------------------------------
+# Pointwise mutual information over the heavy-hitter vocabulary: which
+# frequent terms CO-OCCUR in documents more (pmi > 0) or less (pmi < 0)
+# than their document frequencies predict -- the collocation/topic
+# signal behind phrase mining and feature crosses.  All-pairs PMI over
+# the full vocabulary is quadratic in |vocab|; bounding it to the top
+# PMI_TOP_TERMS document-frequency terms (a deterministic TakeOrdered:
+# count desc, word asc) caps the pair space at TOP^2/2 regardless of
+# corpus size, and the per-doc self-join touches <= TOP presence rows
+# per document.  Determinism: the count ratios are exact integers; the
+# single ln() of their product is decimal-truncated (the unigram-
+# logprob discipline) so engine last-ulp differences cannot surface.
+# ---------------------------------------------------------------------------
+
+PMI_TOP_TERMS = 40
+
+
+def term_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pres = tokens_df(docs).select("doc_id", "word").distinct().persist()
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    top = (
+        pres.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.desc("df"), F.asc("word"))
+        .limit(PMI_TOP_TERMS)
+        .persist()
+    )
+    p = pres.join(
+        F.broadcast(top.select("word")), "word", "left_semi"
+    )
+    a, b = p.alias("a"), p.alias("b")
+    pair_counts = (
+        a.join(b, F.col("a.doc_id") == F.col("b.doc_id"))
+        .filter(F.col("a.word") < F.col("b.word"))
+        .groupBy(
+            F.col("a.word").alias("term_a"), F.col("b.word").alias("term_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    da = top.select(F.col("word").alias("term_a"), F.col("df").alias("df_a"))
+    db = top.select(F.col("word").alias("term_b"), F.col("df").alias("df_b"))
+    pmi = (
+        F.log(
+            (F.col("n_ab") * F.col("n_docs")).cast("double")
+            / (F.col("df_a") * F.col("df_b"))
+        )
+    ).cast("decimal(25,12)")
+    return (
+        pair_counts.join(F.broadcast(da), "term_a")
+        .join(F.broadcast(db), "term_b")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term_a",
+            "term_b",
+            "n_ab",
+            "df_a",
+            "df_b",
+            F.round(pmi.cast("double"), 6).alias("pmi"),
+        )
+        .orderBy("term_a", "term_b")
+    )
+
+
+TERM_PMI_ORACLE = f"""
+    WITH {DUCKDB_TOKS_CTE},
+    pres AS (
+        SELECT DISTINCT doc_id, word FROM toks, unnest(ts) t(word)
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    top AS (
+        SELECT word, count(*) AS df FROM pres GROUP BY word
+        ORDER BY df DESC, word ASC LIMIT {PMI_TOP_TERMS}
+    ),
+    p AS (SELECT pres.* FROM pres SEMI JOIN top USING (word)),
+    pairs AS (
+        SELECT a.word AS term_a, b.word AS term_b, count(*) AS n_ab
+        FROM p a JOIN p b ON a.doc_id = b.doc_id AND a.word < b.word
+        GROUP BY 1, 2
+    )
+    SELECT term_a, term_b, n_ab,
+           ta.df AS df_a, tb.df AS df_b,
+           round(CAST(CAST(ln(CAST(n_ab * n_docs AS DOUBLE)
+                               / (ta.df * tb.df))
+                           AS DECIMAL(25,12)) AS DOUBLE), 6) AS pmi
+    FROM pairs
+    JOIN top ta ON term_a = ta.word
+    JOIN top tb ON term_b = tb.word
+    CROSS JOIN n
+    ORDER BY term_a, term_b
+"""
+
+
+# ---------------------------------------------------------------------------
 # Tokenizer fertility by language: tokens-per-character for each corpus
 # language -- the standard multilingual-tokenizer health check (a
 # language whose fertility is far above the corpus mean is being
@@ -2536,4 +2629,5 @@ TEXT_ANALYSIS_QUERIES: list[tuple[str, object, str | None]] = [
         FERTILITY_ORACLE,
     ),
     ("length_bucket_profile", length_bucket_profile, LENGTH_BUCKET_ORACLE),
+    ("term_pmi_pairs", term_pmi_pairs, TERM_PMI_ORACLE),
 ]

@@ -264,6 +264,26 @@ def streaming_dedup_query(spark: SparkSession, sf_dir: str):
     )
 
 
+def streaming_dedup_within_watermark_query(spark: SparkSession, sf_dir: str):
+    """Bounded-state streaming dedup: ``dropDuplicatesWithinWatermark``
+    keeps a key's state only until the watermark passes its event time,
+    so duplicates are suppressed when they arrive within the watermark
+    delay (the at-least-once-source case: a retry lands seconds after
+    the original) while state stays O(|keys in the horizon|) FOREVER --
+    the guarantee plain dropDuplicates cannot give on an unbounded key
+    domain.  Semantics differ deliberately: a key may re-emit after its
+    state expires, which is why this is a separate declared stream from
+    streaming_dedup_query, not a swap-in.  The pytest twin checks the
+    two bracketing invariants (emits >= distinct keys; every duplicate
+    within the watermark window is suppressed)."""
+    return (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type", "ts")
+    )
+
+
 def user_tier_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic static user dimension (the testdata has no user
     table): tier derived from user_id.  Stands in for any broadcastable

@@ -402,3 +402,42 @@ def test_stateful_decayed_value_matches_batch_twin(spark):
         assert n == want_n
         got = acc * math.exp(-(wm - anchor) / DECAY_TAU_US)
         assert abs(got - want_val) < 1e-6 * max(1.0, abs(want_val))
+
+
+def test_streaming_dedup_within_watermark_invariants(spark):
+    """dropDuplicatesWithinWatermark brackets plain dedup: it can only
+    re-emit a key AFTER its state expired, so (a) every distinct key
+    appears at least once, (b) emits per key never exceed the key's
+    event count, and (c) with this corpus's time span vs the 1h
+    watermark, two emits of one key must be > 1h apart."""
+    from mapreduce_on_google_cloud_platform_spark.streaming.windows import (
+        streaming_dedup_within_watermark_query,
+    )
+
+    stream = streaming_dedup_within_watermark_query(spark, SF_SMOKE)
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_dedup_wm")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM stream_dedup_wm").collect()
+    finally:
+        q.stop()
+    assert rows
+    from collections import defaultdict
+
+    emits = defaultdict(list)
+    for r in rows:
+        emits[(r.user_id, r.event_type)].append(r.ts)
+    want = {
+        (r.user_id, r.event_type)
+        for r in QUERIES["user_event_type_distinct"](spark, SF_SMOKE).collect()
+    }
+    assert set(emits) == want  # at least once per key, no invented keys
+    for key, times in emits.items():
+        times.sort()
+        for a, b in zip(times, times[1:]):
+            assert (b - a).total_seconds() > 3600, (key, a, b)

@@ -485,3 +485,21 @@ def test_sequence_pack_covers_stream_exactly(spark):
     for r in rows:
         assert 1 <= r.n_docs and r.first_doc <= r.last_doc
         assert len(r.seq_md5) == 32
+
+
+def test_term_pmi_pairs_bounds(spark):
+    from mapreduce_on_google_cloud_platform_spark.operators.text_analysis import (
+        PMI_TOP_TERMS,
+    )
+
+    rows = QUERIES["term_pmi_pairs"](spark, SF_SMOKE).collect()
+    assert rows
+    assert len(rows) <= PMI_TOP_TERMS * (PMI_TOP_TERMS - 1) // 2
+    terms = {r.term_a for r in rows} | {r.term_b for r in rows}
+    assert len(terms) <= PMI_TOP_TERMS
+    for r in rows:
+        assert r.term_a < r.term_b
+        assert 1 <= r.n_ab <= min(r.df_a, r.df_b)
+    # co-occurrence among frequent terms should show both attraction and
+    # repulsion on a natural-ish corpus
+    assert any(r.pmi > 0 for r in rows) and any(r.pmi < 0 for r in rows)
