@@ -590,6 +590,116 @@ INTERARRIVAL_ORACLE = """
 """
 
 
+# ---------------------------------------------------------------------------
+# Marketing-style conversion attribution: for every purchase, the FIRST
+# and LAST qualifying touch (click/view) by the same user inside a 24h
+# lookback window, plus touch count and time-to-convert -- the
+# first-touch/last-touch report every growth pipeline runs.  The touch
+# candidates come from a banded range join that KEEPS the user_id
+# equi-key (hash join + band residual, the range_join_purchase_views_1h
+# pattern -- never a nested loop), and first/last are combinable
+# min/max(struct(ts, event_id, ...)) aggregates with the unique
+# event_id as a total-order tie-break, so no window touches the fact
+# stream and ties cannot flap.  Unattributed purchases (no touch in the
+# window) survive via a left join with n_touches = 0.
+# ---------------------------------------------------------------------------
+
+ATTRIB_LOOKBACK_SEC = 24 * 3600
+ATTRIB_TOUCH_TYPES = ("click", "view")
+
+
+def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("p_us")
+    )
+    t = ev.filter(F.col("event_type").isin(*ATTRIB_TOUCH_TYPES)).select(
+        F.col("user_id").alias("t_user"),
+        F.col("event_id").alias("t_id"),
+        F.col("event_type").alias("t_type"),
+        F.unix_micros("ts").alias("t_us"),
+    )
+    lb_us = ATTRIB_LOOKBACK_SEC * 1_000_000
+    joined = p.join(
+        t,
+        (F.col("user_id") == F.col("t_user"))
+        & (F.col("t_us") < F.col("p_us"))
+        & (F.col("t_us") >= F.col("p_us") - F.lit(lb_us)),
+    )
+    touch = F.struct(
+        F.col("t_us").alias("us"),
+        F.col("t_id").alias("id"),
+        F.col("t_type").alias("ch"),
+    )
+    attributed = joined.groupBy("event_id", "user_id", "p_us").agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.min(touch).alias("ft"),
+        F.max(touch).alias("lt"),
+    )
+    return (
+        p.join(
+            attributed.select(
+                "event_id",
+                "n_touches",
+                F.col("ft.ch").alias("first_channel"),
+                F.col("lt.ch").alias("last_channel"),
+                F.col("lt.us").alias("lt_us"),
+            ),
+            "event_id",
+            "left",
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.coalesce("n_touches", F.lit(0)).alias("n_touches"),
+            "first_channel",
+            "last_channel",
+            F.expr("(p_us - lt_us) div 1000000").alias("secs_to_convert"),
+        )
+        .orderBy("event_id")
+    )
+
+
+ATTRIBUTION_ORACLE = f"""
+    WITH p AS (
+        SELECT event_id, user_id, epoch_us(ts) AS p_us
+        FROM events WHERE event_type = 'purchase'
+    ),
+    t AS (
+        SELECT user_id AS t_user, event_id AS t_id,
+               event_type AS t_type, epoch_us(ts) AS t_us
+        FROM events
+        WHERE event_type IN ('click', 'view')
+    ),
+    j AS (
+        SELECT p.*, t_id, t_type, t_us,
+               row_number() OVER (PARTITION BY event_id
+                                  ORDER BY t_us ASC, t_id ASC) AS rf,
+               row_number() OVER (PARTITION BY event_id
+                                  ORDER BY t_us DESC, t_id DESC) AS rl,
+               count(*) OVER (PARTITION BY event_id) AS n_touches
+        FROM p JOIN t
+          ON user_id = t_user
+         AND t_us < p_us
+         AND t_us >= p_us - {ATTRIB_LOOKBACK_SEC * 1_000_000}
+    ),
+    agg AS (
+        SELECT event_id,
+               any_value(n_touches) AS n_touches,
+               max(CASE WHEN rf = 1 THEN t_type END) AS first_channel,
+               max(CASE WHEN rl = 1 THEN t_type END) AS last_channel,
+               max(CASE WHEN rl = 1 THEN t_us END) AS lt_us
+        FROM j GROUP BY event_id
+    )
+    SELECT p.event_id, p.user_id,
+           CAST(coalesce(agg.n_touches, 0) AS BIGINT) AS n_touches,
+           first_channel, last_channel,
+           CAST((p_us - lt_us) // 1000000 AS BIGINT) AS secs_to_convert
+    FROM p LEFT JOIN agg USING (event_id)
+    ORDER BY event_id
+"""
+
+
 TEMPORAL_QUERIES: list[tuple[str, object, str | None]] = [
     ("asof_join_purchase_view", asof_join_purchase_view, ASOF_ORACLE),
     ("asof_forward_purchase_view", asof_forward_purchase_view, ASOF_FORWARD_ORACLE),
@@ -600,4 +710,5 @@ TEMPORAL_QUERIES: list[tuple[str, object, str | None]] = [
     ("time_decayed_user_value", time_decayed_user_value, DECAYED_VALUE_ORACLE),
     ("hour_of_week_profile", hour_of_week_profile, HOUR_OF_WEEK_ORACLE),
     ("interarrival_profile", interarrival_profile, INTERARRIVAL_ORACLE),
+    ("purchase_attribution", purchase_attribution, ATTRIBUTION_ORACLE),
 ]

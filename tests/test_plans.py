@@ -697,3 +697,14 @@ def test_sequence_pack_windows_are_partitioned_only(spark):
     for line in plan.splitlines():
         if "windowspecdefinition" in line.lower():
             assert "doc_id" in line or "rng" in line, line
+
+
+def test_attribution_range_join_keeps_equi_key_no_window(spark):
+    """The 24h-lookback touch join must ride the user_id hash join with
+    the band as residual (never a nested loop / cartesian), and
+    first/last-touch come from combinable min/max(struct) aggregates --
+    no window over the fact stream."""
+    plan = plan_of(spark, "purchase_attribution")
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "partial_" in plan or "Partial" in plan

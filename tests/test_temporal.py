@@ -162,3 +162,36 @@ def test_interarrival_buckets_bound_their_gaps(spark):
     for r in rows:
         # bucket b holds gap_us in [2^b - 1, 2^(b+1) - 2]
         assert 2**r.bucket - 1 <= r.min_gap_us <= r.max_gap_us <= 2 ** (r.bucket + 1) - 2
+
+
+def test_purchase_attribution_windows_and_channels(spark):
+    """Every purchase appears once; attributed rows carry channels from
+    the touch set with last touch at most 24h before; unattributed rows
+    have null channels; first <= last in time implies secs_to_convert
+    bounded by the lookback."""
+    from .conftest import SF_SMOKE
+
+    from mapreduce_on_google_cloud_platform_spark.operators.temporal import (
+        ATTRIB_LOOKBACK_SEC,
+        ATTRIB_TOUCH_TYPES,
+    )
+    from mapreduce_on_google_cloud_platform_spark.plans import QUERIES
+
+    rows = QUERIES["purchase_attribution"](spark, SF_SMOKE).collect()
+    import duckdb
+
+    n_purch = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{SF_SMOKE}/events.parquet') "
+        "WHERE event_type = 'purchase'"
+    ).fetchone()[0]
+    assert len(rows) == n_purch
+    assert any(r.n_touches > 0 for r in rows)
+    assert any(r.n_touches == 0 for r in rows)
+    for r in rows:
+        if r.n_touches == 0:
+            assert r.first_channel is None and r.last_channel is None
+            assert r.secs_to_convert is None
+        else:
+            assert r.first_channel in ATTRIB_TOUCH_TYPES
+            assert r.last_channel in ATTRIB_TOUCH_TYPES
+            assert 0 <= r.secs_to_convert <= ATTRIB_LOOKBACK_SEC
