@@ -1124,6 +1124,70 @@ FUZZY_PAIRS_ORACLE = f"""
 
 
 # ---------------------------------------------------------------------------
+# Entity resolution end-to-end: fuzzy match evidence closed into entity
+# clusters.  fuzzy_part_name_pairs supplies the pairwise typo-distance
+# evidence (blocked equi-join, per-block quadratic only); this operator
+# runs the SAME min-label connected-components used for document
+# near-dups (_cc_cluster_report) over those pairs, because pairwise
+# match evidence is not an entity: A~B and B~C must merge A,B,C even
+# though A,C never compared under the edit-distance cap.  One cluster =
+# one resolved entity; the canonical member (minimum key) is the
+# survivorship pick.  Scale inherits both parents: blocking bounds the
+# quadratic stage, the CC loop is shuffle-on-key per round with
+# lineage-truncated labels.
+# ---------------------------------------------------------------------------
+
+
+def part_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = fuzzy_part_name_pairs(spark, sf_dir).select(
+        F.col("key_a").alias("doc_a"), F.col("key_b").alias("doc_b")
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    report = _cc_cluster_report(pairs, part.select("p_partkey"), "p_partkey")
+    return (
+        report.join(part, "p_partkey")
+        .select(
+            "p_partkey",
+            "p_name",
+            "cluster_id",
+            "cluster_size",
+            "is_canonical",
+        )
+        .orderBy("p_partkey")
+    )
+
+
+PART_ENTITY_ORACLE = f"""
+    WITH RECURSIVE near AS (
+        SELECT a.p_partkey AS ka, b.p_partkey AS kb
+        FROM part a
+        JOIN part b
+          ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+         AND a.p_partkey < b.p_partkey
+        WHERE levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_DIST}
+    ),
+    edges AS (
+        SELECT ka AS a, kb AS b FROM near
+        UNION ALL
+        SELECT kb AS a, ka AS b FROM near
+    ),
+    reach(node, r) AS (
+        SELECT p_partkey, p_partkey FROM part
+        UNION
+        SELECT edges.b, reach.r FROM reach JOIN edges ON reach.node = edges.a
+    ),
+    comp AS (
+        SELECT node AS p_partkey, min(r) AS cluster_id FROM reach GROUP BY node
+    )
+    SELECT comp.p_partkey, p.p_name, cluster_id,
+           count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+           comp.p_partkey = cluster_id AS is_canonical
+    FROM comp JOIN part p USING (p_partkey)
+    ORDER BY p_partkey
+"""
+
+
+# ---------------------------------------------------------------------------
 # Passage-overlap doc pairs: the weighted companion of ngram-Jaccard --
 # for every document pair sharing at least MIN_SHARED_PASSAGES distinct
 # PASSAGE_WINDOW-token passages, how many distinct passages they share
@@ -1314,6 +1378,7 @@ def _semdedup_clusters_oracle() -> str:
 DEDUP_QUERIES: list[tuple[str, object, str | None]] = [
     ("dedup_exact", dedup_exact, DEDUP_EXACT_ORACLE),
     ("fuzzy_part_name_pairs", fuzzy_part_name_pairs, FUZZY_PAIRS_ORACLE),
+    ("part_entity_clusters", part_entity_clusters, PART_ENTITY_ORACLE),
     ("dedup_ngram_jaccard", dedup_ngram_jaccard, NGRAM_JACCARD_ORACLE),
     ("dedup_containment", dedup_containment, CONTAINMENT_ORACLE),
     ("dedup_minhash_lsh", dedup_minhash_lsh, MINHASH_LSH_ORACLE),

@@ -253,3 +253,27 @@ def test_stopshingle_cap_actually_excludes_and_still_finds_pairs(spark):
     assert rows
     for r in rows:
         assert 0.0 < r.jaccard <= 1.0
+
+
+def test_part_entity_clusters_close_the_fuzzy_relation(spark):
+    """Every fuzzy pair lands in one entity; cluster ids are member
+    minima; exactly one canonical per entity; partition of all parts."""
+    rows = QUERIES["part_entity_clusters"](spark, SF_SMOKE).collect()
+    label = {r.p_partkey: r for r in rows}
+    pairs = [
+        (r.key_a, r.key_b)
+        for r in QUERIES["fuzzy_part_name_pairs"](spark, SF_SMOKE).collect()
+    ]
+    assert pairs
+    for a, b in pairs:
+        assert label[a].cluster_id == label[b].cluster_id, (a, b)
+    from collections import defaultdict
+
+    members = defaultdict(list)
+    for r in rows:
+        members[r.cluster_id].append(r.p_partkey)
+    for cid, keys in members.items():
+        assert cid == min(keys)
+        assert sum(1 for k in keys if label[k].is_canonical) == 1
+        assert all(label[k].cluster_size == len(keys) for k in keys)
+    assert sum(len(v) for v in members.values()) == len(rows)
