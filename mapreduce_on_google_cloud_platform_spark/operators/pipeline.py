@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.portable import SQL_REVENUE
 from ..functions.text import tokenize
 from ..sources import load_table
 
@@ -900,6 +901,75 @@ MIXTURE_ORACLE = f"""
 
 
 # ---------------------------------------------------------------------------
+# Right-to-be-forgotten cascade audit: given a deterministic erasure
+# request set (every ERASURE_STRIDE-th customer -- standing in for the
+# uploaded id list a privacy pipeline receives), report per market
+# segment what a compliant deletion would remove ACROSS the referential
+# chain customer -> orders -> lineitem: customers, orders, line items,
+# and exact revenue.  This is the dry-run every deletion job should
+# emit before rewriting 100 TB of parquet.
+#
+# Scale: the request set joins orders on the customer key and lineitem
+# on the order key -- both plain shuffle-on-key hash joins (a deletion
+# vector is a fraction of the dimension; when it IS tiny, AQE broadcasts
+# it on its own).  LEFT joins keep requested customers with no orders in
+# the audit; every count is a combinable aggregate (distinct counts are
+# the two-phase Tungsten expansion) and revenue is the exact decimal sum.
+# ---------------------------------------------------------------------------
+
+ERASURE_STRIDE = 37
+
+
+def erasure_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.portable import money_sum, revenue_expr
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    req = cust.filter(F.col("c_custkey") % ERASURE_STRIDE == 0).select(
+        "c_custkey", "c_mktsegment"
+    )
+    chain = req.join(
+        orders.select("o_orderkey", "o_custkey"),
+        req["c_custkey"] == orders["o_custkey"],
+        "left",
+    ).join(li, F.col("o_orderkey") == li["l_orderkey"], "left")
+    return (
+        chain.groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.count("l_orderkey").alias("n_lineitems"),
+            F.coalesce(
+                money_sum(revenue_expr()), F.lit(0.0)
+            ).alias("revenue_removed"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+ERASURE_AUDIT_ORACLE = f"""
+    WITH req AS (
+        SELECT c_custkey, c_mktsegment FROM customer
+        WHERE c_custkey % {ERASURE_STRIDE} = 0
+    )
+    SELECT c_mktsegment,
+           count(DISTINCT c_custkey) AS n_customers,
+           count(DISTINCT o_orderkey) AS n_orders,
+           count(l_orderkey) AS n_lineitems,
+           coalesce(CAST(sum({SQL_REVENUE}) AS DOUBLE), 0.0)
+               AS revenue_removed
+    FROM req
+    LEFT JOIN orders ON c_custkey = o_custkey
+    LEFT JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
 # Temperature-based language sampling weights (the multilingual
 # pretraining alpha-sampling rule, e.g. mBERT/XLM-R: q_l proportional
 # to p_l^alpha with alpha < 1): flattens the language distribution so
@@ -1076,4 +1146,5 @@ PIPELINE_QUERIES: list[tuple[str, object, str | None]] = [
         language_sampling_weights,
         SAMPLING_WEIGHTS_ORACLE,
     ),
+    ("erasure_cascade_audit", erasure_cascade_audit, ERASURE_AUDIT_ORACLE),
 ]

@@ -136,3 +136,41 @@ def test_sampling_weights_flatten_the_distribution(spark):
     for r in rows:
         if abs(r.raw_share - uniform) > 1e-6:
             assert (r.sample_factor > 1.0) == (r.raw_share < uniform)
+
+
+def test_erasure_cascade_reconciles_with_direct_counts(spark):
+    """The audit's cascade counts must match independently-computed
+    DuckDB counts per segment, and unattached customers (no orders)
+    still appear with zero cascade rows."""
+    from mapreduce_on_google_cloud_platform_spark.operators.pipeline import (
+        ERASURE_STRIDE,
+    )
+    from mapreduce_on_google_cloud_platform_spark.plans import QUERIES
+
+    from .conftest import SF_SMOKE
+
+    rows = {r.c_mktsegment: r for r in QUERIES["erasure_cascade_audit"](spark, SF_SMOKE).collect()}
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("customer", "orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_SMOKE}/{t}.parquet')"
+        )
+    direct = con.execute(f"""
+        SELECT c_mktsegment, count(DISTINCT c_custkey),
+               count(DISTINCT o_orderkey), count(l_orderkey)
+        FROM customer
+        LEFT JOIN orders ON c_custkey = o_custkey
+        LEFT JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE c_custkey % {ERASURE_STRIDE} = 0
+        GROUP BY 1
+    """).fetchall()
+    assert {seg for seg, *_ in direct} == set(rows)
+    for seg, nc, no, nl in direct:
+        r = rows[seg]
+        assert (r.n_customers, r.n_orders, r.n_lineitems) == (nc, no, nl)
+        if nl == 0:
+            assert r.revenue_removed == 0.0
+        else:
+            assert r.revenue_removed > 0.0
