@@ -1124,6 +1124,116 @@ FUZZY_PAIRS_ORACLE = f"""
 
 
 # ---------------------------------------------------------------------------
+# Dedup-method evaluation harness: precision/recall/F1 of each
+# approximate detector against its exact ground truth, AS A QUERY --
+# the tuning loop a production dedup pipeline runs on a sample before
+# committing band/threshold parameters to a 100 TB pass.  Three rows:
+#
+#   minhash_lsh   vs exact n-gram Jaccard pairs   (banding loses pairs)
+#   simhash       vs exact n-gram Jaccard pairs   (a DIFFERENT signal:
+#                 bit-sign profile vs set overlap -- both fp and fn)
+#   embedding_lsh vs exact embedding cosine pairs (bucketing loses pairs)
+#
+# Counts are set joins on the pair keys (inner = tp, anti = fp/fn);
+# precision/recall/F1 each ONE exact-integer division (F1 via
+# 2tp/(2tp+fp+fn), no chained rounded doubles).  Every input is an
+# already-declared query, so this adds no new wide stage shapes.
+# ---------------------------------------------------------------------------
+
+
+def _pair_eval(method: str, pred: DataFrame, truth: DataFrame) -> DataFrame:
+    tp = pred.join(truth, ["doc_a", "doc_b"], "left_semi")
+    fp = pred.join(truth, ["doc_a", "doc_b"], "left_anti")
+    fn = truth.join(pred, ["doc_a", "doc_b"], "left_anti")
+    counts = (
+        tp.agg(F.count(F.lit(1)).alias("tp"))
+        .crossJoin(fp.agg(F.count(F.lit(1)).alias("fp")))
+        .crossJoin(fn.agg(F.count(F.lit(1)).alias("fn")))
+    )
+    return counts.select(
+        F.lit(method).alias("method"),
+        (F.col("tp") + F.col("fn")).alias("n_truth"),
+        (F.col("tp") + F.col("fp")).alias("n_predicted"),
+        "tp",
+        "fp",
+        "fn",
+        F.round(
+            F.col("tp").cast("double") / (F.col("tp") + F.col("fp")), 6
+        ).alias("precision"),
+        F.round(
+            F.col("tp").cast("double") / (F.col("tp") + F.col("fn")), 6
+        ).alias("recall"),
+        F.round(
+            (2 * F.col("tp")).cast("double")
+            / (2 * F.col("tp") + F.col("fp") + F.col("fn")),
+            6,
+        ).alias("f1"),
+    )
+
+
+def dedup_method_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    truth_txt = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    mh = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    sh = simhash_near_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    truth_emb = dedup_embedding_pairs(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    el = dedup_embedding_lsh(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    return (
+        _pair_eval("minhash_lsh", mh, truth_txt)
+        .unionByName(_pair_eval("simhash", sh, truth_txt))
+        .unionByName(_pair_eval("embedding_lsh", el, truth_emb))
+        .orderBy("method")
+    )
+
+
+def _method_eval_oracle() -> str:
+    def eval_sql(method: str, pred: str, truth: str) -> str:
+        return f"""
+    SELECT '{method}' AS method,
+           CAST(tp + fn AS BIGINT) AS n_truth,
+           CAST(tp + fp AS BIGINT) AS n_predicted,
+           CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn,
+           round(CAST(tp AS DOUBLE) / (tp + fp), 6) AS precision,
+           round(CAST(tp AS DOUBLE) / (tp + fn), 6) AS recall,
+           round(CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn), 6) AS f1
+    FROM (
+        SELECT
+          (SELECT count(*) FROM {pred} p SEMI JOIN {truth} t
+             USING (doc_a, doc_b)) AS tp,
+          (SELECT count(*) FROM {pred} p ANTI JOIN {truth} t
+             USING (doc_a, doc_b)) AS fp,
+          (SELECT count(*) FROM {truth} t ANTI JOIN {pred} p
+             USING (doc_a, doc_b)) AS fn
+    )"""
+
+    truth_txt = f"(SELECT doc_a, doc_b FROM ({NGRAM_JACCARD_ORACLE}))"
+    mh = f"(SELECT doc_a, doc_b FROM ({MINHASH_LSH_ORACLE}))"
+    sh = f"(SELECT doc_a, doc_b FROM ({SIMHASH_PAIRS_ORACLE}))"
+    truth_emb = (
+        f"(SELECT vec_a AS doc_a, vec_b AS doc_b FROM ({EMBEDDING_PAIRS_ORACLE}))"
+    )
+    el = (
+        f"(SELECT vec_a AS doc_a, vec_b AS doc_b"
+        f" FROM ({_embedding_lsh_oracle()}))"
+    )
+    return (
+        eval_sql("embedding_lsh", el, truth_emb)
+        + "\n    UNION ALL\n"
+        + eval_sql("minhash_lsh", mh, truth_txt)
+        + "\n    UNION ALL\n"
+        + eval_sql("simhash", sh, truth_txt)
+        + "\n    ORDER BY method"
+    )
+
+
+METHOD_EVAL_ORACLE = _method_eval_oracle()
+
+
+# ---------------------------------------------------------------------------
 # Entity resolution end-to-end: fuzzy match evidence closed into entity
 # clusters.  fuzzy_part_name_pairs supplies the pairwise typo-distance
 # evidence (blocked equi-join, per-block quadratic only); this operator
@@ -1379,6 +1489,7 @@ DEDUP_QUERIES: list[tuple[str, object, str | None]] = [
     ("dedup_exact", dedup_exact, DEDUP_EXACT_ORACLE),
     ("fuzzy_part_name_pairs", fuzzy_part_name_pairs, FUZZY_PAIRS_ORACLE),
     ("part_entity_clusters", part_entity_clusters, PART_ENTITY_ORACLE),
+    ("dedup_method_eval", dedup_method_eval, METHOD_EVAL_ORACLE),
     ("dedup_ngram_jaccard", dedup_ngram_jaccard, NGRAM_JACCARD_ORACLE),
     ("dedup_containment", dedup_containment, CONTAINMENT_ORACLE),
     ("dedup_minhash_lsh", dedup_minhash_lsh, MINHASH_LSH_ORACLE),

@@ -277,3 +277,19 @@ def test_part_entity_clusters_close_the_fuzzy_relation(spark):
         assert sum(1 for k in keys if label[k].is_canonical) == 1
         assert all(label[k].cluster_size == len(keys) for k in keys)
     assert sum(len(v) for v in members.values()) == len(rows)
+
+
+def test_method_eval_structural_guarantees(spark):
+    """minhash_lsh verifies candidates with the exact Jaccard, so its
+    precision is 1.0 by construction; embedding_lsh bucketing can only
+    LOSE pairs (fp == 0); every F1 reconciles with its own counts."""
+    rows = {r.method: r for r in QUERIES["dedup_method_eval"](spark, SF_SMOKE).collect()}
+    assert set(rows) == {"minhash_lsh", "simhash", "embedding_lsh"}
+    assert rows["minhash_lsh"].fp == 0 and rows["minhash_lsh"].precision == 1.0
+    assert rows["embedding_lsh"].fp == 0
+    for r in rows.values():
+        assert r.n_truth == r.tp + r.fn
+        assert r.n_predicted == r.tp + r.fp
+        want_f1 = round(2 * r.tp / (2 * r.tp + r.fp + r.fn), 6)
+        assert r.f1 == want_f1
+        assert 0.0 <= r.recall <= 1.0 and 0.0 <= r.precision <= 1.0
