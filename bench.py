@@ -141,6 +141,13 @@ HEADLINE = [
     "hour_of_week_profile",
     "language_sampling_weights",
     "interarrival_profile",
+    "dedup_minhash_stopshingle",
+    "term_pmi_pairs",
+    "purchase_attribution",
+    "part_entity_clusters",
+    "erasure_cascade_audit",
+    # dedup_method_eval re-runs five declared pipelines; its components
+    # are each benched above, so it is left out of the headline suite
 ]
 
 
