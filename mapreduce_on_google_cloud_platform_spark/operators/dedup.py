@@ -1124,6 +1124,180 @@ FUZZY_PAIRS_ORACLE = f"""
 
 
 # ---------------------------------------------------------------------------
+# Incremental MinHash admission: continuous-ingest NEAR-dup control.
+# incremental_dedup_new_docs rejects exact/normalized copies; this is
+# its approximate sibling -- each incoming document (odd doc_ids, the
+# same batch split) probes the EXISTING corpus's banded LSH index (even
+# doc_ids) and is admitted only if no base document verifies as a
+# near-dup.  The production property: a doc's MinHash signature depends
+# only on its own shingles, so the base index is append-only state --
+# admitting a batch never re-signatures the corpus, and the candidate
+# join touches only band-key collisions between the batch and the
+# index, never batch x corpus.  Verification computes exact Jaccard for
+# CROSS-SET candidate pairs only; best match is a combinable
+# max(struct(jaccard, -base_id)) (the exact-division double is
+# bit-identical on both engines, so the tie-break is stable).
+# ---------------------------------------------------------------------------
+
+
+def incremental_minhash_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles_df(docs).persist()
+    base_sh = sh.filter(F.col("doc_id") % 2 == 0)
+    inc_sh = sh.filter(F.col("doc_id") % 2 == 1)
+    base_bands = _minhash_bands(base_sh)
+    inc_bands = _minhash_bands(inc_sh)
+    cand = (
+        inc_bands.alias("i")
+        .join(
+            base_bands.alias("bb"),
+            (F.col("i.band") == F.col("bb.band"))
+            & (F.col("i.band_key") == F.col("bb.band_key")),
+        )
+        .select(
+            F.col("i.doc_id").alias("inc_id"),
+            F.col("bb.doc_id").alias("base_id"),
+        )
+        .distinct()
+        .persist()
+    )
+    # exact cross-set Jaccard for candidates only
+    inc_cand_sh = inc_sh.join(
+        cand.select(F.col("inc_id").alias("doc_id")).distinct(),
+        "doc_id",
+        "left_semi",
+    ).select(F.col("doc_id").alias("inc_id"), "sh")
+    base_cand_sh = base_sh.join(
+        cand.select(F.col("base_id").alias("doc_id")).distinct(),
+        "doc_id",
+        "left_semi",
+    ).select(F.col("doc_id").alias("base_id"), "sh")
+    inter = (
+        inc_cand_sh.join(base_cand_sh, "sh")
+        .groupBy("inc_id", "base_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    si = sizes.select(F.col("doc_id").alias("inc_id"), F.col("n").alias("ni"))
+    sb = sizes.select(F.col("doc_id").alias("base_id"), F.col("n").alias("nb"))
+    jac = (
+        cand.join(inter, ["inc_id", "base_id"], "left")
+        .join(si, "inc_id")
+        .join(sb, "base_id")
+        .select(
+            "inc_id",
+            "base_id",
+            (
+                F.coalesce("n_common", F.lit(0)).cast("double")
+                / (F.col("ni") + F.col("nb") - F.coalesce("n_common", F.lit(0)))
+            ).alias("jaccard"),
+        )
+    )
+    best = jac.groupBy("inc_id").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.max(
+            F.struct(F.col("jaccard").alias("j"), (-F.col("base_id")).alias("nb"))
+        ).alias("b"),
+    )
+    incoming = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id")
+    near = F.col("b.j") >= JACCARD_THRESHOLD
+    return (
+        incoming.join(
+            best, incoming["doc_id"] == best["inc_id"], "left"
+        )
+        .select(
+            "doc_id",
+            F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+            F.when(near, -F.col("b.nb")).alias("near_dup_of"),
+            F.when(near, F.round(F.col("b.j"), 6)).alias("best_jaccard"),
+            F.coalesce(~near, F.lit(True)).alias("admitted"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _incremental_minhash_oracle() -> str:
+    rows_per_band = NUM_MINHASHES // MINHASH_BANDS
+    mh_cols = ",\n               ".join(
+        f"min(({a} * h + {b}) % {MINHASH_P}) AS mh{i}"
+        for i, (a, b) in enumerate(MINHASH_AB)
+    )
+    band_selects = "\n        UNION ALL\n".join(
+        f"        SELECT doc_id, {b} AS band, md5("
+        + " || '|' || ".join(
+            f"CAST(mh{b * rows_per_band + r} AS VARCHAR)"
+            for r in range(rows_per_band)
+        )
+        + ") AS band_key FROM sig"
+        for b in range(MINHASH_BANDS)
+    )
+    return f"""
+    WITH {DUCKDB_SHINGLES_CTE},
+    dict AS (
+        SELECT sh, ('0x' || substr(md5(sh), 1, 15))::BIGINT % {MINHASH_P} AS h
+        FROM (SELECT DISTINCT sh FROM shing)
+    ),
+    sig AS (
+        SELECT doc_id,
+               {mh_cols}
+        FROM shing JOIN dict USING (sh)
+        GROUP BY doc_id
+    ),
+    bands AS (
+{band_selects}
+    ),
+    cand AS (
+        SELECT DISTINCT i.doc_id AS inc_id, b.doc_id AS base_id
+        FROM bands i JOIN bands b
+          ON i.band = b.band AND i.band_key = b.band_key
+        WHERE i.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+    ),
+    inter AS (
+        SELECT i.doc_id AS inc_id, b.doc_id AS base_id, count(*) AS n_common
+        FROM shing i JOIN shing b ON i.sh = b.sh
+        WHERE i.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+        GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shing GROUP BY doc_id),
+    jac AS (
+        SELECT cand.inc_id, cand.base_id,
+               CAST(coalesce(n_common, 0) AS DOUBLE)
+                   / (si.n + sb.n - coalesce(n_common, 0)) AS jaccard
+        FROM cand
+        LEFT JOIN inter ON cand.inc_id = inter.inc_id
+                       AND cand.base_id = inter.base_id
+        JOIN sizes si ON cand.inc_id = si.doc_id
+        JOIN sizes sb ON cand.base_id = sb.doc_id
+    ),
+    ranked AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY inc_id
+                                  ORDER BY jaccard DESC, base_id ASC) AS rk,
+               count(*) OVER (PARTITION BY inc_id) AS nc
+        FROM jac
+    ),
+    best AS (
+        SELECT inc_id, nc AS n_candidates, jaccard AS best_j,
+               base_id AS best_base
+        FROM ranked WHERE rk = 1
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(n_candidates, 0) AS BIGINT) AS n_candidates,
+           CASE WHEN best_j >= {JACCARD_THRESHOLD} THEN best_base END
+               AS near_dup_of,
+           CASE WHEN best_j >= {JACCARD_THRESHOLD} THEN round(best_j, 6) END
+               AS best_jaccard,
+           coalesce(NOT (best_j >= {JACCARD_THRESHOLD}), TRUE) AS admitted
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+    LEFT JOIN best ON d.doc_id = best.inc_id
+    ORDER BY d.doc_id
+"""
+
+
+INCREMENTAL_MINHASH_ORACLE = _incremental_minhash_oracle()
+
+
+# ---------------------------------------------------------------------------
 # Dedup-method evaluation harness: precision/recall/F1 of each
 # approximate detector against its exact ground truth, AS A QUERY --
 # the tuning loop a production dedup pipeline runs on a sample before
@@ -1507,5 +1681,10 @@ DEDUP_QUERIES: list[tuple[str, object, str | None]] = [
     ("dedup_cluster_survivors", dedup_cluster_survivors, DEDUP_SURVIVORS_ORACLE),
     ("doc_pair_passage_overlap", doc_pair_passage_overlap, _passage_overlap_oracle()),
     ("incremental_dedup_new_docs", incremental_dedup_new_docs, INCREMENTAL_DEDUP_ORACLE),
+    (
+        "incremental_minhash_admission",
+        incremental_minhash_admission,
+        INCREMENTAL_MINHASH_ORACLE,
+    ),
     ("semdedup_clusters", semdedup_clusters, _semdedup_clusters_oracle()),
 ]

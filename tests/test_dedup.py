@@ -293,3 +293,25 @@ def test_method_eval_structural_guarantees(spark):
         want_f1 = round(2 * r.tp / (2 * r.tp + r.fp + r.fn), 6)
         assert r.f1 == want_f1
         assert 0.0 <= r.recall <= 1.0 and 0.0 <= r.precision <= 1.0
+
+
+def test_incremental_minhash_admission_consistency(spark):
+    """Admission must agree with the full-corpus LSH pairs restricted to
+    cross-parity pairs: an incoming doc is rejected iff dedup_minhash_lsh
+    found a (base, incoming) pair over the threshold; rejected rows name
+    a base doc; only odd ids appear."""
+    rows = {r.doc_id: r for r in QUERIES["incremental_minhash_admission"](spark, SF_SMOKE).collect()}
+    assert rows and all(d % 2 == 1 for d in rows)
+    cross = {}
+    for r in QUERIES["dedup_minhash_lsh"](spark, SF_SMOKE).collect():
+        a, b = r.doc_a, r.doc_b
+        if a % 2 != b % 2:
+            inc, base = (a, b) if a % 2 == 1 else (b, a)
+            cross.setdefault(inc, []).append(base)
+    rejected = {d for d, r in rows.items() if not r.admitted}
+    assert rejected == set(cross)
+    for d in rejected:
+        r = rows[d]
+        assert r.near_dup_of is not None and r.near_dup_of % 2 == 0
+        assert r.best_jaccard is not None and r.best_jaccard >= 0.2
+        assert r.n_candidates >= 1
