@@ -901,6 +901,90 @@ MIXTURE_ORACLE = f"""
 
 
 # ---------------------------------------------------------------------------
+# l-diversity report: k-anonymity's required companion -- a
+# quasi-identifier group can be k-anonymous yet still leak if everyone
+# in it shares one sensitive value (the homogeneity attack).  Here the
+# quasi-identifier is (market segment, nation) over customers joined
+# with their orders, the sensitive attribute is the order priority; a
+# cell is l-diverse when it contains >= L_DIVERSITY distinct priorities.
+# Output per cell: size, distinct sensitive values, the top value's
+# share (a homogeneous cell shows share ~1.0), and the verdict.  Scale:
+# one combinable two-level aggregate -- (cell, value) counts first, then
+# cell rollups with max(struct) for the dominant value; no windows, no
+# distinct-exploded shuffle beyond the first groupBy.
+# ---------------------------------------------------------------------------
+
+L_DIVERSITY = 3
+
+
+def l_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(orders, cust.c_custkey == orders.o_custkey)
+        .select("c_mktsegment", "n_name", "o_orderpriority")
+    )
+    cell_value = joined.groupBy(
+        "c_mktsegment", "n_name", "o_orderpriority"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    top = F.max(
+        F.struct(
+            F.col("cnt").alias("c"), F.col("o_orderpriority").alias("v")
+        )
+    ).alias("top")
+    return (
+        cell_value.groupBy("c_mktsegment", "n_name")
+        .agg(
+            F.sum("cnt").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_sensitive_values"),
+            top,
+        )
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("n_name").alias("nation"),
+            "n_rows",
+            "n_sensitive_values",
+            F.col("top.v").alias("dominant_value"),
+            F.round(
+                F.col("top.c").cast("double") / F.col("n_rows"), 6
+            ).alias("dominant_share"),
+            (F.col("n_sensitive_values") >= L_DIVERSITY).alias("l_diverse"),
+        )
+        .orderBy("segment", "nation")
+    )
+
+
+L_DIVERSITY_ORACLE = f"""
+    WITH cv AS (
+        SELECT c_mktsegment, n_name, o_orderpriority, count(*) AS cnt
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN orders ON c_custkey = o_custkey
+        GROUP BY 1, 2, 3
+    ),
+    ranked AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY c_mktsegment, n_name
+                                  ORDER BY cnt DESC, o_orderpriority DESC)
+                   AS rk
+        FROM cv
+    )
+    SELECT c_mktsegment AS segment, n_name AS nation,
+           CAST(sum(cnt) AS BIGINT) AS n_rows,
+           count(*) AS n_sensitive_values,
+           max(CASE WHEN rk = 1 THEN o_orderpriority END) AS dominant_value,
+           round(CAST(max(CASE WHEN rk = 1 THEN cnt END) AS DOUBLE)
+                 / sum(cnt), 6) AS dominant_share,
+           count(*) >= {L_DIVERSITY} AS l_diverse
+    FROM ranked
+    GROUP BY 1, 2
+    ORDER BY segment, nation
+"""
+
+
+# ---------------------------------------------------------------------------
 # Right-to-be-forgotten cascade audit: given a deterministic erasure
 # request set (every ERASURE_STRIDE-th customer -- standing in for the
 # uploaded id list a privacy pipeline receives), report per market
@@ -1147,4 +1231,5 @@ PIPELINE_QUERIES: list[tuple[str, object, str | None]] = [
         SAMPLING_WEIGHTS_ORACLE,
     ),
     ("erasure_cascade_audit", erasure_cascade_audit, ERASURE_AUDIT_ORACLE),
+    ("l_diversity_report", l_diversity_report, L_DIVERSITY_ORACLE),
 ]

@@ -2362,6 +2362,98 @@ SOURCE_OVERLAP_ORACLE = _source_overlap_oracle()
 
 
 # ---------------------------------------------------------------------------
+# Vocabulary coverage curve: what fraction of all corpus tokens the
+# top-k vocabulary entries cover, for a ladder of budgets -- the
+# diagnostic that sizes a tokenizer vocabulary (the knee of this curve
+# is where adding types stops paying).  One pass over the BOUNDED
+# vocab table (vocab_table's documented post-aggregation cardinality):
+# every budget is a conditional sum in the same combinable aggregate,
+# then the single row pivots to one row per budget via an explode of a
+# literal-width array -- no second scan, no window beyond vocab_table's
+# own documented rank.  dense_rank ties share a token_id, so a budget
+# boundary includes ties identically on both engines.
+# ---------------------------------------------------------------------------
+
+VOCAB_COVERAGE_KS = (100, 500, 2000)
+
+
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vocab = vocab_table(spark, sf_dir)
+    aggs = [
+        F.sum("freq").alias("total_tokens"),
+        F.count(F.lit(1)).alias("total_types"),
+    ]
+    for k in VOCAB_COVERAGE_KS:
+        cond = F.col("token_id") <= k
+        aggs.append(
+            F.sum(F.when(cond, F.col("freq")).otherwise(0)).alias(f"cov{k}")
+        )
+        aggs.append(
+            F.sum(F.when(cond, 1).otherwise(0)).alias(f"types{k}")
+        )
+    one = vocab.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("k"),
+                F.col(f"types{k}").alias("n_types_in_budget"),
+                F.col(f"cov{k}").alias("tokens_covered"),
+            )
+            for k in VOCAB_COVERAGE_KS
+        ]
+    )
+    return (
+        one.select(
+            "total_tokens", "total_types", F.explode(rows).alias("r")
+        )
+        .select(
+            F.col("r.k").alias("k"),
+            F.col("r.n_types_in_budget").alias("n_types_in_budget"),
+            "total_types",
+            F.col("r.tokens_covered").alias("tokens_covered"),
+            "total_tokens",
+            F.round(
+                F.col("r.tokens_covered").cast("double")
+                / F.col("total_tokens"),
+                6,
+            ).alias("coverage"),
+        )
+        .orderBy("k")
+    )
+
+
+def _vocab_coverage_oracle() -> str:
+    selects = "\n    UNION ALL\n".join(
+        f"""    SELECT {k} AS k,
+           CAST(sum(CASE WHEN token_id <= {k} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_types_in_budget,
+           count(*) AS total_types,
+           CAST(sum(CASE WHEN token_id <= {k} THEN freq ELSE 0 END) AS BIGINT)
+               AS tokens_covered,
+           CAST(sum(freq) AS BIGINT) AS total_tokens,
+           round(CAST(sum(CASE WHEN token_id <= {k} THEN freq ELSE 0 END)
+                      AS DOUBLE) / sum(freq), 6) AS coverage
+    FROM vocab"""
+        for k in VOCAB_COVERAGE_KS
+    )
+    return f"""
+    WITH tok AS ({{TOKENS}}),
+    freq AS (SELECT word, count(*) AS freq FROM tok GROUP BY word),
+    vocab AS (
+        SELECT CAST(dense_rank() OVER (ORDER BY freq DESC, word) AS BIGINT)
+                   AS token_id,
+               word, freq
+        FROM freq
+    )
+{selects}
+    ORDER BY k
+""".replace("{TOKENS}", duckdb_tokens_sql())
+
+
+VOCAB_COVERAGE_ORACLE = _vocab_coverage_oracle()
+
+
+# ---------------------------------------------------------------------------
 # Pointwise mutual information over the heavy-hitter vocabulary: which
 # frequent terms CO-OCCUR in documents more (pmi > 0) or less (pmi < 0)
 # than their document frequencies predict -- the collocation/topic
@@ -2630,4 +2722,5 @@ TEXT_ANALYSIS_QUERIES: list[tuple[str, object, str | None]] = [
     ),
     ("length_bucket_profile", length_bucket_profile, LENGTH_BUCKET_ORACLE),
     ("term_pmi_pairs", term_pmi_pairs, TERM_PMI_ORACLE),
+    ("vocab_coverage_curve", vocab_coverage_curve, VOCAB_COVERAGE_ORACLE),
 ]

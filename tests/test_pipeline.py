@@ -174,3 +174,21 @@ def test_erasure_cascade_reconciles_with_direct_counts(spark):
             assert r.revenue_removed == 0.0
         else:
             assert r.revenue_removed > 0.0
+
+
+def test_l_diversity_flags_homogeneous_cells(spark):
+    from mapreduce_on_google_cloud_platform_spark.operators.pipeline import (
+        L_DIVERSITY,
+    )
+    from mapreduce_on_google_cloud_platform_spark.plans import QUERIES
+
+    from .conftest import SF_SMOKE
+
+    rows = QUERIES["l_diversity_report"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.n_sensitive_values <= r.n_rows
+        assert r.l_diverse == (r.n_sensitive_values >= L_DIVERSITY)
+        assert 0.0 < r.dominant_share <= 1.0
+        # the dominant value's share can't fall below uniform
+        assert r.dominant_share >= round(1.0 / r.n_sensitive_values, 6) - 1e-9

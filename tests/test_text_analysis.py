@@ -503,3 +503,20 @@ def test_term_pmi_pairs_bounds(spark):
     # co-occurrence among frequent terms should show both attraction and
     # repulsion on a natural-ish corpus
     assert any(r.pmi > 0 for r in rows) and any(r.pmi < 0 for r in rows)
+
+
+def test_vocab_coverage_curve_is_monotone(spark):
+    rows = QUERIES["vocab_coverage_curve"](spark, SF_SMOKE).collect()
+    assert [r.k for r in rows] == [100, 500, 2000]
+    for a, b in zip(rows, rows[1:]):
+        assert a.tokens_covered <= b.tokens_covered
+        assert a.n_types_in_budget <= b.n_types_in_budget
+        assert a.coverage <= b.coverage
+    for r in rows:
+        assert r.n_types_in_budget <= r.total_types
+        assert 0.0 < r.coverage <= 1.0
+    # the full vocab covers everything; the largest budget should too if
+    # it exceeds the type count
+    last = rows[-1]
+    if last.n_types_in_budget == last.total_types:
+        assert last.coverage == 1.0
