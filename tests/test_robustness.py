@@ -163,6 +163,16 @@ def test_release_caches_empties_the_plan_cache(spark):
         "kmeans_assign",
         "token_budget_packing",
         "repeated_passage_windows",
+        # round-5c/d persist users: shingle streams, band/candidate
+        # tables, the shared prefix-sum range table, PMI presence/top,
+        # and the melted PQ LUT
+        "dedup_containment",
+        "dedup_minhash_stopshingle",
+        "incremental_minhash_admission",
+        "sequence_pack_tokens",
+        "exact_substring_dedup",
+        "term_pmi_pairs",
+        "pq_adc_topk",
     ]
     touched_cache = 0
     for name in cache_heavy:
