@@ -700,6 +700,104 @@ ATTRIBUTION_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Seasonality-adjusted daily residuals: composes the hour-of-week
+# baseline with per-day actuals -- a raw daily z-score flags every
+# weekend as an anomaly; subtracting the (dow, hod) expectation first
+# is the standard fix.  Each event's residual is value minus its cell's
+# mean; the cell means are 168 numbers broadcast back to the stream.
+#
+# Determinism: the cell mean is ONE double division of exact aggregates
+# (IEEE-identical on both engines); each per-event residual is a double
+# subtraction immediately cast to DECIMAL(25,12) (the exp-decay
+# discipline -- truncating below double precision so summation order
+# cannot show), and the daily rollup sums those decimals exactly.
+# Scale: two combinable aggregates (168 cells; one shuffle per level) +
+# one broadcast join; no windows.
+# ---------------------------------------------------------------------------
+
+
+def seasonality_adjusted_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.portable import dec
+
+    ev = load_table(spark, sf_dir, "events")
+    epoch = F.unix_timestamp("ts")
+    keyed = ev.select(
+        ((F.floor(epoch / 86400) + 4) % 7).cast("int").alias("dow"),
+        (F.floor(epoch / 3600) % 24).cast("int").alias("hod"),
+        F.floor(epoch / 86400).cast("bigint").alias("day"),
+        "value",
+    )
+    cells = keyed.groupBy("dow", "hod").agg(
+        (
+            F.sum(dec("value")).cast("double") / F.count(F.lit(1))
+        ).alias("cell_mean")
+    )
+    resid = (
+        keyed.join(F.broadcast(cells), ["dow", "hod"])
+        .select(
+            "day",
+            dec("value").alias("v"),
+            (F.col("value").cast("double") - F.col("cell_mean"))
+            .cast("decimal(25,12)")
+            .alias("r"),
+        )
+    )
+    return (
+        resid.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("v").cast("double").alias("actual_value"),
+            F.round(F.sum("r").cast("double"), 6).alias("residual"),
+        )
+        .select(
+            "day",
+            "n_events",
+            "actual_value",
+            "residual",
+            F.round(
+                F.col("residual") / (F.col("actual_value") - F.col("residual")),
+                6,
+            ).alias("residual_ratio"),
+        )
+        .orderBy("day")
+    )
+
+
+SEASONAL_RESIDUAL_ORACLE = """
+    WITH keyed AS (
+        SELECT CAST((floor(epoch(ts) / 86400) + 4) % 7 AS INTEGER) AS dow,
+               CAST(floor(epoch(ts) / 3600) % 24 AS INTEGER) AS hod,
+               CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+               value
+        FROM events
+    ),
+    cells AS (
+        SELECT dow, hod,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+                   AS cell_mean
+        FROM keyed GROUP BY dow, hod
+    ),
+    resid AS (
+        SELECT day,
+               CAST(value AS DECIMAL(18,2)) AS v,
+               CAST(CAST(value AS DOUBLE) - cell_mean AS DECIMAL(25,12)) AS r
+        FROM keyed JOIN cells USING (dow, hod)
+    ),
+    daily AS (
+        SELECT day,
+               count(*) AS n_events,
+               CAST(sum(v) AS DOUBLE) AS actual_value,
+               round(CAST(sum(r) AS DOUBLE), 6) AS residual
+        FROM resid GROUP BY day
+    )
+    SELECT day, n_events, actual_value, residual,
+           round(residual / (actual_value - residual), 6) AS residual_ratio
+    FROM daily
+    ORDER BY day
+"""
+
+
 TEMPORAL_QUERIES: list[tuple[str, object, str | None]] = [
     ("asof_join_purchase_view", asof_join_purchase_view, ASOF_ORACLE),
     ("asof_forward_purchase_view", asof_forward_purchase_view, ASOF_FORWARD_ORACLE),
@@ -711,4 +809,9 @@ TEMPORAL_QUERIES: list[tuple[str, object, str | None]] = [
     ("hour_of_week_profile", hour_of_week_profile, HOUR_OF_WEEK_ORACLE),
     ("interarrival_profile", interarrival_profile, INTERARRIVAL_ORACLE),
     ("purchase_attribution", purchase_attribution, ATTRIBUTION_ORACLE),
+    (
+        "seasonality_adjusted_daily",
+        seasonality_adjusted_daily,
+        SEASONAL_RESIDUAL_ORACLE,
+    ),
 ]

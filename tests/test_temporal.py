@@ -195,3 +195,19 @@ def test_purchase_attribution_windows_and_channels(spark):
             assert r.first_channel in ATTRIB_TOUCH_TYPES
             assert r.last_channel in ATTRIB_TOUCH_TYPES
             assert 0 <= r.secs_to_convert <= ATTRIB_LOOKBACK_SEC
+
+
+def test_seasonal_residuals_sum_to_zero(spark):
+    """Residuals against the per-cell mean must cancel across the full
+    stream (each cell's residuals sum to zero by construction of the
+    mean; the decimal-exact summation makes that visible at 1e-3)."""
+    from .conftest import SF_SMOKE
+
+    from mapreduce_on_google_cloud_platform_spark.plans import QUERIES
+
+    rows = QUERIES["seasonality_adjusted_daily"](spark, SF_SMOKE).collect()
+    assert rows
+    assert abs(sum(r.residual for r in rows)) < 1e-3
+    assert any(abs(r.residual) > 0 for r in rows)
+    for r in rows:
+        assert r.n_events > 0
