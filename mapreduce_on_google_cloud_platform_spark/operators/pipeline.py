@@ -1214,6 +1214,77 @@ ROLLUP_CASCADE_ORACLE = """
 """
 
 
+# ---------------------------------------------------------------------------
+# Week-over-week growth: the reporting layer on top of the rollup
+# cascade -- per event type and ISO-truncated week, the exact cents
+# total, the prior week's total (lag), the absolute delta, and the
+# growth ratio.  The lag window is PARTITIONED by event_type and runs
+# over the weekly aggregate (|event types| x |weeks| rows -- bounded by
+# calendar time, never by event volume), the one place a window is the
+# right tool at any scale.  Integer cents end-to-end; the ratio is one
+# division.
+# ---------------------------------------------------------------------------
+
+
+def weekly_value_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    weekly = (
+        ev.select(
+            "event_type",
+            F.date_trunc("week", "ts").alias("week_start"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("event_type", "week_start")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("value_cents"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("week_start")
+    prev = F.lag("value_cents").over(w)
+    return (
+        weekly.select(
+            "event_type",
+            "week_start",
+            "n_events",
+            "value_cents",
+            prev.alias("prev_value_cents"),
+            (F.col("value_cents") - prev).alias("delta_cents"),
+            F.round(
+                F.col("value_cents").cast("double") / prev, 6
+            ).alias("wow_ratio"),
+        )
+        .orderBy("event_type", "week_start")
+    )
+
+
+WOW_ORACLE = """
+    WITH weekly AS (
+        SELECT event_type,
+               -- DuckDB's 'week' truncation yields DATE; Spark's yields
+               -- TIMESTAMP -- cast so the driver compares equal types
+               CAST(date_trunc('week', ts) AS TIMESTAMP) AS week_start,
+               count(*) AS n_events,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS value_cents
+        FROM events
+        GROUP BY 1, 2
+    )
+    SELECT event_type, week_start, n_events, value_cents,
+           lag(value_cents) OVER (PARTITION BY event_type
+                                  ORDER BY week_start) AS prev_value_cents,
+           value_cents - lag(value_cents) OVER (PARTITION BY event_type
+                                                ORDER BY week_start)
+               AS delta_cents,
+           round(CAST(value_cents AS DOUBLE)
+                 / lag(value_cents) OVER (PARTITION BY event_type
+                                          ORDER BY week_start), 6)
+               AS wow_ratio
+    FROM weekly
+    ORDER BY event_type, week_start
+"""
+
+
 PIPELINE_QUERIES: list[tuple[str, object, str | None]] = [
     ("curation_pipeline", curation_pipeline, CURATION_ORACLE),
     ("merge_upsert_orders", merge_upsert_orders, MERGE_UPSERT_ORACLE),
@@ -1232,4 +1303,5 @@ PIPELINE_QUERIES: list[tuple[str, object, str | None]] = [
     ),
     ("erasure_cascade_audit", erasure_cascade_audit, ERASURE_AUDIT_ORACLE),
     ("l_diversity_report", l_diversity_report, L_DIVERSITY_ORACLE),
+    ("weekly_value_wow", weekly_value_wow, WOW_ORACLE),
 ]

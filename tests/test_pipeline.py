@@ -192,3 +192,25 @@ def test_l_diversity_flags_homogeneous_cells(spark):
         assert 0.0 < r.dominant_share <= 1.0
         # the dominant value's share can't fall below uniform
         assert r.dominant_share >= round(1.0 / r.n_sensitive_values, 6) - 1e-9
+
+
+def test_weekly_wow_reconciles_with_itself(spark):
+    """lag/delta/ratio are internally consistent and the first week of
+    each type has no prior."""
+    from mapreduce_on_google_cloud_platform_spark.plans import QUERIES
+
+    from .conftest import SF_SMOKE
+
+    rows = QUERIES["weekly_value_wow"](spark, SF_SMOKE).collect()
+    assert rows
+    from collections import defaultdict
+
+    by_type = defaultdict(list)
+    for r in rows:
+        by_type[r.event_type].append(r)
+    for seq in by_type.values():
+        assert seq[0].prev_value_cents is None
+        for prev, cur in zip(seq, seq[1:]):
+            assert cur.prev_value_cents == prev.value_cents
+            assert cur.delta_cents == cur.value_cents - prev.value_cents
+            assert cur.wow_ratio == round(cur.value_cents / prev.value_cents, 6)
