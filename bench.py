@@ -146,6 +146,11 @@ HEADLINE = [
     "purchase_attribution",
     "part_entity_clusters",
     "erasure_cascade_audit",
+    "incremental_minhash_admission",
+    "l_diversity_report",
+    "vocab_coverage_curve",
+    "seasonality_adjusted_daily",
+    "weekly_value_wow",
     # dedup_method_eval re-runs five declared pipelines; its components
     # are each benched above, so it is left out of the headline suite
 ]
