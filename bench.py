@@ -151,6 +151,7 @@ HEADLINE = [
     "vocab_coverage_curve",
     "seasonality_adjusted_daily",
     "weekly_value_wow",
+    "ann_ivf_pq_topk",
     # dedup_method_eval re-runs five declared pipelines; its components
     # are each benched above, so it is left out of the headline suite
 ]

@@ -956,15 +956,15 @@ PQ_CENT_STRIDE = 25
 PQ_SHORTLIST = 50  # ADC candidates per query fed to the exact rerank
 
 
-def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pq_quantized(en: DataFrame) -> DataFrame:
+    """UNIT-NORMALIZED vectors -> fixed-point int64 columns q0..q{DIM-1},
+    persisted.  L2 on unit vectors is monotone in cosine (|a-b|^2 =
+    2 - 2cos), so integer-L2 ranking approximates the cosine order the
+    exact/IVF/LSH queries serve; the fixed-point step makes every
+    distance an exact int64 both engines compute identically."""
     from ..functions.vectors import DIM
 
-    # quantize the UNIT-NORMALIZED vectors: L2 on unit vectors is
-    # monotone in cosine (|a-b|^2 = 2 - 2cos), so PQ's integer L2
-    # ranking approximates the same cosine order the exact/IVF/LSH
-    # queries serve (raw-vector L2 would rank a different metric)
-    en = _embeddings(spark, sf_dir)
-    vectors = en.select(
+    return en.select(
         "vec_id",
         *[
             F.floor(F.col(f"x{i}") * QUANT_SCALE + F.lit(0.5))
@@ -973,6 +973,34 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(DIM)
         ],
     ).persist()
+
+
+def _pq_d2_sub(m: int, a: str, b: str):
+    """Exact int64 squared L2 over subspace m between column families
+    ``{a}i`` and ``{b}i``."""
+    acc = None
+    for i in range(m * PQ_SUBDIM, (m + 1) * PQ_SUBDIM):
+        t = (F.col(f"{a}{i}") - F.col(f"{b}{i}")) * (
+            F.col(f"{a}{i}") - F.col(f"{b}{i}")
+        )
+        acc = t if acc is None else acc + t
+    return acc
+
+
+def _pq_d2_full(a: str, b: str):
+    """Exact int64 squared L2 over all PQ_M subspaces (the full vector)."""
+    acc = None
+    for m in range(PQ_M):
+        t = _pq_d2_sub(m, a, b)
+        acc = t if acc is None else acc + t
+    return acc
+
+
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import DIM
+
+    en = _embeddings(spark, sf_dir)
+    vectors = _pq_quantized(en)
     cents = F.broadcast(
         vectors.filter(F.col("vec_id") % PQ_CENT_STRIDE == 0).select(
             F.col("vec_id").alias("cent_id"),
@@ -980,14 +1008,7 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    def d2_sub(m: int, a: str, b: str):
-        acc = None
-        for i in range(m * PQ_SUBDIM, (m + 1) * PQ_SUBDIM):
-            t = (F.col(f"{a}{i}") - F.col(f"{b}{i}")) * (
-                F.col(f"{a}{i}") - F.col(f"{b}{i}")
-            )
-            acc = t if acc is None else acc + t
-        return acc
+    d2_sub = _pq_d2_sub
 
     # encode: one crossJoin, PQ_M independent argmins in a single agg
     codes = (
@@ -1153,6 +1174,246 @@ PQ_ADC_ORACLE = f"""
 """
 
 PQ_ADC_ORACLE = PQ_ADC_ORACLE.replace("{RERANK_DOT}", sql_dot("qv.vn", "nv.vn"))
+
+
+# ---------------------------------------------------------------------------
+# IVF x PQ composed serving: the full production ANN stack in one plan.
+# pq_adc_topk's own scale note says it: PQ cuts the PER-PAIR cost (M
+# integer adds), IVF cuts the PAIR COUNT (only NPROBE cells are
+# scored).  Here both happen: vectors are coarse-assigned to cells by
+# exact integer L2 against the CENTROID_STRIDE codebook (a combinable
+# min(struct) argmin, no window), each query probes its NPROBE nearest
+# cells, and ADC scoring -- the same melted one-broadcast-join shape --
+# runs only over (query, vector) pairs whose cell is probed, followed
+# by the exact rerank of the shortlist.  At 100 TB the scored pair
+# count is |queries| x NPROBE x |cell|, never |queries| x corpus.
+# All-integer distances end-to-end; every argmin/rank tie-breaks on id.
+# ---------------------------------------------------------------------------
+
+
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import DIM
+
+    en = _embeddings(spark, sf_dir)
+    vectors = _pq_quantized(en)
+    pq_cents = F.broadcast(
+        vectors.filter(F.col("vec_id") % PQ_CENT_STRIDE == 0).select(
+            F.col("vec_id").alias("cent_id"),
+            *[F.col(f"q{i}").alias(f"c{i}") for i in range(DIM)],
+        )
+    )
+    coarse = F.broadcast(
+        vectors.filter(F.col("vec_id") % CENTROID_STRIDE == 0).select(
+            F.col("vec_id").alias("cell_id"),
+            *[F.col(f"q{i}").alias(f"g{i}") for i in range(DIM)],
+        )
+    )
+
+    # coarse assignment: combinable integer-L2 argmin, no window
+    assign = (
+        vectors.crossJoin(coarse)
+        .groupBy("vec_id")
+        .agg(
+            F.min(
+                F.struct(
+                    _pq_d2_full("q", "g").alias("d2"),
+                    F.col("cell_id").alias("cid"),
+                )
+            ).alias("a")
+        )
+        .select("vec_id", F.col("a.cid").alias("cell"))
+    )
+
+    # probes: NPROBE nearest cells per query (window over |q| x |cells|)
+    queries = vectors.filter(F.col("vec_id") % QUERY_STRIDE == 0)
+    pw = Window.partitionBy("q_id").orderBy(F.asc("d2"), F.asc("cell_id"))
+    probes = (
+        queries.select(
+            F.col("vec_id").alias("q_id"), *[f"q{i}" for i in range(DIM)]
+        )
+        .crossJoin(coarse)
+        .select(
+            "q_id", "cell_id", _pq_d2_full("q", "g").alias("d2")
+        )
+        .withColumn("prn", F.row_number().over(pw))
+        .filter(F.col("prn") <= NPROBE)
+        .select("q_id", F.col("cell_id").alias("cell"))
+    )
+    # candidate pairs: probed cells only
+    cand = probes.join(assign, "cell").select("q_id", "vec_id")
+
+    # PQ codes + per-query LUT (same shapes as pq_adc_topk)
+    codes = (
+        vectors.crossJoin(pq_cents)
+        .groupBy("vec_id")
+        .agg(
+            *[
+                F.min(
+                    F.struct(
+                        _pq_d2_sub(m, "q", "c").alias("d2"),
+                        F.col("cent_id").alias("cid"),
+                    )
+                ).alias(f"a{m}")
+                for m in range(PQ_M)
+            ]
+        )
+        .select(
+            "vec_id",
+            *[F.col(f"a{m}.cid").alias(f"code{m}") for m in range(PQ_M)],
+        )
+    )
+    codes_long = codes.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"), F.col(f"code{m}").alias("code")
+                    )
+                    for m in range(PQ_M)
+                ]
+            )
+        ).alias("mc"),
+    ).select("vec_id", F.col("mc.m").alias("m"), F.col("mc.code").alias("code"))
+    lut_long = (
+        queries.select(
+            F.col("vec_id").alias("q_id"), *[f"q{i}" for i in range(DIM)]
+        )
+        .crossJoin(pq_cents)
+        .select(
+            "q_id",
+            F.col("cent_id").alias("code"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(m).alias("m"),
+                            _pq_d2_sub(m, "q", "c").alias("ld"),
+                        )
+                        for m in range(PQ_M)
+                    ]
+                )
+            ).alias("ml"),
+        )
+        .select(
+            "q_id", "code", F.col("ml.m").alias("m"), F.col("ml.ld").alias("ld")
+        )
+    )
+    scored = (
+        cand.join(codes_long, "vec_id")
+        .join(F.broadcast(lut_long), ["q_id", "m", "code"])
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("ld").alias("d2pq"))
+    )
+
+    sw = Window.partitionBy("q_id").orderBy(F.asc("d2pq"), F.asc("neighbor_id"))
+    shortlist = (
+        scored.filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "d2pq")
+        .withColumn("srn", F.row_number().over(sw))
+        .filter(F.col("srn") <= PQ_SHORTLIST)
+        .select("q_id", "neighbor_id", "d2pq")
+    )
+    nvec = flat_renamed(en, "vec_id", "neighbor_id", "x", "nx")
+    qvec = flat_renamed(en, "vec_id", "q_id", "x", "qx")
+    rw = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        shortlist.join(nvec, "neighbor_id")
+        .join(F.broadcast(qvec), "q_id")
+        .select(
+            "q_id",
+            "neighbor_id",
+            "d2pq",
+            F.round(flat_dot("qx", "nx"), 6).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(rw).cast("int"))
+        .filter(F.col("rank") <= K_NEIGHBORS)
+    )
+
+
+IVF_PQ_ORACLE = f"""
+    WITH {SQL_NORMALIZED_CTE},
+    q AS (
+        SELECT vec_id, i AS d,
+               CAST(floor(vn[i] * {QUANT_SCALE} + 0.5) AS BIGINT) AS qv
+        FROM en, unnest(generate_series(1, 64)) t(i)
+    ),
+    coarse AS (
+        SELECT vec_id AS cell_id, d, qv AS gv FROM q
+        WHERE vec_id % {CENTROID_STRIDE} = 0
+    ),
+    cd AS (
+        SELECT q.vec_id, g.cell_id,
+               CAST(sum((q.qv - g.gv) * (q.qv - g.gv)) AS BIGINT) AS d2
+        FROM q JOIN coarse g ON q.d = g.d
+        GROUP BY 1, 2
+    ),
+    assign AS (
+        SELECT vec_id, cell_id AS cell FROM cd
+        QUALIFY row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY d2, cell_id) = 1
+    ),
+    probes AS (
+        SELECT vec_id AS q_id, cell_id AS cell FROM cd
+        WHERE vec_id % {QUERY_STRIDE} = 0
+        QUALIFY row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY d2, cell_id) <= {NPROBE}
+    ),
+    cand AS (
+        SELECT p.q_id, a.vec_id FROM probes p JOIN assign a USING (cell)
+    ),
+    cents AS (
+        SELECT vec_id AS cent_id, d, qv AS cv FROM q
+        WHERE vec_id % {PQ_CENT_STRIDE} = 0
+    ),
+    pairs AS (
+        SELECT q.vec_id, c.cent_id, (q.d - 1) // {PQ_SUBDIM} AS m,
+               CAST(sum((q.qv - c.cv) * (q.qv - c.cv)) AS BIGINT) AS d2
+        FROM q JOIN cents c ON q.d = c.d
+        GROUP BY 1, 2, 3
+    ),
+    codes AS (
+        SELECT vec_id, m, cent_id FROM pairs
+        QUALIFY row_number() OVER (PARTITION BY vec_id, m
+                                   ORDER BY d2, cent_id) = 1
+    ),
+    lut AS (
+        SELECT vec_id AS q_id, m, cent_id, d2 FROM pairs
+        WHERE vec_id % {QUERY_STRIDE} = 0
+    ),
+    scored AS (
+        SELECT l.q_id, c.vec_id AS neighbor_id,
+               CAST(sum(l.d2) AS BIGINT) AS d2pq
+        FROM cand
+             JOIN codes c ON c.vec_id = cand.vec_id
+             JOIN lut l ON l.q_id = cand.q_id
+                       AND c.m = l.m AND c.cent_id = l.cent_id
+        WHERE c.vec_id <> l.q_id
+        GROUP BY 1, 2
+    ),
+    shortlist AS (
+        SELECT q_id, neighbor_id, d2pq FROM scored
+        QUALIFY row_number() OVER (PARTITION BY q_id
+                                   ORDER BY d2pq, neighbor_id)
+                <= {PQ_SHORTLIST}
+    ),
+    rerank AS (
+        SELECT s.q_id, s.neighbor_id, s.d2pq,
+               round({{RERANK_DOT}}, 6) AS cos_sim
+        FROM shortlist s
+             JOIN en nv ON nv.vec_id = s.neighbor_id
+             JOIN en qv ON qv.vec_id = s.q_id
+    )
+    SELECT q_id, neighbor_id, d2pq, cos_sim, CAST(rank AS INTEGER) AS rank
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM rerank
+    )
+    WHERE rank <= {K_NEIGHBORS}
+"""
+
+IVF_PQ_ORACLE = IVF_PQ_ORACLE.replace("{RERANK_DOT}", sql_dot("qv.vn", "nv.vn"))
 
 
 # ---------------------------------------------------------------------------
@@ -1582,6 +1843,7 @@ SIMILARITY_QUERIES: list[tuple[str, object, str | None]] = [
     ("ann_int8_topk", ann_int8_topk, ANN_INT8_ORACLE),
     ("hybrid_search_rrf", hybrid_search_rrf, HYBRID_RRF_ORACLE),
     ("pq_adc_topk", pq_adc_topk, PQ_ADC_ORACLE),
+    ("ann_ivf_pq_topk", ann_ivf_pq_topk, IVF_PQ_ORACLE),
     ("knn_graph_lsh", knn_graph_lsh, KNN_GRAPH_ORACLE),
     ("embedding_dim_stats", embedding_dim_stats, DIM_STATS_ORACLE),
     # rows-only: float power iteration has no bit-exact SQL oracle; the
