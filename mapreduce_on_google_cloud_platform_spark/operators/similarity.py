@@ -1417,6 +1417,82 @@ IVF_PQ_ORACLE = IVF_PQ_ORACLE.replace("{RERANK_DOT}", sql_dot("qv.vn", "nv.vn"))
 
 
 # ---------------------------------------------------------------------------
+# ANN-method recall harness: overlap@K of every approximate serving
+# path against the exact brute-force top-K, as a query -- the
+# similarity-side twin of dedup_method_eval, and the number an index
+# tuner actually optimizes (NPROBE / planes / shortlist vs recall).
+# One row per method: truth pairs, predicted pairs, hits, overlap@K.
+# Set semi-joins on (q_id, neighbor_id) and one exact-integer division;
+# inputs are all already-declared queries, so no new wide shapes.
+# ---------------------------------------------------------------------------
+
+
+def _ann_recall_row(method: str, pred: DataFrame, truth: DataFrame) -> DataFrame:
+    hits = pred.join(truth, ["q_id", "neighbor_id"], "left_semi")
+    return (
+        hits.agg(F.count(F.lit(1)).alias("n_hits"))
+        .crossJoin(truth.agg(F.count(F.lit(1)).alias("n_truth")))
+        .crossJoin(pred.agg(F.count(F.lit(1)).alias("n_predicted")))
+        .select(
+            F.lit(method).alias("method"),
+            "n_truth",
+            "n_predicted",
+            "n_hits",
+            F.round(
+                F.col("n_hits").cast("double") / F.col("n_truth"), 6
+            ).alias("recall_at_k"),
+        )
+    )
+
+
+def ann_method_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    keys = ["q_id", "neighbor_id"]
+    truth = ann_topk_bruteforce(spark, sf_dir).select(*keys)
+    methods = [
+        ("int8", ann_int8_topk(spark, sf_dir).select(*keys)),
+        ("ivf", ann_ivf_topk(spark, sf_dir).select(*keys)),
+        ("ivf_pq", ann_ivf_pq_topk(spark, sf_dir).select(*keys)),
+        ("lsh", ann_lsh_topk(spark, sf_dir).select(*keys)),
+        ("lsh_multiprobe", ann_lsh_multiprobe_topk(spark, sf_dir).select(*keys)),
+        ("pq_adc", pq_adc_topk(spark, sf_dir).select(*keys)),
+    ]
+    out = None
+    for name, pred in methods:
+        row = _ann_recall_row(name, pred, truth)
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("method")
+
+
+def _ann_recall_oracle() -> str:
+    def sub(oracle: str) -> str:
+        return f"(SELECT q_id, neighbor_id FROM ({oracle}))"
+
+    truth = sub(ANN_BRUTEFORCE_ORACLE)
+    rows = "\n    UNION ALL\n".join(
+        f"""    SELECT '{name}' AS method,
+           CAST((SELECT count(*) FROM {truth}) AS BIGINT) AS n_truth,
+           CAST((SELECT count(*) FROM {sub(o)}) AS BIGINT) AS n_predicted,
+           CAST((SELECT count(*) FROM {sub(o)} p SEMI JOIN {truth} t
+                 USING (q_id, neighbor_id)) AS BIGINT) AS n_hits,
+           round(CAST((SELECT count(*) FROM {sub(o)} p SEMI JOIN {truth} t
+                       USING (q_id, neighbor_id)) AS DOUBLE)
+                 / (SELECT count(*) FROM {truth}), 6) AS recall_at_k"""
+        for name, o in [
+            ("int8", ANN_INT8_ORACLE),
+            ("ivf", ANN_IVF_ORACLE),
+            ("ivf_pq", IVF_PQ_ORACLE),
+            ("lsh", ANN_LSH_ORACLE),
+            ("lsh_multiprobe", ANN_LSH_MULTIPROBE_ORACLE),
+            ("pq_adc", PQ_ADC_ORACLE),
+        ]
+    )
+    return rows + "\n    ORDER BY method"
+
+
+ANN_METHOD_RECALL_ORACLE = _ann_recall_oracle()
+
+
+# ---------------------------------------------------------------------------
 # Hybrid retrieval with reciprocal-rank fusion: "more items like item 0".
 # The keyword arm scores BM25 similarity of every document to the query
 # document's term set; the vector arm scores cosine similarity of every
@@ -1844,6 +1920,7 @@ SIMILARITY_QUERIES: list[tuple[str, object, str | None]] = [
     ("hybrid_search_rrf", hybrid_search_rrf, HYBRID_RRF_ORACLE),
     ("pq_adc_topk", pq_adc_topk, PQ_ADC_ORACLE),
     ("ann_ivf_pq_topk", ann_ivf_pq_topk, IVF_PQ_ORACLE),
+    ("ann_method_recall", ann_method_recall, ANN_METHOD_RECALL_ORACLE),
     ("knn_graph_lsh", knn_graph_lsh, KNN_GRAPH_ORACLE),
     ("embedding_dim_stats", embedding_dim_stats, DIM_STATS_ORACLE),
     # rows-only: float power iteration has no bit-exact SQL oracle; the

@@ -367,3 +367,19 @@ def test_ivf_pq_is_cell_restricted_pq(spark):
     # identity above -- here only guard against zero overlap, which
     # would mean the composed path scores different codes entirely
     assert overlap > 0
+
+
+def test_ann_method_recall_structural_order(spark):
+    """Multi-probe LSH searches a superset of the single-bucket LSH
+    candidates and both rank by exact cosine, so its recall can only be
+    >= -- and every recall is a valid fraction of the same truth set."""
+    from .conftest import SF_SMOKE
+
+    rows = {r.method: r for r in QUERIES["ann_method_recall"](spark, SF_SMOKE).collect()}
+    assert set(rows) == {"int8", "ivf", "ivf_pq", "lsh", "lsh_multiprobe", "pq_adc"}
+    truth_sizes = {r.n_truth for r in rows.values()}
+    assert len(truth_sizes) == 1
+    for r in rows.values():
+        assert 0.0 <= r.recall_at_k <= 1.0
+        assert r.n_hits <= min(r.n_truth, r.n_predicted)
+    assert rows["lsh_multiprobe"].recall_at_k >= rows["lsh"].recall_at_k
