@@ -1215,6 +1215,66 @@ ROLLUP_CASCADE_ORACLE = """
 
 
 # ---------------------------------------------------------------------------
+# Embedding/document alignment audit: semantic_dedup_hybrid and
+# semdedup assume embeddings.vec_id IS documents.doc_id 1:1 -- this is
+# the ingest check that VERIFIES it instead of assuming (the multimodal
+# analogue of data_quality_audit's referential orphans).  Single-row
+# report: table sizes, matched ids, orphans in each direction, and the
+# go/no-go flag.  Two key-only anti joins + combinable counts; at
+# corpus scale each join is shuffle-on-id (or bloom-pruned by the
+# runtime filter).
+# ---------------------------------------------------------------------------
+
+
+def embedding_alignment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc_ids = load_table(spark, sf_dir, "documents").select("doc_id")
+    vec_ids = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    matched = doc_ids.join(
+        vec_ids, doc_ids["doc_id"] == vec_ids["vec_id"], "left_semi"
+    )
+    docs_orphan = doc_ids.join(
+        vec_ids, doc_ids["doc_id"] == vec_ids["vec_id"], "left_anti"
+    )
+    vecs_orphan = vec_ids.join(
+        doc_ids, vec_ids["vec_id"] == doc_ids["doc_id"], "left_anti"
+    )
+    return (
+        doc_ids.agg(F.count(F.lit(1)).alias("n_docs"))
+        .crossJoin(vec_ids.agg(F.count(F.lit(1)).alias("n_vecs")))
+        .crossJoin(matched.agg(F.count(F.lit(1)).alias("n_matched")))
+        .crossJoin(
+            docs_orphan.agg(F.count(F.lit(1)).alias("docs_without_vec"))
+        )
+        .crossJoin(
+            vecs_orphan.agg(F.count(F.lit(1)).alias("vecs_without_doc"))
+        )
+        .select(
+            "*",
+            (
+                (F.col("docs_without_vec") == 0)
+                & (F.col("vecs_without_doc") == 0)
+            ).alias("aligned"),
+        )
+    )
+
+
+EMBEDDING_ALIGNMENT_ORACLE = """
+    SELECT (SELECT count(*) FROM documents) AS n_docs,
+           (SELECT count(*) FROM embeddings) AS n_vecs,
+           (SELECT count(*) FROM documents d SEMI JOIN embeddings e
+              ON d.doc_id = e.vec_id) AS n_matched,
+           (SELECT count(*) FROM documents d ANTI JOIN embeddings e
+              ON d.doc_id = e.vec_id) AS docs_without_vec,
+           (SELECT count(*) FROM embeddings e ANTI JOIN documents d
+              ON e.vec_id = d.doc_id) AS vecs_without_doc,
+           (SELECT count(*) FROM documents d ANTI JOIN embeddings e
+              ON d.doc_id = e.vec_id) = 0
+           AND (SELECT count(*) FROM embeddings e ANTI JOIN documents d
+              ON e.vec_id = d.doc_id) = 0 AS aligned
+"""
+
+
+# ---------------------------------------------------------------------------
 # Week-over-week growth: the reporting layer on top of the rollup
 # cascade -- per event type and ISO-truncated week, the exact cents
 # total, the prior week's total (lag), the absolute delta, and the
@@ -1304,4 +1364,9 @@ PIPELINE_QUERIES: list[tuple[str, object, str | None]] = [
     ("erasure_cascade_audit", erasure_cascade_audit, ERASURE_AUDIT_ORACLE),
     ("l_diversity_report", l_diversity_report, L_DIVERSITY_ORACLE),
     ("weekly_value_wow", weekly_value_wow, WOW_ORACLE),
+    (
+        "embedding_alignment_audit",
+        embedding_alignment_audit,
+        EMBEDDING_ALIGNMENT_ORACLE,
+    ),
 ]

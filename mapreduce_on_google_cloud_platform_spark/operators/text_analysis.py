@@ -2362,6 +2362,62 @@ SOURCE_OVERLAP_ORACLE = _source_overlap_oracle()
 
 
 # ---------------------------------------------------------------------------
+# Language-ID confusion matrix: the classifier-quality report for
+# text_langid, AS A QUERY -- actual language (the corpus label) vs the
+# stopword-heuristic prediction, with per-cell counts and each cell's
+# share of its actual-language row.  The diagonal is per-language
+# recall; off-diagonal mass shows which languages the heuristic
+# confuses (shared stopwords like 'de'/'es' "de" are visible here).
+# Same evaluation-as-query pattern as dedup_method_eval /
+# ann_method_recall.  One combinable aggregate onto |langs|^2 cells.
+# ---------------------------------------------------------------------------
+
+
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    pred = text_langid(spark, sf_dir).select("doc_id", "lang_pred")
+    joined = docs.join(pred, "doc_id")
+    per_actual = joined.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_actual")
+    )
+    return (
+        joined.groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(per_actual, "lang")
+        .select(
+            "lang",
+            "lang_pred",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("n_actual"), 6).alias(
+                "share_of_actual"
+            ),
+            (F.col("lang") == F.col("lang_pred")).alias("is_correct"),
+        )
+        .orderBy("lang", "lang_pred")
+    )
+
+
+LANGID_CONFUSION_ORACLE = f"""
+    WITH pred AS ({LANGID_ORACLE}),
+    joined AS (
+        SELECT d.lang, p.lang_pred
+        FROM documents d JOIN pred p USING (doc_id)
+    ),
+    per_actual AS (
+        SELECT lang, count(*) AS n_actual FROM joined GROUP BY lang
+    )
+    SELECT j.lang, j.lang_pred,
+           count(*) AS n,
+           round(CAST(count(*) AS DOUBLE) / any_value(n_actual), 6)
+               AS share_of_actual,
+           j.lang = j.lang_pred AS is_correct
+    FROM joined j JOIN per_actual USING (lang)
+    GROUP BY j.lang, j.lang_pred
+    ORDER BY lang, lang_pred
+"""
+
+
+# ---------------------------------------------------------------------------
 # Vocabulary coverage curve: what fraction of all corpus tokens the
 # top-k vocabulary entries cover, for a ladder of budgets -- the
 # diagnostic that sizes a tokenizer vocabulary (the knee of this curve
@@ -2723,4 +2779,5 @@ TEXT_ANALYSIS_QUERIES: list[tuple[str, object, str | None]] = [
     ("length_bucket_profile", length_bucket_profile, LENGTH_BUCKET_ORACLE),
     ("term_pmi_pairs", term_pmi_pairs, TERM_PMI_ORACLE),
     ("vocab_coverage_curve", vocab_coverage_curve, VOCAB_COVERAGE_ORACLE),
+    ("langid_confusion", langid_confusion, LANGID_CONFUSION_ORACLE),
 ]

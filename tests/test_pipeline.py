@@ -214,3 +214,14 @@ def test_weekly_wow_reconciles_with_itself(spark):
             assert cur.prev_value_cents == prev.value_cents
             assert cur.delta_cents == cur.value_cents - prev.value_cents
             assert cur.wow_ratio == round(cur.value_cents / prev.value_cents, 6)
+
+
+def test_embedding_alignment_audit_is_consistent(spark):
+    from mapreduce_on_google_cloud_platform_spark.plans import QUERIES
+
+    from .conftest import SF_SMOKE
+
+    (r,) = QUERIES["embedding_alignment_audit"](spark, SF_SMOKE).collect()
+    assert r.n_matched == r.n_docs - r.docs_without_vec
+    assert r.n_matched <= min(r.n_docs, r.n_vecs)
+    assert r.aligned == (r.docs_without_vec == 0 and r.vecs_without_doc == 0)

@@ -520,3 +520,25 @@ def test_vocab_coverage_curve_is_monotone(spark):
     last = rows[-1]
     if last.n_types_in_budget == last.total_types:
         assert last.coverage == 1.0
+
+
+def test_langid_confusion_partitions_and_diagonal(spark):
+    """Cell counts partition the corpus; per-actual shares sum to 1;
+    the diagonal dominates for languages whose stopwords are distinct."""
+    rows = QUERIES["langid_confusion"](spark, SF_SMOKE).collect()
+    assert rows
+    import duckdb
+
+    n_docs = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{SF_SMOKE}/documents.parquet')"
+    ).fetchone()[0]
+    assert sum(r.n for r in rows) == n_docs
+    from collections import defaultdict
+
+    shares = defaultdict(float)
+    for r in rows:
+        shares[r.lang] += r.share_of_actual
+        assert r.is_correct == (r.lang == r.lang_pred)
+    for lang, s in shares.items():
+        assert abs(s - 1.0) < 1e-3, lang
+    assert any(r.is_correct for r in rows)
