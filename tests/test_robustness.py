@@ -122,6 +122,12 @@ def test_missing_sf_dir_raises_cleanly(spark):
         "token_budget_packing",
         "dedup_cluster_survivors",
         "exact_substring_dedup",
+        # round 5d/e: double-jaccard argmax tie-breaks, min/max(struct)
+        # touch picks, set-join count metrics, decimal residual sums
+        "incremental_minhash_admission",
+        "purchase_attribution",
+        "dedup_method_eval",
+        "seasonality_adjusted_daily",
     ],
 )
 def test_shuffle_partition_invariance(spark, name):
