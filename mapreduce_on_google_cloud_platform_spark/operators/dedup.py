@@ -1316,6 +1316,11 @@ INCREMENTAL_MINHASH_ORACLE = _incremental_minhash_oracle()
 
 
 def _pair_eval(method: str, pred: DataFrame, truth: DataFrame) -> DataFrame:
+    # each input feeds three set-join branches (tp/fp/fn); persist so the
+    # underlying dedup pipeline runs once, not three times (the session
+    # cache contract reclaims these)
+    pred = pred.persist()
+    truth = truth.persist()
     tp = pred.join(truth, ["doc_a", "doc_b"], "left_semi")
     fp = pred.join(truth, ["doc_a", "doc_b"], "left_anti")
     fn = truth.join(pred, ["doc_a", "doc_b"], "left_anti")

@@ -1428,6 +1428,11 @@ IVF_PQ_ORACLE = IVF_PQ_ORACLE.replace("{RERANK_DOT}", sql_dot("qv.vn", "nv.vn"))
 
 
 def _ann_recall_row(method: str, pred: DataFrame, truth: DataFrame) -> DataFrame:
+    # pred feeds two branches (hits + count) and truth feeds every
+    # method's row: persist so each serving pipeline runs once (session
+    # cache contract reclaims these)
+    pred = pred.persist()
+    truth = truth.persist()
     hits = pred.join(truth, ["q_id", "neighbor_id"], "left_semi")
     return (
         hits.agg(F.count(F.lit(1)).alias("n_hits"))
