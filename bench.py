@@ -152,6 +152,9 @@ HEADLINE = [
     "seasonality_adjusted_daily",
     "weekly_value_wow",
     "ann_ivf_pq_topk",
+    "event_transition_matrix",
+    "langid_confusion",
+    "embedding_alignment_audit",
     # dedup_method_eval re-runs five declared pipelines; its components
     # are each benched above, so it is left out of the headline suite
 ]

@@ -798,6 +798,72 @@ SEASONAL_RESIDUAL_ORACLE = """
 """
 
 
+# ---------------------------------------------------------------------------
+# Event-type transition matrix: first-order Markov counts over each
+# user's time-ordered event stream -- the behavioral-model input
+# (next-action prediction, funnel leak detection: a heavy
+# view->view self-loop with a thin view->purchase edge IS the leak).
+# The consecutive pair comes from a user-PARTITIONED lag (parallel;
+# ties broken by event_id as everywhere); the matrix is |types|^2
+# cells, and each row's transition probability divides exact counts by
+# the exact row total via one broadcast-joined division.
+# ---------------------------------------------------------------------------
+
+
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            F.lag("event_type").over(w).alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .filter(F.col("from_type").isNotNull())
+    )
+    cells = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    row_totals = cells.groupBy("from_type").agg(
+        F.sum("n").alias("row_total")
+    )
+    return (
+        cells.join(F.broadcast(row_totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("row_total"), 6).alias(
+                "p_transition"
+            ),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+TRANSITION_MATRIX_ORACLE = """
+    WITH pairs AS (
+        SELECT lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS from_type,
+               event_type AS to_type
+        FROM events
+    ),
+    cells AS (
+        SELECT from_type, to_type, count(*) AS n
+        FROM pairs WHERE from_type IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    row_totals AS (
+        SELECT from_type, CAST(sum(n) AS BIGINT) AS row_total
+        FROM cells GROUP BY from_type
+    )
+    SELECT from_type, to_type, n,
+           round(CAST(n AS DOUBLE) / row_total, 6) AS p_transition
+    FROM cells JOIN row_totals USING (from_type)
+    ORDER BY from_type, to_type
+"""
+
+
 TEMPORAL_QUERIES: list[tuple[str, object, str | None]] = [
     ("asof_join_purchase_view", asof_join_purchase_view, ASOF_ORACLE),
     ("asof_forward_purchase_view", asof_forward_purchase_view, ASOF_FORWARD_ORACLE),
@@ -814,4 +880,5 @@ TEMPORAL_QUERIES: list[tuple[str, object, str | None]] = [
         seasonality_adjusted_daily,
         SEASONAL_RESIDUAL_ORACLE,
     ),
+    ("event_transition_matrix", event_transition_matrix, TRANSITION_MATRIX_ORACLE),
 ]

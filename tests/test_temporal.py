@@ -211,3 +211,27 @@ def test_seasonal_residuals_sum_to_zero(spark):
     assert any(abs(r.residual) > 0 for r in rows)
     for r in rows:
         assert r.n_events > 0
+
+
+def test_transition_matrix_is_row_stochastic(spark):
+    from .conftest import SF_SMOKE
+
+    from mapreduce_on_google_cloud_platform_spark.plans import QUERIES
+
+    rows = QUERIES["event_transition_matrix"](spark, SF_SMOKE).collect()
+    assert rows
+    import duckdb
+
+    n_events, n_users = duckdb.sql(
+        f"SELECT count(*), count(DISTINCT user_id) FROM "
+        f"read_parquet('{SF_SMOKE}/events.parquet')"
+    ).fetchone()
+    # one transition per event except each user's first
+    assert sum(r.n for r in rows) == n_events - n_users
+    from collections import defaultdict
+
+    row_p = defaultdict(float)
+    for r in rows:
+        row_p[r.from_type] += r.p_transition
+    for ft, p in row_p.items():
+        assert abs(p - 1.0) < 1e-3, ft
