@@ -153,6 +153,7 @@ HEADLINE = [
     "weekly_value_wow",
     "ann_ivf_pq_topk",
     "event_transition_matrix",
+    "order_backlog_daily",
     "langid_confusion",
     "embedding_alignment_audit",
     # dedup_method_eval re-runs five declared pipelines; its components

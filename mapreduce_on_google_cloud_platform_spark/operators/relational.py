@@ -2179,7 +2179,100 @@ NEGATIVE_SAMPLING_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Daily open-order backlog via the +1/-1 boundary sweep: an order is
+# OPEN from its order date until its last line item ships; the backlog
+# curve is how many are open on each boundary day.  The naive form
+# explodes every order into its open days (orders x avg-duration rows);
+# the sweep emits exactly TWO boundary events per order (+1 at open,
+# -1 the day after close) and a running sum over the per-day nets --
+# the standard interval-counting pattern for billions of intervals.
+# The cumulative window is partitionless BY DESIGN and safe for the
+# same reason as vocab_table's rank: its input is the per-DAY
+# aggregate, bounded by calendar cardinality (~2.4k days for this
+# schema), never by order volume.  All counts exact integers.
+# ---------------------------------------------------------------------------
+
+
+def order_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    closed = li.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("close_date")
+    )
+    # inner join: an order with no line items has no fulfillment
+    # lifecycle, so it never enters the backlog curve (the synthetic
+    # data contains a few such orders; data_quality_audit counts them)
+    spans = orders.join(
+        closed, orders["o_orderkey"] == closed["l_orderkey"]
+    ).select(
+        F.col("o_orderdate").alias("open_day"),
+        (F.col("close_date") + F.expr("INTERVAL 1 DAY")).alias("close_day"),
+    )
+    deltas = spans.select(
+        F.col("open_day").alias("day"), F.lit(1).alias("delta")
+    ).unionByName(
+        spans.select(F.col("close_day").alias("day"), F.lit(-1).alias("delta"))
+    )
+    per_day = deltas.groupBy("day").agg(
+        F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_opened"),
+        F.sum(F.when(F.col("delta") == -1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_closed"),
+        F.sum("delta").alias("net"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_day.select(
+            "day",
+            "n_opened",
+            "n_closed",
+            F.sum("net").over(w).cast("bigint").alias("backlog"),
+        )
+        .orderBy("day")
+    )
+
+
+BACKLOG_ORACLE = """
+    WITH closed AS (
+        SELECT l_orderkey, max(l_shipdate) AS close_date
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    spans AS (
+        SELECT o_orderdate AS open_day,
+               close_date + INTERVAL 1 DAY AS close_day
+        FROM orders JOIN closed ON o_orderkey = l_orderkey
+    ),
+    deltas AS (
+        SELECT open_day AS day, 1 AS delta FROM spans
+        UNION ALL
+        SELECT close_day, -1 FROM spans
+    ),
+    per_day AS (
+        SELECT day,
+               CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_opened,
+               CAST(sum(CASE WHEN delta = -1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_closed,
+               sum(delta) AS net
+        FROM deltas GROUP BY day
+    )
+    SELECT day, n_opened, n_closed,
+           CAST(sum(net) OVER (ORDER BY day
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS BIGINT) AS backlog
+    FROM per_day
+    ORDER BY day
+"""
+
 RELATIONAL_QUERIES: list[tuple[str, object, str | None]] = [
+    ("order_backlog_daily", order_backlog_daily, BACKLOG_ORACLE),
     ("q1_pricing_summary", q1_pricing_summary, Q1_ORACLE),
     ("q3_shipping_priority", q3_shipping_priority, Q3_ORACLE),
     ("q5_region_revenue", q5_region_revenue, Q5_ORACLE),

@@ -116,3 +116,29 @@ def test_negative_samples_never_interacted(spark):
         assert (r.custkey, r.partkey) not in positives
         per_cust[r.custkey] += 1
     assert max(per_cust.values()) <= NEG_PER_CUSTOMER
+
+
+def test_order_backlog_sweep_reconciles(spark):
+    """The +1/-1 sweep must conserve orders: total opened == total
+    closed == order count (every order eventually ships fully in this
+    schema), backlog is always >= 0, and the final boundary day drains
+    the backlog to zero."""
+    from .conftest import SF_SMOKE
+
+    from mapreduce_on_google_cloud_platform_spark.plans import QUERIES
+
+    rows = QUERIES["order_backlog_daily"](spark, SF_SMOKE).collect()
+    assert rows
+    import duckdb
+
+    # only orders WITH line items have a fulfillment lifecycle (the
+    # synthetic data has a few lineitem-less orders, excluded by design)
+    n_orders = duckdb.sql(f"""
+        SELECT count(*) FROM read_parquet('{SF_SMOKE}/orders.parquet') o
+        SEMI JOIN read_parquet('{SF_SMOKE}/lineitem.parquet') l
+        ON o.o_orderkey = l.l_orderkey""").fetchone()[0]
+    assert sum(r.n_opened for r in rows) == n_orders
+    assert sum(r.n_closed for r in rows) == n_orders
+    for r in rows:
+        assert r.backlog >= 0
+    assert rows[-1].backlog == 0
