@@ -154,6 +154,7 @@ HEADLINE = [
     "ann_ivf_pq_topk",
     "event_transition_matrix",
     "order_backlog_daily",
+    "jaccard_threshold_curve",
     "langid_confusion",
     "embedding_alignment_audit",
     # dedup_method_eval re-runs five declared pipelines; its components

@@ -155,6 +155,89 @@ NGRAM_JACCARD_ORACLE = f"""
 """
 
 # ---------------------------------------------------------------------------
+# Jaccard threshold sensitivity curve: how many near-dup pairs each
+# candidate threshold would keep -- the tuning table consulted BEFORE
+# fixing JACCARD_THRESHOLD for a corpus pass (a cliff between two
+# steps means the corpus has a natural dup/non-dup separation there;
+# a smooth slope means the threshold is a real policy choice).  One
+# pass over the exact inverted-index pair stream: every ladder step is
+# a conditional sum in the same combinable aggregate, then the single
+# row explodes to one row per threshold.
+# ---------------------------------------------------------------------------
+
+JACCARD_LADDER = (0.1, 0.2, 0.3, 0.5, 0.7, 0.9)
+
+
+def jaccard_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _pair_jaccard(shingles_df(docs))
+    aggs = [F.count(F.lit(1)).alias("n_candidate_pairs")]
+    for t in JACCARD_LADDER:
+        aggs.append(
+            F.sum(F.when(F.col("jaccard") >= t, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"ge_{str(t).replace('.', '_')}")
+        )
+    one = pairs.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("threshold"),
+                F.col(f"ge_{str(t).replace('.', '_')}").alias("n_pairs_kept"),
+            )
+            for t in JACCARD_LADDER
+        ]
+    )
+    return (
+        one.select("n_candidate_pairs", F.explode(rows).alias("r"))
+        .select(
+            F.col("r.threshold").alias("threshold"),
+            F.col("r.n_pairs_kept").alias("n_pairs_kept"),
+            "n_candidate_pairs",
+            F.round(
+                F.col("r.n_pairs_kept").cast("double")
+                / F.col("n_candidate_pairs"),
+                6,
+            ).alias("keep_fraction"),
+        )
+        .orderBy("threshold")
+    )
+
+
+def _jaccard_curve_oracle() -> str:
+    selects = "\n    UNION ALL\n".join(
+        f"""    SELECT {t} AS threshold,
+           CAST(sum(CASE WHEN jaccard >= {t} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pairs_kept,
+           count(*) AS n_candidate_pairs,
+           round(CAST(sum(CASE WHEN jaccard >= {t} THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS keep_fraction
+    FROM pairs"""
+        for t in JACCARD_LADDER
+    )
+    return f"""
+    WITH {DUCKDB_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, count(*) AS n FROM shing GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM shing a JOIN shing b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+        FROM inter
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+    )
+{selects}
+    ORDER BY threshold
+"""
+
+
+JACCARD_CURVE_ORACLE = _jaccard_curve_oracle()
+
+
+# ---------------------------------------------------------------------------
 # Asymmetric containment: |A n B| / min(|A|,|B|) over shingle sets --
 # catches a short document EMBEDDED in a long one (quoted mail, header
 # boilerplate, excerpted article), which Jaccard structurally misses:
@@ -1670,6 +1753,7 @@ DEDUP_QUERIES: list[tuple[str, object, str | None]] = [
     ("part_entity_clusters", part_entity_clusters, PART_ENTITY_ORACLE),
     ("dedup_method_eval", dedup_method_eval, METHOD_EVAL_ORACLE),
     ("dedup_ngram_jaccard", dedup_ngram_jaccard, NGRAM_JACCARD_ORACLE),
+    ("jaccard_threshold_curve", jaccard_threshold_curve, JACCARD_CURVE_ORACLE),
     ("dedup_containment", dedup_containment, CONTAINMENT_ORACLE),
     ("dedup_minhash_lsh", dedup_minhash_lsh, MINHASH_LSH_ORACLE),
     (

@@ -315,3 +315,21 @@ def test_incremental_minhash_admission_consistency(spark):
         assert r.near_dup_of is not None and r.near_dup_of % 2 == 0
         assert r.best_jaccard is not None and r.best_jaccard >= 0.2
         assert r.n_candidates >= 1
+
+
+def test_jaccard_curve_monotone_and_anchored(spark):
+    """Kept-pair counts are non-increasing in the threshold, and the
+    declared JACCARD_THRESHOLD step must agree with the declared
+    near-dup query's row count."""
+    from mapreduce_on_google_cloud_platform_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+    )
+
+    rows = QUERIES["jaccard_threshold_curve"](spark, SF_SMOKE).collect()
+    assert rows
+    counts = [r.n_pairs_kept for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    anchor = next(r for r in rows if r.threshold == JACCARD_THRESHOLD)
+    assert anchor.n_pairs_kept == QUERIES["dedup_ngram_jaccard"](spark, SF_SMOKE).count()
+    for r in rows:
+        assert 0 <= r.n_pairs_kept <= r.n_candidate_pairs
