@@ -155,6 +155,7 @@ HEADLINE = [
     "event_transition_matrix",
     "order_backlog_daily",
     "jaccard_threshold_curve",
+    "session_timeout_curve",
     "langid_confusion",
     "embedding_alignment_audit",
     # dedup_method_eval re-runs five declared pipelines; its components

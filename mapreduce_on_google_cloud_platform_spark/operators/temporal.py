@@ -864,6 +864,98 @@ TRANSITION_MATRIX_ORACLE = """
 """
 
 
+# ---------------------------------------------------------------------------
+# Session-timeout sensitivity curve: how many sessions the corpus
+# splits into for a ladder of inactivity thresholds -- the table read
+# NEXT TO interarrival_profile when choosing a sessionization timeout
+# (sessions(T) = users + gaps exceeding T; the flattening point of the
+# curve is the natural session boundary).  One pass over the per-user
+# lag gaps: every threshold is a conditional sum in the same combinable
+# aggregate; the single row explodes to one row per threshold.
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_LADDER_SEC = (300, 900, 1800, 3600, 7200)
+
+
+def session_timeout_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    gaps = ev.select(
+        "user_id", (us - F.lag(us).over(w)).alias("gap_us")
+    )
+    aggs = [
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.when(F.col("gap_us").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_gaps"),
+    ]
+    for t in SESSION_GAP_LADDER_SEC:
+        aggs.append(
+            F.sum(
+                F.when(F.col("gap_us") > t * 1_000_000, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias(f"brk_{t}")
+        )
+    one = gaps.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("timeout_sec"),
+                F.col(f"brk_{t}").alias("n_breaks"),
+            )
+            for t in SESSION_GAP_LADDER_SEC
+        ]
+    )
+    return (
+        one.select("n_users", "n_gaps", F.explode(rows).alias("r"))
+        .select(
+            F.col("r.timeout_sec").alias("timeout_sec"),
+            (F.col("n_users") + F.col("r.n_breaks")).alias("n_sessions"),
+            F.col("r.n_breaks").alias("n_breaks"),
+            "n_users",
+            F.round(
+                (F.col("n_users") + F.col("r.n_breaks")).cast("double")
+                / F.col("n_users"),
+                6,
+            ).alias("sessions_per_user"),
+        )
+        .orderBy("timeout_sec")
+    )
+
+
+def _session_curve_oracle() -> str:
+    selects = "\n    UNION ALL\n".join(
+        f"""    SELECT {t} AS timeout_sec,
+           CAST(any_value(n_users)
+                + sum(CASE WHEN gap_us > {t * 1_000_000} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN gap_us > {t * 1_000_000} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_breaks,
+           CAST(any_value(n_users) AS BIGINT) AS n_users,
+           round(CAST(any_value(n_users)
+                      + sum(CASE WHEN gap_us > {t * 1_000_000} THEN 1 ELSE 0 END)
+                      AS DOUBLE) / any_value(n_users), 6) AS sessions_per_user
+    FROM gaps, u"""
+        for t in SESSION_GAP_LADDER_SEC
+    )
+    return f"""
+    WITH gaps AS (
+        SELECT CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+                   AS gap_us
+        FROM events
+    ),
+    u AS (SELECT count(DISTINCT user_id) AS n_users FROM events)
+{selects}
+    ORDER BY timeout_sec
+"""
+
+
+SESSION_CURVE_ORACLE = _session_curve_oracle()
+
+
 TEMPORAL_QUERIES: list[tuple[str, object, str | None]] = [
     ("asof_join_purchase_view", asof_join_purchase_view, ASOF_ORACLE),
     ("asof_forward_purchase_view", asof_forward_purchase_view, ASOF_FORWARD_ORACLE),
@@ -881,4 +973,5 @@ TEMPORAL_QUERIES: list[tuple[str, object, str | None]] = [
         SEASONAL_RESIDUAL_ORACLE,
     ),
     ("event_transition_matrix", event_transition_matrix, TRANSITION_MATRIX_ORACLE),
+    ("session_timeout_curve", session_timeout_curve, SESSION_CURVE_ORACLE),
 ]

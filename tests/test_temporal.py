@@ -235,3 +235,23 @@ def test_transition_matrix_is_row_stochastic(spark):
         row_p[r.from_type] += r.p_transition
     for ft, p in row_p.items():
         assert abs(p - 1.0) < 1e-3, ft
+
+
+def test_session_curve_monotone_and_agrees_with_sessionization(spark):
+    """Session counts are non-increasing in the timeout, and the curve's
+    1800s step must equal the row count of the declared 30-minute
+    sessionization query -- two independent formulations of the same
+    quantity."""
+    from .conftest import SF_SMOKE
+
+    from mapreduce_on_google_cloud_platform_spark.plans import QUERIES
+
+    rows = QUERIES["session_timeout_curve"](spark, SF_SMOKE).collect()
+    counts = [r.n_sessions for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    for r in rows:
+        assert r.n_sessions == r.n_users + r.n_breaks
+        assert r.sessions_per_user >= 1.0
+    step_30m = next(r for r in rows if r.timeout_sec == 1800)
+    n_sessions = QUERIES["session_windows_users"](spark, SF_SMOKE).count()
+    assert step_30m.n_sessions == n_sessions
