@@ -156,6 +156,7 @@ HEADLINE = [
     "order_backlog_daily",
     "jaccard_threshold_curve",
     "session_timeout_curve",
+    "minhash_band_sensitivity",
     "langid_confusion",
     "embedding_alignment_audit",
     # dedup_method_eval re-runs five declared pipelines; its components

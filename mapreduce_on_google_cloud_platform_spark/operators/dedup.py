@@ -485,6 +485,205 @@ MINHASH_LSH_ORACLE = _minhash_oracle()
 
 
 # ---------------------------------------------------------------------------
+# MinHash banding sensitivity: the bands x rows tradeoff table over the
+# SAME 16-lane signature -- more bands of fewer rows raise recall (any
+# one band match proposes the pair) at the cost of more candidates;
+# fewer, deeper bands are precise but miss borderline pairs.  One row
+# per layout: candidate count, verified count (candidates that pass the
+# exact-Jaccard threshold -- i.e. candidates intersected with the exact
+# pair set), recall against the exact pairs, and candidate efficiency.
+# This is THE parameter sheet for dedup_minhash_lsh's 8x2 choice.
+# Signatures are computed ONCE (persisted); each layout adds only a
+# map-side band-key projection + one self-join on (band, key).
+# ---------------------------------------------------------------------------
+
+BAND_LAYOUTS = ((16, 1), (8, 2), (4, 4), (2, 8))
+
+
+def minhash_band_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles_df(docs).persist()
+    uniq = sh.select("sh").distinct()
+    h = (
+        F.conv(F.substring(F.md5(F.col("sh")), 1, 15), 16, 10).cast("bigint")
+        % MINHASH_P
+    )
+    dict_df = uniq.select(
+        "sh",
+        *[
+            ((F.lit(a) * h + F.lit(b)) % MINHASH_P).alias(f"mh{i}")
+            for i, (a, b) in enumerate(MINHASH_AB)
+        ],
+    )
+    sig = (
+        sh.join(dict_df, "sh")
+        .groupBy("doc_id")
+        .agg(*[F.min(f"mh{i}").alias(f"mh{i}") for i in range(NUM_MINHASHES)])
+        .persist()
+    )
+    exact = (
+        _pair_jaccard(sh)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+        .persist()
+    )
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    out = None
+    for bands, rows_per_band in BAND_LAYOUTS:
+        band_structs = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.col(f"mh{b * rows_per_band + r}")
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    ).alias("band_key"),
+                )
+                for b in range(bands)
+            ]
+        )
+        bk = sig.select("doc_id", F.explode(band_structs).alias("bk")).select(
+            "doc_id",
+            F.col("bk.band").alias("band"),
+            F.col("bk.band_key").alias("band_key"),
+        )
+        a, b2 = bk.alias("a"), bk.alias("b")
+        cand = (
+            a.join(
+                b2,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.band_key") == F.col("b.band_key")),
+            )
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+            .persist()
+        )
+        verified = cand.join(exact, ["doc_a", "doc_b"], "left_semi")
+        row = (
+            cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+            .crossJoin(verified.agg(F.count(F.lit(1)).alias("n_verified")))
+            .crossJoin(F.broadcast(n_exact))
+            .select(
+                F.lit(bands).alias("bands"),
+                F.lit(rows_per_band).alias("rows_per_band"),
+                "n_candidates",
+                "n_verified",
+                "n_exact",
+                F.round(
+                    F.col("n_verified").cast("double") / F.col("n_exact"), 6
+                ).alias("recall"),
+                F.round(
+                    F.col("n_verified").cast("double")
+                    / F.greatest(F.col("n_candidates"), F.lit(1)),
+                    6,
+                ).alias("candidate_efficiency"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("bands")
+
+
+def _band_sensitivity_oracle() -> str:
+    mh_cols = ",\n               ".join(
+        f"min(({a} * h + {b}) % {MINHASH_P}) AS mh{i}"
+        for i, (a, b) in enumerate(MINHASH_AB)
+    )
+    selects = []
+    for bands, rows_per_band in BAND_LAYOUTS:
+        band_selects = "\n            UNION ALL\n".join(
+            f"            SELECT doc_id, {b} AS band, md5("
+            + " || '|' || ".join(
+                f"CAST(mh{b * rows_per_band + r} AS VARCHAR)"
+                for r in range(rows_per_band)
+            )
+            + ") AS band_key FROM sig"
+            for b in range(bands)
+        )
+        selects.append(f"""    SELECT {bands} AS bands, {rows_per_band} AS rows_per_band,
+           CAST((SELECT count(*) FROM (
+               SELECT DISTINCT a.doc_id, b.doc_id FROM (
+{band_selects}
+               ) a JOIN (
+{band_selects}
+               ) b ON a.band = b.band AND a.band_key = b.band_key
+                  AND a.doc_id < b.doc_id)) AS BIGINT) AS n_candidates,
+           CAST((SELECT count(*) FROM (
+               SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM (
+{band_selects}
+               ) a JOIN (
+{band_selects}
+               ) b ON a.band = b.band AND a.band_key = b.band_key
+                  AND a.doc_id < b.doc_id) c
+               SEMI JOIN exact USING (doc_a, doc_b)) AS BIGINT) AS n_verified,
+           (SELECT count(*) FROM exact) AS n_exact,
+           round(CAST((SELECT count(*) FROM (
+               SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM (
+{band_selects}
+               ) a JOIN (
+{band_selects}
+               ) b ON a.band = b.band AND a.band_key = b.band_key
+                  AND a.doc_id < b.doc_id) c
+               SEMI JOIN exact USING (doc_a, doc_b)) AS DOUBLE)
+               / (SELECT count(*) FROM exact), 6) AS recall,
+           round(CAST((SELECT count(*) FROM (
+               SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM (
+{band_selects}
+               ) a JOIN (
+{band_selects}
+               ) b ON a.band = b.band AND a.band_key = b.band_key
+                  AND a.doc_id < b.doc_id) c
+               SEMI JOIN exact USING (doc_a, doc_b)) AS DOUBLE)
+               / greatest((SELECT count(*) FROM (
+               SELECT DISTINCT a.doc_id, b.doc_id FROM (
+{band_selects}
+               ) a JOIN (
+{band_selects}
+               ) b ON a.band = b.band AND a.band_key = b.band_key
+                  AND a.doc_id < b.doc_id)), 1), 6) AS candidate_efficiency""")
+    body = "\n    UNION ALL\n".join(selects)
+    return f"""
+    WITH {DUCKDB_SHINGLES_CTE},
+    dict AS (
+        SELECT sh, ('0x' || substr(md5(sh), 1, 15))::BIGINT % {MINHASH_P} AS h
+        FROM (SELECT DISTINCT sh FROM shing)
+    ),
+    sig AS (
+        SELECT doc_id,
+               {mh_cols}
+        FROM shing JOIN dict USING (sh)
+        GROUP BY doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shing GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM shing a JOIN shing b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    exact AS (
+        SELECT doc_a, doc_b FROM pairs
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common)
+              >= {JACCARD_THRESHOLD}
+    )
+{body}
+    ORDER BY bands
+"""
+
+
+BAND_SENSITIVITY_ORACLE = _band_sensitivity_oracle()
+
+
+# ---------------------------------------------------------------------------
 # Stop-shingle-capped MinHash-LSH: the petabyte-scale variant the module
 # header describes -- shingles present in MORE than STOP_SHINGLE_MAX_DF
 # documents ("the quick brown"-class boilerplate) contribute candidate
@@ -1760,6 +1959,11 @@ DEDUP_QUERIES: list[tuple[str, object, str | None]] = [
         "dedup_minhash_stopshingle",
         dedup_minhash_stopshingle,
         MINHASH_STOPSHINGLE_ORACLE,
+    ),
+    (
+        "minhash_band_sensitivity",
+        minhash_band_sensitivity,
+        BAND_SENSITIVITY_ORACLE,
     ),
     ("dedup_simhash", dedup_simhash, SIMHASH_ORACLE),
     ("simhash_near_pairs", simhash_near_pairs, SIMHASH_PAIRS_ORACLE),

@@ -333,3 +333,21 @@ def test_jaccard_curve_monotone_and_anchored(spark):
     assert anchor.n_pairs_kept == QUERIES["dedup_ngram_jaccard"](spark, SF_SMOKE).count()
     for r in rows:
         assert 0 <= r.n_pairs_kept <= r.n_candidate_pairs
+
+
+def test_band_sensitivity_nesting_monotone(spark):
+    """With aligned layouts over one signature, a deeper band match
+    implies its shallower sub-bands match, so candidate sets nest:
+    16x1 >= 8x2 >= 4x4 >= 2x8 -- candidates and recall must both be
+    non-decreasing in the band count, and verified <= candidates."""
+    rows = sorted(
+        QUERIES["minhash_band_sensitivity"](spark, SF_SMOKE).collect(),
+        key=lambda r: r.bands,
+    )
+    assert [r.bands for r in rows] == [2, 4, 8, 16]
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_candidates <= b.n_candidates
+        assert a.recall <= b.recall
+    for r in rows:
+        assert r.n_verified <= min(r.n_candidates, r.n_exact)
+        assert r.rows_per_band * r.bands == 16
