@@ -157,6 +157,7 @@ HEADLINE = [
     "jaccard_threshold_curve",
     "session_timeout_curve",
     "minhash_band_sensitivity",
+    "dedup_policy_funnel",
     "langid_confusion",
     "embedding_alignment_audit",
     # dedup_method_eval re-runs five declared pipelines; its components

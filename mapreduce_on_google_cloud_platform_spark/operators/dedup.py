@@ -1406,6 +1406,180 @@ FUZZY_PAIRS_ORACLE = f"""
 
 
 # ---------------------------------------------------------------------------
+# Dedup policy funnel: the capstone report -- apply the three dedup
+# policies TOGETHER (exact content hash, VERIFIED near-dup cluster
+# survivorship, ExactSubstr span contamination) and account for what
+# each removes and what survives all of them.  Survivorship clusters
+# come from the MinHash-LSH VERIFIED pairs (exact Jaccard over the
+# threshold), not the raw SimHash band pairs -- dedup_method_eval shows
+# why: at this band setting SimHash floods ~20k false-positive pairs
+# that would collapse the corpus into a handful of clusters and "keep"
+# 3 documents of 500.  Exactly the class of policy mistake this funnel
+# exists to surface before a 100 TB pass; the verified-pair policy is
+# the production default.  Per document: the three flags joined once on
+# doc_id; the rollup is one combinable aggregate.
+# ---------------------------------------------------------------------------
+
+SPAN_CONTAMINATION_MAX = 0.2  # drop docs with > 20% duplicated-span tokens
+
+
+def dedup_policy_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text_analysis import exact_substring_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.md5(F.concat_ws(" ", tokenize(F.col("text"))))
+    hashed = docs.select("doc_id", norm.alias("h"))
+    w_keep = hashed.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    exact_flag = hashed.join(w_keep, "h").select(
+        "doc_id", (F.col("doc_id") != F.col("keep_id")).alias("is_exact_dup")
+    )
+    # keep-longest survivor per VERIFIED near-dup cluster
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    clusters = _cc_cluster_report(
+        pairs, docs.select("doc_id"), "doc_id"
+    ).select("doc_id", "cluster_id")
+    chars = docs.select(
+        "doc_id", F.col("n_chars").cast("bigint").alias("n_chars")
+    )
+    best = (
+        clusters.join(chars, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("n_chars")).alias("neg_chars"),
+                    F.col("doc_id").alias("d"),
+                )
+            ).alias("b")
+        )
+        .select(F.col("b.d").alias("doc_id"), F.lit(True).alias("is_survivor"))
+    )
+    survivors = best
+    spans = exact_substring_dedup(spark, sf_dir).select(
+        "doc_id",
+        "n_tokens",
+        (
+            F.col("n_dup_positions").cast("double") / F.col("n_tokens")
+            > SPAN_CONTAMINATION_MAX
+        ).alias("is_span_contaminated"),
+    )
+    flags = (
+        docs.select("doc_id")
+        .join(exact_flag, "doc_id")
+        .join(survivors, "doc_id", "left")
+        .join(spans, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "is_exact_dup",
+            F.coalesce("is_survivor", F.lit(False)).alias("is_survivor"),
+            "is_span_contaminated",
+        )
+        .withColumn(
+            "keeps",
+            ~F.col("is_exact_dup")
+            & F.col("is_survivor")
+            & ~F.col("is_span_contaminated"),
+        )
+    )
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    return flags.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        cnt(F.col("is_exact_dup")).alias("n_exact_dups"),
+        cnt(~F.col("is_survivor")).alias("n_cluster_losers"),
+        cnt(F.col("is_span_contaminated")).alias("n_span_contaminated"),
+        cnt(F.col("keeps")).alias("n_kept"),
+        F.sum(F.when(F.col("keeps"), F.col("n_tokens")).otherwise(0))
+        .cast("bigint")
+        .alias("tokens_kept"),
+        F.sum("n_tokens").cast("bigint").alias("tokens_in"),
+    ).select(
+        "*",
+        F.round(
+            F.col("n_kept").cast("double") / F.col("n_docs"), 6
+        ).alias("doc_keep_rate"),
+        F.round(
+            F.col("tokens_kept").cast("double") / F.col("tokens_in"), 6
+        ).alias("token_keep_rate"),
+    )
+
+
+def _policy_funnel_oracle() -> str:
+    from .text_analysis import EXACT_SUBSTRING_ORACLE
+
+    return f"""
+    WITH RECURSIVE {DUCKDB_TOKS_CTE},
+    hashed AS (
+        SELECT doc_id, md5(array_to_string(ts, ' ')) AS h FROM toks
+    ),
+    exact_flag AS (
+        SELECT doc_id,
+               doc_id <> min(doc_id) OVER (PARTITION BY h) AS is_exact_dup
+        FROM hashed
+    ),
+    near AS (SELECT doc_a, doc_b FROM ({MINHASH_LSH_ORACLE})),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM near
+        UNION ALL
+        SELECT doc_b AS a, doc_a AS b FROM near
+    ),
+    reach(node, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT edges.b, reach.r FROM reach JOIN edges ON reach.node = edges.a
+    ),
+    comp AS (
+        SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
+    ),
+    ranked AS (
+        SELECT comp.cluster_id, comp.doc_id,
+               row_number() OVER (PARTITION BY comp.cluster_id
+                                  ORDER BY d.n_chars DESC, comp.doc_id ASC)
+                   AS rk
+        FROM comp JOIN documents d USING (doc_id)
+    ),
+    survivors AS (
+        SELECT doc_id, TRUE AS is_survivor FROM ranked WHERE rk = 1
+    ),
+    spans AS (
+        SELECT doc_id, n_tokens,
+               CAST(n_dup_positions AS DOUBLE) / n_tokens
+                   > {SPAN_CONTAMINATION_MAX} AS is_span_contaminated
+        FROM ({EXACT_SUBSTRING_ORACLE})
+    ),
+    flags AS (
+        SELECT e.doc_id, s.n_tokens, e.is_exact_dup,
+               coalesce(v.is_survivor, FALSE) AS is_survivor,
+               s.is_span_contaminated,
+               NOT e.is_exact_dup AND coalesce(v.is_survivor, FALSE)
+                   AND NOT s.is_span_contaminated AS keeps
+        FROM exact_flag e
+        JOIN spans s USING (doc_id)
+        LEFT JOIN survivors v USING (doc_id)
+    )
+    SELECT count(*) AS n_docs,
+           CAST(sum(CASE WHEN is_exact_dup THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_exact_dups,
+           CAST(sum(CASE WHEN NOT is_survivor THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_cluster_losers,
+           CAST(sum(CASE WHEN is_span_contaminated THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_span_contaminated,
+           CAST(sum(CASE WHEN keeps THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN keeps THEN n_tokens ELSE 0 END) AS BIGINT)
+               AS tokens_kept,
+           CAST(sum(n_tokens) AS BIGINT) AS tokens_in,
+           round(CAST(sum(CASE WHEN keeps THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS doc_keep_rate,
+           round(CAST(sum(CASE WHEN keeps THEN n_tokens ELSE 0 END) AS DOUBLE)
+                 / sum(n_tokens), 6) AS token_keep_rate
+    FROM flags
+"""
+
+
+POLICY_FUNNEL_ORACLE = _policy_funnel_oracle()
+
+
+# ---------------------------------------------------------------------------
 # Incremental MinHash admission: continuous-ingest NEAR-dup control.
 # incremental_dedup_new_docs rejects exact/normalized copies; this is
 # its approximate sibling -- each incoming document (odd doc_ids, the
@@ -1979,5 +2153,6 @@ DEDUP_QUERIES: list[tuple[str, object, str | None]] = [
         incremental_minhash_admission,
         INCREMENTAL_MINHASH_ORACLE,
     ),
+    ("dedup_policy_funnel", dedup_policy_funnel, POLICY_FUNNEL_ORACLE),
     ("semdedup_clusters", semdedup_clusters, _semdedup_clusters_oracle()),
 ]

@@ -351,3 +351,23 @@ def test_band_sensitivity_nesting_monotone(spark):
     for r in rows:
         assert r.n_verified <= min(r.n_candidates, r.n_exact)
         assert r.rows_per_band * r.bands == 16
+
+
+def test_policy_funnel_reconciles_with_components(spark):
+    """The funnel's per-policy counts must match the component queries:
+    cluster losers = docs minus verified-cluster survivors; span
+    contamination matches the ExactSubstr ratios; keeps is the
+    conjunction and its count bounds follow."""
+    (r,) = QUERIES["dedup_policy_funnel"](spark, SF_SMOKE).collect()
+    assert r.n_docs == r.n_kept + (r.n_docs - r.n_kept)
+    assert r.n_kept <= r.n_docs - max(r.n_exact_dups, r.n_cluster_losers, r.n_span_contaminated)
+    subs = QUERIES["exact_substring_dedup"](spark, SF_SMOKE).collect()
+    n_span = sum(1 for s in subs if s.n_dup_positions / s.n_tokens > 0.2)
+    assert r.n_span_contaminated == n_span
+    # survivors of the verified minhash clusters: one per cluster
+    pairs = QUERIES["dedup_minhash_lsh"](spark, SF_SMOKE).collect()
+    linked = {p.doc_a for p in pairs} | {p.doc_b for p in pairs}
+    # losers are linked docs that are not their cluster's keeper; every
+    # unlinked doc is its own cluster's survivor
+    assert r.n_cluster_losers <= len(linked)
+    assert 0.0 < r.token_keep_rate <= 1.0
