@@ -227,15 +227,27 @@ def main() -> None:
         timings[name] = round(samples[len(samples) // 2], 3)
         minima[name] = round(samples[0], 3)
 
+    # Two lines, detail FIRST: the round driver has truncated long output
+    # to its tail (BENCH_r05.json lost the headline), so the big per-query
+    # dicts go on a leading line and the LAST line is a short,
+    # always-parseable summary.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_runtime_detail",
+                "queries": timings,
+                "queries_min": minima,
+            }
+        )
+    )
     print(
         json.dumps(
             {
                 "metric": "headline_suite_runtime",
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
-                "queries": timings,
-                "queries_min": minima,
                 "trials": trials,
+                "n_queries": len(timings),
                 "sf": float(sf),
             }
         )

@@ -206,7 +206,7 @@ def jaccard_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _jaccard_curve_oracle() -> str:
     selects = "\n    UNION ALL\n".join(
-        f"""    SELECT {t} AS threshold,
+        f"""    SELECT CAST({t} AS DOUBLE) AS threshold,
            CAST(sum(CASE WHEN jaccard >= {t} THEN 1 ELSE 0 END) AS BIGINT)
                AS n_pairs_kept,
            count(*) AS n_candidate_pairs,
@@ -565,12 +565,24 @@ def minhash_band_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("b.doc_id").alias("doc_b"),
             )
             .distinct()
-            .persist()
         )
-        verified = cand.join(exact, ["doc_a", "doc_b"], "left_semi")
+        # candidate + verified counts in ONE pass over cand (left join on
+        # the truth pairs, flag-sum) so no layout needs a persist -- the
+        # old two-consumer shape cached every layout's candidates for the
+        # session lifetime (ADVICE r5 item #2)
+        flagged = cand.join(
+            exact.select("doc_a", "doc_b", F.lit(1).alias("v")),
+            ["doc_a", "doc_b"],
+            "left",
+        )
         row = (
-            cand.agg(F.count(F.lit(1)).alias("n_candidates"))
-            .crossJoin(verified.agg(F.count(F.lit(1)).alias("n_verified")))
+            flagged.agg(
+                F.count(F.lit(1)).alias("n_candidates"),
+                # outer coalesce: sum over an empty candidate set is NULL
+                F.coalesce(F.sum(F.coalesce("v", F.lit(0))), F.lit(0))
+                .cast("bigint")
+                .alias("n_verified"),
+            )
             .crossJoin(F.broadcast(n_exact))
             .select(
                 F.lit(bands).alias("bands"),
@@ -1463,17 +1475,23 @@ def dedup_policy_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             > SPAN_CONTAMINATION_MAX
         ).alias("is_span_contaminated"),
     )
+    # spans come from the exploded token stream, so zero-token documents
+    # have no row there: LEFT join + coalesce keeps them in the funnel
+    # accounting (0 tokens, not contaminated) instead of silently
+    # dropping them from n_docs/tokens_in (ADVICE r5 item #1)
     flags = (
         docs.select("doc_id")
         .join(exact_flag, "doc_id")
         .join(survivors, "doc_id", "left")
-        .join(spans, "doc_id")
+        .join(spans, "doc_id", "left")
         .select(
             "doc_id",
-            "n_tokens",
+            F.coalesce("n_tokens", F.lit(0).cast("bigint")).alias("n_tokens"),
             "is_exact_dup",
             F.coalesce("is_survivor", F.lit(False)).alias("is_survivor"),
-            "is_span_contaminated",
+            F.coalesce("is_span_contaminated", F.lit(False)).alias(
+                "is_span_contaminated"
+            ),
         )
         .withColumn(
             "keeps",
@@ -1548,13 +1566,17 @@ def _policy_funnel_oracle() -> str:
         FROM ({EXACT_SUBSTRING_ORACLE})
     ),
     flags AS (
-        SELECT e.doc_id, s.n_tokens, e.is_exact_dup,
+        -- LEFT join: zero-token docs have no span row; they stay in the
+        -- funnel as (0 tokens, not contaminated) on both engines
+        SELECT e.doc_id,
+               coalesce(s.n_tokens, 0) AS n_tokens,
+               e.is_exact_dup,
                coalesce(v.is_survivor, FALSE) AS is_survivor,
-               s.is_span_contaminated,
+               coalesce(s.is_span_contaminated, FALSE) AS is_span_contaminated,
                NOT e.is_exact_dup AND coalesce(v.is_survivor, FALSE)
-                   AND NOT s.is_span_contaminated AS keeps
+                   AND NOT coalesce(s.is_span_contaminated, FALSE) AS keeps
         FROM exact_flag e
-        JOIN spans s USING (doc_id)
+        LEFT JOIN spans s USING (doc_id)
         LEFT JOIN survivors v USING (doc_id)
     )
     SELECT count(*) AS n_docs,

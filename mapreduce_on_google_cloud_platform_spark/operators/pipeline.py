@@ -870,7 +870,8 @@ def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_chars",
             "kept_docs",
             "kept_chars",
-            (F.col("kept_docs") / F.col("n_docs")).alias("kept_rate"),
+            # round(6): the driver value-hash is representation-sensitive.
+            F.round(F.col("kept_docs") / F.col("n_docs"), 6).alias("kept_rate"),
         )
         .orderBy("lang")
     )
@@ -890,10 +891,10 @@ MIXTURE_ORACLE = f"""
     )
     SELECT lang,
            count(*) AS n_docs,
-           sum(n_chars) AS n_chars,
-           sum(kept) AS kept_docs,
-           sum(kept * n_chars) AS kept_chars,
-           sum(kept) / count(*) AS kept_rate
+           CAST(sum(n_chars) AS BIGINT) AS n_chars,
+           CAST(sum(kept) AS BIGINT) AS kept_docs,
+           CAST(sum(kept * n_chars) AS BIGINT) AS kept_chars,
+           round(sum(kept) / count(*), 6) AS kept_rate
     FROM flagged
     GROUP BY lang
     ORDER BY lang

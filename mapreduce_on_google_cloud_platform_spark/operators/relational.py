@@ -1826,15 +1826,22 @@ Q21_ORACLE = f"""
 # (order count), monetary (decimal-exact spend), each quintile-scored
 # with ntile and combined into the 3-digit RFM segment.
 #
-# Scale shape: one combinable shuffle on o_custkey reduces the ORDER
-# stream to one row per customer; the three quintile windows then sort
-# the per-customer AGGREGATE -- dimension cardinality, not fact
-# cardinality.  They are still global (partitionless) sorts by design:
-# quintiles are corpus-global.  When even the customer dimension is too
-# big for one sort, swap ntile for sketch bounds exactly as
-# value_decile_features_approx does for event values.  Every ntile
+# Scale shape (re-planned round 6, VERDICT r5 item #4): one combinable
+# shuffle on o_custkey reduces the ORDER stream to one row per customer;
+# each quintile is then scored WITHOUT a partitionless window.  ntile(5)
+# over a global order is a pure function of (global rank, n), and the
+# global rank distributes: repartitionByRange on the metric order gives
+# every range a disjoint rank interval, a PARTITIONED row_number ranks
+# within each range in parallel, and the broadcast per-range row-count
+# prefix (an O(#partitions) driver collect -- the token_budget_packing
+# two-pass discipline) shifts it to the exact global rank.  The closed
+# form below reproduces SQL ntile's uneven-bucket rule exactly, so the
+# output -- and the oracle -- are bit-identical to the old global-window
+# plan while every sort stage sees only one range's rows.  Every rank
 # orders by (metric, c_custkey) so the row->score map is deterministic
-# on any engine or partitioning.
+# on any engine or partitioning.  For billion-customer dimensions where
+# even three distributed sorts are unwanted, the sketch-bounded
+# customer_rfm_features_approx below is the sort-free path.
 # ---------------------------------------------------------------------------
 
 
@@ -1857,25 +1864,89 @@ def _rfm_customer_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _with_global_rank(
+    spark: SparkSession, df: DataFrame, sort_cols, rank_name: str
+) -> tuple[DataFrame, int]:
+    """Distributed global row_number over ``sort_cols``: range-partition
+    on the order (each range owns a disjoint rank interval, ascending
+    with partition id), rank within ranges in parallel, shift by the
+    broadcast per-range prefix counts (O(#partitions) driver collect).
+    The ranged intermediate persists because both passes must observe
+    the same range assignment; session.release_caches reclaims it.
+    Returns (df + rank column, total row count)."""
+    n_ranges = max(int(spark.sparkContext.defaultParallelism), 1)
+    ranged = (
+        df.repartitionByRange(n_ranges, *sort_cols)
+        .withColumn("_rng", F.spark_partition_id())
+        .persist()
+    )
+    counts = sorted(
+        (int(r["_rng"]), int(r["c"]))
+        for r in ranged.groupBy("_rng").agg(F.count(F.lit(1)).alias("c")).collect()
+    )
+    offsets: dict[int, int] = {}
+    acc = 0
+    for rng, c in counts:
+        offsets[rng] = acc
+        acc += c
+    if offsets:
+        off_col = F.element_at(
+            F.create_map(
+                *[
+                    c
+                    for k, v in offsets.items()
+                    for c in (F.lit(k).cast("int"), F.lit(v).cast("bigint"))
+                ]
+            ),
+            F.col("_rng"),
+        )
+    else:
+        off_col = F.lit(0).cast("bigint")
+    w_in = Window.partitionBy("_rng").orderBy(*sort_cols)
+    return (
+        ranged.withColumn(
+            rank_name, off_col + F.row_number().over(w_in)
+        ).drop("_rng"),
+        acc,
+    )
+
+
+def _ntile_of_rank(rank, n: int, k: int = 5):
+    """SQL ntile(k) as a closed form of the 1-based global rank: with
+    q, r = divmod(n, k), the first r buckets take q+1 rows, the rest q."""
+    q, r = divmod(n, k)
+    big = r * (q + 1)
+    return (
+        F.when(rank <= big, F.floor((rank - 1) / (q + 1)) + 1)
+        # else-branch reachable only when rank > big, which forces q >= 1;
+        # max() keeps the unreached divisor nonzero under ANSI mode
+        .otherwise(r + F.floor((rank - big - 1) / max(q, 1)) + 1)
+        .cast("int")
+    )
+
+
 def customer_rfm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     feat = _rfm_customer_metrics(spark, sf_dir)
-    w_r = Window.orderBy(F.asc("recency_days"), F.asc("c_custkey"))
-    w_f = Window.orderBy(F.desc("frequency"), F.asc("c_custkey"))
-    w_m = Window.orderBy(F.desc("monetary"), F.asc("c_custkey"))
-    scored = feat.select(
-        "*",
-        F.ntile(5).over(w_r).cast("int").alias("r_score"),
-        F.ntile(5).over(w_f).cast("int").alias("f_score"),
-        F.ntile(5).over(w_m).cast("int").alias("m_score"),
+    ranked, n = _with_global_rank(
+        spark, feat, [F.asc("recency_days"), F.asc("c_custkey")], "_r_rank"
     )
-    return scored.select(
+    ranked, _ = _with_global_rank(
+        spark, ranked, [F.desc("frequency"), F.asc("c_custkey")], "_f_rank"
+    )
+    ranked, _ = _with_global_rank(
+        spark, ranked, [F.desc("monetary"), F.asc("c_custkey")], "_m_rank"
+    )
+    scored = ranked.select(
         "c_custkey",
         "recency_days",
         "frequency",
         "monetary",
-        "r_score",
-        "f_score",
-        "m_score",
+        _ntile_of_rank(F.col("_r_rank"), n).alias("r_score"),
+        _ntile_of_rank(F.col("_f_rank"), n).alias("f_score"),
+        _ntile_of_rank(F.col("_m_rank"), n).alias("m_score"),
+    )
+    return scored.select(
+        "*",
         (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score"))
         .cast("int")
         .alias("rfm_segment"),

@@ -1589,6 +1589,7 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("item_id"),
         F.row_number()
         .over(Window.orderBy(F.desc("kw_score"), "doc_id"))
+        .cast("bigint")
         .alias("kw_rank"),
     )
 
@@ -1606,6 +1607,7 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("item_id"),
         F.row_number()
         .over(Window.orderBy(F.desc("cos_sim"), "vec_id"))
+        .cast("bigint")
         .alias("vec_rank"),
     )
 
@@ -1912,6 +1914,88 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("dim")
 
 
+# ---------------------------------------------------------------------------
+# PCA sufficient statistics, oracle-checked (VERDICT r5 item #6): the
+# distributed part of pca_power_iteration is mean + Gram -- pure
+# aggregation.  The production path computes it as per-Arrow-batch numpy
+# outer products (float partials, partitioning-ordered, hence rows-only).
+# This twin pins the SAME sufficient statistics cross-engine on the exact
+# 1e-6 fixed-point grid: per (dim_i <= dim_j) cell, exact integer sums
+# lifted to DECIMAL(38,0) (overflow-proof at any corpus size -- q*q is
+# ~1e12 per row, so BIGINT sums die at ~1e6 rows), plus the centered
+# covariance as one closed-form double expression of those exact sums,
+# identical text both engines, round(9).
+#
+# Scale: the (vec_id, dim, q) explode self-joins on vec_id -- D^2/2 rows
+# per vector (D=64 -> 2080x), shuffled on vec_id then combined per
+# (i, j): the brute-force sufficient-stats shape.  At 100 TB you run the
+# mapInPandas path and keep this as the correctness oracle on a sample;
+# that division of labor is the point of the pair.
+# ---------------------------------------------------------------------------
+
+
+def pca_gram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qs = _emb_fixed_point(spark, sf_dir)
+    a = qs.select("vec_id", F.col("dim").alias("dim_i"), F.col("q").alias("qi"))
+    b = qs.select("vec_id", F.col("dim").alias("dim_j"), F.col("q").alias("qj"))
+    agg = (
+        a.join(b, "vec_id")
+        .filter(F.col("dim_i") <= F.col("dim_j"))
+        .groupBy("dim_i", "dim_j")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("qi").cast("decimal(38,0)")).alias("s_i"),
+            F.sum(F.col("qj").cast("decimal(38,0)")).alias("s_j"),
+            F.sum((F.col("qi") * F.col("qj")).cast("decimal(38,0)")).alias(
+                "g_ij"
+            ),
+        )
+    )
+    g = F.col("g_ij").cast("double")
+    si = F.col("s_i").cast("double")
+    sj = F.col("s_j").cast("double")
+    n = F.col("n")
+    return agg.select(
+        F.col("dim_i").cast("int").alias("dim_i"),
+        F.col("dim_j").cast("int").alias("dim_j"),
+        "n",
+        "s_i",
+        "s_j",
+        "g_ij",
+        F.round(
+            (g / n - (si / n) * (sj / n)) / F.lit(1000000000000.0), 9
+        ).alias("cov_q"),
+    ).orderBy("dim_i", "dim_j")
+
+
+PCA_GRAM_ORACLE = f"""
+    WITH qs AS (
+        SELECT vec_id, i AS dim,
+               CAST(floor(CAST(embedding[i] AS DOUBLE) * {QUANT_SCALE} + 0.5)
+                    AS BIGINT) AS q
+        FROM embeddings, unnest(range(1, len(embedding) + 1)) t(i)
+    ),
+    agg AS (
+        SELECT a.dim AS dim_i, b.dim AS dim_j,
+               count(*) AS n,
+               CAST(sum(CAST(a.q AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s_i,
+               CAST(sum(CAST(b.q AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s_j,
+               CAST(sum(CAST(a.q * b.q AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                   AS g_ij
+        FROM qs a JOIN qs b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+        GROUP BY 1, 2
+    )
+    SELECT CAST(dim_i AS INTEGER) AS dim_i,
+           CAST(dim_j AS INTEGER) AS dim_j,
+           n, s_i, s_j, g_ij,
+           round((CAST(g_ij AS DOUBLE) / n
+                  - (CAST(s_i AS DOUBLE) / n) * (CAST(s_j AS DOUBLE) / n))
+                 / 1000000000000.0, 9) AS cov_q
+    FROM agg
+    ORDER BY dim_i, dim_j
+"""
+
+
 SIMILARITY_QUERIES: list[tuple[str, object, str | None]] = [
     ("ann_topk_bruteforce", ann_topk_bruteforce, ANN_BRUTEFORCE_ORACLE),
     ("ann_ivf_topk", ann_ivf_topk, ANN_IVF_ORACLE),
@@ -1928,6 +2012,7 @@ SIMILARITY_QUERIES: list[tuple[str, object, str | None]] = [
     ("ann_method_recall", ann_method_recall, ANN_METHOD_RECALL_ORACLE),
     ("knn_graph_lsh", knn_graph_lsh, KNN_GRAPH_ORACLE),
     ("embedding_dim_stats", embedding_dim_stats, DIM_STATS_ORACLE),
+    ("pca_gram_stats", pca_gram_stats, PCA_GRAM_ORACLE),
     # rows-only: float power iteration has no bit-exact SQL oracle; the
     # pytest twin checks direction/eigenvalue agreement vs numpy.
     ("pca_power_iteration", pca_power_iteration, None),

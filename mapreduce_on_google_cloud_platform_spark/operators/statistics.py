@@ -273,7 +273,8 @@ HISTOGRAM_ORACLE = f"""
     SELECT event_type,
            CAST(floor(value / {HIST_WIDTH}) AS BIGINT) AS bin,
            count(*) AS n,
-           CAST(floor(value / {HIST_WIDTH}) AS BIGINT) * {HIST_WIDTH} AS bin_lo
+           CAST(CAST(floor(value / {HIST_WIDTH}) AS BIGINT) * {HIST_WIDTH}
+                AS DOUBLE) AS bin_lo
     FROM events
     GROUP BY 1, 2
     ORDER BY 1, 2
@@ -650,7 +651,7 @@ def sample_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BOOTSTRAP_ORACLE = f"""
-    SELECT replicate,
+    SELECT CAST(replicate AS INTEGER) AS replicate,
            count(*) AS n_sampled,
            CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
                AS total_price

@@ -855,7 +855,7 @@ def doc_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DOC_WINDOWS_ORACLE = f"""
     WITH {DUCKDB_TOKS_CTE}
-    SELECT doc_id, i AS win_idx,
+    SELECT doc_id, CAST(i AS INTEGER) AS win_idx,
            md5(array_to_string(ts[i * {CTX_STRIDE} + 1 :
                                   i * {CTX_STRIDE} + {CTX_WINDOW}], ' '))
                AS window_md5,
@@ -1431,9 +1431,17 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "top_bigram_n",
         "n_trigrams",
         "dup_trigram_n",
-        (F.col("top_unigram_n") / F.col("n_tokens")).alias("top_unigram_frac"),
-        (F.col("top_bigram_n") / F.col("n_bigrams")).alias("top_bigram_frac"),
-        (F.col("dup_trigram_n") / F.col("n_trigrams")).alias("dup_trigram_frac"),
+        # ratios rounded to 6 dp on BOTH engines: the driver's value hash is
+        # representation-sensitive, so emitted doubles must be round-stable.
+        F.round(F.col("top_unigram_n") / F.col("n_tokens"), 6).alias(
+            "top_unigram_frac"
+        ),
+        F.round(F.col("top_bigram_n") / F.col("n_bigrams"), 6).alias(
+            "top_bigram_frac"
+        ),
+        F.round(F.col("dup_trigram_n") / F.col("n_trigrams"), 6).alias(
+            "dup_trigram_frac"
+        ),
         # coalesce: a doc too short to have bi/trigrams makes those terms
         # NULL and false OR NULL is NULL -- which a downstream
         # filter(~repetitive) would silently drop.  Too-short-to-judge
@@ -1455,7 +1463,8 @@ REPETITION_ORACLE = f"""
         GROUP BY 1, 2
     ),
     uni AS (
-        SELECT doc_id, sum(c) AS n_tokens, count(*) AS distinct_tokens,
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+               count(*) AS distinct_tokens,
                max(c) AS top_unigram_n
         FROM uni_g GROUP BY doc_id
     ),
@@ -1465,7 +1474,8 @@ REPETITION_ORACLE = f"""
         GROUP BY 1, 2
     ),
     bi AS (
-        SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_bigram_n
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+               max(c) AS top_bigram_n
         FROM bi_g GROUP BY doc_id
     ),
     tri_g AS (
@@ -1475,15 +1485,15 @@ REPETITION_ORACLE = f"""
         GROUP BY 1, 2
     ),
     tri AS (
-        SELECT doc_id, sum(c) AS n_trigrams,
-               sum(c) - count(*) AS dup_trigram_n
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_trigrams,
+               CAST(sum(c) - count(*) AS BIGINT) AS dup_trigram_n
         FROM tri_g GROUP BY doc_id
     )
     SELECT uni.doc_id, n_tokens, distinct_tokens, top_unigram_n,
            n_bigrams, top_bigram_n, n_trigrams, dup_trigram_n,
-           top_unigram_n / n_tokens AS top_unigram_frac,
-           top_bigram_n / n_bigrams AS top_bigram_frac,
-           dup_trigram_n / n_trigrams AS dup_trigram_frac,
+           round(top_unigram_n / n_tokens, 6) AS top_unigram_frac,
+           round(top_bigram_n / n_bigrams, 6) AS top_bigram_frac,
+           round(dup_trigram_n / n_trigrams, 6) AS dup_trigram_frac,
            coalesce(
                top_unigram_n * {REP_TOP_UNIGRAM[1]} > n_tokens * {REP_TOP_UNIGRAM[0]}
                OR top_bigram_n * {REP_TOP_BIGRAM[1]} > n_bigrams * {REP_TOP_BIGRAM[0]}
@@ -1604,9 +1614,17 @@ def corpus_zipf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vocab_size",
             "hapax_count",
             "topk_tokens",
-            (F.col("vocab_size") / F.col("n_tokens")).alias("type_token_ratio"),
-            (F.col("hapax_count") / F.col("vocab_size")).alias("hapax_frac"),
-            (F.col("topk_tokens") / F.col("n_tokens")).alias("topk_coverage"),
+            # round(6): the driver's value hash is representation-sensitive,
+            # so emitted doubles must be round-stable on both engines.
+            F.round(F.col("vocab_size") / F.col("n_tokens"), 6).alias(
+                "type_token_ratio"
+            ),
+            F.round(F.col("hapax_count") / F.col("vocab_size"), 6).alias(
+                "hapax_frac"
+            ),
+            F.round(F.col("topk_tokens") / F.col("n_tokens"), 6).alias(
+                "topk_coverage"
+            ),
         )
         .orderBy("lang")
     )
@@ -1629,13 +1647,15 @@ ZIPF_STATS_ORACLE = f"""
         FROM wc
     )
     SELECT lang,
-           sum(c) AS n_tokens,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
            count(*) AS vocab_size,
            CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_count,
-           sum(CASE WHEN rnk <= {TOP_COVER_K} THEN c ELSE 0 END) AS topk_tokens,
-           count(*) / sum(c) AS type_token_ratio,
-           sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) / count(*) AS hapax_frac,
-           sum(CASE WHEN rnk <= {TOP_COVER_K} THEN c ELSE 0 END) / sum(c)
+           CAST(sum(CASE WHEN rnk <= {TOP_COVER_K} THEN c ELSE 0 END) AS BIGINT)
+               AS topk_tokens,
+           round(count(*) / sum(c), 6) AS type_token_ratio,
+           round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) / count(*), 6)
+               AS hapax_frac,
+           round(sum(CASE WHEN rnk <= {TOP_COVER_K} THEN c ELSE 0 END) / sum(c), 6)
                AS topk_coverage
     FROM ranked
     GROUP BY lang
@@ -1980,6 +2000,79 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank: bigint, left: string, right: string, merged: string, "
         "pair_count: bigint",
     ).orderBy("rank")
+
+
+# ---------------------------------------------------------------------------
+# BPE round-1 pair table, oracle-checked (VERDICT r5 item #6): the learn
+# loop above is iterative (each round's stream depends on the previous
+# merge) and therefore rows-only for the driver; its DISTRIBUTED kernel,
+# though -- weighted symbol-pair counting over the (word, freq)
+# vocabulary -- is one SQL statement.  This query pins that kernel
+# cross-engine: the adjacent-character pair counts of merge round 1,
+# top-BPE_PAIR_TOPK by (count desc, a, b), whose first row IS
+# bpe_learn_merges' first merge (asserted in pytest).
+#
+# Scale: pair space is bounded by the token alphabet squared (<= 36^2
+# cells), so the groupBy is fully map-side combinable; the explode runs
+# over the Zipf-bounded vocabulary, not the corpus stream; the rank
+# window sees only the BPE_PAIR_TOPK limited rows.
+# ---------------------------------------------------------------------------
+
+BPE_PAIR_TOPK = 20
+
+
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = _bpe_word_freqs(docs).select(
+        F.split("word", "").alias("syms"), "freq"
+    )
+    pairs = (
+        words.filter(F.size("syms") >= 2)
+        .select(
+            "freq",
+            F.explode(
+                F.zip_with(
+                    F.slice("syms", 1, F.size("syms") - 1),
+                    F.slice("syms", 2, F.size("syms") - 1),
+                    lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+                )
+            ).alias("p"),
+        )
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("freq").alias("pair_count"))
+    )
+    order = [F.desc("pair_count"), F.asc("a"), F.asc("b")]
+    return (
+        pairs.orderBy(*order)
+        .limit(BPE_PAIR_TOPK)
+        .withColumn(
+            "rnk", F.row_number().over(Window.orderBy(*order)).cast("bigint")
+        )
+        .orderBy("rnk")
+    )
+
+
+BPE_PAIR_ORACLE = f"""
+    WITH {DUCKDB_TOKS_CTE},
+    wf AS (
+        SELECT ts[i] AS word, count(*) AS freq
+        FROM toks, unnest(range(1, len(ts) + 1)) t(i)
+        GROUP BY 1
+    ),
+    pairs AS (
+        SELECT word[i] AS a, word[i+1] AS b,
+               CAST(sum(freq) AS BIGINT) AS pair_count
+        FROM wf, unnest(range(1, length(word))) t(i)
+        WHERE length(word) >= 2
+        GROUP BY 1, 2
+    )
+    SELECT a, b, pair_count,
+           CAST(row_number() OVER (ORDER BY pair_count DESC, a, b) AS BIGINT)
+               AS rnk
+    FROM pairs
+    ORDER BY pair_count DESC, a, b
+    LIMIT {BPE_PAIR_TOPK}
+"""
 
 
 def bpe_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2766,6 +2859,7 @@ TEXT_ANALYSIS_QUERIES: list[tuple[str, object, str | None]] = [
     ("exact_substring_dedup", exact_substring_dedup, EXACT_SUBSTRING_ORACLE),
     # iterative K-round corpus rewrite: not one SQL statement -> rows-only
     ("bpe_learn_merges", bpe_learn_merges, None),
+    ("bpe_pair_counts", bpe_pair_counts, BPE_PAIR_ORACLE),
     # applies the iteratively-learned merge table -> rows-only; encoding
     # checked against an independent pure-Python BPE in pytest
     ("bpe_encode_documents", bpe_encode_documents, None),

@@ -130,78 +130,91 @@ for _name, _fn, _oracle in SQL_SURFACE_QUERIES:
 # per family so registry growth can't silently push a family dark.
 DRIVER_WINDOW = 50
 
-# Round-5 rotation (VERDICT r4 item #3): within each family, siblings
-# that banked multiple green driver rounds rotate OUT in favor of
-# members that have never received a per-round driver hash (31 of the
-# 50 below are first-timers; every rotated-out sibling stays covered by
-# tools/sweep.py + pytest oracle parity).  Every family keeps at least
-# one multi-round-green anchor so a systemic regression is still caught
-# by a known-stable query.
-PRIORITY_WINDOW: tuple[str, ...] = (
-    # reference parity (anchors -- the reference's own two queries)
-    "wordcount",
-    "inverted_index",
-    "inverted_index_map",
-    # dedup: two anchors + the round-4 scale paths' first hashes
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_embedding_lsh",
-    "semantic_dedup_hybrid",
-    # graph: anchor + triangle counting's first hash
-    "neardup_pagerank",
-    "neardup_triangles",
-    # similarity: two anchors + the int8 pair's first hashes
-    "ann_ivf_topk",
-    "kmeans_assign",
-    "embedding_quantize_int8",
-    "ann_int8_topk",
-    # text analysis: anchors (tfidf, the newly-replanned packing, the
-    # once-red vocab encode) + six first hashes
-    "text_tfidf",
-    "vocab_encode_documents",
-    "token_budget_packing",
-    "text_repetition_filter",
-    "text_unigram_logprob",
-    "text_bigram_logprob",
-    "corpus_zipf_stats",
-    "vocab_table",
-    "text_sentiment",
-    "text_bigram_coverage",
-    # curation pipelines: two anchors + the round-4 CDC/mixture pair
-    "curation_pipeline",
-    "training_data_prep",
-    "corpus_mixture_sample",
-    "snapshot_diff_orders",
-    # statistics: anchor + four first hashes
-    "quantile_summary",
-    "value_decile_features",
-    "geomean_event_value_exact",
-    "train_test_split_events",
-    "sample_topk_per_group",
-    # relational: the two members never hashed by any round
-    "q21_waiting_suppliers",
-    "customer_rfm_features",
-    # temporal: anchor + forward as-of and gap-fill first hashes
-    "asof_join_purchase_view",
-    "asof_forward_purchase_view",
-    "events_gap_fill",
-    # event-time windowing: anchor + three first hashes
-    "tumbling_window_events",
-    "sliding_window_events",
-    "user_event_type_distinct",
-    "enriched_purchases_by_tier",
-    "purchase_snapshot_latest",
-    # multimodal: anchor + metadata/resize first hashes
-    "multimodal_dedup",
-    "multimodal_metadata",
-    "multimodal_resize",
-    # join-strategy plan shapes (layout-dependent: keep both under gate)
-    "skew_join_salted",
-    "colocated_bucket_join",
-    # SQL-text surface: first driver hashes for the dialect-portable form
-    "q1_pricing_summary_sql",
-    "k_anonymity_report_sql",
-    "value_decile_features_sql",
+# Round-6 rotation (VERDICT r5 item #3): the window is declared BY FAMILY
+# so the family-coverage pin (tests/test_plans.py) derives from this dict
+# instead of duplicating it.  Composition this round:
+#   * one multi-round-green ANCHOR per family (a systemic regression is
+#     still caught by a known-stable query);
+#   * the four queries whose numerics changed this round (the three r5
+#     driver-hash failures, now cast/rounded, + histogram_event_values
+#     whose oracle bin_lo moved decimal->double) for re-verification;
+#   * 32 FIRST-TIMERS -- oracle-checked queries that have never received
+#     a per-round driver hash (65 remained after r5; the rest rotate in
+#     next round).  Every rotated-out sibling stays covered by
+#     tools/sweep.py + pytest oracle parity.
+PRIORITY_FAMILIES: dict[str, tuple[str, ...]] = {
+    # reference parity: the reference's own two queries stay pinned
+    "parity": ("wordcount", "inverted_index"),
+    "dedup": (
+        "dedup_exact",  # anchor
+        "dedup_policy_funnel",
+        "minhash_band_sensitivity",
+        "dedup_method_eval",
+        "exact_substring_dedup",
+        "semdedup_clusters",
+        "incremental_minhash_admission",
+        "jaccard_threshold_curve",  # + threshold double-cast this round
+    ),
+    "graph": ("neardup_pagerank",),  # anchor
+    "similarity": (
+        "ann_ivf_topk",  # anchor
+        "ann_ivf_pq_topk",
+        "pq_adc_topk",
+        "ann_method_recall",
+        "knn_graph_lsh",
+        "hybrid_search_rrf",  # + rank bigint-cast this round
+        "embedding_dim_stats",
+    ),
+    "text": (
+        "text_tfidf",  # anchor
+        "text_repetition_filter",  # r5 driver-red, fixed: re-verify
+        "corpus_zipf_stats",  # r5 driver-red, fixed: re-verify
+        "sequence_pack_tokens",
+        "c4_style_filter",
+        "dsir_importance_weights",
+        "heavy_hitter_words",
+        "vocab_coverage_curve",
+        "langid_confusion",
+    ),
+    "pipeline": (
+        "curation_pipeline",  # anchor
+        "corpus_mixture_sample",  # r5 driver-red, fixed: re-verify
+        "l_diversity_report",
+        "erasure_cascade_audit",
+    ),
+    "statistics": (
+        "quantile_summary",  # anchor
+        "histogram_event_values",  # oracle bin_lo decimal->double: re-verify
+        "sample_bootstrap",  # + replicate int-cast this round
+        "price_balance_correlation",
+        "value_distribution_psi",
+    ),
+    "relational": (
+        "q18_large_orders",  # anchor (driver-green r1)
+        "order_backlog_daily",
+    ),
+    "temporal": (
+        "asof_join_purchase_view",  # anchor
+        "session_timeout_curve",
+        "time_decayed_user_value",
+    ),
+    "streaming": ("tumbling_window_events",),  # anchor
+    "multimodal": (
+        "multimodal_dedup",  # anchor
+        "multimodal_frame_sample",
+    ),
+    "join_strategies": ("skew_join_salted",),  # anchor
+    "sql_surface": (
+        "q1_pricing_summary_sql",  # anchor (driver-green r5)
+        "histogram_event_values_sql",  # shared text changed: verify
+        "q6_forecast_revenue_sql",
+        "q22_idle_rich_customers_sql",
+        "loyal_customers_division_sql",
+    ),
+}
+
+PRIORITY_WINDOW: tuple[str, ...] = tuple(
+    name for members in PRIORITY_FAMILIES.values() for name in members
 )
 
 

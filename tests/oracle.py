@@ -1,20 +1,133 @@
 """Local replica of the driver's DuckDB-oracle comparison.
 
 Runs a declared Spark query and its oracle SQL on the same parquet tables,
-then asserts row-count + column-name + order-insensitive value equality.
-Strict value equality here is a superset of any hash comparison the driver
-performs: if these pass, the driver's hash matches.
+then asserts row-count + column-name + order-insensitive value equality,
+PLUS two representation checks the round-5 driver proved necessary (its
+value hash is representation-sensitive -- it sees int width, Decimal vs
+float, and float bit patterns, not just Python-object equality):
+
+* **type alignment** -- every output column's DuckDB type must map to the
+  Spark column's type.  An uncast ``sum()`` in an oracle yields HUGEINT,
+  which has no Spark counterpart (and decays to float64 through pandas),
+  so it is always an error here.
+* **bit-exact float comparison** -- ``_canon`` no longer collapses
+  Decimal to float; doubles compare bit-exact.  A single IEEE op over
+  exact inputs (a ratio of two ints) is deterministic cross-engine, so
+  unrounded single-division ratios are fine; anything built from
+  libm calls or order-dependent double sums must follow the repo's
+  decimal-lift + ``round(<=9 dp)`` discipline on BOTH engines or it will
+  (correctly) fail here.  ``assert_doubles_round_stable`` exists for
+  targeted audits of that discipline.
+
+Round 5 shipped three driver-hash failures that the previous, laxer
+comparator (HUGEINT->int, Decimal->float canonicalization) could not see;
+the type-alignment check fails on all three.  The residual gap vs the
+driver is Spark RUN-TO-RUN nondeterminism (shuffle-order float sums),
+audited by ``tools/sweep.py --stability`` which executes every plan twice
+under different shuffle partitioning and requires bit-identical output.
 """
 
 from __future__ import annotations
 
 import math
+import re
 from datetime import date, datetime
 from decimal import Decimal
 
 import duckdb
 
 from mapreduce_on_google_cloud_platform_spark.sources import TABLES
+
+# DuckDB scalar type -> Spark simpleString tag.  Tags starting with "!"
+# have no Spark counterpart and always fail alignment (the point: they
+# also decay lossily through the driver's pandas/Arrow fetch).
+_DUCK_SCALAR = {
+    "BOOLEAN": "boolean",
+    "TINYINT": "tinyint",
+    "SMALLINT": "smallint",
+    "INTEGER": "int",
+    "BIGINT": "bigint",
+    "HUGEINT": "!hugeint (uncast sum()? add CAST(... AS BIGINT))",
+    "UTINYINT": "!utinyint",
+    "USMALLINT": "!usmallint",
+    "UINTEGER": "!uinteger",
+    "UBIGINT": "!ubigint",
+    "UHUGEINT": "!uhugeint",
+    "FLOAT": "float",
+    "DOUBLE": "double",
+    "VARCHAR": "string",
+    "BLOB": "binary",
+    "DATE": "date",
+    # DuckDB TIMESTAMP is timezone-naive; both Spark flavors fetch as the
+    # same naive datetime (driver-green precedent: q18_large_orders r1,
+    # merge_upsert_orders r2-r4).
+    "TIMESTAMP": "timestamp_ntz",
+    "TIMESTAMP WITH TIME ZONE": "timestamp",
+}
+
+_EQUIVALENT = {("timestamp", "timestamp_ntz"), ("timestamp_ntz", "timestamp")}
+
+
+def _split_top(s: str) -> list[str]:
+    """Split on commas not nested inside (), [] or quotes."""
+    parts, depth, cur, quote = [], 0, [], None
+    for ch in s:
+        if quote:
+            cur.append(ch)
+            if ch == quote:
+                quote = None
+            continue
+        if ch in "\"'":
+            quote = ch
+            cur.append(ch)
+        elif ch in "([":
+            depth += 1
+            cur.append(ch)
+        elif ch in ")]":
+            depth -= 1
+            cur.append(ch)
+        elif ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur).strip())
+    return parts
+
+
+def duck_type_to_spark(t: str) -> str:
+    """Map a DuckDB type string to the Spark simpleString it must equal."""
+    t = str(t).strip()
+    if t.endswith("[]"):
+        return f"array<{duck_type_to_spark(t[:-2])}>"
+    m = re.fullmatch(r"DECIMAL\((\d+),\s*(\d+)\)", t)
+    if m:
+        return f"decimal({m.group(1)},{m.group(2)})"
+    if t.startswith("STRUCT(") and t.endswith(")"):
+        fields = []
+        for f in _split_top(t[len("STRUCT(") : -1]):
+            name, ft = f.split(" ", 1)
+            fields.append(f"{name.strip(chr(34))}:{duck_type_to_spark(ft)}")
+        return "struct<" + ",".join(fields) + ">"
+    if t.startswith("MAP(") and t.endswith(")"):
+        k, v = _split_top(t[len("MAP(") : -1])
+        return f"map<{duck_type_to_spark(k)},{duck_type_to_spark(v)}>"
+    if t in _DUCK_SCALAR:
+        return _DUCK_SCALAR[t]
+    return f"!unknown-duckdb-type:{t}"
+
+
+def oracle_output_types(sql: str, sf_dir: str) -> tuple[list[str], list[str]]:
+    """Column names + DuckDB type strings for an oracle, without fetching."""
+    con = duckdb.connect()
+    try:
+        for t in TABLES:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        rel = con.sql(sql)
+        return list(rel.columns), [str(x) for x in rel.types]
+    finally:
+        con.close()
 
 
 def run_oracle(sql: str, sf_dir: str):
@@ -23,26 +136,82 @@ def run_oracle(sql: str, sf_dir: str):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
-    cur = con.execute(sql)
-    cols = [d[0] for d in cur.description]
-    rows = cur.fetchall()
+    rel = con.sql(sql)
+    cols = list(rel.columns)
+    types = [str(x) for x in rel.types]
+    rows = rel.fetchall()
     con.close()
-    return cols, rows
+    return cols, types, rows
+
+
+def assert_types_aligned(
+    s_cols: list[str],
+    s_dtypes: list[str],
+    o_cols: list[str],
+    o_types: list[str],
+) -> None:
+    s_map = dict(zip(s_cols, s_dtypes))
+    o_map = {c: duck_type_to_spark(t) for c, t in zip(o_cols, o_types)}
+    bad = []
+    for c in sorted(s_map):
+        st, ot = s_map[c], o_map.get(c)
+        if ot is not None and st != ot and (st, ot) not in _EQUIVALENT:
+            bad.append(f"  {c}: spark={st} oracle={ot}")
+    if bad:
+        raise AssertionError(
+            "oracle/spark type misalignment (driver hash is "
+            "representation-sensitive):\n" + "\n".join(bad)
+        )
+
+
+def _round_stable(v: float) -> bool:
+    if math.isnan(v) or math.isinf(v):
+        return True
+    # 9 dp: the repo's coarsest deliberate precision (rrf_score rounds to
+    # 9); anything finer than its own round() is already stable at 9.
+    return round(v, 9) == v
+
+
+def assert_doubles_round_stable(
+    spark_df, s_rows, *, unrounded_ok: frozenset[str] = frozenset()
+) -> None:
+    float_idx = [
+        i
+        for i, f in enumerate(spark_df.schema.fields)
+        if f.dataType.typeName() in ("double", "float")
+        and f.name not in unrounded_ok
+    ]
+    if not float_idx:
+        return
+    for r in s_rows:
+        for i in float_idx:
+            v = r[i]
+            if v is not None and not _round_stable(v):
+                name = spark_df.schema.fields[i].name
+                raise AssertionError(
+                    f"column {name!r} emits unrounded double {v!r}: "
+                    "cross-engine doubles are not bit-reproducible; round "
+                    "to <= 9 dp on both engines or list the column in "
+                    "unrounded_ok with a bit-stability argument"
+                )
 
 
 def _canon(v):
-    """Canonicalize a cell value for cross-engine comparison."""
+    """Canonicalize a cell value for cross-engine comparison.
+
+    Deliberately does NOT collapse Decimal to float or widen/narrow ints:
+    type alignment is asserted separately, so here like compares with like.
+    """
     if v is None:
         return None
     if isinstance(v, bool):
         return v
     if isinstance(v, Decimal):
-        return float(v)
+        # Decimal('1.50') == Decimal('1.5') and hashes equal: safe as-is.
+        return v
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # exact comparison -- queries themselves are responsible for making
-        # doubles bit-stable across engines (decimal-exact sums / rounding)
         return v
     if isinstance(v, (datetime, date)):
         return v.isoformat()
@@ -64,14 +233,21 @@ def _multiset(cols, rows):
     return out
 
 
-def assert_matches_oracle(spark_df, oracle_sql: str, sf_dir: str, *, max_diff_show: int = 5):
+def assert_matches_oracle(
+    spark_df,
+    oracle_sql: str,
+    sf_dir: str,
+    *,
+    max_diff_show: int = 5,
+):
     s_cols = spark_df.columns
     s_rows = [tuple(r) for r in spark_df.collect()]
-    o_cols, o_rows = run_oracle(oracle_sql, sf_dir)
+    o_cols, o_types, o_rows = run_oracle(oracle_sql, sf_dir)
 
     assert sorted(s_cols) == sorted(o_cols), (
         f"column mismatch: spark={sorted(s_cols)} oracle={sorted(o_cols)}"
     )
+    assert_types_aligned(s_cols, [t for _, t in spark_df.dtypes], o_cols, o_types)
     assert len(s_rows) == len(o_rows), (
         f"row count mismatch: spark={len(s_rows)} oracle={len(o_rows)}"
     )

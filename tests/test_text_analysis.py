@@ -542,3 +542,13 @@ def test_langid_confusion_partitions_and_diagonal(spark):
     for lang, s in shares.items():
         assert abs(s - 1.0) < 1e-3, lang
     assert any(r.is_correct for r in rows)
+
+
+def test_bpe_pair_counts_first_row_is_first_merge(spark):
+    """The oracle-checked round-1 pair table's top row must BE the
+    iterative learner's first merge -- pinning the learn loop's
+    distributed kernel to the SQL-checkable twin."""
+    top = QUERIES["bpe_pair_counts"](spark, SF_SMOKE).limit(1).collect()[0]
+    m1 = QUERIES["bpe_learn_merges"](spark, SF_SMOKE).limit(1).collect()[0]
+    assert (top.a, top.b, top.pair_count) == (m1.left, m1.right, m1.pair_count)
+    assert top.rnk == 1

@@ -7,7 +7,15 @@ the oracle SQL side by side at the given scale factor and compare exactly
 (row count + column names + order-insensitive values); rows-only entries
 (no oracle) are executed and counted.  Exit code 1 if anything fails.
 
-Usage:  python tools/sweep.py [sf_dir]      (default /root/testdata/sf0.01)
+With ``--stability``, additionally executes every Spark plan a second
+time under a different ``spark.sql.shuffle.partitions`` and requires the
+two results to be BIT-identical (order-insensitive).  This audits the one
+failure mode the oracle comparison cannot see: run-to-run nondeterminism
+from shuffle-order-dependent double aggregation -- exactly what makes a
+locally-green query fail the driver's representation-sensitive hash.
+
+Usage:  python tools/sweep.py [--stability] [sf_dir]
+        (default sf_dir /root/testdata/sf0.01)
 """
 
 from __future__ import annotations
@@ -18,8 +26,34 @@ REPO = __file__.rsplit("/", 2)[0]
 sys.path.insert(0, REPO)
 
 
+def _assert_run_stable(spark, fn, sf_dir: str) -> None:
+    """Run the plan under two shuffle layouts; outputs must be identical."""
+    from tests.oracle import _multiset
+
+    df1 = fn(spark, sf_dir)
+    cols = df1.columns
+    rows1 = [tuple(r) for r in df1.collect()]
+    spark.catalog.clearCache()
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "5")
+    try:
+        rows2 = [tuple(r) for r in fn(spark, sf_dir).collect()]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    m1, m2 = _multiset(cols, rows1), _multiset(cols, rows2)
+    if m1 != m2:
+        d1 = [k for k in m1 if m1[k] != m2.get(k, 0)][:3]
+        d2 = [k for k in m2 if m2[k] != m1.get(k, 0)][:3]
+        raise AssertionError(
+            "NOT run-stable across shuffle layouts (driver-hash hazard)\n"
+            f"  layout-A-only (sample): {d1}\n  layout-B-only (sample): {d2}"
+        )
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = [a for a in sys.argv[1:] if a != "--stability"]
+    stability = "--stability" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
 
     import __spark_entry__ as entry_mod
     from pyspark.sql import SparkSession
@@ -46,6 +80,10 @@ def main() -> int:
             else:
                 n = len(queries[name](spark, sf_dir).collect())
                 status = f"OK rows-only ({n} rows)"
+            if stability:
+                spark.catalog.clearCache()
+                _assert_run_stable(spark, queries[name], sf_dir)
+                status += " stable"
         except Exception as exc:  # noqa: BLE001 - report and continue
             failures.append(name)
             status = f"FAIL {str(exc)[:160]}"
