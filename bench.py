@@ -160,6 +160,16 @@ HEADLINE = [
     "dedup_policy_funnel",
     "langid_confusion",
     "embedding_alignment_audit",
+    # round-6 additions: sufficient-stat twins + curation gates/manifests
+    "pca_gram_stats",
+    "bpe_pair_counts",
+    "training_shard_manifest",
+    "quality_gate_stack",
+    "perplexity_quality_buckets",
+    "source_frequency_cap",
+    "table_stats_profile",
+    "neardup_degree_profile",
+    "embedding_norm_outliers",
     # dedup_method_eval re-runs five declared pipelines; its components
     # are each benched above, so it is left out of the headline suite
 ]

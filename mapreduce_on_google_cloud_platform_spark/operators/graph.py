@@ -208,7 +208,87 @@ TRIANGLES_ORACLE = f"""
     ORDER BY n_triangles DESC, doc_id
 """
 
+# ---------------------------------------------------------------------------
+# Degree-distribution profile of the near-dup graph -- the first graph
+# health check before running anything iterative on it: a heavy tail
+# (one doc near-dup to hundreds) is the boilerplate-hub signature that
+# says "cap shingles / expect skewed bands", degree-0 mass is the clean
+# fraction.  One row per degree with doc count and corpus share.
+#
+# Scale: edge endpoints explode to 2|E| rows, combinable groupBy on
+# doc_id for degrees, LEFT join back to documents for the zero-degree
+# mass, then a combinable groupBy on degree (output bounded by max
+# degree) and one broadcast scalar total.  No windows, no iteration.
+# ---------------------------------------------------------------------------
+
+
+def neardup_degree_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = (
+        _pair_jaccard(shingles_df(docs))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+    )
+    ends = pairs.select(F.col("doc_a").alias("doc_id")).unionByName(
+        pairs.select(F.col("doc_b").alias("doc_id"))
+    )
+    deg = ends.groupBy("doc_id").agg(F.count(F.lit(1)).alias("degree"))
+    all_deg = (
+        docs.select("doc_id")
+        .join(deg, "doc_id", "left")
+        .select(F.coalesce("degree", F.lit(0)).cast("bigint").alias("degree"))
+    )
+    hist = all_deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = hist.agg(F.sum("n_docs").cast("bigint").alias("total"))
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            "degree",
+            "n_docs",
+            F.round(F.col("n_docs").cast("double") / F.col("total"), 6).alias(
+                "share"
+            ),
+        )
+        .orderBy("degree")
+    )
+
+
+DEGREE_PROFILE_ORACLE = f"""
+    WITH {DUCKDB_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, count(*) AS n FROM shing GROUP BY doc_id),
+    jpairs AS (
+        SELECT doc_a, doc_b
+        FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+            FROM shing a JOIN shing b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common)
+              >= {JACCARD_THRESHOLD}
+    ),
+    ends AS (
+        SELECT doc_a AS doc_id FROM jpairs
+        UNION ALL
+        SELECT doc_b AS doc_id FROM jpairs
+    ),
+    deg AS (SELECT doc_id, count(*) AS degree FROM ends GROUP BY doc_id),
+    all_deg AS (
+        SELECT CAST(coalesce(deg.degree, 0) AS BIGINT) AS degree
+        FROM documents d LEFT JOIN deg ON d.doc_id = deg.doc_id
+    ),
+    hist AS (SELECT degree, count(*) AS n_docs FROM all_deg GROUP BY degree),
+    tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM hist)
+    SELECT degree, n_docs,
+           round(CAST(n_docs AS DOUBLE) / total, 6) AS share
+    FROM hist, tot
+    ORDER BY degree
+"""
+
+
 GRAPH_QUERIES: list[tuple[str, object, str | None]] = [
     ("neardup_pagerank", neardup_pagerank, PAGERANK_ORACLE),
     ("neardup_triangles", neardup_triangles, TRIANGLES_ORACLE),
+    ("neardup_degree_profile", neardup_degree_profile, DEGREE_PROFILE_ORACLE),
 ]

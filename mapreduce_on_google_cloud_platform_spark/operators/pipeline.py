@@ -1346,7 +1346,83 @@ WOW_ORACLE = """
 """
 
 
+# ---------------------------------------------------------------------------
+# Per-source frequency cap -- the domain-capping curation step: no single
+# source may contribute more than SOURCE_CAP documents, so one crawled
+# domain can't dominate the training mix.  Which documents survive is
+# decided by a deterministic hash order (md5 of source:doc_id, doc_id
+# tiebreak), NOT arrival order, so the capped sample is reproducible on
+# any engine/partitioning and stable under re-runs -- the same
+# hash-sampling discipline as corpus_mixture_sample, but rank-based so
+# the cap is EXACT per source rather than a rate.
+#
+# Output is the per-source report (docs in, kept, dropped, kept chars,
+# exact-division kept rate).  Scale: the rank is a window PARTITIONED by
+# source -- each source sorts independently (bounded by the largest
+# source; a pathological mega-source is exactly the thing the cap is
+# for, and AQE skew handling splits its sort); one combinable shuffle on
+# source for the report.  No global sort, no driver state.
+# ---------------------------------------------------------------------------
+
+SOURCE_CAP = 60
+
+
+def source_frequency_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat_ws(":", "source", F.col("doc_id").cast("string"))),
+        "doc_id",
+    )
+    flagged = docs.select(
+        "source",
+        "n_chars",
+        (F.row_number().over(w) <= SOURCE_CAP).alias("kept"),
+    )
+    k = F.when(F.col("kept"), 1).otherwise(0)
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(k).cast("bigint").alias("n_kept"),
+            F.sum(1 - k).cast("bigint").alias("n_dropped"),
+            F.sum(k * F.col("n_chars")).cast("bigint").alias("kept_chars"),
+        )
+        .select(
+            "*",
+            F.round(F.col("n_kept").cast("double") / F.col("n_docs"), 6).alias(
+                "kept_rate"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+SOURCE_CAP_ORACLE = f"""
+    WITH ranked AS (
+        SELECT source, n_chars,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(source || ':' || CAST(doc_id AS STRING)),
+                            doc_id
+               ) <= {SOURCE_CAP} AS kept
+        FROM documents
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+           CAST(sum(CASE WHEN kept THEN n_chars ELSE 0 END) AS BIGINT)
+               AS kept_chars,
+           round(CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS kept_rate
+    FROM ranked
+    GROUP BY source
+    ORDER BY source
+"""
+
+
 PIPELINE_QUERIES: list[tuple[str, object, str | None]] = [
+    ("source_frequency_cap", source_frequency_cap, SOURCE_CAP_ORACLE),
     ("curation_pipeline", curation_pipeline, CURATION_ORACLE),
     ("merge_upsert_orders", merge_upsert_orders, MERGE_UPSERT_ORACLE),
     ("corpus_release_pipeline", corpus_release_pipeline, RELEASE_ORACLE),

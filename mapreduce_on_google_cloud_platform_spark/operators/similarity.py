@@ -1996,6 +1996,68 @@ PCA_GRAM_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Embedding-norm hygiene gate -- the vector-side analogue of the text
+# quality gates: near-zero norms are broken/padding vectors that poison
+# cosine math (division by ~0), extreme norms are scale bugs from a bad
+# encoder batch; both get flagged before any ANN/dedup pass consumes the
+# table.  Norms are EXACT integer arithmetic on the shared 1e-6
+# fixed-point grid (sum of q^2 <= 64 * ~1e12 fits BIGINT comfortably),
+# flags are integer comparisons against fixed-point thresholds, and the
+# emitted norm is one sqrt (IEEE correctly-rounded, engine-portable
+# unlike exp/ln) + round(6).
+#
+# Scale: one explode + combinable per-vec aggregate; no joins, no
+# windows.  The flags are scan-local once the norm table exists.
+# ---------------------------------------------------------------------------
+
+NORM_LO = 0.5  # ||v|| below this -> near-zero flag
+NORM_HI = 2.0  # ||v|| above this -> extreme flag
+_NORM2_LO_Q = int(NORM_LO * NORM_LO * QUANT_SCALE * QUANT_SCALE)
+_NORM2_HI_Q = int(NORM_HI * NORM_HI * QUANT_SCALE * QUANT_SCALE)
+
+
+def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qs = _emb_fixed_point(spark, sf_dir)
+    agg = qs.groupBy("vec_id").agg(
+        F.sum(F.col("q") * F.col("q")).cast("bigint").alias("norm2_q")
+    )
+    return agg.select(
+        "vec_id",
+        "norm2_q",
+        F.round(
+            F.sqrt(F.col("norm2_q").cast("double")) / QUANT_SCALE, 6
+        ).alias("norm"),
+        (F.col("norm2_q") < _NORM2_LO_Q).alias("near_zero"),
+        (F.col("norm2_q") > _NORM2_HI_Q).alias("extreme"),
+        (
+            (F.col("norm2_q") >= _NORM2_LO_Q)
+            & (F.col("norm2_q") <= _NORM2_HI_Q)
+        ).alias("keep"),
+    ).orderBy("vec_id")
+
+
+NORM_OUTLIERS_ORACLE = f"""
+    WITH qs AS (
+        SELECT vec_id, i AS dim,
+               CAST(floor(CAST(embedding[i] AS DOUBLE) * {QUANT_SCALE} + 0.5)
+                    AS BIGINT) AS q
+        FROM embeddings, unnest(range(1, len(embedding) + 1)) t(i)
+    ),
+    agg AS (
+        SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS norm2_q
+        FROM qs GROUP BY vec_id
+    )
+    SELECT vec_id, norm2_q,
+           round(sqrt(CAST(norm2_q AS DOUBLE)) / {QUANT_SCALE}, 6) AS norm,
+           norm2_q < {_NORM2_LO_Q} AS near_zero,
+           norm2_q > {_NORM2_HI_Q} AS extreme,
+           norm2_q >= {_NORM2_LO_Q} AND norm2_q <= {_NORM2_HI_Q} AS keep
+    FROM agg
+    ORDER BY vec_id
+"""
+
+
 SIMILARITY_QUERIES: list[tuple[str, object, str | None]] = [
     ("ann_topk_bruteforce", ann_topk_bruteforce, ANN_BRUTEFORCE_ORACLE),
     ("ann_ivf_topk", ann_ivf_topk, ANN_IVF_ORACLE),
@@ -2013,6 +2075,7 @@ SIMILARITY_QUERIES: list[tuple[str, object, str | None]] = [
     ("knn_graph_lsh", knn_graph_lsh, KNN_GRAPH_ORACLE),
     ("embedding_dim_stats", embedding_dim_stats, DIM_STATS_ORACLE),
     ("pca_gram_stats", pca_gram_stats, PCA_GRAM_ORACLE),
+    ("embedding_norm_outliers", embedding_norm_outliers, NORM_OUTLIERS_ORACLE),
     # rows-only: float power iteration has no bit-exact SQL oracle; the
     # pytest twin checks direction/eigenvalue agreement vs numpy.
     ("pca_power_iteration", pca_power_iteration, None),

@@ -1247,6 +1247,88 @@ PACKING_ORACLE = f"""
 
 
 # ---------------------------------------------------------------------------
+# Training-shard manifest: the release artifact a training job consumes
+# -- token_budget_packing's shard assignment extended with an
+# order-insensitive content checksum per shard (md5 of the
+# numerically-sorted doc_id list) and the budget fill fraction, so a
+# downstream loader can verify it received exactly the declared
+# documents without re-reading any text.  Reuses the shared two-pass
+# distributed prefix sum for the shard assignment (driver state is
+# O(#partitions)).
+#
+# Scale: the per-shard collect_list is bounded by construction -- a
+# shard holds at most SHARD_TOKEN_BUDGET documents (every doc
+# contributes >= 0 tokens and a new shard starts each budget boundary),
+# so the rollup group never exceeds the budget in rows; same combinable
+# shuffle as the packing report.
+# ---------------------------------------------------------------------------
+
+
+def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.select(
+        "doc_id", F.size(tokenize(F.col("text"))).alias("n_toks")
+    )
+    assigned = _doc_start_positions(spark, counts).select(
+        "doc_id",
+        "n_toks",
+        F.expr(f"doc_start div {SHARD_TOKEN_BUDGET}").alias("shard"),
+    )
+    return (
+        assigned.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("shard_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+            # numeric sort BEFORE stringify: '10' < '9' lexicographically
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.sort_array(F.collect_list("doc_id")),
+                        lambda d: d.cast("string"),
+                    ),
+                )
+            ).alias("doc_list_md5"),
+        )
+        .select(
+            "*",
+            F.round(
+                F.col("shard_tokens").cast("double") / SHARD_TOKEN_BUDGET, 6
+            ).alias("fill_frac"),
+        )
+        .orderBy("shard")
+    )
+
+
+SHARD_MANIFEST_ORACLE = f"""
+    WITH {DUCKDB_TOKS_CTE},
+    n AS (SELECT doc_id, len(ts) AS n_toks FROM toks),
+    a AS (
+        SELECT doc_id, n_toks,
+               (sum(n_toks) OVER (ORDER BY doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW) - n_toks)
+                   // {SHARD_TOKEN_BUDGET} AS shard
+        FROM n
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           count(*) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS shard_tokens,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+               AS doc_list_md5,
+           round(CAST(sum(n_toks) AS DOUBLE) / {SHARD_TOKEN_BUDGET}, 6)
+               AS fill_frac
+    FROM a
+    GROUP BY shard
+    ORDER BY shard
+"""
+
+
+# ---------------------------------------------------------------------------
 # Concat-and-chunk sequence packing: THE LM-pretraining data-prep step
 # -- concatenate every document's token stream in deterministic
 # (doc_id, position) order and cut it into fixed SEQ_LEN training
@@ -2364,6 +2446,252 @@ C4_FILTER_ORACLE = _c4_oracle()
 
 
 # ---------------------------------------------------------------------------
+# Quality-gate stack funnel -- the counterpart of dedup_policy_funnel
+# for the FILTER side of curation: the five C4 hygiene rules, the
+# char-entropy gate, and the Gopher repetition gate applied as ONE
+# ordered stack, with each dropped document attributed to the FIRST
+# gate that fired (the ordering every production filter report uses, so
+# per-gate costs aren't double-counted).  Per stage: raw fire count
+# (order-independent), first-fire attribution, and documents remaining
+# after the stage; a final 'kept' row closes the funnel.
+#
+# Zero-token documents have no entropy/repetition row (token-stream
+# derived): LEFT join + coalesce(False) keeps them in the accounting --
+# they are already too_short, so attribution is unaffected.
+#
+# Scale: composes three already-audited single-pass plans; the flag join
+# shuffles on doc_id; the funnel itself is one combinable global
+# aggregate to a single row, exploded to 8 static stage rows -- the
+# cumulative 'remaining' is closed-form over that one row, so no window
+# anywhere.
+# ---------------------------------------------------------------------------
+
+QUALITY_GATES: list[str] = [
+    "too_short",
+    "bad_mean_len",
+    "has_blocklist",
+    "low_stopword",
+    "non_target_lang",
+    "low_entropy",
+    "repetitive",
+]
+
+
+def quality_gate_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c4 = c4_style_filter(spark, sf_dir).select(
+        "doc_id",
+        "too_short",
+        "bad_mean_len",
+        "has_blocklist",
+        "low_stopword",
+        "non_target_lang",
+    )
+    ent = text_char_entropy(spark, sf_dir).select("doc_id", "low_entropy")
+    rep = text_repetition_filter(spark, sf_dir).select("doc_id", "repetitive")
+    flags = (
+        c4.join(ent, "doc_id", "left")
+        .join(rep, "doc_id", "left")
+        .select(
+            "doc_id",
+            *QUALITY_GATES[:5],
+            F.coalesce("low_entropy", F.lit(False)).alias("low_entropy"),
+            F.coalesce("repetitive", F.lit(False)).alias("repetitive"),
+        )
+    )
+    first = F.lit("kept")
+    for g in reversed(QUALITY_GATES):
+        first = F.when(F.col(g), F.lit(g)).otherwise(first)
+    flags = flags.withColumn("first_gate", first)
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    for g in QUALITY_GATES:
+        aggs.append(
+            F.sum(F.when(F.col(g), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"fl_{g}")
+        )
+        aggs.append(
+            F.sum(F.when(F.col("first_gate") == g, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"dr_{g}")
+        )
+    one = flags.agg(*aggs)
+    structs = []
+    for i, g in enumerate(QUALITY_GATES, start=1):
+        cum = None
+        for h in QUALITY_GATES[:i]:
+            cum = F.col(f"dr_{h}") if cum is None else cum + F.col(f"dr_{h}")
+        structs.append(
+            F.struct(
+                F.lit(i).alias("stage_order"),
+                F.lit(g).alias("stage"),
+                F.col(f"fl_{g}").alias("n_flagged"),
+                F.col(f"dr_{g}").alias("n_dropped_here"),
+                (F.col("n_docs") - cum).cast("bigint").alias("n_remaining"),
+            )
+        )
+    all_drops = None
+    for g in QUALITY_GATES:
+        all_drops = (
+            F.col(f"dr_{g}") if all_drops is None else all_drops + F.col(f"dr_{g}")
+        )
+    kept = (F.col("n_docs") - all_drops).cast("bigint")
+    structs.append(
+        F.struct(
+            F.lit(len(QUALITY_GATES) + 1).alias("stage_order"),
+            F.lit("kept").alias("stage"),
+            kept.alias("n_flagged"),
+            F.lit(0).cast("bigint").alias("n_dropped_here"),
+            kept.alias("n_remaining"),
+        )
+    )
+    return (
+        one.select(F.explode(F.array(*structs)).alias("s"))
+        .select(
+            F.col("s.stage_order").alias("stage_order"),
+            F.col("s.stage").alias("stage"),
+            F.col("s.n_flagged").alias("n_flagged"),
+            F.col("s.n_dropped_here").alias("n_dropped_here"),
+            F.col("s.n_remaining").alias("n_remaining"),
+        )
+        .orderBy("stage_order")
+    )
+
+
+def _quality_stack_oracle() -> str:
+    first = "CASE " + " ".join(
+        f"WHEN {g} THEN '{g}'" for g in QUALITY_GATES
+    ) + " ELSE 'kept' END"
+    selects = []
+    for i, g in enumerate(QUALITY_GATES, start=1):
+        fired = ", ".join(f"'{h}'" for h in QUALITY_GATES[:i])
+        selects.append(f"""    SELECT {i} AS stage_order, '{g}' AS stage,
+           CAST(sum(CASE WHEN {g} THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+           CAST(sum(CASE WHEN first_gate = '{g}' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dropped_here,
+           CAST(count(*) - sum(CASE WHEN first_gate IN ({fired})
+                                    THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_remaining
+    FROM flags2""")
+    selects.append(f"""    SELECT {len(QUALITY_GATES) + 1} AS stage_order, 'kept' AS stage,
+           CAST(sum(CASE WHEN first_gate = 'kept' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_flagged,
+           CAST(0 AS BIGINT) AS n_dropped_here,
+           CAST(sum(CASE WHEN first_gate = 'kept' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_remaining
+    FROM flags2""")
+    unioned = "\n    UNION ALL\n".join(selects)
+    return f"""
+    WITH flags AS (
+        SELECT c4.doc_id,
+               c4.too_short, c4.bad_mean_len, c4.has_blocklist,
+               c4.low_stopword, c4.non_target_lang,
+               coalesce(e.low_entropy, FALSE) AS low_entropy,
+               coalesce(r.repetitive, FALSE) AS repetitive
+        FROM ({C4_FILTER_ORACLE}) c4
+        LEFT JOIN ({CHAR_ENTROPY_ORACLE}) e USING (doc_id)
+        LEFT JOIN ({REPETITION_ORACLE}) r USING (doc_id)
+    ),
+    flags2 AS (SELECT *, {first} AS first_gate FROM flags)
+{unioned}
+    ORDER BY stage_order
+"""
+
+
+QUALITY_STACK_ORACLE = _quality_stack_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Perplexity-band mixture report -- the quality-stratified corpus
+# composition a curriculum/mixture designer reads: documents bucketed by
+# their unigram-LM perplexity proxy (text_unigram_logprob's already
+# cross-engine-stable ppl) into fixed bands, rolled up per (lang, band)
+# with document and token mass plus each band's share of its language.
+# Fixed thresholds (not data-derived quantiles) keep band membership
+# stable under corpus appends -- the same reasoning as the fixed-width
+# histogram.
+#
+# Scale: the logprob pipeline's one token scan + word-keyed shuffle,
+# then a combinable (lang, band) rollup joined against the tiny per-lang
+# totals (broadcast).  No windows.
+# ---------------------------------------------------------------------------
+
+PPL_BANDS: list[float] = [50.0, 100.0, 200.0, 400.0]
+
+
+def _ppl_band_label(idx: int) -> str:
+    if idx == 0:
+        return f"b0_lt_{int(PPL_BANDS[0])}"
+    if idx == len(PPL_BANDS):
+        return f"b{idx}_ge_{int(PPL_BANDS[-1])}"
+    return f"b{idx}_{int(PPL_BANDS[idx - 1])}_{int(PPL_BANDS[idx])}"
+
+
+def perplexity_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    ppl = text_unigram_logprob(spark, sf_dir).select(
+        "doc_id", "n_tokens", "ppl"
+    )
+    band = F.lit(_ppl_band_label(len(PPL_BANDS)))
+    for i in range(len(PPL_BANDS) - 1, -1, -1):
+        band = F.when(
+            F.col("ppl") < PPL_BANDS[i], F.lit(_ppl_band_label(i))
+        ).otherwise(band)
+    per = (
+        ppl.join(docs, "doc_id")
+        .groupBy("lang", band.alias("ppl_band"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+    )
+    lang_tot = per.groupBy("lang").agg(
+        F.sum("n_docs").cast("bigint").alias("lang_docs")
+    )
+    return (
+        per.join(F.broadcast(lang_tot), "lang")
+        .select(
+            "lang",
+            "ppl_band",
+            "n_docs",
+            "n_tokens",
+            F.round(
+                F.col("n_docs").cast("double") / F.col("lang_docs"), 6
+            ).alias("share_of_lang"),
+        )
+        .orderBy("lang", "ppl_band")
+    )
+
+
+def _ppl_buckets_oracle() -> str:
+    band = "CASE " + " ".join(
+        f"WHEN ppl < {PPL_BANDS[i]} THEN '{_ppl_band_label(i)}'"
+        for i in range(len(PPL_BANDS))
+    ) + f" ELSE '{_ppl_band_label(len(PPL_BANDS))}' END"
+    return f"""
+    WITH scored AS ({UNIGRAM_LOGPROB_ORACLE}),
+    per AS (
+        SELECT d.lang, {band} AS ppl_band,
+               count(*) AS n_docs,
+               CAST(sum(s.n_tokens) AS BIGINT) AS n_tokens
+        FROM scored s JOIN documents d USING (doc_id)
+        GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT lang, CAST(sum(n_docs) AS BIGINT) AS lang_docs
+        FROM per GROUP BY lang
+    )
+    SELECT lang, ppl_band, n_docs, n_tokens,
+           round(CAST(n_docs AS DOUBLE) / lang_docs, 6) AS share_of_lang
+    FROM per JOIN tot USING (lang)
+    ORDER BY lang, ppl_band
+"""
+
+
+PPL_BUCKETS_ORACLE = _ppl_buckets_oracle()
+
+
+
+# ---------------------------------------------------------------------------
 # Cross-source vocabulary overlap via MinHash signatures -- the corpus-
 # composition diagnostic (are two crawl sources near-mirrors?) computed
 # WITHOUT ever joining the two vocabularies: each source is reduced to a
@@ -2860,6 +3188,13 @@ TEXT_ANALYSIS_QUERIES: list[tuple[str, object, str | None]] = [
     # iterative K-round corpus rewrite: not one SQL statement -> rows-only
     ("bpe_learn_merges", bpe_learn_merges, None),
     ("bpe_pair_counts", bpe_pair_counts, BPE_PAIR_ORACLE),
+    ("training_shard_manifest", training_shard_manifest, SHARD_MANIFEST_ORACLE),
+    ("quality_gate_stack", quality_gate_stack, QUALITY_STACK_ORACLE),
+    (
+        "perplexity_quality_buckets",
+        perplexity_quality_buckets,
+        PPL_BUCKETS_ORACLE,
+    ),
     # applies the iteratively-learned merge table -> rows-only; encoding
     # checked against an independent pure-Python BPE in pytest
     ("bpe_encode_documents", bpe_encode_documents, None),

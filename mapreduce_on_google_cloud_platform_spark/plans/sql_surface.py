@@ -54,6 +54,10 @@ _PORTABLE: list[tuple[str, str]] = [
     ("incremental_segment_revenue_sql", pipeline.INCR_ORACLE),
     ("histogram_event_values_sql", statistics.HISTOGRAM_ORACLE),
     ("value_decile_features_sql", statistics.VALUE_DECILE_ORACLE),
+    # round 6: portable via the STRING type alias (DuckDB accepts STRING
+    # for VARCHAR; Spark rejects bare VARCHAR -- the one dialect seam)
+    ("table_stats_profile_sql", statistics.TABLE_STATS_ORACLE),
+    ("source_frequency_cap_sql", pipeline.SOURCE_CAP_ORACLE),
 ]
 
 SQL_SURFACE_QUERIES: list[tuple[str, object, str]] = [

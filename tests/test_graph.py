@@ -37,3 +37,20 @@ def test_pagerank_mass_and_hub_ordering(spark):
         assert 0 < r.pagerank_fp < 10 * PR_SCALE
     degs = sorted(r.deg for r in rows)
     assert rows[0].deg >= degs[len(degs) // 2]
+
+
+def test_neardup_degree_profile_invariants(spark):
+    """Degree-0 mass + edge-bearing docs partition the corpus; shares
+    sum to 1; total degree mass is twice the pair count."""
+    import duckdb
+
+    from .conftest import SF_SMOKE
+
+    rows = QUERIES["neardup_degree_profile"](spark, SF_SMOKE).collect()
+    n_docs = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{SF_SMOKE}/documents.parquet')"
+    ).fetchone()[0]
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-3
+    n_pairs = QUERIES["dedup_ngram_jaccard"](spark, SF_SMOKE).count()
+    assert sum(r.degree * r.n_docs for r in rows) == 2 * n_pairs

@@ -225,3 +225,18 @@ def test_embedding_alignment_audit_is_consistent(spark):
     assert r.n_matched == r.n_docs - r.docs_without_vec
     assert r.n_matched <= min(r.n_docs, r.n_vecs)
     assert r.aligned == (r.docs_without_vec == 0 and r.vecs_without_doc == 0)
+
+
+def test_source_frequency_cap_invariants(spark):
+    """Cap is exact: no source keeps more than SOURCE_CAP docs;
+    kept + dropped partitions each source; a source under the cap
+    keeps everything."""
+    from mapreduce_on_google_cloud_platform_spark.operators.pipeline import SOURCE_CAP
+
+    rows = QUERIES["source_frequency_cap"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.n_kept <= SOURCE_CAP
+        assert r.n_kept + r.n_dropped == r.n_docs
+        if r.n_docs <= SOURCE_CAP:
+            assert r.n_kept == r.n_docs and r.kept_rate == 1.0

@@ -401,3 +401,20 @@ def test_pca_gram_stats_matches_power_iteration_cov(spark):
     for d in pca:
         c = gram[(d, d)]
         assert c >= -1e-9 and math.isfinite(c)
+
+
+def test_embedding_norm_outliers_flags_partition(spark):
+    """keep/near_zero/extreme partition every vector; flags agree with
+    the emitted norm against the declared thresholds."""
+    from mapreduce_on_google_cloud_platform_spark.operators.similarity import (
+        NORM_HI,
+        NORM_LO,
+    )
+
+    rows = QUERIES["embedding_norm_outliers"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert (r.near_zero + r.extreme + r.keep) == 1
+        if r.keep:
+            # fixed-point threshold vs rounded norm: allow the 1e-6 seam
+            assert NORM_LO - 1e-5 <= r.norm <= NORM_HI + 1e-5

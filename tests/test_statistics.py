@@ -207,3 +207,17 @@ def test_daily_anomaly_zscores_standardized(spark):
     for t, grp in by_type.items():
         mean_z = sum(r.z for r in grp) / len(grp)
         assert abs(mean_z) < 1e-3, t
+
+
+def test_table_stats_profile_invariants(spark):
+    """NDV never exceeds row count; the primary key's NDV equals it;
+    min <= max as rendered values for the key."""
+    rows = {r.column_name: r for r in QUERIES["table_stats_profile"](spark, SF_SMOKE).collect()}
+    n_rows = {r.n_rows for r in rows.values()}
+    assert len(n_rows) == 1
+    (n,) = n_rows
+    for r in rows.values():
+        assert r.n_distinct + r.n_nulls <= n + (1 if r.n_nulls else 0)
+        assert r.n_distinct <= n
+    assert rows["o_orderkey"].n_distinct == n
+    assert int(rows["o_orderkey"].min_value) <= int(rows["o_orderkey"].max_value)

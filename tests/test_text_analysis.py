@@ -552,3 +552,49 @@ def test_bpe_pair_counts_first_row_is_first_merge(spark):
     m1 = QUERIES["bpe_learn_merges"](spark, SF_SMOKE).limit(1).collect()[0]
     assert (top.a, top.b, top.pair_count) == (m1.left, m1.right, m1.pair_count)
     assert top.rnk == 1
+
+
+def test_training_shard_manifest_consistent_with_packing(spark):
+    """The manifest is token_budget_packing's assignment + checksums:
+    shard/doc/token columns must agree row-for-row."""
+    man = {r.shard: r for r in QUERIES["training_shard_manifest"](spark, SF_SMOKE).collect()}
+    pack = {r.shard: r for r in QUERIES["token_budget_packing"](spark, SF_SMOKE).collect()}
+    assert set(man) == set(pack)
+    for s, p in pack.items():
+        m = man[s]
+        assert (m.n_docs, m.shard_tokens, m.first_doc, m.last_doc) == (
+            p.n_docs, p.shard_tokens, p.first_doc, p.last_doc)
+        assert len(m.doc_list_md5) == 32
+
+
+def test_quality_gate_stack_funnel_invariants(spark):
+    """Remaining is non-increasing, drops partition the corpus, the
+    kept row closes the funnel, and first-fire attribution never
+    exceeds the raw fire count."""
+    rows = QUERIES["quality_gate_stack"](spark, SF_SMOKE).collect()
+    assert [r.stage_order for r in rows] == list(range(1, 9))
+    n_docs = rows[0].n_dropped_here + rows[0].n_remaining
+    prev = n_docs
+    total_dropped = 0
+    for r in rows[:-1]:
+        assert r.n_dropped_here <= r.n_flagged
+        assert r.n_remaining == prev - r.n_dropped_here
+        prev = r.n_remaining
+        total_dropped += r.n_dropped_here
+    kept = rows[-1]
+    assert kept.stage == "kept"
+    assert kept.n_remaining == n_docs - total_dropped
+    assert kept.n_flagged == kept.n_remaining
+
+
+def test_perplexity_buckets_shares_sum_to_one(spark):
+    from collections import defaultdict
+
+    rows = QUERIES["perplexity_quality_buckets"](spark, SF_SMOKE).collect()
+    assert rows
+    shares = defaultdict(float)
+    for r in rows:
+        shares[r.lang] += r.share_of_lang
+        assert r.n_docs > 0
+    for lang, s in shares.items():
+        assert abs(s - 1.0) < 1e-3, lang
