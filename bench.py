@@ -170,6 +170,9 @@ HEADLINE = [
     "table_stats_profile",
     "neardup_degree_profile",
     "embedding_norm_outliers",
+    "cosine_threshold_curve",
+    "kn_continuation_probs",
+    "lang_token_budget_selection",
     # dedup_method_eval re-runs five declared pipelines; its components
     # are each benched above, so it is left out of the headline suite
 ]

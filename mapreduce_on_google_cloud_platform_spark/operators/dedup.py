@@ -1063,6 +1063,100 @@ def _embedding_lsh_oracle() -> str:
 """
 
 
+# ---------------------------------------------------------------------------
+# Cosine-threshold sensitivity curve -- the embedding-side twin of
+# jaccard_threshold_curve: how many LSH-bucketed candidate pairs survive
+# each cosine cutoff, the tuning table for COSINE_NEAR_DUP.  Candidates
+# come from the SAME deterministic hyperplane buckets as
+# dedup_embedding_lsh (never all-pairs), scored once; the ladder is one
+# conditional-sum aggregate over that single pair stream.
+#
+# Scale: one signature pass + one bucket-equi self-join (per-bucket
+# bounded), then a single-row global aggregate exploded to the static
+# ladder -- the threshold table costs one extra reduction over the
+# dedup plan it tunes.
+# ---------------------------------------------------------------------------
+
+COSINE_LADDER = (0.3, 0.4, 0.5, 0.7, 0.9)
+
+
+def cosine_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import _lsh_bucket_col  # shared planes
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    en = flat_normalized(emb)
+    sig = en.withColumn("bucket", _lsh_bucket_col("x")).persist()
+    a = sig.alias("a")
+    b = sig.select(
+        F.col("vec_id").alias("b_vec_id"),
+        F.col("bucket").alias("b_bucket"),
+        *[F.col(f"x{i}").alias(f"bx{i}") for i in range(64)],
+    )
+    pairs = (
+        a.join(b, F.col("a.bucket") == F.col("b_bucket"))
+        .filter(F.col("a.vec_id") < F.col("b_vec_id"))
+        .select(flat_dot("a.x", "bx").alias("cos_sim"))
+    )
+    aggs = [F.count(F.lit(1)).alias("n_candidate_pairs")]
+    for t in COSINE_LADDER:
+        aggs.append(
+            F.sum(F.when(F.col("cos_sim") >= t, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"ge_{str(t).replace('.', '_')}")
+        )
+    one = pairs.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("threshold"),
+                F.col(f"ge_{str(t).replace('.', '_')}").alias("n_pairs_kept"),
+            )
+            for t in COSINE_LADDER
+        ]
+    )
+    return (
+        one.select("n_candidate_pairs", F.explode(rows).alias("r"))
+        .select(
+            F.col("r.threshold").alias("threshold"),
+            F.col("r.n_pairs_kept").alias("n_pairs_kept"),
+            "n_candidate_pairs",
+            F.round(
+                F.col("r.n_pairs_kept").cast("double")
+                / F.greatest(F.col("n_candidate_pairs"), F.lit(1)),
+                6,
+            ).alias("keep_fraction"),
+        )
+        .orderBy("threshold")
+    )
+
+
+def _cosine_curve_oracle() -> str:
+    from .similarity import _lsh_bucket_sql
+
+    selects = "\n    UNION ALL\n".join(
+        f"""    SELECT CAST({t} AS DOUBLE) AS threshold,
+           CAST(sum(CASE WHEN cos_sim >= {t} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pairs_kept,
+           count(*) AS n_candidate_pairs,
+           round(CAST(sum(CASE WHEN cos_sim >= {t} THEN 1 ELSE 0 END)
+                      AS DOUBLE) / greatest(count(*), 1), 6) AS keep_fraction
+    FROM pairs"""
+        for t in COSINE_LADDER
+    )
+    return f"""
+    WITH {SQL_NORMALIZED_CTE},
+    sig AS (
+        SELECT vec_id, vn, ({_lsh_bucket_sql('vn')}) AS bucket FROM en
+    ),
+    pairs AS (
+        SELECT {sql_dot('a.vn', 'b.vn')} AS cos_sim
+        FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+{selects}
+    ORDER BY threshold
+"""
+
+
 def semantic_dedup_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-modality dedup: embedding-LSH candidates verified by exact
     text Jaccard.
@@ -2165,6 +2259,7 @@ DEDUP_QUERIES: list[tuple[str, object, str | None]] = [
     ("simhash_near_pairs", simhash_near_pairs, SIMHASH_PAIRS_ORACLE),
     ("dedup_embedding_pairs", dedup_embedding_pairs, EMBEDDING_PAIRS_ORACLE),
     ("dedup_embedding_lsh", dedup_embedding_lsh, _embedding_lsh_oracle()),
+    ("cosine_threshold_curve", cosine_threshold_curve, _cosine_curve_oracle()),
     ("semantic_dedup_hybrid", semantic_dedup_hybrid, _semantic_hybrid_oracle()),
     ("dedup_clusters", dedup_clusters, DEDUP_CLUSTERS_ORACLE),
     ("dedup_cluster_survivors", dedup_cluster_survivors, DEDUP_SURVIVORS_ORACLE),

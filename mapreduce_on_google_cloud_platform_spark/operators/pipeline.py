@@ -1421,8 +1421,126 @@ SOURCE_CAP_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Per-language token-budget selection -- the "fill each language's
+# training quota" curation step: within every language, documents are
+# admitted longest-first (n_tokens desc, doc_id tiebreak -- a
+# deterministic stand-in for a quality ordering) until the language's
+# token budget (BUDGET_NUM/BUDGET_DEN of its total token mass, integer
+# floor) is exhausted.  Unlike corpus_mixture_sample's rate-based
+# thinning, the constraint here is an exact token BUDGET, which is how
+# pretraining mixes are actually specified.
+#
+# All arithmetic is integer until the final rounded fill ratio, so the
+# admitted set is identical on any engine/partitioning.  Scale: one
+# token-count scan, a lang-PARTITIONED cumsum window (each language
+# sorts independently; language count bounds the parallelism loss), a
+# broadcast per-lang totals join, and a combinable per-lang rollup.
+# ---------------------------------------------------------------------------
+
+BUDGET_NUM, BUDGET_DEN = 1, 2  # keep up to half of each language's tokens
+
+
+def lang_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.select(
+        "lang", "doc_id", F.size(tokenize(F.col("text"))).alias("n_toks")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.desc("n_toks"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum("n_toks").over(w).alias("cum_toks")
+    tot = counts.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("lang_tokens"),
+    )
+    flagged = (
+        counts.select("lang", "n_toks", cum)
+        .join(F.broadcast(tot), "lang")
+        .withColumn(
+            "budget_tokens",
+            F.expr(f"(lang_tokens * {BUDGET_NUM}) div {BUDGET_DEN}"),
+        )
+        .withColumn("kept", F.col("cum_toks") <= F.col("budget_tokens"))
+    )
+    k = F.when(F.col("kept"), 1).otherwise(0)
+    return (
+        flagged.groupBy("lang")
+        .agg(
+            F.max("n_docs").alias("n_docs"),
+            F.max("lang_tokens").alias("lang_tokens"),
+            F.max("budget_tokens").alias("budget_tokens"),
+            F.sum(k).cast("bigint").alias("kept_docs"),
+            F.sum(k * F.col("n_toks")).cast("bigint").alias("kept_tokens"),
+        )
+        .select(
+            "*",
+            F.round(
+                F.col("kept_tokens").cast("double")
+                / F.greatest(F.col("budget_tokens"), F.lit(1)),
+                6,
+            ).alias("budget_fill"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _lang_budget_oracle() -> str:
+    from ..operators.text_analysis import DUCKDB_TOKS_CTE
+
+    return f"""
+    WITH {DUCKDB_TOKS_CTE},
+    counts AS (
+        SELECT d.lang, d.doc_id, len(t.ts) AS n_toks
+        FROM documents d JOIN toks t USING (doc_id)
+    ),
+    cumd AS (
+        SELECT lang, n_toks,
+               sum(n_toks) OVER (PARTITION BY lang
+                                 ORDER BY n_toks DESC, doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS cum_toks
+        FROM counts
+    ),
+    tot AS (
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(n_toks) AS BIGINT) AS lang_tokens
+        FROM counts GROUP BY lang
+    ),
+    flagged AS (
+        SELECT c.lang, c.n_toks, t.n_docs, t.lang_tokens,
+               (t.lang_tokens * {BUDGET_NUM}) // {BUDGET_DEN} AS budget_tokens,
+               c.cum_toks <= (t.lang_tokens * {BUDGET_NUM}) // {BUDGET_DEN}
+                   AS kept
+        FROM cumd c JOIN tot t USING (lang)
+    )
+    SELECT lang,
+           max(n_docs) AS n_docs,
+           max(lang_tokens) AS lang_tokens,
+           max(budget_tokens) AS budget_tokens,
+           CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+           CAST(sum(CASE WHEN kept THEN n_toks ELSE 0 END) AS BIGINT)
+               AS kept_tokens,
+           round(CAST(sum(CASE WHEN kept THEN n_toks ELSE 0 END) AS DOUBLE)
+                 / greatest(max(budget_tokens), 1), 6) AS budget_fill
+    FROM flagged
+    GROUP BY lang
+    ORDER BY lang
+"""
+
+
+LANG_BUDGET_ORACLE = _lang_budget_oracle()
+
+
 PIPELINE_QUERIES: list[tuple[str, object, str | None]] = [
     ("source_frequency_cap", source_frequency_cap, SOURCE_CAP_ORACLE),
+    (
+        "lang_token_budget_selection",
+        lang_token_budget_selection,
+        LANG_BUDGET_ORACLE,
+    ),
     ("curation_pipeline", curation_pipeline, CURATION_ORACLE),
     ("merge_upsert_orders", merge_upsert_orders, MERGE_UPSERT_ORACLE),
     ("corpus_release_pipeline", corpus_release_pipeline, RELEASE_ORACLE),

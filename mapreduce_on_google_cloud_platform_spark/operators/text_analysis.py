@@ -3155,7 +3155,81 @@ LENGTH_BUCKET_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Kneser-Ney continuation statistics -- the smoothing table behind every
+# serious n-gram LM: a word's continuation probability is the number of
+# DISTINCT left contexts it follows, over the total number of distinct
+# bigram types (not raw frequency -- 'francisco' is frequent but follows
+# almost nothing except 'san', so its continuation mass is tiny).  The
+# complement of text_bigram_logprob's raw conditional MLE; emitted per
+# vocabulary word beside its raw frequency so the divergence between the
+# two distributions is visible.
+#
+# Scale: the bigram-type table is a distinct over (prev, word) -- one
+# combinable shuffle on the pair key at vocabulary-pair cardinality (far
+# below the token stream, Zipf); cont counts are a combinable groupBy on
+# word; the type total is one broadcast scalar.  All integers until the
+# single rounded division.
+# ---------------------------------------------------------------------------
+
+
+def kn_continuation_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_with_pos(docs)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bi = toks.select(
+        F.lag("word", 1).over(w).alias("prev"), "word"
+    ).filter(F.col("prev").isNotNull())
+    types = bi.select("prev", "word").distinct()
+    cont = types.groupBy("word").agg(
+        F.count(F.lit(1)).alias("cont_count")
+    )
+    total = types.agg(F.count(F.lit(1)).alias("total_types"))
+    freq = toks.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    return (
+        freq.join(cont, "word", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "word",
+            "freq",
+            F.coalesce("cont_count", F.lit(0).cast("bigint")).alias(
+                "cont_count"
+            ),
+            F.round(
+                F.coalesce("cont_count", F.lit(0)).cast("double")
+                / F.col("total_types"),
+                9,
+            ).alias("p_continuation"),
+        )
+        .orderBy("word")
+    )
+
+
+KN_CONTINUATION_ORACLE = f"""
+    WITH {DUCKDB_TOKS_CTE},
+    stream AS (
+        SELECT doc_id, i, ts[i] AS word
+        FROM toks, unnest(range(1, len(ts) + 1)) t(i)
+    ),
+    bi AS (
+        SELECT ts[i] AS prev, ts[i+1] AS word
+        FROM toks, unnest(range(1, len(ts))) t(i)
+    ),
+    types AS (SELECT DISTINCT prev, word FROM bi),
+    cont AS (SELECT word, count(*) AS cont_count FROM types GROUP BY word),
+    tot AS (SELECT count(*) AS total_types FROM types),
+    freq AS (SELECT word, count(*) AS freq FROM stream GROUP BY word)
+    SELECT f.word, f.freq,
+           CAST(coalesce(c.cont_count, 0) AS BIGINT) AS cont_count,
+           round(CAST(coalesce(c.cont_count, 0) AS DOUBLE) / total_types, 9)
+               AS p_continuation
+    FROM freq f LEFT JOIN cont c USING (word), tot
+    ORDER BY f.word
+"""
+
+
 TEXT_ANALYSIS_QUERIES: list[tuple[str, object, str | None]] = [
+    ("kn_continuation_probs", kn_continuation_probs, KN_CONTINUATION_ORACLE),
     ("text_normalize", text_normalize, NORMALIZE_ORACLE),
     ("text_langid", text_langid, LANGID_ORACLE),
     ("text_quality_score", text_quality_score, QUALITY_ORACLE),

@@ -371,3 +371,23 @@ def test_policy_funnel_reconciles_with_components(spark):
     # unlinked doc is its own cluster's survivor
     assert r.n_cluster_losers <= len(linked)
     assert 0.0 < r.token_keep_rate <= 1.0
+
+
+def test_cosine_threshold_curve_monotone(spark):
+    """Kept-pair counts are non-increasing in the threshold and bounded
+    by the candidate count; the COSINE_NEAR_DUP rung must agree with
+    dedup_embedding_lsh's pair count."""
+    from mapreduce_on_google_cloud_platform_spark.operators.dedup import (
+        COSINE_NEAR_DUP,
+    )
+
+    rows = QUERIES["cosine_threshold_curve"](spark, SF_SMOKE).collect()
+    assert rows
+    kept = [r.n_pairs_kept for r in rows]
+    assert kept == sorted(kept, reverse=True)
+    for r in rows:
+        assert 0 <= r.n_pairs_kept <= r.n_candidate_pairs
+    at = {r.threshold: r.n_pairs_kept for r in rows}
+    if COSINE_NEAR_DUP in at:
+        n_lsh = QUERIES["dedup_embedding_lsh"](spark, SF_SMOKE).count()
+        assert at[COSINE_NEAR_DUP] == n_lsh

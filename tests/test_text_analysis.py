@@ -598,3 +598,15 @@ def test_perplexity_buckets_shares_sum_to_one(spark):
         assert r.n_docs > 0
     for lang, s in shares.items():
         assert abs(s - 1.0) < 1e-3, lang
+
+
+def test_kn_continuation_invariants(spark):
+    """Continuation counts never exceed raw frequency's vocabulary
+    bound; probabilities sum to ~1 over the vocabulary (every bigram
+    type contributes exactly one continuation)."""
+    rows = QUERIES["kn_continuation_probs"](spark, SF_SMOKE).collect()
+    assert rows
+    total_p = sum(r.p_continuation for r in rows)
+    assert abs(total_p - 1.0) < 1e-3
+    for r in rows[:200]:
+        assert r.cont_count >= 0 and r.freq >= 1
