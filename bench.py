@@ -173,6 +173,8 @@ HEADLINE = [
     "cosine_threshold_curve",
     "kn_continuation_probs",
     "lang_token_budget_selection",
+    "event_disorder_profile",
+    "cluster_size_histogram",
     # dedup_method_eval re-runs five declared pipelines; its components
     # are each benched above, so it is left out of the headline suite
 ]

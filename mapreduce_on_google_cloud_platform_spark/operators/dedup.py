@@ -1368,6 +1368,76 @@ DEDUP_CLUSTERS_ORACLE = f"""
 
 
 # ---------------------------------------------------------------------------
+# Cluster-size histogram -- the shape report on the near-dup clustering
+# itself: a healthy corpus is overwhelmingly singletons with a thin tail
+# of small cliques; a giant component (one cluster holding a large doc
+# share) means the similarity threshold is too loose or boilerplate is
+# chaining unrelated docs, and it is THE failure mode to check before
+# trusting survivor selection.  One row per cluster size with cluster
+# count, doc mass, and doc share.
+#
+# Scale: rides the already-audited CC output; one combinable groupBy per
+# level (cluster, then size -- output bounded by max cluster size) and a
+# broadcast scalar total.
+# ---------------------------------------------------------------------------
+
+
+def cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clusters = dedup_clusters(spark, sf_dir).select("cluster_id", "cluster_size")
+    per = clusters.groupBy("cluster_id").agg(
+        F.max("cluster_size").alias("cluster_size")
+    )
+    hist = per.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters")
+    )
+    tot = hist.agg(
+        F.sum(F.col("cluster_size") * F.col("n_clusters"))
+        .cast("bigint")
+        .alias("total_docs")
+    )
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("bigint")
+            .alias("n_docs"),
+            F.round(
+                (F.col("cluster_size") * F.col("n_clusters")).cast("double")
+                / F.col("total_docs"),
+                6,
+            ).alias("share_of_docs"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+CLUSTER_SIZE_HIST_ORACLE = f"""
+    WITH per AS (
+        SELECT cluster_id, max(cluster_size) AS cluster_size
+        FROM ({DEDUP_CLUSTERS_ORACLE})
+        GROUP BY cluster_id
+    ),
+    hist AS (
+        SELECT cluster_size, count(*) AS n_clusters
+        FROM per GROUP BY cluster_size
+    ),
+    tot AS (
+        SELECT CAST(sum(cluster_size * n_clusters) AS BIGINT) AS total_docs
+        FROM hist
+    )
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           n_clusters,
+           CAST(cluster_size * n_clusters AS BIGINT) AS n_docs,
+           round(CAST(cluster_size * n_clusters AS DOUBLE) / total_docs, 6)
+               AS share_of_docs
+    FROM hist, tot
+    ORDER BY cluster_size
+"""
+
+
+# ---------------------------------------------------------------------------
 # Cluster-survivor selection: the step AFTER clustering that actually
 # deduplicates the corpus -- per near-dup cluster, keep exactly one
 # document (the "keep longest" policy real pipelines default to: most
@@ -2262,6 +2332,7 @@ DEDUP_QUERIES: list[tuple[str, object, str | None]] = [
     ("cosine_threshold_curve", cosine_threshold_curve, _cosine_curve_oracle()),
     ("semantic_dedup_hybrid", semantic_dedup_hybrid, _semantic_hybrid_oracle()),
     ("dedup_clusters", dedup_clusters, DEDUP_CLUSTERS_ORACLE),
+    ("cluster_size_histogram", cluster_size_histogram, CLUSTER_SIZE_HIST_ORACLE),
     ("dedup_cluster_survivors", dedup_cluster_survivors, DEDUP_SURVIVORS_ORACLE),
     ("doc_pair_passage_overlap", doc_pair_passage_overlap, _passage_overlap_oracle()),
     ("incremental_dedup_new_docs", incremental_dedup_new_docs, INCREMENTAL_DEDUP_ORACLE),

@@ -956,7 +956,92 @@ def _session_curve_oracle() -> str:
 SESSION_CURVE_ORACLE = _session_curve_oracle()
 
 
+# ---------------------------------------------------------------------------
+# Out-of-order arrival profile -- the measurement that SIZES a streaming
+# watermark instead of guessing it: treating event_id as the ingest
+# (arrival) order, an event's lateness is how far behind its user's
+# running event-time high-water mark it arrived.  The power-of-two
+# lateness histogram (interarrival_profile's engine-portable
+# bit-length bucket idiom -- no log2, which differs across engines)
+# reads directly as "a watermark of 2^k microseconds would admit this
+# share of events"; bucket -1 is the in-order mass.
+#
+# Scale: one per-user PARTITIONED running-max window over the arrival
+# order, a combinable bucket groupBy (<= 64 buckets), one broadcast
+# scalar total.  The same shape as interarrival_profile.
+# ---------------------------------------------------------------------------
+
+
+def event_disorder_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    us = F.unix_micros("ts")
+    late = ev.select((F.max(us).over(w) - us).alias("lateness_us"))
+    bucket = (
+        F.when(
+            F.col("lateness_us").isNull() | (F.col("lateness_us") <= 0),
+            F.lit(-1),
+        )
+        .otherwise(F.length(F.bin(F.col("lateness_us") + 1)) - 1)
+        .cast("int")
+    )
+    keyed = late.select(bucket.alias("bucket"), "lateness_us")
+    total = keyed.agg(F.count(F.lit(1)).alias("total_n"))
+    return (
+        keyed.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("lateness_us").alias("min_lateness_us"),
+            F.max("lateness_us").alias("max_lateness_us"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "bucket",
+            "n_events",
+            "min_lateness_us",
+            "max_lateness_us",
+            F.round(
+                F.col("n_events").cast("double") / F.col("total_n"), 6
+            ).alias("share"),
+        )
+        .orderBy("bucket")
+    )
+
+
+DISORDER_ORACLE = """
+    WITH late AS (
+        SELECT CAST(max(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               - epoch_us(ts) AS BIGINT) AS lateness_us
+        FROM events
+    ),
+    keyed AS (
+        SELECT CASE WHEN lateness_us IS NULL OR lateness_us <= 0 THEN -1
+                    ELSE CAST(length(printf('%b', lateness_us + 1)) - 1
+                              AS INTEGER)
+               END AS bucket,
+               lateness_us
+        FROM late
+    ),
+    total AS (SELECT count(*) AS total_n FROM keyed)
+    SELECT bucket,
+           count(*) AS n_events,
+           min(lateness_us) AS min_lateness_us,
+           max(lateness_us) AS max_lateness_us,
+           round(CAST(count(*) AS DOUBLE) / any_value(total_n), 6) AS share
+    FROM keyed, total
+    GROUP BY bucket
+    ORDER BY bucket
+"""
+
+
 TEMPORAL_QUERIES: list[tuple[str, object, str | None]] = [
+    ("event_disorder_profile", event_disorder_profile, DISORDER_ORACLE),
     ("asof_join_purchase_view", asof_join_purchase_view, ASOF_ORACLE),
     ("asof_forward_purchase_view", asof_forward_purchase_view, ASOF_FORWARD_ORACLE),
     ("range_join_purchase_views_1h", range_join_purchase_views_1h, RANGE_JOIN_ORACLE),

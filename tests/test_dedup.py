@@ -391,3 +391,20 @@ def test_cosine_threshold_curve_monotone(spark):
     if COSINE_NEAR_DUP in at:
         n_lsh = QUERIES["dedup_embedding_lsh"](spark, SF_SMOKE).count()
         assert at[COSINE_NEAR_DUP] == n_lsh
+
+
+def test_cluster_size_histogram_consistency(spark):
+    """Doc mass equals the corpus; histogram agrees with dedup_clusters'
+    per-cluster sizes."""
+    from collections import Counter
+
+    rows = QUERIES["cluster_size_histogram"](spark, SF_SMOKE).collect()
+    clusters = QUERIES["dedup_clusters"](spark, SF_SMOKE).collect()
+    sizes = Counter()
+    seen = set()
+    for r in clusters:
+        if r.cluster_id not in seen:
+            seen.add(r.cluster_id)
+            sizes[r.cluster_size] += 1
+    assert {r.cluster_size: r.n_clusters for r in rows} == dict(sizes)
+    assert sum(r.n_docs for r in rows) == len(clusters)

@@ -255,3 +255,20 @@ def test_session_curve_monotone_and_agrees_with_sessionization(spark):
     step_30m = next(r for r in rows if r.timeout_sec == 1800)
     n_sessions = QUERIES["session_windows_users"](spark, SF_SMOKE).count()
     assert step_30m.n_sessions == n_sessions
+
+
+def test_event_disorder_profile_invariants(spark):
+    """Shares sum to 1 over all events; positive-lateness buckets hold
+    the 2^k ranges the bit-length idiom promises."""
+    import duckdb
+
+    rows = QUERIES["event_disorder_profile"](spark, SF_SMOKE).collect()
+    n_events = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{SF_SMOKE}/events.parquet')"
+    ).fetchone()[0]
+    assert sum(r.n_events for r in rows) == n_events
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-3
+    for r in rows:
+        if r.bucket >= 0:
+            assert 2**r.bucket <= r.min_lateness_us + 1
+            assert r.max_lateness_us + 1 < 2 ** (r.bucket + 1)
