@@ -175,6 +175,9 @@ HEADLINE = [
     "lang_token_budget_selection",
     "event_disorder_profile",
     "cluster_size_histogram",
+    "tfidf_topk_terms",
+    "kmeans_cluster_quality",
+    "join_cardinality_estimate",
     # dedup_method_eval re-runs five declared pipelines; its components
     # are each benched above, so it is left out of the headline suite
 ]

@@ -2342,7 +2342,99 @@ BACKLOG_ORACLE = """
     ORDER BY day
 """
 
+# ---------------------------------------------------------------------------
+# Join-cardinality estimator -- the planner statistic behind every join
+# sizing decision: |A join B on k| = sum_k cnt_A(k) * cnt_B(k), computed
+# EXACTLY from two per-key count tables.  Two specimen joins: the 1:N
+# orders x lineitem fact join, and the events-on-user self-join whose
+# sum-of-squares is the classic blowup this estimate exists to warn
+# about (join_key_skew_profile's hot keys are the per-key view of the
+# same hazard; this is the total).
+#
+# Scale: per side one map-side-combinable groupBy on the key; the key
+# tables join on k (both far smaller than their fact tables); totals are
+# broadcast scalars.  The estimate costs two count aggregates, not the
+# join it predicts.
+# ---------------------------------------------------------------------------
+
+
+def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    events = load_table(spark, sf_dir, "events")
+
+    def profile(label: str, left: DataFrame, lk: str, right: DataFrame, rk: str) -> DataFrame:
+        ca = left.groupBy(F.col(lk).alias("k")).agg(
+            F.count(F.lit(1)).alias("ca")
+        )
+        cb = right.groupBy(F.col(rk).alias("k")).agg(
+            F.count(F.lit(1)).alias("cb")
+        )
+        agg = ca.join(cb, "k").agg(
+            F.count(F.lit(1)).alias("common_keys"),
+            F.sum(F.col("ca") * F.col("cb")).cast("bigint").alias("join_rows"),
+            F.max(F.col("ca") * F.col("cb")).cast("bigint").alias(
+                "max_key_rows"
+            ),
+        )
+        return (
+            agg.crossJoin(
+                F.broadcast(left.agg(F.count(F.lit(1)).alias("left_rows")))
+            )
+            .crossJoin(
+                F.broadcast(right.agg(F.count(F.lit(1)).alias("right_rows")))
+            )
+            .select(
+                F.lit(label).alias("join_name"),
+                "left_rows",
+                "right_rows",
+                "common_keys",
+                "join_rows",
+                "max_key_rows",
+                F.round(
+                    F.col("join_rows").cast("double")
+                    / F.greatest(F.col("left_rows"), F.lit(1)),
+                    6,
+                ).alias("expansion_vs_left"),
+            )
+        )
+
+    return (
+        profile("events_self_user", events, "user_id", events, "user_id")
+        .unionByName(
+            profile("orders_lineitem", orders, "o_orderkey", lineitem, "l_orderkey")
+        )
+        .orderBy("join_name")
+    )
+
+
+def _join_card_oracle() -> str:
+    def spec(label, lt, lk, rt, rk):
+        return f"""    SELECT '{label}' AS join_name,
+           (SELECT count(*) FROM {lt}) AS left_rows,
+           (SELECT count(*) FROM {rt}) AS right_rows,
+           count(*) AS common_keys,
+           CAST(sum(ca * cb) AS BIGINT) AS join_rows,
+           CAST(max(ca * cb) AS BIGINT) AS max_key_rows,
+           round(CAST(sum(ca * cb) AS DOUBLE)
+                 / greatest((SELECT count(*) FROM {lt}), 1), 6)
+               AS expansion_vs_left
+    FROM (SELECT {lk} AS k, count(*) AS ca FROM {lt} GROUP BY 1) a
+    JOIN (SELECT {rk} AS k, count(*) AS cb FROM {rt} GROUP BY 1) b USING (k)"""
+
+    return (
+        spec("events_self_user", "events", "user_id", "events", "user_id")
+        + "\n    UNION ALL\n"
+        + spec("orders_lineitem", "orders", "o_orderkey", "lineitem", "l_orderkey")
+        + "\n    ORDER BY join_name"
+    )
+
+
+JOIN_CARD_ORACLE = _join_card_oracle()
+
+
 RELATIONAL_QUERIES: list[tuple[str, object, str | None]] = [
+    ("join_cardinality_estimate", join_cardinality_estimate, JOIN_CARD_ORACLE),
     ("order_backlog_daily", order_backlog_daily, BACKLOG_ORACLE),
     ("q1_pricing_summary", q1_pricing_summary, Q1_ORACLE),
     ("q3_shipping_priority", q3_shipping_priority, Q3_ORACLE),

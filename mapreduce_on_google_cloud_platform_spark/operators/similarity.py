@@ -389,6 +389,54 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign
 
 
+# ---------------------------------------------------------------------------
+# k-means cluster-quality report -- the diagnostic read before trusting
+# a codebook: per cluster, member count/share and the mean/max scaled
+# squared distance to the centroid.  A cluster with huge max_dist is a
+# catch-all (add centroids); wildly uneven member shares mean the
+# codebook under-fits the density.  Rides kmeans_assign's
+# bit-deterministic distances, floored to exact integers BEFORE any
+# aggregation: dist magnitudes are ~1e12 fixed-point units where a
+# double's ulp is ~1.2e-4, so decimal-grid quantization (tried at 38,9
+# and 38,3) sits inside the ulp and the engines' cast/round rounding
+# modes disagree on boundary expansions.  floor() of the SAME double is
+# identical everywhere, the integer sum is exact and order-free, and
+# the sub-unit truncation is irrelevant at 1e12 scale.
+#
+# Scale: one combinable groupBy on cluster_id over the assignment (k
+# groups) + a broadcast scalar total; adds nothing to the training cost.
+# ---------------------------------------------------------------------------
+
+
+def kmeans_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assign = kmeans_assign(spark, sf_dir)
+    tot = assign.agg(F.count(F.lit(1)).alias("total_n"))
+    return (
+        assign.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max(F.floor("dist")).cast("bigint").alias("max_dist_q"),
+            # single IEEE division of exact integers: bit-identical on
+            # both engines with NO rounding -- round() at this magnitude
+            # (ulp ~1e-4) is itself implementation-divergent
+            (
+                F.sum(F.floor("dist")).cast("double") / F.count(F.lit(1))
+            ).alias("mean_dist_q"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "cluster_id",
+            "n_members",
+            "max_dist_q",
+            "mean_dist_q",
+            F.round(
+                F.col("n_members").cast("double") / F.col("total_n"), 6
+            ).alias("member_share"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
 def _kmeans_oracle() -> str:
     dim, scale, stride = 64, QUANT_SCALE, CENTROID_STRIDE
     parts = [
@@ -450,6 +498,21 @@ def _kmeans_oracle() -> str:
 
 
 KMEANS_ORACLE = _kmeans_oracle()
+
+KMEANS_QUALITY_ORACLE = f"""
+    WITH a AS ({KMEANS_ORACLE}),
+    tot AS (SELECT count(*) AS total_n FROM a)
+    SELECT cluster_id,
+           count(*) AS n_members,
+           CAST(max(floor(dist)) AS BIGINT) AS max_dist_q,
+           CAST(sum(CAST(floor(dist) AS BIGINT)) AS DOUBLE)
+                 / count(*) AS mean_dist_q,
+           round(CAST(count(*) AS DOUBLE) / any_value(total_n), 6)
+               AS member_share
+    FROM a, tot
+    GROUP BY cluster_id
+    ORDER BY cluster_id
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -2076,6 +2139,7 @@ SIMILARITY_QUERIES: list[tuple[str, object, str | None]] = [
     ("embedding_dim_stats", embedding_dim_stats, DIM_STATS_ORACLE),
     ("pca_gram_stats", pca_gram_stats, PCA_GRAM_ORACLE),
     ("embedding_norm_outliers", embedding_norm_outliers, NORM_OUTLIERS_ORACLE),
+    ("kmeans_cluster_quality", kmeans_cluster_quality, KMEANS_QUALITY_ORACLE),
     # rows-only: float power iteration has no bit-exact SQL oracle; the
     # pytest twin checks direction/eigenvalue agreement vs numpy.
     ("pca_power_iteration", pca_power_iteration, None),

@@ -307,6 +307,31 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Per-document keyword extraction: the top-K terms of each document by
+# tf-idf -- the downstream consumer every tf-idf table exists for
+# (tags, routing keys, BM25 priors).  Rides text_tfidf's already
+# cross-engine-stable scores; rank is a doc-PARTITIONED row_number
+# (groups bounded by per-doc vocabulary) with the word as a total-order
+# tie-break, so the extracted keyword set is identical on any engine.
+# ---------------------------------------------------------------------------
+
+TFIDF_TOPK = 5
+
+
+def tfidf_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = text_tfidf(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("word"))
+    return (
+        scored.withColumn(
+            "term_rank", F.row_number().over(w).cast("int")
+        )
+        .filter(F.col("term_rank") <= TFIDF_TOPK)
+        .select("doc_id", "term_rank", "word", "tf", "df_docs", "tfidf")
+        .orderBy("doc_id", "term_rank")
+    )
+
+
 TFIDF_ORACLE = f"""
     WITH {DUCKDB_TOKS_CTE},
     tok AS (SELECT doc_id, unnest(ts) AS word FROM toks),
@@ -318,6 +343,20 @@ TFIDF_ORACLE = f"""
                      AS DECIMAL(18,9)) AS DOUBLE) * tf.tf AS tfidf
     FROM tf JOIN dfq USING (word) CROSS JOIN nd
 """
+
+
+TFIDF_TOPK_ORACLE = f"""
+    SELECT doc_id, term_rank, word, tf, df_docs, tfidf
+    FROM (
+        SELECT *, CAST(row_number() OVER (
+                   PARTITION BY doc_id ORDER BY tfidf DESC, word
+               ) AS INTEGER) AS term_rank
+        FROM ({TFIDF_ORACLE})
+    )
+    WHERE term_rank <= {TFIDF_TOPK}
+    ORDER BY doc_id, term_rank
+"""
+
 
 
 def text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3230,6 +3269,7 @@ KN_CONTINUATION_ORACLE = f"""
 
 TEXT_ANALYSIS_QUERIES: list[tuple[str, object, str | None]] = [
     ("kn_continuation_probs", kn_continuation_probs, KN_CONTINUATION_ORACLE),
+    ("tfidf_topk_terms", tfidf_topk_terms, TFIDF_TOPK_ORACLE),
     ("text_normalize", text_normalize, NORMALIZE_ORACLE),
     ("text_langid", text_langid, LANGID_ORACLE),
     ("text_quality_score", text_quality_score, QUALITY_ORACLE),

@@ -142,3 +142,18 @@ def test_order_backlog_sweep_reconciles(spark):
     for r in rows:
         assert r.backlog >= 0
     assert rows[-1].backlog == 0
+
+
+def test_join_cardinality_estimate_is_exact(spark):
+    """The estimate IS the actual join cardinality -- check both
+    specimen joins by running them."""
+    from mapreduce_on_google_cloud_platform_spark.sources import load_table
+
+    rows = {r.join_name: r for r in QUERIES["join_cardinality_estimate"](spark, SF_SMOKE).collect()}
+    orders = load_table(spark, SF_SMOKE, "orders")
+    lineitem = load_table(spark, SF_SMOKE, "lineitem")
+    events = load_table(spark, SF_SMOKE, "events")
+    ol = orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey).count()
+    assert rows["orders_lineitem"].join_rows == ol
+    e2 = events.alias("a").join(events.alias("b"), "user_id").count()
+    assert rows["events_self_user"].join_rows == e2

@@ -418,3 +418,27 @@ def test_embedding_norm_outliers_flags_partition(spark):
         if r.keep:
             # fixed-point threshold vs rounded norm: allow the 1e-6 seam
             assert NORM_LO - 1e-5 <= r.norm <= NORM_HI + 1e-5
+
+
+def test_kmeans_cluster_quality_consistency(spark):
+    """Member shares sum to 1; per-cluster floor-int distance stats agree
+    with the raw assignment."""
+    import math
+    from collections import defaultdict
+
+    quality = {r.cluster_id: r for r in QUERIES["kmeans_cluster_quality"](spark, SF_SMOKE).collect()}
+    assign = QUERIES["kmeans_assign"](spark, SF_SMOKE).collect()
+    agg = defaultdict(lambda: [0, 0, 0])  # n, sum_floor, max_floor
+    for r in assign:
+        a = agg[r.cluster_id]
+        a[0] += 1
+        a[1] += math.floor(r.dist)
+        a[2] = max(a[2], math.floor(r.dist))
+    assert set(agg) == set(quality)
+    share = 0.0
+    for cid, (n, s, mx) in agg.items():
+        q = quality[cid]
+        assert q.n_members == n and q.max_dist_q == mx
+        assert q.mean_dist_q == s / n
+        share += q.member_share
+    assert abs(share - 1.0) < 1e-3

@@ -610,3 +610,24 @@ def test_kn_continuation_invariants(spark):
     assert abs(total_p - 1.0) < 1e-3
     for r in rows[:200]:
         assert r.cont_count >= 0 and r.freq >= 1
+
+
+def test_tfidf_topk_terms_agrees_with_tfidf(spark):
+    """Ranks are 1..K per doc and each row's score matches the full
+    tf-idf table; rank 1 is the doc's max score."""
+    topk = QUERIES["tfidf_topk_terms"](spark, SF_SMOKE).collect()
+    assert topk
+    full = {}
+    for r in QUERIES["text_tfidf"](spark, SF_SMOKE).collect():
+        full.setdefault(r.doc_id, {})[r.word] = r.tfidf
+    from collections import defaultdict
+
+    ranks = defaultdict(list)
+    for r in topk:
+        ranks[r.doc_id].append(r.term_rank)
+        assert full[r.doc_id][r.word] == r.tfidf
+    for doc_id, rs in list(ranks.items())[:100]:
+        assert sorted(rs) == list(range(1, len(rs) + 1))
+        best = max(full[doc_id].values())
+        top1 = next(r for r in topk if r.doc_id == doc_id and r.term_rank == 1)
+        assert top1.tfidf == best
