@@ -178,6 +178,8 @@ HEADLINE = [
     "tfidf_topk_terms",
     "kmeans_cluster_quality",
     "join_cardinality_estimate",
+    "kmeans_label_purity",
+    "corpus_source_lang_matrix",
     # dedup_method_eval re-runs five declared pipelines; its components
     # are each benched above, so it is left out of the headline suite
 ]

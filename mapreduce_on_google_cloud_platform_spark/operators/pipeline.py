@@ -1534,8 +1534,76 @@ def _lang_budget_oracle() -> str:
 LANG_BUDGET_ORACLE = _lang_budget_oracle()
 
 
+# ---------------------------------------------------------------------------
+# Corpus composition matrix -- the (source x language) crosstab a data
+# lead reads first when a new crawl drop lands: which sources carry
+# which languages, by document and character mass, with each cell's
+# share of its source and of the whole corpus.  The upstream input to
+# every mixture decision (corpus_mixture_sample,
+# lang_token_budget_selection, language_sampling_weights).
+#
+# Scale: one combinable (source, lang) groupBy; per-source totals come
+# from re-aggregating the CELL table (|sources| x |langs| rows, tiny),
+# corpus totals broadcast as one row.  Integer counts, two rounded
+# divisions.
+# ---------------------------------------------------------------------------
+
+
+def corpus_source_lang_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+    )
+    per_source = cells.groupBy("source").agg(
+        F.sum("n_docs").cast("bigint").alias("source_docs")
+    )
+    corpus = cells.agg(F.sum("n_docs").cast("bigint").alias("corpus_docs"))
+    return (
+        cells.join(F.broadcast(per_source), "source")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            "n_chars",
+            F.round(
+                F.col("n_docs").cast("double") / F.col("source_docs"), 6
+            ).alias("share_of_source"),
+            F.round(
+                F.col("n_docs").cast("double") / F.col("corpus_docs"), 6
+            ).alias("share_of_corpus"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+SOURCE_LANG_MATRIX_ORACLE = """
+    WITH cells AS (
+        SELECT source, lang, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS n_chars
+        FROM documents GROUP BY source, lang
+    ),
+    per_source AS (
+        SELECT source, CAST(sum(n_docs) AS BIGINT) AS source_docs
+        FROM cells GROUP BY source
+    ),
+    corpus AS (SELECT CAST(sum(n_docs) AS BIGINT) AS corpus_docs FROM cells)
+    SELECT source, lang, n_docs, n_chars,
+           round(CAST(n_docs AS DOUBLE) / source_docs, 6) AS share_of_source,
+           round(CAST(n_docs AS DOUBLE) / corpus_docs, 6) AS share_of_corpus
+    FROM cells JOIN per_source USING (source), corpus
+    ORDER BY source, lang
+"""
+
+
 PIPELINE_QUERIES: list[tuple[str, object, str | None]] = [
     ("source_frequency_cap", source_frequency_cap, SOURCE_CAP_ORACLE),
+    (
+        "corpus_source_lang_matrix",
+        corpus_source_lang_matrix,
+        SOURCE_LANG_MATRIX_ORACLE,
+    ),
     (
         "lang_token_budget_selection",
         lang_token_budget_selection,

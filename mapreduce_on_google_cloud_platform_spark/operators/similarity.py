@@ -437,6 +437,46 @@ def kmeans_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Cluster-vs-label purity -- the external clustering evaluation: the
+# embeddings table carries a ground-truth ``label`` column, so each
+# k-means cluster can be scored by the fraction of its members sharing
+# the majority label (ties broken to the smallest label, so the verdict
+# is deterministic).  Corpus-level purity = sum of majority counts /
+# n -- the standard purity metric.  Low-purity clusters are where the
+# codebook disagrees with the labeling; either is wrong.
+#
+# Scale: one join of the assignment with the (vec_id, label) columns,
+# a combinable (cluster, label) count, then an argmax via one
+# min(struct(-cnt, label)) per cluster -- k-bounded groups, no windows.
+# ---------------------------------------------------------------------------
+
+
+def kmeans_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assign = kmeans_assign(spark, sf_dir).select("vec_id", "cluster_id")
+    labels = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    cl = (
+        assign.join(labels, "vec_id")
+        .groupBy("cluster_id", "label")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    best = cl.groupBy("cluster_id").agg(
+        F.sum("cnt").cast("bigint").alias("n_members"),
+        F.min(
+            F.struct((-F.col("cnt")).alias("neg"), F.col("label").alias("l"))
+        ).alias("b"),
+    )
+    return best.select(
+        "cluster_id",
+        "n_members",
+        F.col("b.l").alias("majority_label"),
+        (-F.col("b.neg")).cast("bigint").alias("majority_count"),
+        F.round(
+            (-F.col("b.neg")).cast("double") / F.col("n_members"), 6
+        ).alias("purity"),
+    ).orderBy("cluster_id")
+
+
 def _kmeans_oracle() -> str:
     dim, scale, stride = 64, QUANT_SCALE, CENTROID_STRIDE
     parts = [
@@ -498,6 +538,30 @@ def _kmeans_oracle() -> str:
 
 
 KMEANS_ORACLE = _kmeans_oracle()
+
+KMEANS_PURITY_ORACLE = f"""
+    WITH a AS ({KMEANS_ORACLE}),
+    cl AS (
+        SELECT a.cluster_id, e.label, count(*) AS cnt
+        FROM a JOIN embeddings e USING (vec_id)
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY cluster_id
+                                     ORDER BY cnt DESC, label ASC) AS rk
+        FROM cl
+    )
+    SELECT cluster_id,
+           CAST(sum(cnt) AS BIGINT) AS n_members,
+           max(CASE WHEN rk = 1 THEN label END) AS majority_label,
+           CAST(max(CASE WHEN rk = 1 THEN cnt END) AS BIGINT)
+               AS majority_count,
+           round(CAST(max(CASE WHEN rk = 1 THEN cnt END) AS DOUBLE)
+                 / sum(cnt), 6) AS purity
+    FROM ranked
+    GROUP BY cluster_id
+    ORDER BY cluster_id
+"""
 
 KMEANS_QUALITY_ORACLE = f"""
     WITH a AS ({KMEANS_ORACLE}),
@@ -2140,6 +2204,7 @@ SIMILARITY_QUERIES: list[tuple[str, object, str | None]] = [
     ("pca_gram_stats", pca_gram_stats, PCA_GRAM_ORACLE),
     ("embedding_norm_outliers", embedding_norm_outliers, NORM_OUTLIERS_ORACLE),
     ("kmeans_cluster_quality", kmeans_cluster_quality, KMEANS_QUALITY_ORACLE),
+    ("kmeans_label_purity", kmeans_label_purity, KMEANS_PURITY_ORACLE),
     # rows-only: float power iteration has no bit-exact SQL oracle; the
     # pytest twin checks direction/eigenvalue agreement vs numpy.
     ("pca_power_iteration", pca_power_iteration, None),

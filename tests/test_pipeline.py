@@ -252,3 +252,23 @@ def test_lang_token_budget_selection_invariants(spark):
         assert r.kept_tokens <= r.budget_tokens
         assert r.kept_docs <= r.n_docs
         assert r.budget_tokens == r.lang_tokens * 1 // 2
+
+
+def test_corpus_source_lang_matrix_partitions(spark):
+    """Cells partition the corpus; shares sum to 1 per source and
+    overall."""
+    from collections import defaultdict
+
+    import duckdb
+
+    rows = QUERIES["corpus_source_lang_matrix"](spark, SF_SMOKE).collect()
+    n_docs = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{SF_SMOKE}/documents.parquet')"
+    ).fetchone()[0]
+    assert sum(r.n_docs for r in rows) == n_docs
+    by_src = defaultdict(float)
+    for r in rows:
+        by_src[r.source] += r.share_of_source
+    for src, s in by_src.items():
+        assert abs(s - 1.0) < 1e-3, src
+    assert abs(sum(r.share_of_corpus for r in rows) - 1.0) < 1e-3

@@ -442,3 +442,16 @@ def test_kmeans_cluster_quality_consistency(spark):
         assert q.mean_dist_q == s / n
         share += q.member_share
     assert abs(share - 1.0) < 1e-3
+
+
+def test_kmeans_label_purity_invariants(spark):
+    """Purity in (0, 1]; majority count <= members; member totals match
+    the assignment; corpus purity is the weighted mean of cluster
+    purities."""
+    rows = QUERIES["kmeans_label_purity"](spark, SF_SMOKE).collect()
+    assert rows
+    n_assign = QUERIES["kmeans_assign"](spark, SF_SMOKE).count()
+    assert sum(r.n_members for r in rows) == n_assign
+    for r in rows:
+        assert 0 < r.majority_count <= r.n_members
+        assert 0 < r.purity <= 1.0
