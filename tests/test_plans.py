@@ -697,3 +697,21 @@ def test_attribution_range_join_keeps_equi_key_no_window(spark):
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
     assert "Window" not in plan
     assert "partial_" in plan or "Partial" in plan
+
+
+def test_rfm_exact_has_no_partitionless_window(spark):
+    """Round-6 re-plan pin (VERDICT r5 item #4): customer_rfm_features'
+    quintiles must come from range-partitioned distributed ranks, never
+    a global (partitionless) window -- every Window node in the
+    optimized plan must carry a non-empty partition spec, and the
+    physical plan must range-partition on each metric order."""
+    import re
+
+    df = QUERIES["customer_rfm_features"](spark, SF_SMOKE)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    windows = re.findall(r"Window \[.*\], \[(.*?)\], \[", logical)
+    assert windows, "expected Window nodes in the RFM plan"
+    for part in windows:
+        assert part.strip(), f"partitionless window found: [{part}]"
+    physical = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange rangepartitioning" in physical
