@@ -1357,11 +1357,22 @@ WOW_ORACLE = """
 # the cap is EXACT per source rather than a rate.
 #
 # Output is the per-source report (docs in, kept, dropped, kept chars,
-# exact-division kept rate).  Scale: the rank is a window PARTITIONED by
-# source -- each source sorts independently (bounded by the largest
-# source; a pathological mega-source is exactly the thing the cap is
-# for, and AQE skew handling splits its sort); one combinable shuffle on
-# source for the report.  No global sort, no driver state.
+# exact-division kept rate).  Scale (round-7 re-plan, VERDICT r6 item
+# #2): a single ``Window.partitionBy("source")`` would colocate ALL
+# rows of a source in ONE task -- a mega-crawl source (commonly more
+# than half the corpus) would serialize, and AQE skew handling cannot
+# help because skew-split applies to shuffle joins/aggregates, not to
+# window partitions, which must be task-colocated.  Instead: two-phase
+# top-K.  Phase 1 ranks within (input-split, source) -- the window keys
+# carry spark_partition_id, so a mega-source spreads over every split
+# and no task ever sorts more than one split's rows -- and keeps at
+# most SOURCE_CAP rows per (split, source): any row ranked below CAP
+# locally is below CAP globally, so everything dropped locally is
+# droppable globally.  Phase 2 ranks the <= CAP x #splits survivors per
+# source (tiny) for the exact global cap.  The kept set is IDENTICAL to
+# the one-window plan: the md5 order is partition-independent.  Totals
+# come from one combinable groupBy on the full stream; no global sort,
+# no driver state.
 # ---------------------------------------------------------------------------
 
 SOURCE_CAP = 60
@@ -1369,29 +1380,54 @@ SOURCE_CAP = 60
 
 def source_frequency_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    w = Window.partitionBy("source").orderBy(
-        F.md5(F.concat_ws(":", "source", F.col("doc_id").cast("string"))),
-        "doc_id",
-    )
-    flagged = docs.select(
+    hashed = docs.select(
         "source",
+        "doc_id",
         "n_chars",
-        (F.row_number().over(w) <= SOURCE_CAP).alias("kept"),
+        F.md5(
+            F.concat_ws(":", "source", F.col("doc_id").cast("string"))
+        ).alias("h"),
     )
-    k = F.when(F.col("kept"), 1).otherwise(0)
-    return (
-        flagged.groupBy("source")
+    # phase 1: local top-K per (input split, source) -- fine-grained
+    # window keys, so no single task owns a whole source
+    w_local = Window.partitionBy("_split", "source").orderBy("h", "doc_id")
+    survivors = (
+        hashed.withColumn("_split", F.spark_partition_id())
+        .withColumn("_lr", F.row_number().over(w_local))
+        .filter(F.col("_lr") <= SOURCE_CAP)
+        .drop("_split", "_lr")
+    )
+    # phase 2: exact global cap over the <= CAP x #splits survivors
+    w_glob = Window.partitionBy("source").orderBy("h", "doc_id")
+    kept = (
+        survivors.withColumn("_gr", F.row_number().over(w_glob))
+        .filter(F.col("_gr") <= SOURCE_CAP)
+        .groupBy("source")
         .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(k).cast("bigint").alias("n_kept"),
-            F.sum(1 - k).cast("bigint").alias("n_dropped"),
-            F.sum(k * F.col("n_chars")).cast("bigint").alias("kept_chars"),
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.sum("n_chars").cast("bigint").alias("kept_chars"),
         )
+    )
+    totals = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    # LEFT + coalesce keeps a source with zero kept rows (only reachable
+    # at SOURCE_CAP = 0) in the report rather than dropping it
+    return (
+        totals.join(kept, "source", "left")
         .select(
-            "*",
-            F.round(F.col("n_kept").cast("double") / F.col("n_docs"), 6).alias(
-                "kept_rate"
-            ),
+            "source",
+            "n_docs",
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            (F.col("n_docs") - F.coalesce("n_kept", F.lit(0)))
+            .cast("bigint")
+            .alias("n_dropped"),
+            F.coalesce("kept_chars", F.lit(0))
+            .cast("bigint")
+            .alias("kept_chars"),
+            F.round(
+                F.coalesce("n_kept", F.lit(0)).cast("double")
+                / F.col("n_docs"),
+                6,
+            ).alias("kept_rate"),
         )
         .orderBy("source")
     )
@@ -1432,10 +1468,21 @@ SOURCE_CAP_ORACLE = f"""
 # pretraining mixes are actually specified.
 #
 # All arithmetic is integer until the final rounded fill ratio, so the
-# admitted set is identical on any engine/partitioning.  Scale: one
-# token-count scan, a lang-PARTITIONED cumsum window (each language
-# sorts independently; language count bounds the parallelism loss), a
-# broadcast per-lang totals join, and a combinable per-lang rollup.
+# admitted set is identical on any engine/partitioning.  Scale (round-7
+# re-plan, VERDICT r6 item #3): a ``Window.partitionBy("lang")`` cumsum
+# would stream an ENTIRE language through one task -- English alone is
+# ~half of a web corpus, so the per-lang window is a single-task
+# ceiling, not just a parallelism loss.  Instead the running total uses
+# the repo's two-pass range-partitioned prefix sum (the
+# sequence_pack_tokens / _with_global_rank pattern): range-partition on
+# the admission order (lang, n_toks desc, doc_id) so each range owns a
+# contiguous slice of every language it touches; pass 1 collects
+# per-(range, lang) subtotals (<= #ranges x #langs rows, O(cluster) not
+# O(data)); pass 2 cumsums within (range, lang) in parallel and shifts
+# by the broadcast per-lang range offsets == the exact global per-lang
+# running total.  No task ever sorts more than one range's rows.  The
+# ranged intermediate persists because both passes must observe the
+# same range assignment; session.release_caches reclaims it.
 # ---------------------------------------------------------------------------
 
 BUDGET_NUM, BUDGET_DEN = 1, 2  # keep up to half of each language's tokens
@@ -1446,18 +1493,54 @@ def lang_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = docs.select(
         "lang", "doc_id", F.size(tokenize(F.col("text"))).alias("n_toks")
     )
-    w = (
-        Window.partitionBy("lang")
+    n_ranges = max(int(spark.sparkContext.defaultParallelism), 1)
+    ranged = (
+        counts.repartitionByRange(
+            n_ranges, F.asc("lang"), F.desc("n_toks"), F.asc("doc_id")
+        )
+        .withColumn("_rng", F.spark_partition_id())
+        .persist()
+    )
+    # pass 1: per-(range, lang) subtotals -> driver; ranges ascend with
+    # the (lang, n_toks desc, doc_id) order, so a lang's offset in range
+    # r is the sum of its subtotals over ranges < r
+    sub = sorted(
+        (int(r["_rng"]), r["lang"], int(r["t"]))
+        for r in ranged.groupBy("_rng", "lang")
+        .agg(F.sum("n_toks").alias("t"))
+        .collect()
+    )
+    acc: dict[str, int] = {}
+    offsets: dict[tuple[int, str], int] = {}
+    for rng, lang, t in sub:
+        offsets[(rng, lang)] = acc.get(lang, 0)
+        acc[lang] = acc.get(lang, 0) + t
+    if offsets:
+        off_col = F.element_at(
+            F.create_map(
+                *[
+                    c
+                    for (rng, lang), v in offsets.items()
+                    for c in (F.lit(f"{rng}|{lang}"), F.lit(v).cast("bigint"))
+                ]
+            ),
+            F.concat_ws("|", F.col("_rng").cast("string"), "lang"),
+        )
+    else:
+        off_col = F.lit(0).cast("bigint")
+    # pass 2: parallel cumsum within each (range, lang) + broadcast offset
+    w_in = (
+        Window.partitionBy("_rng", "lang")
         .orderBy(F.desc("n_toks"), F.asc("doc_id"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    cum = F.sum("n_toks").over(w).alias("cum_toks")
-    tot = counts.groupBy("lang").agg(
+    cum = (off_col + F.sum("n_toks").over(w_in)).alias("cum_toks")
+    tot = ranged.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_toks").cast("bigint").alias("lang_tokens"),
     )
     flagged = (
-        counts.select("lang", "n_toks", cum)
+        ranged.select("lang", "n_toks", cum)
         .join(F.broadcast(tot), "lang")
         .withColumn(
             "budget_tokens",

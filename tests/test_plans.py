@@ -715,3 +715,56 @@ def test_rfm_exact_has_no_partitionless_window(spark):
         assert part.strip(), f"partitionless window found: [{part}]"
     physical = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange rangepartitioning" in physical
+
+
+def test_source_cap_has_no_full_stream_source_window(spark):
+    """Round-7 re-plan pin (VERDICT r6 item #2): source_frequency_cap
+    must never rank the FULL document stream in a window partitioned by
+    source alone (a mega-source would serialize into one task; AQE
+    skew-split does not apply to window partitions).  The plan must be
+    the two-phase top-K: a fine-grained (_split, source) local rank,
+    then a source-only window that only ever sees the locally-capped
+    survivor stream (it must sit ABOVE the local-rank filter in the
+    top-down plan print)."""
+    import re
+
+    from mapreduce_on_google_cloud_platform_spark.operators.pipeline import SOURCE_CAP
+
+    df = QUERIES["source_frequency_cap"](spark, SF_SMOKE)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    specs = re.findall(r"Window \[.*?\], \[(.*?)\], \[", logical)
+    assert any("_split" in s for s in specs), (
+        f"expected a (_split, source) local-rank window, got {specs}"
+    )
+    cap_filter = re.search(rf"_lr#\d+ <= {SOURCE_CAP}\b", logical)
+    assert cap_filter, "expected the local-rank cap filter in the plan"
+    for m in re.finditer(r"Window \[.*?\], \[(.*?)\], \[", logical):
+        spec = m.group(1)
+        if "_split" in spec:
+            continue
+        assert "source" in spec, f"partitionless window found: [{spec}]"
+        # top-down print: a parent prints before its children, so the
+        # source-only window must print BEFORE the survivor filter
+        assert m.start() < cap_filter.start(), (
+            "source-only window ranks the full stream (prints below the "
+            "local-cap filter)"
+        )
+
+
+def test_lang_budget_cumsum_is_range_partitioned(spark):
+    """Round-7 re-plan pin (VERDICT r6 item #3): the per-language
+    running token total must come from the two-pass range-partitioned
+    prefix sum, never a lang-partitioned full-stream cumsum (English
+    alone would serialize into one task).  Every Window in the plan
+    must be keyed by the range id, and the physical plan must contain
+    the range repartition."""
+    import re
+
+    df = QUERIES["lang_token_budget_selection"](spark, SF_SMOKE)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    specs = re.findall(r"Window \[.*?\], \[(.*?)\], \[", logical)
+    assert specs, "expected Window nodes in the plan"
+    for spec in specs:
+        assert "_rng" in spec, f"full-stream per-lang window found: [{spec}]"
+    physical = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange rangepartitioning" in physical

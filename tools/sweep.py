@@ -14,8 +14,9 @@ failure mode the oracle comparison cannot see: run-to-run nondeterminism
 from shuffle-order-dependent double aggregation -- exactly what makes a
 locally-green query fail the driver's representation-sensitive hash.
 
-Usage:  python tools/sweep.py [--stability] [sf_dir]
-        (default sf_dir /root/testdata/sf0.01)
+Usage:  python tools/sweep.py [--stability] [--only a,b,c] [sf_dir]
+        (default sf_dir /root/testdata/sf0.01; --only restricts to the
+        named queries, --only @window to the driver PRIORITY_WINDOW)
 """
 
 from __future__ import annotations
@@ -51,8 +52,20 @@ def _assert_run_stable(spark, fn, sf_dir: str) -> None:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--stability"]
-    stability = "--stability" in sys.argv[1:]
+    argv = sys.argv[1:]
+    stability = "--stability" in argv
+    only: set[str] | None = None
+    if "--only" in argv:
+        i = argv.index("--only")
+        spec = argv[i + 1]
+        if spec == "@window":
+            from mapreduce_on_google_cloud_platform_spark.plans.registry import PRIORITY_WINDOW
+
+            only = set(PRIORITY_WINDOW)
+        else:
+            only = set(spec.split(","))
+        argv = argv[:i] + argv[i + 2 :]
+    args = [a for a in argv if a != "--stability"]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
 
     import __spark_entry__ as entry_mod
@@ -71,6 +84,10 @@ def main() -> int:
 
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    if only is not None:
+        unknown = only - set(queries)
+        assert not unknown, f"--only names not registered: {sorted(unknown)}"
+        queries = {n: f for n, f in queries.items() if n in only}
     failures: list[str] = []
     for i, name in enumerate(sorted(queries), 1):
         try:
