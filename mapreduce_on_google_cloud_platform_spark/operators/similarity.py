@@ -416,11 +416,17 @@ def kmeans_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_members"),
             F.max(F.floor("dist")).cast("bigint").alias("max_dist_q"),
-            # single IEEE division of exact integers: bit-identical on
-            # both engines with NO rounding -- round() at this magnitude
-            # (ulp ~1e-4) is itself implementation-divergent
+            # dist magnitudes are ~1e12, so a BIGINT sum would wrap at
+            # ~9e6 members per cluster: lift each floored distance to
+            # decimal(38,0) BEFORE summing (the pca_gram_stats
+            # discipline) -- the decimal sum is exact, and its single
+            # cast to double + one IEEE division of exact values is
+            # bit-identical on both engines with NO rounding (round()
+            # at this magnitude, ulp ~1e-4, is itself
+            # implementation-divergent)
             (
-                F.sum(F.floor("dist")).cast("double") / F.count(F.lit(1))
+                F.sum(F.floor("dist").cast("decimal(38,0)")).cast("double")
+                / F.count(F.lit(1))
             ).alias("mean_dist_q"),
         )
         .crossJoin(F.broadcast(tot))
@@ -569,7 +575,7 @@ KMEANS_QUALITY_ORACLE = f"""
     SELECT cluster_id,
            count(*) AS n_members,
            CAST(max(floor(dist)) AS BIGINT) AS max_dist_q,
-           CAST(sum(CAST(floor(dist) AS BIGINT)) AS DOUBLE)
+           CAST(sum(CAST(floor(dist) AS DECIMAL(38,0))) AS DOUBLE)
                  / count(*) AS mean_dist_q,
            round(CAST(count(*) AS DOUBLE) / any_value(total_n), 6)
                AS member_share

@@ -1295,11 +1295,14 @@ PACKING_ORACLE = f"""
 # distributed prefix sum for the shard assignment (driver state is
 # O(#partitions)).
 #
-# Scale: the per-shard collect_list is bounded by construction -- a
-# shard holds at most SHARD_TOKEN_BUDGET documents (every doc
-# contributes >= 0 tokens and a new shard starts each budget boundary),
-# so the rollup group never exceeds the budget in rows; same combinable
-# shuffle as the packing report.
+# Scale: the per-shard collect_list is bounded by construction for
+# docs with >= 1 token -- each such doc advances the prefix sum, so a
+# shard holds at most SHARD_TOKEN_BUDGET of them.  Zero-token documents
+# (which the prefix-sum path deliberately keeps) all share one
+# doc_start, so ONLY they can inflate a shard's group beyond the
+# budget; a corpus that is mostly empty docs would need an n_toks > 0
+# pre-filter before the checksum rollup.  Same combinable shuffle as
+# the packing report.
 # ---------------------------------------------------------------------------
 
 

@@ -7,9 +7,13 @@ unshippable: for every oracle-checked query it aligns the Spark output
 schema with the DuckDB-inferred oracle output types WITHOUT executing
 either plan, so it runs fast enough to be un-skippable.
 
-Value-level round-stability of doubles is enforced at execution time by
-``tests.oracle.assert_doubles_round_stable`` (wired into every
-``assert_matches_oracle`` call and into ``tools/sweep.py``).
+Value-level round-stability of doubles is NOT enforced here:
+``tests.oracle.assert_doubles_round_stable`` is an opt-in TARGETED audit
+(some queries deliberately emit unrounded doubles -- e.g. single exact
+integer divisions where round() itself is implementation-divergent).
+Run-to-run value stability is instead enforced end-to-end by
+``tools/sweep.py --stability`` (every plan executed under two shuffle
+layouts, bit-identical output required).
 """
 
 from __future__ import annotations

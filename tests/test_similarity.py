@@ -387,20 +387,41 @@ def test_ann_method_recall_structural_order(spark):
 
 def test_pca_gram_stats_matches_power_iteration_cov(spark):
     """The oracle-checked fixed-point sufficient statistics must agree
-    with pca_power_iteration's float covariance diagonal to quantization
-    tolerance (1e-6 grid -> ~1e-6 on covariances of unit-scale data)."""
-    import math
+    with the float covariance pca_power_iteration iterates on: recompute
+    cov = E[xx] - E[x]E[x] per dim pair from the raw embeddings with
+    numpy and compare every cov_q cell to quantization tolerance (1e-6
+    grid -> ~1e-5 on covariances of unit-scale data); means cross-check
+    against pca_power_iteration's emitted mean_v."""
+    import numpy as np
 
-    gram = {
-        (r.dim_i, r.dim_j): r.cov_q
-        for r in QUERIES["pca_gram_stats"](spark, SF_SMOKE).collect()
+    from mapreduce_on_google_cloud_platform_spark.sources import load_table
+
+    gram_rows = QUERIES["pca_gram_stats"](spark, SF_SMOKE).collect()
+    gram = {(r.dim_i, r.dim_j): r.cov_q for r in gram_rows}
+    pca = {
+        r.dim: r.mean_v
+        for r in QUERIES["pca_power_iteration"](spark, SF_SMOKE).collect()
     }
-    pca = {r.dim: r.mean_v for r in QUERIES["pca_power_iteration"](spark, SF_SMOKE).collect()}
     assert set(pca) == {i for i, _ in gram}
-    # spot-check: diagonal covariances are nonnegative and finite
-    for d in pca:
-        c = gram[(d, d)]
-        assert c >= -1e-9 and math.isfinite(c)
+
+    x = np.array(
+        [
+            r.embedding
+            for r in load_table(spark, SF_SMOKE, "embeddings")
+            .select("embedding")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    mu = x.mean(axis=0)
+    cov = (x.T @ x) / x.shape[0] - np.outer(mu, mu)
+    for (i, j), c_q in gram.items():
+        assert abs(c_q - cov[i - 1, j - 1]) < 1e-5, (
+            f"cov_q[{i},{j}]={c_q} vs float cov {cov[i - 1, j - 1]}"
+        )
+    for d, m in pca.items():
+        # mean_v is the float mean of the same column the s_i sums quantize
+        assert abs(m - mu[d - 1]) < 1e-9
 
 
 def test_embedding_norm_outliers_flags_partition(spark):
