@@ -188,6 +188,12 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # drift triage: SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the suite so a
+    # suspect query can be re-timed in a fresh, small JVM session
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    headline = (
+        [n for n in HEADLINE if n in set(only.split(","))] if only else HEADLINE
+    )
 
     from mapreduce_on_google_cloud_platform_spark.plans import QUERIES
     from mapreduce_on_google_cloud_platform_spark.session import get_spark
@@ -229,9 +235,16 @@ def main() -> None:
     # The median is the headline (robust to one GC/compilation stall);
     # per-query minima are also reported as the low-noise floor.
     trials = max(int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3")), 1)
+    # round-7 (VERDICT r6 item #4): drift must be falsifiable -- emit
+    # per-query median AND min AND max-min spread, plus the machine load
+    # before/after the suite.  Environmental drift shows as wide spreads
+    # / high load with stable minima; a real plan regression moves the
+    # MINIMUM.
+    loadavg_before = [round(x, 2) for x in os.getloadavg()]
     timings: dict[str, float] = {}
     minima: dict[str, float] = {}
-    for name in HEADLINE:
+    spreads: dict[str, float] = {}
+    for name in headline:
         fn = QUERIES[name]
         samples = []
         for _ in range(trials):
@@ -246,6 +259,7 @@ def main() -> None:
         samples.sort()
         timings[name] = round(samples[len(samples) // 2], 3)
         minima[name] = round(samples[0], 3)
+        spreads[name] = round(samples[-1] - samples[0], 3)
 
     # Two lines, detail FIRST: the round driver has truncated long output
     # to its tail (BENCH_r05.json lost the headline), so the big per-query
@@ -257,6 +271,7 @@ def main() -> None:
                 "metric": "headline_suite_runtime_detail",
                 "queries": timings,
                 "queries_min": minima,
+                "queries_spread": spreads,
             }
         )
     )
@@ -269,6 +284,9 @@ def main() -> None:
                 "trials": trials,
                 "n_queries": len(timings),
                 "sf": float(sf),
+                "value_min_sum": round(sum(minima.values()), 3),
+                "loadavg_before": loadavg_before,
+                "loadavg_after": [round(x, 2) for x in os.getloadavg()],
             }
         )
     )
