@@ -147,19 +147,83 @@ SAMPLE_TOPK_ORACLE = f"""
 """
 
 
+SKETCH_P50_ACC = 10_000
+
+
 def sketch_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch scale path beside exact twins: HLL++ distinct
-    users and GK median per event type.  One pass, fixed memory per
-    sketch, map-side combinable -- this is what replaces the exact forms
-    at 100 TB.  Engine-specific outputs => rows-only driver check; error
-    bounds are asserted in tests/test_statistics.py."""
+    users and a GK median per event type -- one pass, fixed memory per
+    sketch, map-side combinable; what replaces the exact forms at 100 TB.
+
+    Round-7 re-shape (VERDICT r6 item #6): the EXACT columns (count,
+    min/max, exact distinct) are oracle-checked against DuckDB, and the
+    engine-specific sketch estimates are emitted as their CONTRACT
+    booleans, verified in-plan against the exact data: the HLL++ count
+    must sit within max(3, 10%) of the exact distinct, and the GK median
+    must be an observed value whose rank interval overlaps
+    n/2 +- n/ACC (+1 slack).  Both engines agree on the booleans (the
+    oracle states the contract as literals), so the whole row hashes --
+    nothing is rows-only.  The raw estimate magnitudes remain covered by
+    distinct_users_sketch_profile (exact below sketch capacity) and
+    tests/test_statistics.py."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
+    sk = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
         F.countDistinct("user_id").alias("exact_users"),
-        F.approx_count_distinct("user_id").alias("approx_users"),
-        F.expr("percentile(value, 0.5)").alias("exact_p50"),
-        F.percentile_approx("value", 0.5, 10000).alias("approx_p50"),
+        F.approx_count_distinct("user_id").alias("_au"),
+        F.percentile_approx("value", 0.5, SKETCH_P50_ACC).alias("_p50"),
     )
+    # rank-audit the GK estimate against the raw stream: one broadcast
+    # join of the |event_types|-row sketch table back onto events
+    ranks = (
+        ev.join(F.broadcast(sk.select("event_type", "_p50")), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("value") <= F.col("_p50"), 1).otherwise(0)
+            ).alias("_le"),
+            F.sum(
+                F.when(F.col("value") < F.col("_p50"), 1).otherwise(0)
+            ).alias("_lt"),
+        )
+    )
+    n = F.col("n_events").cast("double")
+    eps = n / SKETCH_P50_ACC + 1.0
+    return (
+        sk.join(ranks, "event_type")
+        .select(
+            "event_type",
+            "n_events",
+            "min_value",
+            "max_value",
+            "exact_users",
+            (
+                F.abs(F.col("_au") - F.col("exact_users"))
+                <= F.greatest(F.lit(3.0), 0.1 * F.col("exact_users"))
+            ).alias("approx_users_in_bounds"),
+            (
+                (F.col("_le").cast("double") >= n / 2 - eps)
+                & (F.col("_lt").cast("double") <= n / 2 + eps)
+            ).alias("approx_p50_rank_ok"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SKETCH_SUMMARY_ORACLE = """
+    SELECT event_type,
+           count(*) AS n_events,
+           min(value) AS min_value,
+           max(value) AS max_value,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS approx_users_in_bounds,
+           TRUE AS approx_p50_rank_ok
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -983,7 +1047,7 @@ STATISTICS_QUERIES: list[tuple[str, object, str | None]] = [
     ("sample_stratified", sample_stratified, SAMPLE_STRATIFIED_ORACLE),
     ("sample_topk_per_group", sample_topk_per_group, SAMPLE_TOPK_ORACLE),
     # sketches are engine-specific by nature: rows-only check, see docstring
-    ("sketch_summary", sketch_summary, None),
+    ("sketch_summary", sketch_summary, SKETCH_SUMMARY_ORACLE),
     # exact below sketch capacity (see docstring) -> fully oracle-checked
     (
         "distinct_users_sketch_profile",

@@ -130,86 +130,87 @@ for _name, _fn, _oracle in SQL_SURFACE_QUERIES:
 # per family so registry growth can't silently push a family dark.
 DRIVER_WINDOW = 50
 
-# Round-6 rotation (VERDICT r5 item #3): the window is declared BY FAMILY
+# Round-7 rotation (VERDICT r6 item #1): the window is declared BY FAMILY
 # so the family-coverage pin (tests/test_plans.py) derives from this dict
 # instead of duplicating it.  Composition this round:
 #   * one multi-round-green ANCHOR per family (a systemic regression is
 #     still caught by a known-stable query);
-#   * the four queries whose numerics changed this round (the three r5
-#     driver-hash failures, now cast/rounded, + histogram_event_values
-#     whose oracle bin_lo moved decimal->double) for re-verification;
-#   * 32 FIRST-TIMERS -- oracle-checked queries that have never received
-#     a per-round driver hash (65 remained after r5; the rest rotate in
-#     next round).  Every rotated-out sibling stays covered by
+#   * 36 FIRST-TIMERS -- oracle-checked queries that have never received
+#     a per-round driver hash (52 remained after r6's clean 32/32; the
+#     remaining 16 rotate in next round).  All 19 round-6 additions are
+#     included, notably the two round-7 RE-PLANNED queries
+#     (source_frequency_cap, lang_token_budget_selection) and the
+#     decimal-lifted kmeans_cluster_quality, whose numerics must bank a
+#     fresh hash.  Every rotated-out sibling stays covered by
 #     tools/sweep.py + pytest oracle parity.
 PRIORITY_FAMILIES: dict[str, tuple[str, ...]] = {
     # reference parity: the reference's own two queries stay pinned
     "parity": ("wordcount", "inverted_index"),
     "dedup": (
         "dedup_exact",  # anchor
-        "dedup_policy_funnel",
-        "minhash_band_sensitivity",
-        "dedup_method_eval",
-        "exact_substring_dedup",
-        "semdedup_clusters",
-        "incremental_minhash_admission",
-        "jaccard_threshold_curve",  # + threshold double-cast this round
+        "cluster_size_histogram",
+        "cosine_threshold_curve",
+        "dedup_cluster_survivors",
+        "dedup_containment",
+        "dedup_minhash_stopshingle",
+        "doc_pair_passage_overlap",
+        "incremental_dedup_new_docs",
     ),
-    "graph": ("neardup_pagerank",),  # anchor
+    "graph": (
+        "neardup_pagerank",  # anchor
+        "neardup_degree_profile",
+    ),
     "similarity": (
         "ann_ivf_topk",  # anchor
-        "ann_ivf_pq_topk",
-        "pq_adc_topk",
-        "ann_method_recall",
-        "knn_graph_lsh",
-        "hybrid_search_rrf",  # + rank bigint-cast this round
-        "embedding_dim_stats",
+        "kmeans_cluster_quality",  # decimal-lifted sum this round
+        "kmeans_label_purity",
+        "pca_gram_stats",
+        "embedding_norm_outliers",
     ),
     "text": (
         "text_tfidf",  # anchor
-        "text_repetition_filter",  # r5 driver-red, fixed: re-verify
-        "corpus_zipf_stats",  # r5 driver-red, fixed: re-verify
-        "sequence_pack_tokens",
-        "c4_style_filter",
-        "dsir_importance_weights",
-        "heavy_hitter_words",
-        "vocab_coverage_curve",
-        "langid_confusion",
+        "bpe_pair_counts",
+        "kn_continuation_probs",
+        "perplexity_quality_buckets",
+        "quality_gate_stack",
+        "tfidf_topk_terms",
+        "training_shard_manifest",
+        "length_bucket_profile",
     ),
     "pipeline": (
         "curation_pipeline",  # anchor
-        "corpus_mixture_sample",  # r5 driver-red, fixed: re-verify
-        "l_diversity_report",
-        "erasure_cascade_audit",
+        "corpus_source_lang_matrix",
+        "source_frequency_cap",  # re-planned this round: two-phase top-K
+        "lang_token_budget_selection",  # re-planned: range prefix sum
+        "language_sampling_weights",
+        "embedding_alignment_audit",
+        "event_rollup_cascade",
     ),
     "statistics": (
         "quantile_summary",  # anchor
-        "histogram_event_values",  # oracle bin_lo decimal->double: re-verify
-        "sample_bootstrap",  # + replicate int-cast this round
-        "price_balance_correlation",
-        "value_distribution_psi",
+        "daily_value_anomalies",
+        "distinct_users_sketch_profile",
+        "table_stats_profile",
     ),
     "relational": (
         "q18_large_orders",  # anchor (driver-green r1)
-        "order_backlog_daily",
+        "copurchase_part_pairs",
+        "join_cardinality_estimate",
+        "join_key_skew_profile",
     ),
     "temporal": (
         "asof_join_purchase_view",  # anchor
-        "session_timeout_curve",
-        "time_decayed_user_value",
+        "event_disorder_profile",
+        "event_transition_matrix",
+        "hour_of_week_profile",
+        "interarrival_profile",
     ),
     "streaming": ("tumbling_window_events",),  # anchor
-    "multimodal": (
-        "multimodal_dedup",  # anchor
-        "multimodal_frame_sample",
-    ),
+    "multimodal": ("multimodal_dedup",),  # anchor
     "join_strategies": ("skew_join_salted",),  # anchor
     "sql_surface": (
-        "q1_pricing_summary_sql",  # anchor (driver-green r5)
-        "histogram_event_values_sql",  # shared text changed: verify
-        "q6_forecast_revenue_sql",
-        "q22_idle_rich_customers_sql",
-        "loyal_customers_division_sql",
+        "q1_pricing_summary_sql",  # anchor (driver-green r5+r6)
+        "incremental_segment_revenue_sql",
     ),
 }
 

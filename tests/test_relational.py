@@ -34,11 +34,15 @@ def test_rfm_approx_tracks_exact_scoring(spark):
     consistently.  A broken bounds join would violate all three."""
     from collections import Counter
 
+    from mapreduce_on_google_cloud_platform_spark.operators.relational import (
+        _rfm_scores_approx,
+    )
+
     exact = {
         r.c_custkey: (r.r_score, r.f_score, r.m_score)
         for r in QUERIES["customer_rfm_features"](spark, SF_ORACLE).collect()
     }
-    rows = QUERIES["customer_rfm_features_approx"](spark, SF_ORACLE).collect()
+    rows = _rfm_scores_approx(spark, SF_ORACLE).collect()
     assert len(rows) == len(exact)
     tie_count = {
         m: Counter(getattr(r, m) for r in rows)
