@@ -2306,6 +2306,283 @@ def _semdedup_clusters_oracle() -> str:
 """
 
 
+# ---------------------------------------------------------------------------
+# Cross-source near-dup matrix -- the syndication/mirroring report: for
+# every (source, source) pair, how many verified near-dup pairs connect
+# them.  A hot off-diagonal cell means two crawl sources mirror each
+# other (keep one); a hot diagonal cell means a source repeats itself
+# (template spam).  This is the report a curation lead reads before
+# deciding which SOURCES to drop, one level above per-document dedup.
+#
+# Scale: rides the audited dedup_minhash_lsh pipeline unchanged (banded
+# candidates + exact verification -- never all-pairs); the matrix adds
+# two dimension-sized joins on doc_id and a rollup bounded by
+# |sources|^2 cells.  The pair ordering is normalized with
+# least/greatest so each unordered source pair lands in one cell.
+# ---------------------------------------------------------------------------
+
+
+def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    sa = docs.select(
+        F.col("doc_id").alias("doc_a"), F.col("source").alias("_sa")
+    )
+    sb = docs.select(
+        F.col("doc_id").alias("doc_b"), F.col("source").alias("_sb")
+    )
+    cells = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .groupBy(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )
+    total = cells.agg(F.sum("n_pairs").cast("bigint").alias("total_pairs"))
+    return (
+        cells.crossJoin(F.broadcast(total))
+        .select(
+            "source_a",
+            "source_b",
+            "n_pairs",
+            F.round(
+                F.col("n_pairs").cast("double") / F.col("total_pairs"), 6
+            ).alias("pair_share"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+CROSS_SOURCE_MATRIX_ORACLE = f"""
+    WITH pairs AS (
+        SELECT doc_a, doc_b FROM ({MINHASH_LSH_ORACLE})
+    ),
+    cells AS (
+        SELECT least(da.source, db.source) AS source_a,
+               greatest(da.source, db.source) AS source_b,
+               count(*) AS n_pairs
+        FROM pairs
+        JOIN documents da ON pairs.doc_a = da.doc_id
+        JOIN documents db ON pairs.doc_b = db.doc_id
+        GROUP BY 1, 2
+    ),
+    total AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS total_pairs FROM cells)
+    SELECT source_a, source_b, CAST(n_pairs AS BIGINT) AS n_pairs,
+           round(CAST(n_pairs AS DOUBLE) / any_value(total_pairs), 6)
+               AS pair_share
+    FROM cells, total
+    GROUP BY source_a, source_b, n_pairs
+    ORDER BY source_a, source_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# Shingle document-frequency profile -- the tuning table consulted
+# BEFORE setting dedup_minhash_stopshingle's document-frequency cap:
+# power-of-two histogram of how many documents each distinct shingle
+# appears in, with each bucket's share of the posting mass.  A heavy
+# high-df tail is boilerplate (shingles that propose candidates without
+# carrying similarity); the cap goes where the tail starts.
+#
+# Scale: one combinable groupBy on the shingle (df counts), then a
+# <=64-cell histogram (bit-length bucket idiom, no log2) with one
+# broadcast scalar total -- the profile costs one reduction over the
+# same shingle stream every MinHash pass already builds.
+# ---------------------------------------------------------------------------
+
+
+def shingle_df_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    df_counts = (
+        shingles_df(docs)
+        .groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .select(
+            (F.length(F.bin(F.col("df"))) - 1).cast("int").alias("bucket"),
+            "df",
+        )
+    )
+    total = df_counts.agg(
+        F.count(F.lit(1)).alias("n_shingles_total"),
+        F.sum("df").cast("bigint").alias("postings_total"),
+    )
+    return (
+        df_counts.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum("df").cast("bigint").alias("n_postings"),
+            F.min("df").cast("bigint").alias("min_df"),
+            F.max("df").cast("bigint").alias("max_df"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "bucket",
+            "n_shingles",
+            "n_postings",
+            "min_df",
+            "max_df",
+            F.round(
+                F.col("n_shingles").cast("double")
+                / F.col("n_shingles_total"),
+                6,
+            ).alias("shingle_share"),
+            F.round(
+                F.col("n_postings").cast("double") / F.col("postings_total"),
+                6,
+            ).alias("posting_share"),
+        )
+        .orderBy("bucket")
+    )
+
+
+SHINGLE_DF_PROFILE_ORACLE = f"""
+    WITH {DUCKDB_SHINGLES_CTE},
+    dfc AS (
+        SELECT CAST(length(printf('%b', count(*))) - 1 AS INTEGER) AS bucket,
+               count(*) AS df
+        FROM shing
+        GROUP BY sh
+    ),
+    total AS (
+        SELECT count(*) AS n_shingles_total,
+               CAST(sum(df) AS BIGINT) AS postings_total
+        FROM dfc
+    )
+    SELECT bucket,
+           count(*) AS n_shingles,
+           CAST(sum(df) AS BIGINT) AS n_postings,
+           CAST(min(df) AS BIGINT) AS min_df,
+           CAST(max(df) AS BIGINT) AS max_df,
+           round(CAST(count(*) AS DOUBLE) / any_value(n_shingles_total), 6)
+               AS shingle_share,
+           round(CAST(sum(df) AS DOUBLE) / any_value(postings_total), 6)
+               AS posting_share
+    FROM dfc, total
+    GROUP BY bucket
+    ORDER BY bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimate-error audit -- per exact near-dup pair (the
+# dedup_ngram_jaccard set), the sketch's own Jaccard ESTIMATE (matching
+# lanes / 16) beside the exact Jaccard, plus the signed error.
+# This is the sketch-calibration table: if the estimate systematically
+# overshoots at low Jaccard the band layout is proposing junk (tighten
+# rows-per-band); it also demonstrates the estimator the "skip exact
+# verification at extreme scale" variant would rely on.
+#
+# Scale: reuses the banded candidate set and the 16 flat signature
+# lanes (one dimension-sized join on each doc id); the lane comparison
+# is 16 integer equalities folded map-side.  All-integer until the two
+# final divisions; deterministic because the signature lanes are.
+# ---------------------------------------------------------------------------
+
+
+def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles_df(docs).persist()
+    uniq = sh.select("sh").distinct()
+    h = (
+        F.conv(F.substring(F.md5(F.col("sh")), 1, 15), 16, 10).cast("bigint")
+        % MINHASH_P
+    )
+    dict_df = uniq.select(
+        "sh",
+        *[
+            ((F.lit(a) * h + F.lit(b)) % MINHASH_P).alias(f"mh{i}")
+            for i, (a, b) in enumerate(MINHASH_AB)
+        ],
+    )
+    sig = (
+        sh.join(dict_df, "sh")
+        .groupBy("doc_id")
+        .agg(*[F.min(f"mh{i}").alias(f"mh{i}") for i in range(NUM_MINHASHES)])
+        .persist()
+    )
+    exact = _pair_jaccard(sh).select("doc_a", "doc_b", "jaccard")
+    siga = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(NUM_MINHASHES)],
+    )
+    sigb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(NUM_MINHASHES)],
+    )
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(NUM_MINHASHES)
+    )
+    est = matches.cast("double") / F.lit(float(NUM_MINHASHES))
+    return (
+        exact.filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .join(siga, "doc_a")
+        .join(sigb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round("jaccard", 6).alias("jaccard"),
+            est.alias("est_jaccard"),
+            F.round(est - F.col("jaccard"), 6).alias("est_error"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _minhash_estimate_error_oracle() -> str:
+    mh_cols = ",\n               ".join(
+        f"min(({a} * h + {b}) % {MINHASH_P}) AS mh{i}"
+        for i, (a, b) in enumerate(MINHASH_AB)
+    )
+    lane_matches = " + ".join(
+        f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END"
+        for i in range(NUM_MINHASHES)
+    )
+    return f"""
+    WITH {DUCKDB_SHINGLES_CTE},
+    dict AS (
+        SELECT sh, ('0x' || substr(md5(sh), 1, 15))::BIGINT % {MINHASH_P} AS h
+        FROM (SELECT DISTINCT sh FROM shing)
+    ),
+    sig AS (
+        SELECT doc_id,
+               {mh_cols}
+        FROM shing JOIN dict USING (sh)
+        GROUP BY doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shing GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM shing a JOIN shing b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    exact AS (
+        SELECT doc_a, doc_b,
+               CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+        FROM pairs
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common)
+              >= {JACCARD_THRESHOLD}
+    )
+    SELECT exact.doc_a, exact.doc_b,
+           round(jaccard, 6) AS jaccard,
+           CAST(({lane_matches}) AS DOUBLE) / {NUM_MINHASHES}.0
+               AS est_jaccard,
+           round(CAST(({lane_matches}) AS DOUBLE) / {NUM_MINHASHES}.0
+                 - jaccard, 6) AS est_error
+    FROM exact
+    JOIN sig sa ON exact.doc_a = sa.doc_id
+    JOIN sig sb ON exact.doc_b = sb.doc_id
+    ORDER BY exact.doc_a, exact.doc_b
+"""
+
+
+MINHASH_ESTIMATE_ERROR_ORACLE = _minhash_estimate_error_oracle()
+
+
 DEDUP_QUERIES: list[tuple[str, object, str | None]] = [
     ("dedup_exact", dedup_exact, DEDUP_EXACT_ORACLE),
     ("fuzzy_part_name_pairs", fuzzy_part_name_pairs, FUZZY_PAIRS_ORACLE),
@@ -2343,4 +2620,15 @@ DEDUP_QUERIES: list[tuple[str, object, str | None]] = [
     ),
     ("dedup_policy_funnel", dedup_policy_funnel, POLICY_FUNNEL_ORACLE),
     ("semdedup_clusters", semdedup_clusters, _semdedup_clusters_oracle()),
+    (
+        "cross_source_dup_matrix",
+        cross_source_dup_matrix,
+        CROSS_SOURCE_MATRIX_ORACLE,
+    ),
+    ("shingle_df_profile", shingle_df_profile, SHINGLE_DF_PROFILE_ORACLE),
+    (
+        "minhash_estimate_error",
+        minhash_estimate_error,
+        MINHASH_ESTIMATE_ERROR_ORACLE,
+    ),
 ]

@@ -1680,7 +1680,114 @@ SOURCE_LANG_MATRIX_ORACLE = """
 """
 
 
+# ---------------------------------------------------------------------------
+# Per-source quality decision -- the domain-filtering step every
+# RefinedWeb/Gopher-style pipeline runs ABOVE document filtering: roll
+# the per-document quality counters up to source granularity and attach
+# the keep / downsample / drop decision the mixture builder consumes.
+# Decisions are integer cross-multiplications of EXACT per-source sums
+# (never comparisons on derived doubles), so the verdict is identical
+# on any engine/partitioning; the emitted ratios are single rounded
+# divisions for the human reading the report.
+#
+# Thresholds: a source is 'drop' when its corpus-level stopword ratio
+# is under 5% (gibberish / non-language) or its alphabetic ratio is
+# under 40% (markup/code dumps); 'downsample' when it exceeds
+# SOURCE_CAP documents (the frequency-cap interplay); else 'keep'.
+#
+# Scale: one token scan with map-side-combinable integer sums into
+# |sources| rows -- no windows, no per-doc state kept past the rollup.
+# ---------------------------------------------------------------------------
+
+
+def source_quality_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text_analysis import EN_STOPS, _hits
+
+    docs = load_table(spark, sf_dir, "documents")
+    ts = tokenize(F.col("text"))
+    per_doc = docs.select(
+        "source",
+        F.size(ts).cast("bigint").alias("n_toks"),
+        _hits(ts, EN_STOPS).cast("bigint").alias("stop_hits"),
+        F.length(F.regexp_replace(F.lower("text"), "[^a-z]", ""))
+        .cast("bigint")
+        .alias("n_alpha"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("n_tokens"),
+        F.sum("stop_hits").cast("bigint").alias("stop_hits"),
+        F.sum("n_alpha").cast("bigint").alias("n_alpha"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+    )
+    low_stop = F.col("stop_hits") * 100 < F.col("n_tokens") * 5
+    low_alpha = F.col("n_alpha") * 100 < F.col("n_chars") * 40
+    decision = (
+        F.when(low_stop | low_alpha, F.lit("drop"))
+        .when(F.col("n_docs") > SOURCE_CAP, F.lit("downsample"))
+        .otherwise(F.lit("keep"))
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.col("stop_hits").cast("double") / F.col("n_tokens"), 6
+        ).alias("stop_ratio"),
+        F.round(F.col("n_alpha").cast("double") / F.col("n_chars"), 6).alias(
+            "alpha_ratio"
+        ),
+        decision.alias("decision"),
+    ).orderBy("source")
+
+
+def _source_quality_oracle() -> str:
+    from .text_analysis import EN_STOPS, _sql_hits
+    from .text_analysis import DUCKDB_TOKS_CTE as _TOKS
+
+    return f"""
+    WITH {_TOKS},
+    per_doc AS (
+        SELECT d.source,
+               CAST(len(t.ts) AS BIGINT) AS n_toks,
+               CAST({_sql_hits('t.ts', EN_STOPS)} AS BIGINT) AS stop_hits,
+               CAST(length(regexp_replace(lower(d.text), '[^a-z]', '', 'g'))
+                    AS BIGINT) AS n_alpha,
+               CAST(length(d.text) AS BIGINT) AS n_chars
+        FROM documents d JOIN toks t USING (doc_id)
+    ),
+    agg AS (
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+               CAST(sum(stop_hits) AS BIGINT) AS stop_hits,
+               CAST(sum(n_alpha) AS BIGINT) AS n_alpha,
+               CAST(sum(n_chars) AS BIGINT) AS n_chars
+        FROM per_doc
+        GROUP BY source
+    )
+    SELECT source, n_docs, n_tokens,
+           round(CAST(stop_hits AS DOUBLE) / n_tokens, 6) AS stop_ratio,
+           round(CAST(n_alpha AS DOUBLE) / n_chars, 6) AS alpha_ratio,
+           CASE WHEN stop_hits * 100 < n_tokens * 5
+                     OR n_alpha * 100 < n_chars * 40 THEN 'drop'
+                WHEN n_docs > {SOURCE_CAP} THEN 'downsample'
+                ELSE 'keep' END AS decision
+    FROM agg
+    ORDER BY source
+"""
+
+
+SOURCE_QUALITY_ORACLE = _source_quality_oracle()
+
+
 PIPELINE_QUERIES: list[tuple[str, object, str | None]] = [
+    (
+        "source_quality_decision",
+        source_quality_decision,
+        SOURCE_QUALITY_ORACLE,
+    ),
     ("source_frequency_cap", source_frequency_cap, SOURCE_CAP_ORACLE),
     (
         "corpus_source_lang_matrix",

@@ -2191,7 +2191,106 @@ NORM_OUTLIERS_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Per-label centroid drift -- the embedding-space health check run when
+# a new embedding batch lands: how far each label's centroid sits from
+# the corpus centroid.  A label whose centroid collapses onto the global
+# mean carries no signal (bad labels or bad embeddings); one that drifts
+# far out is a candidate cluster of its own.  Same role for embeddings
+# that corpus_zipf_stats plays for text.
+#
+# Exactness: all sums on the 1e-6 fixed-point grid; the squared
+# centroid offset is computed as the EXACT integer
+# sum_d (S_l[d]*n_g - S_g[d]*n_l)^2 -- Spark lifts to decimal(38,0)
+# (values ~1e25, far under 1e38), DuckDB rides HUGEINT then casts, so
+# dist2_q hash-matches bit-for-bit; the readable distance is a single
+# sqrt+division chain of exact values, round(6).
+#
+# Scale: one (label, dim) combinable groupBy over the exploded grid
+# (|labels| x 64 cells); global per-dim sums re-aggregate the CELL
+# table, broadcast back; nothing driver-side, no windows.
+# ---------------------------------------------------------------------------
+
+
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qs = _emb_fixed_point(spark, sf_dir)
+    labels = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    cells = (
+        qs.join(labels, "vec_id")
+        .groupBy("label", "dim")
+        .agg(
+            F.sum(F.col("q").cast("decimal(38,0)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    glob = cells.groupBy("dim").agg(
+        F.sum("s").alias("sg"), F.sum("n").cast("bigint").alias("ng")
+    )
+    diff = F.col("s") * F.col("ng") - F.col("sg") * F.col("n")
+    per_label = (
+        cells.join(F.broadcast(glob), "dim")
+        .groupBy("label")
+        .agg(
+            F.max("n").cast("bigint").alias("n_vecs"),
+            F.max("ng").cast("bigint").alias("n_total"),
+            F.sum(diff * diff).alias("dist2_q"),
+        )
+    )
+    denom = (
+        F.col("n_vecs").cast("double")
+        * F.col("n_total").cast("double")
+        * F.lit(float(QUANT_SCALE))
+    )
+    return per_label.select(
+        "label",
+        "n_vecs",
+        F.col("dist2_q").cast("decimal(38,0)").alias("dist2_q"),
+        F.round(
+            F.sqrt(F.col("dist2_q").cast("double")) / denom, 6
+        ).alias("centroid_dist"),
+    ).orderBy("label")
+
+
+EMBEDDING_CENTROID_DRIFT_ORACLE = f"""
+    WITH qs AS (
+        SELECT vec_id, i AS dim,
+               CAST(floor(CAST(embedding[i] AS DOUBLE) * {QUANT_SCALE} + 0.5)
+                    AS BIGINT) AS q
+        FROM embeddings, unnest(range(1, len(embedding) + 1)) t(i)
+    ),
+    cells AS (
+        SELECT e.label, qs.dim, sum(qs.q) AS s, count(*) AS n
+        FROM qs JOIN embeddings e USING (vec_id)
+        GROUP BY 1, 2
+    ),
+    gtot AS (
+        SELECT dim, sum(s) AS sg, CAST(sum(n) AS BIGINT) AS ng
+        FROM cells GROUP BY dim
+    ),
+    per_label AS (
+        SELECT label,
+               CAST(max(n) AS BIGINT) AS n_vecs,
+               CAST(max(ng) AS BIGINT) AS n_total,
+               sum((s * ng - sg * n) * (s * ng - sg * n)) AS dist2_q
+        FROM cells JOIN gtot USING (dim)
+        GROUP BY label
+    )
+    SELECT label, n_vecs,
+           CAST(dist2_q AS DECIMAL(38,0)) AS dist2_q,
+           round(sqrt(CAST(dist2_q AS DOUBLE))
+                 / (CAST(n_vecs AS DOUBLE) * CAST(n_total AS DOUBLE)
+                    * {QUANT_SCALE}.0), 6) AS centroid_dist
+    FROM per_label
+    ORDER BY label
+"""
+
+
 SIMILARITY_QUERIES: list[tuple[str, object, str | None]] = [
+    (
+        "embedding_centroid_drift",
+        embedding_centroid_drift,
+        EMBEDDING_CENTROID_DRIFT_ORACLE,
+    ),
     ("ann_topk_bruteforce", ann_topk_bruteforce, ANN_BRUTEFORCE_ORACLE),
     ("ann_ivf_topk", ann_ivf_topk, ANN_IVF_ORACLE),
     ("ann_lsh_topk", ann_lsh_topk, ANN_LSH_ORACLE),

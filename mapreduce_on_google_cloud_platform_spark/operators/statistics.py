@@ -1041,7 +1041,78 @@ def _stats_oracle() -> str:
 TABLE_STATS_ORACLE = _stats_oracle()
 
 
+# ---------------------------------------------------------------------------
+# Stratified k-fold assignment -- deterministic cross-validation folds
+# for training data: every document lands in fold md5(doc_id) mod K, so
+# the assignment is reproducible on any engine/cluster/partitioning and
+# stable under re-runs (no RNG state to ship).  The report shows, per
+# (lang, fold), the document and character mass plus each fold's share
+# of its language -- the balance check that the hash actually stratifies
+# (shares ~1/K per stratum) before anyone trains on the folds.
+#
+# Scale: one combinable (lang, fold) groupBy; per-lang totals come from
+# re-aggregating the |langs| x K cell table (tiny), broadcast back.
+# The per-row fold expression is pure JVM hash arithmetic -- the same
+# conv(md5) idiom as split_assignment, mod K instead of hex bands.
+# ---------------------------------------------------------------------------
+
+KFOLD_K = 5
+
+
+def stratified_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fold = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % KFOLD_K
+    ).cast("int")
+    cells = docs.select("lang", fold.alias("fold"), "n_chars").groupBy(
+        "lang", "fold"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+    )
+    per_lang = cells.groupBy("lang").agg(
+        F.sum("n_docs").cast("bigint").alias("lang_docs")
+    )
+    return (
+        cells.join(F.broadcast(per_lang), "lang")
+        .select(
+            "lang",
+            "fold",
+            "n_docs",
+            "n_chars",
+            F.round(
+                F.col("n_docs").cast("double") / F.col("lang_docs"), 6
+            ).alias("fold_share"),
+        )
+        .orderBy("lang", "fold")
+    )
+
+
+KFOLD_ORACLE = f"""
+    WITH cells AS (
+        SELECT lang,
+               CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    ::BIGINT % {KFOLD_K} AS INTEGER) AS fold,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS n_chars
+        FROM documents
+        GROUP BY 1, 2
+    ),
+    per_lang AS (
+        SELECT lang, CAST(sum(n_docs) AS BIGINT) AS lang_docs
+        FROM cells GROUP BY lang
+    )
+    SELECT lang, fold, n_docs, n_chars,
+           round(CAST(n_docs AS DOUBLE) / lang_docs, 6) AS fold_share
+    FROM cells JOIN per_lang USING (lang)
+    ORDER BY lang, fold
+"""
+
+
 STATISTICS_QUERIES: list[tuple[str, object, str | None]] = [
+    ("stratified_kfold_assign", stratified_kfold_assign, KFOLD_ORACLE),
     ("table_stats_profile", table_stats_profile, TABLE_STATS_ORACLE),
     ("quantile_summary", quantile_summary, QUANTILE_ORACLE),
     ("sample_stratified", sample_stratified, SAMPLE_STRATIFIED_ORACLE),

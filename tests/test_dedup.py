@@ -408,3 +408,48 @@ def test_cluster_size_histogram_consistency(spark):
             sizes[r.cluster_size] += 1
     assert {r.cluster_size: r.n_clusters for r in rows} == dict(sizes)
     assert sum(r.n_docs for r in rows) == len(clusters)
+
+
+def test_cross_source_matrix_reconciles_with_lsh_pairs(spark):
+    """Cell mass equals the verified near-dup pair count; pair shares sum
+    to 1; each cell is a normalized (least, greatest) source pair."""
+    rows = QUERIES["cross_source_dup_matrix"](spark, SF_SMOKE).collect()
+    n_pairs = QUERIES["dedup_minhash_lsh"](spark, SF_SMOKE).count()
+    assert sum(r.n_pairs for r in rows) == n_pairs
+    assert abs(sum(r.pair_share for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert r.source_a <= r.source_b
+
+
+def test_shingle_df_profile_buckets_and_mass(spark):
+    """Power-of-two buckets bound their min/max df; shingle and posting
+    shares each sum to 1; posting mass equals the distinct shingle
+    postings."""
+    from mapreduce_on_google_cloud_platform_spark.functions.text import shingles_df
+    from mapreduce_on_google_cloud_platform_spark.sources import load_table
+
+    rows = QUERIES["shingle_df_profile"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert (1 << r.bucket) <= r.min_df <= r.max_df < (1 << (r.bucket + 1))
+    assert abs(sum(r.shingle_share for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.posting_share for r in rows) - 1.0) < 1e-4
+    n_postings = shingles_df(load_table(spark, SF_SMOKE, "documents")).count()
+    assert sum(r.n_postings for r in rows) == n_postings
+
+
+def test_minhash_estimate_error_is_calibrated(spark):
+    """Estimates are lane-count multiples of 1/16 in [0, 1]; the error
+    column restates est - exact; the pair set is exactly the
+    dedup_ngram_jaccard near-dup pairs."""
+    rows = QUERIES["minhash_estimate_error"](spark, SF_SMOKE).collect()
+    exact_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["dedup_ngram_jaccard"](spark, SF_SMOKE).collect()
+    }
+    assert {(r.doc_a, r.doc_b) for r in rows} == exact_pairs
+    for r in rows:
+        lanes = r.est_jaccard * 16
+        assert abs(lanes - round(lanes)) < 1e-9
+        assert 0.0 <= r.est_jaccard <= 1.0
+        assert abs(r.est_error - round(r.est_jaccard - r.jaccard, 6)) < 1e-9

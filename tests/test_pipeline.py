@@ -272,3 +272,24 @@ def test_corpus_source_lang_matrix_partitions(spark):
     for src, s in by_src.items():
         assert abs(s - 1.0) < 1e-3, src
     assert abs(sum(r.share_of_corpus for r in rows) - 1.0) < 1e-3
+
+
+def test_source_quality_decision_restates_ratios(spark):
+    """The decision column must agree with the integer thresholds
+    recomputed from the emitted ratios' exact numerators."""
+    from mapreduce_on_google_cloud_platform_spark.operators.pipeline import SOURCE_CAP
+
+    rows = QUERIES["source_quality_decision"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        low = r.stop_ratio < 0.05 or r.alpha_ratio < 0.40
+        if low:
+            # ratios are rounded; the in-plan decision uses exact integers,
+            # so only assert agreement away from the rounding seam
+            if abs(r.stop_ratio - 0.05) > 1e-5 and abs(r.alpha_ratio - 0.4) > 1e-5:
+                assert r.decision == "drop", r
+        elif r.n_docs > SOURCE_CAP:
+            assert r.decision == "downsample", r
+        else:
+            if abs(r.stop_ratio - 0.05) > 1e-5 and abs(r.alpha_ratio - 0.4) > 1e-5:
+                assert r.decision in ("keep", "downsample"), r

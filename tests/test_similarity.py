@@ -476,3 +476,34 @@ def test_kmeans_label_purity_invariants(spark):
     for r in rows:
         assert 0 < r.majority_count <= r.n_members
         assert 0 < r.purity <= 1.0
+
+
+def test_embedding_centroid_drift_matches_numpy(spark):
+    """dist2_q and centroid_dist must agree with a direct numpy
+    computation on the same fixed-point grid."""
+    import numpy as np
+
+    from mapreduce_on_google_cloud_platform_spark.operators.similarity import QUANT_SCALE
+    from mapreduce_on_google_cloud_platform_spark.sources import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select("label", "embedding").collect()
+    q = {
+        lab: np.array(
+            [np.floor(np.array(e, dtype=np.float64) * QUANT_SCALE + 0.5) for l2, e in
+             [(r.label, r.embedding) for r in emb] if l2 == lab],
+            dtype=object,
+        )
+        for lab in {r.label for r in emb}
+    }
+    sums = {lab: np.sum(np.array(list(v), dtype=np.int64), axis=0, dtype=object) for lab, v in q.items()}
+    ns = {lab: len(v) for lab, v in q.items()}
+    sg = sum(sums.values())
+    ng = sum(ns.values())
+    rows = QUERIES["embedding_centroid_drift"](spark, SF_SMOKE).collect()
+    assert {r.label for r in rows} == set(ns)
+    for r in rows:
+        diff = sums[r.label] * ng - sg * ns[r.label]
+        dist2 = int(np.sum(diff * diff, dtype=object))
+        assert int(r.dist2_q) == dist2, r.label
+        expect = (dist2 ** 0.5) / (ns[r.label] * ng * float(QUANT_SCALE))
+        assert abs(r.centroid_dist - round(expect, 6)) < 1e-9

@@ -224,3 +224,21 @@ def test_table_stats_profile_invariants(spark):
         assert r.n_distinct <= n
     assert rows["o_orderkey"].n_distinct == n
     assert int(rows["o_orderkey"].min_value) <= int(rows["o_orderkey"].max_value)
+
+
+def test_stratified_kfold_balance(spark):
+    """Folds are 0..K-1; per-lang shares sum to 1; assignment covers
+    every document exactly once."""
+    from mapreduce_on_google_cloud_platform_spark.operators.statistics import KFOLD_K
+    from mapreduce_on_google_cloud_platform_spark.sources import load_table
+
+    rows = QUERIES["stratified_kfold_assign"](spark, SF_SMOKE).collect()
+    assert rows
+    per_lang: dict[str, float] = {}
+    for r in rows:
+        assert 0 <= r.fold < KFOLD_K
+        per_lang[r.lang] = per_lang.get(r.lang, 0.0) + r.fold_share
+    for lang, s in per_lang.items():
+        assert abs(s - 1.0) < 1e-4, (lang, s)
+    n_docs = load_table(spark, SF_SMOKE, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
