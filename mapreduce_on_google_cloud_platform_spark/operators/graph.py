@@ -287,8 +287,242 @@ DEGREE_PROFILE_ORACLE = f"""
 """
 
 
+# Shared SQL fragment: verified near-dup pairs + symmetrized edge list
+# (identical text to the pagerank oracle's prelude).
+_SQL_EDGES_CTE = f"""
+    sizes AS (SELECT doc_id, count(*) AS n FROM shing GROUP BY doc_id),
+    jpairs AS (
+        SELECT doc_a, doc_b
+        FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+            FROM shing a JOIN shing b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common)
+              >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM jpairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM jpairs
+    )"""
+
+
+# ---------------------------------------------------------------------------
+# Label-propagation communities -- the third iterative graph operator
+# beside connected components (dedup_clusters) and PageRank: every node
+# starts labeled by its own doc_id; each synchronous round it adopts
+# the most frequent label among its neighbors, ties broken to the
+# SMALLEST label.  Unlike components, LPA splits a chain of weak links
+# into locally-dense communities -- the granularity at which "pick one
+# survivor per template family" actually wants to operate.
+#
+# Determinism: the argmax is min(struct(-cnt, label)) -- pure integer
+# comparison, no RNG, no update-order dependence (synchronous rounds),
+# so any engine/partitioning agrees; LPA_ITERS is fixed so the DuckDB
+# oracle is the same recurrence unrolled.
+#
+# Scale: per round one shuffle-on-src join (edges x labels) + one
+# combinable (node, label) count + a k-bounded argmax -- the same data
+# movement as a PageRank round; the edge list is localCheckpoint-ed so
+# every round's plan is a small join over the materialized edges.
+# ---------------------------------------------------------------------------
+
+LPA_ITERS = 3
+
+
+def neardup_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = (
+        _pair_jaccard(shingles_df(docs))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+    )
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .localCheckpoint()
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(LPA_ITERS):
+        labels = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst"), F.col("label"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .groupBy("dst")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("cnt")).alias("neg"),
+                        F.col("label").alias("l"),
+                    )
+                ).alias("b")
+            )
+            .select(F.col("dst").alias("node"), F.col("b.l").alias("label"))
+        )
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("community_size")
+    )
+    return (
+        labels.join(sizes, "label")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("label").alias("community"),
+            "community_size",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _lpa_oracle() -> str:
+    its = []
+    prev = "lp0"
+    for k in range(1, LPA_ITERS + 1):
+        its.append(
+            f"""
+    lp{k} AS (
+        SELECT node, label FROM (
+            SELECT e.dst AS node, r.label, count(*) AS cnt,
+                   row_number() OVER (
+                       PARTITION BY e.dst
+                       ORDER BY count(*) DESC, r.label ASC
+                   ) AS rn
+            FROM edges e JOIN {prev} r ON e.src = r.node
+            GROUP BY e.dst, r.label
+        ) WHERE rn = 1
+    )"""
+        )
+        prev = f"lp{k}"
+    return f"""
+    WITH {DUCKDB_SHINGLES_CTE},
+    {_SQL_EDGES_CTE},
+    lp0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+    {",".join(its)},
+    csizes AS (
+        SELECT label, CAST(count(*) AS BIGINT) AS community_size
+        FROM lp{LPA_ITERS} GROUP BY label
+    )
+    SELECT r.node AS doc_id, r.label AS community, s.community_size
+    FROM lp{LPA_ITERS} r JOIN csizes s USING (label)
+    ORDER BY doc_id
+"""
+
+
+LPA_ORACLE = _lpa_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Local clustering coefficient -- triangles normalized by wedge
+# capacity: cc(v) = triangles_through(v) / C(deg(v), 2).  Separates the
+# two degree-profile tails: a high-degree LOW-cc node is a boilerplate
+# hub stitching unrelated docs together (shingle cap candidate), a
+# high-degree HIGH-cc node sits inside one dense template clique (drop
+# the clique, keep one survivor).
+#
+# Scale: reuses the triangle plan (wedge join + semi-join closure,
+# never all-triples) and the degree aggregate; the coefficient is one
+# integer-exact division per node with deg >= 2, LEFT-joined so
+# triangle-free nodes report cc = 0 rather than vanishing.
+# ---------------------------------------------------------------------------
+
+
+def neardup_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    e = (
+        _pair_jaccard(shingles_df(docs))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    ends = e.select(F.col("doc_a").alias("doc_id")).unionByName(
+        e.select(F.col("doc_b").alias("doc_id"))
+    )
+    deg = ends.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("degree")
+    )
+    x, y = e.alias("x"), e.alias("y")
+    wedges = x.join(y, F.col("x.doc_b") == F.col("y.doc_a")).select(
+        F.col("x.doc_a").alias("a"),
+        F.col("x.doc_b").alias("b"),
+        F.col("y.doc_b").alias("c"),
+    )
+    tri = wedges.join(
+        e,
+        (F.col("a") == F.col("doc_a")) & (F.col("c") == F.col("doc_b")),
+        "left_semi",
+    )
+    tri_per_node = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    return (
+        deg.filter(F.col("degree") >= 2)
+        .join(tri_per_node, "doc_id", "left")
+        .select(
+            "doc_id",
+            "degree",
+            F.coalesce("n_triangles", F.lit(0))
+            .cast("bigint")
+            .alias("n_triangles"),
+            F.round(
+                F.coalesce("n_triangles", F.lit(0)).cast("double") * 2
+                / (F.col("degree") * (F.col("degree") - 1)),
+                6,
+            ).alias("local_cc"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+CLUSTERING_COEFF_ORACLE = f"""
+    WITH {DUCKDB_SHINGLES_CTE},
+    {_SQL_EDGES_CTE},
+    deg AS (
+        SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS degree
+        FROM edges GROUP BY src
+    ),
+    tri AS (
+        SELECT x.doc_a AS a, x.doc_b AS b, y.doc_b AS c
+        FROM jpairs x
+        JOIN jpairs y ON x.doc_b = y.doc_a
+        WHERE EXISTS (
+            SELECT 1 FROM jpairs z WHERE z.doc_a = x.doc_a AND z.doc_b = y.doc_b
+        )
+    ),
+    tpn AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles
+        FROM (
+            SELECT a AS doc_id FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        )
+        GROUP BY doc_id
+    )
+    SELECT deg.doc_id, degree,
+           CAST(coalesce(n_triangles, 0) AS BIGINT) AS n_triangles,
+           round(CAST(coalesce(n_triangles, 0) AS DOUBLE) * 2
+                 / (degree * (degree - 1)), 6) AS local_cc
+    FROM deg LEFT JOIN tpn ON deg.doc_id = tpn.doc_id
+    WHERE degree >= 2
+    ORDER BY deg.doc_id
+"""
+
+
 GRAPH_QUERIES: list[tuple[str, object, str | None]] = [
     ("neardup_pagerank", neardup_pagerank, PAGERANK_ORACLE),
     ("neardup_triangles", neardup_triangles, TRIANGLES_ORACLE),
     ("neardup_degree_profile", neardup_degree_profile, DEGREE_PROFILE_ORACLE),
+    ("neardup_lpa_communities", neardup_lpa_communities, LPA_ORACLE),
+    (
+        "neardup_clustering_coefficient",
+        neardup_clustering_coefficient,
+        CLUSTERING_COEFF_ORACLE,
+    ),
 ]

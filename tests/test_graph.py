@@ -54,3 +54,59 @@ def test_neardup_degree_profile_invariants(spark):
     assert abs(sum(r.share for r in rows) - 1.0) < 1e-3
     n_pairs = QUERIES["dedup_ngram_jaccard"](spark, SF_SMOKE).count()
     assert sum(r.degree * r.n_docs for r in rows) == 2 * n_pairs
+
+
+def test_lpa_communities_cover_edge_nodes_and_refine_components(spark):
+    """Every edge-bearing node gets exactly one label; community sizes
+    restate the label multiset; and each community is contained in one
+    connected component of the text near-dup graph (labels can only
+    travel along edges), computed independently via union-find here."""
+    from collections import Counter
+
+    from .conftest import SF_SMOKE
+
+    rows = QUERIES["neardup_lpa_communities"](spark, SF_SMOKE).collect()
+    assert rows
+    sizes = Counter(r.community for r in rows)
+    for r in rows:
+        assert sizes[r.community] == r.community_size
+    pairs = QUERIES["dedup_ngram_jaccard"](spark, SF_SMOKE).collect()
+    lab = {r.doc_id: r.community for r in rows}
+    deg_nodes = {p.doc_a for p in pairs} | {p.doc_b for p in pairs}
+    assert deg_nodes == set(lab)
+    # independent union-find over the same pair list
+    parent = {n: n for n in deg_nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for p in pairs:
+        ra, rb = find(p.doc_a), find(p.doc_b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comm_to_comp: dict[int, int] = {}
+    for n, c in lab.items():
+        root = find(n)
+        assert comm_to_comp.setdefault(c, root) == root, (
+            f"community {c} spans components"
+        )
+
+
+def test_clustering_coefficient_bounds_and_triangles(spark):
+    """cc in [0,1]; n_triangles reconciles with neardup_triangles; only
+    deg>=2 nodes appear (a single edge has no wedge capacity)."""
+    from .conftest import SF_SMOKE
+
+    rows = QUERIES["neardup_clustering_coefficient"](spark, SF_SMOKE).collect()
+    assert rows
+    tri = {
+        r.doc_id: r.n_triangles
+        for r in QUERIES["neardup_triangles"](spark, SF_SMOKE).collect()
+    }
+    for r in rows:
+        assert r.degree >= 2
+        assert 0.0 <= r.local_cc <= 1.0 + 1e-9
+        assert r.n_triangles == tri.get(r.doc_id, 0)

@@ -14,9 +14,14 @@ failure mode the oracle comparison cannot see: run-to-run nondeterminism
 from shuffle-order-dependent double aggregation -- exactly what makes a
 locally-green query fail the driver's representation-sensitive hash.
 
-Usage:  python tools/sweep.py [--stability] [--only a,b,c] [sf_dir]
+Usage:  python tools/sweep.py [--stability] [--stability-only]
+                              [--only a,b,c] [sf_dir]
         (default sf_dir /root/testdata/sf0.01; --only restricts to the
-        named queries, --only @window to the driver PRIORITY_WINDOW)
+        named queries, --only @window to the driver PRIORITY_WINDOW;
+        --stability-only runs ONLY the two-layout bit-identity check,
+        skipping the DuckDB oracle comparison -- the mode for large
+        scale factors where a recursive/self-join oracle SQL is itself
+        intractable even though the Spark plan is fine)
 """
 
 from __future__ import annotations
@@ -53,7 +58,9 @@ def _assert_run_stable(spark, fn, sf_dir: str) -> None:
 
 def main() -> int:
     argv = sys.argv[1:]
-    stability = "--stability" in argv
+    stability_only = "--stability-only" in argv
+    argv = [a for a in argv if a != "--stability-only"]
+    stability = "--stability" in argv or stability_only
     only: set[str] | None = None
     if "--only" in argv:
         i = argv.index("--only")
@@ -91,7 +98,9 @@ def main() -> int:
     failures: list[str] = []
     for i, name in enumerate(sorted(queries), 1):
         try:
-            if name in oracles:
+            if stability_only:
+                status = "OK (oracle skipped)"
+            elif name in oracles:
                 assert_matches_oracle(queries[name](spark, sf_dir), oracles[name], sf_dir)
                 status = "OK"
             else:
