@@ -180,6 +180,17 @@ HEADLINE = [
     "join_cardinality_estimate",
     "kmeans_label_purity",
     "corpus_source_lang_matrix",
+    # round-7 additions: curation/audit + graph operators
+    "cross_source_dup_matrix",
+    "shingle_df_profile",
+    "minhash_estimate_error",
+    "source_quality_decision",
+    "stratified_kfold_assign",
+    "embedding_centroid_drift",
+    "neardup_lpa_communities",
+    "neardup_clustering_coefficient",
+    "sketch_summary",
+    "customer_rfm_features_approx",
     # dedup_method_eval re-runs five declared pipelines; its components
     # are each benched above, so it is left out of the headline suite
 ]

@@ -389,7 +389,111 @@ MULTIMODAL_CHUNK_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# WebDataset-style shard manifest -- the multimodal release artifact: a
+# training loader consumes media as sequential tar-like shards, so the
+# packer must assign every payload to a byte-budgeted shard in a
+# DETERMINISTIC order and publish, per shard, the byte mass, the format
+# mix, and an order-insensitive content checksum the loader can verify
+# without opening payloads.  Same contract training_shard_manifest
+# gives the text corpus, at byte (not token) granularity.
+#
+# Scale: reuses the shared two-pass range-partitioned prefix sum
+# (text_analysis._doc_start_positions) for the byte offsets -- driver
+# state is O(#partitions), no full-stream window; the rollup groups are
+# bounded by SHARD_BYTE_BUDGET for payloads >= 1 byte (empty payloads
+# share an offset -- same caveat as the text manifest).  The payload
+# column itself is never opened: offsets and checksums ride the typed
+# metadata only.
+# ---------------------------------------------------------------------------
+
+SHARD_BYTE_BUDGET = 16_384
+
+
+def multimodal_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text_analysis import _doc_start_positions
+
+    media = media_table(spark, sf_dir)
+    counts = media.select("doc_id", F.col("n_bytes").alias("n_toks"))
+    assigned = _doc_start_positions(spark, counts).select(
+        "doc_id",
+        F.col("n_toks").alias("n_bytes"),
+        F.expr(f"doc_start div {SHARD_BYTE_BUDGET}").alias("shard"),
+    )
+    joined = assigned.join(media.select("doc_id", "fmt"), "doc_id")
+    return (
+        joined.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("n_bytes").cast("bigint").alias("shard_bytes"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+            F.sum(F.when(F.col("fmt") == "png", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_png"),
+            F.sum(F.when(F.col("fmt") == "jpeg", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_jpeg"),
+            # numeric sort BEFORE stringify: '10' < '9' lexicographically
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.sort_array(F.collect_list("doc_id")),
+                        lambda d: d.cast("string"),
+                    ),
+                )
+            ).alias("item_list_md5"),
+        )
+        .select(
+            "*",
+            F.round(
+                F.col("shard_bytes").cast("double") / SHARD_BYTE_BUDGET, 6
+            ).alias("fill_frac"),
+        )
+        .orderBy("shard")
+    )
+
+
+MULTIMODAL_SHARD_ORACLE = f"""
+    WITH n AS (
+        SELECT doc_id, strlen(text) AS n_bytes,
+               CASE WHEN doc_id % 3 = 0 THEN 'png' ELSE 'jpeg' END AS fmt
+        FROM documents
+    ),
+    a AS (
+        SELECT doc_id, n_bytes, fmt,
+               (sum(n_bytes) OVER (ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND CURRENT ROW) - n_bytes)
+                   // {SHARD_BYTE_BUDGET} AS shard
+        FROM n
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           count(*) AS n_items,
+           CAST(sum(n_bytes) AS BIGINT) AS shard_bytes,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc,
+           CAST(sum(CASE WHEN fmt = 'png' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_png,
+           CAST(sum(CASE WHEN fmt = 'jpeg' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_jpeg,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+               AS item_list_md5,
+           round(CAST(sum(n_bytes) AS DOUBLE) / {SHARD_BYTE_BUDGET}, 6)
+               AS fill_frac
+    FROM a
+    GROUP BY shard
+    ORDER BY shard
+"""
+
+
 MULTIMODAL_QUERIES: list[tuple[str, object, str | None]] = [
+    (
+        "multimodal_shard_manifest",
+        multimodal_shard_manifest,
+        MULTIMODAL_SHARD_ORACLE,
+    ),
     ("multimodal_metadata", multimodal_metadata, MULTIMODAL_METADATA_ORACLE),
     ("multimodal_dedup", multimodal_dedup, MULTIMODAL_DEDUP_ORACLE),
     ("multimodal_chunk", multimodal_chunk, MULTIMODAL_CHUNK_ORACLE),

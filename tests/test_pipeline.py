@@ -293,3 +293,39 @@ def test_source_quality_decision_restates_ratios(spark):
         else:
             if abs(r.stop_ratio - 0.05) > 1e-5 and abs(r.alpha_ratio - 0.4) > 1e-5:
                 assert r.decision in ("keep", "downsample"), r
+
+
+def test_t_closeness_matches_direct_tvd(spark):
+    """TVD recomputed directly from the joined rows (python, exact
+    fractions) must equal the emitted value to its rounding, and the
+    verdict must restate the 0.2 threshold."""
+    from collections import Counter
+    from fractions import Fraction
+
+    from mapreduce_on_google_cloud_platform_spark.sources import load_table
+
+    cust = {r.c_custkey: (r.c_mktsegment, r.c_nationkey)
+            for r in load_table(spark, SF_SMOKE, "customer").collect()}
+    nations = {r.n_nationkey: r.n_name
+               for r in load_table(spark, SF_SMOKE, "nation").collect()}
+    rows = []
+    for o in load_table(spark, SF_SMOKE, "orders").collect():
+        seg, nk = cust[o.o_custkey]
+        rows.append((seg, nations[nk], o.o_orderpriority))
+    glob = Counter(v for _, _, v in rows)
+    n_total = len(rows)
+    groups: dict[tuple, Counter] = {}
+    for seg, nat, v in rows:
+        groups.setdefault((seg, nat), Counter())[v] += 1
+    got = QUERIES["t_closeness_report"](spark, SF_SMOKE).collect()
+    assert len(got) == len(groups)
+    for r in got:
+        cnts = groups[(r.segment, r.nation)]
+        n = sum(cnts.values())
+        assert n == r.n_rows
+        tvd = sum(
+            abs(Fraction(cnts.get(v, 0), n) - Fraction(g, n_total))
+            for v, g in glob.items()
+        ) / 2
+        assert abs(r.tvd - round(float(tvd), 6)) < 1e-9
+        assert r.t_close == (tvd <= Fraction(1, 5))
