@@ -125,3 +125,72 @@ def test_range_sorted_layout_disjoint_file_ranges(spark, tmp_path):
         )
     )
     assert "GreaterThanOrEqual(l_shipdate" in plan
+
+
+def test_zorder_layout_skips_on_both_dimensions(spark, tmp_path):
+    """The Morton-clustered layout must (a) round-trip completely,
+    (b) give NARROW per-file footer ranges on BOTH curve columns, so a
+    predicate on the SECOND column skips files -- which the
+    single-column range-sorted layout structurally cannot do (every
+    x-sorted file spans the full y range)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from mapreduce_on_google_cloud_platform_spark.sources.sorted_layout import (
+        write_range_sorted,
+    )
+    from mapreduce_on_google_cloud_platform_spark.sources.zorder import (
+        read_zordered,
+        write_zordered,
+    )
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    zout = str(tmp_path / "li_z")
+    sout = str(tmp_path / "li_sorted")
+    write_zordered(li, zout, "l_partkey", "l_suppkey", n_files=16)
+    write_range_sorted(li, sout, "l_partkey", n_files=16)
+
+    def file_ranges(path, col):
+        out = []
+        for f in sorted(glob.glob(f"{path}/*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index(col)
+            los, his = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                los.append(st.min)
+                his.append(st.max)
+            out.append((min(los), max(his)))
+        return out
+
+    back = read_zordered(spark, zout)
+    assert back.count() == li.count()
+    assert sorted(back.columns) == sorted(li.columns)
+
+    # y-only box predicate: bottom ~1/4 of the l_suppkey range
+    sy = sorted(r.l_suppkey for r in li.select("l_suppkey").collect())
+    y_lo, y_hi = sy[0], sy[len(sy) // 4]
+
+    def files_hit(ranges):
+        return sum(1 for lo, hi in ranges if not (hi < y_lo or lo > y_hi))
+
+    z_hit = files_hit(file_ranges(zout, "l_suppkey"))
+    s_hit = files_hit(file_ranges(sout, "l_suppkey"))
+    z_total = len(file_ranges(zout, "l_suppkey"))
+    s_total = len(file_ranges(sout, "l_suppkey"))
+    # the x-sorted layout cannot skip on y: every file overlaps the box
+    assert s_hit == s_total
+    # the z-ordered layout must skip a meaningful fraction on y alone
+    assert z_hit <= z_total * 0.75, (z_hit, z_total)
+    # and it still skips on x too (clustered, if coarser than pure sort)
+    sx = sorted(r.l_partkey for r in li.select("l_partkey").collect())
+    x_lo, x_hi = sx[0], sx[len(sx) // 4]
+    zx = sum(
+        1
+        for lo, hi in file_ranges(zout, "l_partkey")
+        if not (hi < x_lo or lo > x_hi)
+    )
+    assert zx <= z_total * 0.75, (zx, z_total)
