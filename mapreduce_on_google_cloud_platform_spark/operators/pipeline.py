@@ -1911,12 +1911,128 @@ def _source_quality_oracle() -> str:
 SOURCE_QUALITY_ORACLE = _source_quality_oracle()
 
 
+# ---------------------------------------------------------------------------
+# Source-policy application -- the capstone that EXECUTES the verdicts
+# the two source-level operators only report: per source,
+#   keep        -> all documents survive,
+#   downsample  -> exactly the SOURCE_CAP hash-ranked documents survive
+#                  (the identical deterministic kept set as
+#                  source_frequency_cap's two-phase top-K),
+#   drop        -> nothing survives.
+# Output is the per-source funnel (decision, docs in/out, chars out,
+# keep rate) a release run logs before materializing the corpus.
+#
+# Scale: the decision table is |sources| rows (broadcast); the rank
+# reuses the two-phase top-K (local rank per (split, source), global
+# rank over <= CAP x #splits survivors -- no full-stream per-source
+# window); rollup is one combinable groupBy.
+# ---------------------------------------------------------------------------
+
+
+def source_policy_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    dec = source_quality_decision(spark, sf_dir).select("source", "decision")
+    hashed = docs.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.md5(
+            F.concat_ws(":", "source", F.col("doc_id").cast("string"))
+        ).alias("h"),
+    )
+    w_local = Window.partitionBy("_split", "source").orderBy("h", "doc_id")
+    survivors = (
+        hashed.withColumn("_split", F.spark_partition_id())
+        .withColumn("_lr", F.row_number().over(w_local))
+        .filter(F.col("_lr") <= SOURCE_CAP)
+        .drop("_split", "_lr")
+    )
+    w_glob = Window.partitionBy("source").orderBy("h", "doc_id")
+    capped = (
+        survivors.withColumn("_gr", F.row_number().over(w_glob))
+        .filter(F.col("_gr") <= SOURCE_CAP)
+        .select("doc_id")
+        .withColumn("in_cap", F.lit(1))
+    )
+    flagged = (
+        hashed.join(capped, "doc_id", "left")
+        .join(F.broadcast(dec), "source")
+        .withColumn(
+            "out",
+            F.when(F.col("decision") == "drop", 0)
+            .when(
+                F.col("decision") == "downsample",
+                F.coalesce("in_cap", F.lit(0)),
+            )
+            .otherwise(1),
+        )
+    )
+    return (
+        flagged.groupBy("source", "decision")
+        .agg(
+            F.count(F.lit(1)).alias("docs_in"),
+            F.sum("out").cast("bigint").alias("docs_out"),
+            F.sum(F.col("out") * F.col("n_chars"))
+            .cast("bigint")
+            .alias("chars_out"),
+        )
+        .select(
+            "source",
+            "decision",
+            "docs_in",
+            "docs_out",
+            "chars_out",
+            F.round(
+                F.col("docs_out").cast("double") / F.col("docs_in"), 6
+            ).alias("keep_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+def _source_policy_oracle() -> str:
+    return f"""
+    WITH dec AS (
+        SELECT source, decision FROM ({_source_quality_oracle()})
+    ),
+    ranked AS (
+        SELECT source, doc_id, n_chars,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(source || ':' || CAST(doc_id AS STRING)),
+                            doc_id
+               ) <= {SOURCE_CAP} AS in_cap
+        FROM documents
+    ),
+    flagged AS (
+        SELECT r.source, dec.decision, r.n_chars,
+               CASE WHEN dec.decision = 'drop' THEN 0
+                    WHEN dec.decision = 'downsample'
+                         THEN CASE WHEN r.in_cap THEN 1 ELSE 0 END
+                    ELSE 1 END AS o
+        FROM ranked r JOIN dec USING (source)
+    )
+    SELECT source, decision,
+           count(*) AS docs_in,
+           CAST(sum(o) AS BIGINT) AS docs_out,
+           CAST(sum(o * n_chars) AS BIGINT) AS chars_out,
+           round(CAST(sum(o) AS DOUBLE) / count(*), 6) AS keep_rate
+    FROM flagged
+    GROUP BY source, decision
+    ORDER BY source
+"""
+
+
+SOURCE_POLICY_ORACLE = _source_policy_oracle()
+
+
 PIPELINE_QUERIES: list[tuple[str, object, str | None]] = [
     (
         "source_quality_decision",
         source_quality_decision,
         SOURCE_QUALITY_ORACLE,
     ),
+    ("source_policy_apply", source_policy_apply, SOURCE_POLICY_ORACLE),
     ("source_frequency_cap", source_frequency_cap, SOURCE_CAP_ORACLE),
     (
         "corpus_source_lang_matrix",

@@ -3270,7 +3270,117 @@ KN_CONTINUATION_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Eval-decontamination funnel -- the release-side complement of
+# contamination_overlap: that query asks "is my EVAL set leaked?", this
+# one EXECUTES the standard fix in the other direction -- drop every
+# TRAIN document sharing more than DECONTAM_NUM/DEN of its distinct
+# shingles with the held-out eval split, and report the funnel
+# (train in, dropped, kept, kept chars) as the one-row release record.
+# The drop verdict is an integer cross-multiplication
+# (n_hit * DEN > n_shingles * NUM), never a derived-double compare;
+# shingle-free train docs carry no evidence and are kept.
+#
+# Scale: the same distinct-reduced shuffle-on-shingle left join as
+# contamination_overlap (join keys are the shingle vocabulary, not the
+# token stream), one combinable per-doc count, then a scalar rollup.
+# ---------------------------------------------------------------------------
+
+DECONTAM_NUM, DECONTAM_DEN = 1, 2  # drop when > half the shingles leak
+
+
+def eval_decontam_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles_df(docs)
+    eval_sh = (
+        sh.filter(F.col("doc_id") % EVAL_MOD == 0)
+        .select("sh")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    per_doc = (
+        sh.filter(F.col("doc_id") % EVAL_MOD != 0)
+        .join(eval_sh, "sh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hit"),
+        )
+    )
+    train_docs = docs.filter(F.col("doc_id") % EVAL_MOD != 0).select(
+        "doc_id", "n_chars"
+    )
+    dropd = F.when(
+        F.coalesce("n_hit", F.lit(0)) * DECONTAM_DEN
+        > F.coalesce("n_sh", F.lit(0)) * DECONTAM_NUM,
+        1,
+    ).otherwise(0)
+    ev = docs.filter(F.col("doc_id") % EVAL_MOD == 0).agg(
+        F.count(F.lit(1)).alias("n_eval_docs")
+    )
+    return (
+        train_docs.join(per_doc, "doc_id", "left")
+        .select(dropd.alias("d"), "n_chars")
+        .agg(
+            F.count(F.lit(1)).alias("n_train_docs"),
+            F.sum("d").cast("bigint").alias("n_dropped"),
+            F.sum(1 - F.col("d")).cast("bigint").alias("n_kept"),
+            F.sum((1 - F.col("d")) * F.col("n_chars"))
+            .cast("bigint")
+            .alias("kept_chars"),
+        )
+        .crossJoin(F.broadcast(ev))
+        .select(
+            "n_eval_docs",
+            "n_train_docs",
+            "n_dropped",
+            "n_kept",
+            "kept_chars",
+            F.round(
+                F.col("n_dropped").cast("double") / F.col("n_train_docs"), 6
+            ).alias("drop_rate"),
+        )
+    )
+
+
+DECONTAM_FUNNEL_ORACLE = f"""
+    WITH {DUCKDB_SHINGLES_CTE},
+    eval_sh AS (
+        SELECT DISTINCT sh FROM shing WHERE doc_id % {EVAL_MOD} = 0
+    ),
+    per_doc AS (
+        SELECT s.doc_id, count(*) AS n_sh,
+               sum(CASE WHEN e.sh IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+        FROM shing s
+        LEFT JOIN eval_sh e ON s.sh = e.sh
+        WHERE s.doc_id % {EVAL_MOD} <> 0
+        GROUP BY s.doc_id
+    ),
+    flagged AS (
+        SELECT d.n_chars,
+               CASE WHEN coalesce(p.n_hit, 0) * {DECONTAM_DEN}
+                         > coalesce(p.n_sh, 0) * {DECONTAM_NUM}
+                    THEN 1 ELSE 0 END AS dr
+        FROM documents d
+        LEFT JOIN per_doc p USING (doc_id)
+        WHERE d.doc_id % {EVAL_MOD} <> 0
+    ),
+    ev AS (
+        SELECT count(*) AS n_eval_docs FROM documents
+        WHERE doc_id % {EVAL_MOD} = 0
+    )
+    SELECT any_value(n_eval_docs) AS n_eval_docs,
+           count(*) AS n_train_docs,
+           CAST(sum(dr) AS BIGINT) AS n_dropped,
+           CAST(sum(1 - dr) AS BIGINT) AS n_kept,
+           CAST(sum((1 - dr) * n_chars) AS BIGINT) AS kept_chars,
+           round(CAST(sum(dr) AS DOUBLE) / count(*), 6) AS drop_rate
+    FROM flagged, ev
+"""
+
+
 TEXT_ANALYSIS_QUERIES: list[tuple[str, object, str | None]] = [
+    ("eval_decontam_funnel", eval_decontam_funnel, DECONTAM_FUNNEL_ORACLE),
     ("kn_continuation_probs", kn_continuation_probs, KN_CONTINUATION_ORACLE),
     ("tfidf_topk_terms", tfidf_topk_terms, TFIDF_TOPK_ORACLE),
     ("text_normalize", text_normalize, NORMALIZE_ORACLE),

@@ -329,3 +329,24 @@ def test_t_closeness_matches_direct_tvd(spark):
         ) / 2
         assert abs(r.tvd - round(float(tvd), 6)) < 1e-9
         assert r.t_close == (tvd <= Fraction(1, 5))
+
+
+def test_source_policy_apply_executes_decisions(spark):
+    """Funnel must restate the decision semantics exactly: keep -> all,
+    drop -> none, downsample -> min(SOURCE_CAP, docs_in)."""
+    from mapreduce_on_google_cloud_platform_spark.operators.pipeline import SOURCE_CAP
+
+    dec = {
+        r.source: r.decision
+        for r in QUERIES["source_quality_decision"](spark, SF_SMOKE).collect()
+    }
+    rows = QUERIES["source_policy_apply"](spark, SF_SMOKE).collect()
+    assert {r.source for r in rows} == set(dec)
+    for r in rows:
+        assert r.decision == dec[r.source]
+        if r.decision == "keep":
+            assert r.docs_out == r.docs_in
+        elif r.decision == "drop":
+            assert r.docs_out == 0 and r.chars_out == 0
+        else:
+            assert r.docs_out == min(SOURCE_CAP, r.docs_in)

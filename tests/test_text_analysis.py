@@ -631,3 +631,33 @@ def test_tfidf_topk_terms_agrees_with_tfidf(spark):
         best = max(full[doc_id].values())
         top1 = next(r for r in topk if r.doc_id == doc_id and r.term_rank == 1)
         assert top1.tfidf == best
+
+
+def test_decontam_funnel_reconciles_with_contamination_rates(spark):
+    """The funnel's drop count must equal the number of train docs whose
+    shingle-leak fraction (recomputed doc-by-doc from the same shingle
+    streams) strictly exceeds one half; counts partition the corpus."""
+    from mapreduce_on_google_cloud_platform_spark.functions.text import shingles_df
+    from mapreduce_on_google_cloud_platform_spark.operators.text_analysis import (
+        EVAL_MOD,
+    )
+    from mapreduce_on_google_cloud_platform_spark.sources import load_table
+
+    from .conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    sh = shingles_df(docs).collect()
+    eval_sh = {r.sh for r in sh if r.doc_id % EVAL_MOD == 0}
+    per_doc: dict[int, list[int]] = {}
+    for r in sh:
+        if r.doc_id % EVAL_MOD != 0:
+            tot_hit = per_doc.setdefault(r.doc_id, [0, 0])
+            tot_hit[0] += 1
+            tot_hit[1] += r.sh in eval_sh
+    n_train = docs.filter(f"doc_id % {EVAL_MOD} != 0").count()
+    expect_drop = sum(1 for n, h in per_doc.values() if 2 * h > n)
+    row = QUERIES["eval_decontam_funnel"](spark, SF_SMOKE).collect()[0]
+    assert row.n_train_docs == n_train
+    assert row.n_dropped == expect_drop
+    assert row.n_kept + row.n_dropped == row.n_train_docs
+    assert row.n_eval_docs == docs.filter(f"doc_id % {EVAL_MOD} = 0").count()
