@@ -1040,7 +1040,166 @@ DISORDER_ORACLE = """
 """
 
 
+# ---------------------------------------------------------------------------
+# Daily-profile similarity search -- distributed time-series similarity
+# in the shape the OLAP literature studies it (distributed top-k series
+# similarity; cf. the REPOSE/Odyssey line of work): per event type,
+# find the K most similar pairs of days by exact squared distance
+# between their 24-hour value profiles.  The operations analyst's
+# "which past day did today behave like?" question.
+#
+# Exactness: profiles are 24 FLAT integer-cent columns (conditional
+# decimal sums -- the flat-column discipline from SCALING.md, no
+# arrays/HOFs in the join); the distance is sum_h (a_h - b_h)^2 lifted
+# to decimal(38,0) (hourly cents at petabyte scale square past BIGINT),
+# so ranking ties break on exact integers + (day_a, day_b) -- bit-stable
+# on any engine/partitioning.  Hours/days come from epoch arithmetic
+# (timezone-proof, same rule as hour_of_week_profile).
+#
+# Scale: the profile table is CALENDAR-bounded (types x days), tiny
+# regardless of event volume; the pair space is a banded equi-join
+# (same type, day gap <= SIM_BAND_DAYS) so it grows linearly in days,
+# never days^2; the per-type top-K window runs over that bounded band.
+# ---------------------------------------------------------------------------
+
+SIM_TOPK = 5
+SIM_BAND_DAYS = 28
+
+
+def daily_profile_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.portable import dec
+
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    keyed = ev.select(
+        "event_type",
+        us.alias("_us"),
+        dec("value").alias("v"),
+    ).select(
+        "event_type",
+        F.expr("_us div 86400000000").alias("day_idx"),
+        F.expr("(_us div 3600000000) % 24").alias("hour"),
+        "v",
+    )
+    profile = keyed.groupBy("event_type", "day_idx").agg(
+        *[
+            (
+                F.sum(F.when(F.col("hour") == h, F.col("v")).otherwise(dec(F.lit(0))))
+                * 100
+            )
+            .cast("bigint")
+            .alias(f"h{h}")
+            for h in range(24)
+        ]
+    )
+    a = profile.alias("a")
+    b = profile.alias("b")
+    dist2 = None
+    for h in range(24):
+        d = (F.col(f"a.h{h}") - F.col(f"b.h{h}")).cast("decimal(19,0)")
+        term = d * d
+        dist2 = term if dist2 is None else dist2 + term
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.day_idx") < F.col("b.day_idx"))
+            & (F.col("b.day_idx") - F.col("a.day_idx") <= SIM_BAND_DAYS),
+        )
+        .select(
+            F.col("a.event_type").alias("event_type"),
+            F.col("a.day_idx").alias("da"),
+            F.col("b.day_idx").alias("db"),
+            dist2.cast("decimal(38,0)").alias("dist2_q"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.asc("dist2_q"), F.asc("da"), F.asc("db")
+    )
+    return (
+        pairs.withColumn("sim_rank", F.row_number().over(w))
+        .filter(F.col("sim_rank") <= SIM_TOPK)
+        .select(
+            "event_type",
+            F.date_add(
+                F.lit("1970-01-01").cast("date"), F.col("da").cast("int")
+            ).alias("day_a"),
+            F.date_add(
+                F.lit("1970-01-01").cast("date"), F.col("db").cast("int")
+            ).alias("day_b"),
+            (F.col("db") - F.col("da")).cast("int").alias("gap_days"),
+            "dist2_q",
+            F.col("sim_rank").cast("int").alias("sim_rank"),
+            F.round(
+                F.sqrt(F.col("dist2_q").cast("double") / 24.0) / 100.0, 6
+            ).alias("hourly_rmse"),
+        )
+        .orderBy("event_type", "sim_rank")
+    )
+
+
+def _profile_similarity_oracle() -> str:
+    hcols = ",\n               ".join(
+        f"CAST(sum(CASE WHEN hour = {h} THEN v ELSE CAST(0 AS DECIMAL(18,2)) "
+        f"END) * 100 AS BIGINT) AS h{h}"
+        for h in range(24)
+    )
+    dterms = " + ".join(
+        f"(CAST(a.h{h} - b.h{h} AS HUGEINT) * CAST(a.h{h} - b.h{h} AS HUGEINT))"
+        for h in range(24)
+    )
+    return f"""
+    WITH keyed AS (
+        SELECT event_type,
+               epoch_us(ts) // 86400000000 AS day_idx,
+               (epoch_us(ts) // 3600000000) % 24 AS hour,
+               CAST(value AS DECIMAL(18,2)) AS v
+        FROM events
+    ),
+    profile AS (
+        SELECT event_type, day_idx,
+               {hcols}
+        FROM keyed
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a.event_type, a.day_idx AS da, b.day_idx AS db,
+               CAST({dterms} AS DECIMAL(38,0)) AS dist2_q
+        FROM profile a
+        JOIN profile b
+          ON a.event_type = b.event_type
+         AND a.day_idx < b.day_idx
+         AND b.day_idx - a.day_idx <= {SIM_BAND_DAYS}
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY event_type ORDER BY dist2_q ASC, da ASC, db ASC
+        ) AS sim_rank
+        FROM pairs
+    )
+    SELECT event_type,
+           DATE '1970-01-01' + CAST(da AS INTEGER) AS day_a,
+           DATE '1970-01-01' + CAST(db AS INTEGER) AS day_b,
+           CAST(db - da AS INTEGER) AS gap_days,
+           dist2_q,
+           CAST(sim_rank AS INTEGER) AS sim_rank,
+           round(sqrt(CAST(dist2_q AS DOUBLE) / 24.0) / 100.0, 6)
+               AS hourly_rmse
+    FROM ranked
+    WHERE sim_rank <= {SIM_TOPK}
+    ORDER BY event_type, sim_rank
+"""
+
+
+PROFILE_SIMILARITY_ORACLE = _profile_similarity_oracle()
+
+
 TEMPORAL_QUERIES: list[tuple[str, object, str | None]] = [
+    (
+        "daily_profile_similarity",
+        daily_profile_similarity,
+        PROFILE_SIMILARITY_ORACLE,
+    ),
     ("event_disorder_profile", event_disorder_profile, DISORDER_ORACLE),
     ("asof_join_purchase_view", asof_join_purchase_view, ASOF_ORACLE),
     ("asof_forward_purchase_view", asof_forward_purchase_view, ASOF_FORWARD_ORACLE),

@@ -272,3 +272,54 @@ def test_event_disorder_profile_invariants(spark):
         if r.bucket >= 0:
             assert 2**r.bucket <= r.min_lateness_us + 1
             assert r.max_lateness_us + 1 < 2 ** (r.bucket + 1)
+
+
+def test_daily_profile_similarity_matches_numpy(spark):
+    """Top-K day pairs recomputed with numpy from the raw events (exact
+    integer cents, same epoch bucketing) must match ranks and distances
+    exactly."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    import numpy as np
+
+    from mapreduce_on_google_cloud_platform_spark.operators.temporal import (
+        SIM_BAND_DAYS,
+        SIM_TOPK,
+    )
+    from mapreduce_on_google_cloud_platform_spark.sources import load_table
+
+    from .conftest import SF_SMOKE
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_type", "ts", "value"
+    ).collect()
+    prof: dict[tuple, np.ndarray] = defaultdict(lambda: np.zeros(24, dtype=object))
+    for r in ev:
+        us = int(r.ts.timestamp() * 1_000_000)
+        day, hour = us // 86_400_000_000, (us // 3_600_000_000) % 24
+        cents = int(Decimal(str(r.value)).quantize(Decimal("0.01")) * 100)
+        prof[(r.event_type, day)][hour] += cents
+    by_type: dict[str, list] = defaultdict(list)
+    for (et, day), v in prof.items():
+        by_type[et].append((day, v))
+    expect: dict[str, list] = {}
+    for et, days in by_type.items():
+        days.sort()
+        pairs = []
+        for i, (da, va) in enumerate(days):
+            for db, vb in days[i + 1:]:
+                if db - da > SIM_BAND_DAYS:
+                    continue
+                d = va - vb
+                pairs.append((int(np.sum(d * d)), da, db))
+        pairs.sort()
+        expect[et] = pairs[:SIM_TOPK]
+    rows = QUERIES["daily_profile_similarity"](spark, SF_SMOKE).collect()
+    got: dict[str, list] = defaultdict(list)
+    epoch = __import__("datetime").date(1970, 1, 1)
+    for r in sorted(rows, key=lambda r: (r.event_type, r.sim_rank)):
+        got[r.event_type].append(
+            (int(r.dist2_q), (r.day_a - epoch).days, (r.day_b - epoch).days)
+        )
+    assert dict(got) == expect
