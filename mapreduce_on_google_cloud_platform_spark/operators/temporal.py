@@ -1194,12 +1194,162 @@ def _profile_similarity_oracle() -> str:
 PROFILE_SIMILARITY_ORACLE = _profile_similarity_oracle()
 
 
+# ---------------------------------------------------------------------------
+# New-vs-returning actives -- the first product-analytics split of any
+# daily active report: per day, how many active users are seen for the
+# FIRST time vs returning.  First-seen day is a per-user min (combinable
+# aggregate, never a window over the event stream).
+#
+# Scale: distinct (user, day) pairs (two-phase distinct), one per-user
+# min, one dimension-sized join back on user, one per-day rollup.  Days
+# come from epoch arithmetic (timezone-proof).
+# ---------------------------------------------------------------------------
+
+
+def new_vs_returning_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ud = (
+        ev.select(
+            "user_id",
+            F.expr("unix_micros(ts) div 86400000000").alias("day_idx"),
+        )
+        .distinct()
+        .persist()  # consumed by first-seen AND the join probe
+    )
+    first = ud.groupBy("user_id").agg(F.min("day_idx").alias("first_day"))
+    return (
+        ud.join(first, "user_id")
+        .groupBy("day_idx")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_active"),
+            F.sum(
+                F.when(F.col("day_idx") == F.col("first_day"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_new"),
+        )
+        .select(
+            F.date_add(
+                F.lit("1970-01-01").cast("date"), F.col("day_idx").cast("int")
+            ).alias("day"),
+            "n_active",
+            "n_new",
+            (F.col("n_active") - F.col("n_new")).alias("n_returning"),
+            F.round(
+                F.col("n_new").cast("double") / F.col("n_active"), 6
+            ).alias("new_share"),
+        )
+        .orderBy("day")
+    )
+
+
+NEW_RETURNING_ORACLE = """
+    WITH ud AS (
+        SELECT DISTINCT user_id,
+               epoch_us(ts) // 86400000000 AS day_idx
+        FROM events
+    ),
+    first AS (
+        SELECT user_id, min(day_idx) AS first_day FROM ud GROUP BY user_id
+    )
+    SELECT DATE '1970-01-01' + CAST(day_idx AS INTEGER) AS day,
+           count(*) AS n_active,
+           CAST(sum(CASE WHEN day_idx = first_day THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_new,
+           CAST(count(*) - sum(CASE WHEN day_idx = first_day THEN 1 ELSE 0
+                END) AS BIGINT) AS n_returning,
+           round(CAST(sum(CASE WHEN day_idx = first_day THEN 1 ELSE 0 END)
+                 AS DOUBLE) / count(*), 6) AS new_share
+    FROM ud JOIN first USING (user_id)
+    GROUP BY day_idx
+    ORDER BY day
+"""
+
+
+# ---------------------------------------------------------------------------
+# DAU / WAU stickiness -- the engagement ratio product teams track
+# daily.  The scale hazard is the rolling 7-day DISTINCT: a window
+# can't dedup users, and a (days x pairs) band join is quadratic-ish.
+# Plan: EXPLODE each distinct (user, day) into the 7 report days it
+# contributes to (a fixed 7x expansion of the deduped pair table, NOT
+# of the event stream), then one two-phase distinct count per day --
+# every stage map-side combinable, days bounded by the calendar.
+# Report days are the observed activity days (inner join with DAU).
+# ---------------------------------------------------------------------------
+
+
+def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ud = (
+        ev.select(
+            "user_id",
+            F.expr("unix_micros(ts) div 86400000000").alias("day_idx"),
+        )
+        .distinct()
+        .persist()  # consumed by the DAU rollup AND the 7x explode
+    )
+    dau = ud.groupBy("day_idx").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dau")
+    )
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day_idx"), F.col("day_idx") + 6)
+        ).alias("day_idx"),
+    )
+    wau = contrib.groupBy("day_idx").agg(
+        F.countDistinct("user_id").cast("bigint").alias("wau7")
+    )
+    return (
+        dau.join(wau, "day_idx")
+        .select(
+            F.date_add(
+                F.lit("1970-01-01").cast("date"), F.col("day_idx").cast("int")
+            ).alias("day"),
+            "dau",
+            "wau7",
+            F.round(F.col("dau").cast("double") / F.col("wau7"), 6).alias(
+                "stickiness"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+DAU_WAU_ORACLE = """
+    WITH ud AS (
+        SELECT DISTINCT user_id,
+               epoch_us(ts) // 86400000000 AS day_idx
+        FROM events
+    ),
+    dau AS (
+        SELECT day_idx, CAST(count(*) AS BIGINT) AS dau
+        FROM ud GROUP BY day_idx
+    ),
+    contrib AS (
+        SELECT DISTINCT user_id, day_idx + i AS day_idx
+        FROM ud, unnest(range(0, 7)) t(i)
+    ),
+    wau AS (
+        SELECT day_idx, CAST(count(*) AS BIGINT) AS wau7
+        FROM contrib GROUP BY day_idx
+    )
+    SELECT DATE '1970-01-01' + CAST(dau.day_idx AS INTEGER) AS day,
+           dau, wau7,
+           round(CAST(dau AS DOUBLE) / wau7, 6) AS stickiness
+    FROM dau JOIN wau USING (day_idx)
+    ORDER BY day
+"""
+
+
 TEMPORAL_QUERIES: list[tuple[str, object, str | None]] = [
     (
         "daily_profile_similarity",
         daily_profile_similarity,
         PROFILE_SIMILARITY_ORACLE,
     ),
+    ("new_vs_returning_users", new_vs_returning_users, NEW_RETURNING_ORACLE),
+    ("dau_wau_stickiness", dau_wau_stickiness, DAU_WAU_ORACLE),
     ("event_disorder_profile", event_disorder_profile, DISORDER_ORACLE),
     ("asof_join_purchase_view", asof_join_purchase_view, ASOF_ORACLE),
     ("asof_forward_purchase_view", asof_forward_purchase_view, ASOF_FORWARD_ORACLE),

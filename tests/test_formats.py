@@ -194,3 +194,25 @@ def test_zorder_layout_skips_on_both_dimensions(spark, tmp_path):
         if not (hi < x_lo or lo > x_hi)
     )
     assert zx <= z_total * 0.75, (zx, z_total)
+
+
+def test_zorder_interleave_matches_python_reference(spark):
+    """The JVM bit-interleave must agree with an independent pure-python
+    Morton encoding on a grid of values (bijectivity + bit placement)."""
+    from mapreduce_on_google_cloud_platform_spark.sources.zorder import zvalue
+
+    def morton(x, y, bits=8):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    vals = [(x, y) for x in range(0, 256, 17) for y in range(0, 256, 23)]
+    df = spark.createDataFrame(vals, "x int, y int").select(
+        "x", "y", zvalue(F.col("x"), F.col("y")).alias("z")
+    )
+    got = {(r.x, r.y): r.z for r in df.collect()}
+    for (x, y), z in got.items():
+        assert z == morton(x, y), (x, y, z)
+    assert len(set(got.values())) == len(got)  # injective on the grid

@@ -779,3 +779,19 @@ def test_lang_budget_cumsum_is_range_partitioned(spark):
         assert "_rng" in spec, f"full-stream per-lang window found: [{spec}]"
     physical = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange rangepartitioning" in physical
+
+
+def test_profile_similarity_band_join_keeps_equi_key(spark):
+    """daily_profile_similarity's pair space must ride the event_type
+    equi-key (hash/broadcast join with the day band as residual), never
+    a nested-loop/cartesian over the profile table, and the top-K window
+    must be partitioned (per type over the bounded band)."""
+    import re
+
+    df = QUERIES["daily_profile_similarity"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    for spec in re.findall(r"Window \[.*?\], \[(.*?)\], \[", logical):
+        assert spec.strip(), "partitionless window in similarity plan"

@@ -323,3 +323,55 @@ def test_daily_profile_similarity_matches_numpy(spark):
             (int(r.dist2_q), (r.day_a - epoch).days, (r.day_b - epoch).days)
         )
     assert dict(got) == expect
+
+
+def test_new_vs_returning_partitions_actives(spark):
+    """new + returning == active per day; the first report day is all-new;
+    total new across days equals the distinct user count."""
+    from mapreduce_on_google_cloud_platform_spark.sources import load_table
+
+    from .conftest import SF_SMOKE
+
+    rows = sorted(
+        QUERIES["new_vs_returning_users"](spark, SF_SMOKE).collect(),
+        key=lambda r: r.day,
+    )
+    assert rows
+    assert rows[0].n_returning == 0
+    for r in rows:
+        assert r.n_new + r.n_returning == r.n_active
+    n_users = (
+        load_table(spark, SF_SMOKE, "events").select("user_id").distinct().count()
+    )
+    assert sum(r.n_new for r in rows) == n_users
+
+
+def test_dau_wau_stickiness_bounds(spark):
+    """WAU >= DAU always (the week contains the day); stickiness in
+    (0, 1]; WAU recomputed directly for a sample day must match."""
+    from mapreduce_on_google_cloud_platform_spark.sources import load_table
+
+    from .conftest import SF_SMOKE
+
+    rows = QUERIES["dau_wau_stickiness"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.wau7 >= r.dau > 0
+        assert 0.0 < r.stickiness <= 1.0
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    mid = sorted(rows, key=lambda r: r.day)[len(rows) // 2]
+    epoch = datetime.date(1970, 1, 1)
+    d = (mid.day - epoch).days
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "user_id", F.expr("unix_micros(ts) div 86400000000").alias("day_idx")
+    )
+    direct = (
+        ev.filter((F.col("day_idx") >= d - 6) & (F.col("day_idx") <= d))
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert direct == mid.wau7
