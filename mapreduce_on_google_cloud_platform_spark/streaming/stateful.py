@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -189,6 +190,88 @@ def streaming_decayed_value_query(spark: SparkSession, sf_dir: str):
             update_decay,
             outputStructType=DECAY_OUTPUT_SCHEMA,
             stateStructType=DECAY_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming per-source admission cap -- the continuous-ingest twin of
+# the batch ``source_frequency_cap``: documents arrive as a stream and
+# each source's admission counter lives in the state store; once a
+# source has admitted SOURCE_CAP documents, the rest are rejected at
+# ingest.  Unlike the batch operator (which picks a deterministic
+# hash-ranked kept SET over the full corpus), the streaming semantics
+# is honest first-arrived admission -- the policy a live ingest can
+# actually enforce -- so the batch/stream agreement is on the COUNTS:
+# final admitted per source == min(CAP, docs seen), verified in pytest.
+#
+# Scale posture: state is one bigint per source (|sources| keys, not
+# |docs|); one Arrow batch crosses the Python boundary per source per
+# micro-batch.
+# ---------------------------------------------------------------------------
+
+CAP_STATE_SCHEMA = StructType([StructField("n_admitted", LongType())])
+
+CAP_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("source", StringType()),
+        StructField("n_seen", LongType()),
+        StructField("n_admitted", LongType()),
+    ]
+)
+
+
+def documents_stream(spark: SparkSession, sf_dir: str):
+    """readStream twin of the documents loader."""
+    import os
+
+    from .windows import _table_stream_dir
+
+    static = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return spark.readStream.schema(static.schema).parquet(
+        _table_stream_dir(sf_dir, "documents")
+    )
+
+
+def streaming_source_cap_query(spark: SparkSession, sf_dir: str):
+    """readStream -> groupBy(source) -> applyInPandasWithState admission
+    counter.  Returns the unstarted streaming DataFrame."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..operators.pipeline import SOURCE_CAP
+
+    cap = int(SOURCE_CAP)
+
+    def admit(key, pdfs, state):
+        import pandas as pd
+
+        (source,) = key
+        (admitted,) = state.get if state.exists else (0,)
+        seen = 0
+        for pdf in pdfs:
+            n = len(pdf)
+            seen += n
+            take = max(0, min(cap - admitted, n))
+            admitted += take
+        state.update((admitted,))
+        yield pd.DataFrame(
+            {
+                "source": [source],
+                "n_seen": [seen],
+                "n_admitted": [admitted],
+            }
+        )
+
+    return (
+        documents_stream(spark, sf_dir)
+        .select("source", "doc_id")
+        .groupBy("source")
+        .applyInPandasWithState(
+            admit,
+            outputStructType=CAP_OUTPUT_SCHEMA,
+            stateStructType=CAP_STATE_SCHEMA,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )

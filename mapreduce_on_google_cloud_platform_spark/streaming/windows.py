@@ -161,18 +161,23 @@ SESSION_ORACLE = f"""
 # ---------------------------------------------------------------------------
 
 
-def _events_stream_dir(sf_dir: str) -> str:
+def _table_stream_dir(sf_dir: str, table: str) -> str:
     """The parquet file-stream source requires a *directory*; testdata ships
     one file per table.  Build a stable symlink dir under /tmp."""
     import hashlib
     import os
 
-    d = f"/tmp/spark_graft_stream_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    key = hashlib.md5(f"{sf_dir}:{table}".encode()).hexdigest()[:8]
+    d = f"/tmp/spark_graft_stream_{key}"
     os.makedirs(d, exist_ok=True)
-    link = os.path.join(d, "events.parquet")
+    link = os.path.join(d, f"{table}.parquet")
     if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+        os.symlink(os.path.join(sf_dir, f"{table}.parquet"), link)
     return d
+
+
+def _events_stream_dir(sf_dir: str) -> str:
+    return _table_stream_dir(sf_dir, "events")
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

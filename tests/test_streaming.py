@@ -441,3 +441,42 @@ def test_streaming_dedup_within_watermark_invariants(spark):
         times.sort()
         for a, b in zip(times, times[1:]):
             assert (b - a).total_seconds() > 3600, (key, a, b)
+
+
+def test_streaming_source_cap_admission_counts(spark):
+    """Continuous-ingest admission cap: the final admitted count per
+    source must equal min(SOURCE_CAP, docs seen), the count the batch
+    source_frequency_cap keeps; admitted never exceeds seen."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_on_google_cloud_platform_spark.operators.pipeline import SOURCE_CAP
+    from mapreduce_on_google_cloud_platform_spark.sources import load_table
+    from mapreduce_on_google_cloud_platform_spark.streaming.stateful import (
+        streaming_source_cap_query,
+    )
+
+    stream = streaming_source_cap_query(spark, SF_SMOKE)
+    q = (
+        stream.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stream_source_cap")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM stream_source_cap").collect()
+    finally:
+        q.stop()
+    final = {}
+    for r in rows:  # update mode: last emission per key wins
+        final[r.source] = r.n_admitted
+    per_source = {
+        r.source: r.n_docs
+        for r in load_table(spark, SF_SMOKE, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .collect()
+    }
+    assert set(final) == set(per_source)
+    for src, n in per_source.items():
+        assert final[src] == min(SOURCE_CAP, n), src
