@@ -2198,6 +2198,113 @@ COPURCHASE_ORACLE = f"""
 
 
 # ---------------------------------------------------------------------------
+# Association rules over the co-purchase pairs -- the mining step after
+# candidate generation: for every frequent unordered pair, BOTH
+# directed rules a->b and b->a with exact support / confidence / lift.
+# Everything is a ratio of exact integer counts, emitted as single
+# rounded divisions (lift as n_ab*N / (n_a*n_b) computed in one double
+# expression of exact ints, identical text both engines).
+#
+# Scale: rides copurchase_part_pairs (pair fan-out bounded by
+# items-per-order squared); adds one combinable per-item count and two
+# dimension-sized joins of the (already frequent-filtered) pair table
+# against it; basket total is one broadcast scalar.
+# ---------------------------------------------------------------------------
+
+
+def copurchase_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    pairs = copurchase_part_pairs(spark, sf_dir).select(
+        "part_a", "part_b", F.col("n_orders_together").alias("n_ab")
+    )
+    counts = items.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.count(F.lit(1)).alias("n_part")
+    )
+    baskets = items.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n_baskets")
+    )
+    directed = pairs.select(
+        F.col("part_a").alias("antecedent"),
+        F.col("part_b").alias("consequent"),
+        "n_ab",
+    ).unionByName(
+        pairs.select(
+            F.col("part_b").alias("antecedent"),
+            F.col("part_a").alias("consequent"),
+            "n_ab",
+        )
+    )
+    ca = counts.select(
+        F.col("part").alias("antecedent"), F.col("n_part").alias("n_ante")
+    )
+    cc = counts.select(
+        F.col("part").alias("consequent"), F.col("n_part").alias("n_cons")
+    )
+    return (
+        directed.join(ca, "antecedent")
+        .join(cc, "consequent")
+        .crossJoin(F.broadcast(baskets))
+        .select(
+            "antecedent",
+            "consequent",
+            "n_ab",
+            F.round(
+                F.col("n_ab").cast("double") / F.col("n_baskets"), 6
+            ).alias("support"),
+            F.round(F.col("n_ab").cast("double") / F.col("n_ante"), 6).alias(
+                "confidence"
+            ),
+            F.round(
+                F.col("n_ab").cast("double")
+                * F.col("n_baskets")
+                / (F.col("n_ante") * F.col("n_cons")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy("antecedent", "consequent")
+    )
+
+
+COPURCHASE_RULES_ORACLE = f"""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               count(*) AS n_ab
+        FROM items a JOIN items b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= {MIN_COPURCHASE}
+    ),
+    directed AS (
+        SELECT part_a AS antecedent, part_b AS consequent, n_ab FROM pairs
+        UNION ALL
+        SELECT part_b AS antecedent, part_a AS consequent, n_ab FROM pairs
+    ),
+    counts AS (
+        SELECT l_partkey AS part, count(*) AS n_part FROM items GROUP BY 1
+    ),
+    baskets AS (
+        SELECT count(DISTINCT l_orderkey) AS n_baskets FROM items
+    )
+    SELECT antecedent, consequent, n_ab,
+           round(CAST(n_ab AS DOUBLE) / any_value(n_baskets), 6) AS support,
+           round(CAST(n_ab AS DOUBLE) / any_value(ca.n_part), 6)
+               AS confidence,
+           round(CAST(n_ab AS DOUBLE) * any_value(n_baskets)
+                 / (any_value(ca.n_part) * any_value(cc.n_part)), 6) AS lift
+    FROM directed
+    JOIN counts ca ON antecedent = ca.part
+    JOIN counts cc ON consequent = cc.part
+    CROSS JOIN baskets
+    GROUP BY antecedent, consequent, n_ab
+    ORDER BY antecedent, consequent
+"""
+
+
+# ---------------------------------------------------------------------------
 # Deterministic negative sampling: the contrastive-training companion of
 # the positive (customer, part) interactions.  Positives are the
 # distinct pairs a customer actually ordered; per customer,
@@ -2524,5 +2631,6 @@ RELATIONAL_QUERIES: list[tuple[str, object, str | None]] = [
     ),
     ("join_key_skew_profile", join_key_skew_profile, SKEW_PROFILE_ORACLE),
     ("copurchase_part_pairs", copurchase_part_pairs, COPURCHASE_ORACLE),
+    ("copurchase_rules", copurchase_rules, COPURCHASE_RULES_ORACLE),
     ("negative_sampling_pairs", negative_sampling_pairs, NEGATIVE_SAMPLING_ORACLE),
 ]

@@ -1631,6 +1631,106 @@ ANN_METHOD_RECALL_ORACLE = _ann_recall_oracle()
 
 
 # ---------------------------------------------------------------------------
+# Recall@K ladder -- ann_method_recall scores every serving path at one
+# K; this is the depth dimension: how IVF recall degrades as K shrinks
+# (recall@1 is "did the TOP answer survive pruning", the metric a
+# retrieval product actually feels).  hits@k = pairs ranked <= k by
+# BOTH the exact and the IVF ranking; recall@k = hits@k / (k * |Q|).
+#
+# Scale: both rankings are already K-bounded per query, so the join is
+# |Q| x K rows; the whole ladder folds into ONE conditional-sum
+# aggregate over it (the threshold-curve idiom), exploded to a row per
+# K; |Q| arrives as a broadcast scalar.
+# ---------------------------------------------------------------------------
+
+RECALL_LADDER = (1, 2, 5, 10)
+
+
+def ann_recall_at_k_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = ann_topk_bruteforce(spark, sf_dir).select(
+        "q_id", "neighbor_id", F.col("rank").alias("rt")
+    )
+    m = ann_ivf_topk(spark, sf_dir).select(
+        "q_id", "neighbor_id", F.col("rank").alias("rm")
+    )
+    nq = t.select("q_id").distinct().agg(
+        F.count(F.lit(1)).alias("n_queries")
+    )
+    joined = t.join(m, ["q_id", "neighbor_id"])
+    hits = joined.agg(
+        *[
+            F.sum(
+                F.when((F.col("rt") <= k) & (F.col("rm") <= k), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias(f"hits_{k}")
+            for k in RECALL_LADDER
+        ]
+    )
+    ladder = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("k"), F.col(f"hits_{k}").alias("n_hits")
+            )
+            for k in RECALL_LADDER
+        ]
+    )
+    return (
+        hits.crossJoin(F.broadcast(nq))
+        .select("n_queries", F.explode(ladder).alias("row"))
+        .select(
+            F.col("row.k").alias("k"),
+            "n_queries",
+            F.col("row.n_hits").alias("n_hits"),
+            F.round(
+                F.col("row.n_hits").cast("double")
+                / (F.col("row.k") * F.col("n_queries")),
+                6,
+            ).alias("recall_at_k"),
+        )
+        .orderBy("k")
+    )
+
+
+def _recall_curve_oracle() -> str:
+    hit_cols = ",\n               ".join(
+        f"CAST(sum(CASE WHEN rt <= {k} AND rm <= {k} THEN 1 ELSE 0 END) "
+        f"AS BIGINT) AS hits_{k}"
+        for k in RECALL_LADDER
+    )
+    rows = "\n    UNION ALL\n".join(
+        f"""    SELECT {k} AS k, (SELECT n_queries FROM nq) AS n_queries,
+           hits_{k} AS n_hits,
+           round(CAST(hits_{k} AS DOUBLE)
+                 / ({k} * (SELECT n_queries FROM nq)), 6) AS recall_at_k
+    FROM hits"""
+        for k in RECALL_LADDER
+    )
+    return f"""
+    WITH t AS (
+        SELECT q_id, neighbor_id, rank AS rt
+        FROM ({ANN_BRUTEFORCE_ORACLE})
+    ),
+    m AS (
+        SELECT q_id, neighbor_id, rank AS rm FROM ({ANN_IVF_ORACLE})
+    ),
+    nq AS (
+        SELECT CAST(count(DISTINCT q_id) AS BIGINT) AS n_queries FROM t
+    ),
+    joined AS (SELECT * FROM t JOIN m USING (q_id, neighbor_id)),
+    hits AS (
+        SELECT {hit_cols}
+        FROM joined
+    )
+{rows}
+    ORDER BY k
+"""
+
+
+ANN_RECALL_CURVE_ORACLE = _recall_curve_oracle()
+
+
+# ---------------------------------------------------------------------------
 # Hybrid retrieval with reciprocal-rank fusion: "more items like item 0".
 # The keyword arm scores BM25 similarity of every document to the query
 # document's term set; the vector arm scores cosine similarity of every
@@ -2293,6 +2393,7 @@ SIMILARITY_QUERIES: list[tuple[str, object, str | None]] = [
     ),
     ("ann_topk_bruteforce", ann_topk_bruteforce, ANN_BRUTEFORCE_ORACLE),
     ("ann_ivf_topk", ann_ivf_topk, ANN_IVF_ORACLE),
+    ("ann_recall_at_k_curve", ann_recall_at_k_curve, ANN_RECALL_CURVE_ORACLE),
     ("ann_lsh_topk", ann_lsh_topk, ANN_LSH_ORACLE),
     ("ann_lsh_multiprobe_topk", ann_lsh_multiprobe_topk, ANN_LSH_MULTIPROBE_ORACLE),
     ("ann_label_recall", ann_label_recall, ANN_LABEL_RECALL_ORACLE),

@@ -161,3 +161,43 @@ def test_join_cardinality_estimate_is_exact(spark):
     assert rows["orders_lineitem"].join_rows == ol
     e2 = events.alias("a").join(events.alias("b"), "user_id").count()
     assert rows["events_self_user"].join_rows == e2
+
+
+def test_copurchase_rules_restate_counts(spark):
+    """Every directed rule's support/confidence/lift must restate the
+    integer counts recomputed directly; both directions of each frequent
+    pair appear."""
+    from collections import Counter
+
+    from mapreduce_on_google_cloud_platform_spark.sources import load_table
+
+    from .conftest import SF_SMOKE
+
+    items = {
+        (r.l_orderkey, r.l_partkey)
+        for r in load_table(spark, SF_SMOKE, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    }
+    n_part = Counter(p for _, p in items)
+    baskets = len({o for o, _ in items})
+    pairs = {
+        (r.part_a, r.part_b): r.n_orders_together
+        for r in QUERIES["copurchase_part_pairs"](spark, SF_SMOKE).collect()
+    }
+    rows = QUERIES["copurchase_rules"](spark, SF_SMOKE).collect()
+    assert len(rows) == 2 * len(pairs)
+    for r in rows:
+        key = (min(r.antecedent, r.consequent), max(r.antecedent, r.consequent))
+        n_ab = pairs[key]
+        assert r.n_ab == n_ab
+        assert abs(r.support - round(n_ab / baskets, 6)) < 1e-9
+        assert abs(r.confidence - round(n_ab / n_part[r.antecedent], 6)) < 1e-9
+        assert abs(
+            r.lift
+            - round(
+                n_ab * baskets / (n_part[r.antecedent] * n_part[r.consequent]),
+                6,
+            )
+        ) < 1e-9

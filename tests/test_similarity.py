@@ -507,3 +507,17 @@ def test_embedding_centroid_drift_matches_numpy(spark):
         assert int(r.dist2_q) == dist2, r.label
         expect = (dist2 ** 0.5) / (ns[r.label] * ng * float(QUANT_SCALE))
         assert abs(r.centroid_dist - round(expect, 6)) < 1e-9
+
+
+def test_recall_curve_monotone_and_consistent(spark):
+    """recall@K is the method-recall at full K for k=10; hits grow with
+    k; every recall is a valid fraction."""
+    rows = {r.k: r for r in QUERIES["ann_recall_at_k_curve"](spark, SF_SMOKE).collect()}
+    assert set(rows) == {1, 2, 5, 10}
+    prev = 0
+    for k in sorted(rows):
+        assert rows[k].n_hits >= prev
+        prev = rows[k].n_hits
+        assert 0.0 <= rows[k].recall_at_k <= 1.0
+    full = {r.method: r for r in QUERIES["ann_method_recall"](spark, SF_SMOKE).collect()}
+    assert rows[10].n_hits == full["ivf"].n_hits
