@@ -190,12 +190,15 @@ HEADLINE = [
     "neardup_lpa_communities",
     "neardup_clustering_coefficient",
     "sketch_summary",
-    "customer_rfm_features_approx",
     "t_closeness_report",
     "multimodal_shard_manifest",
     "source_policy_apply",
     "eval_decontam_funnel",
     "daily_profile_similarity",
+    "new_vs_returning_users",
+    "dau_wau_stickiness",
+    "copurchase_rules",
+    "ann_recall_at_k_curve",
     # dedup_method_eval re-runs five declared pipelines; its components
     # are each benched above, so it is left out of the headline suite
 ]
