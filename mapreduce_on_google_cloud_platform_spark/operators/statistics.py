@@ -542,6 +542,155 @@ DAILY_ANOMALY_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Exact two-sample Kolmogorov-Smirnov drift test, per event type, between
+# the earlier and later half of the event stream (the same time-midpoint
+# split and fixed HIST_WIDTH value bins as value_distribution_psi -- the
+# two monitors are complementary: PSI weighs the whole distribution, KS
+# reports the single worst CDF gap, the statistic with a distribution-free
+# critical value).  Computed on the binned distributions, the statistic is
+# the EXACT KS distance between them: D = max_bin |CDF_base - CDF_cur|,
+# and the max is attained at a bin boundary, so scanning the observed bin
+# rows covers every step of both CDFs.
+#
+# Numeric discipline: D's numerator stays on the integer lattice --
+# |cum_base * cur_total - cum_cur * base_total| as decimal(38,0)
+# (counts up to ~1e13 at 100 TB keep the product < 1e27, well inside 38
+# digits; BIGINT would wrap at ~3e9 events/half).  The double division
+# and the sqrt in the critical value are single IEEE ops (sqrt is
+# correctly-rounded by IEEE-754, unlike ln/exp), so both engines produce
+# bit-identical doubles.
+#
+# Scale shape: the cumsum window partitions by event_type over BIN rows,
+# and the bin count is bounded by the VALUE RANGE (~10 live bins per
+# type), not by the event stream -- the window input is a range-bounded
+# aggregate, never raw events.
+# ---------------------------------------------------------------------------
+
+KS_CRIT_COEFF = 1.358  # two-sample KS critical coefficient at alpha = 0.05
+
+
+def ks_drift_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    mid = ev.agg(
+        ((F.min(F.unix_micros("ts")) + F.max(F.unix_micros("ts"))) / 2)
+        .cast("bigint")
+        .alias("mid_us")
+    )
+    binned = (
+        ev.crossJoin(F.broadcast(mid))
+        .select(
+            "event_type",
+            F.floor(F.col("value") / HIST_WIDTH).cast("bigint").alias("bin"),
+            (F.unix_micros("ts") <= F.col("mid_us")).alias("is_base"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(
+            F.sum(F.when(F.col("is_base"), 1).otherwise(0)).alias("base_n"),
+            F.sum(F.when(F.col("is_base"), 0).otherwise(1)).alias("cur_n"),
+        )
+    )
+    totals = binned.groupBy("event_type").agg(
+        F.sum("base_n").cast("bigint").alias("base_total"),
+        F.sum("cur_n").cast("bigint").alias("cur_total"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    DEC = "decimal(38,0)"
+    cum = binned.select(
+        "event_type",
+        F.sum("base_n").over(w).cast(DEC).alias("cb"),
+        F.sum("cur_n").over(w).cast(DEC).alias("cc"),
+    )
+    agg = (
+        cum.join(F.broadcast(totals), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_bins"),
+            F.max("base_total").alias("base_n"),
+            F.max("cur_total").alias("cur_n"),
+            F.max(
+                F.abs(
+                    F.col("cb") * F.col("cur_total").cast(DEC)
+                    - F.col("cc") * F.col("base_total").cast(DEC)
+                )
+            )
+            .cast(DEC)
+            .alias("d_num"),
+        )
+    )
+    prod = (F.col("base_n").cast(DEC) * F.col("cur_n").cast(DEC)).cast("double")
+    ks_d = F.col("d_num").cast("double") / prod
+    crit = KS_CRIT_COEFF * F.sqrt(
+        (F.col("base_n") + F.col("cur_n")).cast("double") / prod
+    )
+    return agg.select(
+        "event_type",
+        "n_bins",
+        "base_n",
+        "cur_n",
+        "d_num",
+        ks_d.alias("ks_d"),
+        crit.alias("ks_crit"),
+        (ks_d > crit).alias("drifted"),
+    ).orderBy("event_type")
+
+
+KS_DRIFT_ORACLE = f"""
+    WITH mid AS (
+        SELECT CAST((min(epoch_us(ts)) + max(epoch_us(ts))) / 2 AS BIGINT)
+               AS mid_us
+        FROM events
+    ),
+    binned AS (
+        SELECT event_type,
+               CAST(floor(value / {HIST_WIDTH}) AS BIGINT) AS bin,
+               sum(CASE WHEN epoch_us(ts) <= mid_us THEN 1 ELSE 0 END)
+                   AS base_n,
+               sum(CASE WHEN epoch_us(ts) <= mid_us THEN 0 ELSE 1 END)
+                   AS cur_n
+        FROM events, mid
+        GROUP BY 1, 2
+    ),
+    totals AS (
+        SELECT event_type,
+               CAST(sum(base_n) AS BIGINT) AS base_total,
+               CAST(sum(cur_n) AS BIGINT) AS cur_total
+        FROM binned GROUP BY event_type
+    ),
+    cum AS (
+        SELECT event_type,
+               CAST(sum(base_n) OVER (PARTITION BY event_type ORDER BY bin
+                    ROWS UNBOUNDED PRECEDING) AS HUGEINT) AS cb,
+               CAST(sum(cur_n) OVER (PARTITION BY event_type ORDER BY bin
+                    ROWS UNBOUNDED PRECEDING) AS HUGEINT) AS cc
+        FROM binned
+    ),
+    agg AS (
+        SELECT c.event_type,
+               count(*) AS n_bins,
+               max(t.base_total) AS base_n,
+               max(t.cur_total) AS cur_n,
+               CAST(max(abs(c.cb * t.cur_total - c.cc * t.base_total))
+                    AS DECIMAL(38,0)) AS d_num
+        FROM cum c JOIN totals t USING (event_type)
+        GROUP BY c.event_type
+    )
+    SELECT event_type, n_bins, base_n, cur_n, d_num,
+           CAST(d_num AS DOUBLE)
+               / CAST(CAST(base_n AS HUGEINT) * cur_n AS DOUBLE) AS ks_d,
+           {KS_CRIT_COEFF} * sqrt(CAST(base_n + cur_n AS DOUBLE)
+               / CAST(CAST(base_n AS HUGEINT) * cur_n AS DOUBLE)) AS ks_crit,
+           CAST(d_num AS DOUBLE)
+               / CAST(CAST(base_n AS HUGEINT) * cur_n AS DOUBLE)
+               > {KS_CRIT_COEFF} * sqrt(CAST(base_n + cur_n AS DOUBLE)
+               / CAST(CAST(base_n AS HUGEINT) * cur_n AS DOUBLE)) AS drifted
+    FROM agg
+    ORDER BY event_type
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1127,6 +1276,7 @@ STATISTICS_QUERIES: list[tuple[str, object, str | None]] = [
     ),
     ("histogram_event_values", histogram_event_values, HISTOGRAM_ORACLE),
     ("value_distribution_psi", value_distribution_psi, PSI_ORACLE),
+    ("ks_drift_test", ks_drift_test, KS_DRIFT_ORACLE),
     ("daily_value_anomalies", daily_value_anomalies, DAILY_ANOMALY_ORACLE),
     ("price_balance_correlation", price_balance_correlation, CORRELATION_ORACLE),
     ("winsorize_event_values", winsorize_event_values, WINSORIZE_ORACLE),

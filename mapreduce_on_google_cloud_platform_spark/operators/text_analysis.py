@@ -3379,6 +3379,95 @@ DECONTAM_FUNNEL_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# N-gram novelty curve: how much genuinely NEW text each ingestion batch
+# adds.  Docs are batched by doc_id range (the append-only ingest order
+# proxy -- the testdata has no ingest timestamp); a (doc, shingle) pair
+# is "novel" iff the shingle has never occurred in any earlier batch.
+# The novelty share falling round over round is THE saturation signal a
+# crawl pipeline watches to decide when another crawl of a source stops
+# paying for itself (the same economics as dedup, but measured before
+# near-dup detection: repeated 3-grams, not whole near-dup docs).
+#
+# Scale shape: first-occurrence is a plain min() groupBy over the
+# distinct shingle stream, the novelty tag is one shuffle join on the
+# shingle key (both sides distributed; no window, no driver state), and
+# the curve is a batch-count-bounded rollup.
+# ---------------------------------------------------------------------------
+
+NOVELTY_BATCH = 100  # docs per ingestion batch (doc_id div 100)
+
+
+def ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles_df(docs).select(
+        F.expr(f"doc_id div {NOVELTY_BATCH}").alias("batch"), "sh"
+    )
+    firsts = sh.groupBy("sh").agg(F.min("batch").alias("first_batch"))
+    per_batch = (
+        sh.join(firsts, "sh")
+        .groupBy("batch")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(
+                F.when(F.col("first_batch") == F.col("batch"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_novel_pairs"),
+            F.count_distinct(F.col("sh")).alias("n_distinct_sh"),
+        )
+    )
+    new_sh = firsts.groupBy(F.col("first_batch").alias("batch")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_new_sh")
+    )
+    return (
+        per_batch.join(new_sh, "batch", "left")
+        .select(
+            "batch",
+            "n_pairs",
+            "n_novel_pairs",
+            "n_distinct_sh",
+            F.coalesce(F.col("n_new_sh"), F.lit(0).cast("bigint")).alias(
+                "n_new_sh"
+            ),
+            F.round(
+                F.col("n_novel_pairs").cast("double") / F.col("n_pairs"), 6
+            ).alias("novelty_share"),
+        )
+        .orderBy("batch")
+    )
+
+
+NOVELTY_CURVE_ORACLE = f"""
+    WITH {DUCKDB_SHINGLES_CTE},
+    bsh AS (
+        SELECT doc_id // {NOVELTY_BATCH} AS batch, sh FROM shing
+    ),
+    firsts AS (
+        SELECT sh, min(batch) AS first_batch FROM bsh GROUP BY sh
+    ),
+    per_batch AS (
+        SELECT b.batch,
+               count(*) AS n_pairs,
+               CAST(sum(CASE WHEN f.first_batch = b.batch THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_novel_pairs,
+               CAST(count(DISTINCT b.sh) AS BIGINT) AS n_distinct_sh
+        FROM bsh b JOIN firsts f USING (sh)
+        GROUP BY b.batch
+    ),
+    new_sh AS (
+        SELECT first_batch AS batch, count(*) AS n_new_sh
+        FROM firsts GROUP BY first_batch
+    )
+    SELECT p.batch, p.n_pairs, p.n_novel_pairs, p.n_distinct_sh,
+           CAST(coalesce(n.n_new_sh, 0) AS BIGINT) AS n_new_sh,
+           round(CAST(p.n_novel_pairs AS DOUBLE) / p.n_pairs, 6)
+               AS novelty_share
+    FROM per_batch p LEFT JOIN new_sh n USING (batch)
+    ORDER BY p.batch
+"""
+
+
 TEXT_ANALYSIS_QUERIES: list[tuple[str, object, str | None]] = [
     ("eval_decontam_funnel", eval_decontam_funnel, DECONTAM_FUNNEL_ORACLE),
     ("kn_continuation_probs", kn_continuation_probs, KN_CONTINUATION_ORACLE),
@@ -3436,4 +3525,5 @@ TEXT_ANALYSIS_QUERIES: list[tuple[str, object, str | None]] = [
     ("term_pmi_pairs", term_pmi_pairs, TERM_PMI_ORACLE),
     ("vocab_coverage_curve", vocab_coverage_curve, VOCAB_COVERAGE_ORACLE),
     ("langid_confusion", langid_confusion, LANGID_CONFUSION_ORACLE),
+    ("ngram_novelty_curve", ngram_novelty_curve, NOVELTY_CURVE_ORACLE),
 ]

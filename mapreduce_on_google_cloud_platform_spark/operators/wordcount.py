@@ -240,6 +240,111 @@ def inverted_index_map_oracle() -> str:
     """
 
 
+def inverted_index_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-encoded size estimate of the inverted index, per
+    power-of-two document-frequency bucket -- the planner statistic
+    behind "can this index fit in memory / how much does gap compression
+    buy" for the reference's own data structure (``MapReduce.py:32-41``
+    builds exactly this word -> {doc: cnt} map, at dict-of-dict cost).
+
+    Model, per word over its DISTINCT posting docs: the first posting is
+    stored absolute (bitlen(min_doc + 1) bits), each of the remaining
+    df - 1 postings costs bitlen(mean_gap) bits, where mean_gap is the
+    exact integer (max_doc - min_doc) div (df - 1).  Everything stays on
+    the integer lattice (bitlen = length(bin(x)), the same primitive as
+    shingle_df_profile's buckets); the only double is the final single
+    division vs the 64-bit-per-posting flat layout.
+
+    Scale shape: one groupBy word (min/max/count only -- NO per-posting
+    window, so a stopword's million-doc posting list never serializes
+    through one task), then a bucket rollup over <= 64 df-bucket rows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    postings = (
+        tokens_df(docs)
+        .groupBy("word", "doc_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    per_word = postings.groupBy("word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+    mean_gap = F.when(
+        F.col("df") > 1,
+        F.greatest(
+            F.expr("(max_doc - min_doc) div (df - 1)"), F.lit(1).cast("bigint")
+        ),
+    ).otherwise(F.lit(0).cast("bigint"))
+    bitlen_first = (F.length(F.bin(F.col("min_doc") + 1))).cast("bigint")
+    est_bits = bitlen_first + F.when(
+        F.col("df") > 1,
+        (F.col("df") - 1) * F.length(F.bin(mean_gap)).cast("bigint"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    sized = per_word.select(
+        (F.length(F.bin(F.col("df"))) - 1).cast("int").alias("df_bucket"),
+        "df",
+        est_bits.alias("est_bits"),
+    )
+    ratio = F.col("est_index_bits").cast("double") / F.col("flat_index_bits")
+    return (
+        sized.groupBy("df_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("df").cast("bigint").alias("n_postings"),
+            F.sum("est_bits").cast("bigint").alias("est_index_bits"),
+            (F.sum("df") * 64).cast("bigint").alias("flat_index_bits"),
+        )
+        .select(
+            "df_bucket",
+            "n_words",
+            "n_postings",
+            "est_index_bits",
+            "flat_index_bits",
+            ratio.alias("compression_ratio"),
+        )
+        .orderBy("df_bucket")
+    )
+
+
+def inverted_index_size_estimate_oracle() -> str:
+    return f"""
+        WITH postings AS (
+            SELECT word, doc_id
+            FROM ({duckdb_tokens_sql()}) t
+            GROUP BY word, doc_id
+        ),
+        per_word AS (
+            SELECT word,
+                   CAST(count(*) AS BIGINT) AS df,
+                   min(doc_id) AS min_doc,
+                   max(doc_id) AS max_doc
+            FROM postings GROUP BY word
+        ),
+        sized AS (
+            SELECT CAST(length(printf('%b', df)) - 1 AS INTEGER) AS df_bucket,
+                   df,
+                   CAST(length(printf('%b', min_doc + 1)) AS BIGINT)
+                   + CASE WHEN df > 1
+                          THEN (df - 1) * CAST(length(printf('%b',
+                               greatest((max_doc - min_doc) // (df - 1), 1)))
+                               AS BIGINT)
+                          ELSE 0 END AS est_bits
+            FROM per_word
+        )
+        SELECT df_bucket,
+               count(*) AS n_words,
+               CAST(sum(df) AS BIGINT) AS n_postings,
+               CAST(sum(est_bits) AS BIGINT) AS est_index_bits,
+               CAST(sum(df) * 64 AS BIGINT) AS flat_index_bits,
+               CAST(sum(est_bits) AS DOUBLE) / (sum(df) * 64)
+                   AS compression_ratio
+        FROM sized
+        GROUP BY df_bucket
+        ORDER BY df_bucket
+    """
+
+
 def reference_text_sink(df: DataFrame) -> DataFrame:
     """Demo utility: render (word, cnt) rows as the reference's text-sink
     lines ``"<word> - [<value>]"`` (``KeyValueStore.py:27-32``).  The

@@ -67,6 +67,12 @@ _register(
     wordcount.inverted_index_map,
     wordcount.inverted_index_map_oracle(),
 )
+# round-7: delta-gap compression estimate over the reference's own index
+_register(
+    "inverted_index_size_estimate",
+    wordcount.inverted_index_size_estimate,
+    wordcount.inverted_index_size_estimate_oracle(),
+)
 
 # --- relational core (SURVEY.md §7 M2) --------------------------------------
 for _name, _fn, _oracle in relational.RELATIONAL_QUERIES:

@@ -192,6 +192,39 @@ def test_psi_self_consistency(spark):
         assert r.base_n + r.cur_n > 0
 
 
+def test_ks_drift_self_consistency(spark):
+    """KS invariants on the stationary synthetic stream: D in [0, 1],
+    D restates the integer numerator exactly, the halves of each type sum
+    to the type's event count, and the stationary stream never drifts."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_on_google_cloud_platform_spark.operators.statistics import (
+        KS_CRIT_COEFF,
+    )
+    from mapreduce_on_google_cloud_platform_spark.sources import load_table
+
+    rows = QUERIES["ks_drift_test"](spark, SF_SMOKE).collect()
+    assert rows
+    totals = {
+        r.event_type: r.n
+        for r in load_table(spark, SF_SMOKE, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert 0.0 <= r.ks_d <= 1.0
+        assert r.ks_d == int(r.d_num) / (r.base_n * r.cur_n)
+        assert r.base_n + r.cur_n == totals[r.event_type]
+        assert r.drifted == (r.ks_d > r.ks_crit)
+        assert abs(
+            r.ks_crit
+            - KS_CRIT_COEFF
+            * ((r.base_n + r.cur_n) / (r.base_n * r.cur_n)) ** 0.5
+        ) < 1e-12
+        assert not r.drifted  # stationary generator: no real drift
+
+
 def test_daily_anomaly_zscores_standardized(spark):
     """Per type: z-scores must average ~0 and flag exactly the |z|
     threshold exceedances."""

@@ -661,3 +661,31 @@ def test_decontam_funnel_reconciles_with_contamination_rates(spark):
     assert row.n_dropped == expect_drop
     assert row.n_kept + row.n_dropped == row.n_train_docs
     assert row.n_eval_docs == docs.filter(f"doc_id % {EVAL_MOD} = 0").count()
+
+
+def test_novelty_curve_conservation(spark):
+    """Batch 0 is all-novel by construction; each batch's novel pairs are
+    exactly its new-shingle first occurrences plus same-batch repeats, so
+    n_new_sh <= n_novel_pairs <= n_pairs; and the per-batch new-shingle
+    counts partition the global distinct-shingle vocabulary."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_on_google_cloud_platform_spark.functions.text import (
+        shingles_df,
+    )
+    from mapreduce_on_google_cloud_platform_spark.sources import load_table
+
+    rows = QUERIES["ngram_novelty_curve"](spark, SF_SMOKE).collect()
+    assert rows and rows[0].batch == 0
+    assert rows[0].novelty_share == 1.0
+    assert rows[0].n_novel_pairs == rows[0].n_pairs
+    for r in rows:
+        assert 0 < r.n_new_sh <= r.n_novel_pairs <= r.n_pairs
+        assert r.n_distinct_sh <= r.n_pairs
+    vocab = (
+        shingles_df(load_table(spark, SF_SMOKE, "documents"))
+        .select("sh")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_new_sh for r in rows) == vocab

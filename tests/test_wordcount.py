@@ -18,6 +18,7 @@ from .oracle import assert_matches_oracle
         "inverted_index",
         "inverted_index_postings",
         "inverted_index_positional",
+        "inverted_index_size_estimate",
     ],
 )
 def test_oracle_parity(spark, name):
@@ -94,6 +95,19 @@ def test_inverted_index_map_json_is_canonical(spark):
         # and assert numeric (not lexicographic) doc_id ordering.
         assert parsed == {str(k): v for k, v in want[r.word].items()}
         assert list(parsed) == sorted(parsed, key=int)  # doc_id-ordered
+
+
+def test_index_size_estimate_bounds(spark):
+    """Delta-gap model invariants: the estimate never exceeds the flat
+    64-bit layout (every gap bitlen <= 64), every bucket holds at least
+    2^bucket-df words, and the ratio restates the integer columns."""
+    rows = QUERIES["inverted_index_size_estimate"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.est_index_bits <= r.flat_index_bits
+        assert r.flat_index_bits == 64 * r.n_postings
+        assert r.n_postings >= r.n_words * (1 << r.df_bucket)
+        assert r.compression_ratio == r.est_index_bits / r.flat_index_bits
 
 
 def test_reference_text_sink(spark):
