@@ -1731,6 +1731,136 @@ ANN_RECALL_CURVE_ORACLE = _recall_curve_oracle()
 
 
 # ---------------------------------------------------------------------------
+# Matryoshka truncation audit: recall@K of PREFIX-truncated embeddings
+# (renormalized over the first d dims, the Matryoshka-representation
+# serving convention) against the full-dimension exact top-K.  This is
+# the sizing table for "how many dims can serving drop": memory and ADC
+# cost scale linearly with d, and this query reports exactly what each
+# truncation loses.
+#
+# Scale shape: per truncation dim it is the audited ann_topk_bruteforce
+# shape (broadcast query set, one linear corpus scan, K-bounded rank
+# windows partitioned by q_id) -- guarded by the same sample-scale cap;
+# the unguarded production path would run the same comparison over the
+# IVF shortlist instead.  The overlap join and rollup act on K-bounded
+# tables.
+#
+# Determinism: truncated cosine = left-fold prefix dot / (prefix-norm *
+# prefix-norm), the identical expression tree in both engines over the
+# full-normalized doubles (sqrt is IEEE-exact); ranks tie-break on id.
+# ---------------------------------------------------------------------------
+
+MATRYOSHKA_DIMS = (16, 32, 48)
+
+
+def _flat_prefix_normsq(prefix: str, dim: int):
+    acc = F.lit(0.0)
+    for i in range(dim):
+        acc = acc + F.col(f"{prefix}{i}") * F.col(f"{prefix}{i}")
+    return acc
+
+
+def matryoshka_dim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    full = ann_topk_bruteforce(spark, sf_dir).select("q_id", "neighbor_id")
+    en = _embeddings(spark, sf_dir)
+    nq = full.select("q_id").distinct().agg(
+        F.count(F.lit(1)).alias("n_queries")
+    )
+    per_dim = []
+    for d in MATRYOSHKA_DIMS:
+        queries = flat_renamed(
+            en.filter(F.col("vec_id") % QUERY_STRIDE == 0),
+            "vec_id", "q_id", "x", "qx",
+        )
+        cos_d = flat_dot("qx", "x", d) / (
+            F.sqrt(_flat_prefix_normsq("qx", d))
+            * F.sqrt(_flat_prefix_normsq("x", d))
+        )
+        w = Window.partitionBy("q_id").orderBy(
+            F.desc("cos_trunc"), F.asc("neighbor_id")
+        )
+        trunc_topk = (
+            en.crossJoin(F.broadcast(queries))
+            .filter(F.col("vec_id") != F.col("q_id"))
+            .select(
+                "q_id",
+                F.col("vec_id").alias("neighbor_id"),
+                cos_d.alias("cos_trunc"),
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= K_NEIGHBORS)
+        )
+        per_dim.append(
+            trunc_topk.join(full, ["q_id", "neighbor_id"]).agg(
+                F.lit(d).cast("int").alias("dim"),
+                F.count(F.lit(1)).cast("bigint").alias("n_hits"),
+            )
+        )
+    out = per_dim[0]
+    for p in per_dim[1:]:
+        out = out.unionByName(p)
+    return (
+        out.crossJoin(F.broadcast(nq))
+        .select(
+            "dim",
+            "n_queries",
+            "n_hits",
+            F.round(
+                F.col("n_hits").cast("double")
+                / (F.col("n_queries") * K_NEIGHBORS),
+                6,
+            ).alias("recall_at_k"),
+        )
+        .orderBy("dim")
+    )
+
+
+def _matryoshka_oracle() -> str:
+    def arm(d: int) -> str:
+        return f"""
+    SELECT {d} AS dim,
+           (SELECT n_queries FROM nq) AS n_queries,
+           CAST(count(*) AS BIGINT) AS n_hits,
+           round(CAST(count(*) AS DOUBLE)
+                 / ((SELECT n_queries FROM nq) * {K_NEIGHBORS}), 6)
+               AS recall_at_k
+    FROM (
+        SELECT q_id, neighbor_id FROM (
+            SELECT q_id, en.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY q_id
+                       ORDER BY {sql_dot('qv', 'en.vn', d)}
+                                / ({sql_norm('qv', d)} * {sql_norm('en.vn', d)})
+                                DESC, en.vec_id) AS rank
+            FROM q, en WHERE en.vec_id <> q_id
+        ) WHERE rank <= {K_NEIGHBORS}
+    ) t JOIN fulltk USING (q_id, neighbor_id)"""
+
+    arms = "\n    UNION ALL\n".join(arm(d) for d in MATRYOSHKA_DIMS)
+    return f"""
+    WITH {SQL_NORMALIZED_CTE},
+    q AS (SELECT vec_id AS q_id, vn AS qv FROM en
+          WHERE vec_id % {QUERY_STRIDE} = 0),
+    fulltk AS (
+        SELECT q_id, neighbor_id FROM (
+            SELECT q_id, en.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY q_id
+                       ORDER BY {sql_dot('qv', 'en.vn')} DESC, en.vec_id)
+                       AS rank
+            FROM q, en WHERE en.vec_id <> q_id
+        ) WHERE rank <= {K_NEIGHBORS}
+    ),
+    nq AS (SELECT CAST(count(*) AS BIGINT) AS n_queries FROM q)
+    SELECT * FROM (
+{arms}
+    )
+    ORDER BY dim
+"""
+
+
+MATRYOSHKA_ORACLE = _matryoshka_oracle()
+
+
+# ---------------------------------------------------------------------------
 # Hybrid retrieval with reciprocal-rank fusion: "more items like item 0".
 # The keyword arm scores BM25 similarity of every document to the query
 # document's term set; the vector arm scores cosine similarity of every
@@ -2394,6 +2524,7 @@ SIMILARITY_QUERIES: list[tuple[str, object, str | None]] = [
     ("ann_topk_bruteforce", ann_topk_bruteforce, ANN_BRUTEFORCE_ORACLE),
     ("ann_ivf_topk", ann_ivf_topk, ANN_IVF_ORACLE),
     ("ann_recall_at_k_curve", ann_recall_at_k_curve, ANN_RECALL_CURVE_ORACLE),
+    ("matryoshka_dim_recall", matryoshka_dim_recall, MATRYOSHKA_ORACLE),
     ("ann_lsh_topk", ann_lsh_topk, ANN_LSH_ORACLE),
     ("ann_lsh_multiprobe_topk", ann_lsh_multiprobe_topk, ANN_LSH_MULTIPROBE_ORACLE),
     ("ann_label_recall", ann_label_recall, ANN_LABEL_RECALL_ORACLE),

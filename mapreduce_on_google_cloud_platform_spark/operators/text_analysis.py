@@ -3468,6 +3468,289 @@ NOVELTY_CURVE_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Exact ROC-AUC of the quality composite against the declared-language
+# label -- the classifier-evaluation primitive a curation pipeline runs
+# on every scoring model.  The label here (lang = 'en') is deliberately
+# chosen as a BIAS AUDIT: the quality composite weighs an EN-stopword
+# ratio, so its AUC against English-vs-not quantifies exactly how much
+# the "quality" gate doubles as a language gate (AUC 0.5 = language-
+# neutral; near 1.0 = it is secretly a langid filter).
+#
+# AUC == Mann-Whitney U, accumulated on the integer lattice without ever
+# ranking individual documents: collapse to per-distinct-score counts
+# (pos_s, neg_s), let neg_below_s = negatives at strictly lower scores,
+# then 2U = sum_s (2 pos_s neg_below_s + pos_s neg_s) -- ties at half
+# weight -- and AUC = 2U / (2 n_pos n_neg), one double division of exact
+# decimals.  Score equality is bit-exact cross-engine because the
+# composite is the oracle-checked text_quality_score expression.
+#
+# Scale shape: one groupBy collapses the corpus to distinct scores; the
+# strictly-below cumulative is the repo's two-pass range-partitioned
+# prefix sum (per-range totals, O(#partitions) driver collect -- the
+# _doc_start_positions pattern, never a partitionless window); the rest
+# is a single global aggregate.  Docs with no tokens/chars are excluded
+# (their ratios are unrankable).
+# ---------------------------------------------------------------------------
+
+
+def quality_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labels = load_table(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("lang") == "en").alias("is_pos")
+    )
+    scored = (
+        text_quality_score(spark, sf_dir)
+        .filter((F.col("n_tokens") > 0) & (F.col("n_chars") > 0))
+        .select("doc_id", "quality")
+        .join(labels, "doc_id")
+    )
+    by_score = scored.groupBy("quality").agg(
+        F.sum(F.when(F.col("is_pos"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("pos"),
+        F.sum(F.when(F.col("is_pos"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("neg"),
+    )
+    n_ranges = max(int(spark.sparkContext.defaultParallelism), 1)
+    ranged = (
+        by_score.repartitionByRange(n_ranges, "quality")
+        .withColumn("_rng", F.spark_partition_id())
+        .persist()
+    )
+    totals = sorted(
+        (int(r["_rng"]), int(r["t"]))
+        for r in ranged.groupBy("_rng").agg(F.sum("neg").alias("t")).collect()
+    )
+    offsets: dict[int, int] = {}
+    acc = 0
+    for rng, t in totals:
+        offsets[rng] = acc
+        acc += t
+    if offsets:
+        off_col = F.element_at(
+            F.create_map(
+                *[
+                    c
+                    for k, v in offsets.items()
+                    for c in (F.lit(k).cast("int"), F.lit(v).cast("bigint"))
+                ]
+            ),
+            F.col("_rng"),
+        )
+    else:
+        off_col = F.lit(0).cast("bigint")
+    w = (
+        Window.partitionBy("_rng")
+        .orderBy("quality")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    DEC = "decimal(38,0)"
+    cum = ranged.select(
+        "pos",
+        "neg",
+        (off_col + F.coalesce(F.sum("neg").over(w), F.lit(0)))
+        .cast(DEC)
+        .alias("neg_below"),
+    )
+    agg = cum.agg(
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        F.sum("neg").cast("bigint").alias("n_neg"),
+        F.count(F.lit(1)).alias("n_scores"),
+        F.sum(
+            F.lit(2).cast(DEC) * F.col("pos").cast(DEC) * F.col("neg_below")
+            + F.col("pos").cast(DEC) * F.col("neg").cast(DEC)
+        )
+        .cast(DEC)
+        .alias("u2"),
+    )
+    den = (
+        F.lit(2).cast(DEC) * F.col("n_pos").cast(DEC) * F.col("n_neg").cast(DEC)
+    ).cast("double")
+    auc = F.col("u2").cast("double") / den
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        "n_scores",
+        "u2",
+        auc.alias("auc"),
+        (2 * auc - 1).alias("gini"),
+    )
+
+
+QUALITY_AUC_ORACLE = f"""
+    WITH q AS ({QUALITY_ORACLE}),
+    scored AS (
+        SELECT q.quality,
+               CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS is_pos
+        FROM q JOIN documents d USING (doc_id)
+        WHERE q.n_tokens > 0 AND q.n_chars > 0
+    ),
+    by_score AS (
+        SELECT quality,
+               CAST(sum(is_pos) AS BIGINT) AS pos,
+               CAST(sum(1 - is_pos) AS BIGINT) AS neg
+        FROM scored GROUP BY quality
+    ),
+    cum AS (
+        SELECT pos, neg,
+               CAST(coalesce(sum(neg) OVER (ORDER BY quality
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS HUGEINT) AS neg_below
+        FROM by_score
+    ),
+    agg AS (
+        SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+               CAST(sum(neg) AS BIGINT) AS n_neg,
+               count(*) AS n_scores,
+               CAST(sum(2 * CAST(pos AS HUGEINT) * neg_below
+                        + CAST(pos AS HUGEINT) * neg) AS DECIMAL(38,0)) AS u2
+        FROM cum
+    )
+    SELECT n_pos, n_neg, n_scores, u2,
+           CAST(u2 AS DOUBLE)
+               / CAST(2 * CAST(n_pos AS HUGEINT) * n_neg AS DOUBLE) AS auc,
+           2 * (CAST(u2 AS DOUBLE)
+               / CAST(2 * CAST(n_pos AS HUGEINT) * n_neg AS DOUBLE)) - 1
+               AS gini
+    FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# Distributed half of a fastText-style quality-classifier TRAINING step:
+# the exact sufficient statistics for one Newton/IRLS iteration of
+# logistic regression at w = 0, over quantized document features and the
+# same language label quality_score_auc audits.  At w = 0 the Hessian is
+# X'X / 4 and the gradient is X'(y - 1/2), so the full iteration needs
+# only the Gram matrix and the label-signed feature sums -- both plain
+# combinable aggregates; the driver (or any single node) solves the
+# d x d system, d = 4.  Same division of labor as pca_gram_stats: the
+# corpus-sized reduction is distributed and oracle-checked, the O(d^3)
+# solve is trivially local.
+#
+# Numeric discipline (the pca_gram_stats pattern): features live on an
+# integer lattice (counts, and ratios quantized to 1e-6 by floor(r*1e6
+# + 0.5) -- one deterministic double op chain); every per-row product
+# fits BIGINT (< 1e12); sums are lifted to decimal(38,0) ("BIGINT sums
+# die at ~1e6 rows" -- at 100 TB these sums reach ~1e22).  The gradient
+# rows carry 2*X'(y - 1/2) = X'(2y - 1) to stay integral.
+# ---------------------------------------------------------------------------
+
+LOGIT_QUANT = 1000000  # ratio-feature lattice: 1e-6 steps
+
+
+def quality_logit_sufficient_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labels = load_table(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("lang") == "en").alias("is_pos")
+    )
+    base = (
+        text_quality_score(spark, sf_dir)
+        .filter((F.col("n_tokens") > 0) & (F.col("n_chars") > 0))
+        .join(labels, "doc_id")
+    )
+    q = F.lit(LOGIT_QUANT)
+    feats = base.select(
+        F.lit(1).cast("bigint").alias("x0"),
+        F.col("n_tokens").alias("x1"),
+        F.floor(F.col("distinct_ratio") * q + 0.5).cast("bigint").alias("x2"),
+        F.floor(F.col("alpha_ratio") * q + 0.5).cast("bigint").alias("x3"),
+        F.when(F.col("is_pos"), F.lit(1)).otherwise(F.lit(-1))
+        .cast("bigint")
+        .alias("ysign"),
+    )
+    DEC = "decimal(38,0)"
+    d = 4
+    aggs = []
+    for j in range(d):
+        for k in range(j, d):
+            aggs.append(
+                F.sum((F.col(f"x{j}") * F.col(f"x{k}")).cast(DEC)).alias(
+                    f"g_{j}_{k}"
+                )
+            )
+    for j in range(d):
+        aggs.append(
+            F.sum((F.col(f"x{j}") * F.col("ysign")).cast(DEC)).alias(f"d_{j}")
+        )
+    one = feats.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit("gram").alias("stat"),
+            F.lit(j).cast("int").alias("j"),
+            F.lit(k).cast("int").alias("k"),
+            F.col(f"g_{j}_{k}").alias("v"),
+        )
+        for j in range(d)
+        for k in range(j, d)
+    ] + [
+        F.struct(
+            F.lit("grad2").alias("stat"),
+            F.lit(j).cast("int").alias("j"),
+            F.lit(j).cast("int").alias("k"),
+            F.col(f"d_{j}").alias("v"),
+        )
+        for j in range(d)
+    ]
+    return (
+        one.select(F.explode(F.array(*rows)).alias("r"))
+        .select("r.stat", "r.j", "r.k", "r.v")
+        .orderBy("stat", "j", "k")
+    )
+
+
+def _logit_stats_oracle() -> str:
+    d = 4
+    gram = ",\n               ".join(
+        f"CAST(sum(CAST(x{j} * x{k} AS DECIMAL(38,0))) AS DECIMAL(38,0))"
+        f" AS g_{j}_{k}"
+        for j in range(d)
+        for k in range(j, d)
+    )
+    grad = ",\n               ".join(
+        f"CAST(sum(CAST(x{j} * ysign AS DECIMAL(38,0))) AS DECIMAL(38,0))"
+        f" AS d_{j}"
+        for j in range(d)
+    )
+    selects = [
+        f"    SELECT 'gram' AS stat, {j} AS j, {k} AS k, g_{j}_{k} AS v"
+        f" FROM agg"
+        for j in range(d)
+        for k in range(j, d)
+    ] + [
+        f"    SELECT 'grad2' AS stat, {j} AS j, {j} AS k, d_{j} AS v FROM agg"
+        for j in range(d)
+    ]
+    union = "\n    UNION ALL\n".join(selects)
+    return f"""
+    WITH q AS ({{QUALITY_ORACLE}}),
+    feats AS (
+        SELECT CAST(1 AS BIGINT) AS x0,
+               q.n_tokens AS x1,
+               CAST(floor(q.distinct_ratio * {LOGIT_QUANT} + 0.5) AS BIGINT)
+                   AS x2,
+               CAST(floor(q.alpha_ratio * {LOGIT_QUANT} + 0.5) AS BIGINT)
+                   AS x3,
+               CASE WHEN d.lang = 'en' THEN CAST(1 AS BIGINT)
+                    ELSE CAST(-1 AS BIGINT) END AS ysign
+        FROM q JOIN documents d USING (doc_id)
+        WHERE q.n_tokens > 0 AND q.n_chars > 0
+    ),
+    agg AS (
+        SELECT {gram},
+               {grad}
+        FROM feats
+    )
+    SELECT * FROM (
+{union}
+    )
+    ORDER BY stat, j, k
+""".replace("{QUALITY_ORACLE}", QUALITY_ORACLE)
+
+
+LOGIT_STATS_ORACLE = _logit_stats_oracle()
+
+
 TEXT_ANALYSIS_QUERIES: list[tuple[str, object, str | None]] = [
     ("eval_decontam_funnel", eval_decontam_funnel, DECONTAM_FUNNEL_ORACLE),
     ("kn_continuation_probs", kn_continuation_probs, KN_CONTINUATION_ORACLE),
@@ -3526,4 +3809,10 @@ TEXT_ANALYSIS_QUERIES: list[tuple[str, object, str | None]] = [
     ("vocab_coverage_curve", vocab_coverage_curve, VOCAB_COVERAGE_ORACLE),
     ("langid_confusion", langid_confusion, LANGID_CONFUSION_ORACLE),
     ("ngram_novelty_curve", ngram_novelty_curve, NOVELTY_CURVE_ORACLE),
+    ("quality_score_auc", quality_score_auc, QUALITY_AUC_ORACLE),
+    (
+        "quality_logit_sufficient_stats",
+        quality_logit_sufficient_stats,
+        LOGIT_STATS_ORACLE,
+    ),
 ]

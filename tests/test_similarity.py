@@ -521,3 +521,20 @@ def test_recall_curve_monotone_and_consistent(spark):
         assert 0.0 <= rows[k].recall_at_k <= 1.0
     full = {r.method: r for r in QUERIES["ann_method_recall"](spark, SF_SMOKE).collect()}
     assert rows[10].n_hits == full["ivf"].n_hits
+
+
+def test_matryoshka_recall_monotone_in_dim(spark):
+    """More prefix dims can only help: recall@K is nondecreasing in the
+    truncation dim, bounded by 1, over the full query set."""
+    from mapreduce_on_google_cloud_platform_spark.operators.similarity import (
+        K_NEIGHBORS,
+        MATRYOSHKA_DIMS,
+    )
+
+    rows = QUERIES["matryoshka_dim_recall"](spark, SF_SMOKE).collect()
+    assert [r.dim for r in rows] == list(MATRYOSHKA_DIMS)
+    for r in rows:
+        assert 0.0 <= r.recall_at_k <= 1.0
+        assert r.n_hits <= r.n_queries * K_NEIGHBORS
+    for a, b in zip(rows, rows[1:]):
+        assert a.recall_at_k <= b.recall_at_k + 1e-9

@@ -689,3 +689,61 @@ def test_novelty_curve_conservation(spark):
         .count()
     )
     assert sum(r.n_new_sh for r in rows) == vocab
+
+
+def test_quality_auc_matches_local_rank_sum(spark):
+    """Differential check: the distributed tie-aware U statistic equals a
+    direct O(n log n) local Mann-Whitney computation over the same
+    (score, label) pairs."""
+    from mapreduce_on_google_cloud_platform_spark.sources import load_table
+
+    scored = (
+        QUERIES["text_quality_score"](spark, SF_SMOKE)
+        .filter("n_tokens > 0 AND n_chars > 0")
+        .join(
+            load_table(spark, SF_SMOKE, "documents").selectExpr(
+                "doc_id", "lang = 'en' AS is_pos"
+            ),
+            "doc_id",
+        )
+        .select("quality", "is_pos")
+        .collect()
+    )
+    pairs = sorted((r.quality, r.is_pos) for r in scored)
+    n_pos = sum(1 for _, p in pairs if p)
+    n_neg = len(pairs) - n_pos
+    u2 = 0
+    neg_below = 0
+    i = 0
+    while i < len(pairs):
+        j = i
+        while j < len(pairs) and pairs[j][0] == pairs[i][0]:
+            j += 1
+        pos_s = sum(1 for _, p in pairs[i:j] if p)
+        neg_s = (j - i) - pos_s
+        u2 += 2 * pos_s * neg_below + pos_s * neg_s
+        neg_below += neg_s
+        i = j
+    row = QUERIES["quality_score_auc"](spark, SF_SMOKE).collect()[0]
+    assert row.n_pos == n_pos and row.n_neg == n_neg
+    assert int(row.u2) == u2
+    assert row.auc == u2 / (2 * n_pos * n_neg)
+    assert abs(row.gini - (2 * row.auc - 1)) < 1e-15
+
+
+def test_logit_stats_consistency(spark):
+    """Structural invariants tying the sufficient statistics together:
+    g_00 counts the scored docs, grad2_0 is n_pos - n_neg (and both
+    reconcile with quality_score_auc's counts), diagonals are
+    nonnegative, and every off-diagonal obeys Cauchy-Schwarz."""
+    rows = QUERIES["quality_logit_sufficient_stats"](spark, SF_SMOKE).collect()
+    gram = {(r.j, r.k): int(r.v) for r in rows if r.stat == "gram"}
+    grad = {r.j: int(r.v) for r in rows if r.stat == "grad2"}
+    auc = QUERIES["quality_score_auc"](spark, SF_SMOKE).collect()[0]
+    assert gram[(0, 0)] == auc.n_pos + auc.n_neg
+    assert grad[0] == auc.n_pos - auc.n_neg
+    for j in range(4):
+        assert gram[(j, j)] >= 0
+    for j in range(4):
+        for k in range(j + 1, 4):
+            assert gram[(j, k)] ** 2 <= gram[(j, j)] * gram[(k, k)]
