@@ -1861,6 +1861,72 @@ MATRYOSHKA_ORACLE = _matryoshka_oracle()
 
 
 # ---------------------------------------------------------------------------
+# Label-noise audit over the kNN graph: for every vector, how many of its
+# K approximate neighbors carry the same ground-truth label, rolled up
+# per label.  Low agreement for one label = that label's region is
+# entangled (or its rows are mislabeled) -- the standard "find the noisy
+# labels before training on them" screen, here as one query over the
+# already-audited knn_graph_lsh edges.
+#
+# Exactness/scale: two dimension-one joins attach endpoint labels to the
+# K-bounded edge table (|V| * K rows, never the corpus squared); the
+# per-node tally and the per-label rollup are combinable integer
+# aggregates; agreement_rate is micro-averaged -- one division of exact
+# edge counts per label, NOT a mean of per-node doubles (which would be
+# a shuffle-order-dependent float sum).
+# ---------------------------------------------------------------------------
+
+
+def knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lab = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    edges = knn_graph_lsh(spark, sf_dir).select("vec_id", "neighbor_id")
+    nlab = lab.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label")
+    )
+    per_node = (
+        edges.join(lab, "vec_id")
+        .join(nlab, "neighbor_id")
+        .groupBy("vec_id", "label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("k"),
+            F.sum(F.when(F.col("n_label") == F.col("label"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("same"),
+        )
+    )
+    return (
+        per_node.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.sum("k").cast("bigint").alias("n_edges"),
+            F.sum("same").cast("bigint").alias("n_same"),
+            F.sum(F.when(F.col("same") == F.col("k"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_all_same"),
+            F.sum(F.when(F.col("same") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_none_same"),
+        )
+        .select(
+            "label",
+            "n_nodes",
+            "n_edges",
+            "n_same",
+            "n_all_same",
+            "n_none_same",
+            (F.col("n_same").cast("double") / F.col("n_edges")).alias(
+                "agreement_rate"
+            ),
+        )
+        .orderBy("label")
+    )
+
+
+# KNN_LABEL_AGREEMENT_ORACLE is defined after KNN_GRAPH_ORACLE below
+# (it nests that oracle as a CTE).
+
+
+# ---------------------------------------------------------------------------
 # Hybrid retrieval with reciprocal-rank fusion: "more items like item 0".
 # The keyword arm scores BM25 similarity of every document to the query
 # document's term set; the vector arm scores cosine similarity of every
@@ -2144,6 +2210,34 @@ KNN_GRAPH_ORACLE = f"""
         FROM scored
     )
     WHERE rank <= {KNN_GRAPH_K}
+"""
+
+
+KNN_LABEL_AGREEMENT_ORACLE = f"""
+    WITH knn AS ({KNN_GRAPH_ORACLE}),
+    lab AS (SELECT vec_id, label FROM embeddings),
+    per_node AS (
+        SELECT k.vec_id, a.label,
+               CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(CASE WHEN b.label = a.label THEN 1 ELSE 0 END)
+                    AS BIGINT) AS same
+        FROM knn k
+        JOIN lab a ON a.vec_id = k.vec_id
+        JOIN lab b ON b.vec_id = k.neighbor_id
+        GROUP BY k.vec_id, a.label
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(sum(k) AS BIGINT) AS n_edges,
+           CAST(sum(same) AS BIGINT) AS n_same,
+           CAST(sum(CASE WHEN same = k THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_all_same,
+           CAST(sum(CASE WHEN same = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_none_same,
+           CAST(sum(same) AS DOUBLE) / sum(k) AS agreement_rate
+    FROM per_node
+    GROUP BY label
+    ORDER BY label
 """
 
 
@@ -2525,6 +2619,7 @@ SIMILARITY_QUERIES: list[tuple[str, object, str | None]] = [
     ("ann_ivf_topk", ann_ivf_topk, ANN_IVF_ORACLE),
     ("ann_recall_at_k_curve", ann_recall_at_k_curve, ANN_RECALL_CURVE_ORACLE),
     ("matryoshka_dim_recall", matryoshka_dim_recall, MATRYOSHKA_ORACLE),
+    ("knn_label_agreement", knn_label_agreement, KNN_LABEL_AGREEMENT_ORACLE),
     ("ann_lsh_topk", ann_lsh_topk, ANN_LSH_ORACLE),
     ("ann_lsh_multiprobe_topk", ann_lsh_multiprobe_topk, ANN_LSH_MULTIPROBE_ORACLE),
     ("ann_label_recall", ann_label_recall, ANN_LABEL_RECALL_ORACLE),

@@ -694,6 +694,130 @@ KS_DRIFT_ORACLE = f"""
 
 
 # ---------------------------------------------------------------------------
+# Theil-Sen robust trend: per event type, the MEDIAN of all pairwise
+# daily slopes (sum-of-cents per day) -- the estimator that shrugs off
+# the outlier days daily_value_anomalies flags, where an OLS slope would
+# chase them.  Exactness: daily totals are integer cents, day indices
+# are integer epoch days, so each pairwise slope is ONE double division
+# of exact integers; the median picks an actual slope (odd count) or the
+# single-add average of the two middle slopes (even count) -- IEEE
+# addition of two doubles is deterministic, no accumulation anywhere.
+#
+# Scale shape: events collapse to a CALENDAR-bounded (type, day) table
+# first (one combinable groupBy -- the only stage that sees the event
+# stream); the pair self-join and the median rank window act on days^2 /
+# 2 rows per type (a year = ~66k pairs), bounded by the calendar like
+# daily_profile_similarity's band join, never by event volume.
+# ---------------------------------------------------------------------------
+
+
+def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+            .cast("bigint")
+            .alias("d"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.sum("cents").alias("x"))
+    )
+    a = daily.select(
+        "event_type", F.col("d").alias("d1"), F.col("x").alias("x1")
+    )
+    b = daily.select(
+        "event_type", F.col("d").alias("d2"), F.col("x").alias("x2")
+    )
+    pairs = (
+        a.join(b, "event_type")
+        .filter(F.col("d2") > F.col("d1"))
+        .select(
+            "event_type",
+            (
+                (F.col("x2") - F.col("x1")).cast("double")
+                / (F.col("d2") - F.col("d1"))
+            ).alias("slope"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("slope")
+    counts = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    mid = (
+        pairs.withColumn("r", F.row_number().over(w))
+        .join(F.broadcast(counts), "event_type")
+        .filter(
+            (F.col("r") == F.expr("(n_pairs + 1) div 2"))
+            | (F.col("r") == F.expr("n_pairs div 2 + 1"))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.max("n_pairs").alias("n_pairs"),
+            (F.sum("slope") / F.count(F.lit(1))).alias(
+                "slope_cents_per_day"
+            ),
+        )
+    )
+    n_days = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days")
+    )
+    return (
+        mid.join(F.broadcast(n_days), "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "n_pairs",
+            "slope_cents_per_day",
+            F.signum("slope_cents_per_day").cast("int").alias("trend_sign"),
+        )
+        .orderBy("event_type")
+    )
+
+
+THEIL_SEN_ORACLE = """
+    WITH daily AS (
+        SELECT event_type,
+               CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+        FROM events
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a.event_type,
+               CAST(b.x - a.x AS DOUBLE) / (b.d - a.d) AS slope
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND b.d > a.d
+    ),
+    counts AS (
+        SELECT event_type, count(*) AS n_pairs FROM pairs GROUP BY 1
+    ),
+    ranked AS (
+        SELECT p.event_type, p.slope, c.n_pairs,
+               row_number() OVER (PARTITION BY p.event_type
+                                  ORDER BY p.slope) AS r
+        FROM pairs p JOIN counts c USING (event_type)
+    ),
+    mid AS (
+        SELECT event_type,
+               max(n_pairs) AS n_pairs,
+               sum(slope) / count(*) AS slope_cents_per_day
+        FROM ranked
+        WHERE r = (n_pairs + 1) // 2 OR r = n_pairs // 2 + 1
+        GROUP BY event_type
+    ),
+    nd AS (
+        SELECT event_type, count(*) AS n_days FROM daily GROUP BY 1
+    )
+    SELECT m.event_type, nd.n_days, m.n_pairs, m.slope_cents_per_day,
+           CAST(sign(m.slope_cents_per_day) AS INTEGER) AS trend_sign
+    FROM mid m JOIN nd USING (event_type)
+    ORDER BY m.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # Pearson correlation with exact components: corr(o_totalprice, c_acctbal)
 # per market segment.  Never uses either engine's corr() (their internal
 # accumulation orders differ); instead the sufficient statistics
@@ -1277,6 +1401,7 @@ STATISTICS_QUERIES: list[tuple[str, object, str | None]] = [
     ("histogram_event_values", histogram_event_values, HISTOGRAM_ORACLE),
     ("value_distribution_psi", value_distribution_psi, PSI_ORACLE),
     ("ks_drift_test", ks_drift_test, KS_DRIFT_ORACLE),
+    ("theil_sen_daily_trend", theil_sen_daily_trend, THEIL_SEN_ORACLE),
     ("daily_value_anomalies", daily_value_anomalies, DAILY_ANOMALY_ORACLE),
     ("price_balance_correlation", price_balance_correlation, CORRELATION_ORACLE),
     ("winsorize_event_values", winsorize_event_values, WINSORIZE_ORACLE),

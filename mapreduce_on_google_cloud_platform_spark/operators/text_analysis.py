@@ -3751,6 +3751,101 @@ def _logit_stats_oracle() -> str:
 LOGIT_STATS_ORACLE = _logit_stats_oracle()
 
 
+# ---------------------------------------------------------------------------
+# Reliability diagram for the quality composite -- the calibration table
+# behind quality_score_auc's single number: per fixed-width score bucket,
+# how many docs land there and what fraction carries the positive label
+# (lang = 'en').  A language-neutral score shows a flat pos_rate across
+# buckets; a sloped table is the bias localized to score bands.
+#
+# Exactness: the bucket id is one double division + floor; the bucket's
+# mean score is an integer-lattice mean (scores quantized at 1e-6 by the
+# LOGIT_QUANT rule, summed in decimal(38,0) -- a raw double sum would be
+# shuffle-order-dependent); pos_rate and mean are single divisions.
+# Scale: one groupBy into <= 21 bucket rows (score is a [0,1] convex
+# combination), everything combinable.
+# ---------------------------------------------------------------------------
+
+CALIB_BUCKET_WIDTH = 0.05
+
+
+def quality_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labels = load_table(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("lang") == "en").alias("is_pos")
+    )
+    scored = (
+        text_quality_score(spark, sf_dir)
+        .filter((F.col("n_tokens") > 0) & (F.col("n_chars") > 0))
+        .select("doc_id", "quality")
+        .join(labels, "doc_id")
+    )
+    DEC = "decimal(38,0)"
+    return (
+        scored.select(
+            F.floor(F.col("quality") / CALIB_BUCKET_WIDTH)
+            .cast("int")
+            .alias("bucket"),
+            "is_pos",
+            F.floor(F.col("quality") * LOGIT_QUANT + 0.5)
+            .cast("bigint")
+            .alias("q_int"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("is_pos"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_pos"),
+            F.sum(F.col("q_int").cast(DEC)).cast(DEC).alias("sum_q"),
+        )
+        .select(
+            "bucket",
+            (F.col("bucket") * F.lit(CALIB_BUCKET_WIDTH)).alias("bucket_lo"),
+            "n_docs",
+            "n_pos",
+            (F.col("n_pos").cast("double") / F.col("n_docs")).alias(
+                "pos_rate"
+            ),
+            (
+                F.col("sum_q").cast("double")
+                / (F.col("n_docs") * LOGIT_QUANT)
+            ).alias("mean_quality"),
+        )
+        .orderBy("bucket")
+    )
+
+
+QUALITY_CALIBRATION_ORACLE = f"""
+    WITH q AS ({QUALITY_ORACLE}),
+    scored AS (
+        SELECT CAST(floor(q.quality / CAST({CALIB_BUCKET_WIDTH} AS DOUBLE))
+                    AS INTEGER)
+                   AS bucket,
+               CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS is_pos,
+               CAST(floor(q.quality * {LOGIT_QUANT} + 0.5) AS BIGINT)
+                   AS q_int
+        FROM q JOIN documents d USING (doc_id)
+        WHERE q.n_tokens > 0 AND q.n_chars > 0
+    ),
+    agg AS (
+        SELECT bucket,
+               count(*) AS n_docs,
+               CAST(sum(is_pos) AS BIGINT) AS n_pos,
+               CAST(sum(CAST(q_int AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                   AS sum_q
+        FROM scored GROUP BY bucket
+    )
+    SELECT bucket,
+           bucket * CAST({CALIB_BUCKET_WIDTH} AS DOUBLE) AS bucket_lo,
+           n_docs,
+           n_pos,
+           CAST(n_pos AS DOUBLE) / n_docs AS pos_rate,
+           CAST(sum_q AS DOUBLE) / (n_docs * {LOGIT_QUANT}) AS mean_quality
+    FROM agg
+    ORDER BY bucket
+"""
+
+
 TEXT_ANALYSIS_QUERIES: list[tuple[str, object, str | None]] = [
     ("eval_decontam_funnel", eval_decontam_funnel, DECONTAM_FUNNEL_ORACLE),
     ("kn_continuation_probs", kn_continuation_probs, KN_CONTINUATION_ORACLE),
@@ -3814,5 +3909,10 @@ TEXT_ANALYSIS_QUERIES: list[tuple[str, object, str | None]] = [
         "quality_logit_sufficient_stats",
         quality_logit_sufficient_stats,
         LOGIT_STATS_ORACLE,
+    ),
+    (
+        "quality_score_calibration",
+        quality_score_calibration,
+        QUALITY_CALIBRATION_ORACLE,
     ),
 ]

@@ -538,3 +538,17 @@ def test_matryoshka_recall_monotone_in_dim(spark):
         assert r.n_hits <= r.n_queries * K_NEIGHBORS
     for a, b in zip(rows, rows[1:]):
         assert a.recall_at_k <= b.recall_at_k + 1e-9
+
+
+def test_knn_label_agreement_reconciles_with_graph(spark):
+    """Edge totals reconcile with the kNN graph; node classes partition;
+    random synthetic labels give ~1/n_labels micro agreement."""
+    rows = QUERIES["knn_label_agreement"](spark, SF_SMOKE).collect()
+    n_edges_graph = QUERIES["knn_graph_lsh"](spark, SF_SMOKE).count()
+    assert sum(r.n_edges for r in rows) == n_edges_graph
+    for r in rows:
+        assert r.n_all_same + r.n_none_same <= r.n_nodes
+        assert 0.0 <= r.agreement_rate <= 1.0
+        assert r.n_same <= r.n_edges
+    micro = sum(r.n_same for r in rows) / sum(r.n_edges for r in rows)
+    assert 0.0 <= micro < 0.5  # labels are independent of geometry

@@ -275,3 +275,44 @@ def test_stratified_kfold_balance(spark):
         assert abs(s - 1.0) < 1e-4, (lang, s)
     n_docs = load_table(spark, SF_SMOKE, "documents").count()
     assert sum(r.n_docs for r in rows) == n_docs
+
+
+def test_theil_sen_matches_local_median(spark):
+    """Differential check: the distributed rank-median of pairwise slopes
+    equals a direct local computation over the same daily totals."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_on_google_cloud_platform_spark.sources import load_table
+
+    daily = (
+        load_table(spark, SF_SMOKE, "events")
+        .select(
+            "event_type",
+            F.datediff(
+                F.to_date("ts"), F.lit("1970-01-01").cast("date")
+            ).alias("d"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.sum("cents").alias("x"))
+        .collect()
+    )
+    by_type: dict = {}
+    for r in daily:
+        by_type.setdefault(r.event_type, []).append((r.d, int(r.x)))
+    rows = QUERIES["theil_sen_daily_trend"](spark, SF_SMOKE).collect()
+    assert {r.event_type for r in rows} == set(by_type)
+    for r in rows:
+        pts = sorted(by_type[r.event_type])
+        slopes = sorted(
+            (x2 - x1) / (d2 - d1)
+            for i, (d1, x1) in enumerate(pts)
+            for (d2, x2) in pts[i + 1 :]
+        )
+        n = len(slopes)
+        assert r.n_days == len(pts) and r.n_pairs == n
+        lo, hi = slopes[(n + 1) // 2 - 1], slopes[n // 2]
+        assert r.slope_cents_per_day == (lo + hi) / 2
+        assert r.trend_sign == (r.slope_cents_per_day > 0) - (
+            r.slope_cents_per_day < 0
+        )

@@ -747,3 +747,24 @@ def test_logit_stats_consistency(spark):
     for j in range(4):
         for k in range(j + 1, 4):
             assert gram[(j, k)] ** 2 <= gram[(j, j)] * gram[(k, k)]
+
+
+def test_calibration_partitions_scored_docs(spark):
+    """Bucket rows partition the rankable docs, reconcile with the AUC
+    counts, and every bucket's lattice mean lies inside the bucket."""
+    from mapreduce_on_google_cloud_platform_spark.operators.text_analysis import (
+        CALIB_BUCKET_WIDTH,
+    )
+
+    rows = QUERIES["quality_score_calibration"](spark, SF_SMOKE).collect()
+    auc = QUERIES["quality_score_auc"](spark, SF_SMOKE).collect()[0]
+    assert sum(r.n_docs for r in rows) == auc.n_pos + auc.n_neg
+    assert sum(r.n_pos for r in rows) == auc.n_pos
+    for r in rows:
+        assert 0.0 <= r.pos_rate <= 1.0
+        assert r.bucket_lo == r.bucket * CALIB_BUCKET_WIDTH
+        assert (
+            r.bucket_lo - 1e-6
+            <= r.mean_quality
+            <= r.bucket_lo + CALIB_BUCKET_WIDTH + 1e-6
+        )
