@@ -199,6 +199,17 @@ HEADLINE = [
     "dau_wau_stickiness",
     "copurchase_rules",
     "ann_recall_at_k_curve",
+    # round-7 final batch
+    "ks_drift_test",
+    "theil_sen_daily_trend",
+    "inverted_index_size_estimate",
+    "ngram_novelty_curve",
+    "quality_score_auc",
+    "quality_score_calibration",
+    "quality_logit_sufficient_stats",
+    "matryoshka_dim_recall",
+    "knn_label_agreement",
+    "bloom_filter_fpr_audit",
     # dedup_method_eval re-runs five declared pipelines; its components
     # are each benched above, so it is left out of the headline suite
 ]

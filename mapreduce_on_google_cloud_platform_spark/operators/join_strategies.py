@@ -206,7 +206,160 @@ def colocated_bucket_join_oracle() -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# Bloom-filter false-positive audit: build the filter a runtime
+# bloom-pruned join actually ships (tests/test_partitioned.py pins
+# Spark's InjectRuntimeFilter doing this invisibly) as an EXPLICIT
+# relational plan, probe it with guaranteed non-members, and report the
+# observed fill rate and false-positive rate.  This is the sizing table
+# for "how many bits does the build side need before the pruned scan
+# stops doing wasted work" -- measured, not assumed from the 0.03
+# default.
+#
+# Determinism/portability: positions come from the repo's portable
+# md5-hex60 universal hashing (functions/hashing.py) -- k affine lanes
+# mod P, then mod M_BITS -- identical integers in both engines; the
+# probe set is (key + offset) anti-joined against the build keys, so
+# every probe is a TRUE non-member and every filter hit a TRUE false
+# positive.  All counts exact; the two rates are single divisions.
+#
+# Scale shape: hashing is per DISTINCT build key; the bit table is
+# bounded by M_BITS regardless of data volume; probes meet bits in an
+# equi-join on position (shuffle keyed by bit position, M-bounded
+# build side); the verdict is one combinable aggregate.  Nothing driver-
+# side; at 100 TB the real filter would be a broadcast bitmap -- this
+# audit measures the SAME math relationally.
+# ---------------------------------------------------------------------------
+
+BLOOM_M_BITS = 1 << 17  # 131072 bits
+BLOOM_K = 3             # hash lanes (first 3 universal-hash lanes)
+BLOOM_PROBE_OFFSET = 1_000_000_000
+
+
+def _bloom_positions(key_col, i: int):
+    from ..functions.hashing import MINHASH_AB, MINHASH_P
+
+    a, b = MINHASH_AB[i]
+    h = (
+        F.conv(F.substring(F.md5(key_col.cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % MINHASH_P
+    )
+    return ((F.lit(a) * h + F.lit(b)) % MINHASH_P) % BLOOM_M_BITS
+
+
+def bloom_filter_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    keys = (
+        load_table(spark, sf_dir, "orders").select("o_orderkey").distinct()
+    )
+    key = F.col("o_orderkey")
+    bits = (
+        keys.select(
+            F.explode(
+                F.array(*[_bloom_positions(key, i) for i in range(BLOOM_K)])
+            ).alias("pos")
+        )
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    probes = keys.select(
+        (key + BLOOM_PROBE_OFFSET).alias("probe_key")
+    ).join(
+        keys.select(key.alias("probe_key")), "probe_key", "left_anti"
+    )
+    pk = F.col("probe_key")
+    probe_hits = (
+        probes.select(
+            "probe_key",
+            F.explode(
+                F.array(*[_bloom_positions(pk, i) for i in range(BLOOM_K)])
+            ).alias("pos"),
+        )
+        .join(bits, "pos", "left")
+        .groupBy("probe_key")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("hits"))
+    )
+    n_keys = keys.agg(F.count(F.lit(1)).alias("n_keys"))
+    n_bits = bits.agg(F.count(F.lit(1)).alias("n_bits_set"))
+    verdict = probe_hits.agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        F.sum(F.when(F.col("hits") == BLOOM_K, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_false_pos"),
+    )
+    return (
+        verdict.crossJoin(F.broadcast(n_keys))
+        .crossJoin(F.broadcast(n_bits))
+        .select(
+            "n_keys",
+            F.lit(BLOOM_M_BITS).cast("bigint").alias("m_bits"),
+            F.lit(BLOOM_K).cast("int").alias("k_hashes"),
+            "n_bits_set",
+            (F.col("n_bits_set").cast("double") / BLOOM_M_BITS).alias(
+                "fill_rate"
+            ),
+            "n_probes",
+            "n_false_pos",
+            (F.col("n_false_pos").cast("double") / F.col("n_probes")).alias(
+                "observed_fpr"
+            ),
+        )
+    )
+
+
+def bloom_filter_fpr_audit_oracle() -> str:
+    from ..functions.hashing import MINHASH_AB, MINHASH_P
+
+    def pos(key: str, i: int) -> str:
+        a, b = MINHASH_AB[i]
+        h = (
+            f"(('0x' || substr(md5(CAST({key} AS VARCHAR)), 1, 15))::BIGINT"
+            f" % {MINHASH_P})"
+        )
+        return f"((({a} * {h} + {b}) % {MINHASH_P}) % {BLOOM_M_BITS})"
+
+    build_pos = ", ".join(pos("o_orderkey", i) for i in range(BLOOM_K))
+    probe_pos = ", ".join(pos("probe_key", i) for i in range(BLOOM_K))
+    return f"""
+        WITH keys AS (SELECT DISTINCT o_orderkey FROM orders),
+        bits AS (
+            SELECT DISTINCT unnest([{build_pos}]) AS pos FROM keys
+        ),
+        probes AS (
+            SELECT o_orderkey + {BLOOM_PROBE_OFFSET} AS probe_key FROM keys
+            WHERE o_orderkey + {BLOOM_PROBE_OFFSET} NOT IN
+                  (SELECT o_orderkey FROM keys)
+        ),
+        ppos AS (
+            SELECT probe_key, unnest([{probe_pos}]) AS pos FROM probes
+        ),
+        probe_hits AS (
+            SELECT p.probe_key,
+                   sum(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) AS hits
+            FROM ppos p LEFT JOIN bits b ON p.pos = b.pos
+            GROUP BY p.probe_key
+        )
+        SELECT (SELECT count(*) FROM keys) AS n_keys,
+               CAST({BLOOM_M_BITS} AS BIGINT) AS m_bits,
+               CAST({BLOOM_K} AS INTEGER) AS k_hashes,
+               (SELECT count(*) FROM bits) AS n_bits_set,
+               CAST((SELECT count(*) FROM bits) AS DOUBLE) / {BLOOM_M_BITS}
+                   AS fill_rate,
+               count(*) AS n_probes,
+               CAST(sum(CASE WHEN hits = {BLOOM_K} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_false_pos,
+               CAST(sum(CASE WHEN hits = {BLOOM_K} THEN 1 ELSE 0 END)
+                    AS DOUBLE) / count(*) AS observed_fpr
+        FROM probe_hits
+    """
+
+
 JOIN_STRATEGY_QUERIES = [
     ("skew_join_salted", skew_join_salted, skew_join_salted_oracle()),
     ("colocated_bucket_join", colocated_bucket_join, colocated_bucket_join_oracle()),
+    (
+        "bloom_filter_fpr_audit",
+        bloom_filter_fpr_audit,
+        bloom_filter_fpr_audit_oracle(),
+    ),
 ]

@@ -795,3 +795,28 @@ def test_profile_similarity_band_join_keeps_equi_key(spark):
     logical = df._jdf.queryExecution().optimizedPlan().toString()
     for spec in re.findall(r"Window \[.*?\], \[(.*?)\], \[", logical):
         assert spec.strip(), "partitionless window in similarity plan"
+
+
+def test_bloom_fpr_tracks_fill_rate(spark):
+    """The audited filter must behave like a Bloom filter: the observed
+    FPR of true non-member probes tracks fill_rate^k (independent-bit
+    approximation) within binomial noise, and the exact integer columns
+    reconcile."""
+    from mapreduce_on_google_cloud_platform_spark.operators.join_strategies import (
+        BLOOM_K,
+        BLOOM_M_BITS,
+    )
+    from mapreduce_on_google_cloud_platform_spark.plans import QUERIES
+
+    from .conftest import SF_ORACLE
+
+    r = QUERIES["bloom_filter_fpr_audit"](spark, SF_ORACLE).collect()[0]
+    assert r.m_bits == BLOOM_M_BITS and r.k_hashes == BLOOM_K
+    assert 0 < r.n_bits_set <= min(BLOOM_M_BITS, BLOOM_K * r.n_keys)
+    assert r.fill_rate == r.n_bits_set / BLOOM_M_BITS
+    assert 0 < r.n_probes <= r.n_keys
+    expected = r.fill_rate**BLOOM_K
+    # mean +/- 5 sigma of Binomial(n_probes, expected), plus an absolute
+    # floor so a tiny expectation can't fail on one lucky probe
+    sigma = (r.n_probes * expected * (1 - expected)) ** 0.5
+    assert abs(r.n_false_pos - r.n_probes * expected) <= 5 * sigma + 3
