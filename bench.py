@@ -210,6 +210,8 @@ HEADLINE = [
     "matryoshka_dim_recall",
     "knn_label_agreement",
     "bloom_filter_fpr_audit",
+    "global_exact_quantiles",
+    "benford_first_digit_audit",
     # dedup_method_eval re-runs five declared pipelines; its components
     # are each benched above, so it is left out of the headline suite
 ]

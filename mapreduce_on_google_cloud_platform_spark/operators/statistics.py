@@ -694,6 +694,201 @@ KS_DRIFT_ORACLE = f"""
 
 
 # ---------------------------------------------------------------------------
+# Exact GLOBAL quantiles without a global sort -- the distributed
+# selection algorithm (two-phase bin + within-bin pick) that replaces
+# quantile_summary's per-group percentile buffer once a single group IS
+# the whole table.  percentile() buffers every value of its group in one
+# aggregation buffer: exact per small group, memory-fatal on a 100 TB
+# stream.  Here: (1) one combinable histogram over fixed HIST_WIDTH bins
+# (bounded by the VALUE RANGE like ks_drift_test); (2) the cumulative
+# bin counts locate, IN-PLAN, the bin holding each target rank (a
+# cross join of <=4 rank rows x ~10 bin rows -- no driver collect);
+# (3) one broadcast semi-selection re-scans ONLY the candidate bins and
+# row_numbers within them -- per-bin occupancy, never the stream.  The
+# returned quantile is an ACTUAL element (type-1 / lower quantile,
+# rank = ceil(p*n)), so the doubles are read, not computed: bit-stable
+# by construction.  Ties are safe: ranking orders by value alone, and
+# any permutation of equal values yields the same selected value.
+# ---------------------------------------------------------------------------
+
+GLOBAL_QUANTILE_PS = (0.25, 0.5, 0.75, 0.95)
+
+
+def global_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "value", F.floor(F.col("value") / HIST_WIDTH).cast("bigint").alias("bin")
+    )
+    total = ev.agg(F.count(F.lit(1)).alias("n"))
+    ranks = total.select(
+        "n",
+        F.explode(
+            F.array(*[F.lit(p).cast("double") for p in GLOBAL_QUANTILE_PS])
+        ).alias("p"),
+    ).select(
+        "n", "p", F.ceil(F.col("p") * F.col("n")).cast("bigint").alias("rank")
+    )
+    binned = ev.groupBy("bin").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = binned.select(
+        "bin", "cnt", F.sum("cnt").over(w).alias("cum")
+    )  # window input is the range-bounded bin table, not events
+    targets = (
+        ranks.crossJoin(cum)
+        .filter(
+            (F.col("cum") >= F.col("rank"))
+            & (F.col("cum") - F.col("cnt") < F.col("rank"))
+        )
+        .select(
+            "n",
+            "p",
+            "rank",
+            "bin",
+            (F.col("rank") - (F.col("cum") - F.col("cnt"))).alias("offset"),
+        )
+    )
+    w_in = Window.partitionBy("p", "bin").orderBy("value")
+    return (
+        ev.join(F.broadcast(targets), "bin")
+        .withColumn("r", F.row_number().over(w_in))
+        .filter(F.col("r") == F.col("offset"))
+        .select("p", "n", "rank", "value")
+        .orderBy("p")
+    )
+
+
+def _global_quantiles_oracle() -> str:
+    ps = ", ".join(f"CAST({p} AS DOUBLE)" for p in GLOBAL_QUANTILE_PS)
+    return f"""
+    WITH t AS (SELECT count(*) AS n FROM events),
+    ranks AS (
+        SELECT n, p, CAST(ceil(p * n) AS BIGINT) AS rank
+        FROM t, unnest([{ps}]) u(p)
+    ),
+    ranked AS (
+        SELECT value, row_number() OVER (ORDER BY value) AS r FROM events
+    )
+    SELECT k.p, k.n, k.rank, v.value
+    FROM ranks k JOIN ranked v ON v.r = k.rank
+    ORDER BY k.p
+"""
+
+
+GLOBAL_QUANTILES_ORACLE = _global_quantiles_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Benford first-significant-digit audit -- the forensic screen for
+# fabricated or synthetic numeric columns: naturally-grown monetary
+# values follow P(d) = log10(1 + 1/d); generator output usually does
+# not, and the per-digit deviation localizes HOW it fails.  (On this
+# repo's own synthetic events the audit duly reports a strong Benford
+# violation -- the query is the detector, the testdata is the culprit.)
+#
+# Exactness: digits come from exact integer cents via string prefix (no
+# log10 on data); the nine Benford probabilities are Python-literal
+# doubles embedded identically in both plans; shares and per-digit
+# chi-square contributions are fixed per-row double expressions over
+# exact integers.  Scale: one combinable groupBy into nine rows.
+# ---------------------------------------------------------------------------
+
+BENFORD_P = {
+    1: 0.3010299956639812,
+    2: 0.17609125905568124,
+    3: 0.12493873660829993,
+    4: 0.09691001300805642,
+    5: 0.07918124604762482,
+    6: 0.06694678963061322,
+    7: 0.05799194697768673,
+    8: 0.05115252244738129,
+    9: 0.04575749056067514,
+}
+
+
+def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.round(F.col("value") * 100).cast("bigint").alias("cents")
+    ).filter(F.col("cents") > 0)
+    digit = F.substring(F.col("cents").cast("string"), 1, 1).cast("int")
+    counts = ev.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n_obs")
+    )
+    total = counts.agg(F.sum("n_obs").cast("bigint").alias("n"))
+    bp = F.element_at(
+        F.create_map(
+            *[
+                c
+                for d, p in BENFORD_P.items()
+                for c in (F.lit(d).cast("int"), F.lit(p))
+            ]
+        ),
+        F.col("digit"),
+    )
+    obs = F.col("n_obs").cast("double") / F.col("n")
+    expected = F.col("n") * F.col("benford_p")
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n_obs",
+            "n",
+            obs.alias("obs_share"),
+            bp.alias("benford_p"),
+        )
+        .select(
+            "digit",
+            "n_obs",
+            "n",
+            "obs_share",
+            "benford_p",
+            (F.col("obs_share") - F.col("benford_p")).alias("deviation"),
+            (
+                (F.col("n_obs") - expected)
+                * (F.col("n_obs") - expected)
+                / expected
+            ).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )
+
+
+def _benford_oracle() -> str:
+    # the e0 suffix makes DuckDB parse the literal directly as DOUBLE
+    # (a plain decimal literal routes through DECIMAL(17,17) and double-
+    # rounds, off by one ulp from Spark's lit())
+    cases = " ".join(
+        f"WHEN {d} THEN {p!r}e0" for d, p in BENFORD_P.items()
+    )
+    return f"""
+    WITH cents AS (
+        SELECT CAST(round(value * 100) AS BIGINT) AS cents FROM events
+        WHERE CAST(round(value * 100) AS BIGINT) > 0
+    ),
+    counts AS (
+        SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INTEGER)
+                   AS digit,
+               count(*) AS n_obs
+        FROM cents GROUP BY 1
+    ),
+    t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM counts),
+    base AS (
+        SELECT digit, n_obs, n,
+               CAST(n_obs AS DOUBLE) / n AS obs_share,
+               CASE digit {cases} END AS benford_p
+        FROM counts, t
+    )
+    SELECT digit, n_obs, n, obs_share, benford_p,
+           obs_share - benford_p AS deviation,
+           (n_obs - n * benford_p) * (n_obs - n * benford_p)
+               / (n * benford_p) AS chi2_term
+    FROM base
+    ORDER BY digit
+"""
+
+
+BENFORD_ORACLE = _benford_oracle()
+
+
+# ---------------------------------------------------------------------------
 # Theil-Sen robust trend: per event type, the MEDIAN of all pairwise
 # daily slopes (sum-of-cents per day) -- the estimator that shrugs off
 # the outlier days daily_value_anomalies flags, where an OLS slope would
@@ -1402,6 +1597,8 @@ STATISTICS_QUERIES: list[tuple[str, object, str | None]] = [
     ("value_distribution_psi", value_distribution_psi, PSI_ORACLE),
     ("ks_drift_test", ks_drift_test, KS_DRIFT_ORACLE),
     ("theil_sen_daily_trend", theil_sen_daily_trend, THEIL_SEN_ORACLE),
+    ("global_exact_quantiles", global_exact_quantiles, GLOBAL_QUANTILES_ORACLE),
+    ("benford_first_digit_audit", benford_first_digit_audit, BENFORD_ORACLE),
     ("daily_value_anomalies", daily_value_anomalies, DAILY_ANOMALY_ORACLE),
     ("price_balance_correlation", price_balance_correlation, CORRELATION_ORACLE),
     ("winsorize_event_values", winsorize_event_values, WINSORIZE_ORACLE),

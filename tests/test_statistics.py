@@ -316,3 +316,45 @@ def test_theil_sen_matches_local_median(spark):
         assert r.trend_sign == (r.slope_cents_per_day > 0) - (
             r.slope_cents_per_day < 0
         )
+
+
+def test_global_quantiles_match_local_sort(spark):
+    """The two-phase bin+select plan must return exactly the type-1
+    quantile elements a local full sort produces."""
+    import math
+
+    from mapreduce_on_google_cloud_platform_spark.operators.statistics import (
+        GLOBAL_QUANTILE_PS,
+    )
+    from mapreduce_on_google_cloud_platform_spark.sources import load_table
+
+    values = sorted(
+        r.value for r in load_table(spark, SF_SMOKE, "events").select("value").collect()
+    )
+    rows = QUERIES["global_exact_quantiles"](spark, SF_SMOKE).collect()
+    assert [r.p for r in rows] == list(GLOBAL_QUANTILE_PS)
+    for r in rows:
+        assert r.n == len(values)
+        assert r.rank == math.ceil(r.p * r.n)
+        assert r.value == values[r.rank - 1]
+
+
+def test_benford_partitions_and_chi2(spark):
+    """Digit rows partition the positive-cents stream; shares sum to 1;
+    every chi2 term restates its integer count against the embedded
+    Benford constant."""
+    from mapreduce_on_google_cloud_platform_spark.operators.statistics import (
+        BENFORD_P,
+    )
+
+    rows = QUERIES["benford_first_digit_audit"](spark, SF_SMOKE).collect()
+    assert [r.digit for r in rows] == list(range(1, 10))
+    n = rows[0].n
+    assert sum(r.n_obs for r in rows) == n
+    assert abs(sum(r.obs_share for r in rows) - 1.0) < 1e-12
+    assert abs(sum(BENFORD_P.values()) - 1.0) < 1e-15
+    for r in rows:
+        assert r.benford_p == BENFORD_P[r.digit]
+        exp = n * r.benford_p
+        assert r.chi2_term == (r.n_obs - exp) * (r.n_obs - exp) / exp
+        assert abs(r.deviation - (r.obs_share - r.benford_p)) < 1e-18
