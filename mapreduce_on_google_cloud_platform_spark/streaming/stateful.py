@@ -276,3 +276,112 @@ def streaming_source_cap_query(spark: SparkSession, sf_dir: str):
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming drift monitor: the continuous-ingest twin of the batch
+# ks_drift_test.  The FIRST micro-batch a key sees freezes that key's
+# BASELINE histogram; every later batch accumulates into the CURRENT
+# histogram and emits the exact two-sample KS distance of current vs
+# baseline -- the "is the live stream still shaped like the reference
+# slice" gate a production ingest runs per source/type.
+#
+# State is two fixed-size bin-count vectors per event_type (bins =
+# value / HIST_WIDTH clamped to KS_STREAM_NBINS) -- O(bins) longs per
+# key, never per event; one Arrow batch per key per micro-batch.  The D
+# numerator stays on the integer lattice in Python (arbitrary-precision
+# ints), divided once -- the same rational the batch query computes, so
+# stream and batch agree BIT-EXACTLY on an identical split (pinned in
+# tests/test_streaming.py).
+# ---------------------------------------------------------------------------
+
+KS_STREAM_NBINS = 32
+
+KS_STATE_SCHEMA = StructType(
+    [
+        StructField("base_counts", StringType()),  # csv of KS_STREAM_NBINS longs
+        StructField("cur_counts", StringType()),
+    ]
+)
+
+KS_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("base_n", LongType()),
+        StructField("cur_n", LongType()),
+        StructField("ks_d", DoubleType()),
+        StructField("is_baseline", StringType()),  # 'y'/'n'
+    ]
+)
+
+
+def streaming_ks_drift_query(spark: SparkSession, in_dir: str, schema):
+    """readStream(events parquet dir) -> groupBy(event_type) ->
+    applyInPandasWithState KS drift vs the frozen first-batch baseline.
+    Caller supplies the input dir + schema so tests can stage explicit
+    micro-batches (maxFilesPerTrigger=1)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    nbins = int(KS_STREAM_NBINS)
+    width = 50.0  # operators.statistics.HIST_WIDTH (kept literal: the
+    # closure must unpickle on executors without importing this package)
+
+    def track(key, pdfs, state):
+        import math
+
+        import pandas as pd
+
+        (event_type,) = key
+        if state.exists:
+            base_s, cur_s = state.get
+            base = [int(x) for x in base_s.split(",")]
+            cur = [int(x) for x in cur_s.split(",")]
+            first = False
+        else:
+            base, cur = [0] * nbins, [0] * nbins
+            first = True
+        batch = [0] * nbins
+        for pdf in pdfs:
+            for v in pdf["value"]:
+                b = int(math.floor(float(v) / width))
+                batch[min(max(b, 0), nbins - 1)] += 1
+        tgt = base if first else cur
+        for i, c in enumerate(batch):
+            tgt[i] += c
+        state.update(
+            (",".join(map(str, base)), ",".join(map(str, cur)))
+        )
+        nb, nc = sum(base), sum(cur)
+        if first or nc == 0:
+            ks_d = 0.0
+        else:
+            cb = cc = d_num = 0
+            for i in range(nbins):
+                cb += base[i]
+                cc += cur[i]
+                d_num = max(d_num, abs(cb * nc - cc * nb))
+            ks_d = d_num / (nb * nc)
+        yield pd.DataFrame(
+            {
+                "event_type": [event_type],
+                "base_n": [nb],
+                "cur_n": [nc],
+                "ks_d": [ks_d],
+                "is_baseline": ["y" if first else "n"],
+            }
+        )
+
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+        .select("event_type", "value")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            track,
+            outputStructType=KS_OUTPUT_SCHEMA,
+            stateStructType=KS_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

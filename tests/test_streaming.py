@@ -480,3 +480,60 @@ def test_streaming_source_cap_admission_counts(spark):
     assert set(final) == set(per_source)
     for src, n in per_source.items():
         assert final[src] == min(SOURCE_CAP, n), src
+
+
+@pytest.mark.slow
+def test_streaming_ks_drift_agrees_with_batch(spark, tmp_path):
+    """Stream/batch agreement for the drift monitor: stage the SAME
+    time-midpoint split the batch ks_drift_test uses as two explicit
+    micro-batches (baseline, then current); the final streamed ks_d per
+    event type must equal the batch query's ks_d BIT-EXACTLY (at test
+    scale every count is < 2^53, so the stream's one-shot rational
+    division and the batch plan's decimal->double division round
+    identically)."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_on_google_cloud_platform_spark.plans import QUERIES
+    from mapreduce_on_google_cloud_platform_spark.sources import load_table
+    from mapreduce_on_google_cloud_platform_spark.streaming.stateful import (
+        streaming_ks_drift_query,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    lims = ev.agg(
+        F.min(F.unix_micros("ts")).alias("lo"),
+        F.max(F.unix_micros("ts")).alias("hi"),
+    ).collect()[0]
+    mid_us = int((lims.lo + lims.hi) / 2)
+    in_dir = str(tmp_path / "ks_in")
+    base = ev.filter(F.unix_micros("ts") <= mid_us)
+    cur = ev.filter(F.unix_micros("ts") > mid_us)
+    base.coalesce(1).write.mode("append").parquet(in_dir)
+
+    stream = streaming_ks_drift_query(
+        spark, in_dir, spark.read.parquet(in_dir).schema
+    )
+    q = (
+        stream.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("ks_drift_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        cur.coalesce(1).write.mode("append").parquet(in_dir)
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM ks_drift_stream").collect()
+    finally:
+        q.stop()
+
+    final = {}
+    for r in rows:  # update mode: the last emission per key wins
+        final[r.event_type] = r
+    batch = {r.event_type: r for r in QUERIES["ks_drift_test"](spark, SF_SMOKE).collect()}
+    assert set(final) == set(batch)
+    for et, b in batch.items():
+        s = final[et]
+        assert s.is_baseline == "n", et
+        assert s.base_n == b.base_n and s.cur_n == b.cur_n, et
+        assert s.ks_d == b.ks_d, et
