@@ -820,3 +820,52 @@ def test_bloom_fpr_tracks_fill_rate(spark):
     # floor so a tiny expectation can't fail on one lucky probe
     sigma = (r.n_probes * expected * (1 - expected)) ** 0.5
     assert abs(r.n_false_pos - r.n_probes * expected) <= 5 * sigma + 3
+
+
+def test_quality_auc_has_no_partitionless_window(spark):
+    """Round-7 addition pin: quality_score_auc's strictly-below negative
+    cumsum must ride the range-partitioned two-pass prefix sum -- every
+    Window node carries a partition spec (the _rng range id), and the
+    physical plan range-partitions on the score order."""
+    import re
+
+    df = QUERIES["quality_score_auc"](spark, SF_SMOKE)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    windows = re.findall(r"Window \[.*\], \[(.*?)\], \[", logical)
+    assert windows, "expected the prefix-sum Window node"
+    for part in windows:
+        assert part.strip(), f"partitionless window found: [{part}]"
+    physical = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange rangepartitioning" in physical
+
+
+def test_ks_and_quantile_windows_ride_bounded_bin_tables(spark):
+    """ks_drift_test / global_exact_quantiles window over AGGREGATED bin
+    rows (value-range-bounded), never raw events: in the top-down plan
+    print, every Window node must appear ABOVE the bin HashAggregate
+    that collapses the event stream."""
+    for name in ("ks_drift_test", "global_exact_quantiles"):
+        df = QUERIES[name](spark, SF_SMOKE)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        w_pos = plan.index("Window")
+        agg_positions = [
+            i
+            for i in range(len(plan))
+            if plan.startswith("HashAggregate", i) and "bin" in plan[i : i + 400]
+        ]
+        assert agg_positions, f"{name}: expected a bin HashAggregate"
+        assert any(i > w_pos for i in agg_positions), (
+            f"{name}: no bin aggregate below the Window -- "
+            "the window would be consuming raw events"
+        )
+
+
+def test_matryoshka_broadcasts_queries_never_corpus(spark):
+    """matryoshka_dim_recall repeats the audited brute-force shape per
+    truncation dim: every join with the corpus must be a broadcast of
+    the query-set side (BroadcastNestedLoopJoin), never a corpus
+    shuffle-for-scoring."""
+    df = QUERIES["matryoshka_dim_recall"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
