@@ -212,6 +212,11 @@ HEADLINE = [
     "bloom_filter_fpr_audit",
     "global_exact_quantiles",
     "benford_first_digit_audit",
+    # round-7 statistical-testing batch
+    "chi_square_independence",
+    "welch_t_test",
+    "cusum_changepoint",
+    "daily_autocorr_lag1",
     # dedup_method_eval re-runs five declared pipelines; its components
     # are each benched above, so it is left out of the headline suite
 ]

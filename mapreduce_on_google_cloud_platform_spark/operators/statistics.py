@@ -1579,6 +1579,431 @@ KFOLD_ORACLE = f"""
 """
 
 
+# --- chi-square independence: event mix vs time-of-day ---------------------
+# The categorical-drift sibling of ks_drift_test: does the event-type mix
+# depend on the time-of-day block?  Pure contingency-table arithmetic --
+# integer cell counts, expected = row_total*col_total/N as ONE double
+# division of an exact bigint product (counts <= ~1e7, product <= ~1e14,
+# exact in int64 AND in float64), then (obs-exp)^2/exp with an identical
+# op order on both engines (the benford_first_digit_audit precedent).
+# Scale: cells are bounded (|event_type| x 4 blocks); everything reduces
+# map-side; the three marginals broadcast.  Time-of-day comes from pure
+# UTC epoch arithmetic (hour_of_week_profile discipline), never hour().
+
+CHI2_BLOCK_HOURS = 6  # 4 blocks of 6h
+
+
+def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    block = (
+        (F.floor(F.unix_timestamp("ts") / 3600) % 24) / CHI2_BLOCK_HOURS
+    )
+    cells = (
+        ev.select(
+            "event_type",
+            F.floor(block).cast("int").alias("tod_block"),
+        )
+        .groupBy("event_type", "tod_block")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    row_tot = cells.groupBy("event_type").agg(
+        F.sum("n_obs").cast("bigint").alias("row_n")
+    )
+    col_tot = cells.groupBy("tod_block").agg(
+        F.sum("n_obs").cast("bigint").alias("col_n")
+    )
+    tot = cells.agg(F.sum("n_obs").cast("bigint").alias("n"))
+    exp = (F.col("row_n") * F.col("col_n")).cast("double") / F.col("n")
+    obs = F.col("n_obs").cast("double")
+    return (
+        cells.join(F.broadcast(row_tot), "event_type")
+        .join(F.broadcast(col_tot), "tod_block")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "tod_block",
+            "n_obs",
+            exp.alias("expected"),
+            ((obs - exp) * (obs - exp) / exp).alias("chi2_term"),
+        )
+        .orderBy("event_type", "tod_block")
+    )
+
+
+CHI2_ORACLE = f"""
+    WITH cells AS (
+        SELECT event_type,
+               CAST(floor((floor(epoch(ts) / 3600) % 24)
+                          / {CHI2_BLOCK_HOURS}) AS INTEGER) AS tod_block,
+               count(*) AS n_obs
+        FROM events
+        GROUP BY 1, 2
+    ),
+    row_tot AS (
+        SELECT event_type, CAST(sum(n_obs) AS BIGINT) AS row_n
+        FROM cells GROUP BY event_type
+    ),
+    col_tot AS (
+        SELECT tod_block, CAST(sum(n_obs) AS BIGINT) AS col_n
+        FROM cells GROUP BY tod_block
+    ),
+    tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM cells)
+    SELECT event_type, tod_block, CAST(n_obs AS BIGINT) AS n_obs,
+           CAST(row_n * col_n AS DOUBLE) / n AS expected,
+           (CAST(n_obs AS DOUBLE) - CAST(row_n * col_n AS DOUBLE) / n)
+           * (CAST(n_obs AS DOUBLE) - CAST(row_n * col_n AS DOUBLE) / n)
+           / (CAST(row_n * col_n AS DOUBLE) / n) AS chi2_term
+    FROM cells
+    JOIN row_tot USING (event_type)
+    JOIN col_tot USING (tod_block)
+    CROSS JOIN tot
+    ORDER BY event_type, tod_block
+"""
+
+
+# --- Welch two-sample t-test: value drift between time halves ---------------
+# The mean-shift sibling of ks_drift_test (which detects shape changes but
+# dilutes small mean shifts across bins).  Same base/current split at the
+# time-range midpoint; per event type both halves reduce to exact integer
+# sufficient statistics (count, sum-cents, sum-cents^2 in decimal), then
+# Welch's t and the Satterthwaite df are short fixed-order double chains
+# over those exact inputs -- deterministic cross-engine, rounded at 6/3 dp.
+# Scale: one map-side-combinable aggregate over events; output |event_type|.
+
+T_CRIT_95 = 1.96  # two-sided normal approximation (df >> 30 here)
+
+
+def welch_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    mid = ev.agg(
+        ((F.min(F.unix_micros("ts")) + F.max(F.unix_micros("ts"))) / 2)
+        .cast("bigint")
+        .alias("mid_us")
+    )
+    DEC = "decimal(38,0)"
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    half = ev.crossJoin(F.broadcast(mid)).select(
+        "event_type",
+        (F.unix_micros("ts") <= F.col("mid_us")).alias("is_base"),
+        cents.alias("cents"),
+    )
+    agg = half.groupBy("event_type").agg(
+        F.sum(F.when(F.col("is_base"), 1).otherwise(0)).cast("bigint").alias("n_b"),
+        F.sum(F.when(~F.col("is_base"), 1).otherwise(0)).cast("bigint").alias("n_c"),
+        F.sum(F.when(F.col("is_base"), F.col("cents")).otherwise(0))
+        .cast(DEC)
+        .alias("sx_b"),
+        F.sum(F.when(~F.col("is_base"), F.col("cents")).otherwise(0))
+        .cast(DEC)
+        .alias("sx_c"),
+        F.sum(
+            F.when(F.col("is_base"), F.col("cents").cast(DEC) * F.col("cents").cast(DEC))
+            .otherwise(F.lit(0).cast(DEC))
+        ).alias("sxx_b"),
+        F.sum(
+            F.when(~F.col("is_base"), F.col("cents").cast(DEC) * F.col("cents").cast(DEC))
+            .otherwise(F.lit(0).cast(DEC))
+        ).alias("sxx_c"),
+    )
+
+    def _var(n, sx, sxx):
+        num = (n.cast(DEC) * sxx - sx * sx).cast("double")
+        return num / (n * (n - F.lit(1))).cast("double")
+
+    n_b, n_c = F.col("n_b"), F.col("n_c")
+    mean_b = F.col("sx_b").cast("double") / n_b
+    mean_c = F.col("sx_c").cast("double") / n_c
+    var_b = _var(n_b, F.col("sx_b"), F.col("sxx_b"))
+    var_c = _var(n_c, F.col("sx_c"), F.col("sxx_c"))
+    se_b = var_b / n_b.cast("double")
+    se_c = var_c / n_c.cast("double")
+    t = F.round((mean_b - mean_c) / F.sqrt(se_b + se_c), 6)
+    df = F.round(
+        (se_b + se_c) * (se_b + se_c)
+        / (
+            se_b * se_b / (n_b - F.lit(1)).cast("double")
+            + se_c * se_c / (n_c - F.lit(1)).cast("double")
+        ),
+        3,
+    )
+    return agg.select(
+        "event_type",
+        "n_b",
+        "n_c",
+        F.round(mean_b, 6).alias("mean_base_cents"),
+        F.round(mean_c, 6).alias("mean_cur_cents"),
+        F.round(var_b, 6).alias("var_base"),
+        F.round(var_c, 6).alias("var_cur"),
+        t.alias("t_stat"),
+        df.alias("welch_df"),
+        (F.abs(t) > T_CRIT_95).alias("mean_shifted"),
+    ).orderBy("event_type")
+
+
+WELCH_T_ORACLE = f"""
+    WITH mid AS (
+        SELECT CAST((min(epoch_us(ts)) + max(epoch_us(ts))) / 2 AS BIGINT)
+               AS mid_us
+        FROM events
+    ),
+    half AS (
+        SELECT event_type,
+               epoch_us(ts) <= mid_us AS is_base,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events, mid
+    ),
+    agg AS (
+        SELECT event_type,
+               CAST(sum(CASE WHEN is_base THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+               CAST(sum(CASE WHEN NOT is_base THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_c,
+               CAST(sum(CASE WHEN is_base THEN cents ELSE 0 END)
+                    AS DECIMAL(38,0)) AS sx_b,
+               CAST(sum(CASE WHEN NOT is_base THEN cents ELSE 0 END)
+                    AS DECIMAL(38,0)) AS sx_c,
+               sum(CASE WHEN is_base
+                        THEN CAST(cents AS DECIMAL(38,0))
+                             * CAST(cents AS DECIMAL(38,0))
+                        ELSE CAST(0 AS DECIMAL(38,0)) END) AS sxx_b,
+               sum(CASE WHEN NOT is_base
+                        THEN CAST(cents AS DECIMAL(38,0))
+                             * CAST(cents AS DECIMAL(38,0))
+                        ELSE CAST(0 AS DECIMAL(38,0)) END) AS sxx_c
+        FROM half
+        GROUP BY event_type
+    ),
+    vars_ AS (
+        SELECT event_type, n_b, n_c,
+               CAST(sx_b AS DOUBLE) / n_b AS mean_b,
+               CAST(sx_c AS DOUBLE) / n_c AS mean_c,
+               CAST(CAST(n_b AS DECIMAL(38,0)) * sxx_b - sx_b * sx_b
+                    AS DOUBLE) / CAST(n_b * (n_b - 1) AS DOUBLE) AS var_b,
+               CAST(CAST(n_c AS DECIMAL(38,0)) * sxx_c - sx_c * sx_c
+                    AS DOUBLE) / CAST(n_c * (n_c - 1) AS DOUBLE) AS var_c
+        FROM agg
+    ),
+    terms AS (
+        SELECT event_type, n_b, n_c, mean_b, mean_c, var_b, var_c,
+               var_b / CAST(n_b AS DOUBLE) AS se_b,
+               var_c / CAST(n_c AS DOUBLE) AS se_c
+        FROM vars_
+    )
+    SELECT event_type, n_b, n_c,
+           round(mean_b, 6) AS mean_base_cents,
+           round(mean_c, 6) AS mean_cur_cents,
+           round(var_b, 6) AS var_base,
+           round(var_c, 6) AS var_cur,
+           round((mean_b - mean_c) / sqrt(se_b + se_c), 6) AS t_stat,
+           round((se_b + se_c) * (se_b + se_c)
+                 / (se_b * se_b / (n_b - 1) + se_c * se_c / (n_c - 1)), 3)
+               AS welch_df,
+           abs(round((mean_b - mean_c) / sqrt(se_b + se_c), 6))
+               > {T_CRIT_95} AS mean_shifted
+    FROM terms
+    ORDER BY event_type
+"""
+
+# --- CUSUM changepoint scan over daily totals -------------------------------
+# Where daily_value_anomalies flags single outlier days, the CUSUM path
+# S_t = sum_{i<=t}(x_i - mean) localizes a LEVEL SHIFT: |S_t| peaks at the
+# changepoint.  Everything is exact integer arithmetic until the last
+# step: with P_t the decimal prefix sum and T the total over n days,
+# n*S_t = n*P_t - t*T is decimal-exact, so the peak-day argmax compares
+# decimals (no float ties) and only the reported cusum value takes the
+# single double division by n.  Scale: the window runs per event type
+# over DAYS (bounded partitions on a pre-reduced daily table), the
+# per-type totals broadcast -- the raw event stream is never windowed.
+
+
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    DEC = "decimal(38,0)"
+    daily = (
+        ev.select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents").cast("bigint").alias("x"))
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("x").cast(DEC).alias("total"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pref = daily.select(
+        "event_type",
+        "day",
+        "x",
+        F.sum(F.col("x").cast(DEC)).over(w).alias("p"),
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("day"))
+        .cast("bigint")
+        .alias("t"),
+    )
+    num = F.col("n_days").cast(DEC) * F.col("p") - F.col("t").cast(DEC) * F.col("total")
+    scored = pref.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "day",
+        F.col("x").alias("value_cents"),
+        num.alias("_num"),
+        F.abs(num).alias("_absnum"),
+        "n_days",
+    )
+    peak = F.max("_absnum").over(Window.partitionBy("event_type"))
+    return (
+        scored.withColumn("_peak", peak)
+        .select(
+            "event_type",
+            "day",
+            "value_cents",
+            F.round(
+                F.col("_num").cast("double") / F.col("n_days").cast("double"), 6
+            ).alias("cusum_cents"),
+            (F.col("_absnum") == F.col("_peak")).alias("is_peak"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+CUSUM_ORACLE = """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+        FROM events
+        GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(x) AS DECIMAL(38,0)) AS total
+        FROM daily GROUP BY event_type
+    ),
+    pref AS (
+        SELECT event_type, day, x,
+               sum(CAST(x AS DECIMAL(38,0))) OVER (
+                   PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+               CAST(row_number() OVER (
+                   PARTITION BY event_type ORDER BY day) AS BIGINT) AS t
+        FROM daily
+    ),
+    scored AS (
+        SELECT pref.event_type, day, x,
+               CAST(n_days AS DECIMAL(38,0)) * p
+               - CAST(t AS DECIMAL(38,0)) * total AS num,
+               n_days
+        FROM pref JOIN tot ON pref.event_type = tot.event_type
+    )
+    SELECT event_type, day, CAST(x AS BIGINT) AS value_cents,
+           round(CAST(num AS DOUBLE) / CAST(n_days AS DOUBLE), 6)
+               AS cusum_cents,
+           abs(num) = max(abs(num)) OVER (PARTITION BY event_type) AS is_peak
+    FROM scored
+    ORDER BY event_type, day
+"""
+
+
+# --- lag-1 autocorrelation of daily totals ----------------------------------
+# The persistence diagnostic behind forecasting/backfill decisions: is a
+# heavy day followed by another heavy day (r1 > 0) or does load mean-revert?
+# Pearson correlation over consecutive-day pairs via lag(1) on the bounded
+# per-type daily table; all five sufficient sums are decimal-exact, the
+# two variance factors cast to double SEPARATELY before sqrt (their
+# decimal product could exceed 38 digits), and r1 is a fixed-order double
+# chain rounded at 6 dp.  Scale: same shape as cusum_changepoint -- the
+# window touches only (event_type, day) aggregates, bounded by the
+# calendar, with map-side-combinable daily reduction underneath.
+
+
+def daily_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    DEC = "decimal(38,0)"
+    daily = (
+        ev.select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents").cast("bigint").alias("x"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    pairs = daily.select(
+        "event_type",
+        F.lag("x").over(w).alias("a"),
+        F.col("x").alias("b"),
+    ).where(F.col("a").isNotNull())
+    d = lambda c: F.col(c).cast(DEC)  # noqa: E731
+    agg = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(d("a")).alias("sa"),
+        F.sum(d("b")).alias("sb"),
+        F.sum(d("a") * d("b")).alias("sab"),
+        F.sum(d("a") * d("a")).alias("saa"),
+        F.sum(d("b") * d("b")).alias("sbb"),
+    )
+    n = F.col("n_pairs").cast(DEC)
+    num = (n * F.col("sab") - F.col("sa") * F.col("sb")).cast("double")
+    fa = (n * F.col("saa") - F.col("sa") * F.col("sa")).cast("double")
+    fb = (n * F.col("sbb") - F.col("sb") * F.col("sb")).cast("double")
+    r1 = F.round(num / (F.sqrt(fa) * F.sqrt(fb)), 6)
+    return agg.select(
+        "event_type",
+        "n_pairs",
+        r1.alias("r1"),
+        (r1 > 0.0).alias("is_persistent"),
+    ).orderBy("event_type")
+
+
+AUTOCORR_ORACLE = """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+        FROM events
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT event_type,
+               lag(x) OVER (PARTITION BY event_type ORDER BY day) AS a,
+               x AS b
+        FROM daily
+        QUALIFY a IS NOT NULL
+    ),
+    agg AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               sum(CAST(a AS DECIMAL(38,0))) AS sa,
+               sum(CAST(b AS DECIMAL(38,0))) AS sb,
+               sum(CAST(a AS DECIMAL(38,0)) * CAST(b AS DECIMAL(38,0))) AS sab,
+               sum(CAST(a AS DECIMAL(38,0)) * CAST(a AS DECIMAL(38,0))) AS saa,
+               sum(CAST(b AS DECIMAL(38,0)) * CAST(b AS DECIMAL(38,0))) AS sbb
+        FROM pairs
+        GROUP BY event_type
+    )
+    SELECT event_type, n_pairs,
+           round(CAST(CAST(n_pairs AS DECIMAL(38,0)) * sab - sa * sb
+                      AS DOUBLE)
+                 / (sqrt(CAST(CAST(n_pairs AS DECIMAL(38,0)) * saa - sa * sa
+                              AS DOUBLE))
+                    * sqrt(CAST(CAST(n_pairs AS DECIMAL(38,0)) * sbb - sb * sb
+                                AS DOUBLE))), 6) AS r1,
+           round(CAST(CAST(n_pairs AS DECIMAL(38,0)) * sab - sa * sb
+                      AS DOUBLE)
+                 / (sqrt(CAST(CAST(n_pairs AS DECIMAL(38,0)) * saa - sa * sa
+                              AS DOUBLE))
+                    * sqrt(CAST(CAST(n_pairs AS DECIMAL(38,0)) * sbb - sb * sb
+                                AS DOUBLE))), 6) > 0.0e0 AS is_persistent
+    FROM agg
+    ORDER BY event_type
+"""
+
+
 STATISTICS_QUERIES: list[tuple[str, object, str | None]] = [
     ("stratified_kfold_assign", stratified_kfold_assign, KFOLD_ORACLE),
     ("table_stats_profile", table_stats_profile, TABLE_STATS_ORACLE),
@@ -1596,6 +2021,10 @@ STATISTICS_QUERIES: list[tuple[str, object, str | None]] = [
     ("histogram_event_values", histogram_event_values, HISTOGRAM_ORACLE),
     ("value_distribution_psi", value_distribution_psi, PSI_ORACLE),
     ("ks_drift_test", ks_drift_test, KS_DRIFT_ORACLE),
+    ("chi_square_independence", chi_square_independence, CHI2_ORACLE),
+    ("welch_t_test", welch_t_test, WELCH_T_ORACLE),
+    ("cusum_changepoint", cusum_changepoint, CUSUM_ORACLE),
+    ("daily_autocorr_lag1", daily_autocorr_lag1, AUTOCORR_ORACLE),
     ("theil_sen_daily_trend", theil_sen_daily_trend, THEIL_SEN_ORACLE),
     ("global_exact_quantiles", global_exact_quantiles, GLOBAL_QUANTILES_ORACLE),
     ("benford_first_digit_audit", benford_first_digit_audit, BENFORD_ORACLE),

@@ -358,3 +358,73 @@ def test_benford_partitions_and_chi2(spark):
         exp = n * r.benford_p
         assert r.chi2_term == (r.n_obs - exp) * (r.n_obs - exp) / exp
         assert abs(r.deviation - (r.obs_share - r.benford_p)) < 1e-18
+
+
+def test_chi2_cells_partition_and_marginals(spark):
+    """Cells partition the event stream; expected values reconstruct the
+    marginal products; each chi2 term restates its own cell."""
+    from mapreduce_on_google_cloud_platform_spark.sources import load_table
+
+    rows = QUERIES["chi_square_independence"](spark, SF_SMOKE).collect()
+    n = load_table(spark, SF_SMOKE, "events").count()
+    assert sum(r.n_obs for r in rows) == n
+    assert {r.tod_block for r in rows} <= {0, 1, 2, 3}
+    # expected marginals: summing expected within a row recovers the row
+    # total (sum_c col_n = n cancels the /n)
+    by_type: dict[str, float] = {}
+    obs_by_type: dict[str, int] = {}
+    for r in rows:
+        by_type[r.event_type] = by_type.get(r.event_type, 0.0) + r.expected
+        obs_by_type[r.event_type] = obs_by_type.get(r.event_type, 0) + r.n_obs
+        exp = r.expected
+        assert r.chi2_term == (r.n_obs - exp) * (r.n_obs - exp) / exp
+    for t, s in by_type.items():
+        assert abs(s - obs_by_type[t]) < 1e-6
+
+
+def test_welch_t_internal_consistency(spark):
+    """Halves partition the stream; variances nonnegative; Satterthwaite
+    df lands in [1, n_b+n_c-2]; the flag restates the rounded t."""
+    from mapreduce_on_google_cloud_platform_spark.sources import load_table
+
+    rows = QUERIES["welch_t_test"](spark, SF_SMOKE).collect()
+    total = load_table(spark, SF_SMOKE, "events").count()
+    assert sum(r.n_b + r.n_c for r in rows) == total
+    for r in rows:
+        assert r.var_base >= 0 and r.var_cur >= 0
+        assert 1 <= r.welch_df <= r.n_b + r.n_c - 2
+        assert r.mean_shifted == (abs(r.t_stat) > 1.96)
+
+
+def test_cusum_telescopes_and_single_peak_value(spark):
+    """Per type: cusum at the last day returns to ~0 (telescoping sum),
+    the peak flag marks exactly the max |cusum| days, and daily cents
+    reconcile with the raw stream."""
+    rows = QUERIES["cusum_changepoint"](spark, SF_SMOKE).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for t, rs in by_type.items():
+        rs.sort(key=lambda r: r.day)
+        # S_n = n*P_n - n*T = 0 exactly (rounded representation)
+        assert rs[-1].cusum_cents == 0.0
+        peak = max(abs(r.cusum_cents) for r in rs)
+        for r in rs:
+            assert r.is_peak == (abs(r.cusum_cents) == peak)
+        assert sum(1 for r in rs if r.is_peak) >= 1
+
+
+def test_autocorr_bounded_and_pair_counts(spark):
+    """r1 in [-1, 1]; pair count is day count minus one per type."""
+    rows = QUERIES["daily_autocorr_lag1"](spark, SF_SMOKE).collect()
+    days = {
+        (r.event_type, r.day)
+        for r in QUERIES["cusum_changepoint"](spark, SF_SMOKE).collect()
+    }
+    n_days: dict[str, int] = {}
+    for t, _ in days:
+        n_days[t] = n_days.get(t, 0) + 1
+    for r in rows:
+        assert -1.0 <= r.r1 <= 1.0
+        assert r.n_pairs == n_days[r.event_type] - 1
+        assert r.is_persistent == (r.r1 > 0.0)
