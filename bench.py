@@ -217,6 +217,7 @@ HEADLINE = [
     "welch_t_test",
     "cusum_changepoint",
     "daily_autocorr_lag1",
+    "customer_spend_gini",
     # dedup_method_eval re-runs five declared pipelines; its components
     # are each benched above, so it is left out of the headline suite
 ]

@@ -2575,8 +2575,110 @@ def _join_card_oracle() -> str:
 JOIN_CARD_ORACLE = _join_card_oracle()
 
 
+# ---------------------------------------------------------------------------
+# Customer-spend Gini / concentration summary.  q11 flags heavy suppliers
+# against a fixed per-mille threshold; this is the corpus-level inequality
+# report behind "how skewed is our revenue": the Gini coefficient from the
+# rank formula G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) over spends
+# sorted ascending, plus top-1% / top-10% / bottom-50% spend shares.  The
+# global rank is the repo's distributed two-pass range rank (never a
+# partitionless window); every numerator is decimal-exact (i*x fits
+# decimal(38,0) far beyond int64 at 100 TB) and each reported double is
+# ONE division of exact decimals, rounded at 6 dp.  The share thresholds
+# are integer functions of n embedded identically in both engines.
+
+
+def customer_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    DEC38 = "decimal(38,0)"
+    per = orders.groupBy("o_custkey").agg(
+        F.sum((dec("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("x")
+    )
+    ranked, n = _with_global_rank(
+        spark, per, [F.asc("x"), F.asc("o_custkey")], "_i"
+    )
+    k1 = max(1, n // 100)
+    k10 = max(1, n // 10)
+    kb = n // 2
+    xd = F.col("x").cast(DEC38)
+    agg = ranked.agg(
+        F.sum(xd).alias("t"),
+        F.sum(F.col("_i").cast(DEC38) * xd).alias("s"),
+        F.sum(F.when(F.col("_i") > n - k1, F.col("x")).otherwise(0))
+        .cast(DEC38)
+        .alias("t1"),
+        F.sum(F.when(F.col("_i") > n - k10, F.col("x")).otherwise(0))
+        .cast(DEC38)
+        .alias("t10"),
+        F.sum(F.when(F.col("_i") <= kb, F.col("x")).otherwise(0))
+        .cast(DEC38)
+        .alias("b50"),
+    )
+    two_s = F.lit(2).cast(DEC38) * F.col("s")
+    n_dec = F.lit(n).cast(DEC38)
+    gini = F.round(
+        (two_s - (n_dec + F.lit(1).cast(DEC38)) * F.col("t")).cast("double")
+        / (n_dec * F.col("t")).cast("double"),
+        6,
+    )
+    share = lambda c: F.round(  # noqa: E731
+        F.col(c).cast("double") / F.col("t").cast("double"), 6
+    )
+    return agg.select(
+        F.lit(n).cast("bigint").alias("n_customers"),
+        F.col("t").cast("bigint").alias("total_cents"),
+        gini.alias("gini"),
+        share("t1").alias("top1pct_share"),
+        share("t10").alias("top10pct_share"),
+        share("b50").alias("bottom50pct_share"),
+    )
+
+
+GINI_ORACLE = """
+    WITH per AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS x
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT x,
+               CAST(row_number() OVER (ORDER BY x, o_custkey) AS BIGINT) AS i
+        FROM per
+    ),
+    n_ AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ranked),
+    agg AS (
+        SELECT sum(CAST(x AS DECIMAL(38,0))) AS t,
+               sum(CAST(i AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS s,
+               CAST(sum(CASE WHEN i > n - greatest(1, n // 100)
+                             THEN x ELSE 0 END) AS DECIMAL(38,0)) AS t1,
+               CAST(sum(CASE WHEN i > n - greatest(1, n // 10)
+                             THEN x ELSE 0 END) AS DECIMAL(38,0)) AS t10,
+               CAST(sum(CASE WHEN i <= n // 2
+                             THEN x ELSE 0 END) AS DECIMAL(38,0)) AS b50,
+               max(n) AS n
+        FROM ranked, n_
+    )
+    SELECT n AS n_customers,
+           CAST(t AS BIGINT) AS total_cents,
+           round(CAST(CAST(2 AS DECIMAL(38,0)) * s
+                      - (CAST(n AS DECIMAL(38,0)) + CAST(1 AS DECIMAL(38,0)))
+                        * t AS DOUBLE)
+                 / CAST(CAST(n AS DECIMAL(38,0)) * t AS DOUBLE), 6) AS gini,
+           round(CAST(t1 AS DOUBLE) / CAST(t AS DOUBLE), 6) AS top1pct_share,
+           round(CAST(t10 AS DOUBLE) / CAST(t AS DOUBLE), 6)
+               AS top10pct_share,
+           round(CAST(b50 AS DOUBLE) / CAST(t AS DOUBLE), 6)
+               AS bottom50pct_share
+    FROM agg
+"""
+
+
 RELATIONAL_QUERIES: list[tuple[str, object, str | None]] = [
     ("join_cardinality_estimate", join_cardinality_estimate, JOIN_CARD_ORACLE),
+    ("customer_spend_gini", customer_spend_gini, GINI_ORACLE),
     ("order_backlog_daily", order_backlog_daily, BACKLOG_ORACLE),
     ("q1_pricing_summary", q1_pricing_summary, Q1_ORACLE),
     ("q3_shipping_priority", q3_shipping_priority, Q3_ORACLE),

@@ -869,3 +869,19 @@ def test_matryoshka_broadcasts_queries_never_corpus(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_gini_has_no_partitionless_window(spark):
+    """customer_spend_gini rides the same distributed range rank as RFM:
+    every Window node must carry a partition spec and the physical plan
+    must range-partition on the spend order."""
+    import re
+
+    df = QUERIES["customer_spend_gini"](spark, SF_SMOKE)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    windows = re.findall(r"Window \[.*\], \[(.*?)\], \[", logical)
+    assert windows, "expected Window nodes in the gini plan"
+    for part in windows:
+        assert part.strip(), f"partitionless window found: [{part}]"
+    physical = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange rangepartitioning" in physical

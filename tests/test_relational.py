@@ -201,3 +201,25 @@ def test_copurchase_rules_restate_counts(spark):
                 6,
             )
         ) < 1e-9
+
+
+def test_gini_internal_consistency(spark):
+    """Gini in [0,1); shares nested (top1 <= top10 <= 1, bottom50 <= 1);
+    total reconciles with the raw order stream in cents."""
+    from decimal import Decimal
+
+    from mapreduce_on_google_cloud_platform_spark.sources import load_table
+
+    r = QUERIES["customer_spend_gini"](spark, SF_SMOKE).collect()[0]
+    assert 0.0 <= r.gini < 1.0
+    assert 0.0 < r.top1pct_share <= r.top10pct_share <= 1.0
+    assert 0.0 <= r.bottom50pct_share <= 1.0
+    # bottom half can never out-earn the top half
+    assert r.bottom50pct_share <= 0.5 + 1e-9
+    orders = load_table(spark, SF_SMOKE, "orders")
+    total = orders.selectExpr(
+        "cast(sum(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)) as bigint) t"
+    ).collect()[0].t
+    assert r.total_cents == total
+    n = orders.select("o_custkey").distinct().count()
+    assert r.n_customers == n
