@@ -218,6 +218,7 @@ HEADLINE = [
     "cusum_changepoint",
     "daily_autocorr_lag1",
     "customer_spend_gini",
+    "lsh_bucket_balance",
     # dedup_method_eval re-runs five declared pipelines; its components
     # are each benched above, so it is left out of the headline suite
 ]

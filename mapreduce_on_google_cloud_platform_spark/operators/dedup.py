@@ -2583,6 +2583,125 @@ def _minhash_estimate_error_oracle() -> str:
 MINHASH_ESTIMATE_ERROR_ORACLE = _minhash_estimate_error_oracle()
 
 
+# ---------------------------------------------------------------------------
+# LSH bucket-balance profile -- the skew diagnostic to run BEFORE the
+# band-bucket self-join.  The join's cost is sum over buckets of
+# s*(s-1)/2; one hot bucket (a boilerplate band signature) dominates it
+# the same way a hot join key dominates a shuffle join
+# (join_key_skew_profile's sibling, one level deeper in the dedup
+# stack).  Per band: a power-of-two histogram of bucket sizes with each
+# size class's share of the band's candidate-pair mass.  Scale: bucket
+# sizes are ONE combinable count over the banded signature stream; the
+# histogram acts on bucket COUNTS (at most one row per occupied bucket),
+# and pair mass stays on the integer lattice (s*(s-1) div 2).
+# ---------------------------------------------------------------------------
+
+
+def lsh_bucket_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bands = _minhash_bands(shingles_df(docs))
+    sizes = bands.groupBy("band", "band_key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("s")
+    )
+    mass = F.expr("s * (s - 1) div 2")
+    sized = sizes.select(
+        "band",
+        (F.length(F.bin(F.col("s"))) - 1).cast("int").alias("bucket"),
+        "s",
+        mass.alias("m"),
+    )
+    band_tot = sized.groupBy("band").agg(
+        F.sum("m").cast("bigint").alias("band_pair_mass")
+    )
+    return (
+        sized.groupBy("band", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+            F.sum("s").cast("bigint").alias("n_docs"),
+            F.max("s").cast("bigint").alias("max_bucket"),
+            F.sum("m").cast("bigint").alias("pair_mass"),
+        )
+        .join(F.broadcast(band_tot), "band")
+        .select(
+            "band",
+            "bucket",
+            "n_buckets",
+            "n_docs",
+            "max_bucket",
+            "pair_mass",
+            F.when(F.col("band_pair_mass") > 0, F.round(
+                F.col("pair_mass").cast("double")
+                / F.col("band_pair_mass").cast("double"),
+                6,
+            )).otherwise(F.lit(0.0)).alias("pair_mass_share"),
+        )
+        .orderBy("band", "bucket")
+    )
+
+
+def _lsh_bucket_balance_oracle() -> str:
+    rows_per_band = NUM_MINHASHES // MINHASH_BANDS
+    mh_cols = ",\n               ".join(
+        f"min(({a} * h + {b}) % {MINHASH_P}) AS mh{i}"
+        for i, (a, b) in enumerate(MINHASH_AB)
+    )
+    band_selects = "\n        UNION ALL\n".join(
+        f"        SELECT doc_id, {b} AS band, md5("
+        + " || '|' || ".join(
+            f"CAST(mh{b * rows_per_band + r} AS VARCHAR)"
+            for r in range(rows_per_band)
+        )
+        + ") AS band_key FROM sig"
+        for b in range(MINHASH_BANDS)
+    )
+    return f"""
+    WITH {DUCKDB_SHINGLES_CTE},
+    dict AS (
+        SELECT sh, ('0x' || substr(md5(sh), 1, 15))::BIGINT % {MINHASH_P} AS h
+        FROM (SELECT DISTINCT sh FROM shing)
+    ),
+    sig AS (
+        SELECT doc_id,
+               {mh_cols}
+        FROM shing JOIN dict USING (sh)
+        GROUP BY doc_id
+    ),
+    bands AS (
+{band_selects}
+    ),
+    sizes AS (
+        SELECT band, band_key, CAST(count(*) AS BIGINT) AS s
+        FROM bands GROUP BY band, band_key
+    ),
+    sized AS (
+        SELECT band,
+               CAST(length(printf('%b', s)) - 1 AS INTEGER) AS bucket,
+               s,
+               s * (s - 1) // 2 AS m
+        FROM sizes
+    ),
+    band_tot AS (
+        SELECT band, CAST(sum(m) AS BIGINT) AS band_pair_mass
+        FROM sized GROUP BY band
+    )
+    SELECT band, bucket,
+           count(*) AS n_buckets,
+           CAST(sum(s) AS BIGINT) AS n_docs,
+           CAST(max(s) AS BIGINT) AS max_bucket,
+           CAST(sum(m) AS BIGINT) AS pair_mass,
+           CASE WHEN any_value(band_pair_mass) > 0
+                THEN round(CAST(sum(m) AS DOUBLE)
+                           / CAST(any_value(band_pair_mass) AS DOUBLE), 6)
+                ELSE 0.0e0 END AS pair_mass_share
+    FROM sized JOIN band_tot USING (band)
+    GROUP BY band, bucket
+    ORDER BY band, bucket
+"""
+
+
+LSH_BUCKET_BALANCE_ORACLE = _lsh_bucket_balance_oracle()
+
+
 DEDUP_QUERIES: list[tuple[str, object, str | None]] = [
     ("dedup_exact", dedup_exact, DEDUP_EXACT_ORACLE),
     ("fuzzy_part_name_pairs", fuzzy_part_name_pairs, FUZZY_PAIRS_ORACLE),
@@ -2602,6 +2721,7 @@ DEDUP_QUERIES: list[tuple[str, object, str | None]] = [
         minhash_band_sensitivity,
         BAND_SENSITIVITY_ORACLE,
     ),
+    ("lsh_bucket_balance", lsh_bucket_balance, LSH_BUCKET_BALANCE_ORACLE),
     ("dedup_simhash", dedup_simhash, SIMHASH_ORACLE),
     ("simhash_near_pairs", simhash_near_pairs, SIMHASH_PAIRS_ORACLE),
     ("dedup_embedding_pairs", dedup_embedding_pairs, EMBEDDING_PAIRS_ORACLE),

@@ -453,3 +453,40 @@ def test_minhash_estimate_error_is_calibrated(spark):
         assert abs(lanes - round(lanes)) < 1e-9
         assert 0.0 <= r.est_jaccard <= 1.0
         assert abs(r.est_error - round(r.est_jaccard - r.jaccard, 6)) < 1e-9
+
+
+def test_lsh_bucket_balance_accounts_for_all_docs(spark):
+    """Every band's histogram re-partitions the full doc set (each doc
+    lands in exactly one bucket per band); pair-mass shares sum to ~1
+    per band wherever mass exists; singleton buckets carry zero mass."""
+    from mapreduce_on_google_cloud_platform_spark.functions.hashing import (
+        MINHASH_BANDS,
+    )
+    from mapreduce_on_google_cloud_platform_spark.sources import load_table
+
+    from mapreduce_on_google_cloud_platform_spark.functions.text import (
+        shingles_df,
+    )
+
+    rows = QUERIES["lsh_bucket_balance"](spark, SF_SMOKE).collect()
+    # a doc lands in the index iff it has >= 1 shingle (empty docs don't)
+    n_docs = (
+        shingles_df(load_table(spark, SF_SMOKE, "documents"))
+        .select("doc_id")
+        .distinct()
+        .count()
+    )
+    per_band_docs: dict[int, int] = {}
+    per_band_share: dict[int, float] = {}
+    for r in rows:
+        per_band_docs[r.band] = per_band_docs.get(r.band, 0) + r.n_docs
+        per_band_share[r.band] = per_band_share.get(r.band, 0.0) + r.pair_mass_share
+        if r.bucket == 0:
+            assert r.pair_mass == 0 and r.max_bucket == 1
+        assert 2 ** r.bucket <= r.max_bucket < 2 ** (r.bucket + 1)
+    assert set(per_band_docs) == set(range(MINHASH_BANDS))
+    for band, d in per_band_docs.items():
+        assert d == n_docs, f"band {band}: {d} != {n_docs}"
+    for band, s in per_band_share.items():
+        if any(r.band == band and r.pair_mass > 0 for r in rows):
+            assert abs(s - 1.0) < 1e-4
