@@ -219,6 +219,8 @@ HEADLINE = [
     "daily_autocorr_lag1",
     "customer_spend_gini",
     "lsh_bucket_balance",
+    "mixture_temperature_curve",
+    "char_trigram_lang_profile",
     # dedup_method_eval re-runs five declared pipelines; its components
     # are each benched above, so it is left out of the headline suite
 ]

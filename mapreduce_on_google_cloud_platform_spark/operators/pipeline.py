@@ -2026,6 +2026,80 @@ def _source_policy_oracle() -> str:
 SOURCE_POLICY_ORACLE = _source_policy_oracle()
 
 
+# ---------------------------------------------------------------------------
+# Temperature-sampling tuning curve -- the alpha ladder for
+# language_sampling_weights (the threshold-curve idiom applied to the
+# mixture temperature): for each candidate alpha, the per-language
+# temperature share q = p^alpha / Z(alpha) and the resulting
+# up/down-sampling factor.  The table a release engineer reads to pick
+# SAMPLING_ALPHA.  Scale: the per-language table is dimension-sized, the
+# ladder explodes |langs| x |alphas| rows, and every pow goes through the
+# decimal(25,12) truncation both engines share (the
+# language_sampling_weights discipline); Z broadcasts per alpha.
+# ---------------------------------------------------------------------------
+
+MIXTURE_ALPHAS = (0.2, 0.3, 0.5, 0.7, 1.0)
+
+
+def mixture_temperature_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = per.agg(F.sum("n_docs").alias("total_docs"))
+    laddered = (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn("p", F.col("n_docs") / F.col("total_docs"))
+        .withColumn(
+            "alpha", F.explode(F.array(*[F.lit(a) for a in MIXTURE_ALPHAS]))
+        )
+        .withColumn(
+            "pa", F.pow("p", F.col("alpha")).cast("decimal(25,12)")
+        )
+    )
+    z = laddered.groupBy("alpha").agg(F.sum("pa").alias("z"))
+    q = F.col("pa").cast("double") / F.col("z").cast("double")
+    return (
+        laddered.join(F.broadcast(z), "alpha")
+        .select(
+            "alpha",
+            "lang",
+            "n_docs",
+            F.round("p", 6).alias("raw_share"),
+            F.round(q, 6).alias("temp_share"),
+            F.round(q / F.col("p"), 6).alias("sample_factor"),
+        )
+        .orderBy("alpha", "lang")
+    )
+
+
+def _mixture_curve_oracle() -> str:
+    alpha_values = ", ".join(f"({a}e0)" for a in MIXTURE_ALPHAS)
+    return f"""
+    WITH per AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+    tot AS (SELECT sum(n_docs) AS total_docs FROM per),
+    alphas(alpha) AS (VALUES {alpha_values}),
+    laddered AS (
+        SELECT alpha, lang, n_docs,
+               CAST(n_docs AS DOUBLE) / total_docs AS p,
+               CAST(pow(CAST(n_docs AS DOUBLE) / total_docs, alpha)
+                    AS DECIMAL(25,12)) AS pa
+        FROM per, tot, alphas
+    ),
+    z AS (SELECT alpha, sum(pa) AS z FROM laddered GROUP BY alpha)
+    SELECT laddered.alpha,
+           lang,
+           n_docs,
+           round(p, 6) AS raw_share,
+           round(CAST(pa AS DOUBLE) / CAST(z AS DOUBLE), 6) AS temp_share,
+           round(CAST(pa AS DOUBLE) / CAST(z AS DOUBLE) / p, 6)
+               AS sample_factor
+    FROM laddered JOIN z ON laddered.alpha = z.alpha
+    ORDER BY laddered.alpha, lang
+"""
+
+
+MIXTURE_CURVE_ORACLE = _mixture_curve_oracle()
+
+
 PIPELINE_QUERIES: list[tuple[str, object, str | None]] = [
     (
         "source_quality_decision",
@@ -2058,6 +2132,11 @@ PIPELINE_QUERIES: list[tuple[str, object, str | None]] = [
         "language_sampling_weights",
         language_sampling_weights,
         SAMPLING_WEIGHTS_ORACLE,
+    ),
+    (
+        "mixture_temperature_curve",
+        mixture_temperature_curve,
+        MIXTURE_CURVE_ORACLE,
     ),
     ("erasure_cascade_audit", erasure_cascade_audit, ERASURE_AUDIT_ORACLE),
     ("l_diversity_report", l_diversity_report, L_DIVERSITY_ORACLE),

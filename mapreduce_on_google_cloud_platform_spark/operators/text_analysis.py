@@ -3846,8 +3846,104 @@ QUALITY_CALIBRATION_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Character-trigram language profile -- the TRAINING table of an n-gram
+# language identifier (the stopword heuristic text_langid ships is the
+# inference side; real langid models rank char n-gram profiles,
+# Cavnar-Trenkle style).  Per declared language: the top-K character
+# trigrams of the space-joined cleaned-token stream with occurrence
+# shares.  Reuses the pinned [0-9a-z] token kernel verbatim (both
+# engines share DUCKDB_TOKS_CTE), so no new normalization surface.
+# Scale: trigram extraction is a per-doc transform+explode (JVM HOF, no
+# Python); counts reduce map-side onto at most |langs| x 37^3 type rows,
+# and the top-K window partitions by lang over trigram TYPES (bounded by
+# the alphabet, never by corpus size).
+# ---------------------------------------------------------------------------
+
+TRIGRAM_TOP_K = 20
+
+
+def char_trigram_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    norm = docs.select(
+        "lang", F.array_join(tokenize(F.col("text")), " ").alias("s")
+    ).where(F.length("s") >= 3)
+    tg = norm.select(
+        "lang",
+        F.explode(
+            F.expr("transform(sequence(1, length(s) - 2), i -> substring(s, i, 3))")
+        ).alias("trigram"),
+    )
+    counts = tg.groupBy("lang", "trigram").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences")
+    )
+    lang_tot = counts.groupBy("lang").agg(
+        F.sum("n_occurrences").cast("bigint").alias("total")
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("n_occurrences"), F.asc("trigram")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TRIGRAM_TOP_K)
+        .join(F.broadcast(lang_tot), "lang")
+        .select(
+            "lang",
+            "rank",
+            "trigram",
+            "n_occurrences",
+            F.round(
+                F.col("n_occurrences").cast("double") / F.col("total"), 6
+            ).alias("share"),
+        )
+        .orderBy("lang", "rank")
+    )
+
+
+CHAR_TRIGRAM_ORACLE = f"""
+    WITH {DUCKDB_TOKS_CTE},
+    norm AS (
+        SELECT d.lang, array_to_string(t.ts, ' ') AS s
+        FROM documents d JOIN toks t USING (doc_id)
+    ),
+    idx AS (
+        SELECT lang, s,
+               unnest(generate_series(1, length(s) - 2)) AS i
+        FROM norm
+        WHERE length(s) >= 3
+    ),
+    counts AS (
+        SELECT lang, substr(s, CAST(i AS INTEGER), 3) AS trigram,
+               CAST(count(*) AS BIGINT) AS n_occurrences
+        FROM idx
+        GROUP BY 1, 2
+    ),
+    lang_tot AS (
+        SELECT lang, CAST(sum(n_occurrences) AS BIGINT) AS total
+        FROM counts GROUP BY lang
+    ),
+    ranked AS (
+        SELECT lang, trigram, n_occurrences,
+               CAST(row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY n_occurrences DESC, trigram) AS INTEGER) AS rank
+        FROM counts
+    )
+    SELECT lang, rank, trigram, n_occurrences,
+           round(CAST(n_occurrences AS DOUBLE) / total, 6) AS share
+    FROM ranked JOIN lang_tot USING (lang)
+    WHERE rank <= {TRIGRAM_TOP_K}
+    ORDER BY lang, rank
+"""
+
+
 TEXT_ANALYSIS_QUERIES: list[tuple[str, object, str | None]] = [
     ("eval_decontam_funnel", eval_decontam_funnel, DECONTAM_FUNNEL_ORACLE),
+    (
+        "char_trigram_lang_profile",
+        char_trigram_lang_profile,
+        CHAR_TRIGRAM_ORACLE,
+    ),
     ("kn_continuation_probs", kn_continuation_probs, KN_CONTINUATION_ORACLE),
     ("tfidf_topk_terms", tfidf_topk_terms, TFIDF_TOPK_ORACLE),
     ("text_normalize", text_normalize, NORMALIZE_ORACLE),

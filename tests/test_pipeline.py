@@ -350,3 +350,37 @@ def test_source_policy_apply_executes_decisions(spark):
             assert r.docs_out == 0 and r.chars_out == 0
         else:
             assert r.docs_out == min(SOURCE_CAP, r.docs_in)
+
+
+def test_mixture_curve_alpha1_is_identity_and_matches_weights(spark):
+    """alpha=1 leaves the mixture unchanged (temp_share==raw_share,
+    factor ~1); each alpha's shares sum to ~1; the SAMPLING_ALPHA slice
+    reproduces language_sampling_weights exactly."""
+    from mapreduce_on_google_cloud_platform_spark.operators.pipeline import (
+        SAMPLING_ALPHA,
+    )
+
+    rows = QUERIES["mixture_temperature_curve"](spark, SF_SMOKE).collect()
+    by_alpha: dict[float, list] = {}
+    for r in rows:
+        by_alpha.setdefault(r.alpha, []).append(r)
+    for alpha, rs in by_alpha.items():
+        assert abs(sum(r.temp_share for r in rs) - 1.0) < 1e-4
+        if alpha == 1.0:
+            for r in rs:
+                assert abs(r.temp_share - r.raw_share) <= 2e-6
+                assert abs(r.sample_factor - 1.0) < 1e-4
+    weights = {
+        r.lang: (r.temp_share, r.sample_factor)
+        for r in QUERIES["language_sampling_weights"](spark, SF_SMOKE).collect()
+    }
+    for r in by_alpha[SAMPLING_ALPHA]:
+        assert (r.temp_share, r.sample_factor) == weights[r.lang]
+    # temperature flattens: lower alpha gives the rarest language a
+    # strictly larger boost
+    rare = min(by_alpha[1.0], key=lambda r: r.n_docs).lang
+    factors = [
+        next(r.sample_factor for r in rs if r.lang == rare)
+        for a, rs in sorted(by_alpha.items())
+    ]
+    assert factors == sorted(factors, reverse=True)

@@ -768,3 +768,28 @@ def test_calibration_partitions_scored_docs(spark):
             <= r.mean_quality
             <= r.bucket_lo + CALIB_BUCKET_WIDTH + 1e-6
         )
+
+
+def test_char_trigram_profile_shape(spark):
+    """Per lang: contiguous ranks 1..K, counts nonincreasing in rank,
+    trigrams are length-3 strings over the pinned [0-9a-z ] alphabet,
+    shares positive and <= 1."""
+    import re
+
+    from mapreduce_on_google_cloud_platform_spark.operators.text_analysis import (
+        TRIGRAM_TOP_K,
+    )
+
+    rows = QUERIES["char_trigram_lang_profile"](spark, SF_SMOKE).collect()
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+        assert len(r.trigram) == 3
+        assert re.fullmatch(r"[0-9a-z ]{3}", r.trigram), r.trigram
+        assert 0.0 < r.share <= 1.0
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= TRIGRAM_TOP_K
+        counts = [r.n_occurrences for r in rs]
+        assert counts == sorted(counts, reverse=True)
