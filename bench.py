@@ -221,6 +221,9 @@ HEADLINE = [
     "lsh_bucket_balance",
     "mixture_temperature_curve",
     "char_trigram_lang_profile",
+    "neardup_kcore_peel",
+    "event_type_daily_corr",
+    "pii_rate_by_source",
     # dedup_method_eval re-runs five declared pipelines; its components
     # are each benched above, so it is left out of the headline suite
 ]

@@ -515,7 +515,97 @@ CLUSTERING_COEFF_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Bounded k-core peel -- the density filter between "connected" (components)
+# and "locally dense" (LPA/triangles): iteratively remove nodes whose degree
+# among the still-alive nodes is < KCORE_K.  Survivors of the 2-core peel
+# sit in cyclic near-dup structure (true template families); pendant chains
+# of one-off matches fall away.  The round count is FIXED (KCORE_ROUNDS),
+# so the declared semantics is the deterministic "R-round peel" and the
+# DuckDB oracle is the identical recurrence unrolled -- the
+# PageRank/LPA discipline.  (A full fix-point peel would need a
+# convergence probe per round; three rounds already removes
+# chain-of-length-3 tails, and the recurrence is monotone so survivors
+# only shrink.)
+#
+# Scale: each round is two LeftSemi joins (edges pruned to alive nodes on
+# both endpoints) + one combinable degree count + a filter; no window, no
+# collect.  Edges localCheckpoint once; each round's alive set is
+# node-cardinality.
+# ---------------------------------------------------------------------------
+
+KCORE_K = 2
+KCORE_ROUNDS = 3
+
+
+def neardup_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = (
+        _pair_jaccard(shingles_df(docs))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+    )
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .localCheckpoint()
+    )
+    alive = edges.select(F.col("src").alias("node")).distinct()
+    for _ in range(KCORE_ROUNDS):
+        live_edges = edges.join(
+            alive.select(F.col("node").alias("src")), "src", "left_semi"
+        ).join(alive.select(F.col("node").alias("dst")), "dst", "left_semi")
+        alive = (
+            live_edges.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= KCORE_K)
+            .select(F.col("src").alias("node"))
+        )
+    final_edges = edges.join(
+        alive.select(F.col("node").alias("src")), "src", "left_semi"
+    ).join(alive.select(F.col("node").alias("dst")), "dst", "left_semi")
+    return (
+        final_edges.groupBy("src")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
+        .select(F.col("src").alias("doc_id"), "core_degree")
+        .orderBy("doc_id")
+    )
+
+
+def _kcore_oracle() -> str:
+    prev = "alive0"
+    rounds = []
+    for k in range(1, KCORE_ROUNDS + 1):
+        rounds.append(f"""
+    deg{k} AS (
+        SELECT e.src AS node, count(*) AS d
+        FROM edges e
+        JOIN {prev} a ON e.src = a.node
+        JOIN {prev} b ON e.dst = b.node
+        GROUP BY e.src
+    ),
+    alive{k} AS (SELECT node FROM deg{k} WHERE d >= {KCORE_K})""")
+        prev = f"alive{k}"
+    return f"""
+    WITH {DUCKDB_SHINGLES_CTE},
+{_SQL_EDGES_CTE},
+    alive0 AS (SELECT DISTINCT src AS node FROM edges),{",".join(rounds)}
+    SELECT e.src AS doc_id, CAST(count(*) AS BIGINT) AS core_degree
+    FROM edges e
+    JOIN {prev} a ON e.src = a.node
+    JOIN {prev} b ON e.dst = b.node
+    GROUP BY e.src
+    ORDER BY doc_id
+"""
+
+
+KCORE_ORACLE = _kcore_oracle()
+
+
 GRAPH_QUERIES: list[tuple[str, object, str | None]] = [
+    ("neardup_kcore_peel", neardup_kcore_peel, KCORE_ORACLE),
     ("neardup_pagerank", neardup_pagerank, PAGERANK_ORACLE),
     ("neardup_triangles", neardup_triangles, TRIANGLES_ORACLE),
     ("neardup_degree_profile", neardup_degree_profile, DEGREE_PROFILE_ORACLE),

@@ -2004,6 +2004,94 @@ AUTOCORR_ORACLE = """
 """
 
 
+# --- daily cross-correlation matrix between event types ---------------------
+# daily_autocorr_lag1 measures self-persistence; this is the PAIRWISE
+# Pearson matrix between the types' daily series -- the co-movement
+# report behind "do purchases track views?" and the feature-redundancy
+# check before stuffing both series into a model.  Same discipline:
+# the raw stream reduces to the calendar-bounded (type, day) table, the
+# pair space is |types|^2 x days via a day-equi self-join of that tiny
+# table, all five sufficient sums are decimal-exact, and r is a
+# fixed-order double chain with separately-cast variance factors.
+
+
+def event_type_daily_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    DEC = "decimal(38,0)"
+    daily = (
+        ev.select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents").cast("bigint").alias("x"))
+    )
+    a = daily.select(
+        F.col("event_type").alias("type_a"), "day", F.col("x").alias("xa")
+    )
+    b = daily.select(
+        F.col("event_type").alias("type_b"), "day", F.col("x").alias("xb")
+    )
+    joined = a.join(b, "day").where(F.col("type_a") < F.col("type_b"))
+    d = lambda c: F.col(c).cast(DEC)  # noqa: E731
+    agg = joined.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum(d("xa")).alias("sa"),
+        F.sum(d("xb")).alias("sb"),
+        F.sum(d("xa") * d("xb")).alias("sab"),
+        F.sum(d("xa") * d("xa")).alias("saa"),
+        F.sum(d("xb") * d("xb")).alias("sbb"),
+    )
+    n = F.col("n_days").cast(DEC)
+    num = (n * F.col("sab") - F.col("sa") * F.col("sb")).cast("double")
+    fa = (n * F.col("saa") - F.col("sa") * F.col("sa")).cast("double")
+    fb = (n * F.col("sbb") - F.col("sb") * F.col("sb")).cast("double")
+    r = F.round(num / (F.sqrt(fa) * F.sqrt(fb)), 6)
+    return agg.select(
+        "type_a", "type_b", "n_days", r.alias("r")
+    ).orderBy("type_a", "type_b")
+
+
+DAILY_CORR_ORACLE = """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+        FROM events
+        GROUP BY 1, 2
+    ),
+    joined AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               a.x AS xa, b.x AS xb
+        FROM daily a JOIN daily b
+          ON a.day = b.day AND a.event_type < b.event_type
+    ),
+    agg AS (
+        SELECT type_a, type_b,
+               CAST(count(*) AS BIGINT) AS n_days,
+               sum(CAST(xa AS DECIMAL(38,0))) AS sa,
+               sum(CAST(xb AS DECIMAL(38,0))) AS sb,
+               sum(CAST(xa AS DECIMAL(38,0)) * CAST(xb AS DECIMAL(38,0)))
+                   AS sab,
+               sum(CAST(xa AS DECIMAL(38,0)) * CAST(xa AS DECIMAL(38,0)))
+                   AS saa,
+               sum(CAST(xb AS DECIMAL(38,0)) * CAST(xb AS DECIMAL(38,0)))
+                   AS sbb
+        FROM joined
+        GROUP BY type_a, type_b
+    )
+    SELECT type_a, type_b, n_days,
+           round(CAST(CAST(n_days AS DECIMAL(38,0)) * sab - sa * sb
+                      AS DOUBLE)
+                 / (sqrt(CAST(CAST(n_days AS DECIMAL(38,0)) * saa - sa * sa
+                              AS DOUBLE))
+                    * sqrt(CAST(CAST(n_days AS DECIMAL(38,0)) * sbb - sb * sb
+                                AS DOUBLE))), 6) AS r
+    FROM agg
+    ORDER BY type_a, type_b
+"""
+
+
 STATISTICS_QUERIES: list[tuple[str, object, str | None]] = [
     ("stratified_kfold_assign", stratified_kfold_assign, KFOLD_ORACLE),
     ("table_stats_profile", table_stats_profile, TABLE_STATS_ORACLE),
@@ -2025,6 +2113,7 @@ STATISTICS_QUERIES: list[tuple[str, object, str | None]] = [
     ("welch_t_test", welch_t_test, WELCH_T_ORACLE),
     ("cusum_changepoint", cusum_changepoint, CUSUM_ORACLE),
     ("daily_autocorr_lag1", daily_autocorr_lag1, AUTOCORR_ORACLE),
+    ("event_type_daily_corr", event_type_daily_corr, DAILY_CORR_ORACLE),
     ("theil_sen_daily_trend", theil_sen_daily_trend, THEIL_SEN_ORACLE),
     ("global_exact_quantiles", global_exact_quantiles, GLOBAL_QUANTILES_ORACLE),
     ("benford_first_digit_audit", benford_first_digit_audit, BENFORD_ORACLE),

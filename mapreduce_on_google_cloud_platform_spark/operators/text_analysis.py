@@ -3937,7 +3937,94 @@ CHAR_TRIGRAM_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# PII incidence by source -- the governance rollup above pii_redaction's
+# per-document scan: which SOURCES leak contact-like strings, at what
+# density?  This is the table a release review reads to decide
+# "source X needs the redaction pass / source Y gets dropped", the same
+# altitude as source_quality_decision but for privacy rather than
+# quality.  Same three pinned regex classes as pii_redaction (one scan,
+# regexp_count only -- the rewrite stays in the per-doc query).  Scale:
+# one combinable groupBy(source) over the document scan; rates are
+# single divisions of exact integers (hits per 10k chars uses an
+# integer-scaled numerator so only ONE double division happens).
+# ---------------------------------------------------------------------------
+
+
+def pii_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    n_email = F.regexp_count(text, F.lit(PII_EMAIL_RE))
+    n_num = F.regexp_count(text, F.lit(PII_NUM_RE))
+    n_term = F.regexp_count(text, F.lit(PII_TERM_RE))
+    per_doc = docs.select(
+        "source",
+        n_email.alias("e"),
+        n_num.alias("d"),
+        n_term.alias("t"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(
+            F.when((F.col("e") + F.col("d") + F.col("t")) > 0, 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("docs_with_pii"),
+        F.sum("e").cast("bigint").alias("n_emails"),
+        F.sum("d").cast("bigint").alias("n_digit_runs"),
+        F.sum("t").cast("bigint").alias("n_sensitive"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+    )
+    hits = F.col("n_emails") + F.col("n_digit_runs") + F.col("n_sensitive")
+    return agg.select(
+        "source",
+        "n_docs",
+        "docs_with_pii",
+        "n_emails",
+        "n_digit_runs",
+        "n_sensitive",
+        F.round(
+            F.col("docs_with_pii").cast("double") / F.col("n_docs"), 6
+        ).alias("pii_doc_rate"),
+        F.round(
+            (hits * F.lit(10000)).cast("double") / F.col("n_chars"), 6
+        ).alias("hits_per_10k_chars"),
+    ).orderBy("source")
+
+
+PII_BY_SOURCE_ORACLE = rf"""
+    WITH per_doc AS (
+        SELECT source,
+               len(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS e,
+               len(regexp_extract_all(text, '{PII_NUM_RE}')) AS d,
+               len(regexp_extract_all(text, '{PII_TERM_RE}')) AS t,
+               length(text) AS n_chars
+        FROM documents
+    ),
+    agg AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN e + d + t > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS docs_with_pii,
+               CAST(sum(e) AS BIGINT) AS n_emails,
+               CAST(sum(d) AS BIGINT) AS n_digit_runs,
+               CAST(sum(t) AS BIGINT) AS n_sensitive,
+               CAST(sum(n_chars) AS BIGINT) AS n_chars
+        FROM per_doc
+        GROUP BY source
+    )
+    SELECT source, n_docs, docs_with_pii, n_emails, n_digit_runs, n_sensitive,
+           round(CAST(docs_with_pii AS DOUBLE) / n_docs, 6) AS pii_doc_rate,
+           round(CAST((n_emails + n_digit_runs + n_sensitive) * 10000
+                      AS DOUBLE) / n_chars, 6) AS hits_per_10k_chars
+    FROM agg
+    ORDER BY source
+"""
+
+
 TEXT_ANALYSIS_QUERIES: list[tuple[str, object, str | None]] = [
+    ("pii_rate_by_source", pii_rate_by_source, PII_BY_SOURCE_ORACLE),
     ("eval_decontam_funnel", eval_decontam_funnel, DECONTAM_FUNNEL_ORACLE),
     (
         "char_trigram_lang_profile",

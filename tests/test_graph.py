@@ -110,3 +110,34 @@ def test_clustering_coefficient_bounds_and_triangles(spark):
         assert r.degree >= 2
         assert 0.0 <= r.local_cc <= 1.0 + 1e-9
         assert r.n_triangles == tri.get(r.doc_id, 0)
+
+
+def test_kcore_survivors_are_dense_subset(spark):
+    """Every 2-core survivor must appear in the degree profile with
+    degree >= its core degree; survivors shrink monotonically vs the
+    full node set; core degrees >= 1 (edges among survivors only)."""
+    core = {r.doc_id: r.core_degree for r in QUERIES["neardup_kcore_peel"](spark, SF_SMOKE).collect()}
+    assert core, "2-core should be nonempty at smoke scale"
+    from mapreduce_on_google_cloud_platform_spark.functions.text import (
+        shingles_df,
+    )
+    from mapreduce_on_google_cloud_platform_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        _pair_jaccard,
+    )
+    from mapreduce_on_google_cloud_platform_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    pairs = (
+        _pair_jaccard(shingles_df(load_table(spark, SF_SMOKE, "documents")))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+        .collect()
+    )
+    full_deg: dict[int, int] = {}
+    for p in pairs:
+        full_deg[p.doc_a] = full_deg.get(p.doc_a, 0) + 1
+        full_deg[p.doc_b] = full_deg.get(p.doc_b, 0) + 1
+    assert set(core) <= set(full_deg)
+    for doc_id, cd in core.items():
+        assert 1 <= cd <= full_deg[doc_id]

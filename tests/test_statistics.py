@@ -428,3 +428,23 @@ def test_autocorr_bounded_and_pair_counts(spark):
         assert -1.0 <= r.r1 <= 1.0
         assert r.n_pairs == n_days[r.event_type] - 1
         assert r.is_persistent == (r.r1 > 0.0)
+
+
+def test_daily_corr_matrix_shape(spark):
+    """Strict upper triangle over the type set; r bounded; n_days equals
+    the shared-day count; self-consistency with the cusum daily table."""
+    rows = QUERIES["event_type_daily_corr"](spark, SF_SMOKE).collect()
+    days_per_type: dict[str, set] = {}
+    for r in QUERIES["cusum_changepoint"](spark, SF_SMOKE).collect():
+        days_per_type.setdefault(r.event_type, set()).add(r.day)
+    types = sorted(days_per_type)
+    expected_pairs = {
+        (a, b) for i, a in enumerate(types) for b in types[i + 1 :]
+    }
+    assert {(r.type_a, r.type_b) for r in rows} == expected_pairs
+    for r in rows:
+        assert r.type_a < r.type_b
+        assert -1.0 <= r.r <= 1.0
+        assert r.n_days == len(
+            days_per_type[r.type_a] & days_per_type[r.type_b]
+        )

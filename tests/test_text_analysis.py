@@ -793,3 +793,34 @@ def test_char_trigram_profile_shape(spark):
         assert len(rs) <= TRIGRAM_TOP_K
         counts = [r.n_occurrences for r in rs]
         assert counts == sorted(counts, reverse=True)
+
+
+def test_pii_by_source_reconciles_with_per_doc_scan(spark):
+    """Source rollup must re-aggregate pii_redaction's per-doc counts
+    exactly; rates restate their integer inputs."""
+    from mapreduce_on_google_cloud_platform_spark.sources import load_table
+
+    per_doc = {
+        r.doc_id: r for r in QUERIES["pii_redaction"](spark, SF_SMOKE).collect()
+    }
+    src_of = {
+        r.doc_id: (r.source, len(r.text) if r.text is not None else 0)
+        for r in load_table(spark, SF_SMOKE, "documents").collect()
+    }
+    agg: dict[str, list] = {}
+    for doc_id, r in per_doc.items():
+        source, n_chars = src_of[doc_id]
+        a = agg.setdefault(source, [0, 0, 0, 0, 0, 0])
+        a[0] += 1
+        a[1] += 1 if (r.n_emails + r.n_digit_runs + r.n_sensitive) > 0 else 0
+        a[2] += r.n_emails
+        a[3] += r.n_digit_runs
+        a[4] += r.n_sensitive
+        a[5] += n_chars
+    rows = QUERIES["pii_rate_by_source"](spark, SF_SMOKE).collect()
+    assert {r.source for r in rows} == set(agg)
+    for r in rows:
+        n_docs, with_pii, e, d, t, chars = agg[r.source]
+        assert (r.n_docs, r.docs_with_pii) == (n_docs, with_pii)
+        assert (r.n_emails, r.n_digit_runs, r.n_sensitive) == (e, d, t)
+        assert r.pii_doc_rate == round(with_pii / n_docs, 6)
