@@ -224,6 +224,7 @@ HEADLINE = [
     "neardup_kcore_peel",
     "event_type_daily_corr",
     "pii_rate_by_source",
+    "label_centroid_distance_matrix",
     # dedup_method_eval re-runs five declared pipelines; its components
     # are each benched above, so it is left out of the headline suite
 ]

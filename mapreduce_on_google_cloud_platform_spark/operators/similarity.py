@@ -2609,11 +2609,115 @@ EMBEDDING_CENTROID_DRIFT_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Label-centroid distance MATRIX -- embedding_centroid_drift measures each
+# label against the corpus centroid; this is the pairwise label-vs-label
+# geometry (which classes are embedding-space neighbors, i.e. which
+# label confusions the kNN/kmeans evaluations should expect).  Exact on
+# the same 1e-6 fixed-point grid: the centroid difference is cleared of
+# both denominators (s_a*n_b - s_b*n_a per dim, decimal-exact), squared
+# and summed per pair, with ONE double sqrt/division at the end.  Scale:
+# the cells table is |labels| x D rows; the dim-equi self-join produces
+# |labels|^2 x D -- label-dimension economics, corpus scanned once.
+# (Per-label counts bound the integers; the drift query's corpus-total
+# factor is strictly larger, so this fits wherever drift does.)
+# ---------------------------------------------------------------------------
+
+
+def label_centroid_distance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qs = _emb_fixed_point(spark, sf_dir)
+    labels = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    DEC = "decimal(38,0)"
+    cells = (
+        qs.join(labels, "vec_id")
+        .groupBy("label", "dim")
+        .agg(
+            F.sum(F.col("q").cast(DEC)).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    a = cells.select(
+        F.col("label").alias("label_a"),
+        "dim",
+        F.col("s").alias("sa"),
+        F.col("n").alias("na"),
+    )
+    b = cells.select(
+        F.col("label").alias("label_b"),
+        "dim",
+        F.col("s").alias("sb"),
+        F.col("n").alias("nb"),
+    )
+    diff = F.col("sa") * F.col("nb").cast(DEC) - F.col("sb") * F.col("na").cast(DEC)
+    per_pair = (
+        a.join(b, "dim")
+        .where(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.max("na").cast("bigint").alias("n_a"),
+            F.max("nb").cast("bigint").alias("n_b"),
+            F.sum(diff * diff).alias("dist2_q"),
+        )
+    )
+    denom = (
+        F.col("n_a").cast("double")
+        * F.col("n_b").cast("double")
+        * F.lit(float(QUANT_SCALE))
+    )
+    return per_pair.select(
+        "label_a",
+        "label_b",
+        "n_a",
+        "n_b",
+        F.col("dist2_q").cast("decimal(38,0)").alias("dist2_q"),
+        F.round(
+            F.sqrt(F.col("dist2_q").cast("double")) / denom, 6
+        ).alias("centroid_dist"),
+    ).orderBy("label_a", "label_b")
+
+
+LABEL_CENTROID_MATRIX_ORACLE = f"""
+    WITH qs AS (
+        SELECT vec_id, i AS dim,
+               CAST(floor(CAST(embedding[i] AS DOUBLE) * {QUANT_SCALE} + 0.5)
+                    AS BIGINT) AS q
+        FROM embeddings, unnest(range(1, len(embedding) + 1)) t(i)
+    ),
+    cells AS (
+        SELECT e.label, qs.dim, sum(qs.q) AS s, count(*) AS n
+        FROM qs JOIN embeddings e USING (vec_id)
+        GROUP BY 1, 2
+    ),
+    per_pair AS (
+        SELECT a.label AS label_a, b.label AS label_b,
+               CAST(max(a.n) AS BIGINT) AS n_a,
+               CAST(max(b.n) AS BIGINT) AS n_b,
+               sum((a.s * b.n - b.s * a.n) * (a.s * b.n - b.s * a.n))
+                   AS dist2_q
+        FROM cells a JOIN cells b
+          ON a.dim = b.dim AND a.label < b.label
+        GROUP BY 1, 2
+    )
+    SELECT label_a, label_b, n_a, n_b,
+           CAST(dist2_q AS DECIMAL(38,0)) AS dist2_q,
+           round(sqrt(CAST(dist2_q AS DOUBLE))
+                 / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                    * {QUANT_SCALE}.0), 6) AS centroid_dist
+    FROM per_pair
+    ORDER BY label_a, label_b
+"""
+
+
 SIMILARITY_QUERIES: list[tuple[str, object, str | None]] = [
     (
         "embedding_centroid_drift",
         embedding_centroid_drift,
         EMBEDDING_CENTROID_DRIFT_ORACLE,
+    ),
+    (
+        "label_centroid_distance_matrix",
+        label_centroid_distance_matrix,
+        LABEL_CENTROID_MATRIX_ORACLE,
     ),
     ("ann_topk_bruteforce", ann_topk_bruteforce, ANN_BRUTEFORCE_ORACLE),
     ("ann_ivf_topk", ann_ivf_topk, ANN_IVF_ORACLE),

@@ -552,3 +552,30 @@ def test_knn_label_agreement_reconciles_with_graph(spark):
         assert r.n_same <= r.n_edges
     micro = sum(r.n_same for r in rows) / sum(r.n_edges for r in rows)
     assert 0.0 <= micro < 0.5  # labels are independent of geometry
+
+
+def test_label_centroid_matrix_consistent_with_drift(spark):
+    """Full strict-upper-triangle pair set over the label universe;
+    distances positive and symmetric-by-construction; pair counts match
+    the drift query's per-label counts; triangle inequality holds on the
+    derived metric."""
+    import itertools
+
+    drift = {
+        r.label: r.n_vecs
+        for r in QUERIES["embedding_centroid_drift"](spark, SF_SMOKE).collect()
+    }
+    rows = QUERIES["label_centroid_distance_matrix"](spark, SF_SMOKE).collect()
+    labels = sorted(drift)
+    assert {(r.label_a, r.label_b) for r in rows} == set(
+        itertools.combinations(labels, 2)
+    )
+    d = {}
+    for r in rows:
+        assert r.label_a < r.label_b
+        assert (r.n_a, r.n_b) == (drift[r.label_a], drift[r.label_b])
+        assert r.centroid_dist > 0  # distinct label clusters
+        d[(r.label_a, r.label_b)] = r.centroid_dist
+    get = lambda x, y: d[(x, y)] if x < y else d[(y, x)]  # noqa: E731
+    for x, y, z in itertools.combinations(labels, 3):
+        assert get(x, z) <= get(x, y) + get(y, z) + 1e-5
