@@ -225,6 +225,8 @@ HEADLINE = [
     "event_type_daily_corr",
     "pii_rate_by_source",
     "label_centroid_distance_matrix",
+    "conversion_latency_histogram",
+    "langid_mismatch_by_source",
     # dedup_method_eval re-runs five declared pipelines; its components
     # are each benched above, so it is left out of the headline suite
 ]

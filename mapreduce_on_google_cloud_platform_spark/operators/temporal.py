@@ -1342,7 +1342,75 @@ DAU_WAU_ORACLE = """
 """
 
 
+# ---------------------------------------------------------------------------
+# Conversion-latency histogram -- how long before a purchase was the
+# user's last view?  The distribution that justifies (or refutes) the
+# 24h attribution lookback and sizes the as-of join's effective band.
+# Composes the audited as-of MERGE plan (zero join nodes, one exchange)
+# with the interarrival power-of-two idiom; purchases with NO prior view
+# land in the declared bucket -1 instead of silently dropping.  Scale:
+# histogram over the as-of output is one combinable groupBy onto
+# ~64 bucket rows; the broadcast total is a scalar.
+# ---------------------------------------------------------------------------
+
+
+def conversion_latency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    asof = asof_join_purchase_view(spark, sf_dir)
+    bucket = (
+        F.when(F.col("gap_us").isNull(), F.lit(-1))
+        .otherwise(F.length(F.bin(F.col("gap_us") + 1)) - 1)
+        .cast("int")
+    )
+    keyed = asof.select(bucket.alias("bucket"), "gap_us")
+    total = keyed.agg(F.count(F.lit(1)).alias("total_n"))
+    return (
+        keyed.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            F.min("gap_us").alias("min_gap_us"),
+            F.max("gap_us").alias("max_gap_us"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "bucket",
+            "n_purchases",
+            "min_gap_us",
+            "max_gap_us",
+            F.round(
+                F.col("n_purchases").cast("double") / F.col("total_n"), 6
+            ).alias("share"),
+        )
+        .orderBy("bucket")
+    )
+
+
+CONVERSION_LATENCY_ORACLE = f"""
+    WITH asof_pv AS ({ASOF_ORACLE}),
+    keyed AS (
+        SELECT CASE WHEN gap_us IS NULL THEN -1
+                    ELSE CAST(length(printf('%b', gap_us + 1)) - 1 AS INTEGER)
+               END AS bucket,
+               gap_us
+        FROM asof_pv
+    ),
+    total AS (SELECT count(*) AS total_n FROM keyed)
+    SELECT bucket,
+           count(*) AS n_purchases,
+           min(gap_us) AS min_gap_us,
+           max(gap_us) AS max_gap_us,
+           round(CAST(count(*) AS DOUBLE) / any_value(total_n), 6) AS share
+    FROM keyed, total
+    GROUP BY bucket
+    ORDER BY bucket
+"""
+
+
 TEMPORAL_QUERIES: list[tuple[str, object, str | None]] = [
+    (
+        "conversion_latency_histogram",
+        conversion_latency_histogram,
+        CONVERSION_LATENCY_ORACLE,
+    ),
     (
         "daily_profile_similarity",
         daily_profile_similarity,

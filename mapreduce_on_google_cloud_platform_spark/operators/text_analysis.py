@@ -4023,8 +4023,81 @@ PII_BY_SOURCE_ORACLE = rf"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Language-declaration audit by source -- langid_confusion grades the
+# CLASSIFIER against declared labels; this flips the lens and grades the
+# SOURCES: per source, how often does the classifier disagree with the
+# declared lang (mislabeled syndication / wrong-language contamination),
+# and how often can it not tell (unknown)?  The per-source actionable
+# twin of langid_confusion, same altitude as pii_rate_by_source.
+# Reuses the pinned stopword classifier verbatim on both engines.
+# Scale: classifier scan + one broadcast-joined groupBy(source).
+# ---------------------------------------------------------------------------
+
+
+def langid_mismatch_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source"
+    )
+    pred = text_langid(spark, sf_dir).select("doc_id", "lang_pred")
+    joined = docs.join(pred, "doc_id")
+    is_unknown = F.col("lang_pred") == "unknown"
+    is_mismatch = (~is_unknown) & (F.col("lang_pred") != F.col("lang"))
+    agg = joined.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(is_mismatch, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_mismatch"),
+        F.sum(F.when(is_unknown, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_unknown"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_mismatch",
+        "n_unknown",
+        F.round(
+            F.col("n_mismatch").cast("double") / F.col("n_docs"), 6
+        ).alias("mismatch_rate"),
+        F.round(
+            F.col("n_unknown").cast("double") / F.col("n_docs"), 6
+        ).alias("unknown_rate"),
+    ).orderBy("source")
+
+
+LANGID_MISMATCH_ORACLE = f"""
+    WITH pred AS ({LANGID_ORACLE}),
+    joined AS (
+        SELECT d.source, d.lang, p.lang_pred
+        FROM documents d JOIN pred p USING (doc_id)
+    ),
+    agg AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN lang_pred <> 'unknown'
+                             AND lang_pred <> lang THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_mismatch,
+               CAST(sum(CASE WHEN lang_pred = 'unknown' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_unknown
+        FROM joined
+        GROUP BY source
+    )
+    SELECT source, n_docs, n_mismatch, n_unknown,
+           round(CAST(n_mismatch AS DOUBLE) / n_docs, 6) AS mismatch_rate,
+           round(CAST(n_unknown AS DOUBLE) / n_docs, 6) AS unknown_rate
+    FROM agg
+    ORDER BY source
+"""
+
+
 TEXT_ANALYSIS_QUERIES: list[tuple[str, object, str | None]] = [
     ("pii_rate_by_source", pii_rate_by_source, PII_BY_SOURCE_ORACLE),
+    (
+        "langid_mismatch_by_source",
+        langid_mismatch_by_source,
+        LANGID_MISMATCH_ORACLE,
+    ),
     ("eval_decontam_funnel", eval_decontam_funnel, DECONTAM_FUNNEL_ORACLE),
     (
         "char_trigram_lang_profile",

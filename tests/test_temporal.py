@@ -375,3 +375,22 @@ def test_dau_wau_stickiness_bounds(spark):
         .count()
     )
     assert direct == mid.wau7
+
+
+def test_conversion_latency_reconciles_with_asof(spark):
+    """Histogram must re-partition the as-of output exactly: bucket -1
+    carries the no-prior-view purchases, bucketed gaps respect their
+    power-of-two bounds, shares sum to 1."""
+    asof = QUERIES["asof_join_purchase_view"](spark, SF_SMOKE).collect()
+    rows = QUERIES["conversion_latency_histogram"](spark, SF_SMOKE).collect()
+    assert sum(r.n_purchases for r in rows) == len(asof)
+    n_null = sum(1 for a in asof if a.gap_us is None)
+    by_bucket = {r.bucket: r for r in rows}
+    if n_null:
+        assert by_bucket[-1].n_purchases == n_null
+        assert by_bucket[-1].min_gap_us is None
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        if r.bucket >= 0:
+            assert 2 ** r.bucket <= r.min_gap_us + 1
+            assert r.max_gap_us + 1 < 2 ** (r.bucket + 1)

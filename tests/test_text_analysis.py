@@ -824,3 +824,24 @@ def test_pii_by_source_reconciles_with_per_doc_scan(spark):
         assert (r.n_docs, r.docs_with_pii) == (n_docs, with_pii)
         assert (r.n_emails, r.n_digit_runs, r.n_sensitive) == (e, d, t)
         assert r.pii_doc_rate == round(with_pii / n_docs, 6)
+
+
+def test_langid_mismatch_reconciles_with_confusion(spark):
+    """Source rollup totals must re-aggregate the global confusion
+    counts: sum of mismatches across sources equals the off-diagonal
+    non-unknown mass of langid_confusion."""
+    conf = QUERIES["langid_confusion"](spark, SF_SMOKE).collect()
+    mism = QUERIES["langid_mismatch_by_source"](spark, SF_SMOKE).collect()
+    total_docs = sum(r.n for r in conf)
+    off_diag = sum(
+        r.n
+        for r in conf
+        if r.lang_pred != "unknown" and r.lang_pred != r.lang
+    )
+    unknown = sum(r.n for r in conf if r.lang_pred == "unknown")
+    assert sum(r.n_docs for r in mism) == total_docs
+    assert sum(r.n_mismatch for r in mism) == off_diag
+    assert sum(r.n_unknown for r in mism) == unknown
+    for r in mism:
+        assert r.mismatch_rate == round(r.n_mismatch / r.n_docs, 6)
+        assert r.unknown_rate == round(r.n_unknown / r.n_docs, 6)
