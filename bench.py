@@ -227,6 +227,8 @@ HEADLINE = [
     "label_centroid_distance_matrix",
     "conversion_latency_histogram",
     "langid_mismatch_by_source",
+    "dedup_survivor_bias_audit",
+    "multimodal_bytes_histogram",
     # dedup_method_eval re-runs five declared pipelines; its components
     # are each benched above, so it is left out of the headline suite
 ]

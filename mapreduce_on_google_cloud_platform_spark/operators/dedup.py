@@ -2702,7 +2702,139 @@ def _lsh_bucket_balance_oracle() -> str:
 LSH_BUCKET_BALANCE_ORACLE = _lsh_bucket_balance_oracle()
 
 
+# ---------------------------------------------------------------------------
+# Survivor-bias audit -- dedup is not composition-neutral: keep-longest
+# survivor selection preferentially drops sources whose documents
+# syndicate widely (or write short), so the post-dedup corpus mix can
+# drift from the declared mix the sampling weights were tuned on.  Per
+# source: docs before, docs surviving keep-one-per-cluster, both shares,
+# and the bias ratio share_after/share_before.  Rides the audited
+# SimHash connected components + the exact keep-longest argmax the
+# survivor query uses; products are lifted to decimal before the single
+# double division (1e12 docs x 1e12 total overflows int64).  Scale: one
+# k-bounded argmax per cluster, one LeftSemi onto survivors, two
+# combinable source rollups, two broadcast scalars.
+# ---------------------------------------------------------------------------
+
+
+def dedup_survivor_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    DEC38 = "decimal(38,0)"
+    clusters = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("bigint").alias("n_chars")
+    )
+    joined = clusters.join(docs.select("doc_id", "n_chars"), "doc_id")
+    kept = (
+        joined.groupBy("cluster_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("n_chars")).alias("neg"),
+                    F.col("doc_id").alias("d"),
+                )
+            ).alias("b")
+        )
+        .select(F.col("b.d").alias("doc_id"))
+    )
+    before = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_before")
+    )
+    after = (
+        docs.join(kept, "doc_id", "left_semi")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_after"))
+    )
+    tot = before.agg(
+        F.sum("n_before").cast("bigint").alias("tb")
+    ).crossJoin(
+        F.broadcast(after.agg(F.sum("n_after").cast("bigint").alias("ta")))
+    )
+    merged = (
+        before.join(after, "source", "left")
+        .withColumn("n_after", F.coalesce(F.col("n_after"), F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+    )
+    bias = (
+        (F.col("n_after").cast(DEC38) * F.col("tb").cast(DEC38)).cast("double")
+        / (F.col("n_before").cast(DEC38) * F.col("ta").cast(DEC38)).cast(
+            "double"
+        )
+    )
+    return merged.select(
+        "source",
+        "n_before",
+        "n_after",
+        F.round(F.col("n_before").cast("double") / F.col("tb"), 6).alias(
+            "share_before"
+        ),
+        F.round(F.col("n_after").cast("double") / F.col("ta"), 6).alias(
+            "share_after"
+        ),
+        F.round(bias, 6).alias("bias_ratio"),
+    ).orderBy("source")
+
+
+SURVIVOR_BIAS_ORACLE = f"""
+    WITH RECURSIVE {SIMHASH_SIG_CTE},
+    near AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM near
+        UNION ALL
+        SELECT doc_b AS a, doc_a AS b FROM near
+    ),
+    reach(node, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT edges.b, reach.r FROM reach JOIN edges ON reach.node = edges.a
+    ),
+    comp AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node),
+    ranked AS (
+        SELECT comp.cluster_id, comp.doc_id,
+               row_number() OVER (PARTITION BY comp.cluster_id
+                                  ORDER BY d.n_chars DESC, comp.doc_id ASC)
+                   AS rk
+        FROM comp JOIN documents d USING (doc_id)
+    ),
+    kept AS (SELECT doc_id FROM ranked WHERE rk = 1),
+    before_ AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_before
+        FROM documents GROUP BY source
+    ),
+    after_ AS (
+        SELECT d.source, CAST(count(*) AS BIGINT) AS n_after
+        FROM documents d JOIN kept USING (doc_id)
+        GROUP BY d.source
+    ),
+    tot AS (
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS tb,
+               (SELECT CAST(count(*) AS BIGINT) FROM kept) AS ta
+    )
+    SELECT b.source,
+           n_before,
+           CAST(coalesce(n_after, 0) AS BIGINT) AS n_after,
+           round(CAST(n_before AS DOUBLE) / tb, 6) AS share_before,
+           round(CAST(coalesce(n_after, 0) AS DOUBLE) / ta, 6)
+               AS share_after,
+           round(CAST(CAST(coalesce(n_after, 0) AS DECIMAL(38,0))
+                      * CAST(tb AS DECIMAL(38,0)) AS DOUBLE)
+                 / CAST(CAST(n_before AS DECIMAL(38,0))
+                        * CAST(ta AS DECIMAL(38,0)) AS DOUBLE), 6)
+               AS bias_ratio
+    FROM before_ b LEFT JOIN after_ a USING (source), tot
+    ORDER BY source
+"""
+
+
 DEDUP_QUERIES: list[tuple[str, object, str | None]] = [
+    (
+        "dedup_survivor_bias_audit",
+        dedup_survivor_bias_audit,
+        SURVIVOR_BIAS_ORACLE,
+    ),
     ("dedup_exact", dedup_exact, DEDUP_EXACT_ORACLE),
     ("fuzzy_part_name_pairs", fuzzy_part_name_pairs, FUZZY_PAIRS_ORACLE),
     ("part_entity_clusters", part_entity_clusters, PART_ENTITY_ORACLE),

@@ -488,7 +488,86 @@ MULTIMODAL_SHARD_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Payload-size histogram per format -- the table the byte-budget shard
+# packer (multimodal_shard_manifest) is sized from: per (fmt, power-of-two
+# size class) counts, byte mass, and each class's share of the format's
+# bytes.  Metadata-only (octet_length), the payload is never opened.
+# Scale: one combinable groupBy over the media scan onto ~|fmt| x 64
+# rows; per-format totals broadcast.
+# ---------------------------------------------------------------------------
+
+
+def multimodal_bytes_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = media_table(spark, sf_dir)
+    keyed = media.select(
+        "fmt",
+        (F.length(F.bin(F.col("n_bytes") + 1)) - 1).cast("int").alias("bucket"),
+        "n_bytes",
+    )
+    fmt_tot = keyed.groupBy("fmt").agg(
+        F.sum("n_bytes").cast("bigint").alias("fmt_bytes")
+    )
+    return (
+        keyed.groupBy("fmt", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_media"),
+            F.sum("n_bytes").cast("bigint").alias("bucket_bytes"),
+            F.min("n_bytes").alias("min_bytes"),
+            F.max("n_bytes").alias("max_bytes"),
+        )
+        .join(F.broadcast(fmt_tot), "fmt")
+        .select(
+            "fmt",
+            "bucket",
+            "n_media",
+            "bucket_bytes",
+            "min_bytes",
+            "max_bytes",
+            F.round(
+                F.col("bucket_bytes").cast("double") / F.col("fmt_bytes"), 6
+            ).alias("byte_share"),
+        )
+        .orderBy("fmt", "bucket")
+    )
+
+
+MULTIMODAL_BYTES_HIST_ORACLE = """
+    WITH media AS (
+        SELECT CASE WHEN doc_id % 3 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,
+               CAST(strlen(text) AS BIGINT) AS n_bytes
+        FROM documents
+    ),
+    keyed AS (
+        SELECT fmt,
+               CAST(length(printf('%b', n_bytes + 1)) - 1 AS INTEGER)
+                   AS bucket,
+               n_bytes
+        FROM media
+    ),
+    fmt_tot AS (
+        SELECT fmt, CAST(sum(n_bytes) AS BIGINT) AS fmt_bytes
+        FROM keyed GROUP BY fmt
+    )
+    SELECT fmt, bucket,
+           count(*) AS n_media,
+           CAST(sum(n_bytes) AS BIGINT) AS bucket_bytes,
+           min(n_bytes) AS min_bytes,
+           max(n_bytes) AS max_bytes,
+           round(CAST(sum(n_bytes) AS DOUBLE) / any_value(fmt_bytes), 6)
+               AS byte_share
+    FROM keyed JOIN fmt_tot USING (fmt)
+    GROUP BY fmt, bucket
+    ORDER BY fmt, bucket
+"""
+
+
 MULTIMODAL_QUERIES: list[tuple[str, object, str | None]] = [
+    (
+        "multimodal_bytes_histogram",
+        multimodal_bytes_histogram,
+        MULTIMODAL_BYTES_HIST_ORACLE,
+    ),
     (
         "multimodal_shard_manifest",
         multimodal_shard_manifest,

@@ -490,3 +490,23 @@ def test_lsh_bucket_balance_accounts_for_all_docs(spark):
     for band, s in per_band_share.items():
         if any(r.band == band and r.pair_mass > 0 for r in rows):
             assert abs(s - 1.0) < 1e-4
+
+
+def test_survivor_bias_reconciles_with_survivors(spark):
+    """Totals must reconcile: sum(n_before) = corpus size, sum(n_after)
+    = number of clusters (one survivor each); shares sum to ~1 on both
+    sides; the bias ratio restates its integer inputs."""
+    from mapreduce_on_google_cloud_platform_spark.sources import load_table
+
+    rows = QUERIES["dedup_survivor_bias_audit"](spark, SF_SMOKE).collect()
+    n_docs = load_table(spark, SF_SMOKE, "documents").count()
+    n_clusters = QUERIES["dedup_cluster_survivors"](spark, SF_SMOKE).count()
+    tb = sum(r.n_before for r in rows)
+    ta = sum(r.n_after for r in rows)
+    assert tb == n_docs
+    assert ta == n_clusters
+    assert abs(sum(r.share_before for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.share_after for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert 0 <= r.n_after <= r.n_before
+        assert r.bias_ratio == round((r.n_after * tb) / (r.n_before * ta), 6)

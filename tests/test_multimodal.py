@@ -212,3 +212,24 @@ def test_multimodal_shard_manifest_reconciles(spark):
     # (a shard closes only when the running byte offset crosses it)
     for r in rows[:-1]:
         assert r.shard_bytes >= 1  # non-degenerate
+
+
+def test_bytes_histogram_partitions_media(spark):
+    """Every media row lands in exactly one (fmt, bucket) cell; byte
+    shares sum to ~1 per fmt; min/max respect the power-of-two bounds."""
+    from mapreduce_on_google_cloud_platform_spark.operators.multimodal import (
+        media_table,
+    )
+
+    rows = QUERIES["multimodal_bytes_histogram"](spark, SF_SMOKE).collect()
+    media_n = media_table(spark, SF_SMOKE).count()
+    assert sum(r.n_media for r in rows) == media_n
+    per_fmt: dict[str, float] = {}
+    for r in rows:
+        per_fmt[r.fmt] = per_fmt.get(r.fmt, 0.0) + r.byte_share
+        assert 2 ** r.bucket <= r.min_bytes + 1
+        assert r.max_bytes + 1 < 2 ** (r.bucket + 1)
+        assert r.min_bytes <= r.max_bytes
+    assert set(per_fmt) == {"png", "jpeg"}
+    for s in per_fmt.values():
+        assert abs(s - 1.0) < 1e-4
