@@ -229,6 +229,7 @@ HEADLINE = [
     "langid_mismatch_by_source",
     "dedup_survivor_bias_audit",
     "multimodal_bytes_histogram",
+    "ann_ivf_nprobe_curve",
     # dedup_method_eval re-runs five declared pipelines; its components
     # are each benched above, so it is left out of the headline suite
 ]

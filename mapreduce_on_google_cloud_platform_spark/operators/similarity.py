@@ -197,6 +197,150 @@ ANN_IVF_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# IVF nprobe tuning curve -- ann_recall_at_k_curve ladders the DEPTH
+# axis; this ladders the other tuning axis, NPROBE: for each candidate
+# probe width, what fraction of the exact top-K neighbors even land in a
+# probed cell (candidate recall -- the ceiling any re-ranking can reach).
+# The table that justifies NPROBE=2.  Scale: assignment and probe ranks
+# reuse the audited IVF shape (tiny centroid table broadcast, per-vector
+# k-bounded rank windows); the ladder is ONE conditional-sum aggregate
+# over the |Q|x K truth join, exploded per level (the threshold-curve
+# idiom applied to probe width).
+# ---------------------------------------------------------------------------
+
+NPROBE_LADDER = (1, 2, 4, 8)
+
+
+def ann_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    en = _embeddings(spark, sf_dir)
+    cents = F.broadcast(
+        flat_renamed(
+            en.filter(F.col("vec_id") % CENTROID_STRIDE == 0),
+            "vec_id", "cent_id", "x", "cx",
+        )
+    )
+    aw = Window.partitionBy("vec_id").orderBy(F.desc("c_sim"), F.asc("cent_id"))
+    assign = (
+        en.crossJoin(cents)
+        .withColumn("c_sim", flat_dot("x", "cx"))
+        .withColumn("arn", F.row_number().over(aw))
+        .filter(F.col("arn") == 1)
+        .select("vec_id", F.col("cent_id").alias("cell"))
+    )
+    queries = flat_renamed(
+        en.filter(F.col("vec_id") % QUERY_STRIDE == 0), "vec_id", "q_id", "x", "qx"
+    )
+    pw = Window.partitionBy("q_id").orderBy(F.desc("p_sim"), F.asc("cent_id"))
+    probes = (
+        queries.crossJoin(cents)
+        .withColumn("p_sim", flat_dot("qx", "cx"))
+        .withColumn("prn", F.row_number().over(pw))
+        .filter(F.col("prn") <= max(NPROBE_LADDER))
+        .select("q_id", F.col("cent_id").alias("cell"), "prn")
+    )
+    truth = ann_topk_bruteforce(spark, sf_dir).select("q_id", "neighbor_id")
+    hit = (
+        truth.join(assign, truth.neighbor_id == assign.vec_id)
+        .select("q_id", "cell")
+        .join(probes, ["q_id", "cell"], "left")
+    )
+    agg = hit.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        *[
+            F.sum(F.when(F.col("prn") <= np, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"hits_{np}")
+            for np in NPROBE_LADDER
+        ],
+    )
+    ladder = F.array(
+        *[
+            F.struct(
+                F.lit(np).alias("np"), F.col(f"hits_{np}").alias("n_hits")
+            )
+            for np in NPROBE_LADDER
+        ]
+    )
+    return (
+        agg.select("n_pairs", F.explode(ladder).alias("row"))
+        .select(
+            F.col("row.np").alias("nprobe"),
+            "n_pairs",
+            F.col("row.n_hits").alias("n_hits"),
+            F.round(
+                F.col("row.n_hits").cast("double") / F.col("n_pairs"), 6
+            ).alias("candidate_recall"),
+        )
+        .orderBy("nprobe")
+    )
+
+
+def _nprobe_curve_oracle() -> str:
+    hit_cols = ",\n               ".join(
+        f"CAST(sum(CASE WHEN prn <= {np} THEN 1 ELSE 0 END) AS BIGINT) "
+        f"AS hits_{np}"
+        for np in NPROBE_LADDER
+    )
+    rows = "\n    UNION ALL\n".join(
+        f"""    SELECT {np} AS nprobe, n_pairs, hits_{np} AS n_hits,
+           round(CAST(hits_{np} AS DOUBLE) / n_pairs, 6) AS candidate_recall
+    FROM agg"""
+        for np in NPROBE_LADDER
+    )
+    return f"""
+    WITH {SQL_NORMALIZED_CTE},
+    cents AS (SELECT vec_id AS cent_id, vn AS cv FROM en
+              WHERE vec_id % {CENTROID_STRIDE} = 0),
+    assign AS (
+        SELECT vec_id, cent_id AS cell FROM (
+            SELECT en.vec_id, cent_id,
+                   row_number() OVER (PARTITION BY en.vec_id
+                                      ORDER BY {sql_dot('en.vn', 'cv')} DESC,
+                                               cent_id) AS arn
+            FROM en, cents
+        ) WHERE arn = 1
+    ),
+    q AS (SELECT vec_id AS q_id, vn AS qv FROM en
+          WHERE vec_id % {QUERY_STRIDE} = 0),
+    probes AS (
+        SELECT q_id, cent_id AS cell, prn FROM (
+            SELECT q_id, cent_id,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY {sql_dot('qv', 'cv')} DESC,
+                                               cent_id) AS prn
+            FROM q, cents
+        ) WHERE prn <= {max(NPROBE_LADDER)}
+    ),
+    truth AS (
+        SELECT q_id, neighbor_id FROM (
+            SELECT q.q_id, en.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY q.q_id
+                                      ORDER BY {sql_dot('qv', 'en.vn')} DESC,
+                                               en.vec_id) AS rank
+            FROM q, en
+            WHERE en.vec_id <> q.q_id
+        ) WHERE rank <= {K_NEIGHBORS}
+    ),
+    hit AS (
+        SELECT t.q_id, p.prn
+        FROM truth t
+        JOIN assign a ON t.neighbor_id = a.vec_id
+        LEFT JOIN probes p ON t.q_id = p.q_id AND a.cell = p.cell
+    ),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+               {hit_cols}
+        FROM hit
+    )
+{rows}
+    ORDER BY nprobe
+"""
+
+
+ANN_NPROBE_CURVE_ORACLE = _nprobe_curve_oracle()
+
+
 def embedding_vector_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-function library over the embedding column: size, L1/L2
     norms, min/max, argmax position, positive-component count, head
@@ -2722,6 +2866,7 @@ SIMILARITY_QUERIES: list[tuple[str, object, str | None]] = [
     ("ann_topk_bruteforce", ann_topk_bruteforce, ANN_BRUTEFORCE_ORACLE),
     ("ann_ivf_topk", ann_ivf_topk, ANN_IVF_ORACLE),
     ("ann_recall_at_k_curve", ann_recall_at_k_curve, ANN_RECALL_CURVE_ORACLE),
+    ("ann_ivf_nprobe_curve", ann_ivf_nprobe_curve, ANN_NPROBE_CURVE_ORACLE),
     ("matryoshka_dim_recall", matryoshka_dim_recall, MATRYOSHKA_ORACLE),
     ("knn_label_agreement", knn_label_agreement, KNN_LABEL_AGREEMENT_ORACLE),
     ("ann_lsh_topk", ann_lsh_topk, ANN_LSH_ORACLE),

@@ -579,3 +579,31 @@ def test_label_centroid_matrix_consistent_with_drift(spark):
     get = lambda x, y: d[(x, y)] if x < y else d[(y, x)]  # noqa: E731
     for x, y, z in itertools.combinations(labels, 3):
         assert get(x, z) <= get(x, y) + get(y, z) + 1e-5
+
+
+def test_nprobe_curve_monotone_and_consistent_with_ivf(spark):
+    """Candidate recall is nondecreasing in nprobe; n_pairs equals the
+    brute-force truth size; the shipped NPROBE's candidate recall bounds
+    ann_recall_at_k_curve's recall@K from above (re-ranking can only
+    lose neighbors, never find unprobed ones)."""
+    from mapreduce_on_google_cloud_platform_spark.operators.similarity import (
+        K_NEIGHBORS,
+        NPROBE,
+    )
+
+    rows = sorted(
+        QUERIES["ann_ivf_nprobe_curve"](spark, SF_SMOKE).collect(),
+        key=lambda r: r.nprobe,
+    )
+    truth_n = QUERIES["ann_topk_bruteforce"](spark, SF_SMOKE).count()
+    recalls = [r.candidate_recall for r in rows]
+    assert recalls == sorted(recalls)
+    for r in rows:
+        assert r.n_pairs == truth_n
+        assert r.candidate_recall == round(r.n_hits / r.n_pairs, 6)
+    by_np = {r.nprobe: r.candidate_recall for r in rows}
+    recall_at_k = {
+        r.k: r.recall_at_k
+        for r in QUERIES["ann_recall_at_k_curve"](spark, SF_SMOKE).collect()
+    }
+    assert recall_at_k[K_NEIGHBORS] <= by_np[NPROBE] + 1e-9
