@@ -230,6 +230,7 @@ HEADLINE = [
     "dedup_survivor_bias_audit",
     "multimodal_bytes_histogram",
     "ann_ivf_nprobe_curve",
+    "vocab_oov_rate_by_source",
     # dedup_method_eval re-runs five declared pipelines; its components
     # are each benched above, so it is left out of the headline suite
 ]

@@ -4091,8 +4091,109 @@ LANGID_MISMATCH_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Out-of-vocabulary rate by source -- vocab_coverage_curve answers "how
+# big must the vocab be" globally; this answers "WHICH SOURCES blow the
+# token budget" once a size is fixed: per source, the token- and
+# type-level OOV rates against the top-OOV_VOCAB_CAP vocabulary (the
+# tokenizer-pressure report behind per-source fertility).  Scale: the
+# corpus reduces to the (source, word) aggregate BEFORE any join (type
+# economics, Zipf-bounded); the capped vocab is dense_rank over the
+# audited post-aggregation vocab_table and broadcasts; rates are single
+# divisions of exact counts.
+# ---------------------------------------------------------------------------
+
+OOV_VOCAB_CAP = 1000
+
+
+def vocab_oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_df(docs).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    by_word = toks.groupBy("source", "word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    vocab = (
+        vocab_table(spark, sf_dir)
+        .filter(F.col("token_id") <= OOV_VOCAB_CAP)
+        .select("word", F.lit(True).alias("in_vocab"))
+    )
+    flagged = by_word.join(F.broadcast(vocab), "word", "left").withColumn(
+        "is_oov", F.col("in_vocab").isNull()
+    )
+    agg = flagged.groupBy("source").agg(
+        F.sum("cnt").cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("is_oov"), F.col("cnt")).otherwise(0))
+        .cast("bigint")
+        .alias("n_oov_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum(F.when(F.col("is_oov"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_oov_types"),
+    )
+    return agg.select(
+        "source",
+        "n_tokens",
+        "n_oov_tokens",
+        "n_types",
+        "n_oov_types",
+        F.round(
+            F.col("n_oov_tokens").cast("double") / F.col("n_tokens"), 6
+        ).alias("oov_token_rate"),
+        F.round(
+            F.col("n_oov_types").cast("double") / F.col("n_types"), 6
+        ).alias("oov_type_rate"),
+    ).orderBy("source")
+
+
+VOCAB_OOV_ORACLE = f"""
+    WITH tok AS ({duckdb_tokens_sql()}),
+    by_word AS (
+        SELECT d.source, t.word, CAST(count(*) AS BIGINT) AS cnt
+        FROM tok t JOIN documents d USING (doc_id)
+        GROUP BY 1, 2
+    ),
+    freq AS (SELECT word, count(*) AS freq FROM tok GROUP BY word),
+    vocab AS (
+        SELECT word FROM (
+            SELECT word,
+                   CAST(dense_rank() OVER (ORDER BY freq DESC, word)
+                        AS BIGINT) AS token_id
+            FROM freq
+        ) WHERE token_id <= {OOV_VOCAB_CAP}
+    ),
+    flagged AS (
+        SELECT b.source, b.cnt, v.word IS NULL AS is_oov
+        FROM by_word b LEFT JOIN vocab v USING (word)
+    ),
+    agg AS (
+        SELECT source,
+               CAST(sum(cnt) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN is_oov THEN cnt ELSE 0 END) AS BIGINT)
+                   AS n_oov_tokens,
+               CAST(count(*) AS BIGINT) AS n_types,
+               CAST(sum(CASE WHEN is_oov THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_oov_types
+        FROM flagged
+        GROUP BY source
+    )
+    SELECT source, n_tokens, n_oov_tokens, n_types, n_oov_types,
+           round(CAST(n_oov_tokens AS DOUBLE) / n_tokens, 6)
+               AS oov_token_rate,
+           round(CAST(n_oov_types AS DOUBLE) / n_types, 6) AS oov_type_rate
+    FROM agg
+    ORDER BY source
+"""
+
+
 TEXT_ANALYSIS_QUERIES: list[tuple[str, object, str | None]] = [
     ("pii_rate_by_source", pii_rate_by_source, PII_BY_SOURCE_ORACLE),
+    (
+        "vocab_oov_rate_by_source",
+        vocab_oov_rate_by_source,
+        VOCAB_OOV_ORACLE,
+    ),
     (
         "langid_mismatch_by_source",
         langid_mismatch_by_source,

@@ -845,3 +845,36 @@ def test_langid_mismatch_reconciles_with_confusion(spark):
     for r in mism:
         assert r.mismatch_rate == round(r.n_mismatch / r.n_docs, 6)
         assert r.unknown_rate == round(r.n_unknown / r.n_docs, 6)
+
+
+def test_oov_rate_reconciles_with_vocab_and_counts(spark):
+    """Per-source token totals reconcile with token_count_stats' corpus
+    totals; OOV tokens are exactly the occurrences of words ranked
+    beyond the cap in vocab_table; type counts bound token counts."""
+    from mapreduce_on_google_cloud_platform_spark.operators.text_analysis import (
+        OOV_VOCAB_CAP,
+    )
+
+    rows = QUERIES["vocab_oov_rate_by_source"](spark, SF_SMOKE).collect()
+    vocab = {
+        r.word
+        for r in QUERIES["vocab_table"](spark, SF_SMOKE).collect()
+        if r.token_id <= OOV_VOCAB_CAP
+    }
+    from mapreduce_on_google_cloud_platform_spark.functions.text import tokens_df
+    from mapreduce_on_google_cloud_platform_spark.sources import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    toks = tokens_df(docs).join(docs.select("doc_id", "source"), "doc_id")
+    expected: dict[str, list[int]] = {}
+    for t in toks.collect():
+        a = expected.setdefault(t.source, [0, 0])
+        a[0] += 1
+        a[1] += 0 if t.word in vocab else 1
+    assert {r.source for r in rows} == set(expected)
+    for r in rows:
+        n_tokens, n_oov = expected[r.source]
+        assert (r.n_tokens, r.n_oov_tokens) == (n_tokens, n_oov)
+        assert r.n_oov_types <= r.n_types
+        assert r.n_oov_tokens >= r.n_oov_types  # every type occurs >= once
+        assert r.oov_token_rate == round(n_oov / n_tokens, 6)
