@@ -192,3 +192,124 @@ def test_release_caches_empties_the_plan_cache(spark):
     # the selection must actually exercise the contract: at least one of
     # these queries left a cached plan behind before release
     assert touched_cache >= 1
+
+
+def test_cusum_randomized_differential(spark, tmp_path):
+    """cusum_changepoint vs an independent pure-Python CUSUM over a
+    seeded random event frame: per-type per-day cusum values and peak
+    flags must agree exactly (the Spark path is decimal-exact, so the
+    Python reference's integer arithmetic reproduces it bit-for-bit
+    after the same single division + round)."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from mapreduce_on_google_cloud_platform_spark.operators.statistics import (
+        cusum_changepoint,
+    )
+
+    rng = random.Random(20260814)
+    rows = []
+    base = dt.datetime(2026, 1, 1)
+    for i in range(800):
+        rows.append(
+            (
+                i,
+                base + dt.timedelta(days=rng.randint(0, 20), seconds=rng.randint(0, 86399)),
+                rng.randint(1, 50),
+                rng.choice(["a", "b"]),
+                round(rng.uniform(0, 500), 2),
+                "{}",
+            )
+        )
+    pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).to_parquet(tmp_path / "events.parquet")
+
+    got = cusum_changepoint(spark, str(tmp_path)).collect()
+
+    daily: dict[tuple[str, dt.date], int] = {}
+    for _, ts, _, et, v, _ in rows:
+        daily[(et, ts.date())] = daily.get((et, ts.date()), 0) + round(v * 100)
+    expected: dict[tuple[str, dt.date], tuple[float, bool]] = {}
+    for et in {"a", "b"}:
+        days = sorted(d for (t, d) in daily if t == et)
+        xs = [daily[(et, d)] for d in days]
+        n, total = len(xs), sum(xs)
+        nums = []
+        p = 0
+        for t, x in enumerate(xs, start=1):
+            p += x
+            nums.append(n * p - t * total)
+        peak = max(abs(v) for v in nums)
+        for d, num in zip(days, nums):
+            expected[(et, d)] = (round(num / n, 6), abs(num) == peak)
+    assert len(got) == len(expected)
+    for r in got:
+        exp_c, exp_peak = expected[(r.event_type, r.day)]
+        assert r.cusum_cents == exp_c, (r.event_type, r.day)
+        assert r.is_peak == exp_peak
+
+
+def test_welch_t_randomized_differential(spark, tmp_path):
+    """welch_t_test vs an independent float computation from integer
+    sufficient statistics on a seeded random frame: identical op order
+    reproduces the rounded t/df exactly."""
+    import datetime as dt
+    import math
+
+    import pandas as pd
+
+    from mapreduce_on_google_cloud_platform_spark.operators.statistics import (
+        welch_t_test,
+    )
+
+    rng = random.Random(99)
+    rows = []
+    base = dt.datetime(2026, 2, 1)
+    for i in range(1200):
+        rows.append(
+            (
+                i,
+                base + dt.timedelta(seconds=rng.randint(0, 9_999_999)),
+                1,
+                rng.choice(["x", "y", "z"]),
+                round(rng.uniform(0, 300), 2),
+                "{}",
+            )
+        )
+    pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).to_parquet(tmp_path / "events.parquet")
+
+    got = {r.event_type: r for r in welch_t_test(spark, str(tmp_path)).collect()}
+
+    us = [int(ts.timestamp() * 1_000_000) for _, ts, *_ in rows]
+    mid = (min(us) + max(us)) // 2
+    stats: dict[str, list[int]] = {}
+    for (_, ts, _, et, v, _), u in zip(rows, us):
+        s = stats.setdefault(et, [0, 0, 0, 0, 0, 0])
+        c = round(v * 100)
+        if u <= mid:
+            s[0] += 1
+            s[1] += c
+            s[2] += c * c
+        else:
+            s[3] += 1
+            s[4] += c
+            s[5] += c * c
+    for et, (nb, sxb, sxxb, nc, sxc, sxxc) in stats.items():
+        r = got[et]
+        assert (r.n_b, r.n_c) == (nb, nc)
+        mean_b, mean_c = sxb / nb, sxc / nc
+        var_b = (nb * sxxb - sxb * sxb) / (nb * (nb - 1))
+        var_c = (nc * sxxc - sxc * sxc) / (nc * (nc - 1))
+        se_b, se_c = var_b / nb, var_c / nc
+        t = round((mean_b - mean_c) / math.sqrt(se_b + se_c), 6)
+        df = round(
+            (se_b + se_c) * (se_b + se_c)
+            / (se_b * se_b / (nb - 1) + se_c * se_c / (nc - 1)),
+            3,
+        )
+        assert r.t_stat == t and r.welch_df == df
+        assert r.mean_shifted == (abs(t) > 1.96)
