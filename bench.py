@@ -231,6 +231,8 @@ HEADLINE = [
     "multimodal_bytes_histogram",
     "ann_ivf_nprobe_curve",
     "vocab_oov_rate_by_source",
+    "session_length_histogram",
+    "order_basket_profile",
     # dedup_method_eval re-runs five declared pipelines; its components
     # are each benched above, so it is left out of the headline suite
 ]

@@ -2676,9 +2676,101 @@ GINI_ORACLE = """
 """
 
 
+# ---------------------------------------------------------------------------
+# Order basket profile -- the market-basket size distribution underneath
+# copurchase_part_pairs: a power-of-two histogram of lineitems-per-order
+# with each size class's order share and exact revenue share.  The table
+# that justifies the per-order bounded self-join (pair cost is
+# sum n·(n−1)/2 over baskets — this shows where that mass lives) and the
+# order-level batching layout.  Scale: one combinable groupBy(orderkey)
+# reduction, then a histogram over ORDER-cardinality rows onto ~8 size
+# classes; revenue stays decimal-exact until one division per share.
+# ---------------------------------------------------------------------------
+
+
+def order_basket_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum(revenue_expr()).alias("rev_dec"),
+    )
+    keyed = per_order.select(
+        (F.length(F.bin(F.col("n_items"))) - 1).cast("int").alias("bucket"),
+        "n_items",
+        "rev_dec",
+    )
+    tot = keyed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("total_orders"),
+        F.sum("rev_dec").alias("total_rev"),
+    )
+    return (
+        keyed.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.min("n_items").alias("min_items"),
+            F.max("n_items").alias("max_items"),
+            F.sum("n_items").cast("bigint").alias("total_items"),
+            F.sum("rev_dec").alias("bucket_rev"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "n_orders",
+            "min_items",
+            "max_items",
+            "total_items",
+            F.col("bucket_rev").cast("double").alias("revenue"),
+            F.round(
+                F.col("n_orders").cast("double") / F.col("total_orders"), 6
+            ).alias("order_share"),
+            F.round(
+                F.col("bucket_rev").cast("double")
+                / F.col("total_rev").cast("double"),
+                6,
+            ).alias("revenue_share"),
+        )
+        .orderBy("bucket")
+    )
+
+
+BASKET_PROFILE_ORACLE = f"""
+    WITH per_order AS (
+        SELECT l_orderkey,
+               CAST(count(*) AS BIGINT) AS n_items,
+               sum({SQL_REVENUE}) AS rev
+        FROM lineitem
+        GROUP BY l_orderkey
+    ),
+    keyed AS (
+        SELECT CAST(length(printf('%b', n_items)) - 1 AS INTEGER) AS bucket,
+               n_items, rev
+        FROM per_order
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS total_orders,
+               sum(rev) AS total_rev
+        FROM keyed
+    )
+    SELECT bucket,
+           count(*) AS n_orders,
+           min(n_items) AS min_items,
+           max(n_items) AS max_items,
+           CAST(sum(n_items) AS BIGINT) AS total_items,
+           CAST(sum(rev) AS DOUBLE) AS revenue,
+           round(CAST(count(*) AS DOUBLE) / any_value(total_orders), 6)
+               AS order_share,
+           round(CAST(sum(rev) AS DOUBLE) / CAST(any_value(total_rev)
+                     AS DOUBLE), 6) AS revenue_share
+    FROM keyed, tot
+    GROUP BY bucket
+    ORDER BY bucket
+"""
+
+
 RELATIONAL_QUERIES: list[tuple[str, object, str | None]] = [
     ("join_cardinality_estimate", join_cardinality_estimate, JOIN_CARD_ORACLE),
     ("customer_spend_gini", customer_spend_gini, GINI_ORACLE),
+    ("order_basket_profile", order_basket_profile, BASKET_PROFILE_ORACLE),
     ("order_backlog_daily", order_backlog_daily, BACKLOG_ORACLE),
     ("q1_pricing_summary", q1_pricing_summary, Q1_ORACLE),
     ("q3_shipping_priority", q3_shipping_priority, Q3_ORACLE),

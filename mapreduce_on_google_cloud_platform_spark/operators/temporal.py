@@ -1405,11 +1405,141 @@ CONVERSION_LATENCY_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Session-length histogram at the declared 30-minute timeout --
+# session_timeout_curve picks the timeout; this reports what the chosen
+# sessions LOOK like: a power-of-two histogram of events-per-session
+# with each class's share and exact mean duration (the session-depth
+# distribution behind engagement metrics and sequence-length budgets).
+# Shares the batch sessionization kernel's shape (streaming/windows.py
+# SESSION_GAP_US): per-user lag + cumulative break flags -- windows
+# bounded by a user's own activity, never the corpus.  The histogram
+# reduces sessions map-side onto ~32 bucket rows; mean duration is ONE
+# double division of exact integer sums.
+# ---------------------------------------------------------------------------
+
+
+def session_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.windows import SESSION_GAP_US
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        us.alias("us"),
+        F.when(
+            (us - F.lag(us).over(w)) > SESSION_GAP_US, 1
+        ).otherwise(0).alias("brk"),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sess = flagged.select(
+        "user_id",
+        "us",
+        F.sum("brk").over(w2).alias("session_no"),
+    ).groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        (F.max("us") - F.min("us")).alias("duration_us"),
+    )
+    keyed = sess.select(
+        (F.length(F.bin(F.col("n_events"))) - 1).cast("int").alias("bucket"),
+        "n_events",
+        "duration_us",
+    )
+    tot = keyed.agg(F.count(F.lit(1)).cast("bigint").alias("total_sessions"))
+    return (
+        keyed.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.min("n_events").alias("min_events"),
+            F.max("n_events").alias("max_events"),
+            F.sum("n_events").cast("bigint").alias("total_events"),
+            F.sum("duration_us").cast("bigint").alias("sum_duration_us"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "n_sessions",
+            "min_events",
+            "max_events",
+            "total_events",
+            F.round(
+                F.col("n_sessions").cast("double") / F.col("total_sessions"), 6
+            ).alias("session_share"),
+            F.round(
+                F.col("sum_duration_us").cast("double")
+                / (F.col("n_sessions") * F.lit(1_000_000)),
+                6,
+            ).alias("avg_duration_sec"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def _session_length_oracle() -> str:
+    from ..streaming.windows import SESSION_GAP_US
+
+    return f"""
+    WITH flagged AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id)
+                    > {SESSION_GAP_US} THEN 1 ELSE 0 END AS brk
+        FROM events
+    ),
+    sess AS (
+        SELECT user_id, session_no,
+               CAST(count(*) AS BIGINT) AS n_events,
+               max(us) - min(us) AS duration_us
+        FROM (
+            SELECT user_id, us,
+                   sum(brk) OVER (PARTITION BY user_id
+                                  ORDER BY us, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS session_no
+            FROM flagged
+        )
+        GROUP BY user_id, session_no
+    ),
+    keyed AS (
+        SELECT CAST(length(printf('%b', n_events)) - 1 AS INTEGER) AS bucket,
+               n_events, duration_us
+        FROM sess
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS total_sessions FROM keyed)
+    SELECT bucket,
+           count(*) AS n_sessions,
+           min(n_events) AS min_events,
+           max(n_events) AS max_events,
+           CAST(sum(n_events) AS BIGINT) AS total_events,
+           round(CAST(count(*) AS DOUBLE) / any_value(total_sessions), 6)
+               AS session_share,
+           round(CAST(sum(duration_us) AS DOUBLE) / (count(*) * 1000000), 6)
+               AS avg_duration_sec
+    FROM keyed, tot
+    GROUP BY bucket
+    ORDER BY bucket
+"""
+
+
+SESSION_LENGTH_ORACLE = _session_length_oracle()
+
+
 TEMPORAL_QUERIES: list[tuple[str, object, str | None]] = [
     (
         "conversion_latency_histogram",
         conversion_latency_histogram,
         CONVERSION_LATENCY_ORACLE,
+    ),
+    (
+        "session_length_histogram",
+        session_length_histogram,
+        SESSION_LENGTH_ORACLE,
     ),
     (
         "daily_profile_similarity",

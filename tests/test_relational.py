@@ -223,3 +223,18 @@ def test_gini_internal_consistency(spark):
     assert r.total_cents == total
     n = orders.select("o_custkey").distinct().count()
     assert r.n_customers == n
+
+
+def test_basket_profile_partitions_orders(spark):
+    """Buckets partition the order set; revenue shares sum to ~1; the
+    total item mass reconciles with the lineitem row count."""
+    from mapreduce_on_google_cloud_platform_spark.sources import load_table
+
+    rows = QUERIES["order_basket_profile"](spark, SF_SMOKE).collect()
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    assert sum(r.total_items for r in rows) == li.count()
+    assert sum(r.n_orders for r in rows) == li.select("l_orderkey").distinct().count()
+    assert abs(sum(r.order_share for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.revenue_share for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert 2 ** r.bucket <= r.min_items <= r.max_items < 2 ** (r.bucket + 1)

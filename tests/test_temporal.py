@@ -394,3 +394,20 @@ def test_conversion_latency_reconciles_with_asof(spark):
         if r.bucket >= 0:
             assert 2 ** r.bucket <= r.min_gap_us + 1
             assert r.max_gap_us + 1 < 2 ** (r.bucket + 1)
+
+
+def test_session_histogram_reconciles_with_timeout_curve(spark):
+    """Total sessions at the 1800 s timeout must equal the
+    session_timeout_curve's n_sessions at that ladder point; per-bucket
+    invariants (power-of-two bounds, shares sum to 1, events >= sessions)."""
+    rows = QUERIES["session_length_histogram"](spark, SF_SMOKE).collect()
+    curve = {
+        r.timeout_sec: r.n_sessions
+        for r in QUERIES["session_timeout_curve"](spark, SF_SMOKE).collect()
+    }
+    assert sum(r.n_sessions for r in rows) == curve[1800]
+    assert abs(sum(r.session_share for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert 2 ** r.bucket <= r.min_events <= r.max_events < 2 ** (r.bucket + 1)
+        assert r.total_events >= r.n_sessions
+        assert r.avg_duration_sec >= 0.0
