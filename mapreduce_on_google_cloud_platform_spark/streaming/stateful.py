@@ -385,3 +385,131 @@ def streaming_ks_drift_query(spark: SparkSession, in_dir: str, schema):
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming mean-shift monitor: the continuous-ingest twin of the batch
+# ``welch_t_test``.  The FIRST micro-batch a key sees freezes that key's
+# BASELINE sufficient statistics (n, Σcents, Σcents²); every later batch
+# accumulates the CURRENT statistics and emits Welch's t of current vs
+# baseline -- the "has the live stream's mean moved off the reference
+# slice" alarm, complementing the KS monitor's shape test (KS dilutes a
+# small mean shift across bins; t is exactly that shift's detector).
+#
+# State is six integers per event_type (arbitrary-precision via strings,
+# exactly like the KS monitor's bin vectors) -- O(1) per key, never per
+# event.  The t statistic repeats the batch plan's fixed op order over
+# the same exact-integer inputs (decimal→double casts become Python
+# float() of exact ints; both round to nearest), so stream and batch
+# agree on an identical split (pinned in tests/test_streaming.py; the
+# only divergence channel is Spark's HALF_UP vs Python's half-even
+# rounding AT an exact 5e-7 decimal tie of the rounded t -- a measure-
+# zero event for a sqrt quotient).
+# ---------------------------------------------------------------------------
+
+WELCH_STATE_SCHEMA = StructType(
+    [
+        StructField("base_stats", StringType()),  # "n,sx,sxx" exact ints
+        StructField("cur_stats", StringType()),
+    ]
+)
+
+WELCH_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("n_base", LongType()),
+        StructField("n_cur", LongType()),
+        StructField("mean_base_cents", DoubleType()),
+        StructField("mean_cur_cents", DoubleType()),
+        StructField("t_stat", DoubleType()),
+        StructField("mean_shifted", StringType()),  # 'y'/'n'
+        StructField("is_baseline", StringType()),
+    ]
+)
+
+
+def streaming_mean_shift_query(spark: SparkSession, in_dir: str, schema):
+    """readStream(events parquet dir) -> groupBy(event_type) ->
+    applyInPandasWithState Welch-t mean-shift vs the frozen first-batch
+    baseline.  Caller supplies input dir + schema so tests can stage
+    explicit micro-batches (maxFilesPerTrigger=1)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    crit = 1.96  # operators.statistics.T_CRIT_95 (literal: the closure
+    # must unpickle on executors without importing this package)
+
+    def track(key, pdfs, state):
+        import math
+
+        import pandas as pd
+
+        (event_type,) = key
+        if state.exists:
+            base_s, cur_s = state.get
+            base = [int(x) for x in base_s.split(",")]
+            cur = [int(x) for x in cur_s.split(",")]
+            first = False
+        else:
+            base, cur = [0, 0, 0], [0, 0, 0]
+            first = True
+        tgt = base if first else cur
+        for pdf in pdfs:
+            for v in pdf["value"]:
+                c = round(float(v) * 100)
+                tgt[0] += 1
+                tgt[1] += c
+                tgt[2] += c * c
+        state.update(
+            (",".join(map(str, base)), ",".join(map(str, cur)))
+        )
+        nb, sxb, sxxb = base
+        nc, sxc, sxxc = cur
+        if first or nb < 2 or nc < 2:
+            yield pd.DataFrame(
+                {
+                    "event_type": [event_type],
+                    "n_base": [nb],
+                    "n_cur": [nc],
+                    "mean_base_cents": [0.0],
+                    "mean_cur_cents": [0.0],
+                    "t_stat": [0.0],
+                    "mean_shifted": ["n"],
+                    "is_baseline": ["y" if first else "n"],
+                }
+            )
+            return
+        # EXACT op-order mirror of operators.statistics.welch_t_test
+        mean_b = float(sxb) / nb
+        mean_c = float(sxc) / nc
+        var_b = float(nb * sxxb - sxb * sxb) / float(nb * (nb - 1))
+        var_c = float(nc * sxxc - sxc * sxc) / float(nc * (nc - 1))
+        se_b = var_b / float(nb)
+        se_c = var_c / float(nc)
+        t = round((mean_b - mean_c) / math.sqrt(se_b + se_c), 6)
+        yield pd.DataFrame(
+            {
+                "event_type": [event_type],
+                "n_base": [nb],
+                "n_cur": [nc],
+                "mean_base_cents": [round(mean_b, 6)],
+                "mean_cur_cents": [round(mean_c, 6)],
+                "t_stat": [t],
+                "mean_shifted": ["y" if abs(t) > crit else "n"],
+                "is_baseline": ["n"],
+            }
+        )
+
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+        .select("event_type", "value")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            track,
+            outputStructType=WELCH_OUTPUT_SCHEMA,
+            stateStructType=WELCH_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

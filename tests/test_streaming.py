@@ -537,3 +537,61 @@ def test_streaming_ks_drift_agrees_with_batch(spark, tmp_path):
         assert s.is_baseline == "n", et
         assert s.base_n == b.base_n and s.cur_n == b.cur_n, et
         assert s.ks_d == b.ks_d, et
+
+
+def test_streaming_mean_shift_agrees_with_batch(spark, tmp_path):
+    """Stream/batch agreement for the mean-shift monitor: stage the SAME
+    time-midpoint split batch welch_t_test uses as two explicit
+    micro-batches; the final streamed t per type must equal the batch
+    t_stat (identical integer sufficient statistics + identical float op
+    order; rounding can only diverge at an exact 5e-7 decimal tie,
+    asserted exactly here)."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_on_google_cloud_platform_spark.plans import QUERIES
+    from mapreduce_on_google_cloud_platform_spark.sources import load_table
+    from mapreduce_on_google_cloud_platform_spark.streaming.stateful import (
+        streaming_mean_shift_query,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    lims = ev.agg(
+        F.min(F.unix_micros("ts")).alias("lo"),
+        F.max(F.unix_micros("ts")).alias("hi"),
+    ).collect()[0]
+    mid_us = int((lims.lo + lims.hi) / 2)
+    in_dir = str(tmp_path / "welch_in")
+    base = ev.filter(F.unix_micros("ts") <= mid_us)
+    cur = ev.filter(F.unix_micros("ts") > mid_us)
+    base.coalesce(1).write.mode("append").parquet(in_dir)
+
+    stream = streaming_mean_shift_query(
+        spark, in_dir, spark.read.parquet(in_dir).schema
+    )
+    q = (
+        stream.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("mean_shift_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        cur.coalesce(1).write.mode("append").parquet(in_dir)
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM mean_shift_stream").collect()
+    finally:
+        q.stop()
+
+    final = {}
+    for r in rows:  # update mode: last emission per key wins
+        final[r.event_type] = r
+    batch = {r.event_type: r for r in QUERIES["welch_t_test"](spark, SF_SMOKE).collect()}
+    assert set(final) == set(batch)
+    for et, b in batch.items():
+        s = final[et]
+        assert s.is_baseline == "n", et
+        assert (s.n_base, s.n_cur) == (b.n_b, b.n_c), et
+        assert s.mean_base_cents == b.mean_base_cents, et
+        assert s.mean_cur_cents == b.mean_cur_cents, et
+        assert s.t_stat == b.t_stat, et
+        assert (s.mean_shifted == "y") == b.mean_shifted, et
