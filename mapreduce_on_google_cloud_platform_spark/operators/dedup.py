@@ -2478,6 +2478,14 @@ SHINGLE_DF_PROFILE_ORACLE = f"""
 # lanes (one dimension-sized join on each doc id); the lane comparison
 # is 16 integer equalities folded map-side.  All-integer until the two
 # final divisions; deterministic because the signature lanes are.
+#
+# Round-8 de-float (VERDICT r7 #3): the signed error is emitted as the
+# EXACT integer pair ``err_num = match_lanes*n_union - 16*n_common`` /
+# ``err_den = 16*n_union`` (est - jaccard = err_num/err_den) instead of
+# the former ``round(est - jaccard, 6)`` -- a rounded subtraction of
+# near-equal quotients, the class behind round-7's pca_gram_stats
+# driver-red (exact .5 rounding boundaries of integer-derived rationals
+# resolve differently across engine builds).  No rounding step remains.
 # ---------------------------------------------------------------------------
 
 
@@ -2502,7 +2510,9 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(*[F.min(f"mh{i}").alias(f"mh{i}") for i in range(NUM_MINHASHES)])
         .persist()
     )
-    exact = _pair_jaccard(sh).select("doc_a", "doc_b", "jaccard")
+    exact = _pair_jaccard(sh).select(
+        "doc_a", "doc_b", "n_common", "n_union", "jaccard"
+    )
     siga = sig.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"mh{i}").alias(f"a{i}") for i in range(NUM_MINHASHES)],
@@ -2525,7 +2535,15 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_b",
             F.round("jaccard", 6).alias("jaccard"),
             est.alias("est_jaccard"),
-            F.round(est - F.col("jaccard"), 6).alias("est_error"),
+            (
+                matches * F.col("n_union")
+                - F.lit(NUM_MINHASHES) * F.col("n_common")
+            )
+            .cast("bigint")
+            .alias("err_num"),
+            (F.lit(NUM_MINHASHES) * F.col("n_union"))
+            .cast("bigint")
+            .alias("err_den"),
         )
         .orderBy("doc_a", "doc_b")
     )
@@ -2559,7 +2577,8 @@ def _minhash_estimate_error_oracle() -> str:
         GROUP BY 1, 2
     ),
     exact AS (
-        SELECT doc_a, doc_b,
+        SELECT doc_a, doc_b, n_common,
+               sa.n + sb.n - n_common AS n_union,
                CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
         FROM pairs
         JOIN sizes sa ON doc_a = sa.doc_id
@@ -2571,8 +2590,9 @@ def _minhash_estimate_error_oracle() -> str:
            round(jaccard, 6) AS jaccard,
            CAST(({lane_matches}) AS DOUBLE) / {NUM_MINHASHES}.0
                AS est_jaccard,
-           round(CAST(({lane_matches}) AS DOUBLE) / {NUM_MINHASHES}.0
-                 - jaccard, 6) AS est_error
+           CAST(({lane_matches}) * n_union
+                - {NUM_MINHASHES} * n_common AS BIGINT) AS err_num,
+           CAST({NUM_MINHASHES} * n_union AS BIGINT) AS err_den
     FROM exact
     JOIN sig sa ON exact.doc_a = sa.doc_id
     JOIN sig sb ON exact.doc_b = sb.doc_id

@@ -2414,13 +2414,24 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("q").alias("qmin"),
         F.max("q").alias("qmax"),
     )
+    # Round-8 de-float (VERDICT r7 #3, same class as pca_gram_stats'
+    # round-7 red): the population-variance numerator n*sum(q^2) -
+    # sum(q)^2 is emitted EXACT in DECIMAL(38,0) (n*sqq overflows BIGINT
+    # past ~9M rows/dim, so both engines lift before multiplying);
+    # consumers divide by n^2 * 1e12 to recover var.  The old ``var_v =
+    # round(meansq - mean^2, 9)`` rounded a cancellation double.
+    dec = "decimal(38,0)"
     mean = F.col("sq").cast("double") / F.col("n") / QUANT_SCALE
-    meansq = F.col("sqq").cast("double") / F.col("n") / (QUANT_SCALE * QUANT_SCALE)
     return agg.select(
         F.col("dim").cast("int").alias("dim"),
         "n",
         F.round(mean, 9).alias("mean_v"),
-        F.round(meansq - mean * mean, 9).alias("var_v"),
+        (
+            F.col("n").cast(dec) * F.col("sqq").cast(dec)
+            - F.col("sq").cast(dec) * F.col("sq").cast(dec)
+        )
+        .cast(dec)
+        .alias("var_num"),
         (F.col("qmin") / QUANT_SCALE).alias("min_v"),
         (F.col("qmax") / QUANT_SCALE).alias("max_v"),
     ).orderBy("dim")
@@ -2442,9 +2453,9 @@ DIM_STATS_ORACLE = f"""
     )
     SELECT CAST(dim AS INTEGER) AS dim, n,
            round(CAST(sq AS DOUBLE) / n / {QUANT_SCALE}, 9) AS mean_v,
-           round(CAST(sqq AS DOUBLE) / n / {QUANT_SCALE * QUANT_SCALE}
-                 - (CAST(sq AS DOUBLE) / n / {QUANT_SCALE})
-                   * (CAST(sq AS DOUBLE) / n / {QUANT_SCALE}), 9) AS var_v,
+           CAST(CAST(n AS HUGEINT) * CAST(sqq AS HUGEINT)
+                - CAST(sq AS HUGEINT) * CAST(sq AS HUGEINT)
+                AS DECIMAL(38,0)) AS var_num,
            qmin / {QUANT_SCALE} AS min_v,
            qmax / {QUANT_SCALE} AS max_v
     FROM agg
@@ -2524,8 +2535,15 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 1e-6 fixed-point grid: per (dim_i <= dim_j) cell, exact integer sums
 # lifted to DECIMAL(38,0) (overflow-proof at any corpus size -- q*q is
 # ~1e12 per row, so BIGINT sums die at ~1e6 rows), plus the centered
-# covariance as one closed-form double expression of those exact sums,
-# identical text both engines, round(9).
+# covariance NUMERATOR ``cov_num = n*g_ij - s_i*s_j`` as an exact
+# DECIMAL(38,0) (consumers divide by n^2 * 1e12 to recover the float
+# covariance).  Round-8 re-plan (VERDICT r7 #1): the previous ``cov_q``
+# column rounded a catastrophic-cancellation double ``(g/n -
+# (s_i/n)(s_j/n)) / 1e12`` at 9 dp -- the true rational can land exactly
+# on a 5e-10 rounding boundary (integer-derived quotient), where
+# different engine builds' round() legitimately disagree; that was the
+# round-7 driver-red.  The exact integer numerator has no rounding step
+# at all.  Magnitude check: n*g_ij <= ~1e9 rows * ~1e21 = 1e30 << 1e38.
 #
 # Scale: the (vec_id, dim, q) explode self-joins on vec_id -- D^2/2 rows
 # per vector (D=64 -> 2080x), shuffled on vec_id then combined per
@@ -2552,10 +2570,7 @@ def pca_gram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    g = F.col("g_ij").cast("double")
-    si = F.col("s_i").cast("double")
-    sj = F.col("s_j").cast("double")
-    n = F.col("n")
+    dec = "decimal(38,0)"
     return agg.select(
         F.col("dim_i").cast("int").alias("dim_i"),
         F.col("dim_j").cast("int").alias("dim_j"),
@@ -2563,9 +2578,11 @@ def pca_gram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_i",
         "s_j",
         "g_ij",
-        F.round(
-            (g / n - (si / n) * (sj / n)) / F.lit(1000000000000.0), 9
-        ).alias("cov_q"),
+        (
+            F.col("n").cast(dec) * F.col("g_ij") - F.col("s_i") * F.col("s_j")
+        )
+        .cast(dec)
+        .alias("cov_num"),
     ).orderBy("dim_i", "dim_j")
 
 
@@ -2589,9 +2606,9 @@ PCA_GRAM_ORACLE = f"""
     SELECT CAST(dim_i AS INTEGER) AS dim_i,
            CAST(dim_j AS INTEGER) AS dim_j,
            n, s_i, s_j, g_ij,
-           round((CAST(g_ij AS DOUBLE) / n
-                  - (CAST(s_i AS DOUBLE) / n) * (CAST(s_j AS DOUBLE) / n))
-                 / 1000000000000.0, 9) AS cov_q
+           CAST(CAST(n AS HUGEINT) * CAST(g_ij AS HUGEINT)
+                - CAST(s_i AS HUGEINT) * CAST(s_j AS HUGEINT)
+                AS DECIMAL(38,0)) AS cov_num
     FROM agg
     ORDER BY dim_i, dim_j
 """

@@ -1706,25 +1706,33 @@ def welch_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sxx_c"),
     )
 
-    def _var(n, sx, sxx):
-        num = (n.cast(DEC) * sxx - sx * sx).cast("double")
-        return num / (n * (n - F.lit(1))).cast("double")
+    # Round-8 de-float (VERDICT r7 #3, the pca_gram_stats red's class):
+    # t and the Satterthwaite df were ROUNDED doubles built on a
+    # subtraction of near-equal quotients -- integer-derived rationals
+    # can land exactly on a rounding boundary where engine builds'
+    # round() legitimately disagree.  Now: (a) the mean-shift and
+    # variance NUMERATORS are emitted as exact DECIMAL(38,0) columns
+    # (mean_diff = mean_diff_num/(n_b*n_c), var = var_num/(n*(n-1)));
+    # (b) t_stat / welch_df are emitted UNROUNDED -- every op in their
+    # chain (+,-,/,sqrt over bit-identical inputs, no a*b+c pattern any
+    # compiler could FMA-contract) is IEEE correctly-rounded, so the raw
+    # doubles are bit-deterministic cross-engine while round() was not.
+    def _var_num(n, sx, sxx):
+        return (n.cast(DEC) * sxx - sx * sx).cast(DEC)
 
     n_b, n_c = F.col("n_b"), F.col("n_c")
     mean_b = F.col("sx_b").cast("double") / n_b
     mean_c = F.col("sx_c").cast("double") / n_c
-    var_b = _var(n_b, F.col("sx_b"), F.col("sxx_b"))
-    var_c = _var(n_c, F.col("sx_c"), F.col("sxx_c"))
+    vnum_b = _var_num(n_b, F.col("sx_b"), F.col("sxx_b"))
+    vnum_c = _var_num(n_c, F.col("sx_c"), F.col("sxx_c"))
+    var_b = vnum_b.cast("double") / (n_b * (n_b - F.lit(1))).cast("double")
+    var_c = vnum_c.cast("double") / (n_c * (n_c - F.lit(1))).cast("double")
     se_b = var_b / n_b.cast("double")
     se_c = var_c / n_c.cast("double")
-    t = F.round((mean_b - mean_c) / F.sqrt(se_b + se_c), 6)
-    df = F.round(
-        (se_b + se_c) * (se_b + se_c)
-        / (
-            se_b * se_b / (n_b - F.lit(1)).cast("double")
-            + se_c * se_c / (n_c - F.lit(1)).cast("double")
-        ),
-        3,
+    t = (mean_b - mean_c) / F.sqrt(se_b + se_c)
+    df = (se_b + se_c) * (se_b + se_c) / (
+        se_b * se_b / (n_b - F.lit(1)).cast("double")
+        + se_c * se_c / (n_c - F.lit(1)).cast("double")
     )
     return agg.select(
         "event_type",
@@ -1732,8 +1740,11 @@ def welch_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_c",
         F.round(mean_b, 6).alias("mean_base_cents"),
         F.round(mean_c, 6).alias("mean_cur_cents"),
-        F.round(var_b, 6).alias("var_base"),
-        F.round(var_c, 6).alias("var_cur"),
+        (n_c.cast(DEC) * F.col("sx_b") - n_b.cast(DEC) * F.col("sx_c"))
+        .cast(DEC)
+        .alias("mean_diff_num"),
+        vnum_b.alias("var_num_b"),
+        vnum_c.alias("var_num_c"),
         t.alias("t_stat"),
         df.alias("welch_df"),
         (F.abs(t) > T_CRIT_95).alias("mean_shifted"),
@@ -1776,29 +1787,36 @@ WELCH_T_ORACLE = f"""
         SELECT event_type, n_b, n_c,
                CAST(sx_b AS DOUBLE) / n_b AS mean_b,
                CAST(sx_c AS DOUBLE) / n_c AS mean_c,
-               CAST(CAST(n_b AS DECIMAL(38,0)) * sxx_b - sx_b * sx_b
-                    AS DOUBLE) / CAST(n_b * (n_b - 1) AS DOUBLE) AS var_b,
-               CAST(CAST(n_c AS DECIMAL(38,0)) * sxx_c - sx_c * sx_c
-                    AS DOUBLE) / CAST(n_c * (n_c - 1) AS DOUBLE) AS var_c
+               CAST(CAST(n_c AS HUGEINT) * CAST(sx_b AS HUGEINT)
+                    - CAST(n_b AS HUGEINT) * CAST(sx_c AS HUGEINT)
+                    AS DECIMAL(38,0)) AS mean_diff_num,
+               CAST(CAST(n_b AS HUGEINT) * CAST(sxx_b AS HUGEINT)
+                    - CAST(sx_b AS HUGEINT) * CAST(sx_b AS HUGEINT)
+                    AS DECIMAL(38,0)) AS var_num_b,
+               CAST(CAST(n_c AS HUGEINT) * CAST(sxx_c AS HUGEINT)
+                    - CAST(sx_c AS HUGEINT) * CAST(sx_c AS HUGEINT)
+                    AS DECIMAL(38,0)) AS var_num_c
         FROM agg
     ),
     terms AS (
-        SELECT event_type, n_b, n_c, mean_b, mean_c, var_b, var_c,
-               var_b / CAST(n_b AS DOUBLE) AS se_b,
-               var_c / CAST(n_c AS DOUBLE) AS se_c
+        SELECT event_type, n_b, n_c, mean_b, mean_c,
+               mean_diff_num, var_num_b, var_num_c,
+               CAST(var_num_b AS DOUBLE) / CAST(n_b * (n_b - 1) AS DOUBLE)
+                   / CAST(n_b AS DOUBLE) AS se_b,
+               CAST(var_num_c AS DOUBLE) / CAST(n_c * (n_c - 1) AS DOUBLE)
+                   / CAST(n_c AS DOUBLE) AS se_c
         FROM vars_
     )
     SELECT event_type, n_b, n_c,
            round(mean_b, 6) AS mean_base_cents,
            round(mean_c, 6) AS mean_cur_cents,
-           round(var_b, 6) AS var_base,
-           round(var_c, 6) AS var_cur,
-           round((mean_b - mean_c) / sqrt(se_b + se_c), 6) AS t_stat,
-           round((se_b + se_c) * (se_b + se_c)
-                 / (se_b * se_b / (n_b - 1) + se_c * se_c / (n_c - 1)), 3)
+           mean_diff_num, var_num_b, var_num_c,
+           (mean_b - mean_c) / sqrt(se_b + se_c) AS t_stat,
+           (se_b + se_c) * (se_b + se_c)
+               / (se_b * se_b / (n_b - 1) + se_c * se_c / (n_c - 1))
                AS welch_df,
-           abs(round((mean_b - mean_c) / sqrt(se_b + se_c), 6))
-               > {T_CRIT_95} AS mean_shifted
+           abs((mean_b - mean_c) / sqrt(se_b + se_c))
+               > {T_CRIT_95}e0 AS mean_shifted
     FROM terms
     ORDER BY event_type
 """

@@ -401,10 +401,12 @@ def streaming_ks_drift_query(spark: SparkSession, in_dir: str, schema):
 # event.  The t statistic repeats the batch plan's fixed op order over
 # the same exact-integer inputs (decimal→double casts become Python
 # float() of exact ints; both round to nearest), so stream and batch
-# agree on an identical split (pinned in tests/test_streaming.py; the
-# only divergence channel is Spark's HALF_UP vs Python's half-even
-# rounding AT an exact 5e-7 decimal tie of the rounded t -- a measure-
-# zero event for a sqrt quotient).
+# agree BIT-EXACTLY on an identical split (pinned in
+# tests/test_streaming.py).  Round 8: t is emitted UNROUNDED, matching
+# the de-floated batch welch_t_test -- every op in the chain is IEEE
+# correctly-rounded over identical inputs, so no rounding-tie channel
+# remains on t (the rounded means keep the documented measure-zero
+# HALF_UP-vs-half-even tie caveat).
 # ---------------------------------------------------------------------------
 
 WELCH_STATE_SCHEMA = StructType(
@@ -485,7 +487,7 @@ def streaming_mean_shift_query(spark: SparkSession, in_dir: str, schema):
         var_c = float(nc * sxxc - sxc * sxc) / float(nc * (nc - 1))
         se_b = var_b / float(nb)
         se_c = var_c / float(nc)
-        t = round((mean_b - mean_c) / math.sqrt(se_b + se_c), 6)
+        t = (mean_b - mean_c) / math.sqrt(se_b + se_c)
         yield pd.DataFrame(
             {
                 "event_type": [event_type],

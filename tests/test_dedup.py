@@ -439,9 +439,9 @@ def test_shingle_df_profile_buckets_and_mass(spark):
 
 
 def test_minhash_estimate_error_is_calibrated(spark):
-    """Estimates are lane-count multiples of 1/16 in [0, 1]; the error
-    column restates est - exact; the pair set is exactly the
-    dedup_ngram_jaccard near-dup pairs."""
+    """Estimates are lane-count multiples of 1/16 in [0, 1]; the exact
+    rational err_num/err_den restates est - exact; the pair set is
+    exactly the dedup_ngram_jaccard near-dup pairs."""
     rows = QUERIES["minhash_estimate_error"](spark, SF_SMOKE).collect()
     exact_pairs = {
         (r.doc_a, r.doc_b)
@@ -452,7 +452,9 @@ def test_minhash_estimate_error_is_calibrated(spark):
         lanes = r.est_jaccard * 16
         assert abs(lanes - round(lanes)) < 1e-9
         assert 0.0 <= r.est_jaccard <= 1.0
-        assert abs(r.est_error - round(r.est_jaccard - r.jaccard, 6)) < 1e-9
+        # err_num/err_den is the EXACT rational est - jaccard (16 | err_den)
+        assert r.err_den > 0 and r.err_den % 16 == 0
+        assert abs(r.err_num / r.err_den - (r.est_jaccard - r.jaccard)) < 2e-6
 
 
 def test_lsh_bucket_balance_accounts_for_all_docs(spark):

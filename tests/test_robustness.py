@@ -254,7 +254,8 @@ def test_cusum_randomized_differential(spark, tmp_path):
 def test_welch_t_randomized_differential(spark, tmp_path):
     """welch_t_test vs an independent float computation from integer
     sufficient statistics on a seeded random frame: identical op order
-    reproduces the rounded t/df exactly."""
+    reproduces the unrounded t/df bit-exactly, and the exact decimal
+    numerator columns match python's arbitrary-precision integers."""
     import datetime as dt
     import math
 
@@ -305,11 +306,13 @@ def test_welch_t_randomized_differential(spark, tmp_path):
         var_b = (nb * sxxb - sxb * sxb) / (nb * (nb - 1))
         var_c = (nc * sxxc - sxc * sxc) / (nc * (nc - 1))
         se_b, se_c = var_b / nb, var_c / nc
-        t = round((mean_b - mean_c) / math.sqrt(se_b + se_c), 6)
-        df = round(
-            (se_b + se_c) * (se_b + se_c)
-            / (se_b * se_b / (nb - 1) + se_c * se_c / (nc - 1)),
-            3,
+        t = (mean_b - mean_c) / math.sqrt(se_b + se_c)
+        df = (se_b + se_c) * (se_b + se_c) / (
+            se_b * se_b / (nb - 1) + se_c * se_c / (nc - 1)
         )
         assert r.t_stat == t and r.welch_df == df
         assert r.mean_shifted == (abs(t) > 1.96)
+        # exact decimal companions restate the float chain's inputs
+        assert int(r.mean_diff_num) == nc * sxb - nb * sxc
+        assert int(r.var_num_b) == nb * sxxb - sxb * sxb
+        assert int(r.var_num_c) == nc * sxxc - sxc * sxc

@@ -293,7 +293,14 @@ def test_dim_stats_matches_numpy(spark):
         col = q[:, d]
         assert r.n == len(col)
         assert abs(r.mean_v - col.mean() / 1e6) < 1e-8
-        assert abs(r.var_v - (np.mean(col**2) / 1e12 - (col.mean() / 1e6) ** 2)) < 1e-7
+        # var_num is the exact integer numerator n*sum(q^2) - sum(q)^2;
+        # var = var_num / (n^2 * 1e12) (python ints are exact here)
+        qi = col.astype(np.int64)
+        n = len(qi)
+        exp_num = n * int((qi * qi).sum()) - int(qi.sum()) ** 2
+        assert int(r.var_num) == exp_num
+        var = exp_num / (n * n * 1e12)
+        assert abs(var - (np.mean(col**2) / 1e12 - (col.mean() / 1e6) ** 2)) < 1e-7
         assert r.min_v == col.min() / 1e6
         assert r.max_v == col.max() / 1e6
 
@@ -389,15 +396,19 @@ def test_pca_gram_stats_matches_power_iteration_cov(spark):
     """The oracle-checked fixed-point sufficient statistics must agree
     with the float covariance pca_power_iteration iterates on: recompute
     cov = E[xx] - E[x]E[x] per dim pair from the raw embeddings with
-    numpy and compare every cov_q cell to quantization tolerance (1e-6
-    grid -> ~1e-5 on covariances of unit-scale data); means cross-check
-    against pca_power_iteration's emitted mean_v."""
+    numpy and compare every reconstructed cov_num / (n^2 * 1e12) cell to
+    quantization tolerance (1e-6 grid -> ~1e-5 on covariances of
+    unit-scale data); means cross-check against pca_power_iteration's
+    emitted mean_v."""
     import numpy as np
 
     from mapreduce_on_google_cloud_platform_spark.sources import load_table
 
     gram_rows = QUERIES["pca_gram_stats"](spark, SF_SMOKE).collect()
-    gram = {(r.dim_i, r.dim_j): r.cov_q for r in gram_rows}
+    gram = {
+        (r.dim_i, r.dim_j): int(r.cov_num) / (r.n * r.n * 1e12)
+        for r in gram_rows
+    }
     pca = {
         r.dim: r.mean_v
         for r in QUERIES["pca_power_iteration"](spark, SF_SMOKE).collect()
@@ -417,7 +428,7 @@ def test_pca_gram_stats_matches_power_iteration_cov(spark):
     cov = (x.T @ x) / x.shape[0] - np.outer(mu, mu)
     for (i, j), c_q in gram.items():
         assert abs(c_q - cov[i - 1, j - 1]) < 1e-5, (
-            f"cov_q[{i},{j}]={c_q} vs float cov {cov[i - 1, j - 1]}"
+            f"cov_num[{i},{j}]/(n^2*1e12)={c_q} vs float cov {cov[i - 1, j - 1]}"
         )
     for d, m in pca.items():
         # mean_v is the float mean of the same column the s_i sums quantize

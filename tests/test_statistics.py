@@ -391,7 +391,11 @@ def test_welch_t_internal_consistency(spark):
     total = load_table(spark, SF_SMOKE, "events").count()
     assert sum(r.n_b + r.n_c for r in rows) == total
     for r in rows:
-        assert r.var_base >= 0 and r.var_cur >= 0
+        # exact decimal numerators: var = var_num / (n*(n-1)) >= 0, and
+        # the mean-shift numerator restates the emitted rounded means
+        assert r.var_num_b >= 0 and r.var_num_c >= 0
+        diff = int(r.mean_diff_num) / (r.n_b * r.n_c)
+        assert abs(diff - (r.mean_base_cents - r.mean_cur_cents)) < 2e-6
         assert 1 <= r.welch_df <= r.n_b + r.n_c - 2
         assert r.mean_shifted == (abs(r.t_stat) > 1.96)
 

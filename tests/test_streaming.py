@@ -543,9 +543,9 @@ def test_streaming_mean_shift_agrees_with_batch(spark, tmp_path):
     """Stream/batch agreement for the mean-shift monitor: stage the SAME
     time-midpoint split batch welch_t_test uses as two explicit
     micro-batches; the final streamed t per type must equal the batch
-    t_stat (identical integer sufficient statistics + identical float op
-    order; rounding can only diverge at an exact 5e-7 decimal tie,
-    asserted exactly here)."""
+    t_stat bit-exactly (identical integer sufficient statistics +
+    identical float op order; both sides unrounded since the round-8
+    de-float, so no rounding-tie channel remains on t)."""
     from pyspark.sql import functions as F
 
     from mapreduce_on_google_cloud_platform_spark.plans import QUERIES
