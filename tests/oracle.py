@@ -29,8 +29,10 @@ under different shuffle partitioning and requires bit-identical output.
 
 from __future__ import annotations
 
+import hashlib
 import math
 import re
+import struct
 from datetime import date, datetime
 from decimal import Decimal
 
@@ -224,6 +226,104 @@ def _canon(v):
     return v
 
 
+# ---------------------------------------------------------------------------
+# Canonical result digests (round 8, VERDICT r7 item #2).
+#
+# Round 7 produced a driver hash-mismatch (pca_gram_stats) that could not
+# be reproduced locally: the repo had no record of WHAT result it shipped,
+# so the divergence channel (engine build? representation? instability?)
+# stayed unprovable.  ``canonical_digest`` fixes that: a deterministic
+# digest of a result multiset, with floats as IEEE-754 bit patterns
+# (-0.0 collapsed to +0.0, every NaN to the canonical quiet NaN),
+# Decimals in canonical sign/digits/exponent form (Decimal('1.50') ==
+# Decimal('1.5') digest-equal), rows sorted by their encoded bytes so
+# shuffle order is irrelevant.  Besides the whole-result digest it emits
+# a 256-bucket breakdown (rows bucketed by the first byte of their row
+# digest): two artifacts that disagree localize the divergence to
+# specific buckets, whose member rows a local re-run can then enumerate
+# -- cell-level diffing without committing full result sets.
+# tools/sweep.py --digest writes one artifact per sweep with engine
+# versions; the committed tools/digests_r{N}_*.json is the reference the
+# next driver red is diffed against.
+# ---------------------------------------------------------------------------
+
+_QNAN = struct.pack(">Q", 0x7FF8000000000000)
+
+
+def _enc(v) -> bytes:
+    """Encode one cell to canonical tagged bytes (total function)."""
+    if v is None:
+        return b"\x00"
+    if isinstance(v, bool):  # before int: bool is an int subclass
+        return b"B1" if v else b"B0"
+    if isinstance(v, int):
+        return b"I" + str(v).encode()
+    if isinstance(v, float):
+        if math.isnan(v):
+            return b"F" + _QNAN
+        if v == 0.0:
+            v = 0.0  # collapse -0.0 and +0.0 to one bit pattern
+        return b"F" + struct.pack(">d", v)
+    if isinstance(v, Decimal):
+        if v.is_nan():
+            return b"F" + _QNAN
+        sign, digits, exp = v.as_tuple()
+        d = list(digits)
+        while len(d) > 1 and d[-1] == 0:  # strip trailing zeros into exp
+            d.pop()
+            exp += 1
+        if d == [0]:
+            sign, exp = 0, 0  # all zeros (incl. -0) encode identically
+        body = ("-" if sign else "") + "".join(map(str, d)) + "e" + str(exp)
+        return b"D" + body.encode()
+    if isinstance(v, (datetime, date)):
+        return b"T" + v.isoformat().encode()
+    if isinstance(v, str):
+        return b"S" + v.encode("utf-8")
+    if isinstance(v, (bytes, bytearray)):
+        return b"Y" + bytes(v)
+    if isinstance(v, (list, tuple)):
+        return b"L" + b"\x1f".join(_enc(x) for x in v) + b"\x1e"
+    if isinstance(v, dict):
+        items = sorted((str(k), _enc(x)) for k, x in v.items())
+        return (
+            b"M"
+            + b"\x1f".join(k.encode() + b"=" + e for k, e in items)
+            + b"\x1e"
+        )
+    raise TypeError(f"canonical_digest: unsupported cell type {type(v)!r}")
+
+
+def canonical_digest(cols, rows) -> dict:
+    """Whole-result digest + 256-bucket breakdown for divergence triage."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    header = "|".join(cols[i] for i in order).encode()
+    row_digs = sorted(
+        hashlib.sha256(
+            header + b"\x1d" + b"\x1f".join(_enc(r[i]) for i in order)
+        ).digest()
+        for r in rows
+    )
+    total = hashlib.sha256(header)
+    bucket_n: dict[int, int] = {}
+    bucket_h: dict[int, "hashlib._Hash"] = {}
+    for dgst in row_digs:
+        total.update(dgst)
+        b = dgst[0]
+        bucket_n[b] = bucket_n.get(b, 0) + 1
+        if b not in bucket_h:
+            bucket_h[b] = hashlib.sha256()
+        bucket_h[b].update(dgst)
+    return {
+        "digest": total.hexdigest(),
+        "n_rows": len(rows),
+        "buckets": {
+            f"{b:02x}": [bucket_n[b], bucket_h[b].hexdigest()[:16]]
+            for b in sorted(bucket_n)
+        },
+    }
+
+
 def _multiset(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = {}
@@ -239,10 +339,14 @@ def assert_matches_oracle(
     sf_dir: str,
     *,
     max_diff_show: int = 5,
+    digest_sink: dict | None = None,
 ):
     s_cols = spark_df.columns
     s_rows = [tuple(r) for r in spark_df.collect()]
     o_cols, o_types, o_rows = run_oracle(oracle_sql, sf_dir)
+    if digest_sink is not None:  # rows already in hand: digest for free
+        digest_sink["spark"] = canonical_digest(s_cols, s_rows)
+        digest_sink["oracle"] = canonical_digest(o_cols, o_rows)
 
     assert sorted(s_cols) == sorted(o_cols), (
         f"column mismatch: spark={sorted(s_cols)} oracle={sorted(o_cols)}"

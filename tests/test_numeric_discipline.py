@@ -51,3 +51,90 @@ def test_duck_type_mapping_covers_registry():
             if tag.startswith("!unknown"):
                 seen_unknown.append((name, t))
     assert not seen_unknown, f"unmapped DuckDB types: {seen_unknown}"
+
+
+# --- canonical result digests (round 8, VERDICT r7 #2) ----------------------
+
+
+def test_canonical_digest_normalizations():
+    """The digest must be invariant to row order, column order, -0.0 vs
+    +0.0, NaN bit patterns, and Decimal trailing zeros -- and sensitive
+    to any single-cell value change."""
+    import math
+    from decimal import Decimal
+
+    from .oracle import canonical_digest
+
+    base = canonical_digest(["a", "b"], [(1, 2.5), (3, -0.0)])
+    assert base == canonical_digest(["a", "b"], [(3, -0.0), (1, 2.5)])
+    assert base == canonical_digest(["b", "a"], [(2.5, 1), (-0.0, 3)])
+    assert base == canonical_digest(["a", "b"], [(1, 2.5), (3, 0.0)])
+    assert base != canonical_digest(["a", "b"], [(1, 2.5), (3, 1e-300)])
+    assert base != canonical_digest(["a", "b"], [(1, 2.5), (4, 0.0)])
+    # duplicate rows are counted (multiset, not set)
+    assert canonical_digest(["a"], [(1,), (1,)]) != canonical_digest(
+        ["a"], [(1,)]
+    )
+    # NaN canonical; float NaN == Decimal NaN is NOT required, but any
+    # two float NaNs are
+    n1 = canonical_digest(["x"], [(float("nan"),)])
+    n2 = canonical_digest(["x"], [(math.nan,)])
+    assert n1["digest"] == n2["digest"]
+    # Decimal canonical form: value equality, not representation
+    d1 = canonical_digest(["x"], [(Decimal("1.50"),)])
+    d2 = canonical_digest(["x"], [(Decimal("1.5"),)])
+    d3 = canonical_digest(["x"], [(Decimal("150e-2"),)])
+    assert d1["digest"] == d2["digest"] == d3["digest"]
+    assert canonical_digest(["x"], [(Decimal("-0"),)])["digest"] == (
+        canonical_digest(["x"], [(Decimal("0.00"),)])["digest"]
+    )
+    # int vs float vs Decimal of the same value are DISTINCT (the driver
+    # hash is representation-sensitive; the digest must be too)
+    assert (
+        canonical_digest(["x"], [(1,)])["digest"]
+        != canonical_digest(["x"], [(1.0,)])["digest"]
+        != canonical_digest(["x"], [(Decimal(1),)])["digest"]
+    )
+
+
+def test_canonical_digest_buckets_localize():
+    """Bucket breakdown: total row count is conserved, and changing one
+    row perturbs exactly the bucket(s) holding that row's digest."""
+    from .oracle import canonical_digest
+
+    rows = [(i, f"s{i}") for i in range(500)]
+    d = canonical_digest(["k", "v"], rows)
+    assert d["n_rows"] == 500
+    assert sum(n for n, _ in d["buckets"].values()) == 500
+    mutated = list(rows)
+    mutated[123] = (123, "CHANGED")
+    d2 = canonical_digest(["k", "v"], mutated)
+    changed = {
+        b
+        for b in set(d["buckets"]) | set(d2["buckets"])
+        if d["buckets"].get(b) != d2["buckets"].get(b)
+    }
+    assert 1 <= len(changed) <= 2  # old row's bucket out, new row's in
+
+
+def test_canonical_digest_nested_and_temporal_types():
+    """Arrays, structs-as-dicts, dates, timestamps and bytes all encode
+    deterministically."""
+    import datetime as dt
+
+    from .oracle import canonical_digest
+
+    rows = [
+        (
+            [1, 2, 3],
+            {"k": 1.5},
+            dt.date(2026, 8, 15),
+            dt.datetime(2026, 8, 15, 12, 0, 0),
+            b"\x00\xff",
+        )
+    ]
+    a = canonical_digest(["arr", "m", "d", "ts", "b"], rows)
+    b = canonical_digest(["arr", "m", "d", "ts", "b"], list(rows))
+    assert a == b
+    rows2 = [([1, 2, 4], *rows[0][1:])]
+    assert a != canonical_digest(["arr", "m", "d", "ts", "b"], rows2)

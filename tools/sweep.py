@@ -14,8 +14,19 @@ failure mode the oracle comparison cannot see: run-to-run nondeterminism
 from shuffle-order-dependent double aggregation -- exactly what makes a
 locally-green query fail the driver's representation-sensitive hash.
 
+With ``--digest out.json``, additionally writes a canonical result
+digest per query (tests/oracle.py::canonical_digest -- rows sorted,
+floats as IEEE bit patterns, NaN/-0.0 normalized, Decimals canonical,
+256-bucket breakdown) for BOTH the Spark result and the DuckDB oracle
+result, plus the engine versions used.  The committed artifact is the
+reference a later driver hash-mismatch is diffed against: digest drift
+vs the committed file means the repo's own output moved; identical
+digests prove the divergence is outside the repo (engine build /
+driver-side representation), and the bucket diff localizes WHICH rows
+differ without committing full result sets.  (VERDICT r7 item #2.)
+
 Usage:  python tools/sweep.py [--stability] [--stability-only]
-                              [--only a,b,c] [sf_dir]
+                              [--only a,b,c] [--digest out.json] [sf_dir]
         (default sf_dir /root/testdata/sf0.01; --only restricts to the
         named queries, --only @window to the driver PRIORITY_WINDOW;
         --stability-only runs ONLY the two-layout bit-identity check,
@@ -61,6 +72,11 @@ def main() -> int:
     stability_only = "--stability-only" in argv
     argv = [a for a in argv if a != "--stability-only"]
     stability = "--stability" in argv or stability_only
+    digest_out: str | None = None
+    if "--digest" in argv:
+        i = argv.index("--digest")
+        digest_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
     only: set[str] | None = None
     if "--only" in argv:
         i = argv.index("--only")
@@ -96,15 +112,34 @@ def main() -> int:
         assert not unknown, f"--only names not registered: {sorted(unknown)}"
         queries = {n: f for n, f in queries.items() if n in only}
     failures: list[str] = []
+    digests: dict[str, dict] = {}
     for i, name in enumerate(sorted(queries), 1):
         try:
             if stability_only:
                 status = "OK (oracle skipped)"
             elif name in oracles:
-                assert_matches_oracle(queries[name](spark, sf_dir), oracles[name], sf_dir)
+                sink: dict | None = {} if digest_out is not None else None
+                assert_matches_oracle(
+                    queries[name](spark, sf_dir),
+                    oracles[name],
+                    sf_dir,
+                    digest_sink=sink,
+                )
+                if sink is not None:
+                    digests[name] = sink
                 status = "OK"
             else:
-                n = len(queries[name](spark, sf_dir).collect())
+                df = queries[name](spark, sf_dir)
+                rows = df.collect()
+                if digest_out is not None:
+                    from tests.oracle import canonical_digest
+
+                    digests[name] = {
+                        "spark": canonical_digest(
+                            df.columns, [tuple(r) for r in rows]
+                        )
+                    }
+                n = len(rows)
                 status = f"OK rows-only ({n} rows)"
             if stability:
                 spark.catalog.clearCache()
@@ -115,6 +150,26 @@ def main() -> int:
             status = f"FAIL {str(exc)[:160]}"
         print(f"[{i}/{len(queries)}] {status:<24} {name}", flush=True)
         spark.catalog.clearCache()
+
+    if digest_out is not None:
+        import json
+        import platform
+
+        import duckdb
+        import pyspark
+
+        artifact = {
+            "sf_dir": sf_dir,
+            "engines": {
+                "pyspark": pyspark.__version__,
+                "duckdb": duckdb.__version__,
+                "python": platform.python_version(),
+            },
+            "queries": digests,
+        }
+        with open(digest_out, "w") as fh:
+            json.dump(artifact, fh, indent=1, sort_keys=True)
+        print(f"digests: {len(digests)} queries -> {digest_out}")
 
     print(f"\nsweep: {len(queries) - len(failures)}/{len(queries)} passed at {sf_dir}")
     if failures:
