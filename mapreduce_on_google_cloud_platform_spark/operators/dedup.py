@@ -2533,7 +2533,9 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_a",
             "doc_b",
-            F.round("jaccard", 6).alias("jaccard"),
+            # unrounded: a single IEEE division of exact ints (round(6)
+            # of an exact rational is the pca_gram_stats red-class)
+            F.col("jaccard").alias("jaccard"),
             est.alias("est_jaccard"),
             (
                 matches * F.col("n_union")
@@ -2587,7 +2589,7 @@ def _minhash_estimate_error_oracle() -> str:
               >= {JACCARD_THRESHOLD}
     )
     SELECT exact.doc_a, exact.doc_b,
-           round(jaccard, 6) AS jaccard,
+           jaccard,
            CAST(({lane_matches}) AS DOUBLE) / {NUM_MINHASHES}.0
                AS est_jaccard,
            CAST(({lane_matches}) * n_union
@@ -2649,11 +2651,15 @@ def lsh_bucket_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
             "max_bucket",
             "pair_mass",
-            F.when(F.col("band_pair_mass") > 0, F.round(
+            # round-8 de-float: a single IEEE division of exact bigints
+            # is bit-deterministic cross-engine; round(6) of an exact
+            # rational is the pca_gram_stats red-class (tie-boundary
+            # hits resolve differently across engine builds)
+            F.when(
+                F.col("band_pair_mass") > 0,
                 F.col("pair_mass").cast("double")
                 / F.col("band_pair_mass").cast("double"),
-                6,
-            )).otherwise(F.lit(0.0)).alias("pair_mass_share"),
+            ).otherwise(F.lit(0.0)).alias("pair_mass_share"),
         )
         .orderBy("band", "bucket")
     )
@@ -2710,8 +2716,8 @@ def _lsh_bucket_balance_oracle() -> str:
            CAST(max(s) AS BIGINT) AS max_bucket,
            CAST(sum(m) AS BIGINT) AS pair_mass,
            CASE WHEN any_value(band_pair_mass) > 0
-                THEN round(CAST(sum(m) AS DOUBLE)
-                           / CAST(any_value(band_pair_mass) AS DOUBLE), 6)
+                THEN CAST(sum(m) AS DOUBLE)
+                     / CAST(any_value(band_pair_mass) AS DOUBLE)
                 ELSE 0.0e0 END AS pair_mass_share
     FROM sized JOIN band_tot USING (band)
     GROUP BY band, bucket
@@ -2780,17 +2786,21 @@ def dedup_survivor_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "double"
         )
     )
+    # round-8 de-float: shares and the bias ratio are single IEEE
+    # divisions of exact integers / exact decimal products -- emitted
+    # unrounded (bit-deterministic cross-engine); round(6) of an exact
+    # rational is the pca_gram_stats red-class.
     return merged.select(
         "source",
         "n_before",
         "n_after",
-        F.round(F.col("n_before").cast("double") / F.col("tb"), 6).alias(
+        (F.col("n_before").cast("double") / F.col("tb")).alias(
             "share_before"
         ),
-        F.round(F.col("n_after").cast("double") / F.col("ta"), 6).alias(
+        (F.col("n_after").cast("double") / F.col("ta")).alias(
             "share_after"
         ),
-        F.round(bias, 6).alias("bias_ratio"),
+        bias.alias("bias_ratio"),
     ).orderBy("source")
 
 
@@ -2836,13 +2846,12 @@ SURVIVOR_BIAS_ORACLE = f"""
     SELECT b.source,
            n_before,
            CAST(coalesce(n_after, 0) AS BIGINT) AS n_after,
-           round(CAST(n_before AS DOUBLE) / tb, 6) AS share_before,
-           round(CAST(coalesce(n_after, 0) AS DOUBLE) / ta, 6)
-               AS share_after,
-           round(CAST(CAST(coalesce(n_after, 0) AS DECIMAL(38,0))
-                      * CAST(tb AS DECIMAL(38,0)) AS DOUBLE)
-                 / CAST(CAST(n_before AS DECIMAL(38,0))
-                        * CAST(ta AS DECIMAL(38,0)) AS DOUBLE), 6)
+           CAST(n_before AS DOUBLE) / tb AS share_before,
+           CAST(coalesce(n_after, 0) AS DOUBLE) / ta AS share_after,
+           CAST(CAST(coalesce(n_after, 0) AS DECIMAL(38,0))
+                * CAST(tb AS DECIMAL(38,0)) AS DOUBLE)
+               / CAST(CAST(n_before AS DECIMAL(38,0))
+                      * CAST(ta AS DECIMAL(38,0)) AS DOUBLE)
                AS bias_ratio
     FROM before_ b LEFT JOIN after_ a USING (source), tot
     ORDER BY source

@@ -268,8 +268,10 @@ def ann_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("row.np").alias("nprobe"),
             "n_pairs",
             F.col("row.n_hits").alias("n_hits"),
-            F.round(
-                F.col("row.n_hits").cast("double") / F.col("n_pairs"), 6
+            # unrounded: single IEEE division of exact ints (round(6)
+            # of an exact rational is the pca_gram_stats red-class)
+            (
+                F.col("row.n_hits").cast("double") / F.col("n_pairs")
             ).alias("candidate_recall"),
         )
         .orderBy("nprobe")
@@ -284,7 +286,7 @@ def _nprobe_curve_oracle() -> str:
     )
     rows = "\n    UNION ALL\n".join(
         f"""    SELECT {np} AS nprobe, n_pairs, hits_{np} AS n_hits,
-           round(CAST(hits_{np} AS DOUBLE) / n_pairs, 6) AS candidate_recall
+           CAST(hits_{np} AS DOUBLE) / n_pairs AS candidate_recall
     FROM agg"""
         for np in NPROBE_LADDER
     )
@@ -1826,10 +1828,11 @@ def ann_recall_at_k_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("row.k").alias("k"),
             "n_queries",
             F.col("row.n_hits").alias("n_hits"),
-            F.round(
+            # unrounded: single IEEE division of exact ints (round(6)
+            # of an exact rational is the pca_gram_stats red-class)
+            (
                 F.col("row.n_hits").cast("double")
-                / (F.col("row.k") * F.col("n_queries")),
-                6,
+                / (F.col("row.k") * F.col("n_queries"))
             ).alias("recall_at_k"),
         )
         .orderBy("k")
@@ -1845,8 +1848,8 @@ def _recall_curve_oracle() -> str:
     rows = "\n    UNION ALL\n".join(
         f"""    SELECT {k} AS k, (SELECT n_queries FROM nq) AS n_queries,
            hits_{k} AS n_hits,
-           round(CAST(hits_{k} AS DOUBLE)
-                 / ({k} * (SELECT n_queries FROM nq)), 6) AS recall_at_k
+           CAST(hits_{k} AS DOUBLE)
+               / ({k} * (SELECT n_queries FROM nq)) AS recall_at_k
     FROM hits"""
         for k in RECALL_LADDER
     )
@@ -1949,10 +1952,11 @@ def matryoshka_dim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dim",
             "n_queries",
             "n_hits",
-            F.round(
+            # unrounded: single IEEE division of exact ints (round(6)
+            # of an exact rational is the pca_gram_stats red-class)
+            (
                 F.col("n_hits").cast("double")
-                / (F.col("n_queries") * K_NEIGHBORS),
-                6,
+                / (F.col("n_queries") * K_NEIGHBORS)
             ).alias("recall_at_k"),
         )
         .orderBy("dim")
@@ -1965,8 +1969,8 @@ def _matryoshka_oracle() -> str:
     SELECT {d} AS dim,
            (SELECT n_queries FROM nq) AS n_queries,
            CAST(count(*) AS BIGINT) AS n_hits,
-           round(CAST(count(*) AS DOUBLE)
-                 / ((SELECT n_queries FROM nq) * {K_NEIGHBORS}), 6)
+           CAST(count(*) AS DOUBLE)
+               / ((SELECT n_queries FROM nq) * {K_NEIGHBORS})
                AS recall_at_k
     FROM (
         SELECT q_id, neighbor_id FROM (
@@ -2425,7 +2429,7 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         F.col("dim").cast("int").alias("dim"),
         "n",
-        F.round(mean, 9).alias("mean_v"),
+        mean.alias("mean_v"),  # two fixed-order IEEE divisions, unrounded
         (
             F.col("n").cast(dec) * F.col("sqq").cast(dec)
             - F.col("sq").cast(dec) * F.col("sq").cast(dec)
@@ -2452,7 +2456,7 @@ DIM_STATS_ORACLE = f"""
         FROM qs GROUP BY dim
     )
     SELECT CAST(dim AS INTEGER) AS dim, n,
-           round(CAST(sq AS DOUBLE) / n / {QUANT_SCALE}, 9) AS mean_v,
+           CAST(sq AS DOUBLE) / n / {QUANT_SCALE} AS mean_v,
            CAST(CAST(n AS HUGEINT) * CAST(sqq AS HUGEINT)
                 - CAST(sq AS HUGEINT) * CAST(sq AS HUGEINT)
                 AS DECIMAL(38,0)) AS var_num,
@@ -2730,8 +2734,10 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         "n_vecs",
         F.col("dist2_q").cast("decimal(38,0)").alias("dist2_q"),
-        F.round(
-            F.sqrt(F.col("dist2_q").cast("double")) / denom, 6
+        # unrounded: sqrt is IEEE correctly-rounded, so the fixed
+        # sqrt/divide chain over exact ints is bit-deterministic
+        (
+            F.sqrt(F.col("dist2_q").cast("double")) / denom
         ).alias("centroid_dist"),
     ).orderBy("label")
 
@@ -2762,9 +2768,9 @@ EMBEDDING_CENTROID_DRIFT_ORACLE = f"""
     )
     SELECT label, n_vecs,
            CAST(dist2_q AS DECIMAL(38,0)) AS dist2_q,
-           round(sqrt(CAST(dist2_q AS DOUBLE))
-                 / (CAST(n_vecs AS DOUBLE) * CAST(n_total AS DOUBLE)
-                    * {QUANT_SCALE}.0), 6) AS centroid_dist
+           sqrt(CAST(dist2_q AS DOUBLE))
+               / (CAST(n_vecs AS DOUBLE) * CAST(n_total AS DOUBLE)
+                  * {QUANT_SCALE}.0) AS centroid_dist
     FROM per_label
     ORDER BY label
 """
@@ -2831,8 +2837,10 @@ def label_centroid_distance_matrix(spark: SparkSession, sf_dir: str) -> DataFram
         "n_a",
         "n_b",
         F.col("dist2_q").cast("decimal(38,0)").alias("dist2_q"),
-        F.round(
-            F.sqrt(F.col("dist2_q").cast("double")) / denom, 6
+        # unrounded: sqrt is IEEE correctly-rounded, so the fixed
+        # sqrt/divide chain over exact ints is bit-deterministic
+        (
+            F.sqrt(F.col("dist2_q").cast("double")) / denom
         ).alias("centroid_dist"),
     ).orderBy("label_a", "label_b")
 
@@ -2861,9 +2869,9 @@ LABEL_CENTROID_MATRIX_ORACLE = f"""
     )
     SELECT label_a, label_b, n_a, n_b,
            CAST(dist2_q AS DECIMAL(38,0)) AS dist2_q,
-           round(sqrt(CAST(dist2_q AS DOUBLE))
-                 / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
-                    * {QUANT_SCALE}.0), 6) AS centroid_dist
+           sqrt(CAST(dist2_q AS DOUBLE))
+               / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                  * {QUANT_SCALE}.0) AS centroid_dist
     FROM per_pair
     ORDER BY label_a, label_b
 """

@@ -1738,8 +1738,10 @@ def welch_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n_b",
         "n_c",
-        F.round(mean_b, 6).alias("mean_base_cents"),
-        F.round(mean_c, 6).alias("mean_cur_cents"),
+        # unrounded: single IEEE divisions of exact ints (round(6)
+        # of an exact rational is the pca red-class)
+        mean_b.alias("mean_base_cents"),
+        mean_c.alias("mean_cur_cents"),
         (n_c.cast(DEC) * F.col("sx_b") - n_b.cast(DEC) * F.col("sx_c"))
         .cast(DEC)
         .alias("mean_diff_num"),
@@ -1808,8 +1810,8 @@ WELCH_T_ORACLE = f"""
         FROM vars_
     )
     SELECT event_type, n_b, n_c,
-           round(mean_b, 6) AS mean_base_cents,
-           round(mean_c, 6) AS mean_cur_cents,
+           mean_b AS mean_base_cents,
+           mean_c AS mean_cur_cents,
            mean_diff_num, var_num_b, var_num_c,
            (mean_b - mean_c) / sqrt(se_b + se_c) AS t_stat,
            (se_b + se_c) * (se_b + se_c)
@@ -1880,8 +1882,10 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "day",
             "value_cents",
-            F.round(
-                F.col("_num").cast("double") / F.col("n_days").cast("double"), 6
+            # unrounded: single IEEE division of exact decimals
+            # (round(6) of an exact rational is the pca red-class)
+            (
+                F.col("_num").cast("double") / F.col("n_days").cast("double")
             ).alias("cusum_cents"),
             (F.col("_absnum") == F.col("_peak")).alias("is_peak"),
         )
@@ -1919,8 +1923,7 @@ CUSUM_ORACLE = """
         FROM pref JOIN tot ON pref.event_type = tot.event_type
     )
     SELECT event_type, day, CAST(x AS BIGINT) AS value_cents,
-           round(CAST(num AS DOUBLE) / CAST(n_days AS DOUBLE), 6)
-               AS cusum_cents,
+           CAST(num AS DOUBLE) / CAST(n_days AS DOUBLE) AS cusum_cents,
            abs(num) = max(abs(num)) OVER (PARTITION BY event_type) AS is_peak
     FROM scored
     ORDER BY event_type, day
@@ -1934,7 +1937,9 @@ CUSUM_ORACLE = """
 # per-type daily table; all five sufficient sums are decimal-exact, the
 # two variance factors cast to double SEPARATELY before sqrt (their
 # decimal product could exceed 38 digits), and r1 is a fixed-order double
-# chain rounded at 6 dp.  Scale: same shape as cusum_changepoint -- the
+# chain emitted UNROUNDED (round-8 de-float: every op is IEEE
+# correctly-rounded over exact inputs, so the raw double is
+# bit-deterministic cross-engine while round() was the pca red-class).  Scale: same shape as cusum_changepoint -- the
 # window touches only (event_type, day) aggregates, bounded by the
 # calendar, with map-side-combinable daily reduction underneath.
 
@@ -1970,7 +1975,9 @@ def daily_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
     num = (n * F.col("sab") - F.col("sa") * F.col("sb")).cast("double")
     fa = (n * F.col("saa") - F.col("sa") * F.col("sa")).cast("double")
     fb = (n * F.col("sbb") - F.col("sb") * F.col("sb")).cast("double")
-    r1 = F.round(num / (F.sqrt(fa) * F.sqrt(fb)), 6)
+    # unrounded fixed IEEE chain over exact decimal-cast inputs (the
+    # welch_t_test de-float precedent); round(6) was the pca red-class
+    r1 = num / (F.sqrt(fa) * F.sqrt(fb))
     return agg.select(
         "event_type",
         "n_pairs",
@@ -2005,18 +2012,16 @@ AUTOCORR_ORACLE = """
         GROUP BY event_type
     )
     SELECT event_type, n_pairs,
-           round(CAST(CAST(n_pairs AS DECIMAL(38,0)) * sab - sa * sb
-                      AS DOUBLE)
-                 / (sqrt(CAST(CAST(n_pairs AS DECIMAL(38,0)) * saa - sa * sa
-                              AS DOUBLE))
-                    * sqrt(CAST(CAST(n_pairs AS DECIMAL(38,0)) * sbb - sb * sb
-                                AS DOUBLE))), 6) AS r1,
-           round(CAST(CAST(n_pairs AS DECIMAL(38,0)) * sab - sa * sb
-                      AS DOUBLE)
-                 / (sqrt(CAST(CAST(n_pairs AS DECIMAL(38,0)) * saa - sa * sa
-                              AS DOUBLE))
-                    * sqrt(CAST(CAST(n_pairs AS DECIMAL(38,0)) * sbb - sb * sb
-                                AS DOUBLE))), 6) > 0.0e0 AS is_persistent
+           CAST(CAST(n_pairs AS DECIMAL(38,0)) * sab - sa * sb AS DOUBLE)
+               / (sqrt(CAST(CAST(n_pairs AS DECIMAL(38,0)) * saa - sa * sa
+                            AS DOUBLE))
+                  * sqrt(CAST(CAST(n_pairs AS DECIMAL(38,0)) * sbb - sb * sb
+                              AS DOUBLE))) AS r1,
+           CAST(CAST(n_pairs AS DECIMAL(38,0)) * sab - sa * sb AS DOUBLE)
+               / (sqrt(CAST(CAST(n_pairs AS DECIMAL(38,0)) * saa - sa * sa
+                            AS DOUBLE))
+                  * sqrt(CAST(CAST(n_pairs AS DECIMAL(38,0)) * sbb - sb * sb
+                              AS DOUBLE))) > 0.0e0 AS is_persistent
     FROM agg
     ORDER BY event_type
 """
@@ -2065,7 +2070,9 @@ def event_type_daily_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     num = (n * F.col("sab") - F.col("sa") * F.col("sb")).cast("double")
     fa = (n * F.col("saa") - F.col("sa") * F.col("sa")).cast("double")
     fb = (n * F.col("sbb") - F.col("sb") * F.col("sb")).cast("double")
-    r = F.round(num / (F.sqrt(fa) * F.sqrt(fb)), 6)
+    # unrounded fixed IEEE chain over exact decimal-cast inputs (the
+    # welch_t_test de-float precedent); round(6) was the pca red-class
+    r = num / (F.sqrt(fa) * F.sqrt(fb))
     return agg.select(
         "type_a", "type_b", "n_days", r.alias("r")
     ).orderBy("type_a", "type_b")
@@ -2099,12 +2106,11 @@ DAILY_CORR_ORACLE = """
         GROUP BY type_a, type_b
     )
     SELECT type_a, type_b, n_days,
-           round(CAST(CAST(n_days AS DECIMAL(38,0)) * sab - sa * sb
-                      AS DOUBLE)
-                 / (sqrt(CAST(CAST(n_days AS DECIMAL(38,0)) * saa - sa * sa
-                              AS DOUBLE))
-                    * sqrt(CAST(CAST(n_days AS DECIMAL(38,0)) * sbb - sb * sb
-                                AS DOUBLE))), 6) AS r
+           CAST(CAST(n_days AS DECIMAL(38,0)) * sab - sa * sb AS DOUBLE)
+               / (sqrt(CAST(CAST(n_days AS DECIMAL(38,0)) * saa - sa * sa
+                            AS DOUBLE))
+                  * sqrt(CAST(CAST(n_days AS DECIMAL(38,0)) * sbb - sb * sb
+                              AS DOUBLE))) AS r
     FROM agg
     ORDER BY type_a, type_b
 """

@@ -3892,8 +3892,9 @@ def char_trigram_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
             "trigram",
             "n_occurrences",
-            F.round(
-                F.col("n_occurrences").cast("double") / F.col("total"), 6
+            # unrounded exact-int division (pca red-class avoidance)
+            (
+                F.col("n_occurrences").cast("double") / F.col("total")
             ).alias("share"),
         )
         .orderBy("lang", "rank")
@@ -3930,7 +3931,7 @@ CHAR_TRIGRAM_ORACLE = f"""
         FROM counts
     )
     SELECT lang, rank, trigram, n_occurrences,
-           round(CAST(n_occurrences AS DOUBLE) / total, 6) AS share
+           CAST(n_occurrences AS DOUBLE) / total AS share
     FROM ranked JOIN lang_tot USING (lang)
     WHERE rank <= {TRIGRAM_TOP_K}
     ORDER BY lang, rank
@@ -3984,11 +3985,12 @@ def pii_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_emails",
         "n_digit_runs",
         "n_sensitive",
-        F.round(
-            F.col("docs_with_pii").cast("double") / F.col("n_docs"), 6
+        # unrounded exact-int divisions (pca red-class avoidance)
+        (
+            F.col("docs_with_pii").cast("double") / F.col("n_docs")
         ).alias("pii_doc_rate"),
-        F.round(
-            (hits * F.lit(10000)).cast("double") / F.col("n_chars"), 6
+        (
+            (hits * F.lit(10000)).cast("double") / F.col("n_chars")
         ).alias("hits_per_10k_chars"),
     ).orderBy("source")
 
@@ -4015,9 +4017,9 @@ PII_BY_SOURCE_ORACLE = rf"""
         GROUP BY source
     )
     SELECT source, n_docs, docs_with_pii, n_emails, n_digit_runs, n_sensitive,
-           round(CAST(docs_with_pii AS DOUBLE) / n_docs, 6) AS pii_doc_rate,
-           round(CAST((n_emails + n_digit_runs + n_sensitive) * 10000
-                      AS DOUBLE) / n_chars, 6) AS hits_per_10k_chars
+           CAST(docs_with_pii AS DOUBLE) / n_docs AS pii_doc_rate,
+           CAST((n_emails + n_digit_runs + n_sensitive) * 10000
+                AS DOUBLE) / n_chars AS hits_per_10k_chars
     FROM agg
     ORDER BY source
 """
@@ -4057,11 +4059,12 @@ def langid_mismatch_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         "n_mismatch",
         "n_unknown",
-        F.round(
-            F.col("n_mismatch").cast("double") / F.col("n_docs"), 6
+        # unrounded exact-int divisions (pca red-class avoidance)
+        (
+            F.col("n_mismatch").cast("double") / F.col("n_docs")
         ).alias("mismatch_rate"),
-        F.round(
-            F.col("n_unknown").cast("double") / F.col("n_docs"), 6
+        (
+            F.col("n_unknown").cast("double") / F.col("n_docs")
         ).alias("unknown_rate"),
     ).orderBy("source")
 
@@ -4084,8 +4087,8 @@ LANGID_MISMATCH_ORACLE = f"""
         GROUP BY source
     )
     SELECT source, n_docs, n_mismatch, n_unknown,
-           round(CAST(n_mismatch AS DOUBLE) / n_docs, 6) AS mismatch_rate,
-           round(CAST(n_unknown AS DOUBLE) / n_docs, 6) AS unknown_rate
+           CAST(n_mismatch AS DOUBLE) / n_docs AS mismatch_rate,
+           CAST(n_unknown AS DOUBLE) / n_docs AS unknown_rate
     FROM agg
     ORDER BY source
 """
@@ -4138,11 +4141,12 @@ def vocab_oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_oov_tokens",
         "n_types",
         "n_oov_types",
-        F.round(
-            F.col("n_oov_tokens").cast("double") / F.col("n_tokens"), 6
+        # unrounded exact-int divisions (pca red-class avoidance)
+        (
+            F.col("n_oov_tokens").cast("double") / F.col("n_tokens")
         ).alias("oov_token_rate"),
-        F.round(
-            F.col("n_oov_types").cast("double") / F.col("n_types"), 6
+        (
+            F.col("n_oov_types").cast("double") / F.col("n_types")
         ).alias("oov_type_rate"),
     ).orderBy("source")
 
@@ -4179,9 +4183,8 @@ VOCAB_OOV_ORACLE = f"""
         GROUP BY source
     )
     SELECT source, n_tokens, n_oov_tokens, n_types, n_oov_types,
-           round(CAST(n_oov_tokens AS DOUBLE) / n_tokens, 6)
-               AS oov_token_rate,
-           round(CAST(n_oov_types AS DOUBLE) / n_types, 6) AS oov_type_rate
+           CAST(n_oov_tokens AS DOUBLE) / n_tokens AS oov_token_rate,
+           CAST(n_oov_types AS DOUBLE) / n_types AS oov_type_rate
     FROM agg
     ORDER BY source
 """

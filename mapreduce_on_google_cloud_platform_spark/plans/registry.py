@@ -136,87 +136,90 @@ for _name, _fn, _oracle in SQL_SURFACE_QUERIES:
 # per family so registry growth can't silently push a family dark.
 DRIVER_WINDOW = 50
 
-# Round-7 rotation (VERDICT r6 item #1): the window is declared BY FAMILY
+# Round-8 rotation (VERDICT r7 item #4): the window is declared BY FAMILY
 # so the family-coverage pin (tests/test_plans.py) derives from this dict
 # instead of duplicating it.  Composition this round:
 #   * one multi-round-green ANCHOR per family (a systemic regression is
 #     still caught by a known-stable query);
-#   * 36 FIRST-TIMERS -- oracle-checked queries that have never received
-#     a per-round driver hash (52 remained after r6's clean 32/32; the
-#     remaining 16 rotate in next round).  All 19 round-6 additions are
-#     included, notably the two round-7 RE-PLANNED queries
-#     (source_frequency_cap, lang_token_budget_selection) and the
-#     decimal-lifted kmeans_cluster_quality, whose numerics must bank a
-#     fresh hash.  Every rotated-out sibling stays covered by
-#     tools/sweep.py + pytest oracle parity.
+#   * 2 RE-BANKS whose output schema changed in the round-8 de-float --
+#     pca_gram_stats (the r7 driver-red: cov_q -> exact cov_num) and
+#     embedding_dim_stats (r6-green but var_v -> exact var_num), both of
+#     which must bank fresh hashes over the new exact-decimal columns;
+#   * 34 FIRST-TIMERS -- oracle-checked queries that have never received
+#     a per-round driver hash (69 remained after r7's 35-green/1-red
+#     rotation; the remaining 35 rotate in next round).  Prioritized per
+#     the r7 verdict: the round-7 statistical-test suite and product
+#     analytics pack, the dedup/ANN audit curves, and the two SQL-surface
+#     twins -- including the two de-floated queries welch_t_test and
+#     minhash_estimate_error whose exact numerator columns replace
+#     rounded cancellation doubles.  Every rotated-out sibling stays
+#     covered by tools/sweep.py + pytest oracle parity.
 PRIORITY_FAMILIES: dict[str, tuple[str, ...]] = {
     # reference parity: the reference's own two queries stay pinned
     "parity": ("wordcount", "inverted_index"),
     "dedup": (
         "dedup_exact",  # anchor
-        "cluster_size_histogram",
-        "cosine_threshold_curve",
-        "dedup_cluster_survivors",
-        "dedup_containment",
-        "dedup_minhash_stopshingle",
-        "doc_pair_passage_overlap",
-        "incremental_dedup_new_docs",
+        "lsh_bucket_balance",
+        "minhash_estimate_error",  # de-floated: exact err_num/err_den
+        "dedup_survivor_bias_audit",
     ),
-    "graph": (
-        "neardup_pagerank",  # anchor
-        "neardup_degree_profile",
-    ),
+    "graph": ("neardup_pagerank",),  # anchor
     "similarity": (
         "ann_ivf_topk",  # anchor
-        "kmeans_cluster_quality",  # decimal-lifted sum this round
-        "kmeans_label_purity",
-        "pca_gram_stats",
-        "embedding_norm_outliers",
+        "pca_gram_stats",  # RE-BANK: r7 red, now exact cov_num
+        "embedding_dim_stats",  # RE-BANK: var_v -> exact var_num
+        "ann_recall_at_k_curve",
+        "ann_ivf_nprobe_curve",
+        "matryoshka_dim_recall",
+        "knn_label_agreement",
+        "label_centroid_distance_matrix",
     ),
     "text": (
         "text_tfidf",  # anchor
-        "bpe_pair_counts",
-        "kn_continuation_probs",
-        "perplexity_quality_buckets",
-        "quality_gate_stack",
-        "tfidf_topk_terms",
-        "training_shard_manifest",
-        "length_bucket_profile",
+        "char_trigram_lang_profile",
+        "langid_mismatch_by_source",
+        "pii_rate_by_source",
+        "vocab_oov_rate_by_source",
+        "quality_score_auc",
+        "quality_score_calibration",
     ),
-    "pipeline": (
-        "curation_pipeline",  # anchor
-        "corpus_source_lang_matrix",
-        "source_frequency_cap",  # re-planned this round: two-phase top-K
-        "lang_token_budget_selection",  # re-planned: range prefix sum
-        "language_sampling_weights",
-        "embedding_alignment_audit",
-        "event_rollup_cascade",
-    ),
+    "pipeline": ("curation_pipeline",),  # anchor
     "statistics": (
         "quantile_summary",  # anchor
-        "daily_value_anomalies",
-        "distinct_users_sketch_profile",
-        "table_stats_profile",
+        "chi_square_independence",
+        "welch_t_test",  # de-floated: exact numerators, unrounded t/df
+        "cusum_changepoint",
+        "ks_drift_test",
+        "daily_autocorr_lag1",
+        "theil_sen_daily_trend",
+        "benford_first_digit_audit",
+        "global_exact_quantiles",
+        "event_type_daily_corr",
     ),
     "relational": (
         "q18_large_orders",  # anchor (driver-green r1)
-        "copurchase_part_pairs",
-        "join_cardinality_estimate",
-        "join_key_skew_profile",
+        "customer_spend_gini",
+        "order_basket_profile",
+        "copurchase_rules",
     ),
     "temporal": (
         "asof_join_purchase_view",  # anchor
-        "event_disorder_profile",
-        "event_transition_matrix",
-        "hour_of_week_profile",
-        "interarrival_profile",
+        "dau_wau_stickiness",
+        "new_vs_returning_users",
+        "conversion_latency_histogram",
+        "session_length_histogram",
+        "daily_profile_similarity",
     ),
     "streaming": ("tumbling_window_events",),  # anchor
     "multimodal": ("multimodal_dedup",),  # anchor
-    "join_strategies": ("skew_join_salted",),  # anchor
+    "join_strategies": (
+        "skew_join_salted",  # anchor
+        "bloom_filter_fpr_audit",
+    ),
     "sql_surface": (
-        "q1_pricing_summary_sql",  # anchor (driver-green r5+r6)
-        "incremental_segment_revenue_sql",
+        "q1_pricing_summary_sql",  # anchor (driver-green r5-r7)
+        "source_frequency_cap_sql",
+        "table_stats_profile_sql",
     ),
 }
 
