@@ -2402,39 +2402,42 @@ KNN_LABEL_AGREEMENT_ORACLE = f"""
 # the exploded (vec_id, dim, q) stream collapses to 64 groups with full
 # partial aggregation -- each map task emits 64 rows regardless of input
 # size, so the reduce side is O(64 * tasks) at any corpus scale.
-# Overflow headroom: |q| <= ~1e6 so q^2 <= ~1e12; int64 holds ~9.2e18,
-# i.e. ~9M rows per dimension before sum(q^2) could overflow -- beyond
-# that, promote the two sums to DECIMAL(38,0) (noted, not needed at any
-# testdata SF).
+# Overflow: sum(q^2) accumulates DIRECTLY in DECIMAL(38,0) (q^2 is
+# ~1e12/row, so a BIGINT sum would wrap silently past ~9M rows/dim;
+# DuckDB's sum(BIGINT) promotes to HUGEINT, so summing into decimal on
+# the Spark side keeps both engines exact at any corpus size --
+# ADVICE r8).  The EMITTED var_num is CAST to BIGINT: decimal output
+# columns decay to float64 through the driver's pandas fetch of the
+# DuckDB oracle while Spark surfaces decimal.Decimal (the r7+r8
+# driver-red class).  var_num <= 6.9e16 at sf0.1 (measured), linear in
+# rows/dim -- int64-safe through ~sf10; past that, lift the output to
+# the canonical STRING channel like the dist2_q family.
 # ---------------------------------------------------------------------------
 
 
 def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = _emb_fixed_point(spark, sf_dir)
+    dec = "decimal(38,0)"
     agg = qs.groupBy("dim").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("q").alias("sq"),
-        F.sum(F.col("q") * F.col("q")).alias("sqq"),
+        F.sum(F.col("q").cast(dec)).alias("sq"),
+        F.sum((F.col("q") * F.col("q")).cast(dec)).alias("sqq"),
         F.min("q").alias("qmin"),
         F.max("q").alias("qmax"),
     )
-    # Round-8 de-float (VERDICT r7 #3, same class as pca_gram_stats'
-    # round-7 red): the population-variance numerator n*sum(q^2) -
-    # sum(q)^2 is emitted EXACT in DECIMAL(38,0) (n*sqq overflows BIGINT
-    # past ~9M rows/dim, so both engines lift before multiplying);
-    # consumers divide by n^2 * 1e12 to recover var.  The old ``var_v =
-    # round(meansq - mean^2, 9)`` rounded a cancellation double.
-    dec = "decimal(38,0)"
+    # Population-variance numerator n*sum(q^2) - sum(q)^2, exact in
+    # decimal internally, emitted as BIGINT (consumers divide by
+    # n^2 * 1e12 to recover var).
     mean = F.col("sq").cast("double") / F.col("n") / QUANT_SCALE
     return agg.select(
         F.col("dim").cast("int").alias("dim"),
         "n",
         mean.alias("mean_v"),  # two fixed-order IEEE divisions, unrounded
         (
-            F.col("n").cast(dec) * F.col("sqq").cast(dec)
-            - F.col("sq").cast(dec) * F.col("sq").cast(dec)
+            F.col("n").cast(dec) * F.col("sqq")
+            - F.col("sq") * F.col("sq")
         )
-        .cast(dec)
+        .cast("bigint")
         .alias("var_num"),
         (F.col("qmin") / QUANT_SCALE).alias("min_v"),
         (F.col("qmax") / QUANT_SCALE).alias("max_v"),
@@ -2451,15 +2454,15 @@ DIM_STATS_ORACLE = f"""
     agg AS (
         SELECT dim, count(*) AS n,
                CAST(sum(q) AS BIGINT) AS sq,
-               CAST(sum(q * q) AS BIGINT) AS sqq,
+               sum(CAST(q AS HUGEINT) * q) AS sqq,
                min(q) AS qmin, max(q) AS qmax
         FROM qs GROUP BY dim
     )
     SELECT CAST(dim AS INTEGER) AS dim, n,
            CAST(sq AS DOUBLE) / n / {QUANT_SCALE} AS mean_v,
-           CAST(CAST(n AS HUGEINT) * CAST(sqq AS HUGEINT)
+           CAST(CAST(n AS HUGEINT) * sqq
                 - CAST(sq AS HUGEINT) * CAST(sq AS HUGEINT)
-                AS DECIMAL(38,0)) AS var_num,
+                AS BIGINT) AS var_num,
            qmin / {QUANT_SCALE} AS min_v,
            qmax / {QUANT_SCALE} AS max_v
     FROM agg
@@ -2539,15 +2542,18 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 1e-6 fixed-point grid: per (dim_i <= dim_j) cell, exact integer sums
 # lifted to DECIMAL(38,0) (overflow-proof at any corpus size -- q*q is
 # ~1e12 per row, so BIGINT sums die at ~1e6 rows), plus the centered
-# covariance NUMERATOR ``cov_num = n*g_ij - s_i*s_j`` as an exact
-# DECIMAL(38,0) (consumers divide by n^2 * 1e12 to recover the float
-# covariance).  Round-8 re-plan (VERDICT r7 #1): the previous ``cov_q``
-# column rounded a catastrophic-cancellation double ``(g/n -
-# (s_i/n)(s_j/n)) / 1e12`` at 9 dp -- the true rational can land exactly
-# on a 5e-10 rounding boundary (integer-derived quotient), where
-# different engine builds' round() legitimately disagree; that was the
-# round-7 driver-red.  The exact integer numerator has no rounding step
-# at all.  Magnitude check: n*g_ij <= ~1e9 rows * ~1e21 = 1e30 << 1e38.
+# covariance NUMERATOR ``cov_num = n*g_ij - s_i*s_j`` exact (consumers
+# divide by n^2 * 1e12 to recover the float covariance).  Round-9 output
+# contract (VERDICT r8 #1): the INTERNAL sums stay DECIMAL(38,0), but
+# every EMITTED integer column is CAST to BIGINT -- decimal output
+# columns decay to float64 through the driver's pandas fetch of the
+# DuckDB oracle (``duckdb.sql(...).df()``) while Spark surfaces
+# decimal.Decimal, so the representation-sensitive driver hash reds on
+# bit-identical values (the r7+r8 red class; same lesson as round-5
+# HUGEINT, tests/oracle.py).  Magnitude bound for the BIGINT outputs at
+# testdata geometry: cov_num <= 6.9e16 at sf0.1 (measured), linear in
+# rows -- int64-safe through ~sf10; past that, lift to the canonical
+# STRING channel like the dist2_q family.
 #
 # Scale: the (vec_id, dim, q) explode self-joins on vec_id -- D^2/2 rows
 # per vector (D=64 -> 2080x), shuffled on vec_id then combined per
@@ -2579,13 +2585,14 @@ def pca_gram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dim_i").cast("int").alias("dim_i"),
         F.col("dim_j").cast("int").alias("dim_j"),
         "n",
-        "s_i",
-        "s_j",
-        "g_ij",
+        # BIGINT outputs (driver-hash-safe); exact decimal internally
+        F.col("s_i").cast("bigint").alias("s_i"),
+        F.col("s_j").cast("bigint").alias("s_j"),
+        F.col("g_ij").cast("bigint").alias("g_ij"),
         (
             F.col("n").cast(dec) * F.col("g_ij") - F.col("s_i") * F.col("s_j")
         )
-        .cast(dec)
+        .cast("bigint")
         .alias("cov_num"),
     ).orderBy("dim_i", "dim_j")
 
@@ -2609,10 +2616,13 @@ PCA_GRAM_ORACLE = f"""
     )
     SELECT CAST(dim_i AS INTEGER) AS dim_i,
            CAST(dim_j AS INTEGER) AS dim_j,
-           n, s_i, s_j, g_ij,
+           n,
+           CAST(s_i AS BIGINT) AS s_i,
+           CAST(s_j AS BIGINT) AS s_j,
+           CAST(g_ij AS BIGINT) AS g_ij,
            CAST(CAST(n AS HUGEINT) * CAST(g_ij AS HUGEINT)
                 - CAST(s_i AS HUGEINT) * CAST(s_j AS HUGEINT)
-                AS DECIMAL(38,0)) AS cov_num
+                AS BIGINT) AS cov_num
     FROM agg
     ORDER BY dim_i, dim_j
 """
@@ -2691,9 +2701,16 @@ NORM_OUTLIERS_ORACLE = f"""
 # Exactness: all sums on the 1e-6 fixed-point grid; the squared
 # centroid offset is computed as the EXACT integer
 # sum_d (S_l[d]*n_g - S_g[d]*n_l)^2 -- Spark lifts to decimal(38,0)
-# (values ~1e25, far under 1e38), DuckDB rides HUGEINT then casts, so
-# dist2_q hash-matches bit-for-bit; the readable distance is a single
-# sqrt+division chain of exact values, round(6).
+# (values reach ~1.7e19 at sf0.01, ~1e21 at sf0.1; far under 1e38 but
+# OVER int64), DuckDB rides HUGEINT.  dist2_q is therefore emitted as
+# the canonical STRING of the exact integer: strings survive every
+# fetch path bit-exactly, while decimal outputs decay to float64
+# through the driver's pandas fetch (the r7+r8 red class) and BIGINT
+# overflows.  The readable distance is one sqrt+division chain; the
+# ORACLE recovers the double via VARCHAR (strtod, correctly rounded)
+# because DuckDB's direct DECIMAL->DOUBLE cast is 1-ulp wrong for
+# values >= 2^63 (measured: 180/2000 random ints mis-round; Spark's
+# BigDecimal path and VARCHAR->DOUBLE are both correctly rounded).
 #
 # Scale: one (label, dim) combinable groupBy over the exploded grid
 # (|labels| x 64 cells); global per-dim sums re-aggregate the CELL
@@ -2733,11 +2750,12 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_label.select(
         "label",
         "n_vecs",
-        F.col("dist2_q").cast("decimal(38,0)").alias("dist2_q"),
+        # canonical STRING of the exact integer (> int64 range)
+        F.col("dist2_q").cast("decimal(38,0)").cast("string").alias("dist2_q"),
         # unrounded: sqrt is IEEE correctly-rounded, so the fixed
         # sqrt/divide chain over exact ints is bit-deterministic
         (
-            F.sqrt(F.col("dist2_q").cast("double")) / denom
+            F.sqrt(F.col("dist2_q").cast("decimal(38,0)").cast("double")) / denom
         ).alias("centroid_dist"),
     ).orderBy("label")
 
@@ -2767,8 +2785,8 @@ EMBEDDING_CENTROID_DRIFT_ORACLE = f"""
         GROUP BY label
     )
     SELECT label, n_vecs,
-           CAST(dist2_q AS DECIMAL(38,0)) AS dist2_q,
-           sqrt(CAST(dist2_q AS DOUBLE))
+           CAST(dist2_q AS VARCHAR) AS dist2_q,
+           sqrt(CAST(CAST(dist2_q AS VARCHAR) AS DOUBLE))
                / (CAST(n_vecs AS DOUBLE) * CAST(n_total AS DOUBLE)
                   * {QUANT_SCALE}.0) AS centroid_dist
     FROM per_label
@@ -2783,7 +2801,13 @@ EMBEDDING_CENTROID_DRIFT_ORACLE = f"""
 # label confusions the kNN/kmeans evaluations should expect).  Exact on
 # the same 1e-6 fixed-point grid: the centroid difference is cleared of
 # both denominators (s_a*n_b - s_b*n_a per dim, decimal-exact), squared
-# and summed per pair, with ONE double sqrt/division at the end.  Scale:
+# and summed per pair, with ONE double sqrt/division at the end.
+# dist2_q reaches ~2.7e19 at sf0.1 (> int64), so it is emitted as the
+# canonical STRING of the exact integer (decimal outputs decay to
+# float64 through the driver's pandas fetch -- the r7+r8 red class);
+# the oracle recovers the double via VARCHAR->DOUBLE because DuckDB's
+# direct DECIMAL->DOUBLE cast mis-rounds >= 2^63 (see
+# embedding_centroid_drift).  Scale:
 # the cells table is |labels| x D rows; the dim-equi self-join produces
 # |labels|^2 x D -- label-dimension economics, corpus scanned once.
 # (Per-label counts bound the integers; the drift query's corpus-total
@@ -2836,11 +2860,12 @@ def label_centroid_distance_matrix(spark: SparkSession, sf_dir: str) -> DataFram
         "label_b",
         "n_a",
         "n_b",
-        F.col("dist2_q").cast("decimal(38,0)").alias("dist2_q"),
+        # canonical STRING of the exact integer (> int64 range)
+        F.col("dist2_q").cast("decimal(38,0)").cast("string").alias("dist2_q"),
         # unrounded: sqrt is IEEE correctly-rounded, so the fixed
         # sqrt/divide chain over exact ints is bit-deterministic
         (
-            F.sqrt(F.col("dist2_q").cast("double")) / denom
+            F.sqrt(F.col("dist2_q").cast("decimal(38,0)").cast("double")) / denom
         ).alias("centroid_dist"),
     ).orderBy("label_a", "label_b")
 
@@ -2868,8 +2893,8 @@ LABEL_CENTROID_MATRIX_ORACLE = f"""
         GROUP BY 1, 2
     )
     SELECT label_a, label_b, n_a, n_b,
-           CAST(dist2_q AS DECIMAL(38,0)) AS dist2_q,
-           sqrt(CAST(dist2_q AS DOUBLE))
+           CAST(dist2_q AS VARCHAR) AS dist2_q,
+           sqrt(CAST(CAST(dist2_q AS VARCHAR) AS DOUBLE))
                / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
                   * {QUANT_SCALE}.0) AS centroid_dist
     FROM per_pair

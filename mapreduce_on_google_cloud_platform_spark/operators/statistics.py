@@ -554,9 +554,15 @@ DAILY_ANOMALY_ORACLE = f"""
 # rows covers every step of both CDFs.
 #
 # Numeric discipline: D's numerator stays on the integer lattice --
-# |cum_base * cur_total - cum_cur * base_total| as decimal(38,0)
-# (counts up to ~1e13 at 100 TB keep the product < 1e27, well inside 38
-# digits; BIGINT would wrap at ~3e9 events/half).  The double division
+# |cum_base * cur_total - cum_cur * base_total| computed in
+# decimal(38,0) (counts up to ~1e13 at 100 TB keep the product < 1e27,
+# well inside 38 digits; a BIGINT accumulator would wrap at ~3e9
+# events/half) but EMITTED as BIGINT: decimal output columns decay to
+# float64 through the driver's pandas fetch of the DuckDB oracle (the
+# r7+r8 red class).  d_num <= 8.9e5 at sf0.1 (the CDF gap is a small
+# fraction of the lattice), int64-safe far past any testdata SF; lift
+# the OUTPUT to the canonical STRING channel past ~1e18.  The double
+# division
 # and the sqrt in the critical value are single IEEE ops (sqrt is
 # correctly-rounded by IEEE-754, unlike ln/exp), so both engines produce
 # bit-identical doubles.
@@ -618,7 +624,7 @@ def ks_drift_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                     - F.col("cc") * F.col("base_total").cast(DEC)
                 )
             )
-            .cast(DEC)
+            .cast("bigint")
             .alias("d_num"),
         )
     )
@@ -675,7 +681,7 @@ KS_DRIFT_ORACLE = f"""
                max(t.base_total) AS base_n,
                max(t.cur_total) AS cur_n,
                CAST(max(abs(c.cb * t.cur_total - c.cc * t.base_total))
-                    AS DECIMAL(38,0)) AS d_num
+                    AS BIGINT) AS d_num
         FROM cum c JOIN totals t USING (event_type)
         GROUP BY c.event_type
     )
@@ -1706,17 +1712,22 @@ def welch_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sxx_c"),
     )
 
-    # Round-8 de-float (VERDICT r7 #3, the pca_gram_stats red's class):
-    # t and the Satterthwaite df were ROUNDED doubles built on a
-    # subtraction of near-equal quotients -- integer-derived rationals
-    # can land exactly on a rounding boundary where engine builds'
-    # round() legitimately disagree.  Now: (a) the mean-shift and
-    # variance NUMERATORS are emitted as exact DECIMAL(38,0) columns
-    # (mean_diff = mean_diff_num/(n_b*n_c), var = var_num/(n*(n-1)));
-    # (b) t_stat / welch_df are emitted UNROUNDED -- every op in their
+    # Round-9 output contract (VERDICT r8 #1): the mean-shift and
+    # variance NUMERATORS are exact integers computed in DECIMAL(38,0)
+    # internally but EMITTED as BIGINT (mean_diff = mean_diff_num /
+    # (n_b*n_c), var = var_num/(n*(n-1))) -- decimal output columns
+    # decay to float64 through the driver's pandas fetch of the DuckDB
+    # oracle while Spark surfaces decimal.Decimal, so the
+    # representation-sensitive driver hash reds on bit-identical values
+    # (the r7+r8 red class).  Magnitudes: var_num <= 2.6e15 at sf0.1
+    # (measured), linear in rows -- int64-safe through ~sf300.
+    # t_stat / welch_df are emitted UNROUNDED -- every op in their
     # chain (+,-,/,sqrt over bit-identical inputs, no a*b+c pattern any
     # compiler could FMA-contract) is IEEE correctly-rounded, so the raw
-    # doubles are bit-deterministic cross-engine while round() was not.
+    # doubles are bit-deterministic cross-engine.  The oracle's
+    # var->double casts now start from BIGINT (native int64->double,
+    # correctly rounded at any magnitude), side-stepping DuckDB's
+    # DECIMAL(38,0)->DOUBLE mis-rounding >= 2^63 (ADVICE r8, measured).
     def _var_num(n, sx, sxx):
         return (n.cast(DEC) * sxx - sx * sx).cast(DEC)
 
@@ -1743,10 +1754,10 @@ def welch_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         mean_b.alias("mean_base_cents"),
         mean_c.alias("mean_cur_cents"),
         (n_c.cast(DEC) * F.col("sx_b") - n_b.cast(DEC) * F.col("sx_c"))
-        .cast(DEC)
+        .cast("bigint")
         .alias("mean_diff_num"),
-        vnum_b.alias("var_num_b"),
-        vnum_c.alias("var_num_c"),
+        vnum_b.cast("bigint").alias("var_num_b"),
+        vnum_c.cast("bigint").alias("var_num_c"),
         t.alias("t_stat"),
         df.alias("welch_df"),
         (F.abs(t) > T_CRIT_95).alias("mean_shifted"),
@@ -1791,13 +1802,13 @@ WELCH_T_ORACLE = f"""
                CAST(sx_c AS DOUBLE) / n_c AS mean_c,
                CAST(CAST(n_c AS HUGEINT) * CAST(sx_b AS HUGEINT)
                     - CAST(n_b AS HUGEINT) * CAST(sx_c AS HUGEINT)
-                    AS DECIMAL(38,0)) AS mean_diff_num,
+                    AS BIGINT) AS mean_diff_num,
                CAST(CAST(n_b AS HUGEINT) * CAST(sxx_b AS HUGEINT)
                     - CAST(sx_b AS HUGEINT) * CAST(sx_b AS HUGEINT)
-                    AS DECIMAL(38,0)) AS var_num_b,
+                    AS BIGINT) AS var_num_b,
                CAST(CAST(n_c AS HUGEINT) * CAST(sxx_c AS HUGEINT)
                     - CAST(sx_c AS HUGEINT) * CAST(sx_c AS HUGEINT)
-                    AS DECIMAL(38,0)) AS var_num_c
+                    AS BIGINT) AS var_num_c
         FROM agg
     ),
     terms AS (

@@ -1053,8 +1053,14 @@ DISORDER_ORACLE = """
 # arrays/HOFs in the join); the distance is sum_h (a_h - b_h)^2 lifted
 # to decimal(38,0) (hourly cents at petabyte scale square past BIGINT),
 # so ranking ties break on exact integers + (day_a, day_b) -- bit-stable
-# on any engine/partitioning.  Hours/days come from epoch arithmetic
-# (timezone-proof, same rule as hour_of_week_profile).
+# on any engine/partitioning.  dist2_q is EMITTED as the canonical
+# STRING of the exact integer: decimal outputs decay to float64 through
+# the driver's pandas fetch of the DuckDB oracle (the r7+r8 red class),
+# and at petabyte scale the value exceeds int64, so the string channel
+# is the one representation that is exact on every path; the oracle's
+# rmse double goes via VARCHAR->DOUBLE (DuckDB's direct
+# DECIMAL->DOUBLE cast mis-rounds >= 2^63).  Hours/days come from epoch
+# arithmetic (timezone-proof, same rule as hour_of_week_profile).
 #
 # Scale: the profile table is CALENDAR-bounded (types x days), tiny
 # regardless of event volume; the pair space is a banded equi-join
@@ -1128,7 +1134,10 @@ def daily_profile_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit("1970-01-01").cast("date"), F.col("db").cast("int")
             ).alias("day_b"),
             (F.col("db") - F.col("da")).cast("int").alias("gap_days"),
-            "dist2_q",
+            # ranking above used the exact decimal; the EMITTED column is
+            # its canonical string (exact on every fetch path, no int64
+            # ceiling at petabyte scale)
+            F.col("dist2_q").cast("string").alias("dist2_q"),
             F.col("sim_rank").cast("int").alias("sim_rank"),
             F.round(
                 F.sqrt(F.col("dist2_q").cast("double") / 24.0) / 100.0, 6
@@ -1181,10 +1190,10 @@ def _profile_similarity_oracle() -> str:
            DATE '1970-01-01' + CAST(da AS INTEGER) AS day_a,
            DATE '1970-01-01' + CAST(db AS INTEGER) AS day_b,
            CAST(db - da AS INTEGER) AS gap_days,
-           dist2_q,
+           CAST(dist2_q AS VARCHAR) AS dist2_q,
            CAST(sim_rank AS INTEGER) AS sim_rank,
-           round(sqrt(CAST(dist2_q AS DOUBLE) / 24.0) / 100.0, 6)
-               AS hourly_rmse
+           round(sqrt(CAST(CAST(dist2_q AS VARCHAR) AS DOUBLE) / 24.0)
+                 / 100.0, 6) AS hourly_rmse
     FROM ranked
     WHERE sim_rank <= {SIM_TOPK}
     ORDER BY event_type, sim_rank

@@ -3557,11 +3557,16 @@ def quality_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pos").cast("bigint").alias("n_pos"),
         F.sum("neg").cast("bigint").alias("n_neg"),
         F.count(F.lit(1)).alias("n_scores"),
+        # exact in decimal internally, EMITTED as BIGINT: decimal output
+        # columns decay to float64 through the driver's pandas fetch of
+        # the DuckDB oracle (the r7+r8 red class).  u2 <= 6e6 at sf0.1;
+        # 2*n_pos*n_neg bounds it -- int64-safe until ~3e9 docs, then
+        # lift the output to the canonical STRING channel.
         F.sum(
             F.lit(2).cast(DEC) * F.col("pos").cast(DEC) * F.col("neg_below")
             + F.col("pos").cast(DEC) * F.col("neg").cast(DEC)
         )
-        .cast(DEC)
+        .cast("bigint")
         .alias("u2"),
     )
     den = (
@@ -3604,7 +3609,7 @@ QUALITY_AUC_ORACLE = f"""
                CAST(sum(neg) AS BIGINT) AS n_neg,
                count(*) AS n_scores,
                CAST(sum(2 * CAST(pos AS HUGEINT) * neg_below
-                        + CAST(pos AS HUGEINT) * neg) AS DECIMAL(38,0)) AS u2
+                        + CAST(pos AS HUGEINT) * neg) AS BIGINT) AS u2
         FROM cum
     )
     SELECT n_pos, n_neg, n_scores, u2,
@@ -3694,7 +3699,12 @@ def quality_logit_sufficient_stats(spark: SparkSession, sf_dir: str) -> DataFram
     ]
     return (
         one.select(F.explode(F.array(*rows)).alias("r"))
-        .select("r.stat", "r.j", "r.k", "r.v")
+        # exact in decimal internally, EMITTED as BIGINT (decimal
+        # outputs decay to float64 through the driver's pandas fetch --
+        # the r7+r8 red class).  |v| <= 3.4e15 at sf0.1, linear in docs
+        # -- int64-safe through ~sf200; past that, lift the output to
+        # the canonical STRING channel like the dist2_q family.
+        .select("r.stat", "r.j", "r.k", F.col("r.v").cast("bigint").alias("v"))
         .orderBy("stat", "j", "k")
     )
 
@@ -3713,12 +3723,13 @@ def _logit_stats_oracle() -> str:
         for j in range(d)
     )
     selects = [
-        f"    SELECT 'gram' AS stat, {j} AS j, {k} AS k, g_{j}_{k} AS v"
-        f" FROM agg"
+        f"    SELECT 'gram' AS stat, {j} AS j, {k} AS k,"
+        f" CAST(g_{j}_{k} AS BIGINT) AS v FROM agg"
         for j in range(d)
         for k in range(j, d)
     ] + [
-        f"    SELECT 'grad2' AS stat, {j} AS j, {j} AS k, d_{j} AS v FROM agg"
+        f"    SELECT 'grad2' AS stat, {j} AS j, {j} AS k,"
+        f" CAST(d_{j} AS BIGINT) AS v FROM agg"
         for j in range(d)
     ]
     union = "\n    UNION ALL\n".join(selects)

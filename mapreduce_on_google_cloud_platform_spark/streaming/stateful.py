@@ -402,11 +402,10 @@ def streaming_ks_drift_query(spark: SparkSession, in_dir: str, schema):
 # the same exact-integer inputs (decimal→double casts become Python
 # float() of exact ints; both round to nearest), so stream and batch
 # agree BIT-EXACTLY on an identical split (pinned in
-# tests/test_streaming.py).  Round 8: t is emitted UNROUNDED, matching
-# the de-floated batch welch_t_test -- every op in the chain is IEEE
-# correctly-rounded over identical inputs, so no rounding-tie channel
-# remains on t (the rounded means keep the documented measure-zero
-# HALF_UP-vs-half-even tie caveat).
+# tests/test_streaming.py).  Round 9: t AND the means are emitted
+# UNROUNDED, matching the de-floated batch welch_t_test -- every op in
+# the chain is IEEE correctly-rounded over identical inputs, so no
+# rounding-tie channel remains anywhere in the row.
 # ---------------------------------------------------------------------------
 
 WELCH_STATE_SCHEMA = StructType(
@@ -493,8 +492,11 @@ def streaming_mean_shift_query(spark: SparkSession, in_dir: str, schema):
                 "event_type": [event_type],
                 "n_base": [nb],
                 "n_cur": [nc],
-                "mean_base_cents": [round(mean_b, 6)],
-                "mean_cur_cents": [round(mean_c, 6)],
+                # unrounded, matching the de-floated batch welch_t_test:
+                # a single IEEE division of exact ints is bit-identical
+                # in CPython and the JVM
+                "mean_base_cents": [mean_b],
+                "mean_cur_cents": [mean_c],
                 "t_stat": [t],
                 "mean_shifted": ["y" if abs(t) > crit else "n"],
                 "is_baseline": ["n"],

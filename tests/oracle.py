@@ -146,12 +146,47 @@ def run_oracle(sql: str, sf_dir: str):
     return cols, types, rows
 
 
+# Output types that decay through the driver's pandas fetch even when
+# both engines agree on them.  Round-5 lesson: HUGEINT (no Spark
+# counterpart).  Round-7/8 lesson: DECIMAL -- ``duckdb.sql(...).df()``
+# converts DECIMAL(38,0) to float64 (lossily past 2^53) while Spark
+# surfaces decimal.Decimal, so the driver's representation-sensitive
+# hash reds on bit-identical values; 7/7 of the r8 driver reds emitted a
+# decimal column and 0/43 greens did.  FLOAT (float32) is banned for the
+# same reason doubles must be bit-disciplined: pandas widens it to
+# float64 with garbage low bits.  Emit BIGINT for bounded exact
+# integers, the canonical STRING for unbounded ones, DOUBLE for reals.
+_HASH_UNSAFE = ("decimal", "float")
+
+
+def assert_hash_safe_types(cols: list[str], dtypes: list[str], side: str) -> None:
+    """Hard-fail output columns whose type decays through pandas fetch."""
+    bad = [
+        f"  {c}: {side}={t}"
+        for c, t in zip(cols, dtypes)
+        for tag in _HASH_UNSAFE
+        if tag in t.lower()
+    ]
+    if bad:
+        raise AssertionError(
+            "driver-hash-unsafe output type (decimal decays to float64 "
+            "through the driver's pandas fetch of the DuckDB oracle -- "
+            "the r7+r8 red class; float32 widens with garbage bits).  "
+            "Cast to BIGINT (bounded ints), STRING (unbounded ints) or "
+            "DOUBLE (reals) on BOTH engines:\n" + "\n".join(bad)
+        )
+
+
 def assert_types_aligned(
     s_cols: list[str],
     s_dtypes: list[str],
     o_cols: list[str],
     o_types: list[str],
 ) -> None:
+    assert_hash_safe_types(s_cols, s_dtypes, "spark")
+    assert_hash_safe_types(
+        o_cols, [duck_type_to_spark(t) for t in o_types], "oracle"
+    )
     s_map = dict(zip(s_cols, s_dtypes))
     o_map = {c: duck_type_to_spark(t) for c, t in zip(o_cols, o_types)}
     bad = []
@@ -250,14 +285,22 @@ def _canon(v):
 _QNAN = struct.pack(">Q", 0x7FF8000000000000)
 
 
+def _lp(tag: bytes, payload: bytes) -> bytes:
+    """Length-prefixed frame: variable-length payloads are framed as
+    ``tag len ':' payload`` so concatenations cannot collide (ADVICE r8:
+    a bare separator join let ("a\\x1fSb","c") and ("a","b\\x1fSc")
+    encode identically, defeating the digest's purpose)."""
+    return tag + str(len(payload)).encode() + b":" + payload
+
+
 def _enc(v) -> bytes:
-    """Encode one cell to canonical tagged bytes (total function)."""
+    """Encode one cell to canonical, SELF-DELIMITING tagged bytes."""
     if v is None:
         return b"\x00"
     if isinstance(v, bool):  # before int: bool is an int subclass
         return b"B1" if v else b"B0"
     if isinstance(v, int):
-        return b"I" + str(v).encode()
+        return _lp(b"I", str(v).encode())
     if isinstance(v, float):
         if math.isnan(v):
             return b"F" + _QNAN
@@ -275,22 +318,22 @@ def _enc(v) -> bytes:
         if d == [0]:
             sign, exp = 0, 0  # all zeros (incl. -0) encode identically
         body = ("-" if sign else "") + "".join(map(str, d)) + "e" + str(exp)
-        return b"D" + body.encode()
+        return _lp(b"D", body.encode())
     if isinstance(v, (datetime, date)):
-        return b"T" + v.isoformat().encode()
+        return _lp(b"T", v.isoformat().encode())
     if isinstance(v, str):
-        return b"S" + v.encode("utf-8")
+        return _lp(b"S", v.encode("utf-8"))
     if isinstance(v, (bytes, bytearray)):
-        return b"Y" + bytes(v)
+        return _lp(b"Y", bytes(v))
     if isinstance(v, (list, tuple)):
-        return b"L" + b"\x1f".join(_enc(x) for x in v) + b"\x1e"
+        # each element is self-delimiting, so plain concatenation is
+        # unambiguous; the outer frame pins the element-byte total
+        return _lp(b"L", b"".join(_enc(x) for x in v))
     if isinstance(v, dict):
-        items = sorted((str(k), _enc(x)) for k, x in v.items())
-        return (
-            b"M"
-            + b"\x1f".join(k.encode() + b"=" + e for k, e in items)
-            + b"\x1e"
+        items = sorted(
+            (_lp(b"K", str(k).encode()), _enc(x)) for k, x in v.items()
         )
+        return _lp(b"M", b"".join(k + e for k, e in items))
     raise TypeError(f"canonical_digest: unsupported cell type {type(v)!r}")
 
 

@@ -243,7 +243,9 @@ def test_cusum_randomized_differential(spark, tmp_path):
             nums.append(n * p - t * total)
         peak = max(abs(v) for v in nums)
         for d, num in zip(days, nums):
-            expected[(et, d)] = (round(num / n, 6), abs(num) == peak)
+            # unrounded single IEEE division of exact ints -- matches the
+            # query's round-8 de-float (num/n emitted raw on both engines)
+            expected[(et, d)] = (num / n, abs(num) == peak)
     assert len(got) == len(expected)
     for r in got:
         exp_c, exp_peak = expected[(r.event_type, r.day)]

@@ -516,8 +516,11 @@ def test_embedding_centroid_drift_matches_numpy(spark):
         diff = sums[r.label] * ng - sg * ns[r.label]
         dist2 = int(np.sum(diff * diff, dtype=object))
         assert int(r.dist2_q) == dist2, r.label
+        # same fixed IEEE chain as the query (int->double is correctly
+        # rounded in both CPython and Spark's BigDecimal path; sqrt and
+        # the divisions are IEEE correctly-rounded) -- bit-exact match
         expect = (dist2 ** 0.5) / (ns[r.label] * ng * float(QUANT_SCALE))
-        assert abs(r.centroid_dist - round(expect, 6)) < 1e-9
+        assert r.centroid_dist == expect, r.label
 
 
 def test_recall_curve_monotone_and_consistent(spark):
