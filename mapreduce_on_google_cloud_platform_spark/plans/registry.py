@@ -136,90 +136,95 @@ for _name, _fn, _oracle in SQL_SURFACE_QUERIES:
 # per family so registry growth can't silently push a family dark.
 DRIVER_WINDOW = 50
 
-# Round-8 rotation (VERDICT r7 item #4): the window is declared BY FAMILY
-# so the family-coverage pin (tests/test_plans.py) derives from this dict
-# instead of duplicating it.  Composition this round:
-#   * one multi-round-green ANCHOR per family (a systemic regression is
-#     still caught by a known-stable query);
-#   * 2 RE-BANKS whose output schema changed in the round-8 de-float --
-#     pca_gram_stats (the r7 driver-red: cov_q -> exact cov_num) and
-#     embedding_dim_stats (r6-green but var_v -> exact var_num), both of
-#     which must bank fresh hashes over the new exact-decimal columns;
-#   * 34 FIRST-TIMERS -- oracle-checked queries that have never received
-#     a per-round driver hash (69 remained after r7's 35-green/1-red
-#     rotation; the remaining 35 rotate in next round).  Prioritized per
-#     the r7 verdict: the round-7 statistical-test suite and product
-#     analytics pack, the dedup/ANN audit curves, and the two SQL-surface
-#     twins -- including the two de-floated queries welch_t_test and
-#     minhash_estimate_error whose exact numerator columns replace
-#     rounded cancellation doubles.  Every rotated-out sibling stays
-#     covered by tools/sweep.py + pytest oracle parity.
+# Round-9 rotation (VERDICT r8 item #4, the FINAL rotation): the window
+# is declared BY FAMILY so the family-coverage pin (tests/test_plans.py)
+# derives from this dict instead of duplicating it.  Composition:
+#   * 8 multi-round-green ANCHORS (a systemic regression is still caught
+#     by a known-stable query; the reference's two queries stay pinned);
+#   * 7 RE-BANKS -- the r8 driver reds, all one root cause (decimal
+#     output columns decay to float64 through the driver's pandas fetch
+#     of the DuckDB oracle), all converted this round to BIGINT /
+#     canonical-STRING outputs and needing fresh green hashes;
+#   * 35 FIRST-TIMERS -- every remaining oracle-checked query that has
+#     never received a per-round driver hash (COVERAGE.md ledger).  The
+#     two decimal-emitters among them (embedding_centroid_drift,
+#     quality_logit_sufficient_stats) were converted BEFORE rotating in.
+#     After this round the never-hashed ledger is EXHAUSTED: every
+#     oracle-checked query has at least one banked driver hash.  Every
+#     rotated-out sibling stays covered by tools/sweep.py + pytest.
 PRIORITY_FAMILIES: dict[str, tuple[str, ...]] = {
     # reference parity: the reference's own two queries stay pinned
-    "parity": ("wordcount", "inverted_index"),
-    "dedup": (
-        "dedup_exact",  # anchor
-        "lsh_bucket_balance",
-        "minhash_estimate_error",  # de-floated: exact err_num/err_den
-        "dedup_survivor_bias_audit",
+    "parity": (
+        "wordcount",  # anchor (driver-green r1-r8)
+        "inverted_index",  # anchor (driver-green r1-r8)
+        "inverted_index_size_estimate",
     ),
-    "graph": ("neardup_pagerank",),  # anchor
+    "dedup": (
+        "dedup_exact",  # anchor (driver-green r1-r8)
+        "cross_source_dup_matrix",
+        "shingle_df_profile",
+        "part_entity_clusters",
+    ),
+    "graph": (
+        "neardup_lpa_communities",
+        "neardup_clustering_coefficient",
+        "neardup_kcore_peel",
+    ),
     "similarity": (
-        "ann_ivf_topk",  # anchor
-        "pca_gram_stats",  # RE-BANK: r7 red, now exact cov_num
-        "embedding_dim_stats",  # RE-BANK: var_v -> exact var_num
-        "ann_recall_at_k_curve",
-        "ann_ivf_nprobe_curve",
-        "matryoshka_dim_recall",
-        "knn_label_agreement",
-        "label_centroid_distance_matrix",
+        "ann_ivf_topk",  # anchor (driver-green r5, r8)
+        "pca_gram_stats",  # RE-BANK: decimal -> BIGINT outputs
+        "embedding_dim_stats",  # RE-BANK: decimal -> BIGINT var_num
+        "label_centroid_distance_matrix",  # RE-BANK: dist2_q -> STRING
+        "embedding_centroid_drift",  # first-timer, dist2_q -> STRING
     ),
     "text": (
-        "text_tfidf",  # anchor
-        "char_trigram_lang_profile",
-        "langid_mismatch_by_source",
-        "pii_rate_by_source",
-        "vocab_oov_rate_by_source",
-        "quality_score_auc",
-        "quality_score_calibration",
+        "text_tfidf",  # anchor (driver-green r4, r8)
+        "quality_score_auc",  # RE-BANK: decimal -> BIGINT u2
+        "quality_logit_sufficient_stats",  # first-timer, v -> BIGINT
+        "ngram_novelty_curve",
+        "eval_decontam_funnel",
+        "repeated_passage_windows",
+        "source_vocab_overlap",
+        "term_pmi_pairs",
+        "text_bigrams",
+        "text_char_entropy",
+        "text_normalize",
+        "tokenizer_fertility_by_lang",
     ),
-    "pipeline": ("curation_pipeline",),  # anchor
+    "pipeline": (
+        "source_policy_apply",
+        "t_closeness_report",
+        "source_quality_decision",
+        "weekly_value_wow",
+        "mixture_temperature_curve",
+    ),
     "statistics": (
-        "quantile_summary",  # anchor
-        "chi_square_independence",
-        "welch_t_test",  # de-floated: exact numerators, unrounded t/df
-        "cusum_changepoint",
-        "ks_drift_test",
-        "daily_autocorr_lag1",
-        "theil_sen_daily_trend",
-        "benford_first_digit_audit",
-        "global_exact_quantiles",
-        "event_type_daily_corr",
+        "welch_t_test",  # RE-BANK: decimal -> BIGINT numerators
+        "ks_drift_test",  # RE-BANK: decimal -> BIGINT d_num
+        "stratified_kfold_assign",
+        "sketch_summary",
     ),
     "relational": (
-        "q18_large_orders",  # anchor (driver-green r1)
-        "customer_spend_gini",
-        "order_basket_profile",
-        "copurchase_rules",
+        "customer_rfm_features_approx",
+        "negative_sampling_pairs",
     ),
     "temporal": (
-        "asof_join_purchase_view",  # anchor
-        "dau_wau_stickiness",
-        "new_vs_returning_users",
-        "conversion_latency_histogram",
-        "session_length_histogram",
-        "daily_profile_similarity",
+        "daily_profile_similarity",  # RE-BANK: dist2_q -> STRING
+        "purchase_attribution",
+        "seasonality_adjusted_daily",
     ),
-    "streaming": ("tumbling_window_events",),  # anchor
-    "multimodal": ("multimodal_dedup",),  # anchor
-    "join_strategies": (
-        "skew_join_salted",  # anchor
-        "bloom_filter_fpr_audit",
+    "streaming": ("tumbling_window_events",),  # anchor (green r7-r8)
+    "multimodal": (
+        "multimodal_shard_manifest",
+        "multimodal_bytes_histogram",
     ),
+    "join_strategies": ("skew_join_salted",),  # anchor (green r7-r8)
     "sql_surface": (
-        "q1_pricing_summary_sql",  # anchor (driver-green r5-r7)
-        "source_frequency_cap_sql",
-        "table_stats_profile_sql",
+        "q1_pricing_summary_sql",  # anchor (driver-green r5-r8)
+        "q10_returned_items_sql",
+        "q15_top_supplier_sql",
+        "q16_supplier_diversity_sql",
+        "q20_heavy_shippers_sql",
     ),
 }
 
