@@ -2474,10 +2474,16 @@ SHINGLE_DF_PROFILE_ORACLE = f"""
 # rows-per-band); it also demonstrates the estimator the "skip exact
 # verification at extreme scale" variant would rely on.
 #
-# Scale: reuses the banded candidate set and the 16 flat signature
-# lanes (one dimension-sized join on each doc id); the lane comparison
-# is 16 integer equalities folded map-side.  All-integer until the two
-# final divisions; deterministic because the signature lanes are.
+# Scale: the exact near-dup pair set is computed FIRST and the
+# signature pipeline is restricted (left-semi on doc id, the
+# dedup_minhash_lsh verify-step pattern) to the docs that actually
+# appear in a surviving pair -- signatures cost O(near-dup docs), not
+# O(corpus), and the audit table itself is pair-bounded.  The lane
+# comparison is 16 integer equalities folded map-side.  All-integer
+# until the two final divisions; deterministic because the signature
+# lanes are.  (Round-9 re-plan: the r8 shape built full-corpus
+# signatures only to join them onto a ~25-row pair set -- the corpus
+# -sized distinct+join+16-min groupBy was pure waste at any scale.)
 #
 # Round-8 de-float (VERDICT r7 #3): the signed error is emitted as the
 # EXACT integer pair ``err_num = match_lanes*n_union - 16*n_common`` /
@@ -2492,12 +2498,25 @@ SHINGLE_DF_PROFILE_ORACLE = f"""
 def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sh = shingles_df(docs).persist()
-    uniq = sh.select("sh").distinct()
+    pairs = (
+        _pair_jaccard(sh)
+        .select("doc_a", "doc_b", "n_common", "n_union", "jaccard")
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .persist()
+    )
+    # signatures ONLY for docs appearing in a surviving pair: the lane
+    # mins are per-doc functions, so the restriction cannot change them
+    pair_docs = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh_pair = sh.join(pair_docs, "doc_id", "left_semi")
     h = (
         F.conv(F.substring(F.md5(F.col("sh")), 1, 15), 16, 10).cast("bigint")
         % MINHASH_P
     )
-    dict_df = uniq.select(
+    dict_df = sh_pair.select("sh").distinct().select(
         "sh",
         *[
             ((F.lit(a) * h + F.lit(b)) % MINHASH_P).alias(f"mh{i}")
@@ -2505,13 +2524,9 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     sig = (
-        sh.join(dict_df, "sh")
+        sh_pair.join(dict_df, "sh")
         .groupBy("doc_id")
         .agg(*[F.min(f"mh{i}").alias(f"mh{i}") for i in range(NUM_MINHASHES)])
-        .persist()
-    )
-    exact = _pair_jaccard(sh).select(
-        "doc_a", "doc_b", "n_common", "n_union", "jaccard"
     )
     siga = sig.select(
         F.col("doc_id").alias("doc_a"),
@@ -2527,8 +2542,7 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     est = matches.cast("double") / F.lit(float(NUM_MINHASHES))
     return (
-        exact.filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .join(siga, "doc_a")
+        pairs.join(siga, "doc_a")
         .join(sigb, "doc_b")
         .select(
             "doc_a",
