@@ -178,3 +178,51 @@ def test_canonical_digest_nested_and_temporal_types():
     assert a == b
     rows2 = [([1, 2, 4], *rows[0][1:])]
     assert a != canonical_digest(["arr", "m", "d", "ts", "b"], rows2)
+
+
+# --- cross-engine integer->double cast discipline (round 9, ADVICE r8) ------
+
+
+def test_exact_int_to_double_casts_are_correctly_rounded(spark):
+    """Round-9 numeric contract behind the BIGINT/STRING output rules.
+
+    DuckDB's direct DECIMAL(38,0)->DOUBLE cast is NOT correctly rounded
+    for magnitudes >= 2^63 (measured 180/2000 random wide ints 1 ulp
+    off vs the true nearest double), so no oracle may cast a >= 2^63
+    decimal to double directly.  The two conversion paths the repo DOES
+    rely on must stay correctly rounded, i.e. bit-equal to CPython's
+    exact int->float conversion:
+
+    * DuckDB BIGINT -> DOUBLE (welch/ks/auc variance terms: the exact
+      numerators are emitted as BIGINT and every double derives from
+      the BIGINT, never the decimal);
+    * DuckDB VARCHAR -> DOUBLE, i.e. strtod (the dist2_q family: the
+      exact integer is emitted as a canonical string and the readable
+      distance derives from the parsed string);
+    * Spark DECIMAL(38,0) -> DOUBLE (the Spark side of the same
+      queries; BigDecimal's conversion is correctly rounded at any
+      magnitude, verified here well past 2^64).
+    """
+    import random
+
+    import duckdb
+
+    import pyspark.sql.functions as F
+
+    rng = random.Random(0xC0FFEE)
+    wide = [rng.getrandbits(bits) | (1 << (bits - 1))
+            for bits in (53, 60, 63, 64, 66, 70, 75) for _ in range(40)]
+    con = duckdb.connect()
+    for x in wide:
+        if x < 2 ** 63:  # BIGINT territory
+            (b,) = con.sql(f"SELECT CAST({x} AS DOUBLE)").fetchone()
+            assert b == float(x), f"duckdb BIGINT->DOUBLE mis-rounds {x}"
+        (v,) = con.sql(f"SELECT CAST('{x}' AS DOUBLE)").fetchone()
+        assert v == float(x), f"duckdb VARCHAR->DOUBLE mis-rounds {x}"
+    con.close()
+    df = spark.createDataFrame([(str(x),) for x in wide], "s string")
+    rows = df.select(
+        "s", F.col("s").cast("decimal(38,0)").cast("double").alias("d")
+    ).collect()
+    for r in rows:
+        assert r.d == float(int(r.s)), f"spark decimal->double mis-rounds {r.s}"
