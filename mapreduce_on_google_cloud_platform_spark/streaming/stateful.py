@@ -517,3 +517,151 @@ def streaming_mean_shift_query(spark: SparkSession, in_dir: str, schema):
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming heavy-hitter monitor: the continuous-ingest twin of the
+# batch ``heavy_hitter_words`` (operators/text_analysis.py).  The batch
+# query affords an exact vocabulary-bounded groupBy; a live ingest
+# cannot hold an unbounded vocabulary in the state store, so this
+# monitor runs SPACE-SAVING (Metwally et al. 2005, "Efficient
+# computation of frequent and top-k elements in data streams") with a
+# FIXED capacity of counters per shard -- the textbook bounded-state
+# frequent-items sketch, with its two contracts kept testable:
+#
+#   * sandwich bound: for every tracked word,
+#     ``est - err <= true_count <= est``;
+#   * coverage: any word whose true shard count exceeds
+#     ``n_tokens_shard / capacity`` is guaranteed tracked.
+#
+# Sharding: words are hash-partitioned into SS_SHARDS groups by the
+# repo's portable md5 lane (every occurrence of a word lands in ONE
+# shard), so state is ``SS_SHARDS x capacity`` counters total and the
+# per-shard guarantee is at least as strong as the global one at the
+# same relative threshold.  This is exactly how the sketch distributes
+# at 100 TB: shard-local summaries, union for the report.
+#
+# Determinism discipline: classic Space-Saving is arrival-order
+# dependent.  Here each micro-batch is pre-aggregated to (word, count)
+# and merged in SORTED word order with weighted inserts, and eviction
+# picks the lexicographically smallest minimum-count victim -- the
+# result is a pure function of the sequence of micro-batch MULTISETS,
+# so replays and retries (Spark may re-run a failed micro-batch) cannot
+# change the table.  Exactness below capacity: while a shard has seen
+# fewer distinct words than its capacity, no eviction has happened and
+# every (word, est, err=0) is the exact count -- pinned against the
+# batch word count in pytest; the above-capacity contracts are pinned
+# on a skewed synthetic stream.
+#
+# State is three joined strings per shard (words, counts, errors) --
+# O(capacity) per key, never O(vocabulary); one Arrow batch per shard
+# per micro-batch.
+# ---------------------------------------------------------------------------
+
+SS_SHARDS = 8
+SS_CAPACITY = 64  # counters per shard
+
+SS_STATE_SCHEMA = StructType(
+    [
+        StructField("words", StringType()),   # \x1f-joined tracked words
+        StructField("counts", StringType()),  # comma-joined exact ints
+        StructField("errs", StringType()),    # comma-joined exact ints
+        StructField("n_tokens", LongType()),  # shard stream length
+    ]
+)
+
+SS_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("shard", LongType()),
+        StructField("word", StringType()),
+        StructField("est", LongType()),
+        StructField("err", LongType()),
+        StructField("n_tokens", LongType()),
+    ]
+)
+
+
+def streaming_heavy_hitters_query(
+    spark: SparkSession, in_dir: str, schema, capacity: int = SS_CAPACITY
+):
+    """readStream(documents parquet dir) -> tokenize -> shard by word
+    hash -> applyInPandasWithState Space-Saving table per shard.
+    Caller supplies input dir + schema so tests can stage explicit
+    micro-batches (maxFilesPerTrigger=1)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..functions.text import tokens_df
+
+    cap = int(capacity)
+
+    def track(key, pdfs, state):
+        import pandas as pd
+
+        (shard,) = key
+        if state.exists:
+            words_s, counts_s, errs_s, n_tokens = state.get
+            table: dict[str, list[int]] = {
+                w: [int(c), int(e)]
+                for w, c, e in zip(
+                    words_s.split("\x1f") if words_s else [],
+                    counts_s.split(",") if counts_s else [],
+                    errs_s.split(",") if errs_s else [],
+                )
+            }
+        else:
+            table, n_tokens = {}, 0
+        batch: dict[str, int] = {}
+        for pdf in pdfs:
+            for w in pdf["word"]:
+                batch[w] = batch.get(w, 0) + 1
+        for w in sorted(batch):  # sorted merge: order-free determinism
+            c = batch[w]
+            n_tokens += c
+            if w in table:
+                table[w][0] += c
+            elif len(table) < cap:
+                table[w] = [c, 0]
+            else:
+                # evict the lexicographically smallest minimum-count
+                # entry (deterministic tie-break), inherit its count as
+                # the overestimation error (weighted Space-Saving)
+                victim = min(table, key=lambda k: (table[k][0], k))
+                m = table[victim][0]
+                del table[victim]
+                table[w] = [m + c, m]
+        ws = sorted(table)
+        state.update(
+            (
+                "\x1f".join(ws),
+                ",".join(str(table[w][0]) for w in ws),
+                ",".join(str(table[w][1]) for w in ws),
+                n_tokens,
+            )
+        )
+        yield pd.DataFrame(
+            {
+                "shard": [shard] * len(ws),
+                "word": ws,
+                "est": [table[w][0] for w in ws],
+                "err": [table[w][1] for w in ws],
+                "n_tokens": [n_tokens] * len(ws),
+            }
+        )
+
+    docs = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(in_dir)
+    toks = tokens_df(docs).select(
+        "word",
+        (
+            F.conv(F.substring(F.md5("word"), 1, 15), 16, 10).cast("bigint")
+            % SS_SHARDS
+        ).alias("shard"),
+    )
+    return toks.groupBy("shard").applyInPandasWithState(
+        track,
+        outputStructType=SS_OUTPUT_SCHEMA,
+        stateStructType=SS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -595,3 +595,155 @@ def test_streaming_mean_shift_agrees_with_batch(spark, tmp_path):
         assert s.mean_cur_cents == b.mean_cur_cents, et
         assert s.t_stat == b.t_stat, et
         assert (s.mean_shifted == "y") == b.mean_shifted, et
+
+
+def test_streaming_heavy_hitters_exact_below_capacity(spark, tmp_path):
+    """While a shard has seen fewer distinct words than its capacity,
+    Space-Saving has evicted nothing and the table IS the exact word
+    count: stage a small-vocabulary corpus as two micro-batches and the
+    final streamed (word, est) set must equal the batch word count
+    bit-for-bit, with every err = 0."""
+    from mapreduce_on_google_cloud_platform_spark.functions.text import tokens_df
+    from mapreduce_on_google_cloud_platform_spark.streaming.stateful import (
+        streaming_heavy_hitters_query,
+    )
+
+    rows1 = [(1, "alpha beta gamma alpha"), (2, "beta beta delta")]
+    rows2 = [(3, "gamma alpha epsilon"), (4, "zeta delta alpha beta")]
+    in_dir = str(tmp_path / "hh_in")
+    df1 = spark.createDataFrame(rows1, "doc_id bigint, text string")
+    df2 = spark.createDataFrame(rows2, "doc_id bigint, text string")
+    df1.coalesce(1).write.mode("append").parquet(in_dir)
+
+    stream = streaming_heavy_hitters_query(
+        spark, in_dir, spark.read.parquet(in_dir).schema
+    )
+    q = (
+        stream.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("hh_stream_exact")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        df2.coalesce(1).write.mode("append").parquet(in_dir)
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM hh_stream_exact").collect()
+    finally:
+        q.stop()
+
+    # update mode: per (shard, word) the LAST emission wins; a word's
+    # shard never changes, and within a shard later n_tokens supersedes
+    final = {}
+    for r in rows:
+        key = (r.shard, r.word)
+        if key not in final or r.n_tokens >= final[key].n_tokens:
+            final[key] = r
+    got = {r.word: (r.est, r.err) for r in final.values()}
+    batch = (
+        tokens_df(df1.unionByName(df2))
+        .groupBy("word")
+        .count()
+        .collect()
+    )
+    expect = {r.word: int(r["count"]) for r in batch}
+    assert {w: c for w, (c, _) in got.items()} == expect
+    assert all(e == 0 for _, e in got.values())
+
+
+def test_streaming_heavy_hitters_contracts_above_capacity(spark, tmp_path):
+    """Past capacity the sketch's two contracts must hold per shard:
+    est - err <= true_count <= est for every tracked word, table size
+    <= capacity, and every word with true shard count >
+    n_tokens_shard / capacity is tracked (Space-Saving coverage
+    guarantee).  Stream: one dominant word + a long tail of distinct
+    words, staged as three micro-batches, capacity 4."""
+    import collections
+
+    from mapreduce_on_google_cloud_platform_spark.functions.text import tokens_df
+    from mapreduce_on_google_cloud_platform_spark.streaming.stateful import (
+        SS_SHARDS,
+        streaming_heavy_hitters_query,
+    )
+
+    cap = 4
+    texts = []
+    for b in range(3):
+        tail = " ".join(f"tail{b}x{i}" for i in range(40))
+        texts.append((b, f"{'hot ' * 25}{tail}"))
+    in_dir = str(tmp_path / "hh_skew_in")
+    dfs = [
+        spark.createDataFrame([t], "doc_id bigint, text string") for t in texts
+    ]
+    dfs[0].coalesce(1).write.mode("append").parquet(in_dir)
+
+    stream = streaming_heavy_hitters_query(
+        spark, in_dir, spark.read.parquet(in_dir).schema, capacity=cap
+    )
+    q = (
+        stream.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("hh_stream_skew")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        for df in dfs[1:]:
+            df.coalesce(1).write.mode("append").parquet(in_dir)
+            q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM hh_stream_skew").collect()
+    finally:
+        q.stop()
+
+    final = {}
+    for r in rows:
+        key = (r.shard, r.word)
+        if key not in final or r.n_tokens >= final[key].n_tokens:
+            final[key] = r
+    # ground truth, sharded exactly like the stream
+    all_docs = dfs[0]
+    for df in dfs[1:]:
+        all_docs = all_docs.unionByName(df)
+    import pyspark.sql.functions as F
+
+    truth_rows = (
+        tokens_df(all_docs)
+        .select(
+            "word",
+            (
+                F.conv(F.substring(F.md5("word"), 1, 15), 16, 10)
+                .cast("bigint") % SS_SHARDS
+            ).alias("shard"),
+        )
+        .groupBy("shard", "word")
+        .count()
+        .collect()
+    )
+    truth = {(r.shard, r.word): int(r["count"]) for r in truth_rows}
+    shard_tokens = collections.Counter()
+    for (shard, _), c in truth.items():
+        shard_tokens[shard] += c
+    # rebuild each shard's LAST emission (same n_tokens as the shard max)
+    by_shard_last = collections.defaultdict(dict)
+    for (shard, word), r in final.items():
+        by_shard_last[shard][word] = r
+    for shard, table in by_shard_last.items():
+        last_nt = max(r.n_tokens for r in table.values())
+        live = {w: r for w, r in table.items() if r.n_tokens == last_nt}
+        assert len(live) <= cap, f"shard {shard} exceeds capacity"
+        for w, r in live.items():
+            t = truth[(shard, w)]
+            assert r.est - r.err <= t <= r.est, (shard, w)
+        # coverage: heavy words of this shard must be tracked
+        thresh = shard_tokens[shard] / cap
+        for (s2, w), t in truth.items():
+            if s2 == shard and t > thresh:
+                assert w in live, f"heavy word {w} missing from shard {shard}"
+        # sanity: the dominant word is globally heavy in its shard
+    hot_shard = next(s for (s, w) in truth if w == "hot")
+    hot_live = {
+        w
+        for w, r in by_shard_last[hot_shard].items()
+        if r.n_tokens == max(x.n_tokens for x in by_shard_last[hot_shard].values())
+    }
+    assert "hot" in hot_live
