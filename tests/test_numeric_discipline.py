@@ -226,3 +226,49 @@ def test_exact_int_to_double_casts_are_correctly_rounded(spark):
     ).collect()
     for r in rows:
         assert r.d == float(int(r.s)), f"spark decimal->double mis-rounds {r.s}"
+
+
+def test_oracle_pandas_fetch_representations_are_hash_safe():
+    """Mirror the driver's ACTUAL oracle fetch channel: every oracle is
+    executed through ``duckdb.sql(...).df()`` (pandas) at smoke scale and
+    its fetched dtypes must land in the proven-green representation
+    classes (int/float64/bool/str/datetime/bytes).  This is the channel
+    the schema-level alignment check cannot see directly -- DECIMAL
+    columns pass DuckDB's type system but decay to float64 here (the
+    r7+r8 driver-red class), and a future type that maps cleanly in
+    ``duck_type_to_spark`` yet mangles through pandas would surface
+    first in this test."""
+    import duckdb
+
+    from mapreduce_on_google_cloud_platform_spark.sources import TABLES
+
+    allowed_dtypes = {
+        "int8", "int16", "int32", "int64", "uint8", "float64", "bool",
+        "object", "datetime64[us]", "datetime64[ns]",
+        "datetime64[us, UTC]", "datetime64[ns, UTC]",
+    }
+    allowed_cells = {"str", "bytes", "date", "NoneType", "list", "dict",
+                     "ndarray"}
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_SMOKE}/{t}.parquet'"
+        )
+    bad = []
+    for name in ORACLE_NAMES:
+        df = con.sql(ORACLES[name]).df()
+        for c in df.columns:
+            dt = str(df[c].dtype)
+            if dt not in allowed_dtypes:
+                bad.append(f"{name}.{c}: dtype {dt}")
+            elif dt == "object" and len(df):
+                cell = df[c].dropna()
+                if len(cell):
+                    tname = type(cell.iloc[0]).__name__
+                    if tname not in allowed_cells:
+                        bad.append(f"{name}.{c}: object cell {tname}")
+    con.close()
+    assert not bad, (
+        "oracle columns decay through the driver's pandas fetch:\n  "
+        + "\n  ".join(bad)
+    )
