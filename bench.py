@@ -110,6 +110,7 @@ HEADLINE = [
     "bpe_encode_documents",
     "text_char_entropy",
     "heavy_hitter_words",
+    "heavy_hitter_shard_plan",
     "repeated_passage_windows",
     "distinct_users_sketch_profile",
     "hybrid_search_rrf",

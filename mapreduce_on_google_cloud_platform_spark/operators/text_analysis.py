@@ -2381,6 +2381,120 @@ HEAVY_HITTER_ORACLE = f"""
 
 
 # ---------------------------------------------------------------------------
+# Space-Saving shard-plan audit -- the EXACT tuning table for the
+# streaming heavy-hitter monitor (streaming/stateful.py: Space-Saving
+# with SS_CAPACITY counters per md5 word-shard).  Same division of
+# labor as sketch_summary vs the HLL/GK sketches: the bounded-state
+# sketch runs on the live stream, and this batch query computes, from
+# exact counts on the same shard lanes, what the sketch's contracts
+# will be per shard:
+#
+#   err_bound    -- floor(n_tokens / capacity): no Space-Saving counter
+#                   can overestimate by more than this (the min counter
+#                   never exceeds the shard mean over capacity);
+#   n_guaranteed -- words with freq * capacity > n_tokens: the coverage
+#                   guarantee says every one of these IS tracked;
+#   exact_below_capacity -- n_distinct <= capacity: the whole shard
+#                   table is exact (no eviction ever fires).
+#
+# All threshold tests are integer-exact (freq * capacity vs n_tokens,
+# never a float ratio); top_share is the usual single double division.
+# Scale: one map-side-combinable (shard, word) count -- the word-count
+# shuffle -- collapsed to SS_AUDIT_SHARDS rows; the totals join is
+# 8 rows broadcast.  The shard lane is the repo's portable md5 hash,
+# bit-identical in both engines, so shard membership is oracle-exact.
+# ---------------------------------------------------------------------------
+
+SS_AUDIT_SHARDS = 8  # == streaming.stateful.SS_SHARDS (no import: the
+# streaming module pulls in pyspark.sql.streaming; keep batch imports flat)
+SS_AUDIT_CAPACITY = 64  # == streaming.stateful.SS_CAPACITY
+
+
+def heavy_hitter_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    shard = (
+        F.conv(F.substring(F.md5("word"), 1, 15), 16, 10).cast("bigint")
+        % SS_AUDIT_SHARDS
+    )
+    cells = (
+        tokens_df(docs)
+        .select("word", shard.alias("shard"))
+        .groupBy("shard", "word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    tot = cells.groupBy("shard").agg(
+        F.sum("freq").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.max("freq").cast("bigint").alias("max_freq"),
+    )
+    cap = F.lit(SS_AUDIT_CAPACITY)
+    guaranteed = (
+        cells.join(F.broadcast(tot.select("shard", "n_tokens")), "shard")
+        .filter(F.col("freq") * cap > F.col("n_tokens"))
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_guaranteed"))
+    )
+    return (
+        tot.join(guaranteed, "shard", "left")
+        .select(
+            F.col("shard").cast("int").alias("shard"),
+            "n_tokens",
+            "n_distinct",
+            "max_freq",
+            # integer floor division (never a float path)
+            F.expr(f"n_tokens div {SS_AUDIT_CAPACITY}")
+            .cast("bigint")
+            .alias("err_bound"),
+            F.coalesce(F.col("n_guaranteed"), F.lit(0))
+            .cast("bigint")
+            .alias("n_guaranteed"),
+            (F.col("n_distinct") <= cap).alias("exact_below_capacity"),
+            (F.col("max_freq").cast("double") / F.col("n_tokens")).alias(
+                "top_share"
+            ),
+        )
+        .orderBy("shard")
+    )
+
+
+HEAVY_HITTER_SHARD_PLAN_ORACLE = f"""
+    WITH {DUCKDB_TOKS_CTE},
+    stream AS (
+        SELECT ts[i] AS word
+        FROM toks, unnest(range(1, len(ts) + 1)) t(i)
+    ),
+    cells AS (
+        SELECT ('0x' || substr(md5(word), 1, 15))::BIGINT
+                   % {SS_AUDIT_SHARDS} AS shard,
+               word, count(*) AS freq
+        FROM stream
+        GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT shard,
+               CAST(sum(freq) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_distinct,
+               CAST(max(freq) AS BIGINT) AS max_freq
+        FROM cells GROUP BY shard
+    ),
+    guaranteed AS (
+        SELECT c.shard, CAST(count(*) AS BIGINT) AS n_guaranteed
+        FROM cells c JOIN tot t USING (shard)
+        WHERE c.freq * {SS_AUDIT_CAPACITY} > t.n_tokens
+        GROUP BY c.shard
+    )
+    SELECT CAST(t.shard AS INTEGER) AS shard,
+           t.n_tokens, t.n_distinct, t.max_freq,
+           CAST(t.n_tokens // {SS_AUDIT_CAPACITY} AS BIGINT) AS err_bound,
+           CAST(coalesce(g.n_guaranteed, 0) AS BIGINT) AS n_guaranteed,
+           t.n_distinct <= {SS_AUDIT_CAPACITY} AS exact_below_capacity,
+           CAST(t.max_freq AS DOUBLE) / t.n_tokens AS top_share
+    FROM tot t LEFT JOIN guaranteed g USING (shard)
+    ORDER BY t.shard
+"""
+
+
+# ---------------------------------------------------------------------------
 # C4-style rule-based hygiene filter (Raffel et al. 2020 "Exploring the
 # Limits of Transfer Learning", appendix C; mean-word-length band from
 # Rae et al. 2021 table A1): the cheap deterministic drop rules every
@@ -4244,6 +4358,11 @@ TEXT_ANALYSIS_QUERIES: list[tuple[str, object, str | None]] = [
     ("dsir_importance_weights", dsir_importance_weights, DSIR_ORACLE),
     ("text_char_entropy", text_char_entropy, CHAR_ENTROPY_ORACLE),
     ("heavy_hitter_words", heavy_hitter_words, HEAVY_HITTER_ORACLE),
+    (
+        "heavy_hitter_shard_plan",
+        heavy_hitter_shard_plan,
+        HEAVY_HITTER_SHARD_PLAN_ORACLE,
+    ),
     (
         "repeated_passage_windows",
         repeated_passage_windows,

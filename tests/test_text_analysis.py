@@ -878,3 +878,31 @@ def test_oov_rate_reconciles_with_vocab_and_counts(spark):
         assert r.n_oov_types <= r.n_types
         assert r.n_oov_tokens >= r.n_oov_types  # every type occurs >= once
         assert r.oov_token_rate == round(n_oov / n_tokens, 6)
+
+
+def test_heavy_hitter_shard_plan_reconciles_with_token_stream(spark):
+    """Shard totals partition the token stream exactly; the guarantee
+    count respects Space-Saving's structural bounds (fewer than CAPACITY
+    words can each exceed n_tokens/CAPACITY); err_bound is the integer
+    floor of the shard mean over capacity."""
+    from mapreduce_on_google_cloud_platform_spark.functions.text import tokens_df
+    from mapreduce_on_google_cloud_platform_spark.operators.text_analysis import (
+        SS_AUDIT_CAPACITY,
+        SS_AUDIT_SHARDS,
+    )
+    from mapreduce_on_google_cloud_platform_spark.sources import load_table
+
+    rows = QUERIES["heavy_hitter_shard_plan"](spark, SF_SMOKE).collect()
+    assert 0 < len(rows) <= SS_AUDIT_SHARDS
+    docs = load_table(spark, SF_SMOKE, "documents")
+    toks = tokens_df(docs)
+    assert sum(r.n_tokens for r in rows) == toks.count()
+    assert sum(r.n_distinct for r in rows) == toks.select("word").distinct().count()
+    for r in rows:
+        assert r.err_bound == r.n_tokens // SS_AUDIT_CAPACITY
+        assert r.n_guaranteed < SS_AUDIT_CAPACITY  # pigeonhole bound
+        assert r.max_freq <= r.n_tokens
+        assert r.exact_below_capacity == (r.n_distinct <= SS_AUDIT_CAPACITY)
+        assert 0.0 < r.top_share <= 1.0
+        if r.n_guaranteed > 0:
+            assert r.max_freq * SS_AUDIT_CAPACITY > r.n_tokens
