@@ -111,6 +111,7 @@ HEADLINE = [
     "text_char_entropy",
     "heavy_hitter_words",
     "heavy_hitter_shard_plan",
+    "quality_percentile_by_source",
     "repeated_passage_windows",
     "distinct_users_sketch_profile",
     "hybrid_search_rrf",

@@ -170,6 +170,114 @@ QUALITY_ORACLE = f"""
     FROM base
 """
 
+# ---------------------------------------------------------------------------
+# Source-relative quality normalization -- the within-source percentile
+# rank of the quality score.  Absolute-threshold gates (quality_gate_*,
+# source_quality_decision) let a uniformly-high-scoring source crowd out
+# everything else after filtering; the production alternative is to
+# threshold each document AGAINST ITS OWN SOURCE's distribution, which
+# needs the per-source percentile as a feature.  This computes it
+# EXACTLY and scale-safely:
+#
+# A naive rank() window partitioned by source sorts a corpus-sized
+# partition whenever one source dominates -- the skew the repo's window
+# discipline forbids.  Instead the quality score is quantized to the
+# 1e-6 lattice (the LOGIT_QUANT pattern: floor(q*1e6+0.5) of a
+# bit-identical double is bit-identical), reduced to combinable
+# (source, q_quality) counts, prefix-summed over the BOUNDED lattice
+# table (window partitions = distinct score values per source, never
+# documents), and joined back -- so every document gets exact integer
+# (n_below, n_tied, n_source) and the only float is one division.
+# keep_top_half is the integer threshold test 2*n_below >= n_source.
+# ---------------------------------------------------------------------------
+
+QUALITY_PCT_QUANT = 1000000  # 1e-6 score lattice, shared discipline
+
+
+def quality_percentile_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    scored = (
+        text_quality_score(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.floor(F.col("quality") * QUALITY_PCT_QUANT + 0.5)
+            .cast("bigint")
+            .alias("q_quality"),
+        )
+        .join(docs, "doc_id")
+    )
+    cells = scored.groupBy("source", "q_quality").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tied")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("q_quality")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = cells.select(
+        "source",
+        "q_quality",
+        "n_tied",
+        F.coalesce(F.sum("n_tied").over(w), F.lit(0))
+        .cast("bigint")
+        .alias("n_below"),
+        F.sum("n_tied")
+        .over(Window.partitionBy("source"))
+        .cast("bigint")
+        .alias("n_source"),
+    )
+    return (
+        scored.join(ranked, ["source", "q_quality"])
+        .select(
+            "doc_id",
+            "source",
+            "q_quality",
+            "n_source",
+            "n_below",
+            "n_tied",
+            # unrounded single IEEE division of exact ints
+            (F.col("n_below").cast("double") / F.col("n_source")).alias(
+                "pct_below"
+            ),
+            (F.col("n_below") * 2 >= F.col("n_source")).alias(
+                "keep_top_half"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUALITY_PCT_ORACLE = f"""
+    WITH q AS ({{QUALITY_ORACLE}}),
+    scored AS (
+        SELECT q.doc_id, d.source,
+               CAST(floor(q.quality * {QUALITY_PCT_QUANT} + 0.5) AS BIGINT)
+                   AS q_quality
+        FROM q JOIN documents d USING (doc_id)
+    ),
+    cells AS (
+        SELECT source, q_quality, CAST(count(*) AS BIGINT) AS n_tied
+        FROM scored GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT source, q_quality, n_tied,
+               CAST(coalesce(sum(n_tied) OVER (PARTITION BY source
+                    ORDER BY q_quality
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS n_below,
+               CAST(sum(n_tied) OVER (PARTITION BY source) AS BIGINT)
+                   AS n_source
+        FROM cells
+    )
+    SELECT s.doc_id, s.source, s.q_quality,
+           r.n_source, r.n_below, r.n_tied,
+           CAST(r.n_below AS DOUBLE) / r.n_source AS pct_below,
+           r.n_below * 2 >= r.n_source AS keep_top_half
+    FROM scored s JOIN ranked r USING (source, q_quality)
+    ORDER BY s.doc_id
+""".replace("{QUALITY_ORACLE}", QUALITY_ORACLE)
+
+
 # BPE-ish word-piece pattern: runs of letters, runs of digits, single symbol
 BPE_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
 
@@ -4362,6 +4470,11 @@ TEXT_ANALYSIS_QUERIES: list[tuple[str, object, str | None]] = [
         "heavy_hitter_shard_plan",
         heavy_hitter_shard_plan,
         HEAVY_HITTER_SHARD_PLAN_ORACLE,
+    ),
+    (
+        "quality_percentile_by_source",
+        quality_percentile_by_source,
+        QUALITY_PCT_ORACLE,
     ),
     (
         "repeated_passage_windows",

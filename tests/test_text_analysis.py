@@ -906,3 +906,34 @@ def test_heavy_hitter_shard_plan_reconciles_with_token_stream(spark):
         assert 0.0 < r.top_share <= 1.0
         if r.n_guaranteed > 0:
             assert r.max_freq * SS_AUDIT_CAPACITY > r.n_tokens
+
+
+def test_quality_percentile_by_source_is_an_exact_rank(spark):
+    """Per source: n_below/n_tied/n_source must reconcile with a local
+    exact recount of the quantized scores, every doc appears exactly
+    once, and the integer keep test matches its definition."""
+    import collections
+
+    rows = QUERIES["quality_percentile_by_source"](spark, SF_SMOKE).collect()
+    assert len(rows) == len({r.doc_id for r in rows})
+    by_source = collections.defaultdict(list)
+    for r in rows:
+        by_source[r.source].append(r)
+    for source, rs in by_source.items():
+        qs = sorted(r.q_quality for r in rs)
+        n = len(qs)
+        counts = collections.Counter(qs)
+        below = {}
+        acc = 0
+        for q in sorted(counts):
+            below[q] = acc
+            acc += counts[q]
+        for r in rs:
+            assert r.n_source == n, source
+            assert r.n_tied == counts[r.q_quality], (source, r.doc_id)
+            assert r.n_below == below[r.q_quality], (source, r.doc_id)
+            assert r.pct_below == r.n_below / r.n_source
+            assert r.keep_top_half == (2 * r.n_below >= r.n_source)
+    # roughly half the corpus keeps under a per-source median threshold
+    kept = sum(1 for r in rows if r.keep_top_half)
+    assert 0.25 * len(rows) <= kept <= 0.75 * len(rows)
