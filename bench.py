@@ -22,6 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HEADLINE = [
     # reference parity
     "wordcount",
+    "inverted_index",
     "inverted_index_postings",
     # relational core
     "q1_pricing_summary",
@@ -346,16 +347,18 @@ def main() -> None:
     # preserves the summary but decapitates the detail line (round-9
     # finding: the surviving fragment is the tail of queries_spread, and
     # cross-round "per-query" comparisons silently became spread-vs-
-    # spread).  Persist the complete record beside the repo every run so
-    # the per-query medians/minima survive regardless of caller
-    # truncation; tools/bench_r{N}_full.json snapshots are copies of
-    # this channel.
+    # spread).  Persist the complete record every run so the per-query
+    # medians/minima survive regardless of caller truncation;
+    # tools/bench_r{N}_full.json snapshots are explicit copies of this
+    # channel.  The path is env-overridable and gitignored (ADVICE r9:
+    # writing a tracked file left the checkout permanently dirty).
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "tools", "bench_last_full.json"),
+    )
     try:
-        with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "tools", "bench_last_full.json"),
-            "w",
-        ) as f:
+        with open(out_path, "w") as f:
             json.dump(
                 {
                     "summary": summary,

@@ -337,6 +337,14 @@ def _enc(v) -> bytes:
     raise TypeError(f"canonical_digest: unsupported cell type {type(v)!r}")
 
 
+# Digest-encoding epoch (ADVICE r9): the round-9 length-prefix fix changed
+# every digest, so artifacts written before it ("v1", implicit) are NOT
+# comparable to later ones even for bit-identical results.  Stamp the
+# epoch into every digest artifact so cross-round diffs can detect
+# incomparable encodings instead of reading them as regressions.
+DIGEST_ENCODING = "v2-length-prefixed"
+
+
 def canonical_digest(cols, rows) -> dict:
     """Whole-result digest + 256-bucket breakdown for divergence triage."""
     order = sorted(range(len(cols)), key=lambda i: cols[i])

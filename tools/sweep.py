@@ -158,8 +158,11 @@ def main() -> int:
         import duckdb
         import pyspark
 
+        from tests.oracle import DIGEST_ENCODING
+
         artifact = {
             "sf_dir": sf_dir,
+            "encoding": DIGEST_ENCODING,
             "engines": {
                 "pyspark": pyspark.__version__,
                 "duckdb": duckdb.__version__,
