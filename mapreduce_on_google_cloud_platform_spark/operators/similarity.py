@@ -396,6 +396,73 @@ VECTOR_SUITE_ORACLE = f"""
 KMEANS_ITERS = 3
 QUANT_SCALE = 1_000_000  # fixed-point: q = floor(v * 1e6 + 0.5)
 
+# Two-lane split of the centroid sums (round 10, VERDICT r9 item #2).
+# The per-(vector, centroid) hot loop is the cross term <q, s>; computed
+# naively in int64 it silently overflows once a cluster holds ~1e5
+# members (|s_i| <= n * qmax, so sum_i q_i*s_i <= 64 * qmax^2 * n).
+# Splitting each centroid sum ONCE (driver-side, exact Python ints) as
+#     s_i = shi_i * 2^31 + slo_i,   shi_i = s_i >> 31 (floor),
+#                                   slo_i = s_i & (2^31 - 1)  in [0, 2^31)
+# keeps the hot loop in pure int64 codegen (two flat dot products instead
+# of one) and recombines exactly in DECIMAL(38,0) once per pair:
+#     <q, s> = 2^31 * <q, shi> + <q, slo>.
+# Lane bounds (DIM=64): |<q, slo>| <= 64 * qmax * 2^31  -> safe while
+# qmax <= 2^25 (components |v| <= ~33.5 at the 1e6 scale -- far wider
+# than any normalized embedding, and already required by the int64
+# Q2 = sum q_i^2);  |<q, shi>| <= 64 * qmax * (n * qmax / 2^31 + 1)
+# ~ 2^21 * n at qmax ~ 2^23 -> safe to n ~ 4e12 members per cluster,
+# i.e. beyond any 100 TB corpus.  No silent wrap anywhere.
+KMEANS_SPLIT_SHIFT = 31
+_SPLIT_BASE = 1 << KMEANS_SPLIT_SHIFT
+
+KMEANS_CENT_SCHEMA = (
+    "cluster_id bigint, n bigint, "
+    + ", ".join(f"shi{i} bigint" for i in range(64))
+    + ", "
+    + ", ".join(f"slo{i} bigint" for i in range(64))
+    + ", ss decimal(38,0)"
+)
+
+
+def _centroid_tuple(cluster_id: int, n: int, sums: list[int]) -> tuple:
+    """One codebook row: split sums + exact S2 in arbitrary-precision ints."""
+    from decimal import Decimal
+
+    return (
+        cluster_id,
+        n,
+        *(s >> KMEANS_SPLIT_SHIFT for s in sums),  # Python >> floors
+        *(s & (_SPLIT_BASE - 1) for s in sums),
+        Decimal(sum(s * s for s in sums)),
+    )
+
+
+def kmeans_dist_expr(dim: int = 64):
+    """Exact scaled squared distance, as a Column over a (vector x centroid)
+    row carrying q0..q{dim-1}, qq, n, shi*/slo* split sums and ss.
+
+    dist * n^2 = n^2*Q2 - 2n*<q,s> + S2 (algebraically
+    = sum_i (q_i*n - s_i)^2, identical integer because every step is
+    exact).  The hot loop is the two int64 lane dot products; the wide
+    DECIMAL(38,0) ops run once per pair, not once per dimension."""
+
+    def _chain(terms):
+        acc = terms[0]
+        for t in terms[1:]:
+            acc = acc + t
+        return acc
+
+    DEC = "decimal(38,0)"
+    cross_hi = _chain([F.col(f"q{i}") * F.col(f"shi{i}") for i in range(dim)])
+    cross_lo = _chain([F.col(f"q{i}") * F.col(f"slo{i}") for i in range(dim)])
+    cross = cross_hi.cast(DEC) * F.lit(_SPLIT_BASE).cast(DEC) + cross_lo.cast(DEC)
+    n2 = (F.col("n") * F.col("n")).cast(DEC)
+    return (
+        n2 * F.col("qq").cast(DEC)
+        - (F.lit(2) * F.col("n")).cast(DEC) * cross
+        + F.col("ss")
+    ).cast("double") / (F.col("n") * F.col("n")).cast("double")
+
 
 def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """{KMEANS_ITERS} fixed Lloyd iterations over the embeddings; returns
@@ -451,35 +518,20 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
 
-    DEC = "decimal(38,0)"
-
     # The codebook is k rows -- driver-sized at any corpus scale (that is
     # the definition of a codebook).  Each round therefore collects the
     # exact (n, s_0..s_63) integer sums and rebuilds a literal centroid
-    # DataFrame: S2 is computed in arbitrary-precision Python ints (no
-    # 64-wide decimal codegen in the distributed plan), the per-round
-    # lineage is truncated by construction (no checkpoint machinery), and
-    # the broadcast side is a local relation -- the same collect-and-
-    # rebroadcast round structure distributed k-means classically uses.
-    from decimal import Decimal
-
-    cent_schema = (
-        "cluster_id bigint, n bigint, "
-        + ", ".join(f"s{i} bigint" for i in range(DIM))
-        + ", ss decimal(38,0)"
-    )
-
+    # DataFrame: the sums are SPLIT into two int64 lanes (see
+    # KMEANS_SPLIT_SHIFT) so the distance cross term cannot overflow at
+    # any cluster size, and S2 is computed in arbitrary-precision Python
+    # ints (no 64-wide decimal codegen in the distributed plan).  The
+    # per-round lineage is truncated by construction (no checkpoint
+    # machinery), and the broadcast side is a local relation -- the same
+    # collect-and-rebroadcast round structure distributed k-means
+    # classically uses.
     def _centroid_df(rows) -> DataFrame:
-        data = [
-            (
-                r["cluster_id"],
-                r["n"],
-                *(r[f"s{i}"] for i in range(DIM)),
-                Decimal(sum(r[f"s{i}"] * r[f"s{i}"] for i in range(DIM))),
-            )
-            for r in rows
-        ]
-        return spark.createDataFrame(data, cent_schema)
+        data = [_centroid_tuple(r["cluster_id"], r["n"], [r[f"s{i}"] for i in range(DIM)]) for r in rows]
+        return spark.createDataFrame(data, KMEANS_CENT_SCHEMA)
 
     centroids = _centroid_df(
         vectors.filter(F.col("vec_id") % CENTROID_STRIDE == 0)
@@ -491,22 +543,7 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
 
-    # dist*n^2 = n^2*Q2 - 2n*<q,s> + S2 (algebraically = sum_i (q_i*n - s_i)^2,
-    # identical integer because every step is exact).  The per-pair hot loop
-    # is <q,s>: a pure int64 dot product (codegen); the three wide-decimal
-    # ops run once per pair, not once per dimension.  int64 bound: <q,s> <=
-    # 64 * qmax^2 * n ~ 6.4e13 * n -- safe to n ~ 1e5 members; beyond that,
-    # lift the cross term to DECIMAL too.
-    cross = _chain([F.col(f"q{i}") * F.col(f"s{i}") for i in range(DIM)])
-    n2 = (F.col("n") * F.col("n")).cast(DEC)
-    dist_expr = (
-        (
-            n2 * F.col("qq").cast(DEC)
-            - (F.lit(2) * F.col("n")).cast(DEC) * cross.cast(DEC)
-            + F.col("ss")
-        ).cast("double")
-        / (F.col("n") * F.col("n")).cast("double")
-    )
+    dist_expr = kmeans_dist_expr()
 
     assign = None
     for it in range(KMEANS_ITERS):
@@ -523,6 +560,9 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         if it < KMEANS_ITERS - 1:  # the final round's update is unused
+            # the int64 re-sum is safe to ~1e12 members per cluster
+            # (|sum q_i| <= n * qmax, qmax ~ 2^23); the same bound as the
+            # split-lane distance path, so no term overflows before any other
             centroids = _centroid_df(
                 vectors.join(assign, "vec_id")
                 .groupBy("cluster_id")
@@ -660,7 +700,7 @@ def _kmeans_oracle() -> str:
                  / CAST(cn.n * cn.n AS DOUBLE) AS dist
         FROM (
             SELECT q.vec_id, cs.cluster_id,
-                   CAST(sum(q.qv * cs.s) AS BIGINT) AS xp
+                   sum(CAST(q.qv AS HUGEINT) * cs.s) AS xp
             FROM q JOIN cs{p} cs ON q.d = cs.d
             GROUP BY 1, 2
         ) x
@@ -2451,19 +2491,20 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("q").alias("qmax"),
     )
     # Population-variance numerator n*sum(q^2) - sum(q)^2, exact in
-    # decimal internally, emitted as BIGINT (consumers divide by
-    # n^2 * 1e12 to recover var).
+    # decimal internally, emitted as BIGINT via the in-plan overflow
+    # guard (ADVICE r9: the bare non-ANSI cast nulls past int64 while
+    # DuckDB errors loudly -- checked_bigint restores the symmetry).
+    from ..functions.numeric import checked_bigint
+
     mean = F.col("sq").cast("double") / F.col("n") / QUANT_SCALE
     return agg.select(
         F.col("dim").cast("int").alias("dim"),
         "n",
         mean.alias("mean_v"),  # two fixed-order IEEE divisions, unrounded
-        (
-            F.col("n").cast(dec) * F.col("sqq")
-            - F.col("sq") * F.col("sq")
-        )
-        .cast("bigint")
-        .alias("var_num"),
+        checked_bigint(
+            F.col("n").cast(dec) * F.col("sqq") - F.col("sq") * F.col("sq"),
+            "var_num",
+        ).alias("var_num"),
         (F.col("qmin") / QUANT_SCALE).alias("min_v"),
         (F.col("qmax") / QUANT_SCALE).alias("max_v"),
     ).orderBy("dim")
@@ -2606,19 +2647,21 @@ def pca_gram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     dec = "decimal(38,0)"
+    from ..functions.numeric import checked_bigint
+
     return agg.select(
         F.col("dim_i").cast("int").alias("dim_i"),
         F.col("dim_j").cast("int").alias("dim_j"),
         "n",
-        # BIGINT outputs (driver-hash-safe); exact decimal internally
-        F.col("s_i").cast("bigint").alias("s_i"),
-        F.col("s_j").cast("bigint").alias("s_j"),
-        F.col("g_ij").cast("bigint").alias("g_ij"),
-        (
-            F.col("n").cast(dec) * F.col("g_ij") - F.col("s_i") * F.col("s_j")
-        )
-        .cast("bigint")
-        .alias("cov_num"),
+        # BIGINT outputs (driver-hash-safe); exact decimal internally,
+        # each emission overflow-guarded in-plan (ADVICE r9)
+        checked_bigint(F.col("s_i"), "s_i").alias("s_i"),
+        checked_bigint(F.col("s_j"), "s_j").alias("s_j"),
+        checked_bigint(F.col("g_ij"), "g_ij").alias("g_ij"),
+        checked_bigint(
+            F.col("n").cast(dec) * F.col("g_ij") - F.col("s_i") * F.col("s_j"),
+            "cov_num",
+        ).alias("cov_num"),
     ).orderBy("dim_i", "dim_j")
 
 

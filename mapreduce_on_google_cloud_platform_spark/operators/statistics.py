@@ -37,6 +37,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.numeric import checked_bigint as _checked_bigint
 from ..functions.portable import dec
 from ..sources import load_table
 
@@ -618,14 +619,17 @@ def ks_drift_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_bins"),
             F.max("base_total").alias("base_n"),
             F.max("cur_total").alias("cur_n"),
-            F.max(
-                F.abs(
-                    F.col("cb") * F.col("cur_total").cast(DEC)
-                    - F.col("cc") * F.col("base_total").cast(DEC)
-                )
-            )
-            .cast("bigint")
-            .alias("d_num"),
+            # overflow-guarded BIGINT emission (ADVICE r9: the bare
+            # non-ANSI cast nulls past int64 while DuckDB errors loudly)
+            _checked_bigint(
+                F.max(
+                    F.abs(
+                        F.col("cb") * F.col("cur_total").cast(DEC)
+                        - F.col("cc") * F.col("base_total").cast(DEC)
+                    )
+                ),
+                "d_num",
+            ).alias("d_num"),
         )
     )
     prod = (F.col("base_n").cast(DEC) * F.col("cur_n").cast(DEC)).cast("double")
@@ -1753,11 +1757,14 @@ def welch_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         # of an exact rational is the pca red-class)
         mean_b.alias("mean_base_cents"),
         mean_c.alias("mean_cur_cents"),
-        (n_c.cast(DEC) * F.col("sx_b") - n_b.cast(DEC) * F.col("sx_c"))
-        .cast("bigint")
-        .alias("mean_diff_num"),
-        vnum_b.cast("bigint").alias("var_num_b"),
-        vnum_c.cast("bigint").alias("var_num_c"),
+        # overflow-guarded BIGINT emissions (ADVICE r9): past the
+        # documented ~sf300 bound the job fails loudly, never nulls
+        _checked_bigint(
+            n_c.cast(DEC) * F.col("sx_b") - n_b.cast(DEC) * F.col("sx_c"),
+            "mean_diff_num",
+        ).alias("mean_diff_num"),
+        _checked_bigint(vnum_b, "var_num_b").alias("var_num_b"),
+        _checked_bigint(vnum_c, "var_num_c").alias("var_num_c"),
         t.alias("t_stat"),
         df.alias("welch_df"),
         (F.abs(t) > T_CRIT_95).alias("mean_shifted"),

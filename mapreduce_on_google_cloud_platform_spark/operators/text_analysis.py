@@ -23,6 +23,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.numeric import checked_bigint as _checked_bigint
 from ..functions.text import (
     DUCKDB_SHINGLES_CTE,
     DUCKDB_TOKS_CTE,
@@ -3782,24 +3783,24 @@ def quality_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         # exact in decimal internally, EMITTED as BIGINT: decimal output
         # columns decay to float64 through the driver's pandas fetch of
         # the DuckDB oracle (the r7+r8 red class).  u2 <= 6e6 at sf0.1;
-        # 2*n_pos*n_neg bounds it -- int64-safe until ~3e9 docs, then
-        # lift the output to the canonical STRING channel.
+        # the emission below is overflow-guarded in-plan (ADVICE r9), so
+        # past ~3e9 docs the job FAILS loudly instead of nulling.
         F.sum(
             F.lit(2).cast(DEC) * F.col("pos").cast(DEC) * F.col("neg_below")
             + F.col("pos").cast(DEC) * F.col("neg").cast(DEC)
-        )
-        .cast("bigint")
-        .alias("u2"),
+        ).alias("u2_dec"),
     )
     den = (
         F.lit(2).cast(DEC) * F.col("n_pos").cast(DEC) * F.col("n_neg").cast(DEC)
     ).cast("double")
-    auc = F.col("u2").cast("double") / den
+    # same integer whether narrowed first or not: decimal->double and
+    # bigint->double are both correctly-rounded conversions of the value
+    auc = F.col("u2_dec").cast("double") / den
     return agg.select(
         "n_pos",
         "n_neg",
         "n_scores",
-        "u2",
+        _checked_bigint(F.col("u2_dec"), "u2").alias("u2"),
         auc.alias("auc"),
         (2 * auc - 1).alias("gini"),
     )
@@ -3923,10 +3924,15 @@ def quality_logit_sufficient_stats(spark: SparkSession, sf_dir: str) -> DataFram
         one.select(F.explode(F.array(*rows)).alias("r"))
         # exact in decimal internally, EMITTED as BIGINT (decimal
         # outputs decay to float64 through the driver's pandas fetch --
-        # the r7+r8 red class).  |v| <= 3.4e15 at sf0.1, linear in docs
-        # -- int64-safe through ~sf200; past that, lift the output to
-        # the canonical STRING channel like the dist2_q family.
-        .select("r.stat", "r.j", "r.k", F.col("r.v").cast("bigint").alias("v"))
+        # the r7+r8 red class).  |v| <= 3.4e15 at sf0.1, linear in docs;
+        # the emission is overflow-guarded in-plan (ADVICE r9), so past
+        # ~sf200 the job FAILS loudly instead of silently nulling.
+        .select(
+            "r.stat",
+            "r.j",
+            "r.k",
+            _checked_bigint(F.col("r.v"), "v").alias("v"),
+        )
         .orderBy("stat", "j", "k")
     )
 

@@ -272,3 +272,32 @@ def test_oracle_pandas_fetch_representations_are_hash_safe():
         "oracle columns decay through the driver's pandas fetch:\n  "
         + "\n  ".join(bad)
     )
+
+
+def test_checked_bigint_guard(spark):
+    """ADVICE r9: BIGINT emissions from exact DECIMAL(38,0) numerators
+    must fail loudly past int64, never silently null (the DuckDB-side
+    HUGEINT->BIGINT cast already errors loudly; this restores symmetry)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mapreduce_on_google_cloud_platform_spark.functions.numeric import (
+        INT64_MAX,
+        checked_bigint,
+    )
+
+    from decimal import Decimal
+
+    df = spark.createDataFrame(
+        [(Decimal(INT64_MAX),), (Decimal(-INT64_MAX),), (None,)],
+        "v decimal(38,0)",
+    )
+    vals = sorted(
+        (r[0] for r in df.select(checked_bigint(F.col("v"), "v")).collect()),
+        key=lambda x: (x is None, x),
+    )
+    assert vals == [-INT64_MAX, INT64_MAX, None]
+
+    over = spark.createDataFrame([(Decimal(INT64_MAX + 1),)], "v decimal(38,0)")
+    with pytest.raises(Exception, match="overflows BIGINT"):
+        over.select(checked_bigint(F.col("v"), "v")).collect()

@@ -621,3 +621,49 @@ def test_nprobe_curve_monotone_and_consistent_with_ivf(spark):
         for r in QUERIES["ann_recall_at_k_curve"](spark, SF_SMOKE).collect()
     }
     assert recall_at_k[K_NEIGHBORS] <= by_np[NPROBE] + 1e-9
+
+
+def test_kmeans_dist_expr_exact_past_int64_overflow(spark):
+    """VERDICT r9 item #2: the <q,s> cross term must stay exact past the
+    old int64 bound (~1e5 members per cluster).  Synthetic cluster of
+    n = 2,000,000 identical max-magnitude vectors: the single-lane int64
+    dot product would wrap (sum q_i*s_i ~ 8.2e21 >> 2^63), silently
+    corrupting distances; the split-lane DECIMAL recombination must
+    reproduce the arbitrary-precision Python value bit-for-bit."""
+    from mapreduce_on_google_cloud_platform_spark.operators.similarity import (
+        KMEANS_CENT_SCHEMA,
+        _centroid_tuple,
+        kmeans_dist_expr,
+    )
+
+    DIM = 64
+    n = 2_000_000
+    q = [8_000_000 - 17 * i for i in range(DIM)]  # qmax at the |v|<=8 bound
+    cases = {
+        # centroid == the vector itself, n copies -> dist exactly 0
+        0: [n * qi for qi in q],
+        # centroid offset per-dim -> large nonzero exact distance
+        1: [n * qi + 999_983 * (i + 1) for i, qi in enumerate(q)],
+    }
+    qq = sum(qi * qi for qi in q)
+    cent_rows = [_centroid_tuple(cid, n, sums) for cid, sums in cases.items()]
+    centroids = spark.createDataFrame(cent_rows, KMEANS_CENT_SCHEMA)
+    vec = spark.createDataFrame(
+        [(0, *q, qq)],
+        "vec_id bigint, "
+        + ", ".join(f"q{i} bigint" for i in range(DIM))
+        + ", qq bigint",
+    )
+    got = {
+        r["cluster_id"]: r["dist"]
+        for r in vec.crossJoin(centroids)
+        .select("cluster_id", kmeans_dist_expr().alias("dist"))
+        .collect()
+    }
+    for cid, sums in cases.items():
+        cross = sum(qi * si for qi, si in zip(q, sums))
+        assert cross > 2**63, "test must exercise the overflow regime"
+        num = n * n * qq - 2 * n * cross + sum(s * s for s in sums)
+        expected = float(num) / float(n * n)
+        assert got[cid] == expected, (cid, got[cid], expected)
+    assert got[0] == 0.0
