@@ -131,8 +131,8 @@ def _pair_jaccard(sh: DataFrame) -> DataFrame:
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return _pair_jaccard(shingles_df(docs)).filter(
+    # probe path: one filter over the materialized exact pair table
+    return jaccard_pairs_indexed(spark, sf_dir).filter(
         F.col("jaccard") >= JACCARD_THRESHOLD
     )
 
@@ -169,8 +169,7 @@ JACCARD_LADDER = (0.1, 0.2, 0.3, 0.5, 0.7, 0.9)
 
 
 def jaccard_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = _pair_jaccard(shingles_df(docs))
+    pairs = jaccard_pairs_indexed(spark, sf_dir)
     aggs = [F.count(F.lit(1)).alias("n_candidate_pairs")]
     for t in JACCARD_LADDER:
         aggs.append(
@@ -257,8 +256,7 @@ CONTAINMENT_THRESHOLD = 0.5
 
 
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    sh = shingles_df(docs).persist()
+    sh = shingles_indexed(spark, sf_dir)  # parquet-backed: no persist needed
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -329,13 +327,11 @@ CONTAINMENT_ORACLE = f"""
 # ---------------------------------------------------------------------------
 
 
-def _minhash_bands(sh: DataFrame) -> DataFrame:
-    """distinct (doc_id, sh) -> (doc_id, band, band_key).
-
-    k=16 universal-hash min-hashes (functions/hashing.py: one md5 per
+def _sig_from_shingles(sh: DataFrame) -> DataFrame:
+    """distinct (doc_id, sh) -> (doc_id, mh0..mh15): the k=16
+    universal-hash MinHash signature (functions/hashing.py: one md5 per
     DICTIONARY entry reduced mod P, then 16 affine lanes of pure int64
-    arithmetic), grouped into 8 bands of 2; the band key is the md5 of
-    the band's concatenated signature values.
+    arithmetic).
 
     Two scale properties: (a) hash the dictionary, not the occurrences --
     md5 runs once per distinct shingle string and joins back to the
@@ -356,12 +352,23 @@ def _minhash_bands(sh: DataFrame) -> DataFrame:
             for i, (a, b) in enumerate(MINHASH_AB)
         ],
     )
-    sig = (
+    return (
         sh.join(dict_df, "sh")
         .groupBy("doc_id")
         .agg(*[F.min(f"mh{i}").alias(f"mh{i}") for i in range(NUM_MINHASHES)])
     )
-    rows_per_band = NUM_MINHASHES // MINHASH_BANDS
+
+
+def _bands_from_sig(
+    sig: DataFrame,
+    bands: int = MINHASH_BANDS,
+    rows_per_band: int | None = None,
+) -> DataFrame:
+    """(doc_id, mh0..mh15) -> (doc_id, band, band_key): band key = md5 of
+    the band's concatenated signature lanes.  Pure map-side projection --
+    a layout change never reshuffles the signature table."""
+    if rows_per_band is None:
+        rows_per_band = NUM_MINHASHES // bands
     band_structs = F.array(
         *[
             F.struct(
@@ -376,12 +383,137 @@ def _minhash_bands(sh: DataFrame) -> DataFrame:
                     )
                 ).alias("band_key"),
             )
-            for b in range(MINHASH_BANDS)
+            for b in range(bands)
         ]
     )
     return sig.select(
         "doc_id", F.explode(band_structs).alias("bk")
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+
+
+def _minhash_bands(sh: DataFrame) -> DataFrame:
+    """distinct (doc_id, sh) -> (doc_id, band, band_key), 8 bands x 2 rows."""
+    return _bands_from_sig(_sig_from_shingles(sh))
+
+
+def _band_candidates(bands: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key) -> distinct candidate (doc_a, doc_b):
+    the LSH bucket self-join (shuffle-on-band-key, never all pairs)."""
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key")),
+        )
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Materialized intermediates (round 10, VERDICT r9 item #3): the shared
+# index tables every heavy dedup query was rebuilding from raw, persisted
+# once per dataset via sources/index_store (index-build / probe split).
+# dedup_minhash_lsh stays end-to-end-from-raw as the family's full
+# oracle-checked pipeline; tests/test_dedup.py pins that the store-built
+# near-dup pair table is row-identical to it.
+# ---------------------------------------------------------------------------
+
+
+def shingles_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized distinct (doc_id, sh) shingle posting table."""
+    from ..sources.index_store import materialized
+
+    return materialized(
+        spark,
+        sf_dir,
+        "shingles",
+        "v1",
+        lambda s, d: shingles_df(load_table(s, d, "documents")),
+    )
+
+
+def minhash_sig_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized per-doc 16-lane MinHash signature table."""
+    from ..sources.index_store import materialized
+
+    return materialized(
+        spark,
+        sf_dir,
+        "minhash_sig",
+        f"v1-k{NUM_MINHASHES}",
+        lambda s, d: _sig_from_shingles(shingles_indexed(s, d)),
+    )
+
+
+def jaccard_pairs_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized exact pair table: every doc pair sharing >= 1 shingle,
+    with (n_common, n_union, jaccard).  The single most re-derived
+    intermediate in the family -- the inverted-index join output."""
+    from ..sources.index_store import materialized
+
+    return materialized(
+        spark,
+        sf_dir,
+        "jaccard_pairs",
+        "v1",
+        lambda s, d: _pair_jaccard(shingles_indexed(s, d)),
+    )
+
+
+def neardup_pairs_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized verified MinHash-LSH near-dup pairs (doc_a, doc_b,
+    jaccard) -- bit-identical to ``dedup_minhash_lsh`` (test-pinned):
+    restricting the exact-Jaccard table to candidate pairs is the same
+    set whether the shingle table was pre-filtered to candidate docs
+    (the from-raw plan) or not (here), because pair statistics depend
+    only on the two docs' own shingle sets."""
+    from ..sources.index_store import materialized
+
+    def _build(s: SparkSession, d: str) -> DataFrame:
+        cand = _band_candidates(_bands_from_sig(minhash_sig_indexed(s, d)))
+        jac = jaccard_pairs_indexed(s, d)
+        return (
+            cand.join(jac, ["doc_a", "doc_b"])
+            .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+            .select("doc_a", "doc_b", "jaccard")
+        )
+
+    return materialized(
+        spark, sf_dir, "neardup_pairs", f"v1-j{JACCARD_THRESHOLD}", _build
+    )
+
+
+def simhash_pairs_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized SimHash near-dup pair table (the CC family's edges)."""
+    from ..sources.index_store import materialized
+
+    return materialized(
+        spark,
+        sf_dir,
+        "simhash_pairs",
+        f"v1-h{HAMMING_MAX}",
+        lambda s, d: simhash_near_pairs(s, d),
+    )
+
+
+def simhash_clusters_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized connected-components cluster report over the SimHash
+    graph -- ``dedup_clusters``'s exact output (that query stays
+    from-raw as the iterative pipeline's oracle-checked variant)."""
+    from ..sources.index_store import materialized
+
+    return materialized(
+        spark,
+        sf_dir,
+        "simhash_clusters",
+        f"v1-h{HAMMING_MAX}",
+        lambda s, d: dedup_clusters(s, d),
+    )
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -501,28 +633,12 @@ BAND_LAYOUTS = ((16, 1), (8, 2), (4, 4), (2, 8))
 
 
 def minhash_band_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    sh = shingles_df(docs).persist()
-    uniq = sh.select("sh").distinct()
-    h = (
-        F.conv(F.substring(F.md5(F.col("sh")), 1, 15), 16, 10).cast("bigint")
-        % MINHASH_P
-    )
-    dict_df = uniq.select(
-        "sh",
-        *[
-            ((F.lit(a) * h + F.lit(b)) % MINHASH_P).alias(f"mh{i}")
-            for i, (a, b) in enumerate(MINHASH_AB)
-        ],
-    )
-    sig = (
-        sh.join(dict_df, "sh")
-        .groupBy("doc_id")
-        .agg(*[F.min(f"mh{i}").alias(f"mh{i}") for i in range(NUM_MINHASHES)])
-        .persist()
-    )
+    # probe path: the 16-lane signature table and the exact pair truth are
+    # materialized indexes; each layout adds only a map-side band-key
+    # projection + one self-join on (band, key)
+    sig = minhash_sig_indexed(spark, sf_dir)
     exact = (
-        _pair_jaccard(sh)
+        jaccard_pairs_indexed(spark, sf_dir)
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b")
         .persist()
@@ -530,42 +646,7 @@ def minhash_band_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
     out = None
     for bands, rows_per_band in BAND_LAYOUTS:
-        band_structs = F.array(
-            *[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.md5(
-                        F.concat_ws(
-                            "|",
-                            *[
-                                F.col(f"mh{b * rows_per_band + r}")
-                                for r in range(rows_per_band)
-                            ],
-                        )
-                    ).alias("band_key"),
-                )
-                for b in range(bands)
-            ]
-        )
-        bk = sig.select("doc_id", F.explode(band_structs).alias("bk")).select(
-            "doc_id",
-            F.col("bk.band").alias("band"),
-            F.col("bk.band_key").alias("band_key"),
-        )
-        a, b2 = bk.alias("a"), bk.alias("b")
-        cand = (
-            a.join(
-                b2,
-                (F.col("a.band") == F.col("b.band"))
-                & (F.col("a.band_key") == F.col("b.band_key")),
-            )
-            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-            .select(
-                F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"),
-            )
-            .distinct()
-        )
+        cand = _band_candidates(_bands_from_sig(sig, bands, rows_per_band))
         # candidate + verified counts in ONE pass over cand (left join on
         # the truth pairs, flag-sum) so no layout needs a persist -- the
         # old two-consumer shape cached every layout's candidates for the
@@ -716,8 +797,10 @@ STOP_SHINGLE_MAX_DF = 5
 
 
 def dedup_minhash_stopshingle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    sh = shingles_df(docs).persist()
+    # probe path over the materialized shingle table; the DF-capped
+    # signature is layout-specific (shingle set changes), so bands are
+    # still computed here -- from the store's scan, not from raw text
+    sh = shingles_indexed(spark, sf_dir)
     hot = (
         sh.groupBy("sh")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -725,21 +808,8 @@ def dedup_minhash_stopshingle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("sh")
     )
     kept = sh.join(F.broadcast(hot), "sh", "left_anti").persist()
-    bands = _minhash_bands(kept).persist()
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key")),
-        )
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
-        .persist()
-    )
+    bands = _minhash_bands(kept).persist()  # self-joined: avoid recompute
+    cand = _band_candidates(bands).persist()
     cand_docs = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .union(cand.select(F.col("doc_b").alias("doc_id")))
@@ -1025,11 +1095,9 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     replicates the identical bucketing, so results still hash-match
     exactly, and recall vs the exact oracle is measurable on any capped
     sample."""
-    from .similarity import _lsh_bucket_col, _lsh_bucket_sql  # shared planes
+    from .similarity import lsh_sig_indexed  # shared materialized index
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    en = flat_normalized(emb)
-    sig = en.withColumn("bucket", _lsh_bucket_col("x")).persist()
+    sig = lsh_sig_indexed(spark, sf_dir)
     a = sig.alias("a")
     b = sig.select(
         F.col("vec_id").alias("b_vec_id"),
@@ -1081,11 +1149,9 @@ COSINE_LADDER = (0.3, 0.4, 0.5, 0.7, 0.9)
 
 
 def cosine_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .similarity import _lsh_bucket_col  # shared planes
+    from .similarity import lsh_sig_indexed  # shared materialized index
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    en = flat_normalized(emb)
-    sig = en.withColumn("bucket", _lsh_bucket_col("x")).persist()
+    sig = lsh_sig_indexed(spark, sf_dir)
     a = sig.alias("a")
     b = sig.select(
         F.col("vec_id").alias("b_vec_id"),
@@ -1172,15 +1238,14 @@ def semantic_dedup_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     alignment: embeddings.vec_id IS documents.doc_id (1:1)."""
     cand = dedup_embedding_lsh(spark, sf_dir).select(
         F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"), "cos_sim"
-    ).persist()
-    docs = load_table(spark, sf_dir, "documents")
-    cand_docs = (
-        cand.select(F.col("doc_a").alias("doc_id"))
-        .union(cand.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
     )
-    sh_cand = shingles_df(docs).join(cand_docs, "doc_id", "left_semi")
-    jac = _pair_jaccard(sh_cand).select("doc_a", "doc_b", "jaccard")
+    # probe path: the exact Jaccard verification reads the materialized
+    # pair table (left join restricts it to the semantic candidates --
+    # identical values to the old candidate-restricted recompute, since
+    # pair statistics depend only on the two docs' own shingle sets)
+    jac = jaccard_pairs_indexed(spark, sf_dir).select(
+        "doc_a", "doc_b", "jaccard"
+    )
     return (
         cand.join(jac, ["doc_a", "doc_b"], "left")
         .select(
@@ -1383,7 +1448,11 @@ DEDUP_CLUSTERS_ORACLE = f"""
 
 
 def cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    clusters = dedup_clusters(spark, sf_dir).select("cluster_id", "cluster_size")
+    # probe path: reads the materialized CC report (index/probe split);
+    # dedup_clusters itself remains the from-raw oracle-checked pipeline
+    clusters = simhash_clusters_indexed(spark, sf_dir).select(
+        "cluster_id", "cluster_size"
+    )
     per = clusters.groupBy("cluster_id").agg(
         F.max("cluster_size").alias("cluster_size")
     )
@@ -1452,7 +1521,9 @@ CLUSTER_SIZE_HIST_ORACLE = f"""
 
 
 def dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    clusters = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    clusters = simhash_clusters_indexed(spark, sf_dir).select(
+        "doc_id", "cluster_id"
+    )
     chars = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.col("n_chars").cast("bigint").alias("n_chars")
     )
@@ -1609,8 +1680,10 @@ def dedup_policy_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_flag = hashed.join(w_keep, "h").select(
         "doc_id", (F.col("doc_id") != F.col("keep_id")).alias("is_exact_dup")
     )
-    # keep-longest survivor per VERIFIED near-dup cluster
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    # keep-longest survivor per VERIFIED near-dup cluster (probe path:
+    # the verified pair table is a materialized index, test-pinned equal
+    # to dedup_minhash_lsh's from-raw output)
+    pairs = neardup_pairs_indexed(spark, sf_dir).select("doc_a", "doc_b")
     clusters = _cc_cluster_report(
         pairs, docs.select("doc_id"), "doc_id"
     ).select("doc_id", "cluster_id")
@@ -1784,11 +1857,14 @@ POLICY_FUNNEL_ORACLE = _policy_funnel_oracle()
 
 def incremental_minhash_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sh = shingles_df(docs).persist()
-    base_sh = sh.filter(F.col("doc_id") % 2 == 0)
-    inc_sh = sh.filter(F.col("doc_id") % 2 == 1)
-    base_bands = _minhash_bands(base_sh)
-    inc_bands = _minhash_bands(inc_sh)
+    # probe path: a doc's signature depends only on its OWN shingles (the
+    # lane mins never see other docs; the md5 dictionary hash is
+    # per-shingle), so the per-split band tables are FILTERS of the one
+    # materialized signature index -- the append-only property the
+    # docstring describes, made literal
+    bands = _bands_from_sig(minhash_sig_indexed(spark, sf_dir))
+    base_bands = bands.filter(F.col("doc_id") % 2 == 0)
+    inc_bands = bands.filter(F.col("doc_id") % 2 == 1)
     cand = (
         inc_bands.alias("i")
         .join(
@@ -1801,38 +1877,22 @@ def incremental_minhash_admission(spark: SparkSession, sf_dir: str) -> DataFrame
             F.col("bb.doc_id").alias("base_id"),
         )
         .distinct()
-        .persist()
     )
-    # exact cross-set Jaccard for candidates only
-    inc_cand_sh = inc_sh.join(
-        cand.select(F.col("inc_id").alias("doc_id")).distinct(),
-        "doc_id",
-        "left_semi",
-    ).select(F.col("doc_id").alias("inc_id"), "sh")
-    base_cand_sh = base_sh.join(
-        cand.select(F.col("base_id").alias("doc_id")).distinct(),
-        "doc_id",
-        "left_semi",
-    ).select(F.col("doc_id").alias("base_id"), "sh")
-    inter = (
-        inc_cand_sh.join(base_cand_sh, "sh")
-        .groupBy("inc_id", "base_id")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    si = sizes.select(F.col("doc_id").alias("inc_id"), F.col("n").alias("ni"))
-    sb = sizes.select(F.col("doc_id").alias("base_id"), F.col("n").alias("nb"))
+    # exact cross-set Jaccard for candidates only: the materialized pair
+    # table keyed (doc_a < doc_b); candidates sharing no shingle have no
+    # row there and verify at jaccard 0.0 via the left join
+    jp = jaccard_pairs_indexed(spark, sf_dir)
     jac = (
-        cand.join(inter, ["inc_id", "base_id"], "left")
-        .join(si, "inc_id")
-        .join(sb, "base_id")
+        cand.join(
+            jp,
+            (F.least("inc_id", "base_id") == jp["doc_a"])
+            & (F.greatest("inc_id", "base_id") == jp["doc_b"]),
+            "left",
+        )
         .select(
             "inc_id",
             "base_id",
-            (
-                F.coalesce("n_common", F.lit(0)).cast("double")
-                / (F.col("ni") + F.col("nb") - F.coalesce("n_common", F.lit(0)))
-            ).alias("jaccard"),
+            F.coalesce("jaccard", F.lit(0.0)).alias("jaccard"),
         )
     )
     best = jac.groupBy("inc_id").agg(
@@ -1994,8 +2054,8 @@ def _pair_eval(method: str, pred: DataFrame, truth: DataFrame) -> DataFrame:
 
 def dedup_method_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth_txt = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    mh = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    sh = simhash_near_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    mh = neardup_pairs_indexed(spark, sf_dir).select("doc_a", "doc_b")
+    sh = simhash_pairs_indexed(spark, sf_dir).select("doc_a", "doc_b")
     truth_emb = dedup_embedding_pairs(spark, sf_dir).select(
         F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
     )
@@ -2324,7 +2384,7 @@ def _semdedup_clusters_oracle() -> str:
 
 def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = neardup_pairs_indexed(spark, sf_dir).select("doc_a", "doc_b")
     sa = docs.select(
         F.col("doc_id").alias("doc_a"), F.col("source").alias("_sa")
     )
@@ -2394,9 +2454,8 @@ CROSS_SOURCE_MATRIX_ORACLE = f"""
 
 
 def shingle_df_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
     df_counts = (
-        shingles_df(docs)
+        shingles_indexed(spark, sf_dir)
         .groupBy("sh")
         .agg(F.count(F.lit(1)).alias("df"))
         .select(
@@ -2496,38 +2555,16 @@ SHINGLE_DF_PROFILE_ORACLE = f"""
 
 
 def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    sh = shingles_df(docs).persist()
+    # probe path: both sides are materialized indexes -- the surviving
+    # pairs filter the exact pair table, and the signature joins restrict
+    # the signature table to pair docs (lane mins are per-doc functions,
+    # so any restriction is value-preserving)
     pairs = (
-        _pair_jaccard(sh)
+        jaccard_pairs_indexed(spark, sf_dir)
         .select("doc_a", "doc_b", "n_common", "n_union", "jaccard")
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .persist()
     )
-    # signatures ONLY for docs appearing in a surviving pair: the lane
-    # mins are per-doc functions, so the restriction cannot change them
-    pair_docs = (
-        pairs.select(F.col("doc_a").alias("doc_id"))
-        .union(pairs.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-    )
-    sh_pair = sh.join(pair_docs, "doc_id", "left_semi")
-    h = (
-        F.conv(F.substring(F.md5(F.col("sh")), 1, 15), 16, 10).cast("bigint")
-        % MINHASH_P
-    )
-    dict_df = sh_pair.select("sh").distinct().select(
-        "sh",
-        *[
-            ((F.lit(a) * h + F.lit(b)) % MINHASH_P).alias(f"mh{i}")
-            for i, (a, b) in enumerate(MINHASH_AB)
-        ],
-    )
-    sig = (
-        sh_pair.join(dict_df, "sh")
-        .groupBy("doc_id")
-        .agg(*[F.min(f"mh{i}").alias(f"mh{i}") for i in range(NUM_MINHASHES)])
-    )
+    sig = minhash_sig_indexed(spark, sf_dir)
     siga = sig.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"mh{i}").alias(f"a{i}") for i in range(NUM_MINHASHES)],
@@ -2634,8 +2671,8 @@ MINHASH_ESTIMATE_ERROR_ORACLE = _minhash_estimate_error_oracle()
 
 
 def lsh_bucket_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    bands = _minhash_bands(shingles_df(docs))
+    # probe path: one map-side banding projection over the signature index
+    bands = _bands_from_sig(minhash_sig_indexed(spark, sf_dir))
     sizes = bands.groupBy("band", "band_key").agg(
         F.count(F.lit(1)).cast("bigint").alias("s")
     )
@@ -2759,7 +2796,9 @@ LSH_BUCKET_BALANCE_ORACLE = _lsh_bucket_balance_oracle()
 
 def dedup_survivor_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     DEC38 = "decimal(38,0)"
-    clusters = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    clusters = simhash_clusters_indexed(spark, sf_dir).select(
+        "doc_id", "cluster_id"
+    )
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", F.col("n_chars").cast("bigint").alias("n_chars")
     )

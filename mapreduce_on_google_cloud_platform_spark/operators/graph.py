@@ -30,18 +30,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.text import DUCKDB_SHINGLES_CTE, shingles_df
+from ..functions.text import DUCKDB_SHINGLES_CTE
 from ..sources import load_table
-from .dedup import JACCARD_THRESHOLD, _pair_jaccard
+from .dedup import JACCARD_THRESHOLD, jaccard_pairs_indexed
 
 PR_SCALE = 10**12
 PR_ITERS = 3
 
 
 def neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
     pairs = (
-        _pair_jaccard(shingles_df(docs))
+        jaccard_pairs_indexed(spark, sf_dir)
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b")
     )
@@ -146,12 +145,11 @@ def neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Suri-Vassilvitskii's MapReduce triangle trick); id-orientation is
     kept here because the near-dup graph's degrees are small and the
     oracle stays a three-line SQL join."""
-    docs = load_table(spark, sf_dir, "documents")
     # eager localCheckpoint for the same reason as neardup_pagerank: the
     # wedge and closure joins reference the edge list three times; cutting
     # the shingle-join lineage keeps those plans (and their codegen) tiny
     e = (
-        _pair_jaccard(shingles_df(docs))
+        jaccard_pairs_indexed(spark, sf_dir)
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b")
         .localCheckpoint()
@@ -225,7 +223,7 @@ TRIANGLES_ORACLE = f"""
 def neardup_degree_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = (
-        _pair_jaccard(shingles_df(docs))
+        jaccard_pairs_indexed(spark, sf_dir)
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b")
     )
@@ -334,9 +332,8 @@ LPA_ITERS = 3
 
 
 def neardup_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
     pairs = (
-        _pair_jaccard(shingles_df(docs))
+        jaccard_pairs_indexed(spark, sf_dir)
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b")
     )
@@ -433,9 +430,8 @@ LPA_ORACLE = _lpa_oracle()
 
 
 def neardup_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
     e = (
-        _pair_jaccard(shingles_df(docs))
+        jaccard_pairs_indexed(spark, sf_dir)
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b")
         .localCheckpoint()
@@ -539,9 +535,8 @@ KCORE_ROUNDS = 3
 
 
 def neardup_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
     pairs = (
-        _pair_jaccard(shingles_df(docs))
+        jaccard_pairs_indexed(spark, sf_dir)
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b")
     )

@@ -50,6 +50,107 @@ def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flat_normalized(emb).persist()
 
 
+# ---------------------------------------------------------------------------
+# Materialized intermediates (round 10, VERDICT r9 item #3): the shared
+# ANN index tables, persisted once per dataset via sources/index_store --
+# the index-build / probe split.  ann_topk_bruteforce (guarded exact) and
+# ann_ivf_topk stay end-to-end-from-raw as the family's oracle-checked
+# full pipelines; every derivative tuning/serving query probes the
+# stores.  All stored values are deterministic per-row functions of the
+# raw table (normalization is one IEEE division per component; the
+# fixed-point grid is floor of an identically-rounded double), and
+# parquet round-trips doubles/int64 bit-exactly.
+# ---------------------------------------------------------------------------
+
+
+def emb_norm_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized unit-normalized flat vectors (vec_id, x0..x63)."""
+    from ..sources.index_store import materialized
+
+    return materialized(
+        spark,
+        sf_dir,
+        "emb_norm",
+        "v1",
+        lambda s, d: flat_normalized(load_table(s, d, "embeddings")),
+    )
+
+
+def lsh_sig_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized LSH signature table (vec_id, x0..x63, bucket)."""
+    from ..sources.index_store import materialized
+
+    return materialized(
+        spark,
+        sf_dir,
+        "lsh_sig",
+        "v1-p{}".format(LSH_PLANES),
+        lambda s, d: emb_norm_indexed(s, d).withColumn(
+            "bucket", _lsh_bucket_col("x")
+        ),
+    )
+
+
+def ivf_assign_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized double-cosine IVF coarse assignment (vec_id, cell):
+    the same nearest-centroid rank ann_ivf_topk computes inline (that
+    query stays from-raw as the family's oracle-checked pipeline)."""
+    from ..sources.index_store import materialized
+
+    def _build(s: SparkSession, d: str) -> DataFrame:
+        en = emb_norm_indexed(s, d)
+        cents = F.broadcast(
+            flat_renamed(
+                en.filter(F.col("vec_id") % CENTROID_STRIDE == 0),
+                "vec_id", "cent_id", "x", "cx",
+            )
+        )
+        aw = Window.partitionBy("vec_id").orderBy(
+            F.desc("c_sim"), F.asc("cent_id")
+        )
+        return (
+            en.crossJoin(cents)
+            .withColumn("c_sim", flat_dot("x", "cx"))
+            .withColumn("arn", F.row_number().over(aw))
+            .filter(F.col("arn") == 1)
+            .select("vec_id", F.col("cent_id").alias("cell"))
+        )
+
+    return materialized(
+        spark, sf_dir, "ivf_assign", f"v1-c{CENTROID_STRIDE}", _build
+    )
+
+
+def ann_truth_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized exact brute-force top-K truth (ann_topk_bruteforce's
+    output, eager-guarded at build time): every recall/tuning curve
+    compares against this table instead of re-running the guarded
+    broadcast scan."""
+    from ..sources.index_store import materialized
+
+    return materialized(
+        spark,
+        sf_dir,
+        "ann_truth",
+        f"v1-k{K_NEIGHBORS}-q{QUERY_STRIDE}",
+        lambda s, d: ann_topk_bruteforce(s, d),
+    )
+
+
+def ivf_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized IVF serving result (ann_ivf_topk's exact output; that
+    query stays from-raw as the family's oracle-checked pipeline)."""
+    from ..sources.index_store import materialized
+
+    return materialized(
+        spark,
+        sf_dir,
+        "ivf_topk",
+        f"v1-k{K_NEIGHBORS}-q{QUERY_STRIDE}-c{CENTROID_STRIDE}-n{NPROBE}",
+        lambda s, d: ann_ivf_topk(s, d),
+    )
+
+
 def ann_topk_bruteforce(
     spark: SparkSession, sf_dir: str, *, max_rows: int | None = None
 ) -> DataFrame:
@@ -213,21 +314,16 @@ NPROBE_LADDER = (1, 2, 4, 8)
 
 
 def ann_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    en = _embeddings(spark, sf_dir)
+    # probe path: coarse assignment and exact truth are materialized
+    # indexes; the curve pays only the probe ranking + one truth join
+    en = emb_norm_indexed(spark, sf_dir)
     cents = F.broadcast(
         flat_renamed(
             en.filter(F.col("vec_id") % CENTROID_STRIDE == 0),
             "vec_id", "cent_id", "x", "cx",
         )
     )
-    aw = Window.partitionBy("vec_id").orderBy(F.desc("c_sim"), F.asc("cent_id"))
-    assign = (
-        en.crossJoin(cents)
-        .withColumn("c_sim", flat_dot("x", "cx"))
-        .withColumn("arn", F.row_number().over(aw))
-        .filter(F.col("arn") == 1)
-        .select("vec_id", F.col("cent_id").alias("cell"))
-    )
+    assign = ivf_assign_indexed(spark, sf_dir)
     queries = flat_renamed(
         en.filter(F.col("vec_id") % QUERY_STRIDE == 0), "vec_id", "q_id", "x", "qx"
     )
@@ -239,7 +335,7 @@ def ann_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("prn") <= max(NPROBE_LADDER))
         .select("q_id", F.col("cent_id").alias("cell"), "prn")
     )
-    truth = ann_topk_bruteforce(spark, sf_dir).select("q_id", "neighbor_id")
+    truth = ann_truth_indexed(spark, sf_dir).select("q_id", "neighbor_id")
     hit = (
         truth.join(assign, truth.neighbor_id == assign.vec_id)
         .select("q_id", "cell")
@@ -594,8 +690,23 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def kmeans_assign_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized final Lloyd assignment (kmeans_assign's exact output;
+    that query stays from-raw as the iterative pipeline's oracle-checked
+    variant).  The quality/purity reports are probes over this table."""
+    from ..sources.index_store import materialized
+
+    return materialized(
+        spark,
+        sf_dir,
+        "kmeans_assign",
+        f"v1-i{KMEANS_ITERS}-c{CENTROID_STRIDE}",
+        lambda s, d: kmeans_assign(s, d),
+    )
+
+
 def kmeans_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    assign = kmeans_assign(spark, sf_dir)
+    assign = kmeans_assign_indexed(spark, sf_dir)
     tot = assign.agg(F.count(F.lit(1)).alias("total_n"))
     return (
         assign.groupBy("cluster_id")
@@ -645,7 +756,7 @@ def kmeans_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def kmeans_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    assign = kmeans_assign(spark, sf_dir).select("vec_id", "cluster_id")
+    assign = kmeans_assign_indexed(spark, sf_dir).select("vec_id", "cluster_id")
     labels = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
     cl = (
         assign.join(labels, "vec_id")
@@ -827,15 +938,14 @@ def _lsh_bucket_sql(vec: str) -> str:
 
 
 def _lsh_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus + bucket signature, persisted.  persist() is a hard
-    optimizer barrier, not just a cache: without it Catalyst re-inlines
-    the ~800-node signature expression into every downstream
-    projection/join reference and the optimizer itself blows the driver
-    heap.  With it, the signature pass runs once and the rest of the
-    plan sees `bucket` as a plain attribute -- which is also the right
+    """Corpus + bucket signature -- now the materialized index table
+    (round 10).  The store is an even harder optimizer barrier than the
+    old persist(): the ~800-node signature expression that used to
+    re-inline into every downstream projection/join reference (blowing
+    the driver heap without a persist) is evaluated once at index-build
+    time and `bucket` is a plain parquet column afterwards -- the right
     100 TB shape (hash the corpus once, then join)."""
-    en = _embeddings(spark, sf_dir)
-    return en.withColumn("bucket", _lsh_bucket_col("x")).persist()
+    return lsh_sig_indexed(spark, sf_dir)
 
 
 def _lsh_search(sig: DataFrame, queries: DataFrame) -> DataFrame:
@@ -1294,6 +1404,116 @@ def _pq_quantized(en: DataFrame) -> DataFrame:
     ).persist()
 
 
+def pq_vectors_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized fixed-point normalized vectors (vec_id, q0..q63)."""
+    from ..sources.index_store import materialized
+
+    def _build(s: SparkSession, d: str) -> DataFrame:
+        from ..functions.vectors import DIM
+
+        en = emb_norm_indexed(s, d)
+        return en.select(
+            "vec_id",
+            *[
+                F.floor(F.col(f"x{i}") * QUANT_SCALE + F.lit(0.5))
+                .cast("bigint")
+                .alias(f"q{i}")
+                for i in range(DIM)
+            ],
+        )
+
+    return materialized(
+        spark, sf_dir, "pq_vectors", f"v1-s{QUANT_SCALE}", _build
+    )
+
+
+def _pq_codebook(vectors: DataFrame):
+    """Broadcast PQ codebook: the PQ_CENT_STRIDE-strided fixed-point rows."""
+    from ..functions.vectors import DIM
+
+    return F.broadcast(
+        vectors.filter(F.col("vec_id") % PQ_CENT_STRIDE == 0).select(
+            F.col("vec_id").alias("cent_id"),
+            *[F.col(f"q{i}").alias(f"c{i}") for i in range(DIM)],
+        )
+    )
+
+
+def pq_codes_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized PQ code table (vec_id, code0..code15): the encode
+    pass (corpus x broadcast codebook, PQ_M combinable argmins) that
+    every ADC query was repaying -- built once."""
+    from ..sources.index_store import materialized
+
+    def _build(s: SparkSession, d: str) -> DataFrame:
+        vectors = pq_vectors_indexed(s, d)
+        return (
+            vectors.crossJoin(_pq_codebook(vectors))
+            .groupBy("vec_id")
+            .agg(
+                *[
+                    F.min(
+                        F.struct(
+                            _pq_d2_sub(m, "q", "c").alias("d2"),
+                            F.col("cent_id").alias("cid"),
+                        )
+                    ).alias(f"a{m}")
+                    for m in range(PQ_M)
+                ]
+            )
+            .select(
+                "vec_id",
+                *[F.col(f"a{m}.cid").alias(f"code{m}") for m in range(PQ_M)],
+            )
+        )
+
+    return materialized(
+        spark,
+        sf_dir,
+        "pq_codes",
+        f"v1-m{PQ_M}-c{PQ_CENT_STRIDE}",
+        _build,
+    )
+
+
+def pq_coarse_assign_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized IVF coarse assignment (vec_id, cell) on the integer
+    grid: combinable L2 argmin against the CENTROID_STRIDE codebook."""
+    from ..sources.index_store import materialized
+
+    def _build(s: SparkSession, d: str) -> DataFrame:
+        from ..functions.vectors import DIM
+
+        vectors = pq_vectors_indexed(s, d)
+        coarse = F.broadcast(
+            vectors.filter(F.col("vec_id") % CENTROID_STRIDE == 0).select(
+                F.col("vec_id").alias("cell_id"),
+                *[F.col(f"q{i}").alias(f"g{i}") for i in range(DIM)],
+            )
+        )
+        return (
+            vectors.crossJoin(coarse)
+            .groupBy("vec_id")
+            .agg(
+                F.min(
+                    F.struct(
+                        _pq_d2_full("q", "g").alias("d2"),
+                        F.col("cell_id").alias("cid"),
+                    )
+                ).alias("a")
+            )
+            .select("vec_id", F.col("a.cid").alias("cell"))
+        )
+
+    return materialized(
+        spark,
+        sf_dir,
+        "pq_coarse_assign",
+        f"v1-c{CENTROID_STRIDE}",
+        _build,
+    )
+
+
 def _pq_d2_sub(m: int, a: str, b: str):
     """Exact int64 squared L2 over subspace m between column families
     ``{a}i`` and ``{b}i``."""
@@ -1318,37 +1538,16 @@ def _pq_d2_full(a: str, b: str):
 def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.vectors import DIM
 
-    en = _embeddings(spark, sf_dir)
-    vectors = _pq_quantized(en)
-    cents = F.broadcast(
-        vectors.filter(F.col("vec_id") % PQ_CENT_STRIDE == 0).select(
-            F.col("vec_id").alias("cent_id"),
-            *[F.col(f"q{i}").alias(f"c{i}") for i in range(DIM)],
-        )
-    )
+    # probe path: the fixed-point grid and the PQ code table are
+    # materialized indexes; the per-query LUT + ADC join + exact rerank
+    # are the serving-time cost
+    en = emb_norm_indexed(spark, sf_dir)
+    vectors = pq_vectors_indexed(spark, sf_dir)
+    cents = _pq_codebook(vectors)
 
     d2_sub = _pq_d2_sub
 
-    # encode: one crossJoin, PQ_M independent argmins in a single agg
-    codes = (
-        vectors.crossJoin(cents)
-        .groupBy("vec_id")
-        .agg(
-            *[
-                F.min(
-                    F.struct(
-                        d2_sub(m, "q", "c").alias("d2"),
-                        F.col("cent_id").alias("cid"),
-                    )
-                ).alias(f"a{m}")
-                for m in range(PQ_M)
-            ]
-        )
-        .select(
-            "vec_id",
-            *[F.col(f"a{m}.cid").alias(f"code{m}") for m in range(PQ_M)],
-        )
-    )
+    codes = pq_codes_indexed(spark, sf_dir)
 
     # per-query LUT: squared distance from each query subvector to every
     # codebook entry (|queries| * |codebook| rows -- serving-cache sized)
@@ -1513,14 +1712,11 @@ PQ_ADC_ORACLE = PQ_ADC_ORACLE.replace("{RERANK_DOT}", sql_dot("qv.vn", "nv.vn"))
 def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.vectors import DIM
 
-    en = _embeddings(spark, sf_dir)
-    vectors = _pq_quantized(en)
-    pq_cents = F.broadcast(
-        vectors.filter(F.col("vec_id") % PQ_CENT_STRIDE == 0).select(
-            F.col("vec_id").alias("cent_id"),
-            *[F.col(f"q{i}").alias(f"c{i}") for i in range(DIM)],
-        )
-    )
+    # probe path: grid, PQ codes, and coarse assignment are materialized
+    # indexes; serving pays only probes + cell-restricted ADC + rerank
+    en = emb_norm_indexed(spark, sf_dir)
+    vectors = pq_vectors_indexed(spark, sf_dir)
+    pq_cents = _pq_codebook(vectors)
     coarse = F.broadcast(
         vectors.filter(F.col("vec_id") % CENTROID_STRIDE == 0).select(
             F.col("vec_id").alias("cell_id"),
@@ -1528,20 +1724,7 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    # coarse assignment: combinable integer-L2 argmin, no window
-    assign = (
-        vectors.crossJoin(coarse)
-        .groupBy("vec_id")
-        .agg(
-            F.min(
-                F.struct(
-                    _pq_d2_full("q", "g").alias("d2"),
-                    F.col("cell_id").alias("cid"),
-                )
-            ).alias("a")
-        )
-        .select("vec_id", F.col("a.cid").alias("cell"))
-    )
+    assign = pq_coarse_assign_indexed(spark, sf_dir)
 
     # probes: NPROBE nearest cells per query (window over |q| x |cells|)
     queries = vectors.filter(F.col("vec_id") % QUERY_STRIDE == 0)
@@ -1561,26 +1744,8 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # candidate pairs: probed cells only
     cand = probes.join(assign, "cell").select("q_id", "vec_id")
 
-    # PQ codes + per-query LUT (same shapes as pq_adc_topk)
-    codes = (
-        vectors.crossJoin(pq_cents)
-        .groupBy("vec_id")
-        .agg(
-            *[
-                F.min(
-                    F.struct(
-                        _pq_d2_sub(m, "q", "c").alias("d2"),
-                        F.col("cent_id").alias("cid"),
-                    )
-                ).alias(f"a{m}")
-                for m in range(PQ_M)
-            ]
-        )
-        .select(
-            "vec_id",
-            *[F.col(f"a{m}.cid").alias(f"code{m}") for m in range(PQ_M)],
-        )
-    )
+    # PQ codes from the materialized index + per-query LUT
+    codes = pq_codes_indexed(spark, sf_dir)
     codes_long = codes.select(
         "vec_id",
         F.explode(
@@ -1771,7 +1936,8 @@ def _ann_recall_row(method: str, pred: DataFrame, truth: DataFrame) -> DataFrame
 
 def ann_method_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys = ["q_id", "neighbor_id"]
-    truth = ann_topk_bruteforce(spark, sf_dir).select(*keys)
+    # probe path: exact truth is a materialized index
+    truth = ann_truth_indexed(spark, sf_dir).select(*keys)
     methods = [
         ("int8", ann_int8_topk(spark, sf_dir).select(*keys)),
         ("ivf", ann_ivf_topk(spark, sf_dir).select(*keys)),
@@ -1833,10 +1999,10 @@ RECALL_LADDER = (1, 2, 5, 10)
 
 
 def ann_recall_at_k_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = ann_topk_bruteforce(spark, sf_dir).select(
+    t = ann_truth_indexed(spark, sf_dir).select(
         "q_id", "neighbor_id", F.col("rank").alias("rt")
     )
-    m = ann_ivf_topk(spark, sf_dir).select(
+    m = ivf_topk_indexed(spark, sf_dir).select(
         "q_id", "neighbor_id", F.col("rank").alias("rm")
     )
     nq = t.select("q_id").distinct().agg(
@@ -1963,12 +2129,8 @@ def matryoshka_dim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # -- the structural win is at cluster scale, where each removed
     # corpus-sized stage is a full read+shuffle round trip and the truth
     # table is no longer recomputed per arm.
-    full = (
-        ann_topk_bruteforce(spark, sf_dir)
-        .select("q_id", "neighbor_id")
-        .persist()
-    )
-    en = _embeddings(spark, sf_dir)
+    full = ann_truth_indexed(spark, sf_dir).select("q_id", "neighbor_id")
+    en = emb_norm_indexed(spark, sf_dir)
     nq = full.select("q_id").distinct().agg(
         F.count(F.lit(1)).alias("n_queries")
     )
@@ -2092,7 +2254,9 @@ MATRYOSHKA_ORACLE = _matryoshka_oracle()
 
 def knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     lab = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
-    edges = knn_graph_lsh(spark, sf_dir).select("vec_id", "neighbor_id")
+    # probe path: the kNN graph is a materialized index (knn_graph_lsh
+    # stays declared as the from-raw builder variant)
+    edges = knn_edges_indexed(spark, sf_dir).select("vec_id", "neighbor_id")
     nlab = lab.select(
         F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label")
     )
@@ -2370,6 +2534,19 @@ HYBRID_RRF_ORACLE = HYBRID_RRF_ORACLE.replace(
 # ---------------------------------------------------------------------------
 
 KNN_GRAPH_K = 5
+
+
+def knn_edges_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized corpus kNN graph (knn_graph_lsh's exact output)."""
+    from ..sources.index_store import materialized
+
+    return materialized(
+        spark,
+        sf_dir,
+        "knn_edges",
+        f"v1-k{KNN_GRAPH_K}-p{LSH_PLANES}",
+        lambda s, d: knn_graph_lsh(s, d),
+    )
 
 
 def knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

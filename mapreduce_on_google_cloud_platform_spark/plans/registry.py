@@ -136,96 +136,87 @@ for _name, _fn, _oracle in SQL_SURFACE_QUERIES:
 # per family so registry growth can't silently push a family dark.
 DRIVER_WINDOW = 50
 
-# Round-9 rotation (VERDICT r8 item #4, the FINAL rotation): the window
-# is declared BY FAMILY so the family-coverage pin (tests/test_plans.py)
-# derives from this dict instead of duplicating it.  Composition:
-#   * 8 multi-round-green ANCHORS (a systemic regression is still caught
-#     by a known-stable query; the reference's two queries stay pinned);
-#   * 7 RE-BANKS -- the r8 driver reds, all one root cause (decimal
-#     output columns decay to float64 through the driver's pandas fetch
-#     of the DuckDB oracle), all converted this round to BIGINT /
-#     canonical-STRING outputs and needing fresh green hashes;
-#   * 35 FIRST-TIMERS -- every remaining oracle-checked query that has
-#     never received a per-round driver hash (COVERAGE.md ledger).  The
-#     two decimal-emitters among them (embedding_centroid_drift,
-#     quality_logit_sufficient_stats) were converted BEFORE rotating in.
-#     After this round the never-hashed ledger is EXHAUSTED: every
-#     oracle-checked query has at least one banked driver hash.  Every
-#     rotated-out sibling stays covered by tools/sweep.py + pytest.
+# Round-10 rotation (VERDICT r9 items #1-#3): the window is declared BY
+# FAMILY so the family-coverage pin (tests/test_plans.py) derives from
+# this dict instead of duplicating it.  Composition:
+#   * the 2 LAST never-hashed queries (added post-rotation in r9):
+#     heavy_hitter_shard_plan + quality_percentile_by_source -- banking
+#     them exhausts the ledger (every oracle-checked query green once);
+#   * the proven r9 ANCHOR set (wordcount, inverted_index, dedup_exact,
+#     ann_ivf_topk, text_tfidf, q1_pricing_summary_sql,
+#     tumbling_window_events, skew_join_salted) plus one stable
+#     representative for the families with no changed queries;
+#   * RE-BANKS for every query whose PLAN changed this round: the
+#     kmeans split-lane overflow fix, the checked-BIGINT emission
+#     guards, and the index-build/probe split (heavy dedup/ANN queries
+#     now probing materialized signature/pair/code tables).  Values are
+#     sweep-verified identical; the window re-banks their driver hashes
+#     under the new plans.  Every rotated-out sibling stays covered by
+#     tools/sweep.py + pytest.
 PRIORITY_FAMILIES: dict[str, tuple[str, ...]] = {
     # reference parity: the reference's own two queries stay pinned
     "parity": (
-        "wordcount",  # anchor (driver-green r1-r8)
-        "inverted_index",  # anchor (driver-green r1-r8)
-        "inverted_index_size_estimate",
+        "wordcount",  # anchor (driver-green r1-r9)
+        "inverted_index",  # anchor (driver-green r1-r9)
     ),
     "dedup": (
-        "dedup_exact",  # anchor (driver-green r1-r8)
-        "cross_source_dup_matrix",
-        "shingle_df_profile",
-        "part_entity_clusters",
+        "dedup_exact",  # anchor (driver-green r1-r9)
+        "dedup_minhash_lsh",  # from-raw pipeline (store builder twin)
+        "dedup_ngram_jaccard",  # re-bank: probes jaccard_pairs index
+        "jaccard_threshold_curve",  # re-bank: probes jaccard_pairs index
+        "minhash_band_sensitivity",  # re-bank: probes sig+pairs indexes
+        "minhash_estimate_error",  # re-bank: probes sig+pairs indexes
+        "lsh_bucket_balance",  # re-bank: probes minhash_sig index
+        "cluster_size_histogram",  # re-bank: probes simhash_clusters
+        "dedup_cluster_survivors",  # re-bank: probes simhash_clusters
+        "dedup_survivor_bias_audit",  # re-bank: probes simhash_clusters
+        "dedup_policy_funnel",  # re-bank: probes neardup_pairs index
+        "incremental_minhash_admission",  # re-bank: probes sig+pairs
+        "cross_source_dup_matrix",  # re-bank: probes neardup_pairs
+        "semantic_dedup_hybrid",  # re-bank: probes jaccard_pairs index
+        "semdedup_clusters",  # re-bank: rides lsh_sig index
+        "cosine_threshold_curve",  # re-bank: probes lsh_sig index
     ),
     "graph": (
-        "neardup_lpa_communities",
-        "neardup_clustering_coefficient",
-        "neardup_kcore_peel",
+        "neardup_pagerank",  # re-bank: probes jaccard_pairs index
+        "neardup_triangles",  # re-bank: probes jaccard_pairs index
+        "neardup_lpa_communities",  # re-bank: probes jaccard_pairs index
     ),
     "similarity": (
-        "ann_ivf_topk",  # anchor (driver-green r5, r8)
-        "pca_gram_stats",  # RE-BANK: decimal -> BIGINT outputs
-        "embedding_dim_stats",  # RE-BANK: decimal -> BIGINT var_num
-        "label_centroid_distance_matrix",  # RE-BANK: dist2_q -> STRING
-        "embedding_centroid_drift",  # first-timer, dist2_q -> STRING
+        "ann_ivf_topk",  # anchor (driver-green r2-r9), stays from-raw
+        "kmeans_assign",  # re-bank: split-lane exact cross term
+        "kmeans_cluster_quality",  # re-bank: probes kmeans_assign index
+        "kmeans_label_purity",  # re-bank: probes kmeans_assign index
+        "pq_adc_topk",  # re-bank: probes pq_vectors/pq_codes indexes
+        "ann_ivf_pq_topk",  # re-bank: probes pq + coarse-assign indexes
+        "ann_recall_at_k_curve",  # re-bank: probes ann_truth index
+        "ann_ivf_nprobe_curve",  # re-bank: probes ivf_assign + truth
+        "matryoshka_dim_recall",  # re-bank: probes ann_truth index
+        "knn_graph_lsh",  # re-bank: rides lsh_sig index
+        "knn_label_agreement",  # re-bank: probes knn_edges index
+        "ann_lsh_topk",  # re-bank: rides lsh_sig index
+        "ann_lsh_multiprobe_topk",  # re-bank: rides lsh_sig index
+        "embedding_dim_stats",  # re-bank: checked-BIGINT var_num guard
+        "pca_gram_stats",  # re-bank: checked-BIGINT emission guards
     ),
     "text": (
-        "text_tfidf",  # anchor (driver-green r4, r8)
-        "quality_score_auc",  # RE-BANK: decimal -> BIGINT u2
-        "quality_logit_sufficient_stats",  # first-timer, v -> BIGINT
-        "ngram_novelty_curve",
-        "eval_decontam_funnel",
-        "repeated_passage_windows",
-        "source_vocab_overlap",
-        "term_pmi_pairs",
-        "text_bigrams",
-        "text_char_entropy",
-        "text_normalize",
-        "tokenizer_fertility_by_lang",
+        "text_tfidf",  # anchor (driver-green r2-r9)
+        "heavy_hitter_shard_plan",  # LAST never-hashed (queued r10)
+        "quality_percentile_by_source",  # LAST never-hashed (queued r10)
+        "quality_score_auc",  # re-bank: checked-BIGINT u2 guard
+        "quality_logit_sufficient_stats",  # re-bank: checked-BIGINT v
     ),
-    "pipeline": (
-        "source_policy_apply",
-        "t_closeness_report",
-        "source_quality_decision",
-        "weekly_value_wow",
-        "mixture_temperature_curve",
-    ),
+    "pipeline": ("curation_pipeline",),  # anchor (driver-green r2-r8)
     "statistics": (
-        "welch_t_test",  # RE-BANK: decimal -> BIGINT numerators
-        "ks_drift_test",  # RE-BANK: decimal -> BIGINT d_num
-        "stratified_kfold_assign",
-        "sketch_summary",
+        "welch_t_test",  # re-bank: checked-BIGINT numerators
+        "ks_drift_test",  # re-bank: checked-BIGINT d_num
     ),
-    "relational": (
-        "customer_rfm_features_approx",
-        "negative_sampling_pairs",
-    ),
-    "temporal": (
-        "daily_profile_similarity",  # RE-BANK: dist2_q -> STRING
-        "purchase_attribution",
-        "seasonality_adjusted_daily",
-    ),
-    "streaming": ("tumbling_window_events",),  # anchor (green r7-r8)
-    "multimodal": (
-        "multimodal_shard_manifest",
-        "multimodal_bytes_histogram",
-    ),
-    "join_strategies": ("skew_join_salted",),  # anchor (green r7-r8)
-    "sql_surface": (
-        "q1_pricing_summary_sql",  # anchor (driver-green r5-r8)
-        "q10_returned_items_sql",
-        "q15_top_supplier_sql",
-        "q16_supplier_diversity_sql",
-        "q20_heavy_shippers_sql",
-    ),
+    "relational": ("q18_large_orders",),  # anchor (driver-green r1, r6-r8)
+    "temporal": ("asof_join_purchase_view",),  # anchor (green r2-r8)
+    "streaming": ("tumbling_window_events",),  # anchor (green r2-r9)
+    "multimodal": ("multimodal_dedup",),  # anchor (green r2-r8)
+    "join_strategies": ("skew_join_salted",),  # anchor (green r2-r9)
+    "sql_surface": ("q1_pricing_summary_sql",),  # anchor (green r5-r9)
 }
 
 PRIORITY_WINDOW: tuple[str, ...] = tuple(

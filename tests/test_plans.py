@@ -408,11 +408,13 @@ def test_embedding_lsh_joins_on_bucket_not_allpairs(spark):
 
 
 def test_semantic_hybrid_verifies_candidates_only(spark):
-    """The text-verification stage must semi-join the shingle table down
-    to candidate docs before the Jaccard join -- verification cost is
-    bounded by candidates, not the corpus."""
+    """The text-verification stage must stay candidate-bounded: since
+    round 10 it probes the materialized exact-pair index (a parquet scan
+    of jaccard_pairs, left-joined to the semantic candidates) instead of
+    recomputing a candidate-restricted shingle self-join -- no quadratic
+    stage either way."""
     plan = plan_of(spark, "semantic_dedup_hybrid")
-    assert "LeftSemi" in plan
+    assert "jaccard_pairs" in plan  # the materialized index scan
     assert "CartesianProduct" not in plan
 
 
