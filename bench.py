@@ -295,8 +295,9 @@ def main() -> None:
     )
 
     t0 = time.perf_counter()
-    build_all_indexes(spark, sf_dir)
+    index_report = build_all_indexes(spark, sf_dir)
     index_build_sec = round(time.perf_counter() - t0, 3)
+    index_built_n = len(index_report["built"])
     spark.catalog.clearCache()
 
     # median-of-N trials per query: this VM's run-to-run variance (the
@@ -354,6 +355,7 @@ def main() -> None:
         "sf": float(sf),
         "value_min_sum": round(sum(minima.values()), 3),
         "index_build_sec": index_build_sec,
+        "index_built_n": index_built_n,  # 0 = warm store verified, not built
         "loadavg_before": loadavg_before,
         "loadavg_after": [round(x, 2) for x in os.getloadavg()],
     }

@@ -1385,27 +1385,13 @@ PQ_CENT_STRIDE = 25
 PQ_SHORTLIST = 50  # ADC candidates per query fed to the exact rerank
 
 
-def _pq_quantized(en: DataFrame) -> DataFrame:
-    """UNIT-NORMALIZED vectors -> fixed-point int64 columns q0..q{DIM-1},
-    persisted.  L2 on unit vectors is monotone in cosine (|a-b|^2 =
-    2 - 2cos), so integer-L2 ranking approximates the cosine order the
-    exact/IVF/LSH queries serve; the fixed-point step makes every
-    distance an exact int64 both engines compute identically."""
-    from ..functions.vectors import DIM
-
-    return en.select(
-        "vec_id",
-        *[
-            F.floor(F.col(f"x{i}") * QUANT_SCALE + F.lit(0.5))
-            .cast("bigint")
-            .alias(f"q{i}")
-            for i in range(DIM)
-        ],
-    ).persist()
-
-
 def pq_vectors_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Materialized fixed-point normalized vectors (vec_id, q0..q63)."""
+    """Materialized fixed-point normalized vectors (vec_id, q0..q63).
+
+    L2 on unit vectors is monotone in cosine (|a-b|^2 = 2 - 2cos), so
+    integer-L2 ranking approximates the cosine order the exact/IVF/LSH
+    queries serve; the fixed-point step makes every distance an exact
+    int64 both engines compute identically."""
     from ..sources.index_store import materialized
 
     def _build(s: SparkSession, d: str) -> DataFrame:
