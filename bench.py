@@ -234,6 +234,11 @@ HEADLINE = [
     "multimodal_bytes_histogram",
     "ann_ivf_nprobe_curve",
     "vocab_oov_rate_by_source",
+    # round-10 index-quality audits (index/probe split probes)
+    "ivf_cell_balance",
+    "pq_code_usage",
+    "knn_reciprocity_audit",
+    "source_dedup_rate",
     "session_length_histogram",
     "order_basket_profile",
     # dedup_method_eval re-runs five declared pipelines; its components

@@ -2911,7 +2911,70 @@ SURVIVOR_BIAS_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Per-source near-dup incidence (round 10) -- the one-level-up summary of
+# cross_source_dup_matrix: for each source, how many of its documents
+# appear in at least one VERIFIED near-dup pair.  A source with a high
+# dup rate is a syndication mirror or template farm; this is the single
+# column a curation dashboard sorts by before opening the full matrix.
+# Scale: one distinct over the pair endpoints (bounded by verified
+# pairs), one dimension join, one combinable source rollup.
+# ---------------------------------------------------------------------------
+
+
+def source_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = neardup_pairs_indexed(spark, sf_dir)
+    in_pair = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .select("doc_id", F.lit(1).alias("dup"))
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        docs.join(in_pair, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.coalesce("dup", F.lit(0))).cast("bigint").alias(
+                "n_dup_docs"
+            ),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_dup_docs",
+            F.round(
+                F.col("n_dup_docs").cast("double") / F.col("n_docs"), 6
+            ).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+SOURCE_DEDUP_RATE_ORACLE = f"""
+    WITH near AS ({MINHASH_LSH_ORACLE}),
+    in_pair AS (
+        SELECT DISTINCT doc_id, 1 AS dup FROM (
+            SELECT doc_a AS doc_id FROM near
+            UNION ALL
+            SELECT doc_b AS doc_id FROM near
+        )
+    )
+    SELECT d.source,
+           count(*) AS n_docs,
+           CAST(sum(coalesce(dup, 0)) AS BIGINT) AS n_dup_docs,
+           round(CAST(sum(coalesce(dup, 0)) AS DOUBLE) / count(*), 6)
+               AS dup_rate
+    FROM documents d
+    LEFT JOIN in_pair USING (doc_id)
+    GROUP BY d.source
+    ORDER BY d.source
+"""
+
+
 DEDUP_QUERIES: list[tuple[str, object, str | None]] = [
+    ("source_dedup_rate", source_dedup_rate, SOURCE_DEDUP_RATE_ORACLE),
     (
         "dedup_survivor_bias_audit",
         dedup_survivor_bias_audit,

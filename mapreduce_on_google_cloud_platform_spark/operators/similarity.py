@@ -3133,7 +3133,251 @@ LABEL_CENTROID_MATRIX_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Index-quality audits (round 10) -- the reports an indexing job emits
+# before its tables are trusted for serving, each a cheap probe over the
+# materialized index store:
+#
+# * ivf_cell_balance -- power-of-two histogram of IVF cell populations.
+#   Probe cost is sum over probed cells of |cell|; one hot catch-all cell
+#   dominates serving latency exactly the way a hot shuffle key dominates
+#   a join (lsh_bucket_balance's sibling on the IVF axis).
+# * pq_code_usage -- per-subspace codebook utilization: dead codewords
+#   mean the quantizer under-uses its bits and ADC distances lose
+#   resolution; one dominant code means the subspace carries almost no
+#   information.  The standard "retrain the codebook?" screen.
+# * knn_reciprocity_audit -- per-rank share of kNN edges whose reverse
+#   edge also exists.  Low reciprocity at small k is the classic hubness
+#   symptom (a few vectors appear in everyone's neighbor list), which
+#   poisons kNN-graph clustering and label-agreement screens.
+#
+# Scale: every one is a combinable rollup over an index table bounded by
+# |cells|, PQ_M x |codebook|, or |V| x K -- never corpus-squared.  All
+# ratios are single round(6) divisions of exact integers.
+# ---------------------------------------------------------------------------
+
+
+def ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sizes = (
+        ivf_assign_indexed(spark, sf_dir)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("s"))
+    )
+    sized = sizes.select(
+        (F.length(F.bin(F.col("s"))) - 1).cast("int").alias("bucket"), "s"
+    )
+    tot = sized.agg(
+        F.sum("s").cast("bigint").alias("n_vectors_total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cells_total"),
+    )
+    return (
+        sized.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+            F.sum("s").cast("bigint").alias("n_vectors"),
+            F.min("s").cast("bigint").alias("min_cell"),
+            F.max("s").cast("bigint").alias("max_cell"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "n_cells",
+            "n_vectors",
+            "min_cell",
+            "max_cell",
+            F.round(
+                F.col("n_vectors").cast("double") / F.col("n_vectors_total"), 6
+            ).alias("vector_share"),
+        )
+        .orderBy("bucket")
+    )
+
+
+IVF_CELL_BALANCE_ORACLE = f"""
+    WITH {SQL_NORMALIZED_CTE},
+    cents AS (SELECT vec_id AS cent_id, vn AS cv FROM en
+              WHERE vec_id % {CENTROID_STRIDE} = 0),
+    assign AS (
+        SELECT vec_id, cell FROM (
+            SELECT en.vec_id, cent_id AS cell,
+                   row_number() OVER (PARTITION BY en.vec_id
+                                      ORDER BY {sql_dot('en.vn', 'cv')} DESC,
+                                               cent_id) AS arn
+            FROM en, cents
+        ) WHERE arn = 1
+    ),
+    sizes AS (SELECT cell, CAST(count(*) AS BIGINT) AS s
+              FROM assign GROUP BY cell),
+    sized AS (
+        SELECT CAST(length(printf('%b', s)) - 1 AS INTEGER) AS bucket, s
+        FROM sizes
+    ),
+    tot AS (SELECT CAST(sum(s) AS BIGINT) AS n_vectors_total FROM sized)
+    SELECT bucket,
+           count(*) AS n_cells,
+           CAST(sum(s) AS BIGINT) AS n_vectors,
+           CAST(min(s) AS BIGINT) AS min_cell,
+           CAST(max(s) AS BIGINT) AS max_cell,
+           round(CAST(sum(s) AS DOUBLE) / any_value(n_vectors_total), 6)
+               AS vector_share
+    FROM sized, tot
+    GROUP BY bucket
+    ORDER BY bucket
+"""
+
+
+def pq_code_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    codes = pq_codes_indexed(spark, sf_dir)
+    long = codes.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"), F.col(f"code{m}").alias("code")
+                    )
+                    for m in range(PQ_M)
+                ]
+            )
+        ).alias("mc")
+    ).select(F.col("mc.m").alias("m"), F.col("mc.code").alias("code"))
+    per = long.groupBy("m", "code").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    book = (
+        pq_vectors_indexed(spark, sf_dir)
+        .filter(F.col("vec_id") % PQ_CENT_STRIDE == 0)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("codebook_size"))
+    )
+    return (
+        per.groupBy("m")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_codes_used"),
+            F.sum("cnt").cast("bigint").alias("n_vectors"),
+            F.min(
+                F.struct((-F.col("cnt")).alias("neg"), F.col("code").alias("c"))
+            ).alias("top"),
+        )
+        .crossJoin(F.broadcast(book))
+        .select(
+            "m",
+            "codebook_size",
+            "n_codes_used",
+            F.round(
+                F.col("n_codes_used").cast("double") / F.col("codebook_size"),
+                6,
+            ).alias("usage_rate"),
+            F.col("top.c").alias("top_code"),
+            (-F.col("top.neg")).cast("bigint").alias("top_code_n"),
+            F.round(
+                (-F.col("top.neg")).cast("double") / F.col("n_vectors"), 6
+            ).alias("top_code_share"),
+        )
+        .orderBy("m")
+    )
+
+
+PQ_CODE_USAGE_ORACLE = f"""
+    WITH {SQL_NORMALIZED_CTE},
+    q AS (
+        SELECT vec_id, i AS d,
+               CAST(floor(vn[i] * {QUANT_SCALE} + 0.5) AS BIGINT) AS qv
+        FROM en, unnest(generate_series(1, 64)) t(i)
+    ),
+    cents AS (
+        SELECT vec_id AS cent_id, d, qv AS cv FROM q
+        WHERE vec_id % {PQ_CENT_STRIDE} = 0
+    ),
+    pairs AS (
+        SELECT q.vec_id, c.cent_id, (q.d - 1) // {PQ_SUBDIM} AS m,
+               CAST(sum((q.qv - c.cv) * (q.qv - c.cv)) AS BIGINT) AS d2
+        FROM q JOIN cents c ON q.d = c.d
+        GROUP BY 1, 2, 3
+    ),
+    codes AS (
+        SELECT vec_id, m, cent_id FROM pairs
+        QUALIFY row_number() OVER (PARTITION BY vec_id, m
+                                   ORDER BY d2, cent_id) = 1
+    ),
+    per AS (
+        SELECT m, cent_id AS code, CAST(count(*) AS BIGINT) AS cnt
+        FROM codes GROUP BY m, code
+    ),
+    book AS (
+        SELECT CAST(count(DISTINCT cent_id) AS BIGINT) AS codebook_size
+        FROM cents
+    ),
+    top AS (
+        SELECT m, code, cnt FROM per
+        QUALIFY row_number() OVER (PARTITION BY m
+                                   ORDER BY cnt DESC, code) = 1
+    )
+    SELECT CAST(per.m AS INTEGER) AS m,
+           any_value(codebook_size) AS codebook_size,
+           count(*) AS n_codes_used,
+           round(CAST(count(*) AS DOUBLE) / any_value(codebook_size), 6)
+               AS usage_rate,
+           any_value(top.code) AS top_code,
+           any_value(top.cnt) AS top_code_n,
+           round(CAST(any_value(top.cnt) AS DOUBLE)
+                 / CAST(sum(per.cnt) AS DOUBLE), 6) AS top_code_share
+    FROM per JOIN top USING (m), book
+    GROUP BY per.m
+    ORDER BY m
+"""
+
+
+def knn_reciprocity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = knn_edges_indexed(spark, sf_dir).select(
+        "vec_id", "neighbor_id", "rank"
+    )
+    rev = e.select(
+        F.col("neighbor_id").alias("vec_id"),
+        F.col("vec_id").alias("neighbor_id"),
+        F.lit(1).alias("recip"),
+    ).distinct()
+    flagged = e.join(rev, ["vec_id", "neighbor_id"], "left")
+    return (
+        flagged.groupBy("rank")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+            F.sum(F.coalesce("recip", F.lit(0))).cast("bigint").alias(
+                "n_reciprocal"
+            ),
+        )
+        .select(
+            "rank",
+            "n_edges",
+            "n_reciprocal",
+            F.round(
+                F.col("n_reciprocal").cast("double") / F.col("n_edges"), 6
+            ).alias("reciprocity"),
+        )
+        .orderBy("rank")
+    )
+
+
+KNN_RECIPROCITY_ORACLE = f"""
+    WITH knn AS ({KNN_GRAPH_ORACLE}),
+    rev AS (
+        SELECT DISTINCT neighbor_id AS vec_id, vec_id AS neighbor_id, 1 AS recip
+        FROM knn
+    )
+    SELECT k.rank,
+           count(*) AS n_edges,
+           CAST(sum(coalesce(recip, 0)) AS BIGINT) AS n_reciprocal,
+           round(CAST(sum(coalesce(recip, 0)) AS DOUBLE) / count(*), 6)
+               AS reciprocity
+    FROM knn k
+    LEFT JOIN rev USING (vec_id, neighbor_id)
+    GROUP BY k.rank
+    ORDER BY k.rank
+"""
+
+
 SIMILARITY_QUERIES: list[tuple[str, object, str | None]] = [
+    ("ivf_cell_balance", ivf_cell_balance, IVF_CELL_BALANCE_ORACLE),
+    ("pq_code_usage", pq_code_usage, PQ_CODE_USAGE_ORACLE),
+    ("knn_reciprocity_audit", knn_reciprocity_audit, KNN_RECIPROCITY_ORACLE),
     (
         "embedding_centroid_drift",
         embedding_centroid_drift,

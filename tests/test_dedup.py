@@ -512,3 +512,19 @@ def test_survivor_bias_reconciles_with_survivors(spark):
     for r in rows:
         assert 0 <= r.n_after <= r.n_before
         assert r.bias_ratio == round((r.n_after * tb) / (r.n_before * ta), 6)
+
+
+def test_source_dedup_rate_reconciles_with_pair_endpoints(spark):
+    from mapreduce_on_google_cloud_platform_spark.plans import QUERIES
+    from mapreduce_on_google_cloud_platform_spark.sources import load_table
+
+    from .conftest import SF_SMOKE
+
+    rows = QUERIES["source_dedup_rate"](spark, SF_SMOKE).collect()
+    docs = load_table(spark, SF_SMOKE, "documents")
+    assert sum(r.n_docs for r in rows) == docs.count()
+    pairs = QUERIES["dedup_minhash_lsh"](spark, SF_SMOKE).collect()
+    endpoints = {p.doc_a for p in pairs} | {p.doc_b for p in pairs}
+    assert sum(r.n_dup_docs for r in rows) == len(endpoints)
+    for r in rows:
+        assert 0 <= r.n_dup_docs <= r.n_docs

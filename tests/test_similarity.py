@@ -667,3 +667,46 @@ def test_kmeans_dist_expr_exact_past_int64_overflow(spark):
         expected = float(num) / float(n * n)
         assert got[cid] == expected, (cid, got[cid], expected)
     assert got[0] == 0.0
+
+
+def test_ivf_cell_balance_accounts_for_every_vector(spark):
+    from mapreduce_on_google_cloud_platform_spark.sources import load_table
+
+    rows = QUERIES["ivf_cell_balance"](spark, SF_SMOKE).collect()
+    n_emb = load_table(spark, SF_SMOKE, "embeddings").count()
+    assert sum(r.n_vectors for r in rows) == n_emb
+    assert abs(sum(r.vector_share for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert 2**r.bucket <= r.min_cell <= r.max_cell < 2 ** (r.bucket + 1)
+
+
+def test_pq_code_usage_shape(spark):
+    from mapreduce_on_google_cloud_platform_spark.operators.similarity import (
+        PQ_M,
+    )
+    from mapreduce_on_google_cloud_platform_spark.sources import load_table
+
+    rows = sorted(
+        QUERIES["pq_code_usage"](spark, SF_SMOKE).collect(), key=lambda r: r.m
+    )
+    n_emb = load_table(spark, SF_SMOKE, "embeddings").count()
+    assert [r.m for r in rows] == list(range(PQ_M))
+    for r in rows:
+        assert 1 <= r.n_codes_used <= r.codebook_size
+        assert 1 <= r.top_code_n <= n_emb
+        assert r.top_code % 25 == 0  # codebook ids are PQ_CENT_STRIDE rows
+
+
+def test_knn_reciprocity_bounds(spark):
+    from mapreduce_on_google_cloud_platform_spark.operators.similarity import (
+        KNN_GRAPH_K,
+    )
+
+    rows = sorted(
+        QUERIES["knn_reciprocity_audit"](spark, SF_SMOKE).collect(),
+        key=lambda r: r.rank,
+    )
+    assert [r.rank for r in rows] == list(range(1, KNN_GRAPH_K + 1))
+    for r in rows:
+        assert 0 <= r.n_reciprocal <= r.n_edges
+        assert r.reciprocity == round(r.n_reciprocal / r.n_edges, 6)
