@@ -239,6 +239,10 @@ HEADLINE = [
     "pq_code_usage",
     "knn_reciprocity_audit",
     "source_dedup_rate",
+    "pq_distortion_stats",
+    "minhash_lane_uniformity",
+    # robust twin of daily_value_anomalies
+    "daily_value_mad_outliers",
     "session_length_histogram",
     "order_basket_profile",
     # dedup_method_eval re-runs five declared pipelines; its components

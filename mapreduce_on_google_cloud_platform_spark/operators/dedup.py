@@ -2973,7 +2973,109 @@ SOURCE_DEDUP_RATE_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# MinHash lane-uniformity audit (round 10) -- the hash-family health
+# check over the materialized signature index.  Every lane is an affine
+# map (a_i*h + b_i) mod P of the same md5 base hash, so across the corpus
+# the 16 per-doc lane minima must look like iid draws from one
+# distribution: near-identical distinct-value counts, means on the same
+# order, comparable ranges.  A lane whose distinct count or mean diverges
+# means a degenerate (a, b) pair -- its bands then systematically over-
+# or under-propose candidates, a bias the downstream exact-Jaccard
+# verification cannot repair (missed pairs stay missed).  This is the
+# signature-table sibling of lsh_bucket_balance: that audits the BUCKET
+# layout, this audits the HASH FAMILY underneath it.
+# Scale: one map-side explode of the 16 flat lanes (no shuffle until the
+# 16-group rollup); the value sum accumulates in DECIMAL(38,0) (lane
+# minima < P ~ 2^31, so int64 would wrap past ~4e9 docs) and only the
+# round(6) mean is emitted.
+# ---------------------------------------------------------------------------
+
+
+def minhash_lane_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = minhash_sig_indexed(spark, sf_dir)
+    long = sig.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("lane"), F.col(f"mh{i}").alias("v")
+                    )
+                    for i in range(NUM_MINHASHES)
+                ]
+            )
+        ).alias("lv")
+    ).select(F.col("lv.lane").alias("lane"), F.col("lv.v").alias("v"))
+    return (
+        long.groupBy("lane")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("v").cast("bigint").alias("n_distinct"),
+            F.sum(F.col("v").cast("decimal(38,0)")).alias("_sv"),
+            F.min("v").cast("bigint").alias("min_value"),
+            F.max("v").cast("bigint").alias("max_value"),
+        )
+        .select(
+            "lane",
+            "n_docs",
+            "n_distinct",
+            F.round(
+                F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_docs"),
+                6,
+            ).alias("collision_share"),
+            F.round(F.col("_sv").cast("double") / F.col("n_docs"), 6).alias(
+                "mean_value"
+            ),
+            "min_value",
+            "max_value",
+        )
+        .orderBy("lane")
+    )
+
+
+def _lane_uniformity_oracle() -> str:
+    mh_cols = ",\n               ".join(
+        f"min(({a} * h + {b}) % {MINHASH_P}) AS mh{i}"
+        for i, (a, b) in enumerate(MINHASH_AB)
+    )
+    lane_selects = "\n        UNION ALL\n".join(
+        f"        SELECT {i} AS lane, mh{i} AS v FROM sig"
+        for i in range(NUM_MINHASHES)
+    )
+    return f"""
+    WITH {DUCKDB_SHINGLES_CTE},
+    dict AS (
+        SELECT sh, ('0x' || substr(md5(sh), 1, 15))::BIGINT % {MINHASH_P} AS h
+        FROM (SELECT DISTINCT sh FROM shing)
+    ),
+    sig AS (
+        SELECT doc_id,
+               {mh_cols}
+        FROM shing JOIN dict USING (sh)
+        GROUP BY doc_id
+    ),
+    lanes AS (
+{lane_selects}
+    )
+    SELECT CAST(lane AS INTEGER) AS lane,
+           count(*) AS n_docs,
+           count(DISTINCT v) AS n_distinct,
+           round(1.0 - CAST(count(DISTINCT v) AS DOUBLE) / count(*), 6)
+               AS collision_share,
+           round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS mean_value,
+           CAST(min(v) AS BIGINT) AS min_value,
+           CAST(max(v) AS BIGINT) AS max_value
+    FROM lanes
+    GROUP BY lane
+    ORDER BY lane
+"""
+
+
+LANE_UNIFORMITY_ORACLE = _lane_uniformity_oracle()
+
+
 DEDUP_QUERIES: list[tuple[str, object, str | None]] = [
+    ("minhash_lane_uniformity", minhash_lane_uniformity, LANE_UNIFORMITY_ORACLE),
     ("source_dedup_rate", source_dedup_rate, SOURCE_DEDUP_RATE_ORACLE),
     (
         "dedup_survivor_bias_audit",

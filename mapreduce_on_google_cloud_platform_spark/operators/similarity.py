@@ -3374,7 +3374,125 @@ KNN_RECIPROCITY_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# PQ reconstruction distortion (round 10) -- the codebook-quality metric
+# PQ training minimizes: per subspace, the squared error between each
+# vector's subvector and its assigned codeword, over the materialized
+# code table.  pq_code_usage screens HOW the codebook's entries are used;
+# this screens HOW WELL they fit -- every ADC distance is a sum of these
+# per-subspace residuals, so a subspace whose mean distortion is an
+# outlier adds noise to every shortlist it participates in.  This is the
+# "retrain / re-split the subspaces?" table an indexing job emits before
+# its code table is trusted for serving.  zero_share counts exact-fit
+# rows; the codebook vectors themselves (every PQ_CENT_STRIDE-th row is
+# its own codeword) set its floor.
+# Scale: one vec_id join (code table x fixed-point grid), PQ_M broadcast
+# codebook-slice joins (all map-side), one map-side explode, one
+# PQ_M-group combinable rollup.  Each subspace d2 is an exact int64
+# (< PQ_SUBDIM * (2*QUANT_SCALE)^2 ~ 1.6e13); the corpus sum accumulates
+# in DECIMAL(38,0) and emits via checked_bigint (loud, never NULL).
+# ---------------------------------------------------------------------------
+
+
+def pq_distortion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.numeric import checked_bigint
+
+    vectors = pq_vectors_indexed(spark, sf_dir)
+    codes = pq_codes_indexed(spark, sf_dir)
+    book = _pq_codebook(vectors)
+    df = vectors.join(codes, "vec_id")
+    for m in range(PQ_M):
+        sl = book.select(
+            F.col("cent_id").alias(f"_k{m}"),
+            *[
+                F.col(f"c{i}").alias(f"_w{i}")
+                for i in range(m * PQ_SUBDIM, (m + 1) * PQ_SUBDIM)
+            ],
+        )
+        df = df.join(F.broadcast(sl), F.col(f"code{m}") == F.col(f"_k{m}"))
+
+    def _d2(m: int):
+        acc = None
+        for i in range(m * PQ_SUBDIM, (m + 1) * PQ_SUBDIM):
+            t = (F.col(f"q{i}") - F.col(f"_w{i}")) * (
+                F.col(f"q{i}") - F.col(f"_w{i}")
+            )
+            acc = t if acc is None else acc + t
+        return acc
+
+    long = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(m).alias("m"), _d2(m).alias("d2"))
+                    for m in range(PQ_M)
+                ]
+            )
+        ).alias("md")
+    ).select(F.col("md.m").alias("m"), F.col("md.d2").alias("d2"))
+    return (
+        long.groupBy("m")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.sum(F.col("d2").cast("decimal(38,0)")).alias("_td"),
+            F.max("d2").cast("bigint").alias("max_d2"),
+            F.sum(F.when(F.col("d2") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("_nz"),
+        )
+        .select(
+            "m",
+            "n_vectors",
+            checked_bigint(F.col("_td"), "total_d2").alias("total_d2"),
+            F.round(
+                F.col("_td").cast("double") / F.col("n_vectors"), 6
+            ).alias("mean_d2"),
+            "max_d2",
+            F.round(F.col("_nz").cast("double") / F.col("n_vectors"), 6).alias(
+                "zero_share"
+            ),
+        )
+        .orderBy("m")
+    )
+
+
+PQ_DISTORTION_ORACLE = f"""
+    WITH {SQL_NORMALIZED_CTE},
+    q AS (
+        SELECT vec_id, i AS d,
+               CAST(floor(vn[i] * {QUANT_SCALE} + 0.5) AS BIGINT) AS qv
+        FROM en, unnest(generate_series(1, 64)) t(i)
+    ),
+    cents AS (
+        SELECT vec_id AS cent_id, d, qv AS cv FROM q
+        WHERE vec_id % {PQ_CENT_STRIDE} = 0
+    ),
+    pairs AS (
+        SELECT q.vec_id, c.cent_id, (q.d - 1) // {PQ_SUBDIM} AS m,
+               CAST(sum((q.qv - c.cv) * (q.qv - c.cv)) AS BIGINT) AS d2
+        FROM q JOIN cents c ON q.d = c.d
+        GROUP BY 1, 2, 3
+    ),
+    codes AS (
+        SELECT vec_id, m, cent_id, d2 FROM pairs
+        QUALIFY row_number() OVER (PARTITION BY vec_id, m
+                                   ORDER BY d2, cent_id) = 1
+    )
+    SELECT CAST(m AS INTEGER) AS m,
+           count(*) AS n_vectors,
+           CAST(sum(d2) AS BIGINT) AS total_d2,
+           round(CAST(sum(d2) AS DOUBLE) / count(*), 6) AS mean_d2,
+           CAST(max(d2) AS BIGINT) AS max_d2,
+           round(CAST(sum(CASE WHEN d2 = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS zero_share
+    FROM codes
+    GROUP BY m
+    ORDER BY m
+"""
+
+
 SIMILARITY_QUERIES: list[tuple[str, object, str | None]] = [
+    ("pq_distortion_stats", pq_distortion_stats, PQ_DISTORTION_ORACLE),
     ("ivf_cell_balance", ivf_cell_balance, IVF_CELL_BALANCE_ORACLE),
     ("pq_code_usage", pq_code_usage, PQ_CODE_USAGE_ORACLE),
     ("knn_reciprocity_audit", knn_reciprocity_audit, KNN_RECIPROCITY_ORACLE),

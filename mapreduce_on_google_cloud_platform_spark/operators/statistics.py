@@ -544,6 +544,159 @@ DAILY_ANOMALY_ORACLE = f"""
 
 
 # ---------------------------------------------------------------------------
+# Robust (median/MAD) daily anomaly twin of daily_value_anomalies (round
+# 10).  The z-score screen above is itself distorted by the outliers it
+# hunts (one extreme day inflates the stdev and masks the rest --
+# "masking"); the robust version scores each day against the MEDIAN and
+# the median-absolute-deviation, which tolerate up to half the days being
+# corrupted.  Production monitors run both: z for sensitivity on clean
+# series, MAD for breakdown resistance.  |robust_z| > 3.5 is the standard
+# Iglewicz-Hoaglin cutoff (their B = 0.6745 consistency constant folded
+# into the 1.349 below).
+#
+# Numeric discipline: medians stay on the integer lattice by doubling --
+# med2 = x_(k1) + x_(k2) is TWICE the interpolated median (k1/k2 the two
+# middle ranks; equal when n is odd), dev2 = |2x - med2| is twice the
+# absolute deviation, mad4 = dev2_(k1) + dev2_(k2) is FOUR times the MAD.
+# robust_z = 0.6745 * (x - med) / MAD = 1.349 * (2x - med2) / mad4: one
+# double expression of exact integers, identical in both engines.  The
+# emitted median/MAD are med2/2 and mad4/4 -- halves and quarters are
+# exact binary doubles, so no rounding is needed on either.
+#
+# Scale: the rank windows run on the POST-AGGREGATE daily table
+# (|event_type| x |days| rows, bounded by the calendar), partitioned by
+# event_type -- never a per-event window; everything upstream is one
+# combinable groupBy over the raw scan.
+# ---------------------------------------------------------------------------
+
+MAD_OUTLIER_Z = 3.5
+
+
+def daily_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("x"),
+        )
+    )
+
+    def _middle_two(df: DataFrame, col: str) -> DataFrame:
+        """event_type -> x_(k1) + x_(k2) over ``col`` (twice the median
+        on the integer lattice); bounded post-aggregate window."""
+        ranked = df.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy(col, "day")
+            ),
+        ).withColumn(
+            "n", F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+        )
+        k1 = F.floor((F.col("n") + F.lit(1)) / F.lit(2))
+        k2 = F.floor((F.col("n") + F.lit(2)) / F.lit(2))
+        return ranked.groupBy("event_type").agg(
+            (
+                F.sum(F.when(F.col("rn") == k1, F.col(col)).otherwise(F.lit(0)))
+                + F.sum(
+                    F.when(F.col("rn") == k2, F.col(col)).otherwise(F.lit(0))
+                )
+            )
+            .cast("bigint")
+            .alias(f"_m_{col}")
+        )
+
+    med = _middle_two(daily, "x").withColumnRenamed("_m_x", "med2")
+    devs = daily.join(F.broadcast(med), "event_type").withColumn(
+        "dev2", F.abs(F.lit(2) * F.col("x") - F.col("med2"))
+    )
+    mad = _middle_two(devs, "dev2").withColumnRenamed("_m_dev2", "mad4")
+    z = F.round(
+        F.lit(1.349)
+        * (F.lit(2) * F.col("x") - F.col("med2")).cast("double")
+        / F.col("mad4").cast("double"),
+        6,
+    )
+    robust_z = F.when(F.col("mad4") == 0, F.lit(None).cast("double")).otherwise(z)
+    return (
+        devs.join(F.broadcast(mad), "event_type")
+        .select(
+            "event_type",
+            "day",
+            "n_events",
+            F.col("x").alias("value_cents"),
+            (F.col("med2").cast("double") / F.lit(2.0)).alias("median_cents"),
+            (F.col("mad4").cast("double") / F.lit(4.0)).alias("mad_cents"),
+            robust_z.alias("robust_z"),
+            F.when(F.col("mad4") == 0, F.lit(False))
+            .otherwise(F.abs(z) > MAD_OUTLIER_Z)
+            .alias("is_outlier"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+DAILY_MAD_ORACLE = f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               count(*) AS n_events,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+        FROM events
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY x, day) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM daily
+    ),
+    med AS (
+        SELECT event_type,
+               CAST(sum(CASE WHEN rn = (n + 1) // 2 THEN x ELSE 0 END)
+                    + sum(CASE WHEN rn = (n + 2) // 2 THEN x ELSE 0 END)
+                    AS BIGINT) AS med2
+        FROM ranked GROUP BY event_type
+    ),
+    devs AS (
+        SELECT d.*, med2, abs(2 * d.x - med2) AS dev2
+        FROM daily d JOIN med USING (event_type)
+    ),
+    dranked AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY dev2, day) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM devs
+    ),
+    mad AS (
+        SELECT event_type,
+               CAST(sum(CASE WHEN rn = (n + 1) // 2 THEN dev2 ELSE 0 END)
+                    + sum(CASE WHEN rn = (n + 2) // 2 THEN dev2 ELSE 0 END)
+                    AS BIGINT) AS mad4
+        FROM dranked GROUP BY event_type
+    )
+    SELECT d.event_type, d.day, d.n_events, d.x AS value_cents,
+           CAST(med2 AS DOUBLE) / 2 AS median_cents,
+           CAST(mad4 AS DOUBLE) / 4 AS mad_cents,
+           CASE WHEN mad4 = 0 THEN NULL
+                ELSE round(1.349 * CAST(2 * d.x - med2 AS DOUBLE)
+                           / CAST(mad4 AS DOUBLE), 6) END AS robust_z,
+           CASE WHEN mad4 = 0 THEN false
+                ELSE abs(round(1.349 * CAST(2 * d.x - med2 AS DOUBLE)
+                               / CAST(mad4 AS DOUBLE), 6))
+                     > {MAD_OUTLIER_Z} END AS is_outlier
+    FROM devs d JOIN mad USING (event_type)
+    ORDER BY event_type, day
+"""
+
+
+# ---------------------------------------------------------------------------
 # Exact two-sample Kolmogorov-Smirnov drift test, per event type, between
 # the earlier and later half of the event stream (the same time-midpoint
 # split and fixed HIST_WIDTH value bins as value_distribution_psi -- the
@@ -2135,6 +2288,7 @@ DAILY_CORR_ORACLE = """
 
 
 STATISTICS_QUERIES: list[tuple[str, object, str | None]] = [
+    ("daily_value_mad_outliers", daily_value_mad_outliers, DAILY_MAD_ORACLE),
     ("stratified_kfold_assign", stratified_kfold_assign, KFOLD_ORACLE),
     ("table_stats_profile", table_stats_profile, TABLE_STATS_ORACLE),
     ("quantile_summary", quantile_summary, QUANTILE_ORACLE),

@@ -528,3 +528,28 @@ def test_source_dedup_rate_reconciles_with_pair_endpoints(spark):
     assert sum(r.n_dup_docs for r in rows) == len(endpoints)
     for r in rows:
         assert 0 <= r.n_dup_docs <= r.n_docs
+
+
+def test_minhash_lane_uniformity_shape(spark):
+    from mapreduce_on_google_cloud_platform_spark.functions.hashing import (
+        MINHASH_P,
+        NUM_MINHASHES,
+    )
+    from mapreduce_on_google_cloud_platform_spark.plans import QUERIES
+    from mapreduce_on_google_cloud_platform_spark.sources import load_table
+
+    from .conftest import SF_SMOKE
+
+    rows = sorted(
+        QUERIES["minhash_lane_uniformity"](spark, SF_SMOKE).collect(),
+        key=lambda r: r.lane,
+    )
+    n_docs = load_table(spark, SF_SMOKE, "documents").count()
+    assert [r.lane for r in rows] == list(range(NUM_MINHASHES))
+    for r in rows:
+        # every doc has a signature row; lane minima live on [0, P)
+        assert r.n_docs == n_docs
+        assert 1 <= r.n_distinct <= r.n_docs
+        assert 0 <= r.min_value <= r.max_value < MINHASH_P
+        assert r.collision_share == round(1.0 - r.n_distinct / r.n_docs, 6)
+        assert r.min_value <= r.mean_value <= r.max_value

@@ -710,3 +710,27 @@ def test_knn_reciprocity_bounds(spark):
     for r in rows:
         assert 0 <= r.n_reciprocal <= r.n_edges
         assert r.reciprocity == round(r.n_reciprocal / r.n_edges, 6)
+
+
+def test_pq_distortion_consistency(spark):
+    from mapreduce_on_google_cloud_platform_spark.operators.similarity import (
+        PQ_CENT_STRIDE,
+        PQ_M,
+    )
+    from mapreduce_on_google_cloud_platform_spark.sources import load_table
+
+    rows = sorted(
+        QUERIES["pq_distortion_stats"](spark, SF_SMOKE).collect(),
+        key=lambda r: r.m,
+    )
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    n_emb = emb.count()
+    n_book = emb.filter(f"vec_id % {PQ_CENT_STRIDE} = 0").count()
+    assert [r.m for r in rows] == list(range(PQ_M))
+    for r in rows:
+        assert r.n_vectors == n_emb
+        assert 0 <= r.max_d2
+        assert r.total_d2 >= 0
+        assert r.mean_d2 == round(r.total_d2 / r.n_vectors, 6)
+        # codebook rows are their own codewords: exact-fit floor
+        assert r.zero_share >= round(n_book / n_emb, 6) - 1e-9

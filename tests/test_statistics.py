@@ -452,3 +452,29 @@ def test_daily_corr_matrix_shape(spark):
         assert r.n_days == len(
             days_per_type[r.type_a] & days_per_type[r.type_b]
         )
+
+
+def test_daily_mad_outliers_match_python_medians(spark):
+    """Differential check: median_cents/mad_cents/robust_z reproduce
+    Python's statistics.median on the same daily totals (the even-n
+    average-of-middle-two definition both engines implement on the
+    doubled integer lattice)."""
+    import statistics as pystats
+
+    rows = QUERIES["daily_value_mad_outliers"](spark, SF_SMOKE).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for rs in by_type.values():
+        xs = [r.value_cents for r in rs]
+        med = pystats.median(xs)
+        mad = pystats.median([abs(x - med) for x in xs])
+        for r in rs:
+            assert r.median_cents == med
+            assert r.mad_cents == mad
+            if mad == 0:
+                assert r.robust_z is None and r.is_outlier is False
+            else:
+                z = round(1.349 * (2 * r.value_cents - 2 * med) / (4 * mad), 6)
+                assert r.robust_z == z
+                assert r.is_outlier == (abs(z) > 3.5)
