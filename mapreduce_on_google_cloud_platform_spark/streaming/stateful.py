@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    DateType,
     DoubleType,
     LongType,
     StringType,
@@ -513,6 +514,116 @@ def streaming_mean_shift_query(spark: SparkSession, in_dir: str, schema):
             track,
             outputStructType=WELCH_OUTPUT_SCHEMA,
             stateStructType=WELCH_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming CUSUM changepoint monitor: the continuous-ingest twin of the
+# batch ``cusum_changepoint`` (operators/statistics.py).  CUSUM is a
+# PREFIX statistic (S_t depends on every day up to t), so unlike the
+# KS/Welch monitors it cannot be six integers of running state -- but it
+# CAN be order-free: the state is the per-(type, day) daily total map,
+# which merges commutatively across micro-batches (late or out-of-order
+# events just add into their day's cell), and each emission recomputes
+# the whole CUSUM table from the day map in sorted-day order.  The
+# result is a pure function of the events seen so far, so replays and
+# retries cannot change it, and on the complete input it agrees with
+# the batch query BIT-EXACTLY (pinned in tests/test_streaming.py):
+# day-bucketing and cents-rounding happen JVM-side with the batch
+# query's exact expressions, the n*P_t - t*T numerator is exact Python
+# int arithmetic (== the batch plan's DECIMAL(38,0)), and the single
+# float division of exact ints is IEEE-identical in CPython and the JVM.
+#
+# Scale posture: state is O(#days) per event type -- calendar-bounded
+# like the KS monitor's fixed bin vectors, never O(events); one Arrow
+# batch per type per micro-batch; emission cost is |days| rows.  A
+# production variant caps the horizon (drop days older than the
+# monitoring window) -- the map representation makes that a dict prune.
+# ---------------------------------------------------------------------------
+
+CUSUM_STATE_SCHEMA = StructType(
+    # "2024-01-03:123;2024-01-04:-7;..." -- sorted ISO day -> exact cents
+    [StructField("day_totals", StringType())]
+)
+
+CUSUM_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("day", DateType()),
+        StructField("value_cents", LongType()),
+        StructField("cusum_cents", DoubleType()),
+        StructField("is_peak", StringType()),  # 'y'/'n'
+        StructField("n_days", LongType()),  # emission horizon (grows)
+    ]
+)
+
+
+def streaming_cusum_query(spark: SparkSession, in_dir: str, schema):
+    """readStream(events parquet dir) -> groupBy(event_type) ->
+    applyInPandasWithState order-free CUSUM level-shift localization
+    over the accumulated daily-total map.  Caller supplies input dir +
+    schema so tests can stage explicit micro-batches."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def track(key, pdfs, state):
+        import datetime
+
+        import pandas as pd
+
+        (event_type,) = key
+        acc: dict[str, int] = {}
+        if state.exists:
+            (packed,) = state.get
+            if packed:
+                for part in packed.split(";"):
+                    d, v = part.split(":")
+                    acc[d] = int(v)
+        for pdf in pdfs:
+            for d, c in zip(pdf["day"], pdf["cents"]):
+                k = str(d)
+                acc[k] = acc.get(k, 0) + int(c)
+        state.update((";".join(f"{d}:{v}" for d, v in sorted(acc.items())),))
+
+        days = sorted(acc)
+        n = len(days)
+        total = sum(acc.values())  # exact int == batch DECIMAL total
+        p = 0
+        nums = []
+        for t, d in enumerate(days, start=1):
+            p += acc[d]
+            nums.append(n * p - t * total)  # exact: n*P_t - t*T
+        peak = max(abs(v) for v in nums)
+        yield pd.DataFrame(
+            {
+                "event_type": [event_type] * n,
+                "day": [datetime.date.fromisoformat(d) for d in days],
+                "value_cents": [acc[d] for d in days],
+                # single IEEE division of exact ints: bit-identical to
+                # the batch plan's decimal->double cast + divide
+                "cusum_cents": [float(v) / float(n) for v in nums],
+                "is_peak": ["y" if abs(v) == peak else "n" for v in nums],
+                "n_days": [n] * n,
+            }
+        )
+
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+        # the batch query's exact day/cents expressions, JVM-side
+        .select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            track,
+            outputStructType=CUSUM_OUTPUT_SCHEMA,
+            stateStructType=CUSUM_STATE_SCHEMA,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )

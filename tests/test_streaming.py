@@ -747,3 +747,68 @@ def test_streaming_heavy_hitters_contracts_above_capacity(spark, tmp_path):
         if r.n_tokens == max(x.n_tokens for x in by_shard_last[hot_shard].values())
     }
     assert "hot" in hot_live
+
+
+def test_streaming_cusum_agrees_with_batch(spark, tmp_path):
+    """Stream/batch agreement for the CUSUM changepoint monitor: stage
+    the events table as two arbitrary micro-batches (time-midpoint
+    split); after the full input the streamed per-day CUSUM table must
+    equal the batch cusum_changepoint bit-exactly -- the day-total map
+    merges commutatively, the n*P_t - t*T numerator is exact int
+    arithmetic on both sides, and the single float division of exact
+    ints is IEEE-identical."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_on_google_cloud_platform_spark.plans import QUERIES
+    from mapreduce_on_google_cloud_platform_spark.sources import load_table
+    from mapreduce_on_google_cloud_platform_spark.streaming.stateful import (
+        streaming_cusum_query,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    lims = ev.agg(
+        F.min(F.unix_micros("ts")).alias("lo"),
+        F.max(F.unix_micros("ts")).alias("hi"),
+    ).collect()[0]
+    mid_us = int((lims.lo + lims.hi) / 2)
+    in_dir = str(tmp_path / "cusum_in")
+    ev.filter(F.unix_micros("ts") <= mid_us).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+
+    stream = streaming_cusum_query(
+        spark, in_dir, spark.read.parquet(in_dir).schema
+    )
+    q = (
+        stream.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("cusum_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        ev.filter(F.unix_micros("ts") > mid_us).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM cusum_stream").collect()
+    finally:
+        q.stop()
+
+    final = {}
+    for r in rows:  # update mode: the last emission per (type, day) wins
+        final[(r.event_type, r.day)] = r
+    batch = {
+        (r.event_type, r.day): r
+        for r in QUERIES["cusum_changepoint"](spark, SF_SMOKE).collect()
+    }
+    assert set(final) == set(batch)
+    n_days_by_type = {}
+    for et, _ in batch:
+        n_days_by_type[et] = n_days_by_type.get(et, 0) + 1
+    for k, b in batch.items():
+        s = final[k]
+        assert s.n_days == n_days_by_type[k[0]], k
+        assert s.value_cents == b.value_cents, k
+        assert s.cusum_cents == b.cusum_cents, k
+        assert (s.is_peak == "y") == b.is_peak, k
