@@ -243,6 +243,8 @@ HEADLINE = [
     "minhash_lane_uniformity",
     # robust twin of daily_value_anomalies
     "daily_value_mad_outliers",
+    # repetition plan under the token budget
+    "source_epochs_plan",
     "session_length_histogram",
     "order_basket_profile",
     # dedup_method_eval re-runs five declared pipelines; its components

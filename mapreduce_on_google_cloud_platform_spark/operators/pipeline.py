@@ -2100,7 +2100,124 @@ def _mixture_curve_oracle() -> str:
 MIXTURE_CURVE_ORACLE = _mixture_curve_oracle()
 
 
+# ---------------------------------------------------------------------------
+# Per-source epoch/repetition plan under a token budget (round 10) --
+# the data-constrained-scaling planning table: given a training budget
+# of EPOCHS_BUDGET_MULT x the corpus token mass and temperature sampling
+# weights over TOKEN mass (q_s ~ p_s^alpha, the same alpha rule as
+# language_sampling_weights but on tokens, which is what a sampler
+# actually draws), each source is drawn q_s * budget tokens, i.e. is
+# repeated for epochs = q_s * budget / tokens_s passes.  Upsampled
+# low-resource sources repeat; past ~4 epochs repetition stops buying
+# quality (the data-constrained scaling observation), so over_cap flags
+# the sources whose plan exceeds EPOCHS_CAP -- the actionable "find more
+# of this data or lower its weight" list.  Completes the mixture-design
+# ladder: language_sampling_weights (weights) -> mixture_temperature_curve
+# (alpha tuning) -> lang_token_budget_selection (admission) -> THIS
+# (repetition consequences of the chosen weights).
+#
+# Numeric discipline: token counts are exact ints; p is one IEEE
+# division; p^alpha truncates to DECIMAL(25,12) before the exact decimal
+# normalizer sum (the language_sampling_weights discipline, so a
+# last-ulp pow() disagreement cannot surface); budget_tokens is an exact
+# int; epochs is a fixed-order double chain over those, rounded once.
+# Scale: one combinable per-source token rollup (map-side partials over
+# the token stream), then |sources| rows with two broadcast scalars.
+# ---------------------------------------------------------------------------
+
+EPOCHS_BUDGET_MULT = 2  # train on 2x the corpus token mass
+EPOCHS_CAP = 4.0  # repetition ceiling before over_cap flags
+
+
+def source_epochs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per = (
+        docs.select(
+            "source", F.size(tokenize(F.col("text"))).alias("n_toks")
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("source_tokens"),
+        )
+    )
+    tot = per.agg(F.sum("source_tokens").cast("bigint").alias("total_tokens"))
+    shared = (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn("p", F.col("source_tokens") / F.col("total_tokens"))
+        .withColumn(
+            "pa", F.pow("p", F.lit(SAMPLING_ALPHA)).cast("decimal(25,12)")
+        )
+    )
+    z = shared.agg(F.sum("pa").alias("z"))
+    q = F.col("pa").cast("double") / F.col("z").cast("double")
+    budget = (F.lit(EPOCHS_BUDGET_MULT) * F.col("total_tokens")).cast("bigint")
+    epochs = F.round(
+        q * F.col("budget_tokens").cast("double")
+        / F.col("source_tokens").cast("double"),
+        6,
+    )
+    return (
+        shared.crossJoin(F.broadcast(z))
+        .withColumn("budget_tokens", budget)
+        .select(
+            "source",
+            "n_docs",
+            "source_tokens",
+            "budget_tokens",
+            F.round("p", 6).alias("raw_share"),
+            F.round(q, 6).alias("temp_share"),
+            epochs.alias("epochs"),
+            (epochs > EPOCHS_CAP).alias("over_cap"),
+        )
+        .orderBy("source")
+    )
+
+
+def _source_epochs_oracle() -> str:
+    from ..operators.text_analysis import DUCKDB_TOKS_CTE
+
+    return f"""
+    WITH {DUCKDB_TOKS_CTE},
+    per AS (
+        SELECT d.source,
+               count(*) AS n_docs,
+               CAST(sum(len(t.ts)) AS BIGINT) AS source_tokens
+        FROM documents d JOIN toks t USING (doc_id)
+        GROUP BY d.source
+    ),
+    tot AS (SELECT CAST(sum(source_tokens) AS BIGINT) AS total_tokens FROM per),
+    shared AS (
+        SELECT source, n_docs, source_tokens, total_tokens,
+               CAST(source_tokens AS DOUBLE) / total_tokens AS p,
+               CAST(pow(CAST(source_tokens AS DOUBLE) / total_tokens,
+                        {SAMPLING_ALPHA}) AS DECIMAL(25,12)) AS pa
+        FROM per, tot
+    ),
+    z AS (SELECT sum(pa) AS z FROM shared)
+    SELECT source,
+           n_docs,
+           source_tokens,
+           CAST({EPOCHS_BUDGET_MULT} * total_tokens AS BIGINT) AS budget_tokens,
+           round(p, 6) AS raw_share,
+           round(CAST(pa AS DOUBLE) / CAST(z AS DOUBLE), 6) AS temp_share,
+           round(CAST(pa AS DOUBLE) / CAST(z AS DOUBLE)
+                 * CAST({EPOCHS_BUDGET_MULT} * total_tokens AS DOUBLE)
+                 / CAST(source_tokens AS DOUBLE), 6) AS epochs,
+           round(CAST(pa AS DOUBLE) / CAST(z AS DOUBLE)
+                 * CAST({EPOCHS_BUDGET_MULT} * total_tokens AS DOUBLE)
+                 / CAST(source_tokens AS DOUBLE), 6) > {EPOCHS_CAP}
+               AS over_cap
+    FROM shared, z
+    ORDER BY source
+"""
+
+
+SOURCE_EPOCHS_ORACLE = _source_epochs_oracle()
+
+
 PIPELINE_QUERIES: list[tuple[str, object, str | None]] = [
+    ("source_epochs_plan", source_epochs_plan, SOURCE_EPOCHS_ORACLE),
     (
         "source_quality_decision",
         source_quality_decision,

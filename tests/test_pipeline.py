@@ -384,3 +384,29 @@ def test_mixture_curve_alpha1_is_identity_and_matches_weights(spark):
         for a, rs in sorted(by_alpha.items())
     ]
     assert factors == sorted(factors, reverse=True)
+
+
+def test_source_epochs_plan_conserves_budget(spark):
+    from mapreduce_on_google_cloud_platform_spark.operators.pipeline import (
+        EPOCHS_BUDGET_MULT,
+        EPOCHS_CAP,
+    )
+    from mapreduce_on_google_cloud_platform_spark.plans import QUERIES
+
+    from .conftest import SF_SMOKE
+
+    rows = QUERIES["source_epochs_plan"](spark, SF_SMOKE).collect()
+    total = sum(r.source_tokens for r in rows)
+    assert all(r.budget_tokens == EPOCHS_BUDGET_MULT * total for r in rows)
+    # shares are normalized distributions (up to round(6) residue)
+    assert abs(sum(r.raw_share for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.temp_share for r in rows) - 1.0) < 1e-4
+    # the planned draws (epochs_s * tokens_s) re-assemble the budget
+    drawn = sum(r.epochs * r.source_tokens for r in rows)
+    assert abs(drawn - EPOCHS_BUDGET_MULT * total) / total < 1e-3
+    for r in rows:
+        assert r.epochs > 0
+        assert r.over_cap == (r.epochs > EPOCHS_CAP)
+        # temperature flattening: upsampling only for below-average shares
+        if r.raw_share > 1.0 / len(rows):
+            assert r.temp_share <= r.raw_share + 1e-6
