@@ -245,6 +245,8 @@ HEADLINE = [
     "daily_value_mad_outliers",
     # repetition plan under the token budget
     "source_epochs_plan",
+    # drift significance beside theil_sen's slope estimate
+    "mann_kendall_trend_test",
     "session_length_histogram",
     "order_basket_profile",
     # dedup_method_eval re-runs five declared pipelines; its components

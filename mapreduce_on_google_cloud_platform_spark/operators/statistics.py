@@ -2287,7 +2287,160 @@ DAILY_CORR_ORACLE = """
 """
 
 
+# ---------------------------------------------------------------------------
+# Mann-Kendall trend test (round 10) -- the nonparametric SIGNIFICANCE
+# test that pairs with theil_sen_daily_trend's slope ESTIMATE:
+# S = sum_{i<j} sign(x_j - x_i) over the chronologically ordered daily
+# totals, normal approximation z = (S -+ 1) / sqrt(Var S) with the
+# standard tie correction Var S = [n(n-1)(2n+5) - sum_t t(t-1)(2t+5)]/18
+# (t = size of each tied-value group).  Distribution-free (none of the
+# normality daily_value_anomalies' z-scores lean on), robust to
+# outliers, and the standard monitoring answer to "is load actually
+# drifting or am I reading noise?" -- Theil-Sen says how fast, this
+# says whether to believe it.
+#
+# Numeric discipline: S, n, and both variance terms are exact integers
+# (n^3 scale -- a decade of daily rows keeps them far below 2^63); the
+# only double chain is num / sqrt(var18 / 18.0) with num = S -+ 1 exact,
+# identical op order in both engines, rounded once.  Degenerate series
+# (every day equal -> Var S = 0) emit NULL z / false trending
+# symmetrically.
+# Scale: the sign pairs come from theil_sen's exact join shape -- the
+# BOUNDED post-aggregate daily table self-joined per event type (days^2
+# per type, calendar-bounded); ties are one (type, value) rollup.  The
+# raw event stream is never pair-joined.
+# ---------------------------------------------------------------------------
+
+MK_Z_CRIT = 1.96
+
+
+def mann_kendall_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents").alias("x"))
+    )
+    a = daily.select(
+        "event_type", F.col("day").alias("d1"), F.col("x").alias("x1")
+    )
+    b = daily.select(
+        "event_type", F.col("day").alias("d2"), F.col("x").alias("x2")
+    )
+    s = (
+        a.join(b, "event_type")
+        .filter(F.col("d2") > F.col("d1"))
+        .select(
+            "event_type",
+            F.when(F.col("x2") > F.col("x1"), 1)
+            .when(F.col("x2") < F.col("x1"), -1)
+            .otherwise(0)
+            .alias("sgn"),
+        )
+        .groupBy("event_type")
+        .agg(F.sum("sgn").cast("bigint").alias("s_stat"))
+    )
+    t = F.col("t")
+    ties = (
+        daily.groupBy("event_type", "x")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(t * (t - 1) * (2 * t + 5)).cast("bigint").alias("_tie")
+        )
+    )
+    n_days = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days")
+    )
+    nd = F.col("n_days")
+    var18 = (
+        nd * (nd - 1) * (2 * nd + 5) - F.col("_tie")
+    ).cast("bigint")
+    num = (
+        F.when(F.col("s_stat") > 0, F.col("s_stat") - 1)
+        .when(F.col("s_stat") < 0, F.col("s_stat") + 1)
+        .otherwise(F.lit(0))
+        .cast("double")
+    )
+    z = F.round(
+        num / F.sqrt(F.col("var_s_x18").cast("double") / F.lit(18.0)), 6
+    )
+    return (
+        s.join(F.broadcast(n_days), "event_type")
+        .join(F.broadcast(ties), "event_type")
+        .withColumn("var_s_x18", var18)
+        .select(
+            "event_type",
+            "n_days",
+            "s_stat",
+            "var_s_x18",
+            F.when(F.col("var_s_x18") == 0, F.lit(None).cast("double"))
+            .otherwise(z)
+            .alias("z"),
+            F.when(F.col("var_s_x18") == 0, F.lit(False))
+            .otherwise(F.abs(z) > MK_Z_CRIT)
+            .alias("trending"),
+        )
+        .orderBy("event_type")
+    )
+
+
+MANN_KENDALL_ORACLE = f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+        FROM events
+        GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT a.event_type,
+               CAST(sum(CASE WHEN b.x > a.x THEN 1
+                             WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT)
+                   AS s_stat
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND b.day > a.day
+        GROUP BY a.event_type
+    ),
+    ties AS (
+        SELECT event_type,
+               CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie
+        FROM (
+            SELECT event_type, x, CAST(count(*) AS BIGINT) AS t
+            FROM daily GROUP BY event_type, x
+        ) GROUP BY event_type
+    ),
+    nd AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+        FROM daily GROUP BY event_type
+    ),
+    assembled AS (
+        SELECT s.event_type, n_days, s_stat,
+               CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie
+                    AS BIGINT) AS var_s_x18,
+               CAST(CASE WHEN s_stat > 0 THEN s_stat - 1
+                         WHEN s_stat < 0 THEN s_stat + 1
+                         ELSE 0 END AS DOUBLE) AS num
+        FROM s JOIN nd USING (event_type) JOIN ties USING (event_type)
+    )
+    SELECT event_type, n_days, s_stat, var_s_x18,
+           CASE WHEN var_s_x18 = 0 THEN NULL
+                ELSE round(num / sqrt(CAST(var_s_x18 AS DOUBLE) / 18.0), 6)
+                END AS z,
+           CASE WHEN var_s_x18 = 0 THEN false
+                ELSE abs(round(num / sqrt(CAST(var_s_x18 AS DOUBLE) / 18.0),
+                               6)) > {MK_Z_CRIT}
+                END AS trending
+    FROM assembled
+    ORDER BY event_type
+"""
+
+
 STATISTICS_QUERIES: list[tuple[str, object, str | None]] = [
+    ("mann_kendall_trend_test", mann_kendall_trend_test, MANN_KENDALL_ORACLE),
     ("daily_value_mad_outliers", daily_value_mad_outliers, DAILY_MAD_ORACLE),
     ("stratified_kfold_assign", stratified_kfold_assign, KFOLD_ORACLE),
     ("table_stats_profile", table_stats_profile, TABLE_STATS_ORACLE),

@@ -478,3 +478,39 @@ def test_daily_mad_outliers_match_python_medians(spark):
                 z = round(1.349 * (2 * r.value_cents - 2 * med) / (4 * mad), 6)
                 assert r.robust_z == z
                 assert r.is_outlier == (abs(z) > 3.5)
+
+
+def test_mann_kendall_matches_python_recompute(spark):
+    """Differential check: S, the tie-corrected variance, and z reproduce
+    a direct Python recomputation from the same daily totals (taken from
+    cusum_changepoint, which emits the identical daily table)."""
+    import math
+    from collections import Counter
+
+    from mapreduce_on_google_cloud_platform_spark.operators.statistics import (
+        MK_Z_CRIT,
+    )
+
+    daily: dict[str, list] = {}
+    for r in QUERIES["cusum_changepoint"](spark, SF_SMOKE).collect():
+        daily.setdefault(r.event_type, []).append((r.day, r.value_cents))
+    rows = {r.event_type: r for r in QUERIES["mann_kendall_trend_test"](spark, SF_SMOKE).collect()}
+    assert set(rows) == set(daily)
+    for et, series in daily.items():
+        xs = [x for _, x in sorted(series)]
+        n = len(xs)
+        s = sum(
+            (0 if xs[j] == xs[i] else (1 if xs[j] > xs[i] else -1))
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        tie = sum(t * (t - 1) * (2 * t + 5) for t in Counter(xs).values())
+        var18 = n * (n - 1) * (2 * n + 5) - tie
+        r = rows[et]
+        assert r.n_days == n and r.s_stat == s and r.var_s_x18 == var18, et
+        if var18 == 0:
+            assert r.z is None and r.trending is False, et
+        else:
+            num = float(s - 1 if s > 0 else (s + 1 if s < 0 else 0))
+            z = round(num / math.sqrt(var18 / 18.0), 6)
+            assert r.z == z and r.trending == (abs(z) > MK_Z_CRIT), et
