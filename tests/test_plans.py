@@ -887,3 +887,56 @@ def test_gini_has_no_partitionless_window(spark):
         assert part.strip(), f"partitionless window found: [{part}]"
     physical = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange rangepartitioning" in physical
+
+
+def test_pq_distortion_all_joins_broadcast(spark):
+    """pq_distortion_stats joins the code table with the fixed-point grid
+    and 16 broadcast codebook slices: no sort-merge join, no cartesian,
+    no nested loop -- every codebook lookup must stay map-side."""
+    plan = plan_of(spark, "pq_distortion_stats")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan  # the per-subspace rollup combines
+
+
+def test_minhash_lane_uniformity_no_join(spark):
+    """The lane audit is a map-side explode of the signature index plus
+    one combinable rollup -- no join of any kind may appear."""
+    plan = plan_of(spark, "minhash_lane_uniformity")
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_mad_outliers_windows_bounded_by_type(spark):
+    """daily_value_mad_outliers ranks on the POST-AGGREGATE daily table:
+    every window must be partitioned by event_type (never a global or
+    per-event window), stats join back via broadcast."""
+    plan = plan_of(spark, "daily_value_mad_outliers")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    import re
+
+    for w in re.findall(r"Arguments: \[row_number\(\).*", plan):
+        assert "event_type" in w
+
+
+def test_mann_kendall_pairs_join_post_aggregate(spark):
+    """The sign-pair self-join must consume the pre-reduced daily table
+    (shuffle keyed on event_type), never the raw event stream; the
+    variance/tie terms are combinable rollups."""
+    plan = plan_of(spark, "mann_kendall_trend_test")
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "hashpartitioning(event_type" in plan
+
+
+def test_source_epochs_plan_broadcast_scalars(spark):
+    """source_epochs_plan reduces the token stream map-side and joins
+    only broadcast one-row scalars (total, normalizer) -- no shuffle
+    join, no cartesian explosion beyond the two scalar cross joins."""
+    plan = plan_of(spark, "source_epochs_plan")
+    assert "SortMergeJoin" not in plan
+    assert "partial_sum" in plan  # map-side combine on the token rollup
