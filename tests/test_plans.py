@@ -940,3 +940,18 @@ def test_source_epochs_plan_broadcast_scalars(spark):
     plan = plan_of(spark, "source_epochs_plan")
     assert "SortMergeJoin" not in plan
     assert "partial_sum" in plan  # map-side combine on the token rollup
+
+
+def test_index_probe_scans_are_column_pruned(spark):
+    """Column pruning must reach the materialized index parquet scans:
+    ivf_cell_balance reads ONLY the cell column of the assignment index
+    (never the 64 fixed-point dims or vec_id), and source_dedup_rate
+    reads only the pair endpoints (never the jaccard column)."""
+    plan = plan_of(spark, "ivf_cell_balance")
+    schemas = [ln.strip() for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert schemas and all(s.endswith("struct<cell:bigint>") for s in schemas)
+
+    plan = plan_of(spark, "source_dedup_rate")
+    for ln in plan.splitlines():
+        if "ReadSchema" in ln:
+            assert "jaccard" not in ln
