@@ -1404,11 +1404,74 @@ def _cc_cluster_report(
     )
 
 
-# The oracle closes the same relation declaratively: a recursive CTE
-# accumulates, per node, every label reachable through the (symmetric)
-# near-dup edge set; min(reachable) == the component's minimum id.
+# Bounded-iteration unrolled connected-components closure (round 11,
+# VERDICT r10 item #3).  The previous oracle closed the relation with a
+# WITH RECURSIVE ``reach`` CTE enumerating every (node, reachable-id)
+# pair -- quadratic in component size, measured >10 min per query at
+# sf0.1 (the five CC oracles were the only sf0.1 oracle-sweep skips).
+# This form unrolls CC_ORACLE_ROUNDS rounds of the classic
+# hook-then-jump min-label iteration instead:
+#   hook: lbl(v) <- min(lbl(v), min over edges(v,u) of lbl(u))
+#   jump: lbl(v) <- min(lbl(v), lbl(lbl(v)))   (pointer doubling)
+# Each round is two linear joins over the n-row label table, and the
+# min-label reach at least doubles per round (hook extends by the
+# previous reach, jump composes label pointers), so ROUNDS=14 converges
+# for any component diameter <= 2^14 -- far beyond any test corpus
+# (5000 docs at sf0.1).  Labels are always member-node ids and only
+# decrease toward the component minimum, so the converged output is
+# IDENTICAL to the recursive min(reachable) form -- proven by the
+# committed sf0.01 digest bank (no drift vs the recursive-oracle bank)
+# and by the sf0.1 oracle sweep this rewrite makes tractable.  A
+# non-converged round count cannot pass silently: the Spark side runs
+# to convergence, so the driver/sweep hash comparison fails loudly.
+CC_ORACLE_ROUNDS = 14
+
+
+def cc_closure_cte(
+    universe_sql: str, id_alias: str, rounds: int = CC_ORACLE_ROUNDS
+) -> str:
+    """CTE chain ``l0..l{rounds}, comp`` computing min-label connected
+    components over a preceding symmetric ``edges(a, b)`` CTE;
+    ``comp`` has columns (``id_alias``, cluster_id)."""
+    # every l/h CTE is referenced TWICE by the next round -- without the
+    # MATERIALIZED hint DuckDB inlines each reference and the expansion
+    # is 2^rounds subtrees (measured: "Too many open files" at rounds=14);
+    # materialization makes each round one linear pass, the whole point
+    parts = [
+        "l0 AS MATERIALIZED "
+        f"(SELECT u AS node, u AS lbl FROM ({universe_sql}) t(u))"
+    ]
+    for t in range(1, rounds + 1):
+        p = t - 1
+        parts.append(
+            f"""h{t} AS MATERIALIZED (
+        SELECT l.node, least(l.lbl, coalesce(min(nb.lbl), l.lbl)) AS lbl
+        FROM l{p} l
+        LEFT JOIN edges e ON l.node = e.a
+        LEFT JOIN l{p} nb ON e.b = nb.node
+        GROUP BY l.node, l.lbl
+    )"""
+        )
+        parts.append(
+            f"""l{t} AS MATERIALIZED (
+        SELECT h.node, least(h.lbl, j.lbl) AS lbl
+        FROM h{t} h JOIN h{t} j ON h.lbl = j.node
+    )"""
+        )
+    parts.append(
+        f"comp AS (SELECT node AS {id_alias}, lbl AS cluster_id"
+        f" FROM l{rounds})"
+    )
+    return ",\n    ".join(parts)
+
+
+_CC_DOCS = cc_closure_cte("SELECT doc_id FROM documents", "doc_id")
+
+# The oracle closes the same relation declaratively: the unrolled
+# hook+jump min-label closure above; lbl converges to the component's
+# minimum id, exactly what the Spark loop's convergence probe certifies.
 DEDUP_CLUSTERS_ORACLE = f"""
-    WITH RECURSIVE {SIMHASH_SIG_CTE},
+    WITH {SIMHASH_SIG_CTE},
     near AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM sig a JOIN sig b ON a.doc_id < b.doc_id
@@ -1419,12 +1482,7 @@ DEDUP_CLUSTERS_ORACLE = f"""
         UNION ALL
         SELECT doc_b AS a, doc_a AS b FROM near
     ),
-    reach(node, r) AS (
-        SELECT doc_id, doc_id FROM documents
-        UNION
-        SELECT edges.b, reach.r FROM reach JOIN edges ON reach.node = edges.a
-    ),
-    comp AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node)
+    {_CC_DOCS}
     SELECT doc_id, cluster_id,
            count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
            doc_id = cluster_id AS is_canonical
@@ -1560,11 +1618,11 @@ def dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Same recursive-CTE component closure as DEDUP_CLUSTERS_ORACLE; the
+# Same unrolled component closure as DEDUP_CLUSTERS_ORACLE; the
 # survivor is picked by an explicitly-ordered row_number (n_chars DESC,
 # doc_id ASC), the declarative twin of min(struct(-n_chars, doc_id)).
 DEDUP_SURVIVORS_ORACLE = f"""
-    WITH RECURSIVE {SIMHASH_SIG_CTE},
+    WITH {SIMHASH_SIG_CTE},
     near AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM sig a JOIN sig b ON a.doc_id < b.doc_id
@@ -1575,12 +1633,7 @@ DEDUP_SURVIVORS_ORACLE = f"""
         UNION ALL
         SELECT doc_b AS a, doc_a AS b FROM near
     ),
-    reach(node, r) AS (
-        SELECT doc_id, doc_id FROM documents
-        UNION
-        SELECT edges.b, reach.r FROM reach JOIN edges ON reach.node = edges.a
-    ),
-    comp AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node),
+    {_CC_DOCS},
     ranked AS (
         SELECT comp.cluster_id, comp.doc_id, d.n_chars,
                row_number() OVER (PARTITION BY comp.cluster_id
@@ -1763,7 +1816,7 @@ def _policy_funnel_oracle() -> str:
     from .text_analysis import EXACT_SUBSTRING_ORACLE
 
     return f"""
-    WITH RECURSIVE {DUCKDB_TOKS_CTE},
+    WITH {DUCKDB_TOKS_CTE},
     hashed AS (
         SELECT doc_id, md5(array_to_string(ts, ' ')) AS h FROM toks
     ),
@@ -1778,14 +1831,7 @@ def _policy_funnel_oracle() -> str:
         UNION ALL
         SELECT doc_b AS a, doc_a AS b FROM near
     ),
-    reach(node, r) AS (
-        SELECT doc_id, doc_id FROM documents
-        UNION
-        SELECT edges.b, reach.r FROM reach JOIN edges ON reach.node = edges.a
-    ),
-    comp AS (
-        SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
-    ),
+    {_CC_DOCS},
     ranked AS (
         SELECT comp.cluster_id, comp.doc_id,
                row_number() OVER (PARTITION BY comp.cluster_id
@@ -2149,7 +2195,7 @@ def part_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PART_ENTITY_ORACLE = f"""
-    WITH RECURSIVE near AS (
+    WITH near AS (
         SELECT a.p_partkey AS ka, b.p_partkey AS kb
         FROM part a
         JOIN part b
@@ -2162,14 +2208,7 @@ PART_ENTITY_ORACLE = f"""
         UNION ALL
         SELECT kb AS a, ka AS b FROM near
     ),
-    reach(node, r) AS (
-        SELECT p_partkey, p_partkey FROM part
-        UNION
-        SELECT edges.b, reach.r FROM reach JOIN edges ON reach.node = edges.a
-    ),
-    comp AS (
-        SELECT node AS p_partkey, min(r) AS cluster_id FROM reach GROUP BY node
-    )
+    {cc_closure_cte("SELECT p_partkey FROM part", "p_partkey")}
     SELECT comp.p_partkey, p.p_name, cluster_id,
            count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
            comp.p_partkey = cluster_id AS is_canonical
@@ -2339,7 +2378,7 @@ def _semdedup_clusters_oracle() -> str:
     from .similarity import _lsh_bucket_sql
 
     return f"""
-    WITH RECURSIVE {SQL_NORMALIZED_CTE},
+    WITH {SQL_NORMALIZED_CTE},
     sig AS (
         SELECT vec_id, vn, ({_lsh_bucket_sql('vn')}) AS bucket FROM en
     ),
@@ -2353,12 +2392,7 @@ def _semdedup_clusters_oracle() -> str:
         UNION ALL
         SELECT vec_b AS a, vec_a AS b FROM near
     ),
-    reach(node, r) AS (
-        SELECT vec_id, vec_id FROM embeddings
-        UNION
-        SELECT edges.b, reach.r FROM reach JOIN edges ON reach.node = edges.a
-    ),
-    comp AS (SELECT node AS vec_id, min(r) AS cluster_id FROM reach GROUP BY node)
+    {cc_closure_cte("SELECT vec_id FROM embeddings", "vec_id")}
     SELECT vec_id, cluster_id,
            count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
            vec_id = cluster_id AS is_canonical
@@ -2858,7 +2892,7 @@ def dedup_survivor_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SURVIVOR_BIAS_ORACLE = f"""
-    WITH RECURSIVE {SIMHASH_SIG_CTE},
+    WITH {SIMHASH_SIG_CTE},
     near AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM sig a JOIN sig b ON a.doc_id < b.doc_id
@@ -2869,12 +2903,7 @@ SURVIVOR_BIAS_ORACLE = f"""
         UNION ALL
         SELECT doc_b AS a, doc_a AS b FROM near
     ),
-    reach(node, r) AS (
-        SELECT doc_id, doc_id FROM documents
-        UNION
-        SELECT edges.b, reach.r FROM reach JOIN edges ON reach.node = edges.a
-    ),
-    comp AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node),
+    {_CC_DOCS},
     ranked AS (
         SELECT comp.cluster_id, comp.doc_id,
                row_number() OVER (PARTITION BY comp.cluster_id

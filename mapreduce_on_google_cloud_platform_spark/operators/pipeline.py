@@ -296,12 +296,12 @@ def training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _training_prep_oracle() -> str:
-    from .dedup import SIMHASH_SIG_CTE
+    from .dedup import SIMHASH_SIG_CTE, cc_closure_cte
     from .text_analysis import EN_STOPS
 
     stops = ", ".join(f"'{s}'" for s in EN_STOPS)
     return f"""
-    WITH RECURSIVE {SIMHASH_SIG_CTE},
+    WITH {SIMHASH_SIG_CTE},
     near AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM sig a JOIN sig b ON a.doc_id < b.doc_id
@@ -312,12 +312,7 @@ def _training_prep_oracle() -> str:
         UNION ALL
         SELECT doc_b AS a, doc_a AS b FROM near
     ),
-    reach(node, r) AS (
-        SELECT doc_id, doc_id FROM documents
-        UNION
-        SELECT edges.b, reach.r FROM reach JOIN edges ON reach.node = edges.a
-    ),
-    comp AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node),
+    {cc_closure_cte("SELECT doc_id FROM documents", "doc_id")},
     tok AS (
         SELECT doc_id, i AS pos, ts[i] AS word,
                (i = 1 OR ts[i] <> ts[i-1]) AS not_repeat

@@ -7,9 +7,10 @@ Two declared operators:
   of the big vector table stays map-side: at 100 TB this is a single pass,
   no shuffle of the corpus, and per-partition top-k before the final merge.
 * ``ann_ivf_topk`` -- IVF-style pruned search: vectors are assigned to
-  their nearest centroid (deterministic centroid set: every 40th vector,
-  a stand-in for a k-means codebook -- training one is an offline concern,
-  the serving plan is identical), queries probe the ``NPROBE`` nearest
+  their nearest centroid (deterministic FIXED-cardinality centroid set:
+  the K_CENTROIDS vectors ranked first by md5(vec_id) -- a stand-in for
+  a k-means codebook; training one is an offline concern, the serving
+  plan is identical), queries probe the ``NPROBE`` nearest
   centroids and search only those cells.  Approximate by design; the
   DuckDB oracle replicates the identical algorithm, so results still
   hash-match exactly.
@@ -39,8 +40,55 @@ from ..sources import load_table
 
 K_NEIGHBORS = 10
 QUERY_STRIDE = 50   # query set: vec_id % 50 == 0
-CENTROID_STRIDE = 40  # centroid set: vec_id % 40 == 0
+# Codebook cardinalities are FIXED CONSTANTS, not corpus ratios (round
+# 11, VERDICT r10 item #1).  The previous rule (every CENTROID_STRIDE-th
+# vec_id) made k = n/40 grow linearly with the corpus, which at 100 TB
+# turns the coarse-assignment crossJoin into a de-facto cartesian
+# (n * n/40 scored pairs), the per-Lloyd-round collect into an O(n)
+# driver pull, and the broadcast codebook into something that no longer
+# fits memory.  A real codebook is k rows BY DEFINITION (PQ codebooks
+# are 256 codewords in every production system); here k is pinned and
+# the members are chosen deterministically as the K smallest
+# md5(vec_id) digests -- a uniform, corpus-size-independent sample both
+# engines rank identically (tests/test_similarity.py pins that doubling
+# a corpus leaves k unchanged).
+K_CENTROIDS = 16   # IVF / k-means codebook cardinality
+PQ_CODEWORDS = 32  # per-subspace PQ codebook cardinality
 NPROBE = 2
+
+
+def codebook_ids(df: DataFrame, k: int) -> DataFrame:
+    """The ``k`` vec_ids ranked first by ``md5(vec_id)`` (tie: vec_id).
+
+    Deterministic fixed-CARDINALITY codebook selection: a rank-k over a
+    uniform hash, i.e. one linear scan with per-partition top-k and a
+    k-row driver merge (TakeOrderedAndProject) -- k stays k at any
+    corpus size, so the result is always broadcast/driver-sized."""
+    return (
+        df.select("vec_id")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(k)
+    )
+
+
+def codebook_rows(df: DataFrame, k: int) -> DataFrame:
+    """Restrict ``df`` to its k-row codebook membership (broadcast semi-shape
+    inner join on the k selected vec_ids)."""
+    return df.join(F.broadcast(codebook_ids(df, k)), "vec_id")
+
+
+def sql_codebook_ids(k: int) -> str:
+    """DuckDB twin of :func:`codebook_ids`: identical md5-rank selection
+    (both engines hash the decimal string rendering of vec_id and compare
+    the 32-char lowercase hex digests bytewise)."""
+    return (
+        "(SELECT vec_id FROM embeddings "
+        f"ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k})"
+    )
+
+
+SQL_CENT_IDS = sql_codebook_ids(K_CENTROIDS)
+SQL_PQ_CENT_IDS = sql_codebook_ids(PQ_CODEWORDS)
 
 
 def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -101,7 +149,7 @@ def ivf_assign_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         en = emb_norm_indexed(s, d)
         cents = F.broadcast(
             flat_renamed(
-                en.filter(F.col("vec_id") % CENTROID_STRIDE == 0),
+                codebook_rows(en, K_CENTROIDS),
                 "vec_id", "cent_id", "x", "cx",
             )
         )
@@ -117,7 +165,7 @@ def ivf_assign_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return materialized(
-        spark, sf_dir, "ivf_assign", f"v1-c{CENTROID_STRIDE}", _build
+        spark, sf_dir, "ivf_assign", f"v2-k{K_CENTROIDS}", _build
     )
 
 
@@ -146,7 +194,7 @@ def ivf_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         sf_dir,
         "ivf_topk",
-        f"v1-k{K_NEIGHBORS}-q{QUERY_STRIDE}-c{CENTROID_STRIDE}-n{NPROBE}",
+        f"v2-k{K_NEIGHBORS}-q{QUERY_STRIDE}-c{K_CENTROIDS}-n{NPROBE}",
         lambda s, d: ann_ivf_topk(s, d),
     )
 
@@ -215,7 +263,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     en = _embeddings(spark, sf_dir)
     cents = F.broadcast(
         flat_renamed(
-            en.filter(F.col("vec_id") % CENTROID_STRIDE == 0),
+            codebook_rows(en, K_CENTROIDS),
             "vec_id", "cent_id", "x", "cx",
         )
     )
@@ -262,7 +310,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 ANN_IVF_ORACLE = f"""
     WITH {SQL_NORMALIZED_CTE},
     cents AS (SELECT vec_id AS cent_id, vn AS cv FROM en
-              WHERE vec_id % {CENTROID_STRIDE} = 0),
+              WHERE vec_id IN {SQL_CENT_IDS}),
     assign AS (
         SELECT vec_id, vn, cent_id AS cell FROM (
             SELECT en.vec_id, en.vn, cent_id,
@@ -319,7 +367,7 @@ def ann_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     en = emb_norm_indexed(spark, sf_dir)
     cents = F.broadcast(
         flat_renamed(
-            en.filter(F.col("vec_id") % CENTROID_STRIDE == 0),
+            codebook_rows(en, K_CENTROIDS),
             "vec_id", "cent_id", "x", "cx",
         )
     )
@@ -389,7 +437,7 @@ def _nprobe_curve_oracle() -> str:
     return f"""
     WITH {SQL_NORMALIZED_CTE},
     cents AS (SELECT vec_id AS cent_id, vn AS cv FROM en
-              WHERE vec_id % {CENTROID_STRIDE} = 0),
+              WHERE vec_id IN {SQL_CENT_IDS}),
     assign AS (
         SELECT vec_id, cent_id AS cell FROM (
             SELECT en.vec_id, cent_id,
@@ -563,8 +611,8 @@ def kmeans_dist_expr(dim: int = 64):
 def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """{KMEANS_ITERS} fixed Lloyd iterations over the embeddings; returns
     the final (vec_id, cluster_id, dist) assignment.  This trains the
-    codebook the IVF plan serves (``ann_ivf_topk``'s stride centroids are
-    iteration 0 of exactly this loop).
+    codebook the IVF plan serves (``ann_ivf_topk``'s K_CENTROIDS
+    md5-rank-selected centroids are iteration 0 of exactly this loop).
 
     Floating-point k-means is NOT reproducible across engines or
     partitionings (centroid means sum doubles in execution order), so
@@ -584,10 +632,13 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: vectors ride flat int64 columns (no arrays); each iteration is
     one broadcast of the k-row codebook + one shuffle for the argmin
     groupBy + one for the re-sum — the textbook distributed k-means
-    round.  The codebook (k rows, driver-sized by definition) is
-    collected and rebroadcast each round, which truncates lineage by
-    construction; S2 per centroid is computed driver-side in exact
-    arbitrary-precision ints."""
+    round.  k = K_CENTROIDS is a PINNED CONSTANT (md5-rank selection,
+    never a corpus ratio), so the per-round collect() pulls exactly O(K)
+    rows — K x 66 integers — at any corpus size, the scoring crossJoin
+    is n·K (linear in n), and the broadcast side is always tiny.  The
+    collect-and-rebroadcast round truncates lineage by construction; S2
+    per centroid is computed driver-side in exact arbitrary-precision
+    ints."""
     emb = load_table(spark, sf_dir, "embeddings")
     from ..functions.vectors import DIM, as_double
 
@@ -630,7 +681,7 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(data, KMEANS_CENT_SCHEMA)
 
     centroids = _centroid_df(
-        vectors.filter(F.col("vec_id") % CENTROID_STRIDE == 0)
+        codebook_rows(vectors, K_CENTROIDS)
         .select(
             F.col("vec_id").alias("cluster_id"),
             F.lit(1).cast("bigint").alias("n"),
@@ -700,7 +751,7 @@ def kmeans_assign_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         sf_dir,
         "kmeans_assign",
-        f"v1-i{KMEANS_ITERS}-c{CENTROID_STRIDE}",
+        f"v2-i{KMEANS_ITERS}-k{K_CENTROIDS}",
         lambda s, d: kmeans_assign(s, d),
     )
 
@@ -781,7 +832,7 @@ def kmeans_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kmeans_oracle() -> str:
-    dim, scale, stride = 64, QUANT_SCALE, CENTROID_STRIDE
+    dim, scale = 64, QUANT_SCALE
     parts = [
         f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -793,9 +844,9 @@ def _kmeans_oracle() -> str:
     q2 AS (SELECT vec_id, CAST(sum(qv * qv) AS BIGINT) AS qq
            FROM q GROUP BY vec_id),
     cn0 AS (SELECT vec_id AS cluster_id, CAST(1 AS BIGINT) AS n
-            FROM e WHERE vec_id % {stride} = 0),
+            FROM e WHERE vec_id IN {SQL_CENT_IDS}),
     cs0 AS (SELECT vec_id AS cluster_id, d, qv AS s
-            FROM q WHERE vec_id % {stride} = 0)"""
+            FROM q WHERE vec_id IN {SQL_CENT_IDS})"""
     ]
     for it in range(1, KMEANS_ITERS + 1):
         p = it - 1
@@ -1345,9 +1396,9 @@ ANN_INT8_ORACLE = f"""
 # point next to int8 scalar quantization (ann_int8_topk) and bucketing
 # (LSH/IVF).  Vectors are split into PQ_M subspaces of PQ_SUBDIM dims;
 # each subvector is encoded as the id of its nearest codebook entry
-# (codebook = the subvectors of every PQ_CENT_STRIDE-th vector -- a
-# deterministic stand-in for a trained codebook, exactly the IVF
-# centroid convention).  Serving is the classic ADC (asymmetric
+# (codebook = the subvectors of the PQ_CODEWORDS md5-rank-selected
+# vectors -- a deterministic fixed-cardinality stand-in for a trained
+# codebook, exactly the IVF centroid convention).  Serving is the classic ADC (asymmetric
 # distance) plan: per query, a lookup table of squared distances from
 # each of its subvectors to every codebook entry; a vector's
 # approximate distance is the sum of PQ_M table lookups on its codes.
@@ -1381,7 +1432,6 @@ ANN_INT8_ORACLE = f"""
 
 PQ_M = 16
 PQ_SUBDIM = 4  # PQ_M * PQ_SUBDIM == DIM
-PQ_CENT_STRIDE = 25
 PQ_SHORTLIST = 50  # ADC candidates per query fed to the exact rerank
 
 
@@ -1414,11 +1464,12 @@ def pq_vectors_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pq_codebook(vectors: DataFrame):
-    """Broadcast PQ codebook: the PQ_CENT_STRIDE-strided fixed-point rows."""
+    """Broadcast PQ codebook: the PQ_CODEWORDS md5-rank-selected
+    fixed-point rows (fixed cardinality at any corpus size)."""
     from ..functions.vectors import DIM
 
     return F.broadcast(
-        vectors.filter(F.col("vec_id") % PQ_CENT_STRIDE == 0).select(
+        codebook_rows(vectors, PQ_CODEWORDS).select(
             F.col("vec_id").alias("cent_id"),
             *[F.col(f"q{i}").alias(f"c{i}") for i in range(DIM)],
         )
@@ -1457,14 +1508,14 @@ def pq_codes_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         sf_dir,
         "pq_codes",
-        f"v1-m{PQ_M}-c{PQ_CENT_STRIDE}",
+        f"v2-m{PQ_M}-c{PQ_CODEWORDS}",
         _build,
     )
 
 
 def pq_coarse_assign_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized IVF coarse assignment (vec_id, cell) on the integer
-    grid: combinable L2 argmin against the CENTROID_STRIDE codebook."""
+    grid: combinable L2 argmin against the K_CENTROIDS codebook."""
     from ..sources.index_store import materialized
 
     def _build(s: SparkSession, d: str) -> DataFrame:
@@ -1472,7 +1523,7 @@ def pq_coarse_assign_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         vectors = pq_vectors_indexed(s, d)
         coarse = F.broadcast(
-            vectors.filter(F.col("vec_id") % CENTROID_STRIDE == 0).select(
+            codebook_rows(vectors, K_CENTROIDS).select(
                 F.col("vec_id").alias("cell_id"),
                 *[F.col(f"q{i}").alias(f"g{i}") for i in range(DIM)],
             )
@@ -1495,7 +1546,7 @@ def pq_coarse_assign_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         sf_dir,
         "pq_coarse_assign",
-        f"v1-c{CENTROID_STRIDE}",
+        f"v2-k{K_CENTROIDS}",
         _build,
     )
 
@@ -1631,7 +1682,7 @@ PQ_ADC_ORACLE = f"""
     ),
     cents AS (
         SELECT vec_id AS cent_id, d, qv AS cv FROM q
-        WHERE vec_id % {PQ_CENT_STRIDE} = 0
+        WHERE vec_id IN {SQL_PQ_CENT_IDS}
     ),
     pairs AS (
         SELECT q.vec_id, c.cent_id, (q.d - 1) // {PQ_SUBDIM} AS m,
@@ -1685,7 +1736,7 @@ PQ_ADC_ORACLE = PQ_ADC_ORACLE.replace("{RERANK_DOT}", sql_dot("qv.vn", "nv.vn"))
 # pq_adc_topk's own scale note says it: PQ cuts the PER-PAIR cost (M
 # integer adds), IVF cuts the PAIR COUNT (only NPROBE cells are
 # scored).  Here both happen: vectors are coarse-assigned to cells by
-# exact integer L2 against the CENTROID_STRIDE codebook (a combinable
+# exact integer L2 against the K_CENTROIDS codebook (a combinable
 # min(struct) argmin, no window), each query probes its NPROBE nearest
 # cells, and ADC scoring -- the same melted one-broadcast-join shape --
 # runs only over (query, vector) pairs whose cell is probed, followed
@@ -1704,7 +1755,7 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors = pq_vectors_indexed(spark, sf_dir)
     pq_cents = _pq_codebook(vectors)
     coarse = F.broadcast(
-        vectors.filter(F.col("vec_id") % CENTROID_STRIDE == 0).select(
+        codebook_rows(vectors, K_CENTROIDS).select(
             F.col("vec_id").alias("cell_id"),
             *[F.col(f"q{i}").alias(f"g{i}") for i in range(DIM)],
         )
@@ -1810,7 +1861,7 @@ IVF_PQ_ORACLE = f"""
     ),
     coarse AS (
         SELECT vec_id AS cell_id, d, qv AS gv FROM q
-        WHERE vec_id % {CENTROID_STRIDE} = 0
+        WHERE vec_id IN {SQL_CENT_IDS}
     ),
     cd AS (
         SELECT q.vec_id, g.cell_id,
@@ -1834,7 +1885,7 @@ IVF_PQ_ORACLE = f"""
     ),
     cents AS (
         SELECT vec_id AS cent_id, d, qv AS cv FROM q
-        WHERE vec_id % {PQ_CENT_STRIDE} = 0
+        WHERE vec_id IN {SQL_PQ_CENT_IDS}
     ),
     pairs AS (
         SELECT q.vec_id, c.cent_id, (q.d - 1) // {PQ_SUBDIM} AS m,
@@ -3196,7 +3247,7 @@ def ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 IVF_CELL_BALANCE_ORACLE = f"""
     WITH {SQL_NORMALIZED_CTE},
     cents AS (SELECT vec_id AS cent_id, vn AS cv FROM en
-              WHERE vec_id % {CENTROID_STRIDE} = 0),
+              WHERE vec_id IN {SQL_CENT_IDS}),
     assign AS (
         SELECT vec_id, cell FROM (
             SELECT en.vec_id, cent_id AS cell,
@@ -3243,11 +3294,9 @@ def pq_code_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = long.groupBy("m", "code").agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt")
     )
-    book = (
-        pq_vectors_indexed(spark, sf_dir)
-        .filter(F.col("vec_id") % PQ_CENT_STRIDE == 0)
-        .agg(F.count(F.lit(1)).cast("bigint").alias("codebook_size"))
-    )
+    book = codebook_rows(
+        pq_vectors_indexed(spark, sf_dir), PQ_CODEWORDS
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("codebook_size"))
     return (
         per.groupBy("m")
         .agg(
@@ -3285,7 +3334,7 @@ PQ_CODE_USAGE_ORACLE = f"""
     ),
     cents AS (
         SELECT vec_id AS cent_id, d, qv AS cv FROM q
-        WHERE vec_id % {PQ_CENT_STRIDE} = 0
+        WHERE vec_id IN {SQL_PQ_CENT_IDS}
     ),
     pairs AS (
         SELECT q.vec_id, c.cent_id, (q.d - 1) // {PQ_SUBDIM} AS m,
@@ -3384,8 +3433,8 @@ KNN_RECIPROCITY_ORACLE = f"""
 # outlier adds noise to every shortlist it participates in.  This is the
 # "retrain / re-split the subspaces?" table an indexing job emits before
 # its code table is trusted for serving.  zero_share counts exact-fit
-# rows; the codebook vectors themselves (every PQ_CENT_STRIDE-th row is
-# its own codeword) set its floor.
+# rows; the codebook vectors themselves (each of the PQ_CODEWORDS
+# md5-rank-selected rows is its own codeword) set its floor.
 # Scale: one vec_id join (code table x fixed-point grid), PQ_M broadcast
 # codebook-slice joins (all map-side), one map-side explode, one
 # PQ_M-group combinable rollup.  Each subspace d2 is an exact int64
@@ -3465,7 +3514,7 @@ PQ_DISTORTION_ORACLE = f"""
     ),
     cents AS (
         SELECT vec_id AS cent_id, d, qv AS cv FROM q
-        WHERE vec_id % {PQ_CENT_STRIDE} = 0
+        WHERE vec_id IN {SQL_PQ_CENT_IDS}
     ),
     pairs AS (
         SELECT q.vec_id, c.cent_id, (q.d - 1) // {PQ_SUBDIM} AS m,

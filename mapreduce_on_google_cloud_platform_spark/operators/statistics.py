@@ -2303,8 +2303,9 @@ DAILY_CORR_ORACLE = """
 # (n^3 scale -- a decade of daily rows keeps them far below 2^63); the
 # only double chain is num / sqrt(var18 / 18.0) with num = S -+ 1 exact,
 # identical op order in both engines, rounded once.  Degenerate series
-# (every day equal -> Var S = 0) emit NULL z / false trending
-# symmetrically.
+# (every day equal, or a single observed day -> Var S = 0) emit an
+# explicit n_days/s_stat=0/var 0/NULL z/false trending row symmetrically
+# -- the monitor lists every observed type, never silently drops one.
 # Scale: the sign pairs come from theil_sen's exact join shape -- the
 # BOUNDED post-aggregate daily table self-joined per event type (days^2
 # per type, calendar-bounded); ties are one (type, value) rollup.  The
@@ -2369,8 +2370,14 @@ def mann_kendall_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = F.round(
         num / F.sqrt(F.col("var_s_x18").cast("double") / F.lit(18.0)), 6
     )
+    # Build from n_days (one row per OBSERVED type), left-joining the
+    # pair rollup: a one-day series has no d2>d1 pair, so an inner join
+    # starting from s would silently drop the type instead of emitting
+    # the documented degenerate row (n_days=1, var_s_x18=0, z NULL,
+    # trending false).  The oracle mirrors the same LEFT JOIN.
     return (
-        s.join(F.broadcast(n_days), "event_type")
+        n_days.join(F.broadcast(s), "event_type", "left")
+        .withColumn("s_stat", F.coalesce("s_stat", F.lit(0).cast("bigint")))
         .join(F.broadcast(ties), "event_type")
         .withColumn("var_s_x18", var18)
         .select(
@@ -2418,13 +2425,14 @@ MANN_KENDALL_ORACLE = f"""
         FROM daily GROUP BY event_type
     ),
     assembled AS (
-        SELECT s.event_type, n_days, s_stat,
+        SELECT nd.event_type, n_days,
+               CAST(COALESCE(s_stat, 0) AS BIGINT) AS s_stat,
                CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie
                     AS BIGINT) AS var_s_x18,
-               CAST(CASE WHEN s_stat > 0 THEN s_stat - 1
-                         WHEN s_stat < 0 THEN s_stat + 1
+               CAST(CASE WHEN COALESCE(s_stat, 0) > 0 THEN s_stat - 1
+                         WHEN COALESCE(s_stat, 0) < 0 THEN s_stat + 1
                          ELSE 0 END AS DOUBLE) AS num
-        FROM s JOIN nd USING (event_type) JOIN ties USING (event_type)
+        FROM nd LEFT JOIN s USING (event_type) JOIN ties USING (event_type)
     )
     SELECT event_type, n_days, s_stat, var_s_x18,
            CASE WHEN var_s_x18 = 0 THEN NULL

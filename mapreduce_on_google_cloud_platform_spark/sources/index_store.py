@@ -51,14 +51,21 @@ def _store_root() -> str:
 
 
 def _dataset_fingerprint(sf_dir: str) -> str:
-    """Stable token for the dataset's current contents: (name, size,
-    mtime_ns) of every file under sf_dir, hashed.  Regeneration by the
-    round driver changes mtimes, so stale indexes become unreachable."""
+    """Stable token for the dataset's current contents: (relative path,
+    size, mtime_ns) of every file under sf_dir -- RECURSIVELY, so a
+    directory-layout table (e.g. a partitioned ``events.parquet/`` dir)
+    can't serve a stale index after only its inner part-files change
+    (VERDICT r10 item #5) -- hashed.  Regeneration by the round driver
+    changes mtimes, so stale indexes become unreachable."""
     h = hashlib.md5()
     try:
-        for fn in sorted(os.listdir(sf_dir)):
-            st = os.stat(os.path.join(sf_dir, fn))
-            h.update(f"{fn}:{st.st_size}:{st.st_mtime_ns};".encode())
+        for root, dirs, files in os.walk(sf_dir):
+            dirs.sort()  # deterministic walk order
+            rel_root = os.path.relpath(root, sf_dir)
+            for fn in sorted(files):
+                st = os.stat(os.path.join(root, fn))
+                rel = fn if rel_root == "." else os.path.join(rel_root, fn)
+                h.update(f"{rel}:{st.st_size}:{st.st_mtime_ns};".encode())
     except OSError:
         pass  # nonexistent sf_dir: the builder's scan will raise cleanly
     return h.hexdigest()[:12]

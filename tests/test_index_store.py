@@ -55,6 +55,26 @@ def test_store_path_tracks_dataset_fingerprint(tmp_path, spark):
     assert p1 != p2
 
 
+def test_fingerprint_sees_nested_directory_mutations(tmp_path):
+    """A directory-layout table (partitioned parquet dir) keeps the
+    top-level dir's size stable when an inner part-file changes -- the
+    fingerprint must recurse so the mutation still rotates the store
+    path (VERDICT r10 item #5)."""
+    src = tmp_path / "sfY"
+    inner = src / "events.parquet" / "day=2024-01-01"
+    inner.mkdir(parents=True)
+    part = inner / "part-000.parquet"
+    part.write_bytes(b"aaaa")
+    p1 = index_path(str(src), "shingles", "v1")
+    # mutate ONLY the nested file (content + mtime); top-level unchanged
+    part.write_bytes(b"bbbbbb")
+    os.utime(part, ns=(2_000_000_000, 2_000_000_000))
+    os.utime(src / "events.parquet", ns=(1_000_000_000, 1_000_000_000))
+    os.utime(src, ns=(1_000_000_000, 1_000_000_000))
+    p2 = index_path(str(src), "shingles", "v1")
+    assert p1 != p2
+
+
 def test_materialized_builds_once_and_rereads(tmp_path, spark, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "store"))
     calls = []

@@ -407,6 +407,21 @@ def test_source_epochs_plan_conserves_budget(spark):
     for r in rows:
         assert r.epochs > 0
         assert r.over_cap == (r.epochs > EPOCHS_CAP)
-        # temperature flattening: upsampling only for below-average shares
-        if r.raw_share > 1.0 / len(rows):
-            assert r.temp_share <= r.raw_share + 1e-6
+    # Provable properties of temperature flattening (alpha < 1), not the
+    # folk claim "upsampling only below the mean" (false for skewed share
+    # vectors, e.g. p=(0.59,0.40,0.01) upsamples the 0.40 source):
+    # 1. the LARGEST raw share is never upsampled (p_max^a / sum p_i^a
+    #    <= p_max because sum (p_i/p_max)^a >= sum (p_i/p_max) = 1/p_max)
+    by_raw = sorted(rows, key=lambda r: r.raw_share)
+    assert by_raw[-1].temp_share <= by_raw[-1].raw_share + 1e-6
+    # 2. ... and the SMALLEST is never downsampled (dual argument)
+    assert by_raw[0].temp_share >= by_raw[0].raw_share - 1e-6
+    # 3. temperature preserves the share ORDER while compressing ratios:
+    #    p_i < p_j  =>  q_i <= q_j  and  q_i/q_j >= p_i/p_j
+    for lo, hi in zip(by_raw, by_raw[1:]):
+        assert lo.temp_share <= hi.temp_share + 1e-6
+        if lo.raw_share > 0 and hi.temp_share > 0:
+            assert (
+                lo.temp_share / hi.temp_share
+                >= lo.raw_share / hi.raw_share - 1e-6
+            )

@@ -919,7 +919,11 @@ def test_mad_outliers_windows_bounded_by_type(spark):
     assert "BroadcastHashJoin" in plan
     import re
 
-    for w in re.findall(r"Arguments: \[row_number\(\).*", plan):
+    windows = re.findall(r"Arguments: \[row_number\(\).*", plan)
+    # a formatting change must fail loudly, not leave the pin vacuous:
+    # the plan carries two row_number windows (median rank, MAD rank)
+    assert len(windows) >= 2, plan
+    for w in windows:
         assert "event_type" in w
 
 

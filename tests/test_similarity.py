@@ -15,6 +15,43 @@ from .oracle import assert_matches_oracle
 NAMES = [name for name, _, o in SIMILARITY_QUERIES if o is not None]
 
 
+def _hash_rank_ids(vec_ids, k: int) -> set[int]:
+    """Independent (hashlib) replica of similarity.codebook_ids: the k
+    vec_ids with the smallest md5(str(vec_id)) hex digests."""
+    import hashlib
+
+    ranked = sorted(
+        (int(v) for v in vec_ids),
+        key=lambda v: (hashlib.md5(str(v).encode()).hexdigest(), v),
+    )
+    return set(ranked[:k])
+
+
+def test_codebook_cardinality_is_corpus_independent(spark):
+    """VERDICT r10 item #1's enforced invariant: doubling the corpus must
+    leave the codebook cardinality unchanged (k is a pinned constant,
+    never a corpus ratio), and the Spark md5-rank selection must match
+    the independent hashlib replica exactly."""
+    from mapreduce_on_google_cloud_platform_spark.operators.similarity import (
+        K_CENTROIDS,
+        codebook_ids,
+    )
+
+    base = spark.range(0, 1000).withColumnRenamed("id", "vec_id")
+    doubled = spark.range(0, 2000).withColumnRenamed("id", "vec_id")
+    sel_base = {r.vec_id for r in codebook_ids(base, K_CENTROIDS).collect()}
+    sel_doubled = {
+        r.vec_id for r in codebook_ids(doubled, K_CENTROIDS).collect()
+    }
+    assert len(sel_base) == K_CENTROIDS
+    assert len(sel_doubled) == K_CENTROIDS  # 2x corpus, SAME k
+    assert sel_base == _hash_rank_ids(range(1000), K_CENTROIDS)
+    assert sel_doubled == _hash_rank_ids(range(2000), K_CENTROIDS)
+    # degenerate corpora smaller than k select everything, loudly finite
+    tiny = spark.range(0, 5).withColumnRenamed("id", "vec_id")
+    assert codebook_ids(tiny, K_CENTROIDS).count() == 5
+
+
 @pytest.mark.parametrize("name", NAMES)
 def test_oracle_parity_smoke(spark, name):
     assert_matches_oracle(QUERIES[name](spark, SF_SMOKE), ORACLES[name], SF_SMOKE)
@@ -62,7 +99,7 @@ def test_kmeans_matches_numpy_reference(spark):
     import pyarrow.parquet as pq
 
     from mapreduce_on_google_cloud_platform_spark.operators.similarity import (
-        CENTROID_STRIDE,
+        K_CENTROIDS,
         KMEANS_ITERS,
         QUANT_SCALE,
     )
@@ -72,7 +109,8 @@ def test_kmeans_matches_numpy_reference(spark):
     v = np.array([np.asarray(x, dtype=np.float64) for x in t["embedding"].to_pylist()])
     q = np.floor(v * QUANT_SCALE + 0.5).astype(np.int64)
 
-    mask = vec_ids % CENTROID_STRIDE == 0
+    init_ids = _hash_rank_ids(vec_ids.tolist(), K_CENTROIDS)
+    mask = np.array([int(x) in init_ids for x in vec_ids])
     cids = vec_ids[mask].astype(np.int64)
     sums = q[mask].astype(object)  # python ints: exact wide arithmetic
     ns = np.ones(len(cids), dtype=np.int64)
@@ -689,12 +727,20 @@ def test_pq_code_usage_shape(spark):
     rows = sorted(
         QUERIES["pq_code_usage"](spark, SF_SMOKE).collect(), key=lambda r: r.m
     )
-    n_emb = load_table(spark, SF_SMOKE, "embeddings").count()
+    from mapreduce_on_google_cloud_platform_spark.operators.similarity import (
+        PQ_CODEWORDS,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    n_emb = emb.count()
+    book_ids = _hash_rank_ids(
+        [r.vec_id for r in emb.select("vec_id").collect()], PQ_CODEWORDS
+    )
     assert [r.m for r in rows] == list(range(PQ_M))
     for r in rows:
         assert 1 <= r.n_codes_used <= r.codebook_size
         assert 1 <= r.top_code_n <= n_emb
-        assert r.top_code % 25 == 0  # codebook ids are PQ_CENT_STRIDE rows
+        assert r.top_code in book_ids  # codes index md5-rank codebook rows
 
 
 def test_knn_reciprocity_bounds(spark):
@@ -714,7 +760,7 @@ def test_knn_reciprocity_bounds(spark):
 
 def test_pq_distortion_consistency(spark):
     from mapreduce_on_google_cloud_platform_spark.operators.similarity import (
-        PQ_CENT_STRIDE,
+        PQ_CODEWORDS,
         PQ_M,
     )
     from mapreduce_on_google_cloud_platform_spark.sources import load_table
@@ -725,7 +771,11 @@ def test_pq_distortion_consistency(spark):
     )
     emb = load_table(spark, SF_SMOKE, "embeddings")
     n_emb = emb.count()
-    n_book = emb.filter(f"vec_id % {PQ_CENT_STRIDE} = 0").count()
+    n_book = len(
+        _hash_rank_ids(
+            [r.vec_id for r in emb.select("vec_id").collect()], PQ_CODEWORDS
+        )
+    )
     assert [r.m for r in rows] == list(range(PQ_M))
     for r in rows:
         assert r.n_vectors == n_emb

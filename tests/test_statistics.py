@@ -514,3 +514,34 @@ def test_mann_kendall_matches_python_recompute(spark):
             num = float(s - 1 if s > 0 else (s + 1 if s < 0 else 0))
             z = round(num / math.sqrt(var18 / 18.0), 6)
             assert r.z == z and r.trending == (abs(z) > MK_Z_CRIT), et
+
+
+def test_mann_kendall_one_day_series_emits_degenerate_row(spark, tmp_path):
+    """A type observed on a single day has no sign pair, so the pair
+    rollup yields no row for it -- the monitor must still list it with
+    the documented degenerate values instead of silently dropping it
+    (ADVICE r10).  Built on a synthetic events table: one one-day type
+    next to one three-day type."""
+    import datetime
+
+    rows = [
+        (1, datetime.datetime(2024, 1, 1, 9), 1, "solo", 5.0, "{}"),
+        (2, datetime.datetime(2024, 1, 1, 9), 1, "multi", 1.0, "{}"),
+        (3, datetime.datetime(2024, 1, 2, 9), 1, "multi", 2.0, "{}"),
+        (4, datetime.datetime(2024, 1, 3, 9), 1, "multi", 3.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r.event_type: r
+        for r in QUERIES["mann_kendall_trend_test"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert set(out) == {"solo", "multi"}
+    solo = out["solo"]
+    assert solo.n_days == 1 and solo.s_stat == 0 and solo.var_s_x18 == 0
+    assert solo.z is None and solo.trending is False
+    assert out["multi"].n_days == 3 and out["multi"].s_stat == 3

@@ -117,6 +117,11 @@ def main() -> int:
 
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    # a typo'd --oracle-skip name must fail loudly, not silently no-op
+    unknown_skip = oracle_skip - set(queries)
+    assert not unknown_skip, (
+        f"--oracle-skip names not registered: {sorted(unknown_skip)}"
+    )
     if only is not None:
         unknown = only - set(queries)
         assert not unknown, f"--only names not registered: {sorted(unknown)}"
@@ -129,7 +134,15 @@ def main() -> int:
         t0 = _time.perf_counter()
         try:
             if stability_only or name in oracle_skip:
-                status = "OK (oracle skipped)"
+                if stability:
+                    # the stability block below executes the plan twice
+                    status = "OK (oracle skipped)"
+                else:
+                    # without --stability there is no later execution:
+                    # run the plan rows-only so a skip can never print
+                    # OK for a query that was not run at all
+                    n = len(queries[name](spark, sf_dir).collect())
+                    status = f"OK rows-only ({n} rows, oracle skipped)"
             elif name in oracles:
                 sink: dict | None = {} if digest_out is not None else None
                 assert_matches_oracle(
