@@ -588,24 +588,23 @@ def kmeans_dist_expr(dim: int = 64):
     dist * n^2 = n^2*Q2 - 2n*<q,s> + S2 (algebraically
     = sum_i (q_i*n - s_i)^2, identical integer because every step is
     exact).  The hot loop is the two int64 lane dot products; the wide
-    DECIMAL(38,0) ops run once per pair, not once per dimension."""
+    DECIMAL(38,0) ops run once per pair, not once per dimension.
 
-    def _chain(terms):
-        acc = terms[0]
-        for t in terms[1:]:
-            acc = acc + t
-        return acc
-
-    DEC = "decimal(38,0)"
-    cross_hi = _chain([F.col(f"q{i}") * F.col(f"shi{i}") for i in range(dim)])
-    cross_lo = _chain([F.col(f"q{i}") * F.col(f"slo{i}") for i in range(dim)])
-    cross = cross_hi.cast(DEC) * F.lit(_SPLIT_BASE).cast(DEC) + cross_lo.cast(DEC)
-    n2 = (F.col("n") * F.col("n")).cast(DEC)
-    return (
-        n2 * F.col("qq").cast(DEC)
-        - (F.lit(2) * F.col("n")).cast(DEC) * cross
-        + F.col("ss")
-    ).cast("double") / (F.col("n") * F.col("n")).cast("double")
+    Built as ONE SQL string parsed JVM-side (``F.expr``): constructing
+    the 2*dim-term tree out of Python ``Column`` operators costs ~0.7 s
+    of py4j round trips PER CALL at dim=64 (measured, round 11) --
+    one-third of the query's entire warm runtime -- while the parsed
+    expression tree, evaluation order, and generated code are
+    identical."""
+    DEC = "DECIMAL(38,0)"
+    hi = " + ".join(f"q{i} * shi{i}" for i in range(dim))
+    lo = " + ".join(f"q{i} * slo{i}" for i in range(dim))
+    return F.expr(
+        f"CAST((CAST(n * n AS {DEC}) * CAST(qq AS {DEC})"
+        f" - CAST(2 * n AS {DEC}) * (CAST(({hi}) AS {DEC})"
+        f" * CAST({_SPLIT_BASE} AS {DEC}) + CAST(({lo}) AS {DEC}))"
+        f" + ss) AS DOUBLE) / CAST(n * n AS DOUBLE)"
+    )
 
 
 def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -640,30 +639,21 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     per centroid is computed driver-side in exact arbitrary-precision
     ints."""
     emb = load_table(spark, sf_dir, "embeddings")
-    from ..functions.vectors import DIM, as_double
+    from ..functions.vectors import DIM
 
-    def _chain(terms):
-        acc = terms[0]
-        for t in terms[1:]:
-            acc = acc + t
-        return acc
-
-    v = as_double(F.col("embedding"))
+    # SQL strings, not Python Column chains: the 64-column quantize +
+    # 64-term Q2 built from Column operators costs ~1.2 s of py4j round
+    # trips per call (measured, round 11); one selectExpr parses JVM-side
+    # in a single call with the identical expression tree.  Per-element
+    # float->double cast is exact, same as casting the whole array.
     qcols = [
-        F.floor(F.element_at(v, i + 1) * QUANT_SCALE + F.lit(0.5))
-        .cast("bigint")
-        .alias(f"q{i}")
+        f"CAST(FLOOR(CAST(embedding[{i}] AS DOUBLE) * {QUANT_SCALE}"
+        f" + 0.5D) AS BIGINT) AS q{i}"
         for i in range(DIM)
     ]
     # Q2 = sum_i q_i^2 (int64-safe: |q| <= ~1e6 -> Q2 <= 64e12)
-    vectors = (
-        emb.select("vec_id", *qcols)
-        .select(
-            "*",
-            _chain([F.col(f"q{i}") * F.col(f"q{i}") for i in range(DIM)]).alias("qq"),
-        )
-        .persist()
-    )
+    qq = "(" + " + ".join(f"q{i} * q{i}" for i in range(DIM)) + ") AS qq"
+    vectors = emb.selectExpr("vec_id", *qcols).selectExpr("*", qq).persist()
 
     # The codebook is k rows -- driver-sized at any corpus scale (that is
     # the definition of a codebook).  Each round therefore collects the
