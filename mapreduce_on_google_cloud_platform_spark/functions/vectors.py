@@ -85,34 +85,38 @@ def flat_normalized(
 
     Callers should ``.persist()`` the result before quadratic stages so
     the normalization pass is paid once."""
-    arr = F.col(vec_col).cast("array<double>")
-    e = df.select(
-        F.col(id_col), *[F.element_at(arr, i + 1).alias(f"_e{i}") for i in range(dim)]
+    # SQL strings parsed JVM-side (round 11): constructing the 3x64-term
+    # projections out of Python Column operators costs ~1 s of py4j round
+    # trips per call -- several times the execution time at test scale;
+    # the parsed trees (element_at on the casted array, left-assoc norm
+    # fold, per-component division) are identical.
+    e = df.selectExpr(
+        id_col,
+        *[
+            f"element_at(CAST({vec_col} AS ARRAY<DOUBLE>), {i + 1}) AS _e{i}"
+            for i in range(dim)
+        ],
     )
-    nsq = F.lit(0.0)
-    for i in range(dim):
-        nsq = nsq + F.col(f"_e{i}") * F.col(f"_e{i}")
-    return e.withColumn("_n", F.sqrt(nsq)).select(
-        F.col(id_col),
-        *[(F.col(f"_e{i}") / F.col("_n")).alias(f"{prefix}{i}") for i in range(dim)],
+    nsq = " + ".join(f"_e{i} * _e{i}" for i in range(dim))
+    return e.selectExpr("*", f"SQRT(0.0D + {nsq}) AS _n").selectExpr(
+        id_col, *[f"_e{i} / _n AS {prefix}{i}" for i in range(dim)]
     )
 
 
 def flat_dot(a_prefix: str, b_prefix: str, dim: int = DIM) -> Column:
     """Left-assoc sum of products over two flat-column vectors; prefixes
-    may include a dataframe alias ('a.x')."""
-    acc = F.lit(0.0)
-    for i in range(dim):
-        acc = acc + F.col(f"{a_prefix}{i}") * F.col(f"{b_prefix}{i}")
-    return acc
+    may include a dataframe alias ('a.x').  One JVM-side parse -- the
+    Column-operator form costs ~0.4 s of py4j round trips per call."""
+    terms = " + ".join(f"{a_prefix}{i} * {b_prefix}{i}" for i in range(dim))
+    return F.expr(f"0.0D + {terms}")
 
 
 def flat_renamed(df: "DataFrame", id_from: str, id_to: str, p_from: str, p_to: str, dim: int = DIM) -> "DataFrame":
     """Rename (id, x*) -> (id2, q*) so two flat vector tables can meet in
     a join without alias ambiguity."""
-    return df.select(
-        F.col(id_from).alias(id_to),
-        *[F.col(f"{p_from}{i}").alias(f"{p_to}{i}") for i in range(dim)],
+    return df.selectExpr(
+        f"{id_from} AS {id_to}",
+        *[f"{p_from}{i} AS {p_to}{i}" for i in range(dim)],
     )
 
 
