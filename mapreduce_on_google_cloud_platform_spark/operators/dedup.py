@@ -1472,12 +1472,12 @@ _CC_DOCS = cc_closure_cte("SELECT doc_id FROM documents", "doc_id")
 # minimum id, exactly what the Spark loop's convergence probe certifies.
 DEDUP_CLUSTERS_ORACLE = f"""
     WITH {SIMHASH_SIG_CTE},
-    near AS (
+    near AS MATERIALIZED (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
     ),
-    edges AS (
+    edges AS MATERIALIZED (
         SELECT doc_a AS a, doc_b AS b FROM near
         UNION ALL
         SELECT doc_b AS a, doc_a AS b FROM near
@@ -1623,12 +1623,12 @@ def dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 # doc_id ASC), the declarative twin of min(struct(-n_chars, doc_id)).
 DEDUP_SURVIVORS_ORACLE = f"""
     WITH {SIMHASH_SIG_CTE},
-    near AS (
+    near AS MATERIALIZED (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
     ),
-    edges AS (
+    edges AS MATERIALIZED (
         SELECT doc_a AS a, doc_b AS b FROM near
         UNION ALL
         SELECT doc_b AS a, doc_a AS b FROM near
@@ -1825,8 +1825,8 @@ def _policy_funnel_oracle() -> str:
                doc_id <> min(doc_id) OVER (PARTITION BY h) AS is_exact_dup
         FROM hashed
     ),
-    near AS (SELECT doc_a, doc_b FROM ({MINHASH_LSH_ORACLE})),
-    edges AS (
+    near AS MATERIALIZED (SELECT doc_a, doc_b FROM ({MINHASH_LSH_ORACLE})),
+    edges AS MATERIALIZED (
         SELECT doc_a AS a, doc_b AS b FROM near
         UNION ALL
         SELECT doc_b AS a, doc_a AS b FROM near
@@ -1842,7 +1842,7 @@ def _policy_funnel_oracle() -> str:
     survivors AS (
         SELECT doc_id, TRUE AS is_survivor FROM ranked WHERE rk = 1
     ),
-    spans AS (
+    spans AS MATERIALIZED (
         SELECT doc_id, n_tokens,
                CAST(n_dup_positions AS DOUBLE) / n_tokens
                    > {SPAN_CONTAMINATION_MAX} AS is_span_contaminated
@@ -2195,7 +2195,7 @@ def part_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PART_ENTITY_ORACLE = f"""
-    WITH near AS (
+    WITH near AS MATERIALIZED (
         SELECT a.p_partkey AS ka, b.p_partkey AS kb
         FROM part a
         JOIN part b
@@ -2203,7 +2203,7 @@ PART_ENTITY_ORACLE = f"""
          AND a.p_partkey < b.p_partkey
         WHERE levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_DIST}
     ),
-    edges AS (
+    edges AS MATERIALIZED (
         SELECT ka AS a, kb AS b FROM near
         UNION ALL
         SELECT kb AS a, ka AS b FROM near
@@ -2382,12 +2382,12 @@ def _semdedup_clusters_oracle() -> str:
     sig AS (
         SELECT vec_id, vn, ({_lsh_bucket_sql('vn')}) AS bucket FROM en
     ),
-    near AS (
+    near AS MATERIALIZED (
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
         FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
         WHERE {sql_dot('a.vn', 'b.vn')} >= {COSINE_NEAR_DUP}
     ),
-    edges AS (
+    edges AS MATERIALIZED (
         SELECT vec_a AS a, vec_b AS b FROM near
         UNION ALL
         SELECT vec_b AS a, vec_a AS b FROM near
@@ -2893,12 +2893,12 @@ def dedup_survivor_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SURVIVOR_BIAS_ORACLE = f"""
     WITH {SIMHASH_SIG_CTE},
-    near AS (
+    near AS MATERIALIZED (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
     ),
-    edges AS (
+    edges AS MATERIALIZED (
         SELECT doc_a AS a, doc_b AS b FROM near
         UNION ALL
         SELECT doc_b AS a, doc_a AS b FROM near

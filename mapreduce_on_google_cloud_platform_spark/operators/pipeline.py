@@ -302,12 +302,12 @@ def _training_prep_oracle() -> str:
     stops = ", ".join(f"'{s}'" for s in EN_STOPS)
     return f"""
     WITH {SIMHASH_SIG_CTE},
-    near AS (
+    near AS MATERIALIZED (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= {PREP_HAMMING}
     ),
-    edges AS (
+    edges AS MATERIALIZED (
         SELECT doc_a AS a, doc_b AS b FROM near
         UNION ALL
         SELECT doc_b AS a, doc_a AS b FROM near
