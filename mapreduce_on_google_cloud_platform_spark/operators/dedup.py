@@ -237,6 +237,166 @@ JACCARD_CURVE_ORACLE = _jaccard_curve_oracle()
 
 
 # ---------------------------------------------------------------------------
+# Prefix-filter exact Jaccard join (SSJoin: Chaudhuri, Ganti & Kaushik
+# 2006 "A primitive operator for similarity joins"; prefix length per
+# Bayardo, Ma & Srikant 2007 / PPJoin, Xiao et al. 2008) -- the EXACT
+# set-similarity join that scales where the plain inverted-index join
+# (dedup_ngram_jaccard's shape) does not.  The inverted-index join
+# expands EVERY shared shingle into a candidate row, so one boilerplate
+# shingle shared by 10^6 docs contributes 10^12 pairs on its own.  The
+# prefix filter instead orders each doc's shingles by GLOBAL RARITY
+# (ascending df, ties on the shingle text -- a total order, identical
+# in both engines) and joins only on each doc's first
+#     p = n - ceil(t*n) + 1
+# rarest shingles: if two docs share NO prefix shingle, every common
+# shingle sits in a suffix shorter than ceil(t*n) <= |A intersect B|,
+# contradicting J >= t -- so recall is PROVABLY 1.0 (pytest-pinned
+# against the unfiltered exact pair table), while the join keys are by
+# construction the SHORTEST posting lists in the corpus.  A size filter
+# (J >= t implies min(na,nb)/max(na,nb) >= t, checked in exact integer
+# form) prunes candidates before verification; verification intersects
+# the two docs' shingle arrays -- per-pair work bounded by doc length,
+# order-insensitive (size of a distinct-set intersection), no second
+# pass over the inverted index.
+#
+# Threshold is the exact rational T_NUM/T_DEN; every membership test is
+# integer arithmetic (prefix length, size ratio, n_common*DEN >=
+# n_union*NUM), so the kept-pair set is engine-exact; the reported
+# jaccard is the usual single double division.
+#
+# Scale: df + sizes are combinable groupBys; the rank window shuffles
+# on doc_id (bounded partitions: one doc's shingles); the candidate
+# join shuffles on PREFIX shingles only -- the df-ascending order means
+# the heaviest posting lists never become join keys unless a doc is
+# nearly all-boilerplate, exactly the skew the stop-shingle variant
+# drops.  At 100 TB this is the published exact-dedup architecture;
+# MinHash LSH remains the recall<1 shortcut when even prefix lists are
+# too hot.
+# ---------------------------------------------------------------------------
+
+PREFIX_JACCARD_NUM = 1  # threshold t = 1/2, kept rational for integer tests
+PREFIX_JACCARD_DEN = 2
+
+
+def prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    num, den = PREFIX_JACCARD_NUM, PREFIX_JACCARD_DEN
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles_df(docs).persist()  # feeds df, sizes, rank, and arrays
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "sh")
+    ordered = (
+        sh.join(dfreq, "sh")
+        .select("doc_id", "sh", "df")
+        .withColumn("pos", F.row_number().over(w))
+    )
+    pref = (
+        ordered.join(sizes, "doc_id")
+        # p = n - ceil(t*n) + 1, ceil in exact integer form
+        .filter(
+            F.col("pos")
+            <= F.col("n")
+            - F.expr(f"(n * {num} + {den} - 1) div {den}")
+            + F.lit(1)
+        )
+        .select("doc_id", "sh", "n")
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        # size filter: J >= t implies min/max >= t, exact integer form
+        .filter(
+            F.least(F.col("a.n"), F.col("b.n")) * den
+            >= F.greatest(F.col("a.n"), F.col("b.n")) * num
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+        .distinct()
+    )
+    arrs = sh.groupBy("doc_id").agg(F.collect_list("sh").alias("arr"))
+    verified = (
+        cand.join(
+            arrs.select(F.col("doc_id").alias("doc_a"), F.col("arr").alias("arr_a")),
+            "doc_a",
+        )
+        .join(
+            arrs.select(F.col("doc_id").alias("doc_b"), F.col("arr").alias("arr_b")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("arr_a", "arr_b"))
+            .cast("bigint")
+            .alias("n_common"),
+            (F.col("na") + F.col("nb")).alias("nab"),
+        )
+        .withColumn("n_union", (F.col("nab") - F.col("n_common")).cast("bigint"))
+        .filter(F.col("n_common") * den >= F.col("n_union") * num)
+    )
+    return verified.select(
+        "doc_a",
+        "doc_b",
+        "n_common",
+        "n_union",
+        (F.col("n_common").cast("double") / F.col("n_union")).alias("jaccard"),
+    )
+
+
+PREFIX_FILTER_JACCARD_ORACLE = f"""
+    WITH {DUCKDB_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, count(*) AS n FROM shing GROUP BY doc_id),
+    dfreq AS (SELECT sh, count(*) AS df FROM shing GROUP BY sh),
+    ordered AS (
+        SELECT s.doc_id, s.sh,
+               row_number() OVER (
+                   PARTITION BY s.doc_id ORDER BY d.df, s.sh
+               ) AS pos
+        FROM shing s JOIN dfreq d USING (sh)
+    ),
+    pref AS (
+        SELECT o.doc_id, o.sh, z.n
+        FROM ordered o JOIN sizes z USING (doc_id)
+        WHERE o.pos <= z.n
+            - ((z.n * {PREFIX_JACCARD_NUM} + {PREFIX_JACCARD_DEN} - 1)
+               // {PREFIX_JACCARD_DEN}) + 1
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                        a.n AS na, b.n AS nb
+        FROM pref a JOIN pref b
+            ON a.sh = b.sh AND a.doc_id < b.doc_id
+        WHERE least(a.n, b.n) * {PREFIX_JACCARD_DEN}
+              >= greatest(a.n, b.n) * {PREFIX_JACCARD_NUM}
+    ),
+    arrs AS (SELECT doc_id, list(sh) AS arr FROM shing GROUP BY doc_id),
+    verified AS (
+        SELECT c.doc_a, c.doc_b,
+               CAST(len(list_intersect(aa.arr, ab.arr)) AS BIGINT) AS n_common,
+               CAST(c.na + c.nb - len(list_intersect(aa.arr, ab.arr))
+                    AS BIGINT) AS n_union
+        FROM cand c
+        JOIN arrs aa ON c.doc_a = aa.doc_id
+        JOIN arrs ab ON c.doc_b = ab.doc_id
+    )
+    SELECT doc_a, doc_b, n_common, n_union,
+           CAST(n_common AS DOUBLE) / n_union AS jaccard
+    FROM verified
+    WHERE n_common * {PREFIX_JACCARD_DEN} >= n_union * {PREFIX_JACCARD_NUM}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Asymmetric containment: |A n B| / min(|A|,|B|) over shingle sets --
 # catches a short document EMBEDDED in a long one (quoted mail, header
 # boilerplate, excerpted article), which Jaccard structurally misses:
@@ -1026,6 +1186,178 @@ SIMHASH_PAIRS_ORACLE = f"""
     FROM sig a JOIN sig b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
 """
+
+
+# ---------------------------------------------------------------------------
+# SimHash band-geometry audit -- the tuning table for the ONE free
+# parameter the banded simhash join has: how to cut the signature into
+# bands.  r bands of b bits guarantee recall 1.0 only out to hamming
+# r-1 (pigeonhole), while the candidate volume scales like n^2 / 2^b
+# per band -- measured on this corpus, the production 8x4 geometry
+# already emits 2.4M candidate pairs at sf0.1 (19% of all pairs),
+# because frequency-weighted signatures of same-vocabulary documents
+# crowd the narrow 4-bit chunks.  This query reports, per geometry,
+# exactly the two numbers that trade off: the candidate count the
+# shuffle must carry and the recall against the declared hamming<=
+# {HAMMING_MAX} truth.  (Manku, Jain & Das Sarma 2007 table 1 is this
+# computation for 64-bit signatures.)
+#
+# Determinism: candidate membership and hamming are integer/bit ops on
+# the engine-identical signatures; recall/precision are single double
+# divisions of exact counts, NULL (in both engines, via explicit CASE)
+# when the denominator is zero.
+#
+# Scale: per geometry one band self-join (shuffle on (band, chunk)) and
+# one distinct -- the same shape as the production pair join; the truth
+# count rides the materialized simhash pair store.  The oracle uses the
+# brute-force pair definition instead (sample-scale n^2, its usual
+# division of labor).
+# ---------------------------------------------------------------------------
+
+SIMHASH_BAND_CONFIGS = ((8, 4), (4, 8), (2, 16))  # (n_bands, bits) over 32
+
+
+def _simhash_chunk_expr(prefix: str, bits: int, i: int) -> str:
+    """Engine-shared chunk extraction: bits-wide chunk i of the signature."""
+    return (
+        f"CAST(floor({prefix}simhash / CAST(power(2, {bits * i}) AS BIGINT))"
+        f" AS BIGINT) % {2 ** bits}"
+    )
+
+
+def simhash_band_width_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = _simhash_signatures(spark, sf_dir).persist()  # all geometry joins
+    truth_n = simhash_pairs_indexed(spark, sf_dir).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true_pairs")
+    )
+    geo_rows = []
+    for r, bits in SIMHASH_BAND_CONFIGS:
+        chunks = sig.select(
+            "doc_id",
+            "simhash",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band"),
+                            F.expr(_simhash_chunk_expr("", bits, i)).alias(
+                                "chunk"
+                            ),
+                        )
+                        for i in range(r)
+                    ]
+                )
+            ).alias("bc"),
+        ).select(
+            "doc_id",
+            "simhash",
+            F.col("bc.band").alias("band"),
+            F.col("bc.chunk").alias("chunk"),
+        )
+        a, b = chunks.alias("a"), chunks.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.chunk") == F.col("b.chunk")),
+            )
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+                .cast("int")
+                .alias("hamming"),
+            )
+            .distinct()
+        )
+        geo_rows.append(
+            pairs.agg(
+                F.lit(r).cast("int").alias("n_bands"),
+                F.lit(bits).cast("int").alias("band_bits"),
+                F.lit(r - 1).cast("int").alias("guaranteed_radius"),
+                F.count(F.lit(1)).cast("bigint").alias("n_candidate_pairs"),
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("hamming") <= HAMMING_MAX, 1).otherwise(0)
+                    ),
+                    F.lit(0),
+                )
+                .cast("bigint")
+                .alias("n_recovered"),
+            )
+        )
+    out = geo_rows[0]
+    for extra in geo_rows[1:]:
+        out = out.unionByName(extra)
+    return (
+        out.crossJoin(F.broadcast(truth_n))
+        .select(
+            "n_bands",
+            "band_bits",
+            "guaranteed_radius",
+            "n_candidate_pairs",
+            "n_true_pairs",
+            "n_recovered",
+            F.when(
+                F.col("n_true_pairs") > 0,
+                F.col("n_recovered").cast("double") / F.col("n_true_pairs"),
+            ).alias("recall"),
+            F.when(
+                F.col("n_candidate_pairs") > 0,
+                F.col("n_recovered").cast("double")
+                / F.col("n_candidate_pairs"),
+            ).alias("precision"),
+        )
+        .orderBy("band_bits")
+    )
+
+
+def _simhash_band_audit_oracle() -> str:
+    per_geo = []
+    for r, bits in SIMHASH_BAND_CONFIGS:
+        band_match = " OR ".join(
+            f"{_simhash_chunk_expr('a.', bits, i)}"
+            f" = {_simhash_chunk_expr('b.', bits, i)}"
+            for i in range(r)
+        )
+        per_geo.append(
+            f"""    SELECT CAST({r} AS INTEGER) AS n_bands,
+           CAST({bits} AS INTEGER) AS band_bits,
+           CAST({r - 1} AS INTEGER) AS guaranteed_radius,
+           CAST(count(*) AS BIGINT) AS n_candidate_pairs,
+           (SELECT n FROM truth) AS n_true_pairs,
+           CAST(coalesce(sum(CASE WHEN hamming <= {HAMMING_MAX}
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS n_recovered,
+           CASE WHEN (SELECT n FROM truth) > 0
+                THEN CAST(coalesce(sum(CASE WHEN hamming <= {HAMMING_MAX}
+                                            THEN 1 ELSE 0 END), 0) AS DOUBLE)
+                     / (SELECT n FROM truth) END AS recall,
+           CASE WHEN count(*) > 0
+                THEN CAST(coalesce(sum(CASE WHEN hamming <= {HAMMING_MAX}
+                                            THEN 1 ELSE 0 END), 0) AS DOUBLE)
+                     / count(*) END AS precision
+    FROM (
+        SELECT bit_count(xor(a.simhash, b.simhash)) AS hamming
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE {band_match}
+    )"""
+        )
+    selects = "\n    UNION ALL\n".join(per_geo)
+    return f"""
+    WITH {SIMHASH_SIG_CTE},
+    truth AS (
+        SELECT CAST(count(*) AS BIGINT) AS n
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+    )
+{selects}
+    ORDER BY band_bits
+"""
+
+
+SIMHASH_BAND_AUDIT_ORACLE = _simhash_band_audit_oracle()
 
 # ---------------------------------------------------------------------------
 # Embedding-cosine near-dup
@@ -2069,9 +2401,16 @@ def _pair_eval(method: str, pred: DataFrame, truth: DataFrame) -> DataFrame:
     # cache contract reclaims these)
     pred = pred.persist()
     truth = truth.persist()
-    tp = pred.join(truth, ["doc_a", "doc_b"], "left_semi")
-    fp = pred.join(truth, ["doc_a", "doc_b"], "left_anti")
-    fn = truth.join(pred, ["doc_a", "doc_b"], "left_anti")
+    # shuffle-hash, never broadcast: a detector's pair table is NOT
+    # driver-sized (simhash emits 2.4M pairs at sf0.1 already, and the
+    # candidate count grows superlinearly with the corpus) -- an
+    # auto-broadcast build of that side is exactly the misplan that
+    # OOMs a long-lived driver at scale.  SHJ on the pair key is the
+    # 100 TB plan: both sides hash-partition on (doc_a, doc_b), the
+    # build map is per-partition, no sort, no driver collect.
+    tp = pred.join(truth.hint("shuffle_hash"), ["doc_a", "doc_b"], "left_semi")
+    fp = pred.join(truth.hint("shuffle_hash"), ["doc_a", "doc_b"], "left_anti")
+    fn = truth.join(pred.hint("shuffle_hash"), ["doc_a", "doc_b"], "left_anti")
     counts = (
         tp.agg(F.count(F.lit(1)).alias("tp"))
         .crossJoin(fp.agg(F.count(F.lit(1)).alias("fp")))
@@ -3117,6 +3456,11 @@ DEDUP_QUERIES: list[tuple[str, object, str | None]] = [
     ("dedup_method_eval", dedup_method_eval, METHOD_EVAL_ORACLE),
     ("dedup_ngram_jaccard", dedup_ngram_jaccard, NGRAM_JACCARD_ORACLE),
     ("jaccard_threshold_curve", jaccard_threshold_curve, JACCARD_CURVE_ORACLE),
+    (
+        "prefix_filter_jaccard_join",
+        prefix_filter_jaccard_join,
+        PREFIX_FILTER_JACCARD_ORACLE,
+    ),
     ("dedup_containment", dedup_containment, CONTAINMENT_ORACLE),
     ("dedup_minhash_lsh", dedup_minhash_lsh, MINHASH_LSH_ORACLE),
     (
@@ -3131,6 +3475,11 @@ DEDUP_QUERIES: list[tuple[str, object, str | None]] = [
     ),
     ("lsh_bucket_balance", lsh_bucket_balance, LSH_BUCKET_BALANCE_ORACLE),
     ("dedup_simhash", dedup_simhash, SIMHASH_ORACLE),
+    (
+        "simhash_band_width_audit",
+        simhash_band_width_audit,
+        SIMHASH_BAND_AUDIT_ORACLE,
+    ),
     ("simhash_near_pairs", simhash_near_pairs, SIMHASH_PAIRS_ORACLE),
     ("dedup_embedding_pairs", dedup_embedding_pairs, EMBEDDING_PAIRS_ORACLE),
     ("dedup_embedding_lsh", dedup_embedding_lsh, _embedding_lsh_oracle()),

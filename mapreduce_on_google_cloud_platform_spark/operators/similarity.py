@@ -2111,6 +2111,172 @@ ANN_RECALL_CURVE_ORACLE = _recall_curve_oracle()
 
 
 # ---------------------------------------------------------------------------
+# Ranking-quality curve: MRR@k and NDCG@k of the IVF serving list vs the
+# exact top-K truth -- the ORDER-sensitive complement to
+# ann_recall_at_k_curve (recall says "did the right ids appear";
+# MRR/NDCG say "did they appear EARLY", which is what a retrieval-
+# augmented training pipeline actually consumes).  Relevance is binary
+# membership in the exact top-k; the DCG gain is the HARMONIC 1/rank
+# (Sakai's "DCG with reciprocal-rank gain"), chosen over 1/log2(1+r)
+# deliberately: with K_NEIGHBORS = 10, every per-hit term 1/r scales to
+# the exact integer RANK_LCM/r (RANK_LCM = lcm(1..10) = 2520), so both
+# engines sum INTEGERS and divide once at the end -- a log2-based gain
+# would sum engine-library doubles in shuffle order, exactly the
+# representation hazard the repo's float rules exist to avoid.  NDCG is
+# micro-averaged (sum DCG / sum IDCG); with a constant-depth truth list
+# the per-query IDCG@k is the same for every query, so micro == macro.
+#
+# Scale: both inputs are the materialized K-bounded index tables
+# (queries x K rows each); the join, the per-query conditional
+# min/sums, and the 4-row ladder explode are all tiny.  Cost is O(nq*K)
+# regardless of corpus size.
+# ---------------------------------------------------------------------------
+
+RANK_LCM = 2520  # lcm(1..K_NEIGHBORS): makes every 1/rank term integer
+
+
+def _idcg_num(k: int) -> int:
+    """Exact integer IDCG@k numerator: sum of RANK_LCM/i for i=1..k."""
+    return sum(RANK_LCM // i for i in range(1, k + 1))
+
+
+def ann_rank_quality_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = ann_truth_indexed(spark, sf_dir).select(
+        "q_id", "neighbor_id", F.col("rank").alias("rt")
+    )
+    m = ivf_topk_indexed(spark, sf_dir).select(
+        "q_id", "neighbor_id", F.col("rank").alias("rm")
+    )
+    nq = t.select("q_id").distinct().agg(F.count(F.lit(1)).alias("n_queries"))
+    joined = t.join(m, ["q_id", "neighbor_id"])
+    # per-query: first relevant method rank + integer DCG numerator per k
+    per_q = joined.groupBy("q_id").agg(
+        *[
+            F.min(
+                F.when((F.col("rt") <= k) & (F.col("rm") <= k), F.col("rm"))
+            ).alias(f"fr_{k}")
+            for k in RECALL_LADDER
+        ],
+        *[
+            F.sum(
+                F.when(
+                    (F.col("rt") <= k) & (F.col("rm") <= k),
+                    F.expr(f"{RANK_LCM} div rm"),
+                )
+            )
+            .cast("bigint")
+            .alias(f"dcg_{k}")
+            for k in RECALL_LADDER
+        ],
+    )
+    sums = per_q.agg(
+        *[
+            F.sum(
+                F.coalesce(F.expr(f"{RANK_LCM} div fr_{k}"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias(f"mrr_num_{k}")
+            for k in RECALL_LADDER
+        ],
+        *[
+            F.sum(F.coalesce(F.col(f"dcg_{k}"), F.lit(0)))
+            .cast("bigint")
+            .alias(f"dcg_num_{k}")
+            for k in RECALL_LADDER
+        ],
+    )
+    ladder = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("k"),
+                F.col(f"mrr_num_{k}").alias("mrr_num"),
+                F.col(f"dcg_num_{k}").alias("dcg_num"),
+                F.lit(_idcg_num(k)).cast("bigint").alias("idcg_num"),
+            )
+            for k in RECALL_LADDER
+        ]
+    )
+    return (
+        sums.crossJoin(F.broadcast(nq))
+        .select("n_queries", F.explode(ladder).alias("row"))
+        .select(
+            F.col("row.k").alias("k"),
+            "n_queries",
+            F.col("row.mrr_num").alias("mrr_num"),
+            F.col("row.dcg_num").alias("dcg_num"),
+            F.col("row.idcg_num").alias("idcg_num"),
+            # single IEEE divisions of exact integers (the repo's float rule)
+            (
+                F.col("row.mrr_num").cast("double")
+                / (F.lit(RANK_LCM) * F.col("n_queries"))
+            ).alias("mrr"),
+            (
+                F.col("row.dcg_num").cast("double")
+                / (F.col("row.idcg_num") * F.col("n_queries"))
+            ).alias("ndcg"),
+        )
+        .orderBy("k")
+    )
+
+
+def _rank_quality_oracle() -> str:
+    fr_cols = ",\n               ".join(
+        f"min(CASE WHEN rt <= {k} AND rm <= {k} THEN rm END) AS fr_{k}"
+        for k in RECALL_LADDER
+    )
+    dcg_cols = ",\n               ".join(
+        f"CAST(sum(CASE WHEN rt <= {k} AND rm <= {k} "
+        f"THEN {RANK_LCM} // rm END) AS BIGINT) AS dcg_{k}"
+        for k in RECALL_LADDER
+    )
+    sum_cols = ",\n               ".join(
+        f"CAST(sum(coalesce({RANK_LCM} // fr_{k}, 0)) AS BIGINT) AS mrr_num_{k},\n"
+        f"               CAST(sum(coalesce(dcg_{k}, 0)) AS BIGINT) AS dcg_num_{k}"
+        for k in RECALL_LADDER
+    )
+    rows = "\n    UNION ALL\n".join(
+        f"""    SELECT {k} AS k, (SELECT n_queries FROM nq) AS n_queries,
+           mrr_num_{k} AS mrr_num, dcg_num_{k} AS dcg_num,
+           CAST({_idcg_num(k)} AS BIGINT) AS idcg_num,
+           CAST(mrr_num_{k} AS DOUBLE)
+               / ({RANK_LCM} * (SELECT n_queries FROM nq)) AS mrr,
+           CAST(dcg_num_{k} AS DOUBLE)
+               / ({_idcg_num(k)} * (SELECT n_queries FROM nq)) AS ndcg
+    FROM sums"""
+        for k in RECALL_LADDER
+    )
+    return f"""
+    WITH t AS (
+        SELECT q_id, neighbor_id, rank AS rt
+        FROM ({ANN_BRUTEFORCE_ORACLE})
+    ),
+    m AS (
+        SELECT q_id, neighbor_id, rank AS rm FROM ({ANN_IVF_ORACLE})
+    ),
+    nq AS (
+        SELECT CAST(count(DISTINCT q_id) AS BIGINT) AS n_queries FROM t
+    ),
+    joined AS (SELECT * FROM t JOIN m USING (q_id, neighbor_id)),
+    per_q AS (
+        SELECT q_id,
+               {fr_cols},
+               {dcg_cols}
+        FROM joined
+        GROUP BY q_id
+    ),
+    sums AS (
+        SELECT {sum_cols}
+        FROM per_q
+    )
+{rows}
+    ORDER BY k
+"""
+
+
+ANN_RANK_QUALITY_ORACLE = _rank_quality_oracle()
+
+
+# ---------------------------------------------------------------------------
 # Matryoshka truncation audit: recall@K of PREFIX-truncated embeddings
 # (renormalized over the first d dims, the Matryoshka-representation
 # serving convention) against the full-dimension exact top-K.  This is
@@ -3548,6 +3714,7 @@ SIMILARITY_QUERIES: list[tuple[str, object, str | None]] = [
     ("ann_topk_bruteforce", ann_topk_bruteforce, ANN_BRUTEFORCE_ORACLE),
     ("ann_ivf_topk", ann_ivf_topk, ANN_IVF_ORACLE),
     ("ann_recall_at_k_curve", ann_recall_at_k_curve, ANN_RECALL_CURVE_ORACLE),
+    ("ann_rank_quality_curve", ann_rank_quality_curve, ANN_RANK_QUALITY_ORACLE),
     ("ann_ivf_nprobe_curve", ann_ivf_nprobe_curve, ANN_NPROBE_CURVE_ORACLE),
     ("matryoshka_dim_recall", matryoshka_dim_recall, MATRYOSHKA_ORACLE),
     ("knn_label_agreement", knn_label_agreement, KNN_LABEL_AGREEMENT_ORACLE),

@@ -2604,6 +2604,167 @@ HEAVY_HITTER_SHARD_PLAN_ORACLE = f"""
 
 
 # ---------------------------------------------------------------------------
+# Count-Min width sizing curve (Cormode & Muthukrishnan 2005, "An
+# improved data stream summary: the count-min sketch and its
+# applications") -- the third member of the sketch-contract-audit family
+# (HLL/GK: sketch_summary + profiles; Space-Saving:
+# heavy_hitter_shard_plan).  A CMS with depth d and width w answers
+# point frequency queries with one-sided error: est >= true always, and
+# est <= true + 2N/w per lane with probability >= 1 - 2^-d.  This query
+# SIMULATES the d x w counter array from exact counts (the counters a
+# real streaming pass would hold are exactly these bucket sums -- CMS
+# update is additive, so the simulation is not an approximation of the
+# sketch, it IS the sketch state) and reports, per candidate width, the
+# full error profile the sketch would deliver on this corpus: how many
+# words come back exact, the worst and mean overestimate, and how many
+# words would break the 2N/w Markov bound.  This is the sizing table
+# consulted before provisioning the sketch -- the same division of
+# labor as heavy_hitter_shard_plan for Space-Saving capacity.
+#
+# Determinism: bucket lanes are the repo's portable md5 hash (prefix-15
+# hex chars -> bigint, bit-identical in both engines); every audit
+# column is integer arithmetic except mean_overestimate, the usual
+# single double division of two exact integers.
+#
+# Scale: freq is the word-count shuffle (map-side combinable,
+# vocab-bounded); lanes is 4x vocab; per width the counter table is at
+# most CMS_DEPTH * w <= 8192 rows -- BROADCAST on the estimate join, so
+# the per-width pass is one combinable groupBy + a broadcast hash join,
+# never a second shuffle.  The 100 TB plan is the sf0.001 plan.
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTHS = (128, 512, 2048)
+
+
+def cms_width_error_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        tokens_df(docs)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    total = freq.agg(F.sum("freq").cast("bigint").alias("total"))
+    lanes = freq.select(
+        "word",
+        "freq",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.conv(
+                            F.substring(
+                                F.md5(F.concat(F.lit(f"{j}:"), F.col("word"))),
+                                1,
+                                15,
+                            ),
+                            16,
+                            10,
+                        )
+                        .cast("bigint")
+                        .alias("h"),
+                    )
+                    for j in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("l"),
+    ).select("word", "freq", F.col("l.j").alias("j"), F.col("l.h").alias("h"))
+    lanes = lanes.persist()  # feeds the counter build + estimate join per width
+    width_rows = []
+    for w in CMS_WIDTHS:
+        cells = (
+            lanes.groupBy("j", (F.col("h") % w).alias("bucket"))
+            .agg(F.sum("freq").cast("bigint").alias("cell_total"))
+        )
+        est = (
+            lanes.withColumn("bucket", F.col("h") % w)
+            .join(F.broadcast(cells), ["j", "bucket"])
+            .groupBy("word", "freq")
+            .agg(F.min("cell_total").alias("est"))
+        )
+        over = F.col("est") - F.col("freq")
+        width_rows.append(
+            est.crossJoin(F.broadcast(total)).agg(
+                F.lit(w).cast("int").alias("width"),
+                F.count(F.lit(1)).cast("bigint").alias("n_words"),
+                F.sum(F.when(over == 0, 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_exact"),
+                F.max(over).cast("bigint").alias("max_overestimate"),
+                F.sum(over).cast("bigint").alias("sum_overestimate"),
+                # Markov bound per CMS contract: over <= 2N/w, integer form
+                F.sum(
+                    F.when(over * w > 2 * F.col("total"), 1).otherwise(0)
+                )
+                .cast("bigint")
+                .alias("n_bound_violations"),
+            )
+        )
+    out = width_rows[0]
+    for extra in width_rows[1:]:
+        out = out.unionByName(extra)
+    return out.select(
+        "width",
+        "n_words",
+        "n_exact",
+        "max_overestimate",
+        "sum_overestimate",
+        (
+            F.col("sum_overestimate").cast("double") / F.col("n_words")
+        ).alias("mean_overestimate"),
+        "n_bound_violations",
+    ).orderBy("width")
+
+
+def _cms_width_oracle() -> str:
+    per_width = "\n    UNION ALL\n".join(
+        f"""    SELECT CAST({w} AS INTEGER) AS width,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(CASE WHEN est - freq = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_exact,
+           CAST(max(est - freq) AS BIGINT) AS max_overestimate,
+           CAST(sum(est - freq) AS BIGINT) AS sum_overestimate,
+           CAST(sum(est - freq) AS DOUBLE) / count(*) AS mean_overestimate,
+           CAST(sum(CASE WHEN (est - freq) * {w} > 2 * (SELECT total FROM tot)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_bound_violations
+    FROM (
+        SELECT l.word, l.freq, min(c.cell_total) AS est
+        FROM (SELECT word, freq, j, h % {w} AS bucket FROM lanes) l
+        JOIN (SELECT j, h % {w} AS bucket,
+                     CAST(sum(freq) AS BIGINT) AS cell_total
+              FROM lanes GROUP BY 1, 2) c
+        USING (j, bucket)
+        GROUP BY 1, 2
+    )"""
+        for w in CMS_WIDTHS
+    )
+    return f"""
+    WITH {DUCKDB_TOKS_CTE},
+    stream AS (
+        SELECT ts[i] AS word
+        FROM toks, unnest(range(1, len(ts) + 1)) t(i)
+    ),
+    freq AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS freq
+        FROM stream GROUP BY word
+    ),
+    tot AS (SELECT CAST(sum(freq) AS BIGINT) AS total FROM freq),
+    lanes AS (
+        SELECT word, freq, j,
+               ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || word), 1, 15))
+                   ::BIGINT AS h
+        FROM freq, (SELECT unnest(range(0, {CMS_DEPTH})) AS j)
+    )
+{per_width}
+    ORDER BY width
+"""
+
+
+CMS_WIDTH_ERROR_ORACLE = _cms_width_oracle()
+
+
+# ---------------------------------------------------------------------------
 # C4-style rule-based hygiene filter (Raffel et al. 2020 "Exploring the
 # Limits of Transfer Learning", appendix C; mean-word-length band from
 # Rae et al. 2021 table A1): the cheap deterministic drop rules every
@@ -4477,6 +4638,7 @@ TEXT_ANALYSIS_QUERIES: list[tuple[str, object, str | None]] = [
         heavy_hitter_shard_plan,
         HEAVY_HITTER_SHARD_PLAN_ORACLE,
     ),
+    ("cms_width_error_curve", cms_width_error_curve, CMS_WIDTH_ERROR_ORACLE),
     (
         "quality_percentile_by_source",
         quality_percentile_by_source,

@@ -553,3 +553,94 @@ def test_minhash_lane_uniformity_shape(spark):
         assert 0 <= r.min_value <= r.max_value < MINHASH_P
         assert r.collision_share == round(1.0 - r.n_distinct / r.n_docs, 6)
         assert r.min_value <= r.mean_value <= r.max_value
+
+
+def test_prefix_filter_join_is_exact(spark):
+    """The prefix-filter join must return EXACTLY the pairs the unfiltered
+    inverted-index join keeps at the same threshold: the prefix lemma
+    guarantees recall 1.0 (a qualifying pair always shares a prefix
+    shingle), and verification guarantees precision 1.0."""
+    from mapreduce_on_google_cloud_platform_spark.functions.text import shingles_df
+    from mapreduce_on_google_cloud_platform_spark.operators.dedup import (
+        PREFIX_JACCARD_DEN,
+        PREFIX_JACCARD_NUM,
+        _pair_jaccard,
+    )
+    from mapreduce_on_google_cloud_platform_spark.sources import load_table
+
+    for sf_dir in (SF_SMOKE, SF_ORACLE):
+        docs = load_table(spark, sf_dir, "documents")
+        truth = {
+            (r.doc_a, r.doc_b, r.n_common, r.n_union)
+            for r in _pair_jaccard(shingles_df(docs))
+            .filter(
+                F.col("n_common") * PREFIX_JACCARD_DEN
+                >= F.col("n_union") * PREFIX_JACCARD_NUM
+            )
+            .collect()
+        }
+        got = {
+            (r.doc_a, r.doc_b, r.n_common, r.n_union)
+            for r in QUERIES["prefix_filter_jaccard_join"](spark, sf_dir).collect()
+        }
+        assert got == truth
+        assert truth, "threshold too strict: vacuous completeness check"
+
+
+def test_prefix_filter_prefix_is_proper_subset(spark):
+    """The candidate-generating prefix must be strictly smaller than the
+    full shingle set for multi-shingle docs (otherwise the operator
+    degenerates to the plain inverted-index join and the scale claim in
+    its header is vacuous)."""
+    from pyspark.sql import Window
+
+    from mapreduce_on_google_cloud_platform_spark.functions.text import shingles_df
+    from mapreduce_on_google_cloud_platform_spark.operators.dedup import (
+        PREFIX_JACCARD_DEN,
+        PREFIX_JACCARD_NUM,
+    )
+    from mapreduce_on_google_cloud_platform_spark.sources import load_table
+
+    sh = shingles_df(load_table(spark, SF_SMOKE, "documents"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    num, den = PREFIX_JACCARD_NUM, PREFIX_JACCARD_DEN
+    stats = (
+        sizes.select(
+            "n",
+            (
+                F.col("n")
+                - F.expr(f"(n * {num} + {den} - 1) div {den}")
+                + F.lit(1)
+            ).alias("p"),
+        )
+        .agg(
+            F.sum("n").alias("total_shingles"),
+            F.sum(F.least(F.col("p"), F.col("n"))).alias("total_prefix"),
+            F.max(F.when(F.col("n") > 1, F.col("p") - F.col("n"))).alias(
+                "worst_gap"
+            ),
+        )
+        .collect()[0]
+    )
+    # prefix strictly shorter for every doc with >1 shingle...
+    assert stats.worst_gap < 0
+    # ...and materially shorter in aggregate (t=1/2 -> about half)
+    assert stats.total_prefix < stats.total_shingles
+
+
+def test_simhash_band_audit_pigeonhole_guarantee(spark):
+    """Geometry rows whose guaranteed radius covers HAMMING_MAX must show
+    recall exactly 1.0 (pigeonhole is a theorem, not a tendency); every
+    row's recovered count is bounded by both truth and candidates."""
+    from mapreduce_on_google_cloud_platform_spark.operators.dedup import (
+        SIMHASH_BAND_CONFIGS,
+    )
+
+    rows = QUERIES["simhash_band_width_audit"](spark, SF_SMOKE).collect()
+    assert {(r.n_bands, r.band_bits) for r in rows} == set(SIMHASH_BAND_CONFIGS)
+    for r in rows:
+        assert r.guaranteed_radius == r.n_bands - 1
+        assert 0 <= r.n_recovered <= r.n_true_pairs
+        assert r.n_recovered <= r.n_candidate_pairs
+        if r.guaranteed_radius >= HAMMING_MAX and r.n_true_pairs > 0:
+            assert r.recall == 1.0

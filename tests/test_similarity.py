@@ -784,3 +784,27 @@ def test_pq_distortion_consistency(spark):
         assert r.mean_d2 == round(r.total_d2 / r.n_vectors, 6)
         # codebook rows are their own codewords: exact-fit floor
         assert r.zero_share >= round(n_book / n_emb, 6) - 1e-9
+
+
+def test_rank_quality_curve_bounds_and_monotonicity(spark):
+    """MRR/NDCG live on [0, 1]; MRR@k is non-decreasing in k (the
+    first-relevant rank is a min over a growing condition set); and the
+    DCG numerator dominates the MRR numerator at every depth (DCG
+    includes the first relevant hit's term plus the rest)."""
+    from .conftest import SF_SMOKE
+
+    rows = sorted(
+        QUERIES["ann_rank_quality_curve"](spark, SF_SMOKE).collect(),
+        key=lambda r: r.k,
+    )
+    assert rows
+    prev_mrr = 0.0
+    for r in rows:
+        assert 0.0 <= r.mrr <= 1.0
+        assert 0.0 <= r.ndcg <= 1.0
+        assert r.dcg_num >= r.mrr_num >= 0
+        assert r.mrr >= prev_mrr
+        prev_mrr = r.mrr
+    # NOT asserted: MRR@1 == 1 under self-retrieval -- exact-duplicate
+    # vectors tie at cosine 1.0 and the id tie-break can outrank the
+    # query itself, so a perfect score is data-dependent, not a theorem.

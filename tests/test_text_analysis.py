@@ -937,3 +937,29 @@ def test_quality_percentile_by_source_is_an_exact_rank(spark):
     # roughly half the corpus keeps under a per-source median threshold
     kept = sum(1 for r in rows if r.keep_top_half)
     assert 0.25 * len(rows) <= kept <= 0.75 * len(rows)
+
+
+def test_cms_width_curve_contracts(spark):
+    """Count-Min contract invariants: one-sided error (est >= true, so
+    every overestimate stat is non-negative), the audited vocabulary is
+    width-independent, and a bound violation implies a non-exact word."""
+    from mapreduce_on_google_cloud_platform_spark.operators.text_analysis import (
+        CMS_WIDTHS,
+    )
+
+    from .conftest import SF_SMOKE
+
+    rows = sorted(
+        QUERIES["cms_width_error_curve"](spark, SF_SMOKE).collect(),
+        key=lambda r: r.width,
+    )
+    assert [r.width for r in rows] == sorted(CMS_WIDTHS)
+    vocab_sizes = {r.n_words for r in rows}
+    assert len(vocab_sizes) == 1  # same exact vocabulary under every width
+    for r in rows:
+        assert 0 <= r.n_exact <= r.n_words
+        assert r.max_overestimate >= 0
+        assert r.sum_overestimate >= r.max_overestimate >= 0
+        assert r.n_bound_violations <= r.n_words - r.n_exact
+        if r.n_exact == r.n_words:
+            assert r.sum_overestimate == 0
