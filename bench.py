@@ -249,6 +249,13 @@ HEADLINE = [
     "mann_kendall_trend_test",
     "session_length_histogram",
     "order_basket_profile",
+    # round-11 additions: ranking quality, CMS sizing, exact
+    # prefix-filter similarity join, simhash band geometry
+    "ann_rank_quality_curve",
+    "cms_width_error_curve",
+    "prefix_filter_jaccard_join",
+    "simhash_band_width_audit",
+    "dbscan_lsh_clusters",
     # dedup_method_eval re-runs five declared pipelines; its components
     # are each benched above, so it is left out of the headline suite
 ]

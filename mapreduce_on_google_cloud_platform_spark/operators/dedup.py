@@ -2740,6 +2740,153 @@ def _semdedup_clusters_oracle() -> str:
 
 
 # ---------------------------------------------------------------------------
+# DBSCAN over the LSH epsilon-graph (Ester, Kriegel, Sander & Xu 1996)
+# -- density-based clustering as a GRAPH computation: with an arbitrary
+# metric, DBSCAN is exactly (a) an epsilon-neighbor graph, (b) CORE
+# points = vertices with >= MIN_PTS neighbors (self included), (c)
+# clusters = connected components of the core-core subgraph, (d) BORDER
+# points attach to an adjacent core's cluster, (e) the rest is NOISE.
+# The epsilon-graph here is the audited LSH-bucketed cosine near-pair
+# stream (dedup_embedding_lsh: never all-pairs), so this is DBSCAN*
+# over the observable graph -- a cross-bucket neighbor the LSH misses
+# is missed here too, declared exactly like every other banded path,
+# and the oracle replicates the identical bucketing.
+#
+# What it adds over semdedup_clusters (plain CC on the same graph):
+# density discrimination.  CC merges two dense regions connected by ONE
+# chance pair -- the transitive-chaining failure mode -- while DBSCAN
+# only propagates cluster identity through CORE points, so a low-degree
+# bridge vector becomes border/noise instead of welding two clusters
+# together.  The role column is the actionable output: cores = dup
+# nests to collapse aggressively, borders = review, noise = keep.
+#
+# Determinism: degree thresholds are integer; cluster ids are min core
+# ids from the shared min-label machinery; border attachment takes the
+# MINIMUM adjacent core cluster id.  Scale: degree is one combinable
+# groupBy over the symmetrized pair stream; the CC loop runs on the
+# CORE subgraph (smaller than the full graph semdedup iterates); border
+# attachment is one join + min-groupBy.
+# ---------------------------------------------------------------------------
+
+DBSCAN_MIN_PTS = 3  # a point plus >= 2 epsilon-neighbors makes a core
+
+
+def dbscan_lsh_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    pairs = dedup_embedding_lsh(spark, sf_dir).select("vec_a", "vec_b")
+    sym = pairs.unionByName(
+        pairs.select(
+            F.col("vec_b").alias("vec_a"), F.col("vec_a").alias("vec_b")
+        )
+    ).persist()  # feeds degree, the core subgraph, and border attachment
+    deg = sym.groupBy(F.col("vec_a").alias("vec_id")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    degs = vecs.join(deg, "vec_id", "left").select(
+        "vec_id",
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n_neighbors"),
+    )
+    cores = degs.filter(
+        F.col("n_neighbors") + 1 >= DBSCAN_MIN_PTS
+    ).select("vec_id")
+    core_pairs = (
+        pairs.join(
+            cores.select(F.col("vec_id").alias("vec_a")), "vec_a", "left_semi"
+        )
+        .join(
+            cores.select(F.col("vec_id").alias("vec_b")), "vec_b", "left_semi"
+        )
+        .select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+    )
+    core_labels = _cc_cluster_report(core_pairs, cores, "vec_id").select(
+        "vec_id", F.col("cluster_id").alias("core_cl")
+    )
+    border = (
+        sym.join(
+            core_labels.select(
+                F.col("vec_id").alias("vec_b"), F.col("core_cl")
+            ),
+            "vec_b",
+        )
+        .join(
+            cores.select(F.col("vec_id").alias("vec_a")), "vec_a", "left_anti"
+        )
+        .groupBy(F.col("vec_a").alias("vec_id"))
+        .agg(F.min("core_cl").alias("border_cl"))
+    )
+    return (
+        degs.join(core_labels, "vec_id", "left")
+        .join(border, "vec_id", "left")
+        .select(
+            "vec_id",
+            "n_neighbors",
+            F.when(F.col("core_cl").isNotNull(), F.lit("core"))
+            .when(F.col("border_cl").isNotNull(), F.lit("border"))
+            .otherwise(F.lit("noise"))
+            .alias("role"),
+            F.coalesce("core_cl", "border_cl")
+            .cast("bigint")
+            .alias("cluster_id"),
+        )
+    )
+
+
+def _dbscan_oracle() -> str:
+    from .similarity import _lsh_bucket_sql
+
+    return f"""
+    WITH {SQL_NORMALIZED_CTE},
+    sig AS (
+        SELECT vec_id, vn, ({_lsh_bucket_sql('vn')}) AS bucket FROM en
+    ),
+    near AS MATERIALIZED (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE {sql_dot('a.vn', 'b.vn')} >= {COSINE_NEAR_DUP}
+    ),
+    sym AS MATERIALIZED (
+        SELECT vec_a AS a, vec_b AS b FROM near
+        UNION ALL
+        SELECT vec_b AS a, vec_a AS b FROM near
+    ),
+    degs AS (
+        SELECT e.vec_id, CAST(coalesce(d.n, 0) AS BIGINT) AS n_neighbors
+        FROM embeddings e
+        LEFT JOIN (SELECT a AS vec_id, count(*) AS n FROM sym GROUP BY 1) d
+            USING (vec_id)
+    ),
+    cores AS (
+        SELECT vec_id FROM degs WHERE n_neighbors + 1 >= {DBSCAN_MIN_PTS}
+    ),
+    edges AS MATERIALIZED (
+        SELECT s.a, s.b
+        FROM sym s
+        SEMI JOIN cores ca ON s.a = ca.vec_id
+        SEMI JOIN cores cb ON s.b = cb.vec_id
+    ),
+    {cc_closure_cte("SELECT vec_id FROM cores", "vec_id")},
+    border AS (
+        SELECT s.a AS vec_id, min(c.cluster_id) AS border_cl
+        FROM sym s
+        JOIN comp c ON s.b = c.vec_id
+        ANTI JOIN cores x ON s.a = x.vec_id
+        GROUP BY s.a
+    )
+    SELECT d.vec_id, d.n_neighbors,
+           CASE WHEN cp.cluster_id IS NOT NULL THEN 'core'
+                WHEN b.border_cl IS NOT NULL THEN 'border'
+                ELSE 'noise' END AS role,
+           CAST(coalesce(cp.cluster_id, b.border_cl) AS BIGINT) AS cluster_id
+    FROM degs d
+    LEFT JOIN comp cp USING (vec_id)
+    LEFT JOIN border b USING (vec_id)
+"""
+
+
+DBSCAN_ORACLE = _dbscan_oracle()
+
+
+# ---------------------------------------------------------------------------
 # Cross-source near-dup matrix -- the syndication/mirroring report: for
 # every (source, source) pair, how many verified near-dup pairs connect
 # them.  A hot off-diagonal cell means two crawl sources mirror each
@@ -3497,6 +3644,7 @@ DEDUP_QUERIES: list[tuple[str, object, str | None]] = [
     ),
     ("dedup_policy_funnel", dedup_policy_funnel, POLICY_FUNNEL_ORACLE),
     ("semdedup_clusters", semdedup_clusters, _semdedup_clusters_oracle()),
+    ("dbscan_lsh_clusters", dbscan_lsh_clusters, DBSCAN_ORACLE),
     (
         "cross_source_dup_matrix",
         cross_source_dup_matrix,

@@ -644,3 +644,35 @@ def test_simhash_band_audit_pigeonhole_guarantee(spark):
         assert r.n_recovered <= r.n_candidate_pairs
         if r.guaranteed_radius >= HAMMING_MAX and r.n_true_pairs > 0:
             assert r.recall == 1.0
+
+
+def test_dbscan_refines_cc_and_role_invariants(spark):
+    """DBSCAN over the same epsilon-graph must REFINE the plain-CC
+    clustering (cluster identity only propagates through cores, so a
+    DBSCAN cluster can never span two CC components), cores must meet
+    the MIN_PTS density, and noise must carry no cluster."""
+    from mapreduce_on_google_cloud_platform_spark.operators.dedup import (
+        DBSCAN_MIN_PTS,
+    )
+
+    db = QUERIES["dbscan_lsh_clusters"](spark, SF_SMOKE).collect()
+    cc = {
+        r.vec_id: r.cluster_id
+        for r in QUERIES["semdedup_clusters"](spark, SF_SMOKE).collect()
+    }
+    assert {r.vec_id for r in db} == set(cc)
+    by_cluster: dict[int, set[int]] = {}
+    n_core = 0
+    for r in db:
+        assert r.role in ("core", "border", "noise")
+        if r.role == "core":
+            n_core += 1
+            assert r.n_neighbors + 1 >= DBSCAN_MIN_PTS
+            assert r.cluster_id is not None
+        if r.role == "noise":
+            assert r.cluster_id is None
+        if r.cluster_id is not None:
+            by_cluster.setdefault(r.cluster_id, set()).add(r.vec_id)
+    assert n_core > 0, "corpus produced no cores: vacuous refinement check"
+    for members in by_cluster.values():
+        assert len({cc[m] for m in members}) == 1  # refinement
