@@ -959,3 +959,51 @@ def test_index_probe_scans_are_column_pruned(spark):
     for ln in plan.splitlines():
         if "ReadSchema" in ln:
             assert "jaccard" not in ln
+
+
+def test_prefix_filter_join_shapes(spark):
+    """The prefix-filter similarity join must stay equi-join shaped end
+    to end: candidates join on the shingle column, verification joins on
+    doc ids -- never a cartesian/nested-loop fallback -- and the
+    rarity ordering runs as a doc-partitioned row_number window."""
+    plan = plan_of(spark, "prefix_filter_jaccard_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "row_number" in plan
+
+
+def test_cms_counter_join_is_broadcast(spark):
+    """The CMS estimate join's build side is the counter table -- at most
+    depth x width <= 8192 rows by construction -- and must plan as a
+    broadcast hash join (a shuffle there would move the vocab-sized lane
+    table three extra times)."""
+    plan = plan_of(spark, "cms_width_error_curve")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_method_eval_pair_joins_are_shuffle_hash(spark):
+    """The tp/fp/fn set joins compare two pair tables, neither of which
+    is driver-sized (simhash: 2.4M pairs at sf0.1): the plan must use
+    shuffle-hash joins for them, never a broadcast build of a
+    corpus-growing side."""
+    plan = plan_of(spark, "dedup_method_eval")
+    assert "ShuffledHashJoin" in plan
+
+
+def test_dbscan_stays_bucketed_and_probes_core_subgraph(spark):
+    """DBSCAN's epsilon-graph must come from the bucket equi-join (no
+    all-pairs fallback), and its output plan is join+aggregate shaped --
+    the CC iteration runs ahead of the returned DataFrame, on the core
+    subgraph only."""
+    plan = plan_of(spark, "dbscan_lsh_clusters")
+    assert "CartesianProduct" not in plan
+    assert "bucket" in plan
+
+
+def test_rank_quality_probes_materialized_indexes(spark):
+    """MRR/NDCG must ride the materialized truth/serving tables (the
+    index-build/probe split), not rebuild either ANN pipeline."""
+    plan = plan_of(spark, "ann_rank_quality_curve")
+    assert "ann_truth" in plan
+    assert "ivf_topk" in plan
