@@ -303,6 +303,10 @@ def prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "sh", "n")
     )
+    # both sides of the candidate self-join read pref: unpersisted, the
+    # df join + per-doc rank window would run twice (the dedup_minhash_lsh
+    # bands lesson -- measured 8x there)
+    pref = pref.persist()
     a, b = pref.alias("a"), pref.alias("b")
     cand = (
         a.join(
@@ -1148,9 +1152,9 @@ def simhash_near_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.expr(
-                            f"CAST(floor(simhash / CAST(power(2, {4 * b}) AS BIGINT)) AS BIGINT) % 16"
-                        ).alias("chunk"),
+                        # the 4-bit instance of the shared chunk extractor
+                        # (simhash_band_width_audit audits the alternatives)
+                        F.expr(_simhash_chunk_expr("", 4, b)).alias("chunk"),
                     )
                     for b in range(SIMHASH_BANDS)
                 ]
@@ -2773,7 +2777,10 @@ DBSCAN_MIN_PTS = 3  # a point plus >= 2 epsilon-neighbors makes a core
 
 def dbscan_lsh_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = load_table(spark, sf_dir, "embeddings").select("vec_id")
-    pairs = dedup_embedding_lsh(spark, sf_dir).select("vec_a", "vec_b")
+    # persist the LSH pair join itself: it feeds both union branches of
+    # sym AND the core-pair extraction -- unpersisted it would re-run
+    # the bucket self-join + 64-dim dot filter once per consumer
+    pairs = dedup_embedding_lsh(spark, sf_dir).select("vec_a", "vec_b").persist()
     sym = pairs.unionByName(
         pairs.select(
             F.col("vec_b").alias("vec_a"), F.col("vec_a").alias("vec_b")

@@ -616,13 +616,17 @@ def test_prefix_filter_prefix_is_proper_subset(spark):
         .agg(
             F.sum("n").alias("total_shingles"),
             F.sum(F.least(F.col("p"), F.col("n"))).alias("total_prefix"),
-            F.max(F.when(F.col("n") > 1, F.col("p") - F.col("n"))).alias(
+            # strictness holds only for n >= 3 at t=1/2: a 2-shingle doc
+            # has p = 2 - ceil(1) + 1 = 2 = n (gap 0), legitimately
+            F.max(F.when(F.col("n") > 2, F.col("p") - F.col("n"))).alias(
                 "worst_gap"
             ),
+            F.max(F.col("p") - F.col("n")).alias("max_gap_any"),
         )
         .collect()[0]
     )
-    # prefix strictly shorter for every doc with >1 shingle...
+    # prefix never longer than the doc, strictly shorter once n >= 3...
+    assert stats.max_gap_any <= 0
     assert stats.worst_gap < 0
     # ...and materially shorter in aggregate (t=1/2 -> about half)
     assert stats.total_prefix < stats.total_shingles

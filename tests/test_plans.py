@@ -1001,6 +1001,14 @@ def test_dbscan_stays_bucketed_and_probes_core_subgraph(spark):
     assert "bucket" in plan
 
 
+def test_band_audit_joins_on_chunks_not_allpairs(spark):
+    """Every geometry's candidate generation must stay a (band, chunk)
+    equi-join -- a cartesian/nested-loop fallback would silently turn
+    the audit into the very all-pairs plan it exists to avoid."""
+    plan = plan_of(spark, "simhash_band_width_audit")
+    assert "CartesianProduct" not in plan
+
+
 def test_rank_quality_probes_materialized_indexes(spark):
     """MRR/NDCG must ride the materialized truth/serving tables (the
     index-build/probe split), not rebuild either ANN pipeline."""
