@@ -256,6 +256,8 @@ HEADLINE = [
     "prefix_filter_jaccard_join",
     "simhash_band_width_audit",
     "dbscan_lsh_clusters",
+    "ann_ivf_residual_pq_topk",
+    "pq_residual_gain_audit",
     # dedup_method_eval re-runs five declared pipelines; its components
     # are each benched above, so it is left out of the headline suite
 ]

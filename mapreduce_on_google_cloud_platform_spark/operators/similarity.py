@@ -1928,6 +1928,506 @@ IVF_PQ_ORACLE = IVF_PQ_ORACLE.replace("{RERANK_DOT}", sql_dot("qv.vn", "nv.vn"))
 
 
 # ---------------------------------------------------------------------------
+# IVF x RESIDUAL PQ -- the actual FAISS IVFADC architecture (Jegou,
+# Douze & Schmid 2011 §IV: "the residual vector is quantized instead of
+# the vector itself").  ann_ivf_pq_topk composes IVF pruning with codes
+# learned on RAW vectors; production systems quantize the residual
+# r(v) = v - centroid(cell(v)) because residuals concentrate near the
+# origin, so the same codebook budget spends its resolution on a much
+# smaller ball -- pq_residual_gain_audit below measures exactly that on
+# this corpus.  The serving-side price is that the ADC lookup table
+# becomes PER (query, probed cell): the query's residual depends on
+# which cell it is probing, so the LUT has |q| x NPROBE x PQ_CODEWORDS
+# x PQ_M entries (still serving-cache sized, and why FAISS computes
+# per-cell LUTs at query time).
+#
+# Determinism: residuals are EXACT INT subtractions on the fixed-point
+# grid (components bounded by 2*QUANT_SCALE, so subspace squares stay
+# far inside int64); codeword selection is the same md5-rank
+# convention (each codeword = that vector's own residual wrt ITS cell);
+# every argmin/rank tie-breaks on id.  No doubles until the exact
+# rerank's audited dot product.
+#
+# Scale: residual grid + residual codes are one-time materialized
+# indexes (exact int column math, parquet round-trips int64 bit-exact);
+# serving pays probes + the per-(query, cell) LUT crossJoin against the
+# BROADCAST codebook + one broadcast hash join on (cell, m, code) with
+# a combinable sum -- scored pairs are |q| x NPROBE x |cell|, never
+# |q| x corpus.
+# ---------------------------------------------------------------------------
+
+
+def pq_residuals_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized residual grid (vec_id, cell, r0..r63): the vector's
+    fixed-point components minus its assigned cell centroid's -- exact
+    int64 subtraction, no float path."""
+    from ..sources.index_store import materialized
+
+    def _build(s: SparkSession, d: str) -> DataFrame:
+        from ..functions.vectors import DIM
+
+        vectors = pq_vectors_indexed(s, d)
+        assign = pq_coarse_assign_indexed(s, d)
+        coarse = F.broadcast(
+            codebook_rows(vectors, K_CENTROIDS).select(
+                F.col("vec_id").alias("cell"),
+                *[F.col(f"q{i}").alias(f"g{i}") for i in range(DIM)],
+            )
+        )
+        return (
+            vectors.join(assign, "vec_id")
+            .join(coarse, "cell")
+            .select(
+                "vec_id",
+                "cell",
+                *[
+                    (F.col(f"q{i}") - F.col(f"g{i}")).alias(f"r{i}")
+                    for i in range(DIM)
+                ],
+            )
+        )
+
+    return materialized(
+        spark,
+        sf_dir,
+        "pq_residuals",
+        f"v1-k{K_CENTROIDS}-s{QUANT_SCALE}",
+        _build,
+    )
+
+
+def _pq_res_codebook(resid: DataFrame):
+    """Broadcast residual codebook: the residuals of the PQ_CODEWORDS
+    md5-rank-selected vectors (fixed cardinality at any corpus size --
+    the same convention as every other codebook here)."""
+    from ..functions.vectors import DIM
+
+    return F.broadcast(
+        codebook_rows(resid, PQ_CODEWORDS).select(
+            F.col("vec_id").alias("cent_id"),
+            *[F.col(f"r{i}").alias(f"w{i}") for i in range(DIM)],
+        )
+    )
+
+
+def pq_res_codes_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized residual PQ code table (vec_id, code0..code15)."""
+    from ..sources.index_store import materialized
+
+    def _build(s: SparkSession, d: str) -> DataFrame:
+        resid = pq_residuals_indexed(s, d)
+        return (
+            resid.crossJoin(_pq_res_codebook(resid))
+            .groupBy("vec_id")
+            .agg(
+                *[
+                    F.min(
+                        F.struct(
+                            _pq_d2_sub(m, "r", "w").alias("d2"),
+                            F.col("cent_id").alias("cid"),
+                        )
+                    ).alias(f"a{m}")
+                    for m in range(PQ_M)
+                ]
+            )
+            .select(
+                "vec_id",
+                *[F.col(f"a{m}.cid").alias(f"code{m}") for m in range(PQ_M)],
+            )
+        )
+
+    return materialized(
+        spark,
+        sf_dir,
+        "pq_res_codes",
+        f"v1-m{PQ_M}-c{PQ_CODEWORDS}-k{K_CENTROIDS}",
+        _build,
+    )
+
+
+def ann_ivf_residual_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import DIM
+
+    en = emb_norm_indexed(spark, sf_dir)
+    vectors = pq_vectors_indexed(spark, sf_dir)
+    resid = pq_residuals_indexed(spark, sf_dir)
+    assign = pq_coarse_assign_indexed(spark, sf_dir)
+    rescodes = pq_res_codes_indexed(spark, sf_dir)
+    coarse = F.broadcast(
+        codebook_rows(vectors, K_CENTROIDS).select(
+            F.col("vec_id").alias("cell_id"),
+            *[F.col(f"q{i}").alias(f"g{i}") for i in range(DIM)],
+        )
+    )
+    queries = vectors.filter(F.col("vec_id") % QUERY_STRIDE == 0)
+    pw = Window.partitionBy("q_id").orderBy(F.asc("d2"), F.asc("cell_id"))
+    # probes stay MINIMAL (q_id, cell): carrying the 64 per-cell query
+    # residual columns through the row_number window and into the
+    # explode's expression array blew the analysis/codegen heap -- the
+    # grids are re-joined below instead, so the residual arithmetic is a
+    # flat projection over joins (the shape the plain-PQ LUT codegens)
+    probes = (
+        queries.select(
+            F.col("vec_id").alias("q_id"), *[f"q{i}" for i in range(DIM)]
+        )
+        .crossJoin(coarse)
+        .select("q_id", "cell_id", _pq_d2_full("q", "g").alias("d2"))
+        .withColumn("prn", F.row_number().over(pw))
+        .filter(F.col("prn") <= NPROBE)
+        .select("q_id", F.col("cell_id").alias("cell"))
+    )
+    qgrid = queries.select(
+        F.col("vec_id").alias("q_id"), *[f"q{i}" for i in range(DIM)]
+    )
+    ggrid = codebook_rows(vectors, K_CENTROIDS).select(
+        F.col("vec_id").alias("cell"),
+        *[F.col(f"q{i}").alias(f"g{i}") for i in range(DIM)],
+    )
+
+    def _d2_sub_qgw(m: int):
+        # exact int64 squared L2 of subspace m between the query's
+        # per-cell residual (q - g) and residual codeword w
+        acc = None
+        for i in range(m * PQ_SUBDIM, (m + 1) * PQ_SUBDIM):
+            t = (F.col(f"q{i}") - F.col(f"g{i}") - F.col(f"w{i}")) * (
+                F.col(f"q{i}") - F.col(f"g{i}") - F.col(f"w{i}")
+            )
+            acc = t if acc is None else acc + t
+        return acc
+
+    # per-(query, probed cell) LUT against the broadcast residual codebook
+    lut_long = (
+        probes.join(F.broadcast(qgrid), "q_id")
+        .join(F.broadcast(ggrid), "cell")
+        .crossJoin(_pq_res_codebook(resid))
+        .select(
+            "q_id",
+            "cell",
+            F.col("cent_id").alias("code"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(m).alias("m"),
+                            _d2_sub_qgw(m).alias("ld"),
+                        )
+                        for m in range(PQ_M)
+                    ]
+                )
+            ).alias("ml"),
+        )
+        .select(
+            "q_id",
+            "cell",
+            F.col("ml.m").alias("m"),
+            "code",
+            F.col("ml.ld").alias("ld"),
+        )
+    )
+    codes_long = (
+        rescodes.join(assign, "vec_id")
+        .select(
+            "vec_id",
+            "cell",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(m).alias("m"), F.col(f"code{m}").alias("code")
+                        )
+                        for m in range(PQ_M)
+                    ]
+                )
+            ).alias("mc"),
+        )
+        .select(
+            "vec_id",
+            "cell",
+            F.col("mc.m").alias("m"),
+            F.col("mc.code").alias("code"),
+        )
+    )
+    # the (cell, m, code) equi-join restricts scoring to probed cells
+    scored = (
+        codes_long.join(F.broadcast(lut_long), ["cell", "m", "code"])
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("ld").alias("d2pq"))
+    )
+    sw = Window.partitionBy("q_id").orderBy(F.asc("d2pq"), F.asc("neighbor_id"))
+    shortlist = (
+        scored.filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "d2pq")
+        .withColumn("srn", F.row_number().over(sw))
+        .filter(F.col("srn") <= PQ_SHORTLIST)
+        .select("q_id", "neighbor_id", "d2pq")
+    )
+    nvec = flat_renamed(en, "vec_id", "neighbor_id", "x", "nx")
+    qvec = flat_renamed(en, "vec_id", "q_id", "x", "qx")
+    rw = Window.partitionBy("q_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        shortlist.join(nvec, "neighbor_id")
+        .join(F.broadcast(qvec), "q_id")
+        .select(
+            "q_id",
+            "neighbor_id",
+            "d2pq",
+            F.round(flat_dot("qx", "nx"), 6).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(rw).cast("int"))
+        .filter(F.col("rank") <= K_NEIGHBORS)
+    )
+
+
+IVF_RESIDUAL_PQ_ORACLE = f"""
+    WITH {SQL_NORMALIZED_CTE},
+    q AS (
+        SELECT vec_id, i AS d,
+               CAST(floor(vn[i] * {QUANT_SCALE} + 0.5) AS BIGINT) AS qv
+        FROM en, unnest(generate_series(1, 64)) t(i)
+    ),
+    coarse AS (
+        SELECT vec_id AS cell_id, d, qv AS gv FROM q
+        WHERE vec_id IN {SQL_CENT_IDS}
+    ),
+    cd AS (
+        SELECT q.vec_id, g.cell_id,
+               CAST(sum((q.qv - g.gv) * (q.qv - g.gv)) AS BIGINT) AS d2
+        FROM q JOIN coarse g ON q.d = g.d
+        GROUP BY 1, 2
+    ),
+    assign AS (
+        SELECT vec_id, cell_id AS cell FROM cd
+        QUALIFY row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY d2, cell_id) = 1
+    ),
+    probes AS (
+        SELECT vec_id AS q_id, cell_id AS cell FROM cd
+        WHERE vec_id % {QUERY_STRIDE} = 0
+        QUALIFY row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY d2, cell_id) <= {NPROBE}
+    ),
+    resid AS MATERIALIZED (
+        SELECT q.vec_id, a.cell, q.d, q.qv - g.gv AS rv
+        FROM q
+             JOIN assign a USING (vec_id)
+             JOIN coarse g ON g.cell_id = a.cell AND g.d = q.d
+    ),
+    rescents AS (
+        SELECT vec_id AS cent_id, d, rv AS wv FROM resid
+        WHERE vec_id IN {SQL_PQ_CENT_IDS}
+    ),
+    rpairs AS MATERIALIZED (
+        SELECT r.vec_id, c.cent_id, (r.d - 1) // {PQ_SUBDIM} AS m,
+               CAST(sum((r.rv - c.wv) * (r.rv - c.wv)) AS BIGINT) AS d2
+        FROM resid r JOIN rescents c ON r.d = c.d
+        GROUP BY 1, 2, 3
+    ),
+    rcodes AS (
+        SELECT vec_id, m, cent_id FROM rpairs
+        QUALIFY row_number() OVER (PARTITION BY vec_id, m
+                                   ORDER BY d2, cent_id) = 1
+    ),
+    qres AS (
+        SELECT p.q_id, p.cell, q.d, q.qv - g.gv AS yv
+        FROM probes p
+             JOIN q ON q.vec_id = p.q_id
+             JOIN coarse g ON g.cell_id = p.cell AND g.d = q.d
+    ),
+    lut AS (
+        SELECT qr.q_id, qr.cell, c.cent_id,
+               (qr.d - 1) // {PQ_SUBDIM} AS m,
+               CAST(sum((qr.yv - c.wv) * (qr.yv - c.wv)) AS BIGINT) AS d2
+        FROM qres qr JOIN rescents c ON qr.d = c.d
+        GROUP BY 1, 2, 3, 4
+    ),
+    scored AS (
+        SELECT l.q_id, rc.vec_id AS neighbor_id,
+               CAST(sum(l.d2) AS BIGINT) AS d2pq
+        FROM rcodes rc
+             JOIN assign a ON a.vec_id = rc.vec_id
+             JOIN lut l ON l.cell = a.cell AND l.m = rc.m
+                       AND l.cent_id = rc.cent_id
+        WHERE rc.vec_id <> l.q_id
+        GROUP BY 1, 2
+    ),
+    shortlist AS (
+        SELECT q_id, neighbor_id, d2pq FROM scored
+        QUALIFY row_number() OVER (PARTITION BY q_id
+                                   ORDER BY d2pq, neighbor_id)
+                <= {PQ_SHORTLIST}
+    ),
+    rerank AS (
+        SELECT s.q_id, s.neighbor_id, s.d2pq,
+               round({{RERANK_DOT}}, 6) AS cos_sim
+        FROM shortlist s
+             JOIN en nv ON nv.vec_id = s.neighbor_id
+             JOIN en qv ON qv.vec_id = s.q_id
+    )
+    SELECT q_id, neighbor_id, d2pq, cos_sim, CAST(rank AS INTEGER) AS rank
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM rerank
+    )
+    WHERE rank <= {K_NEIGHBORS}
+"""
+
+IVF_RESIDUAL_PQ_ORACLE = IVF_RESIDUAL_PQ_ORACLE.replace(
+    "{RERANK_DOT}", sql_dot("qv.vn", "nv.vn")
+)
+
+
+# ---------------------------------------------------------------------------
+# Residual-gain audit: per PQ subspace, total quantization distortion of
+# the RAW-vector codebook vs the RESIDUAL codebook -- the measurement
+# that justifies (or refutes) the IVFADC architecture on a given
+# corpus.  Residuals concentrate near the origin, so the same 32-entry
+# budget should land codewords closer to the data; gain = raw/residual
+# distortion per subspace makes that a number.  MEASURED on this
+# synthetic corpus the audit REFUTES residual quantization: gain is
+# ~0.53 on every subspace (sf0.01), because the embeddings have no
+# cluster structure -- the nearest of 16 near-orthogonal coarse
+# centroids barely shortens a 64-dim unit vector, so residual norms
+# are ~2x raw norms and sampled residual codewords sit ~2x further
+# from the data.  Exactly the corpus-dependent decision this table
+# exists to make: IVFADC pays off on clustered data (real embedding
+# corpora), and a pipeline should check THIS table before enabling it.  Both distortions are
+# exact int64 sums of the per-vector nearest-codeword squared L2 (the
+# same min the encode passes take); gain is the single double division,
+# NULL if a subspace's residual distortion is exactly zero.  Scale: two
+# corpus x broadcast-codebook argmin passes (the audited encode shape)
+# and a 16-row report.
+# ---------------------------------------------------------------------------
+
+
+def pq_residual_gain_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vectors = pq_vectors_indexed(spark, sf_dir)
+    resid = pq_residuals_indexed(spark, sf_dir)
+    raw_best = (
+        vectors.crossJoin(_pq_codebook(vectors))
+        .groupBy("vec_id")
+        .agg(
+            *[
+                F.min(_pq_d2_sub(m, "q", "c")).alias(f"rd{m}")
+                for m in range(PQ_M)
+            ]
+        )
+    )
+    res_best = (
+        resid.crossJoin(_pq_res_codebook(resid))
+        .groupBy("vec_id")
+        .agg(
+            *[
+                F.min(_pq_d2_sub(m, "r", "w")).alias(f"sd{m}")
+                for m in range(PQ_M)
+            ]
+        )
+    )
+    sums = (
+        raw_best.join(res_best, "vec_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            *[
+                F.sum(f"rd{m}").cast("bigint").alias(f"rs{m}")
+                for m in range(PQ_M)
+            ],
+            *[
+                F.sum(f"sd{m}").cast("bigint").alias(f"ss{m}")
+                for m in range(PQ_M)
+            ],
+        )
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("m"),
+                F.col(f"rs{m}").alias("raw"),
+                F.col(f"ss{m}").alias("res"),
+            )
+            for m in range(PQ_M)
+        ]
+    )
+    return (
+        sums.select("n_vectors", F.explode(rows).alias("r"))
+        .select(
+            F.col("r.m").cast("int").alias("subspace"),
+            "n_vectors",
+            F.col("r.raw").cast("bigint").alias("raw_d2_sum"),
+            F.col("r.res").cast("bigint").alias("residual_d2_sum"),
+            F.when(
+                F.col("r.res") > 0,
+                F.col("r.raw").cast("double") / F.col("r.res"),
+            ).alias("gain"),
+        )
+        .orderBy("subspace")
+    )
+
+
+PQ_RESIDUAL_GAIN_ORACLE = f"""
+    WITH {SQL_NORMALIZED_CTE},
+    q AS (
+        SELECT vec_id, i AS d,
+               CAST(floor(vn[i] * {QUANT_SCALE} + 0.5) AS BIGINT) AS qv
+        FROM en, unnest(generate_series(1, 64)) t(i)
+    ),
+    coarse AS (
+        SELECT vec_id AS cell_id, d, qv AS gv FROM q
+        WHERE vec_id IN {SQL_CENT_IDS}
+    ),
+    cd AS (
+        SELECT q.vec_id, g.cell_id,
+               CAST(sum((q.qv - g.gv) * (q.qv - g.gv)) AS BIGINT) AS d2
+        FROM q JOIN coarse g ON q.d = g.d
+        GROUP BY 1, 2
+    ),
+    assign AS (
+        SELECT vec_id, cell_id AS cell FROM cd
+        QUALIFY row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY d2, cell_id) = 1
+    ),
+    resid AS MATERIALIZED (
+        SELECT q.vec_id, q.d, q.qv - g.gv AS rv
+        FROM q
+             JOIN assign a USING (vec_id)
+             JOIN coarse g ON g.cell_id = a.cell AND g.d = q.d
+    ),
+    cents AS (
+        SELECT vec_id AS cent_id, d, qv AS cv FROM q
+        WHERE vec_id IN {SQL_PQ_CENT_IDS}
+    ),
+    rescents AS (
+        SELECT vec_id AS cent_id, d, rv AS wv FROM resid
+        WHERE vec_id IN {SQL_PQ_CENT_IDS}
+    ),
+    pairs AS (
+        SELECT q.vec_id, c.cent_id, (q.d - 1) // {PQ_SUBDIM} AS m,
+               CAST(sum((q.qv - c.cv) * (q.qv - c.cv)) AS BIGINT) AS d2
+        FROM q JOIN cents c ON q.d = c.d
+        GROUP BY 1, 2, 3
+    ),
+    rpairs AS (
+        SELECT r.vec_id, c.cent_id, (r.d - 1) // {PQ_SUBDIM} AS m,
+               CAST(sum((r.rv - c.wv) * (r.rv - c.wv)) AS BIGINT) AS d2
+        FROM resid r JOIN rescents c ON r.d = c.d
+        GROUP BY 1, 2, 3
+    ),
+    rawb AS (SELECT vec_id, m, min(d2) AS rd FROM pairs GROUP BY 1, 2),
+    resb AS (SELECT vec_id, m, min(d2) AS sd FROM rpairs GROUP BY 1, 2)
+    SELECT CAST(m AS INTEGER) AS subspace,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(sum(rd) AS BIGINT) AS raw_d2_sum,
+           CAST(sum(sd) AS BIGINT) AS residual_d2_sum,
+           CASE WHEN sum(sd) > 0
+                THEN CAST(sum(rd) AS DOUBLE) / sum(sd) END AS gain
+    FROM rawb JOIN resb USING (vec_id, m)
+    GROUP BY m
+    ORDER BY subspace
+"""
+
+
+# ---------------------------------------------------------------------------
 # ANN-method recall harness: overlap@K of every approximate serving
 # path against the exact brute-force top-K, as a query -- the
 # similarity-side twin of dedup_method_eval, and the number an index
@@ -3728,6 +4228,12 @@ SIMILARITY_QUERIES: list[tuple[str, object, str | None]] = [
     ("hybrid_search_rrf", hybrid_search_rrf, HYBRID_RRF_ORACLE),
     ("pq_adc_topk", pq_adc_topk, PQ_ADC_ORACLE),
     ("ann_ivf_pq_topk", ann_ivf_pq_topk, IVF_PQ_ORACLE),
+    (
+        "ann_ivf_residual_pq_topk",
+        ann_ivf_residual_pq_topk,
+        IVF_RESIDUAL_PQ_ORACLE,
+    ),
+    ("pq_residual_gain_audit", pq_residual_gain_audit, PQ_RESIDUAL_GAIN_ORACLE),
     ("ann_method_recall", ann_method_recall, ANN_METHOD_RECALL_ORACLE),
     ("knn_graph_lsh", knn_graph_lsh, KNN_GRAPH_ORACLE),
     ("embedding_dim_stats", embedding_dim_stats, DIM_STATS_ORACLE),

@@ -1015,3 +1015,13 @@ def test_rank_quality_probes_materialized_indexes(spark):
     plan = plan_of(spark, "ann_rank_quality_curve")
     assert "ann_truth" in plan
     assert "ivf_topk" in plan
+
+
+def test_residual_pq_probes_materialized_indexes(spark):
+    """Residual IVF-PQ serving must ride the materialized residual grid,
+    residual code table, and coarse assignment (the index-build/probe
+    split), and never fall back to an all-pairs plan."""
+    plan = plan_of(spark, "ann_ivf_residual_pq_topk")
+    assert "pq_res_codes" in plan
+    assert "pq_coarse_assign" in plan
+    assert "CartesianProduct" not in plan

@@ -808,3 +808,45 @@ def test_rank_quality_curve_bounds_and_monotonicity(spark):
     # NOT asserted: MRR@1 == 1 under self-retrieval -- exact-duplicate
     # vectors tie at cosine 1.0 and the id tie-break can outrank the
     # query itself, so a perfect score is data-dependent, not a theorem.
+
+
+def test_residual_pq_serving_contract(spark):
+    """The residual IVF-PQ list must carry exactly K results per query
+    over the probed cells, with exact-rerank cosines bounded to [-1, 1]
+    and the same query set as the non-residual IVF-PQ path."""
+    from .conftest import SF_SMOKE
+
+    res = QUERIES["ann_ivf_residual_pq_topk"](spark, SF_SMOKE).collect()
+    raw = QUERIES["ann_ivf_pq_topk"](spark, SF_SMOKE).collect()
+    assert {r.q_id for r in res} == {r.q_id for r in raw}
+    by_q: dict[int, list] = {}
+    for r in res:
+        by_q.setdefault(r.q_id, []).append(r)
+        assert -1.0 <= r.cos_sim <= 1.0
+        assert r.d2pq >= 0
+    for rows in by_q.values():
+        ranks = sorted(x.rank for x in rows)
+        assert ranks == list(range(1, len(ranks) + 1))
+
+
+def test_residual_gain_audit_structure(spark):
+    """One row per subspace; both distortion sums are non-negative exact
+    ints over the same vector population; gain is raw/residual.  The
+    direction of the gain is corpus-dependent (measured ~0.53 here --
+    the audit's whole point), so only the arithmetic is asserted."""
+    from mapreduce_on_google_cloud_platform_spark.operators.similarity import (
+        PQ_M,
+    )
+
+    from .conftest import SF_SMOKE
+
+    rows = sorted(
+        QUERIES["pq_residual_gain_audit"](spark, SF_SMOKE).collect(),
+        key=lambda r: r.subspace,
+    )
+    assert [r.subspace for r in rows] == list(range(PQ_M))
+    assert len({r.n_vectors for r in rows}) == 1
+    for r in rows:
+        assert r.raw_d2_sum >= 0 and r.residual_d2_sum >= 0
+        if r.residual_d2_sum > 0:
+            assert r.gain == r.raw_d2_sum / r.residual_d2_sum
