@@ -258,6 +258,15 @@ HEADLINE = [
     "dbscan_lsh_clusters",
     "ann_ivf_residual_pq_topk",
     "pq_residual_gain_audit",
+    # round-11 batch 2: lexical ranking, nonparametric stats, weighted
+    # sampling, link prediction, skyline, SNM blocking, item-item CF
+    "bm25_topk_docs",
+    "mann_whitney_u_test",
+    "weighted_reservoir_sample",
+    "link_prediction_scores",
+    "pareto_frontier_customers",
+    "dedup_sorted_neighborhood",
+    "item_item_cofilter_topk",
     # dedup_method_eval re-runs five declared pipelines; its components
     # are each benched above, so it is left out of the headline suite
 ]

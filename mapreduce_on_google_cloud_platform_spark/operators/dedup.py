@@ -3596,7 +3596,137 @@ def _lane_uniformity_oracle() -> str:
 LANE_UNIFORMITY_ORACLE = _lane_uniformity_oracle()
 
 
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood dedup (SNM, Hernandez-Stolfo) -- the THIRD blocking
+# family next to LSH (hash-bucket) and prefix-filter (token-frequency):
+# sort the corpus by a normalized key and compare each record only to
+# its SNM_WINDOW rank-neighbors.  SNM catches what hash blocking can't
+# promise: near-dups whose keys agree on a long PREFIX but whose shingle
+# sets are perturbed enough to dodge a band collision; production
+# entity-resolution stacks run SNM passes beside LSH for exactly that
+# complementary recall, and this query is the audit that measures it
+# (its pairs minus dedup_minhash_lsh's = the SNM-only recall).
+#
+# Key: the first SNM_KEY_LEN chars of the tokenizer-normalized text
+# (lower, non-alphanumerics stripped) -- pure ASCII, so Spark and DuckDB
+# binary collation sort identically.
+#
+# Global rank WITHOUT a global window (the decomposition
+# global_exact_quantiles established): records bucket by the key's
+# 2-char prefix (domain-bounded <= 37^2 buckets); in-bucket ranks are a
+# bucket-partitioned row_number; bucket OFFSETS are a running sum over
+# the broadcast-size per-bucket count table; global_rank = offset +
+# in_bucket_rank reproduces the single-sort rank exactly because the
+# bucket prefix is a prefix of the sort key (bucket-major order == key
+# order).  On a real cluster the same two-pass shape is
+# repartitionByRange + per-partition offsets; the bucket form is kept
+# because it is engine-portable and plan-pinnable.
+#
+# Neighbor pairs are SNM_WINDOW exact equi-joins on global_rank + d
+# (d = 1..W) -- never a rank-range theta-join -- then ONE join against
+# the materialized exact-jaccard pair table verifies; pairs below
+# JACCARD_THRESHOLD (or sharing no shingle at all) drop.  Per-pair
+# rank_distance is emitted so the recall-vs-window tradeoff is readable
+# straight off the result.
+# ---------------------------------------------------------------------------
+
+SNM_KEY_LEN = 12
+SNM_WINDOW = 4
+_SNM_BUCKET_LEN = 2
+
+
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.substring(
+            F.regexp_replace(F.lower(F.col("text")), "[^0-9a-z]", ""),
+            1,
+            SNM_KEY_LEN,
+        ).alias("key"),
+    ).select(
+        "doc_id", "key", F.substring("key", 1, _SNM_BUCKET_LEN).alias("bucket")
+    )
+    counts = keyed.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    woff = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    # window input is the per-bucket count table (domain-bounded), not docs
+    offsets = counts.select(
+        "bucket", F.coalesce(F.sum("n").over(woff), F.lit(0)).alias("offset")
+    )
+    win = Window.partitionBy("bucket").orderBy("key", "doc_id")
+    # eager localCheckpoint (the neardup_pagerank precedent): the ranked
+    # table feeds both legs of all SNM_WINDOW rank-joins -- without the
+    # cut, Catalyst inlines the rank subplan 2*W times
+    ranked = (
+        keyed.withColumn("r", F.row_number().over(win))
+        .join(F.broadcast(offsets), "bucket")
+        .select("doc_id", (F.col("offset") + F.col("r")).alias("grank"))
+        .localCheckpoint()
+    )
+    r1, r2 = ranked.alias("r1"), ranked.alias("r2")
+    cand = None
+    for d in range(1, SNM_WINDOW + 1):
+        step = r1.join(r2, F.col("r2.grank") == F.col("r1.grank") + d).select(
+            F.least(F.col("r1.doc_id"), F.col("r2.doc_id")).alias("doc_a"),
+            F.greatest(F.col("r1.doc_id"), F.col("r2.doc_id")).alias("doc_b"),
+            F.lit(d).cast("int").alias("rank_distance"),
+        )
+        cand = step if cand is None else cand.unionByName(step)
+    jac = jaccard_pairs_indexed(spark, sf_dir).select("doc_a", "doc_b", "jaccard")
+    return (
+        cand.join(jac, ["doc_a", "doc_b"])
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "rank_distance", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+SORTED_NEIGHBORHOOD_ORACLE = f"""
+    WITH {DUCKDB_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, count(*) AS n FROM shing GROUP BY doc_id),
+    jpairs AS (
+        SELECT doc_a, doc_b,
+               CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+        FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+            FROM shing a JOIN shing b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+    ),
+    ranked AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY
+                   substr(regexp_replace(lower(text), '[^0-9a-z]', '', 'g'),
+                          1, {SNM_KEY_LEN}),
+                   doc_id) AS grank
+        FROM documents
+    ),
+    cand AS (
+        SELECT least(a.doc_id, b.doc_id) AS doc_a,
+               greatest(a.doc_id, b.doc_id) AS doc_b,
+               CAST(b.grank - a.grank AS INTEGER) AS rank_distance
+        FROM ranked a JOIN ranked b
+          ON b.grank > a.grank AND b.grank <= a.grank + {SNM_WINDOW}
+    )
+    SELECT c.doc_a, c.doc_b, c.rank_distance, j.jaccard
+    FROM cand c JOIN jpairs j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
+    WHERE j.jaccard >= {JACCARD_THRESHOLD}
+    ORDER BY c.doc_a, c.doc_b
+"""
+
+
 DEDUP_QUERIES: list[tuple[str, object, str | None]] = [
+    (
+        "dedup_sorted_neighborhood",
+        dedup_sorted_neighborhood,
+        SORTED_NEIGHBORHOOD_ORACLE,
+    ),
     ("minhash_lane_uniformity", minhash_lane_uniformity, LANE_UNIFORMITY_ORACLE),
     ("source_dedup_rate", source_dedup_rate, SOURCE_DEDUP_RATE_ORACLE),
     (

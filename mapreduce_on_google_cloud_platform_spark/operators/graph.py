@@ -599,8 +599,134 @@ def _kcore_oracle() -> str:
 KCORE_ORACLE = _kcore_oracle()
 
 
+# ---------------------------------------------------------------------------
+# Link prediction over the near-dup graph -- "which documents are
+# PROBABLY near-dups that the threshold missed?"  The classic local
+# scores for every non-adjacent pair sharing >=1 neighbor:
+#
+#   common_neighbors(a,b) = |N(a) n N(b)|
+#   jaccard_nbr(a,b)      = cn / (deg_a + deg_b - cn)
+#   adamic_adar(a,b)      = sum_{{z in N(a) n N(b)}} 1 / ln(deg_z)
+#
+# High scorers are re-verification candidates for the exact jaccard pass
+# (the near-dup analogue of a second LSH band sweep) and the standard
+# recall audit for the banded candidate generation itself.
+#
+# Plan: wedge enumeration a-z-b via one self-join on the shared middle
+# vertex (a<b so each unordered pair forms once; z's degree is >=2 by
+# construction, so ln(deg_z) > 0), then a LEFT ANTI join against the
+# verified edge list drops already-adjacent pairs, a combinable groupBy
+# on (a,b) reduces the wedge stream, and two joins attach endpoint
+# degrees.  Same wedge-join shape (and the same degree-ordered
+# orientation lever at scale) as neardup_triangles -- never an
+# all-pairs enumeration.
+#
+# Float discipline: ln(deg) is squashed through DECIMAL(18,9)
+# (text_tfidf precedent), 1/lndeg is then a correctly-rounded double op
+# over bit-identical operands, and the per-wedge terms are re-squashed
+# to DECIMAL(18,9) so the Adamic-Adar SUM is exact decimal arithmetic --
+# order-independent across any shuffle layout, which a raw double sum is
+# NOT (the two-layout stability check exists precisely for that bug).
+# ---------------------------------------------------------------------------
+
+
+def link_prediction_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = (
+        jaccard_pairs_indexed(spark, sf_dir)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()  # referenced 3x (two wedge legs + anti join)
+    )
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    x, y = edges.alias("x"), edges.alias("y")
+    wedges = x.join(
+        y,
+        (F.col("x.dst") == F.col("y.src")) & (F.col("x.src") < F.col("y.dst")),
+    ).select(
+        F.col("x.src").alias("a"), F.col("x.dst").alias("z"), F.col("y.dst").alias("b")
+    )
+    candidates = wedges.join(
+        pairs,
+        (F.col("a") == F.col("doc_a")) & (F.col("b") == F.col("doc_b")),
+        "left_anti",
+    )
+    lndeg9 = F.log(F.col("deg").cast("double")).cast("decimal(18,9)")
+    terms = candidates.join(
+        deg.select(F.col("src").alias("z"), lndeg9.alias("_ln9")), "z"
+    ).select(
+        "a",
+        "b",
+        (F.lit(1.0) / F.col("_ln9").cast("double")).cast("decimal(18,9)").alias("_aa9"),
+    )
+    grouped = terms.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("common_neighbors"),
+        F.sum("_aa9").alias("_aa_sum"),
+    )
+    da = deg.select(F.col("src").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("src").alias("b"), F.col("deg").alias("deg_b"))
+    return (
+        grouped.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.col("a").alias("doc_a"),
+            F.col("b").alias("doc_b"),
+            "common_neighbors",
+            "deg_a",
+            "deg_b",
+            F.round(
+                F.col("common_neighbors").cast("double")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("common_neighbors")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard_nbr"),
+            F.col("_aa_sum").cast("double").alias("adamic_adar"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+LINK_PREDICTION_ORACLE = f"""
+    WITH {DUCKDB_SHINGLES_CTE},
+{_SQL_EDGES_CTE},
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+    wedges AS (
+        SELECT x.src AS a, x.dst AS z, y.dst AS b
+        FROM edges x JOIN edges y ON x.dst = y.src AND x.src < y.dst
+        WHERE NOT EXISTS (
+            SELECT 1 FROM jpairs p WHERE p.doc_a = x.src AND p.doc_b = y.dst
+        )
+    ),
+    terms AS (
+        SELECT a, b,
+               CAST(1.0 / CAST(CAST(ln(CAST(d.deg AS DOUBLE)) AS DECIMAL(18,9))
+                               AS DOUBLE) AS DECIMAL(18,9)) AS aa9
+        FROM wedges JOIN deg d ON wedges.z = d.src
+    ),
+    grouped AS (
+        SELECT a, b, CAST(count(*) AS BIGINT) AS common_neighbors,
+               sum(aa9) AS aa_sum
+        FROM terms GROUP BY a, b
+    )
+    SELECT g.a AS doc_a, g.b AS doc_b, g.common_neighbors,
+           da.deg AS deg_a, db.deg AS deg_b,
+           round(CAST(g.common_neighbors AS DOUBLE)
+                 / CAST(da.deg + db.deg - g.common_neighbors AS DOUBLE), 6)
+               AS jaccard_nbr,
+           CAST(aa_sum AS DOUBLE) AS adamic_adar
+    FROM grouped g
+    JOIN deg da ON g.a = da.src
+    JOIN deg db ON g.b = db.src
+    ORDER BY doc_a, doc_b
+"""
+
+
 GRAPH_QUERIES: list[tuple[str, object, str | None]] = [
     ("neardup_kcore_peel", neardup_kcore_peel, KCORE_ORACLE),
+    ("link_prediction_scores", link_prediction_scores, LINK_PREDICTION_ORACLE),
     ("neardup_pagerank", neardup_pagerank, PAGERANK_ORACLE),
     ("neardup_triangles", neardup_triangles, TRIANGLES_ORACLE),
     ("neardup_degree_profile", neardup_degree_profile, DEGREE_PROFILE_ORACLE),

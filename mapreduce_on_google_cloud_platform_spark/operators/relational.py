@@ -2198,6 +2198,132 @@ COPURCHASE_ORACLE = f"""
 
 
 # ---------------------------------------------------------------------------
+# Item-item collaborative filtering (cosine kNN over the CUSTOMER-part
+# incidence matrix) -- the recommender primitive the basket ops above
+# don't give: copurchase_* counts parts sharing one ORDER (session
+# affinity, raw support/lift); this scores parts bought by the same
+# CUSTOMERS over their whole history and normalizes by item popularity,
+#
+#     cosine(i, j) = |C_i n C_j| / (sqrt(|C_i|) * sqrt(|C_j|))
+#
+# so a blockbuster part co-occurring with everything stops dominating
+# every neighbor list -- the exact reason production item-item CF
+# (Sarwar et al. / Amazon) uses cosine, not counts.  Emits the top
+# COFILTER_TOPK neighbors per item.
+#
+# Float discipline: sqrt and the divides are IEEE correctly-rounded over
+# bit-identical integer-cast operands with operand order mirrored in the
+# oracle; no logs, no order-dependent double sums.
+#
+# Scale shape: the distinct incidence is one combinable aggregate; the
+# pair stream fans out per-customer (bounded by max basket-history
+# squared -- the copurchase skew argument; the cap lever at 100 TB is
+# dropping degenerate power-customers, same as stop-shingle removal);
+# co-counts are a combinable groupBy; popularity joins are
+# dimension-sized.  Per-item top-k is a partitioned row_number Spark 4
+# rewrites to WindowGroupLimit (map-side partial top-k pre-shuffle).
+# ---------------------------------------------------------------------------
+
+COFILTER_TOPK = 5
+MIN_COFILTER_CO = 2  # ignore single-customer coincidences
+
+
+def item_item_cofilter_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    inc = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select("o_custkey", "l_partkey")
+        .distinct()
+    )
+    pop = inc.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cust")
+    )
+    a = inc.select("o_custkey", F.col("l_partkey").alias("part_a"))
+    b = inc.select("o_custkey", F.col("l_partkey").alias("part_b"))
+    co = (
+        a.join(b, "o_custkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("co"))
+        .filter(F.col("co") >= MIN_COFILTER_CO)
+    )
+    sym = co.unionByName(
+        co.select(
+            F.col("part_b").alias("part_a"),
+            F.col("part_a").alias("part_b"),
+            "co",
+        )
+    )
+    scored = (
+        sym.join(pop.select(F.col("part").alias("part_a"), F.col("n_cust").alias("n_a")), "part_a")
+        .join(pop.select(F.col("part").alias("part_b"), F.col("n_cust").alias("n_b")), "part_b")
+        .select(
+            F.col("part_a").alias("part"),
+            F.col("part_b").alias("neighbor"),
+            "co",
+            (
+                F.col("co").cast("double")
+                / (
+                    F.sqrt(F.col("n_a").cast("double"))
+                    * F.sqrt(F.col("n_b").cast("double"))
+                )
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("part").orderBy(F.desc("cosine"), F.asc("neighbor"))
+    return (
+        scored.withColumn("nbr_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("nbr_rank") <= COFILTER_TOPK)
+        .select("part", "nbr_rank", "neighbor", "co", "cosine")
+        .orderBy("part", "nbr_rank")
+    )
+
+
+ITEM_COFILTER_ORACLE = f"""
+    WITH inc AS (
+        SELECT DISTINCT o_custkey, l_partkey
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    pop AS (
+        SELECT l_partkey AS part, CAST(count(*) AS BIGINT) AS n_cust
+        FROM inc GROUP BY 1
+    ),
+    co AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               CAST(count(*) AS BIGINT) AS co
+        FROM inc a JOIN inc b
+             ON a.o_custkey = b.o_custkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= {MIN_COFILTER_CO}
+    ),
+    sym AS (
+        SELECT part_a, part_b, co FROM co
+        UNION ALL
+        SELECT part_b, part_a, co FROM co
+    ),
+    scored AS (
+        SELECT s.part_a AS part, s.part_b AS neighbor, s.co,
+               CAST(s.co AS DOUBLE)
+                   / (sqrt(CAST(pa.n_cust AS DOUBLE))
+                      * sqrt(CAST(pb.n_cust AS DOUBLE))) AS cosine
+        FROM sym s
+        JOIN pop pa ON s.part_a = pa.part
+        JOIN pop pb ON s.part_b = pb.part
+    )
+    SELECT part, nbr_rank, neighbor, co, cosine
+    FROM (
+        SELECT *, CAST(row_number() OVER (
+                   PARTITION BY part ORDER BY cosine DESC, neighbor
+               ) AS INTEGER) AS nbr_rank
+        FROM scored
+    )
+    WHERE nbr_rank <= {COFILTER_TOPK}
+    ORDER BY part, nbr_rank
+"""
+
+
+# ---------------------------------------------------------------------------
 # Association rules over the co-purchase pairs -- the mining step after
 # candidate generation: for every frequent unordered pair, BOTH
 # directed rules a->b and b->a with exact support / confidence / lift.
@@ -2767,8 +2893,131 @@ BASKET_PROFILE_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Pareto frontier (skyline) -- "which customers are not beaten on BOTH
+# axes?": a customer is on the frontier iff no other customer has
+# spend >= AND orders >= with at least one strict.  The classic
+# multi-criteria OLAP operator (Borzsony/Kossmann SKYLINE OF), used here
+# to shortlist accounts no single-metric top-k can produce.
+#
+# The naive plan is the O(n^2) dominance self-join.  For 2 dimensions
+# the skyline is a SORT problem: group customers into per-SPEND levels
+# (level_max_n = best order count at that exact spend), then a point is
+# dominated iff some strictly-higher spend level reaches >= its order
+# count -- a running max over levels sorted by spend descending.
+#
+# Scale decomposition (same argument as global_exact_quantiles): one
+# global running max would be a single-partition window over O(n)
+# levels, so it is split into (a) a per-BIN max (combinable groupBy,
+# output bounded by the price DOMAIN / BIN width, not row count),
+# (b) a cross-bin running max over that broadcast-size bin table, and
+# (c) an in-bin running max windowed PER BIN (groups bounded by the bin
+# width's value domain).  prev_max = greatest(b, c); frontier levels
+# have level_max_n > prev_max; a customer is emitted iff its level is
+# on the frontier AND it attains the level max (ties all kept: equal
+# (spend, n) points do not strictly dominate each other).
+#
+# The oracle is deliberately the UN-decomposed one-window form, so the
+# bin split is checked against an independent formulation; a pytest
+# property test additionally checks the NOT-EXISTS dominance definition
+# on a sample.  spend is exact cents BIGINT (money discipline).
+# ---------------------------------------------------------------------------
+
+SKYLINE_BIN_CENTS = 100_000  # $1000 bins: frontier domain / width ~ O(1k) bins
+
+
+def pareto_frontier_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    stats = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("spend_cents"),
+    )
+    lv = stats.groupBy("spend_cents").agg(
+        F.max("n_orders").alias("level_max_n"),
+        (F.col("spend_cents") / F.lit(SKYLINE_BIN_CENTS))
+        .cast("bigint")
+        .alias("bin"),
+    )
+    binmax = lv.groupBy("bin").agg(F.max("level_max_n").alias("bin_max"))
+    wb = Window.orderBy(F.desc("bin")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    # window input is the per-bin aggregate (domain/width-bounded), not levels
+    prev_bins = binmax.select(
+        "bin", F.max("bin_max").over(wb).alias("prev_bins_max")
+    )
+    wl = (
+        Window.partitionBy("bin")
+        .orderBy(F.desc("spend_cents"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    frontier_levels = (
+        lv.withColumn("same_bin_prev", F.max("level_max_n").over(wl))
+        .join(F.broadcast(prev_bins), "bin")
+        .select(
+            "spend_cents",
+            "level_max_n",
+            F.greatest(
+                F.coalesce("same_bin_prev", F.lit(-1).cast("bigint")),
+                F.coalesce("prev_bins_max", F.lit(-1).cast("bigint")),
+            ).alias("prev_max"),
+        )
+        .filter(F.col("level_max_n") > F.col("prev_max"))
+    )
+    return (
+        stats.join(F.broadcast(frontier_levels), "spend_cents")
+        .filter(F.col("n_orders") == F.col("level_max_n"))
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            "n_orders",
+            "spend_cents",
+            (F.col("spend_cents").cast("double") / F.lit(100.0)).alias(
+                "total_spend"
+            ),
+        )
+        .orderBy(F.desc("spend_cents"), "c_custkey")
+    )
+
+
+PARETO_FRONTIER_ORACLE = """
+    WITH stats AS (
+        SELECT o_custkey AS c_custkey,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS spend_cents
+        FROM orders GROUP BY 1
+    ),
+    lv AS (
+        SELECT spend_cents, max(n_orders) AS level_max_n
+        FROM stats GROUP BY 1
+    ),
+    fr AS (
+        SELECT spend_cents, level_max_n,
+               max(level_max_n) OVER (ORDER BY spend_cents DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_max
+        FROM lv
+    )
+    SELECT s.c_custkey, s.n_orders, s.spend_cents,
+           CAST(s.spend_cents AS DOUBLE) / 100.0 AS total_spend
+    FROM stats s
+    JOIN fr ON s.spend_cents = fr.spend_cents
+    WHERE s.n_orders = fr.level_max_n
+      AND (fr.prev_max IS NULL OR fr.level_max_n > fr.prev_max)
+    ORDER BY s.spend_cents DESC, s.c_custkey
+"""
+
+
 RELATIONAL_QUERIES: list[tuple[str, object, str | None]] = [
     ("join_cardinality_estimate", join_cardinality_estimate, JOIN_CARD_ORACLE),
+    (
+        "pareto_frontier_customers",
+        pareto_frontier_customers,
+        PARETO_FRONTIER_ORACLE,
+    ),
+    ("item_item_cofilter_topk", item_item_cofilter_topk, ITEM_COFILTER_ORACLE),
     ("customer_spend_gini", customer_spend_gini, GINI_ORACLE),
     ("order_basket_profile", order_basket_profile, BASKET_PROFILE_ORACLE),
     ("order_backlog_daily", order_backlog_daily, BACKLOG_ORACLE),

@@ -2447,8 +2447,256 @@ MANN_KENDALL_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Mann-Whitney U (Wilcoxon rank-sum) -- the NONPARAMETRIC two-sample
+# location test beside welch_t_test's parametric one: does the 'purchase'
+# value distribution sit higher/lower than 'click', without assuming
+# normality?  Complements ks_drift_test (which detects ANY shape change;
+# U is specifically a stochastic-dominance / location test with far more
+# power against shift alternatives).
+#
+# Exact-integer rank discipline (house rule since kmeans/welch): ranks
+# are never materialized per row.  Pool both groups, aggregate to
+# per-distinct-value counts (nA, nB), then a running cumulative count
+# over the SORTED DISTINCT-VALUE table gives every tie group's midrank
+# in closed form:
+#
+#     midrank(v) x2 = 2*cum(v) - cnt(v) + 1        (an exact integer)
+#
+# so 2*R1 = sum_v nA(v) * (2*cum(v) - cnt(v) + 1) and the test statistic
+# 2*U1 = 2*R1 - n1*(n1+1) are pure BIGINT arithmetic -- identical on any
+# engine, any partitioning, any iteration order.  The tie-corrected
+# normal approximation
+#
+#     z = (U1 - n1*n2/2) / sqrt(n1*n2/12 * ((N+1) - T/(N*(N-1))))
+#     T = sum_v cnt(v)^3 - cnt(v)
+#
+# is assembled from those integers in doubles with a FIXED operand
+# order mirrored token-for-token in the oracle; every op (+,-,*,/,sqrt
+# over bit-identical inputs) is IEEE correctly-rounded, so the raw
+# double is bit-deterministic cross-engine (welch_t_test precedent).
+# Also emits the rank-biserial effect size r = 1 - 2*U1/(n1*n2).
+#
+# Magnitudes: u1_x2 <= 2*n1*n2, tie_term < N^3.  At sf0.1 (N ~ 4e3)
+# both ~1e11; int64-safe to N ~ 2e6 for tie_term -- internal math runs
+# in DECIMAL(38,0) and emission goes through checked_bigint, so past
+# that the query FAILS LOUDLY instead of wrapping (ADVICE r9 rule).
+#
+# Scale shape: one combinable groupBy over the (filtered) event stream
+# -> a distinct-VALUE table bounded by the cents domain, NOT the row
+# count (same argument as ks_drift_test's bins); the cumulative window
+# runs over that post-aggregate table; the final assembly is a scalar
+# single-row reduce.  No per-row ranks, no global row window, no joins.
+# ---------------------------------------------------------------------------
+
+MWU_GROUP_A = "purchase"
+MWU_GROUP_B = "click"
+
+
+def mann_whitney_u_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(MWU_GROUP_A, MWU_GROUP_B)
+    )
+    DEC = "decimal(38,0)"
+    per_value = ev.select(
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        (F.col("event_type") == MWU_GROUP_A).alias("is_a"),
+    ).groupBy("cents").agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).cast("bigint").alias("na"),
+        F.sum(F.when(F.col("is_a"), 0).otherwise(1)).cast("bigint").alias("nb"),
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    # window input is the distinct-cents table (post-aggregate), not events
+    ranked = per_value.select(
+        "na",
+        "nb",
+        (F.col("na") + F.col("nb")).alias("cnt"),
+        F.sum(F.col("na") + F.col("nb")).over(w).alias("cum"),
+    )
+    agg = ranked.select(
+        F.col("na").cast(DEC).alias("na"),
+        F.col("nb").cast(DEC).alias("nb"),
+        F.col("cnt").cast(DEC).alias("cnt"),
+        F.col("cum").cast(DEC).alias("cum"),
+    ).agg(
+        F.sum("na").alias("n1"),
+        F.sum("nb").alias("n2"),
+        F.sum(F.col("na") * (2 * F.col("cum") - F.col("cnt") + 1)).alias("r1_x2"),
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")).alias(
+            "tie"
+        ),
+    )
+    stats = agg.select(
+        _checked_bigint(F.col("n1")).alias("n1"),
+        _checked_bigint(F.col("n2")).alias("n2"),
+        _checked_bigint(
+            F.col("r1_x2") - F.col("n1") * (F.col("n1") + 1)
+        ).alias("u1_x2"),
+        _checked_bigint(F.col("tie")).alias("tie_term"),
+        (F.col("n1") + F.col("n2")).alias("_n"),
+        (F.col("n1") * F.col("n2")).alias("_n1n2"),
+    )
+    # fixed operand order, mirrored in the oracle token-for-token:
+    #   var = (n1n2 / 12.0) * ((N + 1) - tie / (N * (N - 1)))
+    #   z   = (u1_x2 - n1n2) / (2.0 * sqrt(var))
+    var = (F.col("_n1n2").cast("double") / F.lit(12.0)) * (
+        (F.col("_n").cast("double") + F.lit(1.0))
+        - F.col("tie_term").cast("double")
+        / (F.col("_n").cast("double") * (F.col("_n").cast("double") - F.lit(1.0)))
+    )
+    z = (F.col("u1_x2").cast("double") - F.col("_n1n2").cast("double")) / (
+        F.lit(2.0) * F.sqrt(var)
+    )
+    rbc = F.lit(1.0) - F.col("u1_x2").cast("double") / F.col("_n1n2").cast(
+        "double"
+    )
+    return stats.select(
+        "n1",
+        "n2",
+        "u1_x2",
+        "tie_term",
+        z.alias("z"),
+        rbc.alias("rank_biserial"),
+        (F.abs(z) > MK_Z_CRIT).alias("significant"),
+    )
+
+
+MANN_WHITNEY_ORACLE = f"""
+    WITH per_value AS (
+        SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+               CAST(sum(CASE WHEN event_type = '{MWU_GROUP_A}' THEN 1
+                             ELSE 0 END) AS BIGINT) AS na,
+               CAST(sum(CASE WHEN event_type = '{MWU_GROUP_A}' THEN 0
+                             ELSE 1 END) AS BIGINT) AS nb
+        FROM events
+        WHERE event_type IN ('{MWU_GROUP_A}', '{MWU_GROUP_B}')
+        GROUP BY 1
+    ),
+    ranked AS (
+        SELECT CAST(na AS HUGEINT) AS na, CAST(nb AS HUGEINT) AS nb,
+               CAST(na + nb AS HUGEINT) AS cnt,
+               CAST(sum(na + nb) OVER (ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS HUGEINT) AS cum
+        FROM per_value
+    ),
+    agg AS (
+        SELECT sum(na) AS n1, sum(nb) AS n2,
+               sum(na * (2 * cum - cnt + 1)) AS r1_x2,
+               sum(cnt * cnt * cnt - cnt) AS tie
+        FROM ranked
+    ),
+    stats AS (
+        SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+               CAST(r1_x2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2,
+               CAST(tie AS BIGINT) AS tie_term,
+               CAST(n1 + n2 AS BIGINT) AS _n,
+               CAST(n1 * n2 AS BIGINT) AS _n1n2
+        FROM agg
+    )
+    SELECT n1, n2, u1_x2, tie_term,
+           (CAST(u1_x2 AS DOUBLE) - CAST(_n1n2 AS DOUBLE))
+               / (2.0 * sqrt((CAST(_n1n2 AS DOUBLE) / 12.0)
+                   * ((CAST(_n AS DOUBLE) + 1.0)
+                      - CAST(tie_term AS DOUBLE)
+                        / (CAST(_n AS DOUBLE) * (CAST(_n AS DOUBLE) - 1.0)))))
+               AS z,
+           1.0 - CAST(u1_x2 AS DOUBLE) / CAST(_n1n2 AS DOUBLE)
+               AS rank_biserial,
+           abs((CAST(u1_x2 AS DOUBLE) - CAST(_n1n2 AS DOUBLE))
+               / (2.0 * sqrt((CAST(_n1n2 AS DOUBLE) / 12.0)
+                   * ((CAST(_n AS DOUBLE) + 1.0)
+                      - CAST(tie_term AS DOUBLE)
+                        / (CAST(_n AS DOUBLE) * (CAST(_n AS DOUBLE) - 1.0))))))
+               > {MK_Z_CRIT} AS significant
+    FROM stats
+"""
+
+
+# ---------------------------------------------------------------------------
+# Weighted reservoir sample (Efraimidis-Spirakis A-ES) -- the missing
+# member of the sampling family: sample_stratified is UNWEIGHTED
+# Bernoulli, sample_topk_per_group is unweighted fixed-k; a curation
+# pipeline routinely needs "k docs per source, probability proportional
+# to size" (chars here) for eyeballing and eval-set construction.
+#
+# A-ES: each item draws u ~ U(0,1] and keeps key u^(1/w); the k largest
+# keys per stratum are EXACTLY a weighted sample without replacement.
+# One pass, embarrassingly parallel, mergeable -- the canonical
+# distributed weighted reservoir.
+#
+# Determinism: u is hash-derived, u = (hex60(md5(doc_id)) mod P + 1) /
+# 2^31 in (0,1] (P = 2^31-1, the MinHash modulus) -- the same
+# conv(md5) idiom as split_assignment, so the witness set replays on
+# any engine/run/cluster size.  Ranking uses ln(u)/w (monotone in the
+# key, avoids pow); ln is squashed through DECIMAL(18,9) because JVM
+# Math.log and DuckDB ln disagree in the last ulp (text_tfidf
+# precedent), and the subsequent decimal->double cast and division by
+# the bigint weight are correctly rounded on identical operands.
+#
+# Scale shape: scan -> per-row hash arithmetic (all codegen) -> per-
+# source top-k.  Spark 4 rewrites the rank<=k filter into
+# WindowGroupLimit, a map-side partial top-k BEFORE the shuffle (pinned
+# in tests/test_plans.py), so the exchange ships at most k rows per
+# source per input partition -- the same reason a 100 TB stratum never
+# materializes a full sort.
+# ---------------------------------------------------------------------------
+
+RESERVOIR_K = 10
+_RES_P = 2147483647  # 2^31 - 1 (functions.hashing.MINHASH_P)
+
+
+def weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % _RES_P
+    )
+    lnu9 = F.log(((h + 1).cast("double") / F.lit(2147483648.0))).cast(
+        "decimal(18,9)"
+    )
+    scored = docs.select(
+        "source",
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("weight"),
+        (lnu9.cast("double") / F.col("n_chars").cast("double")).alias("key"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("key"), F.asc("doc_id"))
+    return (
+        scored.withColumn("sample_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("sample_rank") <= RESERVOIR_K)
+        .select("source", "sample_rank", "doc_id", "weight", "key")
+        .orderBy("source", "sample_rank")
+    )
+
+
+WEIGHTED_RESERVOIR_ORACLE = f"""
+    WITH scored AS (
+        SELECT source, doc_id, CAST(n_chars AS BIGINT) AS weight,
+               CAST(CAST(ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                   1, 15))::BIGINT % {_RES_P} + 1 AS DOUBLE))
+                             / 2147483648.0)
+                         AS DECIMAL(18,9)) AS DOUBLE)
+                   / CAST(n_chars AS DOUBLE) AS key
+        FROM documents
+    )
+    SELECT source, sample_rank, doc_id, weight, key
+    FROM (
+        SELECT *, CAST(row_number() OVER (
+                   PARTITION BY source ORDER BY key DESC, doc_id
+               ) AS INTEGER) AS sample_rank
+        FROM scored
+    )
+    WHERE sample_rank <= {RESERVOIR_K}
+    ORDER BY source, sample_rank
+"""
+
+
 STATISTICS_QUERIES: list[tuple[str, object, str | None]] = [
     ("mann_kendall_trend_test", mann_kendall_trend_test, MANN_KENDALL_ORACLE),
+    ("mann_whitney_u_test", mann_whitney_u_test, MANN_WHITNEY_ORACLE),
+    ("weighted_reservoir_sample", weighted_reservoir_sample, WEIGHTED_RESERVOIR_ORACLE),
     ("daily_value_mad_outliers", daily_value_mad_outliers, DAILY_MAD_ORACLE),
     ("stratified_kfold_assign", stratified_kfold_assign, KFOLD_ORACLE),
     ("table_stats_profile", table_stats_profile, TABLE_STATS_ORACLE),

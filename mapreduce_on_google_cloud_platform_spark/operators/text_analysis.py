@@ -468,6 +468,158 @@ TFIDF_TOPK_ORACLE = f"""
 
 
 
+# ---------------------------------------------------------------------------
+# BM25 ranking -- the retrieval scorer tf-idf exists to feed.  tf-idf
+# weights a term in a document; BM25 adds the two things a real lexical
+# ranker needs: tf SATURATION (a 100th occurrence adds almost nothing,
+# k1 controls the knee) and DOCUMENT-LENGTH normalization (b interpolates
+# between none and full dl/avgdl scaling).  This is the standard
+# Robertson/Okapi form, the exact function behind Lucene/Elasticsearch
+# scoring and the lexical leg of hybrid_search_rrf.
+#
+#     idf(t)     = ln(1 + (N - df + 0.5) / (df + 0.5))
+#     bm25(t, d) = idf * tf*(k1+1) / (tf + k1*((1-b) + b*dl/avgdl))
+#
+# Query workload: the TOP_DF_TERMS highest-df vocabulary terms stand in
+# as single-term queries (deterministic: df desc, word asc) -- exactly
+# the high-traffic head terms a ranker serves most, and the worst case
+# for posting-list length, so the plan below is exercised at its
+# heaviest.
+#
+# Cross-engine float discipline (text_tfidf precedent): ln() disagrees
+# between JVM and DuckDB in the last ulp, so idf is squashed through
+# DECIMAL(18,9); avgdl = sum_dl/N and every following op is IEEE
+# correctly-rounded over bit-identical operands with operand order
+# mirrored token-for-token in the oracle.
+#
+# Scale shape: tf and df are the same two combinable shuffles as
+# text_tfidf; the 8-term query set and the scalar avgdl broadcast, so
+# scoring is a SEMI-JOIN-pruned scan of just those terms' postings
+# (PushedFilters can't help -- the term set is data-dependent -- but the
+# broadcast hash semi-join prunes identically).  Per-term top-k is a
+# word-partitioned row_number that Spark 4 rewrites to WindowGroupLimit
+# (map-side partial top-k before the shuffle), so a 100 TB posting list
+# ships at most k rows per input partition.
+# ---------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_TERMS = 8
+BM25_TOPK_DOCS = 5
+
+
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_df(docs)
+    tf = toks.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("dl"))
+    dfreq = tf.groupBy("word").agg(F.count("*").cast("bigint").alias("df_docs"))
+    corpus = dl.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("sum_dl"),
+    )
+    wq = Window.orderBy(F.desc("df_docs"), F.asc("word"))
+    # window input is the post-aggregate vocabulary table, not the stream
+    qterms = (
+        dfreq.withColumn("qrank", F.row_number().over(wq))
+        .filter(F.col("qrank") <= BM25_TOP_TERMS)
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "word",
+            "df_docs",
+            F.log(
+                F.lit(1.0)
+                + (
+                    (F.col("n_docs") - F.col("df_docs")).cast("double")
+                    + F.lit(0.5)
+                )
+                / (F.col("df_docs").cast("double") + F.lit(0.5))
+            )
+            .cast("decimal(18,9)")
+            .alias("_idf9"),
+            (F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")).alias(
+                "_avgdl"
+            ),
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "word")
+        .join(dl, "doc_id")
+        .select(
+            "word",
+            "df_docs",
+            "doc_id",
+            "tf",
+            "dl",
+            (
+                F.col("_idf9").cast("double")
+                * (F.col("tf").cast("double") * F.lit(BM25_K1 + 1.0))
+                / (
+                    F.col("tf").cast("double")
+                    + F.lit(BM25_K1)
+                    * (
+                        F.lit(1.0 - BM25_B)
+                        + F.lit(BM25_B)
+                        * (F.col("dl").cast("double") / F.col("_avgdl"))
+                    )
+                )
+            ).alias("bm25"),
+        )
+    )
+    wd = Window.partitionBy("word").orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return (
+        scored.withColumn("doc_rank", F.row_number().over(wd).cast("int"))
+        .filter(F.col("doc_rank") <= BM25_TOPK_DOCS)
+        .select("word", "df_docs", "doc_rank", "doc_id", "tf", "dl", "bm25")
+        .orderBy("word", "doc_rank")
+    )
+
+
+BM25_ORACLE = f"""
+    WITH {DUCKDB_TOKS_CTE},
+    tok AS (SELECT doc_id, unnest(ts) AS word FROM toks),
+    tf AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY 1, 2),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
+    dfq AS (SELECT word, CAST(count(*) AS BIGINT) AS df_docs FROM tf GROUP BY 1),
+    corpus AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(dl) AS BIGINT) AS sum_dl
+        FROM dl
+    ),
+    qterms AS (
+        SELECT word, df_docs,
+               CAST(ln(1.0 + (CAST(n_docs - df_docs AS DOUBLE) + 0.5)
+                             / (CAST(df_docs AS DOUBLE) + 0.5))
+                    AS DECIMAL(18,9)) AS _idf9,
+               CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE) AS _avgdl
+        FROM (
+            SELECT *, row_number() OVER (ORDER BY df_docs DESC, word) AS qrank
+            FROM dfq
+        ) CROSS JOIN corpus
+        WHERE qrank <= {BM25_TOP_TERMS}
+    ),
+    scored AS (
+        SELECT q.word, q.df_docs, tf.doc_id, tf.tf, dl.dl,
+               CAST(q._idf9 AS DOUBLE)
+                   * (CAST(tf.tf AS DOUBLE) * {BM25_K1 + 1.0})
+                   / (CAST(tf.tf AS DOUBLE)
+                      + {BM25_K1} * ({1.0 - BM25_B}
+                          + {BM25_B} * (CAST(dl.dl AS DOUBLE) / q._avgdl)))
+                   AS bm25
+        FROM tf JOIN qterms q USING (word) JOIN dl USING (doc_id)
+    )
+    SELECT word, df_docs, doc_rank, doc_id, tf, dl, bm25
+    FROM (
+        SELECT *, CAST(row_number() OVER (
+                   PARTITION BY word ORDER BY bm25 DESC, doc_id
+               ) AS INTEGER) AS doc_rank
+        FROM scored
+    )
+    WHERE doc_rank <= {BM25_TOPK_DOCS}
+    ORDER BY word, doc_rank
+"""
+
+
 def text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus bigram frequencies (n-gram language statistics).
 
@@ -4610,6 +4762,7 @@ TEXT_ANALYSIS_QUERIES: list[tuple[str, object, str | None]] = [
     ),
     ("kn_continuation_probs", kn_continuation_probs, KN_CONTINUATION_ORACLE),
     ("tfidf_topk_terms", tfidf_topk_terms, TFIDF_TOPK_ORACLE),
+    ("bm25_topk_docs", bm25_topk_docs, BM25_ORACLE),
     ("text_normalize", text_normalize, NORMALIZE_ORACLE),
     ("text_langid", text_langid, LANGID_ORACLE),
     ("text_quality_score", text_quality_score, QUALITY_ORACLE),

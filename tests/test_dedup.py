@@ -680,3 +680,48 @@ def test_dbscan_refines_cc_and_role_invariants(spark):
     assert n_core > 0, "corpus produced no cores: vacuous refinement check"
     for members in by_cluster.values():
         assert len({cc[m] for m in members}) == 1  # refinement
+
+
+def test_sorted_neighborhood_matches_global_sort_bruteforce(spark):
+    """The bucket-decomposed global rank must reproduce a plain Python
+    sort by (normalized-prefix key, doc_id): candidate pairs are exactly
+    the rank-distance <= SNM_WINDOW neighbors, filtered by exact
+    shingle jaccard at the shared threshold."""
+    import re as _re
+
+    from mapreduce_on_google_cloud_platform_spark.functions.text import shingles_df
+    from mapreduce_on_google_cloud_platform_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        SNM_KEY_LEN,
+        SNM_WINDOW,
+    )
+    from mapreduce_on_google_cloud_platform_spark.sources import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text").collect()
+    keyed = sorted(
+        (
+            _re.sub("[^0-9a-z]", "", r.text.lower())[:SNM_KEY_LEN],
+            r.doc_id,
+        )
+        for r in docs
+    )
+    shing: dict[int, set] = {}
+    for r in shingles_df(load_table(spark, SF_SMOKE, "documents")).collect():
+        shing.setdefault(r.doc_id, set()).add(r.sh)
+    expected = {}
+    for i, (_, a) in enumerate(keyed):
+        for d in range(1, SNM_WINDOW + 1):
+            if i + d >= len(keyed):
+                break
+            b = keyed[i + d][1]
+            lo, hi = min(a, b), max(a, b)
+            sa, sb = shing.get(lo, set()), shing.get(hi, set())
+            union = len(sa | sb)
+            if union and len(sa & sb) / union >= JACCARD_THRESHOLD:
+                expected[(lo, hi)] = (d, len(sa & sb) / union)
+    rows = QUERIES["dedup_sorted_neighborhood"](spark, SF_SMOKE).collect()
+    assert {(r.doc_a, r.doc_b) for r in rows} == set(expected)
+    for r in rows:
+        d, jac = expected[(r.doc_a, r.doc_b)]
+        assert r.rank_distance == d
+        assert abs(r.jaccard - jac) < 1e-12

@@ -141,3 +141,45 @@ def test_kcore_survivors_are_dense_subset(spark):
     assert set(core) <= set(full_deg)
     for doc_id, cd in core.items():
         assert 1 <= cd <= full_deg[doc_id]
+
+
+def test_link_prediction_matches_bruteforce_sets(spark):
+    """Differential check against a set-based Python recompute over the
+    same verified edge list: the candidate set is exactly the
+    non-adjacent pairs with >=1 common neighbor, and every score
+    reproduces (AA within the per-term decimal quantum)."""
+    import math
+
+    from mapreduce_on_google_cloud_platform_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+    )
+
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["dedup_ngram_jaccard"](spark, SF_SMOKE).collect()
+        if r.jaccard >= JACCARD_THRESHOLD
+    }
+    nbrs: dict[int, set] = {}
+    for a, b in pairs:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    expected = {}
+    for a in nbrs:
+        for b in nbrs:
+            if a < b and (a, b) not in pairs:
+                common = nbrs[a] & nbrs[b]
+                if common:
+                    expected[(a, b)] = (
+                        len(common),
+                        len(nbrs[a]),
+                        len(nbrs[b]),
+                        sum(1.0 / math.log(len(nbrs[z])) for z in common),
+                    )
+    rows = QUERIES["link_prediction_scores"](spark, SF_SMOKE).collect()
+    assert {(r.doc_a, r.doc_b) for r in rows} == set(expected)
+    for r in rows:
+        cn, da, db, aa = expected[(r.doc_a, r.doc_b)]
+        assert (r.common_neighbors, r.deg_a, r.deg_b) == (cn, da, db)
+        assert abs(r.jaccard_nbr - round(cn / (da + db - cn), 6)) < 1e-12
+        # two decimal(18,9) squashes per term -> <= 2*cn*5e-10 drift
+        assert abs(r.adamic_adar - aa) <= 2e-9 * cn + 1e-12

@@ -1025,3 +1025,101 @@ def test_residual_pq_probes_materialized_indexes(spark):
     assert "pq_res_codes" in plan
     assert "pq_coarse_assign" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_mann_whitney_window_rides_distinct_value_table(spark):
+    """The rank-sum never materializes per-row ranks: the single
+    cumulative window must consume the per-distinct-cents aggregate
+    (value-domain-bounded), with a map-side partial pass below it, and
+    the scan must read only the two columns the test uses."""
+    df = QUERIES["mann_whitney_u_test"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    w_pos = plan.index("Window")
+    agg_positions = [
+        i
+        for i in range(len(plan))
+        if plan.startswith("HashAggregate", i) and "cents" in plan[i : i + 400]
+    ]
+    assert agg_positions, "expected a per-cents HashAggregate"
+    assert any(i > w_pos for i in agg_positions), (
+        "no cents aggregate below the Window -- it would be ranking raw events"
+    )
+    fplan = plan_of(spark, "mann_whitney_u_test")
+    scan = fplan[fplan.index("ReadSchema") :].splitlines()[0]
+    assert "value" in scan and "event_type" in scan
+    assert "user_id" not in scan and "props" not in scan
+
+
+def test_weighted_reservoir_topk_is_window_group_limited(spark):
+    """A-ES per-source top-k must plan as WindowGroupLimit (map-side
+    partial top-k before the shuffle -- the reason a 100 TB stratum
+    never materializes a full sort), and the scan must prune to the
+    three columns the sampler reads."""
+    plan = plan_of(spark, "weighted_reservoir_sample")
+    assert "WindowGroupLimit" in plan
+    scan = plan[plan.index("ReadSchema") :].splitlines()[0]
+    assert "n_chars" in scan and "source" in scan
+    assert "text" not in scan and "lang" not in scan
+
+
+def test_bm25_prunes_postings_via_broadcast_query_terms(spark):
+    """Scoring must touch only the 8 query terms' postings through a
+    broadcast hash join of the tiny qterms table (the corpus-side tf
+    never shuffles for the semi-restriction), and the per-term top-k
+    must be WindowGroupLimit-ed."""
+    plan = plan_of(spark, "bm25_topk_docs")
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_link_prediction_probes_pair_index_no_cartesian(spark):
+    """The wedge join + anti join must stay equi-joins over the
+    checkpointed pair table (the materialized jaccard_pairs probe sits
+    behind the localCheckpoint cut, so it shows as an ExistingRDD scan)
+    -- a cartesian/nested-loop fallback would be the all-pairs plan link
+    prediction exists to avoid."""
+    plan = plan_of(spark, "link_prediction_scores")
+    assert "ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pareto_windows_ride_bounded_tables(spark):
+    """Both skyline windows must consume aggregates (per-bin table and
+    per-spend-level table), never the raw order stream: every Window
+    node sits above a HashAggregate in the top-down plan print."""
+    df = QUERIES["pareto_frontier_customers"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    w_positions = [m.start() for m in re.finditer(r"Window", plan)]
+    assert w_positions, "expected skyline windows"
+    agg_positions = [m.start() for m in re.finditer(r"HashAggregate", plan)]
+    assert agg_positions
+    for w in w_positions:
+        assert any(a > w for a in agg_positions), (
+            "a skyline window has no aggregate below it -- "
+            "it would be windowing raw orders"
+        )
+
+
+def test_sorted_neighborhood_rank_joins_are_equi(spark):
+    """The SNM neighbor joins must be grank equi-joins over the
+    checkpointed rank table, verified against the materialized
+    jaccard_pairs index -- no cartesian, no nested-loop rank-range
+    scan."""
+    plan = plan_of(spark, "dedup_sorted_neighborhood")
+    assert "jaccard_pairs" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cofilter_topk_is_window_group_limited(spark):
+    """Item-item CF: per-item neighbor top-k must plan as
+    WindowGroupLimit, co-counts must show map-side partials, and the
+    pair fan-out must stay a customer equi-join."""
+    plan = plan_of(spark, "item_item_cofilter_topk")
+    assert "WindowGroupLimit" in plan
+    assert "partial_" in plan
+    assert "CartesianProduct" not in plan

@@ -238,3 +238,84 @@ def test_basket_profile_partitions_orders(spark):
     assert abs(sum(r.revenue_share for r in rows) - 1.0) < 1e-4
     for r in rows:
         assert 2 ** r.bucket <= r.min_items <= r.max_items < 2 ** (r.bucket + 1)
+
+
+def test_pareto_frontier_matches_dominance_bruteforce(spark):
+    """The bin-decomposed skyline must equal the NOT-EXISTS dominance
+    DEFINITION brute-forced in Python: p survives iff no q has
+    spend >= AND orders >= with at least one strict."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_on_google_cloud_platform_spark.sources import load_table
+
+    stats = {}
+    for r in (
+        load_table(spark, SF_SMOKE, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("s"))
+        .collect()
+    ):
+        stats[r.o_custkey] = (r.s, r.n)
+    pts = list(stats.values())
+    expected = {
+        c
+        for c, (s, n) in stats.items()
+        if not any(
+            qs >= s and qn >= n and (qs > s or qn > n) for qs, qn in pts
+        )
+    }
+    rows = QUERIES["pareto_frontier_customers"](spark, SF_SMOKE).collect()
+    assert {r.c_custkey for r in rows} == expected
+    for r in rows:
+        assert (r.spend_cents, r.n_orders) == stats[r.c_custkey]
+        assert r.total_spend == r.spend_cents / 100.0
+    # frontier is an anti-chain: sorted by spend desc, orders strictly rise
+    by_spend = sorted(rows, key=lambda r: (-r.spend_cents, r.n_orders))
+    for a, b in zip(by_spend, by_spend[1:]):
+        if a.spend_cents > b.spend_cents:
+            assert b.n_orders > a.n_orders
+
+
+def test_cofilter_matches_python_topk(spark):
+    """Item-item CF: emitted neighbor lists are exactly the per-item
+    top-k of the brute-force cosine table over customer incidence sets
+    (ties by neighbor id), with exact co-counts."""
+    import math
+
+    from mapreduce_on_google_cloud_platform_spark.operators.relational import (
+        COFILTER_TOPK,
+        MIN_COFILTER_CO,
+    )
+    from mapreduce_on_google_cloud_platform_spark.sources import load_table
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_partkey")
+    orders = load_table(spark, SF_SMOKE, "orders").select("o_orderkey", "o_custkey")
+    inc = {
+        (r.o_custkey, r.l_partkey)
+        for r in li.join(orders, li.l_orderkey == orders.o_orderkey).collect()
+    }
+    custs: dict[int, set] = {}
+    for c, p in inc:
+        custs.setdefault(p, set()).add(c)
+    scored: dict[int, list] = {}
+    parts = sorted(custs)
+    for i, pa in enumerate(parts):
+        for pb in parts[i + 1 :]:
+            co = len(custs[pa] & custs[pb])
+            if co >= MIN_COFILTER_CO:
+                cos = co / (math.sqrt(len(custs[pa])) * math.sqrt(len(custs[pb])))
+                scored.setdefault(pa, []).append((cos, pb, co))
+                scored.setdefault(pb, []).append((cos, pa, co))
+    expected = {
+        p: [(n, c) for _, n, c in sorted(lst, key=lambda t: (-t[0], t[1]))][
+            :COFILTER_TOPK
+        ]
+        for p, lst in scored.items()
+    }
+    got: dict[int, list] = {}
+    for r in QUERIES["item_item_cofilter_topk"](spark, SF_SMOKE).collect():
+        got.setdefault(r.part, []).append((r.nbr_rank, r.neighbor, r.co))
+    assert set(got) == set(expected)
+    for p, rows in got.items():
+        rows.sort()
+        assert [(n, c) for _, n, c in rows] == expected[p], p

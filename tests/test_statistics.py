@@ -545,3 +545,87 @@ def test_mann_kendall_one_day_series_emits_degenerate_row(spark, tmp_path):
     assert solo.n_days == 1 and solo.s_stat == 0 and solo.var_s_x18 == 0
     assert solo.z is None and solo.trending is False
     assert out["multi"].n_days == 3 and out["multi"].s_stat == 3
+
+
+def test_mann_whitney_matches_python_recompute(spark):
+    """Differential check against a direct Python midrank recompute from
+    the raw events: n1/n2, the 2x-scaled U statistic, the tie term, and
+    the tie-corrected z."""
+    import math
+    from collections import Counter
+
+    from mapreduce_on_google_cloud_platform_spark.operators.statistics import (
+        MK_Z_CRIT,
+        MWU_GROUP_A,
+        MWU_GROUP_B,
+    )
+    from mapreduce_on_google_cloud_platform_spark.sources import load_table
+
+    ev = [
+        (r.event_type, round(r.value * 100))
+        for r in load_table(spark, SF_SMOKE, "events")
+        .select("event_type", "value")
+        .collect()
+        if r.event_type in (MWU_GROUP_A, MWU_GROUP_B)
+    ]
+    xs = sorted(c for _, c in ev)
+    # midrank of value v (1-based): positions of its tie block
+    first = {}
+    for i, v in enumerate(xs):
+        first.setdefault(v, i + 1)
+    cnt = Counter(xs)
+    midrank = {v: first[v] + (cnt[v] - 1) / 2.0 for v in cnt}
+    a_vals = [c for t, c in ev if t == MWU_GROUP_A]
+    n1, n2 = len(a_vals), len(ev) - len(a_vals)
+    r1 = sum(midrank[v] for v in a_vals)
+    u1_x2 = round(2 * r1 - n1 * (n1 + 1))
+    tie = sum(t**3 - t for t in cnt.values())
+    n = n1 + n2
+    var = (n1 * n2 / 12.0) * ((n + 1.0) - tie / (n * (n - 1.0)))
+    z = (u1_x2 - n1 * n2) / (2.0 * math.sqrt(var))
+    row = QUERIES["mann_whitney_u_test"](spark, SF_SMOKE).collect()[0]
+    assert (row.n1, row.n2) == (n1, n2)
+    assert row.u1_x2 == u1_x2 and row.tie_term == tie
+    assert abs(row.z - z) < 1e-12
+    assert abs(row.rank_biserial - (1.0 - u1_x2 / (n1 * n2))) < 1e-12
+    assert row.significant == (abs(row.z) > MK_Z_CRIT)
+
+
+def test_weighted_reservoir_is_exact_aes_topk(spark):
+    """The emitted sample per source must be EXACTLY the top-K documents
+    by the Efraimidis-Spirakis key u^(1/w) recomputed in Python from the
+    same md5-derived uniforms, in the same order."""
+    import hashlib
+    import math
+
+    from mapreduce_on_google_cloud_platform_spark.operators.statistics import (
+        RESERVOIR_K,
+        _RES_P,
+    )
+    from mapreduce_on_google_cloud_platform_spark.sources import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "source", "doc_id", "n_chars"
+    ).collect()
+    by_source: dict[str, list] = {}
+    for r in docs:
+        h = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:15], 16) % _RES_P
+        u = (h + 1) / 2147483648.0
+        # ln squashed to 9 decimals (decimal(18,9) HALF_UP) like the plan
+        from decimal import ROUND_HALF_UP, Decimal
+
+        ln9 = float(
+            Decimal(repr(math.log(u))).quantize(
+                Decimal("1.000000000"), rounding=ROUND_HALF_UP
+            )
+        )
+        by_source.setdefault(r.source, []).append((ln9 / r.n_chars, r.doc_id))
+    expected = {
+        src: [d for _, d in sorted(rows, key=lambda t: (-t[0], t[1]))][:RESERVOIR_K]
+        for src, rows in by_source.items()
+    }
+    got: dict[str, list] = {}
+    for r in QUERIES["weighted_reservoir_sample"](spark, SF_SMOKE).collect():
+        got.setdefault(r.source, []).append((r.sample_rank, r.doc_id))
+    for src, rows in got.items():
+        assert [d for _, d in sorted(rows)] == expected[src], src

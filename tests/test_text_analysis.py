@@ -963,3 +963,58 @@ def test_cms_width_curve_contracts(spark):
         assert r.n_bound_violations <= r.n_words - r.n_exact
         if r.n_exact == r.n_words:
             assert r.sum_overestimate == 0
+
+
+def test_bm25_matches_python_recompute_and_ranking(spark):
+    """Differential check: every emitted BM25 score reproduces a direct
+    Python recompute from the token stream (idf squashed to the same
+    9-decimal quantum), the query terms are exactly the top-df head, and
+    per-term doc ranks descend by score."""
+    import math
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from mapreduce_on_google_cloud_platform_spark.functions.text import tokens_df
+    from mapreduce_on_google_cloud_platform_spark.operators.text_analysis import (
+        BM25_B,
+        BM25_K1,
+        BM25_TOP_TERMS,
+        BM25_TOPK_DOCS,
+    )
+    from mapreduce_on_google_cloud_platform_spark.sources import load_table
+
+    toks = tokens_df(load_table(spark, SF_SMOKE, "documents")).collect()
+    tf: Counter = Counter((r.doc_id, r.word) for r in toks)
+    dl: Counter = Counter(r.doc_id for r in toks)
+    df_docs: Counter = Counter(w for _, w in tf)
+    n_docs = len(dl)
+    avgdl = sum(dl.values()) / n_docs
+    top_terms = sorted(df_docs.items(), key=lambda t: (-t[1], t[0]))[
+        :BM25_TOP_TERMS
+    ]
+    rows = QUERIES["bm25_topk_docs"](spark, SF_SMOKE).collect()
+    assert set(r.word for r in rows) == {w for w, _ in top_terms}
+    per_term: dict[str, list] = {}
+    for r in rows:
+        per_term.setdefault(r.word, []).append(r)
+        idf9 = float(
+            Decimal(
+                repr(math.log(1.0 + ((n_docs - r.df_docs) + 0.5) / (r.df_docs + 0.5)))
+            ).quantize(Decimal("1.000000000"), rounding=ROUND_HALF_UP)
+        )
+        expect = (
+            idf9
+            * (tf[(r.doc_id, r.word)] * (BM25_K1 + 1.0))
+            / (
+                tf[(r.doc_id, r.word)]
+                + BM25_K1 * ((1.0 - BM25_B) + BM25_B * (dl[r.doc_id] / avgdl))
+            )
+        )
+        assert r.tf == tf[(r.doc_id, r.word)] and r.dl == dl[r.doc_id]
+        assert abs(r.bm25 - expect) < 1e-9, (r.word, r.doc_id)
+    for word, group in per_term.items():
+        group.sort(key=lambda r: r.doc_rank)
+        assert [r.doc_rank for r in group] == list(range(1, len(group) + 1))
+        assert len(group) <= BM25_TOPK_DOCS
+        scores = [r.bm25 for r in group]
+        assert scores == sorted(scores, reverse=True), word
