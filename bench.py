@@ -267,6 +267,9 @@ HEADLINE = [
     "pareto_frontier_customers",
     "dedup_sorted_neighborhood",
     "item_item_cofilter_topk",
+    # unigram-LM tokenizer family (hard-EM learn + oracle-checked kernel)
+    "unigram_lm_learn",
+    "unigram_piece_candidates",
     # dedup_method_eval re-runs five declared pipelines; its components
     # are each benched above, so it is left out of the headline suite
 ]

@@ -2517,6 +2517,278 @@ def bpe_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Unigram-LM tokenizer (SentencePiece-style, Kudo 2018) -- the OTHER
+# production tokenizer family beside BPE: instead of greedy pair merges,
+# hold a candidate piece vocabulary with log-probabilities and segment
+# every word by VITERBI (the max-likelihood split); hard-EM alternates
+# segment -> recount -> re-score.  T5/Llama-era pipelines train exactly
+# this; the engine needs it next to bpe_learn_merges so a user can
+# compare both tokenizer families on the same corpus.
+#
+# Spark-first formulation (no Python in the hot path, unlike every
+# reference SentencePiece port):
+#   * training substrate is the DISTINCT (word, freq) table
+#     (vocabulary-bounded, Zipf: the same scale trick as BPE -- EM cost
+#     grows with |V|, not token count);
+#   * the candidate vocabulary is one substring-explode + groupBy
+#     (bounded fan-out: len(word) x UNI_LMAX), top-UNI_VOCAB_K by
+#     weighted count with every single character force-included so
+#     segmentation is total;
+#   * Viterbi is TWO higher-order F.aggregate folds per word -- a
+#     forward DP over sequence(1, len) carrying an array<struct<score,
+#     backlen>> and a backward walk emitting the chosen pieces -- all
+#     whole-stage-codegen JVM expressions, no UDFs;
+#   * the codebook (piece -> logp) is a driver-collected MAP literal,
+#     O(UNI_VOCAB_K) rows by construction -- the kmeans codebook
+#     discipline (constant-cardinality, never corpus-proportional);
+#   * log-probs are fixed-point BIGINT micro-units (ln squashed through
+#     DECIMAL(18,9), scaled 1e9 -- the pagerank determinism contract):
+#     the DP is pure integer max/plus, so any engine, partitioning or
+#     fold order yields the identical segmentation; max-ties break
+#     toward the LONGER piece (the ascending-l fold overwrites on >=).
+#
+# Iterative (segment depends on the previous round's scores) -> the
+# learn query is rows-only for the driver, like bpe_learn_merges; its
+# distributed kernel (the candidate table + initial scores) is ONE SQL
+# statement and is oracle-checked as unigram_piece_candidates; the EM
+# loop itself is checked against an independent pure-Python
+# implementation in pytest (the bpe_encode pattern).
+# ---------------------------------------------------------------------------
+
+UNI_LMAX = 4        # max piece length
+UNI_VOCAB_K = 48    # multi-char budget; single chars are always added
+UNI_EM_ITERS = 2
+UNI_FP = 10**9      # fixed-point micro-units for logp
+
+
+def _uni_candidates(word_freqs: DataFrame) -> DataFrame:
+    """(piece, wcnt): weighted substring occurrence counts, len <= LMAX."""
+    return (
+        word_freqs.select(
+            "freq",
+            F.explode(F.sequence(F.lit(1), F.length("word"))).alias("i"),
+            F.col("word"),
+        )
+        .select(
+            "freq",
+            F.explode(F.sequence(F.lit(1), F.lit(UNI_LMAX))).alias("l"),
+            F.col("word").substr(F.col("i"), F.lit(UNI_LMAX + 1)).alias("_tail"),
+        )
+        .select("freq", F.col("_tail").substr(F.lit(1), F.col("l")).alias("piece"), "l")
+        .filter(F.length("piece") == F.col("l"))
+        .groupBy("piece")
+        .agg(F.sum("freq").cast("bigint").alias("wcnt"))
+    )
+
+
+def _uni_init_vocab(word_freqs: DataFrame) -> DataFrame:
+    """Initial vocabulary: top-K multi-char candidates by (wcnt desc,
+    piece) UNION every single character (coverage guarantee)."""
+    cand = _uni_candidates(word_freqs)
+    wq = Window.orderBy(F.desc("wcnt"), F.asc("piece"))
+    multi = (
+        cand.filter(F.length("piece") >= 2)
+        # window input is the candidate AGGREGATE (alphabet^LMAX-bounded)
+        .withColumn("r", F.row_number().over(wq))
+        .filter(F.col("r") <= UNI_VOCAB_K)
+        .select("piece", "wcnt")
+    )
+    singles = cand.filter(F.length("piece") == 1).select("piece", "wcnt")
+    return multi.unionByName(singles)
+
+
+def _uni_score(vocab: DataFrame) -> DataFrame:
+    """(piece, cnt) -> add logp_fp = round9(ln((cnt+1)/total)) * 1e9 as
+    BIGINT micro-units; total = sum(cnt+1) over the vocabulary."""
+    sm = vocab.select(
+        "piece", "wcnt", (F.col("wcnt") + 1).cast("bigint").alias("_c1")
+    )
+    tot = sm.agg(F.sum("_c1").cast("bigint").alias("_tot"))
+    return sm.crossJoin(F.broadcast(tot)).select(
+        "piece",
+        "wcnt",
+        (
+            F.log(F.col("_c1").cast("double") / F.col("_tot").cast("double"))
+            .cast("decimal(18,9)")
+            # decimal(18,9) x decimal(10,0) -> decimal(29,9): exact, under
+            # the precision-38 cap (a bare int multiply would breach it
+            # and silently drop scale -- the text_tfidf warning)
+            * F.lit(UNI_FP).cast("decimal(10,0)")
+        )
+        .cast("bigint")
+        .alias("logp_fp"),
+    )
+
+
+def _uni_forward_dp(word: F.Column, m: F.Column) -> F.Column:
+    """array<struct<s,bl>> forward Viterbi DP of ``word`` under the
+    (piece -> logp_fp) MAP literal ``m`` -- one F.aggregate fold over
+    sequence(1, len), pure integer max/plus inside codegen."""
+    null_s = F.lit(None).cast("bigint")
+
+    def step(acc: F.Column, j: F.Column) -> F.Column:
+        best = F.struct(null_s.alias("s"), F.lit(0).alias("bl"))
+        for l in range(1, UNI_LMAX + 1):
+            piece = word.substr(j - F.lit(l) + 1, F.lit(l))
+            cand = F.when(
+                j >= F.lit(l),
+                F.element_at(acc, j - F.lit(l) + 1)["s"] + F.element_at(m, piece),
+            ).otherwise(null_s)
+            # ascending l + '>=' => max with longer-piece tie preference
+            best = F.when(
+                cand.isNotNull() & (best["s"].isNull() | (cand >= best["s"])),
+                F.struct(cand.alias("s"), F.lit(l).alias("bl")),
+            ).otherwise(best)
+        return F.concat(acc, F.array(best))
+
+    return F.aggregate(
+        F.sequence(F.lit(1), F.length(word)),
+        F.array(F.struct(F.lit(0).cast("bigint").alias("s"), F.lit(0).alias("bl"))),
+        step,
+    )
+
+
+def _uni_backtrace(word: F.Column, dp: F.Column) -> F.Column:
+    """array<string> of the chosen pieces (end-to-start order) walking
+    the backlinks of a MATERIALIZED dp column.  ``dp`` must be a bound
+    attribute, not the forward-fold expression itself -- inlining the
+    fold here would re-evaluate it per walk step (L x cost)."""
+
+    def back(acc: F.Column, _: F.Column) -> F.Column:
+        bl = F.element_at(dp, acc["pos"] + 1)["bl"]
+        return F.when(acc["pos"] <= 0, acc).otherwise(
+            F.struct(
+                (acc["pos"] - bl).alias("pos"),
+                F.concat(
+                    acc["ps"],
+                    F.array(word.substr(acc["pos"] - bl + 1, bl)),
+                ).alias("ps"),
+            )
+        )
+
+    walk = F.aggregate(
+        F.sequence(F.lit(1), F.length(word)),
+        F.struct(
+            F.length(word).alias("pos"),
+            F.array().cast("array<string>").alias("ps"),
+        ),
+        back,
+    )
+    return walk["ps"]
+
+
+def unigram_lm_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    word_freqs = (
+        tokens_df(docs)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .localCheckpoint()
+    )
+    vocab = _uni_score(_uni_init_vocab(word_freqs))
+    for _round in range(UNI_EM_ITERS):
+        rows = vocab.select("piece", "logp_fp").collect()  # O(K) codebook
+        m = F.create_map(
+            *[
+                c
+                for r in sorted(rows)
+                for c in (F.lit(r.piece), F.lit(r.logp_fp))
+            ]
+        )
+        seg_counts = (
+            word_freqs.withColumn("_dp", _uni_forward_dp(F.col("word"), m))
+            .withColumn("_ps", _uni_backtrace(F.col("word"), F.col("_dp")))
+            .select("freq", F.explode("_ps").alias("piece"))
+            .groupBy("piece")
+            .agg(F.sum("freq").cast("bigint").alias("used"))
+        )
+        # keep: every used piece + every single char (coverage); unused
+        # multi-char candidates are pruned -- the EM shrink step
+        survivors = (
+            vocab.select("piece")
+            .join(seg_counts, "piece", "left")
+            .withColumn("used", F.coalesce("used", F.lit(0).cast("bigint")))
+            .filter((F.col("used") > 0) | (F.length("piece") == 1))
+            .select("piece", F.col("used").alias("wcnt"))
+        )
+        vocab = _uni_score(survivors).localCheckpoint()
+    wq = Window.orderBy(F.desc("wcnt"), F.asc("piece"))
+    return (
+        vocab.withColumn("piece_rank", F.row_number().over(wq).cast("int"))
+        .select(
+            "piece_rank",
+            "piece",
+            F.length("piece").cast("int").alias("piece_len"),
+            "wcnt",
+            "logp_fp",
+        )
+        .orderBy("piece_rank")
+    )
+
+
+UNIGRAM_CANDIDATES_ORACLE = f"""
+    WITH {DUCKDB_TOKS_CTE},
+    wf AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS freq
+        FROM (SELECT unnest(ts) AS word FROM toks)
+        GROUP BY 1
+    ),
+    subs AS (
+        SELECT substr(word, i, l) AS piece, freq
+        FROM wf,
+             unnest(range(1, len(word) + 1)) t(i),
+             unnest(range(1, {UNI_LMAX} + 1)) u(l)
+        WHERE length(substr(word, i, l)) = l
+    ),
+    cand AS (
+        SELECT piece, CAST(sum(freq) AS BIGINT) AS wcnt
+        FROM subs GROUP BY 1
+    ),
+    vocab AS (
+        SELECT piece, wcnt FROM (
+            SELECT *, row_number() OVER (ORDER BY wcnt DESC, piece) AS r
+            FROM cand WHERE length(piece) >= 2
+        ) WHERE r <= {UNI_VOCAB_K}
+        UNION ALL
+        SELECT piece, wcnt FROM cand WHERE length(piece) = 1
+    ),
+    tot AS (SELECT CAST(sum(wcnt + 1) AS BIGINT) AS t FROM vocab)
+    SELECT CAST(row_number() OVER (ORDER BY wcnt DESC, piece) AS INTEGER)
+               AS piece_rank,
+           piece, CAST(length(piece) AS INTEGER) AS piece_len, wcnt,
+           CAST(CAST(CAST(ln(CAST(wcnt + 1 AS DOUBLE) / CAST(t AS DOUBLE))
+                          AS DECIMAL(18,9)) AS DECIMAL(28,9))
+                * {UNI_FP} AS BIGINT) AS logp_fp
+    FROM vocab CROSS JOIN tot
+    ORDER BY piece_rank
+"""
+
+
+def unigram_piece_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unigram-LM learn loop's distributed kernel, oracle-checked
+    (the bpe_pair_counts pattern): candidate piece table + initial
+    fixed-point scores -- exactly ``unigram_lm_learn``'s round-0
+    vocabulary (asserted in pytest)."""
+    docs = load_table(spark, sf_dir, "documents")
+    word_freqs = tokens_df(docs).groupBy("word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("freq")
+    )
+    vocab = _uni_score(_uni_init_vocab(word_freqs))
+    wq = Window.orderBy(F.desc("wcnt"), F.asc("piece"))
+    return (
+        vocab.withColumn("piece_rank", F.row_number().over(wq).cast("int"))
+        .select(
+            "piece_rank",
+            "piece",
+            F.length("piece").cast("int").alias("piece_len"),
+            "wcnt",
+            "logp_fp",
+        )
+        .orderBy("piece_rank")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Character-entropy quality signal: Shannon entropy of each document's
 # character distribution over the cleaned token stream.  Near-zero
 # entropy is repeated-character garbage; unusually low entropy is
@@ -4806,6 +5078,15 @@ TEXT_ANALYSIS_QUERIES: list[tuple[str, object, str | None]] = [
     # iterative K-round corpus rewrite: not one SQL statement -> rows-only
     ("bpe_learn_merges", bpe_learn_merges, None),
     ("bpe_pair_counts", bpe_pair_counts, BPE_PAIR_ORACLE),
+    # iterative hard-EM (segment -> recount -> re-score) -> rows-only;
+    # checked against an independent pure-Python unigram LM in pytest
+    ("unigram_lm_learn", unigram_lm_learn, None),
+    # ... and its one-statement distributed kernel, oracle-checked
+    (
+        "unigram_piece_candidates",
+        unigram_piece_candidates,
+        UNIGRAM_CANDIDATES_ORACLE,
+    ),
     ("training_shard_manifest", training_shard_manifest, SHARD_MANIFEST_ORACLE),
     ("quality_gate_stack", quality_gate_stack, QUALITY_STACK_ORACLE),
     (

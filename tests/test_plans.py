@@ -1123,3 +1123,31 @@ def test_cofilter_topk_is_window_group_limited(spark):
     assert "WindowGroupLimit" in plan
     assert "partial_" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_unigram_candidates_window_rides_aggregate(spark):
+    """The top-K vocabulary window must consume the candidate AGGREGATE
+    (alphabet^LMAX-bounded), never the substring explosion stream, and
+    the piece counts must show map-side partials."""
+    df = QUERIES["unigram_piece_candidates"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    w_pos = plan.index("Window")
+    agg_positions = [
+        i
+        for i in range(len(plan))
+        if plan.startswith("HashAggregate", i) and "piece" in plan[i : i + 400]
+    ]
+    assert agg_positions, "expected a per-piece HashAggregate"
+    assert any(i > w_pos for i in agg_positions)
+    fplan = plan_of(spark, "unigram_piece_candidates")
+    assert "partial_" in fplan
+
+
+def test_unigram_learn_em_is_jvm_only_over_checkpoints(spark):
+    """The EM result plan must ride the checkpointed vocabulary
+    (ExistingRDD -- the iterative lineage is truncated per round) with
+    no Python evaluation anywhere; the global BatchEvalPython pin
+    covers the segmentation pass via the registry sweep."""
+    plan = plan_of(spark, "unigram_lm_learn")
+    assert "ExistingRDD" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -1018,3 +1018,118 @@ def test_bm25_matches_python_recompute_and_ranking(spark):
         assert len(group) <= BM25_TOPK_DOCS
         scores = [r.bm25 for r in group]
         assert scores == sorted(scores, reverse=True), word
+
+
+def test_unigram_lm_matches_pure_python_em(spark):
+    """The full hard-EM loop (candidates -> score -> Viterbi segment ->
+    recount -> re-score, UNI_EM_ITERS rounds) must reproduce an
+    independent pure-Python unigram-LM implementation: identical piece
+    set, identical counts and ranks, logp within one fixed-point unit
+    (the DECIMAL(18,9) quantize boundary)."""
+    import math
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from mapreduce_on_google_cloud_platform_spark.functions.text import tokens_df
+    from mapreduce_on_google_cloud_platform_spark.operators.text_analysis import (
+        UNI_EM_ITERS,
+        UNI_FP,
+        UNI_LMAX,
+        UNI_VOCAB_K,
+    )
+    from mapreduce_on_google_cloud_platform_spark.sources import load_table
+
+    wf = Counter(
+        r.word for r in tokens_df(load_table(spark, SF_SMOKE, "documents")).collect()
+    )
+
+    def score(counts: dict) -> dict:
+        tot = sum(c + 1 for c in counts.values())
+        out = {}
+        for p, c in counts.items():
+            ln9 = Decimal(repr(math.log((c + 1) / tot))).quantize(
+                Decimal("1.000000000"), rounding=ROUND_HALF_UP
+            )
+            out[p] = int(ln9 * UNI_FP)
+        return out
+
+    cand: Counter = Counter()
+    for w, f in wf.items():
+        for i in range(len(w)):
+            for l in range(1, UNI_LMAX + 1):
+                if i + l <= len(w):
+                    cand[w[i : i + l]] += f
+    multi = sorted(
+        ((p, c) for p, c in cand.items() if len(p) >= 2),
+        key=lambda t: (-t[1], t[0]),
+    )[:UNI_VOCAB_K]
+    vocab = dict(multi) | {p: c for p, c in cand.items() if len(p) == 1}
+    logp = score(vocab)
+
+    def viterbi(word: str) -> list:
+        dp = [(0, 0)] + [None] * len(word)
+        for j in range(1, len(word) + 1):
+            best = None
+            for l in range(1, UNI_LMAX + 1):
+                if l <= j:
+                    p = word[j - l : j]
+                    if p in logp:
+                        s = dp[j - l][0] + logp[p]
+                        if best is None or s >= best[0]:
+                            best = (s, l)
+            dp[j] = best
+        ps, pos = [], len(word)
+        while pos > 0:
+            l = dp[pos][1]
+            ps.append(word[pos - l : pos])
+            pos -= l
+        return ps
+
+    for _ in range(UNI_EM_ITERS):
+        used: Counter = Counter()
+        for w, f in wf.items():
+            for p in viterbi(w):
+                used[p] += f
+        vocab = {
+            p: used.get(p, 0)
+            for p in vocab
+            if used.get(p, 0) > 0 or len(p) == 1
+        }
+        logp = score(vocab)
+
+    rows = QUERIES["unigram_lm_learn"](spark, SF_SMOKE).collect()
+    assert {r.piece for r in rows} == set(vocab)
+    expected_rank = sorted(vocab.items(), key=lambda t: (-t[1], t[0]))
+    for r in rows:
+        assert r.wcnt == vocab[r.piece], r.piece
+        assert r.piece_len == len(r.piece)
+        assert abs(r.logp_fp - logp[r.piece]) <= 1, r.piece
+        assert expected_rank[r.piece_rank - 1][0] == r.piece
+
+
+def test_unigram_candidates_is_learn_round_zero(spark):
+    """unigram_piece_candidates (the oracle-checked kernel) must be
+    EXACTLY unigram_lm_learn's initial vocabulary: same pieces, same
+    weighted counts, same initial scores."""
+    from mapreduce_on_google_cloud_platform_spark.operators.text_analysis import (
+        _uni_init_vocab,
+        _uni_score,
+    )
+    from mapreduce_on_google_cloud_platform_spark.functions.text import tokens_df
+    from mapreduce_on_google_cloud_platform_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    wf = (
+        tokens_df(load_table(spark, SF_SMOKE, "documents"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    round0 = {
+        (r.piece, r.wcnt, r.logp_fp)
+        for r in _uni_score(_uni_init_vocab(wf)).collect()
+    }
+    got = {
+        (r.piece, r.wcnt, r.logp_fp)
+        for r in QUERIES["unigram_piece_candidates"](spark, SF_SMOKE).collect()
+    }
+    assert got == round0
