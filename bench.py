@@ -270,6 +270,9 @@ HEADLINE = [
     # unigram-LM tokenizer family (hard-EM learn + oracle-checked kernel)
     "unigram_lm_learn",
     "unigram_piece_candidates",
+    # JL projection decision table + bounded neighborhood function
+    "jl_projection_distortion",
+    "khop_reach_profile",
     # dedup_method_eval re-runs five declared pipelines; its components
     # are each benched above, so it is left out of the headline suite
 ]

@@ -724,9 +724,107 @@ LINK_PREDICTION_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# k-hop reach profile (bounded neighborhood function) -- how far does
+# contamination spread?  For every document in the near-dup graph, the
+# number of DISTINCT documents within 1, 2 and 3 hops: the per-node
+# neighborhood function N(v, h) whose growth shape separates isolated
+# dup pairs (reach stalls) from boilerplate percolation (reach explodes
+# geometrically) -- the graph-health counterpart of neardup_degree_
+# profile one level deeper.
+#
+# Plan: KHOP_H bounded expansion rounds over the symmetrized edge list
+# -- R_h = distinct(R_{h-1} UNION R_{h-1} JOIN edges), each one
+# shuffle join + distinct -- then one combinable count per (src, h).
+# Exact distinct reach is kept because the near-dup graph is sparse and
+# h is a small constant; the 100 TB path for dense graphs is the
+# HyperBall formulation (HLL registers per node, union instead of
+# distinct -- mergeable, linear), which this engine would surface as a
+# rows-only sketch query like sketch_summary.  Self is excluded.
+# ---------------------------------------------------------------------------
+
+KHOP_H = 3
+
+
+def khop_reach_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = (
+        jaccard_pairs_indexed(spark, sf_dir)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+    )
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .localCheckpoint()
+    )
+    reach = edges.select("src", F.col("dst").alias("node")).distinct()
+    counts = reach.groupBy("src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("reach_1")
+    )
+    for h in range(2, KHOP_H + 1):
+        step = reach.join(
+            edges.select(F.col("src").alias("node"), F.col("dst").alias("nxt")),
+            "node",
+        ).select("src", F.col("nxt").alias("node"))
+        reach = (
+            reach.unionByName(step)
+            .filter(F.col("node") != F.col("src"))
+            .distinct()
+            .localCheckpoint()  # truncate the per-round lineage
+        )
+        counts = counts.join(
+            reach.groupBy("src").agg(
+                F.count(F.lit(1)).cast("bigint").alias(f"reach_{h}")
+            ),
+            "src",
+        )
+    return counts.select(
+        F.col("src").alias("doc_id"),
+        *[F.col(f"reach_{h}") for h in range(1, KHOP_H + 1)],
+    ).orderBy("doc_id")
+
+
+def _khop_oracle() -> str:
+    rounds = []
+    prev = "r1"
+    for h in range(2, KHOP_H + 1):
+        rounds.append(f"""
+    r{h} AS (
+        SELECT DISTINCT src, node FROM (
+            SELECT src, node FROM {prev}
+            UNION ALL
+            SELECT p.src, e.dst AS node
+            FROM {prev} p JOIN edges e ON p.node = e.src
+        ) WHERE node <> src
+    )""")
+        prev = f"r{h}"
+    cnt_ctes = ",".join(
+        f"""
+    c{h} AS (SELECT src, CAST(count(*) AS BIGINT) AS reach_{h}
+             FROM r{h} GROUP BY src)"""
+        for h in range(1, KHOP_H + 1)
+    )
+    joins = " ".join(f"JOIN c{h} USING (src)" for h in range(2, KHOP_H + 1))
+    cols = ", ".join(f"reach_{h}" for h in range(1, KHOP_H + 1))
+    return f"""
+    WITH {DUCKDB_SHINGLES_CTE},
+{_SQL_EDGES_CTE},
+    r1 AS (SELECT DISTINCT src, dst AS node FROM edges),{",".join(rounds)},{cnt_ctes}
+    SELECT src AS doc_id, {cols}
+    FROM c1 {joins}
+    ORDER BY doc_id
+"""
+
+
+KHOP_REACH_ORACLE = _khop_oracle()
+
+
 GRAPH_QUERIES: list[tuple[str, object, str | None]] = [
     ("neardup_kcore_peel", neardup_kcore_peel, KCORE_ORACLE),
     ("link_prediction_scores", link_prediction_scores, LINK_PREDICTION_ORACLE),
+    ("khop_reach_profile", khop_reach_profile, KHOP_REACH_ORACLE),
     ("neardup_pagerank", neardup_pagerank, PAGERANK_ORACLE),
     ("neardup_triangles", neardup_triangles, TRIANGLES_ORACLE),
     ("neardup_degree_profile", neardup_degree_profile, DEGREE_PROFILE_ORACLE),

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import (
+    DIM,
     SQL_NORMALIZED_CTE,
     flat_dot,
     flat_normalized,
@@ -4196,7 +4197,174 @@ PQ_DISTORTION_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random-projection distortion audit -- the
+# dimensionality-reduction decision table beside the PQ/Matryoshka ones:
+# project DIM -> JL_DOUT with a deterministic +/-1 sign matrix (the
+# Achlioptas database-friendly JL construction: y = Px / sqrt(d_out),
+# E[|ya-yb|^2] = |xa-xb|^2) and report, per original-distance decile,
+# how far pairwise distances move (ratio min/mean/max).  A near-1 band
+# at every decile says a 4x cheaper index/shuffle key is safe; a wide
+# band refutes it for this corpus -- the same measure-don't-assume role
+# pq_residual_gain_audit plays for IVFADC.
+#
+# Determinism: the sign matrix is md5-derived at IMPORT time, so the
+# same literals are compiled into the Spark expressions AND the oracle
+# SQL text; projections and distances are flat left-assoc double
+# arithmetic (bit-identical cross-engine, the functions/vectors.py
+# contract); the mean ratio goes through the DECIMAL(18,9) squash so
+# the per-decile sum is order-independent.
+#
+# Scale: the audited pair set is all pairs of a JL_SAMPLE-row md5-rank
+# sample (codebook_ids -- fixed cardinality, TakeOrderedAndProject, so
+# the crossJoin is a broadcast of a CONSTANT-size side at any corpus
+# size); the ntile window rides the post-limit pair table.  Projecting
+# the full corpus is a map-only pass (16 flat expressions) -- the audit
+# deliberately scores only the sample.
+# ---------------------------------------------------------------------------
+
+JL_DOUT = 16
+JL_SAMPLE = 64
+
+
+def _jl_sign(i: int, k: int) -> int:
+    import hashlib
+
+    return 1 if int(hashlib.md5(f"jl:{i}:{k}".encode()).hexdigest()[0], 16) % 2 == 0 else -1
+
+
+_JL_SIGNS = [[_jl_sign(i, k) for k in range(JL_DOUT)] for i in range(DIM)]
+
+
+def _jl_proj_expr(arr: str, k: int) -> str:
+    """'0.0D +/- element_at(arr, i) ...' projection expression for lane k."""
+    terms = "".join(
+        f" {'+' if _JL_SIGNS[i][k] > 0 else '-'} element_at({arr}, {i + 1})"
+        for i in range(DIM)
+    )
+    return f"0.0D{terms}"
+
+
+def _jl_sq_expr(a: str, b: str, n: int, elem) -> str:
+    terms = "".join(f" + ({elem(a, i)} - {elem(b, i)}) * ({elem(a, i)} - {elem(b, i)})" for i in range(n))
+    return f"0.0D{terms}"
+
+
+def jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    sampled = emb.join(F.broadcast(codebook_ids(emb, JL_SAMPLE)), "vec_id")
+    proj = sampled.select(
+        "vec_id",
+        "e",
+        *[F.expr(_jl_proj_expr("e", k)).alias(f"p{k}") for k in range(JL_DOUT)],
+    )
+    a = proj.select(
+        F.col("vec_id").alias("va"),
+        F.col("e").alias("ea"),
+        *[F.col(f"p{k}").alias(f"pa{k}") for k in range(JL_DOUT)],
+    )
+    b = proj.select(
+        F.col("vec_id").alias("vb"),
+        F.col("e").alias("eb"),
+        *[F.col(f"p{k}").alias(f"pb{k}") for k in range(JL_DOUT)],
+    )
+    elem_arr = lambda p, i: f"element_at({p}, {i + 1})"  # noqa: E731
+    elem_col = lambda p, i: f"{p}{i}"  # noqa: E731
+    pairs = (
+        a.crossJoin(F.broadcast(b))  # JL_SAMPLE rows: constant-size side
+        .filter(F.col("va") < F.col("vb"))
+        .select(
+            "va",
+            "vb",
+            F.expr(f"sqrt({_jl_sq_expr('ea', 'eb', DIM, elem_arr)})").alias(
+                "d_orig"
+            ),
+            (
+                F.expr(f"sqrt({_jl_sq_expr('pa', 'pb', JL_DOUT, elem_col)})")
+                / F.lit(4.0)
+            ).alias("d_proj"),
+        )
+        .filter(F.col("d_orig") > 0)
+        .withColumn("ratio", F.col("d_proj") / F.col("d_orig"))
+    )
+    # ntile input is the post-limit sample-pair table, never the corpus
+    w = Window.orderBy("d_orig", "va", "vb")
+    return (
+        pairs.withColumn("decile", F.ntile(10).over(w).cast("int"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.min("ratio").alias("min_ratio"),
+            F.max("ratio").alias("max_ratio"),
+            (
+                F.sum(F.col("ratio").cast("decimal(18,9)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_ratio"),
+        )
+        .orderBy("decile")
+    )
+
+
+def _jl_oracle() -> str:
+    proj_cols = ",\n               ".join(
+        "0.0"
+        + "".join(
+            f" {'+' if _JL_SIGNS[i][k] > 0 else '-'} v[{i + 1}]"
+            for i in range(DIM)
+        )
+        + f" AS p{k}"
+        for k in range(JL_DOUT)
+    )
+    d_orig = "0.0" + "".join(
+        f" + (a.v[{i + 1}] - b.v[{i + 1}]) * (a.v[{i + 1}] - b.v[{i + 1}])"
+        for i in range(DIM)
+    )
+    d_proj = "0.0" + "".join(
+        f" + (a.p{k} - b.p{k}) * (a.p{k} - b.p{k})" for k in range(JL_DOUT)
+    )
+    return f"""
+    WITH samp AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        WHERE vec_id IN {sql_codebook_ids(JL_SAMPLE)}
+    ),
+    proj AS (
+        SELECT vec_id, v,
+               {proj_cols}
+        FROM samp
+    ),
+    pairs AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb,
+               sqrt({d_orig}) AS d_orig,
+               sqrt({d_proj}) / 4.0 AS d_proj
+        FROM proj a JOIN proj b ON a.vec_id < b.vec_id
+    ),
+    rated AS (
+        SELECT va, vb, d_orig, d_proj / d_orig AS ratio,
+               CAST(ntile(10) OVER (ORDER BY d_orig, va, vb) AS INTEGER)
+                   AS decile
+        FROM pairs WHERE d_orig > 0
+    )
+    SELECT decile, CAST(count(*) AS BIGINT) AS n_pairs,
+           min(ratio) AS min_ratio, max(ratio) AS max_ratio,
+           CAST(sum(CAST(ratio AS DECIMAL(18,9))) AS DOUBLE) / count(*)
+               AS mean_ratio
+    FROM rated
+    GROUP BY decile
+    ORDER BY decile
+"""
+
+
+JL_DISTORTION_ORACLE = _jl_oracle()
+
+
 SIMILARITY_QUERIES: list[tuple[str, object, str | None]] = [
+    (
+        "jl_projection_distortion",
+        jl_projection_distortion,
+        JL_DISTORTION_ORACLE,
+    ),
     ("pq_distortion_stats", pq_distortion_stats, PQ_DISTORTION_ORACLE),
     ("ivf_cell_balance", ivf_cell_balance, IVF_CELL_BALANCE_ORACLE),
     ("pq_code_usage", pq_code_usage, PQ_CODE_USAGE_ORACLE),

@@ -183,3 +183,45 @@ def test_link_prediction_matches_bruteforce_sets(spark):
         assert abs(r.jaccard_nbr - round(cn / (da + db - cn), 6)) < 1e-12
         # two decimal(18,9) squashes per term -> <= 2*cn*5e-10 drift
         assert abs(r.adamic_adar - aa) <= 2e-9 * cn + 1e-12
+
+
+def test_khop_reach_matches_python_bfs(spark):
+    """Exact-BFS differential: reach_h equals |{u != v : dist(v,u) <= h}|
+    from a pure-Python BFS over the same verified edge list, and reach
+    is monotone in h."""
+    from collections import deque
+
+    from mapreduce_on_google_cloud_platform_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+    )
+    from mapreduce_on_google_cloud_platform_spark.operators.graph import KHOP_H
+
+    nbrs: dict[int, set] = {}
+    for r in QUERIES["dedup_ngram_jaccard"](spark, SF_SMOKE).collect():
+        if r.jaccard >= JACCARD_THRESHOLD:
+            nbrs.setdefault(r.doc_a, set()).add(r.doc_b)
+            nbrs.setdefault(r.doc_b, set()).add(r.doc_a)
+
+    def bfs(v: int) -> list:
+        dist = {v: 0}
+        q = deque([v])
+        while q:
+            x = q.popleft()
+            if dist[x] >= KHOP_H:
+                continue
+            for y in nbrs[x]:
+                if y not in dist:
+                    dist[y] = dist[x] + 1
+                    q.append(y)
+        return [
+            sum(1 for u, d in dist.items() if u != v and d <= h)
+            for h in range(1, KHOP_H + 1)
+        ]
+
+    rows = QUERIES["khop_reach_profile"](spark, SF_SMOKE).collect()
+    assert {r.doc_id for r in rows} == set(nbrs)
+    for r in rows:
+        expect = bfs(r.doc_id)
+        got = [r.reach_1, r.reach_2, r.reach_3]
+        assert got == expect, r.doc_id
+        assert got[0] <= got[1] <= got[2]

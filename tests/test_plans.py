@@ -1151,3 +1151,22 @@ def test_unigram_learn_em_is_jvm_only_over_checkpoints(spark):
     plan = plan_of(spark, "unigram_lm_learn")
     assert "ExistingRDD" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_jl_crossjoin_side_is_constant_sample(spark):
+    """The all-pairs stage must be a broadcast nested-loop of the
+    JL_SAMPLE-row md5-rank sample (TakeOrderedAndProject limit -- a
+    CONSTANT-size side at any corpus), never a corpus-side shuffle."""
+    plan = plan_of(spark, "jl_projection_distortion")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_khop_rides_checkpointed_frontier(spark):
+    """Each expansion round is lineage-truncated (ExistingRDD) and the
+    per-hop counts are combinable aggregates with no cartesian."""
+    plan = plan_of(spark, "khop_reach_profile")
+    assert "ExistingRDD" in plan
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan

@@ -850,3 +850,83 @@ def test_residual_gain_audit_structure(spark):
         assert r.raw_d2_sum >= 0 and r.residual_d2_sum >= 0
         if r.residual_d2_sum > 0:
             assert r.gain == r.raw_d2_sum / r.residual_d2_sum
+
+
+def test_jl_distortion_matches_python_recompute(spark):
+    """Full differential: per-decile pair counts and ratio stats
+    reproduce a pure-Python recompute using the same md5-derived sign
+    matrix, md5-rank sample, and fold order; and the mean distortion
+    stays in a sane JL band on every decile."""
+    import hashlib
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from mapreduce_on_google_cloud_platform_spark.functions.vectors import DIM
+    from mapreduce_on_google_cloud_platform_spark.operators.similarity import (
+        _JL_SIGNS,
+        JL_DOUT,
+        JL_SAMPLE,
+    )
+    from mapreduce_on_google_cloud_platform_spark.sources import load_table
+
+    emb = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in load_table(spark, SF_SMOKE, "embeddings").collect()
+    }
+    sample = sorted(
+        emb, key=lambda v: (hashlib.md5(str(v).encode()).hexdigest(), v)
+    )[:JL_SAMPLE]
+
+    def proj(v: list) -> list:
+        out = []
+        for k in range(JL_DOUT):
+            acc = 0.0
+            for i in range(DIM):
+                acc = acc + v[i] if _JL_SIGNS[i][k] > 0 else acc - v[i]
+            out.append(acc)
+        return out
+
+    import math
+
+    ps = {v: proj(emb[v]) for v in sample}
+    pairs = []
+    for i, a in enumerate(sorted(sample)):
+        for b in sorted(sample)[i + 1 :]:
+            acc = 0.0
+            for d in range(DIM):
+                acc = acc + (emb[a][d] - emb[b][d]) * (emb[a][d] - emb[b][d])
+            d_orig = math.sqrt(acc)
+            acc = 0.0
+            for k in range(JL_DOUT):
+                acc = acc + (ps[a][k] - ps[b][k]) * (ps[a][k] - ps[b][k])
+            d_proj = math.sqrt(acc) / 4.0
+            if d_orig > 0:
+                pairs.append((d_orig, a, b, d_proj / d_orig))
+    pairs.sort()
+    n = len(pairs)
+    deciles: dict[int, list] = {}
+    for idx, (_, _, _, ratio) in enumerate(pairs):
+        # ntile semantics: first n % 10 tiles get ceil(n/10)
+        base, rem = divmod(n, 10)
+        tile = (
+            idx // (base + 1) + 1
+            if idx < (base + 1) * rem
+            else rem + (idx - (base + 1) * rem) // base + 1
+        )
+        deciles.setdefault(tile, []).append(ratio)
+    rows = QUERIES["jl_projection_distortion"](spark, SF_SMOKE).collect()
+    assert {r.decile for r in rows} == set(deciles)
+    for r in rows:
+        rs = deciles[r.decile]
+        assert r.n_pairs == len(rs)
+        assert abs(r.min_ratio - min(rs)) < 1e-12
+        assert abs(r.max_ratio - max(rs)) < 1e-12
+        mean = float(
+            sum(
+                Decimal(repr(x)).quantize(
+                    Decimal("1.000000000"), rounding=ROUND_HALF_UP
+                )
+                for x in rs
+            )
+        ) / len(rs)
+        assert abs(r.mean_ratio - mean) < 1e-9
+        assert 0.3 < r.mean_ratio < 1.7, "distortion far outside the JL band"
