@@ -273,6 +273,11 @@ HEADLINE = [
     # JL projection decision table + bounded neighborhood function
     "jl_projection_distortion",
     "khop_reach_profile",
+    # governance sensitivity table, gate agreement, filtered ANN serving
+    "dp_sensitivity_audit",
+    "gate_agreement_kappa",
+    "ann_filtered_topk",
+    "ann_filter_recall_audit",
     # dedup_method_eval re-runs five declared pipelines; its components
     # are each benched above, so it is left out of the headline suite
 ]

@@ -2211,7 +2211,106 @@ def _source_epochs_oracle() -> str:
 SOURCE_EPOCHS_ORACLE = _source_epochs_oracle()
 
 
+# ---------------------------------------------------------------------------
+# Differential-privacy sensitivity audit -- the table a DP release of
+# per-event-type aggregates has to be designed AGAINST: before anyone
+# picks a noise scale, they need each aggregate's SENSITIVITY (how much
+# one user can move it).  Per event type this reports, over exact cents:
+#
+#   max_user_day_cents   -- L-inf sensitivity of a per-(type, day) sum
+#                           under EVENT-level adjacency is one event;
+#                           under USER-DAY adjacency it is this value
+#   max_user_total_cents -- user-level sensitivity of the type total
+#   p95_user_total_cents -- the clipping bound that keeps 95% of users
+#                           un-clipped (the standard budget/utility
+#                           trade point)
+#   top_user_share       -- the dominance diagnostic: a share near 1
+#                           means user-level DP noise must swamp the
+#                           statistic and the release plan is moot
+#
+# The audit itself is deterministic exact arithmetic (no noise is added
+# here -- adding noise is the RELEASE step and is inherently
+# nondeterministic, so it cannot live behind a value-hash gate; the
+# k-anon / l-diversity / t-closeness trio plus this sensitivity table
+# are the deterministic 90% of a governance review).
+#
+# Scale: one combinable (type, user, day) rollup, a (type, user)
+# re-aggregate, then per-type max/percentile over the user table --
+# exact `percentile` is one sort per type group of USER cardinality
+# (quantile_summary's documented posture; the sketch path is
+# percentile_approx).  No windows, no joins beyond the rollups.
+# ---------------------------------------------------------------------------
+
+
+def dp_sensitivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        F.to_date("ts").alias("day"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    user_day = ev.groupBy("event_type", "user_id", "day").agg(
+        F.sum("cents").cast("bigint").alias("day_cents")
+    )
+    user = user_day.groupBy("event_type", "user_id").agg(
+        F.max("day_cents").alias("max_day_cents"),
+        F.sum("day_cents").cast("bigint").alias("total_cents"),
+    )
+    return (
+        user.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.max("max_day_cents").alias("max_user_day_cents"),
+            F.max("total_cents").alias("max_user_total_cents"),
+            F.expr("percentile(total_cents, 0.95D)").alias(
+                "p95_user_total_cents"
+            ),
+            F.sum("total_cents").cast("bigint").alias("_type_total"),
+        )
+        .select(
+            "event_type",
+            "n_users",
+            "max_user_day_cents",
+            "max_user_total_cents",
+            "p95_user_total_cents",
+            (
+                F.col("max_user_total_cents").cast("double")
+                / F.col("_type_total").cast("double")
+            ).alias("top_user_share"),
+        )
+        .orderBy("event_type")
+    )
+
+
+DP_SENSITIVITY_ORACLE = """
+    WITH user_day AS (
+        SELECT event_type, user_id, CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS day_cents
+        FROM events GROUP BY 1, 2, 3
+    ),
+    usr AS (
+        SELECT event_type, user_id,
+               max(day_cents) AS max_day_cents,
+               CAST(sum(day_cents) AS BIGINT) AS total_cents
+        FROM user_day GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_users,
+           max(max_day_cents) AS max_user_day_cents,
+           max(total_cents) AS max_user_total_cents,
+           quantile_cont(total_cents, 0.95) AS p95_user_total_cents,
+           CAST(max(total_cents) AS DOUBLE)
+               / CAST(CAST(sum(total_cents) AS BIGINT) AS DOUBLE)
+               AS top_user_share
+    FROM usr
+    GROUP BY event_type
+    ORDER BY event_type
+"""
+
+
 PIPELINE_QUERIES: list[tuple[str, object, str | None]] = [
+    ("dp_sensitivity_audit", dp_sensitivity_audit, DP_SENSITIVITY_ORACLE),
     ("source_epochs_plan", source_epochs_plan, SOURCE_EPOCHS_ORACLE),
     (
         "source_quality_decision",

@@ -348,6 +348,215 @@ ANN_IVF_ORACLE = f"""
 
 
 # ---------------------------------------------------------------------------
+# FILTERED vector search -- top-k restricted by a metadata predicate
+# (here: same ``label`` as the query), the serving pattern every
+# production vector store struggles with (Qdrant/Vespa/pgvector all
+# document it): POST-filtering an unfiltered top-K' starves recall when
+# the filter is selective, so the engine must push the predicate INTO
+# the candidate scan.  ``ann_filtered_topk`` does exactly that: the
+# label filter lands on the probed-cell candidate join BEFORE scoring
+# (pre-filter), so rank depth never depends on filter selectivity.
+# ``ann_filter_recall_audit`` measures, per label, what that serving
+# actually achieves against the exact same-label truth (the
+# brute-force pass is eager-guarded like ann_topk_bruteforce) -- the
+# decision table for "is NPROBE enough under this filter?".
+#
+# Scale: rides the materialized emb_norm + ivf_assign stores; the label
+# column joins from the raw table (dimension-sized per vector, pruned
+# scan); probes are NPROBE-bounded; per-query top-k is a rank window
+# over probed-cells-only candidates.  The audit's truth side is the
+# guarded sample path, per the exact-pair discipline.
+# ---------------------------------------------------------------------------
+
+ANN_FILTER_K = 5
+
+
+def _labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+
+
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    en = emb_norm_indexed(spark, sf_dir)
+    labels = _labels(spark, sf_dir)
+    cents = F.broadcast(
+        flat_renamed(codebook_rows(en, K_CENTROIDS), "vec_id", "cent_id", "x", "cx")
+    )
+    corpus = en.join(ivf_assign_indexed(spark, sf_dir), "vec_id").join(
+        labels, "vec_id"
+    )
+    queries = flat_renamed(
+        en.filter(F.col("vec_id") % QUERY_STRIDE == 0), "vec_id", "q_id", "x", "qx"
+    ).join(
+        labels.select(F.col("vec_id").alias("q_id"), F.col("label").alias("q_label")),
+        "q_id",
+    )
+    pw = Window.partitionBy("q_id").orderBy(F.desc("p_sim"), F.asc("cent_id"))
+    probes = (
+        queries.crossJoin(cents)
+        .withColumn("p_sim", flat_dot("qx", "cx"))
+        .withColumn("prn", F.row_number().over(pw))
+        .filter(F.col("prn") <= NPROBE)
+        .select("q_id", "q_label", F.col("cent_id").alias("cell"), *[f"qx{i}" for i in range(64)])
+    )
+    rw = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        probes.join(corpus, "cell")
+        # the predicate prunes candidates BEFORE scoring (pre-filter)
+        .filter((F.col("label") == F.col("q_label")) & (F.col("vec_id") != F.col("q_id")))
+        .select(
+            "q_id",
+            "q_label",
+            F.col("vec_id").alias("neighbor_id"),
+            flat_dot("qx", "x").alias("cos_sim"),
+        )
+        .distinct()
+        .withColumn("rank", F.row_number().over(rw).cast("int"))
+        .filter(F.col("rank") <= ANN_FILTER_K)
+    )
+
+
+_SQL_FILTERED_SERVED = f"""
+    lbl AS (SELECT vec_id, label FROM embeddings),
+    cents AS (SELECT vec_id AS cent_id, vn AS cv FROM en
+              WHERE vec_id IN {SQL_CENT_IDS}),
+    assign AS (
+        SELECT vec_id, vn, cell, label FROM (
+            SELECT en.vec_id, en.vn, cent_id AS cell,
+                   row_number() OVER (PARTITION BY en.vec_id
+                                      ORDER BY {sql_dot('en.vn', 'cv')} DESC,
+                                               cent_id) AS arn
+            FROM en, cents
+        ) JOIN lbl USING (vec_id) WHERE arn = 1
+    ),
+    q AS (SELECT en.vec_id AS q_id, vn AS qv, label AS q_label
+          FROM en JOIN lbl ON en.vec_id = lbl.vec_id
+          WHERE en.vec_id % {QUERY_STRIDE} = 0),
+    probes AS (
+        SELECT q_id, qv, q_label, cent_id AS cell FROM (
+            SELECT q_id, qv, q_label, cent_id,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY {sql_dot('qv', 'cv')} DESC,
+                                               cent_id) AS prn
+            FROM q, cents
+        ) WHERE prn <= {NPROBE}
+    ),
+    served AS (
+        SELECT q_id, q_label, neighbor_id, cos_sim,
+               CAST(row_number() OVER (PARTITION BY q_id
+                                       ORDER BY cos_sim DESC, neighbor_id)
+                    AS INTEGER) AS rank
+        FROM (
+            SELECT DISTINCT q_id, q_label, assign.vec_id AS neighbor_id,
+                   {sql_dot('qv', 'assign.vn')} AS cos_sim
+            FROM probes JOIN assign USING (cell)
+            WHERE assign.label = probes.q_label AND assign.vec_id <> q_id
+        )
+    )"""
+
+
+ANN_FILTERED_ORACLE = f"""
+    WITH {SQL_NORMALIZED_CTE},
+{_SQL_FILTERED_SERVED}
+    SELECT q_id, q_label, neighbor_id, cos_sim, rank
+    FROM served WHERE rank <= {ANN_FILTER_K}
+"""
+
+
+def ann_filter_recall_audit(
+    spark: SparkSession, sf_dir: str, *, max_rows: int | None = None
+) -> DataFrame:
+    from .guards import EXACT_PAIRS_MAX_ROWS, ensure_sample_scale
+
+    ensure_sample_scale(
+        load_table(spark, sf_dir, "embeddings"),
+        cap=max_rows if max_rows is not None else EXACT_PAIRS_MAX_ROWS,
+        operator="ann_filter_recall_audit",
+    )
+    en = emb_norm_indexed(spark, sf_dir)
+    labels = _labels(spark, sf_dir)
+    corpus = en.join(labels, "vec_id")
+    queries = flat_renamed(
+        en.filter(F.col("vec_id") % QUERY_STRIDE == 0), "vec_id", "q_id", "x", "qx"
+    ).join(
+        labels.select(F.col("vec_id").alias("q_id"), F.col("label").alias("q_label")),
+        "q_id",
+    )
+    tw = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    truth = (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter((F.col("label") == F.col("q_label")) & (F.col("vec_id") != F.col("q_id")))
+        .select(
+            "q_id",
+            "q_label",
+            F.col("vec_id").alias("neighbor_id"),
+            flat_dot("qx", "x").alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(tw).cast("int"))
+        .filter(F.col("rank") <= ANN_FILTER_K)
+    )
+    served = ann_filtered_topk(spark, sf_dir).select("q_id", "neighbor_id")
+    hits = truth.join(served, ["q_id", "neighbor_id"], "left_semi")
+    per_label = truth.groupBy("q_label").agg(
+        F.countDistinct("q_id").cast("bigint").alias("n_queries"),
+        F.count(F.lit(1)).cast("bigint").alias("n_truth_rows"),
+    )
+    hit_counts = hits.groupBy("q_label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hits")
+    )
+    return (
+        per_label.join(hit_counts, "q_label", "left")
+        .select(
+            F.col("q_label").alias("label"),
+            "n_queries",
+            "n_truth_rows",
+            F.coalesce("n_hits", F.lit(0).cast("bigint")).alias("n_hits"),
+            (
+                F.coalesce("n_hits", F.lit(0).cast("bigint")).cast("double")
+                / F.col("n_truth_rows").cast("double")
+            ).alias("recall"),
+        )
+        .orderBy("label")
+    )
+
+
+ANN_FILTER_RECALL_ORACLE = f"""
+    WITH {SQL_NORMALIZED_CTE},
+{_SQL_FILTERED_SERVED},
+    truth AS (
+        SELECT q_id, q_label, neighbor_id FROM (
+            SELECT q.q_id, q.q_label, en.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY q.q_id
+                                      ORDER BY {sql_dot('q.qv', 'en.vn')} DESC,
+                                               en.vec_id) AS rank
+            FROM q, en JOIN lbl ON en.vec_id = lbl.vec_id
+            WHERE lbl.label = q.q_label AND en.vec_id <> q.q_id
+        ) WHERE rank <= {ANN_FILTER_K}
+    ),
+    hits AS (
+        SELECT t.q_label, count(*) AS n_hits
+        FROM truth t
+        WHERE EXISTS (
+            SELECT 1 FROM served s
+            WHERE s.rank <= {ANN_FILTER_K}
+              AND s.q_id = t.q_id AND s.neighbor_id = t.neighbor_id
+        )
+        GROUP BY t.q_label
+    ),
+    per_label AS (
+        SELECT q_label, CAST(count(DISTINCT q_id) AS BIGINT) AS n_queries,
+               CAST(count(*) AS BIGINT) AS n_truth_rows
+        FROM truth GROUP BY q_label
+    )
+    SELECT per_label.q_label AS label, n_queries, n_truth_rows,
+           CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(coalesce(n_hits, 0) AS DOUBLE) / CAST(n_truth_rows AS DOUBLE)
+               AS recall
+    FROM per_label LEFT JOIN hits USING (q_label)
+    ORDER BY label
+"""
+
+
+# ---------------------------------------------------------------------------
 # IVF nprobe tuning curve -- ann_recall_at_k_curve ladders the DEPTH
 # axis; this ladders the other tuning axis, NPROBE: for each candidate
 # probe width, what fraction of the exact top-K neighbors even land in a
@@ -4364,6 +4573,12 @@ SIMILARITY_QUERIES: list[tuple[str, object, str | None]] = [
         "jl_projection_distortion",
         jl_projection_distortion,
         JL_DISTORTION_ORACLE,
+    ),
+    ("ann_filtered_topk", ann_filtered_topk, ANN_FILTERED_ORACLE),
+    (
+        "ann_filter_recall_audit",
+        ann_filter_recall_audit,
+        ANN_FILTER_RECALL_ORACLE,
     ),
     ("pq_distortion_stats", pq_distortion_stats, PQ_DISTORTION_ORACLE),
     ("ivf_cell_balance", ivf_cell_balance, IVF_CELL_BALANCE_ORACLE),

@@ -172,6 +172,103 @@ QUALITY_ORACLE = f"""
 """
 
 # ---------------------------------------------------------------------------
+# Inter-gate agreement (Cohen's kappa) -- do two independent quality
+# gates agree beyond chance?  Rater A is the C4-style rule filter's
+# ``keep``; rater B is the composite quality score thresholded at
+# KAPPA_QUALITY_T.  Low kappa between two gates that each look fine in
+# isolation is the standard signal that one of them encodes something
+# the other doesn't (so stacking them changes the corpus materially);
+# kappa ~ 1 says the second gate is redundant.  quality_gate_stack
+# reports the funnel; this reports the STATISTICAL agreement.
+#
+# Exact-arithmetic form: the 2x2 confusion counts are one combinable
+# aggregate; observed and expected agreement reduce to INTEGER
+# numerators over N and N^2,
+#
+#     kappa = (po - pe) / (1 - pe)
+#           = (N*(n11+n00) - pe_num) / (N*N - pe_num),
+#     pe_num = (n11+n10)*(n11+n01) + (n01+n00)*(n10+n00)
+#
+# so the emitted kappa is ONE double division of exact BIGINTs --
+# bit-identical cross-engine with no rounding step.  Both raters are
+# the already-oracle-checked queries, composed by a doc_id equi-join
+# (their oracle SQL composes identically as subqueries).
+# ---------------------------------------------------------------------------
+
+KAPPA_QUALITY_T = 0.45  # ~median composite quality: a non-trivial split
+
+
+def gate_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = c4_style_filter(spark, sf_dir).select("doc_id", F.col("keep").alias("a"))
+    b = text_quality_score(spark, sf_dir).select(
+        "doc_id", (F.col("quality") >= KAPPA_QUALITY_T).alias("b")
+    )
+    cells = a.join(b, "doc_id").agg(
+        F.sum(F.when(F.col("a") & F.col("b"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n11"),
+        F.sum(F.when(F.col("a") & ~F.col("b"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n10"),
+        F.sum(F.when(~F.col("a") & F.col("b"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n01"),
+        F.sum(F.when(~F.col("a") & ~F.col("b"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n00"),
+    )
+    n = F.col("n11") + F.col("n10") + F.col("n01") + F.col("n00")
+    pe_num = (F.col("n11") + F.col("n10")) * (F.col("n11") + F.col("n01")) + (
+        F.col("n01") + F.col("n00")
+    ) * (F.col("n10") + F.col("n00"))
+    po_num = F.col("n11") + F.col("n00")
+    return cells.select(
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        (po_num.cast("double") / n.cast("double")).alias("observed_agreement"),
+        (pe_num.cast("double") / (n * n).cast("double")).alias(
+            "expected_agreement"
+        ),
+        (
+            (n * po_num - pe_num).cast("double")
+            / (n * n - pe_num).cast("double")
+        ).alias("kappa"),
+    )
+
+
+def _kappa_oracle() -> str:
+    return f"""
+    WITH cells AS (
+        SELECT CAST(sum(CASE WHEN a.keep AND q.quality >= {KAPPA_QUALITY_T}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+               CAST(sum(CASE WHEN a.keep AND NOT q.quality >= {KAPPA_QUALITY_T}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+               CAST(sum(CASE WHEN NOT a.keep AND q.quality >= {KAPPA_QUALITY_T}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+               CAST(sum(CASE WHEN NOT a.keep AND NOT q.quality >= {KAPPA_QUALITY_T}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n00
+        FROM ({{c4}}) a JOIN ({{q}}) q USING (doc_id)
+    )
+    SELECT n11, n10, n01, n00,
+           CAST(n11 + n00 AS DOUBLE) / CAST(n11 + n10 + n01 + n00 AS DOUBLE)
+               AS observed_agreement,
+           CAST((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)
+                AS DOUBLE)
+               / CAST((n11 + n10 + n01 + n00) * (n11 + n10 + n01 + n00)
+                      AS DOUBLE) AS expected_agreement,
+           CAST((n11 + n10 + n01 + n00) * (n11 + n00)
+                - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+                AS DOUBLE)
+               / CAST((n11 + n10 + n01 + n00) * (n11 + n10 + n01 + n00)
+                      - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+                      AS DOUBLE) AS kappa
+    FROM cells
+"""
+
+
+# ---------------------------------------------------------------------------
 # Source-relative quality normalization -- the within-source percentile
 # rank of the quality score.  Absolute-threshold gates (quality_gate_*,
 # source_quality_decision) let a uniformly-high-scoring source crowd out
@@ -3294,6 +3391,8 @@ def _c4_oracle() -> str:
 
 C4_FILTER_ORACLE = _c4_oracle()
 
+KAPPA_ORACLE = _kappa_oracle().format(c4=C4_FILTER_ORACLE, q=QUALITY_ORACLE)
+
 
 # ---------------------------------------------------------------------------
 # Quality-gate stack funnel -- the counterpart of dedup_policy_funnel
@@ -5098,6 +5197,7 @@ TEXT_ANALYSIS_QUERIES: list[tuple[str, object, str | None]] = [
     # checked against an independent pure-Python BPE in pytest
     ("bpe_encode_documents", bpe_encode_documents, None),
     ("c4_style_filter", c4_style_filter, C4_FILTER_ORACLE),
+    ("gate_agreement_kappa", gate_agreement_kappa, KAPPA_ORACLE),
     ("source_vocab_overlap", source_vocab_overlap, SOURCE_OVERLAP_ORACLE),
     (
         "tokenizer_fertility_by_lang",

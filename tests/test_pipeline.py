@@ -425,3 +425,30 @@ def test_source_epochs_plan_conserves_budget(spark):
                 lo.temp_share / hi.temp_share
                 >= lo.raw_share / hi.raw_share - 1e-6
             )
+
+
+def test_dp_sensitivity_matches_python_recompute(spark):
+    """Sensitivity bounds reproduce a direct Python rollup of the raw
+    events, and the dominance share is consistent with them."""
+    from collections import defaultdict
+
+    from mapreduce_on_google_cloud_platform_spark.sources import load_table
+
+    per = defaultdict(lambda: defaultdict(lambda: defaultdict(int)))
+    for r in load_table(spark, SF_SMOKE, "events").collect():
+        per[r.event_type][r.user_id][r.ts.date()] += round(r.value * 100)
+    rows = {r.event_type: r for r in QUERIES["dp_sensitivity_audit"](spark, SF_SMOKE).collect()}
+    assert set(rows) == set(per)
+    for et, users in per.items():
+        totals = sorted(sum(d.values()) for d in users.values())
+        max_day = max(c for d in users.values() for c in d.values())
+        r = rows[et]
+        assert r.n_users == len(users)
+        assert r.max_user_day_cents == max_day
+        assert r.max_user_total_cents == totals[-1]
+        assert abs(r.top_user_share - totals[-1] / sum(totals)) < 1e-12
+        # exact interpolated percentile (quantile_summary definition)
+        idx = 0.95 * (len(totals) - 1)
+        lo, hi = int(idx), min(int(idx) + 1, len(totals) - 1)
+        p95 = totals[lo] + (idx - lo) * (totals[hi] - totals[lo])
+        assert abs(r.p95_user_total_cents - p95) < 1e-6

@@ -1170,3 +1170,40 @@ def test_khop_rides_checkpointed_frontier(spark):
     assert "ExistingRDD" in plan
     assert "partial_count" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_filtered_topk_probes_stores_and_prunes_prefilter(spark):
+    """Filtered serving must ride the materialized emb_norm/ivf_assign
+    stores, and the label predicate must be a JOIN KEY of the candidate
+    join -- Catalyst folds the pre-filter equality into the (cell,
+    label) key pair, so candidates are pruned by hash lookup BEFORE
+    scoring (post-filtering an unfiltered top-k would show label only
+    in a Filter above the rank window)."""
+    import re
+
+    plan = plan_of(spark, "ann_filtered_topk")
+    assert "ivf_assign" in plan and "emb_norm" in plan
+    assert "CartesianProduct" not in plan
+    keyed = re.search(
+        r"Left keys \[2\]: \[q_label#\d+, cell#\d+L\]", plan
+    ) or re.search(r"Left keys \[2\]: \[cell#\d+L, q_label#\d+\]", plan)
+    assert keyed, "label is not a key of the candidate join"
+
+
+def test_kappa_single_pass_confusion(spark):
+    """The 2x2 confusion table must be one combinable aggregate over the
+    doc_id equi-join of the two gates -- no windows, no cartesian."""
+    plan = plan_of(spark, "gate_agreement_kappa")
+    assert "partial_" in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dp_sensitivity_rollups_are_combinable(spark):
+    """(type, user, day) -> (type, user) -> type: three combinable
+    aggregates, a pruned scan (props never read), no joins/windows."""
+    plan = plan_of(spark, "dp_sensitivity_audit")
+    assert "partial_" in plan
+    assert "Window" not in plan and "Join" not in plan
+    scan = plan[plan.index("ReadSchema") :].splitlines()[0]
+    assert "props" not in scan and "event_id" not in scan

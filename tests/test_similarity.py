@@ -930,3 +930,92 @@ def test_jl_distortion_matches_python_recompute(spark):
         ) / len(rs)
         assert abs(r.mean_ratio - mean) < 1e-9
         assert 0.3 < r.mean_ratio < 1.7, "distortion far outside the JL band"
+
+
+def test_filtered_topk_honors_predicate_and_rank(spark):
+    """Every served neighbor carries the query's own label (the
+    predicate prunes BEFORE scoring, so nothing else can leak through),
+    ranks are dense from 1 and bounded by ANN_FILTER_K, and scores
+    descend within each query."""
+    from mapreduce_on_google_cloud_platform_spark.operators.similarity import (
+        ANN_FILTER_K,
+    )
+    from mapreduce_on_google_cloud_platform_spark.sources import load_table
+
+    labels = {
+        r.vec_id: r.label
+        for r in load_table(spark, SF_SMOKE, "embeddings")
+        .select("vec_id", "label")
+        .collect()
+    }
+    per_q: dict[int, list] = {}
+    for r in QUERIES["ann_filtered_topk"](spark, SF_SMOKE).collect():
+        assert r.q_label == labels[r.q_id]
+        assert labels[r.neighbor_id] == r.q_label
+        assert r.neighbor_id != r.q_id
+        per_q.setdefault(r.q_id, []).append(r)
+    for q, rows in per_q.items():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        assert len(rows) <= ANN_FILTER_K
+        sims = [r.cos_sim for r in rows]
+        assert sims == sorted(sims, reverse=True), q
+
+
+def test_filter_recall_audit_matches_python_truth(spark):
+    """The audit's per-label recall reproduces a pure-Python exact
+    same-label truth (normalized dot products, identical fold order via
+    math.fsum-free sequential sum) intersected with the served table."""
+    from mapreduce_on_google_cloud_platform_spark.functions.vectors import DIM
+    from mapreduce_on_google_cloud_platform_spark.operators.similarity import (
+        ANN_FILTER_K,
+        QUERY_STRIDE,
+    )
+    from mapreduce_on_google_cloud_platform_spark.sources import load_table
+
+    emb, labels = {}, {}
+    for r in load_table(spark, SF_SMOKE, "embeddings").collect():
+        v = [float(x) for x in r.embedding]
+        acc = 0.0
+        for x in v:
+            acc = acc + x * x
+        n = acc ** 0.5
+        emb[r.vec_id] = [x / n for x in v]
+        labels[r.vec_id] = r.label
+
+    def dot(a, b):
+        acc = 0.0
+        for i in range(DIM):
+            acc = acc + a[i] * b[i]
+        return acc
+
+    truth: dict[int, list] = {}
+    for q in emb:
+        if q % QUERY_STRIDE != 0:
+            continue
+        scored = sorted(
+            (
+                (-dot(emb[q], emb[v]), v)
+                for v in emb
+                if v != q and labels[v] == labels[q]
+            )
+        )[:ANN_FILTER_K]
+        truth[q] = [v for _, v in scored]
+    served = {
+        (r.q_id, r.neighbor_id)
+        for r in QUERIES["ann_filtered_topk"](spark, SF_SMOKE).collect()
+    }
+    expected: dict[str, list] = {}
+    for q, vs in truth.items():
+        lab = labels[q]
+        e = expected.setdefault(lab, [0, 0, 0])
+        e[0] += 1
+        e[1] += len(vs)
+        e[2] += sum(1 for v in vs if (q, v) in served)
+    rows = QUERIES["ann_filter_recall_audit"](spark, SF_SMOKE).collect()
+    assert {r.label for r in rows} == set(expected)
+    for r in rows:
+        nq, nt, nh = expected[r.label]
+        assert (r.n_queries, r.n_truth_rows, r.n_hits) == (nq, nt, nh)
+        assert abs(r.recall - nh / nt) < 1e-12
+        assert 0.0 <= r.recall <= 1.0

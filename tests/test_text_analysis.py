@@ -1133,3 +1133,29 @@ def test_unigram_candidates_is_learn_round_zero(spark):
         for r in QUERIES["unigram_piece_candidates"](spark, SF_SMOKE).collect()
     }
     assert got == round0
+
+
+def test_kappa_matches_python_confusion(spark):
+    """Kappa reproduces a direct Python recompute from the two gates'
+    own outputs, and the integer-numerator identity holds exactly."""
+    from mapreduce_on_google_cloud_platform_spark.operators.text_analysis import (
+        KAPPA_QUALITY_T,
+    )
+
+    a = {r.doc_id: r.keep for r in QUERIES["c4_style_filter"](spark, SF_SMOKE).collect()}
+    b = {
+        r.doc_id: r.quality >= KAPPA_QUALITY_T
+        for r in QUERIES["text_quality_score"](spark, SF_SMOKE).collect()
+    }
+    n11 = sum(1 for d in a if a[d] and b[d])
+    n10 = sum(1 for d in a if a[d] and not b[d])
+    n01 = sum(1 for d in a if not a[d] and b[d])
+    n00 = sum(1 for d in a if not a[d] and not b[d])
+    n = n11 + n10 + n01 + n00
+    pe_num = (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)
+    row = QUERIES["gate_agreement_kappa"](spark, SF_SMOKE).collect()[0]
+    assert (row.n11, row.n10, row.n01, row.n00) == (n11, n10, n01, n00)
+    assert row.observed_agreement == (n11 + n00) / n
+    assert row.expected_agreement == pe_num / (n * n)
+    assert row.kappa == (n * (n11 + n00) - pe_num) / (n * n - pe_num)
+    assert -1.0 <= row.kappa <= 1.0
