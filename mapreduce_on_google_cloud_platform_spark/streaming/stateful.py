@@ -776,3 +776,111 @@ def streaming_heavy_hitters_query(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming weighted reservoir -- the continuous-ingest twin of the
+# batch ``weighted_reservoir_sample``.  A-ES is MERGEABLE by
+# construction (the reservoir is just the top-K items by the
+# hash-derived key u^(1/w), and top-K of a union is top-K of top-Ks),
+# so the stream maintains per-source state of at most RESERVOIR_K
+# (doc_id, weight) pairs and re-emits the current reservoir each
+# micro-batch.  Any ingest order, any batch split, yields the same
+# final reservoir as the batch query over the same rows -- pinned
+# BIT-EXACTLY in tests/test_streaming.py (two-split replay vs
+# weighted_reservoir_sample).
+#
+# The selection key is recomputed from (doc_id, weight) on every merge
+# -- state stays a K-pair csv, no float round-trips through state --
+# with the IDENTICAL arithmetic the batch plan runs: u = (hex60(md5)
+# mod P + 1)/2^31, ln squashed to the DECIMAL(18,9) quantum, one IEEE
+# division by the weight.
+#
+# Scale posture: state is O(K) per source (constant), one Arrow batch
+# per source per micro-batch; idle keys would take a timeout in a
+# production variant, as with the other monitors.
+# ---------------------------------------------------------------------------
+
+RES_STATE_SCHEMA = StructType(
+    [StructField("members", StringType())]  # csv of doc_id:weight pairs
+)
+
+RES_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("source", StringType()),
+        StructField("sample_rank", LongType()),
+        StructField("doc_id", LongType()),
+        StructField("weight", LongType()),
+        StructField("key", DoubleType()),
+    ]
+)
+
+
+def _aes_key(doc_id: int, weight: int) -> float:
+    """The batch plan's A-ES ranking key, recomputed exactly in Python
+    (the same recompute tests/test_statistics.py proves bit-equal to the
+    Spark expression)."""
+    import hashlib
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    p = 2147483647
+    h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16) % p
+    ln9 = Decimal(repr(math.log((h + 1) / 2147483648.0))).quantize(
+        Decimal("1.000000000"), rounding=ROUND_HALF_UP
+    )
+    return float(ln9) / weight
+
+
+def streaming_weighted_reservoir_query(spark: SparkSession, in_dir: str, schema):
+    """readStream(documents parquet dir) -> groupBy(source) ->
+    applyInPandasWithState A-ES top-K reservoir merge.  Caller supplies
+    input dir + schema so tests can stage explicit micro-batches."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..operators.statistics import RESERVOIR_K
+
+    def merge(key, pdfs, state):
+        import pandas as pd
+
+        (source,) = key
+        members: list[tuple[int, int]] = []
+        if state.exists:
+            (packed,) = state.get
+            if packed:
+                members = [
+                    (int(d), int(w))
+                    for d, w in (p.split(":") for p in packed.split(";"))
+                ]
+        for pdf in pdfs:
+            members.extend(
+                (int(d), int(w))
+                for d, w in zip(pdf["doc_id"], pdf["n_chars"])
+            )
+        # top-K by (key desc, doc_id asc): identical order to the batch
+        # window's ORDER BY key DESC, doc_id
+        members.sort(key=lambda t: (-_aes_key(t[0], t[1]), t[0]))
+        members = members[:RESERVOIR_K]
+        state.update((";".join(f"{d}:{w}" for d, w in members),))
+        yield pd.DataFrame(
+            {
+                "source": [source] * len(members),
+                "sample_rank": list(range(1, len(members) + 1)),
+                "doc_id": [d for d, _ in members],
+                "weight": [w for _, w in members],
+                "key": [_aes_key(d, w) for d, w in members],
+            }
+        )
+
+    docs = spark.readStream.schema(schema).parquet(in_dir)
+    return (
+        docs.select("source", "doc_id", "n_chars")
+        .groupBy("source")
+        .applyInPandasWithState(
+            merge,
+            outputStructType=RES_OUTPUT_SCHEMA,
+            stateStructType=RES_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -812,3 +812,55 @@ def test_streaming_cusum_agrees_with_batch(spark, tmp_path):
         assert s.value_cents == b.value_cents, k
         assert s.cusum_cents == b.cusum_cents, k
         assert (s.is_peak == "y") == b.is_peak, k
+
+
+def test_streaming_reservoir_agrees_with_batch(spark, tmp_path):
+    """Stream/batch agreement for the A-ES weighted reservoir: stage the
+    documents table as two arbitrary micro-batches (doc_id parity
+    split); after the full input the latest streamed reservoir per
+    source must equal the batch weighted_reservoir_sample BIT-exactly
+    (top-K of a union is top-K of top-Ks, and the ranking key is the
+    same md5-derived quantized expression on both sides)."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_on_google_cloud_platform_spark.plans import QUERIES
+    from mapreduce_on_google_cloud_platform_spark.sources import load_table
+    from mapreduce_on_google_cloud_platform_spark.streaming.stateful import (
+        streaming_weighted_reservoir_query,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    in_dir = str(tmp_path / "res_in")
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+
+    stream = streaming_weighted_reservoir_query(
+        spark, in_dir, spark.read.parquet(in_dir).schema
+    )
+    q = (
+        stream.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("res_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM res_stream").collect()
+    finally:
+        q.stop()
+
+    # memory sink in update mode appends re-emissions: keep the LAST
+    # full reservoir per source (later rows overwrite earlier ranks)
+    final: dict[tuple, tuple] = {}
+    for r in rows:
+        final[(r.source, r.sample_rank)] = (r.doc_id, r.weight, r.key)
+    batch = {
+        (r.source, r.sample_rank): (r.doc_id, r.weight, r.key)
+        for r in QUERIES["weighted_reservoir_sample"](spark, SF_SMOKE).collect()
+    }
+    assert final == batch
