@@ -3667,15 +3667,20 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", (F.col("offset") + F.col("r")).alias("grank"))
         .localCheckpoint()
     )
-    r1, r2 = ranked.alias("r1"), ranked.alias("r2")
-    cand = None
-    for d in range(1, SNM_WINDOW + 1):
-        step = r1.join(r2, F.col("r2.grank") == F.col("r1.grank") + d).select(
-            F.least(F.col("r1.doc_id"), F.col("r2.doc_id")).alias("doc_a"),
-            F.greatest(F.col("r1.doc_id"), F.col("r2.doc_id")).alias("doc_b"),
-            F.lit(d).cast("int").alias("rank_distance"),
-        )
-        cand = step if cand is None else cand.unionByName(step)
+    # one equi-join on (grank + d): exploding d = 1..W on the left leg
+    # yields the identical pair set as W separate joins but scans the
+    # rank table twice instead of 2*W times
+    r1 = ranked.withColumn(
+        "d", F.explode(F.array(*[F.lit(i) for i in range(1, SNM_WINDOW + 1)]))
+    ).alias("r1")
+    r2 = ranked.alias("r2")
+    cand = r1.join(
+        r2, F.col("r2.grank") == F.col("r1.grank") + F.col("r1.d")
+    ).select(
+        F.least(F.col("r1.doc_id"), F.col("r2.doc_id")).alias("doc_a"),
+        F.greatest(F.col("r1.doc_id"), F.col("r2.doc_id")).alias("doc_b"),
+        F.col("r1.d").cast("int").alias("rank_distance"),
+    )
     jac = jaccard_pairs_indexed(spark, sf_dir).select("doc_a", "doc_b", "jaccard")
     return (
         cand.join(jac, ["doc_a", "doc_b"])

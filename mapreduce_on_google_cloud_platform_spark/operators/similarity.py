@@ -409,7 +409,8 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("neighbor_id"),
             flat_dot("qx", "x").alias("cos_sim"),
         )
-        .distinct()
+        # no distinct: each corpus vector lives in exactly one cell and a
+        # query's probed cells are distinct, so (q_id, neighbor) is unique
         .withColumn("rank", F.row_number().over(rw).cast("int"))
         .filter(F.col("rank") <= ANN_FILTER_K)
     )
@@ -446,7 +447,7 @@ _SQL_FILTERED_SERVED = f"""
                                        ORDER BY cos_sim DESC, neighbor_id)
                     AS INTEGER) AS rank
         FROM (
-            SELECT DISTINCT q_id, q_label, assign.vec_id AS neighbor_id,
+            SELECT q_id, q_label, assign.vec_id AS neighbor_id,
                    {sql_dot('qv', 'assign.vn')} AS cos_sim
             FROM probes JOIN assign USING (cell)
             WHERE assign.label = probes.q_label AND assign.vec_id <> q_id
@@ -4434,6 +4435,9 @@ PQ_DISTORTION_ORACLE = f"""
 
 JL_DOUT = 16
 JL_SAMPLE = 64
+# exact double sqrt(JL_DOUT), baked as the SAME literal into the Spark
+# expression and the oracle SQL -- retuning JL_DOUT retunes the scale
+_JL_SQRT = __import__("math").sqrt(JL_DOUT)
 
 
 def _jl_sign(i: int, k: int) -> int:
@@ -4492,7 +4496,7 @@ def jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             (
                 F.expr(f"sqrt({_jl_sq_expr('pa', 'pb', JL_DOUT, elem_col)})")
-                / F.lit(4.0)
+                / F.lit(_JL_SQRT)
             ).alias("d_proj"),
         )
         .filter(F.col("d_orig") > 0)
@@ -4546,7 +4550,7 @@ def _jl_oracle() -> str:
     pairs AS (
         SELECT a.vec_id AS va, b.vec_id AS vb,
                sqrt({d_orig}) AS d_orig,
-               sqrt({d_proj}) / 4.0 AS d_proj
+               sqrt({d_proj}) / {_JL_SQRT!r} AS d_proj
         FROM proj a JOIN proj b ON a.vec_id < b.vec_id
     ),
     rated AS (

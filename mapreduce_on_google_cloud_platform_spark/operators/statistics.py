@@ -37,6 +37,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.hashing import MINHASH_P
 from ..functions.numeric import checked_bigint as _checked_bigint
 from ..functions.portable import dec
 from ..sources import load_table
@@ -2643,7 +2644,7 @@ MANN_WHITNEY_ORACLE = f"""
 # ---------------------------------------------------------------------------
 
 RESERVOIR_K = 10
-_RES_P = 2147483647  # 2^31 - 1 (functions.hashing.MINHASH_P)
+_RES_P = MINHASH_P  # one modulus, three sites: batch plan, oracle, streaming twin
 
 
 def weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -824,8 +824,9 @@ def _aes_key(doc_id: int, weight: int) -> float:
     import math
     from decimal import ROUND_HALF_UP, Decimal
 
-    p = 2147483647
-    h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16) % p
+    from ..functions.hashing import MINHASH_P
+
+    h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16) % MINHASH_P
     ln9 = Decimal(repr(math.log((h + 1) / 2147483648.0))).quantize(
         Decimal("1.000000000"), rounding=ROUND_HALF_UP
     )

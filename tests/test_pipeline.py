@@ -434,9 +434,16 @@ def test_dp_sensitivity_matches_python_recompute(spark):
 
     from mapreduce_on_google_cloud_platform_spark.sources import load_table
 
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _cents(v: float) -> int:  # F.round is HALF_UP; Python round is not
+        return int(
+            Decimal(repr(v * 100)).quantize(Decimal(1), rounding=ROUND_HALF_UP)
+        )
+
     per = defaultdict(lambda: defaultdict(lambda: defaultdict(int)))
     for r in load_table(spark, SF_SMOKE, "events").collect():
-        per[r.event_type][r.user_id][r.ts.date()] += round(r.value * 100)
+        per[r.event_type][r.user_id][r.ts.date()] += _cents(r.value)
     rows = {r.event_type: r for r in QUERIES["dp_sensitivity_audit"](spark, SF_SMOKE).collect()}
     assert set(rows) == set(per)
     for et, users in per.items():

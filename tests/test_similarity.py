@@ -898,7 +898,7 @@ def test_jl_distortion_matches_python_recompute(spark):
             acc = 0.0
             for k in range(JL_DOUT):
                 acc = acc + (ps[a][k] - ps[b][k]) * (ps[a][k] - ps[b][k])
-            d_proj = math.sqrt(acc) / 4.0
+            d_proj = math.sqrt(acc) / math.sqrt(JL_DOUT)
             if d_orig > 0:
                 pairs.append((d_orig, a, b, d_proj / d_orig))
     pairs.sort()

@@ -561,8 +561,15 @@ def test_mann_whitney_matches_python_recompute(spark):
     )
     from mapreduce_on_google_cloud_platform_spark.sources import load_table
 
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _cents(v: float) -> int:  # F.round is HALF_UP; Python round is not
+        return int(
+            Decimal(repr(v * 100)).quantize(Decimal(1), rounding=ROUND_HALF_UP)
+        )
+
     ev = [
-        (r.event_type, round(r.value * 100))
+        (r.event_type, _cents(r.value))
         for r in load_table(spark, SF_SMOKE, "events")
         .select("event_type", "value")
         .collect()
