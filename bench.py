@@ -278,6 +278,12 @@ HEADLINE = [
     "gate_agreement_kappa",
     "ann_filtered_topk",
     "ann_filter_recall_audit",
+    # round-11 batch 3: k-group rank test, CDC chunk dedup, greedy
+    # k-center selection, split-conformal quality threshold
+    "kruskal_wallis_h_test",
+    "cdc_chunk_dedup",
+    "kcenter_coreset_select",
+    "conformal_quality_threshold",
     # dedup_method_eval re-runs five declared pipelines; its components
     # are each benched above, so it is left out of the headline suite
 ]

@@ -3726,7 +3726,174 @@ SORTED_NEIGHBORHOOD_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Content-defined chunking (CDC) dedup -- the storage-layer complement
+# of the document/passage dedupers above: split every token stream at
+# CONTENT-DEFINED boundaries (a token whose md5 lane value is 0 mod
+# CDC_MOD ends a chunk), fingerprint each chunk, and account duplicate
+# chunk mass per source.  Because boundaries depend only on local
+# content, an insertion or deletion re-aligns within one chunk instead
+# of shifting every subsequent window -- the property fixed-size
+# chunking lacks and the reason rsync/LBFS/FastCDC all cut on content.
+# This is the degenerate gear width (one token of context); a FastCDC
+# rolling gear adds min/max chunk clamps, which need sequential state --
+# deliberately not reproduced, the boundary-rate expectation (1/CDC_MOD)
+# is documented instead.  exact_substring_dedup answers "which SPANS are
+# duplicated"; this answers "how much chunk-level storage/training mass
+# is duplicated, per source" in one linear pass.
+#
+# Determinism: boundaries and fingerprints are md5-derived (portable
+# hashing contract), the chunk fingerprint is md5 of the pos-ordered
+# token join, and the canonical first occurrence is min (doc_id,
+# chunk_id) -- every engine agrees bit-for-bit.
+#
+# Scale shape: tokenize (one scan) -> per-doc prefix-sum window
+# (partitioned by doc_id, bounded by document length) -> one combinable
+# groupBy (doc_id, chunk_id) -> first-occurrence window partitioned by
+# fingerprint (bounded by duplicate multiplicity) -> per-source rollup.
+# No self-joins, no cartesians; the collect_list is per-chunk
+# (~CDC_MOD tokens), never per-doc or global.
+# ---------------------------------------------------------------------------
+
+CDC_MOD = 16  # expected chunk length in tokens (boundary rate 1/16)
+
+
+def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.text import TOKEN_SPLIT_RE, clean_token
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.posexplode(F.split(F.col("text"), TOKEN_SPLIT_RE)).alias(
+                "pos", "_t"
+            ),
+        )
+        .select(
+            "doc_id", "source", "pos", clean_token(F.col("_t")).alias("word")
+        )
+        .filter(F.col("word") != "")
+    )
+    # boundary AFTER a token whose 60-bit md5 prefix is 0 mod CDC_MOD;
+    # chunk_id of a token = boundaries among strictly earlier tokens
+    b = (
+        F.conv(F.substring(F.md5("word"), 1, 15), 16, 10).cast("bigint")
+        % CDC_MOD
+        == 0
+    ).cast("bigint")
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunked = tok.withColumn("b", b).withColumn(
+        "chunk_id", F.coalesce(F.sum("b").over(w_prev), F.lit(0)).cast("bigint")
+    )
+    chunks = chunked.groupBy("doc_id", "source", "chunk_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                    lambda s: s["word"],
+                ),
+                " ",
+            )
+        ).alias("fp"),
+    )
+    w_first = Window.partitionBy("fp").orderBy("doc_id", "chunk_id")
+    flagged = chunks.withColumn("is_dup", F.row_number().over(w_first) > 1)
+    agg = flagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("dup_chunks"),
+        F.sum(F.when(F.col("is_dup"), F.col("n_tokens")).otherwise(0))
+        .cast("bigint")
+        .alias("dup_tokens"),
+    )
+    return agg.select(
+        "source",
+        "n_chunks",
+        "n_tokens",
+        "dup_chunks",
+        "dup_tokens",
+        (
+            F.col("dup_tokens").cast("double") / F.col("n_tokens").cast("double")
+        ).alias("dup_token_share"),
+        (
+            F.col("n_tokens").cast("double") / F.col("n_chunks").cast("double")
+        ).alias("mean_chunk_tokens"),
+    ).orderBy("source")
+
+
+CDC_CHUNK_ORACLE = f"""
+    WITH tok AS (
+        SELECT doc_id, source, pos,
+               regexp_replace(lower(t.tok), '[^0-9a-z]', '', 'g') AS word
+        FROM (
+            SELECT doc_id, source,
+                   unnest(regexp_split_to_array(text, '\\s+')) AS tok,
+                   generate_subscripts(regexp_split_to_array(text, '\\s+'), 1)
+                       - 1 AS pos
+            FROM documents
+        ) t
+        WHERE regexp_replace(lower(t.tok), '[^0-9a-z]', '', 'g') <> ''
+    ),
+    bnd AS (
+        SELECT doc_id, source, pos, word,
+               CASE WHEN ('0x' || substr(md5(word), 1, 15))::BIGINT
+                        % {CDC_MOD} = 0
+                    THEN 1 ELSE 0 END AS b
+        FROM tok
+    ),
+    chunked AS (
+        SELECT doc_id, source, pos, word,
+               CAST(COALESCE(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS chunk_id
+        FROM bnd
+    ),
+    chunks AS (
+        SELECT doc_id, source, chunk_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               md5(string_agg(word, ' ' ORDER BY pos)) AS fp
+        FROM chunked
+        GROUP BY doc_id, source, chunk_id
+    ),
+    flagged AS (
+        SELECT source, n_tokens,
+               row_number() OVER (PARTITION BY fp ORDER BY doc_id, chunk_id)
+                   > 1 AS is_dup
+        FROM chunks
+    ),
+    agg AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_chunks,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+                   AS dup_chunks,
+               CAST(sum(CASE WHEN is_dup THEN n_tokens ELSE 0 END) AS BIGINT)
+                   AS dup_tokens
+        FROM flagged
+        GROUP BY source
+    )
+    SELECT source, n_chunks, n_tokens, dup_chunks, dup_tokens,
+           CAST(dup_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+               AS dup_token_share,
+           CAST(n_tokens AS DOUBLE) / CAST(n_chunks AS DOUBLE)
+               AS mean_chunk_tokens
+    FROM agg
+    ORDER BY source
+"""
+
+
 DEDUP_QUERIES: list[tuple[str, object, str | None]] = [
+    ("cdc_chunk_dedup", cdc_chunk_dedup, CDC_CHUNK_ORACLE),
     (
         "dedup_sorted_neighborhood",
         dedup_sorted_neighborhood,

@@ -4572,7 +4572,148 @@ def _jl_oracle() -> str:
 JL_DISTORTION_ORACLE = _jl_oracle()
 
 
+# ---------------------------------------------------------------------------
+# Greedy k-center coreset selection (Gonzalez farthest-point traversal)
+# -- the data-SELECTION primitive next to the data-DEDUP family: pick
+# K_CORESET points such that every vector is within the returned radius
+# of some pick (2-approximation of the optimal k-center cover, the
+# classical guarantee).  In a training pipeline this is the geometric
+# "maximally diverse exemplars" selector: eval-set seeding, per-cluster
+# prototype picking, active-learning batch seeds.
+#
+# Exactness: the greedy trace is UNIQUELY determined once distances are
+# exact -- components ride the kmeans fixed-point grid (q = floor(v*1e6
+# + 0.5)), point-to-point squared distances are pure int64 (<= 64 *
+# (2*qmax)^2 ~ 4e15 at qmax ~ 8e6), argmax ties break on vec_id, and the
+# seed is the md5-rank-1 vector (same deterministic selection as the
+# IVF codebook).  No doubles anywhere, so both engines replay the
+# identical K-step trajectory.
+#
+# Scale shape: K_CORESET is a pinned constant; each greedy round is ONE
+# linear scan (broadcast-literal distance update + TakeOrdered argmax
+# over the running min-distance column) -- K scans total, the textbook
+# distributed greedy k-center.  The selected point's components collect
+# as a 1-row driver fetch per round (O(K * DIM) driver bytes at any
+# corpus size); lineage stays flat because each round's update is a
+# literal expression over the persisted quantized table, not a join.
+# ---------------------------------------------------------------------------
+
+K_CORESET = 8
+
+
+def _kcenter_qexprs() -> list[str]:
+    return [
+        f"CAST(FLOOR(CAST(embedding[{i}] AS DOUBLE) * {QUANT_SCALE}"
+        f" + 0.5D) AS BIGINT) AS q{i}"
+        for i in range(DIM)
+    ]
+
+
+def _kcenter_dist_sql(c: list[int]) -> str:
+    """Exact int64 squared distance from (q0..q63) to the literal point c."""
+    return (
+        "("
+        + " + ".join(
+            f"(q{i} - ({c[i]}L)) * (q{i} - ({c[i]}L))" for i in range(DIM)
+        )
+        + ")"
+    )
+
+
+def kcenter_coreset_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    vectors = emb.selectExpr("vec_id", *_kcenter_qexprs()).persist()
+
+    seed = codebook_rows(vectors, 1).collect()[0]
+    picks: list[tuple] = [(0, seed["vec_id"], None)]
+    cur = vectors.withColumn(
+        "mind",
+        F.expr(_kcenter_dist_sql([seed[f"q{i}"] for i in range(DIM)])),
+    )
+    for t in range(1, K_CORESET):
+        far = (
+            cur.orderBy(F.desc("mind"), F.asc("vec_id")).limit(1).collect()[0]
+        )
+        picks.append((t, far["vec_id"], far["mind"]))
+        cur = cur.withColumn(
+            "mind",
+            F.least(
+                F.col("mind"),
+                F.expr(_kcenter_dist_sql([far[f"q{i}"] for i in range(DIM)])),
+            ),
+        )
+    radius = cur.agg(F.max("mind").alias("cover_radius"))
+    sel = spark.createDataFrame(
+        picks, "sel_order int, vec_id bigint, gap_dist bigint"
+    )
+    return (
+        sel.crossJoin(F.broadcast(radius))
+        .select("sel_order", "vec_id", "gap_dist", "cover_radius")
+        .orderBy("sel_order")
+    )
+
+
+def _kcenter_oracle() -> str:
+    qcols = ", ".join(
+        f"CAST(floor(CAST(embedding[{i + 1}] AS DOUBLE) * {QUANT_SCALE}"
+        f" + 0.5) AS BIGINT) AS q{i}"
+        for i in range(DIM)
+    )
+    carry = ", ".join(f"m.q{i}" for i in range(DIM))
+
+    def _dist(alias: str) -> str:
+        return " + ".join(
+            f"(m.q{i} - {alias}.q{i}) * (m.q{i} - {alias}.q{i})"
+            for i in range(DIM)
+        )
+
+    dist = _dist("c")
+    ctes = [
+        f"q AS (SELECT vec_id, {qcols} FROM embeddings)",
+        f"s0 AS (SELECT * FROM q WHERE vec_id IN {sql_codebook_ids(1)})",
+        # MATERIALIZED is load-bearing: DuckDB inlines plain CTEs per
+        # reference, and each greedy level references the previous one
+        # three times (m, p, c) -- unpinned, the plan re-expands 3^K
+        # copies of the base scan (the dedup_policy_funnel lesson).
+        f"m0 AS MATERIALIZED (SELECT m.vec_id, {carry}, ({_dist('s')}) AS mind"
+        "  FROM q m CROSS JOIN s0 s)",
+    ]
+    sel_rows = [
+        "SELECT 0 AS sel_order, vec_id, CAST(NULL AS BIGINT) AS gap_dist FROM s0"
+    ]
+    for t in range(1, K_CORESET):
+        prev = f"m{t - 1}"
+        ctes.append(
+            f"p{t} AS (SELECT vec_id, mind FROM {prev}"
+            f" ORDER BY mind DESC, vec_id LIMIT 1)"
+        )
+        ctes.append(
+            f"c{t} AS (SELECT m.* FROM {prev} m JOIN p{t} USING (vec_id))"
+        )
+        ctes.append(
+            f"m{t} AS MATERIALIZED (SELECT m.vec_id, {carry},"
+            f" least(m.mind, ({dist})) AS mind"
+            f" FROM {prev} m CROSS JOIN c{t} c)"
+        )
+        sel_rows.append(
+            f"SELECT {t} AS sel_order, vec_id, mind AS gap_dist FROM p{t}"
+        )
+    last = f"m{K_CORESET - 1}"
+    ctes.append(f"rad AS (SELECT max(mind) AS cover_radius FROM {last})")
+    union = " UNION ALL ".join(sel_rows)
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f" SELECT sel_order, vec_id, gap_dist, cover_radius"
+        f" FROM ({union}) CROSS JOIN rad ORDER BY sel_order"
+    )
+
+
+KCENTER_ORACLE = _kcenter_oracle()
+
+
 SIMILARITY_QUERIES: list[tuple[str, object, str | None]] = [
+    ("kcenter_coreset_select", kcenter_coreset_select, KCENTER_ORACLE),
     (
         "jl_projection_distortion",
         jl_projection_distortion,

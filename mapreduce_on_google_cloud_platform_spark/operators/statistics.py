@@ -2694,9 +2694,236 @@ WEIGHTED_RESERVOIR_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Kruskal-Wallis H -- the k-group extension of mann_whitney_u_test: "do
+# the k event types draw value from the same distribution?" in one
+# rank-based test instead of k^2 pairwise MWUs.  Same exact-rank
+# machinery: values quantized to cents, pooled mid-ranks via the x2
+# integer trick (midrank*2 = 2*cum - cnt + 1 -- always an integer), tie
+# correction from the pooled per-value counts.
+#
+# The one new numeric hazard vs MWU: H sums the per-group term
+# R_g^2 / (4 n_g) ACROSS groups, and a cross-group sum of raw doubles is
+# execution-order-dependent -- exactly the nondeterminism this file
+# bans.  (A decimal-grid squash does NOT work here: the terms reach
+# ~1e15 * 1e6 scale units, past 2^53, where the two engines' double->
+# decimal casts disagree -- measured.)  Each per-group term is instead a
+# fixed-order double chain over exact integers (deterministic per row),
+# and the cross-group sum is an ORDERED SEQUENTIAL FOLD over the
+# event_type-sorted k-element array: Spark's F.aggregate and DuckDB's
+# list_reduce add the identical doubles in the identical order, so the
+# sum is bit-equal (the flat-dot idiom of similarity.py, applied to k
+# group terms).  The final H / tie-corrected H / significance are
+# per-row double chains over that sum, mirrored token-for-token in the
+# oracle.
+#
+# Scale shape: one combinable groupBy(event_type, cents) over events,
+# two windows on the POST-AGGREGATE per-(type, value) table (the RANGE
+# frame pools cum counts across groups without a self-join; input is
+# bounded by distinct values x k, same posture as mann_whitney's
+# distinct-cents window), then a k-row aggregate joined back broadcast.
+# Output: one row per event type with the global test repeated.
+# ---------------------------------------------------------------------------
+
+# chi-square 0.95 quantiles, df 1..12 (public tables); both engines
+# evaluate the same generated CASE over df = k - 1.
+CHI2_CRIT_95 = {
+    1: 3.841, 2: 5.991, 3: 7.815, 4: 9.488, 5: 11.070, 6: 12.592,
+    7: 14.067, 8: 15.507, 9: 16.919, 10: 18.307, 11: 19.675, 12: 21.026,
+}
+_KW_CRIT_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN df = {d} THEN {c}" for d, c in sorted(CHI2_CRIT_95.items())
+    )
+    + " ELSE CAST(NULL AS DOUBLE) END"
+)
+
+
+def kruskal_wallis_h_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_tc = (
+        ev.select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("event_type", "cents")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    # pooled per-value totals WITHOUT a self-join: the RANGE frame sums
+    # every row with cents <= current (all groups), the cents partition
+    # gives the per-value tie count.  Both windows consume the
+    # post-aggregate per-(type, value) table, never raw events.
+    w_cum = (
+        Window.orderBy("cents")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_val = Window.partitionBy("cents")
+    ranked = per_tc.select(
+        "event_type",
+        "n",
+        F.sum("n").over(w_cum).alias("cum"),
+        F.sum("n").over(w_val).alias("cnt"),
+    )
+    DEC = "decimal(38,0)"
+    groups = (
+        ranked.select(
+            "event_type",
+            F.col("n").cast(DEC).alias("n"),
+            F.col("cum").cast(DEC).alias("cum"),
+            F.col("cnt").cast(DEC).alias("cnt"),
+        )
+        .groupBy("event_type")
+        .agg(
+            _checked_bigint(F.sum("n")).alias("n"),
+            _checked_bigint(
+                F.sum(F.col("n") * (2 * F.col("cum") - F.col("cnt") + 1))
+            ).alias("rank_sum_x2"),
+        )
+    )
+    # tie term over pooled distinct values: sum(cnt^3 - cnt)
+    ties = (
+        per_tc.groupBy("cents")
+        .agg(F.sum("n").cast(DEC).alias("c"))
+        .agg(
+            _checked_bigint(
+                F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
+            ).alias("tie_term")
+        )
+    )
+    # per-group H term: fixed-order double chain over exact integers;
+    # summed by an ordered fold over the event_type-sorted array so both
+    # engines add the same doubles in the same order (bit-equal).
+    term = (
+        F.col("rank_sum_x2").cast("double") * F.col("rank_sum_x2").cast("double")
+    ) / (F.lit(4.0) * F.col("n").cast("double"))
+    glob = (
+        groups.select(
+            F.col("n"),
+            F.struct(F.col("event_type").alias("e"), term.alias("t")).alias(
+                "et"
+            ),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("k_groups"),
+            _checked_bigint(F.sum(F.col("n").cast(DEC))).alias("n_total"),
+            F.array_sort(F.collect_list("et")).alias("terms"),
+        )
+        .select(
+            "k_groups",
+            "n_total",
+            F.aggregate(
+                "terms", F.lit(0.0), lambda acc, x: acc + x["t"]
+            ).alias("s_fold"),
+        )
+        .crossJoin(F.broadcast(ties))
+    )
+    # fixed operand order, mirrored in the oracle token-for-token:
+    #   h     = 12.0 * S / (N * (N + 1.0)) - 3.0 * (N + 1.0)
+    #   c_tie = 1.0 - tie / (N^3 - N);  h_tie = h / c_tie
+    nd = F.col("n_total").cast("double")
+    h = (
+        F.lit(12.0) * F.col("s_fold") / (nd * (nd + F.lit(1.0)))
+        - F.lit(3.0) * (nd + F.lit(1.0))
+    )
+    c_tie = F.lit(1.0) - F.col("tie_term").cast("double") / (nd * nd * nd - nd)
+    stats = glob.select(
+        "k_groups",
+        "n_total",
+        "tie_term",
+        h.alias("h"),
+        (h / c_tie).alias("h_tie"),
+        (F.col("k_groups") - 1).alias("df"),
+    ).withColumn("crit_95", F.expr(_KW_CRIT_CASE)).select(
+        "k_groups",
+        "n_total",
+        "tie_term",
+        "h",
+        "h_tie",
+        (F.col("h_tie") > F.col("crit_95")).alias("significant"),
+    )
+    return (
+        groups.select(
+            "event_type",
+            "n",
+            "rank_sum_x2",
+            (
+                F.col("rank_sum_x2").cast("double")
+                / (F.lit(2.0) * F.col("n").cast("double"))
+            ).alias("mean_rank"),
+        )
+        .crossJoin(F.broadcast(stats))
+        .orderBy("event_type")
+    )
+
+
+KRUSKAL_WALLIS_ORACLE = f"""
+    WITH per_tc AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT event_type, CAST(n AS HUGEINT) AS n,
+               CAST(sum(n) OVER (ORDER BY cents
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS HUGEINT) AS cum,
+               CAST(sum(n) OVER (PARTITION BY cents) AS HUGEINT) AS cnt
+        FROM per_tc
+    ),
+    groups AS (
+        SELECT event_type, CAST(sum(n) AS BIGINT) AS n,
+               CAST(sum(n * (2 * cum - cnt + 1)) AS BIGINT) AS rank_sum_x2
+        FROM ranked
+        GROUP BY event_type
+    ),
+    ties AS (
+        SELECT CAST(sum(c * c * c - c) AS BIGINT) AS tie_term
+        FROM (SELECT CAST(sum(n) AS HUGEINT) AS c FROM per_tc GROUP BY cents)
+    ),
+    kw_tot AS (
+        SELECT CAST(count(*) AS INTEGER) AS k_groups,
+               CAST(sum(n) AS BIGINT) AS n_total,
+               list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE),
+                       list_transform(
+                           list_sort(list({{'e': event_type,
+                               't': CAST(rank_sum_x2 AS DOUBLE)
+                                    * CAST(rank_sum_x2 AS DOUBLE)
+                                    / (4.0 * CAST(n AS DOUBLE))}})),
+                           x -> x.t)),
+                   (acc, t) -> acc + t) AS s_fold
+        FROM groups
+    ),
+    stats AS (
+        SELECT k_groups, n_total, tie_term,
+               12.0 * s_fold
+                   / (CAST(n_total AS DOUBLE) * (CAST(n_total AS DOUBLE) + 1.0))
+                   - 3.0 * (CAST(n_total AS DOUBLE) + 1.0) AS h,
+               (12.0 * s_fold
+                   / (CAST(n_total AS DOUBLE) * (CAST(n_total AS DOUBLE) + 1.0))
+                   - 3.0 * (CAST(n_total AS DOUBLE) + 1.0))
+               / (1.0 - CAST(tie_term AS DOUBLE)
+                   / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)
+                      * CAST(n_total AS DOUBLE) - CAST(n_total AS DOUBLE)))
+                   AS h_tie,
+               k_groups - 1 AS df
+        FROM kw_tot CROSS JOIN ties
+    )
+    SELECT event_type, n, rank_sum_x2,
+           CAST(rank_sum_x2 AS DOUBLE) / (2.0 * CAST(n AS DOUBLE)) AS mean_rank,
+           k_groups, n_total, tie_term, h, h_tie,
+           h_tie > ({_KW_CRIT_CASE.replace("df", "(k_groups - 1)")}) AS significant
+    FROM groups CROSS JOIN stats
+    ORDER BY event_type
+"""
+
+
 STATISTICS_QUERIES: list[tuple[str, object, str | None]] = [
     ("mann_kendall_trend_test", mann_kendall_trend_test, MANN_KENDALL_ORACLE),
     ("mann_whitney_u_test", mann_whitney_u_test, MANN_WHITNEY_ORACLE),
+    ("kruskal_wallis_h_test", kruskal_wallis_h_test, KRUSKAL_WALLIS_ORACLE),
     ("weighted_reservoir_sample", weighted_reservoir_sample, WEIGHTED_RESERVOIR_ORACLE),
     ("daily_value_mad_outliers", daily_value_mad_outliers, DAILY_MAD_ORACLE),
     ("stratified_kfold_assign", stratified_kfold_assign, KFOLD_ORACLE),

@@ -5113,7 +5113,192 @@ VOCAB_OOV_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Split-conformal quality threshold -- the missing GUARANTEE next to the
+# quality gates: quality_gate_stack applies fixed cutoffs,
+# quality_score_calibration reports reliability, but neither answers
+# "what cutoff rejects at most alpha of the docs I care about, with a
+# finite-sample guarantee?".  Split conformal does, assuming only
+# exchangeability: calibrate on a held-out half of the positives (en
+# docs, the same label quality_score_auc grades against), set the
+# threshold at the r-th smallest calibration quality with
+# r = floor((n_cal + 1) / ALPHA_DEN), and the rejection rate of unseen
+# positives is <= r / (n_cal + 1) <= 1/ALPHA_DEN.  The disjoint eval
+# half then AUDITS the realized rates per source -- both the guarantee
+# side (positives wrongly rejected) and the power side (negatives
+# correctly rejected).
+#
+# Exactness: the calibration/eval split is md5-deterministic (the kfold
+# contract), the r-th smallest is selected by exact integer cumulative
+# counts over the DISTINCT quality values (the mann_whitney rank idiom
+# -- never a global row window over raw docs), r itself is pure integer
+# arithmetic ((n+1) DIV 10, no 0.1-times-double boundary hazard), and
+# every rate is one double division of exact counts.  If n_cal < ALPHA_DEN
+# - 1 the guarantee is vacuous (r = 0); the threshold is then NULL and
+# nothing is rejected -- the honest degenerate answer, not a crash.
+#
+# Scale shape: one combinable groupBy(quality) over the calibration
+# half (distinct-value table), one bounded window over it, broadcast
+# one-row threshold, one combinable per-source rollup of the eval half.
+# ---------------------------------------------------------------------------
+
+CONFORMAL_ALPHA_DEN = 10  # alpha = 1/10: reject <= 10% of good docs
+
+
+def conformal_quality_threshold(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", (F.col("lang") == "en").alias("is_pos")
+    )
+    scored = (
+        text_quality_score(spark, sf_dir)
+        .filter((F.col("n_tokens") > 0) & (F.col("n_chars") > 0))
+        .select("doc_id", "quality")
+        .join(docs, "doc_id")
+        .withColumn(
+            "is_cal",
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+            .cast("bigint")
+            % 2
+            == 0,
+        )
+    )
+    byq = (
+        scored.filter(F.col("is_cal") & F.col("is_pos"))
+        .groupBy("quality")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    # window input is the distinct-quality table (post-aggregate), never docs
+    w_cum = Window.orderBy("quality").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = byq.select("quality", F.sum("n").over(w_cum).alias("cum"))
+    tot = byq.agg(
+        F.sum("n").cast("bigint").alias("n_cal"),
+    ).select(
+        "n_cal",
+        F.expr(f"(n_cal + 1) div {CONFORMAL_ALPHA_DEN}").alias("thresh_rank"),
+    )
+    thr = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter((F.col("thresh_rank") >= 1) & (F.col("cum") >= F.col("thresh_rank")))
+        .agg(F.min("quality").alias("threshold"))
+    )
+    thr_row = tot.crossJoin(F.broadcast(thr))
+    ev = scored.filter(~F.col("is_cal")).crossJoin(F.broadcast(thr_row))
+    agg = ev.groupBy("source").agg(
+        F.sum(F.when(F.col("is_pos"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_eval_pos"),
+        F.sum(
+            F.when(F.col("is_pos") & (F.col("quality") < F.col("threshold")), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("pos_rejected"),
+        F.sum(F.when(F.col("is_pos"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("n_eval_neg"),
+        F.sum(
+            F.when(
+                (~F.col("is_pos")) & (F.col("quality") < F.col("threshold")), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("neg_rejected"),
+        F.max("n_cal").alias("n_cal"),
+        F.max("thresh_rank").alias("thresh_rank"),
+        F.max("threshold").alias("threshold"),
+    )
+    return agg.select(
+        "source",
+        "n_eval_pos",
+        "pos_rejected",
+        (
+            F.col("pos_rejected").cast("double")
+            / F.col("n_eval_pos").cast("double")
+        ).alias("pos_reject_rate"),
+        "n_eval_neg",
+        "neg_rejected",
+        (
+            F.col("neg_rejected").cast("double")
+            / F.col("n_eval_neg").cast("double")
+        ).alias("neg_reject_rate"),
+        "n_cal",
+        "thresh_rank",
+        "threshold",
+    ).orderBy("source")
+
+
+CONFORMAL_ORACLE = f"""
+    WITH q AS ({QUALITY_ORACLE.strip()}),
+    scored AS (
+        SELECT q.doc_id, q.quality, d.source, d.lang = 'en' AS is_pos,
+               ('0x' || substr(md5(CAST(q.doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   % 2 = 0 AS is_cal
+        FROM q JOIN documents d USING (doc_id)
+        WHERE q.n_tokens > 0 AND q.n_chars > 0
+    ),
+    byq AS (
+        SELECT quality, CAST(count(*) AS BIGINT) AS n
+        FROM scored WHERE is_cal AND is_pos
+        GROUP BY quality
+    ),
+    cum AS (
+        SELECT quality,
+               CAST(sum(n) OVER (ORDER BY quality
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum
+        FROM byq
+    ),
+    tot AS (
+        SELECT CAST(sum(n) AS BIGINT) AS n_cal,
+               CAST((sum(n) + 1) // {CONFORMAL_ALPHA_DEN} AS BIGINT)
+                   AS thresh_rank
+        FROM byq
+    ),
+    thr AS (
+        SELECT min(quality) AS threshold
+        FROM cum CROSS JOIN tot
+        WHERE thresh_rank >= 1 AND cum >= thresh_rank
+    ),
+    thr_row AS (SELECT * FROM tot CROSS JOIN thr),
+    agg AS (
+        SELECT source,
+               CAST(sum(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_eval_pos,
+               CAST(sum(CASE WHEN is_pos AND quality < threshold THEN 1
+                             ELSE 0 END) AS BIGINT) AS pos_rejected,
+               CAST(sum(CASE WHEN is_pos THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_eval_neg,
+               CAST(sum(CASE WHEN NOT is_pos AND quality < threshold THEN 1
+                             ELSE 0 END) AS BIGINT) AS neg_rejected,
+               max(n_cal) AS n_cal,
+               max(thresh_rank) AS thresh_rank,
+               max(threshold) AS threshold
+        FROM scored CROSS JOIN thr_row
+        WHERE NOT is_cal
+        GROUP BY source
+    )
+    SELECT source, n_eval_pos, pos_rejected,
+           CAST(pos_rejected AS DOUBLE) / CAST(n_eval_pos AS DOUBLE)
+               AS pos_reject_rate,
+           n_eval_neg, neg_rejected,
+           CAST(neg_rejected AS DOUBLE) / CAST(n_eval_neg AS DOUBLE)
+               AS neg_reject_rate,
+           n_cal, thresh_rank, threshold
+    FROM agg
+    ORDER BY source
+"""
+
+
 TEXT_ANALYSIS_QUERIES: list[tuple[str, object, str | None]] = [
+    (
+        "conformal_quality_threshold",
+        conformal_quality_threshold,
+        CONFORMAL_ORACLE,
+    ),
     ("pii_rate_by_source", pii_rate_by_source, PII_BY_SOURCE_ORACLE),
     (
         "vocab_oov_rate_by_source",

@@ -725,3 +725,74 @@ def test_sorted_neighborhood_matches_global_sort_bruteforce(spark):
         d, jac = expected[(r.doc_a, r.doc_b)]
         assert r.rank_distance == d
         assert abs(r.jaccard - jac) < 1e-12
+
+
+def test_cdc_chunking_matches_python_recompute(spark):
+    """Full differential recompute of the CDC pipeline in Python: same
+    tokenizer, same md5-lane boundary rule, same pos-ordered chunk
+    fingerprints, same global first-occurrence dup accounting."""
+    import hashlib
+    import re as _re
+
+    from mapreduce_on_google_cloud_platform_spark.operators.dedup import CDC_MOD
+    from mapreduce_on_google_cloud_platform_spark.sources import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "source", "text"
+    ).collect()
+    chunks: list[tuple[int, str, int, str, int]] = []  # doc, src, cid, fp, ntok
+    for r in sorted(docs, key=lambda r: r.doc_id):
+        toks = [
+            _re.sub("[^0-9a-z]", "", t.lower())
+            for t in _re.split(r"\s+", r.text)
+        ]
+        toks = [t for t in toks if t]
+        cur: list[str] = []
+        cid = 0
+        for w in toks:
+            cur.append(w)
+            h = int(hashlib.md5(w.encode()).hexdigest()[:15], 16)
+            if h % CDC_MOD == 0:
+                chunks.append(
+                    (r.doc_id, r.source, cid,
+                     hashlib.md5(" ".join(cur).encode()).hexdigest(), len(cur))
+                )
+                cur, cid = [], cid + 1
+        if cur:
+            chunks.append(
+                (r.doc_id, r.source, cid,
+                 hashlib.md5(" ".join(cur).encode()).hexdigest(), len(cur))
+            )
+    seen: set[str] = set()
+    exp: dict[str, list[int]] = {}
+    for doc_id, src, cid, fp, ntok in sorted(chunks):
+        e = exp.setdefault(src, [0, 0, 0, 0])  # chunks, toks, dup_c, dup_t
+        e[0] += 1
+        e[1] += ntok
+        if fp in seen:
+            e[2] += 1
+            e[3] += ntok
+        else:
+            seen.add(fp)
+    rows = QUERIES["cdc_chunk_dedup"](spark, SF_SMOKE).collect()
+    assert {r.source for r in rows} == set(exp)
+    for r in rows:
+        e = exp[r.source]
+        assert (r.n_chunks, r.n_tokens, r.dup_chunks, r.dup_tokens) == tuple(e), r.source
+        assert r.dup_token_share == e[3] / e[1]
+        assert r.mean_chunk_tokens == e[1] / e[0]
+
+
+def test_cdc_boundary_rate_plausible(spark):
+    """Expected chunk length is ~CDC_MOD tokens; on real text the mean
+    must sit in the right order of magnitude (not 1, not the doc
+    length): the invariant a broken boundary predicate (always/never
+    firing) breaks immediately."""
+    from mapreduce_on_google_cloud_platform_spark.operators.dedup import CDC_MOD
+
+    rows = QUERIES["cdc_chunk_dedup"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 1.0 < r.mean_chunk_tokens < 20.0 * CDC_MOD
+        assert 0 <= r.dup_chunks <= r.n_chunks
+        assert 0.0 <= r.dup_token_share <= 1.0

@@ -1207,3 +1207,59 @@ def test_dp_sensitivity_rollups_are_combinable(spark):
     assert "Window" not in plan and "Join" not in plan
     scan = plan[plan.index("ReadSchema") :].splitlines()[0]
     assert "props" not in scan and "event_id" not in scan
+
+
+def test_kruskal_wallis_windows_post_aggregate(spark):
+    """Both rank windows consume the per-(type, value) POST-AGGREGATE
+    table (bounded by distinct values x k), never raw events; the
+    group-by is map-side combinable and the only cross join is the
+    broadcast one-row global."""
+    plan = plan_of(spark, "kruskal_wallis_h_test")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+    # the scan reads only what the test needs
+    scan = plan[plan.index("ReadSchema") :].splitlines()[0]
+    assert "event_type" in scan and "value" in scan
+    assert "props" not in scan and "user_id" not in scan
+
+
+def test_cdc_chunk_windows_bounded(spark):
+    """The chunk-id prefix sum is partitioned by doc_id and the
+    first-occurrence window by fingerprint -- no global windows, no
+    joins at all (source rides the token stream), map-side partials on
+    the rollup."""
+    import re
+
+    plan = plan_of(spark, "cdc_chunk_dedup")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    windows = re.findall(r"Arguments: \[sum\(b.*|Arguments: \[row_number\(\).*", plan)
+    assert len(windows) >= 2, plan
+    for w in windows:
+        assert "doc_id" in w or "fp" in w
+
+
+def test_kcenter_is_k_linear_scans(spark):
+    """Greedy k-center must stay K linear passes: no joins anywhere in
+    the distributed plan except the final broadcast one-row radius; the
+    per-round argmax is a TakeOrdered, and the scan reads only vec_id +
+    embedding."""
+    plan = plan_of(spark, "kcenter_coreset_select")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # one-row radius attach
+    scan = plan[plan.index("ReadSchema") :].splitlines()[0]
+    assert "embedding" in scan and "label" not in scan
+
+
+def test_conformal_threshold_plan_shape(spark):
+    """The r-th-smallest selection rides the distinct-quality
+    post-aggregate window (mann_whitney idiom), the threshold attaches
+    as a broadcast one-row relation, and the eval rollup is map-side
+    combinable."""
+    plan = plan_of(spark, "conformal_quality_threshold")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # one-row threshold attach

@@ -1019,3 +1019,69 @@ def test_filter_recall_audit_matches_python_truth(spark):
         assert (r.n_queries, r.n_truth_rows, r.n_hits) == (nq, nt, nh)
         assert abs(r.recall - nh / nt) < 1e-12
         assert 0.0 <= r.recall <= 1.0
+
+
+def test_kcenter_matches_python_greedy(spark):
+    """Full differential replay of the Gonzalez trace in Python (exact
+    int arithmetic on the same fixed-point grid, same md5-rank seed,
+    same vec_id tie-break): the selection order, every gap distance,
+    and the final cover radius must agree exactly."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from mapreduce_on_google_cloud_platform_spark.operators.similarity import (
+        K_CORESET,
+        QUANT_SCALE,
+    )
+
+    t = pq.read_table(f"{SF_SMOKE}/embeddings.parquet")
+    vec_ids = [int(x) for x in t["vec_id"].to_pylist()]
+    v = np.array(
+        [np.asarray(x, dtype=np.float64) for x in t["embedding"].to_pylist()]
+    )
+    q = np.floor(v * QUANT_SCALE + 0.5).astype(np.int64)
+    by_id = {vid: q[i] for i, vid in enumerate(vec_ids)}
+
+    (seed,) = _hash_rank_ids(vec_ids, 1)
+    picks = [(0, seed, None)]
+    mind = {
+        vid: int(((by_id[vid] - by_id[seed]) ** 2).sum()) for vid in vec_ids
+    }
+    for t_i in range(1, K_CORESET):
+        far = max(vec_ids, key=lambda vid: (mind[vid], -vid))
+        picks.append((t_i, far, mind[far]))
+        for vid in vec_ids:
+            d = int(((by_id[vid] - by_id[far]) ** 2).sum())
+            if d < mind[vid]:
+                mind[vid] = d
+    radius = max(mind.values())
+
+    rows = sorted(
+        QUERIES["kcenter_coreset_select"](spark, SF_SMOKE).collect(),
+        key=lambda r: r.sel_order,
+    )
+    assert [(r.sel_order, r.vec_id, r.gap_dist) for r in rows] == picks
+    for r in rows:
+        assert r.cover_radius == radius
+
+
+def test_kcenter_greedy_invariants(spark):
+    """Structural invariants of any correct farthest-point traversal:
+    gap distances are non-increasing, picks are distinct, and the final
+    cover radius is bounded by the last gap (the next pick would have
+    been the radius witness)."""
+    from mapreduce_on_google_cloud_platform_spark.operators.similarity import (
+        K_CORESET,
+    )
+
+    rows = sorted(
+        QUERIES["kcenter_coreset_select"](spark, SF_SMOKE).collect(),
+        key=lambda r: r.sel_order,
+    )
+    assert len(rows) == K_CORESET
+    assert len({r.vec_id for r in rows}) == K_CORESET
+    gaps = [r.gap_dist for r in rows[1:]]
+    assert all(a >= b for a, b in zip(gaps, gaps[1:]))
+    assert all(g >= 0 for g in gaps)
+    assert rows[0].gap_dist is None
+    assert 0 <= rows[0].cover_radius <= gaps[-1]

@@ -636,3 +636,72 @@ def test_weighted_reservoir_is_exact_aes_topk(spark):
         got.setdefault(r.source, []).append((r.sample_rank, r.doc_id))
     for src, rows in got.items():
         assert [d for _, d in sorted(rows)] == expected[src], src
+
+
+def test_kruskal_wallis_matches_python_recompute(spark):
+    """Differential check against a direct Python pooled-midrank
+    recompute from the raw events: per-group n and the 2x-scaled rank
+    sum, the pooled tie term, and the tie-corrected H (to the ordered
+    fold's own tolerance: the Python sum is exact-rational, the plan's
+    is an ordered double fold, so compare at 1e-9 relative)."""
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+    from fractions import Fraction
+
+    from mapreduce_on_google_cloud_platform_spark.sources import load_table
+
+    def _cents(v: float) -> int:
+        return int(
+            Decimal(repr(v * 100)).quantize(Decimal(1), rounding=ROUND_HALF_UP)
+        )
+
+    ev = [
+        (r.event_type, _cents(r.value))
+        for r in load_table(spark, SF_SMOKE, "events")
+        .select("event_type", "value")
+        .collect()
+    ]
+    xs = sorted(c for _, c in ev)
+    first: dict[int, int] = {}
+    for i, v in enumerate(xs):
+        first.setdefault(v, i + 1)
+    cnt = Counter(xs)
+    # 2x midrank is always an integer: 2*first + (cnt - 1)
+    midrank_x2 = {v: 2 * first[v] + (cnt[v] - 1) for v in cnt}
+    groups: dict[str, list[int]] = {}
+    for t, c in ev:
+        groups.setdefault(t, []).append(c)
+    n_total = len(ev)
+    tie = sum(t**3 - t for t in cnt.values())
+    s = Fraction(0)
+    expect = {}
+    for g, vals in groups.items():
+        r_x2 = sum(midrank_x2[v] for v in vals)
+        expect[g] = (len(vals), r_x2)
+        s += Fraction(r_x2 * r_x2, 4 * len(vals))
+    h = Fraction(12, n_total * (n_total + 1)) * s - 3 * (n_total + 1)
+    h_tie = h / (1 - Fraction(tie, n_total**3 - n_total))
+
+    rows = QUERIES["kruskal_wallis_h_test"](spark, SF_SMOKE).collect()
+    assert len(rows) == len(groups)
+    for r in rows:
+        n_g, r_x2 = expect[r.event_type]
+        assert (r.n, r.rank_sum_x2) == (n_g, r_x2), r.event_type
+        assert r.n_total == n_total and r.tie_term == tie
+        assert r.k_groups == len(groups)
+        assert abs(r.h - float(h)) <= 1e-9 * max(1.0, abs(float(h)))
+        assert abs(r.h_tie - float(h_tie)) <= 1e-9 * max(1.0, abs(float(h_tie)))
+        # tie correction divides by a factor <= 1: |H_tie| >= |H| >= 0
+        assert r.h >= 0 and r.h_tie >= r.h
+
+
+def test_kruskal_wallis_rank_sums_cover_total(spark):
+    """The pooled rank sums must re-assemble the total rank mass
+    2 * (1 + ... + N) = N(N+1) exactly -- the invariant any midrank
+    implementation error breaks first."""
+    rows = QUERIES["kruskal_wallis_h_test"](spark, SF_SMOKE).collect()
+    n = rows[0].n_total
+    assert sum(r.rank_sum_x2 for r in rows) == n * (n + 1)
+    for r in rows:
+        # mean rank lies strictly inside [1, N]
+        assert 1.0 <= r.mean_rank <= float(n)

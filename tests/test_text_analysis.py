@@ -1159,3 +1159,89 @@ def test_kappa_matches_python_confusion(spark):
     assert row.expected_agreement == pe_num / (n * n)
     assert row.kappa == (n * (n11 + n00) - pe_num) / (n * n - pe_num)
     assert -1.0 <= row.kappa <= 1.0
+
+
+def test_conformal_threshold_matches_python_recompute(spark):
+    """Differential replay: same md5 split, same label, threshold =
+    r-th smallest calibration quality with r = (n_cal + 1) // 10, and
+    the per-source eval rejection counts recomputed directly."""
+    import hashlib
+
+    from mapreduce_on_google_cloud_platform_spark.operators.text_analysis import (
+        CONFORMAL_ALPHA_DEN,
+        text_quality_score,
+    )
+    from mapreduce_on_google_cloud_platform_spark.sources import load_table
+
+    meta = {
+        r.doc_id: (r.source, r.lang == "en")
+        for r in load_table(spark, SF_SMOKE, "documents").collect()
+    }
+    scored = [
+        (r.doc_id, r.quality)
+        for r in text_quality_score(spark, SF_SMOKE).collect()
+        if r.n_tokens > 0 and r.n_chars > 0
+    ]
+
+    def is_cal(doc_id: int) -> bool:
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16) % 2 == 0
+
+    cal = sorted(q for d, q in scored if is_cal(d) and meta[d][1])
+    r0 = (len(cal) + 1) // CONFORMAL_ALPHA_DEN
+    threshold = cal[r0 - 1] if r0 >= 1 else None
+
+    exp: dict[str, list[int]] = {}
+    for d, q in scored:
+        if is_cal(d):
+            continue
+        src, pos = meta[d]
+        e = exp.setdefault(src, [0, 0, 0, 0])
+        rej = threshold is not None and q < threshold
+        if pos:
+            e[0] += 1
+            e[1] += rej
+        else:
+            e[2] += 1
+            e[3] += rej
+
+    rows = QUERIES["conformal_quality_threshold"](spark, SF_SMOKE).collect()
+    assert {r.source for r in rows} == set(exp)
+    for r in rows:
+        e = exp[r.source]
+        assert (r.n_eval_pos, r.pos_rejected, r.n_eval_neg, r.neg_rejected) == tuple(e)
+        assert r.n_cal == len(cal) and r.thresh_rank == r0
+        assert r.threshold == threshold
+        assert r.pos_reject_rate == e[1] / e[0]
+        assert r.neg_reject_rate == e[3] / e[2]
+
+
+def test_conformal_calibration_rank_guarantee(spark):
+    """The threshold construction itself must satisfy the conformal rank
+    bound ON THE CALIBRATION SET: exactly thresh_rank - 1 calibration
+    positives (plus ties' latitude) lie strictly below the threshold,
+    i.e. strictly-below count < thresh_rank <= at-or-below count."""
+    import hashlib
+
+    from mapreduce_on_google_cloud_platform_spark.operators.text_analysis import (
+        text_quality_score,
+    )
+    from mapreduce_on_google_cloud_platform_spark.sources import load_table
+
+    rows = QUERIES["conformal_quality_threshold"](spark, SF_SMOKE).collect()
+    t = rows[0].threshold
+    r0 = rows[0].thresh_rank
+    if t is None:
+        return  # vacuous regime: nothing to pin
+    meta = {
+        r.doc_id: r.lang == "en"
+        for r in load_table(spark, SF_SMOKE, "documents").collect()
+    }
+    cal = [
+        r.quality
+        for r in text_quality_score(spark, SF_SMOKE).collect()
+        if r.n_tokens > 0
+        and r.n_chars > 0
+        and meta[r.doc_id]
+        and int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:15], 16) % 2 == 0
+    ]
+    assert sum(1 for q in cal if q < t) < r0 <= sum(1 for q in cal if q <= t)
