@@ -284,6 +284,11 @@ HEADLINE = [
     "cdc_chunk_dedup",
     "kcenter_coreset_select",
     "conformal_quality_threshold",
+    # round-11 batch 4: LM-Dirichlet retrieval, tail-index estimation,
+    # edge-level truss peel
+    "dirichlet_ql_topk_docs",
+    "hill_tail_index",
+    "ktruss_peel_funnel",
     # dedup_method_eval re-runs five declared pipelines; its components
     # are each benched above, so it is left out of the headline suite
 ]

@@ -821,7 +821,143 @@ def _khop_oracle() -> str:
 KHOP_REACH_ORACLE = _khop_oracle()
 
 
+# ---------------------------------------------------------------------------
+# Bounded k-truss peel -- the EDGE-level density filter above k-core's
+# node-level one: each round drops every edge sitting in fewer than
+# KTRUSS_K - 2 triangles among the surviving edges.  A 2-core keeps any
+# cycle (including long stringy ones); the 4-truss keeps only edges
+# embedded in overlapping triangles -- the structure of a genuine
+# template FAMILY rather than a chain of pairwise coincidences.  Output
+# is the per-round peel funnel (edges in/dropped/out), the monitoring
+# view a curation pass reads before trusting cluster survivors.
+#
+# Same bounded-round discipline as neardup_kcore_peel: KTRUSS_ROUNDS is
+# FIXED, the declared semantics is the R-round peel, and the oracle is
+# the identical recurrence unrolled (support counting is pure integer,
+# so there is nothing floating to disagree on).  Each round's survivor
+# set localCheckpoints (the peel is monotone; lineage would otherwise
+# nest triangle joins R deep), and the funnel counts are in-plan one-row
+# aggregates unioned -- no driver-side counting.
+#
+# Scale shape: one triangle enumeration per round -- the e1(x,y) ~
+# e2(y,z) wedge equi-join closed by the e3(x,z) edge join, the
+# neardup_triangles shape (degree-ordered orientation is the standard
+# lever when the wedge join grows) -- then a combinable per-edge support
+# rollup and a filter.  Never an all-pairs join.
+# ---------------------------------------------------------------------------
+
+KTRUSS_K = 4       # surviving edges sit in >= 2 triangles among survivors
+KTRUSS_ROUNDS = 3
+
+
+def ktruss_peel_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cur = (
+        jaccard_pairs_indexed(spark, sf_dir)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    funnel = None
+    for r in range(1, KTRUSS_ROUNDS + 1):
+        e1, e2, e3 = cur.alias("e1"), cur.alias("e2"), cur.alias("e3")
+        tri = (
+            e1.join(e2, F.col("e1.doc_b") == F.col("e2.doc_a"))
+            .join(
+                e3,
+                (F.col("e3.doc_a") == F.col("e1.doc_a"))
+                & (F.col("e3.doc_b") == F.col("e2.doc_b")),
+            )
+            .select(
+                F.col("e1.doc_a").alias("x"),
+                F.col("e1.doc_b").alias("y"),
+                F.col("e2.doc_b").alias("z"),
+            )
+        )
+        support = (
+            tri.select(F.col("x").alias("doc_a"), F.col("y").alias("doc_b"))
+            .unionAll(
+                tri.select(F.col("y").alias("doc_a"), F.col("z").alias("doc_b"))
+            )
+            .unionAll(
+                tri.select(F.col("x").alias("doc_a"), F.col("z").alias("doc_b"))
+            )
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("sup"))
+        )
+        kept = (
+            cur.join(support, ["doc_a", "doc_b"], "left")
+            .filter(F.coalesce(F.col("sup"), F.lit(0)) >= KTRUSS_K - 2)
+            .select("doc_a", "doc_b")
+            .localCheckpoint()
+        )
+        row = (
+            cur.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges_in"))
+            .crossJoin(
+                F.broadcast(
+                    kept.agg(
+                        F.count(F.lit(1)).cast("bigint").alias("n_edges_out")
+                    )
+                )
+            )
+            .select(
+                F.lit(r).cast("int").alias("round"),
+                "n_edges_in",
+                (F.col("n_edges_in") - F.col("n_edges_out")).alias("n_dropped"),
+                "n_edges_out",
+            )
+        )
+        funnel = row if funnel is None else funnel.unionByName(row)
+        cur = kept
+    return funnel.orderBy("round")
+
+
+def _ktruss_oracle() -> str:
+    ctes = []
+    prev = "edges0"
+    rows = []
+    for r in range(1, KTRUSS_ROUNDS + 1):
+        ctes.append(f"""
+    tri{r} AS MATERIALIZED (
+        SELECT e1.doc_a AS x, e1.doc_b AS y, e2.doc_b AS z
+        FROM {prev} e1
+        JOIN {prev} e2 ON e1.doc_b = e2.doc_a
+        JOIN {prev} e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+    ),
+    sup{r} AS (
+        SELECT doc_a, doc_b, count(*) AS sup FROM (
+            SELECT x AS doc_a, y AS doc_b FROM tri{r}
+            UNION ALL SELECT y, z FROM tri{r}
+            UNION ALL SELECT x, z FROM tri{r}
+        ) GROUP BY 1, 2
+    ),
+    edges{r} AS MATERIALIZED (
+        SELECT e.doc_a, e.doc_b
+        FROM {prev} e LEFT JOIN sup{r} s USING (doc_a, doc_b)
+        WHERE COALESCE(s.sup, 0) >= {KTRUSS_K - 2}
+    )""")
+        rows.append(
+            f"SELECT {r} AS round,"
+            f" (SELECT CAST(count(*) AS BIGINT) FROM {prev}) AS n_edges_in,"
+            f" (SELECT CAST(count(*) AS BIGINT) FROM {prev})"
+            f" - (SELECT CAST(count(*) AS BIGINT) FROM edges{r}) AS n_dropped,"
+            f" (SELECT CAST(count(*) AS BIGINT) FROM edges{r}) AS n_edges_out"
+        )
+        prev = f"edges{r}"
+    return f"""
+    WITH {DUCKDB_SHINGLES_CTE},
+{_SQL_EDGES_CTE},
+    edges0 AS MATERIALIZED (SELECT doc_a, doc_b FROM jpairs),{",".join(ctes)}
+    SELECT round, n_edges_in, n_dropped, n_edges_out
+    FROM ({" UNION ALL ".join(rows)})
+    ORDER BY round
+"""
+
+
+KTRUSS_ORACLE = _ktruss_oracle()
+
+
 GRAPH_QUERIES: list[tuple[str, object, str | None]] = [
+    ("ktruss_peel_funnel", ktruss_peel_funnel, KTRUSS_ORACLE),
     ("neardup_kcore_peel", neardup_kcore_peel, KCORE_ORACLE),
     ("link_prediction_scores", link_prediction_scores, LINK_PREDICTION_ORACLE),
     ("khop_reach_profile", khop_reach_profile, KHOP_REACH_ORACLE),

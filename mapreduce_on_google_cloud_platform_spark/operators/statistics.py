@@ -2920,7 +2920,139 @@ KRUSKAL_WALLIS_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Hill tail-index estimator -- "how heavy is the tail?" as a number,
+# per event type.  Every skew decision in this repo (salting, AQE skew
+# joins, percentile cutoffs) is downstream of tail weight, and none of
+# the existing tests measures it: KS/Welch/MWU detect SHIFTS,
+# winsorize/MAD CAP tails.  Hill's estimator on the top k order
+# statistics,
+#
+#     1 / alpha = (1/k) * sum_{i<=k} ln( x_(i) / x_(k+1) ),
+#
+# is the standard Pareto-exponent MLE: alpha <= 2 means infinite
+# variance (mean-based monitors are meaningless), alpha large means the
+# tail is benign.
+#
+# Determinism: order statistics of exact cents are unique VALUES at
+# every rank regardless of how ties permute (the rank window orders by
+# cents alone), each ln rides the DECIMAL(18,9) squash (JVM log vs
+# DuckDB ln last-ulp rule), and the k-term sum is then exact decimal --
+# order-free.  Degenerate regimes are explicit: a type with fewer than
+# 2 positive values, or a top-(k+1) block of identical values (sum 0),
+# emits NULL alpha rather than an infinity.
+#
+# Scale shape: the only raw-stream window is the per-type rank, and the
+# rank <= HILL_K + 1 filter rewrites to WindowGroupLimit (map-side
+# partial top-k before the shuffle -- the weighted_reservoir_sample
+# posture), so at 100 TB each partition ships at most k+1 rows per
+# type.  Everything after runs on the bounded (types x (k+1)) table.
+# ---------------------------------------------------------------------------
+
+HILL_K = 50  # tail order statistics per type (k+1 rows kept)
+
+
+def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    ).filter(F.col("cents") > 0)
+    n_pos = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pos")
+    )
+    w = Window.partitionBy("event_type").orderBy(F.desc("cents"))
+    kept = (
+        ev.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= HILL_K + 1)
+    )
+    stats = kept.groupBy("event_type").agg(
+        F.max("rank").cast("int").alias("maxrank"),
+        F.min("cents").alias("xkp1_cents"),
+    )
+    term9 = F.log(
+        F.col("cents").cast("double") / F.col("xkp1_cents").cast("double")
+    ).cast("decimal(18,9)")
+    sums = (
+        kept.join(F.broadcast(stats), "event_type")
+        .filter(F.col("rank") < F.col("maxrank"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(term9).alias("s9"),
+            F.count(F.lit(1)).cast("int").alias("k_used"),
+        )
+    )
+    out = (
+        stats.join(F.broadcast(sums), "event_type", "left")
+        .join(F.broadcast(n_pos), "event_type")
+        .select(
+            "event_type",
+            "n_pos",
+            F.coalesce(F.col("k_used"), F.lit(0)).cast("int").alias("k_used"),
+            "xkp1_cents",
+            F.when(
+                F.col("k_used") >= 1,
+                F.col("s9").cast("double") / F.col("k_used").cast("double"),
+            ).alias("mean_log_excess"),
+            F.when(
+                F.col("s9").cast("double") > 0,
+                F.col("k_used").cast("double") / F.col("s9").cast("double"),
+            ).alias("hill_alpha"),
+        )
+    )
+    return out.orderBy("event_type")
+
+
+HILL_ORACLE = f"""
+    WITH ev AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+        WHERE CAST(round(value * 100) AS BIGINT) > 0
+    ),
+    n_pos AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_pos
+        FROM ev GROUP BY event_type
+    ),
+    kept AS (
+        SELECT event_type, cents, rank FROM (
+            SELECT event_type, cents,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY cents DESC) AS rank
+            FROM ev
+        ) WHERE rank <= {HILL_K + 1}
+    ),
+    stats AS (
+        SELECT event_type, CAST(max(rank) AS INTEGER) AS maxrank,
+               min(cents) AS xkp1_cents
+        FROM kept GROUP BY event_type
+    ),
+    sums AS (
+        SELECT k.event_type,
+               sum(CAST(ln(CAST(k.cents AS DOUBLE)
+                           / CAST(s.xkp1_cents AS DOUBLE))
+                        AS DECIMAL(18,9))) AS s9,
+               CAST(count(*) AS INTEGER) AS k_used
+        FROM kept k JOIN stats s USING (event_type)
+        WHERE k.rank < s.maxrank
+        GROUP BY k.event_type
+    )
+    SELECT s.event_type, n_pos,
+           CAST(COALESCE(k_used, 0) AS INTEGER) AS k_used,
+           xkp1_cents,
+           CASE WHEN k_used >= 1
+                THEN CAST(s9 AS DOUBLE) / CAST(k_used AS DOUBLE)
+                ELSE NULL END AS mean_log_excess,
+           CASE WHEN CAST(s9 AS DOUBLE) > 0
+                THEN CAST(k_used AS DOUBLE) / CAST(s9 AS DOUBLE)
+                ELSE NULL END AS hill_alpha
+    FROM stats s
+    LEFT JOIN sums USING (event_type)
+    JOIN n_pos USING (event_type)
+    ORDER BY s.event_type
+"""
+
+
 STATISTICS_QUERIES: list[tuple[str, object, str | None]] = [
+    ("hill_tail_index", hill_tail_index, HILL_ORACLE),
     ("mann_kendall_trend_test", mann_kendall_trend_test, MANN_KENDALL_ORACLE),
     ("mann_whitney_u_test", mann_whitney_u_test, MANN_WHITNEY_ORACLE),
     ("kruskal_wallis_h_test", kruskal_wallis_h_test, KRUSKAL_WALLIS_ORACLE),

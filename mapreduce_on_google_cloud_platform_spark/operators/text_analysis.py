@@ -717,6 +717,120 @@ BM25_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Dirichlet-smoothed query likelihood -- the OTHER standard lexical
+# ranker next to bm25_topk_docs (Zhai & Lafferty's LM approach; what
+# Lucene ships as LMDirichletSimilarity).  Per (term, doc):
+#
+#     ql = ln( (tf + MU * cf/total) / (dl + MU) )
+#
+# where cf is the term's collection frequency and MU the Dirichlet
+# pseudo-count.  BM25 saturates tf and length-normalizes explicitly;
+# QL shrinks every document toward the corpus language model -- the two
+# disagree exactly where smoothing matters (rare term, short doc), so a
+# retrieval stack wants both served off the one tf/dl/cf substrate.
+#
+# Determinism: same serving shape as bm25 (df-ranked heavy terms as the
+# standing query set, broadcast onto the tf stream), but the score is a
+# LOG, and JVM Math.log vs DuckDB ln differ in the last ulp -- so the
+# score is squashed once onto the DECIMAL(18,9) grid (text_tfidf
+# precedent) and BOTH the ranking and the emitted value use the
+# squashed score.  Everything upstream of the log is a fixed-order
+# double chain over exact integers.
+#
+# Scale shape: identical to bm25 -- three combinable aggregates, one
+# broadcast of the bounded query-term table, WindowGroupLimit top-k per
+# term (map-side partial top-k before the shuffle).
+# ---------------------------------------------------------------------------
+
+QL_MU = 50  # Dirichlet pseudo-count, sized to these short documents
+
+
+def dirichlet_ql_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_df(docs)
+    tf = toks.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("dl"))
+    dfreq = tf.groupBy("word").agg(
+        F.count("*").cast("bigint").alias("df_docs"),
+        F.sum("tf").cast("bigint").alias("cf"),
+    )
+    corpus = dl.agg(F.sum("dl").cast("bigint").alias("total_tokens"))
+    wq = Window.orderBy(F.desc("df_docs"), F.asc("word"))
+    # window input is the post-aggregate vocabulary table, not the stream
+    qterms = (
+        dfreq.withColumn("qrank", F.row_number().over(wq))
+        .filter(F.col("qrank") <= BM25_TOP_TERMS)
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "word",
+            "cf",
+            (
+                F.col("cf").cast("double") / F.col("total_tokens").cast("double")
+            ).alias("_p_t"),
+        )
+    )
+    # fixed operand order, mirrored in the oracle token-for-token:
+    #   ql = ln( (tf + MU * p_t) / (dl + MU) )   squashed to 9 dp
+    ql9 = F.log(
+        (F.col("tf").cast("double") + F.lit(float(QL_MU)) * F.col("_p_t"))
+        / (F.col("dl").cast("double") + F.lit(float(QL_MU)))
+    ).cast("decimal(18,9)")
+    scored = (
+        tf.join(F.broadcast(qterms), "word")
+        .join(dl, "doc_id")
+        .select(
+            "word", "cf", "doc_id", "tf", "dl", ql9.cast("double").alias("ql")
+        )
+    )
+    wd = Window.partitionBy("word").orderBy(F.desc("ql"), F.asc("doc_id"))
+    return (
+        scored.withColumn("doc_rank", F.row_number().over(wd).cast("int"))
+        .filter(F.col("doc_rank") <= BM25_TOPK_DOCS)
+        .select("word", "cf", "doc_rank", "doc_id", "tf", "dl", "ql")
+        .orderBy("word", "doc_rank")
+    )
+
+
+DIRICHLET_QL_ORACLE = f"""
+    WITH {DUCKDB_TOKS_CTE},
+    tok AS (SELECT doc_id, unnest(ts) AS word FROM toks),
+    tf AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY 1, 2),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
+    dfq AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS df_docs,
+               CAST(sum(tf) AS BIGINT) AS cf
+        FROM tf GROUP BY 1
+    ),
+    corpus AS (SELECT CAST(sum(dl) AS BIGINT) AS total_tokens FROM dl),
+    qterms AS (
+        SELECT word, cf,
+               CAST(cf AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS _p_t
+        FROM (
+            SELECT *, row_number() OVER (ORDER BY df_docs DESC, word) AS qrank
+            FROM dfq
+        ) CROSS JOIN corpus
+        WHERE qrank <= {BM25_TOP_TERMS}
+    ),
+    scored AS (
+        SELECT q.word, q.cf, tf.doc_id, tf.tf, dl.dl,
+               CAST(CAST(ln((CAST(tf.tf AS DOUBLE) + {float(QL_MU)} * q._p_t)
+                            / (CAST(dl.dl AS DOUBLE) + {float(QL_MU)}))
+                         AS DECIMAL(18,9)) AS DOUBLE) AS ql
+        FROM tf JOIN qterms q USING (word) JOIN dl USING (doc_id)
+    )
+    SELECT word, cf, doc_rank, doc_id, tf, dl, ql
+    FROM (
+        SELECT *, CAST(row_number() OVER (
+                   PARTITION BY word ORDER BY ql DESC, doc_id
+               ) AS INTEGER) AS doc_rank
+        FROM scored
+    )
+    WHERE doc_rank <= {BM25_TOPK_DOCS}
+    ORDER BY word, doc_rank
+"""
+
+
 def text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus bigram frequencies (n-gram language statistics).
 
@@ -5319,6 +5433,7 @@ TEXT_ANALYSIS_QUERIES: list[tuple[str, object, str | None]] = [
     ("kn_continuation_probs", kn_continuation_probs, KN_CONTINUATION_ORACLE),
     ("tfidf_topk_terms", tfidf_topk_terms, TFIDF_TOPK_ORACLE),
     ("bm25_topk_docs", bm25_topk_docs, BM25_ORACLE),
+    ("dirichlet_ql_topk_docs", dirichlet_ql_topk_docs, DIRICHLET_QL_ORACLE),
     ("text_normalize", text_normalize, NORMALIZE_ORACLE),
     ("text_langid", text_langid, LANGID_ORACLE),
     ("text_quality_score", text_quality_score, QUALITY_ORACLE),

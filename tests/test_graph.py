@@ -225,3 +225,64 @@ def test_khop_reach_matches_python_bfs(spark):
         got = [r.reach_1, r.reach_2, r.reach_3]
         assert got == expect, r.doc_id
         assert got[0] <= got[1] <= got[2]
+
+
+def test_ktruss_funnel_matches_python_recompute(spark):
+    """Full differential replay of the bounded truss peel in Python over
+    the same verified edge set."""
+    from mapreduce_on_google_cloud_platform_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        jaccard_pairs_indexed,
+    )
+    from pyspark.sql import functions as F
+
+    from mapreduce_on_google_cloud_platform_spark.operators.graph import (
+        KTRUSS_K,
+        KTRUSS_ROUNDS,
+    )
+
+    edges = {
+        (r.doc_a, r.doc_b)
+        for r in jaccard_pairs_indexed(spark, SF_SMOKE)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .collect()
+    }
+    cur = set(edges)
+    expect = []
+    for r in range(1, KTRUSS_ROUNDS + 1):
+        sup: dict[tuple, int] = {}
+        adj: dict[int, set] = {}
+        for a, b in cur:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        for a, b in cur:
+            sup[(a, b)] = len(adj[a] & adj[b])
+        kept = {e for e in cur if sup[e] >= KTRUSS_K - 2}
+        expect.append((r, len(cur), len(cur) - len(kept), len(kept)))
+        cur = kept
+    rows = sorted(
+        QUERIES["ktruss_peel_funnel"](spark, SF_SMOKE).collect(),
+        key=lambda r: r.round,
+    )
+    assert [
+        (r.round, r.n_edges_in, r.n_dropped, r.n_edges_out) for r in rows
+    ] == expect
+
+
+def test_ktruss_funnel_is_monotone(spark):
+    """Peeling is monotone: survivors only shrink, each round's input is
+    the previous round's output, and drops are never negative."""
+    from mapreduce_on_google_cloud_platform_spark.operators.graph import (
+        KTRUSS_ROUNDS,
+    )
+
+    rows = sorted(
+        QUERIES["ktruss_peel_funnel"](spark, SF_SMOKE).collect(),
+        key=lambda r: r.round,
+    )
+    assert len(rows) == KTRUSS_ROUNDS
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_edges_in == a.n_edges_out
+    for r in rows:
+        assert r.n_dropped >= 0
+        assert r.n_edges_out == r.n_edges_in - r.n_dropped

@@ -1263,3 +1263,36 @@ def test_conformal_threshold_plan_shape(spark):
     assert "SortMergeJoin" not in plan
     assert "partial_count" in plan or "partial_sum" in plan
     assert "BroadcastNestedLoopJoin" in plan  # one-row threshold attach
+
+
+def test_dirichlet_ql_serving_shape(spark):
+    """Same serving posture as bm25: the bounded query-term table
+    broadcasts onto the tf stream (no shuffle join against the corpus),
+    and the per-term top-k is a WindowGroupLimit partial."""
+    plan = plan_of(spark, "dirichlet_ql_topk_docs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_hill_topk_is_window_group_limit(spark):
+    """The only raw-stream window is the per-type rank, and its
+    rank <= k+1 filter must rewrite to WindowGroupLimit (map-side
+    partial top-k); everything downstream joins bounded per-type
+    tables broadcast."""
+    plan = plan_of(spark, "hill_tail_index")
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    scan = plan[plan.index("ReadSchema") :].splitlines()[0]
+    assert "event_type" in scan and "value" in scan and "props" not in scan
+
+
+def test_ktruss_no_cartesian_and_partial_support(spark):
+    """Each peel round is wedge equi-joins plus a combinable support
+    rollup -- no cartesian anywhere, and the checkpointed edge list
+    keeps the round plans flat."""
+    plan = plan_of(spark, "ktruss_peel_funnel")
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan

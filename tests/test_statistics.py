@@ -705,3 +705,48 @@ def test_kruskal_wallis_rank_sums_cover_total(spark):
     for r in rows:
         # mean rank lies strictly inside [1, N]
         assert 1.0 <= r.mean_rank <= float(n)
+
+
+def test_hill_tail_index_matches_python_recompute(spark):
+    """Differential replay: per type, sort positive cents descending,
+    take the top k+1, and recompute mean log excess / alpha with the
+    same DECIMAL(18,9) per-term squash."""
+    from decimal import ROUND_HALF_UP, Decimal
+    import math
+
+    from mapreduce_on_google_cloud_platform_spark.operators.statistics import (
+        HILL_K,
+    )
+    from mapreduce_on_google_cloud_platform_spark.sources import load_table
+
+    def _cents(v: float) -> int:
+        return int(
+            Decimal(repr(v * 100)).quantize(Decimal(1), rounding=ROUND_HALF_UP)
+        )
+
+    by_type: dict[str, list[int]] = {}
+    for r in load_table(spark, SF_SMOKE, "events").collect():
+        c = _cents(r.value)
+        if c > 0:
+            by_type.setdefault(r.event_type, []).append(c)
+
+    rows = QUERIES["hill_tail_index"](spark, SF_SMOKE).collect()
+    assert {r.event_type for r in rows} == set(by_type)
+    for r in rows:
+        xs = sorted(by_type[r.event_type], reverse=True)[: HILL_K + 1]
+        kp1 = xs[-1]
+        terms = [
+            Decimal(repr(math.log(x / kp1))).quantize(
+                Decimal("1.000000000"), rounding=ROUND_HALF_UP
+            )
+            for x in xs[:-1]
+        ]
+        assert r.n_pos == len(by_type[r.event_type])
+        assert r.k_used == len(terms)
+        assert r.xkp1_cents == kp1
+        s = float(sum(terms))
+        if terms:
+            assert r.mean_log_excess == s / len(terms)
+        if s > 0:
+            assert abs(r.hill_alpha - len(terms) / s) < 1e-12
+            assert r.hill_alpha > 0

@@ -1245,3 +1245,82 @@ def test_conformal_calibration_rank_guarantee(spark):
         and int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:15], 16) % 2 == 0
     ]
     assert sum(1 for q in cal if q < t) < r0 <= sum(1 for q in cal if q <= t)
+
+
+def test_dirichlet_ql_matches_python_recompute(spark):
+    """Differential replay of the QL scorer: same heavy-term query set
+    as bm25, same Dirichlet form, same DECIMAL(18,9) score squash; the
+    served per-term ranking must be the Python argsort exactly."""
+    import math
+    import re as _re
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from mapreduce_on_google_cloud_platform_spark.operators.text_analysis import (
+        BM25_TOP_TERMS,
+        BM25_TOPK_DOCS,
+        QL_MU,
+    )
+    from mapreduce_on_google_cloud_platform_spark.sources import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").collect()
+    tf: dict[tuple[int, str], int] = {}
+    dl: dict[int, int] = {}
+    for r in docs:
+        toks = [
+            t
+            for t in (
+                _re.sub("[^0-9a-z]", "", w.lower())
+                for w in _re.split(r"\s+", r.text)
+            )
+            if t
+        ]
+        dl[r.doc_id] = len(toks)
+        for w in toks:
+            tf[(r.doc_id, w)] = tf.get((r.doc_id, w), 0) + 1
+    dfreq = Counter(w for _, w in tf)
+    cf = Counter()
+    for (_, w), n in tf.items():
+        cf[w] += n
+    total = sum(dl.values())
+    qset = sorted(dfreq, key=lambda w: (-dfreq[w], w))[:BM25_TOP_TERMS]
+
+    def score(w: str, d: int) -> float:
+        p_t = cf[w] / total
+        v = math.log((tf[(d, w)] + QL_MU * p_t) / (dl[d] + QL_MU))
+        return float(
+            Decimal(repr(v)).quantize(
+                Decimal("1.000000000"), rounding=ROUND_HALF_UP
+            )
+        )
+
+    expected: dict[str, list[int]] = {}
+    for w in qset:
+        cand = [d for (d, w2) in tf if w2 == w]
+        cand.sort(key=lambda d: (-score(w, d), d))
+        expected[w] = cand[:BM25_TOPK_DOCS]
+
+    got: dict[str, list[tuple[int, int, float]]] = {}
+    for r in QUERIES["dirichlet_ql_topk_docs"](spark, SF_SMOKE).collect():
+        got.setdefault(r.word, []).append((r.doc_rank, r.doc_id, r.ql))
+    assert set(got) == set(expected)
+    for w, rows in got.items():
+        assert [d for _, d, _ in sorted(rows)] == expected[w], w
+        for _, d, ql in rows:
+            assert ql == score(w, d)
+
+
+def test_dirichlet_ql_shrinks_toward_corpus(spark):
+    """Structural sanity: scores are negative log-probabilities
+    (documents are longer than one term), and within a term, served
+    docs are rank-ordered by score."""
+    rows = QUERIES["dirichlet_ql_topk_docs"](spark, SF_SMOKE).collect()
+    assert rows
+    by_w: dict[str, list] = {}
+    for r in rows:
+        assert r.ql < 0
+        assert r.tf >= 1 and r.dl >= r.tf
+        by_w.setdefault(r.word, []).append((r.doc_rank, r.ql))
+    for w, rs in by_w.items():
+        rs.sort()
+        assert all(a[1] >= b[1] for a, b in zip(rs, rs[1:])), w
