@@ -289,6 +289,11 @@ HEADLINE = [
     "dirichlet_ql_topk_docs",
     "hill_tail_index",
     "ktruss_peel_funnel",
+    # round-11 batch 5: leakage-safe splitting, order-weighted ANN
+    # agreement, fixed-total quota allocation
+    "leakage_safe_split_audit",
+    "rbo_rank_overlap",
+    "stratified_quota_alloc",
     # dedup_method_eval re-runs five declared pipelines; its components
     # are each benched above, so it is left out of the headline suite
 ]

@@ -3892,8 +3892,190 @@ CDC_CHUNK_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Leakage-safe split audit -- the reason a dedup pipeline exists at all:
+# if near-duplicates straddle a train/eval split, the eval set is
+# contaminated no matter how good the decontamination regexes are.
+# train_test_split_events splits EVENTS group-safely by user; this
+# audits the DOCUMENT split both ways:
+#
+#   by_doc      -- the naive md5(doc_id) % MOD split (what most
+#                  pipelines ship), and how many verified near-dup
+#                  pairs it tears across the boundary (= leaked eval
+#                  docs with a training near-twin);
+#   by_cluster  -- the same hash applied to the near-dup CLUSTER id,
+#                  so a whole component lands on one side.  Its leaked
+#                  count is zero BY CONSTRUCTION (every near-dup pair
+#                  is intra-cluster by definition of the closure) --
+#                  the audit proves the invariant instead of assuming
+#                  it, and reports the size/char skew the coarser
+#                  granularity costs.
+#
+# Probe path: rides the materialized CC report and near-dup pair index
+# (index/probe split); the from-raw iterative pipeline stays
+# oracle-checked as dedup_clusters.  Exactness: md5-derived split flags
+# (the kfold contract), integer counts, shares as single double
+# divisions; an empty pair table yields NULL leak share, not 0/0.
+#
+# Scale shape: one persisted (doc, flags) projection, two combinable
+# global aggregates, and two equi-joins attaching endpoint flags to the
+# pair index -- no windows, no cartesians, output exactly 2 rows.
+# ---------------------------------------------------------------------------
+
+SPLIT_TEST_MOD = 5  # md5-hash 1/5 of docs (or clusters) into the eval side
+
+
+def leakage_safe_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    cl = simhash_clusters_indexed(spark, sf_dir).select("doc_id", "cluster_id")
+
+    def _test(col: Column) -> Column:
+        return (
+            F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10)
+            .cast("bigint")
+            % SPLIT_TEST_MOD
+            == 0
+        )
+
+    a = (
+        docs.join(cl, "doc_id")
+        .select(
+            "doc_id",
+            "n_chars",
+            _test(F.col("doc_id")).alias("by_doc"),
+            _test(F.col("cluster_id")).alias("by_cluster"),
+        )
+        .persist()
+    )
+    pairs = simhash_pairs_indexed(spark, sf_dir).select("doc_a", "doc_b")
+    out = None
+    for strat in ("by_cluster", "by_doc"):
+        tots = a.agg(
+            F.count(F.lit(1)).cast("bigint").alias("total_docs"),
+            F.sum(F.when(F.col(strat), 1).otherwise(0))
+            .cast("bigint")
+            .alias("test_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.sum(F.when(F.col(strat), F.col("n_chars")).otherwise(0))
+            .cast("bigint")
+            .alias("test_chars"),
+        )
+        leaks = (
+            pairs.join(
+                a.select(F.col("doc_id").alias("doc_a"), F.col(strat).alias("ta")),
+                "doc_a",
+            )
+            .join(
+                a.select(F.col("doc_id").alias("doc_b"), F.col(strat).alias("tb")),
+                "doc_b",
+            )
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("total_pairs"),
+                F.sum(F.when(F.col("ta") != F.col("tb"), 1).otherwise(0))
+                .cast("bigint")
+                .alias("leaked_pairs"),
+            )
+        )
+        row = (
+            tots.crossJoin(F.broadcast(leaks))
+            .select(
+                F.lit(strat).alias("strategy"),
+                "test_docs",
+                "total_docs",
+                (
+                    F.col("test_docs").cast("double")
+                    / F.col("total_docs").cast("double")
+                ).alias("test_doc_share"),
+                "test_chars",
+                "total_chars",
+                (
+                    F.col("test_chars").cast("double")
+                    / F.col("total_chars").cast("double")
+                ).alias("test_char_share"),
+                # an empty pair table aggregates to NULL sums: pin 0
+                F.coalesce(F.col("leaked_pairs"), F.lit(0).cast("bigint")).alias(
+                    "leaked_pairs"
+                ),
+                "total_pairs",
+                F.when(
+                    F.col("total_pairs") > 0,
+                    F.col("leaked_pairs").cast("double")
+                    / F.col("total_pairs").cast("double"),
+                ).alias("leaked_pair_share"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("strategy")
+
+
+LEAKAGE_SPLIT_ORACLE = f"""
+    WITH {SIMHASH_SIG_CTE},
+    near AS MATERIALIZED (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+    ),
+    edges AS MATERIALIZED (
+        SELECT doc_a AS a, doc_b AS b FROM near
+        UNION ALL
+        SELECT doc_b AS a, doc_a AS b FROM near
+    ),
+    {_CC_DOCS},
+    a AS MATERIALIZED (
+        SELECT d.doc_id, d.n_chars,
+               ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   % {SPLIT_TEST_MOD} = 0 AS by_doc,
+               ('0x' || substr(md5(CAST(c.cluster_id AS VARCHAR)), 1, 15))::BIGINT
+                   % {SPLIT_TEST_MOD} = 0 AS by_cluster
+        FROM documents d JOIN comp c USING (doc_id)
+    ),
+    strat AS (
+        SELECT 'by_cluster' AS strategy, by_cluster AS t, doc_id, n_chars FROM a
+        UNION ALL
+        SELECT 'by_doc' AS strategy, by_doc AS t, doc_id, n_chars FROM a
+    ),
+    tots AS (
+        SELECT strategy,
+               CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS test_docs,
+               CAST(count(*) AS BIGINT) AS total_docs,
+               CAST(sum(CASE WHEN t THEN n_chars ELSE 0 END) AS BIGINT)
+                   AS test_chars,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM strat GROUP BY strategy
+    ),
+    leaks AS (
+        SELECT s1.strategy,
+               CAST(count(*) AS BIGINT) AS total_pairs,
+               CAST(sum(CASE WHEN s1.t <> s2.t THEN 1 ELSE 0 END) AS BIGINT)
+                   AS leaked_pairs
+        FROM near n
+        JOIN strat s1 ON s1.doc_id = n.doc_a
+        JOIN strat s2 ON s2.doc_id = n.doc_b AND s2.strategy = s1.strategy
+        GROUP BY s1.strategy
+    )
+    SELECT t.strategy, test_docs, total_docs,
+           CAST(test_docs AS DOUBLE) / CAST(total_docs AS DOUBLE)
+               AS test_doc_share,
+           test_chars, total_chars,
+           CAST(test_chars AS DOUBLE) / CAST(total_chars AS DOUBLE)
+               AS test_char_share,
+           COALESCE(leaked_pairs, CAST(0 AS BIGINT)) AS leaked_pairs,
+           COALESCE(total_pairs, CAST(0 AS BIGINT)) AS total_pairs,
+           CASE WHEN COALESCE(total_pairs, 0) > 0
+                THEN CAST(leaked_pairs AS DOUBLE) / CAST(total_pairs AS DOUBLE)
+                ELSE NULL END AS leaked_pair_share
+    FROM tots t LEFT JOIN leaks l USING (strategy)
+    ORDER BY t.strategy
+"""
+
+
 DEDUP_QUERIES: list[tuple[str, object, str | None]] = [
     ("cdc_chunk_dedup", cdc_chunk_dedup, CDC_CHUNK_ORACLE),
+    (
+        "leakage_safe_split_audit",
+        leakage_safe_split_audit,
+        LEAKAGE_SPLIT_ORACLE,
+    ),
     (
         "dedup_sorted_neighborhood",
         dedup_sorted_neighborhood,

@@ -4712,7 +4712,126 @@ def _kcenter_oracle() -> str:
 KCENTER_ORACLE = _kcenter_oracle()
 
 
+# ---------------------------------------------------------------------------
+# Rank-biased overlap (RBO, Webber et al. 2010) between the IVF serving
+# ranking and the exact ranking, per query -- the ORDER-sensitive
+# complement of ann_recall_at_k_curve: recall@K treats the top-K as a
+# set, RBO weights agreement geometrically toward the top, so an index
+# that returns the right set in the wrong ORDER (the classic ADC
+# artifact) scores visibly lower.  Truncated at the serving depth
+# K_NEIGHBORS with persistence RBO_P.
+#
+# Exact-arithmetic form: RBO@K = sum_d (1-p) p^(d-1) * ov_d / d, and
+# ov_d counts joined (truth, served) rows with max(rank_t, rank_s) <= d
+# -- so each joined row contributes the FIXED tail weight
+# W(m) = sum_{d=m..K} (1-p) p^(d-1) / d, m = max of its two ranks.
+# The K possible W values are precomputed in Python as DECIMAL(18,15)
+# literals (exact rational arithmetic, quantized once), both engines
+# parse the identical CASE expression, and the per-query sum runs in
+# exact decimal -- order-free, no cross-engine pow() or double-sum
+# hazard.  Queries the IVF path misses entirely emit rbo = 0, not a
+# dropped row.
+#
+# Scale shape: one equi-join of two materialized K-bounded rank tables
+# (<= K rows per query each side), a combinable per-query rollup, and a
+# broadcast right join back to the bounded query list.
+# ---------------------------------------------------------------------------
+
+RBO_P = 0.9
+
+
+def _rbo_weights() -> dict[int, str]:
+    """W(m) = sum_{d=m..K} (1-p) p^(d-1) / d as exact 15-dp decimal
+    literals (the only rounding step, identical in both engines)."""
+    from decimal import ROUND_HALF_UP, Decimal
+    from fractions import Fraction
+
+    p = Fraction(9, 10)
+    k = K_NEIGHBORS
+    out = {}
+    for m in range(1, k + 1):
+        w = sum((1 - p) * p ** (d - 1) / d for d in range(m, k + 1))
+        out[m] = str(
+            (Decimal(w.numerator) / Decimal(w.denominator)).quantize(
+                Decimal("1." + "0" * 15), rounding=ROUND_HALF_UP
+            )
+        )
+    return out
+
+
+_RBO_W = _rbo_weights()
+_RBO_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN mx = {m} THEN CAST({w} AS DECIMAL(18,15))"
+        for m, w in sorted(_RBO_W.items())
+    )
+    + " END"
+)
+
+
+def rbo_rank_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = ann_truth_indexed(spark, sf_dir).select(
+        "q_id", "neighbor_id", F.col("rank").alias("rt")
+    )
+    m = ivf_topk_indexed(spark, sf_dir).select(
+        "q_id", "neighbor_id", F.col("rank").alias("rm")
+    )
+    per_q = (
+        t.join(m, ["q_id", "neighbor_id"])
+        .select(
+            "q_id", F.greatest(F.col("rt"), F.col("rm")).alias("mx")
+        )
+        .withColumn("w", F.expr(_RBO_CASE))
+        .groupBy("q_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_overlap_rows"),
+            F.sum("w").alias("s"),
+        )
+    )
+    qs = t.select("q_id").distinct()
+    return (
+        qs.join(F.broadcast(per_q), "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce(F.col("n_overlap_rows"), F.lit(0).cast("bigint")).alias(
+                "n_overlap_rows"
+            ),
+            F.coalesce(F.col("s").cast("double"), F.lit(0.0)).alias("rbo"),
+        )
+        .orderBy("q_id")
+    )
+
+
+RBO_ORACLE = f"""
+    WITH t AS (
+        SELECT q_id, neighbor_id, rank AS rt
+        FROM ({ANN_BRUTEFORCE_ORACLE})
+    ),
+    m AS (
+        SELECT q_id, neighbor_id, rank AS rm FROM ({ANN_IVF_ORACLE})
+    ),
+    per_q AS (
+        SELECT q_id,
+               CAST(count(*) AS BIGINT) AS n_overlap_rows,
+               sum({_RBO_CASE}) AS s
+        FROM (
+            SELECT q_id, greatest(rt, rm) AS mx
+            FROM t JOIN m USING (q_id, neighbor_id)
+        )
+        GROUP BY q_id
+    )
+    SELECT q_id,
+           COALESCE(n_overlap_rows, CAST(0 AS BIGINT)) AS n_overlap_rows,
+           COALESCE(CAST(s AS DOUBLE), 0.0) AS rbo
+    FROM (SELECT DISTINCT q_id FROM t)
+    LEFT JOIN per_q USING (q_id)
+    ORDER BY q_id
+"""
+
+
 SIMILARITY_QUERIES: list[tuple[str, object, str | None]] = [
+    ("rbo_rank_overlap", rbo_rank_overlap, RBO_ORACLE),
     ("kcenter_coreset_select", kcenter_coreset_select, KCENTER_ORACLE),
     (
         "jl_projection_distortion",

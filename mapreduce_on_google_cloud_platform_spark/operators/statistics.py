@@ -3051,8 +3051,104 @@ HILL_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Largest-remainder quota allocation (Hamilton apportionment) -- "give
+# me exactly QUOTA_TOTAL sample slots, proportional to source size"
+# answered exactly: floor(n_s * K / N) base seats, then the K - sum
+# leftover seats go to the largest remainders (tie: source name).  The
+# existing samplers can't produce this: sample_stratified is Bernoulli
+# (random total), weighted_reservoir_sample is k PER stratum --
+# eval-set construction and labeling budgets need a FIXED total with
+# the standard no-paradox-free-lunch caveats documented by the method
+# name itself.  Pure integer arithmetic end-to-end (n_s * K fits int64
+# at any corpus size since K is a pinned constant), so both engines
+# agree bit-for-bit; the allocation provably sums to K (pytest-pinned).
+#
+# Scale shape: one combinable groupBy(source), a broadcast one-row
+# total, and a rank window over the BOUNDED per-source table.
+# ---------------------------------------------------------------------------
+
+QUOTA_TOTAL = 100
+
+
+def stratified_quota_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    tot = per.agg(F.sum("n_docs").cast("bigint").alias("n_total"))
+    base = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_total",
+        F.expr(f"(n_docs * {QUOTA_TOTAL}) div n_total").alias("base_alloc"),
+        F.expr(f"(n_docs * {QUOTA_TOTAL}) % n_total").alias("remainder_num"),
+    )
+    leftover = base.agg(
+        (F.lit(QUOTA_TOTAL) - F.sum("base_alloc")).cast("int").alias("leftover")
+    )
+    # rank window over the bounded per-source table
+    w = Window.orderBy(F.desc("remainder_num"), F.asc("source"))
+    return (
+        base.crossJoin(F.broadcast(leftover))
+        .withColumn("rk", F.row_number().over(w))
+        .select(
+            "source",
+            "n_docs",
+            "n_total",
+            "base_alloc",
+            "remainder_num",
+            (F.col("rk") <= F.col("leftover")).alias("extra_seat"),
+            (
+                F.col("base_alloc")
+                + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+            ).alias("alloc"),
+        )
+        .withColumn(
+            "alloc_share",
+            F.col("alloc").cast("double") / F.lit(float(QUOTA_TOTAL)),
+        )
+        .orderBy("source")
+    )
+
+
+QUOTA_ALLOC_ORACLE = f"""
+    WITH per AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM per),
+    base AS (
+        SELECT source, n_docs, n_total,
+               CAST((n_docs * {QUOTA_TOTAL}) // n_total AS BIGINT)
+                   AS base_alloc,
+               CAST((n_docs * {QUOTA_TOTAL}) % n_total AS BIGINT)
+                   AS remainder_num
+        FROM per CROSS JOIN tot
+    ),
+    leftover AS (
+        SELECT CAST({QUOTA_TOTAL} - sum(base_alloc) AS INTEGER) AS leftover
+        FROM base
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+                   ORDER BY remainder_num DESC, source) AS rk
+        FROM base CROSS JOIN leftover
+    )
+    SELECT source, n_docs, n_total, base_alloc, remainder_num,
+           rk <= leftover AS extra_seat,
+           CAST(base_alloc + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc,
+           CAST(base_alloc + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                AS DOUBLE) / {float(QUOTA_TOTAL)} AS alloc_share
+    FROM ranked
+    ORDER BY source
+"""
+
+
 STATISTICS_QUERIES: list[tuple[str, object, str | None]] = [
     ("hill_tail_index", hill_tail_index, HILL_ORACLE),
+    ("stratified_quota_alloc", stratified_quota_alloc, QUOTA_ALLOC_ORACLE),
     ("mann_kendall_trend_test", mann_kendall_trend_test, MANN_KENDALL_ORACLE),
     ("mann_whitney_u_test", mann_whitney_u_test, MANN_WHITNEY_ORACLE),
     ("kruskal_wallis_h_test", kruskal_wallis_h_test, KRUSKAL_WALLIS_ORACLE),

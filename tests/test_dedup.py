@@ -796,3 +796,64 @@ def test_cdc_boundary_rate_plausible(spark):
         assert 1.0 < r.mean_chunk_tokens < 20.0 * CDC_MOD
         assert 0 <= r.dup_chunks <= r.n_chunks
         assert 0.0 <= r.dup_token_share <= 1.0
+
+
+def test_leakage_split_cluster_strategy_leaks_zero(spark):
+    """The invariant that justifies the operator: a cluster-keyed split
+    can never tear a verified near-dup pair apart, while shares stay
+    plausibly near 1/SPLIT_TEST_MOD on the doc axis."""
+    rows = {r.strategy: r for r in QUERIES["leakage_safe_split_audit"](spark, SF_SMOKE).collect()}
+    assert set(rows) == {"by_doc", "by_cluster"}
+    bc = rows["by_cluster"]
+    assert bc.leaked_pairs == 0
+    for r in rows.values():
+        assert 0 <= r.test_docs <= r.total_docs
+        assert 0 <= r.leaked_pairs <= r.total_pairs
+        assert r.total_docs == rows["by_doc"].total_docs
+        assert r.total_pairs == rows["by_doc"].total_pairs
+
+
+def test_leakage_split_matches_python_recompute(spark):
+    """Differential replay of both strategies over the same materialized
+    cluster/pair indexes."""
+    import hashlib
+
+    from mapreduce_on_google_cloud_platform_spark.operators.dedup import (
+        SPLIT_TEST_MOD,
+        simhash_clusters_indexed,
+        simhash_pairs_indexed,
+    )
+    from mapreduce_on_google_cloud_platform_spark.sources import load_table
+
+    def _t(x: int) -> bool:
+        return (
+            int(hashlib.md5(str(x).encode()).hexdigest()[:15], 16)
+            % SPLIT_TEST_MOD
+            == 0
+        )
+
+    chars = {
+        r.doc_id: r.n_chars
+        for r in load_table(spark, SF_SMOKE, "documents").collect()
+    }
+    clus = {
+        r.doc_id: r.cluster_id
+        for r in simhash_clusters_indexed(spark, SF_SMOKE).collect()
+    }
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in simhash_pairs_indexed(spark, SF_SMOKE).collect()
+    ]
+    flags = {
+        "by_doc": {d: _t(d) for d in chars},
+        "by_cluster": {d: _t(clus[d]) for d in chars},
+    }
+    rows = {r.strategy: r for r in QUERIES["leakage_safe_split_audit"](spark, SF_SMOKE).collect()}
+    for strat, f in flags.items():
+        r = rows[strat]
+        assert r.total_docs == len(chars)
+        assert r.test_docs == sum(f.values())
+        assert r.total_chars == sum(chars.values())
+        assert r.test_chars == sum(c for d, c in chars.items() if f[d])
+        assert r.total_pairs == len(pairs)
+        assert r.leaked_pairs == sum(1 for a, b in pairs if f[a] != f[b])

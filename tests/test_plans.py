@@ -1296,3 +1296,33 @@ def test_ktruss_no_cartesian_and_partial_support(spark):
     plan = plan_of(spark, "ktruss_peel_funnel")
     assert "CartesianProduct" not in plan
     assert "partial_count" in plan
+
+
+def test_leakage_split_probes_indexes(spark):
+    """The audit rides the materialized cluster/pair indexes (probe
+    path) and attaches flags by equi-join -- no cartesian, map-side
+    partials on every rollup."""
+    plan = plan_of(spark, "leakage_safe_split_audit")
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+    # the two one-row leak/total attaches are broadcast
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_rbo_joins_bounded_rank_tables(spark):
+    """RBO consumes the two materialized K-bounded rank tables by
+    equi-join; the per-query rollup is combinable and the right join
+    back to the query list broadcasts."""
+    plan = plan_of(spark, "rbo_rank_overlap")
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_quota_alloc_window_is_bounded(spark):
+    """The rank window runs over the per-source POST-AGGREGATE table
+    (bounded by source cardinality), never documents."""
+    plan = plan_of(spark, "stratified_quota_alloc")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    scan = plan[plan.index("ReadSchema") :].splitlines()[0]
+    assert "source" in scan and "text" not in scan

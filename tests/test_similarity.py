@@ -1085,3 +1085,64 @@ def test_kcenter_greedy_invariants(spark):
     assert all(g >= 0 for g in gaps)
     assert rows[0].gap_dist is None
     assert 0 <= rows[0].cover_radius <= gaps[-1]
+
+
+def test_rbo_bounds_and_perfect_agreement(spark):
+    """0 <= rbo <= truncated-RBO mass; full top-K agreement in both
+    ORDER and membership must score exactly the all-depth mass
+    W(1) * ... i.e. sum_d (1-p)p^(d-1) (up to the 15-dp quantization),
+    and rbo is monotone in the overlap count only when orders agree --
+    here we pin the verifiable bounds."""
+    from decimal import Decimal
+
+    from mapreduce_on_google_cloud_platform_spark.operators.similarity import (
+        _RBO_W,
+        K_NEIGHBORS,
+    )
+
+    # max attainable: every depth fully overlapping = K rows with
+    # mx = rank on both sides = d -> sum_d W(d)... equivalently each
+    # row at mx=d contributes W(d); the perfect list has rows at
+    # mx = 1..K
+    perfect = float(sum(Decimal(_RBO_W[m]) for m in range(1, K_NEIGHBORS + 1)))
+    rows = QUERIES["rbo_rank_overlap"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.rbo <= perfect + 1e-12
+        assert 0 <= r.n_overlap_rows <= K_NEIGHBORS
+        if r.n_overlap_rows == 0:
+            assert r.rbo == 0.0
+
+
+def test_rbo_matches_python_recompute(spark):
+    """Differential replay: recompute per-query RBO from the two
+    materialized rank tables with the same decimal weight table."""
+    from decimal import Decimal
+
+    from mapreduce_on_google_cloud_platform_spark.operators.similarity import (
+        _RBO_W,
+        ann_truth_indexed,
+        ivf_topk_indexed,
+    )
+
+    t = {
+        (r.q_id, r.neighbor_id): r.rank
+        for r in ann_truth_indexed(spark, SF_SMOKE).collect()
+    }
+    m = {
+        (r.q_id, r.neighbor_id): r.rank
+        for r in ivf_topk_indexed(spark, SF_SMOKE).collect()
+    }
+    per_q: dict[int, Decimal] = {}
+    n_rows: dict[int, int] = {}
+    for key, rt in t.items():
+        if key in m:
+            q = key[0]
+            mx = max(rt, m[key])
+            per_q[q] = per_q.get(q, Decimal(0)) + Decimal(_RBO_W[mx])
+            n_rows[q] = n_rows.get(q, 0) + 1
+    rows = QUERIES["rbo_rank_overlap"](spark, SF_SMOKE).collect()
+    assert {r.q_id for r in rows} == {q for q, _ in t}
+    for r in rows:
+        assert r.n_overlap_rows == n_rows.get(r.q_id, 0)
+        assert r.rbo == float(per_q.get(r.q_id, Decimal(0)))

@@ -750,3 +750,33 @@ def test_hill_tail_index_matches_python_recompute(spark):
         if s > 0:
             assert abs(r.hill_alpha - len(terms) / s) < 1e-12
             assert r.hill_alpha > 0
+
+
+def test_quota_alloc_sums_to_total_and_matches_hamilton(spark):
+    """The allocation must sum EXACTLY to QUOTA_TOTAL and equal a direct
+    Python largest-remainder apportionment."""
+    from mapreduce_on_google_cloud_platform_spark.operators.statistics import (
+        QUOTA_TOTAL,
+    )
+    from mapreduce_on_google_cloud_platform_spark.sources import load_table
+
+    counts: dict[str, int] = {}
+    for r in load_table(spark, SF_SMOKE, "documents").collect():
+        counts[r.source] = counts.get(r.source, 0) + 1
+    n = sum(counts.values())
+    base = {s: c * QUOTA_TOTAL // n for s, c in counts.items()}
+    rem = {s: c * QUOTA_TOTAL % n for s, c in counts.items()}
+    left = QUOTA_TOTAL - sum(base.values())
+    extras = set(
+        sorted(counts, key=lambda s: (-rem[s], s))[:left]
+    )
+    rows = QUERIES["stratified_quota_alloc"](spark, SF_SMOKE).collect()
+    assert sum(r.alloc for r in rows) == QUOTA_TOTAL
+    for r in rows:
+        assert r.base_alloc == base[r.source]
+        assert r.remainder_num == rem[r.source]
+        assert r.extra_seat == (r.source in extras)
+        assert r.alloc == base[r.source] + (r.source in extras)
+        # Hamilton satisfies quota: alloc is floor or ceil of the
+        # exact proportional share
+        assert base[r.source] <= r.alloc <= base[r.source] + 1
