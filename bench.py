@@ -294,6 +294,9 @@ HEADLINE = [
     "leakage_safe_split_audit",
     "rbo_rank_overlap",
     "stratified_quota_alloc",
+    # round-11 batch 6: whiteness portmanteau test, audience set algebra
+    "ljung_box_test",
+    "audience_overlap_matrix",
     # dedup_method_eval re-runs five declared pipelines; its components
     # are each benched above, so it is left out of the headline suite
 ]

@@ -3010,7 +3010,111 @@ PARETO_FRONTIER_ORACLE = """
 """
 
 
+# ---------------------------------------------------------------------------
+# Audience overlap matrix -- set relations BETWEEN the event types'
+# user bases: |A n B|, Jaccard, and the overlap coefficient
+# |A n B| / min(|A|, |B|) for every unordered type pair.
+# dau_wau_stickiness and event_type_pivot describe each audience alone;
+# segmentation and cannibalization questions ("are purchasers a subset
+# of viewers?") need the PAIRWISE cells, including the zero-overlap
+# pairs a join would silently drop (the full pair frame comes from the
+# bounded type list, left-joined with intersections).
+#
+# Scale shape: one combinable distinct on (type, user), a self-join on
+# user_id whose per-key expansion is bounded by the TYPE cardinality
+# squared (never user-quadratic), one combinable pair rollup, and
+# broadcast joins of the bounded size/pair tables.  Pure integer counts;
+# the two ratios are single double divisions.
+# ---------------------------------------------------------------------------
+
+
+def audience_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("event_type", "user_id").distinct()
+    sizes = ut.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    a, b = ut.alias("a"), ut.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("users_both"))
+    )
+    sa = sizes.select(
+        F.col("event_type").alias("type_a"), F.col("n_users").alias("users_a")
+    )
+    sb = sizes.select(
+        F.col("event_type").alias("type_b"), F.col("n_users").alias("users_b")
+    )
+    frame = sa.crossJoin(F.broadcast(sb)).filter(
+        F.col("type_a") < F.col("type_b")
+    )
+    both = F.coalesce(F.col("users_both"), F.lit(0).cast("bigint"))
+    return (
+        frame.join(F.broadcast(inter), ["type_a", "type_b"], "left")
+        .select(
+            "type_a",
+            "type_b",
+            "users_a",
+            "users_b",
+            both.alias("users_both"),
+            (
+                both.cast("double")
+                / (F.col("users_a") + F.col("users_b") - both).cast("double")
+            ).alias("jaccard"),
+            (
+                both.cast("double")
+                / F.least(F.col("users_a"), F.col("users_b")).cast("double")
+            ).alias("overlap_coef"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+AUDIENCE_OVERLAP_ORACLE = """
+    WITH ut AS (SELECT DISTINCT event_type, user_id FROM events),
+    sizes AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_users
+        FROM ut GROUP BY event_type
+    ),
+    inter AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(count(*) AS BIGINT) AS users_both
+        FROM ut a JOIN ut b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    ),
+    frame AS (
+        SELECT sa.event_type AS type_a, sa.n_users AS users_a,
+               sb.event_type AS type_b, sb.n_users AS users_b
+        FROM sizes sa CROSS JOIN sizes sb
+        WHERE sa.event_type < sb.event_type
+    )
+    SELECT type_a, type_b, users_a, users_b,
+           COALESCE(users_both, CAST(0 AS BIGINT)) AS users_both,
+           CAST(COALESCE(users_both, 0) AS DOUBLE)
+               / CAST(users_a + users_b - COALESCE(users_both, 0) AS DOUBLE)
+               AS jaccard,
+           CAST(COALESCE(users_both, 0) AS DOUBLE)
+               / CAST(least(users_a, users_b) AS DOUBLE) AS overlap_coef
+    FROM frame LEFT JOIN inter USING (type_a, type_b)
+    ORDER BY type_a, type_b
+"""
+
+
 RELATIONAL_QUERIES: list[tuple[str, object, str | None]] = [
+    (
+        "audience_overlap_matrix",
+        audience_overlap_matrix,
+        AUDIENCE_OVERLAP_ORACLE,
+    ),
     ("join_cardinality_estimate", join_cardinality_estimate, JOIN_CARD_ORACLE),
     (
         "pareto_frontier_customers",

@@ -3146,9 +3146,205 @@ QUOTA_ALLOC_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Ljung-Box portmanteau test -- "is the daily series white noise?" in
+# one number.  daily_autocorr_lag1 reports a single correlation;
+# Ljung-Box pools the whole ACF ladder rho_1..rho_L into
+# Q = n (n+2) sum_k rho_k^2 / (n - k), chi-square(L) under the null,
+# which is the standard pre-flight check before trusting trend/
+# changepoint monitors (CUSUM on an autocorrelated series false-alarms).
+#
+# Exact-arithmetic form: the standard ACF uses deviations from the
+# GLOBAL series mean with the total sum of squares as denominator;
+# clearing the rational mean by n,
+#     rho_k = sum_t (n x_t - S)(n x_{t-k} - S) / sum_t (n x_t - S)^2,
+# makes numerators and the shared denominator exact DECIMAL(38,0)
+# integers (the daily_autocorr_lag1 de-float discipline extended to L
+# lags).  Each rho is one guarded double division; the cross-lag sum of
+# rho^2/(n-k) terms is a FIXED L-term decimal addition chain (each term
+# < 1, squashed to DECIMAL(18,15) -- under 2^53 scaled, engine-safe),
+# so Q is order-free.  Significance reuses the pinned chi-square
+# criticals at df = L.
+#
+# Scale shape: one combinable daily rollup, one per-type window issuing
+# the L lag columns over the calendar-bounded daily table, a broadcast
+# per-type scalar join, one combinable rollup, and a bounded explode to
+# per-lag rows.
+# ---------------------------------------------------------------------------
+
+LJUNG_BOX_LAGS = 7
+
+
+def ljung_box_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    DEC = "decimal(38,0)"
+    L = LJUNG_BOX_LAGS
+    daily = (
+        ev.select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents").cast("bigint").alias("x"))
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum(F.col("x").cast(DEC)).alias("s"),
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        F.col("x"),
+        *[F.lag("x", k).over(w).alias(f"a{k}") for k in range(1, L + 1)],
+    ).join(F.broadcast(stats), "event_type")
+    n = F.col("n_days").cast(DEC)
+    dev = n * F.col("x").cast(DEC) - F.col("s")
+    per_type = lagged.groupBy("event_type").agg(
+        F.max("n_days").alias("n_days"),
+        F.sum(dev * dev).alias("den"),
+        *[
+            F.sum(
+                F.when(
+                    F.col(f"a{k}").isNotNull(),
+                    dev * (n * F.col(f"a{k}").cast(DEC) - F.col("s")),
+                ).otherwise(F.lit(0).cast(DEC))
+            ).alias(f"num{k}")
+            for k in range(1, L + 1)
+        ],
+    )
+    rho = {
+        k: F.when(
+            F.col("den").cast("double") > 0,
+            F.col(f"num{k}").cast("double") / F.col("den").cast("double"),
+        )
+        for k in range(1, L + 1)
+    }
+    nd = F.col("n_days").cast("double")
+    term = {
+        k: F.coalesce(
+            (rho[k] * rho[k] / (nd - F.lit(float(k)))).cast("decimal(18,15)"),
+            F.lit(0).cast("decimal(18,15)"),
+        )
+        for k in range(1, L + 1)
+    }
+    q_sum = term[1]
+    for k in range(2, L + 1):
+        q_sum = q_sum + term[k]
+    q = nd * (nd + F.lit(2.0)) * q_sum.cast("double")
+    crit = CHI2_CRIT_95[L]
+    ladder = F.array(
+        *[
+            F.struct(F.lit(k).cast("int").alias("lag"), rho[k].alias("rho"))
+            for k in range(1, L + 1)
+        ]
+    )
+    return (
+        per_type.select(
+            "event_type",
+            "n_days",
+            q.alias("q_stat"),
+            F.lit(L).cast("int").alias("df"),
+            (q > F.lit(crit)).alias("significant"),
+            F.explode(ladder).alias("row"),
+        )
+        .select(
+            "event_type",
+            F.col("row.lag").alias("lag"),
+            "n_days",
+            F.col("row.rho").alias("rho"),
+            "q_stat",
+            "df",
+            "significant",
+        )
+        .orderBy("event_type", "lag")
+    )
+
+
+def _ljung_box_oracle() -> str:
+    L = LJUNG_BOX_LAGS
+    lag_cols = ",\n               ".join(
+        f"lag(x, {k}) OVER (PARTITION BY event_type ORDER BY day) AS a{k}"
+        for k in range(1, L + 1)
+    )
+    num_cols = ",\n               ".join(
+        f"sum(CASE WHEN a{k} IS NOT NULL THEN"
+        f" (n_days * CAST(x AS HUGEINT) - s)"
+        f" * (n_days * CAST(a{k} AS HUGEINT) - s)"
+        f" ELSE CAST(0 AS HUGEINT) END) AS num{k}"
+        for k in range(1, L + 1)
+    )
+    rho_sql = {
+        k: (
+            f"CASE WHEN CAST(den AS DOUBLE) > 0"
+            f" THEN CAST(num{k} AS DOUBLE) / CAST(den AS DOUBLE)"
+            f" ELSE NULL END"
+        )
+        for k in range(1, L + 1)
+    }
+    term_sql = " + ".join(
+        f"COALESCE(CAST(({rho_sql[k]}) * ({rho_sql[k]})"
+        f" / (CAST(n_days AS DOUBLE) - {float(k)}) AS DECIMAL(18,15)),"
+        f" CAST(0 AS DECIMAL(18,15)))"
+        for k in range(1, L + 1)
+    )
+    rows = "\n        UNION ALL\n".join(
+        f"        SELECT event_type, {k} AS lag, n_days,"
+        f" {rho_sql[k]} AS rho, q_stat, df, significant FROM scored"
+        for k in range(1, L + 1)
+    )
+    return f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+        FROM events
+        GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT event_type, CAST(count(*) AS HUGEINT) AS n_days,
+               CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS s
+        FROM daily GROUP BY event_type
+    ),
+    lagged AS (
+        SELECT daily.event_type, x, n_days, s,
+               {lag_cols}
+        FROM daily JOIN stats USING (event_type)
+    ),
+    per_type AS (
+        SELECT event_type,
+               CAST(max(n_days) AS BIGINT) AS n_days,
+               sum((n_days * CAST(x AS HUGEINT) - s)
+                   * (n_days * CAST(x AS HUGEINT) - s)) AS den,
+               {num_cols}
+        FROM lagged
+        GROUP BY event_type
+    ),
+    scored AS (
+        SELECT *,
+               CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) + 2.0)
+                   * CAST(({term_sql}) AS DOUBLE) AS q_stat,
+               {L} AS df,
+               CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) + 2.0)
+                   * CAST(({term_sql}) AS DOUBLE)
+                   > {CHI2_CRIT_95[L]} AS significant
+        FROM per_type
+    )
+    SELECT event_type, CAST(lag AS INTEGER) AS lag, n_days, rho,
+           q_stat, df, significant
+    FROM (
+{rows}
+    )
+    ORDER BY event_type, lag
+"""
+
+
+LJUNG_BOX_ORACLE = _ljung_box_oracle()
+
+
 STATISTICS_QUERIES: list[tuple[str, object, str | None]] = [
     ("hill_tail_index", hill_tail_index, HILL_ORACLE),
     ("stratified_quota_alloc", stratified_quota_alloc, QUOTA_ALLOC_ORACLE),
+    ("ljung_box_test", ljung_box_test, LJUNG_BOX_ORACLE),
     ("mann_kendall_trend_test", mann_kendall_trend_test, MANN_KENDALL_ORACLE),
     ("mann_whitney_u_test", mann_whitney_u_test, MANN_WHITNEY_ORACLE),
     ("kruskal_wallis_h_test", kruskal_wallis_h_test, KRUSKAL_WALLIS_ORACLE),

@@ -1326,3 +1326,26 @@ def test_quota_alloc_window_is_bounded(spark):
     assert "SortMergeJoin" not in plan
     scan = plan[plan.index("ReadSchema") :].splitlines()[0]
     assert "source" in scan and "text" not in scan
+
+
+def test_ljung_box_windows_on_daily_table(spark):
+    """All L lag columns ride ONE window over the calendar-bounded
+    daily table (partitioned by event_type); the scalar join is
+    broadcast and the rollups are combinable."""
+    plan = plan_of(spark, "ljung_box_test")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+    # one Window node carrying all lag expressions, not L windows
+    assert plan.count("Window") - plan.count("WindowGroupLimit") <= 4, plan
+
+
+def test_audience_overlap_self_join_is_user_keyed(spark):
+    """The intersection join shuffles on user_id (per-key expansion
+    bounded by type cardinality), the size/pair frames broadcast, and
+    the distinct is combinable."""
+    plan = plan_of(spark, "audience_overlap_matrix")
+    assert "partial_count" in plan
+    # the bounded type-frame cross join must be the broadcast kind
+    assert "CartesianProduct" not in plan

@@ -319,3 +319,31 @@ def test_cofilter_matches_python_topk(spark):
     for p, rows in got.items():
         rows.sort()
         assert [(n, c) for _, n, c in rows] == expected[p], p
+
+
+def test_audience_overlap_matches_python_recompute(spark):
+    """Differential replay from raw events: user sets per type, all
+    unordered pairs including zero-overlap ones."""
+    from itertools import combinations
+
+    from mapreduce_on_google_cloud_platform_spark.sources import load_table
+
+    users: dict[str, set] = {}
+    for r in load_table(spark, SF_SMOKE, "events").select(
+        "event_type", "user_id"
+    ).collect():
+        users.setdefault(r.event_type, set()).add(r.user_id)
+    expected = {}
+    for a, b in combinations(sorted(users), 2):
+        both = len(users[a] & users[b])
+        expected[(a, b)] = (len(users[a]), len(users[b]), both)
+    rows = QUERIES["audience_overlap_matrix"](spark, SF_SMOKE).collect()
+    assert {(r.type_a, r.type_b) for r in rows} == set(expected)
+    for r in rows:
+        na, nb, both = expected[(r.type_a, r.type_b)]
+        assert (r.users_a, r.users_b, r.users_both) == (na, nb, both)
+        assert r.jaccard == both / (na + nb - both)
+        assert r.overlap_coef == both / min(na, nb)
+        # set-theory invariants
+        assert 0 <= r.users_both <= min(na, nb)
+        assert r.jaccard <= r.overlap_coef

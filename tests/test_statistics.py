@@ -780,3 +780,65 @@ def test_quota_alloc_sums_to_total_and_matches_hamilton(spark):
         # Hamilton satisfies quota: alloc is floor or ceil of the
         # exact proportional share
         assert base[r.source] <= r.alloc <= base[r.source] + 1
+
+
+def test_ljung_box_matches_python_recompute(spark):
+    """Differential replay: exact integer ACF numerators/denominator
+    from the daily series, the same DECIMAL(18,15) per-lag squash, and
+    the same Q chain."""
+    from decimal import ROUND_HALF_UP, Decimal
+    from collections import defaultdict
+
+    from mapreduce_on_google_cloud_platform_spark.operators.statistics import (
+        CHI2_CRIT_95,
+        LJUNG_BOX_LAGS,
+    )
+    from mapreduce_on_google_cloud_platform_spark.sources import load_table
+
+    def _cents(v: float) -> int:
+        return int(
+            Decimal(repr(v * 100)).quantize(Decimal(1), rounding=ROUND_HALF_UP)
+        )
+
+    daily: dict[str, dict] = defaultdict(lambda: defaultdict(int))
+    for r in load_table(spark, SF_SMOKE, "events").select(
+        "event_type", "ts", "value"
+    ).collect():
+        daily[r.event_type][r.ts.date()] += _cents(r.value)
+
+    rows = QUERIES["ljung_box_test"](spark, SF_SMOKE).collect()
+    by_type: dict[str, list] = defaultdict(list)
+    for r in rows:
+        by_type[r.event_type].append(r)
+    assert set(by_type) == set(daily)
+    for t, rs in by_type.items():
+        xs = [daily[t][d] for d in sorted(daily[t])]
+        n = len(xs)
+        s = sum(xs)
+        dev = [n * x - s for x in xs]
+        den = sum(d * d for d in dev)
+        q_sum = Decimal(0)
+        rhos = {}
+        for k in range(1, LJUNG_BOX_LAGS + 1):
+            num = sum(dev[i] * dev[i - k] for i in range(k, n))
+            rho = num / den if den > 0 else None
+            rhos[k] = rho
+            if rho is not None:
+                q_sum += Decimal(repr(rho * rho / (n - k))).quantize(
+                    Decimal("1." + "0" * 15), rounding=ROUND_HALF_UP
+                )
+        q = n * (n + 2.0) * float(q_sum)
+        rs.sort(key=lambda r: r.lag)
+        assert [r.lag for r in rs] == list(range(1, LJUNG_BOX_LAGS + 1))
+        for r in rs:
+            assert r.n_days == n
+            exp_rho = rhos[r.lag]
+            if exp_rho is None:
+                assert r.rho is None
+            else:
+                assert abs(r.rho - exp_rho) < 1e-12
+            assert abs(r.q_stat - q) < 1e-9 * max(1.0, abs(q))
+            assert r.df == LJUNG_BOX_LAGS
+            assert r.significant == (r.q_stat > CHI2_CRIT_95[LJUNG_BOX_LAGS])
+            assert -1.0 - 1e-12 <= r.rho <= 1.0 + 1e-12
+        assert rs[0].q_stat >= 0
