@@ -297,6 +297,7 @@ HEADLINE = [
     # round-11 batch 6: whiteness portmanteau test, audience set algebra
     "ljung_box_test",
     "audience_overlap_matrix",
+    "holt_linear_smooth",
     # dedup_method_eval re-runs five declared pipelines; its components
     # are each benched above, so it is left out of the headline suite
 ]

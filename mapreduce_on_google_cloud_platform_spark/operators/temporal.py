@@ -1539,7 +1539,141 @@ def _session_length_oracle() -> str:
 SESSION_LENGTH_ORACLE = _session_length_oracle()
 
 
+# ---------------------------------------------------------------------------
+# Holt linear (double exponential) smoothing -- the first FORECAST in
+# the temporal family: seasonality_adjusted_daily and theil_sen explain
+# the past; capacity planning needs level + trend projected one step
+# ahead, with the in-sample one-step error reported honestly next to it.
+#
+# Smoothing is inherently sequential (state_t depends on state_{t-1}),
+# which is exactly what the ordered-fold idiom is for: the per-type
+# daily series is calendar-BOUNDED, so it collects into one
+# date-sorted array and the recurrence runs as a JVM higher-order fold
+# (F.aggregate) -- the unigram-Viterbi discipline.  The DuckDB twin is
+# the identical list_reduce over the identical array with every
+# constant written as a DOUBLE literal (0.5e0, not 0.5 -- DuckDB parses
+# bare decimals as DECIMAL and the whole fold silently changes type),
+# so both engines execute the same IEEE op sequence and the final
+# state is bit-equal.  Series shorter than 2 days emit NULLs.
+#
+#     l' = A v + (1-A)(l + t);  t' = B (l' - l) + (1-B) t
+#     sse' = sse + (v - (l + t))^2        (one-step-ahead error)
+#
+# Scale shape: one combinable daily rollup, one combinable
+# collect_list per type (array bounded by the calendar), zero windows,
+# zero joins.  Output: one row per event type.
+# ---------------------------------------------------------------------------
+
+HOLT_ALPHA = 0.5
+HOLT_BETA = 0.3
+
+
+def holt_linear_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents").cast("bigint").alias("x"))
+    )
+    arr = daily.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "x"))),
+            lambda s: s["x"].cast("double"),
+        ).alias("xs")
+    )
+    A, B = HOLT_ALPHA, HOLT_BETA
+    xs = F.col("xs")
+    n = F.size(xs)
+    init = F.struct(
+        F.element_at(xs, 1).alias("l"),
+        (F.element_at(xs, 2) - F.element_at(xs, 1)).alias("t"),
+        F.lit(0.0).alias("e"),
+    )
+
+    def _step(acc, v):
+        lp = F.lit(A) * v + F.lit(1 - A) * (acc["l"] + acc["t"])
+        return F.struct(
+            lp.alias("l"),
+            (F.lit(B) * (lp - acc["l"]) + F.lit(1 - B) * acc["t"]).alias("t"),
+            (
+                acc["e"]
+                + (v - (acc["l"] + acc["t"])) * (v - (acc["l"] + acc["t"]))
+            ).alias("e"),
+        )
+
+    folded = F.aggregate(
+        F.slice(xs, 3, F.greatest(n - 2, F.lit(0))), init, _step
+    )
+    ok = n >= 2
+    return (
+        arr.select(
+            "event_type",
+            n.cast("bigint").alias("n_days"),
+            F.when(ok, folded["l"]).alias("level"),
+            F.when(ok, folded["t"]).alias("trend"),
+            F.when(ok, folded["l"] + folded["t"]).alias("forecast_next"),
+            F.when(n > 2, F.sqrt(folded["e"] / (n - 2).cast("double"))).alias(
+                "one_step_rmse"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+HOLT_ORACLE = f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+        FROM events
+        GROUP BY 1, 2
+    ),
+    arr AS (
+        SELECT event_type,
+               list_transform(
+                   list_sort(list({{'day': day, 'x': x}})),
+                   s -> CAST(s.x AS DOUBLE)) AS xs
+        FROM daily GROUP BY event_type
+    ),
+    -- state rides a DOUBLE[3] = [level, trend, sse], NOT a struct:
+    -- DuckDB evaluates a struct-pack lambda's fields sequentially INTO
+    -- the accumulator slot, so a later field reading acc.l observes the
+    -- freshly-written new level (measured: the fold silently computes a
+    -- different recurrence).  List construction evaluates all elements
+    -- from the pre-update accumulator -- the portable form.
+    folded AS (
+        SELECT event_type, len(xs) AS n,
+               list_reduce(
+                   list_prepend(
+                       [xs[1], xs[2] - xs[1], 0.0e0],
+                       list_transform(xs[3:], v -> [v, 0.0e0, 0.0e0])),
+                   (acc, v) -> [
+                       {HOLT_ALPHA}e0 * v[1]
+                           + {1 - HOLT_ALPHA}e0 * (acc[1] + acc[2]),
+                       {HOLT_BETA}e0 * (({HOLT_ALPHA}e0 * v[1]
+                                      + {1 - HOLT_ALPHA}e0
+                                      * (acc[1] + acc[2])) - acc[1])
+                           + {1 - HOLT_BETA}e0 * acc[2],
+                       acc[3] + (v[1] - (acc[1] + acc[2]))
+                              * (v[1] - (acc[1] + acc[2]))]) AS st
+        FROM arr
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           CASE WHEN n >= 2 THEN st[1] END AS level,
+           CASE WHEN n >= 2 THEN st[2] END AS trend,
+           CASE WHEN n >= 2 THEN st[1] + st[2] END AS forecast_next,
+           CASE WHEN n > 2
+                THEN sqrt(st[3] / CAST(n - 2 AS DOUBLE)) END AS one_step_rmse
+    FROM folded
+    ORDER BY event_type
+"""
+
+
 TEMPORAL_QUERIES: list[tuple[str, object, str | None]] = [
+    ("holt_linear_smooth", holt_linear_smooth, HOLT_ORACLE),
     (
         "conversion_latency_histogram",
         conversion_latency_histogram,

@@ -1349,3 +1349,12 @@ def test_audience_overlap_self_join_is_user_keyed(spark):
     assert "partial_count" in plan
     # the bounded type-frame cross join must be the broadcast kind
     assert "CartesianProduct" not in plan
+
+
+def test_holt_is_joinless_fold(spark):
+    """The smoother is one combinable daily rollup + one combinable
+    per-type collect + a JVM fold: zero joins, zero windows."""
+    plan = plan_of(spark, "holt_linear_smooth")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "partial_" in plan

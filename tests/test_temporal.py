@@ -411,3 +411,58 @@ def test_session_histogram_reconciles_with_timeout_curve(spark):
         assert 2 ** r.bucket <= r.min_events <= r.max_events < 2 ** (r.bucket + 1)
         assert r.total_events >= r.n_sessions
         assert r.avg_duration_sec >= 0.0
+
+
+def test_holt_matches_python_recompute(spark):
+    """Differential replay of the fold: identical IEEE sequence over the
+    date-sorted daily series must give bit-equal level/trend/forecast."""
+    from collections import defaultdict
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from mapreduce_on_google_cloud_platform_spark.operators.temporal import (
+        HOLT_ALPHA,
+        HOLT_BETA,
+    )
+    from mapreduce_on_google_cloud_platform_spark.sources import load_table
+
+    def _cents(v: float) -> int:
+        return int(
+            Decimal(repr(v * 100)).quantize(Decimal(1), rounding=ROUND_HALF_UP)
+        )
+
+    daily: dict[str, dict] = defaultdict(lambda: defaultdict(int))
+    for r in load_table(spark, SF_SMOKE, "events").select(
+        "event_type", "ts", "value"
+    ).collect():
+        daily[r.event_type][r.ts.date()] += _cents(r.value)
+
+    rows = {r.event_type: r for r in QUERIES["holt_linear_smooth"](spark, SF_SMOKE).collect()}
+    assert set(rows) == set(daily)
+    A, B = HOLT_ALPHA, HOLT_BETA
+    for t, series in daily.items():
+        xs = [float(series[d]) for d in sorted(series)]
+        r = rows[t]
+        assert r.n_days == len(xs)
+        if len(xs) < 2:
+            assert r.level is None and r.trend is None
+            continue
+        l, tr, e = xs[0], xs[1] - xs[0], 0.0
+        for v in xs[2:]:
+            lp = A * v + (1 - A) * (l + tr)
+            tp = B * (lp - l) + (1 - B) * tr
+            e = e + (v - (l + tr)) * (v - (l + tr))
+            l, tr = lp, tp
+        assert r.level == l and r.trend == tr
+        assert r.forecast_next == l + tr
+        if len(xs) > 2:
+            assert r.one_step_rmse == (e / (len(xs) - 2)) ** 0.5
+
+
+def test_holt_forecast_identity(spark):
+    """forecast_next must equal level + trend exactly, and the rmse is
+    nonnegative wherever defined."""
+    for r in QUERIES["holt_linear_smooth"](spark, SF_SMOKE).collect():
+        if r.level is not None:
+            assert r.forecast_next == r.level + r.trend
+        if r.one_step_rmse is not None:
+            assert r.one_step_rmse >= 0.0
