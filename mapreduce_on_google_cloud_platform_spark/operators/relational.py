@@ -3030,7 +3030,8 @@ PARETO_FRONTIER_ORACLE = """
 
 def audience_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    ut = ev.select("event_type", "user_id").distinct()
+    # persist: the shuffle-distinct feeds both self-join legs and sizes
+    ut = ev.select("event_type", "user_id").distinct().persist()
     sizes = ut.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_users")
     )

@@ -4737,16 +4737,17 @@ KCENTER_ORACLE = _kcenter_oracle()
 # broadcast right join back to the bounded query list.
 # ---------------------------------------------------------------------------
 
-RBO_P = 0.9
+from fractions import Fraction as _Fraction
+
+RBO_P = _Fraction(9, 10)  # persistence: the single source for the weights
 
 
 def _rbo_weights() -> dict[int, str]:
     """W(m) = sum_{d=m..K} (1-p) p^(d-1) / d as exact 15-dp decimal
     literals (the only rounding step, identical in both engines)."""
     from decimal import ROUND_HALF_UP, Decimal
-    from fractions import Fraction
 
-    p = Fraction(9, 10)
+    p = RBO_P
     k = K_NEIGHBORS
     out = {}
     for m in range(1, k + 1):

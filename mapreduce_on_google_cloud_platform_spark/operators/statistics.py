@@ -2827,12 +2827,17 @@ def kruskal_wallis_h_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.lit(3.0) * (nd + F.lit(1.0))
     )
     c_tie = F.lit(1.0) - F.col("tie_term").cast("double") / (nd * nd * nd - nd)
+    # all-tied degenerate regime (tie = N^3 - N -> c_tie = 0): the
+    # honest answer is NULL, and an unguarded double division diverges
+    # cross-engine (Spark NULL vs DuckDB inf) -- same guard discipline
+    # as hill/ljung/leakage
+    tie_ok = F.col("tie_term").cast("double") < (nd * nd * nd - nd)
     stats = glob.select(
         "k_groups",
         "n_total",
         "tie_term",
         h.alias("h"),
-        (h / c_tie).alias("h_tie"),
+        F.when(tie_ok, h / c_tie).alias("h_tie"),
         (F.col("k_groups") - 1).alias("df"),
     ).withColumn("crit_95", F.expr(_KW_CRIT_CASE)).select(
         "k_groups",
@@ -2901,13 +2906,16 @@ KRUSKAL_WALLIS_ORACLE = f"""
                12.0 * s_fold
                    / (CAST(n_total AS DOUBLE) * (CAST(n_total AS DOUBLE) + 1.0))
                    - 3.0 * (CAST(n_total AS DOUBLE) + 1.0) AS h,
-               (12.0 * s_fold
+               CASE WHEN CAST(tie_term AS DOUBLE)
+                        < (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)
+                           * CAST(n_total AS DOUBLE) - CAST(n_total AS DOUBLE))
+               THEN (12.0 * s_fold
                    / (CAST(n_total AS DOUBLE) * (CAST(n_total AS DOUBLE) + 1.0))
                    - 3.0 * (CAST(n_total AS DOUBLE) + 1.0))
                / (1.0 - CAST(tie_term AS DOUBLE)
                    / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)
                       * CAST(n_total AS DOUBLE) - CAST(n_total AS DOUBLE)))
-                   AS h_tie,
+               END AS h_tie,
                k_groups - 1 AS df
         FROM kw_tot CROSS JOIN ties
     )
@@ -3221,9 +3229,14 @@ def ljung_box_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         for k in range(1, L + 1)
     }
     nd = F.col("n_days").cast("double")
+    # n_days == k would make the term 0.0/0.0 (NaN) -- guard it like
+    # the den > 0 guard on rho, so the coalesce sees NULL, never NaN
     term = {
         k: F.coalesce(
-            (rho[k] * rho[k] / (nd - F.lit(float(k)))).cast("decimal(18,15)"),
+            F.when(
+                nd > F.lit(float(k)),
+                rho[k] * rho[k] / (nd - F.lit(float(k))),
+            ).cast("decimal(18,15)"),
             F.lit(0).cast("decimal(18,15)"),
         )
         for k in range(1, L + 1)
@@ -3283,8 +3296,9 @@ def _ljung_box_oracle() -> str:
         for k in range(1, L + 1)
     }
     term_sql = " + ".join(
-        f"COALESCE(CAST(({rho_sql[k]}) * ({rho_sql[k]})"
-        f" / (CAST(n_days AS DOUBLE) - {float(k)}) AS DECIMAL(18,15)),"
+        f"COALESCE(CAST(CASE WHEN CAST(n_days AS DOUBLE) > {float(k)}"
+        f" THEN ({rho_sql[k]}) * ({rho_sql[k]})"
+        f" / (CAST(n_days AS DOUBLE) - {float(k)}) END AS DECIMAL(18,15)),"
         f" CAST(0 AS DECIMAL(18,15)))"
         for k in range(1, L + 1)
     )

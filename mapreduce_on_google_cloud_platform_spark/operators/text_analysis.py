@@ -5277,11 +5277,15 @@ def conformal_quality_threshold(
             % 2
             == 0,
         )
+        # persist: the quality-score pipeline (whole-corpus tokenize)
+        # feeds the calibration branch AND the eval rollup
+        .persist()
     )
     byq = (
         scored.filter(F.col("is_cal") & F.col("is_pos"))
         .groupBy("quality")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .persist()  # consumed by both the cum window and the total
     )
     # window input is the distinct-quality table (post-aggregate), never docs
     w_cum = Window.orderBy("quality").rowsBetween(

@@ -837,8 +837,8 @@ def test_ljung_box_matches_python_recompute(spark):
                 assert r.rho is None
             else:
                 assert abs(r.rho - exp_rho) < 1e-12
+                assert -1.0 - 1e-12 <= r.rho <= 1.0 + 1e-12
             assert abs(r.q_stat - q) < 1e-9 * max(1.0, abs(q))
             assert r.df == LJUNG_BOX_LAGS
             assert r.significant == (r.q_stat > CHI2_CRIT_95[LJUNG_BOX_LAGS])
-            assert -1.0 - 1e-12 <= r.rho <= 1.0 + 1e-12
         assert rs[0].q_stat >= 0
