@@ -3937,8 +3937,12 @@ def leakage_safe_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             == 0
         )
 
+    # the flag table is DOCS-sized: hint both attach joins SHUFFLE_HASH
+    # so Catalyst never auto-broadcasts a corpus-growing build side (the
+    # dedup_method_eval lesson -- the auto-broadcast OOMs a long-lived
+    # driver at sf0.1 and is wrong at any real scale)
     a = (
-        docs.join(cl, "doc_id")
+        docs.join(cl.hint("shuffle_hash"), "doc_id")
         .select(
             "doc_id",
             "n_chars",
@@ -3962,11 +3966,15 @@ def leakage_safe_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         leaks = (
             pairs.join(
-                a.select(F.col("doc_id").alias("doc_a"), F.col(strat).alias("ta")),
+                a.select(
+                    F.col("doc_id").alias("doc_a"), F.col(strat).alias("ta")
+                ).hint("shuffle_hash"),
                 "doc_a",
             )
             .join(
-                a.select(F.col("doc_id").alias("doc_b"), F.col(strat).alias("tb")),
+                a.select(
+                    F.col("doc_id").alias("doc_b"), F.col(strat).alias("tb")
+                ).hint("shuffle_hash"),
                 "doc_b",
             )
             .agg(

@@ -111,6 +111,10 @@ def main() -> int:
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        # the default 1g driver accumulates broadcast refs over a
+        # 300+-query sweep and OOMs mid-run (measured at sf0.1, query
+        # 150); match the production session factory's headroom
+        .config("spark.driver.memory", "8g")
         .getOrCreate()
     )
     assert entry_mod.entry(spark).count() > 0, "entry() smoke failed"
