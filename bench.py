@@ -298,6 +298,7 @@ HEADLINE = [
     "ljung_box_test",
     "audience_overlap_matrix",
     "holt_linear_smooth",
+    "forecast_backtest_mase",
     # dedup_method_eval re-runs five declared pipelines; its components
     # are each benched above, so it is left out of the headline suite
 ]

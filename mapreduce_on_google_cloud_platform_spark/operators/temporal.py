@@ -1672,8 +1672,214 @@ HOLT_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Forecast backtest (MASE) -- is the smoother WORTH anything on this
+# series?  One-step-ahead backtest of three forecasters per event type:
+# naive-1 (tomorrow = today), seasonal-naive-7 (tomorrow = same weekday
+# last week), and the Holt smoother above.  Errors are mean ABSOLUTE
+# one-step errors over the common scoring region (days 8..n, so every
+# forecaster is defined at every scored step -- no forecaster gets a
+# different denominator), and each model's MASE is its MAE divided by
+# the naive-1 MAE: MASE < 1 beats naive, the standard Hyndman-Koehler
+# scale-free skill score.  A Holt MASE > 1 says "ship the naive
+# forecast" -- the honest outcome on a trendless series.
+#
+# Exactness: naive and seasonal errors are |integer - integer| summed
+# exactly in DECIMAL; the Holt error stream is the same ordered fold as
+# holt_linear_smooth extended to accumulate |error| from day 8 on
+# (state = [level, trend, pos, sum_abs_err] as a DOUBLE[] -- the
+# struct-state aliasing hazard documented there applies here too), so
+# both engines run the identical IEEE sequence.  MAEs and MASEs are
+# single double divisions, NULL when the scoring region is empty or
+# the naive MAE is zero.
+#
+# Scale shape: identical to holt_linear_smooth -- one combinable daily
+# rollup, one bounded per-type array, window-free, join-free.
+# ---------------------------------------------------------------------------
+
+MASE_SEASON = 7
+MASE_SKIP = 8  # first scored position (1-based): all models defined
+
+
+def forecast_backtest_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents").cast("bigint").alias("x"))
+    )
+    arr = daily.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "x"))),
+            lambda s: s["x"].cast("double"),
+        ).alias("xs")
+    )
+    A, B = HOLT_ALPHA, HOLT_BETA
+    xs = F.col("xs")
+    n = F.size(xs)
+    idx = F.sequence(F.lit(MASE_SKIP), n)  # scored positions (1-based)
+    scored_n = F.when(n >= MASE_SKIP, (n - MASE_SKIP + 1).cast("bigint"))
+    # exact decimal sums of |int - int| for the two reference models
+    naive_sum = F.aggregate(
+        idx,
+        F.lit(0).cast("decimal(38,0)"),
+        lambda acc, i: acc
+        + F.abs(
+            (F.element_at(xs, i) - F.element_at(xs, i - 1)).cast(
+                "decimal(38,0)"
+            )
+        ),
+    )
+    seasonal_sum = F.aggregate(
+        idx,
+        F.lit(0).cast("decimal(38,0)"),
+        lambda acc, i: acc
+        + F.abs(
+            (
+                F.element_at(xs, i)
+                - F.element_at(xs, i - F.lit(MASE_SEASON))
+            ).cast("decimal(38,0)")
+        ),
+    )
+    # Holt fold over positions 3..n: state [level, trend, pos, abs_err_sum];
+    # the one-step error |x_pos - (l + t)| accrues only from MASE_SKIP on
+    holt_state = F.aggregate(
+        F.sequence(F.lit(3), n),
+        F.array(
+            F.element_at(xs, 1),
+            F.element_at(xs, 2) - F.element_at(xs, 1),
+            F.lit(2.0),
+            F.lit(0.0),
+        ),
+        lambda acc, i: F.array(
+            F.lit(A) * F.element_at(xs, i)
+            + F.lit(1 - A) * (acc[0] + acc[1]),
+            F.lit(B)
+            * (
+                (
+                    F.lit(A) * F.element_at(xs, i)
+                    + F.lit(1 - A) * (acc[0] + acc[1])
+                )
+                - acc[0]
+            )
+            + F.lit(1 - B) * acc[1],
+            acc[2] + F.lit(1.0),
+            acc[3]
+            + F.when(
+                i >= F.lit(MASE_SKIP),
+                F.abs(F.element_at(xs, i) - (acc[0] + acc[1])),
+            ).otherwise(F.lit(0.0)),
+        ),
+    )
+    base = arr.select(
+        "event_type",
+        n.cast("bigint").alias("n_days"),
+        scored_n.alias("n_scored"),
+        F.when(n >= MASE_SKIP, naive_sum).alias("naive_sum"),
+        F.when(n >= MASE_SKIP, seasonal_sum).alias("seasonal_sum"),
+        F.when(n >= MASE_SKIP, holt_state[3]).alias("holt_sum"),
+    )
+    nsd = F.col("n_scored").cast("double")
+    naive_mae = F.col("naive_sum").cast("double") / nsd
+    seasonal_mae = F.col("seasonal_sum").cast("double") / nsd
+    holt_mae = F.col("holt_sum") / nsd
+    return base.select(
+        "event_type",
+        "n_days",
+        "n_scored",
+        naive_mae.alias("naive_mae"),
+        seasonal_mae.alias("seasonal_mae"),
+        holt_mae.alias("holt_mae"),
+        F.when(naive_mae > 0, seasonal_mae / naive_mae).alias("seasonal_mase"),
+        F.when(naive_mae > 0, holt_mae / naive_mae).alias("holt_mase"),
+    ).orderBy("event_type")
+
+
+FORECAST_MASE_ORACLE = f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+        FROM events
+        GROUP BY 1, 2
+    ),
+    arr AS (
+        SELECT event_type,
+               list_transform(
+                   list_sort(list({{'day': day, 'x': x}})),
+                   s -> CAST(s.x AS DOUBLE)) AS xs
+        FROM daily GROUP BY event_type
+    ),
+    folded AS (
+        SELECT event_type, len(xs) AS n,
+               CASE WHEN len(xs) >= {MASE_SKIP} THEN
+                   list_reduce(
+                       list_prepend(CAST(0 AS DECIMAL(38,0)),
+                           list_transform(range({MASE_SKIP}, len(xs) + 1),
+                               i -> CAST(abs(CAST(xs[i] AS BIGINT)
+                                    - CAST(xs[i - 1] AS BIGINT))
+                                    AS DECIMAL(38,0)))),
+                       (acc, v) -> acc + v)
+               END AS naive_sum,
+               CASE WHEN len(xs) >= {MASE_SKIP} THEN
+                   list_reduce(
+                       list_prepend(CAST(0 AS DECIMAL(38,0)),
+                           list_transform(range({MASE_SKIP}, len(xs) + 1),
+                               i -> CAST(abs(CAST(xs[i] AS BIGINT)
+                                    - CAST(xs[i - {MASE_SEASON}] AS BIGINT))
+                                    AS DECIMAL(38,0)))),
+                       (acc, v) -> acc + v)
+               END AS seasonal_sum,
+               CASE WHEN len(xs) >= {MASE_SKIP} THEN
+                   list_reduce(
+                       list_prepend([xs[1], xs[2] - xs[1], 2.0e0, 0.0e0],
+                           list_transform(range(3, len(xs) + 1),
+                               i -> [xs[i], CAST(i AS DOUBLE), 0.0e0, 0.0e0])),
+                       (acc, v) -> [
+                           {HOLT_ALPHA}e0 * v[1]
+                               + {1 - HOLT_ALPHA}e0 * (acc[1] + acc[2]),
+                           {HOLT_BETA}e0 * (({HOLT_ALPHA}e0 * v[1]
+                                          + {1 - HOLT_ALPHA}e0
+                                          * (acc[1] + acc[2])) - acc[1])
+                               + {1 - HOLT_BETA}e0 * acc[2],
+                           acc[3] + 1.0e0,
+                           acc[4] + CASE WHEN v[2] >= {float(MASE_SKIP)}
+                               THEN abs(v[1] - (acc[1] + acc[2]))
+                               ELSE 0.0e0 END])[4]
+               END AS holt_sum
+        FROM arr
+    ),
+    base AS (
+        SELECT event_type, CAST(n AS BIGINT) AS n_days,
+               CASE WHEN n >= {MASE_SKIP}
+                    THEN CAST(n - {MASE_SKIP} + 1 AS BIGINT) END AS n_scored,
+               naive_sum, seasonal_sum, holt_sum
+        FROM folded
+    )
+    SELECT event_type, n_days, n_scored,
+           CAST(naive_sum AS DOUBLE) / CAST(n_scored AS DOUBLE) AS naive_mae,
+           CAST(seasonal_sum AS DOUBLE) / CAST(n_scored AS DOUBLE)
+               AS seasonal_mae,
+           holt_sum / CAST(n_scored AS DOUBLE) AS holt_mae,
+           CASE WHEN CAST(naive_sum AS DOUBLE) / CAST(n_scored AS DOUBLE) > 0
+                THEN (CAST(seasonal_sum AS DOUBLE) / CAST(n_scored AS DOUBLE))
+                     / (CAST(naive_sum AS DOUBLE) / CAST(n_scored AS DOUBLE))
+           END AS seasonal_mase,
+           CASE WHEN CAST(naive_sum AS DOUBLE) / CAST(n_scored AS DOUBLE) > 0
+                THEN (holt_sum / CAST(n_scored AS DOUBLE))
+                     / (CAST(naive_sum AS DOUBLE) / CAST(n_scored AS DOUBLE))
+           END AS holt_mase
+    FROM base
+    ORDER BY event_type
+"""
+
+
 TEMPORAL_QUERIES: list[tuple[str, object, str | None]] = [
     ("holt_linear_smooth", holt_linear_smooth, HOLT_ORACLE),
+    ("forecast_backtest_mase", forecast_backtest_mase, FORECAST_MASE_ORACLE),
     (
         "conversion_latency_histogram",
         conversion_latency_histogram,

@@ -1358,3 +1358,12 @@ def test_holt_is_joinless_fold(spark):
     assert "Join" not in plan
     assert "Window" not in plan
     assert "partial_" in plan
+
+
+def test_mase_backtest_is_joinless_fold(spark):
+    """Same posture as holt_linear_smooth: combinable rollups + bounded
+    per-type arrays + JVM folds; no joins, no windows."""
+    plan = plan_of(spark, "forecast_backtest_mase")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "partial_" in plan

@@ -466,3 +466,61 @@ def test_holt_forecast_identity(spark):
             assert r.forecast_next == r.level + r.trend
         if r.one_step_rmse is not None:
             assert r.one_step_rmse >= 0.0
+
+
+def test_mase_matches_python_recompute(spark):
+    """Differential replay: the three one-step error streams over the
+    common scoring region, and MASE = model MAE / naive MAE."""
+    from collections import defaultdict
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from mapreduce_on_google_cloud_platform_spark.operators.temporal import (
+        HOLT_ALPHA,
+        HOLT_BETA,
+        MASE_SEASON,
+        MASE_SKIP,
+    )
+    from mapreduce_on_google_cloud_platform_spark.sources import load_table
+
+    def _cents(v: float) -> int:
+        return int(
+            Decimal(repr(v * 100)).quantize(Decimal(1), rounding=ROUND_HALF_UP)
+        )
+
+    daily: dict[str, dict] = defaultdict(lambda: defaultdict(int))
+    for r in load_table(spark, SF_SMOKE, "events").select(
+        "event_type", "ts", "value"
+    ).collect():
+        daily[r.event_type][r.ts.date()] += _cents(r.value)
+
+    rows = {r.event_type: r for r in QUERIES["forecast_backtest_mase"](spark, SF_SMOKE).collect()}
+    A, B = HOLT_ALPHA, HOLT_BETA
+    for t, series in daily.items():
+        xs = [float(series[d]) for d in sorted(series)]
+        r = rows[t]
+        assert r.n_days == len(xs)
+        if len(xs) < MASE_SKIP:
+            assert r.n_scored is None
+            continue
+        scored = range(MASE_SKIP - 1, len(xs))  # 0-based
+        naive = sum(abs(int(xs[i]) - int(xs[i - 1])) for i in scored)
+        seas = sum(
+            abs(int(xs[i]) - int(xs[i - MASE_SEASON])) for i in scored
+        )
+        l, tr, err = xs[0], xs[1] - xs[0], 0.0
+        for i in range(2, len(xs)):
+            if i >= MASE_SKIP - 1:
+                err = err + abs(xs[i] - (l + tr))
+            lp = A * xs[i] + (1 - A) * (l + tr)
+            tr = B * (lp - l) + (1 - B) * tr
+            l = lp
+        ns = len(xs) - MASE_SKIP + 1
+        assert r.n_scored == ns
+        assert r.naive_mae == naive / ns
+        assert r.seasonal_mae == seas / ns
+        assert r.holt_mae == err / ns
+        if naive > 0:
+            assert r.seasonal_mase == (seas / ns) / (naive / ns)
+            assert r.holt_mase == (err / ns) / (naive / ns)
+        for v in (r.naive_mae, r.seasonal_mae, r.holt_mae):
+            assert v >= 0.0
