@@ -25,9 +25,28 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["wordcount"](spark, SMOKE_SF_DIR)
 
 
+def _fresh_cache(fn: Callable[[SparkSession, str], DataFrame]):
+    """Drop cached blocks left by the PREVIOUS query before building.
+
+    Several operators persist() shared subplans that stay referenced by
+    the returned (lazy) DataFrame, so they cannot unpersist before the
+    caller's collect -- the leak is intentional per query but would
+    accumulate across a 300+-query single-session driver run (ADVICE
+    r11).  Clearing at query START keeps each query self-contained:
+    its own caches survive until the next query begins, and recompute
+    falls back to the parquet tables / materialized index store.
+    """
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        spark.catalog.clearCache()
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 (+ extensions)."""
-    return dict(QUERIES)
+    return {name: _fresh_cache(fn) for name, fn in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -422,6 +422,18 @@ def main() -> None:
         "loadavg_before": loadavg_before,
         "loadavg_after": [round(x, 2) for x in os.getloadavg()],
     }
+    # VERDICT r11 item #6: a suite timed on a busy machine is not
+    # comparable round-over-round (BENCH_r11.json ran at loadavg 4.6 and
+    # read 37% slower than the idle artifact).  Refusing would leave the
+    # round with no BENCH file at all, so annotate LOUDLY instead: the
+    # flag rides the summary line where the cross-round differ sees it,
+    # and medians should be read as upper bounds with value_min_sum /
+    # the committed tools/bench_r*_full.json as the comparator.
+    if loadavg_before[0] > 1.0:
+        summary["load_warning"] = (
+            f"pre-suite 1m loadavg {loadavg_before[0]} > 1.0: medians are "
+            "environment-taxed; compare value_min_sum or an idle rerun"
+        )
     print(json.dumps(summary))
     # The round driver keeps only the LAST 2000 chars of stdout, which
     # preserves the summary but decapitates the detail line (round-9

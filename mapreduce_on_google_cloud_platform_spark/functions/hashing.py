@@ -32,6 +32,27 @@ MINHASH_BANDS = 8  # 8 bands x 2 rows
 SIMHASH_BITS = 32
 SIMHASH_BANDS = 8  # 8 bands x 4 bits: hamming <= 7 keeps >=1 band intact
 
+# Wide geometry (Manku et al. 2007, WWW: near-duplicate detection for
+# web crawling): the production 8x4 geometry's candidate mass is
+# superlinear in corpus size -- simhash_band_width_audit MEASURES it at
+# 19% of all pairs at sf0.1 -- because frequency-weighted signatures of
+# same-vocabulary docs crowd 4-bit chunks.  The audit carries a wide
+# row (SIMHASH_WIDE_BITS-bit signatures, SIMHASH_WIDE_BANDS bands of 15
+# bits) so the switch is a measured decision, and the PINNED RULE is:
+# flip the production default to the wide geometry when the audit's 8x4
+# row reports n_candidate_pairs / n_docs > SIMHASH_CAND_PER_DOC_SWITCH
+# (candidates PER DOC, not candidate fraction: the fraction is always
+# large on a small homogeneous corpus while absolute per-doc candidate
+# work is what a 100 TB join pays).  At the shipped SFs the 8x4 row
+# stays the default: 2.4M candidates at sf0.1 is ~160/doc against a
+# switch point of 512, and 32-bit hamming <= 7 remains the declared
+# near-pair truth the banked simhash family is defined over.
+# 60 bits (15 md5 nibbles), not Manku's 64, so the signature fits
+# SIGNED BIGINT in both engines (bit 63 would overflow the sum).
+SIMHASH_WIDE_BITS = 60
+SIMHASH_WIDE_BANDS = 4  # 4 bands x 15 bits: hamming <= 3 keeps >=1 band
+SIMHASH_CAND_PER_DOC_SWITCH = 512
+
 # 16 nibbles as 4-bit binary strings: bit k of digit d is
 # substring(BITS16, d*4 + k + 1, 1)   (1-indexed, k = 0..3 MSB-first)
 BITS16 = "".join(format(i, "04b") for i in range(16))

@@ -37,6 +37,8 @@ from ..functions.hashing import (
     NUM_MINHASHES,
     SIMHASH_BANDS,
     SIMHASH_BITS,
+    SIMHASH_WIDE_BANDS,
+    SIMHASH_WIDE_BITS,
 )
 from ..functions.text import (
     DUCKDB_SHINGLES_CTE,
@@ -1051,13 +1053,17 @@ MINHASH_STOPSHINGLE_ORACLE = _minhash_stopshingle_oracle()
 # ---------------------------------------------------------------------------
 
 
-def _simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, simhash): 32-bit frequency-weighted SimHash.
+def _simhash_signatures(
+    spark: SparkSession, sf_dir: str, bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """(doc_id, simhash): ``bits``-wide frequency-weighted SimHash.
 
     Bit j of a token is extracted from its md5 hex prefix via pure string
     ops (hex digit -> position in '0123456789abcdef' -> bit from a 64-char
     0/1 lookup string) so DuckDB computes the identical signature without
-    any integer-hex builtin."""
+    any integer-hex builtin.  ``bits`` must stay <= 60: the signature is
+    a sum of 2^j terms and bit 63 would overflow signed BIGINT."""
+    assert bits <= 60, "signature must fit signed BIGINT in both engines"
     docs = load_table(spark, sf_dir, "documents")
     tok_counts = (
         tokens_df(docs).groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("cnt"))
@@ -1069,8 +1075,8 @@ def _simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .select(
             "word",
-            F.substring(F.md5("word"), 1, SIMHASH_BITS // 4).alias("hex8"),
-            F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("j"),
+            F.substring(F.md5("word"), 1, bits // 4).alias("hex8"),
+            F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j"),
         )
         .select(
             "word",
@@ -1277,6 +1283,7 @@ def simhash_band_width_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         geo_rows.append(
             pairs.agg(
+                F.lit(SIMHASH_BITS).cast("int").alias("sig_bits"),
                 F.lit(r).cast("int").alias("n_bands"),
                 F.lit(bits).cast("int").alias("band_bits"),
                 F.lit(r - 1).cast("int").alias("guaranteed_radius"),
@@ -1291,12 +1298,81 @@ def simhash_band_width_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("n_recovered"),
             )
         )
+    # The Manku wide geometry the switch rule targets (hashing.py:
+    # SIMHASH_CAND_PER_DOC_SWITCH): 60-bit signatures, 4 bands x 15
+    # bits.  Candidates come from the WIDE bands; "recovered" is still
+    # measured against the production truth (32-bit hamming <=
+    # HAMMING_MAX via the 32-bit signatures) so the row answers the
+    # operational question -- how many of the pairs the shipped family
+    # treats as near-dups would the wide geometry still surface, and at
+    # what candidate cost.
+    wide_bits = SIMHASH_WIDE_BITS // SIMHASH_WIDE_BANDS
+    sig60 = _simhash_signatures(spark, sf_dir, SIMHASH_WIDE_BITS)
+    chunks60 = sig60.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.expr(_simhash_chunk_expr("", wide_bits, i)).alias(
+                            "chunk"
+                        ),
+                    )
+                    for i in range(SIMHASH_WIDE_BANDS)
+                ]
+            )
+        ).alias("bc"),
+    ).select(
+        "doc_id",
+        F.col("bc.band").alias("band"),
+        F.col("bc.chunk").alias("chunk"),
+    )
+    a60, b60 = chunks60.alias("a"), chunks60.alias("b")
+    pairs60 = (
+        a60.join(
+            b60,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk")),
+        )
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+        .join(sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a")), "doc_a")
+        .join(sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b")), "doc_b")
+        .select(
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+            .cast("int")
+            .alias("hamming")
+        )
+    )
+    geo_rows.append(
+        pairs60.agg(
+            F.lit(SIMHASH_WIDE_BITS).cast("int").alias("sig_bits"),
+            F.lit(SIMHASH_WIDE_BANDS).cast("int").alias("n_bands"),
+            F.lit(wide_bits).cast("int").alias("band_bits"),
+            F.lit(SIMHASH_WIDE_BANDS - 1).cast("int").alias("guaranteed_radius"),
+            F.count(F.lit(1)).cast("bigint").alias("n_candidate_pairs"),
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("hamming") <= HAMMING_MAX, 1).otherwise(0)
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("n_recovered"),
+        )
+    )
     out = geo_rows[0]
     for extra in geo_rows[1:]:
         out = out.unionByName(extra)
     return (
         out.crossJoin(F.broadcast(truth_n))
         .select(
+            "sig_bits",
             "n_bands",
             "band_bits",
             "guaranteed_radius",
@@ -1313,23 +1389,12 @@ def simhash_band_width_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.col("n_candidate_pairs"),
             ).alias("precision"),
         )
-        .orderBy("band_bits")
+        .orderBy("sig_bits", "band_bits")
     )
 
 
 def _simhash_band_audit_oracle() -> str:
-    per_geo = []
-    for r, bits in SIMHASH_BAND_CONFIGS:
-        band_match = " OR ".join(
-            f"{_simhash_chunk_expr('a.', bits, i)}"
-            f" = {_simhash_chunk_expr('b.', bits, i)}"
-            for i in range(r)
-        )
-        per_geo.append(
-            f"""    SELECT CAST({r} AS INTEGER) AS n_bands,
-           CAST({bits} AS INTEGER) AS band_bits,
-           CAST({r - 1} AS INTEGER) AS guaranteed_radius,
-           CAST(count(*) AS BIGINT) AS n_candidate_pairs,
+    agg_cols = f"""           CAST(count(*) AS BIGINT) AS n_candidate_pairs,
            (SELECT n FROM truth) AS n_true_pairs,
            CAST(coalesce(sum(CASE WHEN hamming <= {HAMMING_MAX}
                                   THEN 1 ELSE 0 END), 0) AS BIGINT)
@@ -1341,23 +1406,73 @@ def _simhash_band_audit_oracle() -> str:
            CASE WHEN count(*) > 0
                 THEN CAST(coalesce(sum(CASE WHEN hamming <= {HAMMING_MAX}
                                             THEN 1 ELSE 0 END), 0) AS DOUBLE)
-                     / count(*) END AS precision
+                     / count(*) END AS precision"""
+    per_geo = []
+    for r, bits in SIMHASH_BAND_CONFIGS:
+        band_match = " OR ".join(
+            f"{_simhash_chunk_expr('a.', bits, i)}"
+            f" = {_simhash_chunk_expr('b.', bits, i)}"
+            for i in range(r)
+        )
+        per_geo.append(
+            f"""    SELECT CAST({SIMHASH_BITS} AS INTEGER) AS sig_bits,
+           CAST({r} AS INTEGER) AS n_bands,
+           CAST({bits} AS INTEGER) AS band_bits,
+           CAST({r - 1} AS INTEGER) AS guaranteed_radius,
+{agg_cols}
     FROM (
         SELECT bit_count(xor(a.simhash, b.simhash)) AS hamming
         FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         WHERE {band_match}
     )"""
         )
+    # the Manku wide-geometry row: candidates from the 60-bit bands,
+    # recovery measured against the production 32-bit truth
+    wide_bits = SIMHASH_WIDE_BITS // SIMHASH_WIDE_BANDS
+    band_match60 = " OR ".join(
+        f"{_simhash_chunk_expr('a.', wide_bits, i)}"
+        f" = {_simhash_chunk_expr('b.', wide_bits, i)}"
+        for i in range(SIMHASH_WIDE_BANDS)
+    )
+    per_geo.append(
+        f"""    SELECT CAST({SIMHASH_WIDE_BITS} AS INTEGER) AS sig_bits,
+           CAST({SIMHASH_WIDE_BANDS} AS INTEGER) AS n_bands,
+           CAST({wide_bits} AS INTEGER) AS band_bits,
+           CAST({SIMHASH_WIDE_BANDS - 1} AS INTEGER) AS guaranteed_radius,
+{agg_cols}
+    FROM (
+        SELECT bit_count(xor(sa.simhash, sb.simhash)) AS hamming
+        FROM sig60 a JOIN sig60 b ON a.doc_id < b.doc_id
+        JOIN sig sa ON sa.doc_id = a.doc_id
+        JOIN sig sb ON sb.doc_id = b.doc_id
+        WHERE {band_match60}
+    )"""
+    )
     selects = "\n    UNION ALL\n".join(per_geo)
     return f"""
     WITH {SIMHASH_SIG_CTE},
+    per_bit60 AS (
+        SELECT doc_id, j,
+               sum(cnt * (2 * CAST(substring('{BITS16}',
+                   (instr('{HEX_DIGITS}', substring(substring(md5(word), 1, {SIMHASH_WIDE_BITS // 4}),
+                                                    CAST(floor(j/4) AS INT) + 1, 1)) - 1) * 4
+                   + (j % 4) + 1, 1) AS INT) - 1)) AS s
+        FROM tok_counts, unnest(range(0, {SIMHASH_WIDE_BITS})) t(j)
+        GROUP BY 1, 2
+    ),
+    sig60 AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN s > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END) AS BIGINT)
+                   AS simhash
+        FROM per_bit60 GROUP BY doc_id
+    ),
     truth AS (
         SELECT CAST(count(*) AS BIGINT) AS n
         FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
     )
 {selects}
-    ORDER BY band_bits
+    ORDER BY sig_bits, band_bits
 """
 
 

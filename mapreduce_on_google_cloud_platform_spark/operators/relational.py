@@ -2216,26 +2216,71 @@ COPURCHASE_ORACLE = f"""
 # oracle; no logs, no order-dependent double sums.
 #
 # Scale shape: the distinct incidence is one combinable aggregate; the
-# pair stream fans out per-customer (bounded by max basket-history
-# squared -- the copurchase skew argument; the cap lever at 100 TB is
-# dropping degenerate power-customers, same as stop-shingle removal);
-# co-counts are a combinable groupBy; popularity joins are
-# dimension-sized.  Per-item top-k is a partitioned row_number Spark 4
-# rewrites to WindowGroupLimit (map-side partial top-k pre-shuffle).
+# pair stream fans out per-customer, so the per-customer incidence is
+# HARD-CAPPED at COFILTER_CUST_CAP distinct parts (deterministic
+# md5-rank selection -- the stop-shingle discipline): one degenerate
+# power-customer (a bot/aggregator account holding 1e5 distinct parts
+# at 100x scale) would otherwise alone put |history|^2 ~ 1e10 pair rows
+# on a single shuffle key.  With the cap, fan-out per customer is
+# provably <= CAP*(CAP-1)/2 regardless of corpus growth; the count of
+# trimmed customers is emitted on every row as the n_capped_cust audit
+# column so drift in the trimmed population is visible, and the cap
+# rank itself plans as a second WindowGroupLimit (map-side partial
+# top-k before the shuffle).  Co-counts are a combinable groupBy;
+# popularity joins are dimension-sized.  Per-item top-k is a
+# partitioned row_number Spark 4 rewrites to WindowGroupLimit.
 # ---------------------------------------------------------------------------
 
 COFILTER_TOPK = 5
 MIN_COFILTER_CO = 2  # ignore single-customer coincidences
+# Per-customer distinct-part history cap (the 100 TB skew lever): parts
+# kept per customer are the COFILTER_CUST_CAP smallest by
+# md5(custkey:partkey) -- deterministic, content-addressed, mirrored
+# token-for-token in the oracle.  64 > the p99 history (~77 raw parts
+# at sf0.1 means ~4% of customers trim), so test scale exercises the
+# cap while the bound stays constant as the corpus grows.
+COFILTER_CUST_CAP = 64
+
+
+def _cofilter_incidence(
+    li: DataFrame, orders: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """(capped incidence, 1-row capped-customer count) -- shared shape."""
+    raw = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select("o_custkey", "l_partkey")
+        .distinct()
+    )
+    w_cap = Window.partitionBy("o_custkey").orderBy(
+        F.md5(
+            F.concat_ws(
+                ":",
+                F.col("o_custkey").cast("string"),
+                F.col("l_partkey").cast("string"),
+            )
+        ),
+        F.asc("l_partkey"),
+    )
+    ranked = raw.withColumn("cap_rank", F.row_number().over(w_cap))
+    inc = ranked.filter(F.col("cap_rank") <= COFILTER_CUST_CAP).drop("cap_rank")
+    capstat = (
+        raw.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .agg(
+            F.sum(
+                F.when(F.col("n_parts") > COFILTER_CUST_CAP, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_capped_cust")
+        )
+    )
+    return inc, capstat
 
 
 def item_item_cofilter_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
-    inc = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .select("o_custkey", "l_partkey")
-        .distinct()
-    )
+    inc, capstat = _cofilter_incidence(li, orders)
     pop = inc.groupBy(F.col("l_partkey").alias("part")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_cust")
     )
@@ -2275,15 +2320,36 @@ def item_item_cofilter_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("nbr_rank", F.row_number().over(w).cast("int"))
         .filter(F.col("nbr_rank") <= COFILTER_TOPK)
-        .select("part", "nbr_rank", "neighbor", "co", "cosine")
+        .crossJoin(F.broadcast(capstat))
+        .select("part", "nbr_rank", "neighbor", "co", "cosine", "n_capped_cust")
         .orderBy("part", "nbr_rank")
     )
 
 
 ITEM_COFILTER_ORACLE = f"""
-    WITH inc AS (
+    WITH inc_raw AS (
         SELECT DISTINCT o_custkey, l_partkey
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    inc_ranked AS (
+        SELECT o_custkey, l_partkey,
+               row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY md5(CAST(o_custkey AS VARCHAR) || ':'
+                                || CAST(l_partkey AS VARCHAR)),
+                            l_partkey
+               ) AS cap_rank
+        FROM inc_raw
+    ),
+    inc AS (
+        SELECT o_custkey, l_partkey FROM inc_ranked
+        WHERE cap_rank <= {COFILTER_CUST_CAP}
+    ),
+    capstat AS (
+        SELECT CAST(sum(CASE WHEN n_parts > {COFILTER_CUST_CAP} THEN 1
+                             ELSE 0 END) AS BIGINT) AS n_capped_cust
+        FROM (SELECT o_custkey, count(*) AS n_parts
+              FROM inc_raw GROUP BY 1)
     ),
     pop AS (
         SELECT l_partkey AS part, CAST(count(*) AS BIGINT) AS n_cust
@@ -2311,13 +2377,14 @@ ITEM_COFILTER_ORACLE = f"""
         JOIN pop pa ON s.part_a = pa.part
         JOIN pop pb ON s.part_b = pb.part
     )
-    SELECT part, nbr_rank, neighbor, co, cosine
+    SELECT part, nbr_rank, neighbor, co, cosine, n_capped_cust
     FROM (
         SELECT *, CAST(row_number() OVER (
                    PARTITION BY part ORDER BY cosine DESC, neighbor
                ) AS INTEGER) AS nbr_rank
         FROM scored
     )
+    CROSS JOIN capstat
     WHERE nbr_rank <= {COFILTER_TOPK}
     ORDER BY part, nbr_rank
 """

@@ -2725,11 +2725,19 @@ WEIGHTED_RESERVOIR_ORACLE = f"""
 # Output: one row per event type with the global test repeated.
 # ---------------------------------------------------------------------------
 
-# chi-square 0.95 quantiles, df 1..12 (public tables); both engines
-# evaluate the same generated CASE over df = k - 1.
+# chi-square 0.95 quantiles, df 1..32 (public tables); both engines
+# evaluate the same generated CASE over df = k - 1.  df > 32 (i.e. a
+# 34th event type) falls through to NULL `significant`; the emitted
+# `df` column disambiguates "table exhausted" from "not significant",
+# and the events schema ships 6 types, so 32 is a 5x headroom pin --
+# extend the dict if the schema ever grows past it.
 CHI2_CRIT_95 = {
     1: 3.841, 2: 5.991, 3: 7.815, 4: 9.488, 5: 11.070, 6: 12.592,
     7: 14.067, 8: 15.507, 9: 16.919, 10: 18.307, 11: 19.675, 12: 21.026,
+    13: 22.362, 14: 23.685, 15: 24.996, 16: 26.296, 17: 27.587,
+    18: 28.869, 19: 30.144, 20: 31.410, 21: 32.671, 22: 33.924,
+    23: 35.172, 24: 36.415, 25: 37.652, 26: 38.885, 27: 40.113,
+    28: 41.337, 29: 42.557, 30: 43.773, 31: 44.985, 32: 46.194,
 }
 _KW_CRIT_CASE = (
     "CASE "

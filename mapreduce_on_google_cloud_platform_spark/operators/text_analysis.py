@@ -5329,19 +5329,25 @@ def conformal_quality_threshold(
         F.max("thresh_rank").alias("thresh_rank"),
         F.max("threshold").alias("threshold"),
     )
+    # single-label-source guard: a source with zero eval positives (or
+    # negatives) must emit NULL, not Spark-NULL-vs-DuckDB-inf divergence
+    # (ieee_floating_point_ops default) -- same degenerate-regime
+    # discipline as hill/ljung/kruskal
     return agg.select(
         "source",
         "n_eval_pos",
         "pos_rejected",
-        (
+        F.when(
+            F.col("n_eval_pos") > 0,
             F.col("pos_rejected").cast("double")
-            / F.col("n_eval_pos").cast("double")
+            / F.col("n_eval_pos").cast("double"),
         ).alias("pos_reject_rate"),
         "n_eval_neg",
         "neg_rejected",
-        (
+        F.when(
+            F.col("n_eval_neg") > 0,
             F.col("neg_rejected").cast("double")
-            / F.col("n_eval_neg").cast("double")
+            / F.col("n_eval_neg").cast("double"),
         ).alias("neg_reject_rate"),
         "n_cal",
         "thresh_rank",
@@ -5400,18 +5406,443 @@ CONFORMAL_ORACLE = f"""
         GROUP BY source
     )
     SELECT source, n_eval_pos, pos_rejected,
-           CAST(pos_rejected AS DOUBLE) / CAST(n_eval_pos AS DOUBLE)
-               AS pos_reject_rate,
+           CASE WHEN n_eval_pos > 0
+                THEN CAST(pos_rejected AS DOUBLE) / CAST(n_eval_pos AS DOUBLE)
+           END AS pos_reject_rate,
            n_eval_neg, neg_rejected,
-           CAST(neg_rejected AS DOUBLE) / CAST(n_eval_neg AS DOUBLE)
-               AS neg_reject_rate,
+           CASE WHEN n_eval_neg > 0
+                THEN CAST(neg_rejected AS DOUBLE) / CAST(n_eval_neg AS DOUBLE)
+           END AS neg_reject_rate,
            n_cal, thresh_rank, threshold
     FROM agg
     ORDER BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# Jensen-Shannon divergence matrix between per-source unigram
+# distributions -- the mixture-curation DISTANCE: which sources are
+# near-duplicates of each other IN DISTRIBUTION (redundant to upsample
+# together) and which contribute genuinely new text.
+# source_vocab_overlap answers the SET question (shared types); this
+# answers the MASS question (how differently probability mass is
+# allocated).  JSD is symmetric, bounded by ln 2, and 0 iff identical.
+#
+# Decomposition that keeps everything exact until one decimal-squashed
+# log sum: for a source pair with unigram probs p, q, words present in
+# only ONE source contribute exactly (ln 2)/2 times their mass, so the
+# word-level log sum runs over the SHARED vocab only (inner join -- no
+# outer-join null lattice) and the disjoint mass is recovered in closed
+# form from exact BIGINT count sums:
+#     2*JSD = S2_shared + (2 - sa/ta - sb/tb) * ln 2
+# Each shared-word term p*ln(2p/(p+q)) + q*ln(2q/(p+q)) >= 0 (a KL
+# pair) is a fixed-order double chain over exact-integer ratios (p, q
+# are single divisions of BIGINTs; 2p is written p + p so no bare
+# double literal differs between engines), squashed to DECIMAL(18,15)
+# per row and summed EXACTLY -- the hill/ljung discipline, so shuffle
+# order cannot perturb a pair's divergence.  No product of corpus-sized
+# totals is ever formed, so nothing overflows at 100 TB token counts.
+#
+# Scale shape: per-(source, word) counts are one combinable groupBy off
+# the token stream; the shared-vocab join is a word equi-join producing
+# <= |sources|^2/2 rows per word (sources are bounded metadata
+# cardinality, like event types); the pair rollup has |sources|^2/2
+# groups.  No windows, no outer joins, no driver data paths.
+# ---------------------------------------------------------------------------
+
+
+def js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select("source", F.explode(tokenize(F.col("text"))).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    tot = cnt.groupBy("source").agg(F.sum("cnt").cast("bigint").alias("tot"))
+    a = cnt.select(
+        F.col("source").alias("source_a"), "word", F.col("cnt").alias("ca")
+    )
+    b = cnt.select(
+        F.col("source").alias("source_b"), "word", F.col("cnt").alias("cb")
+    )
+    ta = tot.select(F.col("source").alias("source_a"), F.col("tot").alias("ta"))
+    tb = tot.select(F.col("source").alias("source_b"), F.col("tot").alias("tb"))
+    # SHUFFLE_HASH, not auto-broadcast: both sides are per-source VOCAB
+    # tables -- corpus-growing under Heaps' law, exactly the side the
+    # r11 sf0.1 sweep caught OOMing a long-lived driver when broadcast
+    # (dedup_method_eval class).  The bounded sides (per-source totals)
+    # stay explicit broadcasts below.
+    shared = (
+        a.join(b.hint("shuffle_hash"), "word")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .withColumn("p", F.col("ca").cast("double") / F.col("ta").cast("double"))
+        .withColumn("q", F.col("cb").cast("double") / F.col("tb").cast("double"))
+    )
+    term = (
+        F.col("p") * F.log((F.col("p") + F.col("p")) / (F.col("p") + F.col("q")))
+        + F.col("q")
+        * F.log((F.col("q") + F.col("q")) / (F.col("p") + F.col("q")))
+    ).cast("decimal(18,15)")
+    pair_stats = shared.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shared_words"),
+        F.sum("ca").cast("bigint").alias("sa"),
+        F.sum("cb").cast("bigint").alias("sb"),
+        F.sum(term).alias("s2"),
+    )
+    pairs = ta.crossJoin(F.broadcast(tb)).filter(
+        F.col("source_a") < F.col("source_b")
+    )
+    two = F.lit(2).cast("double")
+    ln2 = F.log(F.lit(2).cast("double"))
+    full = (
+        pairs.join(F.broadcast(pair_stats), ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("ta").alias("tokens_a"),
+            F.col("tb").alias("tokens_b"),
+            F.coalesce(F.col("n_shared_words"), F.lit(0).cast("bigint")).alias(
+                "n_shared_words"
+            ),
+            F.coalesce(F.col("sa"), F.lit(0).cast("bigint")).alias("shared_cnt_a"),
+            F.coalesce(F.col("sb"), F.lit(0).cast("bigint")).alias("shared_cnt_b"),
+            (
+                (
+                    F.coalesce(
+                        F.col("s2").cast("double"), F.lit(0).cast("double")
+                    )
+                    + (
+                        two
+                        - F.coalesce(F.col("sa"), F.lit(0).cast("bigint")).cast(
+                            "double"
+                        )
+                        / F.col("ta").cast("double")
+                        - F.coalesce(F.col("sb"), F.lit(0).cast("bigint")).cast(
+                            "double"
+                        )
+                        / F.col("tb").cast("double")
+                    )
+                    * ln2
+                )
+                / two
+            ).alias("jsd_nats"),
+        )
+        .withColumn("jsd_bits", F.col("jsd_nats") / ln2)
+    )
+    return full.orderBy("source_a", "source_b")
+
+
+JS_DIVERGENCE_ORACLE = f"""
+    WITH {DUCKDB_TOKS_CTE},
+    cnt AS (
+        SELECT d.source, w AS word, CAST(count(*) AS BIGINT) AS cnt
+        FROM toks JOIN documents d USING (doc_id), unnest(ts) t(w)
+        GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT source, CAST(sum(cnt) AS BIGINT) AS tot FROM cnt GROUP BY 1
+    ),
+    shared AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               a.cnt AS ca, b.cnt AS cb, ta.tot AS ta, tb.tot AS tb,
+               CAST(a.cnt AS DOUBLE) / CAST(ta.tot AS DOUBLE) AS p,
+               CAST(b.cnt AS DOUBLE) / CAST(tb.tot AS DOUBLE) AS q
+        FROM cnt a
+        JOIN cnt b ON a.word = b.word AND a.source < b.source
+        JOIN tot ta ON ta.source = a.source
+        JOIN tot tb ON tb.source = b.source
+    ),
+    pair_stats AS (
+        SELECT source_a, source_b,
+               CAST(count(*) AS BIGINT) AS n_shared_words,
+               CAST(sum(ca) AS BIGINT) AS sa,
+               CAST(sum(cb) AS BIGINT) AS sb,
+               sum(CAST(p * ln((p + p) / (p + q))
+                        + q * ln((q + q) / (p + q)) AS DECIMAL(18,15))) AS s2
+        FROM shared GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a.source AS source_a, a.tot AS ta,
+               b.source AS source_b, b.tot AS tb
+        FROM tot a JOIN tot b ON a.source < b.source
+    )
+    SELECT source_a, source_b, tokens_a, tokens_b, n_shared_words,
+           shared_cnt_a, shared_cnt_b, jsd_nats,
+           jsd_nats / ln(CAST(2 AS DOUBLE)) AS jsd_bits
+    FROM (
+        SELECT p.source_a, p.source_b,
+               p.ta AS tokens_a, p.tb AS tokens_b,
+               coalesce(s.n_shared_words, CAST(0 AS BIGINT)) AS n_shared_words,
+               coalesce(s.sa, CAST(0 AS BIGINT)) AS shared_cnt_a,
+               coalesce(s.sb, CAST(0 AS BIGINT)) AS shared_cnt_b,
+               (coalesce(CAST(s.s2 AS DOUBLE), CAST(0 AS DOUBLE))
+                + (CAST(2 AS DOUBLE)
+                   - CAST(coalesce(s.sa, CAST(0 AS BIGINT)) AS DOUBLE)
+                     / CAST(p.ta AS DOUBLE)
+                   - CAST(coalesce(s.sb, CAST(0 AS BIGINT)) AS DOUBLE)
+                     / CAST(p.tb AS DOUBLE))
+                  * ln(CAST(2 AS DOUBLE)))
+               / CAST(2 AS DOUBLE) AS jsd_nats
+        FROM pairs p
+        LEFT JOIN pair_stats s
+               ON s.source_a = p.source_a AND s.source_b = p.source_b
+    )
+    ORDER BY source_a, source_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# Heaps' law fit: vocabulary growth V(n) ~ K * n^beta over the corpus --
+# the curation primitive behind "how much NEW vocabulary does the next
+# shard of data buy", the capacity planner for tokenizer vocab budgets
+# (vocab_coverage_curve answers coverage at FIXED corpus; this predicts
+# growth as the corpus scales).
+#
+# The classic formulation needs a document ARRIVAL ORDER and a running
+# distinct count -- a global sort + partitionless window, banned here.
+# Heaps' law holds for ANY fixed order, so the arrival order is the
+# md5 hash order of doc_id, bucketed to 256 lanes by the first two hex
+# digits: checkpoint membership becomes a pure per-row predicate (no
+# sort), a word's first arrival is min(bucket) (combinable), and the
+# cumulative curve is a running sum over the BOUNDED 256-row bucket
+# histogram.  16 checkpoints at every 16th bucket give the fit points;
+# ln-ln OLS runs as four 0.0-seeded ordered folds over the
+# checkpoint-sorted 16-element array (the kruskal discipline) so both
+# engines add the same 16 doubles in the same order.  The fitted
+# (beta, K) ride every checkpoint row.
+#
+# Scale shape: two combinable aggregates over the token stream (bucket
+# token totals, per-word min bucket), one 256-row histogram window, one
+# 16-row fold.  Nothing grows with the corpus except the two aggregates.
+# ---------------------------------------------------------------------------
+
+HEAPS_BUCKETS = 256
+HEAPS_CUTS = 16  # checkpoint every HEAPS_BUCKETS / HEAPS_CUTS buckets
+
+# engine-shared bucket expression: first two md5 hex digits of the
+# doc_id rendered in decimal -- instr-based (DuckDB lacks conv())
+_HEAPS_BUCKET_SQL = (
+    f"(instr('{{hex}}', substring(md5(CAST(doc_id AS {{str_t}})), 1, 1)) - 1) * 16"
+    f" + instr('{{hex}}', substring(md5(CAST(doc_id AS {{str_t}})), 2, 1)) - 1"
+)
+
+
+def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import HEX_DIGITS
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(
+        _HEAPS_BUCKET_SQL.format(hex=HEX_DIGITS, str_t="STRING")
+    ).cast("int")
+    doc_level = docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.size(tokenize(F.col("text"))).cast("bigint").alias("n_tok"),
+        tokenize(F.col("text")).alias("ts"),
+    )
+    btok = doc_level.groupBy("bucket").agg(
+        F.sum("n_tok").cast("bigint").alias("toks")
+    )
+    bvoc = (
+        doc_level.select("bucket", F.explode("ts").alias("word"))
+        .groupBy("word")
+        .agg(F.min("bucket").alias("first_bucket"))
+        .groupBy(F.col("first_bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("new_words"))
+    )
+    grid = spark.range(HEAPS_BUCKETS).select(F.col("id").cast("int").alias("bucket"))
+    w_cum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = (
+        grid.join(F.broadcast(btok), "bucket", "left")
+        .join(F.broadcast(bvoc), "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce(F.col("toks"), F.lit(0).cast("bigint")).alias("toks"),
+            F.coalesce(F.col("new_words"), F.lit(0).cast("bigint")).alias(
+                "new_words"
+            ),
+        )
+        .select(
+            "bucket",
+            F.sum("toks").over(w_cum).cast("bigint").alias("cum_tokens"),
+            F.sum("new_words").over(w_cum).cast("bigint").alias("cum_vocab"),
+        )
+    )
+    step = HEAPS_BUCKETS // HEAPS_CUTS
+    chk = cum.filter((F.col("bucket") + 1) % step == 0).select(
+        ((F.col("bucket") + 1) / step).cast("int").alias("checkpoint"),
+        "cum_tokens",
+        "cum_vocab",
+    )
+    pts = chk.filter(
+        (F.col("cum_tokens") > 0) & (F.col("cum_vocab") > 0)
+    ).select(
+        "checkpoint",
+        F.log(F.col("cum_tokens").cast("double")).alias("x"),
+        F.log(F.col("cum_vocab").cast("double")).alias("y"),
+    )
+    folded = (
+        pts.select(
+            F.struct(
+                F.col("checkpoint").alias("k"), F.col("x"), F.col("y")
+            ).alias("pt")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_fit_points"),
+            F.array_sort(F.collect_list("pt")).alias("pts"),
+        )
+        .select(
+            "n_fit_points",
+            F.aggregate("pts", F.lit(0.0), lambda a, p: a + p["x"]).alias("sx"),
+            F.aggregate("pts", F.lit(0.0), lambda a, p: a + p["y"]).alias("sy"),
+            F.aggregate(
+                "pts", F.lit(0.0), lambda a, p: a + p["x"] * p["x"]
+            ).alias("sxx"),
+            F.aggregate(
+                "pts", F.lit(0.0), lambda a, p: a + p["x"] * p["y"]
+            ).alias("sxy"),
+        )
+    )
+    nd = F.col("n_fit_points").cast("double")
+    fit = (
+        folded.withColumn("den", nd * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .withColumn(
+            "heaps_beta",
+            F.when(
+                F.col("den") != 0,
+                (nd * F.col("sxy") - F.col("sx") * F.col("sy")) / F.col("den"),
+            ),
+        )
+        .withColumn(
+            "heaps_lnk",
+            F.when(
+                F.col("den") != 0,
+                (F.col("sy") - F.col("heaps_beta") * F.col("sx")) / nd,
+            ),
+        )
+        .select(
+            "n_fit_points",
+            "heaps_beta",
+            "heaps_lnk",
+            F.round(F.exp(F.col("heaps_lnk")), 6).alias("heaps_k"),
+        )
+    )
+    return (
+        chk.crossJoin(F.broadcast(fit))
+        .select(
+            "checkpoint",
+            "cum_tokens",
+            "cum_vocab",
+            "n_fit_points",
+            "heaps_beta",
+            "heaps_lnk",
+            "heaps_k",
+        )
+        .orderBy("checkpoint")
+    )
+
+
+def _heaps_oracle() -> str:
+    from ..functions.hashing import HEX_DIGITS
+
+    bucket = _HEAPS_BUCKET_SQL.format(hex=HEX_DIGITS, str_t="VARCHAR")
+    step = HEAPS_BUCKETS // HEAPS_CUTS
+    fold = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {lst}),"
+        " (a, b) -> a + b)"
+    )
+    return f"""
+    WITH {DUCKDB_TOKS_CTE},
+    doc_level AS (
+        SELECT doc_id, CAST({bucket} AS INTEGER) AS bucket,
+               CAST(len(ts) AS BIGINT) AS n_tok, ts
+        FROM toks
+    ),
+    btok AS (
+        SELECT bucket, CAST(sum(n_tok) AS BIGINT) AS toks
+        FROM doc_level GROUP BY 1
+    ),
+    bvoc AS (
+        SELECT first_bucket AS bucket, CAST(count(*) AS BIGINT) AS new_words
+        FROM (
+            SELECT w AS word, min(bucket) AS first_bucket
+            FROM doc_level, unnest(ts) t(w)
+            GROUP BY 1
+        ) GROUP BY 1
+    ),
+    grid AS (SELECT CAST(i AS INTEGER) AS bucket FROM range({HEAPS_BUCKETS}) t(i)),
+    cum AS (
+        SELECT g.bucket,
+               CAST(sum(coalesce(bt.toks, 0)) OVER (
+                   ORDER BY g.bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_tokens,
+               CAST(sum(coalesce(bv.new_words, 0)) OVER (
+                   ORDER BY g.bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_vocab
+        FROM grid g
+        LEFT JOIN btok bt ON bt.bucket = g.bucket
+        LEFT JOIN bvoc bv ON bv.bucket = g.bucket
+    ),
+    chk AS (
+        SELECT CAST((bucket + 1) / {step} AS INTEGER) AS checkpoint,
+               cum_tokens, cum_vocab
+        FROM cum WHERE (bucket + 1) % {step} = 0
+    ),
+    pts AS (
+        SELECT checkpoint,
+               ln(CAST(cum_tokens AS DOUBLE)) AS x,
+               ln(CAST(cum_vocab AS DOUBLE)) AS y
+        FROM chk WHERE cum_tokens > 0 AND cum_vocab > 0
+    ),
+    folded AS (
+        SELECT CAST(count(*) AS INTEGER) AS n_fit_points,
+               {fold.format(lst="list(x ORDER BY checkpoint)")} AS sx,
+               {fold.format(lst="list(y ORDER BY checkpoint)")} AS sy,
+               {fold.format(lst="list(x * x ORDER BY checkpoint)")} AS sxx,
+               {fold.format(lst="list(x * y ORDER BY checkpoint)")} AS sxy
+        FROM pts
+    ),
+    fit AS (
+        SELECT n_fit_points, heaps_beta,
+               CASE WHEN den <> 0
+                    THEN (sy - heaps_beta * sx) / CAST(n_fit_points AS DOUBLE)
+               END AS heaps_lnk
+        FROM (
+            SELECT n_fit_points, sx, sy, sxy, den,
+                   CASE WHEN den <> 0
+                        THEN (CAST(n_fit_points AS DOUBLE) * sxy - sx * sy)
+                             / den
+                   END AS heaps_beta
+            FROM (
+                SELECT *,
+                       CAST(n_fit_points AS DOUBLE) * sxx - sx * sx AS den
+                FROM folded
+            )
+        )
+    )
+    SELECT checkpoint, cum_tokens, cum_vocab, n_fit_points,
+           heaps_beta, heaps_lnk, round(exp(heaps_lnk), 6) AS heaps_k
+    FROM chk CROSS JOIN fit
+    ORDER BY checkpoint
+"""
+
+
+HEAPS_LAW_ORACLE = _heaps_oracle()
+
+
 TEXT_ANALYSIS_QUERIES: list[tuple[str, object, str | None]] = [
+    (
+        "js_divergence_sources",
+        js_divergence_sources,
+        JS_DIVERGENCE_ORACLE,
+    ),
+    ("heaps_law_fit", heaps_law_fit, HEAPS_LAW_ORACLE),
     (
         "conformal_quality_threshold",
         conformal_quality_threshold,

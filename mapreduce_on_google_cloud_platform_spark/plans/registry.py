@@ -136,102 +136,93 @@ for _name, _fn, _oracle in SQL_SURFACE_QUERIES:
 # per family so registry growth can't silently push a family dark.
 DRIVER_WINDOW = 50
 
-# Round-11 rotation (VERDICT r10 items #1-#2): the window is declared BY
-# FAMILY so the family-coverage pin (tests/test_plans.py) derives from
-# this dict instead of duplicating it.  Composition:
-#   * the 9 never-hashed queries added post-rotation in r10 (COVERAGE.md
-#     "queued r11" list) -- banking them restores the zero-exception
-#     ledger invariant;
-#   * RE-BANKS for the 12 queries whose VALUES changed when the codebook
-#     cardinality was pinned to a constant (VERDICT r10 item #1,
-#     md5-rank selection replacing the corpus-proportional stride): the
-#     exact set comes from the committed digest diff
-#     tools/digests_r10_sf0.01.json vs tools/digests_r11_sf0.01.json
-#     (12 divergent, 3 of them already in the queued list above);
-#   * the 2 parity anchors (pin-required) plus the sole members of the
-#     streaming and join_strategies families;
-#   * the remaining 28 slots drain the never-driver-hashed backlog
-#     (COVERAGE.md), leaving only 4 deferred (inverted_index_size_
-#     estimate, text_normalize, text_bigrams, repeated_passage_windows
-#     -- each a close sibling of an already-banked query, and all four
-#     stay in the committed sweep + digest bank).  Every rotated-out
-#     query keeps its prior banked hash and stays covered by
-#     tools/sweep.py + pytest; no rotated-out query's values changed
-#     this round (digest diff: 12/12 divergent queries are in-window).
+# Round-12 rotation (VERDICT r11 items #1-#2): drain the ENTIRE
+# never-driver-hashed backlog in one window -- the 42 queries added
+# after the r11 rotation (COVERAGE.md "queued r12" list, including the
+# 4 r11-deferred siblings and the 2 rows-only stragglers) -- plus the
+# pin-required anchors (the reference's own two queries, the sole
+# streaming/join_strategies members, one multimodal and one sql_surface
+# representative, all driver-green in r11 or earlier).  After this bank,
+# every oracle-checked query in the registry holds a driver hash with
+# zero exceptions.  42 + 6 anchors = 48; the remaining 2 slots bank this
+# round's new operators the same round they land (the r11 verdict's
+# window-capacity rule: post-rotation additions may not exceed
+# DRIVER_WINDOW minus the anchor set).  Two in-window queries carry
+# deliberate round-12 VALUE changes, banked fresh here:
+# item_item_cofilter_topk (customer fan-out cap, VERDICT r11 #1) and
+# simhash_band_width_audit (wide-geometry row, VERDICT r11 #3).  Every
+# rotated-out query keeps its prior banked hash and stays covered by
+# tools/sweep.py + pytest.
 PRIORITY_FAMILIES: dict[str, tuple[str, ...]] = {
     # reference parity: the reference's own two queries stay pinned
     "parity": (
-        "wordcount",  # anchor (driver-green r1-r10)
-        "inverted_index",  # anchor (driver-green r1-r10)
+        "wordcount",  # anchor (driver-green r1-r11)
+        "inverted_index",  # anchor (driver-green r1-r11)
+        "inverted_index_size_estimate",  # never-hashed (deferred r11)
     ),
     "dedup": (
-        "source_dedup_rate",  # never-hashed (queued r11)
-        "minhash_lane_uniformity",  # never-hashed (queued r11)
-        "part_entity_clusters",  # never-hashed backlog
-        "shingle_df_profile",  # never-hashed backlog
+        "prefix_filter_jaccard_join",  # queued r12
+        "simhash_band_width_audit",  # queued r12 (+ r12 wide-geometry row)
+        "dbscan_lsh_clusters",  # queued r12
+        "dedup_sorted_neighborhood",  # queued r12
+        "cdc_chunk_dedup",  # queued r12
+        "leakage_safe_split_audit",  # queued r12
     ),
     "graph": (
-        "knn_reciprocity_audit",  # never-hashed (queued r11)
-        "neardup_clustering_coefficient",  # never-hashed backlog
-        "neardup_kcore_peel",  # never-hashed backlog
+        "link_prediction_scores",  # queued r12
+        "khop_reach_profile",  # queued r12
+        "ktruss_peel_funnel",  # queued r12
     ),
     "similarity": (
-        # re-banks: codebook pinned to K_CENTROIDS/PQ_CODEWORDS constants
-        "ann_ivf_topk",
-        "ann_ivf_pq_topk",
-        "ann_ivf_nprobe_curve",
-        "ann_recall_at_k_curve",
-        "ann_method_recall",
-        "pq_adc_topk",
-        "kmeans_assign",
-        "kmeans_cluster_quality",
-        "kmeans_label_purity",
-        # never-hashed (queued r11), values also moved with the codebook
-        "ivf_cell_balance",
-        "pq_code_usage",
-        "pq_distortion_stats",
-        "embedding_centroid_drift",  # never-hashed backlog
+        "ann_rank_quality_curve",  # queued r12
+        "ann_ivf_residual_pq_topk",  # queued r12
+        "pq_residual_gain_audit",  # queued r12
+        "jl_projection_distortion",  # queued r12
+        "ann_filtered_topk",  # queued r12
+        "ann_filter_recall_audit",  # queued r12
+        "kcenter_coreset_select",  # queued r12
+        "rbo_rank_overlap",  # queued r12
     ),
     "text": (
-        "eval_decontam_funnel",  # never-hashed backlog
-        "negative_sampling_pairs",  # never-hashed backlog
-        "ngram_novelty_curve",  # never-hashed backlog
-        "source_vocab_overlap",  # never-hashed backlog
-        "term_pmi_pairs",  # never-hashed backlog
-        "text_char_entropy",  # never-hashed backlog
-        "tokenizer_fertility_by_lang",  # never-hashed backlog
+        "cms_width_error_curve",  # queued r12
+        "bm25_topk_docs",  # queued r12
+        "dirichlet_ql_topk_docs",  # queued r12
+        "unigram_piece_candidates",  # queued r12
+        "unigram_lm_learn",  # queued r12 (rows-only by design)
+        "gate_agreement_kappa",  # queued r12
+        "conformal_quality_threshold",  # queued r12 (+ r12 degenerate guard)
+        "repeated_passage_windows",  # never-hashed (deferred r11)
+        "text_bigrams",  # never-hashed (deferred r11)
+        "text_normalize",  # never-hashed (deferred r11)
+        # round-12's own additions, banked the round they land (the two
+        # slots the anchor arithmetic leaves free)
+        "js_divergence_sources",  # NEW r12
+        "heaps_law_fit",  # NEW r12
     ),
-    "pipeline": (
-        "source_epochs_plan",  # never-hashed (queued r11)
-        "mixture_temperature_curve",  # never-hashed backlog
-        "source_policy_apply",  # never-hashed backlog
-        "source_quality_decision",  # never-hashed backlog
-        "t_closeness_report",  # never-hashed backlog
-        "stratified_kfold_assign",  # never-hashed backlog
-    ),
+    "pipeline": ("dp_sensitivity_audit",),  # queued r12
     "statistics": (
-        "daily_value_mad_outliers",  # never-hashed (queued r11)
-        "mann_kendall_trend_test",  # never-hashed (queued r11)
-        "sketch_summary",  # never-hashed backlog
+        "mann_whitney_u_test",  # queued r12
+        "kruskal_wallis_h_test",  # queued r12
+        "hill_tail_index",  # queued r12
+        "ljung_box_test",  # queued r12
+        "weighted_reservoir_sample",  # queued r12
+        "stratified_quota_alloc",  # queued r12
+        "geomean_event_value",  # never-hashed (rows-only by design)
+        "value_decile_features_approx",  # never-hashed (rows-only by design)
     ),
-    "relational": ("customer_rfm_features_approx",),  # never-hashed backlog
+    "relational": (
+        "item_item_cofilter_topk",  # queued r12 (+ r12 fan-out cap)
+        "pareto_frontier_customers",  # queued r12
+        "audience_overlap_matrix",  # queued r12
+    ),
     "temporal": (
-        "purchase_attribution",  # never-hashed backlog
-        "seasonality_adjusted_daily",  # never-hashed backlog
-        "weekly_value_wow",  # never-hashed backlog
+        "holt_linear_smooth",  # queued r12
+        "forecast_backtest_mase",  # queued r12
     ),
-    "streaming": ("tumbling_window_events",),  # anchor (green r2-r10)
-    "multimodal": (
-        "multimodal_bytes_histogram",  # never-hashed backlog
-        "multimodal_shard_manifest",  # never-hashed backlog
-    ),
-    "join_strategies": ("skew_join_salted",),  # anchor (green r2-r10)
-    "sql_surface": (
-        "q10_returned_items_sql",  # never-hashed backlog
-        "q15_top_supplier_sql",  # never-hashed backlog
-        "q16_supplier_diversity_sql",  # never-hashed backlog
-        "q20_heavy_shippers_sql",  # never-hashed backlog
-    ),
+    "streaming": ("tumbling_window_events",),  # anchor (green r2-r11)
+    "multimodal": ("multimodal_bytes_histogram",),  # anchor (green r11)
+    "join_strategies": ("skew_join_salted",),  # anchor (green r2-r11)
+    "sql_surface": ("q15_top_supplier_sql",),  # anchor (green r11)
 }
 
 PRIORITY_WINDOW: tuple[str, ...] = tuple(

@@ -640,14 +640,54 @@ def test_simhash_band_audit_pigeonhole_guarantee(spark):
         SIMHASH_BAND_CONFIGS,
     )
 
+    from mapreduce_on_google_cloud_platform_spark.functions.hashing import (
+        SIMHASH_BITS,
+        SIMHASH_WIDE_BANDS,
+        SIMHASH_WIDE_BITS,
+    )
+
     rows = QUERIES["simhash_band_width_audit"](spark, SF_SMOKE).collect()
-    assert {(r.n_bands, r.band_bits) for r in rows} == set(SIMHASH_BAND_CONFIGS)
+    expected = {(SIMHASH_BITS, r, b) for r, b in SIMHASH_BAND_CONFIGS} | {
+        (
+            SIMHASH_WIDE_BITS,
+            SIMHASH_WIDE_BANDS,
+            SIMHASH_WIDE_BITS // SIMHASH_WIDE_BANDS,
+        )
+    }
+    assert {(r.sig_bits, r.n_bands, r.band_bits) for r in rows} == expected
     for r in rows:
         assert r.guaranteed_radius == r.n_bands - 1
         assert 0 <= r.n_recovered <= r.n_true_pairs
         assert r.n_recovered <= r.n_candidate_pairs
-        if r.guaranteed_radius >= HAMMING_MAX and r.n_true_pairs > 0:
+        # pigeonhole is a theorem only when the radius is measured on the
+        # SAME signature the bands slice: the 32-bit geometries
+        if (
+            r.sig_bits == SIMHASH_BITS
+            and r.guaranteed_radius >= HAMMING_MAX
+            and r.n_true_pairs > 0
+        ):
             assert r.recall == 1.0
+    # the wide row must deliver on its purpose: strictly fewer candidates
+    # than the production 8x4 geometry it is the escape hatch for
+    by_sig = {(r.sig_bits, r.n_bands): r for r in rows}
+    prod = by_sig[(SIMHASH_BITS, 8)]
+    wide = by_sig[(SIMHASH_WIDE_BITS, SIMHASH_WIDE_BANDS)]
+    assert wide.n_candidate_pairs < prod.n_candidate_pairs
+
+
+def test_simhash_wide_geometry_constants_consistent():
+    """The pinned switch geometry must slice evenly and fit signed
+    BIGINT in both engines (bit 63 would overflow the signature sum)."""
+    from mapreduce_on_google_cloud_platform_spark.functions.hashing import (
+        SIMHASH_CAND_PER_DOC_SWITCH,
+        SIMHASH_WIDE_BANDS,
+        SIMHASH_WIDE_BITS,
+    )
+
+    assert SIMHASH_WIDE_BITS <= 60
+    assert SIMHASH_WIDE_BITS % 4 == 0  # whole md5 nibbles
+    assert SIMHASH_WIDE_BITS % SIMHASH_WIDE_BANDS == 0
+    assert SIMHASH_CAND_PER_DOC_SWITCH > 0
 
 
 def test_dbscan_refines_cc_and_role_invariants(spark):

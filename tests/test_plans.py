@@ -5,6 +5,8 @@ into the parquet scan, or a dim join that stops broadcasting)."""
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from mapreduce_on_google_cloud_platform_spark.plans import QUERIES
@@ -1117,12 +1119,45 @@ def test_sorted_neighborhood_rank_joins_are_equi(spark):
 
 def test_cofilter_topk_is_window_group_limited(spark):
     """Item-item CF: per-item neighbor top-k must plan as
-    WindowGroupLimit, co-counts must show map-side partials, and the
-    pair fan-out must stay a customer equi-join."""
+    WindowGroupLimit, co-counts must show map-side partials, the
+    pair fan-out must stay a customer equi-join, AND the per-customer
+    incidence cap (the 100 TB skew lever, VERDICT r11 item #1) must
+    itself plan as a second WindowGroupLimit so the history trim
+    happens map-side before the pair shuffle."""
     plan = plan_of(spark, "item_item_cofilter_topk")
-    assert "WindowGroupLimit" in plan
+    assert len(re.findall(r"WindowGroupLimit", plan)) >= 2, (
+        "expected BOTH the neighbor top-k and the customer-history cap "
+        "to plan as WindowGroupLimit"
+    )
     assert "partial_" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_cofilter_customer_fanout_is_capped(spark):
+    """A synthetic power-customer's pair fan-out must be bounded by
+    CAP*(CAP-1)/2 regardless of history size (the bot/aggregator
+    account that would otherwise put |history|^2 rows on one shuffle
+    key at 100 TB)."""
+    from mapreduce_on_google_cloud_platform_spark.operators.relational import (
+        COFILTER_CUST_CAP,
+        _cofilter_incidence,
+    )
+
+    n_parts = 3 * COFILTER_CUST_CAP  # one customer, 3x the cap
+    li = spark.createDataFrame(
+        [(1, p) for p in range(n_parts)], "l_orderkey long, l_partkey long"
+    )
+    orders = spark.createDataFrame([(1, 7)], "o_orderkey long, o_custkey long")
+    inc, capstat = _cofilter_incidence(li, orders)
+    kept = inc.count()
+    assert kept == COFILTER_CUST_CAP
+    assert capstat.collect()[0]["n_capped_cust"] == 1
+    # the md5-rank selection is deterministic: same input, same survivors
+    s1 = {r.l_partkey for r in inc.collect()}
+    s2 = {r.l_partkey for r in _cofilter_incidence(li, orders)[0].collect()}
+    assert s1 == s2
+    # pair fan-out bound that the cap buys
+    assert kept * (kept - 1) // 2 <= COFILTER_CUST_CAP * (COFILTER_CUST_CAP - 1) // 2
 
 
 def test_unigram_candidates_window_rides_aggregate(spark):
@@ -1367,3 +1402,26 @@ def test_mase_backtest_is_joinless_fold(spark):
     assert "Join" not in plan
     assert "Window" not in plan
     assert "partial_" in plan
+
+
+def test_js_divergence_shared_vocab_is_equi_join(spark):
+    """The word-level stage must stay a word equi-join over the
+    per-(source, word) aggregates -- never an outer-join null lattice or
+    a cartesian; the only cross joins are the bounded |sources|^2 pair
+    grid and broadcast dimension sides."""
+    plan = plan_of(spark, "js_divergence_sources")
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(word" in plan
+    # decimal-exact squash present: the log sum aggregates a decimal
+    assert "decimal(18,15)" in plan.lower()
+
+
+def test_heaps_windows_ride_the_bounded_bucket_grid(spark):
+    """Heaps' law: the cumulative-curve window must consume the 256-row
+    bucket grid (spark.range), never a corpus-sized stream -- the no-sort
+    md5-bucket design is the whole point; and the token-side aggregates
+    stay combinable groupBys."""
+    plan = plan_of(spark, "heaps_law_fit")
+    assert "CartesianProduct" not in plan
+    assert "Range (0, 256" in plan
+    assert "partial_count" in plan or "partial_sum" in plan

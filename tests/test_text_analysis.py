@@ -1324,3 +1324,106 @@ def test_dirichlet_ql_shrinks_toward_corpus(spark):
     for w, rs in by_w.items():
         rs.sort()
         assert all(a[1] >= b[1] for a, b in zip(rs, rs[1:])), w
+
+
+def _python_tokens(text: str) -> list[str]:
+    import re
+
+    toks = [re.sub(r"[^0-9a-z]", "", t.lower()) for t in re.split(r"\s+", text)]
+    return [t for t in toks if t]
+
+
+def test_js_divergence_matches_independent_python(spark):
+    """Differential guard against formula errors the mirrored oracle
+    cannot see: recompute JSD for every pair with a straightforward
+    pure-Python Counter implementation (full outer over the union
+    vocab, no shared/disjoint decomposition) and require agreement to
+    1e-9."""
+    import math
+    from collections import Counter
+
+    import duckdb
+
+    docs = duckdb.sql(
+        f"SELECT source, text FROM '{SF_SMOKE}/documents.parquet'"
+    ).fetchall()
+    dist: dict[str, Counter] = {}
+    for source, text in docs:
+        dist.setdefault(source, Counter()).update(_python_tokens(text))
+
+    def jsd(pa: Counter, pb: Counter) -> float:
+        ta, tb = sum(pa.values()), sum(pb.values())
+        s = 0.0
+        for w in set(pa) | set(pb):
+            p, q = pa[w] / ta, pb[w] / tb
+            m = (p + q) / 2
+            if p:
+                s += 0.5 * p * math.log(p / m)
+            if q:
+                s += 0.5 * q * math.log(q / m)
+        return s
+
+    rows = QUERIES["js_divergence_sources"](spark, SF_SMOKE).collect()
+    assert rows
+    ln2 = math.log(2.0)
+    for r in rows:
+        expected = jsd(dist[r.source_a], dist[r.source_b])
+        assert abs(r.jsd_nats - expected) < 1e-9, (r.source_a, r.source_b)
+        assert -1e-12 <= r.jsd_nats <= ln2 + 1e-12
+        assert abs(r.jsd_bits - r.jsd_nats / ln2) < 1e-12
+
+
+def test_js_divergence_pair_count_and_bounds(spark):
+    rows = QUERIES["js_divergence_sources"](spark, SF_SMOKE).collect()
+    n_sources = len({r.source_a for r in rows} | {r.source_b for r in rows})
+    assert len(rows) == n_sources * (n_sources - 1) // 2
+    for r in rows:
+        assert r.source_a < r.source_b  # upper triangle only
+        assert r.shared_cnt_a <= r.tokens_a
+        assert r.shared_cnt_b <= r.tokens_b
+
+
+def test_heaps_fit_matches_independent_python(spark):
+    """Differential guard: rebuild the bucket/checkpoint curve and the
+    ln-ln OLS in pure Python from the parquet and require bit-level
+    agreement on the curve and 1e-9 agreement on the fit."""
+    import hashlib
+    import math
+
+    import duckdb
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF_SMOKE}/documents.parquet'"
+    ).fetchall()
+    btok = [0] * 256
+    first: dict[str, int] = {}
+    for doc_id, text in docs:
+        b = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:2], 16)
+        toks = _python_tokens(text)
+        btok[b] += len(toks)
+        for w in toks:
+            first[w] = min(first.get(w, 256), b)
+    bvoc = [0] * 256
+    for b in first.values():
+        bvoc[b] += 1
+    cum_t, cum_v, chk = 0, 0, []
+    for b in range(256):
+        cum_t += btok[b]
+        cum_v += bvoc[b]
+        if (b + 1) % 16 == 0:
+            chk.append((cum_t, cum_v))
+    pts = [(math.log(t), math.log(v)) for t, v in chk if t > 0 and v > 0]
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    sxy = sum(x * y for x, y in pts)
+    den = n * sxx - sx * sx
+    beta = (n * sxy - sx * sy) / den
+
+    rows = QUERIES["heaps_law_fit"](spark, SF_SMOKE).collect()
+    assert len(rows) == 16
+    assert [(r.cum_tokens, r.cum_vocab) for r in rows] == chk
+    for r in rows:
+        assert r.n_fit_points == n
+        assert abs(r.heaps_beta - beta) < 1e-9
