@@ -299,6 +299,17 @@ HEADLINE = [
     "audience_overlap_matrix",
     "holt_linear_smooth",
     "forecast_backtest_mase",
+    # round-12 batch 1: source-distribution distance, vocab-growth law
+    "js_divergence_sources",
+    "heaps_law_fit",
+    # round-12 batch 2: MOSS winnowing, FS linkage weights, byte-simhash
+    # media near-dup, silhouette audit, EWMA chart, shard balance
+    "winnowing_fingerprints",
+    "fellegi_sunter_weights",
+    "multimodal_simhash_neardup",
+    "cluster_silhouette_audit",
+    "ewma_control_chart",
+    "shard_balance_audit",
     # dedup_method_eval re-runs five declared pipelines; its components
     # are each benched above, so it is left out of the headline suite
 ]

@@ -25,7 +25,7 @@ changes declared semantics.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import (
@@ -2157,6 +2157,388 @@ FUZZY_PAIRS_ORACLE = f"""
 
 
 # ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 -- the MOSS
+# algorithm): the position-robust LOCAL fingerprinting layer between
+# whole-doc hashing (doc_fingerprint) and window-granular passage dedup
+# (repeated_passage_windows).  Hash every token k-gram, slide a window
+# of WINNOW_W consecutive k-gram hashes, keep each window's minimum
+# (ties -> rightmost, the paper's robust-winnowing rule, encoded as
+# min(struct(hash, -pos)) so one lexicographic min does both keys); the
+# distinct kept (pos, hash) set is the document's fingerprint sketch,
+# with guaranteed detection of any shared run of WINNOW_W + K - 1
+# tokens and expected density 2/(w+1).
+#
+# Determinism: hashes are md5-prefix BIGINTs (the shared engine idiom),
+# selection is integer lexicographic min -- no floats anywhere except
+# the final density division of exact counts.
+#
+# Scale: the k-gram stream explodes ~1 row per token; the winnowing min
+# is a doc-PARTITIONED window (never partitionless), the sketch is a
+# distinct on (doc, pos, hash) bounded by ~2n/(w+1), and the cross-doc
+# share join rides the fingerprint hash equi-join.
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 3  # token k-gram width (the corpus shingle width)
+WINNOW_W = 4  # winnowing window: guarantee t = W + K - 1 = 6 tokens
+
+
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", tokenize(F.col("text")).alias("ts"))
+    kg = (
+        base.select(
+            "doc_id",
+            F.when(
+                F.size("ts") >= WINNOW_K,
+                F.expr(
+                    "transform(sequence(1, size(ts) - 2),"
+                    " i -> concat_ws(' ', element_at(ts, i),"
+                    " element_at(ts, i + 1), element_at(ts, i + 2)))"
+                ),
+            )
+            .otherwise(F.array().cast("array<string>"))
+            .alias("kgs"),
+        )
+        .select("doc_id", F.posexplode("kgs").alias("pos0", "sh"))
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).cast("bigint").alias("pos"),
+            F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10)
+            .cast("bigint")
+            .alias("h"),
+        )
+    )
+    w_doc = Window.partitionBy("doc_id")
+    w_win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(0, WINNOW_W - 1)
+    )
+    windows = kg.select(
+        "doc_id",
+        "pos",
+        F.min(F.struct(F.col("h"), (-F.col("pos")).alias("np"))).over(w_win).alias(
+            "sel"
+        ),
+        F.count(F.lit(1)).over(w_doc).alias("n_kgrams"),
+    )
+    selected = (
+        windows.filter(F.col("pos") <= F.col("n_kgrams") - WINNOW_W + 1)
+        .select(
+            "doc_id",
+            F.col("sel.h").alias("fh"),
+            (-F.col("sel.np")).alias("fpos"),
+        )
+        .distinct()
+    )
+    multi = (
+        selected.select("doc_id", "fh")
+        .distinct()
+        .groupBy("fh")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("fh")
+    )
+    per_doc = selected.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_fingerprints"),
+        F.count_distinct(F.col("fh")).cast("bigint").alias("n_distinct_fp"),
+    )
+    shared = (
+        selected.select("doc_id", "fh")
+        .distinct()
+        .join(multi, "fh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_fp"))
+    )
+    sizes = kg.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kgrams")
+    )
+    return (
+        sizes.join(per_doc, "doc_id", "left")
+        .join(shared, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_kgrams",
+            F.greatest(
+                F.col("n_kgrams") - (WINNOW_W - 1), F.lit(0).cast("bigint")
+            ).alias("n_windows"),
+            F.coalesce(F.col("n_fingerprints"), F.lit(0).cast("bigint")).alias(
+                "n_fingerprints"
+            ),
+            F.coalesce(F.col("n_distinct_fp"), F.lit(0).cast("bigint")).alias(
+                "n_distinct_fp"
+            ),
+            F.when(
+                F.col("n_kgrams") - (WINNOW_W - 1) > 0,
+                F.coalesce(F.col("n_fingerprints"), F.lit(0).cast("bigint")).cast(
+                    "double"
+                )
+                / (F.col("n_kgrams") - (WINNOW_W - 1)).cast("double"),
+            ).alias("fp_density"),
+            F.coalesce(F.col("n_shared_fp"), F.lit(0).cast("bigint")).alias(
+                "n_shared_fp"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+WINNOWING_ORACLE = f"""
+    WITH {DUCKDB_TOKS_CTE},
+    kg AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos,
+               ('0x' || substr(md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]),
+                               1, 15))::BIGINT AS h
+        FROM toks, unnest(range(1, len(ts) - 1)) t(i)
+    ),
+    win AS (
+        SELECT doc_id, pos,
+               min({{'h': h, 'np': -pos}}) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING
+               ) AS sel,
+               count(*) OVER (PARTITION BY doc_id) AS n_kgrams
+        FROM kg
+    ),
+    selected AS (
+        SELECT DISTINCT doc_id, sel.h AS fh, -sel.np AS fpos
+        FROM win WHERE pos <= n_kgrams - {WINNOW_W} + 1
+    ),
+    multi AS (
+        SELECT fh FROM (SELECT DISTINCT doc_id, fh FROM selected)
+        GROUP BY fh HAVING count(*) >= 2
+    ),
+    per_doc AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fingerprints,
+               CAST(count(DISTINCT fh) AS BIGINT) AS n_distinct_fp
+        FROM selected GROUP BY doc_id
+    ),
+    shared AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared_fp
+        FROM (SELECT DISTINCT doc_id, fh FROM selected) s
+        JOIN multi USING (fh)
+        GROUP BY doc_id
+    ),
+    sizes AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kgrams
+        FROM kg GROUP BY doc_id
+    )
+    SELECT s.doc_id, s.n_kgrams,
+           greatest(s.n_kgrams - {WINNOW_W - 1}, CAST(0 AS BIGINT))
+               AS n_windows,
+           coalesce(p.n_fingerprints, CAST(0 AS BIGINT)) AS n_fingerprints,
+           coalesce(p.n_distinct_fp, CAST(0 AS BIGINT)) AS n_distinct_fp,
+           CASE WHEN s.n_kgrams - {WINNOW_W - 1} > 0
+                THEN CAST(coalesce(p.n_fingerprints, CAST(0 AS BIGINT))
+                          AS DOUBLE)
+                     / CAST(s.n_kgrams - {WINNOW_W - 1} AS DOUBLE)
+           END AS fp_density,
+           coalesce(sh.n_shared_fp, CAST(0 AS BIGINT)) AS n_shared_fp
+    FROM sizes s
+    LEFT JOIN per_doc p USING (doc_id)
+    LEFT JOIN shared sh USING (doc_id)
+    ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Fellegi-Sunter record-linkage weights (Fellegi & Sunter 1969, JASA) --
+# the probabilistic-matching layer above the fuzzy blocker: for each
+# comparison field, the log-likelihood evidence an AGREEMENT (or
+# disagreement) contributes to a match decision,
+#     w_agree = ln(m/u),   w_disagree = ln((1-m)/(1-u))
+# where m = P(field agrees | matched pair) and u = P(field agrees |
+# random pair).  m comes from the blocked fuzzy-name matches (the
+# labeled-match proxy this corpus has); u needs NO pair sampling -- for
+# an equality comparator it is exactly sum_v f_v(f_v-1) / (N(N-1)) over
+# the field's value frequencies, a closed form of two combinable
+# aggregates.  Everything is exact BIGINT counting until the final
+# per-field divisions and logs (single-row chains, degenerate regimes
+# -> NULL: m or u at 0 or 1 has no finite weight).
+#
+# Scale: the match side is the same bounded brand x type block join the
+# fuzzy blocker ships; the u side is one groupBy per field; N(N-1) and
+# sum f(f-1) stay inside int64 to ~3e9 rows.  Output is one row per
+# field.
+# ---------------------------------------------------------------------------
+
+FS_PRICE_GRID = 10  # price agreement = equal floor(price * 10) dime band
+
+
+def fellegi_sunter_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    t = part.select(
+        "p_partkey",
+        "p_brand",
+        "p_type",
+        "p_name",
+        "p_size",
+        F.floor(F.col("p_retailprice") * FS_PRICE_GRID)
+        .cast("bigint")
+        .alias("pgrid"),
+    )
+    a, b = t.alias("ra"), t.alias("rb")
+    m = (
+        a.join(
+            b,
+            (F.col("ra.p_brand") == F.col("rb.p_brand"))
+            & (F.col("ra.p_type") == F.col("rb.p_type"))
+            & (F.col("ra.p_partkey") < F.col("rb.p_partkey")),
+        )
+        .filter(
+            F.levenshtein(F.col("ra.p_name"), F.col("rb.p_name"))
+            <= FUZZY_MAX_DIST
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_match_pairs"),
+            F.sum(
+                F.when(F.col("ra.p_size") == F.col("rb.p_size"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("size_agree_m"),
+            F.sum(
+                F.when(F.col("ra.pgrid") == F.col("rb.pgrid"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("price_agree_m"),
+        )
+    )
+    tot = t.agg(F.count(F.lit(1)).cast("bigint").alias("n_recs"))
+
+    def _u_pairs(col: str, alias: str) -> DataFrame:
+        return (
+            t.groupBy(col)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+            .agg(
+                F.sum(F.col("f") * (F.col("f") - 1))
+                .cast("bigint")
+                .alias(alias)
+            )
+        )
+
+    row = (
+        m.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(_u_pairs("p_size", "size_u_pairs")))
+        .crossJoin(F.broadcast(_u_pairs("pgrid", "price_u_pairs")))
+    )
+    fields = row.select(
+        "*",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("p_size").alias("field"),
+                    F.col("size_agree_m").alias("n_agree_match"),
+                    F.col("size_u_pairs").alias("u_agree_pairs"),
+                ),
+                F.struct(
+                    F.lit("price_grid").alias("field"),
+                    F.col("price_agree_m").alias("n_agree_match"),
+                    F.col("price_u_pairs").alias("u_agree_pairs"),
+                ),
+            )
+        ).alias("fx"),
+    )
+    mp = F.col("fx.n_agree_match").cast("double") / F.col(
+        "n_match_pairs"
+    ).cast("double")
+    up = F.col("fx.u_agree_pairs").cast("double") / (
+        F.col("n_recs") * (F.col("n_recs") - 1)
+    ).cast("double")
+    return (
+        fields.select(
+            F.col("fx.field").alias("field"),
+            "n_match_pairs",
+            F.col("fx.n_agree_match").alias("n_agree_match"),
+            "n_recs",
+            F.col("fx.u_agree_pairs").alias("u_agree_pairs"),
+            F.when(F.col("n_match_pairs") > 0, mp).alias("m_prob"),
+            up.alias("u_prob"),
+            F.when(
+                (F.col("n_match_pairs") > 0)
+                & (F.col("fx.n_agree_match") > 0)
+                & (F.col("fx.u_agree_pairs") > 0),
+                F.log(mp / up),
+            ).alias("w_agree"),
+            F.when(
+                (F.col("n_match_pairs") > 0)
+                & (F.col("fx.n_agree_match") < F.col("n_match_pairs"))
+                & (
+                    F.col("fx.u_agree_pairs")
+                    < F.col("n_recs") * (F.col("n_recs") - 1)
+                ),
+                F.log(
+                    (F.lit(1).cast("double") - mp)
+                    / (F.lit(1).cast("double") - up)
+                ),
+            ).alias("w_disagree"),
+        )
+        .orderBy("field")
+    )
+
+
+FELLEGI_SUNTER_ORACLE = f"""
+    WITH t AS (
+        SELECT p_partkey, p_brand, p_type, p_name, p_size,
+               CAST(floor(p_retailprice * {FS_PRICE_GRID}) AS BIGINT) AS pgrid
+        FROM part
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_match_pairs,
+               CAST(sum(CASE WHEN a.p_size = b.p_size THEN 1 ELSE 0 END)
+                   AS BIGINT) AS size_agree_m,
+               CAST(sum(CASE WHEN a.pgrid = b.pgrid THEN 1 ELSE 0 END)
+                   AS BIGINT) AS price_agree_m
+        FROM t a
+        JOIN t b ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+                AND a.p_partkey < b.p_partkey
+        WHERE levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_DIST}
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_recs FROM t),
+    us AS (
+        SELECT CAST(sum(f * (f - 1)) AS BIGINT) AS size_u_pairs
+        FROM (SELECT CAST(count(*) AS BIGINT) AS f FROM t GROUP BY p_size)
+    ),
+    up AS (
+        SELECT CAST(sum(f * (f - 1)) AS BIGINT) AS price_u_pairs
+        FROM (SELECT CAST(count(*) AS BIGINT) AS f FROM t GROUP BY pgrid)
+    ),
+    fields AS (
+        SELECT 'p_size' AS field, n_match_pairs, size_agree_m AS n_agree_match,
+               n_recs, size_u_pairs AS u_agree_pairs
+        FROM m, tot, us
+        UNION ALL
+        SELECT 'price_grid', n_match_pairs, price_agree_m, n_recs,
+               price_u_pairs
+        FROM m, tot, up
+    )
+    SELECT field, n_match_pairs, n_agree_match, n_recs, u_agree_pairs,
+           CASE WHEN n_match_pairs > 0
+                THEN CAST(n_agree_match AS DOUBLE)
+                     / CAST(n_match_pairs AS DOUBLE) END AS m_prob,
+           CAST(u_agree_pairs AS DOUBLE)
+               / CAST(n_recs * (n_recs - 1) AS DOUBLE) AS u_prob,
+           CASE WHEN n_match_pairs > 0 AND n_agree_match > 0
+                     AND u_agree_pairs > 0
+                THEN ln((CAST(n_agree_match AS DOUBLE)
+                         / CAST(n_match_pairs AS DOUBLE))
+                        / (CAST(u_agree_pairs AS DOUBLE)
+                           / CAST(n_recs * (n_recs - 1) AS DOUBLE)))
+           END AS w_agree,
+           CASE WHEN n_match_pairs > 0 AND n_agree_match < n_match_pairs
+                     AND u_agree_pairs < n_recs * (n_recs - 1)
+                THEN ln((CAST(1 AS DOUBLE)
+                         - CAST(n_agree_match AS DOUBLE)
+                           / CAST(n_match_pairs AS DOUBLE))
+                        / (CAST(1 AS DOUBLE)
+                           - CAST(u_agree_pairs AS DOUBLE)
+                             / CAST(n_recs * (n_recs - 1) AS DOUBLE)))
+           END AS w_disagree
+    FROM fields
+    ORDER BY field
+"""
+
+
+# ---------------------------------------------------------------------------
 # Dedup policy funnel: the capstone report -- apply the three dedup
 # policies TOGETHER (exact content hash, VERIFIED near-dup cluster
 # survivorship, ExactSubstr span contamination) and account for what
@@ -4213,6 +4595,8 @@ DEDUP_QUERIES: list[tuple[str, object, str | None]] = [
     ),
     ("dedup_exact", dedup_exact, DEDUP_EXACT_ORACLE),
     ("fuzzy_part_name_pairs", fuzzy_part_name_pairs, FUZZY_PAIRS_ORACLE),
+    ("fellegi_sunter_weights", fellegi_sunter_weights, FELLEGI_SUNTER_ORACLE),
+    ("winnowing_fingerprints", winnowing_fingerprints, WINNOWING_ORACLE),
     ("part_entity_clusters", part_entity_clusters, PART_ENTITY_ORACLE),
     ("dedup_method_eval", dedup_method_eval, METHOD_EVAL_ORACLE),
     ("dedup_ngram_jaccard", dedup_ngram_jaccard, NGRAM_JACCARD_ORACLE),

@@ -341,6 +341,200 @@ MULTIMODAL_DEDUP_ORACLE = """
 
 
 # ---------------------------------------------------------------------------
+# Byte-level SimHash NEAR-dup over the opaque payload -- the perceptual
+# cousin of multimodal_dedup's exact md5 grouping: re-encoded or
+# lightly-corrupted media (a flipped header field, a re-muxed
+# container) hashes to a different md5 but shares almost all byte
+# 4-grams, so its frequency-weighted byte-shingle SimHash lands within
+# a small Hamming radius.  The payload stays OPAQUE: the only byte
+# access is hex() + fixed-stride substrings -- no codec, no decode.
+#
+# Pipeline: hex(payload) -> byte-aligned 4-byte shingles (8 hex chars,
+# stride 2) -> shingle counts -> 32-bit frequency-weighted SimHash via
+# the shared instr-based bit extraction (functions/hashing.py) -> the
+# SAME banded candidate join the text family uses (SIMHASH_BANDS bands;
+# pigeonhole guarantees recall to hamming SIMHASH_BANDS - 1) -> exact
+# Hamming verify at MM_HAMMING_MAX.
+#
+# Scale: shingles are ~1 row per payload byte/2; signatures are one
+# combinable groupBy per (doc, shingle) + one per (doc, bit); the pair
+# stage is the audited band-bucket equi-join, never all-pairs.
+# ---------------------------------------------------------------------------
+
+MM_SHINGLE_HEX = 8  # 4 payload bytes per shingle
+# Radius 3, not the text family's 7: byte shingles of same-vocabulary
+# synthetic docs crowd the signature space (measured at sf0.01: hamming
+# <= 7 admits 14% of ALL pairs -- a corpus-quadratic output -- while
+# <= 3 keeps 0.4%), and the 8x4 bands guarantee recall to hamming 7
+# anyway, so radius 3 has exact recall with bounded output mass.
+MM_HAMMING_MAX = 3
+
+
+def multimodal_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import (
+        BITS16,
+        HEX_DIGITS,
+        SIMHASH_BANDS,
+        SIMHASH_BITS,
+    )
+
+    media = media_table(spark, sf_dir)
+    shingle_counts = (
+        media.select("doc_id", F.hex("payload").alias("hx"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, greatest(length(hx)"
+                    f" - {MM_SHINGLE_HEX - 1}, 1), 2),"
+                    f" i -> substring(hx, i, {MM_SHINGLE_HEX}))"
+                )
+            ).alias("sh"),
+        )
+        .groupBy("doc_id", "sh")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    sh_bits = (
+        shingle_counts.select("sh")
+        .distinct()
+        .select(
+            "sh",
+            F.substring(F.md5("sh"), 1, SIMHASH_BITS // 4).alias("hx8"),
+            F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("j"),
+        )
+        .select(
+            "sh",
+            "j",
+            (
+                2
+                * F.expr(
+                    f"CAST(substring('{BITS16}',"
+                    f" (instr('{HEX_DIGITS}', substring(hx8,"
+                    f" CAST(floor(j/4) AS INT) + 1, 1)) - 1) * 4"
+                    f" + (j % 4) + 1, 1) AS INT)"
+                )
+                - 1
+            ).alias("sgn"),
+        )
+    )
+    sig = (
+        shingle_counts.join(sh_bits.hint("shuffle_hash"), "sh")
+        .groupBy("doc_id", "j")
+        .agg(F.sum(F.col("cnt") * F.col("sgn")).alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("s") > 0, F.expr("CAST(power(2, j) AS BIGINT)")
+                ).otherwise(F.lit(0))
+            ).alias("simhash")
+        )
+    )
+    bits = SIMHASH_BITS // SIMHASH_BANDS
+    chunks = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.expr(
+                            f"CAST(floor(simhash / CAST(power(2, {bits * i})"
+                            f" AS BIGINT)) AS BIGINT) % {2 ** bits}"
+                        ).alias("chunk"),
+                    )
+                    for i in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bc"),
+    ).select(
+        "doc_id",
+        "simhash",
+        F.col("bc.band").alias("band"),
+        F.col("bc.chunk").alias("chunk"),
+    )
+    a, b = chunks.alias("ma"), chunks.alias("mb")
+    return (
+        a.join(
+            b,
+            (F.col("ma.band") == F.col("mb.band"))
+            & (F.col("ma.chunk") == F.col("mb.chunk")),
+        )
+        .filter(F.col("ma.doc_id") < F.col("mb.doc_id"))
+        .select(
+            F.col("ma.doc_id").alias("doc_a"),
+            F.col("mb.doc_id").alias("doc_b"),
+            F.bit_count(F.col("ma.simhash").bitwiseXOR(F.col("mb.simhash")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= MM_HAMMING_MAX)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _mm_simhash_oracle() -> str:
+    from ..functions.hashing import (
+        BITS16,
+        HEX_DIGITS,
+        SIMHASH_BANDS,
+        SIMHASH_BITS,
+    )
+
+    bits = SIMHASH_BITS // SIMHASH_BANDS
+
+    def chunk(prefix: str, i: int) -> str:
+        return (
+            f"CAST(floor({prefix}simhash / CAST(power(2, {bits * i})"
+            f" AS BIGINT)) AS BIGINT) % {2 ** bits}"
+        )
+
+    band_match = " OR ".join(
+        f"{chunk('a.', i)} = {chunk('b.', i)}" for i in range(SIMHASH_BANDS)
+    )
+    return f"""
+    WITH hx AS (
+        SELECT doc_id, hex(encode(text)) AS hx FROM documents
+    ),
+    shc AS (
+        SELECT doc_id, substr(hx, CAST(i AS INT), {MM_SHINGLE_HEX}) AS sh,
+               count(*) AS cnt
+        FROM hx, unnest(range(1, greatest(length(hx)
+                                          - {MM_SHINGLE_HEX - 1}, 1) + 1, 2)) t(i)
+        GROUP BY 1, 2
+    ),
+    per_bit AS (
+        SELECT doc_id, j,
+               sum(cnt * (2 * CAST(substring('{BITS16}',
+                   (instr('{HEX_DIGITS}', substring(substring(md5(sh), 1,
+                                                    {SIMHASH_BITS // 4}),
+                                                    CAST(floor(j/4) AS INT) + 1,
+                                                    1)) - 1) * 4
+                   + (j % 4) + 1, 1) AS INT) - 1)) AS s
+        FROM shc, unnest(range(0, {SIMHASH_BITS})) t(j)
+        GROUP BY 1, 2
+    ),
+    sig AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN s > 0 THEN CAST(power(2, j) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS simhash
+        FROM per_bit GROUP BY doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE ({band_match})
+      AND bit_count(xor(a.simhash, b.simhash)) <= {MM_HAMMING_MAX}
+    ORDER BY doc_a, doc_b
+"""
+
+
+MM_SIMHASH_ORACLE = _mm_simhash_oracle()
+
+
+# ---------------------------------------------------------------------------
 # Fixed-size payload chunking: split each opaque blob into CHUNK_BYTES
 # pieces with ordinals -- the row shape audio/video processing needs
 # (each chunk becomes an independent unit of decode/inference work, so
@@ -563,6 +757,11 @@ MULTIMODAL_BYTES_HIST_ORACLE = """
 
 
 MULTIMODAL_QUERIES: list[tuple[str, object, str | None]] = [
+    (
+        "multimodal_simhash_neardup",
+        multimodal_simhash_neardup,
+        MM_SIMHASH_ORACLE,
+    ),
     (
         "multimodal_bytes_histogram",
         multimodal_bytes_histogram,

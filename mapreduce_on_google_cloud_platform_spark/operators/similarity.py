@@ -818,6 +818,39 @@ def kmeans_dist_expr(dim: int = 64):
     )
 
 
+def _quantized_vectors(emb: DataFrame) -> DataFrame:
+    """(vec_id, q0..q63, qq): the exact fixed-point vector table every
+    k-means stage scores against.
+
+    SQL strings, not Python Column chains: the 64-column quantize +
+    64-term Q2 built from Column operators costs ~1.2 s of py4j round
+    trips per call (measured, round 11); one selectExpr parses JVM-side
+    in a single call with the identical expression tree.  Per-element
+    float->double cast is exact, same as casting the whole array."""
+    from ..functions.vectors import DIM
+
+    qcols = [
+        f"CAST(FLOOR(CAST(embedding[{i}] AS DOUBLE) * {QUANT_SCALE}"
+        f" + 0.5D) AS BIGINT) AS q{i}"
+        for i in range(DIM)
+    ]
+    # Q2 = sum_i q_i^2 (int64-safe: |q| <= ~1e6 -> Q2 <= 64e12)
+    qq = "(" + " + ".join(f"q{i} * q{i}" for i in range(DIM)) + ") AS qq"
+    return emb.selectExpr("vec_id", *qcols).selectExpr("*", qq).persist()
+
+
+def _centroid_frame(spark: SparkSession, rows) -> DataFrame:
+    """Collected (cluster_id, n, s0..s63) rows -> literal codebook frame
+    with split sums and exact S2 (see _centroid_tuple)."""
+    from ..functions.vectors import DIM
+
+    data = [
+        _centroid_tuple(r["cluster_id"], r["n"], [r[f"s{i}"] for i in range(DIM)])
+        for r in rows
+    ]
+    return spark.createDataFrame(data, KMEANS_CENT_SCHEMA)
+
+
 def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """{KMEANS_ITERS} fixed Lloyd iterations over the embeddings; returns
     the final (vec_id, cluster_id, dist) assignment.  This trains the
@@ -849,22 +882,7 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     collect-and-rebroadcast round truncates lineage by construction; S2
     per centroid is computed driver-side in exact arbitrary-precision
     ints."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    from ..functions.vectors import DIM
-
-    # SQL strings, not Python Column chains: the 64-column quantize +
-    # 64-term Q2 built from Column operators costs ~1.2 s of py4j round
-    # trips per call (measured, round 11); one selectExpr parses JVM-side
-    # in a single call with the identical expression tree.  Per-element
-    # float->double cast is exact, same as casting the whole array.
-    qcols = [
-        f"CAST(FLOOR(CAST(embedding[{i}] AS DOUBLE) * {QUANT_SCALE}"
-        f" + 0.5D) AS BIGINT) AS q{i}"
-        for i in range(DIM)
-    ]
-    # Q2 = sum_i q_i^2 (int64-safe: |q| <= ~1e6 -> Q2 <= 64e12)
-    qq = "(" + " + ".join(f"q{i} * q{i}" for i in range(DIM)) + ") AS qq"
-    vectors = emb.selectExpr("vec_id", *qcols).selectExpr("*", qq).persist()
+    vectors = _quantized_vectors(load_table(spark, sf_dir, "embeddings"))
 
     # The codebook is k rows -- driver-sized at any corpus scale (that is
     # the definition of a codebook).  Each round therefore collects the
@@ -877,9 +895,10 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     # machinery), and the broadcast side is a local relation -- the same
     # collect-and-rebroadcast round structure distributed k-means
     # classically uses.
+    from ..functions.vectors import DIM
+
     def _centroid_df(rows) -> DataFrame:
-        data = [_centroid_tuple(r["cluster_id"], r["n"], [r[f"s{i}"] for i in range(DIM)]) for r in rows]
-        return spark.createDataFrame(data, KMEANS_CENT_SCHEMA)
+        return _centroid_frame(spark, rows)
 
     centroids = _centroid_df(
         codebook_rows(vectors, K_CENTROIDS)
@@ -1092,6 +1111,16 @@ def _kmeans_oracle() -> str:
     return "".join(parts)
 
 
+def _kmeans_cte_chain() -> str:
+    """The unrolled Lloyd chain WITHOUT the final select, for oracles
+    that extend it (silhouette scores against the POST-final-update
+    centroids cn{N}/cs{N}, which the chain already builds)."""
+    full = _kmeans_oracle()
+    tail = f"\n    SELECT vec_id, cluster_id, dist FROM a{KMEANS_ITERS}"
+    assert full.endswith(tail)
+    return full[: -len(tail)]
+
+
 KMEANS_ORACLE = _kmeans_oracle()
 
 KMEANS_PURITY_ORACLE = f"""
@@ -1132,6 +1161,149 @@ KMEANS_QUALITY_ORACLE = f"""
     GROUP BY cluster_id
     ORDER BY cluster_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Centroid silhouette audit (Rousseeuw 1987, simplified/centroid form) --
+# the INTERNAL clustering score beside the external label purity: per
+# vector, a = distance to the centroid of its OWN cluster, b = distance
+# to the nearest OTHER centroid, s = (b - a) / max(a, b) in [-1, 1];
+# negative s means the vector sits closer to a foreign centroid than to
+# its own (a misassignment under the post-update codebook -- possible
+# because the banked assignment is the argmin against the PRE-update
+# centroids; the gap between the two is exactly what this audits).
+# Classic full silhouette is O(n^2) pairwise; the centroid form is the
+# standard scale substitute (n x k distances -- one Lloyd scoring round).
+#
+# Determinism: centroids are rebuilt from the materialized assignment as
+# exact (sum, count) rational pairs (the kmeans_assign discipline; O(K)
+# collect), distances are the same exact-integer split-lane expression,
+# sqrt/divide are per-row correctly-rounded IEEE ops, and the per-cluster
+# mean quantizes each s to an exact integer picogrid BEFORE summing:
+# floor(s * 1e12 + 0.5) -- floor of the SAME double is identical
+# everywhere (the kmeans_cluster_quality discipline).  A DECIMAL(18,15)
+# cast is NOT safe here: s ~ 0.1-0.9 carries 15 significant decimals at
+# that scale, and the engines' double->decimal casts route through
+# different representations (Spark shortest-repr BigDecimal vs DuckDB's
+# exact conversion) -- measured 0.56% of random doubles in [-0.05, 0.15]
+# cast to different DECIMAL(18,15) values.  The 1e12 grid keeps the
+# product <= ~1e12 (3 digits of slack under 2^53) so the quantization
+# itself is one exact IEEE multiply + floor.
+#
+# Scale: one n x K broadcast crossJoin (linear in n, K pinned), one
+# n-group aggregate, one K-group rollup.  Same cost class as one Lloyd
+# iteration; adds nothing driver-side beyond the K-row codebook pull.
+# ---------------------------------------------------------------------------
+
+
+def cluster_silhouette_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import DIM
+
+    vectors = _quantized_vectors(load_table(spark, sf_dir, "embeddings"))
+    assign = kmeans_assign_indexed(spark, sf_dir).select("vec_id", "cluster_id")
+    centroids = _centroid_frame(
+        spark,
+        vectors.join(assign, "vec_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.sum(f"q{i}").alias(f"s{i}") for i in range(DIM)],
+        )
+        .collect(),
+    )
+    scored = vectors.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        F.col("cluster_id").alias("cand_cluster"),
+        kmeans_dist_expr().alias("dist"),
+    )
+    per_vec = (
+        scored.join(assign, "vec_id")
+        .groupBy("vec_id", "cluster_id")
+        .agg(
+            F.min(
+                F.when(F.col("cand_cluster") == F.col("cluster_id"), F.col("dist"))
+            ).alias("da"),
+            F.min(
+                F.when(F.col("cand_cluster") != F.col("cluster_id"), F.col("dist"))
+            ).alias("db"),
+        )
+    )
+    s_dbl = F.when(
+        F.greatest(F.sqrt("da"), F.sqrt("db")) > 0,
+        (F.sqrt("db") - F.sqrt("da")) / F.greatest(F.sqrt("da"), F.sqrt("db")),
+    ).otherwise(F.lit(0).cast("double"))
+    s_q = F.floor(s_dbl * F.lit(1000000000000.0) + F.lit(0.5)).cast("bigint")
+    return (
+        per_vec.select("cluster_id", s_q.alias("sq"))
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            (
+                F.sum(F.col("sq").cast("decimal(38,0)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / F.lit(1000000000000.0)
+            ).alias("mean_silhouette"),
+            F.sum(F.when(F.col("sq") < 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_negative"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def _silhouette_oracle() -> str:
+    n = KMEANS_ITERS
+    return f"""{_kmeans_cte_chain()},
+    ssF AS (SELECT cluster_id, sum(CAST(s AS HUGEINT) * s) AS ss
+            FROM cs{n} GROUP BY cluster_id),
+    scF AS (
+        SELECT x.vec_id, x.cluster_id AS cand_cluster,
+               CAST(CAST(cn.n AS HUGEINT) * cn.n * q2.qq
+                    - 2 * CAST(cn.n AS HUGEINT) * x.xp
+                    + ss.ss AS DOUBLE)
+                 / CAST(cn.n * cn.n AS DOUBLE) AS dist
+        FROM (
+            SELECT q.vec_id, cs.cluster_id,
+                   sum(CAST(q.qv AS HUGEINT) * cs.s) AS xp
+            FROM q JOIN cs{n} cs ON q.d = cs.d
+            GROUP BY 1, 2
+        ) x
+        JOIN cn{n} cn ON x.cluster_id = cn.cluster_id
+        JOIN ssF ss ON x.cluster_id = ss.cluster_id
+        JOIN q2 ON x.vec_id = q2.vec_id
+    ),
+    pv AS (
+        SELECT s.vec_id, a.cluster_id,
+               min(CASE WHEN s.cand_cluster = a.cluster_id
+                        THEN s.dist END) AS da,
+               min(CASE WHEN s.cand_cluster <> a.cluster_id
+                        THEN s.dist END) AS db
+        FROM scF s JOIN a{n} a USING (vec_id)
+        GROUP BY 1, 2
+    ),
+    sil AS (
+        SELECT cluster_id,
+               CAST(floor((CASE WHEN greatest(sqrt(da), sqrt(db)) > 0
+                                THEN (sqrt(db) - sqrt(da))
+                                     / greatest(sqrt(da), sqrt(db))
+                                ELSE CAST(0 AS DOUBLE)
+                           END) * 1000000000000.0e0 + 0.5e0) AS BIGINT) AS sq
+        FROM pv
+    )
+    SELECT cluster_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(CAST(sq AS DECIMAL(38,0))) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) / 1000000000000.0e0
+               AS mean_silhouette,
+           CAST(sum(CASE WHEN sq < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_negative
+    FROM sil
+    GROUP BY cluster_id
+    ORDER BY cluster_id
+"""
+
+
+SILHOUETTE_ORACLE = _silhouette_oracle()
 
 
 # ---------------------------------------------------------------------------
@@ -4889,6 +5061,7 @@ SIMILARITY_QUERIES: list[tuple[str, object, str | None]] = [
     ("embedding_norm_outliers", embedding_norm_outliers, NORM_OUTLIERS_ORACLE),
     ("kmeans_cluster_quality", kmeans_cluster_quality, KMEANS_QUALITY_ORACLE),
     ("kmeans_label_purity", kmeans_label_purity, KMEANS_PURITY_ORACLE),
+    ("cluster_silhouette_audit", cluster_silhouette_audit, SILHOUETTE_ORACLE),
     # rows-only: float power iteration has no bit-exact SQL oracle; the
     # pytest twin checks direction/eigenvalue agreement vs numpy.
     ("pca_power_iteration", pca_power_iteration, None),

@@ -3238,7 +3238,17 @@ def ljung_box_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     nd = F.col("n_days").cast("double")
     # n_days == k would make the term 0.0/0.0 (NaN) -- guard it like
-    # the den > 0 guard on rho, so the coalesce sees NULL, never NaN
+    # the den > 0 guard on rho, so the coalesce sees NULL, never NaN.
+    # DECIMAL(18,15) precondition (round-12 finding): double->decimal
+    # casts are engine-identical only while the value carries < ~14
+    # significant decimals at the target scale (Spark routes through
+    # shortest-repr BigDecimal; DuckDB converts exactly -- measured
+    # 0.56% divergence on ~0.1-magnitude doubles at scale 15).  Here
+    # |term| = rho^2/(n-k) <= 1/(n_days-L) ~ 3e-3 on the 300-day
+    # calendar, i.e. <= 13 significant decimals at scale 15 -- inside
+    # the safe zone.  If the events calendar ever shrinks near L days,
+    # switch to the floor(term*1e12+0.5) picogrid (the
+    # cluster_silhouette_audit / js_divergence_sources discipline).
     term = {
         k: F.coalesce(
             F.when(

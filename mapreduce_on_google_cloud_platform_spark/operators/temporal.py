@@ -1877,8 +1877,209 @@ FORECAST_MASE_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# EWMA control chart (Roberts 1959 / NIST e-handbook 6.3.2.4) -- the
+# small-shift drift monitor the CUSUM changepoint localizer pairs with:
+# per event type, the exponentially weighted moving average of the daily
+# total against time-varying control limits
+#     z_t  = lambda * x_t + (1 - lambda) * z_{t-1},   z_0 = mu
+#     UCL_t = mu + L * sigma * sqrt(lambda/(2-lambda) * (1 - (1-l)^2t))
+# flagging out-of-control days.
+#
+# Determinism: z_t is a sequential recurrence -- the Holt ordered-fold
+# idiom (JVM F.aggregate / DuckDB list_reduce over DOUBLE[] state,
+# never struct state -- the measured aliasing hazard documented at
+# HOLT_ORACLE).  The variance factor (1-lambda)^(2t) is NOT computed
+# with power() (engine libm risk): the fold carries w_t = w_{t-1} * q^2
+# as a pure multiplication chain, bit-equal by construction.  mu/sigma
+# come from exact DECIMAL sufficient statistics (sum, sum-of-squares on
+# the cents grid) with the variance a per-row double chain.  Per-day
+# rows come from indexing the fold's output arrays with an exploded
+# 1..n sequence -- bounded by the CALENDAR, not the corpus.
+#
+# Scale shape: one combinable daily groupBy over events; everything
+# after rides the per-type calendar-bounded array.  Zero joins beyond
+# the per-type fold row, zero windows.
+# ---------------------------------------------------------------------------
+
+EWMA_LAMBDA = 0.2  # q = 0.8; lambda/(2-lambda) = 1/9 (exact int ratio)
+EWMA_L = 3  # 3-sigma limits
+
+
+def ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents").cast("bigint").alias("x"))
+    )
+    c18 = F.col("x").cast("decimal(18,0)")
+    arr = daily.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("day", "x"))).alias("sorted"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum(c18).alias("sx"),
+        F.sum(c18 * c18).alias("sxx"),
+    )
+    n = F.col("n_days")
+    nd = n.cast("double")
+    mu = F.col("sx").cast("double") / nd
+    sigma = F.sqrt(
+        (
+            F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx").cast("double") / nd
+        )
+        / (n - 1).cast("double")
+    )
+    lam, q = EWMA_LAMBDA, 1 - EWMA_LAMBDA
+    q2 = q * q
+    xs = F.transform(F.col("sorted"), lambda s: s["x"].cast("double"))
+    # state [z, w]: EWMA level and the (1-lambda)^(2t) variance factor,
+    # both appended per step so every day gets a row.  acc layout:
+    # acc = [z_0, w_0, z_1, w_1, ...]; step reads the last pair.
+    zs_ws = F.aggregate(
+        xs,
+        F.array(F.col("mu"), F.lit(1.0)),
+        lambda acc, v: F.concat(
+            acc,
+            F.array(
+                F.lit(lam) * v
+                + F.lit(q) * F.element_at(acc, F.size(acc) - 1),
+                F.lit(q2) * F.element_at(acc, F.size(acc)),
+            ),
+        ),
+    )
+    base = (
+        arr.withColumn("mu", mu)
+        .withColumn("sigma", sigma)
+        .withColumn("zw", zs_ws)
+    )
+    i = F.col("i")
+    half_width = (
+        F.lit(float(EWMA_L))
+        * F.col("sigma")
+        * F.sqrt(
+            F.lit(1).cast("double") / F.lit(9).cast("double")
+            * (F.lit(1).cast("double") - F.element_at("zw", (i * 2 + 2)))
+        )
+    )
+    out = (
+        base.select(
+            "event_type",
+            "n_days",
+            "mu",
+            "sigma",
+            "sorted",
+            "zw",
+            F.explode(F.sequence(F.lit(1), F.col("n_days").cast("int"))).alias(
+                "i"
+            ),
+        )
+        .select(
+            "event_type",
+            "n_days",
+            i.cast("int").alias("day_index"),
+            F.element_at("sorted", i)["day"].alias("day"),
+            F.element_at("sorted", i)["x"].alias("cents"),
+            F.round(F.col("mu"), 6).alias("mu_cents"),
+            F.when(F.col("n_days") > 1, F.round(F.col("sigma"), 6)).alias(
+                "sigma_cents"
+            ),
+            F.round(F.element_at("zw", i * 2 + 1), 6).alias("ewma_cents"),
+            F.when(F.col("n_days") > 1, F.round(F.col("mu") + half_width, 6))
+            .alias("ucl_cents"),
+            F.when(F.col("n_days") > 1, F.round(F.col("mu") - half_width, 6))
+            .alias("lcl_cents"),
+            F.when(
+                F.col("n_days") > 1,
+                (
+                    F.element_at("zw", i * 2 + 1)
+                    > F.col("mu") + half_width
+                )
+                | (
+                    F.element_at("zw", i * 2 + 1)
+                    < F.col("mu") - half_width
+                ),
+            ).alias("out_of_control"),
+        )
+        .orderBy("event_type", "day_index")
+    )
+    return out
+
+
+EWMA_ORACLE = f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+        FROM events
+        GROUP BY 1, 2
+    ),
+    arr AS (
+        SELECT event_type,
+               list_sort(list({{'day': day, 'x': x}})) AS sorted,
+               CAST(count(*) AS BIGINT) AS n_days,
+               sum(CAST(x AS DECIMAL(18,0))) AS sx,
+               sum(CAST(x AS DECIMAL(18,0)) * CAST(x AS DECIMAL(18,0))) AS sxx
+        FROM daily GROUP BY event_type
+    ),
+    stats AS (
+        SELECT *,
+               CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE) AS mu,
+               sqrt((CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                       / CAST(n_days AS DOUBLE))
+                    / CAST(n_days - 1 AS DOUBLE)) AS sigma
+        FROM arr
+    ),
+    folded AS (
+        SELECT *,
+               list_reduce(
+                   list_prepend(
+                       [mu, 1.0e0],
+                       list_transform(
+                           list_transform(sorted, s -> CAST(s.x AS DOUBLE)),
+                           v -> [v, 0.0e0])),
+                   (acc, v) -> list_append(
+                       list_append(acc,
+                           {EWMA_LAMBDA}e0 * v[1]
+                           + {1 - EWMA_LAMBDA}e0 * acc[-2]),
+                       {(1 - EWMA_LAMBDA) ** 2}e0 * acc[-1])) AS zw
+        FROM stats
+    )
+    SELECT event_type, n_days,
+           CAST(i AS INTEGER) AS day_index,
+           sorted[i].day AS day,
+           sorted[i].x AS cents,
+           round(mu, 6) AS mu_cents,
+           CASE WHEN n_days > 1 THEN round(sigma, 6) END AS sigma_cents,
+           round(zw[i * 2 + 1], 6) AS ewma_cents,
+           CASE WHEN n_days > 1 THEN round(mu + {EWMA_L}e0 * sigma
+               * sqrt(CAST(1 AS DOUBLE) / CAST(9 AS DOUBLE)
+                      * (CAST(1 AS DOUBLE) - zw[i * 2 + 2])), 6)
+           END AS ucl_cents,
+           CASE WHEN n_days > 1 THEN round(mu - {EWMA_L}e0 * sigma
+               * sqrt(CAST(1 AS DOUBLE) / CAST(9 AS DOUBLE)
+                      * (CAST(1 AS DOUBLE) - zw[i * 2 + 2])), 6)
+           END AS lcl_cents,
+           CASE WHEN n_days > 1 THEN
+               zw[i * 2 + 1] > mu + {EWMA_L}e0 * sigma
+                   * sqrt(CAST(1 AS DOUBLE) / CAST(9 AS DOUBLE)
+                          * (CAST(1 AS DOUBLE) - zw[i * 2 + 2]))
+               OR zw[i * 2 + 1] < mu - {EWMA_L}e0 * sigma
+                   * sqrt(CAST(1 AS DOUBLE) / CAST(9 AS DOUBLE)
+                          * (CAST(1 AS DOUBLE) - zw[i * 2 + 2]))
+           END AS out_of_control
+    FROM folded, unnest(range(1, CAST(n_days AS BIGINT) + 1)) t(i)
+    ORDER BY event_type, day_index
+"""
+
+
 TEMPORAL_QUERIES: list[tuple[str, object, str | None]] = [
     ("holt_linear_smooth", holt_linear_smooth, HOLT_ORACLE),
+    ("ewma_control_chart", ewma_control_chart, EWMA_ORACLE),
     ("forecast_backtest_mase", forecast_backtest_mase, FORECAST_MASE_ORACLE),
     (
         "conversion_latency_histogram",

@@ -1843,6 +1843,153 @@ SHARD_MANIFEST_ORACLE = f"""
 
 
 # ---------------------------------------------------------------------------
+# Shard balance audit -- the operational read on the manifest: when the
+# scheduler hands one shard per worker, the MAX shard is the straggler
+# and the job's wall clock; this one-row report quantifies how far the
+# packing is from uniform (max/mean straggler factor, Gini over shard
+# token sizes via the exact sorted-rank formula, coefficient of
+# variation from exact sufficient statistics).
+#
+# Determinism: shard sizes are exact BIGINTs off the manifest; the
+# Gini rank is the two-pass distributed rank (range-partition on the
+# sort key, row_number WITHIN each range in parallel, plus per-range
+# row-count offsets -- O(cluster) driver state, the
+# _doc_start_positions prefix-sum discipline applied to ranks), so the
+# shard table (corpus_tokens / SHARD_TOKEN_BUDGET rows -- it GROWS
+# with the corpus, just divided by a big constant) is never funneled
+# through a single-partition global window; rank*size and the squared
+# sums accumulate in DECIMAL(38,0); the Gini/CV are single-row double
+# chains over those exact values.
+# ---------------------------------------------------------------------------
+
+
+def shard_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    shards = training_shard_manifest(spark, sf_dir).select(
+        "shard", "shard_tokens"
+    )
+    # Distributed global rank: repartitionByRange orders partition ids
+    # by the sort key, so rank = in-range row_number + (rows in earlier
+    # ranges).  The ranged frame is persisted because both passes must
+    # observe the SAME range assignment; session.release_caches
+    # reclaims it.  (shard, shard_tokens) keys are unique per row, so
+    # the rank is exact and deterministic.
+    n_ranges = max(int(spark.sparkContext.defaultParallelism), 1)
+    ranged = (
+        shards.repartitionByRange(n_ranges, "shard_tokens", "shard")
+        .withColumn("rng", F.spark_partition_id())
+        .persist()
+    )
+    cnts = sorted(
+        (int(r["rng"]), int(r["c"]))
+        for r in ranged.groupBy("rng")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    offsets: dict[int, int] = {}
+    acc = 0
+    for rng, c in cnts:
+        offsets[rng] = acc
+        acc += c
+    if offsets:
+        off_col = F.element_at(
+            F.create_map(
+                *[
+                    c
+                    for k, v in offsets.items()
+                    for c in (F.lit(k).cast("int"), F.lit(v).cast("bigint"))
+                ]
+            ),
+            F.col("rng"),
+        )
+    else:
+        off_col = F.lit(0).cast("bigint")
+    w_in = Window.partitionBy("rng").orderBy("shard_tokens", "shard")
+    ranked = ranged.select(
+        "shard",
+        "shard_tokens",
+        (off_col + F.row_number().over(w_in).cast("bigint")).alias("rk"),
+    )
+    x38 = F.col("shard_tokens").cast("decimal(38,0)")
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shards"),
+        F.sum(x38).alias("s"),
+        F.sum(F.col("rk").cast("decimal(19,0)") * x38).alias("s1"),
+        F.sum(x38 * F.col("shard_tokens").cast("decimal(19,0)")).alias("s2"),
+        F.min("shard_tokens").alias("min_tokens"),
+        F.max("shard_tokens").alias("max_tokens"),
+    )
+    nd = F.col("n_shards").cast("double")
+    sd = F.col("s").cast("double")
+    mean = sd / nd
+    var = (F.col("s2").cast("double") - sd * sd / nd) / nd  # population
+    return agg.select(
+        "n_shards",
+        F.col("s").cast("bigint").alias("total_tokens"),
+        "min_tokens",
+        "max_tokens",
+        F.round(mean, 6).alias("mean_tokens"),
+        F.when(sd > 0, F.col("max_tokens").cast("double") / mean).alias(
+            "max_over_mean"
+        ),
+        F.when(
+            (F.col("n_shards") > 1) & (sd > 0),
+            (
+                F.lit(2).cast("double") * F.col("s1").cast("double")
+                - (F.col("n_shards") + 1).cast("double") * sd
+            )
+            / (nd * sd),
+        ).alias("gini"),
+        F.when((F.col("n_shards") > 1) & (sd > 0), F.sqrt(var) / mean).alias(
+            "cv"
+        ),
+    )
+
+
+SHARD_BALANCE_ORACLE = f"""
+    WITH m AS ({SHARD_MANIFEST_ORACLE.strip()}),
+    ranked AS (
+        SELECT shard, shard_tokens,
+               CAST(row_number() OVER (ORDER BY shard_tokens, shard)
+                   AS BIGINT) AS rk
+        FROM m
+    ),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_shards,
+               sum(CAST(shard_tokens AS DECIMAL(38,0))) AS s,
+               sum(CAST(rk AS DECIMAL(19,0))
+                   * CAST(shard_tokens AS DECIMAL(38,0))) AS s1,
+               sum(CAST(shard_tokens AS DECIMAL(38,0))
+                   * CAST(shard_tokens AS DECIMAL(19,0))) AS s2,
+               min(shard_tokens) AS min_tokens,
+               max(shard_tokens) AS max_tokens
+        FROM ranked
+    )
+    SELECT n_shards,
+           CAST(s AS BIGINT) AS total_tokens,
+           min_tokens, max_tokens,
+           round(CAST(s AS DOUBLE) / CAST(n_shards AS DOUBLE), 6)
+               AS mean_tokens,
+           CASE WHEN CAST(s AS DOUBLE) > 0
+                THEN CAST(max_tokens AS DOUBLE)
+                     / (CAST(s AS DOUBLE) / CAST(n_shards AS DOUBLE))
+           END AS max_over_mean,
+           CASE WHEN n_shards > 1 AND CAST(s AS DOUBLE) > 0
+                THEN (CAST(2 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                      - CAST(n_shards + 1 AS DOUBLE) * CAST(s AS DOUBLE))
+                     / (CAST(n_shards AS DOUBLE) * CAST(s AS DOUBLE))
+           END AS gini,
+           CASE WHEN n_shards > 1 AND CAST(s AS DOUBLE) > 0
+                THEN sqrt((CAST(s2 AS DOUBLE)
+                           - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                             / CAST(n_shards AS DOUBLE))
+                          / CAST(n_shards AS DOUBLE))
+                     / (CAST(s AS DOUBLE) / CAST(n_shards AS DOUBLE))
+           END AS cv
+    FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
 # Concat-and-chunk sequence packing: THE LM-pretraining data-prep step
 # -- concatenate every document's token stream in deterministic
 # (doc_id, position) order and cut it into fixed SEQ_LEN training
@@ -5438,9 +5585,11 @@ CONFORMAL_ORACLE = f"""
 # Each shared-word term p*ln(2p/(p+q)) + q*ln(2q/(p+q)) >= 0 (a KL
 # pair) is a fixed-order double chain over exact-integer ratios (p, q
 # are single divisions of BIGINTs; 2p is written p + p so no bare
-# double literal differs between engines), squashed to DECIMAL(18,15)
-# per row and summed EXACTLY -- the hill/ljung discipline, so shuffle
-# order cannot perturb a pair's divergence.  No product of corpus-sized
+# double literal differs between engines), quantized to the exact
+# integer picogrid (floor(term * 1e12 + 0.5) -- the silhouette lesson:
+# a DECIMAL(18,15) cast of a ~0.1-magnitude double is NOT
+# engine-portable) per row and summed EXACTLY in DECIMAL(38,0), so
+# shuffle order cannot perturb a pair's divergence.  No product of corpus-sized
 # totals is ever formed, so nothing overflows at 100 TB token counts.
 #
 # Scale shape: per-(source, word) counts are one combinable groupBy off
@@ -5480,16 +5629,26 @@ def js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("p", F.col("ca").cast("double") / F.col("ta").cast("double"))
         .withColumn("q", F.col("cb").cast("double") / F.col("tb").cast("double"))
     )
-    term = (
-        F.col("p") * F.log((F.col("p") + F.col("p")) / (F.col("p") + F.col("q")))
-        + F.col("q")
-        * F.log((F.col("q") + F.col("q")) / (F.col("p") + F.col("q")))
-    ).cast("decimal(18,15)")
+    # exact integer picogrid quantization BEFORE the cross-row sum:
+    # floor(term * 1e12 + 0.5) is the same double->int everywhere, while
+    # a DECIMAL(18,15) cast of a ~0.1-magnitude double is NOT (engines
+    # route double->decimal through different representations; measured
+    # 0.56% divergence on random doubles -- the silhouette lesson)
+    term = F.floor(
+        (
+            F.col("p")
+            * F.log((F.col("p") + F.col("p")) / (F.col("p") + F.col("q")))
+            + F.col("q")
+            * F.log((F.col("q") + F.col("q")) / (F.col("p") + F.col("q")))
+        )
+        * F.lit(1000000000000.0)
+        + F.lit(0.5)
+    ).cast("bigint")
     pair_stats = shared.groupBy("source_a", "source_b").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_shared_words"),
         F.sum("ca").cast("bigint").alias("sa"),
         F.sum("cb").cast("bigint").alias("sb"),
-        F.sum(term).alias("s2"),
+        F.sum(term.cast("decimal(38,0)")).alias("s2"),
     )
     pairs = ta.crossJoin(F.broadcast(tb)).filter(
         F.col("source_a") < F.col("source_b")
@@ -5513,6 +5672,7 @@ def js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce(
                         F.col("s2").cast("double"), F.lit(0).cast("double")
                     )
+                    / F.lit(1000000000000.0)
                     + (
                         two
                         - F.coalesce(F.col("sa"), F.lit(0).cast("bigint")).cast(
@@ -5559,8 +5719,10 @@ JS_DIVERGENCE_ORACLE = f"""
                CAST(count(*) AS BIGINT) AS n_shared_words,
                CAST(sum(ca) AS BIGINT) AS sa,
                CAST(sum(cb) AS BIGINT) AS sb,
-               sum(CAST(p * ln((p + p) / (p + q))
-                        + q * ln((q + q) / (p + q)) AS DECIMAL(18,15))) AS s2
+               sum(CAST(CAST(floor((p * ln((p + p) / (p + q))
+                        + q * ln((q + q) / (p + q)))
+                        * 1000000000000.0e0 + 0.5e0) AS BIGINT)
+                   AS DECIMAL(38,0))) AS s2
         FROM shared GROUP BY 1, 2
     ),
     pairs AS (
@@ -5578,6 +5740,7 @@ JS_DIVERGENCE_ORACLE = f"""
                coalesce(s.sa, CAST(0 AS BIGINT)) AS shared_cnt_a,
                coalesce(s.sb, CAST(0 AS BIGINT)) AS shared_cnt_b,
                (coalesce(CAST(s.s2 AS DOUBLE), CAST(0 AS DOUBLE))
+                / 1000000000000.0e0
                 + (CAST(2 AS DOUBLE)
                    - CAST(coalesce(s.sa, CAST(0 AS BIGINT)) AS DOUBLE)
                      / CAST(p.ta AS DOUBLE)
@@ -5843,6 +6006,7 @@ TEXT_ANALYSIS_QUERIES: list[tuple[str, object, str | None]] = [
         JS_DIVERGENCE_ORACLE,
     ),
     ("heaps_law_fit", heaps_law_fit, HEAPS_LAW_ORACLE),
+    ("shard_balance_audit", shard_balance_audit, SHARD_BALANCE_ORACLE),
     (
         "conformal_quality_threshold",
         conformal_quality_threshold,

@@ -897,3 +897,54 @@ def test_leakage_split_matches_python_recompute(spark):
         assert r.test_chars == sum(c for d, c in chars.items() if f[d])
         assert r.total_pairs == len(pairs)
         assert r.leaked_pairs == sum(1 for a, b in pairs if f[a] != f[b])
+
+
+def test_fellegi_sunter_weight_identities(spark):
+    """FS weights must satisfy the likelihood-ratio identities: m/u > 1
+    iff w_agree > 0; w_disagree has the opposite sign of w_agree when
+    both are finite; u_prob equals the closed-form sum f(f-1)/(N(N-1))
+    recomputed independently."""
+    import duckdb
+    import math
+
+    rows = QUERIES["fellegi_sunter_weights"](spark, SF_SMOKE).collect()
+    assert {r.field for r in rows} == {"p_size", "price_grid"}
+    n, = duckdb.sql(
+        f"SELECT count(*) FROM '{SF_SMOKE}/part.parquet'"
+    ).fetchone()
+    for r in rows:
+        assert r.n_recs == n
+        assert 0 <= r.n_agree_match <= r.n_match_pairs
+        assert abs(r.u_prob - r.u_agree_pairs / (n * (n - 1))) < 1e-15
+        if r.w_agree is not None:
+            assert (r.w_agree > 0) == (r.m_prob > r.u_prob)
+            assert abs(r.w_agree - math.log(r.m_prob / r.u_prob)) < 1e-12
+        if r.w_agree is not None and r.w_disagree is not None:
+            # agreement evidence up => disagreement evidence down
+            assert (r.w_agree > 0) != (r.w_disagree > 0) or (
+                r.w_agree == 0 and r.w_disagree == 0
+            )
+
+
+def test_winnowing_density_and_guarantee(spark):
+    """Winnowing invariants: one fingerprint per full window at most
+    w distinct selections per w windows, density in (0, 1], expected
+    around 2/(w+1); any doc duplicated verbatim must share ALL its
+    fingerprints (the Schleimer guarantee applied to full-doc dups)."""
+    from mapreduce_on_google_cloud_platform_spark.operators.dedup import (
+        WINNOW_W,
+    )
+
+    rows = QUERIES["winnowing_fingerprints"](spark, SF_SMOKE).collect()
+    assert rows
+    dens = [r.fp_density for r in rows if r.fp_density is not None]
+    assert dens
+    for r in rows:
+        assert r.n_fingerprints <= max(r.n_windows, 0) or r.n_windows == 0
+        assert r.n_distinct_fp <= r.n_fingerprints
+        assert r.n_shared_fp <= r.n_distinct_fp
+        if r.fp_density is not None:
+            assert 0 < r.fp_density <= 1
+    # corpus-level: mean density should sit near the 2/(w+1) theory
+    mean_d = sum(dens) / len(dens)
+    assert 2 / (WINNOW_W + 1) * 0.5 < mean_d < 2 / (WINNOW_W + 1) * 2.5

@@ -1412,8 +1412,11 @@ def test_js_divergence_shared_vocab_is_equi_join(spark):
     plan = plan_of(spark, "js_divergence_sources")
     assert "CartesianProduct" not in plan
     assert "hashpartitioning(word" in plan
-    # decimal-exact squash present: the log sum aggregates a decimal
-    assert "decimal(18,15)" in plan.lower()
+    # picogrid squash present: each KL-pair term is quantized to an exact
+    # integer (floor(term * 1e12 + 0.5)) and summed in decimal(38,0) --
+    # the silhouette-lesson replacement for the DECIMAL(18,15) cast
+    assert "1.0e12" in plan.lower() or "floor" in plan.lower()
+    assert "decimal(38,0)" in plan.lower()
 
 
 def test_heaps_windows_ride_the_bounded_bucket_grid(spark):
@@ -1425,3 +1428,43 @@ def test_heaps_windows_ride_the_bounded_bucket_grid(spark):
     assert "CartesianProduct" not in plan
     assert "Range (0, 256" in plan
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_ewma_is_joinless_fold_no_windows(spark):
+    """EWMA chart: one combinable daily groupBy, then per-type array
+    folds -- no window operator, no join of any kind in the plan (the
+    holt posture)."""
+    plan = plan_of(spark, "ewma_control_chart")
+    assert "partial_" in plan
+    assert "WindowExec" not in plan and "WindowGroupLimit" not in plan
+    assert "Join" not in plan
+
+
+def test_shard_balance_rank_has_no_partitionless_window(spark):
+    """Shard balance: the Gini rank must be the two-pass distributed
+    rank (rng-partitioned row_number + per-range offsets), never a
+    global single-partition window -- the shard table grows with the
+    corpus (corpus_tokens / SHARD_TOKEN_BUDGET rows)."""
+    import re
+
+    df = QUERIES["shard_balance_audit"](spark, SF_SMOKE)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    windows = re.findall(r"Window \[.*?\], \[(.*?)\], \[", logical)
+    assert windows, "expected Window nodes in the shard-balance plan"
+    for part in windows:
+        assert part.strip(), f"partitionless window found: [{part}]"
+    physical = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange rangepartitioning" in physical
+
+
+def test_silhouette_scores_against_broadcast_codebook(spark):
+    """Silhouette: the n x K scoring must ride a BROADCAST of the K-row
+    codebook (a local relation -- linear in n), never a cartesian of
+    distributed sides, and the per-vector/per-cluster rollups keep
+    map-side partials."""
+    plan = plan_of(spark, "cluster_silhouette_audit")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # n x K, build = local codebook
+    # the codebook side is a driver-built literal relation, broadcast
+    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan
+    assert "partial_" in plan

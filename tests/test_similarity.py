@@ -1146,3 +1146,29 @@ def test_rbo_matches_python_recompute(spark):
     for r in rows:
         assert r.n_overlap_rows == n_rows.get(r.q_id, 0)
         assert r.rbo == float(per_q.get(r.q_id, Decimal(0)))
+
+
+def test_silhouette_bounds_and_membership(spark):
+    """Silhouette scores live in [-1, 1]; membership counts must cover
+    the corpus exactly once; n_negative is bounded by membership."""
+    rows = QUERIES["cluster_silhouette_audit"](spark, SF_SMOKE).collect()
+    assert rows
+    import duckdb
+
+    n_vecs = duckdb.sql(
+        f"SELECT count(*) FROM '{SF_SMOKE}/embeddings.parquet'"
+    ).fetchone()[0]
+    assert sum(r.n_members for r in rows) == n_vecs
+    for r in rows:
+        assert -1.0 - 1e-9 <= r.mean_silhouette <= 1.0 + 1e-9
+        assert 0 <= r.n_negative <= r.n_members
+
+
+def test_silhouette_agrees_with_quality_membership(spark):
+    """The audit's per-cluster membership must equal the quality
+    report's (both ride the same materialized assignment)."""
+    sil = {r.cluster_id: r.n_members
+           for r in QUERIES["cluster_silhouette_audit"](spark, SF_SMOKE).collect()}
+    qual = {r.cluster_id: r.n_members
+            for r in QUERIES["kmeans_cluster_quality"](spark, SF_SMOKE).collect()}
+    assert sil == qual

@@ -524,3 +524,71 @@ def test_mase_matches_python_recompute(spark):
             assert r.holt_mase == (err / ns) / (naive / ns)
         for v in (r.naive_mae, r.seasonal_mae, r.holt_mae):
             assert v >= 0.0
+
+
+def test_ewma_matches_independent_python(spark):
+    """Differential guard: rebuild the EWMA recurrence, control limits,
+    and flags in pure Python from the parquet and require close
+    agreement (the engine path is bit-deterministic; the reference here
+    is an independent implementation, so compare to 1e-6 after the
+    6-dp rounding)."""
+    import math
+    from collections import defaultdict
+
+    import duckdb
+
+    from mapreduce_on_google_cloud_platform_spark.operators.temporal import (
+        EWMA_L,
+        EWMA_LAMBDA,
+    )
+    from tests.conftest import SF_SMOKE
+
+    daily = duckdb.sql(
+        f"""SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+            FROM '{SF_SMOKE}/events.parquet' GROUP BY 1, 2 ORDER BY 1, 2"""
+    ).fetchall()
+    series = defaultdict(list)
+    for et, day, x in daily:
+        series[et].append((day, x))
+
+    rows = QUERIES["ewma_control_chart"](spark, SF_SMOKE).collect()
+    by_key = {(r.event_type, r.day_index): r for r in rows}
+    n_rows = 0
+    for et, pts in series.items():
+        xs = [x for _, x in pts]
+        n = len(xs)
+        mu = sum(xs) / n
+        var = (sum(v * v for v in xs) - sum(xs) ** 2 / n) / (n - 1)
+        sigma = math.sqrt(var)
+        z, w = mu, 1.0
+        for t, (day, x) in enumerate(pts, start=1):
+            z = EWMA_LAMBDA * x + (1 - EWMA_LAMBDA) * z
+            w = w * (1 - EWMA_LAMBDA) ** 2
+            hw = EWMA_L * sigma * math.sqrt(1.0 / 9.0 * (1.0 - w))
+            r = by_key[(et, t)]
+            n_rows += 1
+            assert r.day == day and r.cents == x
+            assert abs(r.ewma_cents - z) < 1e-6
+            assert abs(r.ucl_cents - (mu + hw)) < 1e-6
+            assert abs(r.lcl_cents - (mu - hw)) < 1e-6
+            assert r.out_of_control == (z > mu + hw or z < mu - hw)
+    assert n_rows == len(rows)
+
+
+def test_ewma_limits_widen_then_saturate(spark):
+    """The variance factor (1-(1-lambda)^2t) is increasing in t, so the
+    control band must widen monotonically and approach the asymptote."""
+    from tests.conftest import SF_SMOKE
+
+    rows = QUERIES["ewma_control_chart"](spark, SF_SMOKE).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for et, rs in by_type.items():
+        rs.sort(key=lambda r: r.day_index)
+        widths = [r.ucl_cents - r.lcl_cents for r in rs]
+        assert all(b >= a - 1e-9 for a, b in zip(widths, widths[1:])), et
+        # asymptotic width = 2 * L * sigma * sqrt(1/9)
+        asym = 2 * 3 * rs[0].sigma_cents * (1.0 / 3.0)
+        assert widths[-1] <= asym + 1e-6, et
