@@ -310,6 +310,9 @@ HEADLINE = [
     "cluster_silhouette_audit",
     "ewma_control_chart",
     "shard_balance_audit",
+    # round-12 batch 3: supervised curation diagnostics
+    "decision_stump_learn",
+    "feature_label_mutual_info",
     # dedup_method_eval re-runs five declared pipelines; its components
     # are each benched above, so it is left out of the headline suite
 ]

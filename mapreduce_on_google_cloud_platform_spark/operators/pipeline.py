@@ -2309,7 +2309,547 @@ DP_SENSITIVITY_ORACLE = """
 """
 
 
+# ---------------------------------------------------------------------------
+# Supervised curation diagnostics: decision stump + mutual information.
+#
+# "Which cheap quality signal best predicts duplication?" -- the
+# feature-selection question a curation team asks before wiring a gate.
+# The label is NEAR-duplicate participation: the doc appears in at
+# least one exact n-gram Jaccard pair at JACCARD_THRESHOLD (the
+# dedup_ngram_jaccard ground truth, read through the materialized pair
+# index -- a probe path, the leakage_safe_split_audit posture; exact
+# content hashing labels nothing at the small fixtures, which have
+# near-dups but no byte-identical copies).  The features are the four
+# text_quality_score ratios, binned to a FIXED 16-slot grid by pure
+# INTEGER division (bin = (16*num) div den, capped), so the histogram
+# is engine-exact with no IEEE op anywhere in the binning.
+#
+# decision_stump_learn: for every feature, scan the 15 candidate
+# thresholds of the binned histogram and pick the split maximizing
+# information gain (Quinlan ID3 on one level).  All candidate counts
+# are exact BIGINT prefix sums over the 16-bin per-feature table (a
+# bounded PARTITIONED window); the gain is a per-row fixed-order double
+# chain over those exact integers, quantized to the integer picogrid
+# (floor(gain*1e12 + 0.5) -- the silhouette discipline) BEFORE the
+# argmax, so winner selection never compares raw doubles.
+#
+# feature_label_mutual_info: I(X;Y) = sum p(x,y) ln(p(x,y)/(p(x)p(y)))
+# over the <= 16x2 cell grid per feature, each term a fixed-order chain
+# of exact-integer single divisions, picogrid-quantized per cell and
+# summed EXACTLY; normalized by H(label) computed the same way.
+#
+# Scale: one scan of documents, one shuffle on content_hash for the
+# label, one combinable groupBy to the (feature, bin, label) histogram
+# (<= 4*16*2 = 128 rows); everything after rides bounded metadata
+# tables.  No driver data paths, no corpus-cardinality windows.
+# ---------------------------------------------------------------------------
+
+STUMP_BINS = 16
+
+
+def _labeled_feature_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, label, feature, bin): the shared exact-integer binned
+    feature stream behind decision_stump_learn and
+    feature_label_mutual_info."""
+    from .dedup import JACCARD_THRESHOLD, jaccard_pairs_indexed
+    from .text_analysis import EN_STOPS, _hits
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs_indexed(spark, sf_dir).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    )
+    dup_ids = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .withColumn("is_dup", F.lit(1).cast("bigint"))
+    )
+    ts = tokenize(F.col("text"))
+    base = docs.select(
+        "doc_id",
+        F.greatest(F.length("text").cast("bigint"), F.lit(1)).alias(
+            "n_chars"
+        ),
+        F.greatest(F.size(ts).cast("bigint"), F.lit(1)).alias("n_tokens"),
+        F.size(F.array_distinct(ts)).cast("bigint").alias("n_distinct"),
+        F.aggregate(
+            F.transform(ts, lambda t: F.length(t).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("sum_token_len"),
+        _hits(ts, EN_STOPS).cast("bigint").alias("stop_hits"),
+        F.length(F.regexp_replace(F.lower("text"), "[^a-z]", ""))
+        .cast("bigint")
+        .alias("n_alpha"),
+    )
+    labeled = base.join(dup_ids, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("is_dup"), F.lit(0).cast("bigint")).alias("label"),
+        F.least(F.expr("(16 * stop_hits) div n_tokens"), F.lit(15))
+        .cast("int")
+        .alias("stop_bin"),
+        F.least(F.expr("(16 * n_distinct) div n_tokens"), F.lit(15))
+        .cast("int")
+        .alias("distinct_bin"),
+        F.least(F.expr("(16 * n_alpha) div n_chars"), F.lit(15))
+        .cast("int")
+        .alias("alpha_bin"),
+        F.least(F.expr("(2 * sum_token_len) div n_tokens"), F.lit(15))
+        .cast("int")
+        .alias("len_bin"),
+    )
+    return labeled.select(
+        "doc_id",
+        "label",
+        F.expr(
+            "stack(4, 'alpha_ratio', alpha_bin, 'avg_token_len', len_bin,"
+            " 'distinct_ratio', distinct_bin, 'stop_ratio', stop_bin)"
+            " as (feature, bin)"
+        ),
+    )
+
+
+_FEATURE_BINS_SQL = """
+    sizes AS (SELECT doc_id, count(*) AS n FROM shing GROUP BY doc_id),
+    jpairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM shing a JOIN shing b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    dup_ids AS (
+        SELECT DISTINCT d AS dup_doc FROM (
+            SELECT doc_a AS d FROM jpairs
+            JOIN sizes sa ON doc_a = sa.doc_id
+            JOIN sizes sb ON doc_b = sb.doc_id
+            WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common)
+                  >= {thr}
+            UNION ALL
+            SELECT doc_b FROM jpairs
+            JOIN sizes sa ON doc_a = sa.doc_id
+            JOIN sizes sb ON doc_b = sb.doc_id
+            WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common)
+                  >= {thr}
+        )
+    ),
+    base AS (
+        SELECT doc_id,
+               GREATEST(CAST(length(text) AS BIGINT), 1) AS n_chars,
+               GREATEST(CAST(len(ts) AS BIGINT), 1) AS n_tokens,
+               CAST(len(list_distinct(ts)) AS BIGINT) AS n_distinct,
+               CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        list_transform(ts, t -> CAST(length(t) AS BIGINT))),
+                    (a, x) -> a + x) AS BIGINT) AS sum_token_len,
+               CAST({stop_hits} AS BIGINT) AS stop_hits,
+               CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                    AS BIGINT) AS n_alpha
+        FROM toks JOIN documents USING (doc_id)
+    ),
+    labeled AS (
+        SELECT doc_id,
+               CASE WHEN dup_doc IS NOT NULL
+                    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT)
+               END AS label,
+               CAST(LEAST((16 * stop_hits) // n_tokens, 15) AS INTEGER)
+                   AS stop_bin,
+               CAST(LEAST((16 * n_distinct) // n_tokens, 15) AS INTEGER)
+                   AS distinct_bin,
+               CAST(LEAST((16 * n_alpha) // n_chars, 15) AS INTEGER)
+                   AS alpha_bin,
+               CAST(LEAST((2 * sum_token_len) // n_tokens, 15) AS INTEGER)
+                   AS len_bin
+        FROM base LEFT JOIN dup_ids ON base.doc_id = dup_ids.dup_doc
+    ),
+    feats AS (
+        SELECT label, 'alpha_ratio' AS feature, alpha_bin AS bin FROM labeled
+        UNION ALL
+        SELECT label, 'avg_token_len', len_bin FROM labeled
+        UNION ALL
+        SELECT label, 'distinct_ratio', distinct_bin FROM labeled
+        UNION ALL
+        SELECT label, 'stop_ratio', stop_bin FROM labeled
+    )
+"""
+
+
+def _entropy_expr(c, m):
+    """-p ln p term: (c/m) * ln(c/m) with the 0 log 0 := 0 convention --
+    the exact chain mirrored textually in the oracle SQL."""
+    p = c.cast("double") / m.cast("double")
+    return F.when(c > 0, p * F.log(p)).otherwise(F.lit(0.0))
+
+
+def decision_stump_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = _labeled_feature_bins(spark, sf_dir)
+    hist = feats.groupBy("feature", "bin").agg(
+        F.sum("label").cast("bigint").alias("n_pos"),
+        F.count(F.lit(1)).cast("bigint").alias("n_all"),
+    )
+    w_cum = (
+        Window.partitionBy("feature")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.select(
+        "feature",
+        "bin",
+        F.sum("n_pos").over(w_cum).alias("lp"),
+        F.sum("n_all").over(w_cum).alias("la"),
+    )
+    tot = hist.groupBy("feature").agg(
+        F.sum("n_pos").cast("bigint").alias("tot_pos"),
+        F.sum("n_all").cast("bigint").alias("tot_all"),
+    )
+    cand = (
+        cum.filter(F.col("bin") < STUMP_BINS - 1)
+        .join(F.broadcast(tot), "feature")
+        .select(
+            "feature",
+            (F.col("bin") + 1).cast("int").alias("t"),
+            F.col("lp").cast("bigint").alias("lp"),
+            F.col("la").cast("bigint").alias("la"),
+            (F.col("tot_pos") - F.col("lp")).cast("bigint").alias("rp"),
+            (F.col("tot_all") - F.col("la")).cast("bigint").alias("ra"),
+            "tot_pos",
+            "tot_all",
+        )
+    )
+    n = F.col("tot_all")
+    h_par = -(
+        _entropy_expr(F.col("tot_pos"), n)
+        + _entropy_expr(n - F.col("tot_pos"), n)
+    )
+    h_l = -(
+        _entropy_expr(F.col("lp"), F.col("la"))
+        + _entropy_expr(F.col("la") - F.col("lp"), F.col("la"))
+    )
+    h_r = -(
+        _entropy_expr(F.col("rp"), F.col("ra"))
+        + _entropy_expr(F.col("ra") - F.col("rp"), F.col("ra"))
+    )
+    gain = (
+        h_par
+        - (F.col("la").cast("double") / n.cast("double")) * h_l
+        - (F.col("ra").cast("double") / n.cast("double")) * h_r
+    )
+    scored = cand.select(
+        "feature",
+        "t",
+        "lp",
+        "la",
+        "rp",
+        "ra",
+        F.floor(gain * F.lit(1000000000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("gain_q12"),
+    )
+    best = scored.groupBy("feature").agg(
+        F.max(
+            F.struct(
+                F.col("gain_q12"),
+                (-F.col("t")).alias("nt"),
+                F.col("t"),
+                F.col("lp"),
+                F.col("la"),
+                F.col("rp"),
+                F.col("ra"),
+            )
+        ).alias("s")
+    )
+    w_rank = Window.orderBy(F.desc(F.col("s.gain_q12")), F.col("feature"))
+    return (
+        best.select(
+            "feature",
+            F.col("s.t").alias("best_t"),
+            F.when(
+                F.col("feature") == "avg_token_len",
+                F.col("s.t").cast("double") * F.lit(0.5),
+            )
+            .otherwise(F.col("s.t").cast("double") * F.lit(0.0625))
+            .alias("threshold_value"),
+            (F.col("s.gain_q12").cast("double") / F.lit(1000000000000.0)).alias(
+                "gain_nats"
+            ),
+            F.col("s.la").alias("n_left"),
+            F.col("s.ra").alias("n_right"),
+            F.when(
+                F.col("s.la") > 0,
+                F.col("s.lp").cast("double") / F.col("s.la").cast("double"),
+            ).alias("pos_rate_left"),
+            F.when(
+                F.col("s.ra") > 0,
+                F.col("s.rp").cast("double") / F.col("s.ra").cast("double"),
+            ).alias("pos_rate_right"),
+            F.row_number().over(w_rank).cast("int").alias("gain_rank"),
+        )
+        .orderBy("feature")
+    )
+
+
+_SQL_H = (
+    "CASE WHEN {c} > 0 THEN (CAST({c} AS DOUBLE) / CAST({m} AS DOUBLE))"
+    " * ln(CAST({c} AS DOUBLE) / CAST({m} AS DOUBLE)) ELSE 0.0 END"
+)
+
+
+def _stump_oracle() -> str:
+    from ..functions.text import DUCKDB_SHINGLES_CTE
+    from .dedup import JACCARD_THRESHOLD
+    from .text_analysis import EN_STOPS, _sql_hits
+
+    feats = _FEATURE_BINS_SQL.format(
+        stop_hits=_sql_hits("ts", EN_STOPS), thr=JACCARD_THRESHOLD
+    )
+    h_par = (
+        "-("
+        + _SQL_H.format(c="tot_pos", m="tot_all")
+        + " + "
+        + _SQL_H.format(c="tot_all - tot_pos", m="tot_all")
+        + ")"
+    )
+    h_l = (
+        "-("
+        + _SQL_H.format(c="lp", m="la")
+        + " + "
+        + _SQL_H.format(c="la - lp", m="la")
+        + ")"
+    )
+    h_r = (
+        "-("
+        + _SQL_H.format(c="rp", m="ra")
+        + " + "
+        + _SQL_H.format(c="ra - rp", m="ra")
+        + ")"
+    )
+    return f"""
+    WITH {DUCKDB_SHINGLES_CTE},
+    {feats},
+    hist AS (
+        SELECT feature, bin,
+               CAST(sum(label) AS BIGINT) AS n_pos,
+               CAST(count(*) AS BIGINT) AS n_all
+        FROM feats GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT feature, bin,
+               CAST(sum(n_pos) OVER (PARTITION BY feature ORDER BY bin
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS lp,
+               CAST(sum(n_all) OVER (PARTITION BY feature ORDER BY bin
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS la
+        FROM hist
+    ),
+    tot AS (
+        SELECT feature,
+               CAST(sum(n_pos) AS BIGINT) AS tot_pos,
+               CAST(sum(n_all) AS BIGINT) AS tot_all
+        FROM hist GROUP BY 1
+    ),
+    cand AS (
+        SELECT c.feature, CAST(c.bin + 1 AS INTEGER) AS t,
+               c.lp, c.la,
+               CAST(t2.tot_pos - c.lp AS BIGINT) AS rp,
+               CAST(t2.tot_all - c.la AS BIGINT) AS ra,
+               t2.tot_pos, t2.tot_all
+        FROM cum c JOIN tot t2 USING (feature)
+        WHERE c.bin < {STUMP_BINS - 1}
+    ),
+    scored AS (
+        SELECT feature, t, lp, la, rp, ra,
+               CAST(floor(({h_par}
+                   - (CAST(la AS DOUBLE) / CAST(tot_all AS DOUBLE)) * ({h_l})
+                   - (CAST(ra AS DOUBLE) / CAST(tot_all AS DOUBLE)) * ({h_r}))
+                   * 1000000000000.0 + 0.5) AS BIGINT) AS gain_q12
+        FROM cand
+    ),
+    best AS (
+        SELECT *, row_number() OVER (PARTITION BY feature
+                    ORDER BY gain_q12 DESC, t ASC) AS rk
+        FROM scored
+    )
+    SELECT feature,
+           t AS best_t,
+           CASE WHEN feature = 'avg_token_len'
+                THEN CAST(t AS DOUBLE) * 0.5
+                ELSE CAST(t AS DOUBLE) * 0.0625 END AS threshold_value,
+           CAST(gain_q12 AS DOUBLE) / 1000000000000.0 AS gain_nats,
+           la AS n_left,
+           ra AS n_right,
+           CASE WHEN la > 0 THEN CAST(lp AS DOUBLE) / CAST(la AS DOUBLE)
+           END AS pos_rate_left,
+           CASE WHEN ra > 0 THEN CAST(rp AS DOUBLE) / CAST(ra AS DOUBLE)
+           END AS pos_rate_right,
+           CAST(row_number() OVER (ORDER BY gain_q12 DESC, feature)
+                AS INTEGER) AS gain_rank
+    FROM best WHERE rk = 1
+    ORDER BY feature
+"""
+
+
+DECISION_STUMP_ORACLE = _stump_oracle()
+
+LN2_LIT = 0.6931471805599453
+
+
+def feature_label_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = _labeled_feature_bins(spark, sf_dir)
+    cells = feats.groupBy("feature", "bin", "label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    row_tot = cells.groupBy("feature", "bin").agg(
+        F.sum("n").cast("bigint").alias("row_tot")
+    )
+    col_tot = cells.groupBy("feature", "label").agg(
+        F.sum("n").cast("bigint").alias("col_tot")
+    )
+    n_tot = cells.groupBy("feature").agg(
+        F.sum("n").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("label") == 1, F.col("n")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("n_dup"),
+    )
+    joined = (
+        cells.join(row_tot, ["feature", "bin"])
+        .join(F.broadcast(col_tot), ["feature", "label"])
+        .join(F.broadcast(n_tot), "feature")
+    )
+    nd = F.col("n_docs").cast("double")
+    pxy = F.col("n").cast("double") / nd
+    px = F.col("row_tot").cast("double") / nd
+    py = F.col("col_tot").cast("double") / nd
+    term = pxy * F.log(pxy / (px * py))
+    per_feat = joined.select(
+        "feature",
+        "n_docs",
+        "n_dup",
+        F.floor(term * F.lit(1000000000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("t_q12"),
+    ).groupBy("feature", "n_docs", "n_dup").agg(
+        F.sum(F.col("t_q12").cast("decimal(38,0)")).alias("mi_q12")
+    )
+    hn = F.col("n_docs").cast("double")
+    h_label = -(
+        _entropy_expr(F.col("n_dup"), F.col("n_docs"))
+        + _entropy_expr(F.col("n_docs") - F.col("n_dup"), F.col("n_docs"))
+    )
+    return (
+        per_feat.select(
+            "feature",
+            "n_docs",
+            "n_dup",
+            (
+                F.col("mi_q12").cast("double") / F.lit(1000000000000.0)
+            ).alias("mi_nats"),
+            (
+                F.col("mi_q12").cast("double")
+                / F.lit(1000000000000.0)
+                / F.lit(LN2_LIT)
+            ).alias("mi_bits"),
+            F.floor(h_label * F.lit(1000000000000.0) + F.lit(0.5))
+            .cast("bigint")
+            .alias("h_label_q12"),
+        )
+        .select(
+            "feature",
+            "n_docs",
+            "n_dup",
+            "mi_nats",
+            "mi_bits",
+            (
+                F.col("h_label_q12").cast("double")
+                / F.lit(1000000000000.0)
+            ).alias("h_label_nats"),
+            F.when(
+                F.col("h_label_q12") > 0,
+                (F.col("mi_nats") * F.lit(1000000000000.0)).cast("double")
+                / F.col("h_label_q12").cast("double"),
+            ).alias("normalized_mi"),
+        )
+        .orderBy("feature")
+    )
+
+
+def _mi_oracle() -> str:
+    from ..functions.text import DUCKDB_SHINGLES_CTE
+    from .dedup import JACCARD_THRESHOLD
+    from .text_analysis import EN_STOPS, _sql_hits
+
+    feats = _FEATURE_BINS_SQL.format(
+        stop_hits=_sql_hits("ts", EN_STOPS), thr=JACCARD_THRESHOLD
+    )
+    h_label = (
+        "-("
+        + _SQL_H.format(c="n_dup", m="n_docs")
+        + " + "
+        + _SQL_H.format(c="n_docs - n_dup", m="n_docs")
+        + ")"
+    )
+    return f"""
+    WITH {DUCKDB_SHINGLES_CTE},
+    {feats},
+    cells AS (
+        SELECT feature, bin, label, CAST(count(*) AS BIGINT) AS n
+        FROM feats GROUP BY 1, 2, 3
+    ),
+    row_tot AS (
+        SELECT feature, bin, CAST(sum(n) AS BIGINT) AS row_tot
+        FROM cells GROUP BY 1, 2
+    ),
+    col_tot AS (
+        SELECT feature, label, CAST(sum(n) AS BIGINT) AS col_tot
+        FROM cells GROUP BY 1, 2
+    ),
+    n_tot AS (
+        SELECT feature, CAST(sum(n) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN label = 1 THEN n ELSE 0 END) AS BIGINT)
+                   AS n_dup
+        FROM cells GROUP BY 1
+    ),
+    per_feat AS (
+        SELECT feature, n_docs, n_dup,
+               CAST(sum(CAST(floor(
+                   (CAST(n AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                   * ln((CAST(n AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                        / ((CAST(row_tot AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                           * (CAST(col_tot AS DOUBLE)
+                              / CAST(n_docs AS DOUBLE))))
+                   * 1000000000000.0 + 0.5) AS BIGINT))
+                   AS DECIMAL(38,0)) AS mi_q12
+        FROM cells
+        JOIN row_tot USING (feature, bin)
+        JOIN col_tot USING (feature, label)
+        JOIN n_tot USING (feature)
+        GROUP BY 1, 2, 3
+    )
+    SELECT feature, n_docs, n_dup,
+           CAST(mi_q12 AS DOUBLE) / 1000000000000.0 AS mi_nats,
+           CAST(mi_q12 AS DOUBLE) / 1000000000000.0
+               / {LN2_LIT!r} AS mi_bits,
+           CAST(CAST(floor(({h_label}) * 1000000000000.0 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1000000000000.0 AS h_label_nats,
+           CASE WHEN CAST(floor(({h_label}) * 1000000000000.0 + 0.5)
+                     AS BIGINT) > 0
+                THEN CAST(CAST(mi_q12 AS DOUBLE) / 1000000000000.0
+                          * 1000000000000.0 AS DOUBLE)
+                     / CAST(CAST(floor(({h_label}) * 1000000000000.0 + 0.5)
+                            AS BIGINT) AS DOUBLE)
+           END AS normalized_mi
+    FROM per_feat
+    ORDER BY feature
+"""
+
+
+MUTUAL_INFO_ORACLE = _mi_oracle()
+
+
 PIPELINE_QUERIES: list[tuple[str, object, str | None]] = [
+    ("decision_stump_learn", decision_stump_learn, DECISION_STUMP_ORACLE),
+    (
+        "feature_label_mutual_info",
+        feature_label_mutual_info,
+        MUTUAL_INFO_ORACLE,
+    ),
     ("dp_sensitivity_audit", dp_sensitivity_audit, DP_SENSITIVITY_ORACLE),
     ("source_epochs_plan", source_epochs_plan, SOURCE_EPOCHS_ORACLE),
     (

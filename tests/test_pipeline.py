@@ -459,3 +459,58 @@ def test_dp_sensitivity_matches_python_recompute(spark):
         lo, hi = int(idx), min(int(idx) + 1, len(totals) - 1)
         p95 = totals[lo] + (idx - lo) * (totals[hi] - totals[lo])
         assert abs(r.p95_user_total_cents - p95) < 1e-6
+
+
+def test_stump_gain_bounded_by_feature_mi(spark):
+    """Information-theoretic coarsening inequality: the best binary
+    split's information gain cannot exceed the mutual information of
+    the full 16-bin partition (a stump is a coarsening of the bins),
+    and both are non-negative; rates and ranks are well-formed."""
+    stumps = {
+        r.feature: r
+        for r in QUERIES["decision_stump_learn"](spark, SF_SMOKE).collect()
+    }
+    mis = {
+        r.feature: r
+        for r in QUERIES["feature_label_mutual_info"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert set(stumps) == set(mis) == {
+        "alpha_ratio",
+        "avg_token_len",
+        "distinct_ratio",
+        "stop_ratio",
+    }
+    assert sorted(r.gain_rank for r in stumps.values()) == [1, 2, 3, 4]
+    for feat, s in stumps.items():
+        m = mis[feat]
+        assert s.gain_nats >= 0.0
+        assert m.mi_nats >= -1e-12
+        # picogrid slack: both sides quantized to 1e-12
+        assert s.gain_nats <= m.mi_nats + 1e-9
+        assert 0.0 <= m.mi_nats <= m.h_label_nats + 1e-9
+        assert s.n_left + s.n_right == m.n_docs
+        assert 1 <= s.best_t <= 15
+        for rate in (s.pos_rate_left, s.pos_rate_right):
+            if rate is not None:
+                assert 0.0 <= rate <= 1.0
+
+
+def test_mi_label_matches_neardup_ground_truth(spark):
+    """The stump/MI label must be exactly the set of docs participating
+    in an exact n-gram Jaccard pair at the declared threshold."""
+    from mapreduce_on_google_cloud_platform_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        jaccard_pairs_indexed,
+    )
+
+    pairs = (
+        jaccard_pairs_indexed(spark, SF_SMOKE)
+        .filter("jaccard >= {}".format(JACCARD_THRESHOLD))
+        .collect()
+    )
+    dup_ids = {r.doc_a for r in pairs} | {r.doc_b for r in pairs}
+    m = QUERIES["feature_label_mutual_info"](spark, SF_SMOKE).collect()[0]
+    assert m.n_dup == len(dup_ids)
+    assert m.n_dup > 0, "fixture must carry near-dup signal"

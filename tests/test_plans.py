@@ -1468,3 +1468,25 @@ def test_silhouette_scores_against_broadcast_codebook(spark):
     # the codebook side is a driver-built literal relation, broadcast
     assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan
     assert "partial_" in plan
+
+
+def test_stump_histogram_is_combinable_no_cartesian(spark):
+    """Decision stump: the (feature, bin, label) histogram must keep
+    map-side partials, the candidate scan must ride the bounded 16-bin
+    per-feature table (partitioned cumsum window, broadcast totals),
+    and no stage may form a cartesian product; the gain argmax compares
+    picogrid integers, never raw doubles."""
+    plan = plan_of(spark, "decision_stump_learn")
+    assert "CartesianProduct" not in plan
+    assert "partial_" in plan
+    assert "FLOOR" in plan.upper()  # picogrid quantization present
+
+
+def test_mutual_info_sums_picogrid_decimal(spark):
+    """Feature-label MI: per-cell terms are floor-quantized to the
+    integer picogrid and summed in decimal(38,0) so shuffle order can
+    never perturb the divergence; marginal joins stay equi-joins."""
+    plan = plan_of(spark, "feature_label_mutual_info")
+    assert "CartesianProduct" not in plan
+    assert "decimal(38,0)" in plan.lower()
+    assert "partial_" in plan
