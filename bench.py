@@ -313,6 +313,9 @@ HEADLINE = [
     # round-12 batch 3: supervised curation diagnostics
     "decision_stump_learn",
     "feature_label_mutual_info",
+    # round-12 batch 4: one-pass bootstrap, permutation test
+    "poisson_bootstrap_ci",
+    "permutation_test_mean_shift",
     # dedup_method_eval re-runs five declared pipelines; its components
     # are each benched above, so it is left out of the headline suite
 ]

@@ -3373,7 +3373,460 @@ def _ljung_box_oracle() -> str:
 LJUNG_BOX_ORACLE = _ljung_box_oracle()
 
 
+# ---------------------------------------------------------------------------
+# Poisson bootstrap confidence interval (Chamandy et al. 2012, "Estimating
+# uncertainty for massive data streams" -- the Google one-pass bootstrap):
+# the classic n-out-of-n bootstrap needs B independent resamples (B full
+# passes or a shuffled copy per replicate); the Poisson bootstrap observes
+# that each row's multiplicity in a resample is ~Binomial(n, 1/n) ->
+# Poisson(1), INDEPENDENT per row, so all B replicates ride ONE scan:
+# every row carries B deterministic Poisson(1) weights and each replicate
+# statistic is a combinable weighted sum.
+#
+# Determinism: row variates come from ONE md5 per row reduced to the
+# 31-bit lane h (the MinHash discipline), expanded to B_BOOT affine
+# lanes u_b = (a_b*h + c_b) mod P (int64-safe), and inverted through the
+# pinned integer thresholds BOOT_T[k] = floor(cdf_k * P) of the exact
+# Poisson(1) CDF -- w_b = #{k: u_b >= T_k}, a pure integer comparison
+# chain, identical in both engines.  Replicate means are single IEEE
+# divisions of exact integer sums; the CI bounds are order statistics of
+# the sorted 64-array; the bootstrap SE is an ordered fold over that
+# sorted array (deterministic).  The B-wide expression is built as ONE
+# SQL string parsed JVM-side (the kmeans py4j lesson).
+#
+# Scale: one scan of events, one combinable groupBy(event_type) carrying
+# 2*B_BOOT + 3 integer sums; everything after is a per-type single row.
+# ---------------------------------------------------------------------------
+
+B_BOOT = 64
+
+
+def _poisson_cum() -> list[float]:
+    import math
+
+    p = math.exp(-1.0)
+    cum, acc = [], 0.0
+    for k in range(8):
+        acc += p
+        cum.append(acc)
+        p /= k + 1
+    return cum
+
+
+BOOT_T = [int(c * MINHASH_P) for c in _poisson_cum()]
+BOOT_AB = [
+    (
+        ((i + 17) * 2654435761 + 3) % MINHASH_P,
+        ((i + 17) * 2654435869 + 29) % MINHASH_P,
+    )
+    for i in range(B_BOOT)
+]
+assert all(a != 0 for a, _ in BOOT_AB)
+
+
+def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.selectExpr(
+        "event_type",
+        "CAST(round(value * 100) AS BIGINT) AS cents",
+        "CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 15), 16, 10)"
+        f" AS BIGINT) % {MINHASH_P} AS h",
+    )
+    w_cols = []
+    for i, (a, c) in enumerate(BOOT_AB):
+        u = f"(({a} * h + {c}) % {MINHASH_P})"
+        w = " + ".join(
+            f"(CASE WHEN {u} >= {t} THEN 1 ELSE 0 END)" for t in BOOT_T
+        )
+        w_cols.append(f"CAST({w} AS BIGINT) AS w{i}")
+    weighted = base.selectExpr("event_type", "cents", *w_cols)
+    aggs = [
+        F.expr("CAST(count(*) AS BIGINT)").alias("n_events"),
+        F.expr("CAST(sum(cents) AS BIGINT)").alias("sx"),
+    ]
+    for i in range(B_BOOT):
+        aggs.append(F.expr(f"CAST(sum(w{i} * cents) AS BIGINT)").alias(f"s{i}"))
+        aggs.append(F.expr(f"CAST(sum(w{i}) AS BIGINT)").alias(f"n{i}"))
+    per_type = weighted.groupBy("event_type").agg(*aggs)
+    ms = ", ".join(
+        f"CASE WHEN n{i} > 0 THEN CAST(s{i} AS DOUBLE) / CAST(n{i} AS DOUBLE)"
+        " END"
+        for i in range(B_BOOT)
+    )
+    n_zero = " + ".join(
+        f"(CASE WHEN n{i} = 0 THEN 1 ELSE 0 END)" for i in range(B_BOOT)
+    )
+    return (
+        per_type.selectExpr(
+            "event_type",
+            "n_events",
+            "sx",
+            f"CAST({n_zero} AS BIGINT) AS n_zero_replicates",
+            f"array_sort(array({ms})) AS msorted",
+        )
+        .selectExpr(
+            "event_type",
+            "n_events",
+            "CAST(sx AS DOUBLE) / CAST(n_events AS DOUBLE) AS mean_cents",
+            "n_zero_replicates",
+            "CASE WHEN n_zero_replicates = 0 THEN element_at(msorted, 4)"
+            " END AS boot_lo_cents",
+            "CASE WHEN n_zero_replicates = 0 THEN element_at(msorted, 61)"
+            " END AS boot_hi_cents",
+            "CASE WHEN n_zero_replicates = 0 THEN"
+            " aggregate(msorted, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+            " END AS bsum",
+            "CASE WHEN n_zero_replicates = 0 THEN"
+            " aggregate(msorted, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x)"
+            " END AS bsumsq",
+        )
+        .selectExpr(
+            "event_type",
+            "n_events",
+            "mean_cents",
+            "n_zero_replicates",
+            "boot_lo_cents",
+            "boot_hi_cents",
+            f"CASE WHEN n_zero_replicates = 0 THEN"
+            f" sqrt((bsumsq - bsum * bsum / {float(B_BOOT)!r})"
+            f" / {float(B_BOOT - 1)!r}) END AS boot_se_cents",
+        )
+        .orderBy("event_type")
+    )
+
+
+def _poisson_bootstrap_oracle() -> str:
+    h = (
+        "(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT"
+        f" % {MINHASH_P})"
+    )
+    w_cols = []
+    for i, (a, c) in enumerate(BOOT_AB):
+        u = f"(({a} * h + {c}) % {MINHASH_P})"
+        w = " + ".join(
+            f"(CASE WHEN {u} >= {t} THEN 1 ELSE 0 END)" for t in BOOT_T
+        )
+        w_cols.append(f"CAST({w} AS BIGINT) AS w{i}")
+    s_aggs = ",\n               ".join(
+        f"CAST(sum(w{i} * cents) AS BIGINT) AS s{i},"
+        f" CAST(sum(w{i}) AS BIGINT) AS n{i}"
+        for i in range(B_BOOT)
+    )
+    ms = ", ".join(
+        f"CASE WHEN n{i} > 0 THEN CAST(s{i} AS DOUBLE) / CAST(n{i} AS DOUBLE)"
+        " END"
+        for i in range(B_BOOT)
+    )
+    n_zero = " + ".join(
+        f"(CASE WHEN n{i} = 0 THEN 1 ELSE 0 END)" for i in range(B_BOOT)
+    )
+    return f"""
+    WITH base AS (
+        SELECT event_type,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               {h} AS h
+        FROM events
+    ),
+    weighted AS (
+        SELECT event_type, cents, {', '.join(w_cols)}
+        FROM base
+    ),
+    per_type AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(cents) AS BIGINT) AS sx,
+               {s_aggs}
+        FROM weighted GROUP BY event_type
+    ),
+    arr AS (
+        SELECT event_type, n_events, sx,
+               CAST({n_zero} AS BIGINT) AS n_zero_replicates,
+               list_sort([{ms}]) AS msorted
+        FROM per_type
+    ),
+    folded AS (
+        SELECT event_type, n_events,
+               CAST(sx AS DOUBLE) / CAST(n_events AS DOUBLE) AS mean_cents,
+               n_zero_replicates,
+               CASE WHEN n_zero_replicates = 0 THEN msorted[4]
+               END AS boot_lo_cents,
+               CASE WHEN n_zero_replicates = 0 THEN msorted[61]
+               END AS boot_hi_cents,
+               CASE WHEN n_zero_replicates = 0 THEN
+                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE), msorted),
+                               (acc, x) -> acc + x)
+               END AS bsum,
+               CASE WHEN n_zero_replicates = 0 THEN
+                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE), msorted),
+                               (acc, x) -> acc + x * x)
+               END AS bsumsq
+        FROM arr
+    )
+    SELECT event_type, n_events, mean_cents, n_zero_replicates,
+           boot_lo_cents, boot_hi_cents,
+           CASE WHEN n_zero_replicates = 0 THEN
+               sqrt((bsumsq - bsum * bsum / {float(B_BOOT)!r})
+                    / {float(B_BOOT - 1)!r})
+           END AS boot_se_cents
+    FROM folded
+    ORDER BY event_type
+"""
+
+
+POISSON_BOOTSTRAP_ORACLE = _poisson_bootstrap_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Permutation test for a level shift between calendar halves -- the
+# NONPARAMETRIC companion to welch_t_test (which assumes near-normal
+# sampling distributions): is the mean daily total of the later half of
+# the calendar different from the earlier half, judged against the
+# permutation null instead of a t reference?
+#
+# The B_PERM pseudo-permutations are deterministic md5 re-labelings:
+# permutation b ranks the days by md5(type:day:b) and assigns the first
+# n_a ranks to group A -- a uniformly pseudo-random equal-size
+# relabeling identical in both engines.  Every statistic |mean_B -
+# mean_A| is a fixed chain of single IEEE divisions of exact integer
+# day sums, so the >= comparison against the observed statistic is
+# bit-deterministic; p = (1 + #{b: stat_b >= obs}) / (B_PERM + 1), the
+# add-one permutation p-value (Phipson & Smyth 2010).
+#
+# Scale: one combinable daily groupBy over events; the permutation grid
+# is CALENDAR x B_PERM rows (bounded by the calendar, never by events);
+# ranking windows partition by (type, b) over <= |days| rows.
+# ---------------------------------------------------------------------------
+
+B_PERM = 64
+PERM_ALPHA = 0.05
+
+
+def permutation_test_mean_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents").cast("bigint").alias("x"))
+    )
+    w_day = Window.partitionBy("event_type").orderBy("day")
+    counts = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days")
+    )
+    ranked = daily.withColumn(
+        "rk", F.row_number().over(w_day).cast("bigint")
+    ).join(F.broadcast(counts), "event_type")
+    na = F.expr("n_days div 2")
+    obs_grp = ranked.select(
+        "event_type",
+        "n_days",
+        F.when(F.col("rk") <= na, F.lit(0)).otherwise(F.lit(1)).alias("grp"),
+        "x",
+    ).groupBy("event_type", "n_days").agg(
+        F.sum(F.when(F.col("grp") == 0, F.col("x"))).cast("bigint").alias("sa"),
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("grp") == 1, F.col("x"))).cast("bigint").alias("sb"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+    )
+    diff = F.abs(
+        F.col("sb").cast("double") / F.col("n_b").cast("double")
+        - F.col("sa").cast("double") / F.col("n_a").cast("double")
+    )
+    obs = obs_grp.select(
+        "event_type",
+        "n_days",
+        "n_a",
+        "n_b",
+        F.when((F.col("n_a") > 0) & (F.col("n_b") > 0), diff).alias(
+            "obs_diff_cents"
+        ),
+    )
+    grid = daily.select(
+        "event_type",
+        "day",
+        "x",
+        F.explode(F.sequence(F.lit(1), F.lit(B_PERM))).alias("b"),
+    )
+    key = F.md5(
+        F.concat_ws(
+            ":",
+            F.col("event_type"),
+            F.col("day").cast("string"),
+            F.col("b").cast("string"),
+        )
+    )
+    w_perm = Window.partitionBy("event_type", "b").orderBy(key, "day")
+    perm_grp = (
+        grid.withColumn("prk", F.row_number().over(w_perm).cast("bigint"))
+        .join(F.broadcast(counts), "event_type")
+        .select(
+            "event_type",
+            "b",
+            F.when(F.col("prk") <= na, F.lit(0)).otherwise(F.lit(1)).alias(
+                "grp"
+            ),
+            "x",
+        )
+        .groupBy("event_type", "b")
+        .agg(
+            F.sum(F.when(F.col("grp") == 0, F.col("x")))
+            .cast("bigint")
+            .alias("sa"),
+            F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_a"),
+            F.sum(F.when(F.col("grp") == 1, F.col("x")))
+            .cast("bigint")
+            .alias("sb"),
+            F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_b"),
+        )
+    )
+    stats = perm_grp.select(
+        "event_type",
+        F.when((F.col("n_a") > 0) & (F.col("n_b") > 0), diff).alias("stat"),
+    )
+    ge = (
+        stats.join(
+            F.broadcast(obs.select("event_type", "obs_diff_cents")),
+            "event_type",
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("stat") >= F.col("obs_diff_cents"), 1).otherwise(
+                    0
+                )
+            )
+            .cast("bigint")
+            .alias("n_perm_ge")
+        )
+    )
+    p = (F.col("n_perm_ge") + 1).cast("double") / F.lit(float(B_PERM + 1))
+    return (
+        obs.join(ge, "event_type", "left")
+        .select(
+            "event_type",
+            "n_days",
+            "n_a",
+            "n_b",
+            "obs_diff_cents",
+            F.when(F.col("obs_diff_cents").isNotNull(), F.col("n_perm_ge"))
+            .alias("n_perm_ge"),
+            F.when(F.col("obs_diff_cents").isNotNull(), p).alias("p_value"),
+            F.when(
+                F.col("obs_diff_cents").isNotNull(), p <= F.lit(PERM_ALPHA)
+            ).alias("significant"),
+        )
+        .orderBy("event_type")
+    )
+
+
+PERMUTATION_TEST_ORACLE = f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    counts AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+        FROM daily GROUP BY 1
+    ),
+    ranked AS (
+        SELECT d.event_type, c.n_days, d.x,
+               CAST(row_number() OVER (PARTITION BY d.event_type
+                                       ORDER BY d.day) AS BIGINT) AS rk
+        FROM daily d JOIN counts c USING (event_type)
+    ),
+    obs AS (
+        SELECT event_type, n_days,
+               CAST(sum(CASE WHEN rk <= n_days // 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_a,
+               CAST(sum(CASE WHEN rk > n_days // 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_b,
+               CAST(sum(CASE WHEN rk <= n_days // 2 THEN x END)
+                    AS BIGINT) AS sa,
+               CAST(sum(CASE WHEN rk > n_days // 2 THEN x END)
+                    AS BIGINT) AS sb
+        FROM ranked GROUP BY 1, 2
+    ),
+    obs2 AS (
+        SELECT event_type, n_days, n_a, n_b,
+               CASE WHEN n_a > 0 AND n_b > 0 THEN
+                   abs(CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE)
+                       - CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE))
+               END AS obs_diff_cents
+        FROM obs
+    ),
+    grid AS (
+        SELECT d.event_type, d.day, d.x, g.b, c.n_days,
+               CAST(row_number() OVER (
+                   PARTITION BY d.event_type, g.b
+                   ORDER BY md5(d.event_type || ':'
+                                || CAST(d.day AS VARCHAR) || ':'
+                                || CAST(g.b AS VARCHAR)), d.day
+               ) AS BIGINT) AS prk
+        FROM daily d
+        JOIN counts c USING (event_type),
+             unnest(range(1, {B_PERM + 1})) g(b)
+    ),
+    perm AS (
+        SELECT event_type, b,
+               CAST(sum(CASE WHEN prk <= n_days // 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_a,
+               CAST(sum(CASE WHEN prk > n_days // 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_b,
+               CAST(sum(CASE WHEN prk <= n_days // 2 THEN x END)
+                    AS BIGINT) AS sa,
+               CAST(sum(CASE WHEN prk > n_days // 2 THEN x END)
+                    AS BIGINT) AS sb
+        FROM grid GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT event_type,
+               CASE WHEN n_a > 0 AND n_b > 0 THEN
+                   abs(CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE)
+                       - CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE))
+               END AS stat
+        FROM perm
+    ),
+    ge AS (
+        SELECT s.event_type,
+               CAST(sum(CASE WHEN s.stat >= o.obs_diff_cents
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_perm_ge
+        FROM stats s JOIN obs2 o USING (event_type)
+        GROUP BY 1
+    )
+    SELECT o.event_type, o.n_days, o.n_a, o.n_b, o.obs_diff_cents,
+           CASE WHEN o.obs_diff_cents IS NOT NULL THEN g.n_perm_ge
+           END AS n_perm_ge,
+           CASE WHEN o.obs_diff_cents IS NOT NULL THEN
+               CAST(g.n_perm_ge + 1 AS DOUBLE) / {float(B_PERM + 1)!r}
+           END AS p_value,
+           CASE WHEN o.obs_diff_cents IS NOT NULL THEN
+               CAST(g.n_perm_ge + 1 AS DOUBLE) / {float(B_PERM + 1)!r}
+               <= {PERM_ALPHA!r}
+           END AS significant
+    FROM obs2 o LEFT JOIN ge g USING (event_type)
+    ORDER BY o.event_type
+"""
+
+
 STATISTICS_QUERIES: list[tuple[str, object, str | None]] = [
+    ("poisson_bootstrap_ci", poisson_bootstrap_ci, POISSON_BOOTSTRAP_ORACLE),
+    (
+        "permutation_test_mean_shift",
+        permutation_test_mean_shift,
+        PERMUTATION_TEST_ORACLE,
+    ),
     ("hill_tail_index", hill_tail_index, HILL_ORACLE),
     ("stratified_quota_alloc", stratified_quota_alloc, QUOTA_ALLOC_ORACLE),
     ("ljung_box_test", ljung_box_test, LJUNG_BOX_ORACLE),

@@ -885,3 +885,159 @@ def streaming_weighted_reservoir_query(spark: SparkSession, in_dir: str, schema)
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming EWMA control-chart monitor: the continuous-ingest twin of
+# the batch ``ewma_control_chart`` (operators/temporal.py).  Like the
+# CUSUM monitor, the EWMA level z_t is a PREFIX statistic, so the state
+# is the same order-free per-(type, day) daily-total map (commutative
+# merge across micro-batches -- late/out-of-order events add into their
+# day's cell) and each emission recomputes the chart from the sorted
+# day map.  The result is a pure function of the events seen so far
+# (replay/retry safe) and agrees with the batch query BIT-EXACTLY on
+# the complete input (pinned in tests/test_streaming.py): the
+# day-bucketing and cents-rounding run JVM-side with the batch query's
+# exact expressions, mu/sigma come from exact integer sufficient
+# statistics with the batch's IEEE chain, the z and (1-lambda)^(2t)
+# recurrences are the same literal-coefficient multiplication chains
+# (CPython and the JVM round each * and + identically), and the
+# 6-decimal rounding reproduces Spark's round() via
+# Decimal(repr(x)).quantize(HALF_UP) -- BigDecimal.valueOf uses the
+# shortest double repr, exactly what repr() emits.
+#
+# Scale posture: state is O(#days) per event type (calendar-bounded,
+# never O(events)); one Arrow batch per type per micro-batch; emission
+# cost is |days| rows.
+# ---------------------------------------------------------------------------
+
+EWMA_STATE_SCHEMA = StructType(
+    # "2024-01-03:123;..." -- sorted ISO day -> exact cents (CUSUM layout)
+    [StructField("day_totals", StringType())]
+)
+
+EWMA_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("n_days", LongType()),
+        StructField("day_index", LongType()),
+        StructField("day", DateType()),
+        StructField("cents", LongType()),
+        StructField("mu_cents", DoubleType()),
+        StructField("sigma_cents", DoubleType()),
+        StructField("ewma_cents", DoubleType()),
+        StructField("ucl_cents", DoubleType()),
+        StructField("lcl_cents", DoubleType()),
+        StructField("out_of_control", StringType()),  # 'y'/'n'/'' (n<2)
+    ]
+)
+
+
+def streaming_ewma_query(spark: SparkSession, in_dir: str, schema):
+    """readStream(events parquet dir) -> groupBy(event_type) ->
+    applyInPandasWithState order-free EWMA control chart over the
+    accumulated daily-total map.  Caller supplies input dir + schema so
+    tests can stage explicit micro-batches."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    lam = 0.2  # operators.temporal.EWMA_LAMBDA (literal: the closure
+    ell = 3.0  # and EWMA_L must unpickle without importing the package)
+
+    def track(key, pdfs, state):
+        import datetime
+        import math
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import pandas as pd
+
+        def r6(x):
+            # Spark round(x, 6): BigDecimal.valueOf(x) == repr(x)
+            return float(
+                Decimal(repr(x)).quantize(
+                    Decimal("0.000001"), rounding=ROUND_HALF_UP
+                )
+            )
+
+        (event_type,) = key
+        acc: dict[str, int] = {}
+        if state.exists:
+            (packed,) = state.get
+            if packed:
+                for part in packed.split(";"):
+                    d, v = part.split(":")
+                    acc[d] = int(v)
+        for pdf in pdfs:
+            for d, c in zip(pdf["day"], pdf["cents"]):
+                k = str(d)
+                acc[k] = acc.get(k, 0) + int(c)
+        state.update((";".join(f"{d}:{v}" for d, v in sorted(acc.items())),))
+
+        days = sorted(acc)
+        n = len(days)
+        sx = sum(acc.values())
+        sxx = sum(v * v for v in acc.values())
+        # EXACT op-order mirror of operators.temporal.ewma_control_chart
+        mu = float(sx) / float(n)
+        sigma = (
+            math.sqrt(
+                (float(sxx) - float(sx) * float(sx) / float(n))
+                / float(n - 1)
+            )
+            if n > 1
+            else None
+        )
+        q = 1 - lam
+        q2 = q * q
+        z, w = mu, 1.0
+        rows = []
+        for t, d in enumerate(days, start=1):
+            x = float(acc[d])
+            z = lam * x + q * z
+            w = q2 * w
+            if n > 1:
+                half = ell * sigma * math.sqrt(1.0 / 9.0 * (1.0 - w))
+                ucl, lcl = mu + half, mu - half
+                ooc = "y" if (z > ucl or z < lcl) else "n"
+                rows.append(
+                    (t, d, acc[d], r6(mu), r6(sigma), r6(z), r6(ucl),
+                     r6(lcl), ooc)
+                )
+            else:
+                rows.append(
+                    (t, d, acc[d], r6(mu), None, r6(z), None, None, "")
+                )
+        yield pd.DataFrame(
+            {
+                "event_type": [event_type] * n,
+                "n_days": [n] * n,
+                "day_index": [r[0] for r in rows],
+                "day": [datetime.date.fromisoformat(r[1]) for r in rows],
+                "cents": [r[2] for r in rows],
+                "mu_cents": [r[3] for r in rows],
+                "sigma_cents": [r[4] for r in rows],
+                "ewma_cents": [r[5] for r in rows],
+                "ucl_cents": [r[6] for r in rows],
+                "lcl_cents": [r[7] for r in rows],
+                "out_of_control": [r[8] for r in rows],
+            }
+        )
+
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+        # the batch query's exact day/cents expressions, JVM-side
+        .select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            track,
+            outputStructType=EWMA_OUTPUT_SCHEMA,
+            stateStructType=EWMA_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

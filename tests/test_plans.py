@@ -1490,3 +1490,31 @@ def test_mutual_info_sums_picogrid_decimal(spark):
     assert "CartesianProduct" not in plan
     assert "decimal(38,0)" in plan.lower()
     assert "partial_" in plan
+
+
+def test_poisson_bootstrap_single_pass_combinable(spark):
+    """Poisson bootstrap: all B replicates must ride ONE scan of events
+    with map-side partial aggregation (the one-pass trick is the whole
+    point); no window, no join, no cartesian anywhere in the plan."""
+    plan = plan_of(spark, "poisson_bootstrap_ci")
+    assert "CartesianProduct" not in plan
+    assert "partial_" in plan
+    assert "WindowExec" not in plan and "WindowGroupLimit" not in plan
+    assert "Join" not in plan
+
+
+def test_permutation_windows_ride_calendar_grid(spark):
+    """Permutation test: every window must carry a partition spec (the
+    ranking grid is calendar x B rows, partitioned by (type, b) /
+    (type)); the daily aggregate keeps map-side partials."""
+    import re
+
+    df = QUERIES["permutation_test_mean_shift"](spark, SF_SMOKE)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    windows = re.findall(r"Window \[.*?\], \[(.*?)\], \[", logical)
+    assert windows, "expected Window nodes in the permutation plan"
+    for part in windows:
+        assert part.strip(), f"partitionless window found: [{part}]"
+    plan = plan_of(spark, "permutation_test_mean_shift")
+    assert "CartesianProduct" not in plan
+    assert "partial_" in plan

@@ -842,3 +842,139 @@ def test_ljung_box_matches_python_recompute(spark):
             assert r.df == LJUNG_BOX_LAGS
             assert r.significant == (r.q_stat > CHI2_CRIT_95[LJUNG_BOX_LAGS])
         assert rs[0].q_stat >= 0
+
+
+def test_poisson_bootstrap_matches_independent_python(spark):
+    """Differential check: recompute every replicate mean and the
+    CI/SE chain in pure Python (hashlib md5 -> 31-bit lane -> affine
+    variates -> pinned Poisson thresholds) and compare bit-exactly."""
+    import hashlib
+    import math
+
+    from mapreduce_on_google_cloud_platform_spark.functions.hashing import (
+        MINHASH_P,
+    )
+    from mapreduce_on_google_cloud_platform_spark.operators.statistics import (
+        B_BOOT,
+        BOOT_AB,
+        BOOT_T,
+    )
+    from mapreduce_on_google_cloud_platform_spark.sources import load_table
+
+    rows = load_table(spark, SF_SMOKE, "events").select(
+        "event_type", "event_id", "value"
+    ).collect()
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _cents(v):  # Spark round() is HALF_UP
+        return int(
+            Decimal(repr(v * 100)).quantize(Decimal(1), rounding=ROUND_HALF_UP)
+        )
+
+    per = {}
+    for r in rows:
+        h = (
+            int(hashlib.md5(str(r.event_id).encode()).hexdigest()[:15], 16)
+            % MINHASH_P
+        )
+        c = _cents(r.value)
+        st = per.setdefault(
+            r.event_type, {"n": 0, "sx": 0, "s": [0] * B_BOOT, "m": [0] * B_BOOT}
+        )
+        st["n"] += 1
+        st["sx"] += c
+        for i, (a, b) in enumerate(BOOT_AB):
+            u = (a * h + b) % MINHASH_P
+            w = sum(1 for t in BOOT_T if u >= t)
+            st["s"][i] += w * c
+            st["m"][i] += w
+    got = {
+        r.event_type: r
+        for r in QUERIES["poisson_bootstrap_ci"](spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(per)
+    for et, st in per.items():
+        g = got[et]
+        assert g.n_events == st["n"]
+        assert g.mean_cents == float(st["sx"]) / float(st["n"])
+        assert g.n_zero_replicates == sum(1 for m in st["m"] if m == 0)
+        if g.n_zero_replicates == 0:
+            ms = sorted(float(s) / float(m) for s, m in zip(st["s"], st["m"]))
+            assert g.boot_lo_cents == ms[3]  # element_at(.., 4), 1-indexed
+            assert g.boot_hi_cents == ms[60]
+            bsum = 0.0
+            bsumsq = 0.0
+            for x in ms:
+                bsum += x
+                bsumsq += x * x
+            se = math.sqrt(
+                (bsumsq - bsum * bsum / float(B_BOOT)) / float(B_BOOT - 1)
+            )
+            assert g.boot_se_cents == se
+            assert g.boot_lo_cents <= g.mean_cents + 5 * se
+            assert g.boot_hi_cents >= g.mean_cents - 5 * se
+
+
+def test_permutation_test_matches_independent_python(spark):
+    """Differential check: recompute the observed statistic, all B_PERM
+    md5 relabelings, and the add-one p-value in pure Python."""
+    import hashlib
+
+    from mapreduce_on_google_cloud_platform_spark.operators.statistics import (
+        B_PERM,
+    )
+    from mapreduce_on_google_cloud_platform_spark.sources import load_table
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _cents(v):
+        return int(
+            Decimal(repr(v * 100)).quantize(Decimal(1), rounding=ROUND_HALF_UP)
+        )
+
+    daily = {}
+    for r in load_table(spark, SF_SMOKE, "events").collect():
+        daily.setdefault(r.event_type, {})
+        d = daily[r.event_type]
+        k = str(r.ts.date())
+        d[k] = d.get(k, 0) + _cents(r.value)
+    got = {
+        r.event_type: r
+        for r in QUERIES["permutation_test_mean_shift"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert set(got) == set(daily)
+    for et, d in daily.items():
+        g = got[et]
+        days = sorted(d)
+        n = len(days)
+        na = n // 2
+        assert g.n_days == n and g.n_a == na and g.n_b == n - na
+        if na == 0 or n - na == 0:
+            assert g.obs_diff_cents is None
+            continue
+        sa = sum(d[k] for k in days[:na])
+        sb = sum(d[k] for k in days[na:])
+        obs = abs(
+            float(sb) / float(n - na) - float(sa) / float(na)
+        )
+        assert g.obs_diff_cents == obs
+        n_ge = 0
+        for b in range(1, B_PERM + 1):
+            order = sorted(
+                days,
+                key=lambda day: (
+                    hashlib.md5(f"{et}:{day}:{b}".encode()).hexdigest(),
+                    day,
+                ),
+            )
+            psa = sum(d[k] for k in order[:na])
+            psb = sum(d[k] for k in order[na:])
+            stat = abs(
+                float(psb) / float(n - na) - float(psa) / float(na)
+            )
+            if stat >= obs:
+                n_ge += 1
+        assert g.n_perm_ge == n_ge
+        assert g.p_value == float(n_ge + 1) / float(B_PERM + 1)
+        assert g.significant == (g.p_value <= 0.05)

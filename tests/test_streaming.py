@@ -864,3 +864,76 @@ def test_streaming_reservoir_agrees_with_batch(spark, tmp_path):
         for r in QUERIES["weighted_reservoir_sample"](spark, SF_SMOKE).collect()
     }
     assert final == batch
+
+
+def test_streaming_ewma_agrees_with_batch(spark, tmp_path):
+    """Stream/batch agreement for the EWMA control chart: stage the
+    events table as two micro-batches (time-midpoint split); after the
+    full input the streamed chart must equal the batch
+    ewma_control_chart bit-exactly -- the day-total map merges
+    commutatively, mu/sigma come from exact integer sufficient
+    statistics through the identical IEEE chain, the z/(1-l)^2t
+    recurrences are the same literal multiplication chains, and the
+    6-decimal rounding replicates Spark's HALF_UP round."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_on_google_cloud_platform_spark.plans import QUERIES
+    from mapreduce_on_google_cloud_platform_spark.sources import load_table
+    from mapreduce_on_google_cloud_platform_spark.streaming.stateful import (
+        streaming_ewma_query,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    lims = ev.agg(
+        F.min(F.unix_micros("ts")).alias("lo"),
+        F.max(F.unix_micros("ts")).alias("hi"),
+    ).collect()[0]
+    mid_us = int((lims.lo + lims.hi) / 2)
+    in_dir = str(tmp_path / "ewma_in")
+    ev.filter(F.unix_micros("ts") <= mid_us).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+
+    stream = streaming_ewma_query(
+        spark, in_dir, spark.read.parquet(in_dir).schema
+    )
+    q = (
+        stream.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("ewma_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        ev.filter(F.unix_micros("ts") > mid_us).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM ewma_stream").collect()
+    finally:
+        q.stop()
+
+    final = {}
+    for r in rows:  # update mode: the last emission per (type, day) wins
+        final[(r.event_type, r.day)] = r
+    batch = {
+        (r.event_type, r.day): r
+        for r in QUERIES["ewma_control_chart"](spark, SF_SMOKE).collect()
+    }
+    assert set(final) == set(batch)
+    for k, b in batch.items():
+        s = final[k]
+        assert s.n_days == b.n_days, k
+        assert s.day_index == b.day_index, k
+        assert s.cents == b.cents, k
+        assert s.mu_cents == b.mu_cents, k
+        assert s.sigma_cents == b.sigma_cents, k
+        assert s.ewma_cents == b.ewma_cents, k
+        assert s.ucl_cents == b.ucl_cents, k
+        assert s.lcl_cents == b.lcl_cents, k
+        expect = (
+            ""
+            if b.out_of_control is None
+            else ("y" if b.out_of_control else "n")
+        )
+        assert s.out_of_control == expect, k
