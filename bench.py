@@ -316,6 +316,8 @@ HEADLINE = [
     # round-12 batch 4: one-pass bootstrap, permutation test
     "poisson_bootstrap_ci",
     "permutation_test_mean_shift",
+    # round-12 batch 5: keyphrase extraction
+    "rake_keyphrases",
     # dedup_method_eval re-runs five declared pipelines; its components
     # are each benched above, so it is left out of the headline suite
 ]

@@ -5999,7 +5999,155 @@ def _heaps_oracle() -> str:
 HEAPS_LAW_ORACLE = _heaps_oracle()
 
 
+# ---------------------------------------------------------------------------
+# RAKE keyphrase extraction (Rose et al. 2010, "Automatic keyword
+# extraction from individual documents") -- the unsupervised keyphrase
+# layer above tf-idf's single terms: candidate phrases are maximal runs
+# of non-stopword tokens (split at stopwords), each word scores
+# degree/frequency (degree = summed length of every phrase it appears
+# in -- within-phrase co-occurrence), and a phrase scores the sum of
+# its member word scores.  Output: the corpus top-K phrases.
+#
+# Determinism: phrase segmentation is integer window cumsum of the
+# stopword indicator; word scores are ONE exact-integer division; each
+# occurrence's phrase score is an ordered fold (by token position) of
+# those identical doubles, so every occurrence of the same phrase text
+# folds the same sequence -- bit-equal in both engines; top-K ordering
+# ties break on phrase text.
+#
+# Scale: the token stream explodes once; segmentation and phrase-length
+# windows are doc-partitioned; word scores are one combinable groupBy
+# over the vocab; the phrase rollup shuffles on phrase text; top-K is
+# TakeOrderedAndProject (no global sort materialization).  Per-phrase
+# collect_list is bounded by document length -- the per-doc array
+# posture every tokenizer op shares.
+# ---------------------------------------------------------------------------
+
+RAKE_TOP_K = 32
+
+
+def rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_with_pos(docs)
+    w_cum = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    seg = toks.select(
+        "doc_id",
+        "pos",
+        "word",
+        F.sum(F.when(F.col("word").isin(EN_STOPS), 1).otherwise(0))
+        .over(w_cum)
+        .cast("bigint")
+        .alias("phrase_id"),
+    ).filter(~F.col("word").isin(EN_STOPS))
+    w_len = Window.partitionBy("doc_id", "phrase_id")
+    members = seg.select(
+        "doc_id",
+        "phrase_id",
+        "pos",
+        "word",
+        F.count(F.lit(1)).over(w_len).cast("bigint").alias("phrase_len"),
+    )
+    word_scores = (
+        members.groupBy("word")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("freq"),
+            F.sum("phrase_len").cast("bigint").alias("degree"),
+        )
+        .select(
+            "word",
+            (
+                F.col("degree").cast("double") / F.col("freq").cast("double")
+            ).alias("wscore"),
+        )
+    )
+    occ = (
+        members.join(word_scores, "word")
+        .groupBy("doc_id", "phrase_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "word", "wscore"))
+            ).alias("mem")
+        )
+        .select(
+            F.concat_ws(
+                " ", F.transform("mem", lambda s: s["word"])
+            ).alias("phrase"),
+            F.size("mem").cast("bigint").alias("n_words"),
+            F.aggregate(
+                F.transform("mem", lambda s: s["wscore"]),
+                F.lit(0.0).cast("double"),
+                lambda acc, x: acc + x,
+            ).alias("occ_score"),
+        )
+    )
+    phrases = occ.groupBy("phrase", "n_words").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+        F.max("occ_score").alias("score"),
+    )
+    return phrases.orderBy(F.desc("score"), "phrase").limit(RAKE_TOP_K)
+
+
+def _rake_oracle() -> str:
+    stops = ", ".join(f"'{s}'" for s in EN_STOPS)
+    return f"""
+    WITH {DUCKDB_TOKS_CTE},
+    tok AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos, ts[i] AS word
+        FROM toks, unnest(range(1, len(ts) + 1)) t(i)
+    ),
+    seg AS (
+        SELECT doc_id, pos, word,
+               CAST(sum(CASE WHEN word IN ({stops}) THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS phrase_id
+        FROM tok
+    ),
+    mem AS (
+        SELECT doc_id, phrase_id, pos, word,
+               CAST(count(*) OVER (PARTITION BY doc_id, phrase_id)
+                    AS BIGINT) AS phrase_len
+        FROM seg WHERE word NOT IN ({stops})
+    ),
+    ws AS (
+        SELECT word,
+               CAST(sum(phrase_len) AS BIGINT) AS degree,
+               CAST(count(*) AS BIGINT) AS freq
+        FROM mem GROUP BY 1
+    ),
+    occ AS (
+        SELECT m.doc_id, m.phrase_id,
+               string_agg(m.word, ' ' ORDER BY m.pos) AS phrase,
+               CAST(count(*) AS BIGINT) AS n_words,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   array_agg(CAST(degree AS DOUBLE) / CAST(freq AS DOUBLE)
+                             ORDER BY m.pos)),
+                   (acc, x) -> acc + x) AS occ_score
+        FROM mem m JOIN ws USING (word)
+        GROUP BY 1, 2
+    ),
+    ph AS (
+        SELECT phrase, n_words,
+               CAST(count(*) AS BIGINT) AS n_occurrences,
+               max(occ_score) AS score
+        FROM occ GROUP BY 1, 2
+    )
+    SELECT phrase, n_words, n_occurrences, score
+    FROM ph
+    ORDER BY score DESC, phrase
+    LIMIT {RAKE_TOP_K}
+"""
+
+
+RAKE_ORACLE = _rake_oracle()
+
+
 TEXT_ANALYSIS_QUERIES: list[tuple[str, object, str | None]] = [
+    ("rake_keyphrases", rake_keyphrases, RAKE_ORACLE),
     (
         "js_divergence_sources",
         js_divergence_sources,

@@ -1518,3 +1518,22 @@ def test_permutation_windows_ride_calendar_grid(spark):
     plan = plan_of(spark, "permutation_test_mean_shift")
     assert "CartesianProduct" not in plan
     assert "partial_" in plan
+
+
+def test_rake_topk_no_global_sort_partitioned_windows(spark):
+    """RAKE: top-K must be TakeOrderedAndProject (never a full global
+    sort materialization), every window doc-partitioned, word scores a
+    combinable groupBy, no cartesian."""
+    import re
+
+    df = QUERIES["rake_keyphrases"](spark, SF_SMOKE)
+    physical = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in physical
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    windows = re.findall(r"Window \[.*?\], \[(.*?)\], \[", logical)
+    assert windows, "expected Window nodes in the RAKE plan"
+    for part in windows:
+        assert part.strip(), f"partitionless window found: [{part}]"
+    plan = plan_of(spark, "rake_keyphrases")
+    assert "CartesianProduct" not in plan
+    assert "partial_" in plan

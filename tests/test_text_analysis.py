@@ -1427,3 +1427,62 @@ def test_heaps_fit_matches_independent_python(spark):
     for r in rows:
         assert r.n_fit_points == n
         assert abs(r.heaps_beta - beta) < 1e-9
+
+
+def test_rake_matches_independent_python(spark):
+    """Differential check: recompute RAKE (segmentation, degree/freq
+    word scores, ordered phrase folds, top-K) in pure Python from the
+    raw documents and compare the full result bit-exactly."""
+    import re as _re
+
+    from mapreduce_on_google_cloud_platform_spark.operators.text_analysis import (
+        EN_STOPS,
+        RAKE_TOP_K,
+    )
+    from mapreduce_on_google_cloud_platform_spark.sources import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    stops = set(EN_STOPS)
+    phrases_per_occ = []  # list of word tuples
+    for r in docs:
+        cur = []
+        for raw in _re.split(r"\s+", r.text):
+            w = _re.sub(r"[^0-9a-z]", "", raw.lower())
+            if not w:
+                continue
+            if w in stops:
+                if cur:
+                    phrases_per_occ.append(tuple(cur))
+                cur = []
+            else:
+                cur.append(w)
+        if cur:
+            phrases_per_occ.append(tuple(cur))
+    freq: dict[str, int] = {}
+    degree: dict[str, int] = {}
+    for ph in phrases_per_occ:
+        for w in ph:
+            freq[w] = freq.get(w, 0) + 1
+            degree[w] = degree.get(w, 0) + len(ph)
+    agg: dict[tuple, list] = {}
+    for ph in phrases_per_occ:
+        s = 0.0
+        for w in ph:  # ordered fold, like the engines
+            s += float(degree[w]) / float(freq[w])
+        ent = agg.setdefault(ph, [0, s])
+        ent[0] += 1
+    ranked = sorted(
+        ((" ".join(ph), len(ph), n, sc) for ph, (n, sc) in agg.items()),
+        key=lambda t: (-t[3], t[0]),
+    )[:RAKE_TOP_K]
+    got = [
+        (r.phrase, r.n_words, r.n_occurrences, r.score)
+        for r in QUERIES["rake_keyphrases"](spark, SF_SMOKE).collect()
+    ]
+    assert got == ranked
+    for phrase, n_words, _, score in got:
+        assert not (set(phrase.split()) & stops)
+        # wscore = degree/freq >= 1, so a phrase scores >= its length
+        assert score >= float(n_words)
