@@ -318,6 +318,9 @@ HEADLINE = [
     "permutation_test_mean_shift",
     # round-12 batch 5: keyphrase extraction
     "rake_keyphrases",
+    # round-12 batch 6: rank correlations
+    "spearman_daily_corr",
+    "kendall_tau_daily",
     # dedup_method_eval re-runs five declared pipelines; its components
     # are each benched above, so it is left out of the headline suite
 ]

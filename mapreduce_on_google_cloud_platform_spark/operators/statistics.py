@@ -3820,7 +3820,239 @@ PERMUTATION_TEST_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Rank correlations between event-type daily series -- the robust
+# companions to event_type_daily_corr's Pearson r (which a single
+# outlier day can dominate):
+#
+# spearman_daily_corr: Pearson over MIDRANKS.  Ranks ride the doubled
+# integer lattice m2 = 2*min_rank + n_ties - 1 (twice the midrank --
+# an exact integer, the kruskal/mann-whitney midrank discipline), so
+# the sufficient statistics are exact DECIMAL(38,0) sums and rho is
+# one fixed IEEE chain at the end.
+#
+# kendall_tau_daily: tau-b from exact concordant/discordant/tie pair
+# counts.  The day-pair self-join is keyed on the type pair with
+# per-key fan-out |days|^2 -- CALENDAR-bounded, never event-bounded
+# (the audience_overlap posture); every count is an integer sum.
+#
+# Both rank/pair stages run over the per-(type-pair) common-day table:
+# windows partition by (type_a, type_b[, value]), never partitionless.
+# ---------------------------------------------------------------------------
+
+
+def _daily_pair_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(type_a, type_b, day, xa, xb) over common days -- the shared
+    input of the rank-correlation pair (event_type_daily_corr's join)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents").cast("bigint").alias("x"))
+    )
+    a = daily.select(
+        F.col("event_type").alias("type_a"), "day", F.col("x").alias("xa")
+    )
+    b = daily.select(
+        F.col("event_type").alias("type_b"), "day", F.col("x").alias("xb")
+    )
+    return a.join(b, "day").where(F.col("type_a") < F.col("type_b"))
+
+
+_DAILY_PAIR_SQL = """
+    daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+        FROM events
+        GROUP BY 1, 2
+    ),
+    joined AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               a.day AS day, a.x AS xa, b.x AS xb
+        FROM daily a JOIN daily b
+          ON a.day = b.day AND a.event_type < b.event_type
+    )
+"""
+
+
+def spearman_daily_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    joined = _daily_pair_table(spark, sf_dir)
+    w_ra = Window.partitionBy("type_a", "type_b").orderBy("xa")
+    w_rb = Window.partitionBy("type_a", "type_b").orderBy("xb")
+    w_ta = Window.partitionBy("type_a", "type_b", "xa")
+    w_tb = Window.partitionBy("type_a", "type_b", "xb")
+    m2 = joined.select(
+        "type_a",
+        "type_b",
+        (
+            2 * F.rank().over(w_ra).cast("bigint")
+            + F.count(F.lit(1)).over(w_ta).cast("bigint")
+            - 1
+        ).alias("ma"),
+        (
+            2 * F.rank().over(w_rb).cast("bigint")
+            + F.count(F.lit(1)).over(w_tb).cast("bigint")
+            - 1
+        ).alias("mb"),
+    )
+    DEC = "decimal(38,0)"
+    d = lambda c: F.col(c).cast(DEC)  # noqa: E731
+    agg = m2.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum(d("ma")).alias("sa"),
+        F.sum(d("mb")).alias("sb"),
+        F.sum(d("ma") * d("mb")).alias("sab"),
+        F.sum(d("ma") * d("ma")).alias("saa"),
+        F.sum(d("mb") * d("mb")).alias("sbb"),
+    )
+    n = F.col("n_days").cast(DEC)
+    num = (n * F.col("sab") - F.col("sa") * F.col("sb")).cast("double")
+    fa = (n * F.col("saa") - F.col("sa") * F.col("sa")).cast("double")
+    fb = (n * F.col("sbb") - F.col("sb") * F.col("sb")).cast("double")
+    rho = num / (F.sqrt(fa) * F.sqrt(fb))
+    return agg.select(
+        "type_a",
+        "type_b",
+        "n_days",
+        F.when((fa > 0) & (fb > 0), rho).alias("rho"),
+    ).orderBy("type_a", "type_b")
+
+
+SPEARMAN_ORACLE = f"""
+    WITH {_DAILY_PAIR_SQL.strip()},
+    m2 AS (
+        SELECT type_a, type_b,
+               CAST(2 * rank() OVER (PARTITION BY type_a, type_b
+                                     ORDER BY xa)
+                    + count(*) OVER (PARTITION BY type_a, type_b, xa)
+                    - 1 AS BIGINT) AS ma,
+               CAST(2 * rank() OVER (PARTITION BY type_a, type_b
+                                     ORDER BY xb)
+                    + count(*) OVER (PARTITION BY type_a, type_b, xb)
+                    - 1 AS BIGINT) AS mb
+        FROM joined
+    ),
+    agg AS (
+        SELECT type_a, type_b,
+               CAST(count(*) AS BIGINT) AS n_days,
+               sum(CAST(ma AS DECIMAL(38,0))) AS sa,
+               sum(CAST(mb AS DECIMAL(38,0))) AS sb,
+               sum(CAST(ma AS DECIMAL(38,0)) * CAST(mb AS DECIMAL(38,0)))
+                   AS sab,
+               sum(CAST(ma AS DECIMAL(38,0)) * CAST(ma AS DECIMAL(38,0)))
+                   AS saa,
+               sum(CAST(mb AS DECIMAL(38,0)) * CAST(mb AS DECIMAL(38,0)))
+                   AS sbb
+        FROM m2 GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, n_days,
+           CASE WHEN CAST(CAST(n_days AS DECIMAL(38,0)) * saa - sa * sa
+                          AS DOUBLE) > 0
+                 AND CAST(CAST(n_days AS DECIMAL(38,0)) * sbb - sb * sb
+                          AS DOUBLE) > 0
+                THEN CAST(CAST(n_days AS DECIMAL(38,0)) * sab - sa * sb
+                          AS DOUBLE)
+                     / (sqrt(CAST(CAST(n_days AS DECIMAL(38,0)) * saa
+                                  - sa * sa AS DOUBLE))
+                        * sqrt(CAST(CAST(n_days AS DECIMAL(38,0)) * sbb
+                                    - sb * sb AS DOUBLE)))
+           END AS rho
+    FROM agg
+    ORDER BY type_a, type_b
+"""
+
+
+def kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    joined = _daily_pair_table(spark, sf_dir)
+    j1 = joined.alias("k1")
+    j2 = joined.alias("k2")
+    pairs = j1.join(
+        j2,
+        (F.col("k1.type_a") == F.col("k2.type_a"))
+        & (F.col("k1.type_b") == F.col("k2.type_b"))
+        & (F.col("k1.day") < F.col("k2.day")),
+    ).select(
+        F.col("k1.type_a").alias("type_a"),
+        F.col("k1.type_b").alias("type_b"),
+        F.signum((F.col("k2.xa") - F.col("k1.xa")).cast("double"))
+        .cast("bigint")
+        .alias("sx"),
+        F.signum((F.col("k2.xb") - F.col("k1.xb")).cast("double"))
+        .cast("bigint")
+        .alias("sy"),
+    )
+    agg = pairs.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.when(F.col("sx") * F.col("sy") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_concordant"),
+        F.sum(F.when(F.col("sx") * F.col("sy") == -1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_discordant"),
+        F.sum(F.when(F.col("sx") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_tie_x"),
+        F.sum(F.when(F.col("sy") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_tie_y"),
+    )
+    fx = (F.col("n_pairs") - F.col("n_tie_x")).cast("double")
+    fy = (F.col("n_pairs") - F.col("n_tie_y")).cast("double")
+    tau = (F.col("n_concordant") - F.col("n_discordant")).cast("double") / (
+        F.sqrt(fx) * F.sqrt(fy)
+    )
+    return agg.select(
+        "type_a",
+        "type_b",
+        "n_pairs",
+        "n_concordant",
+        "n_discordant",
+        F.when((fx > 0) & (fy > 0), tau).alias("tau_b"),
+    ).orderBy("type_a", "type_b")
+
+
+KENDALL_ORACLE = f"""
+    WITH {_DAILY_PAIR_SQL.strip()},
+    pairs AS (
+        SELECT k1.type_a, k1.type_b,
+               CAST(sign(CAST(k2.xa - k1.xa AS DOUBLE)) AS BIGINT) AS sx,
+               CAST(sign(CAST(k2.xb - k1.xb AS DOUBLE)) AS BIGINT) AS sy
+        FROM joined k1 JOIN joined k2
+          ON k1.type_a = k2.type_a AND k1.type_b = k2.type_b
+         AND k1.day < k2.day
+    ),
+    agg AS (
+        SELECT type_a, type_b,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(CASE WHEN sx * sy = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_concordant,
+               CAST(sum(CASE WHEN sx * sy = -1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_discordant,
+               CAST(sum(CASE WHEN sx = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_tie_x,
+               CAST(sum(CASE WHEN sy = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_tie_y
+        FROM pairs GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, n_pairs, n_concordant, n_discordant,
+           CASE WHEN CAST(n_pairs - n_tie_x AS DOUBLE) > 0
+                 AND CAST(n_pairs - n_tie_y AS DOUBLE) > 0
+                THEN CAST(n_concordant - n_discordant AS DOUBLE)
+                     / (sqrt(CAST(n_pairs - n_tie_x AS DOUBLE))
+                        * sqrt(CAST(n_pairs - n_tie_y AS DOUBLE)))
+           END AS tau_b
+    FROM agg
+    ORDER BY type_a, type_b
+"""
+
+
 STATISTICS_QUERIES: list[tuple[str, object, str | None]] = [
+    ("spearman_daily_corr", spearman_daily_corr, SPEARMAN_ORACLE),
+    ("kendall_tau_daily", kendall_tau_daily, KENDALL_ORACLE),
     ("poisson_bootstrap_ci", poisson_bootstrap_ci, POISSON_BOOTSTRAP_ORACLE),
     (
         "permutation_test_mean_shift",

@@ -1537,3 +1537,22 @@ def test_rake_topk_no_global_sort_partitioned_windows(spark):
     plan = plan_of(spark, "rake_keyphrases")
     assert "CartesianProduct" not in plan
     assert "partial_" in plan
+
+
+def test_rank_correlation_plans_bounded(spark):
+    """Spearman/Kendall: rank windows must partition by the type pair
+    (calendar-bounded frames, never partitionless); the Kendall
+    day-pair self-join must be keyed on the type pair (no cartesian);
+    the daily aggregate keeps map-side partials."""
+    import re
+
+    for name in ("spearman_daily_corr", "kendall_tau_daily"):
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "partial_" in plan, name
+    df = QUERIES["spearman_daily_corr"](spark, SF_SMOKE)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    windows = re.findall(r"Window \[.*?\], \[(.*?)\], \[", logical)
+    assert windows
+    for part in windows:
+        assert part.strip(), f"partitionless window found: [{part}]"

@@ -978,3 +978,91 @@ def test_permutation_test_matches_independent_python(spark):
         assert g.n_perm_ge == n_ge
         assert g.p_value == float(n_ge + 1) / float(B_PERM + 1)
         assert g.significant == (g.p_value <= 0.05)
+
+
+def test_rank_correlations_match_scipy_free_python(spark):
+    """Differential check: recompute Spearman rho (Pearson over
+    midranks) and Kendall tau-b (pair counting) in pure Python and
+    compare; also pin the analytic bounds and the Pearson/Spearman
+    relationship on identical data."""
+    from mapreduce_on_google_cloud_platform_spark.sources import load_table
+    from decimal import ROUND_HALF_UP, Decimal
+    import math
+
+    def _cents(v):
+        return int(
+            Decimal(repr(v * 100)).quantize(Decimal(1), rounding=ROUND_HALF_UP)
+        )
+
+    daily = {}
+    for r in load_table(spark, SF_SMOKE, "events").collect():
+        k = (r.event_type, str(r.ts.date()))
+        daily[k] = daily.get(k, 0) + _cents(r.value)
+    types = sorted({t for t, _ in daily})
+    series = {
+        t: {d: v for (tt, d), v in daily.items() if tt == t} for t in types
+    }
+    got_s = {
+        (r.type_a, r.type_b): r
+        for r in QUERIES["spearman_daily_corr"](spark, SF_SMOKE).collect()
+    }
+    got_k = {
+        (r.type_a, r.type_b): r
+        for r in QUERIES["kendall_tau_daily"](spark, SF_SMOKE).collect()
+    }
+    for i, ta in enumerate(types):
+        for tb in types[i + 1 :]:
+            common = sorted(set(series[ta]) & set(series[tb]))
+            n = len(common)
+            if n == 0:
+                assert (ta, tb) not in got_s
+                continue
+            xa = [series[ta][d] for d in common]
+            xb = [series[tb][d] for d in common]
+
+            def m2(xs):
+                sx = sorted(xs)
+                return [
+                    2 * (sx.index(v) + 1) + sx.count(v) - 1 for v in xs
+                ]
+
+            ma, mb = m2(xa), m2(xb)
+            sa, sb = sum(ma), sum(mb)
+            sab = sum(a * b for a, b in zip(ma, mb))
+            saa = sum(a * a for a in ma)
+            sbb = sum(b * b for b in mb)
+            fa = float(n * saa - sa * sa)
+            fb = float(n * sbb - sb * sb)
+            g = got_s[(ta, tb)]
+            assert g.n_days == n
+            if fa > 0 and fb > 0:
+                rho = float(n * sab - sa * sb) / (
+                    math.sqrt(fa) * math.sqrt(fb)
+                )
+                assert g.rho == rho
+                assert -1.0 - 1e-12 <= g.rho <= 1.0 + 1e-12
+            conc = disc = tiex = tiey = npairs = 0
+            for p in range(n):
+                for q in range(p + 1, n):
+                    npairs += 1
+                    sx = (xa[q] > xa[p]) - (xa[q] < xa[p])
+                    sy = (xb[q] > xb[p]) - (xb[q] < xb[p])
+                    if sx * sy == 1:
+                        conc += 1
+                    elif sx * sy == -1:
+                        disc += 1
+                    if sx == 0:
+                        tiex += 1
+                    if sy == 0:
+                        tiey += 1
+            k = got_k[(ta, tb)]
+            assert k.n_pairs == npairs
+            assert k.n_concordant == conc
+            assert k.n_discordant == disc
+            if npairs - tiex > 0 and npairs - tiey > 0:
+                tau = float(conc - disc) / (
+                    math.sqrt(float(npairs - tiex))
+                    * math.sqrt(float(npairs - tiey))
+                )
+                assert k.tau_b == tau
+                assert -1.0 - 1e-12 <= k.tau_b <= 1.0 + 1e-12
