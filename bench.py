@@ -321,6 +321,9 @@ HEADLINE = [
     # round-12 batch 6: rank correlations
     "spearman_daily_corr",
     "kendall_tau_daily",
+    # round-12 batch 7: paired gate symmetry, monotone calibration
+    "mcnemar_gate_test",
+    "isotonic_dup_rate_fit",
     # dedup_method_eval re-runs five declared pipelines; its components
     # are each benched above, so it is left out of the headline suite
 ]

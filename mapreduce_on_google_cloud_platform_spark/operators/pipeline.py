@@ -2347,6 +2347,23 @@ DP_SENSITIVITY_ORACLE = """
 STUMP_BINS = 16
 
 
+def _neardup_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, is_dup=1) for every doc in an exact-Jaccard near-dup
+    pair -- a probe of the materialized pair index, shared by the
+    stump/MI/isotonic label."""
+    from .dedup import JACCARD_THRESHOLD, jaccard_pairs_indexed
+
+    pairs = jaccard_pairs_indexed(spark, sf_dir).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    )
+    return (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .withColumn("is_dup", F.lit(1).cast("bigint"))
+    )
+
+
 def _labeled_feature_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, label, feature, bin): the shared exact-integer binned
     feature stream behind decision_stump_learn and
@@ -2409,7 +2426,7 @@ def _labeled_feature_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_FEATURE_BINS_SQL = """
+_NEARDUP_IDS_SQL = """
     sizes AS (SELECT doc_id, count(*) AS n FROM shing GROUP BY doc_id),
     jpairs AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
@@ -2430,7 +2447,10 @@ _FEATURE_BINS_SQL = """
             WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common)
                   >= {thr}
         )
-    ),
+    )
+"""
+
+_FEATURE_BINS_SQL = _NEARDUP_IDS_SQL + """,
     base AS (
         SELECT doc_id,
                GREATEST(CAST(length(text) AS BIGINT), 1) AS n_chars,
@@ -2843,7 +2863,156 @@ def _mi_oracle() -> str:
 MUTUAL_INFO_ORACLE = _mi_oracle()
 
 
+# ---------------------------------------------------------------------------
+# Isotonic (here: ANTITONIC) regression of the near-dup rate on the
+# composite quality score -- the monotone-fit layer above the raw
+# reliability table: "does duplication decrease monotonically with
+# quality, and what is the best monotone curve?"  Standard PAV is a
+# sequential pool-adjacent-violators stack; over the FIXED 16-bin score
+# grid the closed-form minimax identity is the scale-native shape:
+#
+#     antitonic fit at bin i = min_{j<=i} max_{k>=i} avg(rate over j..k)
+#
+# (the non-increasing dual of Robertson-Wright-Dykstra's max-min
+# formula), computable as two bounded groupBys over the <= 16^3
+# interval grid -- no sequential stack, no driver loop, and provably
+# the exact weighted-least-squares antitonic fit.
+#
+# Determinism: bins are floor(quality * 16) of the engine-identical
+# quality chain; interval averages are single divisions of exact
+# BIGINT prefix sums; min/max compare identical doubles.  The prefix
+# window is partitionless over the <= 16-row histogram -- the
+# bounded-table window posture (ljung/quota class), never a
+# corpus-cardinality frame.
+# ---------------------------------------------------------------------------
+
+ISO_BINS = 16
+
+
+def isotonic_dup_rate_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text_analysis import text_quality_score
+
+    q = text_quality_score(spark, sf_dir).select("doc_id", "quality")
+    dup = _neardup_ids(spark, sf_dir)
+    binned = q.join(dup, "doc_id", "left").select(
+        F.least(
+            F.floor(F.col("quality") * ISO_BINS).cast("bigint"),
+            F.lit(ISO_BINS - 1).cast("bigint"),
+        ).alias("bin"),
+        F.coalesce(F.col("is_dup"), F.lit(0).cast("bigint")).alias("label"),
+    )
+    hist = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tot"),
+        F.sum("label").cast("bigint").alias("pos"),
+    )
+    w_pre = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    pre = hist.select(
+        "bin",
+        "tot",
+        "pos",
+        F.sum("pos").over(w_pre).cast("bigint").alias("pp"),
+        F.sum("tot").over(w_pre).cast("bigint").alias("pt"),
+    )
+    ja = pre.select(
+        F.col("bin").alias("bin_j"),
+        (F.col("pp") - F.col("pos")).alias("ppx"),
+        (F.col("pt") - F.col("tot")).alias("ptx"),
+    )
+    kb = pre.select(
+        F.col("bin").alias("bin_k"),
+        F.col("pp").alias("ppk"),
+        F.col("pt").alias("ptk"),
+    )
+    intervals = ja.join(kb, F.col("bin_j") <= F.col("bin_k")).select(
+        "bin_j",
+        "bin_k",
+        (
+            (F.col("ppk") - F.col("ppx")).cast("double")
+            / (F.col("ptk") - F.col("ptx")).cast("double")
+        ).alias("avg_jk"),
+    )
+    grid = intervals.join(
+        hist.select(F.col("bin").alias("i")),
+        (F.col("bin_j") <= F.col("i")) & (F.col("i") <= F.col("bin_k")),
+    )
+    mx = grid.groupBy("i", "bin_j").agg(F.max("avg_jk").alias("mx"))
+    iso = mx.groupBy("i").agg(F.min("mx").alias("antitonic_rate"))
+    return (
+        hist.join(iso, F.col("bin") == F.col("i"))
+        .select(
+            "bin",
+            F.col("tot").alias("n_docs"),
+            F.col("pos").alias("n_dup"),
+            (F.col("pos").cast("double") / F.col("tot").cast("double")).alias(
+                "raw_dup_rate"
+            ),
+            "antitonic_rate",
+        )
+        .orderBy("bin")
+    )
+
+
+def _isotonic_oracle() -> str:
+    from ..functions.text import DUCKDB_SHINGLES_CTE
+    from .dedup import JACCARD_THRESHOLD
+    from .text_analysis import QUALITY_ORACLE
+
+    dup = _NEARDUP_IDS_SQL.format(thr=JACCARD_THRESHOLD)
+    return f"""
+    WITH {DUCKDB_SHINGLES_CTE},
+    {dup},
+    binned AS (
+        SELECT LEAST(CAST(floor(q.quality * {ISO_BINS}) AS BIGINT),
+                     {ISO_BINS - 1}) AS bin,
+               CASE WHEN dup_doc IS NOT NULL
+                    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT)
+               END AS label
+        FROM ({QUALITY_ORACLE}) q
+        LEFT JOIN dup_ids ON q.doc_id = dup_ids.dup_doc
+    ),
+    hist AS (
+        SELECT bin, CAST(count(*) AS BIGINT) AS tot,
+               CAST(sum(label) AS BIGINT) AS pos
+        FROM binned GROUP BY 1
+    ),
+    pre AS (
+        SELECT bin, tot, pos,
+               CAST(sum(pos) OVER (ORDER BY bin
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS pp,
+               CAST(sum(tot) OVER (ORDER BY bin
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS pt
+        FROM hist
+    ),
+    intervals AS (
+        SELECT j.bin AS bin_j, k.bin AS bin_k,
+               CAST(k.pp - (j.pp - j.pos) AS DOUBLE)
+               / CAST(k.pt - (j.pt - j.tot) AS DOUBLE) AS avg_jk
+        FROM pre j JOIN pre k ON j.bin <= k.bin
+    ),
+    mx AS (
+        SELECT h.bin AS i, v.bin_j, max(v.avg_jk) AS mx
+        FROM intervals v JOIN hist h
+          ON v.bin_j <= h.bin AND h.bin <= v.bin_k
+        GROUP BY 1, 2
+    ),
+    iso AS (
+        SELECT i, min(mx) AS antitonic_rate FROM mx GROUP BY 1
+    )
+    SELECT h.bin, h.tot AS n_docs, h.pos AS n_dup,
+           CAST(h.pos AS DOUBLE) / CAST(h.tot AS DOUBLE) AS raw_dup_rate,
+           iso.antitonic_rate
+    FROM hist h JOIN iso ON h.bin = iso.i
+    ORDER BY h.bin
+"""
+
+
+ISOTONIC_ORACLE = _isotonic_oracle()
+
+
 PIPELINE_QUERIES: list[tuple[str, object, str | None]] = [
+    ("isotonic_dup_rate_fit", isotonic_dup_rate_fit, ISOTONIC_ORACLE),
     ("decision_stump_learn", decision_stump_learn, DECISION_STUMP_ORACLE),
     (
         "feature_label_mutual_info",

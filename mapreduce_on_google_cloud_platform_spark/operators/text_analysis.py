@@ -3656,6 +3656,77 @@ KAPPA_ORACLE = _kappa_oracle().format(c4=C4_FILTER_ORACLE, q=QUALITY_ORACLE)
 
 
 # ---------------------------------------------------------------------------
+# McNemar's test over the same 2x2 gate confusion -- kappa answers "do
+# the two gates agree beyond chance?"; McNemar answers the DIFFERENT
+# operational question "do they disagree SYMMETRICALLY?"  A significant
+# McNemar statistic means one gate systematically passes documents the
+# other rejects (a biased disagreement -- swapping gates changes the
+# corpus composition, not just its size); an insignificant one means
+# the disagreements are noise-symmetric.  Only the off-diagonal counts
+# matter: chi2 = (|n10 - n01| - 1)^2 / (n10 + n01) with Edwards'
+# continuity correction, df = 1 against the shared pinned critical
+# table.  Everything is exact BIGINT until the one final division;
+# n10 + n01 = 0 (perfect agreement) has no defined statistic -> NULL.
+# ---------------------------------------------------------------------------
+
+MCNEMAR_CHI2_CRIT_1 = 3.841  # df=1, alpha=.05 (operators.statistics table)
+
+
+def mcnemar_gate_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = c4_style_filter(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("a")
+    )
+    b = text_quality_score(spark, sf_dir).select(
+        "doc_id", (F.col("quality") >= KAPPA_QUALITY_T).alias("b")
+    )
+    cells = a.join(b, "doc_id").agg(
+        F.sum(F.when(F.col("a") & ~F.col("b"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n10"),
+        F.sum(F.when(~F.col("a") & F.col("b"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n01"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    )
+    d = F.abs(F.col("n10") - F.col("n01")) - 1
+    disc = F.col("n10") + F.col("n01")
+    chi2 = (d * d).cast("double") / disc.cast("double")
+    return cells.select(
+        "n_docs",
+        "n10",
+        "n01",
+        F.when(disc > 0, chi2).alias("mcnemar_chi2"),
+        F.when(disc > 0, chi2 > F.lit(MCNEMAR_CHI2_CRIT_1)).alias(
+            "asymmetric_disagreement"
+        ),
+    )
+
+
+MCNEMAR_ORACLE = f"""
+    WITH cells AS (
+        SELECT CAST(sum(CASE WHEN a.keep
+                              AND NOT q.quality >= {KAPPA_QUALITY_T}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+               CAST(sum(CASE WHEN NOT a.keep
+                              AND q.quality >= {KAPPA_QUALITY_T}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM ({C4_FILTER_ORACLE}) a JOIN ({QUALITY_ORACLE}) q USING (doc_id)
+    )
+    SELECT n_docs, n10, n01,
+           CASE WHEN n10 + n01 > 0 THEN
+               CAST((abs(n10 - n01) - 1) * (abs(n10 - n01) - 1) AS DOUBLE)
+               / CAST(n10 + n01 AS DOUBLE)
+           END AS mcnemar_chi2,
+           CASE WHEN n10 + n01 > 0 THEN
+               CAST((abs(n10 - n01) - 1) * (abs(n10 - n01) - 1) AS DOUBLE)
+               / CAST(n10 + n01 AS DOUBLE) > {MCNEMAR_CHI2_CRIT_1}
+           END AS asymmetric_disagreement
+    FROM cells
+"""
+
+
+# ---------------------------------------------------------------------------
 # Quality-gate stack funnel -- the counterpart of dedup_policy_funnel
 # for the FILTER side of curation: the five C4 hygiene rules, the
 # char-entropy gate, and the Gopher repetition gate applied as ONE
@@ -6148,6 +6219,7 @@ RAKE_ORACLE = _rake_oracle()
 
 TEXT_ANALYSIS_QUERIES: list[tuple[str, object, str | None]] = [
     ("rake_keyphrases", rake_keyphrases, RAKE_ORACLE),
+    ("mcnemar_gate_test", mcnemar_gate_test, MCNEMAR_ORACLE),
     (
         "js_divergence_sources",
         js_divergence_sources,

@@ -514,3 +514,46 @@ def test_mi_label_matches_neardup_ground_truth(spark):
     m = QUERIES["feature_label_mutual_info"](spark, SF_SMOKE).collect()[0]
     assert m.n_dup == len(dup_ids)
     assert m.n_dup > 0, "fixture must carry near-dup signal"
+
+
+def test_isotonic_fit_matches_pav_stack(spark):
+    """The minimax-grid antitonic fit must equal the classic
+    pool-adjacent-violators stack run in pure Python on the same
+    histogram (weighted-L2 optimal antitonic fit is unique), and must
+    be non-increasing."""
+    rows = QUERIES["isotonic_dup_rate_fit"](spark, SF_SMOKE).collect()
+    assert rows
+    # non-increasing in bin
+    rates = [r.antitonic_rate for r in sorted(rows, key=lambda r: r.bin)]
+    for a, b in zip(rates, rates[1:]):
+        assert a >= b - 1e-12
+    # PAV on the REVERSED bins gives the isotonic fit, i.e. antitonic
+    # in original order: merge adjacent violators with weighted means
+    hist = [(r.bin, r.n_dup, r.n_docs) for r in sorted(rows, key=lambda r: r.bin)]
+    blocks = []  # (pos_sum, tot_sum) over reversed order
+    for _, pos, tot in reversed(hist):
+        blocks.append([pos, tot])
+        while len(blocks) >= 2:
+            (p2, t2), (p1, t1) = blocks[-1], blocks[-2]
+            if p2 / t2 < p1 / t1:  # violator in reversed (isotonic) order
+                blocks.pop()
+                blocks[-1] = [p1 + p2, t1 + t2]
+            else:
+                break
+    # expand blocks back to per-bin values
+    expanded = []
+    i = 0
+    for p, t in blocks:
+        # count how many original bins the block covers by re-walking
+        acc_t = 0
+        covered = 0
+        for _, _, tot in list(reversed(hist))[i:]:
+            acc_t += tot
+            covered += 1
+            if acc_t == t:
+                break
+        expanded.extend([p / t] * covered)
+        i += covered
+    pav_antitonic = list(reversed(expanded))
+    for got, want in zip(rates, pav_antitonic):
+        assert abs(got - want) < 1e-12, (rates, pav_antitonic)

@@ -1486,3 +1486,18 @@ def test_rake_matches_independent_python(spark):
         assert not (set(phrase.split()) & stops)
         # wscore = degree/freq >= 1, so a phrase scores >= its length
         assert score >= float(n_words)
+
+
+def test_mcnemar_consistent_with_kappa_cells(spark):
+    """McNemar must read the SAME 2x2 confusion as gate_agreement_kappa
+    (shared gates), and the continuity-corrected statistic must match
+    the closed form recomputed from kappa's off-diagonal counts."""
+    k = QUERIES["gate_agreement_kappa"](spark, SF_SMOKE).collect()[0]
+    m = QUERIES["mcnemar_gate_test"](spark, SF_SMOKE).collect()[0]
+    assert m.n10 == k.n10 and m.n01 == k.n01
+    assert m.n_docs == k.n11 + k.n10 + k.n01 + k.n00
+    disc = m.n10 + m.n01
+    if disc > 0:
+        d = abs(m.n10 - m.n01) - 1
+        assert m.mcnemar_chi2 == float(d * d) / float(disc)
+        assert m.asymmetric_disagreement == (m.mcnemar_chi2 > 3.841)
