@@ -324,6 +324,9 @@ HEADLINE = [
     # round-12 batch 7: paired gate symmetry, monotone calibration
     "mcnemar_gate_test",
     "isotonic_dup_rate_fit",
+    # round-12 batch 8: intermittent-demand forecast, data valuation
+    "croston_demand_forecast",
+    "source_loo_influence",
     # dedup_method_eval re-runs five declared pipelines; its components
     # are each benched above, so it is left out of the headline suite
 ]

@@ -3011,8 +3011,133 @@ def _isotonic_oracle() -> str:
 ISOTONIC_ORACLE = _isotonic_oracle()
 
 
+# ---------------------------------------------------------------------------
+# Leave-one-out source influence -- the cheapest data-valuation
+# statistic: how much does dropping source s move the corpus mean
+# quality?  influence(s) = mean(corpus) - mean(corpus \ s), positive
+# when the source PULLS THE MEAN UP (removing it hurts).  Closed form
+# from per-source sufficient statistics -- no re-scan per source, the
+# property that makes LOO (unlike Shapley) free at 100 TB.
+#
+# Determinism: per-doc quality is quantized to the exact picogrid
+# (floor(q*1e12 + 0.5) -- the silhouette discipline) BEFORE summing,
+# so the per-source sums are exact DECIMAL(38,0) under any shuffle
+# order; the corpus totals come from a single-row cross join of the
+# per-source aggregate (bounded metadata, the graph-scalar pattern);
+# all means are single divisions.  The rank window orders |sources|
+# rows -- bounded-table posture.
+# ---------------------------------------------------------------------------
+
+
+def source_loo_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text_analysis import text_quality_score
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    q = text_quality_score(spark, sf_dir).select(
+        "doc_id",
+        F.floor(F.col("quality") * F.lit(1000000000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("q12"),
+    )
+    per_source = (
+        docs.join(q, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.col("q12").cast("decimal(38,0)")).alias("s12"),
+        )
+    )
+    totals = per_source.agg(
+        F.sum("n_docs").cast("bigint").alias("n_all"),
+        F.sum("s12").cast("decimal(38,0)").alias("s_all"),
+    )
+    j = per_source.crossJoin(F.broadcast(totals))
+    mean_corpus = (
+        F.col("s_all").cast("double")
+        / F.lit(1000000000000.0)
+        / F.col("n_all").cast("double")
+    )
+    mean_s = (
+        F.col("s12").cast("double")
+        / F.lit(1000000000000.0)
+        / F.col("n_docs").cast("double")
+    )
+    loo = (
+        (F.col("s_all") - F.col("s12")).cast("double")
+        / F.lit(1000000000000.0)
+        / (F.col("n_all") - F.col("n_docs")).cast("double")
+    )
+    w_rank = Window.orderBy(F.desc("influence"), "source")
+    return (
+        j.select(
+            "source",
+            "n_docs",
+            mean_s.alias("mean_quality"),
+            F.when(F.col("n_all") > F.col("n_docs"), loo).alias(
+                "loo_corpus_mean"
+            ),
+            F.when(
+                F.col("n_all") > F.col("n_docs"), mean_corpus - loo
+            ).alias("influence"),
+        )
+        .withColumn(
+            "influence_rank", F.row_number().over(w_rank).cast("int")
+        )
+        .orderBy("source")
+    )
+
+
+def _loo_oracle() -> str:
+    from .text_analysis import QUALITY_ORACLE
+
+    return f"""
+    WITH q AS (
+        SELECT doc_id,
+               CAST(floor(quality * 1000000000000.0 + 0.5) AS BIGINT) AS q12
+        FROM ({QUALITY_ORACLE})
+    ),
+    per_source AS (
+        SELECT d.source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CAST(q12 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s12
+        FROM documents d JOIN q USING (doc_id)
+        GROUP BY 1
+    ),
+    totals AS (
+        SELECT CAST(sum(n_docs) AS BIGINT) AS n_all,
+               CAST(sum(s12) AS DECIMAL(38,0)) AS s_all
+        FROM per_source
+    ),
+    j AS (
+        SELECT p.source, p.n_docs,
+               CAST(p.s12 AS DOUBLE) / 1000000000000.0
+                   / CAST(p.n_docs AS DOUBLE) AS mean_quality,
+               CASE WHEN t.n_all > p.n_docs THEN
+                   CAST(t.s_all - p.s12 AS DOUBLE) / 1000000000000.0
+                   / CAST(t.n_all - p.n_docs AS DOUBLE)
+               END AS loo_corpus_mean,
+               CASE WHEN t.n_all > p.n_docs THEN
+                   CAST(t.s_all AS DOUBLE) / 1000000000000.0
+                       / CAST(t.n_all AS DOUBLE)
+                   - CAST(t.s_all - p.s12 AS DOUBLE) / 1000000000000.0
+                     / CAST(t.n_all - p.n_docs AS DOUBLE)
+               END AS influence
+        FROM per_source p, totals t
+    )
+    SELECT source, n_docs, mean_quality, loo_corpus_mean, influence,
+           CAST(row_number() OVER (ORDER BY influence DESC, source)
+                AS INTEGER) AS influence_rank
+    FROM j
+    ORDER BY source
+"""
+
+
+SOURCE_LOO_ORACLE = _loo_oracle()
+
+
 PIPELINE_QUERIES: list[tuple[str, object, str | None]] = [
     ("isotonic_dup_rate_fit", isotonic_dup_rate_fit, ISOTONIC_ORACLE),
+    ("source_loo_influence", source_loo_influence, SOURCE_LOO_ORACLE),
     ("decision_stump_learn", decision_stump_learn, DECISION_STUMP_ORACLE),
     (
         "feature_label_mutual_info",

@@ -2077,7 +2077,178 @@ EWMA_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Croston's method (Croston 1972, "Forecasting and stock control for
+# intermittent demands") -- the forecaster the Holt/naive family is
+# systematically wrong about: a series that is MOSTLY ZERO (sparse
+# per-segment demand at 100 TB: a niche event type, a long-tail part).
+# SES on such a series chases zeros; Croston separately smooths the
+# NONZERO demand sizes (z) and the inter-demand intervals (p) and
+# forecasts z/p demand per period.
+#
+# The fold runs over the ZERO-FILLED calendar (the events_gap_fill
+# grid, bounded by the calendar span), with struct state in Spark and
+# DOUBLE[4] list state in DuckDB ([size, interval, gap, initialized] --
+# the HOLT_ORACLE aliasing lesson), conditionals as CASE inside the
+# lambda.  Every chain is the identical IEEE tree in both engines.
+# ---------------------------------------------------------------------------
+
+CROSTON_ALPHA = 0.1
+
+
+def croston_demand_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents").cast("bigint").alias("x"))
+    )
+    span = daily.groupBy("event_type").agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    grid = span.select(
+        "event_type",
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day"),
+    )
+    filled = grid.join(daily, ["event_type", "day"], "left").select(
+        "event_type",
+        "day",
+        F.coalesce(F.col("x"), F.lit(0).cast("bigint")).alias("x"),
+    )
+    arr = filled.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "x"))),
+            lambda s: s["x"].cast("double"),
+        ).alias("xs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum(F.when(F.col("x") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_nonzero"),
+    )
+    A = CROSTON_ALPHA
+    init = F.struct(
+        F.lit(0.0).alias("z"),
+        F.lit(0.0).alias("p"),
+        F.lit(0.0).alias("q"),
+        F.lit(0.0).alias("init"),
+    )
+
+    def _step(acc, v):
+        qp = acc["q"] + F.lit(1.0)
+        nz = v > 0
+        first = acc["init"] == F.lit(0.0)
+        return F.struct(
+            F.when(
+                nz,
+                F.when(first, v).otherwise(
+                    F.lit(A) * v + F.lit(1 - A) * acc["z"]
+                ),
+            )
+            .otherwise(acc["z"])
+            .alias("z"),
+            F.when(
+                nz,
+                F.when(first, qp).otherwise(
+                    F.lit(A) * qp + F.lit(1 - A) * acc["p"]
+                ),
+            )
+            .otherwise(acc["p"])
+            .alias("p"),
+            F.when(nz, F.lit(0.0)).otherwise(qp).alias("q"),
+            F.when(nz, F.lit(1.0)).otherwise(acc["init"]).alias("init"),
+        )
+
+    folded = arr.withColumn("st", F.aggregate(F.col("xs"), init, _step))
+    ok = F.col("st")["init"] == F.lit(1.0)
+    return folded.select(
+        "event_type",
+        "n_days",
+        "n_nonzero",
+        (
+            F.col("n_nonzero").cast("double") / F.col("n_days").cast("double")
+        ).alias("demand_rate"),
+        F.when(ok, F.col("st")["z"]).alias("croston_size"),
+        F.when(ok, F.col("st")["p"]).alias("croston_interval"),
+        F.when(
+            ok & (F.col("st")["p"] > 0),
+            F.col("st")["z"] / F.col("st")["p"],
+        ).alias("croston_forecast"),
+    ).orderBy("event_type")
+
+
+CROSTON_ORACLE = f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+        FROM events
+        GROUP BY 1, 2
+    ),
+    span AS (
+        SELECT event_type, min(day) AS lo, max(day) AS hi
+        FROM daily GROUP BY 1
+    ),
+    grid AS (
+        SELECT s.event_type, CAST(g.d AS DATE) AS day
+        FROM span s, unnest(generate_series(s.lo, s.hi,
+                                            INTERVAL 1 DAY)) g(d)
+    ),
+    filled AS (
+        SELECT g.event_type, g.day,
+               COALESCE(d.x, CAST(0 AS BIGINT)) AS x
+        FROM grid g LEFT JOIN daily d USING (event_type, day)
+    ),
+    arr AS (
+        SELECT event_type,
+               list_transform(
+                   list_sort(list({{'day': day, 'x': x}})),
+                   s -> CAST(s.x AS DOUBLE)) AS xs,
+               CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(CASE WHEN x > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_nonzero
+        FROM filled GROUP BY event_type
+    ),
+    folded AS (
+        SELECT event_type, n_days, n_nonzero,
+               list_reduce(
+                   list_prepend(
+                       [0.0e0, 0.0e0, 0.0e0, 0.0e0],
+                       list_transform(xs,
+                           v -> [v, 0.0e0, 0.0e0, 0.0e0])),
+                   (acc, v) -> [
+                       CASE WHEN v[1] > 0 THEN
+                           CASE WHEN acc[4] = 0.0e0 THEN v[1]
+                                ELSE {CROSTON_ALPHA}e0 * v[1]
+                                     + {1 - CROSTON_ALPHA}e0 * acc[1] END
+                       ELSE acc[1] END,
+                       CASE WHEN v[1] > 0 THEN
+                           CASE WHEN acc[4] = 0.0e0 THEN acc[3] + 1.0e0
+                                ELSE {CROSTON_ALPHA}e0 * (acc[3] + 1.0e0)
+                                     + {1 - CROSTON_ALPHA}e0 * acc[2] END
+                       ELSE acc[2] END,
+                       CASE WHEN v[1] > 0 THEN 0.0e0
+                       ELSE acc[3] + 1.0e0 END,
+                       CASE WHEN v[1] > 0 THEN 1.0e0
+                       ELSE acc[4] END]) AS st
+        FROM arr
+    )
+    SELECT event_type, n_days, n_nonzero,
+           CAST(n_nonzero AS DOUBLE) / CAST(n_days AS DOUBLE)
+               AS demand_rate,
+           CASE WHEN st[4] = 1.0e0 THEN st[1] END AS croston_size,
+           CASE WHEN st[4] = 1.0e0 THEN st[2] END AS croston_interval,
+           CASE WHEN st[4] = 1.0e0 AND st[2] > 0 THEN st[1] / st[2]
+           END AS croston_forecast
+    FROM folded
+    ORDER BY event_type
+"""
+
+
 TEMPORAL_QUERIES: list[tuple[str, object, str | None]] = [
+    ("croston_demand_forecast", croston_demand_forecast, CROSTON_ORACLE),
     ("holt_linear_smooth", holt_linear_smooth, HOLT_ORACLE),
     ("ewma_control_chart", ewma_control_chart, EWMA_ORACLE),
     ("forecast_backtest_mase", forecast_backtest_mase, FORECAST_MASE_ORACLE),

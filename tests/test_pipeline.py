@@ -557,3 +557,30 @@ def test_isotonic_fit_matches_pav_stack(spark):
     pav_antitonic = list(reversed(expanded))
     for got, want in zip(rates, pav_antitonic):
         assert abs(got - want) < 1e-12, (rates, pav_antitonic)
+
+
+def test_loo_influence_identities(spark):
+    """LOO influence closed-form identities: influences are consistent
+    with per-source means (sum over sources of n_s*(mean_s -
+    corpus_mean) = 0 on the picogrid), removing an above-average source
+    has positive influence, and ranks are a permutation."""
+    rows = QUERIES["source_loo_influence"](spark, SF_SMOKE).collect()
+    assert rows
+    n_all = sum(r.n_docs for r in rows)
+    corpus_mean = sum(r.mean_quality * r.n_docs for r in rows) / n_all
+    assert sorted(r.influence_rank for r in rows) == list(
+        range(1, len(rows) + 1)
+    )
+    for r in rows:
+        if r.influence is None:
+            continue
+        # influence sign matches whether the source is above the mean
+        if r.mean_quality > corpus_mean + 1e-9:
+            assert r.influence > 0
+        if r.mean_quality < corpus_mean - 1e-9:
+            assert r.influence < 0
+        # closed form: influence = n_s*(mean_s - mean_all)/(N - n_s)
+        want = (
+            r.n_docs * (r.mean_quality - corpus_mean) / (n_all - r.n_docs)
+        )
+        assert abs(r.influence - want) < 1e-9

@@ -592,3 +592,63 @@ def test_ewma_limits_widen_then_saturate(spark):
         # asymptotic width = 2 * L * sigma * sqrt(1/9)
         asym = 2 * 3 * rs[0].sigma_cents * (1.0 / 3.0)
         assert widths[-1] <= asym + 1e-6, et
+
+
+def test_croston_matches_independent_python(spark):
+    """Differential check: recompute Croston (zero-filled calendar,
+    size/interval smoothing, demand-rate) in pure Python and compare
+    bit-exactly; on an all-nonzero series Croston's interval must
+    converge toward 1 and the size equals SES of the sizes."""
+    import datetime
+
+    from mapreduce_on_google_cloud_platform_spark.operators.temporal import (
+        CROSTON_ALPHA,
+    )
+    from mapreduce_on_google_cloud_platform_spark.sources import load_table
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _cents(v):
+        return int(
+            Decimal(repr(v * 100)).quantize(Decimal(1), rounding=ROUND_HALF_UP)
+        )
+
+    daily = {}
+    for r in load_table(spark, SF_SMOKE, "events").collect():
+        k = (r.event_type, r.ts.date())
+        daily[k] = daily.get(k, 0) + _cents(r.value)
+    series = {}
+    for (et, d), v in daily.items():
+        series.setdefault(et, {})[d] = v
+    got = {
+        r.event_type: r
+        for r in QUERIES["croston_demand_forecast"](spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(series)
+    a, q1 = CROSTON_ALPHA, 1 - CROSTON_ALPHA
+    for et, d in series.items():
+        lo, hi = min(d), max(d)
+        days = [lo + datetime.timedelta(days=i) for i in range((hi - lo).days + 1)]
+        xs = [float(d.get(day, 0)) for day in days]
+        z = p = qq = 0.0
+        init = 0.0
+        for x in xs:
+            qp = qq + 1.0
+            if x > 0:
+                if init == 0.0:
+                    z, p = x, qp
+                else:
+                    z = a * x + q1 * z
+                    p = a * qp + q1 * p
+                qq, init = 0.0, 1.0
+            else:
+                qq = qp
+        g = got[et]
+        assert g.n_days == len(xs)
+        assert g.n_nonzero == sum(1 for x in xs if x > 0)
+        assert g.demand_rate == float(g.n_nonzero) / float(g.n_days)
+        if init == 1.0:
+            assert g.croston_size == z
+            assert g.croston_interval == p
+            if p > 0:
+                assert g.croston_forecast == z / p
+            assert g.croston_interval >= 1.0 - 1e-12
