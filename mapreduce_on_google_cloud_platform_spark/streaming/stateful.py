@@ -1041,3 +1041,135 @@ def streaming_ewma_query(spark: SparkSession, in_dir: str, schema):
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming Poisson-bootstrap monitor: the continuous-ingest twin of the
+# batch ``poisson_bootstrap_ci`` (operators/statistics.py).  The one-pass
+# Poisson bootstrap is STREAMING-NATIVE by construction: the entire
+# uncertainty state per event type is 2*B_BOOT + 2 exact integers (the
+# replicate weighted sums and weights, plus n and sum), which merge
+# commutatively across micro-batches -- so a live stream maintains a
+# full bootstrap confidence interval with O(B) state and zero
+# recomputation.  Emission mirrors the batch query's IEEE chain
+# exactly (replicate means as single divisions of exact ints, CI from
+# the sorted 64-array, SE from the ordered folds) and the per-row
+# weights replay the identical md5 -> 31-bit lane -> affine variate ->
+# pinned-threshold chain in Python ints -- pinned bit-exact vs batch in
+# tests/test_streaming.py.
+# ---------------------------------------------------------------------------
+
+BOOT_STATE_SCHEMA = StructType(
+    [StructField("packed", StringType())]  # "n,sx,s0..s63,m0..m63" ints
+)
+
+BOOT_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("n_events", LongType()),
+        StructField("mean_cents", DoubleType()),
+        StructField("n_zero_replicates", LongType()),
+        StructField("boot_lo_cents", DoubleType()),
+        StructField("boot_hi_cents", DoubleType()),
+        StructField("boot_se_cents", DoubleType()),
+    ]
+)
+
+
+def streaming_bootstrap_query(spark: SparkSession, in_dir: str, schema):
+    """readStream(events parquet dir) -> groupBy(event_type) ->
+    applyInPandasWithState running Poisson-bootstrap CI."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    # literals: the closure must unpickle without importing the package
+    from ..functions.hashing import MINHASH_P as _P
+    from ..operators.statistics import B_BOOT as _B
+    from ..operators.statistics import BOOT_AB as _AB
+    from ..operators.statistics import BOOT_T as _T
+
+    P, B, AB, T = int(_P), int(_B), list(_AB), list(_T)
+
+    def track(key, pdfs, state):
+        import hashlib
+        import math
+
+        import pandas as pd
+
+        (event_type,) = key
+        if state.exists:
+            (packed,) = state.get
+            vals = [int(x) for x in packed.split(",")]
+        else:
+            vals = [0] * (2 + 2 * B)
+        n, sx = vals[0], vals[1]
+        s = vals[2 : 2 + B]
+        m = vals[2 + B :]
+        for pdf in pdfs:
+            for eid, c in zip(pdf["event_id"], pdf["cents"]):
+                c = int(c)
+                n += 1
+                sx += c
+                h = (
+                    int(
+                        hashlib.md5(str(int(eid)).encode()).hexdigest()[:15],
+                        16,
+                    )
+                    % P
+                )
+                for i, (a, b) in enumerate(AB):
+                    u = (a * h + b) % P
+                    w = 0
+                    for t in T:
+                        if u >= t:
+                            w += 1
+                    if w:
+                        s[i] += w * c
+                        m[i] += w
+        state.update((",".join(map(str, [n, sx] + s + m)),))
+        n_zero = sum(1 for x in m if x == 0)
+        # EXACT op-order mirror of operators.statistics.poisson_bootstrap_ci
+        mean = float(sx) / float(n)
+        if n_zero == 0:
+            ms = sorted(float(si) / float(mi) for si, mi in zip(s, m))
+            lo, hi = ms[3], ms[60]  # element_at(.., 4) / (.., 61), 1-indexed
+            bsum = 0.0
+            bsumsq = 0.0
+            for x in ms:
+                bsum += x
+                bsumsq += x * x
+            se = math.sqrt(
+                (bsumsq - bsum * bsum / float(B)) / float(B - 1)
+            )
+        else:
+            lo = hi = se = None
+        yield pd.DataFrame(
+            {
+                "event_type": [event_type],
+                "n_events": [n],
+                "mean_cents": [mean],
+                "n_zero_replicates": [n_zero],
+                "boot_lo_cents": [lo],
+                "boot_hi_cents": [hi],
+                "boot_se_cents": [se],
+            }
+        )
+
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+        # the batch query's exact cents expression, JVM-side
+        .select(
+            "event_type",
+            "event_id",
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            track,
+            outputStructType=BOOT_OUTPUT_SCHEMA,
+            stateStructType=BOOT_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

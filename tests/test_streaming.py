@@ -937,3 +937,64 @@ def test_streaming_ewma_agrees_with_batch(spark, tmp_path):
             else ("y" if b.out_of_control else "n")
         )
         assert s.out_of_control == expect, k
+
+
+def test_streaming_bootstrap_agrees_with_batch(spark, tmp_path):
+    """Stream/batch agreement for the one-pass Poisson bootstrap: the
+    2*B+2 integer state merges commutatively across micro-batches, so
+    after the full input the streamed CI must equal the batch
+    poisson_bootstrap_ci bit-exactly."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_on_google_cloud_platform_spark.plans import QUERIES
+    from mapreduce_on_google_cloud_platform_spark.sources import load_table
+    from mapreduce_on_google_cloud_platform_spark.streaming.stateful import (
+        streaming_bootstrap_query,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    lims = ev.agg(
+        F.min(F.unix_micros("ts")).alias("lo"),
+        F.max(F.unix_micros("ts")).alias("hi"),
+    ).collect()[0]
+    mid_us = int((lims.lo + lims.hi) / 2)
+    in_dir = str(tmp_path / "boot_in")
+    ev.filter(F.unix_micros("ts") <= mid_us).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+
+    stream = streaming_bootstrap_query(
+        spark, in_dir, spark.read.parquet(in_dir).schema
+    )
+    q = (
+        stream.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("boot_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        ev.filter(F.unix_micros("ts") > mid_us).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM boot_stream").collect()
+    finally:
+        q.stop()
+
+    final = {}
+    for r in rows:  # update mode: last emission per type wins
+        final[r.event_type] = r
+    batch = {
+        r.event_type: r
+        for r in QUERIES["poisson_bootstrap_ci"](spark, SF_SMOKE).collect()
+    }
+    assert set(final) == set(batch)
+    for et, b in batch.items():
+        s = final[et]
+        assert s.n_events == b.n_events, et
+        assert s.mean_cents == b.mean_cents, et
+        assert s.n_zero_replicates == b.n_zero_replicates, et
+        assert s.boot_lo_cents == b.boot_lo_cents, et
+        assert s.boot_hi_cents == b.boot_hi_cents, et
+        assert s.boot_se_cents == b.boot_se_cents, et
