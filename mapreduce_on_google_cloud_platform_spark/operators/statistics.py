@@ -4050,7 +4050,254 @@ KENDALL_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# kmv_distinct_profile: KMV (k-minimum-values) distinct-count sketch
+# audit (Bar-Yossef et al. 2002; Beyer et al. 2007 unbiased (K-1)/u_(K)
+# estimator).  The mergeable sketch behind "how many distinct users per
+# type" at 100 TB is "keep the K smallest hash values per group": each
+# executor keeps a local bottom-K (WindowGroupLimit pushes the rank
+# filter map-side), merge is a K-way min-merge, and the estimate is one
+# IEEE chain (K-1) * 2^60 / h_(K) at the end.  Hashes are the portable
+# 60-bit md5 prefix, so sketch membership -- not just the estimate --
+# replicates exactly in the oracle.  rank() (not row_number) keeps the
+# boundary deterministic under hash ties; below capacity (n_distinct
+# <= K) the sketch IS the exact set and the estimate is declared exact
+# (the distinct_users_sketch_profile discipline).  The exact-NDV column
+# is the audit anchor: it pays the same distinct shuffle the sketch
+# path prunes at scale.
+# ---------------------------------------------------------------------------
+
+KMV_K = 64
+_HEX60_MAX = float(1 << 60)
+
+
+def kmv_distinct_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    pairs = (
+        ev.select("event_type", "user_id")
+        .distinct()
+        .selectExpr(
+            "event_type",
+            "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15),"
+            " 16, 10) AS BIGINT) AS h",
+        )
+    )
+    exact = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact")
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    kept = (
+        pairs.withColumn("rk", F.rank().over(w))
+        .where(F.col("rk") <= KMV_K)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.max("h").cast("bigint").alias("h_kth"),
+        )
+    )
+    est = F.when(
+        F.col("n_exact") <= F.lit(KMV_K), F.col("n_exact").cast("double")
+    ).otherwise(
+        F.lit(float(KMV_K - 1))
+        * F.lit(_HEX60_MAX)
+        / F.col("h_kth").cast("double")
+    )
+    return (
+        exact.join(kept, "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            "n_kept",
+            est.alias("kmv_estimate"),
+            (
+                F.abs(est - F.col("n_exact").cast("double"))
+                / F.col("n_exact").cast("double")
+            ).alias("abs_rel_error"),
+        )
+        .orderBy("event_type")
+    )
+
+
+KMV_ORACLE = f"""
+    WITH pairs AS (
+        SELECT event_type,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+                   AS h
+        FROM (SELECT DISTINCT event_type, user_id FROM events)
+    ),
+    exact AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_exact
+        FROM pairs GROUP BY 1
+    ),
+    ranked AS (
+        SELECT event_type, h,
+               rank() OVER (PARTITION BY event_type ORDER BY h) AS rk
+        FROM pairs
+    ),
+    kept AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_kept,
+               CAST(max(h) AS BIGINT) AS h_kth
+        FROM ranked WHERE rk <= {KMV_K} GROUP BY 1
+    )
+    SELECT e.event_type, e.n_exact, k.n_kept,
+           CASE WHEN e.n_exact <= {KMV_K} THEN CAST(e.n_exact AS DOUBLE)
+                ELSE {float(KMV_K - 1)!r} * {_HEX60_MAX!r}
+                     / CAST(k.h_kth AS DOUBLE)
+           END AS kmv_estimate,
+           abs(CASE WHEN e.n_exact <= {KMV_K} THEN CAST(e.n_exact AS DOUBLE)
+                    ELSE {float(KMV_K - 1)!r} * {_HEX60_MAX!r}
+                         / CAST(k.h_kth AS DOUBLE)
+               END - CAST(e.n_exact AS DOUBLE))
+               / CAST(e.n_exact AS DOUBLE) AS abs_rel_error
+    FROM exact e JOIN kept k USING (event_type)
+    ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# bloom_fpr_audit: Bloom-filter admission audit (Bloom 1970).  The
+# 100 TB ingest gate "have we seen this content hash before?" is a
+# Bloom filter (the storage layer already uses one for join pruning --
+# sources/bloom_join.py); this query measures the filter the pipeline
+# would ship: build an m=2^16-bit / k=4 filter over HALF the distinct
+# content hashes (md5-last-nibble split -- member and probe sets are
+# disjoint BY CONSTRUCTION on the distinct-hash table), then probe with
+# the other half, all of which are true negatives, so every full-k hit
+# is a false positive.  Bit positions are four disjoint 16-bit md5
+# slices (re-hashed with the lane index), the occupied-bit set is <= m
+# rows (auto-broadcast on the probe join), and predicted FPR =
+# fill^k is the standard approximation emitted beside the measured
+# rate.  Everything up to the two final divisions is exact integers.
+# ---------------------------------------------------------------------------
+
+BLOOM_M_BITS = 65536  # 2^16: one 4-nibble md5 slice IS a bit position
+BLOOM_K = 4
+
+
+def bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    hashes = (
+        docs.select(F.md5("text").alias("ch"))
+        .distinct()
+        .withColumn(
+            "is_member",
+            F.expr("substring(ch, 32, 1) IN ('0','1','2','3','4','5','6','7')"),
+        )
+    )
+    pos_exprs = [
+        f"CAST(conv(substring(md5(concat(ch, '|', '{j}')), {1 + 4 * j}, 4),"
+        f" 16, 10) AS BIGINT) AS p{j}"
+        for j in range(BLOOM_K)
+    ]
+    with_pos = hashes.selectExpr("ch", "is_member", *pos_exprs)
+    stacked = with_pos.selectExpr(
+        "ch",
+        "is_member",
+        "stack({}, {}) AS pos".format(
+            BLOOM_K, ", ".join(f"p{j}" for j in range(BLOOM_K))
+        ),
+    )
+    occupied = (
+        stacked.where("is_member").select("pos").distinct()
+    )
+    counts = hashes.groupBy("is_member").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    n_members = counts.where("is_member").select(F.col("n").alias("n_members"))
+    n_probes = counts.where("NOT is_member").select(F.col("n").alias("n_probes"))
+    n_bits = occupied.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bits_set")
+    )
+    probe_hits = (
+        stacked.where("NOT is_member")
+        .join(occupied, "pos")
+        .groupBy("ch")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .where(F.col("n_hit") == BLOOM_K)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_false_pos"))
+    )
+    fill = F.col("n_bits_set").cast("double") / F.lit(float(BLOOM_M_BITS))
+    return (
+        n_members.crossJoin(n_probes)
+        .crossJoin(n_bits)
+        .crossJoin(probe_hits)
+        .select(
+            "n_members",
+            "n_probes",
+            F.lit(BLOOM_M_BITS).cast("bigint").alias("m_bits"),
+            F.lit(BLOOM_K).cast("bigint").alias("k_hashes"),
+            "n_bits_set",
+            fill.alias("fill_fraction"),
+            F.pow(fill, F.lit(float(BLOOM_K))).alias("predicted_fpr"),
+            "n_false_pos",
+            (
+                F.col("n_false_pos").cast("double")
+                / F.col("n_probes").cast("double")
+            ).alias("measured_fpr"),
+        )
+    )
+
+
+def _bloom_pos_sql(j: int) -> str:
+    return (
+        f"('0x' || substr(md5(ch || '|' || '{j}'), {1 + 4 * j}, 4))::BIGINT"
+    )
+
+
+BLOOM_FPR_ORACLE = f"""
+    WITH hashes AS (
+        SELECT ch,
+               substr(ch, 32, 1) IN ('0','1','2','3','4','5','6','7')
+                   AS is_member
+        FROM (SELECT DISTINCT md5(text) AS ch FROM documents)
+    ),
+    stacked AS (
+        SELECT ch, is_member, pos
+        FROM hashes, UNNEST([{', '.join(_bloom_pos_sql(j) for j in range(BLOOM_K))}]) AS t(pos)
+    ),
+    occupied AS (
+        SELECT DISTINCT pos FROM stacked WHERE is_member
+    ),
+    n_members AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_members FROM hashes
+        WHERE is_member
+    ),
+    n_probes AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_probes FROM hashes
+        WHERE NOT is_member
+    ),
+    n_bits AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_bits_set FROM occupied
+    ),
+    fp AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_false_pos
+        FROM (
+            SELECT s.ch
+            FROM stacked s JOIN occupied o USING (pos)
+            WHERE NOT s.is_member
+            GROUP BY s.ch
+            HAVING count(*) = {BLOOM_K}
+        )
+    )
+    SELECT n_members, n_probes,
+           CAST({BLOOM_M_BITS} AS BIGINT) AS m_bits,
+           CAST({BLOOM_K} AS BIGINT) AS k_hashes,
+           n_bits_set,
+           CAST(n_bits_set AS DOUBLE) / {float(BLOOM_M_BITS)!r}
+               AS fill_fraction,
+           pow(CAST(n_bits_set AS DOUBLE) / {float(BLOOM_M_BITS)!r},
+               {float(BLOOM_K)!r}) AS predicted_fpr,
+           n_false_pos,
+           CAST(n_false_pos AS DOUBLE) / CAST(n_probes AS DOUBLE)
+               AS measured_fpr
+    FROM n_members, n_probes, n_bits, fp
+"""
+
+
 STATISTICS_QUERIES: list[tuple[str, object, str | None]] = [
+    ("kmv_distinct_profile", kmv_distinct_profile, KMV_ORACLE),
+    ("bloom_fpr_audit", bloom_fpr_audit, BLOOM_FPR_ORACLE),
     ("spearman_daily_corr", spearman_daily_corr, SPEARMAN_ORACLE),
     ("kendall_tau_daily", kendall_tau_daily, KENDALL_ORACLE),
     ("poisson_bootstrap_ci", poisson_bootstrap_ci, POISSON_BOOTSTRAP_ORACLE),

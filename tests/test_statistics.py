@@ -1066,3 +1066,78 @@ def test_rank_correlations_match_scipy_free_python(spark):
                 )
                 assert k.tau_b == tau
                 assert -1.0 - 1e-12 <= k.tau_b <= 1.0 + 1e-12
+
+
+def test_kmv_estimator_matches_python(spark):
+    """Independent Python recompute of the KMV estimate: the sketch is
+    the K smallest 60-bit md5 prefixes per type; below capacity it is
+    declared exact."""
+    import hashlib
+
+    from mapreduce_on_google_cloud_platform_spark.operators.statistics import KMV_K
+    from mapreduce_on_google_cloud_platform_spark.sources import load_table
+
+    seen = {}
+    for r in load_table(spark, SF_SMOKE, "events").collect():
+        seen.setdefault(r.event_type, set()).add(r.user_id)
+    got = {
+        r.event_type: r
+        for r in QUERIES["kmv_distinct_profile"](spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(seen)
+    for t, users in seen.items():
+        hs = sorted(
+            int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16)
+            for u in users
+        )
+        g = got[t]
+        assert g.n_exact == len(users)
+        if len(users) <= KMV_K:
+            assert g.n_kept == len(users)
+            assert g.kmv_estimate == float(len(users))
+            assert g.abs_rel_error == 0.0
+        else:
+            assert g.n_kept == KMV_K
+            est = float(KMV_K - 1) * float(1 << 60) / float(hs[KMV_K - 1])
+            assert g.kmv_estimate == est
+
+
+def test_bloom_fpr_audit_matches_python(spark):
+    """Independent Python Bloom build/probe: same split, same bit
+    positions, same false-positive count."""
+    import hashlib
+
+    from mapreduce_on_google_cloud_platform_spark.operators.statistics import (
+        BLOOM_K,
+        BLOOM_M_BITS,
+    )
+    from mapreduce_on_google_cloud_platform_spark.sources import load_table
+
+    texts = {
+        hashlib.md5(r.text.encode()).hexdigest()
+        for r in load_table(spark, SF_SMOKE, "documents").collect()
+    }
+    members = {ch for ch in texts if ch[31] in "01234567"}
+    probes = texts - members
+
+    def positions(ch):
+        return [
+            int(
+                hashlib.md5(f"{ch}|{j}".encode()).hexdigest()[4 * j : 4 * j + 4],
+                16,
+            )
+            for j in range(BLOOM_K)
+        ]
+
+    occupied = {p for ch in members for p in positions(ch)}
+    n_fp = sum(
+        1 for ch in probes if all(p in occupied for p in positions(ch))
+    )
+    row = QUERIES["bloom_fpr_audit"](spark, SF_SMOKE).collect()[0]
+    assert row.n_members == len(members)
+    assert row.n_probes == len(probes)
+    assert row.m_bits == BLOOM_M_BITS
+    assert row.n_bits_set == len(occupied)
+    assert row.n_false_pos == n_fp
+    assert 0.0 <= row.fill_fraction < 1.0
+    assert row.predicted_fpr == row.fill_fraction**BLOOM_K
