@@ -377,7 +377,9 @@ def neardup_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lpa_oracle() -> str:
+def _lpa_chain_sql() -> str:
+    """The lp0..lpN label-propagation CTE chain (shared by the LPA
+    oracle and the modularity oracle, which scores the same partition)."""
     its = []
     prev = "lp0"
     for k in range(1, LPA_ITERS + 1):
@@ -396,11 +398,17 @@ def _lpa_oracle() -> str:
     )"""
         )
         prev = f"lp{k}"
+    return (
+        "lp0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),\n    "
+        + ",".join(its)
+    )
+
+
+def _lpa_oracle() -> str:
     return f"""
     WITH {DUCKDB_SHINGLES_CTE},
     {_SQL_EDGES_CTE},
-    lp0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
-    {",".join(its)},
+    {_lpa_chain_sql()},
     csizes AS (
         SELECT label, CAST(count(*) AS BIGINT) AS community_size
         FROM lp{LPA_ITERS} GROUP BY label
@@ -956,7 +964,254 @@ def _ktruss_oracle() -> str:
 KTRUSS_ORACLE = _ktruss_oracle()
 
 
+# ---------------------------------------------------------------------------
+# graph_modularity_lpa: Newman modularity of the LPA partition --
+# Q = sum_c [ m_c/m - (D_c/(2m))^2 ] (Newman & Girvan 2004).  The
+# LPA communities ship as the survivor-selection granularity; this is
+# the number that says whether that partition actually captures dense
+# template families (Q >> 0) or the graph is one undifferentiated blob
+# (Q ~ 0) -- the acceptance gate on "pick one survivor per community".
+#
+# Everything is exact integers until the final per-community IEEE
+# chain: m (undirected edge count), m_c (intra-community edges via two
+# label joins on the pair list), D_c (degree mass via the symmetrized
+# edge list).  The corpus scalar m rides a 1-row crossJoin (the
+# graph.py:895 posture).  Zero-intra-edge communities are kept via a
+# LEFT join + COALESCE 0: their q_contrib is pure degree penalty.
+#
+# Scale: the label joins are edge-keyed equi-joins against the LPA
+# label table (node-bounded); no new join pattern beyond what the LPA
+# rounds themselves shuffle.  The pair list is localCheckpoint-ed once
+# and feeds edges, degrees, AND the label loop, so the shingle join
+# runs exactly once.
+# ---------------------------------------------------------------------------
+
+
+def _symmetrized_edges(pairs: DataFrame) -> DataFrame:
+    return pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+
+
+def _lpa_labels(edges: DataFrame) -> DataFrame:
+    """(node, label) after LPA_ITERS synchronous rounds (the
+    neardup_lpa_communities recurrence, shared)."""
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(LPA_ITERS):
+        labels = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst"), F.col("label"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .groupBy("dst")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("cnt")).alias("neg"),
+                        F.col("label").alias("l"),
+                    )
+                ).alias("b")
+            )
+            .select(F.col("dst").alias("node"), F.col("b.l").alias("label"))
+        )
+    return labels
+
+
+def graph_modularity_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = (
+        jaccard_pairs_indexed(spark, sf_dir)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    edges = _symmetrized_edges(pairs).localCheckpoint()
+    labels = _lpa_labels(edges)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    comm = (
+        labels.join(deg, labels.node == deg.src)
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.sum("deg").cast("bigint").alias("degree_sum"),
+        )
+    )
+    la = labels.select(
+        F.col("node").alias("doc_a"), F.col("label").alias("label_a")
+    )
+    lb = labels.select(
+        F.col("node").alias("doc_b"), F.col("label").alias("label_b")
+    )
+    intra = (
+        pairs.join(la, "doc_a")
+        .join(lb, "doc_b")
+        .where(F.col("label_a") == F.col("label_b"))
+        .groupBy(F.col("label_a").alias("label"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("intra_edges"))
+    )
+    m = pairs.agg(F.count(F.lit(1)).cast("bigint").alias("m_edges"))
+    md = F.col("m_edges").cast("double")
+    dpen = F.col("degree_sum").cast("double") / (F.lit(2.0) * md)
+    return (
+        comm.join(intra, "label", "left")
+        .na.fill({"intra_edges": 0})
+        .crossJoin(F.broadcast(m))
+        .select(
+            F.col("label").alias("community"),
+            "n_nodes",
+            "degree_sum",
+            F.col("intra_edges").cast("bigint").alias("intra_edges"),
+            "m_edges",
+            (
+                F.col("intra_edges").cast("double") / md - dpen * dpen
+            ).alias("q_contrib"),
+        )
+        .orderBy("community")
+    )
+
+
+MODULARITY_ORACLE = f"""
+    WITH {DUCKDB_SHINGLES_CTE},
+    {_SQL_EDGES_CTE},
+    {_lpa_chain_sql()},
+    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+    comm AS (
+        SELECT r.label,
+               CAST(count(*) AS BIGINT) AS n_nodes,
+               CAST(sum(d.deg) AS BIGINT) AS degree_sum
+        FROM lp{LPA_ITERS} r JOIN deg d ON r.node = d.src
+        GROUP BY r.label
+    ),
+    intra AS (
+        SELECT la.label AS label,
+               CAST(count(*) AS BIGINT) AS intra_edges
+        FROM jpairs p
+        JOIN lp{LPA_ITERS} la ON p.doc_a = la.node
+        JOIN lp{LPA_ITERS} lb ON p.doc_b = lb.node
+        WHERE la.label = lb.label
+        GROUP BY la.label
+    ),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS m_edges FROM jpairs)
+    SELECT c.label AS community, c.n_nodes, c.degree_sum,
+           CAST(COALESCE(i.intra_edges, 0) AS BIGINT) AS intra_edges,
+           m.m_edges,
+           CAST(COALESCE(i.intra_edges, 0) AS DOUBLE)
+               / CAST(m.m_edges AS DOUBLE)
+           - (CAST(c.degree_sum AS DOUBLE)
+              / (2.0 * CAST(m.m_edges AS DOUBLE)))
+             * (CAST(c.degree_sum AS DOUBLE)
+                / (2.0 * CAST(m.m_edges AS DOUBLE))) AS q_contrib
+    FROM comm c LEFT JOIN intra i USING (label), m
+    ORDER BY community
+"""
+
+
+# ---------------------------------------------------------------------------
+# graph_degree_assortativity: Newman degree-mixing coefficient (Newman
+# 2002) -- Pearson r over (deg(src), deg(dst)) across the symmetrized
+# edge ends.  Negative r on a near-dup graph is the hub-and-spoke
+# boilerplate signature (high-degree template nodes attached to
+# low-degree copies); positive r means dense like-with-like cliques.
+# Together with neardup_degree_profile (the marginal) this is the
+# second moment of the graph's shape.
+#
+# Sufficient statistics are exact DECIMAL(38,0) sums over the
+# edge-ends table (the spearman discipline); r is one fixed IEEE chain
+# with the degenerate regime (zero variance: a regular graph) an
+# explicit NULL.  Scale: two node-keyed joins of the edge list against
+# the degree table, one combinable aggregate -- no windows, no
+# iteration.
+# ---------------------------------------------------------------------------
+
+
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = (
+        jaccard_pairs_indexed(spark, sf_dir)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+    )
+    edges = _symmetrized_edges(pairs)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    dx = deg.select(F.col("src").alias("_sx"), F.col("deg").alias("deg_src"))
+    dy = deg.select(F.col("src").alias("_dy"), F.col("deg").alias("deg_dst"))
+    ends = (
+        edges.join(dx, edges.src == dx._sx)
+        .join(dy, edges.dst == dy._dy)
+        .select("deg_src", "deg_dst")
+    )
+    DEC = "decimal(38,0)"
+    d = lambda c: F.col(c).cast(DEC)  # noqa: E731
+    agg = ends.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edge_ends"),
+        F.sum(d("deg_src")).alias("sx"),
+        F.sum(d("deg_dst")).alias("sy"),
+        F.sum(d("deg_src") * d("deg_dst")).alias("sxy"),
+        F.sum(d("deg_src") * d("deg_src")).alias("sxx"),
+        F.sum(d("deg_dst") * d("deg_dst")).alias("syy"),
+    )
+    n = F.col("n_edge_ends").cast(DEC)
+    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    fx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    fy = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return agg.select(
+        "n_edge_ends",
+        (F.col("sx").cast("double") / F.col("n_edge_ends").cast("double")).alias(
+            "mean_degree"
+        ),
+        F.when((fx > 0) & (fy > 0), num / (F.sqrt(fx) * F.sqrt(fy))).alias(
+            "assortativity"
+        ),
+    )
+
+
+ASSORTATIVITY_ORACLE = f"""
+    WITH {DUCKDB_SHINGLES_CTE},
+    {_SQL_EDGES_CTE},
+    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+    ends AS (
+        SELECT dx.deg AS deg_src, dy.deg AS deg_dst
+        FROM edges e
+        JOIN deg dx ON e.src = dx.src
+        JOIN deg dy ON e.dst = dy.src
+    ),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_edge_ends,
+               sum(CAST(deg_src AS DECIMAL(38,0))) AS sx,
+               sum(CAST(deg_dst AS DECIMAL(38,0))) AS sy,
+               sum(CAST(deg_src AS DECIMAL(38,0))
+                   * CAST(deg_dst AS DECIMAL(38,0))) AS sxy,
+               sum(CAST(deg_src AS DECIMAL(38,0))
+                   * CAST(deg_src AS DECIMAL(38,0))) AS sxx,
+               sum(CAST(deg_dst AS DECIMAL(38,0))
+                   * CAST(deg_dst AS DECIMAL(38,0))) AS syy
+        FROM ends
+    )
+    SELECT n_edge_ends,
+           CAST(sx AS DOUBLE) / CAST(n_edge_ends AS DOUBLE) AS mean_degree,
+           CASE WHEN CAST(CAST(n_edge_ends AS DECIMAL(38,0)) * sxx - sx * sx
+                          AS DOUBLE) > 0
+                 AND CAST(CAST(n_edge_ends AS DECIMAL(38,0)) * syy - sy * sy
+                          AS DOUBLE) > 0
+                THEN CAST(CAST(n_edge_ends AS DECIMAL(38,0)) * sxy - sx * sy
+                          AS DOUBLE)
+                     / (sqrt(CAST(CAST(n_edge_ends AS DECIMAL(38,0)) * sxx
+                                  - sx * sx AS DOUBLE))
+                        * sqrt(CAST(CAST(n_edge_ends AS DECIMAL(38,0)) * syy
+                                    - sy * sy AS DOUBLE)))
+           END AS assortativity
+    FROM agg
+"""
+
+
 GRAPH_QUERIES: list[tuple[str, object, str | None]] = [
+    ("graph_modularity_lpa", graph_modularity_lpa, MODULARITY_ORACLE),
+    (
+        "graph_degree_assortativity",
+        graph_degree_assortativity,
+        ASSORTATIVITY_ORACLE,
+    ),
     ("ktruss_peel_funnel", ktruss_peel_funnel, KTRUSS_ORACLE),
     ("neardup_kcore_peel", neardup_kcore_peel, KCORE_ORACLE),
     ("link_prediction_scores", link_prediction_scores, LINK_PREDICTION_ORACLE),

@@ -286,3 +286,67 @@ def test_ktruss_funnel_is_monotone(spark):
     for r in rows:
         assert r.n_dropped >= 0
         assert r.n_edges_out == r.n_edges_in - r.n_dropped
+
+
+def _python_edges(spark):
+    """Independent recompute of the verified near-dup pair list at
+    SF_SMOKE (mirrors the test_ktruss fixture construction)."""
+    from mapreduce_on_google_cloud_platform_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        jaccard_pairs_indexed,
+    )
+
+    return {
+        (r.doc_a, r.doc_b)
+        for r in jaccard_pairs_indexed(spark, SF_SMOKE)
+        .filter(f"jaccard >= {JACCARD_THRESHOLD}")
+        .select("doc_a", "doc_b")
+        .collect()
+    }
+
+
+def test_modularity_contributions_sum_and_bounds(spark):
+    """Sum of q_contrib is the modularity Q in (-1, 1]; integer columns
+    reconcile: sum(intra_edges) <= m, sum(degree_sum) == 2m, and every
+    community's nodes come from the LPA table."""
+    pairs = _python_edges(spark)
+    m = len(pairs)
+    rows = QUERIES["graph_modularity_lpa"](spark, SF_SMOKE).collect()
+    assert all(r.m_edges == m for r in rows)
+    assert sum(r.degree_sum for r in rows) == 2 * m
+    assert sum(r.intra_edges for r in rows) <= m
+    q = sum(r.q_contrib for r in rows)
+    assert -1.0 <= q <= 1.0
+    lpa = QUERIES["neardup_lpa_communities"](spark, SF_SMOKE).collect()
+    comm_sizes = {}
+    for r in lpa:
+        comm_sizes[r.community] = comm_sizes.get(r.community, 0) + 1
+    assert {r.community: r.n_nodes for r in rows} == comm_sizes
+
+
+def test_assortativity_matches_python(spark):
+    """Exact recompute: Pearson over the degree pairs of every directed
+    edge end."""
+    import math
+
+    pairs = _python_edges(spark)
+    ends = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+    deg: dict[int, int] = {}
+    for s, _ in ends:
+        deg[s] = deg.get(s, 0) + 1
+    xs = [deg[s] for s, _ in ends]
+    ys = [deg[d] for _, d in ends]
+    n = len(ends)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    syy = sum(y * y for y in ys)
+    row = QUERIES["graph_degree_assortativity"](spark, SF_SMOKE).collect()[0]
+    assert row.n_edge_ends == n
+    fx, fy = float(n * sxx - sx * sx), float(n * syy - sy * sy)
+    if fx > 0 and fy > 0:
+        r = float(n * sxy - sx * sy) / (math.sqrt(fx) * math.sqrt(fy))
+        assert row.assortativity == r
+        assert -1.0 - 1e-12 <= row.assortativity <= 1.0 + 1e-12
+    else:
+        assert row.assortativity is None
