@@ -4295,8 +4295,169 @@ BLOOM_FPR_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# pettitt_changepoint_test: nonparametric changepoint LOCALIZATION
+# (Pettitt 1979) -- the rank-based companion to cusum_changepoint's
+# mean-shift peak: K = max_t |U_t| with U_t = sum_{i<=t, j>t}
+# sgn(x_i - x_j), robust to the heavy-tailed daily totals CUSUM's
+# level sums are dominated by.  Computed via the O(n^2) identity
+# U_t = U_{t-1} + V_t, V_t = sum_j sgn(x_t - x_j): one
+# calendar-bounded day-pair self-join per type (the mann_kendall
+# posture -- |days|^2 pairs, never event-bounded), one partitioned
+# cumulative window, exact integers throughout.  The approximate
+# significance p ~ 2 exp(-6K^2 / (n^3 + n^2)) is one IEEE chain
+# emitted through round(.,9) (JVM-vs-libm exp last-ulp rule); all the
+# double inputs (K^2 <= n^4/16, n^3) are exactly representable far
+# below 2^53 for any calendar span.  One-day series emit the honest
+# degenerate row (NULL statistic) via the mann_kendall left-join
+# discipline.
+# ---------------------------------------------------------------------------
+
+
+def pettitt_changepoint_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents").cast("bigint").alias("x"))
+    )
+    a = daily.select("event_type", "day", F.col("x").alias("xa"))
+    b = daily.select("event_type", F.col("day").alias("day_b"), F.col("x").alias("xb"))
+    v = (
+        a.join(b, "event_type")
+        .groupBy("event_type", "day")
+        .agg(
+            F.sum(
+                F.when(F.col("xa") > F.col("xb"), 1)
+                .when(F.col("xa") < F.col("xb"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("v")
+        )
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.max("day").alias("max_day"),
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    u = v.withColumn("u", F.sum("v").over(wcum))
+    k = (
+        u.join(stats, "event_type")
+        .where(F.col("day") < F.col("max_day"))
+        .groupBy("event_type")
+        .agg(
+            F.max(F.abs(F.col("u"))).cast("bigint").alias("k_stat"),
+            F.min(
+                F.struct(
+                    (-F.abs(F.col("u"))).alias("neg"),
+                    F.col("day").alias("d"),
+                )
+            )["d"].alias("change_day"),
+        )
+    )
+    nD = F.col("n_days").cast("double")
+    p = F.round(
+        F.lit(2.0)
+        * F.exp(
+            F.lit(-6.0)
+            * F.col("k_stat").cast("double")
+            * F.col("k_stat").cast("double")
+            / (nD * nD * nD + nD * nD)
+        ),
+        9,
+    )
+    return (
+        stats.join(k, "event_type", "left")
+        .select(
+            "event_type",
+            "n_days",
+            "k_stat",
+            "change_day",
+            F.when(F.col("k_stat").isNotNull(), p).alias("p_approx"),
+            F.when(F.col("k_stat").isNotNull(), p < 0.05).alias("significant"),
+        )
+        .orderBy("event_type")
+    )
+
+
+PETTITT_ORACLE = """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+        FROM events
+        GROUP BY 1, 2
+    ),
+    v AS (
+        SELECT a.event_type, a.day,
+               CAST(sum(CASE WHEN a.x > b.x THEN 1
+                             WHEN a.x < b.x THEN -1 ELSE 0 END) AS BIGINT)
+                   AS v
+        FROM daily a JOIN daily b ON a.event_type = b.event_type
+        GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+               max(day) AS max_day
+        FROM daily GROUP BY 1
+    ),
+    u AS (
+        SELECT event_type, day,
+               CAST(sum(v) OVER (
+                   PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS u
+        FROM v
+    ),
+    ranked AS (
+        SELECT u.event_type, u.u, u.day,
+               row_number() OVER (
+                   PARTITION BY u.event_type
+                   ORDER BY abs(u.u) DESC, u.day ASC
+               ) AS rn
+        FROM u JOIN stats s ON u.event_type = s.event_type
+        WHERE u.day < s.max_day
+    ),
+    k AS (
+        SELECT event_type, CAST(abs(u) AS BIGINT) AS k_stat,
+               day AS change_day
+        FROM ranked WHERE rn = 1
+    )
+    SELECT s.event_type, s.n_days, k.k_stat, k.change_day,
+           CASE WHEN k.k_stat IS NOT NULL THEN
+               round(2.0 * exp(-6.0 * CAST(k.k_stat AS DOUBLE)
+                               * CAST(k.k_stat AS DOUBLE)
+                               / (CAST(s.n_days AS DOUBLE)
+                                  * CAST(s.n_days AS DOUBLE)
+                                  * CAST(s.n_days AS DOUBLE)
+                                  + CAST(s.n_days AS DOUBLE)
+                                    * CAST(s.n_days AS DOUBLE))), 9)
+           END AS p_approx,
+           CASE WHEN k.k_stat IS NOT NULL THEN
+               round(2.0 * exp(-6.0 * CAST(k.k_stat AS DOUBLE)
+                               * CAST(k.k_stat AS DOUBLE)
+                               / (CAST(s.n_days AS DOUBLE)
+                                  * CAST(s.n_days AS DOUBLE)
+                                  * CAST(s.n_days AS DOUBLE)
+                                  + CAST(s.n_days AS DOUBLE)
+                                    * CAST(s.n_days AS DOUBLE))), 9) < 0.05
+           END AS significant
+    FROM stats s LEFT JOIN k USING (event_type)
+    ORDER BY event_type
+"""
+
+
 STATISTICS_QUERIES: list[tuple[str, object, str | None]] = [
     ("kmv_distinct_profile", kmv_distinct_profile, KMV_ORACLE),
+    ("pettitt_changepoint_test", pettitt_changepoint_test, PETTITT_ORACLE),
     ("bloom_fpr_audit", bloom_fpr_audit, BLOOM_FPR_ORACLE),
     ("spearman_daily_corr", spearman_daily_corr, SPEARMAN_ORACLE),
     ("kendall_tau_daily", kendall_tau_daily, KENDALL_ORACLE),

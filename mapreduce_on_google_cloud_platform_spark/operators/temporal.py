@@ -2247,7 +2247,185 @@ CROSTON_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# kaplan_meier_repurchase: Kaplan-Meier survival (1958) + Nelson-Aalen
+# cumulative hazard of the customer repurchase interval.  "How long
+# until a customer orders again" with the honest censoring treatment:
+# the wait after a customer's LAST order is not a repurchase time, it
+# is a right-censored observation at the corpus's observation end
+# (max order date) -- dropping it (as a naive gap histogram does)
+# biases survival low.  Per customer the consecutive-order gaps are
+# events, the final open gap is censored.
+#
+# Determinism: d_t / c_t / n_t are exact integers; each KM factor
+# ln((n-d)/n) and each NA increment d/n rides the DECIMAL(18,9) squash
+# (JVM log vs libm ln last-ulp rule -- the hill_tail_index
+# discipline), the cumulative sums are exact decimal, and the final
+# exp() is emitted through round(.,9) (the geomean discipline: JVM exp
+# and libm exp also disagree in the last ulp; measured here -- 56 of
+# 547 rows off by 1 ulp before the round).  A risk set that dies
+# entirely (n_t = d_t) pins survival to exactly 0.0 from that t on via
+# a cumulative flag, never ln(0).
+#
+# Scale shape: the per-customer lead() window shuffles on o_custkey
+# (combinable, no skew -- order counts per customer are small); the
+# life table aggregates to ONE row per distinct gap length, bounded by
+# the calendar span (~2.4k rows at any corpus size), so the
+# partitionless cumulative windows run on a driver-safe bounded table
+# -- the mann_kendall calendar-bounded posture, never event-bounded.
+# ---------------------------------------------------------------------------
+
+
+def kaplan_meier_repurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ties in o_orderdate within a customer: order additionally by
+    # o_orderkey so lead() is deterministic; the DATE DIFFERENCE is
+    # tie-order-invariant anyway (same-day pairs give gap 0).
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    maxd = orders.agg(F.max("o_orderdate").alias("obs_end"))
+    gaps = (
+        orders.withColumn("nxt", F.lead("o_orderdate").over(w))
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            F.when(
+                F.col("nxt").isNotNull(),
+                F.datediff("nxt", "o_orderdate"),
+            )
+            .otherwise(F.datediff("obs_end", "o_orderdate"))
+            .cast("bigint")
+            .alias("gap_days"),
+            F.col("nxt").isNotNull().alias("is_event"),
+        )
+    )
+    life = gaps.groupBy("gap_days").agg(
+        F.sum(F.when(F.col("is_event"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_events"),
+        F.sum(F.when(F.col("is_event"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("n_censored"),
+    )
+    total = gaps.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    wcum = Window.orderBy("gap_days").rowsBetween(Window.unboundedPreceding, -1)
+    winc = Window.orderBy("gap_days").rowsBetween(Window.unboundedPreceding, 0)
+    tbl = (
+        life.crossJoin(F.broadcast(total))
+        .withColumn(
+            "n_risk",
+            F.col("n_total")
+            - F.coalesce(
+                F.sum(F.col("n_events") + F.col("n_censored")).over(wcum),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "ln_factor",
+            F.when(
+                (F.col("n_events") > 0) & (F.col("n_events") < F.col("n_risk")),
+                F.log(
+                    (F.col("n_risk") - F.col("n_events")).cast("double")
+                    / F.col("n_risk").cast("double")
+                ).cast("decimal(18,9)"),
+            ).otherwise(F.lit(0).cast("decimal(18,9)")),
+        )
+        .withColumn(
+            "na_inc",
+            (
+                F.col("n_events").cast("double")
+                / F.col("n_risk").cast("double")
+            ).cast("decimal(18,9)"),
+        )
+        .withColumn(
+            "dead",
+            F.max(
+                F.when(F.col("n_events") == F.col("n_risk"), 1).otherwise(0)
+            ).over(winc),
+        )
+    )
+    return tbl.select(
+        "gap_days",
+        "n_risk",
+        "n_events",
+        "n_censored",
+        F.when(F.col("dead") == 1, F.lit(0.0))
+        .otherwise(
+            F.round(F.exp(F.sum("ln_factor").over(winc).cast("double")), 9)
+        )
+        .alias("km_survival"),
+        F.sum("na_inc").over(winc).cast("double").alias("na_cumhazard"),
+    ).orderBy("gap_days")
+
+
+KAPLAN_MEIER_ORACLE = """
+    WITH gaps AS (
+        SELECT CASE WHEN nxt IS NOT NULL
+                    THEN date_diff('day', o_orderdate, nxt)
+                    ELSE date_diff('day', o_orderdate,
+                                   (SELECT max(o_orderdate) FROM orders))
+               END AS gap_days,
+               nxt IS NOT NULL AS is_event
+        FROM (
+            SELECT o_custkey, o_orderdate,
+                   lead(o_orderdate) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey
+                   ) AS nxt
+            FROM orders
+        )
+    ),
+    life AS (
+        SELECT CAST(gap_days AS BIGINT) AS gap_days,
+               CAST(sum(CASE WHEN is_event THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_events,
+               CAST(sum(CASE WHEN is_event THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_censored
+        FROM gaps GROUP BY 1
+    ),
+    tbl AS (
+        SELECT gap_days, n_events, n_censored,
+               CAST((SELECT CAST(count(*) AS BIGINT) FROM gaps)
+                    - COALESCE(sum(n_events + n_censored) OVER (
+                          ORDER BY gap_days
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                      ), 0) AS BIGINT) AS n_risk
+        FROM life
+    ),
+    facts AS (
+        SELECT gap_days, n_risk, n_events, n_censored,
+               CASE WHEN n_events > 0 AND n_events < n_risk
+                    THEN CAST(ln(CAST(n_risk - n_events AS DOUBLE)
+                                 / CAST(n_risk AS DOUBLE))
+                              AS DECIMAL(18,9))
+                    ELSE CAST(0 AS DECIMAL(18,9))
+               END AS ln_factor,
+               CAST(CAST(n_events AS DOUBLE) / CAST(n_risk AS DOUBLE)
+                    AS DECIMAL(18,9)) AS na_inc,
+               max(CASE WHEN n_events = n_risk THEN 1 ELSE 0 END) OVER (
+                   ORDER BY gap_days
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS dead
+        FROM tbl
+    )
+    SELECT gap_days, n_risk, n_events, n_censored,
+           CASE WHEN dead = 1 THEN 0.0
+                ELSE round(exp(CAST(sum(ln_factor) OVER (
+                         ORDER BY gap_days
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS DOUBLE)), 9)
+           END AS km_survival,
+           CAST(sum(na_inc) OVER (
+               ORDER BY gap_days
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS na_cumhazard
+    FROM facts
+    ORDER BY gap_days
+"""
+
+
 TEMPORAL_QUERIES: list[tuple[str, object, str | None]] = [
+    ("kaplan_meier_repurchase", kaplan_meier_repurchase, KAPLAN_MEIER_ORACLE),
     ("croston_demand_forecast", croston_demand_forecast, CROSTON_ORACLE),
     ("holt_linear_smooth", holt_linear_smooth, HOLT_ORACLE),
     ("ewma_control_chart", ewma_control_chart, EWMA_ORACLE),

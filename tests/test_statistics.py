@@ -1141,3 +1141,49 @@ def test_bloom_fpr_audit_matches_python(spark):
     assert row.n_false_pos == n_fp
     assert 0.0 <= row.fill_fraction < 1.0
     assert row.predicted_fpr == row.fill_fraction**BLOOM_K
+
+
+def test_pettitt_matches_bruteforce(spark):
+    """Direct O(n^2)-per-split recompute of K = max_t |U_t| and the
+    earliest argmax day, per event type."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from mapreduce_on_google_cloud_platform_spark.sources import load_table
+
+    daily = {}
+    for r in load_table(spark, SF_SMOKE, "events").collect():
+        k = (r.event_type, r.ts.date())
+        cents = int(
+            Decimal(repr(r.value * 100)).quantize(
+                Decimal(1), rounding=ROUND_HALF_UP
+            )
+        )
+        daily[k] = daily.get(k, 0) + cents
+    series = {}
+    for (t, d), x in daily.items():
+        series.setdefault(t, []).append((d, x))
+    got = {
+        r.event_type: r
+        for r in QUERIES["pettitt_changepoint_test"](spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(series)
+    for t, pts in series.items():
+        pts.sort()
+        n = len(pts)
+        g = got[t]
+        assert g.n_days == n
+        if n == 1:
+            assert g.k_stat is None and g.change_day is None
+            continue
+        xs = [x for _, x in pts]
+        best_k, best_day = -1, None
+        for ti in range(n - 1):
+            u = sum(
+                (xs[i] > xs[j]) - (xs[i] < xs[j])
+                for i in range(ti + 1)
+                for j in range(ti + 1, n)
+            )
+            if abs(u) > best_k:
+                best_k, best_day = abs(u), pts[ti][0]
+        assert g.k_stat == best_k
+        assert g.change_day == best_day

@@ -652,3 +652,56 @@ def test_croston_matches_independent_python(spark):
             if p > 0:
                 assert g.croston_forecast == z / p
             assert g.croston_interval >= 1.0 - 1e-12
+
+
+def test_kaplan_meier_matches_python(spark):
+    """Independent life-table recompute: gaps (censored last), risk
+    sets, KM product, NA cumulative hazard."""
+    import math
+
+    from mapreduce_on_google_cloud_platform_spark.sources import load_table
+
+    orders = {}
+    for r in load_table(spark, SF_SMOKE, "orders").collect():
+        orders.setdefault(r.o_custkey, []).append((r.o_orderdate, r.o_orderkey))
+    obs_end = max(d for v in orders.values() for d, _ in v)
+    gaps = []
+    for v in orders.values():
+        v.sort()
+        for (d1, _), (d2, _) in zip(v, v[1:]):
+            gaps.append(((d2 - d1).days, True))
+        gaps.append(((obs_end - v[-1][0]).days, False))
+    life = {}
+    for g, ev in gaps:
+        d, c = life.get(g, (0, 0))
+        life[g] = (d + 1, c) if ev else (d, c + 1)
+    rows = sorted(
+        QUERIES["kaplan_meier_repurchase"](spark, SF_SMOKE).collect(),
+        key=lambda r: r.gap_days,
+    )
+    assert [r.gap_days for r in rows] == sorted(life)
+    n = len(gaps)
+    lnsum, nasum, dead = 0, 0, False
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def sq(x):
+        return Decimal(repr(x)).quantize(
+            Decimal("1e-9"), rounding=ROUND_HALF_UP
+        )
+
+    for r in rows:
+        d, c = life[r.gap_days]
+        assert (r.n_events, r.n_censored) == (d, c)
+        assert r.n_risk == n
+        if d == r.n_risk:
+            dead = True
+        if 0 < d < r.n_risk:
+            lnsum += sq(math.log((r.n_risk - d) / r.n_risk))
+        nasum += sq(d / r.n_risk)
+        if dead:
+            assert r.km_survival == 0.0
+        else:
+            assert r.km_survival == round(math.exp(float(lnsum)), 9)
+        assert r.na_cumhazard == float(nasum)
+        n -= d + c
+    assert n == 0
