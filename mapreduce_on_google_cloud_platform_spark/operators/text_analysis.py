@@ -672,9 +672,9 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-BM25_ORACLE = f"""
-    WITH {DUCKDB_TOKS_CTE},
-    tok AS (SELECT doc_id, unnest(ts) AS word FROM toks),
+# CTE prelude shared by the BM25 oracle and the RM3 expansion oracle
+# (which re-reads the same scored feedback ranking).
+_BM25_CTES = f"""tok AS (SELECT doc_id, unnest(ts) AS word FROM toks),
     tf AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY 1, 2),
     dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
     dfq AS (SELECT word, CAST(count(*) AS BIGINT) AS df_docs FROM tf GROUP BY 1),
@@ -704,7 +704,12 @@ BM25_ORACLE = f"""
                           + {BM25_B} * (CAST(dl.dl AS DOUBLE) / q._avgdl)))
                    AS bm25
         FROM tf JOIN qterms q USING (word) JOIN dl USING (doc_id)
-    )
+    )"""
+
+
+BM25_ORACLE = f"""
+    WITH {DUCKDB_TOKS_CTE},
+    {_BM25_CTES}
     SELECT word, df_docs, doc_rank, doc_id, tf, dl, bm25
     FROM (
         SELECT *, CAST(row_number() OVER (
@@ -714,6 +719,129 @@ BM25_ORACLE = f"""
     )
     WHERE doc_rank <= {BM25_TOPK_DOCS}
     ORDER BY word, doc_rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# rm3_expansion_terms: RM1 pseudo-relevance feedback (Lavrenko &
+# Croft 2001; the expansion half of RM3) over the bm25_topk_docs
+# serving path.  For each head-term query, the top-FB feedback docs'
+# language models vote on expansion terms:
+#
+#     rm1(w) = sum_d  wt(d) * tf(w,d)/dl(d),   wt(d) = bm25_d / sum_FB bm25
+#
+# and the top RM3_EXP_TERMS new terms (the original query term
+# excluded) are what RM3 would interpolate into the reformulated
+# query.  This is the classic recall lever of a lexical stack -- the
+# operator that turns "disk" into "disk drive controller scsi".
+#
+# Determinism: every per-doc contribution is a chain of IEEE
+# correctly-rounded +,*,/ over bit-identical operands (bm25 scores are
+# squashed to DECIMAL(18,9) BEFORE normalization so the weight ratio
+# starts from identical doubles in both engines), each contribution is
+# squashed to DECIMAL(18,15), and the cross-doc sum is exact decimal
+# -- order-free, so the expansion ranking (rm1 desc, word asc) is
+# deterministic.
+#
+# Scale shape: the feedback set is QUERY-BOUNDED (TOP_TERMS x FB docs
+# = 40 rows, broadcast); candidate terms come from tf SEMI-JOINED to
+# those 40 doc_ids -- a 100 TB corpus contributes only the feedback
+# docs' own postings.  No new shuffle beyond bm25's own.
+# ---------------------------------------------------------------------------
+
+RM3_EXP_TERMS = 5
+
+
+def rm3_expansion_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fb = bm25_topk_docs(spark, sf_dir).select(
+        F.col("word").alias("q_word"),
+        "doc_id",
+        F.col("bm25").cast("decimal(18,9)").alias("b9"),
+    )
+    tot = fb.groupBy("q_word").agg(F.sum("b9").alias("tot9"))
+    fbw = fb.join(F.broadcast(tot), "q_word")
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_df(docs)
+    tf = toks.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("dl"))
+    contrib = (
+        tf.join(F.broadcast(fbw), "doc_id")
+        .join(dl, "doc_id")
+        .where(F.col("word") != F.col("q_word"))
+        .select(
+            "q_word",
+            "word",
+            (
+                (F.col("b9").cast("double") / F.col("tot9").cast("double"))
+                * (F.col("tf").cast("double") / F.col("dl").cast("double"))
+            )
+            .cast("decimal(18,15)")
+            .alias("c15"),
+        )
+    )
+    rm1 = contrib.groupBy("q_word", "word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_fb_docs"),
+        F.sum("c15").alias("rm1_15"),
+    )
+    wr = Window.partitionBy("q_word").orderBy(
+        F.desc("rm1_15"), F.asc("word")
+    )
+    return (
+        rm1.withColumn("exp_rank", F.row_number().over(wr).cast("int"))
+        .where(F.col("exp_rank") <= RM3_EXP_TERMS)
+        .select(
+            "q_word",
+            "exp_rank",
+            F.col("word").alias("exp_word"),
+            "n_fb_docs",
+            F.col("rm1_15").cast("double").alias("rm1_weight"),
+        )
+        .orderBy("q_word", "exp_rank")
+    )
+
+
+RM3_ORACLE = f"""
+    WITH {DUCKDB_TOKS_CTE},
+    {_BM25_CTES},
+    fb AS (
+        SELECT word AS q_word, doc_id,
+               CAST(bm25 AS DECIMAL(18,9)) AS b9
+        FROM (
+            SELECT *, row_number() OVER (
+                       PARTITION BY word ORDER BY bm25 DESC, doc_id
+                   ) AS doc_rank
+            FROM scored
+        )
+        WHERE doc_rank <= {BM25_TOPK_DOCS}
+    ),
+    tot AS (SELECT q_word, sum(b9) AS tot9 FROM fb GROUP BY 1),
+    contrib AS (
+        SELECT f.q_word, tf.word,
+               CAST((CAST(f.b9 AS DOUBLE) / CAST(t.tot9 AS DOUBLE))
+                    * (CAST(tf.tf AS DOUBLE) / CAST(dl.dl AS DOUBLE))
+                    AS DECIMAL(18,15)) AS c15
+        FROM tf
+        JOIN fb f USING (doc_id)
+        JOIN tot t USING (q_word)
+        JOIN dl USING (doc_id)
+        WHERE tf.word <> f.q_word
+    ),
+    rm1 AS (
+        SELECT q_word, word,
+               CAST(count(*) AS BIGINT) AS n_fb_docs,
+               sum(c15) AS rm1_15
+        FROM contrib GROUP BY 1, 2
+    )
+    SELECT q_word, exp_rank, word AS exp_word, n_fb_docs,
+           CAST(rm1_15 AS DOUBLE) AS rm1_weight
+    FROM (
+        SELECT *, CAST(row_number() OVER (
+                   PARTITION BY q_word ORDER BY rm1_15 DESC, word
+               ) AS INTEGER) AS exp_rank
+        FROM rm1
+    )
+    WHERE exp_rank <= {RM3_EXP_TERMS}
+    ORDER BY q_word, exp_rank
 """
 
 
@@ -5194,6 +5322,237 @@ CHAR_TRIGRAM_ORACLE = f"""
 
 
 # ---------------------------------------------------------------------------
+# nb_langid_confusion: multinomial naive-Bayes language ID over the
+# char_trigram_lang_profile training table -- the INFERENCE side of
+# the Cavnar-Trenkle-style identifier whose training table ships
+# above, evaluated as a confusion matrix against the declared labels
+# (the langid_confusion shape, but with the statistical model instead
+# of the stopword heuristic).  Truncated-profile NB: the model
+# vocabulary is the union of the per-language top-K trigram profiles
+# (<= |langs| * K types), Laplace-smoothed
+#
+#     P(t|lang) = (cnt + 1) / (tot_lang + V),   P_oov = 1 / (tot_lang + V)
+#
+# and a doc scores  sum_matched cnt*ln P  +  (n_tri - matched)*ln P_oov
+# per language.  Scores are EXACT decimals (each ln squashed to
+# DECIMAL(18,9), counts integer, products/sums exact), so the argmax
+# (min(struct(-score, lang))) is deterministic in both engines --
+# never a double comparison.
+#
+# Scale shape: the profile and its log-table are bounded by the
+# alphabet (broadcast); per-doc trigram counts reduce map-side; the
+# doc x |langs| score table is |docs| x |langs| rows of exact decimal
+# aggregation -- one shuffle on doc_id, no windows over the raw
+# stream.  Docs shorter than one trigram are excluded, matching the
+# profile builder's domain.
+# ---------------------------------------------------------------------------
+
+
+def nb_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    norm = docs.select(
+        "doc_id", "lang", F.array_join(tokenize(F.col("text")), " ").alias("s")
+    ).where(F.length("s") >= 3)
+    tg = norm.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr("transform(sequence(1, length(s) - 2), i -> substring(s, i, 3))")
+        ).alias("trigram"),
+    )
+    prof_counts = tg.groupBy(F.col("lang").alias("plang"), "trigram").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    wp = Window.partitionBy("plang").orderBy(F.desc("cnt"), F.asc("trigram"))
+    prof = prof_counts.withColumn("rank", F.row_number().over(wp)).where(
+        F.col("rank") <= TRIGRAM_TOP_K
+    )
+    tot = prof.groupBy("plang").agg(F.sum("cnt").cast("bigint").alias("tot"))
+    vocab = prof.agg(
+        F.countDistinct("trigram").cast("bigint").alias("v_size")
+    )
+    lp = (
+        prof.join(F.broadcast(tot), "plang")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "plang",
+            "trigram",
+            F.log(
+                (F.col("cnt") + 1).cast("double")
+                / (F.col("tot") + F.col("v_size")).cast("double")
+            )
+            .cast("decimal(18,9)")
+            .alias("lp9"),
+        )
+    )
+    oov = (
+        tot.crossJoin(F.broadcast(vocab))
+        .select(
+            "plang",
+            F.log(
+                F.lit(1.0)
+                / (F.col("tot") + F.col("v_size")).cast("double")
+            )
+            .cast("decimal(18,9)")
+            .alias("oov9"),
+        )
+    )
+    dcnt = tg.groupBy("doc_id", "lang", "trigram").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    dtot = dcnt.groupBy("doc_id", "lang").agg(
+        F.sum("cnt").cast("bigint").alias("n_tri")
+    )
+    matched = (
+        dcnt.join(F.broadcast(lp), "trigram")
+        .groupBy("doc_id", "lang", "plang")
+        .agg(
+            F.sum(F.col("cnt").cast("decimal(18,0)") * F.col("lp9")).alias(
+                "mlp"
+            ),
+            F.sum("cnt").cast("bigint").alias("mcnt"),
+        )
+    )
+    scored = (
+        dtot.crossJoin(F.broadcast(oov))
+        .join(matched, ["doc_id", "lang", "plang"], "left")
+        .select(
+            "doc_id",
+            "lang",
+            "plang",
+            (
+                F.coalesce(F.col("mlp"), F.lit(0).cast("decimal(18,9)"))
+                + (
+                    F.col("n_tri") - F.coalesce(F.col("mcnt"), F.lit(0))
+                ).cast("decimal(18,0)")
+                * F.col("oov9")
+            ).alias("score"),
+        )
+    )
+    pred = scored.groupBy("doc_id", "lang").agg(
+        F.min(
+            F.struct((-F.col("score")).alias("neg"), F.col("plang").alias("p"))
+        )["p"].alias("lang_pred")
+    )
+    actual_tot = pred.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_actual")
+    )
+    return (
+        pred.groupBy(F.col("lang").alias("lang_actual"), "lang_pred")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .join(
+            F.broadcast(actual_tot.withColumnRenamed("lang", "lang_actual")),
+            "lang_actual",
+        )
+        .select(
+            "lang_actual",
+            "lang_pred",
+            "n_docs",
+            (
+                F.col("n_docs").cast("double")
+                / F.col("n_actual").cast("double")
+            ).alias("share"),
+        )
+        .orderBy("lang_actual", "lang_pred")
+    )
+
+
+NB_LANGID_ORACLE = f"""
+    WITH {DUCKDB_TOKS_CTE},
+    norm AS (
+        SELECT t.doc_id, d.lang, array_to_string(t.ts, ' ') AS s
+        FROM documents d JOIN toks t USING (doc_id)
+    ),
+    tg AS (
+        SELECT doc_id, lang,
+               substr(s, CAST(i AS INTEGER), 3) AS trigram
+        FROM (
+            SELECT doc_id, lang, s,
+                   unnest(generate_series(1, length(s) - 2)) AS i
+            FROM norm WHERE length(s) >= 3
+        )
+    ),
+    prof_counts AS (
+        SELECT lang AS plang, trigram, CAST(count(*) AS BIGINT) AS cnt
+        FROM tg GROUP BY 1, 2
+    ),
+    prof AS (
+        SELECT plang, trigram, cnt FROM (
+            SELECT *, row_number() OVER (
+                       PARTITION BY plang ORDER BY cnt DESC, trigram
+                   ) AS rank
+            FROM prof_counts
+        ) WHERE rank <= {TRIGRAM_TOP_K}
+    ),
+    tot AS (
+        SELECT plang, CAST(sum(cnt) AS BIGINT) AS tot FROM prof GROUP BY 1
+    ),
+    vocab AS (
+        SELECT CAST(count(DISTINCT trigram) AS BIGINT) AS v_size FROM prof
+    ),
+    lp AS (
+        SELECT p.plang, p.trigram,
+               CAST(ln(CAST(p.cnt + 1 AS DOUBLE)
+                       / CAST(t.tot + v.v_size AS DOUBLE))
+                    AS DECIMAL(18,9)) AS lp9
+        FROM prof p JOIN tot t USING (plang), vocab v
+    ),
+    oov AS (
+        SELECT t.plang,
+               CAST(ln(1.0 / CAST(t.tot + v.v_size AS DOUBLE))
+                    AS DECIMAL(18,9)) AS oov9
+        FROM tot t, vocab v
+    ),
+    dcnt AS (
+        SELECT doc_id, lang, trigram, CAST(count(*) AS BIGINT) AS cnt
+        FROM tg GROUP BY 1, 2, 3
+    ),
+    dtot AS (
+        SELECT doc_id, lang, CAST(sum(cnt) AS BIGINT) AS n_tri
+        FROM dcnt GROUP BY 1, 2
+    ),
+    matched AS (
+        SELECT d.doc_id, d.lang, l.plang,
+               sum(CAST(d.cnt AS DECIMAL(18,0)) * l.lp9) AS mlp,
+               CAST(sum(d.cnt) AS BIGINT) AS mcnt
+        FROM dcnt d JOIN lp l USING (trigram)
+        GROUP BY 1, 2, 3
+    ),
+    scored AS (
+        SELECT dt.doc_id, dt.lang, o.plang,
+               COALESCE(m.mlp, CAST(0 AS DECIMAL(18,9)))
+               + CAST(dt.n_tri - COALESCE(m.mcnt, 0) AS DECIMAL(18,0))
+                 * o.oov9 AS score
+        FROM dtot dt
+        CROSS JOIN oov o
+        LEFT JOIN matched m
+               ON m.doc_id = dt.doc_id AND m.lang = dt.lang
+              AND m.plang = o.plang
+    ),
+    pred AS (
+        SELECT doc_id, lang, plang AS lang_pred FROM (
+            SELECT *, row_number() OVER (
+                       PARTITION BY doc_id, lang
+                       ORDER BY score DESC, plang ASC
+                   ) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    ),
+    actual_tot AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_actual
+        FROM pred GROUP BY 1
+    )
+    SELECT p.lang AS lang_actual, p.lang_pred,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) AS DOUBLE) / CAST(any_value(a.n_actual) AS DOUBLE)
+               AS share
+    FROM pred p JOIN actual_tot a USING (lang)
+    GROUP BY 1, 2
+    ORDER BY lang_actual, lang_pred
+"""
+
+
+# ---------------------------------------------------------------------------
 # PII incidence by source -- the governance rollup above pii_redaction's
 # per-document scan: which SOURCES leak contact-like strings, at what
 # density?  This is the table a release review reads to decide
@@ -6244,6 +6603,7 @@ TEXT_ANALYSIS_QUERIES: list[tuple[str, object, str | None]] = [
         LANGID_MISMATCH_ORACLE,
     ),
     ("eval_decontam_funnel", eval_decontam_funnel, DECONTAM_FUNNEL_ORACLE),
+    ("nb_langid_confusion", nb_langid_confusion, NB_LANGID_ORACLE),
     (
         "char_trigram_lang_profile",
         char_trigram_lang_profile,
@@ -6252,6 +6612,7 @@ TEXT_ANALYSIS_QUERIES: list[tuple[str, object, str | None]] = [
     ("kn_continuation_probs", kn_continuation_probs, KN_CONTINUATION_ORACLE),
     ("tfidf_topk_terms", tfidf_topk_terms, TFIDF_TOPK_ORACLE),
     ("bm25_topk_docs", bm25_topk_docs, BM25_ORACLE),
+    ("rm3_expansion_terms", rm3_expansion_terms, RM3_ORACLE),
     ("dirichlet_ql_topk_docs", dirichlet_ql_topk_docs, DIRICHLET_QL_ORACLE),
     ("text_normalize", text_normalize, NORMALIZE_ORACLE),
     ("text_langid", text_langid, LANGID_ORACLE),

@@ -1501,3 +1501,102 @@ def test_mcnemar_consistent_with_kappa_cells(spark):
         d = abs(m.n10 - m.n01) - 1
         assert m.mcnemar_chi2 == float(d * d) / float(disc)
         assert m.asymmetric_disagreement == (m.mcnemar_chi2 > 3.841)
+
+
+def test_rm3_expansion_properties(spark):
+    """Expansion terms exclude the query term, ranks are dense from 1,
+    weights are positive, descending within a query, and every weight
+    is a convex-combination mass (<= 1)."""
+    from mapreduce_on_google_cloud_platform_spark.operators.text_analysis import (
+        RM3_EXP_TERMS,
+    )
+
+    rows = QUERIES["rm3_expansion_terms"](spark, SF_SMOKE).collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        assert r.exp_word != r.q_word
+        assert 0.0 < r.rm1_weight <= 1.0
+        assert 1 <= r.n_fb_docs
+        by_q.setdefault(r.q_word, []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.exp_rank)
+        assert [r.exp_rank for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= RM3_EXP_TERMS
+        for a, b in zip(rs, rs[1:]):
+            assert a.rm1_weight >= b.rm1_weight
+
+
+def test_nb_langid_confusion_matches_python(spark):
+    """Independent Python recompute of the truncated-profile NB
+    classifier (exact decimal scoring) and its confusion cells."""
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+    import math
+    import re
+
+    from mapreduce_on_google_cloud_platform_spark.operators.text_analysis import (
+        TRIGRAM_TOP_K,
+    )
+    from mapreduce_on_google_cloud_platform_spark.sources import load_table
+
+    def toks(text):
+        return [
+            t
+            for t in re.sub(r"[^0-9a-z]+", " ", text.lower()).split()
+            if t
+        ]
+
+    def sq9(x):
+        return Decimal(repr(x)).quantize(
+            Decimal("1e-9"), rounding=ROUND_HALF_UP
+        )
+
+    docs = [
+        (r.doc_id, r.lang, " ".join(toks(r.text)))
+        for r in load_table(spark, SF_SMOKE, "documents").collect()
+    ]
+    docs = [(i, l, s) for i, l, s in docs if len(s) >= 3]
+    prof_counts = {}
+    doc_tris = {}
+    for i, l, s in docs:
+        tris = [s[k : k + 3] for k in range(len(s) - 2)]
+        doc_tris[i] = (l, Counter(tris))
+        c = prof_counts.setdefault(l, Counter())
+        c.update(tris)
+    prof = {
+        l: dict(
+            sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:TRIGRAM_TOP_K]
+        )
+        for l, c in prof_counts.items()
+    }
+    vocab = {t for c in prof.values() for t in c}
+    V = len(vocab)
+    tot = {l: sum(c.values()) for l, c in prof.items()}
+    langs = sorted(prof)
+    pred_cells = Counter()
+    actual_tot = Counter()
+    for i, (l, tris) in doc_tris.items():
+        best = None
+        n_tri = sum(tris.values())
+        for pl in langs:
+            score = Decimal(0)
+            matched = 0
+            for t, c in tris.items():
+                if t in prof[pl]:
+                    score += c * sq9(
+                        math.log((prof[pl][t] + 1) / (tot[pl] + V))
+                    )
+                    matched += c
+            score += (n_tri - matched) * sq9(math.log(1.0 / (tot[pl] + V)))
+            key = (-score, pl)
+            if best is None or key < best:
+                best = key
+        pred_cells[(l, best[1])] += 1
+        actual_tot[l] += 1
+    got = QUERIES["nb_langid_confusion"](spark, SF_SMOKE).collect()
+    assert {
+        (r.lang_actual, r.lang_pred): r.n_docs for r in got
+    } == dict(pred_cells)
+    for r in got:
+        assert r.share == r.n_docs / actual_tot[r.lang_actual]
