@@ -4455,9 +4455,411 @@ PETTITT_ORACLE = """
 """
 
 
+# ---------------------------------------------------------------------------
+# sprt_conversion_monitor: Wald's sequential probability ratio test
+# (Wald 1945) on the daily purchase-conversion rate -- the sequential
+# A/B decision procedure beside the fixed-horizon tests (welch/
+# mann-whitney): after each day, accumulate the log-likelihood ratio
+# of H1: p = SPRT_P1 against H0: p = SPRT_P0 over that day's
+# (purchases x, trials n) binomial increment
+#
+#     llr += x ln(p1/p0) + (n - x) ln((1-p1)/(1-p0))
+#
+# and stop the first day llr exits (B, A), A = ln((1-beta)/alpha),
+# B = ln(beta/(1-alpha)).  NO engine ln() runs at query time: all four
+# log constants are PINNED DECIMAL(18,9) literals computed once at
+# import (the rbo_rank_overlap literal discipline), so the cumulative
+# llr is an exact decimal sum and the crossing day is an exact decimal
+# comparison -- bit-deterministic in both engines.  Post-crossing days
+# keep reporting the frozen decision (a monitor keeps emitting).
+#
+# Scale shape: one combinable daily aggregate, a calendar-bounded
+# cumulative window, two scalar crossing-day aggregates broadcast
+# back.  The streaming twin is trivially order-free (the increment map
+# is commutative per day) -- batch form declared here.
+# ---------------------------------------------------------------------------
+
+SPRT_P0 = 0.18
+SPRT_P1 = 0.22
+SPRT_ALPHA = 0.05
+SPRT_BETA = 0.05
+
+
+def _dec9(x: float) -> str:
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return str(
+        Decimal(repr(x)).quantize(Decimal("1e-9"), rounding=ROUND_HALF_UP)
+    )
+
+
+import math as _math  # noqa: E402  (module-level pinned-literal helper)
+
+# 9-decimal pins (not 15): scale-9 decimals survive BOTH engines'
+# decimal->double emission exactly (mantissa below 2^53), and no
+# rescale -- whose half-rule differs between the engines (measured:
+# Spark HALF_UP vs DuckDB truncation on negative scale-15 sums) --
+# ever runs.
+SPRT_L1 = _dec9(_math.log(SPRT_P1 / SPRT_P0))
+SPRT_L2 = _dec9(_math.log((1.0 - SPRT_P1) / (1.0 - SPRT_P0)))
+SPRT_A = _dec9(_math.log((1.0 - SPRT_BETA) / SPRT_ALPHA))
+SPRT_B = _dec9(_math.log(SPRT_BETA / (1.0 - SPRT_ALPHA)))
+
+
+def sprt_conversion_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_purchases"),
+    )
+    inc = (
+        F.col("n_purchases").cast("decimal(18,0)")
+        * F.lit(SPRT_L1).cast("decimal(18,9)")
+        + (F.col("n_events") - F.col("n_purchases")).cast("decimal(18,0)")
+        * F.lit(SPRT_L2).cast("decimal(18,9)")
+    )
+    wcum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    # calendar-bounded cumulative window (the kaplan_meier posture)
+    cum = daily.withColumn("llr15", F.sum(inc).over(wcum))
+    a15 = F.lit(SPRT_A).cast("decimal(18,9)")
+    b15 = F.lit(SPRT_B).cast("decimal(18,9)")
+    stops = cum.agg(
+        F.min(F.when(F.col("llr15") >= a15, F.col("day"))).alias("h1_day"),
+        F.min(F.when(F.col("llr15") <= b15, F.col("day"))).alias("h0_day"),
+    )
+    decided_h1 = F.col("h1_day").isNotNull() & (
+        F.col("h0_day").isNull() | (F.col("h1_day") <= F.col("h0_day"))
+    )
+    stop_day = F.when(decided_h1, F.col("h1_day")).otherwise(F.col("h0_day"))
+    return (
+        cum.crossJoin(F.broadcast(stops))
+        .select(
+            "day",
+            "n_events",
+            "n_purchases",
+            F.col("llr15").cast("double").alias("llr"),
+            F.when(
+                stop_day.isNull() | (F.col("day") < stop_day), "continue"
+            )
+            .when(decided_h1, "accept_h1")
+            .otherwise("accept_h0")
+            .alias("state"),
+        )
+        .orderBy("day")
+    )
+
+
+SPRT_ORACLE = f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_purchases
+        FROM events GROUP BY 1
+    ),
+    cum AS (
+        SELECT day, n_events, n_purchases,
+               sum(CAST(n_purchases AS DECIMAL(18,0))
+                       * CAST({SPRT_L1} AS DECIMAL(18,9))
+                   + CAST(n_events - n_purchases AS DECIMAL(18,0))
+                       * CAST({SPRT_L2} AS DECIMAL(18,9))) OVER (
+                   ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS llr15
+        FROM daily
+    ),
+    stops AS (
+        SELECT min(CASE WHEN llr15 >= CAST({SPRT_A} AS DECIMAL(18,9))
+                        THEN day END) AS h1_day,
+               min(CASE WHEN llr15 <= CAST({SPRT_B} AS DECIMAL(18,9))
+                        THEN day END) AS h0_day
+        FROM cum
+    )
+    SELECT day, n_events, n_purchases,
+           CAST(llr15 AS DOUBLE) AS llr,
+           CASE WHEN (CASE WHEN h1_day IS NOT NULL
+                            AND (h0_day IS NULL OR h1_day <= h0_day)
+                           THEN h1_day ELSE h0_day END) IS NULL
+                  OR day < (CASE WHEN h1_day IS NOT NULL
+                                  AND (h0_day IS NULL OR h1_day <= h0_day)
+                                 THEN h1_day ELSE h0_day END)
+                THEN 'continue'
+                WHEN h1_day IS NOT NULL
+                     AND (h0_day IS NULL OR h1_day <= h0_day)
+                THEN 'accept_h1'
+                ELSE 'accept_h0'
+           END AS state
+    FROM cum, stops
+    ORDER BY day
+"""
+
+
+# ---------------------------------------------------------------------------
+# neyman_allocation: optimal stratified-sample allocation (Neyman
+# 1934) -- the companion to stratified_quota_alloc's proportional
+# Hamilton split: sample slots go proportional to N_h * S_h (stratum
+# size x stratum standard deviation), which minimizes the variance of
+# the stratified mean under a fixed budget.  High-variance strata earn
+# more than their headcount; a zero-variance stratum needs (almost) no
+# sample at all.
+#
+# Determinism: S_h's variance numerator n*sum(x^2) - (sum x)^2 is an
+# exact DECIMAL(38,0); sqrt and the N_h * S_h product are
+# correctly-rounded IEEE ops over bit-identical operands; the weight
+# is then ROUNDED TO AN INTEGER (cents-scale) and the Hamilton
+# largest-remainder apportionment runs in pure integer/decimal
+# arithmetic exactly like stratified_quota_alloc (products ride
+# DECIMAL(38,0) because weight * budget exceeds int64).  Allocation
+# provably sums to the budget (pytest-pinned).  Strata with n < 2 get
+# weight 0 (no variance estimate), documented by the n_events column.
+# ---------------------------------------------------------------------------
+
+NEYMAN_BUDGET = 10000
+
+
+def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    DEC = "decimal(38,0)"
+    base = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    per = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.col("cents").cast(DEC)).alias("sx"),
+        F.sum(F.col("cents").cast(DEC) * F.col("cents").cast(DEC)).alias(
+            "sxx"
+        ),
+    )
+    n = F.col("n_events").cast(DEC)
+    var_num = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    var_den = (n * (n - 1)).cast("double")
+    sd = F.when(
+        F.col("n_events") >= 2, F.sqrt(var_num / var_den)
+    ).otherwise(F.lit(0.0))
+    weighted = per.select(
+        "event_type",
+        "n_events",
+        sd.alias("sd_cents"),
+        F.round(F.col("n_events").cast("double") * sd)
+        .cast(DEC)
+        .alias("w_int"),
+    )
+    tot = weighted.agg(F.sum("w_int").alias("w_total"))
+    alloc_base = weighted.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "n_events",
+        "sd_cents",
+        _checked_bigint(F.col("w_int"), "neyman weight").alias("weight_int"),
+        F.expr(
+            f"CAST((w_int * {NEYMAN_BUDGET}) div w_total AS BIGINT)"
+        ).alias("base_alloc"),
+        F.expr(
+            f"CAST((w_int * {NEYMAN_BUDGET}) % w_total AS DECIMAL(38,0))"
+        ).alias("remainder_num"),
+    )
+    leftover = alloc_base.agg(
+        (F.lit(NEYMAN_BUDGET) - F.sum("base_alloc")).cast("int").alias("leftover")
+    )
+    w = Window.orderBy(F.desc("remainder_num"), F.asc("event_type"))
+    return (
+        alloc_base.crossJoin(F.broadcast(leftover))
+        .withColumn("rk", F.row_number().over(w))
+        .select(
+            "event_type",
+            "n_events",
+            "sd_cents",
+            "weight_int",
+            "base_alloc",
+            _checked_bigint(F.col("remainder_num"), "neyman remainder").alias(
+                "remainder_num"
+            ),
+            (
+                F.col("base_alloc")
+                + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("alloc"),
+        )
+        .orderBy("event_type")
+    )
+
+
+NEYMAN_ORACLE = f"""
+    WITH base AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    per AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               sum(CAST(cents AS DECIMAL(38,0))) AS sx,
+               sum(CAST(cents AS DECIMAL(38,0))
+                   * CAST(cents AS DECIMAL(38,0))) AS sxx
+        FROM base GROUP BY 1
+    ),
+    weighted AS (
+        SELECT event_type, n_events,
+               CASE WHEN n_events >= 2
+                    THEN sqrt(CAST(CAST(n_events AS DECIMAL(38,0)) * sxx
+                                   - sx * sx AS DOUBLE)
+                              / CAST(CAST(n_events AS DECIMAL(38,0))
+                                     * (CAST(n_events AS DECIMAL(38,0)) - 1)
+                                     AS DOUBLE))
+                    ELSE 0.0 END AS sd_cents
+        FROM per
+    ),
+    wint AS (
+        SELECT event_type, n_events, sd_cents,
+               CAST(round(CAST(n_events AS DOUBLE) * sd_cents)
+                    AS HUGEINT) AS w_int
+        FROM weighted
+    ),
+    tot AS (SELECT CAST(sum(w_int) AS HUGEINT) AS w_total FROM wint),
+    alloc_base AS (
+        -- HUGEINT, not DECIMAL: DuckDB's DECIMAL // is a double
+        -- division (measured off-by-one vs floor); int128 // truncates
+        SELECT event_type, n_events, sd_cents,
+               CAST(w_int AS BIGINT) AS weight_int,
+               CAST((w_int * {NEYMAN_BUDGET}) // w_total AS BIGINT)
+                   AS base_alloc,
+               CAST((w_int * {NEYMAN_BUDGET}) % w_total AS BIGINT)
+                   AS remainder_num
+        FROM wint CROSS JOIN tot
+    ),
+    leftover AS (
+        SELECT CAST({NEYMAN_BUDGET} - sum(base_alloc) AS INTEGER) AS leftover
+        FROM alloc_base
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+                   ORDER BY remainder_num DESC, event_type) AS rk
+        FROM alloc_base CROSS JOIN leftover
+    )
+    SELECT event_type, n_events, sd_cents, weight_int, base_alloc,
+           CAST(remainder_num AS BIGINT) AS remainder_num,
+           CAST(base_alloc + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc
+    FROM ranked
+    ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# benjamini_hochberg_fdr: multiple-testing control over the per-type
+# changepoint battery (Benjamini & Hochberg 1995).  Running the
+# Pettitt test on every event type is m simultaneous hypotheses; at
+# alpha = BH_Q this emits the step-up decision set: rank the p-values
+# ascending, find the largest i with p_(i) <= q*i/m, reject ranks
+# <= i.  This is the report a monitoring dashboard should show instead
+# of m independent 0.05 gates -- the repo's own battery discipline
+# applied to itself.
+#
+# Determinism: the input p-values are the pettitt round(.,9) doubles
+# (deterministic by construction); the rank is (p asc, type asc); the
+# threshold comparison is one IEEE chain per row.  Degenerate one-day
+# types carry NULL p and are excluded from m (emitted with NULL
+# verdict).  Everything runs over the |event types|-bounded battery
+# table.
+# ---------------------------------------------------------------------------
+
+BH_Q = 0.10
+
+
+def benjamini_hochberg_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pett = pettitt_changepoint_test(spark, sf_dir).select(
+        "event_type", F.col("p_approx").alias("p_value")
+    )
+    m = pett.agg(
+        F.count("p_value").cast("bigint").alias("m_tests")
+    )
+    wr = Window.orderBy(F.asc_nulls_last("p_value"), F.asc("event_type"))
+    ranked = (
+        pett.crossJoin(F.broadcast(m))
+        .withColumn(
+            "p_rank",
+            F.when(
+                F.col("p_value").isNotNull(),
+                F.row_number().over(wr).cast("bigint"),
+            ),
+        )
+        .withColumn(
+            "bh_threshold",
+            F.when(
+                F.col("p_value").isNotNull(),
+                F.lit(BH_Q)
+                * F.col("p_rank").cast("double")
+                / F.col("m_tests").cast("double"),
+            ),
+        )
+    )
+    kmax = ranked.agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("p_value") <= F.col("bh_threshold"),
+                    F.col("p_rank"),
+                )
+            ),
+            F.lit(0).cast("bigint"),
+        ).alias("k_max")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(kmax))
+        .select(
+            "event_type",
+            "p_value",
+            "p_rank",
+            "m_tests",
+            "bh_threshold",
+            F.when(
+                F.col("p_value").isNotNull(), F.col("p_rank") <= F.col("k_max")
+            ).alias("rejected"),
+        )
+        .orderBy("event_type")
+    )
+
+
+BH_FDR_ORACLE = f"""
+    WITH pett AS ({PETTITT_ORACLE}),
+    pv AS (SELECT event_type, p_approx AS p_value FROM pett),
+    m AS (SELECT CAST(count(p_value) AS BIGINT) AS m_tests FROM pv),
+    ranked AS (
+        SELECT event_type, p_value, m_tests,
+               CASE WHEN p_value IS NOT NULL THEN
+                   CAST(row_number() OVER (
+                       ORDER BY p_value ASC NULLS LAST, event_type ASC
+                   ) AS BIGINT)
+               END AS p_rank
+        FROM pv CROSS JOIN m
+    ),
+    thr AS (
+        SELECT *,
+               CASE WHEN p_value IS NOT NULL THEN
+                   {BH_Q} * CAST(p_rank AS DOUBLE) / CAST(m_tests AS DOUBLE)
+               END AS bh_threshold
+        FROM ranked
+    ),
+    kmax AS (
+        SELECT COALESCE(max(CASE WHEN p_value <= bh_threshold
+                                 THEN p_rank END), 0) AS k_max
+        FROM thr
+    )
+    SELECT event_type, p_value, p_rank, m_tests, bh_threshold,
+           CASE WHEN p_value IS NOT NULL THEN p_rank <= k_max END AS rejected
+    FROM thr CROSS JOIN kmax
+    ORDER BY event_type
+"""
+
+
 STATISTICS_QUERIES: list[tuple[str, object, str | None]] = [
     ("kmv_distinct_profile", kmv_distinct_profile, KMV_ORACLE),
     ("pettitt_changepoint_test", pettitt_changepoint_test, PETTITT_ORACLE),
+    ("sprt_conversion_monitor", sprt_conversion_monitor, SPRT_ORACLE),
+    ("neyman_allocation", neyman_allocation, NEYMAN_ORACLE),
+    ("benjamini_hochberg_fdr", benjamini_hochberg_fdr, BH_FDR_ORACLE),
     ("bloom_fpr_audit", bloom_fpr_audit, BLOOM_FPR_ORACLE),
     ("spearman_daily_corr", spearman_daily_corr, SPEARMAN_ORACLE),
     ("kendall_tau_daily", kendall_tau_daily, KENDALL_ORACLE),

@@ -1187,3 +1187,98 @@ def test_pettitt_matches_bruteforce(spark):
                 best_k, best_day = abs(u), pts[ti][0]
         assert g.k_stat == best_k
         assert g.change_day == best_day
+
+
+def test_sprt_monitor_matches_python(spark):
+    """Exact decimal recompute of the cumulative LLR and the frozen
+    decision stream."""
+    from decimal import Decimal
+
+    from mapreduce_on_google_cloud_platform_spark.operators.statistics import (
+        SPRT_A,
+        SPRT_B,
+        SPRT_L1,
+        SPRT_L2,
+    )
+    from mapreduce_on_google_cloud_platform_spark.sources import load_table
+
+    daily = {}
+    for r in load_table(spark, SF_SMOKE, "events").collect():
+        d = r.ts.date()
+        n, x = daily.get(d, (0, 0))
+        daily[d] = (n + 1, x + (1 if r.event_type == "purchase" else 0))
+    l1, l2 = Decimal(SPRT_L1), Decimal(SPRT_L2)
+    a, b = Decimal(SPRT_A), Decimal(SPRT_B)
+    llr = Decimal(0)
+    expect = []
+    h1_day = h0_day = None
+    llrs = {}
+    for d in sorted(daily):
+        n, x = daily[d]
+        llr += x * l1 + (n - x) * l2
+        llrs[d] = llr
+        if llr >= a and h1_day is None:
+            h1_day = d
+        if llr <= b and h0_day is None:
+            h0_day = d
+    if h1_day is not None and (h0_day is None or h1_day <= h0_day):
+        stop, verdict = h1_day, "accept_h1"
+    elif h0_day is not None:
+        stop, verdict = h0_day, "accept_h0"
+    else:
+        stop, verdict = None, None
+    rows = sorted(
+        QUERIES["sprt_conversion_monitor"](spark, SF_SMOKE).collect(),
+        key=lambda r: r.day,
+    )
+    assert [r.day for r in rows] == sorted(daily)
+    for r in rows:
+        n, x = daily[r.day]
+        assert (r.n_events, r.n_purchases) == (n, x)
+        assert r.llr == float(llrs[r.day])
+        if stop is None or r.day < stop:
+            assert r.state == "continue"
+        else:
+            assert r.state == verdict
+
+
+def test_neyman_allocation_sums_to_budget(spark):
+    from mapreduce_on_google_cloud_platform_spark.operators.statistics import (
+        NEYMAN_BUDGET,
+    )
+
+    rows = QUERIES["neyman_allocation"](spark, SF_SMOKE).collect()
+    assert sum(r.alloc for r in rows) == NEYMAN_BUDGET
+    for r in rows:
+        assert r.alloc >= 0
+        assert r.sd_cents >= 0.0
+    # Neyman dominance: weight ordering implies allocation ordering
+    # (up to the single largest-remainder seat)
+    by_w = sorted(rows, key=lambda r: r.weight_int)
+    for a, b in zip(by_w, by_w[1:]):
+        assert a.alloc <= b.alloc + 1
+
+
+def test_bh_fdr_step_up_property(spark):
+    """The rejected set is exactly ranks <= k* where k* is the largest
+    rank whose p-value clears its own threshold; thresholds are
+    monotone in rank."""
+    from mapreduce_on_google_cloud_platform_spark.operators.statistics import (
+        BH_Q,
+    )
+
+    rows = QUERIES["benjamini_hochberg_fdr"](spark, SF_SMOKE).collect()
+    scored = [r for r in rows if r.p_value is not None]
+    m = scored[0].m_tests if scored else 0
+    assert all(r.m_tests == m for r in rows)
+    assert sorted(r.p_rank for r in scored) == list(range(1, len(scored) + 1))
+    kstar = max(
+        (r.p_rank for r in scored if r.p_value <= BH_Q * r.p_rank / m),
+        default=0,
+    )
+    for r in scored:
+        assert r.bh_threshold == BH_Q * r.p_rank / m
+        assert r.rejected == (r.p_rank <= kstar)
+    for r in rows:
+        if r.p_value is None:
+            assert r.rejected is None and r.p_rank is None
