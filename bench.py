@@ -327,6 +327,21 @@ HEADLINE = [
     # round-12 batch 8: intermittent-demand forecast, data valuation
     "croston_demand_forecast",
     "source_loo_influence",
+    # round-12 batch 9: sketch/filter audits, graph partition quality
+    "kmv_distinct_profile",
+    "bloom_fpr_audit",
+    "graph_modularity_lpa",
+    "graph_degree_assortativity",
+    # round-12 batch 10: survival, changepoint battery + FDR control,
+    # sequential testing, variance-optimal sampling
+    "kaplan_meier_repurchase",
+    "pettitt_changepoint_test",
+    "benjamini_hochberg_fdr",
+    "sprt_conversion_monitor",
+    "neyman_allocation",
+    # round-12 batch 11: feedback expansion, statistical language ID
+    "rm3_expansion_terms",
+    "nb_langid_confusion",
     # dedup_method_eval re-runs five declared pipelines; its components
     # are each benched above, so it is left out of the headline suite
 ]

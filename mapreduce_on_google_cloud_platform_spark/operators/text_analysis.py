@@ -269,6 +269,212 @@ def _kappa_oracle() -> str:
 
 
 # ---------------------------------------------------------------------------
+# cochran_q_test: Cochran's Q (1950) across the THREE document gates
+# (C4 heuristics, composite quality >= T, char-entropy) -- the k-gate
+# generalization of mcnemar_gate_test's pairwise symmetry check: do
+# the gates pass systematically different fractions of the SAME
+# documents?  Matched binary design: per doc the row sum r_i in 0..3,
+# per gate the column total C_j,
+#
+#     Q = (k-1) * (k * sum_j C_j^2 - T^2) / (k*T - sum_i r_i^2)
+#
+# chi-square(k-1) under exchangeability.  Everything to the final
+# division is exact integers (the kappa/mcnemar cell discipline);
+# significance uses the pinned chi-square critical at df = 2.  The
+# degenerate regime (every doc passes all gates or none -- denominator
+# 0) is an explicit NULL.  Universe and entropy-null handling mirror
+# quality_gate_stack: c4 INNER JOIN quality, entropy LEFT with
+# COALESCE false.
+# ---------------------------------------------------------------------------
+
+COCHRAN_K = 3
+COCHRAN_CHI2_CRIT = 5.991  # CHI2_CRIT_95[k-1], pinned (statistics.py table)
+
+
+def cochran_q_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = c4_style_filter(spark, sf_dir).select("doc_id", F.col("keep").alias("g1"))
+    b = text_quality_score(spark, sf_dir).select(
+        "doc_id", (F.col("quality") >= KAPPA_QUALITY_T).alias("g2")
+    )
+    c = text_char_entropy(spark, sf_dir).select(
+        "doc_id", (~F.col("low_entropy")).alias("g3")
+    )
+    rows = (
+        a.join(b, "doc_id")
+        .join(c, "doc_id", "left")
+        .select(
+            F.col("g1").cast("int").alias("x1"),
+            F.col("g2").cast("int").alias("x2"),
+            F.coalesce(F.col("g3"), F.lit(True)).cast("int").alias("x3"),
+        )
+    )
+    agg = rows.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("x1").cast("bigint").alias("c1"),
+        F.sum("x2").cast("bigint").alias("c2"),
+        F.sum("x3").cast("bigint").alias("c3"),
+        F.sum(
+            (F.col("x1") + F.col("x2") + F.col("x3"))
+            * (F.col("x1") + F.col("x2") + F.col("x3"))
+        )
+        .cast("bigint")
+        .alias("sum_r2"),
+    )
+    t = F.col("c1") + F.col("c2") + F.col("c3")
+    num = F.lit(COCHRAN_K - 1) * (
+        F.lit(COCHRAN_K)
+        * (
+            F.col("c1") * F.col("c1")
+            + F.col("c2") * F.col("c2")
+            + F.col("c3") * F.col("c3")
+        )
+        - t * t
+    )
+    den = F.lit(COCHRAN_K) * t - F.col("sum_r2")
+    q = F.when(den > 0, num.cast("double") / den.cast("double"))
+    return agg.select(
+        "n_docs",
+        F.col("c1").alias("pass_c4"),
+        F.col("c2").alias("pass_quality"),
+        F.col("c3").alias("pass_entropy"),
+        "sum_r2",
+        q.alias("q_stat"),
+        F.when(den > 0, q > COCHRAN_CHI2_CRIT).alias("significant"),
+    )
+
+
+COCHRAN_Q_ORACLE = f"""
+    WITH rows_g AS (
+        SELECT CASE WHEN a.keep THEN 1 ELSE 0 END AS x1,
+               CASE WHEN q.quality >= {KAPPA_QUALITY_T} THEN 1 ELSE 0 END
+                   AS x2,
+               CASE WHEN COALESCE(NOT e.low_entropy, TRUE) THEN 1 ELSE 0 END
+                   AS x3
+        FROM ({{c4}}) a
+        JOIN ({{q}}) q USING (doc_id)
+        LEFT JOIN ({{ent}}) e USING (doc_id)
+    ),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(x1) AS BIGINT) AS c1,
+               CAST(sum(x2) AS BIGINT) AS c2,
+               CAST(sum(x3) AS BIGINT) AS c3,
+               CAST(sum((x1 + x2 + x3) * (x1 + x2 + x3)) AS BIGINT)
+                   AS sum_r2
+        FROM rows_g
+    )
+    SELECT n_docs, c1 AS pass_c4, c2 AS pass_quality, c3 AS pass_entropy,
+           sum_r2,
+           CASE WHEN {COCHRAN_K} * (c1 + c2 + c3) - sum_r2 > 0 THEN
+               CAST({COCHRAN_K - 1} * ({COCHRAN_K} * (c1*c1 + c2*c2 + c3*c3)
+                    - (c1 + c2 + c3) * (c1 + c2 + c3)) AS DOUBLE)
+               / CAST({COCHRAN_K} * (c1 + c2 + c3) - sum_r2 AS DOUBLE)
+           END AS q_stat,
+           CASE WHEN {COCHRAN_K} * (c1 + c2 + c3) - sum_r2 > 0 THEN
+               CAST({COCHRAN_K - 1} * ({COCHRAN_K} * (c1*c1 + c2*c2 + c3*c3)
+                    - (c1 + c2 + c3) * (c1 + c2 + c3)) AS DOUBLE)
+               / CAST({COCHRAN_K} * (c1 + c2 + c3) - sum_r2 AS DOUBLE)
+               > {COCHRAN_CHI2_CRIT}
+           END AS significant
+    FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# good_turing_smoothing: Good-Turing frequency-of-frequencies table
+# (Good 1953) over the corpus vocabulary -- the classical unseen-mass
+# estimator under kn_continuation_probs: N_r = #word types seen exactly
+# r times, adjusted count r* = (r+1) N_{r+1} / N_r, and the
+# probability mass the corpus reserves for UNSEEN types is N_1 / N
+# (the number every open-vocabulary LM smoothing scheme starts from).
+# Emitted for the low-frequency head r <= GT_MAX_R where the estimator
+# is meaningful (sparse high-r counts make raw GT noisy -- the reason
+# Katz backs off to raw counts there, documented not ported).
+#
+# Everything is exact integers (type counts, frequency-of-frequencies,
+# token total) with two final double divisions per row.  Scale shape:
+# word counts are the wordcount shuffle; N_r reduces the VOCABULARY
+# (type-bounded) to <= GT_MAX_R + 1 rows; the N_{r+1} lookup is a
+# self-join on the tiny table.
+# ---------------------------------------------------------------------------
+
+GT_MAX_R = 10
+
+
+def good_turing_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_df(docs)
+    wc = toks.groupBy("word").agg(F.count(F.lit(1)).cast("bigint").alias("r"))
+    totals = wc.agg(
+        F.sum("r").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+    )
+    nr = (
+        wc.where(F.col("r") <= GT_MAX_R + 1)
+        .groupBy("r")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_types_r"))
+    )
+    nxt = nr.select(
+        (F.col("r") - 1).alias("r"), F.col("n_types_r").alias("n_types_r1")
+    )
+    return (
+        nr.where(F.col("r") <= GT_MAX_R)
+        .join(nxt, "r", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "r",
+            "n_types_r",
+            F.coalesce(F.col("n_types_r1"), F.lit(0))
+            .cast("bigint")
+            .alias("n_types_r_plus_1"),
+            (
+                (F.col("r") + 1).cast("double")
+                * F.coalesce(F.col("n_types_r1"), F.lit(0)).cast("double")
+                / F.col("n_types_r").cast("double")
+            ).alias("r_star"),
+            "n_tokens",
+            "n_types",
+            (
+                F.col("n_types_r").cast("double")
+                * F.col("r").cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("raw_mass"),
+        )
+        .orderBy("r")
+    )
+
+
+GOOD_TURING_ORACLE = f"""
+    WITH {DUCKDB_TOKS_CTE},
+    tok AS (SELECT doc_id, unnest(ts) AS word FROM toks),
+    wc AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS r FROM tok GROUP BY 1
+    ),
+    totals AS (
+        SELECT CAST(sum(r) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_types
+        FROM wc
+    ),
+    nr AS (
+        SELECT r, CAST(count(*) AS BIGINT) AS n_types_r
+        FROM wc WHERE r <= {GT_MAX_R + 1} GROUP BY 1
+    )
+    SELECT a.r, a.n_types_r,
+           CAST(COALESCE(b.n_types_r, 0) AS BIGINT) AS n_types_r_plus_1,
+           CAST(a.r + 1 AS DOUBLE) * CAST(COALESCE(b.n_types_r, 0) AS DOUBLE)
+               / CAST(a.n_types_r AS DOUBLE) AS r_star,
+           t.n_tokens, t.n_types,
+           CAST(a.n_types_r AS DOUBLE) * CAST(a.r AS DOUBLE)
+               / CAST(t.n_tokens AS DOUBLE) AS raw_mass
+    FROM nr a
+    LEFT JOIN nr b ON b.r = a.r + 1
+    CROSS JOIN totals t
+    WHERE a.r <= {GT_MAX_R}
+    ORDER BY a.r
+"""
+
+
+# ---------------------------------------------------------------------------
 # Source-relative quality normalization -- the within-source percentile
 # rank of the quality score.  Absolute-threshold gates (quality_gate_*,
 # source_quality_decision) let a uniformly-high-scoring source crowd out
@@ -3781,6 +3987,9 @@ def _c4_oracle() -> str:
 C4_FILTER_ORACLE = _c4_oracle()
 
 KAPPA_ORACLE = _kappa_oracle().format(c4=C4_FILTER_ORACLE, q=QUALITY_ORACLE)
+COCHRAN_Q_ORACLE = COCHRAN_Q_ORACLE.format(
+    c4=C4_FILTER_ORACLE, q=QUALITY_ORACLE, ent=CHAR_ENTROPY_ORACLE
+)
 
 
 # ---------------------------------------------------------------------------
@@ -6604,6 +6813,8 @@ TEXT_ANALYSIS_QUERIES: list[tuple[str, object, str | None]] = [
     ),
     ("eval_decontam_funnel", eval_decontam_funnel, DECONTAM_FUNNEL_ORACLE),
     ("nb_langid_confusion", nb_langid_confusion, NB_LANGID_ORACLE),
+    ("cochran_q_test", cochran_q_test, COCHRAN_Q_ORACLE),
+    ("good_turing_smoothing", good_turing_smoothing, GOOD_TURING_ORACLE),
     (
         "char_trigram_lang_profile",
         char_trigram_lang_profile,

@@ -1600,3 +1600,85 @@ def test_nb_langid_confusion_matches_python(spark):
     } == dict(pred_cells)
     for r in got:
         assert r.share == r.n_docs / actual_tot[r.lang_actual]
+
+
+def test_cochran_q_matches_python(spark):
+    """Exact recompute of the 3-gate matched design from the three
+    component queries."""
+    from mapreduce_on_google_cloud_platform_spark.operators.text_analysis import (
+        COCHRAN_CHI2_CRIT,
+        COCHRAN_K,
+        KAPPA_QUALITY_T,
+    )
+
+    keep = {
+        r.doc_id: r.keep
+        for r in QUERIES["c4_style_filter"](spark, SF_SMOKE).collect()
+    }
+    qual = {
+        r.doc_id: r.quality >= KAPPA_QUALITY_T
+        for r in QUERIES["text_quality_score"](spark, SF_SMOKE).collect()
+    }
+    ent = {
+        r.doc_id: not r.low_entropy
+        for r in QUERIES["text_char_entropy"](spark, SF_SMOKE).collect()
+    }
+    ids = sorted(set(keep) & set(qual))
+    x = [
+        (int(keep[i]), int(qual[i]), int(ent.get(i, True))) for i in ids
+    ]
+    c = [sum(col) for col in zip(*x)]
+    t = sum(c)
+    sum_r2 = sum((a + b + d) ** 2 for a, b, d in x)
+    row = QUERIES["cochran_q_test"](spark, SF_SMOKE).collect()[0]
+    assert row.n_docs == len(ids)
+    assert (row.pass_c4, row.pass_quality, row.pass_entropy) == tuple(c)
+    assert row.sum_r2 == sum_r2
+    den = COCHRAN_K * t - sum_r2
+    if den > 0:
+        q = (
+            (COCHRAN_K - 1)
+            * (COCHRAN_K * sum(ci * ci for ci in c) - t * t)
+            / den
+        )
+        assert row.q_stat == q
+        assert row.significant == (q > COCHRAN_CHI2_CRIT)
+    else:
+        assert row.q_stat is None
+
+
+def test_good_turing_identities(spark):
+    """GT table reconciles: sum over ALL r of r*N_r equals the token
+    count; r* is (r+1)N_{r+1}/N_r; the r=1 row carries the unseen
+    mass."""
+    import re
+    from collections import Counter
+
+    from mapreduce_on_google_cloud_platform_spark.operators.text_analysis import (
+        GT_MAX_R,
+    )
+    from mapreduce_on_google_cloud_platform_spark.sources import load_table
+
+    wc = Counter()
+    for r in load_table(spark, SF_SMOKE, "documents").collect():
+        wc.update(
+            t
+            for t in re.sub(r"[^0-9a-z]+", " ", r.text.lower()).split()
+            if t
+        )
+    freq = Counter(wc.values())
+    n_tokens = sum(wc.values())
+    rows = sorted(
+        QUERIES["good_turing_smoothing"](spark, SF_SMOKE).collect(),
+        key=lambda r: r.r,
+    )
+    assert [r.r for r in rows] == sorted(
+        r for r in freq if r <= GT_MAX_R
+    )
+    for row in rows:
+        assert row.n_types_r == freq[row.r]
+        assert row.n_types_r_plus_1 == freq.get(row.r + 1, 0)
+        assert row.r_star == (row.r + 1) * freq.get(row.r + 1, 0) / freq[row.r]
+        assert row.n_tokens == n_tokens
+        assert row.n_types == len(wc)
+        assert row.raw_mass == freq[row.r] * row.r / n_tokens
