@@ -342,6 +342,12 @@ HEADLINE = [
     # round-12 batch 11: feedback expansion, statistical language ID
     "rm3_expansion_terms",
     "nb_langid_confusion",
+    # round-12 batch 12: gate homogeneity, LM smoothing table, robust
+    # location, blocked rank test
+    "cochran_q_test",
+    "good_turing_smoothing",
+    "hodges_lehmann_center",
+    "friedman_test",
     # dedup_method_eval re-runs five declared pipelines; its components
     # are each benched above, so it is left out of the headline suite
 ]

@@ -4854,8 +4854,261 @@ BH_FDR_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# hodges_lehmann_center: the Hodges-Lehmann pseudo-median (1963) of
+# each type's daily totals -- the location estimator dual to the
+# Wilcoxon test, sitting between the mean (daily_value_anomalies'
+# z-scores; 0% breakdown) and the median (daily_value_mad_outliers;
+# 29% efficiency loss at the normal): median of all Walsh averages
+# (x_i + x_j)/2, i <= j.  Exact-integer form: Walsh DOUBLES w = x_i +
+# x_j over the calendar-bounded day-pair join (the mann_kendall
+# posture), the median of the w-multiset via combinable (type, w)
+# counts + a lattice-bounded cumulative window (the doubled-median
+# discipline: lo/hi order statistics, hl = (lo + hi)/4), so the only
+# float is the final division by 4.
+# ---------------------------------------------------------------------------
+
+
+def hodges_lehmann_center(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents").cast("bigint").alias("x"))
+    )
+    a = daily.select("event_type", F.col("day").alias("da"), F.col("x").alias("xa"))
+    b = daily.select("event_type", F.col("day").alias("db"), F.col("x").alias("xb"))
+    walsh = (
+        a.join(b, "event_type")
+        .where(F.col("da") <= F.col("db"))
+        .select("event_type", (F.col("xa") + F.col("xb")).alias("w"))
+    )
+    wcnt = walsh.groupBy("event_type", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("w")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = wcnt.withColumn("cum", F.sum("cnt").over(wcum))
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days")
+    )
+    np_ = (F.col("n_days") * (F.col("n_days") + 1) / 2).cast("bigint")
+    med = (
+        cum.join(stats, "event_type")
+        .withColumn("n_pairs", np_)
+        .groupBy("event_type", "n_days", "n_pairs")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cum") >= F.expr("(n_pairs + 1) div 2"), F.col("w")
+                )
+            ).alias("w_lo"),
+            F.min(
+                F.when(
+                    F.col("cum") >= F.expr("n_pairs div 2 + 1"), F.col("w")
+                )
+            ).alias("w_hi"),
+        )
+    )
+    return med.select(
+        "event_type",
+        "n_days",
+        "n_pairs",
+        (
+            (F.col("w_lo") + F.col("w_hi")).cast("double") / F.lit(4.0)
+        ).alias("hl_center_cents"),
+    ).orderBy("event_type")
+
+
+# integer halves: (n+1)/2 and n/2 + 1 must be FLOOR divisions
+HODGES_LEHMANN_ORACLE = """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+        FROM events
+        GROUP BY 1, 2
+    ),
+    walsh AS (
+        SELECT a.event_type, a.x + b.x AS w
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.day <= b.day
+    ),
+    wcnt AS (
+        SELECT event_type, w, CAST(count(*) AS BIGINT) AS cnt
+        FROM walsh GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT event_type, w,
+               CAST(sum(cnt) OVER (
+                   PARTITION BY event_type ORDER BY w
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum
+        FROM wcnt
+    ),
+    stats AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+               CAST(count(*) * (count(*) + 1) // 2 AS BIGINT) AS n_pairs
+        FROM daily GROUP BY 1
+    )
+    SELECT s.event_type, s.n_days, s.n_pairs,
+           CAST(min(CASE WHEN c.cum >= (s.n_pairs + 1) // 2 THEN c.w END)
+                + min(CASE WHEN c.cum >= s.n_pairs // 2 + 1 THEN c.w END)
+                AS DOUBLE) / 4.0 AS hl_center_cents
+    FROM cum c JOIN stats s USING (event_type)
+    GROUP BY s.event_type, s.n_days, s.n_pairs
+    ORDER BY s.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# friedman_test: Friedman's rank test (1937) for the blocked design
+# the unblocked tests can't see -- days are BLOCKS, event types are
+# TREATMENTS: within each complete day, rank the k types' daily
+# totals; systematic rank differences across days mean the types'
+# levels differ even when day-to-day swings dwarf the between-type
+# gaps (exactly where kruskal_wallis_h_test loses power).  Doubled
+# midranks m2 = 2*rank + ties - 1 (the spearman/kruskal lattice
+# identity) clear every rational:
+#
+#     Q = (k-1) * sum_j (S_j - n(k+1))^2 / (sum_ij m2^2 - n k (k+1)^2)
+#
+# with S_j the doubled rank sum -- the tie-corrected Friedman
+# statistic in PURE INTEGERS to one final division, chi-square(k-1)
+# against the pinned critical table.  Incomplete days (a type with no
+# events) are excluded -- the standard complete-block requirement,
+# emitted as n_complete_days.  The rank window partitions by DAY
+# (k-bounded partitions, never corpus-bounded).  The all-tied
+# degenerate (denominator 0) is an explicit NULL.
+# ---------------------------------------------------------------------------
+
+
+def friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents").cast("bigint").alias("x"))
+    )
+    k = daily.select("event_type").distinct().count()
+    counts = daily.groupBy("day").agg(F.count(F.lit(1)).alias("n_types"))
+    complete = counts.where(F.col("n_types") == k).select("day")
+    blocks = daily.join(complete, "day")
+    w_r = Window.partitionBy("day").orderBy("x")
+    w_t = Window.partitionBy("day", "x")
+    m2 = blocks.select(
+        "event_type",
+        "day",
+        (
+            2 * F.rank().over(w_r).cast("bigint")
+            + F.count(F.lit(1)).over(w_t).cast("bigint")
+            - 1
+        ).alias("m2"),
+    )
+    per_type = m2.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_complete_days"),
+        F.sum("m2").cast("bigint").alias("rank_sum2"),
+        F.sum(F.col("m2") * F.col("m2")).cast("bigint").alias("_sq"),
+    )
+    glob = per_type.agg(
+        F.sum("_sq").cast("bigint").alias("sum_m2_sq"),
+        F.max("n_complete_days").cast("bigint").alias("n_blocks"),
+        F.sum(
+            (F.col("rank_sum2") - F.col("n_complete_days") * (k + 1))
+            * (F.col("rank_sum2") - F.col("n_complete_days") * (k + 1))
+        )
+        .cast("bigint")
+        .alias("num_sq"),
+    )
+    den = F.col("sum_m2_sq") - F.col("n_blocks") * k * (k + 1) * (k + 1)
+    q = F.when(
+        den > 0,
+        F.lit(float(k - 1)) * F.col("num_sq").cast("double") / den.cast("double"),
+    )
+    crit = CHI2_CRIT_95.get(k - 1)
+    return (
+        per_type.crossJoin(F.broadcast(glob))
+        .select(
+            "event_type",
+            "n_complete_days",
+            "rank_sum2",
+            q.alias("q_stat"),
+            F.when(den > 0, q > F.lit(crit)).alias("significant")
+            if crit is not None
+            else F.lit(None).cast("boolean").alias("significant"),
+        )
+        .orderBy("event_type")
+    )
+
+
+FRIEDMAN_ORACLE = f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+        FROM events
+        GROUP BY 1, 2
+    ),
+    kv AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS k FROM daily),
+    complete AS (
+        SELECT day FROM daily GROUP BY day
+        HAVING count(*) = (SELECT k FROM kv)
+    ),
+    m2 AS (
+        SELECT d.event_type, d.day,
+               CAST(2 * rank() OVER (PARTITION BY d.day ORDER BY d.x)
+                    + count(*) OVER (PARTITION BY d.day, d.x)
+                    - 1 AS BIGINT) AS m2
+        FROM daily d JOIN complete USING (day)
+    ),
+    per_type AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_complete_days,
+               CAST(sum(m2) AS BIGINT) AS rank_sum2,
+               CAST(sum(m2 * m2) AS BIGINT) AS sq
+        FROM m2 GROUP BY 1
+    ),
+    gstats AS (
+        SELECT CAST(sum(p.sq) AS BIGINT) AS sum_m2_sq,
+               CAST(max(p.n_complete_days) AS BIGINT) AS n_blocks,
+               CAST(sum((p.rank_sum2 - p.n_complete_days * (kv.k + 1))
+                        * (p.rank_sum2 - p.n_complete_days * (kv.k + 1)))
+                    AS BIGINT) AS num_sq,
+               CAST(any_value(kv.k) AS BIGINT) AS k
+        FROM per_type p, kv
+    ),
+    verdict AS (
+        SELECT *,
+               CASE WHEN sum_m2_sq - n_blocks * k * (k + 1) * (k + 1) > 0
+                    THEN CAST(k - 1 AS DOUBLE) * CAST(num_sq AS DOUBLE)
+                         / CAST(sum_m2_sq - n_blocks * k * (k + 1) * (k + 1)
+                                AS DOUBLE)
+               END AS q_stat,
+               CAST(k - 1 AS BIGINT) AS df
+        FROM gstats
+    )
+    SELECT p.event_type, p.n_complete_days, p.rank_sum2, v.q_stat,
+           CASE WHEN v.q_stat IS NOT NULL
+                THEN v.q_stat > ({_KW_CRIT_CASE})
+           END AS significant
+    FROM per_type p, verdict v
+    ORDER BY p.event_type
+"""
+
+
 STATISTICS_QUERIES: list[tuple[str, object, str | None]] = [
     ("kmv_distinct_profile", kmv_distinct_profile, KMV_ORACLE),
+    ("hodges_lehmann_center", hodges_lehmann_center, HODGES_LEHMANN_ORACLE),
+    ("friedman_test", friedman_test, FRIEDMAN_ORACLE),
     ("pettitt_changepoint_test", pettitt_changepoint_test, PETTITT_ORACLE),
     ("sprt_conversion_monitor", sprt_conversion_monitor, SPRT_ORACLE),
     ("neyman_allocation", neyman_allocation, NEYMAN_ORACLE),

@@ -1282,3 +1282,89 @@ def test_bh_fdr_step_up_property(spark):
     for r in rows:
         if r.p_value is None:
             assert r.rejected is None and r.p_rank is None
+
+
+def _daily_series(spark):
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from mapreduce_on_google_cloud_platform_spark.sources import load_table
+
+    daily = {}
+    for r in load_table(spark, SF_SMOKE, "events").collect():
+        k = (r.event_type, r.ts.date())
+        cents = int(
+            Decimal(repr(r.value * 100)).quantize(
+                Decimal(1), rounding=ROUND_HALF_UP
+            )
+        )
+        daily[k] = daily.get(k, 0) + cents
+    series = {}
+    for (t, d), x in daily.items():
+        series.setdefault(t, {})[d] = x
+    return series
+
+
+def test_hodges_lehmann_matches_python(spark):
+    """Median of all Walsh averages (i <= j), recomputed directly."""
+    series = _daily_series(spark)
+    got = {
+        r.event_type: r
+        for r in QUERIES["hodges_lehmann_center"](spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(series)
+    for t, by_day in series.items():
+        xs = list(by_day.values())
+        n = len(xs)
+        walsh = sorted(
+            xs[i] + xs[j] for i in range(n) for j in range(i, n)
+        )
+        np_ = len(walsh)
+        lo = walsh[(np_ + 1) // 2 - 1]
+        hi = walsh[np_ // 2]
+        g = got[t]
+        assert g.n_days == n
+        assert g.n_pairs == np_
+        assert g.hl_center_cents == (lo + hi) / 4.0
+
+
+def test_friedman_matches_python(spark):
+    """Doubled-midrank Friedman statistic over complete day blocks."""
+    from mapreduce_on_google_cloud_platform_spark.operators.statistics import (
+        CHI2_CRIT_95,
+    )
+
+    series = _daily_series(spark)
+    types = sorted(series)
+    k = len(types)
+    days = sorted(
+        d
+        for d in {d for s in series.values() for d in s}
+        if all(d in series[t] for t in types)
+    )
+    sum_m2_sq = 0
+    s_j = dict.fromkeys(types, 0)
+    for d in days:
+        vals = [(series[t][d], t) for t in types]
+        svals = sorted(v for v, _ in vals)
+        for v, t in vals:
+            m2 = 2 * (svals.index(v) + 1) + svals.count(v) - 1
+            s_j[t] += m2
+            sum_m2_sq += m2 * m2
+    n = len(days)
+    rows = {
+        r.event_type: r
+        for r in QUERIES["friedman_test"](spark, SF_SMOKE).collect()
+    }
+    assert set(rows) == set(types)
+    den = sum_m2_sq - n * k * (k + 1) * (k + 1)
+    num = sum((s_j[t] - n * (k + 1)) ** 2 for t in types)
+    for t in types:
+        r = rows[t]
+        assert r.n_complete_days == n
+        assert r.rank_sum2 == s_j[t]
+        if den > 0:
+            q = (k - 1) * num / den
+            assert r.q_stat == q
+            assert r.significant == (q > CHI2_CRIT_95[k - 1])
+        else:
+            assert r.q_stat is None
