@@ -329,7 +329,7 @@ HEADLINE = [
     "source_loo_influence",
     # round-12 batch 9: sketch/filter audits, graph partition quality
     "kmv_distinct_profile",
-    "bloom_fpr_audit",
+    "dedup_bloom_admission_audit",
     "graph_modularity_lpa",
     "graph_degree_assortativity",
     # round-12 batch 10: survival, changepoint battery + FDR control,

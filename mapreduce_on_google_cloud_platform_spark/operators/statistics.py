@@ -4156,11 +4156,13 @@ KMV_ORACLE = f"""
 
 
 # ---------------------------------------------------------------------------
-# bloom_fpr_audit: Bloom-filter admission audit (Bloom 1970).  The
-# 100 TB ingest gate "have we seen this content hash before?" is a
-# Bloom filter (the storage layer already uses one for join pruning --
-# sources/bloom_join.py); this query measures the filter the pipeline
-# would ship: build an m=2^16-bit / k=4 filter over HALF the distinct
+# dedup_bloom_admission_audit: Bloom-filter admission audit (Bloom
+# 1970) for the DEDUP INGEST gate "have we seen this content hash
+# before?" -- the content-hash sibling of join_strategies.
+# bloom_filter_fpr_audit (which audits the ORDER-KEY join-pruning
+# filter with synthetic offset probes; here both halves come from the
+# REAL content-hash distribution).  This query measures the filter
+# the dedup pipeline would ship: build an m=2^16-bit / k=4 filter over HALF the distinct
 # content hashes (md5-last-nibble split -- member and probe sets are
 # disjoint BY CONSTRUCTION on the distinct-hash table), then probe with
 # the other half, all of which are true negatives, so every full-k hit
@@ -4175,7 +4177,7 @@ BLOOM_M_BITS = 65536  # 2^16: one 4-nibble md5 slice IS a bit position
 BLOOM_K = 4
 
 
-def bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_bloom_admission_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     hashes = (
         docs.select(F.md5("text").alias("ch"))
@@ -5113,7 +5115,7 @@ STATISTICS_QUERIES: list[tuple[str, object, str | None]] = [
     ("sprt_conversion_monitor", sprt_conversion_monitor, SPRT_ORACLE),
     ("neyman_allocation", neyman_allocation, NEYMAN_ORACLE),
     ("benjamini_hochberg_fdr", benjamini_hochberg_fdr, BH_FDR_ORACLE),
-    ("bloom_fpr_audit", bloom_fpr_audit, BLOOM_FPR_ORACLE),
+    ("dedup_bloom_admission_audit", dedup_bloom_admission_audit, BLOOM_FPR_ORACLE),
     ("spearman_daily_corr", spearman_daily_corr, SPEARMAN_ORACLE),
     ("kendall_tau_daily", kendall_tau_daily, KENDALL_ORACLE),
     ("poisson_bootstrap_ci", poisson_bootstrap_ci, POISSON_BOOTSTRAP_ORACLE),

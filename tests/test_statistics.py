@@ -1102,7 +1102,7 @@ def test_kmv_estimator_matches_python(spark):
             assert g.kmv_estimate == est
 
 
-def test_bloom_fpr_audit_matches_python(spark):
+def test_dedup_bloom_admission_audit_matches_python(spark):
     """Independent Python Bloom build/probe: same split, same bit
     positions, same false-positive count."""
     import hashlib
@@ -1133,7 +1133,7 @@ def test_bloom_fpr_audit_matches_python(spark):
     n_fp = sum(
         1 for ch in probes if all(p in occupied for p in positions(ch))
     )
-    row = QUERIES["bloom_fpr_audit"](spark, SF_SMOKE).collect()[0]
+    row = QUERIES["dedup_bloom_admission_audit"](spark, SF_SMOKE).collect()[0]
     assert row.n_members == len(members)
     assert row.n_probes == len(probes)
     assert row.m_bits == BLOOM_M_BITS
