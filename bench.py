@@ -348,6 +348,7 @@ HEADLINE = [
     "good_turing_smoothing",
     "hodges_lehmann_center",
     "friedman_test",
+    "brown_forsythe_test",
     # dedup_method_eval re-runs five declared pipelines; its components
     # are each benched above, so it is left out of the headline suite
 ]

@@ -5107,8 +5107,265 @@ FRIEDMAN_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# brown_forsythe_test: variance-homogeneity across event types (Brown
+# & Forsythe 1974 -- Levene's test with the group MEDIAN center,
+# robust to the heavy-tailed values).  The missing axis of the test
+# battery: welch compares means, kruskal/mann-whitney compare
+# distributions by rank, nothing yet asks "do the types' SPREADS
+# differ?" -- the question that decides whether pooled-variance
+# monitors are even valid.  One-way ANOVA F on z_ij = |x_ij - med_j|:
+#
+#     W = ((N-k)/(k-1)) * (sum_j S_j^2/n_j - T^2/N) / (sum Q_j - sum_j S_j^2/n_j)
+#
+# Exactness: group medians ride the doubled-cents lattice (lo+hi
+# order statistics, the hodges/MAD discipline) so z2 = |2x - m2| is an
+# exact integer; S_j / Q_j are exact decimals; each S_j^2/n_j is one
+# IEEE chain squashed to DECIMAL(38,6) so the cross-group sum is
+# order-free; W is one final double chain.  Significance uses the
+# large-sample identity (k-1) W ~ chi-square(k-1) against the pinned
+# critical ladder (F(k-1, N-k) -> chi2(k-1)/(k-1) as N -> inf;
+# exact F criticals would need a 2-D table -- the approximation is
+# documented, conservative for N in the thousands).  Degenerate
+# zero-within-spread emits NULL.
+#
+# Scale shape: the median lattice is distinct-cents-bounded per type;
+# z2 is a broadcast join + map; everything after runs on k rows.
+# ---------------------------------------------------------------------------
+
+
+def brown_forsythe_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    DEC = "decimal(38,0)"
+    base = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    mcnt = base.groupBy("event_type", "cents").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = mcnt.withColumn("cum", F.sum("cnt").over(wcum))
+    sizes = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events")
+    )
+    med = (
+        cum.join(sizes, "event_type")
+        .groupBy("event_type", "n_events")
+        .agg(
+            (
+                F.min(
+                    F.when(
+                        F.col("cum") >= F.expr("(n_events + 1) div 2"),
+                        F.col("cents"),
+                    )
+                )
+                + F.min(
+                    F.when(
+                        F.col("cum") >= F.expr("n_events div 2 + 1"),
+                        F.col("cents"),
+                    )
+                )
+            )
+            .cast("bigint")
+            .alias("m2_cents")
+        )
+    )
+    z = base.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "n_events",
+        "m2_cents",
+        F.abs(2 * F.col("cents") - F.col("m2_cents")).alias("z2"),
+    )
+    per = z.groupBy("event_type", "n_events", "m2_cents").agg(
+        F.sum(F.col("z2").cast(DEC)).alias("s_j"),
+        F.sum(F.col("z2").cast(DEC) * F.col("z2").cast(DEC)).alias("q_j"),
+    )
+    # Exact rational bookkeeping: S^2/n = (S^2 div n) + (S^2 mod n)/n.
+    # The integer parts stay exact DECIMAL(38,0); only the O(1)
+    # fractions (< 1) are squashed to DECIMAL(18,15) -- large-magnitude
+    # double->decimal squashes are NOT portable (measured: DuckDB's
+    # cast of a ~1e10 double to DECIMAL(38,6) rounds differently than
+    # the exact-value rounding Spark does), O(1) squashes are the
+    # proven discipline.  Final doubles go through the hi/lo portable
+    # conversion (hi*2^40 is exact scaling, + lo one rounded add).
+    per2 = per.selectExpr(
+        "event_type",
+        "n_events",
+        "m2_cents",
+        "s_j",
+        "q_j",
+        "CAST((s_j * s_j) div CAST(n_events AS DECIMAL(38,0))"
+        " AS DECIMAL(38,0)) AS sq_int",
+        "CAST(CAST((s_j * s_j) % CAST(n_events AS DECIMAL(38,0)) AS DOUBLE)"
+        " / CAST(n_events AS DOUBLE) AS DECIMAL(18,15)) AS sq_frac",
+    )
+    glob = per2.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_groups"),
+        F.sum("n_events").cast("bigint").alias("n_total"),
+        F.sum("s_j").alias("t_sum"),
+        F.sum("sq_int").alias("a_int"),
+        F.sum("sq_frac").alias("a_frac"),
+        F.sum("q_j").alias("c_sum"),
+    )
+    pre = glob.selectExpr(
+        "k_groups",
+        "n_total",
+        "a_int",
+        "a_frac",
+        "c_sum",
+        "CAST((t_sum * t_sum) div CAST(n_total AS DECIMAL(38,0))"
+        " AS DECIMAL(38,0)) AS t_int",
+        "CAST(CAST((t_sum * t_sum) % CAST(n_total AS DECIMAL(38,0))"
+        " AS DOUBLE) / CAST(n_total AS DOUBLE) AS DECIMAL(18,15)) AS t_frac",
+    )
+    P2_40 = 1 << 40
+    big2d = (
+        lambda x: f"CAST(({x}) div {P2_40} AS DOUBLE) * {float(P2_40)!r}"
+        f" + CAST(({x}) % {P2_40} AS DOUBLE)"
+    )
+    between = F.expr(big2d("a_int - t_int")) + (
+        F.col("a_frac") - F.col("t_frac")
+    ).cast("double")
+    within = F.expr(big2d("c_sum - a_int")) - F.col("a_frac").cast("double")
+    k = F.col("k_groups")
+    w_stat = F.when(
+        (within > 0) & (k > 1),
+        (F.col("n_total") - k).cast("double")
+        / (k - 1).cast("double")
+        * F.greatest(between, F.lit(0.0))
+        / within,
+    )
+    return (
+        per2.crossJoin(F.broadcast(pre))
+        .withColumn("df", (k - 1).cast("bigint"))
+        .select(
+            "event_type",
+            "n_events",
+            "m2_cents",
+            _checked_bigint(F.col("s_j"), "brown-forsythe z2 sum").alias(
+                "z2_sum"
+            ),
+            w_stat.alias("w_stat"),
+            F.when(
+                w_stat.isNotNull(),
+                (k - 1).cast("double") * w_stat > F.expr(_KW_CRIT_CASE),
+            ).alias("significant"),
+        )
+        .orderBy("event_type")
+    )
+
+
+BROWN_FORSYTHE_ORACLE = f"""
+    WITH base AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    mcnt AS (
+        SELECT event_type, cents, CAST(count(*) AS BIGINT) AS cnt
+        FROM base GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT event_type, cents,
+               CAST(sum(cnt) OVER (
+                   PARTITION BY event_type ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum
+        FROM mcnt
+    ),
+    sizes AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
+        FROM base GROUP BY 1
+    ),
+    med AS (
+        SELECT c.event_type, s.n_events,
+               CAST(min(CASE WHEN c.cum >= (s.n_events + 1) // 2
+                             THEN c.cents END)
+                    + min(CASE WHEN c.cum >= s.n_events // 2 + 1
+                               THEN c.cents END) AS BIGINT) AS m2_cents
+        FROM cum c JOIN sizes s USING (event_type)
+        GROUP BY 1, 2
+    ),
+    z AS (
+        SELECT b.event_type, m.n_events, m.m2_cents,
+               abs(2 * b.cents - m.m2_cents) AS z2
+        FROM base b JOIN med m USING (event_type)
+    ),
+    per AS (
+        SELECT event_type, n_events, m2_cents,
+               sum(CAST(z2 AS DECIMAL(38,0))) AS s_j,
+               sum(CAST(z2 AS DECIMAL(38,0)) * CAST(z2 AS DECIMAL(38,0)))
+                   AS q_j
+        FROM z GROUP BY 1, 2, 3
+    ),
+    per2 AS (
+        -- S^2/n split into exact integer part + O(1) squashed fraction
+        -- (large-magnitude double->decimal casts are not portable)
+        SELECT *,
+               CAST(CAST(s_j * s_j AS HUGEINT) // n_events
+                    AS DECIMAL(38,0)) AS sq_int,
+               CAST(CAST(CAST(s_j * s_j AS HUGEINT) % n_events AS DOUBLE)
+                    / CAST(n_events AS DOUBLE) AS DECIMAL(18,15)) AS sq_frac
+        FROM per
+    ),
+    gstats AS (
+        SELECT CAST(count(*) AS BIGINT) AS k_groups,
+               CAST(sum(n_events) AS BIGINT) AS n_total,
+               sum(s_j) AS t_sum,
+               sum(sq_int) AS a_int,
+               sum(sq_frac) AS a_frac,
+               sum(q_j) AS c_sum
+        FROM per2
+    ),
+    pre AS (
+        SELECT *,
+               CAST(CAST(t_sum * t_sum AS HUGEINT) // n_total
+                    AS DECIMAL(38,0)) AS t_int,
+               CAST(CAST(CAST(t_sum * t_sum AS HUGEINT) % n_total AS DOUBLE)
+                    / CAST(n_total AS DOUBLE) AS DECIMAL(18,15)) AS t_frac
+        FROM gstats
+    ),
+    verdict AS (
+        SELECT *,
+               CAST(k_groups - 1 AS BIGINT) AS df,
+               CAST(CAST(c_sum - a_int AS HUGEINT) // 1099511627776 AS DOUBLE)
+                   * 1099511627776.0
+                   + CAST(CAST(c_sum - a_int AS HUGEINT) % 1099511627776 AS DOUBLE)
+                   - CAST(a_frac AS DOUBLE) AS within_d,
+               CAST(CAST(a_int - t_int AS HUGEINT) // 1099511627776 AS DOUBLE)
+                   * 1099511627776.0
+                   + CAST(CAST(a_int - t_int AS HUGEINT) % 1099511627776 AS DOUBLE)
+                   + CAST(a_frac - t_frac AS DOUBLE) AS between_d
+        FROM pre
+    ),
+    verdict2 AS (
+        SELECT *,
+               CASE WHEN within_d > 0 AND k_groups > 1 THEN
+                   CAST(n_total - k_groups AS DOUBLE)
+                   / CAST(k_groups - 1 AS DOUBLE)
+                   * GREATEST(between_d, 0.0) / within_d
+               END AS w_stat
+        FROM verdict
+    )
+    SELECT p.event_type, p.n_events, p.m2_cents,
+           CAST(p.s_j AS BIGINT) AS z2_sum,
+           v.w_stat,
+           CASE WHEN v.w_stat IS NOT NULL THEN
+               CAST(v.k_groups - 1 AS DOUBLE) * v.w_stat
+               > ({_KW_CRIT_CASE})
+           END AS significant
+    FROM per2 p, verdict2 v
+    ORDER BY p.event_type
+"""
+
+
 STATISTICS_QUERIES: list[tuple[str, object, str | None]] = [
     ("kmv_distinct_profile", kmv_distinct_profile, KMV_ORACLE),
+    ("brown_forsythe_test", brown_forsythe_test, BROWN_FORSYTHE_ORACLE),
     ("hodges_lehmann_center", hodges_lehmann_center, HODGES_LEHMANN_ORACLE),
     ("friedman_test", friedman_test, FRIEDMAN_ORACLE),
     ("pettitt_changepoint_test", pettitt_changepoint_test, PETTITT_ORACLE),

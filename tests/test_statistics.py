@@ -1368,3 +1368,68 @@ def test_friedman_matches_python(spark):
             assert r.significant == (q > CHI2_CRIT_95[k - 1])
         else:
             assert r.q_stat is None
+
+
+def test_brown_forsythe_matches_python(spark):
+    """Exact recompute of the median-centered Levene/Brown-Forsythe W
+    via the same integer/fraction decomposition."""
+    from collections import defaultdict
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from mapreduce_on_google_cloud_platform_spark.operators.statistics import (
+        CHI2_CRIT_95,
+    )
+    from mapreduce_on_google_cloud_platform_spark.sources import load_table
+
+    data = defaultdict(list)
+    for r in load_table(spark, SF_SMOKE, "events").collect():
+        c = int(
+            Decimal(repr(r.value * 100)).quantize(
+                Decimal(1), rounding=ROUND_HALF_UP
+            )
+        )
+        data[r.event_type].append(c)
+
+    def sq15(x):
+        return Decimal(repr(x)).quantize(
+            Decimal("1e-15"), rounding=ROUND_HALF_UP
+        )
+
+    stats = {}
+    for t, xs in data.items():
+        xs.sort()
+        n = len(xs)
+        m2 = xs[(n + 1) // 2 - 1] + xs[n // 2]
+        z = [abs(2 * x - m2) for x in xs]
+        stats[t] = (n, m2, sum(z), sum(v * v for v in z))
+    k = len(stats)
+    N = sum(n for n, *_ in stats.values())
+    T = sum(S for _, _, S, _ in stats.values())
+    C = sum(Q for *_, Q in stats.values())
+    a_int = sum(S * S // n for n, _, S, _ in stats.values())
+    a_frac = sum(
+        sq15((S * S % n) / n) for n, _, S, _ in stats.values()
+    )
+    t_int = T * T // N
+    t_frac = sq15((T * T % N) / N)
+    hi = 1 << 40
+
+    def conv(x):
+        return float(x // hi) * float(hi) + float(x % hi)
+
+    between = conv(a_int - t_int) + float(a_frac - t_frac)
+    within = conv(C - a_int) - float(a_frac)
+    rows = {
+        r.event_type: r
+        for r in QUERIES["brown_forsythe_test"](spark, SF_SMOKE).collect()
+    }
+    assert set(rows) == set(stats)
+    for t, (n, m2, S, Q) in stats.items():
+        r = rows[t]
+        assert (r.n_events, r.m2_cents, r.z2_sum) == (n, m2, S)
+        if within > 0 and k > 1:
+            w = (N - k) / (k - 1) * max(between, 0.0) / within
+            assert r.w_stat == w
+            assert r.significant == ((k - 1) * w > CHI2_CRIT_95[k - 1])
+        else:
+            assert r.w_stat is None
