@@ -1173,3 +1173,128 @@ def streaming_bootstrap_query(spark: SparkSession, in_dir: str, schema):
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming SPRT conversion monitor: the continuous-ingest twin of the
+# batch ``sprt_conversion_monitor`` (operators/statistics.py).  Wald's
+# LLR is a PREFIX statistic over days (the CUSUM posture): the state
+# is the per-day (trials, purchases) map, which merges COMMUTATIVELY
+# across micro-batches -- late events just add into their day's cell
+# -- and each emission recomputes the whole decision stream from the
+# map in sorted-day order.  The LLR arithmetic uses the SAME pinned
+# DECIMAL(18,9) log literals as the batch plan, carried as exact
+# Python Decimals, so on the complete input the monitor agrees with
+# the batch query BIT-EXACTLY (pinned in tests/test_streaming.py):
+# x*L1 + (n-x)*L2 sums are exact decimal on both sides and
+# float(Decimal) is the same correctly-rounded conversion as Spark's
+# decimal->double cast.
+#
+# Scale posture: state is O(#days) -- calendar-bounded; one global
+# group (the conversion series is corpus-wide), so a single Arrow
+# batch per micro-batch; emission cost is |days| rows.  The decision
+# FREEZES at the first boundary crossing exactly like the batch twin.
+# ---------------------------------------------------------------------------
+
+SPRT_STATE_SCHEMA = StructType(
+    # "2024-01-03:412:80;..." -- sorted ISO day -> (n_events, n_purchases)
+    [StructField("day_counts", StringType())]
+)
+
+SPRT_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("day", DateType()),
+        StructField("n_events", LongType()),
+        StructField("n_purchases", LongType()),
+        StructField("llr", DoubleType()),
+        StructField("state", StringType()),
+    ]
+)
+
+
+def streaming_sprt_query(spark: SparkSession, in_dir: str, schema):
+    """readStream(events parquet dir) -> single global group ->
+    applyInPandasWithState order-free Wald SPRT over the accumulated
+    per-day (trials, purchases) map."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def track(key, pdfs, state):
+        import datetime
+        from decimal import Decimal
+
+        import pandas as pd
+
+        from ..operators.statistics import SPRT_A, SPRT_B, SPRT_L1, SPRT_L2
+
+        acc: dict[str, tuple[int, int]] = {}
+        if state.exists:
+            (packed,) = state.get
+            if packed:
+                for part in packed.split(";"):
+                    d, n, x = part.split(":")
+                    acc[d] = (int(n), int(x))
+        for pdf in pdfs:
+            for d, is_p in zip(pdf["day"], pdf["is_purchase"]):
+                k = str(d)
+                n, x = acc.get(k, (0, 0))
+                acc[k] = (n + 1, x + int(is_p))
+        state.update(
+            (";".join(f"{d}:{n}:{x}" for d, (n, x) in sorted(acc.items())),)
+        )
+
+        l1, l2 = Decimal(SPRT_L1), Decimal(SPRT_L2)
+        a, b = Decimal(SPRT_A), Decimal(SPRT_B)
+        days = sorted(acc)
+        llr = Decimal(0)
+        llrs = []
+        h1_day = h0_day = None
+        for d in days:
+            n, x = acc[d]
+            llr += x * l1 + (n - x) * l2
+            llrs.append(llr)
+            if llr >= a and h1_day is None:
+                h1_day = d
+            if llr <= b and h0_day is None:
+                h0_day = d
+        if h1_day is not None and (h0_day is None or h1_day <= h0_day):
+            stop, verdict = h1_day, "accept_h1"
+        elif h0_day is not None:
+            stop, verdict = h0_day, "accept_h0"
+        else:
+            stop, verdict = None, None
+        yield pd.DataFrame(
+            {
+                "day": [datetime.date.fromisoformat(d) for d in days],
+                "n_events": [acc[d][0] for d in days],
+                "n_purchases": [acc[d][1] for d in days],
+                # float(Decimal): same correctly-rounded conversion as
+                # the batch plan's decimal(38,9) -> double cast
+                "llr": [float(v) for v in llrs],
+                "state": [
+                    "continue"
+                    if stop is None or d < stop
+                    else verdict
+                    for d in days
+                ],
+            }
+        )
+
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+        # the batch query's exact day/purchase expressions, JVM-side
+        .select(
+            F.to_date("ts").alias("day"),
+            (F.col("event_type") == "purchase").cast("int").alias("is_purchase"),
+            F.lit(1).alias("_g"),
+        )
+        .groupBy("_g")
+        .applyInPandasWithState(
+            track,
+            outputStructType=SPRT_OUTPUT_SCHEMA,
+            stateStructType=SPRT_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

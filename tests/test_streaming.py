@@ -998,3 +998,64 @@ def test_streaming_bootstrap_agrees_with_batch(spark, tmp_path):
         assert s.boot_lo_cents == b.boot_lo_cents, et
         assert s.boot_hi_cents == b.boot_hi_cents, et
         assert s.boot_se_cents == b.boot_se_cents, et
+
+
+def test_streaming_sprt_agrees_with_batch(spark, tmp_path):
+    """Stream/batch agreement for the Wald SPRT monitor: stage the
+    events table as two arbitrary micro-batches (time-midpoint split);
+    after the full input the streamed per-day LLR/decision stream must
+    equal the batch sprt_conversion_monitor bit-exactly -- the day map
+    merges commutatively and both sides run the same exact-decimal
+    arithmetic on the same pinned log literals."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_on_google_cloud_platform_spark.plans import QUERIES
+    from mapreduce_on_google_cloud_platform_spark.sources import load_table
+    from mapreduce_on_google_cloud_platform_spark.streaming.stateful import (
+        streaming_sprt_query,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    lims = ev.agg(
+        F.min(F.unix_micros("ts")).alias("lo"),
+        F.max(F.unix_micros("ts")).alias("hi"),
+    ).collect()[0]
+    mid_us = int((lims.lo + lims.hi) / 2)
+    in_dir = str(tmp_path / "sprt_in")
+    ev.filter(F.unix_micros("ts") <= mid_us).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+
+    stream = streaming_sprt_query(
+        spark, in_dir, spark.read.parquet(in_dir).schema
+    )
+    q = (
+        stream.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("sprt_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        ev.filter(F.unix_micros("ts") > mid_us).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM sprt_stream").collect()
+    finally:
+        q.stop()
+
+    final = {}
+    for r in rows:  # update mode: the last emission per day wins
+        final[r.day] = r
+    batch = {
+        r.day: r
+        for r in QUERIES["sprt_conversion_monitor"](spark, SF_SMOKE).collect()
+    }
+    assert set(final) == set(batch)
+    for d, b in batch.items():
+        s = final[d]
+        assert s.n_events == b.n_events, d
+        assert s.n_purchases == b.n_purchases, d
+        assert s.llr == b.llr, d
+        assert s.state == b.state, d
