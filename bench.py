@@ -349,6 +349,7 @@ HEADLINE = [
     "hodges_lehmann_center",
     "friedman_test",
     "brown_forsythe_test",
+    "personalized_pagerank",
     # dedup_method_eval re-runs five declared pipelines; its components
     # are each benched above, so it is left out of the headline suite
 ]

@@ -27,7 +27,7 @@ it.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import DUCKDB_SHINGLES_CTE
@@ -1205,7 +1205,132 @@ ASSORTATIVITY_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# personalized_pagerank: random-walk-with-restart proximity to a SEED
+# set (Jeh & Widom 2003) -- global pagerank says "this is a template
+# hub"; PPR answers the follow-up "which docs are in THIS hub's
+# orbit?", the expansion query behind contamination-style blast-radius
+# checks ("everything near these known-bad documents").  Seeds are the
+# top PPR_SEEDS nodes by degree (deterministic: deg desc, doc_id asc
+# over the node-bounded degree table); restart mass goes ONLY to
+# seeds:
+#
+#     r'_v = [v in S] * (15 * SCALE div 100)  +  (85 * sum_in(r div deg)) div 100
+#
+# Same fixed-point BIGINT micro-unit discipline as neardup_pagerank
+# (floor div everywhere, PR_ITERS unrolled in the oracle); the
+# per-round FULL OUTER join keeps contribution-less seeds alive.
+# Scale shape identical to a pagerank round plus one broadcast-sized
+# seed table.
+# ---------------------------------------------------------------------------
+
+PPR_SEEDS = 4
+
+
+def personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = (
+        jaccard_pairs_indexed(spark, sf_dir)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+    )
+    edges = _symmetrized_edges(pairs).localCheckpoint()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint()
+    wseed = Window.orderBy(F.desc("deg"), F.asc("src"))
+    base = 15 * PR_SCALE // 100
+    seeds = (
+        deg.withColumn("seed_rank", F.row_number().over(wseed))
+        .where(F.col("seed_rank") <= PPR_SEEDS)
+        .select(F.col("src").alias("doc_id"), F.lit(base).alias("b"))
+        .localCheckpoint()
+    )
+    ranks = seeds.select("doc_id", F.lit(PR_SCALE).alias("r"))
+    for _ in range(PR_ITERS):
+        walk = (
+            edges.join(ranks, edges.src == ranks.doc_id)
+            .join(deg, "src")
+            .select(F.col("dst"), F.expr("r div deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+            .select(F.col("dst").alias("doc_id"), F.expr("(85 * s) div 100").alias("w"))
+        )
+        ranks = (
+            walk.join(seeds, "doc_id", "full_outer")
+            .select(
+                "doc_id",
+                (
+                    F.coalesce(F.col("b"), F.lit(0))
+                    + F.coalesce(F.col("w"), F.lit(0))
+                ).alias("r"),
+            )
+        )
+    return (
+        ranks.join(deg, ranks.doc_id == deg.src)
+        .join(
+            seeds.select("doc_id", F.lit(True).alias("is_seed")),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.col("r").alias("ppr_fp"),
+            "deg",
+            F.coalesce(F.col("is_seed"), F.lit(False)).alias("is_seed"),
+        )
+        .where(F.col("ppr_fp") > 0)
+        .orderBy(F.desc("ppr_fp"), F.asc("doc_id"))
+    )
+
+
+def _ppr_oracle() -> str:
+    base = 15 * PR_SCALE // 100
+    its = []
+    prev = "r0"
+    for k in range(1, PR_ITERS + 1):
+        its.append(
+            f"""
+    it{k} AS (
+        SELECT COALESCE(w.doc_id, sb.doc_id) AS doc_id,
+               CAST(COALESCE(sb.b, 0) + COALESCE(w.w, 0) AS BIGINT) AS r
+        FROM (
+            SELECT e.dst AS doc_id,
+                   (85 * sum(r.r // d.deg)) // 100 AS w
+            FROM edges e
+            JOIN {prev} r ON e.src = r.doc_id
+            JOIN deg d ON e.src = d.src
+            GROUP BY e.dst
+        ) w
+        FULL JOIN seeds sb ON w.doc_id = sb.doc_id
+    )"""
+        )
+        prev = f"it{k}"
+    return f"""
+    WITH {DUCKDB_SHINGLES_CTE},
+    {_SQL_EDGES_CTE},
+    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+    seeds AS (
+        SELECT src AS doc_id, CAST({base} AS BIGINT) AS b
+        FROM (
+            SELECT src, row_number() OVER (ORDER BY deg DESC, src) AS rk
+            FROM deg
+        ) WHERE rk <= {PPR_SEEDS}
+    ),
+    r0 AS (SELECT doc_id, CAST({PR_SCALE} AS BIGINT) AS r FROM seeds),
+    {",".join(its)}
+    SELECT r.doc_id AS doc_id, r.r AS ppr_fp, d.deg,
+           (s.doc_id IS NOT NULL) AS is_seed
+    FROM it{PR_ITERS} r
+    JOIN deg d ON r.doc_id = d.src
+    LEFT JOIN seeds s ON r.doc_id = s.doc_id
+    WHERE r.r > 0
+    ORDER BY ppr_fp DESC, r.doc_id
+"""
+
+
+PPR_ORACLE = _ppr_oracle()
+
+
 GRAPH_QUERIES: list[tuple[str, object, str | None]] = [
+    ("personalized_pagerank", personalized_pagerank, PPR_ORACLE),
     ("graph_modularity_lpa", graph_modularity_lpa, MODULARITY_ORACLE),
     (
         "graph_degree_assortativity",

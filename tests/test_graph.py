@@ -350,3 +350,46 @@ def test_assortativity_matches_python(spark):
         assert -1.0 - 1e-12 <= row.assortativity <= 1.0 + 1e-12
     else:
         assert row.assortativity is None
+
+
+def test_personalized_pagerank_matches_python(spark):
+    """Exact integer fixed-point recompute of the seeded
+    restart-walk recurrence."""
+    from mapreduce_on_google_cloud_platform_spark.operators.graph import (
+        PPR_SEEDS,
+        PR_ITERS,
+        PR_SCALE,
+    )
+
+    pairs = _python_edges(spark)
+    ends = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+    deg: dict[int, int] = {}
+    adj_in: dict[int, list] = {}
+    for s, d in ends:
+        deg[s] = deg.get(s, 0) + 1
+        adj_in.setdefault(d, []).append(s)
+    seeds = [
+        n for n, _ in sorted(deg.items(), key=lambda kv: (-kv[1], kv[0]))
+    ][:PPR_SEEDS]
+    base = 15 * PR_SCALE // 100
+    r = {n: PR_SCALE for n in seeds}
+    for _ in range(PR_ITERS):
+        nxt = {}
+        for v, ins in adj_in.items():
+            s = sum(r.get(u, 0) // deg[u] for u in ins)
+            if s:
+                nxt[v] = (85 * s) // 100
+        for v in seeds:
+            nxt[v] = nxt.get(v, 0) + base
+        r = nxt
+    expect = {v: x for v, x in r.items() if x > 0}
+    rows = QUERIES["personalized_pagerank"](spark, SF_SMOKE).collect()
+    got = {x.doc_id: x for x in rows}
+    assert set(got) == set(expect)
+    for v, x in expect.items():
+        assert got[v].ppr_fp == x
+        assert got[v].deg == deg[v]
+        assert got[v].is_seed == (v in seeds)
+    # seeds dominate their own orbit: every seed present and positive
+    for v in seeds:
+        assert v in got and got[v].ppr_fp > 0
