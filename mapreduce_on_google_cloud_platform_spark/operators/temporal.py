@@ -1673,6 +1673,213 @@ HOLT_ORACLE = f"""
 
 
 # ---------------------------------------------------------------------------
+# holt_winters_seasonal: additive Holt-Winters (Winters 1960) with the
+# weekly season -- the third rung of the smoothing ladder (EWMA level,
+# Holt level+trend, HW level+trend+season).  hour_of_week_profile and
+# seasonality_adjusted_daily PROVE the weekly cycle exists; this is
+# the forecaster that exploits it:
+#
+#     l' = A (v - s_idx) + (1-A)(l + t)
+#     t' = B (l' - l) + (1-B) t
+#     s_idx' = G (v - l') + (1-G) s_idx        (idx = (pos-1) mod 7)
+#
+# Init: l0 = mean(week 1), t0 = (mean(week 2) - mean(week 1))/7,
+# s_i = x_i - l0; the fold runs from position 8.  Same ordered-fold
+# discipline as holt_linear_smooth: the per-type daily series is
+# calendar-bounded, the recurrence is a JVM higher-order fold over
+# (value, position) pairs, and the DuckDB twin is the IDENTICAL
+# list_reduce over a flat DOUBLE[10] state (the struct-state aliasing
+# hazard documented at HOLT_ORACLE applies; the seasonal slot update
+# is a per-slot CASE on (pos-1) mod 7 in both engines, so the IEEE op
+# sequence is token-identical).  Series shorter than two full seasons
+# (n < 14) emit NULLs.  Scale shape: one combinable daily rollup, one
+# bounded per-type array, zero windows, zero joins.
+# ---------------------------------------------------------------------------
+
+HW_ALPHA = 0.5
+HW_BETA = 0.3
+HW_GAMMA = 0.3
+HW_M = 7
+
+
+def holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents").cast("bigint").alias("x"))
+    )
+    arr = daily.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "x"))),
+            lambda st: st["x"].cast("double"),
+        ).alias("xs")
+    )
+    A, B, G, M = HW_ALPHA, HW_BETA, HW_GAMMA, HW_M
+    xs = F.col("xs")
+    n = F.size(xs)
+    mean1 = F.aggregate(
+        F.slice(xs, 1, M), F.lit(0.0), lambda a, v: a + v
+    ) / F.lit(float(M))
+    mean2 = F.aggregate(
+        F.slice(xs, M + 1, M), F.lit(0.0), lambda a, v: a + v
+    ) / F.lit(float(M))
+    init_fields = [mean1.alias("l"), ((mean2 - mean1) / F.lit(float(M))).alias("t")]
+    for i in range(1, M + 1):
+        init_fields.append((F.element_at(xs, i) - mean1).alias(f"s{i}"))
+    init_fields.append(F.lit(0.0).alias("e"))
+    init = F.struct(*init_fields)
+    tail = F.transform(
+        F.slice(xs, M + 1, F.greatest(n - M, F.lit(0))),
+        lambda v, i: F.struct(
+            v.alias("v"), (i + M + 1).cast("bigint").alias("p")
+        ),
+    )
+
+    def _step(acc, sv):
+        v, pos = sv["v"], sv["p"]
+        m = (pos - 1) % M  # 0..6
+        sold = F.when(m == 0, acc["s1"])
+        for i in range(2, M + 1):
+            sold = sold.when(m == i - 1, acc[f"s{i}"])
+        sold = sold.otherwise(acc[f"s{M}"])
+        fc = acc["l"] + acc["t"] + sold
+        lp = F.lit(A) * (v - sold) + F.lit(1 - A) * (acc["l"] + acc["t"])
+        fields = [
+            lp.alias("l"),
+            (F.lit(B) * (lp - acc["l"]) + F.lit(1 - B) * acc["t"]).alias("t"),
+        ]
+        for i in range(1, M + 1):
+            fields.append(
+                F.when(
+                    m == i - 1,
+                    F.lit(G) * (v - lp) + F.lit(1 - G) * acc[f"s{i}"],
+                )
+                .otherwise(acc[f"s{i}"])
+                .alias(f"s{i}")
+            )
+        fields.append((acc["e"] + (v - fc) * (v - fc)).alias("e"))
+        return F.struct(*fields)
+
+    folded = F.aggregate(tail, init, _step)
+    ok = n >= 2 * M
+    nm = (n % M).cast("bigint")  # next position n+1 -> slot (n % M) + 1
+    season_next = F.when(nm == 0, folded["s1"])
+    for i in range(2, M + 1):
+        season_next = season_next.when(nm == i - 1, folded[f"s{i}"])
+    season_next = season_next.otherwise(folded[f"s{M}"])
+    return (
+        arr.select(
+            "event_type",
+            n.cast("bigint").alias("n_days"),
+            F.when(ok, folded["l"]).alias("level"),
+            F.when(ok, folded["t"]).alias("trend"),
+            F.when(ok, season_next).alias("season_next"),
+            F.when(ok, folded["l"] + folded["t"] + season_next).alias(
+                "forecast_next"
+            ),
+            F.when(
+                ok, F.sqrt(folded["e"] / (n - M).cast("double"))
+            ).alias("one_step_rmse"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _hw_oracle() -> str:
+    A, B, G, M = HW_ALPHA, HW_BETA, HW_GAMMA, HW_M
+    # state DOUBLE[10] = [l, t, s1..s7, e]; input [v, pos]
+    lp = (
+        f"{A}e0 * (v[1] - ({{sold}})) + {1 - A}e0 * (acc[1] + acc[2])"
+    )
+    sold = (
+        "CASE "
+        + " ".join(
+            f"WHEN (CAST(v[2] AS BIGINT) - 1) % {M} = {i - 1}"
+            f" THEN acc[{i + 2}]"
+            for i in range(1, M + 1)
+        )
+        + f" ELSE acc[{M + 2}] END"
+    )
+    lp_full = lp.format(sold=sold)
+    slots = []
+    for i in range(1, M + 1):
+        slots.append(
+            f"CASE WHEN (CAST(v[2] AS BIGINT) - 1) % {M} = {i - 1}"
+            f" THEN {G}e0 * (v[1] - ({lp_full})) + {1 - G}e0 * acc[{i + 2}]"
+            f" ELSE acc[{i + 2}] END"
+        )
+    init_s = ", ".join(
+        f"xs[{i}] - lm1" for i in range(1, M + 1)
+    )
+    season_next = (
+        "CASE "
+        + " ".join(
+            f"WHEN n % {M} = {i - 1} THEN st[{i + 2}]"
+            for i in range(1, M + 1)
+        )
+        + f" ELSE st[{M + 2}] END"
+    )
+    return f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+        FROM events
+        GROUP BY 1, 2
+    ),
+    arr AS (
+        SELECT event_type,
+               list_transform(
+                   list_sort(list({{'day': day, 'x': x}})),
+                   s -> CAST(s.x AS DOUBLE)) AS xs
+        FROM daily GROUP BY event_type
+    ),
+    means AS (
+        SELECT event_type, xs, len(xs) AS n,
+               list_reduce(list_prepend(0.0e0, xs[1:{M}]),
+                           (a, v) -> a + v) / {float(M)!r} AS lm1,
+               list_reduce(list_prepend(0.0e0, xs[{M + 1}:{2 * M}]),
+                           (a, v) -> a + v) / {float(M)!r} AS lm2
+        FROM arr
+    ),
+    folded AS (
+        SELECT event_type, n,
+               list_reduce(
+                   list_prepend(
+                       [lm1, (lm2 - lm1) / {float(M)!r}, {init_s}, 0.0e0],
+                       list_transform(xs[{M + 1}:],
+                                      (v, i) -> [v, CAST(i + {M} AS DOUBLE)])),
+                   (acc, v) -> [
+                       {lp_full},
+                       {B}e0 * (({lp_full}) - acc[1]) + {1 - B}e0 * acc[2],
+                       {", ".join(slots)},
+                       acc[{M + 3}] + (v[1] - (acc[1] + acc[2] + ({sold})))
+                                    * (v[1] - (acc[1] + acc[2] + ({sold})))
+                   ]) AS st
+        FROM means
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           CASE WHEN n >= {2 * M} THEN st[1] END AS level,
+           CASE WHEN n >= {2 * M} THEN st[2] END AS trend,
+           CASE WHEN n >= {2 * M} THEN {season_next} END AS season_next,
+           CASE WHEN n >= {2 * M}
+                THEN st[1] + st[2] + ({season_next}) END AS forecast_next,
+           CASE WHEN n >= {2 * M}
+                THEN sqrt(st[{M + 3}] / CAST(n - {M} AS DOUBLE))
+           END AS one_step_rmse
+    FROM folded
+    ORDER BY event_type
+"""
+
+
+HOLT_WINTERS_ORACLE = _hw_oracle()
+
+
+# ---------------------------------------------------------------------------
 # Forecast backtest (MASE) -- is the smoother WORTH anything on this
 # series?  One-step-ahead backtest of three forecasters per event type:
 # naive-1 (tomorrow = today), seasonal-naive-7 (tomorrow = same weekday
@@ -2428,6 +2635,7 @@ TEMPORAL_QUERIES: list[tuple[str, object, str | None]] = [
     ("kaplan_meier_repurchase", kaplan_meier_repurchase, KAPLAN_MEIER_ORACLE),
     ("croston_demand_forecast", croston_demand_forecast, CROSTON_ORACLE),
     ("holt_linear_smooth", holt_linear_smooth, HOLT_ORACLE),
+    ("holt_winters_seasonal", holt_winters_seasonal, HOLT_WINTERS_ORACLE),
     ("ewma_control_chart", ewma_control_chart, EWMA_ORACLE),
     ("forecast_backtest_mase", forecast_backtest_mase, FORECAST_MASE_ORACLE),
     (

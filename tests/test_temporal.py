@@ -705,3 +705,65 @@ def test_kaplan_meier_matches_python(spark):
         assert r.na_cumhazard == float(nasum)
         n -= d + c
     assert n == 0
+
+
+def test_holt_winters_matches_python(spark):
+    """Pure-Python recompute of the additive HW recurrence (same IEEE
+    op order) per event type."""
+    import math
+
+    from mapreduce_on_google_cloud_platform_spark.operators.temporal import (
+        HW_ALPHA,
+        HW_BETA,
+        HW_GAMMA,
+        HW_M,
+    )
+    from mapreduce_on_google_cloud_platform_spark.sources import load_table
+    from decimal import ROUND_HALF_UP, Decimal
+
+    daily = {}
+    for r in load_table(spark, SF_SMOKE, "events").collect():
+        k = (r.event_type, r.ts.date())
+        cents = int(
+            Decimal(repr(r.value * 100)).quantize(
+                Decimal(1), rounding=ROUND_HALF_UP
+            )
+        )
+        daily[k] = daily.get(k, 0) + cents
+    series = {}
+    for (t, d), x in sorted(daily.items(), key=lambda kv: kv[0]):
+        series.setdefault(t, []).append((d, x))
+    got = {
+        r.event_type: r
+        for r in QUERIES["holt_winters_seasonal"](spark, SF_SMOKE).collect()
+    }
+    A, B, G, M = HW_ALPHA, HW_BETA, HW_GAMMA, HW_M
+    for t, pts in series.items():
+        pts.sort()
+        xs = [float(x) for _, x in pts]
+        n = len(xs)
+        g = got[t]
+        assert g.n_days == n
+        if n < 2 * M:
+            assert g.level is None and g.forecast_next is None
+            continue
+        l = sum(xs[:M]) / float(M)
+        tr = (sum(xs[M : 2 * M]) / float(M) - l) / float(M)
+        sv = [xs[i] - l for i in range(M)]
+        e = 0.0
+        for p in range(M + 1, n + 1):
+            v = xs[p - 1]
+            idx = (p - 1) % M
+            sold = sv[idx]
+            fc = l + tr + sold
+            lp = A * (v - sold) + (1 - A) * (l + tr)
+            tp = B * (lp - l) + (1 - B) * tr
+            sv[idx] = G * (v - lp) + (1 - G) * sold
+            e = e + (v - fc) * (v - fc)
+            l, tr = lp, tp
+        season_next = sv[n % M]
+        assert g.level == l
+        assert g.trend == tr
+        assert g.season_next == season_next
+        assert g.forecast_next == l + tr + season_next
+        assert g.one_step_rmse == math.sqrt(e / float(n - M))
