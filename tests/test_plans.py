@@ -1556,3 +1556,63 @@ def test_rank_correlation_plans_bounded(spark):
     assert windows
     for part in windows:
         assert part.strip(), f"partitionless window found: [{part}]"
+
+
+def test_kmv_sketch_is_window_group_limited(spark):
+    """KMV: the bottom-K hash filter must plan as WindowGroupLimit so
+    each partition ships at most K+ties rows per type -- the mergeable
+    sketch shape the estimator's 100 TB story depends on."""
+    plan = plan_of(spark, "kmv_distinct_profile")
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pettitt_and_friedman_windows_are_partitioned(spark):
+    """The changepoint/blocked-rank windows must partition (by type /
+    by day) -- never a partitionless window over the raw stream; the
+    day-pair joins must be equi-joins.  (friedman's one
+    BroadcastNestedLoopJoin is the 1-row scalar-stats crossJoin -- the
+    graph.py:895 posture -- so only pettitt pins its absence.)"""
+    for name in ("pettitt_changepoint_test", "friedman_test"):
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, name
+    assert "BroadcastNestedLoopJoin" not in plan_of(
+        spark, "pettitt_changepoint_test"
+    )
+
+
+def test_nb_langid_profile_is_broadcast(spark):
+    """The NB log-prob table (alphabet-bounded) must reach the doc
+    side as a broadcast join, and scoring must show map-side partial
+    aggregation."""
+    plan = plan_of(spark, "nb_langid_confusion")
+    assert "BroadcastHashJoin" in plan
+    assert "partial_" in plan
+
+
+def test_rm3_feedback_set_is_broadcast(spark):
+    """RM3: the 40-row feedback set must broadcast against the tf
+    postings -- a 100 TB corpus contributes only the feedback docs'
+    own rows to the contribution table."""
+    plan = plan_of(spark, "rm3_expansion_terms")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_holt_winters_is_joinless_fold(spark):
+    """HW seasonal: same shape contract as holt_linear_smooth -- one
+    combinable rollup + a bounded-array fold; no joins, no windows
+    over the raw stream."""
+    plan = plan_of(spark, "holt_winters_seasonal")
+    assert "Join" not in plan.replace("joinless", "")
+    assert "WindowExec" not in plan
+    assert "partial_" in plan
+
+
+def test_sprt_llr_is_exact_decimal_stream(spark):
+    """SPRT: no engine ln() at query time -- the plan must carry the
+    pinned decimal literals, and the crossing scan must be a scalar
+    aggregate, not a sort."""
+    plan = plan_of(spark, "sprt_conversion_monitor")
+    assert "LOG(" not in plan.upper().replace("CATALOG", "")
+    assert "CartesianProduct" not in plan
