@@ -351,6 +351,7 @@ HEADLINE = [
     "brown_forsythe_test",
     "personalized_pagerank",
     "holt_winters_seasonal",
+    "dedup_capture_recapture",
     # dedup_method_eval re-runs five declared pipelines; its components
     # are each benched above, so it is left out of the headline suite
 ]

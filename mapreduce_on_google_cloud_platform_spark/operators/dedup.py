@@ -4574,7 +4574,171 @@ LEAKAGE_SPLIT_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# dedup_capture_recapture: Lincoln-Petersen / Chapman estimate of the
+# TRUE near-dup pair population from two INDEPENDENT-BY-CONSTRUCTION
+# detectors -- the two disjoint halves of the 16-lane MinHash banding
+# (bands 0-3 vs bands 4-7).  Each half captures a verified near-dup
+# pair with its own band-collision probability over DISJOINT hash
+# lanes, the textbook two-occasion capture design, so
+#
+#     N_hat = (n1+1)(n2+1)/(m+1) - 1        (Chapman 1951)
+#
+# estimates how many near-dup pairs the banding family would find with
+# infinitely many lanes -- i.e. HOW MANY PAIRS THE SKETCH MISSES,
+# answered without trusting the sketch.  The exact pair count rides
+# along as the audit anchor (this is an audit query, the
+# dedup_method_eval posture: the ground-truth join is the declared
+# oracle path behind the eager-refusal guard).  Everything is exact
+# integers to the two final divisions.
+#
+# Scale shape: band-key self-joins per half (the LSH posture, never
+# all pairs), semi-joins against the materialized pair index, four
+# scalar aggregates broadcast into one row.
+# ---------------------------------------------------------------------------
+
+
+def dedup_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = minhash_sig_indexed(spark, sf_dir)
+    bands = _bands_from_sig(sig).persist()
+    half = MINHASH_BANDS // 2
+    cand_a = _band_candidates(bands.where(F.col("band") < half))
+    cand_b = _band_candidates(bands.where(F.col("band") >= half))
+    truth = (
+        jaccard_pairs_indexed(spark, sf_dir)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+        .persist()
+    )
+    det_a = cand_a.join(truth, ["doc_a", "doc_b"], "left_semi").persist()
+    det_b = cand_b.join(truth, ["doc_a", "doc_b"], "left_semi").persist()
+    n1 = det_a.agg(F.count(F.lit(1)).cast("bigint").alias("n_det_a"))
+    n2 = det_b.agg(F.count(F.lit(1)).cast("bigint").alias("n_det_b"))
+    m = (
+        det_a.join(det_b, ["doc_a", "doc_b"], "left_semi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+    )
+    nt = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_true_pairs"))
+    chapman = (
+        (F.col("n_det_a") + 1).cast("double")
+        * (F.col("n_det_b") + 1).cast("double")
+        / (F.col("n_both") + 1).cast("double")
+        - F.lit(1.0)
+    )
+    union = F.col("n_det_a") + F.col("n_det_b") - F.col("n_both")
+    return (
+        n1.crossJoin(F.broadcast(n2))
+        .crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "n_det_a",
+            "n_det_b",
+            "n_both",
+            union.cast("bigint").alias("n_union"),
+            chapman.alias("chapman_estimate"),
+            "n_true_pairs",
+            (
+                union.cast("double") / F.col("n_true_pairs").cast("double")
+            ).alias("union_coverage"),
+        )
+    )
+
+
+def _capture_recapture_oracle() -> str:
+    rows_per_band = NUM_MINHASHES // MINHASH_BANDS
+    mh_cols = ",\n               ".join(
+        f"min(({a} * h + {b}) % {MINHASH_P}) AS mh{i}"
+        for i, (a, b) in enumerate(MINHASH_AB)
+    )
+    band_selects = "\n        UNION ALL\n".join(
+        f"        SELECT doc_id, {b} AS band, md5("
+        + " || '|' || ".join(
+            f"CAST(mh{b * rows_per_band + r} AS VARCHAR)"
+            for r in range(rows_per_band)
+        )
+        + ") AS band_key FROM sig"
+        for b in range(MINHASH_BANDS)
+    )
+    half = MINHASH_BANDS // 2
+    return f"""
+    WITH {{toks}},
+    dict AS (
+        SELECT sh, ('0x' || substr(md5(sh), 1, 15))::BIGINT % {MINHASH_P} AS h
+        FROM (SELECT DISTINCT sh FROM shing)
+    ),
+    sig AS (
+        SELECT doc_id,
+               {mh_cols}
+        FROM shing JOIN dict USING (sh)
+        GROUP BY doc_id
+    ),
+    bands AS (
+{band_selects}
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shing GROUP BY doc_id),
+    truth AS (
+        SELECT doc_a, doc_b
+        FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+            FROM shing a JOIN shing b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common)
+              >= {JACCARD_THRESHOLD}
+    ),
+    det_a AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+        WHERE a.band < {half}
+          AND EXISTS (SELECT 1 FROM truth t
+                      WHERE t.doc_a = a.doc_id AND t.doc_b = b.doc_id)
+    ),
+    det_b AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+        WHERE a.band >= {half}
+          AND EXISTS (SELECT 1 FROM truth t
+                      WHERE t.doc_a = a.doc_id AND t.doc_b = b.doc_id)
+    ),
+    counts AS (
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM det_a) AS n_det_a,
+               (SELECT CAST(count(*) AS BIGINT) FROM det_b) AS n_det_b,
+               (SELECT CAST(count(*) AS BIGINT) FROM det_a a
+                WHERE EXISTS (SELECT 1 FROM det_b b
+                              WHERE b.doc_a = a.doc_a
+                                AND b.doc_b = a.doc_b)) AS n_both,
+               (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true_pairs
+    )
+    SELECT n_det_a, n_det_b, n_both,
+           CAST(n_det_a + n_det_b - n_both AS BIGINT) AS n_union,
+           CAST(n_det_a + 1 AS DOUBLE) * CAST(n_det_b + 1 AS DOUBLE)
+               / CAST(n_both + 1 AS DOUBLE) - 1.0 AS chapman_estimate,
+           n_true_pairs,
+           CAST(n_det_a + n_det_b - n_both AS DOUBLE)
+               / CAST(n_true_pairs AS DOUBLE) AS union_coverage
+    FROM counts
+"""
+
+
+from ..functions.text import DUCKDB_SHINGLES_CTE as _SHINGLES_CTE_CR  # noqa: E402
+
+CAPTURE_RECAPTURE_ORACLE = _capture_recapture_oracle().format(
+    toks=_SHINGLES_CTE_CR
+)
+
+
 DEDUP_QUERIES: list[tuple[str, object, str | None]] = [
+    (
+        "dedup_capture_recapture",
+        dedup_capture_recapture,
+        CAPTURE_RECAPTURE_ORACLE,
+    ),
     ("cdc_chunk_dedup", cdc_chunk_dedup, CDC_CHUNK_ORACLE),
     (
         "leakage_safe_split_audit",

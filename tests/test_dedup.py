@@ -948,3 +948,30 @@ def test_winnowing_density_and_guarantee(spark):
     # corpus-level: mean density should sit near the 2/(w+1) theory
     mean_d = sum(dens) / len(dens)
     assert 2 / (WINNOW_W + 1) * 0.5 < mean_d < 2 / (WINNOW_W + 1) * 2.5
+
+
+def test_capture_recapture_identities(spark):
+    """Chapman arithmetic reconciles with the detector counts; both
+    detector sets are subsets of the exact truth; the estimate is at
+    least the observed union and the anchor coverage is in (0, 1]."""
+    row = QUERIES["dedup_capture_recapture"](spark, SF_SMOKE).collect()[0]
+    assert 0 <= row.n_both <= min(row.n_det_a, row.n_det_b)
+    assert row.n_union == row.n_det_a + row.n_det_b - row.n_both
+    assert row.n_union <= row.n_true_pairs
+    chapman = (row.n_det_a + 1) * (row.n_det_b + 1) / (row.n_both + 1) - 1
+    assert row.chapman_estimate == chapman
+    assert row.chapman_estimate >= row.n_both
+    assert row.union_coverage == row.n_union / row.n_true_pairs
+    assert 0.0 < row.union_coverage <= 1.0
+
+
+def test_capture_recapture_halves_union_to_full_lsh(spark):
+    """Sanity: the two half-band detectors together find exactly the
+    pairs the full 8-band LSH finds (a pair collides in SOME band iff
+    it collides in one of the halves)."""
+    full = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["dedup_minhash_lsh"](spark, SF_SMOKE).collect()
+    }
+    row = QUERIES["dedup_capture_recapture"](spark, SF_SMOKE).collect()[0]
+    assert row.n_union == len(full)
