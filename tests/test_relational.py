@@ -280,9 +280,11 @@ def test_cofilter_matches_python_topk(spark):
     """Item-item CF: emitted neighbor lists are exactly the per-item
     top-k of the brute-force cosine table over customer incidence sets
     (ties by neighbor id), with exact co-counts."""
+    import hashlib
     import math
 
     from mapreduce_on_google_cloud_platform_spark.operators.relational import (
+        COFILTER_CUST_CAP,
         COFILTER_TOPK,
         MIN_COFILTER_CO,
     )
@@ -290,10 +292,25 @@ def test_cofilter_matches_python_topk(spark):
 
     li = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_partkey")
     orders = load_table(spark, SF_SMOKE, "orders").select("o_orderkey", "o_custkey")
-    inc = {
+    raw = {
         (r.o_custkey, r.l_partkey)
         for r in li.join(orders, li.l_orderkey == orders.o_orderkey).collect()
     }
+    # the per-customer incidence cap (VERDICT r11 item #1): keep the
+    # COFILTER_CUST_CAP smallest parts by (md5("cust:part"), part)
+    by_cust: dict[int, list] = {}
+    for c, p in raw:
+        by_cust.setdefault(c, []).append(p)
+    inc = set()
+    for c, parts_c in by_cust.items():
+        parts_c.sort(
+            key=lambda p: (
+                hashlib.md5(f"{c}:{p}".encode()).hexdigest(),
+                p,
+            )
+        )
+        for p in parts_c[:COFILTER_CUST_CAP]:
+            inc.add((c, p))
     custs: dict[int, set] = {}
     for c, p in inc:
         custs.setdefault(p, set()).add(c)
