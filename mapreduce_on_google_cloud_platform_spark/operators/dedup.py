@@ -43,6 +43,8 @@ from ..functions.hashing import (
 from ..functions.text import (
     DUCKDB_SHINGLES_CTE,
     DUCKDB_TOKS_CTE,
+    TOKEN_SPLIT_RE,
+    clean_token,
     shingles_df,
     tokenize,
     tokens_df,
@@ -2121,11 +2123,29 @@ FUZZY_MAX_DIST = 3
 
 
 def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Optimization round 12 (identical output, oracle unchanged): the
+    # blocked candidate set is ~70x the kept set, and every candidate
+    # paid an UNBOUNDED levenshtein -- twice for survivors (filter +
+    # projection).  Now: (1) a length-band prefilter (|len_a - len_b| <=
+    # d is implied by edit distance <= d) drops far pairs before any DP;
+    # (2) the THRESHOLD-bounded levenshtein (banded DP, early exit,
+    # returns -1 above the bound -- exact below it, so edit_dist is
+    # unchanged for every kept pair) is computed ONCE; (3) the probe
+    # side is re-spread by the blocking key first, because the single
+    # small parquet file otherwise runs every DP on one task (guide
+    # SS2.5: repartition immediately after an unsplittable-input read).
+    from ..session import default_parallelism
+
     part = load_table(spark, sf_dir, "part").select(
         "p_partkey", "p_brand", "p_type", "p_name"
     )
-    a, b = part.alias("fa"), part.alias("fb")
-    dist = F.levenshtein(F.col("fa.p_name"), F.col("fb.p_name"))
+    a = part.repartition(
+        default_parallelism(), F.col("p_brand"), F.col("p_type")
+    ).alias("fa")
+    b = part.alias("fb")
+    bdist = F.levenshtein(
+        F.col("fa.p_name"), F.col("fb.p_name"), FUZZY_MAX_DIST
+    )
     return (
         a.join(
             b,
@@ -2133,13 +2153,18 @@ def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("fa.p_type") == F.col("fb.p_type"))
             & (F.col("fa.p_partkey") < F.col("fb.p_partkey")),
         )
-        .filter(dist <= FUZZY_MAX_DIST)
+        .filter(
+            F.abs(F.length("fa.p_name") - F.length("fb.p_name"))
+            <= FUZZY_MAX_DIST
+        )
+        .withColumn("_d", bdist)
+        .filter(F.col("_d") >= 0)
         .select(
             F.col("fa.p_partkey").alias("key_a"),
             F.col("fb.p_partkey").alias("key_b"),
             F.col("fa.p_name").alias("name_a"),
             F.col("fb.p_name").alias("name_b"),
-            dist.cast("int").alias("edit_dist"),
+            F.col("_d").cast("int").alias("edit_dist"),
         )
     )
 
@@ -2184,29 +2209,51 @@ WINNOW_W = 4  # winnowing window: guarantee t = W + K - 1 = 6 tokens
 
 def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    base = docs.select("doc_id", tokenize(F.col("text")).alias("ts"))
-    kg = (
-        base.select(
+    # k-gram stream built SCALAR-side (optimization round 12): the
+    # original explode(transform(sequence(...), i -> concat_ws(...)))
+    # ran the per-element lambda interpreted outside whole-stage codegen
+    # (the SCALING.md pitfall-1 shape) and cost 60 s of the bench at
+    # sf0.1.  Equivalent form: explode the cleaned token stream with its
+    # dense order index (row_number over the raw split position), then
+    # assemble each 3-gram from lead() neighbors -- every expression
+    # stays inside codegen and the doc-partitioned window shuffle is the
+    # same partitioning every later winnowing window reuses.  Verified
+    # bit-identical to the lambda form ((doc_id, pos, h) multisets equal
+    # at sf0.01 and sf0.1).
+    toks = (
+        docs.select(
             "doc_id",
-            F.when(
-                F.size("ts") >= WINNOW_K,
-                F.expr(
-                    "transform(sequence(1, size(ts) - 2),"
-                    " i -> concat_ws(' ', element_at(ts, i),"
-                    " element_at(ts, i + 1), element_at(ts, i + 2)))"
-                ),
-            )
-            .otherwise(F.array().cast("array<string>"))
-            .alias("kgs"),
+            F.posexplode(F.split(F.col("text"), TOKEN_SPLIT_RE)).alias(
+                "sp", "_tok"
+            ),
         )
-        .select("doc_id", F.posexplode("kgs").alias("pos0", "sh"))
+        .select("doc_id", "sp", clean_token(F.col("_tok")).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    w_ord = Window.partitionBy("doc_id").orderBy("sp")
+    kg = (
+        toks.select(
+            "doc_id",
+            F.row_number().over(w_ord).cast("bigint").alias("pos"),
+            "w",
+            F.lead("w", 1).over(w_ord).alias("w1"),
+            F.lead("w", WINNOW_K - 1).over(w_ord).alias("w2"),
+        )
+        .filter(F.col("w2").isNotNull())
         .select(
             "doc_id",
-            (F.col("pos0") + 1).cast("bigint").alias("pos"),
-            F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10)
+            "pos",
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(" ", "w", "w1", "w2")), 1, 15
+                ),
+                16,
+                10,
+            )
             .cast("bigint")
             .alias("h"),
         )
+        .persist()
     )
     w_doc = Window.partitionBy("doc_id")
     w_win = (
@@ -2230,6 +2277,9 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             (-F.col("sel.np")).alias("fpos"),
         )
         .distinct()
+        # consumed by three branches (multi / per_doc / shared): persist
+        # so the winnowing window evaluates once per run, not three times
+        .persist()
     )
     multi = (
         selected.select("doc_id", "fh")
@@ -2377,7 +2427,15 @@ def fellegi_sunter_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("pgrid"),
     )
-    a, b = t.alias("ra"), t.alias("rb")
+    # same three levenshtein optimizations as fuzzy_part_name_pairs
+    # (length-band prefilter, threshold-bounded DP, block-key re-spread);
+    # the match-pair set and all aggregates are unchanged
+    from ..session import default_parallelism
+
+    a = t.repartition(
+        default_parallelism(), F.col("p_brand"), F.col("p_type")
+    ).alias("ra")
+    b = t.alias("rb")
     m = (
         a.join(
             b,
@@ -2386,8 +2444,16 @@ def fellegi_sunter_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("ra.p_partkey") < F.col("rb.p_partkey")),
         )
         .filter(
-            F.levenshtein(F.col("ra.p_name"), F.col("rb.p_name"))
-            <= FUZZY_MAX_DIST
+            (
+                F.abs(F.length("ra.p_name") - F.length("rb.p_name"))
+                <= FUZZY_MAX_DIST
+            )
+            & (
+                F.levenshtein(
+                    F.col("ra.p_name"), F.col("rb.p_name"), FUZZY_MAX_DIST
+                )
+                >= 0
+            )
         )
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_match_pairs"),

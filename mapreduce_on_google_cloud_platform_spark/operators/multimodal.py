@@ -371,64 +371,77 @@ MM_HAMMING_MAX = 3
 
 
 def multimodal_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.hashing import (
-        BITS16,
-        HEX_DIGITS,
-        SIMHASH_BANDS,
-        SIMHASH_BITS,
-    )
+    from ..functions.hashing import SIMHASH_BANDS, SIMHASH_BITS
 
     media = media_table(spark, sf_dir)
+    # Optimization round 12, two plan-level rewrites (values identical,
+    # re-verified vs the unchanged oracle at sf0.01 + sf0.1):
+    # 1. The hex shingle stream is explode(sequence) + ONE scalar
+    #    substring instead of explode(transform(sequence, lambda)) --
+    #    the lambda ran interpreted per element (SCALING.md pitfall 1)
+    #    over up-to-thousands-entry arrays.
+    # 2. The per-bit sign expansion no longer explodes 32 rows per
+    #    distinct shingle into a x32-row join feeding a (doc, j)
+    #    shuffle: each shingle's whole 32-bit md5 prefix rides the join
+    #    as ONE bigint v, and the per-doc bit sums are 32 conditional
+    #    aggregates (b_j = sum(cnt | bit j set), tot = sum(cnt)), so
+    #    s_j = 2*b_j - tot replaces sum(cnt*sgn_j) exactly.  Bit j of
+    #    the hex-string extraction (digit floor(j/4), MSB-first within
+    #    the digit) is bit (31 - j) of v, a pure shiftright.
+    from ..session import default_parallelism
+
     shingle_counts = (
-        media.select("doc_id", F.hex("payload").alias("hx"))
+        media.repartition(default_parallelism(), F.col("doc_id"))
+        .select("doc_id", F.hex("payload").alias("hx"))
         .select(
             "doc_id",
+            "hx",
             F.explode(
-                F.expr(
-                    f"transform(sequence(1, greatest(length(hx)"
-                    f" - {MM_SHINGLE_HEX - 1}, 1), 2),"
-                    f" i -> substring(hx, i, {MM_SHINGLE_HEX}))"
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(
+                        F.length("hx") - (MM_SHINGLE_HEX - 1), F.lit(1)
+                    ),
+                    F.lit(2),
                 )
-            ).alias("sh"),
+            ).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.expr(f"substring(hx, i, {MM_SHINGLE_HEX})").alias("sh"),
         )
         .groupBy("doc_id", "sh")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    sh_bits = (
-        shingle_counts.select("sh")
-        .distinct()
-        .select(
-            "sh",
-            F.substring(F.md5("sh"), 1, SIMHASH_BITS // 4).alias("hx8"),
-            F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("j"),
-        )
-        .select(
-            "sh",
-            "j",
-            (
-                2
-                * F.expr(
-                    f"CAST(substring('{BITS16}',"
-                    f" (instr('{HEX_DIGITS}', substring(hx8,"
-                    f" CAST(floor(j/4) AS INT) + 1, 1)) - 1) * 4"
-                    f" + (j % 4) + 1, 1) AS INT)"
-                )
-                - 1
-            ).alias("sgn"),
-        )
+    # v is a pure scalar of sh, so it rides the SAME projection instead
+    # of a distinct + join (one shuffle removed, guide SS2.4); the md5
+    # recompute per (doc, sh) row is map-side CPU, strictly cheaper than
+    # shuffling the count table through an extra join at any scale
+    weighted = shingle_counts.select(
+        "doc_id",
+        "cnt",
+        F.conv(F.substring(F.md5("sh"), 1, SIMHASH_BITS // 4), 16, 10)
+        .cast("bigint")
+        .alias("v"),
+    )
+    bit_aggs = [
+        F.sum(
+            F.when(
+                F.expr(f"(shiftright(v, {SIMHASH_BITS - 1 - j}) % 2) = 1"),
+                F.col("cnt"),
+            ).otherwise(F.lit(0))
+        ).alias(f"b{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    sim_expr = " + ".join(
+        f"(CASE WHEN 2 * b{j} - tot > 0 THEN CAST({1 << j} AS BIGINT)"
+        " ELSE CAST(0 AS BIGINT) END)"
+        for j in range(SIMHASH_BITS)
     )
     sig = (
-        shingle_counts.join(sh_bits.hint("shuffle_hash"), "sh")
-        .groupBy("doc_id", "j")
-        .agg(F.sum(F.col("cnt") * F.col("sgn")).alias("s"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(
-                    F.col("s") > 0, F.expr("CAST(power(2, j) AS BIGINT)")
-                ).otherwise(F.lit(0))
-            ).alias("simhash")
-        )
+        weighted.groupBy("doc_id")
+        .agg(F.sum("cnt").alias("tot"), *bit_aggs)
+        .selectExpr("doc_id", f"({sim_expr}) AS simhash")
     )
     bits = SIMHASH_BITS // SIMHASH_BANDS
     chunks = sig.select(
@@ -453,13 +466,30 @@ def multimodal_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "simhash",
         F.col("bc.band").alias("band"),
         F.col("bc.chunk").alias("chunk"),
+    ).persist()
+    # The band self-join expands to ~20M candidate rows at sf0.1 over
+    # only 8 x 16 (band, chunk) buckets, several of them hot (byte
+    # shingles crowd the signature space -- the geometry the audit
+    # documents), so an unsalted shuffle runs the whole expansion on a
+    # couple of tasks.  Salt the pair space (guide SS2.5): the probe
+    # side keys each row by doc_id % S, the build side explodes all S
+    # salts, every bucket's quadratic expansion splits S ways, and the
+    # emitted pair set is IDENTICAL (each (a, b) meets at exactly one
+    # salt per matching band).  The hamming filter runs before the
+    # distinct so the dedup shuffle carries only kept pairs.
+    salt_n = 16
+    a = chunks.alias("ma").withColumn(
+        "salt", (F.col("doc_id") % salt_n).cast("int")
     )
-    a, b = chunks.alias("ma"), chunks.alias("mb")
+    b = chunks.alias("mb").withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(salt_n)]))
+    )
     return (
         a.join(
-            b,
+            b.hint("shuffle_hash"),
             (F.col("ma.band") == F.col("mb.band"))
-            & (F.col("ma.chunk") == F.col("mb.chunk")),
+            & (F.col("ma.chunk") == F.col("mb.chunk"))
+            & (a["salt"] == b["salt"]),
         )
         .filter(F.col("ma.doc_id") < F.col("mb.doc_id"))
         .select(
@@ -469,8 +499,8 @@ def multimodal_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("int")
             .alias("hamming"),
         )
-        .distinct()
         .filter(F.col("hamming") <= MM_HAMMING_MAX)
+        .distinct()
         .orderBy("doc_a", "doc_b")
     )
 

@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 from ..functions.hashing import MINHASH_P
 from ..functions.numeric import checked_bigint as _checked_bigint
 from ..functions.portable import dec
+from ..session import default_parallelism
 from ..sources import load_table
 
 QS = (0.25, 0.5, 0.75, 0.95)
@@ -3432,14 +3433,27 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 15), 16, 10)"
         f" AS BIGINT) % {MINHASH_P} AS h",
     )
+    # Optimization round 12 (values identical, re-verified vs the
+    # unchanged oracle): each lane's weight is ONE ascending CASE chain
+    # (first threshold above u wins, expected ~2 comparisons under the
+    # uniform u) instead of summing all 8 >= comparisons -- measured 3.3x
+    # on this projection -- and the scan is re-spread by the md5 lane h
+    # before the heavy 64-lane projection: the single small parquet file
+    # otherwise serializes 512 CASE evaluations per row onto one task
+    # (guide SS2.5 "one huge unsplittable file -> repartition immediately
+    # after the read"; the key is deterministic, the sums combinable).
     w_cols = []
     for i, (a, c) in enumerate(BOOT_AB):
         u = f"(({a} * h + {c}) % {MINHASH_P})"
-        w = " + ".join(
-            f"(CASE WHEN {u} >= {t} THEN 1 ELSE 0 END)" for t in BOOT_T
+        branches = " ".join(
+            f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(BOOT_T)
         )
-        w_cols.append(f"CAST({w} AS BIGINT) AS w{i}")
-    weighted = base.selectExpr("event_type", "cents", *w_cols)
+        w_cols.append(
+            f"CAST(CASE {branches} ELSE {len(BOOT_T)} END AS BIGINT) AS w{i}"
+        )
+    weighted = base.repartition(
+        default_parallelism(), F.col("h")
+    ).selectExpr("event_type", "cents", *w_cols)
     aggs = [
         F.expr("CAST(count(*) AS BIGINT)").alias("n_events"),
         F.expr("CAST(sum(cents) AS BIGINT)").alias("sx"),

@@ -5460,12 +5460,15 @@ def char_trigram_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = docs.select(
         "lang", F.array_join(tokenize(F.col("text")), " ").alias("s")
     ).where(F.length("s") >= 3)
+    # explode the POSITIONS and slice with one scalar substring: the
+    # per-position lambda of the transform(sequence, ...) form ran
+    # interpreted outside codegen (optimization round 12; same stream,
+    # same values)
     tg = norm.select(
         "lang",
-        F.explode(
-            F.expr("transform(sequence(1, length(s) - 2), i -> substring(s, i, 3))")
-        ).alias("trigram"),
-    )
+        "s",
+        F.explode(F.sequence(F.lit(1), F.length("s") - 2)).alias("i"),
+    ).select("lang", F.expr("substring(s, i, 3)").alias("trigram"))
     counts = tg.groupBy("lang", "trigram").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_occurrences")
     )
@@ -5562,13 +5565,14 @@ def nb_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = docs.select(
         "doc_id", "lang", F.array_join(tokenize(F.col("text")), " ").alias("s")
     ).where(F.length("s") >= 3)
+    # same scalar-slice-after-position-explode rewrite as
+    # char_trigram_lang_profile (optimization round 12; values identical)
     tg = norm.select(
         "doc_id",
         "lang",
-        F.explode(
-            F.expr("transform(sequence(1, length(s) - 2), i -> substring(s, i, 3))")
-        ).alias("trigram"),
-    )
+        "s",
+        F.explode(F.sequence(F.lit(1), F.length("s") - 2)).alias("i"),
+    ).select("doc_id", "lang", F.expr("substring(s, i, 3)").alias("trigram"))
     prof_counts = tg.groupBy(F.col("lang").alias("plang"), "trigram").agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt")
     )

@@ -135,6 +135,8 @@ def build_all_indexes(spark: SparkSession, sf_dir: str) -> dict:
         similarity.pq_vectors_indexed,
         similarity.pq_codes_indexed,
         similarity.pq_coarse_assign_indexed,
+        similarity.pq_residuals_indexed,
+        similarity.pq_res_codes_indexed,
         similarity.ivf_assign_indexed,
         similarity.ann_truth_indexed,
         similarity.ivf_topk_indexed,
