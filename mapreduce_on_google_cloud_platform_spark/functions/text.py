@@ -43,29 +43,20 @@ def clean_token(col: Column) -> Column:
 def tokenize(text: Column) -> Column:
     """text -> array<string> of cleaned, non-empty tokens (O2-O4).
 
-    Scalar formulation (optimization round 12): the original
-    filter(transform(split(...), clean_token), w -> w != '') ran both
-    lambdas INTERPRETED per token outside whole-stage codegen (SCALING.md
-    pitfall 1), charged to all ~23 call sites.  Equivalent scalar chain:
-    lowercase, delete every char that is neither [0-9a-z] nor whitespace
-    (within-token deletion -- same as clean_token), trim + collapse
-    whitespace runs to single spaces (token boundaries are preserved;
-    tokens that clean to empty vanish into the collapsed separator,
-    exactly the dropped-empty rule), then one split on ' '.  All-empty
-    and NULL inputs degrade identically (empty array / NULL).  Verified
-    bit-identical against the lambda form over the full corpus at
-    sf0.01 and sf0.1 (full-registry oracle sweep)."""
-    s = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(text), r"[^0-9a-z\s]", ""),
-            r"(^\s+)|(\s+$)",
-            "",
-        ),
-        r"\s+",
-        " ",
-    )
-    return F.when(s == "", F.array().cast("array<string>")).otherwise(
-        F.split(s, " ")
+    Kept as the transform/filter lambda form DELIBERATELY (optimization
+    round 12): an equivalent scalar chain (lower -> delete non-[0-9a-z\\s]
+    -> trim -> collapse \\s+ -> split(' ')) was built, proven bit-equal
+    on a 2,027-case adversarial differential AND the full-registry
+    oracle sweep, and then MEASURED SLOWER -- 84.0 s vs 53.7 s summed
+    over the 25 tokenize-consuming headline queries at sf0.1: three
+    whole-document regexp passes per reference cost more than the
+    per-token lambda interpretation they replace.  Rewrites that DID
+    win (winnowing_fingerprints, shingles_df) drop the array form
+    entirely for posexplode + scalar clean_token + lead windows; do
+    that shape, not a tokenize() swap, when a consumer shows up hot."""
+    return F.filter(
+        F.transform(F.split(text, TOKEN_SPLIT_RE), clean_token),
+        lambda w: w != F.lit(""),
     )
 
 

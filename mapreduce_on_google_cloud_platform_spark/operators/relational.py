@@ -2262,7 +2262,14 @@ def _cofilter_incidence(
         F.asc("l_partkey"),
     )
     ranked = raw.withColumn("cap_rank", F.row_number().over(w_cap))
-    inc = ranked.filter(F.col("cap_rank") <= COFILTER_CUST_CAP).drop("cap_rank")
+    # persisted: three consumers (popularity counts + both self-join
+    # sides) otherwise re-run the lineitem join + distinct + cap window
+    # per reference (optimization round 12)
+    inc = (
+        ranked.filter(F.col("cap_rank") <= COFILTER_CUST_CAP)
+        .drop("cap_rank")
+        .persist()
+    )
     capstat = (
         raw.groupBy("o_custkey")
         .agg(F.count(F.lit(1)).alias("n_parts"))

@@ -5561,18 +5561,36 @@ CHAR_TRIGRAM_ORACLE = f"""
 
 
 def nb_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    from ..session import default_parallelism
+
+    # re-spread the doc scan before the tokenize + trigram-explode chain:
+    # the single small parquet file otherwise runs the whole heavy map
+    # stage on one task (guide SS2.5; measured 4.6 -> 0.9 s for the
+    # doc-count stage at sf0.1); at production scale the scan has
+    # natural row-group parallelism and this one narrow shuffle of doc
+    # rows is noise next to the explode it feeds
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        default_parallelism(), F.col("doc_id")
+    )
     norm = docs.select(
         "doc_id", "lang", F.array_join(tokenize(F.col("text")), " ").alias("s")
     ).where(F.length("s") >= 3)
-    # same scalar-slice-after-position-explode rewrite as
-    # char_trigram_lang_profile (optimization round 12; values identical)
+    # kept as the transform form (optimization round 12): the
+    # position-explode + scalar-substring variant that wins in
+    # char_trigram_lang_profile measured SLOWER here (4.9 -> 6.4 s at
+    # sf0.1) -- this stream feeds two consumers, and the exploded rows
+    # carry the whole normalized document string through both
     tg = norm.select(
         "doc_id",
         "lang",
-        "s",
-        F.explode(F.sequence(F.lit(1), F.length("s") - 2)).alias("i"),
-    ).select("doc_id", "lang", F.expr("substring(s, i, 3)").alias("trigram"))
+        F.explode(
+            F.expr("transform(sequence(1, length(s) - 2), i -> substring(s, i, 3))")
+        ).alias("trigram"),
+        # persisted: the tokenize + array_join + trigram explode chain is
+        # the dominant cost and BOTH the profile side (prof_counts) and
+        # the scoring side (dcnt) consume it -- unpersisted it computed
+        # twice per run (optimization round 12)
+    ).persist()
     prof_counts = tg.groupBy(F.col("lang").alias("plang"), "trigram").agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt")
     )
