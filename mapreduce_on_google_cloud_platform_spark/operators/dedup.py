@@ -1142,44 +1142,6 @@ SIMHASH_ORACLE = f"""
 """
 
 
-def _salted_band_pairs(
-    chunks: DataFrame, with_hamming: bool, salt_n: int = 16
-) -> DataFrame:
-    """Self-join ``chunks(doc_id[, simhash], band, chunk)`` on
-    (band, chunk) with a doc-salt split (optimization round 12): the
-    simhash band space is a few hot buckets (the band-width audit
-    measures up to 19% of all pairs emitted as candidates), so the
-    unsalted join runs its whole quadratic expansion on one or two
-    tasks.  The probe side keys each row by doc_id % salt_n, the build
-    side explodes all salts; every bucket's expansion splits salt_n
-    ways and the emitted (doc_a < doc_b) candidate multiset is
-    IDENTICAL (each pair meets at exactly one salt per matching band).
-    Callers apply their own hamming filter / distinct."""
-    a = chunks.alias("a").withColumn(
-        "salt", (F.col("doc_id") % salt_n).cast("int")
-    )
-    b = chunks.alias("b").withColumn(
-        "salt", F.explode(F.array(*[F.lit(i) for i in range(salt_n)]))
-    )
-    j = a.join(
-        b.hint("shuffle_hash"),
-        (F.col("a.band") == F.col("b.band"))
-        & (F.col("a.chunk") == F.col("b.chunk"))
-        & (a["salt"] == b["salt"]),
-    ).filter(F.col("a.doc_id") < F.col("b.doc_id"))
-    if with_hamming:
-        return j.select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-            .cast("int")
-            .alias("hamming"),
-        )
-    return j.select(
-        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-    )
-
-
 def simhash_near_pairs(
     spark: SparkSession, sf_dir: str, hamming_max: int = HAMMING_MAX
 ) -> DataFrame:
@@ -1207,8 +1169,28 @@ def simhash_near_pairs(
             )
         ).alias("bc"),
     ).select("doc_id", "simhash", F.col("bc.band").alias("band"), F.col("bc.chunk").alias("chunk"))
+    # NOT salted (optimization round 12): a 16-way doc-salt split of this
+    # join (the multimodal byte-simhash treatment) was tried and REVERTED
+    # -- the text band space at sf0.1 is small enough that the x16 build
+    # rows + extra shuffle cost more than the skew they fix (clean-context
+    # bench: 2.2 s unsalted vs 4.7 s salted; the first A/B that said
+    # otherwise was load-contaminated).  At 100 TB the audited candidate
+    # mass (SCALING.md switch rule) is the trigger to revisit.
+    a, b = chunks.alias("a"), chunks.alias("b")
     return (
-        _salted_band_pairs(chunks, with_hamming=True)
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk")),
+        )
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).cast("int").alias("hamming"),
+        )
         # filter BEFORE distinct: the hamming predicate is per-row cheap,
         # the distinct is a shuffle -- shrink what gets shuffled
         .filter(F.col("hamming") <= hamming_max)
@@ -1291,7 +1273,24 @@ def simhash_band_width_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("bc.band").alias("band"),
             F.col("bc.chunk").alias("chunk"),
         )
-        pairs = _salted_band_pairs(chunks, with_hamming=True).distinct()
+        # unsalted for the same measured reason as simhash_near_pairs
+        ga, gb = chunks.alias("a"), chunks.alias("b")
+        pairs = (
+            ga.join(
+                gb,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.chunk") == F.col("b.chunk")),
+            )
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+                .cast("int")
+                .alias("hamming"),
+            )
+            .distinct()
+        )
         geo_rows.append(
             pairs.agg(
                 F.lit(SIMHASH_BITS).cast("int").alias("sig_bits"),
@@ -1339,8 +1338,18 @@ def simhash_band_width_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bc.band").alias("band"),
         F.col("bc.chunk").alias("chunk"),
     )
+    a60, b60 = chunks60.alias("a"), chunks60.alias("b")
     pairs60 = (
-        _salted_band_pairs(chunks60, with_hamming=False)
+        a60.join(
+            b60,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk")),
+        )
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
         .distinct()
         .join(sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a")), "doc_a")
         .join(sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b")), "doc_b")

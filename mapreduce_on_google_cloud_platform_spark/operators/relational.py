@@ -2262,14 +2262,12 @@ def _cofilter_incidence(
         F.asc("l_partkey"),
     )
     ranked = raw.withColumn("cap_rank", F.row_number().over(w_cap))
-    # persisted: three consumers (popularity counts + both self-join
-    # sides) otherwise re-run the lineitem join + distinct + cap window
-    # per reference (optimization round 12)
-    inc = (
-        ranked.filter(F.col("cap_rank") <= COFILTER_CUST_CAP)
-        .drop("cap_rank")
-        .persist()
-    )
+    # NOT persisted (optimization round 12): caching the 3-consumer
+    # incidence was tried and measured a net LOSS in clean-context bench
+    # runs (4.6 s -> 5.9 s) -- the parallel recompute of the lineitem
+    # join + cap window is cheaper than the single-threaded cache
+    # materialization it replaces at this scale
+    inc = ranked.filter(F.col("cap_rank") <= COFILTER_CUST_CAP).drop("cap_rank")
     capstat = (
         raw.groupBy("o_custkey")
         .agg(F.count(F.lit(1)).alias("n_parts"))
