@@ -4621,55 +4621,63 @@ def _jl_sign(i: int, k: int) -> int:
 _JL_SIGNS = [[_jl_sign(i, k) for k in range(JL_DOUT)] for i in range(DIM)]
 
 
-def _jl_proj_expr(arr: str, k: int) -> str:
-    """'0.0D +/- element_at(arr, i) ...' projection expression for lane k."""
-    terms = "".join(
-        f" {'+' if _JL_SIGNS[i][k] > 0 else '-'} element_at({arr}, {i + 1})"
-        for i in range(DIM)
-    )
-    return f"0.0D{terms}"
-
-
-def _jl_sq_expr(a: str, b: str, n: int, elem) -> str:
-    terms = "".join(f" + ({elem(a, i)} - {elem(b, i)}) * ({elem(a, i)} - {elem(b, i)})" for i in range(n))
-    return f"0.0D{terms}"
-
-
 def jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Higher-order-fold formulation (optimization round 12): the flat
+    # 64-term projection/distance expressions exceeded what Janino can
+    # compile -- every run logged `ERROR CodeGenerator: Failed to
+    # compile` and fell back to interpreted whole-stage eval, paying the
+    # failed multi-second compile each trial.  Each lane is now ONE
+    # aggregate(zip_with(...)) loop: tiny generated code, identical
+    # bits -- the fold adds terms in the same left-associative order,
+    # x * 1.0D == x and acc + (x * -1.0D) == acc - x exactly in IEEE
+    # arithmetic, so projections and distances are bit-equal to the flat
+    # form (re-verified against the unchanged oracle at sf0.01 + sf0.1).
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
     sampled = emb.join(F.broadcast(codebook_ids(emb, JL_SAMPLE)), "vec_id")
+
+    def lane(k: int) -> str:
+        signs = ", ".join(
+            f"{'1.0D' if _JL_SIGNS[i][k] > 0 else '-1.0D'}"
+            for i in range(DIM)
+        )
+        return (
+            f"aggregate(zip_with(e, array({signs}), (x, s) -> x * s),"
+            " 0.0D, (acc, v) -> acc + v)"
+        )
+
     proj = sampled.select(
         "vec_id",
         "e",
-        *[F.expr(_jl_proj_expr("e", k)).alias(f"p{k}") for k in range(JL_DOUT)],
+        F.expr(
+            "array(" + ", ".join(lane(k) for k in range(JL_DOUT)) + ")"
+        ).alias("p"),
     )
     a = proj.select(
         F.col("vec_id").alias("va"),
         F.col("e").alias("ea"),
-        *[F.col(f"p{k}").alias(f"pa{k}") for k in range(JL_DOUT)],
+        F.col("p").alias("pa"),
     )
     b = proj.select(
         F.col("vec_id").alias("vb"),
         F.col("e").alias("eb"),
-        *[F.col(f"p{k}").alias(f"pb{k}") for k in range(JL_DOUT)],
+        F.col("p").alias("pb"),
     )
-    elem_arr = lambda p, i: f"element_at({p}, {i + 1})"  # noqa: E731
-    elem_col = lambda p, i: f"{p}{i}"  # noqa: E731
+    sq = (
+        "sqrt(aggregate(zip_with({l}, {r}, (x, y) -> (x - y) * (x - y)),"
+        " 0.0D, (acc, v) -> acc + v))"
+    )
     pairs = (
         a.crossJoin(F.broadcast(b))  # JL_SAMPLE rows: constant-size side
         .filter(F.col("va") < F.col("vb"))
         .select(
             "va",
             "vb",
-            F.expr(f"sqrt({_jl_sq_expr('ea', 'eb', DIM, elem_arr)})").alias(
-                "d_orig"
+            F.expr(sq.format(l="ea", r="eb")).alias("d_orig"),
+            (F.expr(sq.format(l="pa", r="pb")) / F.lit(_JL_SQRT)).alias(
+                "d_proj"
             ),
-            (
-                F.expr(f"sqrt({_jl_sq_expr('pa', 'pb', JL_DOUT, elem_col)})")
-                / F.lit(_JL_SQRT)
-            ).alias("d_proj"),
         )
         .filter(F.col("d_orig") > 0)
         .withColumn("ratio", F.col("d_proj") / F.col("d_orig"))
