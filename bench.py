@@ -462,6 +462,20 @@ def main() -> None:
             }
         )
     )
+    # Optimization round 13 (VERDICT r12 item #2): the round driver keeps
+    # only a ~2 KB stdout TAIL, which decapitates the leading detail line,
+    # so PERF_r12.json read n_common=0 and the cross-round per-query diff
+    # was blind two rounds running.  Ride a COMPACT top-30-slowest minima
+    # dict (~1 KB) on the always-surviving summary line so the driver can
+    # diff the heavy tail and compute per-query core-count scaling ratios.
+    top30 = dict(
+        sorted(minima.items(), key=lambda kv: -kv[1])[:30]
+    )
+    # hard size guard: the summary line must survive a 2000-char tail cut
+    # INTACT (a truncated head would lose the "metric" key and break the
+    # driver's parse) -- shrink the dict until the whole line fits
+    while top30 and len(json.dumps(top30)) > 1200:
+        top30.pop(min(top30, key=lambda k: top30[k]))
     summary = {
         "metric": "headline_suite_runtime",
         "value": round(sum(timings.values()), 3),
@@ -474,6 +488,7 @@ def main() -> None:
         "index_built_n": index_built_n,  # 0 = warm store verified, not built
         "loadavg_before": loadavg_before,
         "loadavg_after": [round(x, 2) for x in os.getloadavg()],
+        "top": top30,
     }
     # VERDICT r11 item #6: a suite timed on a busy machine is not
     # comparable round-over-round (BENCH_r11.json ran at loadavg 4.6 and

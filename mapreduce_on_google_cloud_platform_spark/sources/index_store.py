@@ -71,10 +71,47 @@ def _dataset_fingerprint(sf_dir: str) -> str:
     return h.hexdigest()[:12]
 
 
+# Physical-layout generation, part of every index path: bumped whenever
+# the WRITTEN layout policy changes so a pre-existing store (which
+# persists across rounds) can never silently serve the old layout.
+# ADVICE r12: the round-12 flat-32 re-spread changed the layout without
+# a bump, so stale single-file caches kept the slow layout.  g2 = the
+# size-gated fan-out below.
+_LAYOUT_GEN = "g2"
+
+# Target bytes per written index part-file, env-overridable.  Local
+# default 64 KiB: measured on this machine (see OPTIMIZATION_r13.md),
+# it is the break-even where one more scan task stops paying for its
+# ~5-15 ms of scheduling+open overhead on these probe pipelines --
+# smaller tables collapse to fewer files (round 12's flat 32-way
+# fan-out regressed the tiny-table probes dbscan_lsh_clusters /
+# ann_filtered_topk / ann_ivf_topk), larger tables still spread to the
+# full core count.  At production scale set this to 128-512 MiB (guide
+# §6 file sizing); the fan-out is additionally capped by the session's
+# default_parallelism, so the policy scales with the cluster rather
+# than encoding local core count.
+_FILE_TARGET_BYTES = int(
+    os.environ.get("SPARK_GRAFT_INDEX_FILE_TARGET", 64 * 1024)
+)
+
+
 def index_path(sf_dir: str, name: str, version: str) -> str:
     tag = os.path.basename(os.path.normpath(sf_dir))
     fp = _dataset_fingerprint(sf_dir)
-    return os.path.join(_store_root(), f"{tag}-{fp}", f"{name}.{version}")
+    return os.path.join(
+        _store_root(), f"{tag}-{fp}", f"{name}.{version}-{_LAYOUT_GEN}"
+    )
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for fn in files:
+            try:
+                total += os.stat(os.path.join(root, fn)).st_size
+            except OSError:
+                pass
+    return total
 
 
 # per-process log of index paths this process actually BUILT (vs read):
@@ -96,19 +133,45 @@ def materialized(
     path = index_path(sf_dir, name, version)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         tmp = f"{path}.tmp.{os.getpid()}"
-        # Write the index round-robin across default_parallelism part
-        # files (optimization round 12): small builds otherwise land in
-        # ONE parquet file / one row group, and every probe query that
-        # scans the table inherits a single-task scan for its whole
-        # pre-shuffle pipeline (measured: the PQ/ANN probe family ran
-        # its 64-wide integer arithmetic on one core).  The fan-out is
-        # derived from the session's core count, not a constant, so a
-        # cluster build spreads the same way; values are unaffected
+        stage = f"{path}.stage.{os.getpid()}"
+        # Two-phase write with a SIZE-GATED fan-out (optimization round
+        # 13, VERDICT r12 item #5).  Round 12 spread every index table
+        # round-robin across default_parallelism part files because a
+        # single-file table pinned every probe query to a one-task scan
+        # (the PQ/ANN family ran its 64-wide integer arithmetic on one
+        # core); but the FLAT fan-out also shredded tiny tables (50 KB
+        # ivf_assign -> 32 x 1.5 KB files) and the small probes paid
+        # more in per-file open/schedule overhead than they gained
+        # (dbscan_lsh_clusters 2.4->3.3 s, ann_filtered_topk 0.8->1.5 s).
+        # Now: stage the build once to learn its true bytes, then lay it
+        # out across ceil(bytes / _FILE_TARGET_BYTES) files capped at
+        # default_parallelism -- big tables keep the full spread, tiny
+        # tables collapse back toward one file.  The extra read+write of
+        # the staged copy is one-time index-BUILD cost, reported
+        # separately in index_build_sec as always; values are unaffected
         # (every consumer is pinned order-independent by the two-layout
         # stability sweeps).
-        build(spark, sf_dir).repartition(default_parallelism()).write.mode(
-            "overwrite"
-        ).parquet(tmp)
+        build(spark, sf_dir).write.mode("overwrite").parquet(stage)
+        n_files = max(
+            1,
+            min(
+                default_parallelism(),
+                -(-_dir_bytes(stage) // _FILE_TARGET_BYTES),
+            ),
+        )
+        n_staged = sum(
+            1 for f in os.listdir(stage) if f.startswith("part-")
+        )
+        if n_staged == n_files:
+            # the natural build layout already matches the policy (most
+            # small tables: one AQE-coalesced output file) -- promote the
+            # staged copy and skip the second write entirely
+            tmp, stage = stage, None
+        else:
+            spark.read.parquet(stage).repartition(n_files).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            shutil.rmtree(stage, ignore_errors=True)
         os.makedirs(os.path.dirname(path), exist_ok=True)
         try:
             os.rename(tmp, path)
