@@ -1142,15 +1142,75 @@ SIMHASH_ORACLE = f"""
 """
 
 
+def band_join_salt_k(cand_per_doc: float | None) -> int:
+    """THE SALTING SWITCH RULE, in code (optimization round 13, VERDICT
+    r12 item #8): how many ways to doc-salt a simhash band self-join,
+    decided by the band-width audit's candidates-per-doc statistic --
+    the SCALING.md number that "DECIDES the salting/AQE-skew levers".
+
+    Below the pinned SIMHASH_CAND_PER_DOC_SWITCH the join stays
+    UNSALTED: at sf0.1 the measured candidate mass is ~160/doc and the
+    x16 build-side explode + extra shuffle cost MORE than the skew they
+    fix (round-12 clean A/B: 2.2 s unsalted vs 4.7 s salted -- pinned
+    below).  Above the pin the hot (band, chunk) buckets own the stage
+    (one or two tasks run the whole quadratic expansion) and the 16-way
+    doc-salt split is the manual skew lever of guide §2.5.  ``None``
+    (no audit statistic supplied) keeps the local default unsalted."""
+    from ..functions.hashing import SIMHASH_CAND_PER_DOC_SWITCH
+
+    if cand_per_doc is not None and cand_per_doc > SIMHASH_CAND_PER_DOC_SWITCH:
+        return 16
+    return 1
+
+
+def _salted_band_pairs(chunks: DataFrame, salt_n: int) -> DataFrame:
+    """Self-join ``chunks(doc_id, simhash, band, chunk)`` on (band,
+    chunk) with a ``salt_n``-way doc-salt split: the probe side keys
+    each row by doc_id % salt_n, the build side explodes all salts, so
+    every bucket's expansion splits salt_n ways and the emitted
+    (doc_a < doc_b) candidate multiset is IDENTICAL (each pair meets at
+    exactly one salt per matching band) -- property-tested on a
+    synthetic hot-bucket corpus."""
+    a = chunks.alias("a").withColumn(
+        "salt", (F.col("doc_id") % salt_n).cast("int")
+    )
+    b = chunks.alias("b").withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(salt_n)]))
+    )
+    return (
+        a.join(
+            b.hint("shuffle_hash"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (a["salt"] == b["salt"]),
+        )
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+            .cast("int")
+            .alias("hamming"),
+        )
+    )
+
+
 def simhash_near_pairs(
-    spark: SparkSession, sf_dir: str, hamming_max: int = HAMMING_MAX
+    spark: SparkSession,
+    sf_dir: str,
+    hamming_max: int = HAMMING_MAX,
+    cand_per_doc: float | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance <= {HAMMING_MAX}.
 
     Scale path: band join on 8x 4-bit chunks -- by pigeonhole, <= 7
     differing bits leave at least one chunk equal, so the banded join has
     PERFECT recall at this threshold and the oracle can be the brute-force
-    definition. Shuffles on (band, chunk-value); never all-pairs."""
+    definition. Shuffles on (band, chunk-value); never all-pairs.
+
+    ``cand_per_doc`` is the band-width audit's measured candidate mass
+    for the production geometry; ``band_join_salt_k`` turns it into the
+    salting decision (unsalted below the pin -- the sf0.1 default)."""
     sig = _simhash_signatures(spark, sf_dir).persist()  # both self-join sides
     chunks = sig.select(
         "doc_id",
@@ -1169,31 +1229,38 @@ def simhash_near_pairs(
             )
         ).alias("bc"),
     ).select("doc_id", "simhash", F.col("bc.band").alias("band"), F.col("bc.chunk").alias("chunk"))
-    # NOT salted (optimization round 12): a 16-way doc-salt split of this
-    # join (the multimodal byte-simhash treatment) was tried and REVERTED
-    # -- the text band space at sf0.1 is small enough that the x16 build
-    # rows + extra shuffle cost more than the skew they fix (clean-context
-    # bench: 2.2 s unsalted vs 4.7 s salted; the first A/B that said
-    # otherwise was load-contaminated).  At 100 TB the audited candidate
-    # mass (SCALING.md switch rule) is the trigger to revisit.
-    a, b = chunks.alias("a"), chunks.alias("b")
+    # NOT salted by default (optimization round 12): a 16-way doc-salt
+    # split of this join (the multimodal byte-simhash treatment) was
+    # tried and REVERTED -- the text band space at sf0.1 is small enough
+    # that the x16 build rows + extra shuffle cost more than the skew
+    # they fix (clean-context bench: 2.2 s unsalted vs 4.7 s salted; the
+    # first A/B that said otherwise was load-contaminated).  The 100 TB
+    # trigger is no longer a comment: band_join_salt_k flips the plan
+    # when the audited candidate mass crosses the pin (round 13).
+    salt_k = band_join_salt_k(cand_per_doc)
+    if salt_k > 1:
+        pairs = _salted_band_pairs(chunks, salt_k)
+    else:
+        a, b = chunks.alias("a"), chunks.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.chunk") == F.col("b.chunk")),
+            )
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.bit_count(
+                    F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+                ).cast("int").alias("hamming"),
+            )
+        )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.chunk") == F.col("b.chunk")),
-        )
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).cast("int").alias("hamming"),
-        )
         # filter BEFORE distinct: the hamming predicate is per-row cheap,
         # the distinct is a shuffle -- shrink what gets shuffled
-        .filter(F.col("hamming") <= hamming_max)
+        pairs.filter(F.col("hamming") <= hamming_max)
         .distinct()
     )
 
@@ -1825,6 +1892,18 @@ def _cc_cluster_report(
         .localCheckpoint()
     )
     prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+    # Hook-only propagation KEPT over hook+jump pointer doubling
+    # (optimization round 13, VERDICT r12 item #7, tried and REVERTED):
+    # adding the jump step (lbl(v) <- min(lbl(v), lbl(lbl(v))), one
+    # label-table self-join per round) can only save rounds when the
+    # hook loop needs many -- but the near-dup graphs here converge in
+    # THREE hook rounds total (2 productive + 1 flat-confirm, measured
+    # at sf0.1), so the jump's per-round self-join + persist cost more
+    # than the single round it could save (part_entity_clusters 3.4 ->
+    # 5.4/7.3 s across two A/B sessions; dedup_clusters flat-to-worse).
+    # Pointer doubling pays off at diameter >> rounds -- near-dup
+    # clusters are star/clique-shaped (diameter 2-4) by construction,
+    # so the hook loop IS the log-round algorithm for this graph class.
     for _ in range(CC_MAX_ITERS):
         neigh = (
             edges.join(labels, edges["doc_b"] == labels["doc_id"])

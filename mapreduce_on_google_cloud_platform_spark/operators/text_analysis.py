@@ -292,11 +292,17 @@ COCHRAN_CHI2_CRIT = 5.991  # CHI2_CRIT_95[k-1], pinned (statistics.py table)
 
 
 def cochran_q_test(spark: SparkSession, sf_dir: str) -> DataFrame:
-    a = c4_style_filter(spark, sf_dir).select("doc_id", F.col("keep").alias("g1"))
-    b = text_quality_score(spark, sf_dir).select(
+    # one shared tokenize pass for all three gates (defined beside
+    # quality_gate_stack below; flag values identical to the standalone
+    # gate queries -- differential-tested)
+    docs, toks = _gate_substrate(spark, sf_dir)
+    a = _c4_flags_from_stream(docs, toks).select(
+        "doc_id", F.col("keep").alias("g1")
+    )
+    b = _quality_from_stream(docs, toks).select(
         "doc_id", (F.col("quality") >= KAPPA_QUALITY_T).alias("g2")
     )
-    c = text_char_entropy(spark, sf_dir).select(
+    c = _entropy_low_flag(toks).select(
         "doc_id", (~F.col("low_entropy")).alias("g3")
     )
     rows = (
@@ -2444,7 +2450,14 @@ REP_DUP_TRIGRAM = (3, 5)
 
 def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens_with_pos(docs)
+    return _repetition_report(tokens_with_pos(docs))
+
+
+def _repetition_report(toks: DataFrame) -> DataFrame:
+    """text_repetition_filter's report over a caller-supplied
+    ``tokens_with_pos`` stream -- split out (optimization round 13) so the
+    composite gate queries can feed ONE shared tokenize pass instead of
+    re-tokenizing the corpus per sub-pipeline (guide §5 reuse)."""
     w = Window.partitionBy("doc_id").orderBy("pos")
     # window expressions are not allowed inside a generator: materialize
     # the two lead columns first, then unpivot.  concat_ws SKIPS nulls (a
@@ -3312,19 +3325,89 @@ def _uni_score(vocab: DataFrame) -> DataFrame:
     )
 
 
-def _uni_forward_dp(word: F.Column, m: F.Column) -> F.Column:
-    """array<struct<s,bl>> forward Viterbi DP of ``word`` under the
-    (piece -> logp_fp) MAP literal ``m`` -- one F.aggregate fold over
-    sequence(1, len), pure integer max/plus inside codegen."""
+def _uni_word_scores(word_freqs: DataFrame, vocab: DataFrame) -> DataFrame:
+    """(word, freq) -> (word, freq, _sc): per-word piece-score array under
+    ``vocab(piece, logp_fp)``, where ``element_at(_sc, (j-1)*LMAX + l)``
+    is the logp of ``substr(word, j-l+1, l)`` (NULL when j < l or the
+    piece is out of vocabulary).
+
+    TRIED AND NOT ADOPTED for the EM loop (optimization round 13,
+    VERDICT r12 item #4): replacing the DP's O(K) map-literal lookups
+    with this broadcast-join scoring stage measured a consistent LOSS at
+    sf0.1 -- seg_counts 1.28 s (map literal) vs 1.93 s (join) warm, full
+    query ~9 s vs ~13 s -- because the bench corpus has only 31 distinct
+    words, so the lookup cost the item predicted is nil and the join +
+    regroup + array_sort machinery is pure added latency.  Kept (tested)
+    as the documented 100 TB formulation: at a real Zipf vocabulary the
+    per-candidate K-entry scan dominates and this broadcast join is the
+    guide §3 shape; the DP consumes identical logp_fp integers either
+    way, so segmentation is bit-identical (pytest differential)."""
+    sub = (
+        word_freqs.select(
+            "word",
+            "freq",
+            F.explode(F.sequence(F.lit(1), F.length("word"))).alias("j"),
+        )
+        .select(
+            "word",
+            "freq",
+            "j",
+            F.explode(F.sequence(F.lit(1), F.lit(UNI_LMAX))).alias("l"),
+        )
+        .select(
+            "word",
+            "freq",
+            "j",
+            "l",
+            F.when(
+                F.col("j") >= F.col("l"),
+                F.col("word").substr(
+                    F.col("j") - F.col("l") + F.lit(1), F.col("l")
+                ),
+            ).alias("piece"),
+        )
+    )
+    scored = sub.join(
+        F.broadcast(vocab.select("piece", "logp_fp")), "piece", "left"
+    )
+    return (
+        scored.groupBy("word", "freq")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        ((F.col("j") - F.lit(1)) * UNI_LMAX + F.col("l")).alias(
+                            "k"
+                        ),
+                        F.col("logp_fp").alias("s"),
+                    )
+                )
+            ).alias("_kv")
+        )
+        .select(
+            "word",
+            "freq",
+            F.transform("_kv", lambda x: x["s"]).alias("_sc"),
+        )
+    )
+
+
+def _uni_forward_dp(word: F.Column, score_at) -> F.Column:
+    """array<struct<s,bl>> forward Viterbi DP of ``word`` -- one
+    F.aggregate fold over sequence(1, len), pure integer max/plus inside
+    codegen.  ``score_at(j, l)`` supplies the candidate piece's logp_fp
+    column: a (piece -> logp_fp) MAP-literal lookup in the production
+    query (measured faster at the bounded K <= ~85 vocabulary), or an
+    O(1) read of the ``_uni_word_scores`` array (the broadcast-join
+    formulation, equivalence-pinned in pytest)."""
     null_s = F.lit(None).cast("bigint")
 
     def step(acc: F.Column, j: F.Column) -> F.Column:
         best = F.struct(null_s.alias("s"), F.lit(0).alias("bl"))
         for l in range(1, UNI_LMAX + 1):
-            piece = word.substr(j - F.lit(l) + 1, F.lit(l))
             cand = F.when(
                 j >= F.lit(l),
-                F.element_at(acc, j - F.lit(l) + 1)["s"] + F.element_at(m, piece),
+                F.element_at(acc, j - F.lit(l) + 1)["s"] + score_at(j, l),
             ).otherwise(null_s)
             # ascending l + '>=' => max with longer-piece tie preference
             best = F.when(
@@ -3387,8 +3470,21 @@ def unigram_lm_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for c in (F.lit(r.piece), F.lit(r.logp_fp))
             ]
         )
+        # map-literal scoring KEPT over the broadcast-join stage
+        # (_uni_word_scores) after a measured A/B -- see its docstring;
+        # the vocabulary is bounded at K <= UNI_VOCAB_K + |alphabet| by
+        # construction, so the lookup never grows with the corpus
+        word = F.col("word")
         seg_counts = (
-            word_freqs.withColumn("_dp", _uni_forward_dp(F.col("word"), m))
+            word_freqs.withColumn(
+                "_dp",
+                _uni_forward_dp(
+                    word,
+                    lambda j, l: F.element_at(
+                        m, word.substr(j - F.lit(l) + 1, F.lit(l))
+                    ),
+                ),
+            )
             .withColumn("_ps", _uni_backtrace(F.col("word"), F.col("_dp")))
             .select("freq", F.explode("_ps").alias("piece"))
             .groupBy("piece")
@@ -4095,8 +4191,154 @@ QUALITY_GATES: list[str] = [
 ]
 
 
+# ---------------------------------------------------------------------------
+# Shared gate substrate (optimization round 13, VERDICT r12 item #6):
+# the composite gate queries (quality_gate_stack, cochran_q_test) each
+# composed 2-4 full gate pipelines, and every pipeline re-tokenized the
+# whole corpus from its own single-task scan of the one-file documents
+# table.  Now: ONE re-spread scan + ONE tokenize pass, persisted, feeds
+# every gate; each gate's statistics are order-independent aggregates of
+# that stream, so the flag values are identical to the standalone
+# queries' (differential-tested per gate).  The persisted stream is
+# released by the harness cache contract (__spark_entry__._fresh_cache /
+# bench clearCache between trials).
+# ---------------------------------------------------------------------------
+
+
+def _gate_substrate(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    from ..session import default_parallelism
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        default_parallelism(), F.col("doc_id")
+    )
+    return docs, tokens_with_pos(docs).persist()
+
+
+def _c4_flags_from_stream(docs: DataFrame, toks: DataFrame) -> DataFrame:
+    """c4_style_filter's flags recomputed from the shared token stream.
+
+    Every input statistic (token count, summed token length, stopword
+    hits) is an order-independent aggregate, so the flag values -- and
+    the keep verdict -- are identical to the array-fold form; zero-token
+    documents re-enter via the LEFT join with zeroed counts, exactly the
+    (0, 0, 0) row the array form produces for them."""
+    agg = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum(F.length("word").cast("bigint")).cast("bigint").alias("sum_len"),
+        F.sum(F.when(F.col("word").isin(EN_STOPS), 1).otherwise(0))
+        .cast("bigint")
+        .alias("stop_hits"),
+    )
+    base = (
+        docs.select("doc_id", "lang", F.lower("text").alias("lt"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "lt",
+            F.coalesce("n_tokens", F.lit(0).cast("bigint")).alias("n_tokens"),
+            F.coalesce("sum_len", F.lit(0).cast("bigint")).alias("sum_len"),
+            F.coalesce("stop_hits", F.lit(0).cast("bigint")).alias(
+                "stop_hits"
+            ),
+        )
+    )
+    mean_len = F.coalesce(
+        F.col("sum_len").cast("double") / F.col("n_tokens"), F.lit(0.0)
+    )
+    block = F.lit(False)
+    for w in C4_BLOCKLIST:
+        block = block | F.col("lt").contains(F.lit(w))
+    too_short = F.col("n_tokens") < C4_MIN_TOKENS
+    bad_mean = (F.col("n_tokens") >= C4_MIN_TOKENS) & (
+        (mean_len < C4_MEAN_LEN_LO) | (mean_len > C4_MEAN_LEN_HI)
+    )
+    low_stop = F.col("stop_hits") < C4_MIN_STOP_HITS
+    non_target = F.col("lang") != "en"
+    return base.select(
+        "doc_id",
+        too_short.alias("too_short"),
+        bad_mean.alias("bad_mean_len"),
+        block.alias("has_blocklist"),
+        low_stop.alias("low_stopword"),
+        non_target.alias("non_target_lang"),
+        (~(too_short | bad_mean | block | low_stop | non_target)).alias(
+            "keep"
+        ),
+    )
+
+
+def _entropy_low_flag(toks: DataFrame) -> DataFrame:
+    """text_char_entropy's low_entropy verdict from the shared stream --
+    the identical (doc, char) count -> decimal-exact c*ln(c) rollup."""
+    chars = toks.select("doc_id", F.explode(F.split("word", "")).alias("ch"))
+    counts = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    term = (F.col("c") * F.log("c")).cast("decimal(25,12)")
+    n = F.sum("c")
+    ent_bits = (
+        (F.log(n) - F.sum(term).cast("double") / n) / F.lit(float(_LN2))
+    )
+    return counts.groupBy("doc_id").agg(
+        (F.round(ent_bits, 6) < 3.0).alias("low_entropy")
+    )
+
+
+def _quality_from_stream(docs: DataFrame, toks: DataFrame) -> DataFrame:
+    """text_quality_score's composite quality from the shared stream:
+    same integer statistics (distinct tokens via countDistinct instead
+    of array_distinct -- same multiset), same ratio arithmetic, so the
+    emitted doubles are bit-identical."""
+    agg = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.countDistinct("word").cast("bigint").alias("n_distinct"),
+        F.sum(F.length("word").cast("bigint"))
+        .cast("bigint")
+        .alias("sum_token_len"),
+        F.sum(F.when(F.col("word").isin(EN_STOPS), 1).otherwise(0))
+        .cast("bigint")
+        .alias("stop_hits"),
+    )
+    base = (
+        docs.select(
+            "doc_id",
+            F.length("text").cast("bigint").alias("n_chars"),
+            F.length(F.regexp_replace(F.lower("text"), "[^a-z]", ""))
+            .cast("bigint")
+            .alias("n_alpha"),
+        )
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            "n_alpha",
+            F.coalesce("n_tokens", F.lit(0).cast("bigint")).alias("n_tokens"),
+            F.coalesce("n_distinct", F.lit(0).cast("bigint")).alias(
+                "n_distinct"
+            ),
+            F.coalesce("sum_token_len", F.lit(0).cast("bigint")).alias(
+                "sum_token_len"
+            ),
+            F.coalesce("stop_hits", F.lit(0).cast("bigint")).alias(
+                "stop_hits"
+            ),
+        )
+    )
+    stop_ratio = F.col("stop_hits").cast("double") / F.col("n_tokens")
+    distinct_ratio = F.col("n_distinct").cast("double") / F.col("n_tokens")
+    alpha_ratio = F.col("n_alpha").cast("double") / F.col("n_chars")
+    return base.select(
+        "doc_id",
+        (
+            0.3 * stop_ratio + 0.4 * distinct_ratio + 0.3 * alpha_ratio
+        ).alias("quality"),
+    )
+
+
 def quality_gate_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c4 = c4_style_filter(spark, sf_dir).select(
+    docs, toks = _gate_substrate(spark, sf_dir)
+    c4 = _c4_flags_from_stream(docs, toks).select(
         "doc_id",
         "too_short",
         "bad_mean_len",
@@ -4104,8 +4346,8 @@ def quality_gate_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "low_stopword",
         "non_target_lang",
     )
-    ent = text_char_entropy(spark, sf_dir).select("doc_id", "low_entropy")
-    rep = text_repetition_filter(spark, sf_dir).select("doc_id", "repetitive")
+    ent = _entropy_low_flag(toks)
+    rep = _repetition_report(toks).select("doc_id", "repetitive")
     flags = (
         c4.join(ent, "doc_id", "left")
         .join(rep, "doc_id", "left")

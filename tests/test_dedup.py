@@ -975,3 +975,60 @@ def test_capture_recapture_halves_union_to_full_lsh(spark):
     }
     row = QUERIES["dedup_capture_recapture"](spark, SF_SMOKE).collect()[0]
     assert row.n_union == len(full)
+
+
+def test_band_join_salt_switch_and_equivalence(spark):
+    """The salting switch rule (band_join_salt_k) stays UNSALTED below
+    the pinned candidates-per-doc threshold (the sf0.1 regime) and fires
+    above it; on a synthetic hot-bucket corpus the salted band self-join
+    emits the IDENTICAL (doc_a, doc_b, hamming) candidate multiset as
+    the unsalted form (each pair meets at exactly one salt per band)."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_on_google_cloud_platform_spark.functions.hashing import (
+        SIMHASH_CAND_PER_DOC_SWITCH,
+    )
+    from mapreduce_on_google_cloud_platform_spark.operators.dedup import (
+        _salted_band_pairs,
+        band_join_salt_k,
+    )
+
+    # the switch rule itself
+    assert band_join_salt_k(None) == 1
+    assert band_join_salt_k(SIMHASH_CAND_PER_DOC_SWITCH) == 1
+    assert band_join_salt_k(SIMHASH_CAND_PER_DOC_SWITCH + 1) > 1
+
+    # synthetic hot-bucket corpus: 70 docs crowd ONE (band, chunk)
+    # bucket (quadratic expansion on a single key -- the skew the salt
+    # splits), plus a second sparse bucket and unmatched strays
+    rows = [(i, i * 37 % 97, 0, 7) for i in range(70)]
+    rows += [(100 + i, i, 1, 3) for i in range(5)]
+    rows += [(200, 11, 2, 1), (201, 12, 3, 2)]
+    chunks = spark.createDataFrame(
+        rows, "doc_id bigint, simhash bigint, band int, chunk int"
+    )
+    # the hot bucket alone yields 70*69/2 pairs over 77 docs -- well
+    # above the per-doc switch point scaled to this toy corpus
+    cand_per_doc = (70 * 69 / 2) / 77
+    assert band_join_salt_k(SIMHASH_CAND_PER_DOC_SWITCH + cand_per_doc) == 16
+
+    a, b = chunks.alias("a"), chunks.alias("b")
+    unsalted = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk")),
+        )
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+            .cast("int")
+            .alias("hamming"),
+        )
+    )
+    key = lambda r: (r.doc_a, r.doc_b, r.hamming)  # noqa: E731
+    expect = sorted(key(r) for r in unsalted.collect())
+    got = sorted(key(r) for r in _salted_band_pairs(chunks, 16).collect())
+    assert got == expect and len(expect) >= 70 * 69 // 2

@@ -1135,6 +1135,66 @@ def test_unigram_candidates_is_learn_round_zero(spark):
     assert got == round0
 
 
+def test_unigram_join_scoring_matches_map_literal(spark):
+    """The broadcast-join Viterbi scoring stage (_uni_word_scores +
+    array reads -- the documented 100 TB formulation) must segment every
+    word identically to the production map-literal form: same DP arrays,
+    so same pieces, so bit-identical EM replay either way."""
+    from mapreduce_on_google_cloud_platform_spark.functions.text import tokens_df
+    from mapreduce_on_google_cloud_platform_spark.operators.text_analysis import (
+        UNI_LMAX,
+        _uni_backtrace,
+        _uni_forward_dp,
+        _uni_init_vocab,
+        _uni_score,
+        _uni_word_scores,
+    )
+    from mapreduce_on_google_cloud_platform_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    wf = (
+        tokens_df(load_table(spark, SF_SMOKE, "documents"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    vocab = _uni_score(_uni_init_vocab(wf))
+    rows = vocab.select("piece", "logp_fp").collect()
+    m = F.create_map(
+        *[c for r in sorted(rows) for c in (F.lit(r.piece), F.lit(r.logp_fp))]
+    )
+    word = F.col("word")
+    via_map = {
+        r.word: r.ps
+        for r in wf.withColumn(
+            "_dp",
+            _uni_forward_dp(
+                word,
+                lambda j, l: F.element_at(
+                    m, word.substr(j - F.lit(l) + 1, F.lit(l))
+                ),
+            ),
+        )
+        .select("word", _uni_backtrace(word, F.col("_dp")).alias("ps"))
+        .collect()
+    }
+    via_join = {
+        r.word: r.ps
+        for r in _uni_word_scores(wf, vocab)
+        .withColumn(
+            "_dp",
+            _uni_forward_dp(
+                word,
+                lambda j, l, sc=F.col("_sc"): F.element_at(
+                    sc, (j - F.lit(1)) * UNI_LMAX + F.lit(l)
+                ),
+            ),
+        )
+        .select("word", _uni_backtrace(word, F.col("_dp")).alias("ps"))
+        .collect()
+    }
+    assert via_join == via_map and via_map
+
+
 def test_kappa_matches_python_confusion(spark):
     """Kappa reproduces a direct Python recompute from the two gates'
     own outputs, and the integer-numerator identity holds exactly."""

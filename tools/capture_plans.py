@@ -45,7 +45,7 @@ def main() -> int:
 
     names = [n for n in bench.HEADLINE if only is None or n in only]
 
-    out_dir = os.path.join(REPO, "plans", "r12")
+    out_dir = os.path.join(REPO, "plans", "r13")
     os.makedirs(out_dir, exist_ok=True)
 
     spark = get_spark("capture_plans")
