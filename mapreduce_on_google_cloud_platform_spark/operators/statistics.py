@@ -1376,14 +1376,38 @@ BOOTSTRAP_ORACLE = f"""
 
 
 def geomean_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import numpy as np
     import pandas as pd
 
     from pyspark.sql.functions import PandasUDFType
 
     @F.pandas_udf("double", PandasUDFType.GROUPED_AGG)
     def geomean(v: pd.Series) -> float:
-        return float(np.exp(np.log(v.to_numpy()).mean()))
+        # Decimal-disciplined log-mean (optimization round 13, VERDICT
+        # r12 item #1): the old np.log(v).mean() summed floats in
+        # partition-arrival order, so the last ulps were run-specific and
+        # the query could only ever be rows-only for the driver.  Now
+        # each ln is quantized to the same DECIMAL 1e-12 grid the
+        # geomean_event_value_exact twin uses, summed exactly (order
+        # cannot perturb integer-grid decimal sums), and the result is
+        # rounded to 6 dp with the twin's HALF_UP semantics -- making
+        # the pandas GROUPED_AGG surface engine-deterministic and
+        # oracle-checkable against the same SQL as the twin.  Python's
+        # math.log/libm is bit-identical to DuckDB's ln on every value
+        # in the corpus (verified exhaustively; the JVM side of the twin
+        # has the same agreement, banked across rounds).
+        import math
+        from decimal import ROUND_HALF_UP, Decimal
+
+        grid = Decimal(1).scaleb(-12)
+        total = Decimal(0)
+        for x in v:
+            total += Decimal(math.log(x)).quantize(
+                grid, rounding=ROUND_HALF_UP
+            )
+        val = math.exp(float(total) / len(v))
+        return float(
+            Decimal(val).quantize(Decimal(1).scaleb(-6), rounding=ROUND_HALF_UP)
+        )
 
     # a GROUPED_AGG udf cannot mix with JVM aggregates in one agg();
     # group size therefore also goes through the pandas path
@@ -5433,8 +5457,10 @@ STATISTICS_QUERIES: list[tuple[str, object, str | None]] = [
     ("sample_bootstrap", sample_bootstrap, BOOTSTRAP_ORACLE),
     ("train_test_split_events", train_test_split_events, TRAIN_TEST_SPLIT_ORACLE),
     ("value_decile_features", value_decile_features, VALUE_DECILE_ORACLE),
-    # Arrow GROUPED_AGG path: engine-specific float reduction -> rows-only
-    ("geomean_event_value", geomean_event_value, None),
+    # Arrow GROUPED_AGG path, decimal-disciplined since round 13: the
+    # pandas fold reproduces the twin's exact-grid log-mean, so it
+    # shares the twin's oracle (previously rows-only)
+    ("geomean_event_value", geomean_event_value, GEOMEAN_EXACT_ORACLE),
     # ... and its JVM-expression scale path, exact enough to oracle-check
     ("geomean_event_value_exact", geomean_event_value_exact, GEOMEAN_EXACT_ORACLE),
     # sketch-bounded binning: engine-specific boundaries -> rows-only

@@ -2993,11 +2993,106 @@ DSIR_ORACLE = f"""
 # right ASC) -- a total order, so the merge sequence is identical on
 # any partitioning (pinned in the invariance matrix) and is checked
 # symbol-for-symbol against an independent pure-Python BPE in pytest.
-# Declared rows-only: K chained corpus rewrites are not expressible as
-# one SQL statement for the driver's oracle comparator.
+#
+# Oracle (optimization round 13, VERDICT r12 item #1; previously
+# rows-only): the K chained corpus rewrites ARE one SQL statement once
+# the round count is UNROLLED -- the cc_closure_cte technique.  Each
+# word's symbol sequence is encoded as a comma-TERMINATED string
+# ('abc' -> 'a,b,c,'); the greedy left-to-right single-rule re-merge is
+# then exactly SQL replace(s, 'a,b,', 'ab,'), because replace scans
+# left to right and never rescans its own replacement -- the same
+# (out, pending) fold semantics as _bpe_merge_step ('a,a,a,' under
+# (a,a) -> 'aa,a,').  Per round: pair counts from the split-back
+# symbol lists, top-1 by (cnt DESC, a, b), one replace.  MATERIALIZED
+# CTE hints keep the 8-round chain linear (the cc oracle lesson).
 # ---------------------------------------------------------------------------
 
 BPE_MERGES = 8
+
+
+def _bpe_oracle_rounds(n_rounds: int = BPE_MERGES) -> str:
+    """CTE chain ``w0..w{n}, p1..t{n}`` unrolling the BPE learn loop;
+    requires a preceding ``toks`` CTE.  ``w{r}`` holds (word, s, freq)
+    after merge r; ``t{r}`` holds merge r's single (a, b, m, cnt) row."""
+    ctes = [
+        """
+    wf AS MATERIALIZED (
+        SELECT ts[i] AS word, CAST(count(*) AS BIGINT) AS freq
+        FROM toks, unnest(range(1, len(ts) + 1)) t(i)
+        GROUP BY 1
+    ),
+    w0 AS MATERIALIZED (
+        SELECT word, regexp_replace(word, '(.)', '\\1,', 'g') AS s, freq
+        FROM wf
+    )"""
+    ]
+    for r in range(1, n_rounds + 1):
+        prev = f"w{r - 1}"
+        ctes.append(f"""
+    p{r} AS MATERIALIZED (
+        SELECT parts[i] AS a, parts[i + 1] AS b,
+               CAST(sum(freq) AS BIGINT) AS cnt
+        FROM (SELECT string_split(rtrim(s, ','), ',') AS parts, freq
+              FROM {prev}) q,
+             unnest(range(1, len(parts))) t(i)
+        WHERE len(parts) >= 2
+        GROUP BY 1, 2
+    ),
+    t{r} AS MATERIALIZED (
+        SELECT a, b, a || b AS m, cnt FROM p{r}
+        ORDER BY cnt DESC, a, b LIMIT 1
+    ),
+    w{r} AS MATERIALIZED (
+        SELECT word,
+               CASE WHEN (SELECT count(*) FROM t{r}) = 0 THEN s
+                    ELSE replace(s,
+                                 (SELECT a || ',' || b || ',' FROM t{r}),
+                                 (SELECT m || ',' FROM t{r}))
+               END AS s,
+               freq
+        FROM {prev}
+    )""")
+    return ",".join(ctes)
+
+
+def _bpe_learn_oracle() -> str:
+    unions = "\n        UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS rank, a AS \"left\", b AS \"right\","
+        f" m AS merged, cnt AS pair_count FROM t{r}"
+        for r in range(1, BPE_MERGES + 1)
+    )
+    return f"""
+    WITH {DUCKDB_TOKS_CTE},
+    {_bpe_oracle_rounds()}
+    SELECT * FROM (
+        {unions}
+    ) ORDER BY rank
+"""
+
+
+def _bpe_encode_oracle() -> str:
+    return f"""
+    WITH {DUCKDB_TOKS_CTE},
+    {_bpe_oracle_rounds()},
+    enc AS (
+        SELECT word, length(word) AS n_chars_word,
+               len(string_split(rtrim(s, ','), ',')) AS n_syms_word
+        FROM w{BPE_MERGES}
+    ),
+    stream AS (
+        SELECT doc_id, ts[i] AS word
+        FROM toks, unnest(range(1, len(ts) + 1)) t(i)
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(n_chars_word) AS BIGINT) AS n_chars,
+           CAST(sum(n_syms_word) AS BIGINT) AS n_bpe_tokens,
+           round(CAST(sum(n_chars_word) AS DOUBLE)
+                 / CAST(sum(n_syms_word) AS BIGINT), 6) AS chars_per_symbol
+    FROM stream JOIN enc USING (word)
+    GROUP BY doc_id
+    ORDER BY doc_id
+"""
 
 
 def _bpe_word_freqs(docs: DataFrame) -> DataFrame:
@@ -7129,8 +7224,8 @@ TEXT_ANALYSIS_QUERIES: list[tuple[str, object, str | None]] = [
         REPEATED_PASSAGE_ORACLE,
     ),
     ("exact_substring_dedup", exact_substring_dedup, EXACT_SUBSTRING_ORACLE),
-    # iterative K-round corpus rewrite: not one SQL statement -> rows-only
-    ("bpe_learn_merges", bpe_learn_merges, None),
+    # K-round corpus rewrite, UNROLLED into one SQL statement (round 13)
+    ("bpe_learn_merges", bpe_learn_merges, _bpe_learn_oracle()),
     ("bpe_pair_counts", bpe_pair_counts, BPE_PAIR_ORACLE),
     # iterative hard-EM (segment -> recount -> re-score) -> rows-only;
     # checked against an independent pure-Python unigram LM in pytest
@@ -7148,9 +7243,9 @@ TEXT_ANALYSIS_QUERIES: list[tuple[str, object, str | None]] = [
         perplexity_quality_buckets,
         PPL_BUCKETS_ORACLE,
     ),
-    # applies the iteratively-learned merge table -> rows-only; encoding
-    # checked against an independent pure-Python BPE in pytest
-    ("bpe_encode_documents", bpe_encode_documents, None),
+    # applies the unrolled-learned merge table; also checked against an
+    # independent pure-Python BPE in pytest
+    ("bpe_encode_documents", bpe_encode_documents, _bpe_encode_oracle()),
     ("c4_style_filter", c4_style_filter, C4_FILTER_ORACLE),
     ("gate_agreement_kappa", gate_agreement_kappa, KAPPA_ORACLE),
     ("source_vocab_overlap", source_vocab_overlap, SOURCE_OVERLAP_ORACLE),

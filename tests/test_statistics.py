@@ -87,12 +87,33 @@ def test_geomean_grouped_agg_matches_numpy(spark):
     }
     t = pq.read_table(f"{SF_SMOKE}/events.parquet").to_pandas()
     t = t[t.value > 0]
+    from decimal import ROUND_HALF_UP, Decimal
+
+    grid = Decimal(1).scaleb(-12)
     for et, grp in t.groupby("event_type"):
         n, gm = got[et]
         assert n == len(grp)
+        # numpy stays the sanity reference at the declared 6-dp rounding
         assert math.isclose(
-            gm, float(np.exp(np.log(grp.value.to_numpy()).mean())), rel_tol=1e-9
+            gm,
+            float(np.exp(np.log(grp.value.to_numpy()).mean())),
+            abs_tol=5e-7,
+            rel_tol=1e-6,
         )
+        # ... and the decimal-grid recompute (round 13 determinism
+        # discipline: quantized ln sum, one division, HALF_UP round(6))
+        # must match EXACTLY -- this is what the shared oracle hashes
+        total = Decimal(0)
+        for x in grp.value.to_numpy():
+            total += Decimal(math.log(float(x))).quantize(
+                grid, rounding=ROUND_HALF_UP
+            )
+        expect = float(
+            Decimal(math.exp(float(total) / len(grp))).quantize(
+                Decimal(1).scaleb(-6), rounding=ROUND_HALF_UP
+            )
+        )
+        assert gm == expect
 
 
 def test_split_assignment_is_leakage_safe(spark):
